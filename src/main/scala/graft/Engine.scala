@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level defaults for the graft engine.
+  *
+  * The reference ran on Spark 3.2.1 (DBR 10.4, `screenshots/cluster.jpg`)
+  * where `spark.sql.ansi.enabled=false` was the default; Spark 4.x flips it
+  * to true, changing cast/overflow semantics (SURVEY.md §4.3). We pin the
+  * legacy behavior so CSV-string→typed casts produce NULL instead of
+  * throwing, matching the reference's conform pass
+  * (adls_bikeshare_project_IsmaelDawuda.ipynb:979).
+  */
+object Engine {
+
+  /** Apply engine config onto an existing builder (used by Verify/Bench and
+    * test sessions so every entry point agrees on semantics).
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read as long nanos and convert in Tables.loadEvents.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  /** Standalone local session for tests / ad-hoc runs. */
+  def localSession(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

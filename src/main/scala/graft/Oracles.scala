@@ -1,0 +1,233 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB-equivalent ANSI SQL for each entry in [[TestQueries.all]] (driver
+  * t2 gate). Queries with no SQL-expressible oracle (hash-seeded LSH /
+  * MinHash / SimHash internals) are intentionally absent → the driver
+  * records a rows-only check for them.
+  *
+  * Engine-difference notes encoded here:
+  *  - DuckDB `dayofweek` is 0=Sunday vs Spark 1=Sunday → `+1`;
+  *  - DuckDB `sum(INTEGER)` widens to HUGEINT → explicit CAST to BIGINT;
+  *  - DuckDB `generate_series(DATE,...)` yields timestamps → CAST to DATE;
+  *  - `regexp_replace` needs the 'g' flag to match Spark's replace-all;
+  *  - vector dot products accumulate CAST-to-DOUBLE in array order, exactly
+  *    like [[graft.functions.Vectors.dot]].
+  */
+object Oracles {
+
+  private val tod =
+    "CASE WHEN hour(ts) BETWEEN 5 AND 11 THEN 'morning' " +
+      "WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon' " +
+      "WHEN hour(ts) BETWEEN 17 AND 21 THEN 'evening' ELSE 'night' END"
+
+  val sql: ListMap[String, String] = ListMap(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+
+    "q02_conform_rename_cast" ->
+      ("SELECT CAST(l_orderkey AS VARCHAR) AS okey, CAST(l_linenumber AS BIGINT) AS ln, " +
+        "l_returnflag AS rflag FROM lineitem"),
+
+    "q03_filter_predicates" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
+        "WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20 " +
+        "AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"),
+
+    "q04_case_bucket_tod" ->
+      (s"SELECT $tod AS tod, count(*) AS n, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1"),
+
+    "q05_agg_returnflag" ->
+      ("SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(avg(l_extendedprice), 4) AS avg_price, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
+        "count(*) AS n FROM lineitem GROUP BY 1"),
+
+    "q06_agg_multikey" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_extendedprice), 2) AS revenue FROM lineitem GROUP BY 1, 2"),
+
+    "q07_global_minmax" ->
+      ("SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax, " +
+        "min(o_totalprice) AS pmin, max(o_totalprice) AS pmax, count(*) AS n " +
+        "FROM orders"),
+
+    "q08_join_orders_customer" ->
+      ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+
+    "q09_join_filtered_dim" ->
+      ("SELECT c_nationkey, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY 1"),
+
+    "q10_join_fanout" ->
+      ("SELECT a.o_custkey AS o_custkey, count(*) AS n_pairs, " +
+        "round(sum(b.o_totalprice), 2) AS fan_total " +
+        "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey GROUP BY 1"),
+
+    "q11_star_join" ->
+      ("SELECT r_name, count(*) AS n, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"),
+
+    "q12_topk_suppliers" ->
+      ("SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_suppkey LIMIT 10"),
+
+    "q13_sort_limit" ->
+      ("SELECT event_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts_min, value " +
+        "FROM events ORDER BY ts, event_id LIMIT 100"),
+
+    "q14_date_spine" ->
+      ("WITH mm AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, " +
+        "CAST(max(o_orderdate) AS DATE) AS hi FROM orders), " +
+        "d AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), " +
+        "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date_id FROM mm) " +
+        "SELECT date_id, CAST(month(date_id) AS BIGINT) AS month, " +
+        "CAST(quarter(date_id) AS BIGINT) AS quarter, " +
+        "CAST(year(date_id) AS BIGINT) AS year FROM d"),
+
+    "q15_dow_hour" ->
+      ("SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, " +
+        "CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n FROM events GROUP BY 1, 2"),
+
+    "q16_datediff_monthly" ->
+      ("SELECT CAST(month(o_orderdate) AS BIGINT) AS m, " +
+        "round(avg(date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE))), 4) AS avg_delay, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+
+    "q17_year_quarter" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1, 2"),
+
+    "q18_rollup" ->
+      ("WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, o_totalprice FROM orders) " +
+        "SELECT y, q, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM o GROUP BY ROLLUP(y, q)"),
+
+    "q19_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q20_union" ->
+      "SELECT r_name AS name FROM region UNION SELECT n_name AS name FROM nation",
+
+    "q21_semi_join" ->
+      ("SELECT c_custkey FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+
+    "q22_anti_join" ->
+      ("SELECT c_custkey FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+
+    "q23_window_rank" ->
+      ("WITH rev AS (SELECT l_returnflag, l_suppkey, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT l_returnflag, l_suppkey, revenue, row_number() OVER " +
+        "(PARTITION BY l_returnflag ORDER BY revenue DESC, l_suppkey) AS rnk FROM rev) " +
+        "SELECT l_returnflag, l_suppkey, revenue, CAST(rnk AS BIGINT) AS \"rank\" " +
+        "FROM r WHERE rnk <= 3"),
+
+    "q24_window_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running " +
+        "FROM orders"),
+
+    "q25_having" ->
+      "SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) >= 2",
+
+    "q26_conditional_agg" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc, " +
+        "CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big " +
+        "FROM lineitem GROUP BY 1"),
+
+    "q30_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+
+    "q31_dedup_normalized" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents " +
+        "GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"),
+
+    "q32_text_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, " +
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct, " +
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+        "CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper, " +
+        "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+        "WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0 " +
+        "ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) END, 4) AS mean_wlen " +
+        "FROM documents"),
+
+    "q33_token_counts" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) " +
+        "+ CAST(floor(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4) AS BIGINT) " +
+        "END AS BIGINT) AS n_subwords FROM documents"),
+
+    "q34_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q35_lang_id" ->
+      ("WITH s AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, " +
+        "len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','for','with'))) AS s_en, " +
+        "len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','für'))) AS s_de, " +
+        "len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','pas','pour','que'))) AS s_fr, " +
+        "len(list_filter(toks, t -> t IN ('el','la','que','de','los','es','por','con','para'))) AS s_es " +
+        "FROM s) " +
+        "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und' " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM sc"),
+
+    "q39_embedding_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id <= 20), " +
+        "c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings), " +
+        "s AS (SELECT query_id, nbr_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM q, c WHERE query_id <> nbr_id), " +
+        "r AS (SELECT query_id, nbr_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rnk FROM s) " +
+        "SELECT query_id, nbr_id, CAST(rnk AS BIGINT) AS \"rank\", " +
+        "round(cos, 6) AS cos_r FROM r WHERE rnk <= 3"),
+
+    "q39b_embedding_norms" ->
+      ("SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm FROM embeddings"),
+
+    "q40_events_hourly" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2"),
+
+    "q41_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT user_id, CASE WHEN prev_ts IS NULL " +
+        "OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS ns FROM e) " +
+        "SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events " +
+        "FROM f GROUP BY 1"),
+
+    "q42_binary_meta" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),
+  )
+}

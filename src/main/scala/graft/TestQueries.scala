@@ -1,0 +1,360 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Derived, Text, Vectors}
+import graft.operators.{Analytics, DateSpine, Dedup, Multimodal, Sessionize, Similarity}
+import graft.sources.Tables
+
+import scala.collection.immutable.ListMap
+
+/** The testdata-shaped embodiment of every operator in SURVEY.md §2 plus the
+  * training-data-pipeline extensions, each paired with ANSI SQL the driver
+  * runs in DuckDB over the same parquet tables (the t2 correctness gate).
+  *
+  * Cross-engine determinism rules applied throughout:
+  *  - double aggregates are `round(...)`-ed (summation order differs between
+  *    engines at the ulp level; SURVEY.md §7.4 risk 5);
+  *  - computed integers are cast to BIGINT on both sides (DuckDB widens,
+  *    Spark doesn't);
+  *  - Spark `dayofweek` is 1=Sunday, DuckDB 0=Sunday → oracle adds +1;
+  *  - top-K queries carry a unique tiebreaker so LIMIT picks the same rows;
+  *  - vector math accumulates in double, array order, in both engines.
+  */
+object TestQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- §2.1/2.2 sources + projection --------------------------------------
+
+  def q01ScanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+  def q02ConformRenameCast(s: SparkSession, dir: String): DataFrame =
+    Tables.conform(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag"),
+      renames = Map("l_orderkey" -> "okey", "l_linenumber" -> "ln",
+        "l_returnflag" -> "rflag"),
+      types = Map("okey" -> org.apache.spark.sql.types.StringType,
+        "ln" -> org.apache.spark.sql.types.LongType))
+
+  // ---- §2.3 filters --------------------------------------------------------
+
+  def q03FilterPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity").between(10, 20) &&
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  def q04CaseBucketTod(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .withColumn("tod", Derived.timeOfDay(col("ts")))
+      .groupBy("tod")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  // ---- §2.5 aggregations ---------------------------------------------------
+
+  def q05AggReturnflag(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(avg("l_extendedprice"), 4).as("avg_price"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"),
+      count(lit(1)).as("n"))
+
+  def q06AggMultikey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+      count(lit(1)).as("n"),
+      round(sum("l_extendedprice"), 2).as("revenue"))
+
+  def q07GlobalMinmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      min("o_orderdate").as("dmin"), max("o_orderdate").as("dmax"),
+      min("o_totalprice").as("pmin"), max("o_totalprice").as("pmax"),
+      count(lit(1)).as("n"))
+
+  // ---- §2.4 joins ----------------------------------------------------------
+
+  def q08JoinOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+  }
+
+  def q09JoinFilteredDim(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+  }
+
+  /** J5-style many-to-many fan-out: self-join orders on the customer key. */
+  def q10JoinFanout(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+    val b = t(s, dir, "orders").select(col("o_custkey"),
+      col("o_totalprice").as("b_totalprice"))
+    a.join(b, Seq("o_custkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_pairs"), round(sum("b_totalprice"), 2).as("fan_total"))
+  }
+
+  def q11StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  // ---- §2.6 sort / top-K ---------------------------------------------------
+
+  def q12TopkSuppliers(s: SparkSession, dir: String): DataFrame =
+    Analytics.topK(
+      t(s, dir, "lineitem").groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_suppkey")), 10)
+
+  def q13SortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_id"), date_trunc("minute", col("ts")).as("ts_min"),
+        col("value"))
+      .limit(100)
+
+  // ---- §2.8 generators -----------------------------------------------------
+
+  def q14DateSpine(s: SparkSession, dir: String): DataFrame =
+    DateSpine.paymentDates(s, t(s, dir, "orders"), "o_orderdate")
+      .select(col("date_id"), col("month").cast("long").as("month"),
+        col("quarter").cast("long").as("quarter"), col("year").cast("long").as("year"))
+
+  // ---- §2.9 scalar functions -----------------------------------------------
+
+  def q15DowHour(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+
+  def q16DatediffMonthly(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+      .agg(round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4)
+        .as("avg_delay"), count(lit(1)).as("n"))
+  }
+
+  def q17YearQuarter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .withColumn("q", quarter(col("o_orderdate")).cast("long"))
+      .rollup("y", "q")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  // ---- §2.7 set operations (engine extension; none in reference) -----------
+
+  def q19Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+  def q20Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(col("r_name").as("name"))
+      .union(t(s, dir, "nation").select(col("n_name").as("name")))
+      .distinct()
+
+  def q21SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+
+  def q22AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+
+  // ---- window functions (engine extension) ---------------------------------
+
+  def q23WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem").groupBy("l_returnflag", "l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+    rev.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+  }
+
+  def q24WindowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running"))
+  }
+
+  def q25Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+
+  def q26ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
+      sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("n_big"))
+
+  // ---- dedup (training-data extensions) ------------------------------------
+
+  def q30DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepIds(t(s, dir, "documents"), "doc_id", Seq("text"))
+
+  def q31DedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintKeepIds(t(s, dir, "documents"), "doc_id", "text")
+
+  def q32TextQuality(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents").select(col("doc_id"),
+      length(txt).cast("long").as("n_chars_txt"),
+      Text.punctCount(txt).cast("long").as("n_punct"),
+      Text.digitCount(txt).cast("long").as("n_digit"),
+      Text.upperCount(txt).cast("long").as("n_upper"),
+      round(Text.meanWordLength(txt), 4).as("mean_wlen"))
+  }
+
+  def q33TokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Text.subwordCount(col("text")).cast("long").as("n_subwords"))
+
+  def q34FingerprintMd5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
+
+  def q35LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.languageId(col("text")).as("lang_pred"))
+
+  def q36MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  def q37SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+
+  def q38JaccardDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    Dedup.jaccardVerify(docs, cands, "doc_id", "text", n = 3, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- similarity search ---------------------------------------------------
+
+  def q39EmbeddingTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", k = 3)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
+  def q39bEmbeddingNorms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      round(Vectors.norm(col("embedding")), 6).as("l2_norm"))
+
+  def q39cLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", dim = 64, k = 3)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
+  // ---- events: batch mirrors of the streaming surface ----------------------
+
+  def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  def q41Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.perUserStats(Tables.loadEvents(s, dir), "user_id", "ts", "event_id", 1800)
+      .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"),
+        col("n_events"))
+
+  // ---- multimodal plumbing -------------------------------------------------
+
+  def q42BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.describe(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("media_id"), col("modality"),
+        col("n_bytes").cast("long").as("n_bytes"))
+
+  // ---- registry ------------------------------------------------------------
+
+  val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_scan_project" -> (q01ScanProject _),
+    "q02_conform_rename_cast" -> (q02ConformRenameCast _),
+    "q03_filter_predicates" -> (q03FilterPredicates _),
+    "q04_case_bucket_tod" -> (q04CaseBucketTod _),
+    "q05_agg_returnflag" -> (q05AggReturnflag _),
+    "q06_agg_multikey" -> (q06AggMultikey _),
+    "q07_global_minmax" -> (q07GlobalMinmax _),
+    "q08_join_orders_customer" -> (q08JoinOrdersCustomer _),
+    "q09_join_filtered_dim" -> (q09JoinFilteredDim _),
+    "q10_join_fanout" -> (q10JoinFanout _),
+    "q11_star_join" -> (q11StarJoin _),
+    "q12_topk_suppliers" -> (q12TopkSuppliers _),
+    "q13_sort_limit" -> (q13SortLimit _),
+    "q14_date_spine" -> (q14DateSpine _),
+    "q15_dow_hour" -> (q15DowHour _),
+    "q16_datediff_monthly" -> (q16DatediffMonthly _),
+    "q17_year_quarter" -> (q17YearQuarter _),
+    "q18_rollup" -> (q18Rollup _),
+    "q19_distinct" -> (q19Distinct _),
+    "q20_union" -> (q20Union _),
+    "q21_semi_join" -> (q21SemiJoin _),
+    "q22_anti_join" -> (q22AntiJoin _),
+    "q23_window_rank" -> (q23WindowRank _),
+    "q24_window_running_sum" -> (q24WindowRunningSum _),
+    "q25_having" -> (q25Having _),
+    "q26_conditional_agg" -> (q26ConditionalAgg _),
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_dedup_normalized" -> (q31DedupNormalized _),
+    "q32_text_quality" -> (q32TextQuality _),
+    "q33_token_counts" -> (q33TokenCounts _),
+    "q34_fingerprint_md5" -> (q34FingerprintMd5 _),
+    "q35_lang_id" -> (q35LangId _),
+    "q36_minhash_pairs" -> (q36MinhashPairs _),
+    "q37_simhash_pairs" -> (q37SimhashPairs _),
+    "q38_jaccard_dups" -> (q38JaccardDups _),
+    "q39_embedding_topk" -> (q39EmbeddingTopk _),
+    "q39b_embedding_norms" -> (q39bEmbeddingNorms _),
+    "q39c_lsh_topk" -> (q39cLshTopk _),
+    "q40_events_hourly" -> (q40EventsHourly _),
+    "q41_sessionize" -> (q41Sessionize _),
+    "q42_binary_meta" -> (q42BinaryMeta _),
+  )
+}

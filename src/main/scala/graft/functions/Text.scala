@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale training-data pipelines.
+  *
+  * Every function is a pure `Column` expression over built-in (codegen'd)
+  * string functions — no UDFs — so quality scoring and token counting run
+  * inside whole-stage codegen and scale linearly with the scan. Designed to
+  * run over the `documents` table (`doc_id, text, lang, source, n_chars`).
+  */
+object Text {
+
+  /** Whitespace token count. Empty/blank text counts 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Rough BPE-ish subword count: word chars split into runs of ≤4 chars,
+    * plus standalone punctuation — a cheap, deterministic stand-in for a
+    * tokenizer when budgeting LLM token counts at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long") +
+        floor(length(regexp_replace(text, "[^A-Za-z0-9]", "")) / lit(4)).cast("long"))
+
+  /** Count of characters matching a regex character class. */
+  def charClassCount(text: Column, charClassRe: String): Column =
+    length(text) - length(regexp_replace(text, charClassRe, ""))
+
+  def punctCount(text: Column): Column = charClassCount(text, "[\\.,;:!\\?]")
+  def digitCount(text: Column): Column = charClassCount(text, "[0-9]")
+  def upperCount(text: Column): Column = charClassCount(text, "[A-Z]")
+
+  /** Quality signals à la C4/Gopher filters: length, mean word length,
+    * punctuation/digit/uppercase ratios. Returned as individual columns so
+    * thresholds stay tunable downstream.
+    */
+  def meanWordLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / n)
+  }
+
+  def ratio(part: Column, whole: Column): Column =
+    when(whole === 0, lit(0.0)).otherwise(part.cast("double") / whole.cast("double"))
+
+  /** Composite [0,1] quality score: penalizes very short docs, extreme
+    * punctuation/digit density, and shouting. Heuristic — the point is the
+    * shape (pure expression, no shuffle), not the exact weights.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val punctPenalty = least(ratio(punctCount(text), length(text)) * 5.0, lit(1.0))
+    val digitPenalty = least(ratio(digitCount(text), length(text)) * 3.0, lit(1.0))
+    val upperPenalty = least(ratio(upperCount(text), length(text)) * 2.0, lit(1.0))
+    greatest(lenScore - (punctPenalty + digitPenalty + upperPenalty) / 3.0, lit(0.0))
+  }
+
+  /** Word n-gram shingles (lowercased) — feeds MinHash / Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Deterministic 64-bit document fingerprint (xxHash64 of the
+    * whitespace-normalized, lowercased text) — rolling-hash-style identity
+    * for exact-ish dedup that ignores spacing differences.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Language-ID heuristic: score = stopword hits per token for a handful
+    * of high-frequency function words per language; argmax wins. N-gram-free
+    * but shaped like real fastText-style LID: cheap features + argmax, all
+    * inside codegen.
+    */
+  // Ordered: ties resolve to the earliest language — the DuckDB-oracle CASE
+  // in SparkEntry encodes the same tie-break order.
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "pour", "que"),
+    "es" -> Seq("el", "la", "que", "de", "los", "es", "por", "con", "para"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(trim(text)), "\\s+")
+    stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    }
+  }
+
+  def languageId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.foldLeft(struct(lit(-1).as("s"), lit("und").as("l"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("s"),
+          struct(score.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typed query-template API — the Scala embodiment of the reference's five
+  * `analyze_*` driver functions (SURVEY.md §2.10). Each builder composes a
+  * declarative plan (join → group → agg → sort) and returns the DataFrame;
+  * no display side effects. At scale these plans rely on Catalyst for
+  * predicate pushdown/column pruning and on AQE for shuffle sizing; dims are
+  * broadcast automatically below the threshold set in [[graft.Engine]].
+  */
+object Analytics {
+
+  /** A1/O1 core template (`analyze_trip_data`, nb:1828-1848): group a fact
+    * by one or more columns, apply aggregates, sort desc on the first
+    * aggregate's alias. `tieBreakers` makes top-K deterministic
+    * (SURVEY.md §7.4 risk 5) without changing reference semantics.
+    */
+  def aggregateBy(fact: DataFrame, groupCols: Seq[String], aggs: Seq[Column],
+                  tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val out = fact.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val sortKey = col(out.columns(groupCols.length)).desc
+    out.orderBy(sortKey +: tieBreakers: _*)
+  }
+
+  /** A2 (`analyze_duration_by_*`, nb:3316-3870): join the fact to a dim on
+    * a key, then aggregate by a dim attribute. The dim is typically small —
+    * Catalyst broadcasts it; no shuffle of the fact on the dim key.
+    */
+  def aggregateOverJoin(fact: DataFrame, dim: DataFrame, joinKey: String,
+                        groupCols: Seq[String], aggs: Seq[Column],
+                        tieBreakers: Seq[Column] = Nil): DataFrame =
+    aggregateBy(fact.join(dim, Seq(joinKey)), groupCols, aggs, tieBreakers)
+
+  /** `analyze_member_payment_data` shape (nb:4933-4956): filter the dim
+    * BEFORE the join (manual pushdown the reference does by hand, F3) —
+    * at 100 TB this is the difference between broadcasting the full dim and
+    * broadcasting the selected slice.
+    */
+  def aggregateOverFilteredJoin(fact: DataFrame, dim: DataFrame, dimFilter: Column,
+                                joinKey: String, groupCols: Seq[String],
+                                aggs: Seq[Column],
+                                tieBreakers: Seq[Column] = Nil): DataFrame =
+    aggregateOverJoin(fact, dim.where(dimFilter), joinKey, groupCols, aggs, tieBreakers)
+
+  /** O3 — top-K: sort desc + limit; Spark plans TakeOrderedAndProject, so
+    * only K rows per partition ever reach the driver-side merge.
+    */
+  def topK(df: DataFrame, k: Int): DataFrame = df.limit(k)
+
+  /** A5 — global scalar min/max over a column (drives the date spine,
+    * nb:1185-1186). Runs as a partial+final agg; collects exactly one row.
+    */
+  def minMax(df: DataFrame, c: String): (Any, Any) = {
+    val r = df.agg(min(col(c)), max(col(c))).head()
+    (r.get(0), r.get(1))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Bikeshare
+import graft.sources.Tables
+import graft.functions.Derived
+import graft.operators.{Analytics, DateSpine}
+
+/** The reference's 5-stage batch ETL (SURVEY.md §3.4) plus all 24 analytical
+  * queries (§2.11), re-expressed Spark-first.
+  *
+  * Stage boundaries in the reference are Delta tables; here each stage is a
+  * pure `DataFrame => DataFrame` so callers choose whether to materialize
+  * (pipeline-breaking at scale) or fuse. `run` materializes nothing — on a
+  * cluster you'd persist `conform`/`enrich` outputs partitioned by date.
+  */
+object BikesharePipeline {
+
+  final case class Conformed(payments: DataFrame, trips: DataFrame,
+                             riders: DataFrame, stations: DataFrame)
+  final case class Warehouse(payments: DataFrame, trips: DataFrame,
+                             riders: DataFrame, stations: DataFrame,
+                             tripDates: DataFrame, paymentDates: DataFrame)
+
+  /** Stages 2+3 — raw headerless CSV → typed tables (nb:250-264, 960-996).
+    * Schema is declared at read time: the CSV parser casts in one pass.
+    */
+  def conformFromCsv(spark: SparkSession, dir: String): Conformed = Conformed(
+    payments = Tables.readCsv(spark, s"$dir/payments.csv", Bikeshare.payments),
+    trips    = Tables.readCsv(spark, s"$dir/trips.csv", Bikeshare.trips),
+    riders   = Tables.readCsv(spark, s"$dir/riders.csv", Bikeshare.riders),
+    stations = Tables.readCsv(spark, s"$dir/stations.csv", Bikeshare.stations))
+
+  /** Stage 4a — derived columns + the build-time trips⋈riders
+    * denormalization (nb:1072-1101). The riders side is pre-projected to
+    * (rider_id, birthday) before the join — at scale this is a broadcast of
+    * two columns, not the whole dim.
+    */
+  def enrichRiders(riders: DataFrame): DataFrame =
+    riders.withColumn("age_at_account_start",
+      Derived.ageYears(col("account_start_date"), col("birthday")))
+
+  def enrichTrips(trips: DataFrame, riders: DataFrame): DataFrame =
+    trips
+      .withColumn("duration", Derived.durationSeconds(col("ended_at"), col("started_at")))
+      .withColumn("time_id", Derived.timeId(col("started_at")))
+      .join(broadcast(riders.select("rider_id", "birthday")), Seq("rider_id"), "inner")
+      .withColumn("age_at_ride_time",
+        Derived.ageYears(to_date(col("started_at")), col("birthday")))
+      .select("trip_id", "rideable_type", "started_at", "ended_at",
+        "start_station_id", "end_station_id", "rider_id", "duration",
+        "time_id", "age_at_ride_time")
+
+  /** Stages 4-5 — enrich + generated date dims → queryable warehouse. */
+  def build(spark: SparkSession, c: Conformed): Warehouse = {
+    val trips = enrichTrips(c.trips, c.riders)
+    Warehouse(
+      payments = c.payments,
+      trips = trips,
+      riders = enrichRiders(c.riders),
+      stations = c.stations,
+      tripDates = DateSpine.tripDates(spark, trips),
+      paymentDates = DateSpine.paymentDates(spark, c.payments))
+  }
+
+  // ---- The 24 analytical queries (SURVEY.md §2.11) -------------------------
+  // Q1-Q8: aggregate trips by an intrinsic column (template nb:1828-1848).
+
+  private def tripsByDow(w: Warehouse): DataFrame =
+    w.trips.withColumn("day_of_week", dayofweek(col("started_at")))
+
+  def q1AvgDurationByDayOfWeek(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(tripsByDow(w), Seq("day_of_week"),
+      Seq(avg("duration").as("avg_duration")))
+
+  def q2TotalDurationByDayOfWeek(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(tripsByDow(w), Seq("day_of_week"),
+      Seq(sum("duration").as("total_duration")))
+
+  def q3AvgDurationByStartTime(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(w.trips, Seq("started_at"),
+      Seq(avg("duration").as("avg_duration")))
+
+  def q4TotalDurationByStartTime(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(w.trips, Seq("started_at"),
+      Seq(sum("duration").as("total_duration")))
+
+  def q5AvgDurationByStartStation(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(w.trips, Seq("start_station_id"),
+      Seq(avg("duration").as("avg_duration")))
+
+  def q6TotalDurationByStartStation(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(w.trips, Seq("start_station_id"),
+      Seq(sum("duration").as("total_duration")))
+
+  def q7AvgDurationByEndStation(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(w.trips, Seq("end_station_id"),
+      Seq(avg("duration").as("avg_duration")))
+
+  def q8TotalDurationByEndStation(w: Warehouse): DataFrame =
+    Analytics.aggregateBy(w.trips, Seq("end_station_id"),
+      Seq(sum("duration").as("total_duration")))
+
+  // Q9/Q10 — by rider age at account start; expression-form join that keeps
+  // both rider_id columns (J2 quirk, nb:3330-3332).
+  private def tripsJoinRidersExpr(w: Warehouse): DataFrame =
+    w.trips.join(w.riders, w.trips("rider_id") === w.riders("rider_id"))
+
+  def q9TotalDurationByAge(w: Warehouse): DataFrame =
+    tripsJoinRidersExpr(w).groupBy("age_at_account_start")
+      .agg(sum("duration").as("total_duration"))
+      .orderBy(col("total_duration").desc)
+
+  def q10AvgDurationByAge(w: Warehouse): DataFrame =
+    tripsJoinRidersExpr(w).groupBy("age_at_account_start")
+      .agg(avg("duration").as("avg_duration"))
+      .orderBy(col("avg_duration").desc)
+
+  // Q11/Q12 — by membership (USING join, nb:3849-3874).
+  def q11AvgDurationByMembership(w: Warehouse): DataFrame =
+    Analytics.aggregateOverJoin(w.trips, w.riders, "rider_id", Seq("is_member"),
+      Seq(avg("duration").as("avg_duration")))
+
+  def q12TotalDurationByMembership(w: Warehouse): DataFrame =
+    Analytics.aggregateOverJoin(w.trips, w.riders, "rider_id", Seq("is_member"),
+      Seq(sum("duration").as("total_duration")))
+
+  // Q13-Q18 — payments by month/quarter/year via the daily date dim
+  // (template nb:4626-4657).
+  def paymentsByDatePart(w: Warehouse, part: String, aggName: String): DataFrame = {
+    val aggCol = aggName match {
+      case "sum" => sum("amount").as("total_amount")
+      case "avg" => avg("amount").as("avg_amount")
+    }
+    Analytics.aggregateOverJoin(w.payments, w.paymentDates, "date_id",
+      Seq(part), Seq(aggCol))
+  }
+
+  // Q19/Q20 — member payments by age (J3 + F1, nb:4933-4965).
+  def memberPaymentsByAge(w: Warehouse, aggName: String): DataFrame = {
+    val aggCol = aggName match {
+      case "sum" => sum("amount").as("total_amount")
+      case "avg" => avg("amount").as("avg_amount")
+    }
+    Analytics.aggregateOverFilteredJoin(w.payments, w.riders,
+      col("is_member") === true, "rider_id", Seq("age_at_account_start"), Seq(aggCol))
+  }
+
+  /** Q21 (EC1, nb:5160-5171) — per (rider, month): avg amount + ride count
+    * for members. Inherits the J5 trips⋈payments per-rider fan-out: avg is
+    * over trips×payments pairs — reference semantics, preserved verbatim.
+    */
+  def q21MonthlySpendPerMember(w: Warehouse): DataFrame =
+    w.trips
+      .join(w.payments, Seq("rider_id"))
+      .join(w.riders.where(col("is_member") === true).select("rider_id"), Seq("rider_id"))
+      .select(col("rider_id"), col("amount"), col("trip_id"),
+        month(col("time_id")).as("month"))
+      .groupBy("rider_id", "month")
+      .agg(avg("amount").as("avg_amount"), count("trip_id").as("num_rides"))
+      .orderBy(col("num_rides").desc)
+
+  /** Q22 (EC2, nb:5365-5380) — per (rider, minutes, month): avg amount +
+    * avg duration for members; same fan-out semantics.
+    */
+  def q22SpendPerMinutePerMember(w: Warehouse): DataFrame =
+    w.trips
+      .join(w.payments, Seq("rider_id"))
+      .join(w.riders.where(col("is_member")).select("rider_id"), Seq("rider_id"))
+      .withColumn("month", month(col("time_id")))
+      .withColumn("minutes", Derived.minutes(col("duration")))
+      .groupBy("rider_id", "minutes", "month")
+      .agg(avg("amount").as("avg_amount"), avg("duration").as("avg_duration"))
+      .orderBy(col("avg_duration").desc)
+}
