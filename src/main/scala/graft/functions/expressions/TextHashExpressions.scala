@@ -1,0 +1,109 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for hash-heavy text signatures.
+  *
+  * The pure-HOF versions (`transform`/`aggregate` lambdas) are interpreted
+  * per element — profiling at sf0.01 showed 11-22 s for 500 docs, ~1000×
+  * native cost, plus tens of seconds of janino compile for the giant
+  * expression trees. These expressions do the shingle+hash loops in plain
+  * JVM code (CodegenFallback — the internal loop dominates, codegen of the
+  * surrounding row plumbing is irrelevant), reusing Spark's XxHash64 so
+  * signatures stay deterministic and engine-version-stable.
+  */
+private[graft] object ShingleUtil {
+  /** Lowercased whitespace tokens → n-token shingles joined by a space.
+    * Mirrors `split(lower(trim(text)), "\\s+")` + sliding windows.
+    */
+  def shingles(text: UTF8String, n: Int): Array[UTF8String] = {
+    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    if (toks.length < n) Array.empty
+    else {
+      val out = new Array[UTF8String](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+}
+
+/** MinHash signature: per seed s ∈ [0, numHashes), min over shingles of
+  * xxhash64(shingle, seed=s); Long.MaxValue when no shingles.
+  */
+case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sh = ShingleUtil.shingles(input.asInstanceOf[UTF8String], shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var s = 0
+      while (s < numHashes) {
+        val h = XxHash64Function.hash(sh(i), StringType, s.toLong)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** SimHash: per bit i ∈ [0, bits), sign of Σ±1 votes from shingle-hash bit
+  * i; vote > 0 sets bit i of the result.
+  */
+case class SimHash(child: Expression, shingleSize: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 64)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val sh = ShingleUtil.shingles(input.asInstanceOf[UTF8String], shingleSize)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < sh.length) {
+      val h = XxHash64Function.hash(sh(i), StringType, 42L)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+}
+
+object TextHashExpressions {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  def minhashSig(text: Column, shingleSize: Int, numHashes: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(text), shingleSize, numHashes))
+
+  def simhash(text: Column, shingleSize: Int, bits: Int): Column =
+    ColumnShim.column(SimHash(ColumnShim.expression(text), shingleSize, bits))
+}

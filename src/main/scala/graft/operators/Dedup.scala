@@ -40,16 +40,13 @@ object Dedup {
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** One MinHash value per (doc, hash function): min over shingles of
-    * xxhash64(shingle, seed). Pure expressions: the per-row cost is
-    * numHashes × numShingles hash evaluations, all inside codegen.
+    * xxhash64(shingle, seed). Native Catalyst expression
+    * ([[graft.functions.expressions.MinHashSig]]) — the HOF formulation
+    * measured ~1000× slower (interpreted lambdas per shingle×seed).
     */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val sh = Text.shingles(text, shingleSize)
-    val hashes = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }
-    array(hashes.map(h => coalesce(h, lit(Long.MaxValue))): _*)
-  }
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    graft.functions.expressions.TextHashExpressions
+      .minhashSig(text, shingleSize, numHashes)
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), hash each band, group docs sharing a band bucket, emit
@@ -96,18 +93,11 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** 32-bit SimHash over word shingles: per bit, sum ±1 weighted by shingle
-    * hash bit, take sign. Expressed with higher-order functions only.
+    * hash bit, take sign. Native Catalyst expression
+    * ([[graft.functions.expressions.SimHash]]).
     */
-  def simhash(text: Column, shingleSize: Int = 2, bits: Int = 32): Column = {
-    val sh = Text.shingles(text, shingleSize)
-    val hashes = transform(sh, s => xxhash64(s))
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash(text: Column, shingleSize: Int = 2, bits: Int = 32): Column =
+    graft.functions.expressions.TextHashExpressions.simhash(text, shingleSize, bits)
 
   /** SimHash near-dup candidates: docs whose simhash agrees on any of the 4
     * 8-bit blocks (standard block-permutation trick ≈ Hamming distance ≤ 3

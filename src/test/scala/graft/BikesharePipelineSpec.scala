@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.BikesharePipeline
+import graft.schema.Bikeshare
+
+/** Reference-exact semantics on the in-repo bikeshare fixtures
+  * (FIXTURES.md §A). Goldens are hand-computed from the fixture rows per
+  * SURVEY.md §2.11 — including the Q21 trips⋈payments fan-out quirk.
+  */
+class BikesharePipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val dir = TestSpark.resourceDir("bikeshare")
+  private lazy val conformed = BikesharePipeline.conformFromCsv(spark, dir)
+  private lazy val wh = BikesharePipeline.build(spark, conformed)
+
+  test("conform: declared schemas applied at read time") {
+    assert(conformed.trips.schema === Bikeshare.trips)
+    assert(conformed.riders.schema === Bikeshare.riders)
+    assert(conformed.payments.schema === Bikeshare.payments)
+    assert(conformed.stations.schema === Bikeshare.stations)
+    assert(conformed.trips.count() === 5)
+    assert(conformed.riders.count() === 3)
+    assert(conformed.payments.count() === 6)
+  }
+
+  test("enrich: durations, time_id, ages (nb:1080-1095 semantics)") {
+    val d = wh.trips.select("trip_id", "duration").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("T1" -> 1800L, "T2" -> 600L, "T3" -> 2700L,
+      "T4" -> 1200L, "T5" -> 3600L))
+    val tid = wh.trips.where("trip_id = 'T1'")
+      .select("time_id").head().getTimestamp(0)
+    assert(tid === java.sql.Timestamp.valueOf("2021-02-01 06:00:00"))
+    // rider 1000: born 1989-02-13, account 2019-04-23 → floor(days/365)=30
+    val age = wh.riders.where("rider_id = 1000")
+      .select("age_at_account_start").head().getInt(0)
+    assert(age === 30)
+  }
+
+  test("Q1: avg duration by day_of_week (golden)") {
+    val got = BikesharePipeline.q1AvgDurationByDayOfWeek(wh).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    // Sun(1)=3600 (T5), Tue(3)=2700 (T3), Mon(2)=(1800+600)/2=1200, Wed(4)=1200
+    assert(got.head === ((1, 3600.0)))
+    assert(got(1) === ((3, 2700.0)))
+    assert(got.map(_._2).sorted.reverse === got.map(_._2))
+  }
+
+  test("Q11/Q12: membership aggregates via USING join (golden)") {
+    val avg = BikesharePipeline.q11AvgDurationByMembership(wh).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) === 2175.0)  // (1800+600+3600+2700)/4
+    assert(avg(false) === 1200.0) // T4
+    val tot = BikesharePipeline.q12TotalDurationByMembership(wh).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(tot(true) === 8700L)
+    assert(tot(false) === 1200L)
+  }
+
+  test("Q9: expression-form join keeps duplicate rider_id columns upstream (J2 quirk)") {
+    val joined = wh.trips.join(wh.riders,
+      wh.trips("rider_id") === wh.riders("rider_id"))
+    assert(joined.columns.count(_ == "rider_id") === 2)
+    val got = BikesharePipeline.q9TotalDurationByAge(wh).collect()
+    assert(got.map(_.getLong(1)).sorted.reverse === got.map(_.getLong(1)))
+  }
+
+  test("date dims: hourly + daily spines (G1 golden row counts)") {
+    // trips: 2021-02-01 06:00 → 2021-02-07 06:00 hourly = 6*24+1 = 145
+    assert(wh.tripDates.count() === 145)
+    // payments: 2020-12-01 → 2021-04-01 daily = 121+1 = 122
+    assert(wh.paymentDates.count() === 122)
+    assert(wh.tripDates.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("time_id", TimestampType),
+      ("day_of_week", IntegerType),
+      ("time_of_day", StringType)))
+    val tod = wh.tripDates.where("time_id = timestamp'2021-02-01 06:00:00'")
+      .select("time_of_day").head().getString(0)
+    assert(tod === "morning")
+  }
+
+  test("Q13-18: payment aggregates by month/quarter/year") {
+    val byYear = BikesharePipeline.paymentsByDatePart(wh, "year", "sum").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).longValue()).toMap
+    assert(byYear === Map(2021 -> 42L, 2020 -> 9L))
+    val avgByMonth = BikesharePipeline.paymentsByDatePart(wh, "month", "avg").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    // Feb: (9+12+7)/3 ; Mar: 9 ; Apr: 5 ; Dec: 9
+    assert(avgByMonth(2).round === 9L)
+    assert(avgByMonth(3) === 9.0)
+  }
+
+  test("Q21: EC1 fan-out semantics preserved (trips×payments per rider)") {
+    val got = BikesharePipeline.q21MonthlySpendPerMember(wh).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue(), r.getLong(3)))
+    // rider 1000: 3 trips × 3 payments = 9 pairs, all trips in Feb; avg amount 9
+    // rider 1001: 1 trip × 2 payments = 2 pairs; avg (12+7)/2 = 9.5
+    assert(got.toSet === Set((1000, 2, 9.0, 9L), (1001, 2, 9.5, 2L)))
+    assert(got.head._4 === 9L) // ordered by num_rides desc
+  }
+
+  test("Q22: EC2 per (rider, minutes, month)") {
+    val got = BikesharePipeline.q22SpendPerMinutePerMember(wh).collect()
+    assert(got.nonEmpty)
+    val durs = got.map(_.getAs[Double]("avg_duration"))
+    assert(durs.sorted.reverse === durs)
+  }
+
+  test("pipeline writes/reads managed tables (S2-S5 round trip)") {
+    import graft.sources.Tables
+    Tables.dropTable(spark, "graft_test_riders")
+    Tables.saveTable(conformed.riders, "graft_test_riders")
+    val back = Tables.table(spark, "graft_test_riders")
+    assert(back.count() === 3)
+    // snapshot-safe self-overwrite (Parquet lacks Delta's MVCC; §3.4 risk)
+    Tables.replaceTable(back.where("is_member = true"), "graft_test_riders")
+    assert(Tables.table(spark, "graft_test_riders").count() === 2)
+    Tables.dropTable(spark, "graft_test_riders")
+  }
+}

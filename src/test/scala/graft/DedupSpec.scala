@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog in the morning light"),
+    (2L, "the quick brown fox jumps over the lazy dog in the morning light"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog in the evening light"),  // near dup
+    (4L, "completely different text about spark query engines and parquet files"),
+    (5L, "THE  QUICK   brown fox jumps over the lazy dog in the morning light") // ws/case variant
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text group") {
+    val kept = Dedup.exactKeepIds(docs, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSet === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    assert(Dedup.exact(docs, "doc_id", Seq("text")).count() === 4)
+  }
+
+  test("fingerprint dedup collapses whitespace/case variants") {
+    val kept = Dedup.fingerprintKeepIds(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 1,2,5 share a normalized fingerprint
+    assert(kept.toSet === Set((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds near-dup candidates, not the unrelated doc") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val survivors = Dedup.minhashKeepIds(docs, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(survivors.contains(1L) && survivors.contains(4L))
+    assert(!survivors.contains(2L))
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; candidates exclude unrelated") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "hamming").collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getInt(2) === 0)
+  }
+
+  test("jaccard verification scores candidate pairs exactly") {
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(docs, cands, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+    assert(out((1L, 4L)) === 0.0)
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 4, threshold = 0.95, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+}

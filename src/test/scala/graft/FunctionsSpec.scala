@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Derived, Text}
+
+class FunctionsSpec extends AnyFunSuite {
+
+  /** Deterministic property sampling without the scalatestplus bridge
+    * (offline resolver has scalatest + scalacheck only).
+    */
+  private def samples[A](g: Gen[A], n: Int = 40): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("timeOfDay: every hour lands in exactly one bucket (nb:1582-1587)") {
+    val got = (0 to 23).map(h => f"2021-01-01 $h%02d:00:00")
+      .toDF("s").select(Derived.timeOfDay(col("s").cast("timestamp")).as("tod"))
+      .as[String].collect()
+    assert(got.slice(5, 12).forall(_ == "morning"))
+    assert(got.slice(12, 17).forall(_ == "afternoon"))
+    assert(got.slice(17, 22).forall(_ == "evening"))
+    assert((got.take(5) ++ got.drop(22)).forall(_ == "night"))
+  }
+
+  test("durationSeconds matches wall-clock subtraction for arbitrary offsets") {
+    val base = java.sql.Timestamp.valueOf("2021-06-15 12:00:00")
+    val offsets = samples(Gen.choose(-86400L, 86400L), 50)
+    val rows = offsets.map(o => (base, new java.sql.Timestamp(base.getTime + o * 1000)))
+    val got = rows.toDF("s", "e")
+      .select(Derived.durationSeconds(col("e"), col("s"))).as[Long].collect()
+    assert(got.toSeq === offsets)
+  }
+
+  test("tokenCount: whitespace runs, blank handling") {
+    val df = Seq("a b  c", "  ", "", "one", "a\tb\nc d").toDF("text")
+      .select(Text.tokenCount(col("text")).as("n")).as[Int].collect()
+    assert(df.toSeq === Seq(3, 0, 0, 1, 4))
+  }
+
+  test("languageId picks dominant stopword language, und on no signal") {
+    val rows = Seq(
+      "the cat sat on the mat and the dog",   // en
+      "der hund und die katze ist nicht da",  // de
+      "le chat et les chiens est pour que",   // fr
+      "el perro que los gatos es por con",    // es
+      "zzz qqq xxx").toDF("text")
+      .select(Text.languageId(col("text"))).as[String].collect()
+    assert(rows.toSeq === Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val texts = samples(Gen.asciiPrintableStr, 60) ++
+      Seq("", "    ", "ALL CAPS!!!!", "1234567890", "a" * 2000)
+    val vals = texts.toDF("text")
+      .select(Text.qualityScore(col("text"))).as[Double].collect()
+    vals.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("shingles: n-gram windows over tokens") {
+    val got = Seq("The quick brown fox").toDF("t")
+      .select(Text.shingles(col("t"), 2)).head().getSeq[String](0)
+    assert(got === Seq("the quick", "quick brown", "brown fox"))
+    val short = Seq("one").toDF("t")
+      .select(Text.shingles(col("t"), 2)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("conform: identity rename+cast preserves data (P1/P2 property)") {
+    import graft.sources.Tables
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "y")
+    val out = Tables.conform(df, Map.empty, Map.empty)
+    assert(out.schema === df.schema)
+    assert(out.collect().toSeq === df.collect().toSeq)
+  }
+}

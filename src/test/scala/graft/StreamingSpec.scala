@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming results must equal the batch equivalents on the same static
+  * data — the transforms are shared, streaming only adds incremental state.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val eventsDir: String = {
+    // Stage a micro events dir (ts as proper timestamps so readStream's
+    // declared schema applies directly).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    Seq(
+      (1L, "2021-01-01 10:05:00", 7L, "click", 1.0, "{}"),
+      (2L, "2021-01-01 10:15:00", 7L, "click", 2.0, "{}"),
+      (3L, "2021-01-01 11:05:00", 7L, "view", 3.0, "{}"),
+      (4L, "2021-01-01 11:20:00", 8L, "click", 4.0, "{}"),
+      (5L, "2021-01-01 13:00:00", 8L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("hourly tumbling counts: stream == batch") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.hourlyTypeCounts(stream),
+      "hourly_out", mode = "complete")
+    val got = spark.table("hourly_out")
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventStreams.hourlyTypeCounts(spark.read.parquet(eventsDir))
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === batch.toSeq)
+    assert(got.length === 4)
+    assert(got.head === (("2021-01-01 10:00:00.0", "click", 2L, 3.0)))
+  }
+
+  test("session windows group events by gap") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.sessionWindows(stream, "30 minutes"),
+      "session_out", mode = "complete")
+    val got = spark.table("session_out").orderBy("user_id", "s_start").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    // user 7: events at 10:05,10:15 (one session) + 11:05 (new); user 8: 11:20 and 13:00 separate
+    assert(got.toSeq === Seq((7L, 2L), (7L, 1L), (8L, 1L), (8L, 1L)))
+  }
+
+  test("sliding windows count each event in overlapping windows") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.slidingUserActivity(stream),
+      "sliding_out", mode = "complete")
+    val n = spark.table("sliding_out").count()
+    assert(n > 5) // each event lands in 4 overlapping 1h/15m windows
+  }
+}
