@@ -60,14 +60,11 @@ object Text {
     greatest(lenScore - (punctPenalty + digitPenalty + upperPenalty) / 3.0, lit(0.0))
   }
 
-  /** Word n-gram shingles (lowercased) — feeds MinHash / Jaccard dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < n, array())
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (lowercased) — feeds MinHash / Jaccard dedup.
+    * Native expression; see [[graft.functions.expressions.Shingles]].
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.expressions.TextHashExpressions.shingles(text, n)
 
   /** Deterministic 64-bit document fingerprint (xxHash64 of the
     * whitespace-normalized, lowercased text) — rolling-hash-style identity

@@ -23,11 +23,14 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity over `array<float>`; 0.0 when either vector is
+    * all-zero. Native expression ([[graft.functions.expressions.CosineSim]])
+    * with arithmetic bit-identical to the HOF formulation
+    * `dot/(sqrt(normSq a)·sqrt(normSq b))` — interpreted lambdas measured
+    * ~50× slower at 64 dims.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosineF(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(

@@ -18,11 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * signatures stay deterministic and engine-version-stable.
   */
 private[graft] object ShingleUtil {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Lowercased whitespace tokens → n-token shingles joined by a space.
     * Mirrors `split(lower(trim(text)), "\\s+")` + sliding windows.
     */
   def shingles(text: UTF8String, n: Int): Array[UTF8String] = {
-    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val toks = WS.split(text.toString.trim.toLowerCase)
     if (toks.length < n) Array.empty
     else {
       val out = new Array[UTF8String](toks.length - n + 1)
@@ -98,6 +100,20 @@ case class SimHash(child: Expression, shingleSize: Int, bits: Int)
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }
 
+/** Word n-gram shingles (lowercased, space-joined) as a native expression —
+  * same output as the HOF `transform(sequence(...), slice...)` formulation
+  * but without per-window interpreted lambdas or its janino-compile cost.
+  */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleUtil.shingles(input.asInstanceOf[UTF8String], n)
+        .asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+}
+
 object TextHashExpressions {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -106,4 +122,7 @@ object TextHashExpressions {
 
   def simhash(text: Column, shingleSize: Int, bits: Int): Column =
     ColumnShim.column(SimHash(ColumnShim.expression(text), shingleSize, bits))
+
+  def shingles(text: Column, n: Int): Column =
+    ColumnShim.column(Shingles(ColumnShim.expression(text), n))
 }

