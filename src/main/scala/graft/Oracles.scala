@@ -152,6 +152,19 @@ object Oracles {
         "CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big " +
         "FROM lineitem GROUP BY 1"),
 
+    "q27_sql_entry" ->
+      ("SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"),
+
+    "q28_count_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts, " +
+        "count(DISTINCT l_suppkey) AS nd_supp FROM lineitem GROUP BY 1"),
+
+    "q29_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity), 2) AS qty FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus)"),
+
     "q30_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
 

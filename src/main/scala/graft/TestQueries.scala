@@ -222,6 +222,32 @@ object TestQueries {
       sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
       sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("n_big"))
 
+  /** §3.2/3.3 — the `spark.sql(text)` entry path over temp views (S6). */
+  def q27SqlEntry(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_v WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  def q28CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      countDistinct("l_partkey").as("nd_parts"),
+      countDistinct("l_suppkey").as("nd_supp"))
+
+  /** approx_count_distinct (HLL) — engine capability; sketch estimates are
+    * engine-specific so this is a rows-only check, with exactness asserted
+    * relative to q28 in tests.
+    */
+  def q28bApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      approx_count_distinct("l_partkey").as("approx_parts"))
+
+  def q29Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+
   // ---- dedup (training-data extensions) ------------------------------------
 
   def q30DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -341,6 +367,10 @@ object TestQueries {
     "q24_window_running_sum" -> (q24WindowRunningSum _),
     "q25_having" -> (q25Having _),
     "q26_conditional_agg" -> (q26ConditionalAgg _),
+    "q27_sql_entry" -> (q27SqlEntry _),
+    "q28_count_distinct" -> (q28CountDistinct _),
+    "q28b_approx_distinct" -> (q28bApproxDistinct _),
+    "q29_cube" -> (q29Cube _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_normalized" -> (q31DedupNormalized _),
     "q32_text_quality" -> (q32TextQuality _),

@@ -69,6 +69,25 @@ object Tables {
   def replaceTable(df: DataFrame, name: String): Unit =
     saveTable(df.localCheckpoint(eager = true), name)
 
+  /** Date/key-partitioned table sink — the 100 TB layout: facts partitioned
+    * by a low-cardinality derived column (e.g. a date) so time-range queries
+    * prune at the directory level (SURVEY.md §7.4 risk 7).
+    */
+  def savePartitioned(df: DataFrame, name: String, partitionCols: Seq[String]): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .partitionBy(partitionCols: _*).saveAsTable(name)
+
+  /** Bucketed+sorted table sink: co-locates join keys so repeated joins on
+    * `bucketCols` skip the shuffle entirely (both sides bucketed the same
+    * way → SortMergeJoin with no Exchange).
+    */
+  def saveBucketed(df: DataFrame, name: String, buckets: Int,
+                   bucketCols: Seq[String]): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+
   /** S5 — DDL drop. */
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -54,6 +54,53 @@ object EventStreams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  // ---- custom state: flatMapGroupsWithState --------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+  final case class SessState(lastTs: Long, start: Long, n: Long)
+
+  /** Gap-based sessionization with explicit state — the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` form for session logic
+    * `session_window` can't express (custom emit shape, per-session
+    * aggregates). Works in batch (state starts empty per group) and
+    * streaming (state persists across micro-batches).
+    */
+  def sessionizeStateful(events: DataFrame, gapSeconds: Long): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val eEnc: Encoder[Event] = Encoders.product[Event]
+    implicit val sEnc: Encoder[SessState] = Encoders.product[SessState]
+    implicit val oEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val kEnc: Encoder[Long] = Encoders.scalaLong
+
+    def flush(uid: Long, st: SessState): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(st.start * 1000),
+        new java.sql.Timestamp(st.lastTs * 1000), st.n)
+
+    events.select(col("event_id"), col("ts"), col("user_id")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            st = st match {
+              case null => SessState(sec, sec, 1)
+              case s if sec - s.lastTs > gapSeconds =>
+                out += flush(uid, s); SessState(sec, sec, 1)
+              case s => SessState(sec, s.start, s.n + 1)
+            }
+          }
+          if (st != null) { out += flush(uid, st); state.remove() }
+          out.iterator
+      }
+  }
 
   /** Run a streaming query to completion against a static directory via the
     * memory sink — used by tests to assert streaming results equal the batch

@@ -120,4 +120,23 @@ class BikesharePipelineSpec extends AnyFunSuite {
     assert(Tables.table(spark, "graft_test_riders").count() === 2)
     Tables.dropTable(spark, "graft_test_riders")
   }
+
+  test("partitioned + bucketed table sinks (100 TB layout helpers)") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    Tables.dropTable(spark, "graft_test_trips_part")
+    Tables.dropTable(spark, "graft_test_trips_buck")
+    val trips = wh.trips.withColumn("trip_date", to_date(col("started_at")))
+    Tables.savePartitioned(trips, "graft_test_trips_part", Seq("trip_date"))
+    val part = Tables.table(spark, "graft_test_trips_part")
+    assert(part.count() === 5)
+    // partition pruning: a date filter must prune at the partition level
+    val pruned = part.where(col("trip_date") === "2021-02-01")
+    assert(pruned.count() === 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    Tables.saveBucketed(wh.trips, "graft_test_trips_buck", 4, Seq("rider_id"))
+    assert(Tables.table(spark, "graft_test_trips_buck").count() === 5)
+    Tables.dropTable(spark, "graft_test_trips_part")
+    Tables.dropTable(spark, "graft_test_trips_buck")
+  }
 }

@@ -53,6 +53,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((7L, 2L), (7L, 1L), (8L, 1L), (8L, 1L)))
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches window-based") {
+    val events = spark.read.parquet(eventsDir)
+    val got = EventStreams.sessionizeStateful(events, 1800)
+      .orderBy("user_id", "session_start").collect()
+      .map(s => (s.user_id, s.n_events))
+    // same grouping as the session_window test: user 7 → [2,1], user 8 → [1,1]
+    assert(got.toSeq === Seq((7L, 2L), (7L, 1L), (8L, 1L), (8L, 1L)))
+    // cross-check against the batch window-function sessionizer
+    val batch = graft.operators.Sessionize
+      .perUserStats(events, "user_id", "ts", "event_id", 1800)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_sessions")))
+    assert(batch.toSeq === Seq((7L, 2L), (8L, 2L)))
+  }
+
   test("sliding windows count each event in overlapping windows") {
     val stream = EventStreams.readStream(spark, eventsDir)
     EventStreams.runToMemory(EventStreams.slidingUserActivity(stream),
