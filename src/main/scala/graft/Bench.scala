@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Absorb one-time JVM/codegen/scan-infrastructure warm-up so per-query
+    // timings measure steady-state (the first query otherwise pays ~3 s of
+    // class loading + janino bootstrap).
+    try spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

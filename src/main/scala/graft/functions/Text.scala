@@ -68,10 +68,12 @@ object Text {
 
   /** Deterministic 64-bit document fingerprint (xxHash64 of the
     * whitespace-normalized, lowercased text) — rolling-hash-style identity
-    * for exact-ish dedup that ignores spacing differences.
+    * for exact-ish dedup that ignores spacing differences. Native
+    * expression; value-identical to
+    * `xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))`.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    graft.functions.expressions.TextHashExpressions.normFingerprint(text)
 
   /** Language-ID heuristic: score = stopword hits per token for a handful
     * of high-frequency function words per language; argmax wins. N-gram-free

@@ -20,6 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] object ShingleUtil {
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
+  def normalizeWs(s: String): String = WS.matcher(s).replaceAll(" ")
+
   /** Lowercased whitespace tokens → n-token shingles joined by a space.
     * Mirrors `split(lower(trim(text)), "\\s+")` + sliding windows.
     */
@@ -100,6 +102,30 @@ case class SimHash(child: Expression, shingleSize: Int, bits: Int)
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }
 
+/** 64-bit fingerprint of whitespace-normalized, lowercased text — native
+  * equivalent of `xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))`
+  * (same bytes hashed, same seed 42, so identical values). Trim strips only
+  * ASCII spaces to match Spark/DuckDB `trim`, NOT Java's `String.trim`
+  * (which also strips control chars and would group differently from the
+  * SQL oracle on tab/newline-edged strings).
+  */
+case class NormFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    var i = 0
+    var j = raw.length
+    while (i < j && raw.charAt(i) == ' ') i += 1
+    while (j > i && raw.charAt(j - 1) == ' ') j -= 1
+    val norm = ShingleUtil.normalizeWs(raw.substring(i, j).toLowerCase)
+    java.lang.Long.valueOf(
+      XxHash64Function.hash(UTF8String.fromString(norm), StringType, 42L))
+  }
+  override protected def withNewChildInternal(c: Expression): NormFingerprint =
+    copy(child = c)
+}
+
 /** Word n-gram shingles (lowercased, space-joined) as a native expression —
   * same output as the HOF `transform(sequence(...), slice...)` formulation
   * but without per-window interpreted lambdas or its janino-compile cost.
@@ -125,4 +151,7 @@ object TextHashExpressions {
 
   def shingles(text: Column, n: Int): Column =
     ColumnShim.column(Shingles(ColumnShim.expression(text), n))
+
+  def normFingerprint(text: Column): Column =
+    ColumnShim.column(NormFingerprint(ColumnShim.expression(text)))
 }

@@ -69,6 +69,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("native fingerprint equals the SQL xxhash64(regexp_replace(...)) formulation") {
+    val texts = Seq("Hello  World", "  padded  ", "tab\tsep", "line\nbreak",
+      "\t edge tab", "", "MiXeD Case   runs")
+    val df = texts.toDF("text")
+    val got = df.select(Text.fingerprint(col("text"))).as[Long].collect()
+    val ref = df.select(
+      xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .as[Long].collect()
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("conform: identity rename+cast preserves data (P1/P2 property)") {
     import graft.sources.Tables
     val df = Seq((1, "a"), (2, "b")).toDF("x", "y")
