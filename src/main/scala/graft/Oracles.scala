@@ -239,6 +239,10 @@ object Oracles {
         "SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events " +
         "FROM f GROUP BY 1"),
 
+    "q44_csv_roundtrip" ->
+      ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY 1"),
+
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),

@@ -338,6 +338,30 @@ object TestQueries {
       .select(col("media_id"), col("modality"),
         col("n_bytes").cast("long").as("n_bytes"))
 
+  /** S1 end-to-end: write a projection out as headerless CSV, read it back
+    * through the declared-schema CSV source, aggregate. The oracle computes
+    * the same aggregate from the parquet original — a true round-trip check
+    * of the CSV parse+cast path (nb:250-264 semantics).
+    */
+  def q44CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").option("header", "false").csv(tmp)
+    Tables.readCsv(s, tmp, StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType))))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
+  /** Composed corpus curation (annotate → filter → two-tier dedup). */
+  def q45CorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusPipeline.curate(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -386,5 +410,7 @@ object TestQueries {
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
+    "q44_csv_roundtrip" -> (q44CsvRoundtrip _),
+    "q45_corpus_pipeline" -> (q45CorpusPipeline _),
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Composed training-data curation pipeline over a documents table:
+  * annotate (tokens, quality, language) → filter → dedup (exact-normalized,
+  * then MinHash-LSH). The shape of a real corpus-prep job: every stage is a
+  * pure DataFrame transform, annotation is scan-side, dedup shuffles only
+  * hashes, so the pipeline's cost is one scan + two compact-key shuffles.
+  */
+object CorpusPipeline {
+
+  final case class Config(minTokens: Int = 5, minQuality: Double = 0.05,
+                          languages: Seq[String] = Seq("en"),
+                          shingleSize: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4)
+
+  /** Stage 1 — scan-side annotation (no shuffle). */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", Text.tokenCount(col(textCol)))
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("lang_pred", Text.languageId(col(textCol)))
+      .withColumn("fp", Text.fingerprint(col(textCol)))
+
+  /** Stage 2 — quality/language gate (pushdown-able predicates). */
+  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated.where(col("n_tokens") >= cfg.minTokens &&
+      col("quality") >= cfg.minQuality &&
+      col("lang_pred").isin(cfg.languages.map(x => x: Any): _*))
+
+  /** Stage 3 — two-tier dedup: normalized-fingerprint exact pass (one
+    * hash-agg shuffle), then MinHash-LSH near-dup pass over the survivors.
+    */
+  def dedup(filtered: DataFrame, idCol: String, textCol: String,
+            cfg: Config): DataFrame = {
+    val fpSurvivors = filtered.groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val afterExact = filtered.join(fpSurvivors, Seq(idCol), "left_semi")
+    Dedup.minhashKeepIds(afterExact, idCol, textCol,
+        cfg.shingleSize, cfg.numHashes, cfg.bands)
+      .join(afterExact, Seq(idCol), "inner")
+  }
+
+  /** Full pipeline: annotate → filter → dedup → curated corpus. */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", cfg: Config = Config()): DataFrame =
+    dedup(qualityFilter(annotate(docs, textCol), cfg), idCol, textCol, cfg)
+}

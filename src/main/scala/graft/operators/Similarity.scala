@@ -68,47 +68,62 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
-  /** IVF coarse quantizer: centroid = mean vector per hash-partitioned
-    * sample cell, then assign every vector to its nearest centroid. A
-    * k-means-lite single iteration — enough structure to bound candidate
-    * sets; swap in ml-lib KMeans when more iterations are warranted.
+  /** IVF coarse-quantizer centroids: deterministic hash-seeded cells, then
+    * position-wise mean per cell — a k-means-lite single iteration, enough
+    * structure to bound candidate sets (swap in ml-lib KMeans for more
+    * iterations). Returns (cell0, centroid array<double>); always
+    * numCells-sized → broadcastable at any corpus scale.
     */
-  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                numCells: Int, seed: Long = 42L): DataFrame = {
-    // Deterministic pseudo-random initial cell: hash of id.
-    val withCell = corpus.select(col(idCol), col(vecCol),
-      pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"))
-    val dim = 8 // centroids computed via posexplode → position-wise mean
-    val centroids = withCell
-      .select(col("cell0"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   numCells: Int, seed: Long = 42L): DataFrame =
+    corpus.select(
+        pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("cell0", "pos").agg(avg("x").as("cx"))
       .groupBy("cell0").agg(
         transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s.getField("cx")).as("centroid"))
-    val _ = dim
-    val a = withCell.alias("a")
-    a.join(broadcast(centroids).alias("ce"), lit(true))
-      .withColumn("dist", Vectors.l2Distance(col("a." + vecCol), col("ce.centroid")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("a." + idCol)).orderBy(col("dist"), col("ce.cell0"))))
-      .where(col("rank") === 1)
-      .select(col("a." + idCol).as(idCol), col("ce.cell0").as("cell"), col("dist"))
+
+  /** Assign every vector to its nearest centroid (one broadcast of the
+    * centroid table, one scan of the corpus).
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                numCells: Int, seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed)
+    nearestCells(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centroids, 1)
+      .select(col(idCol), col("cell"), col("dist"))
   }
 
-  /** IVF top-k: score only vectors in the query's nearest `nprobe` cells. */
+  /** Per-row nearest `n` centroid cells by L2 distance. */
+  private def nearestCells(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell0"))
+    df.join(broadcast(centroids), lit(true))
+      .withColumn("dist", Vectors.l2Distance(col(vecCol), col("centroid")))
+      .withColumn("cell_rank", row_number().over(w))
+      .where(col("cell_rank") <= n)
+      .withColumnRenamed("cell0", "cell")
+      .drop("centroid", "cell_rank")
+  }
+
+  /** IVF top-k: score only corpus vectors in the query's nearest `nprobe`
+    * cells — the scan per query shrinks by ~numCells/nprobe while recall
+    * stays high for clustered corpora.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
               nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val assigned = ivfAssign(corpus, idCol, vecCol, numCells, seed)
-    val corpusCells = corpus.join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed)
+    val corpusCells = nearestCells(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids, 1)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("cell"))
-    // Query probes: its own cell ± nearest by the same assignment path.
-    val queryCells = queries.join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+    val queryCells = nearestCells(queries.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
     val probed = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
-    val _ = nprobe // single-probe at this corpus size; widen via union for recall
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     probed.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -28,6 +28,16 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct within 10% of exact (q28b vs q28)") {
+    val exact = TestQueries.q28CountDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = TestQueries.q28bApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.10, s"flag $k")
+    }
+  }
+
   test("queries have no duplicate output column names (parquet-writable)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val cols = fn(spark, sf).columns
