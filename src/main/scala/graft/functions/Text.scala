@@ -95,13 +95,11 @@ object Text {
     }
   }
 
-  def languageId(text: Column): Column = {
-    val scores = langScores(text)
-    val best = scores.foldLeft(struct(lit(-1).as("s"), lit("und").as("l"))) {
-      case (acc, (lang, score)) =>
-        when(score > acc.getField("s"),
-          struct(score.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
-    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
-  }
+  /** Native expression ([[graft.functions.expressions.LangId]]): a
+    * `Column`-fold formulation duplicates its accumulator exponentially
+    * (2^langs tokenizer copies) — measured 35 s vs <0.5 s on a 5k-doc
+    * projection.
+    */
+  def languageId(text: Column): Column =
+    graft.functions.expressions.TextHashExpressions.langId(text, stopwords)
 }

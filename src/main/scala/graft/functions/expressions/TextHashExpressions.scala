@@ -22,6 +22,8 @@ private[graft] object ShingleUtil {
 
   def normalizeWs(s: String): String = WS.matcher(s).replaceAll(" ")
 
+  def splitWs(s: String): Array[String] = WS.split(s)
+
   /** Lowercased whitespace tokens → n-token shingles joined by a space.
     * Mirrors `split(lower(trim(text)), "\\s+")` + sliding windows.
     */
@@ -140,6 +142,51 @@ case class Shingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
 }
 
+/** Stopword-count language ID. Tokenizes once and counts set hits per
+  * language in a single pass — the `Column`-level fold formulation
+  * duplicated its accumulator exponentially (2^langs copies of the
+  * tokenizer in the tree: measured 35 s of janino+eval for a 5k-doc
+  * projection; this is <0.5 s). Tie-break: first language in declaration
+  * order with the maximal score; `und` when no stopword hits.
+  */
+case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val sets: Array[(UTF8String, java.util.HashSet[String])] =
+    langs.map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (UTF8String.fromString(l), s)
+    }.toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    var i = 0
+    var j = raw.length
+    while (i < j && raw.charAt(i) == ' ') i += 1
+    while (j > i && raw.charAt(j - 1) == ' ') j -= 1
+    val toks = ShingleUtil.splitWs(raw.substring(i, j).toLowerCase)
+    var bestScore = 0
+    var bestLang: UTF8String = und
+    var l = 0
+    while (l < sets.length) {
+      val set = sets(l)._2
+      var score = 0
+      var t = 0
+      while (t < toks.length) {
+        if (set.contains(toks(t))) score += 1
+        t += 1
+      }
+      if (score > bestScore) { bestScore = score; bestLang = sets(l)._1 }
+      l += 1
+    }
+    bestLang
+  }
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+}
+
 object TextHashExpressions {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -154,4 +201,7 @@ object TextHashExpressions {
 
   def normFingerprint(text: Column): Column =
     ColumnShim.column(NormFingerprint(ColumnShim.expression(text)))
+
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    ColumnShim.column(LangId(ColumnShim.expression(text), langs))
 }
