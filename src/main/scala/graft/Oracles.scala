@@ -243,6 +243,16 @@ object Oracles {
       ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY 1"),
 
+    "q46_asof_join" ->
+      ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click'), " +
+        "views AS (SELECT user_id, ts AS vts, max(event_id) AS view_id " +
+        "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.click_id, c.user_id, v.view_id, " +
+        "date_diff('second', v.vts, c.ts) AS lag_sec " +
+        "FROM clicks c ASOF JOIN views v " +
+        "ON c.user_id = v.user_id AND c.ts >= v.vts"),
+
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),

@@ -362,6 +362,23 @@ object TestQueries {
         round(col("quality"), 4).as("quality"))
       .orderBy("doc_id")
 
+  /** As-of join (operator Spark lacks; composed union+window — see
+    * [[operators.Joins.asOfJoin]]): each click matched to the user's most
+    * recent view at or before it.
+    */
+  def q46AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      .withColumnRenamed("ts", "vts")
+    operators.Joins.asOfJoin(clicks, views, "user_id", "ts", "vts",
+        Seq("view_id", "vts"), asOfPrefix = "")
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (col("ts").cast("long") - col("vts").cast("long")).as("lag_sec"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -412,5 +429,6 @@ object TestQueries {
     "q42_binary_meta" -> (q42BinaryMeta _),
     "q44_csv_roundtrip" -> (q44CsvRoundtrip _),
     "q45_corpus_pipeline" -> (q45CorpusPipeline _),
+    "q46_asof_join" -> (q46AsofJoin _),
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in strategies, composed from
+  * primitives per the preference order in SURVEY §7.3 — these semantics are
+  * expressible with union+window / salt+explode, so no custom SparkPlan is
+  * warranted.
+  */
+object Joins {
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightTs` ≤ `leftTs` within the same `key` (inner: left rows with no
+    * prior right row are dropped) — DuckDB/kdb ASOF JOIN semantics.
+    *
+    * Implemented as union + sorted carry-forward window rather than an
+    * inequality join: one shuffle on the key, a single sorted pass per
+    * partition, and no M:N intermediate blow-up — the inequality-join
+    * formulation explodes to (left × right-per-key) before picking the max.
+    * At equal timestamps the right row sorts first, so `ts ≥ ts` matches.
+    *
+    * Output: all left columns plus `rightValCols` (renamed via `asOfPrefix`).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightValCols: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tagged =
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+        .select(Seq(col("__ts"), col("__side"), col(key)) ++
+          leftCols.filterNot(_ == key).map(col) ++
+          rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        .unionByName(
+          right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+            .select(Seq(col("__ts"), col("__side"), col(key)) ++
+              leftCols.filterNot(_ == key)
+                .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+              rightValCols.map(c => col(c).as(s"__r_$c")): _*))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightValCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"$asOfPrefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1 &&
+        rightValCols.map(c => col(s"$asOfPrefix$c").isNotNull).reduce(_ && _))
+      .select(leftCols.map(col) ++ rightValCols.map(c => col(s"$asOfPrefix$c")): _*)
+  }
+
+  /** Salted equi-join for skewed keys: replicate the small side `salt` ways
+    * and scatter the large side's hot keys across the replicas, so no
+    * single reducer owns a hot key. AQE's skew-join handles moderate skew
+    * automatically; salting is the explicit tool for pathological keys.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at or before each left row") {
+    val trades = Seq(
+      (1L, 100L, ts("2021-01-01 10:00:05")),
+      (2L, 100L, ts("2021-01-01 10:01:00")),
+      (3L, 100L, ts("2021-01-01 09:59:00")),  // before any quote → dropped
+      (4L, 200L, ts("2021-01-01 10:00:00"))   // equal ts → matches
+    ).toDF("trade_id", "acct", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2021-01-01 10:00:00"), 10.0),
+      (100L, ts("2021-01-01 10:00:30"), 11.0),
+      (200L, ts("2021-01-01 10:00:00"), 20.0)
+    ).toDF("acct", "q_ts", "px")
+
+    val got = Joins.asOfJoin(trades, quotes, "acct", "t_ts", "q_ts", Seq("px"))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 11.0, 4L -> 20.0))
+  }
+
+  test("saltedJoin equals plain join on a skewed key") {
+    val large = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", 1), ("k950", 2)).toDF("key", "w")
+    val plain = large.join(small, Seq("key")).agg(count(lit(1)), sum("v"), sum("w"))
+      .head()
+    val salted = Joins.saltedJoin(large, small, "key", 8)
+      .agg(count(lit(1)), sum("v"), sum("w")).head()
+    assert(salted === plain)
+  }
+}
