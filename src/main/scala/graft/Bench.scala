@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // Absorb one-time JVM/codegen/scan-infrastructure warm-up so per-query
     // timings measure steady-state (the first query otherwise pays ~3 s of
     // class loading + janino bootstrap).

@@ -36,8 +36,10 @@ object Engine {
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // idempotent; covers a reused session
     spark
   }
 }

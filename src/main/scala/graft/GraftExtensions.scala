@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expressions._
+
+/** Registers graft's native expressions as SQL functions, so the
+  * `spark.sql(text)` entry path (SURVEY §3.2/3.3) can use them:
+  *
+  * {{{
+  *   spark.sql("SELECT doc_id, graft_simhash(text, 2, 64) FROM docs")
+  * }}}
+  *
+  * Install either via `.withExtensions(new GraftExtensions)` at session
+  * build time, or [[GraftExtensions.register]] on a live session (the
+  * harness builds its own sessions, so Verify/Bench use the latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → expression builder (positional args as parsed from SQL). */
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sig" -> { args =>
+      MinHashSig(args.head, intArg(args(1), "shingleSize"), intArg(args(2), "numHashes"))
+    },
+    "graft_simhash" -> { args =>
+      SimHash(args.head, intArg(args(1), "shingleSize"), intArg(args(2), "bits"))
+    },
+    "graft_shingles" -> { args =>
+      Shingles(args.head, intArg(args(1), "n"))
+    },
+    "graft_norm_fingerprint" -> { args => NormFingerprint(args.head) },
+    "graft_cosine" -> { args => CosineSim(args.head, args(1)) },
+  )
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

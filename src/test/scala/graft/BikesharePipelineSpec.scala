@@ -49,6 +49,29 @@ class BikesharePipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).sorted.reverse === got.map(_._2))
   }
 
+  test("Q2-Q8: remaining intrinsic-column aggregates (goldens)") {
+    val q2 = BikesharePipeline.q2TotalDurationByDayOfWeek(wh).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(q2 === Map(1 -> 3600L, 2 -> 2400L, 3 -> 2700L, 4 -> 1200L))
+    // Q3/Q4 group by raw started_at (near-unique keys — per-trip rank)
+    assert(BikesharePipeline.q3AvgDurationByStartTime(wh).count() === 5)
+    val q4Top = BikesharePipeline.q4TotalDurationByStartTime(wh).head()
+    assert(q4Top.getLong(1) === 3600L) // T5 longest
+    val q5 = BikesharePipeline.q5AvgDurationByStartStation(wh).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q5 === Map("S1" -> 2000.0, "S2" -> 1950.0)) // S1: (1800+600+3600)/3
+    val q6 = BikesharePipeline.q6TotalDurationByStartStation(wh).collect()
+    assert(q6.head.getString(0) === "S1" && q6.head.getLong(1) === 6000L)
+    val q7 = BikesharePipeline.q7AvgDurationByEndStation(wh).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q7 === Map("S1" -> 3150.0, "S2" -> 1200.0)) // S1 end: T3,T5
+    val q8 = BikesharePipeline.q8TotalDurationByEndStation(wh).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q8 === Map("S1" -> 6300L, "S2" -> 3600L))
+    val q10 = BikesharePipeline.q10AvgDurationByAge(wh).collect()
+    assert(q10.map(_.getDouble(1)).sorted.reverse === q10.map(_.getDouble(1)))
+  }
+
   test("Q11/Q12: membership aggregates via USING join (golden)") {
     val avg = BikesharePipeline.q11AvgDurationByMembership(wh).collect()
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap

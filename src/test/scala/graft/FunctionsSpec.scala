@@ -80,6 +80,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.toSeq === ref.toSeq)
   }
 
+  test("custom expressions callable from SQL (GraftExtensions)") {
+    Seq((1L, "the quick brown fox"), (2L, "the  QUICK brown fox"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+    val fp = spark.sql(
+      "SELECT id, graft_norm_fingerprint(text) AS fp, " +
+        "graft_simhash(text, 2, 64) AS sh, " +
+        "size(graft_shingles(text, 2)) AS n_sh FROM ext_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(fp(0)._2 === fp(1)._2) // normalized fingerprints collapse ws/case
+    assert(fp(0)._3 === fp(1)._3)
+    assert(fp(0)._4 === 3)
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
   test("conform: identity rename+cast preserves data (P1/P2 property)") {
     import graft.sources.Tables
     val df = Seq((1, "a"), (2, "b")).toDF("x", "y")
