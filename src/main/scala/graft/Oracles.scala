@@ -253,6 +253,10 @@ object Oracles {
         "FROM clicks c ASOF JOIN views v " +
         "ON c.user_id = v.user_id AND c.ts >= v.vts"),
 
+    "q47_salted_join" ->
+      ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),

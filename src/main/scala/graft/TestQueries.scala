@@ -379,6 +379,18 @@ object TestQueries {
         (col("ts").cast("long") - col("vts").cast("long")).as("lag_sec"))
   }
 
+  /** Salted-join correctness in the gate: same aggregate as q08 but through
+    * [[operators.Joins.saltedJoin]] — the oracle is the plain join, so the
+    * salt/scatter/gather must be value-transparent.
+    */
+  def q47SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Joins.saltedJoin(
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        "custkey", salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -430,5 +442,6 @@ object TestQueries {
     "q44_csv_roundtrip" -> (q44CsvRoundtrip _),
     "q45_corpus_pipeline" -> (q45CorpusPipeline _),
     "q46_asof_join" -> (q46AsofJoin _),
+    "q47_salted_join" -> (q47SaltedJoin _),
   )
 }
