@@ -257,6 +257,12 @@ object Oracles {
       ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
 
+    "q48_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY 1"),
+
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),

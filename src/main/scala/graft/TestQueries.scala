@@ -391,6 +391,17 @@ object TestQueries {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
 
+  /** JSON column parsing: structured `from_json` over the events `props`
+    * payload (codegen'd Jackson parse scan-side), aggregated per type.
+    */
+  def q48JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -443,5 +454,6 @@ object TestQueries {
     "q45_corpus_pipeline" -> (q45CorpusPipeline _),
     "q46_asof_join" -> (q46AsofJoin _),
     "q47_salted_join" -> (q47SaltedJoin _),
+    "q48_json_extract" -> (q48JsonExtract _),
   )
 }
