@@ -402,6 +402,14 @@ object TestQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
 
+  /** Corpus-level content overlap: per-source MinHash union sketches
+    * (TypedImperativeAggregate), pairwise estimated Jaccard across sources.
+    */
+  def q49SourceSimilarity(s: SparkSession, dir: String): DataFrame =
+    Dedup.groupMinhashSimilarity(t(s, dir, "documents"), "source", "text")
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      .orderBy("group_a", "group_b")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -455,5 +463,6 @@ object TestQueries {
     "q46_asof_join" -> (q46AsofJoin _),
     "q47_salted_join" -> (q47SaltedJoin _),
     "q48_json_extract" -> (q48JsonExtract _),
+    "q49_source_similarity" -> (q49SourceSimilarity _),
   )
 }

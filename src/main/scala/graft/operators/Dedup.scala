@@ -159,6 +159,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Group-level sketches ------------------------------------------------
+
+  /** Per-group MinHash union sketch ([[graft.functions.expressions.MinHashUnionAgg]]):
+    * constant-size state per group, partial-aggregated map-side.
+    */
+  def groupSignatures(df: DataFrame, groupCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(col(groupCol),
+        minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      .groupBy(groupCol)
+      .agg(graft.functions.expressions.MinHashUnionAgg
+        .minhashUnion(col("sig"), numHashes).as("gsig"))
+
+  /** Estimated Jaccard similarity between every pair of groups = fraction
+    * of agreeing sketch coordinates. The pairwise step is over GROUPS
+    * (small), not documents — corpus-scale content-overlap comparison
+    * without touching raw text twice.
+    */
+  def groupMinhashSimilarity(df: DataFrame, groupCol: String, textCol: String,
+                             shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sigs = groupSignatures(df, groupCol, textCol, shingleSize, numHashes)
+    val a = sigs.select(col(groupCol).as("group_a"), col("gsig").as("sig_a"))
+    val b = sigs.select(col(groupCol).as("group_b"), col("gsig").as("sig_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .select("group_a", "group_b", "est_jaccard")
+  }
+
   // ---- Embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed: only

@@ -65,6 +65,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out((1L, 4L)) === 0.0)
   }
 
+  test("group MinHash union sketches estimate cross-group Jaccard") {
+    val grouped = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("s1", "iota kappa lambda mu nu xi omicron pi"),
+      ("s2", "alpha beta gamma delta epsilon zeta eta theta"),  // same as s1 doc1
+      ("s2", "iota kappa lambda mu nu xi omicron pi"),          // same as s1 doc2
+      ("s3", "totally unrelated words about spark catalyst expressions here")
+    ).toDF("source", "text")
+    val sim = Dedup.groupMinhashSimilarity(grouped, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sim(("s1", "s2")) === 1.0)     // identical content → identical sketch
+    assert(sim(("s1", "s3")) < 0.2)       // disjoint shingles → ~0
+    assert(sim(("s2", "s3")) === sim(("s1", "s3")))
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
