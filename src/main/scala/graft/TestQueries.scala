@@ -410,6 +410,13 @@ object TestQueries {
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
       .orderBy("group_a", "group_b")
 
+  /** Content-defined chunk dedup: rolling-hash chunk fingerprints → docs
+    * sharing chunks (partial-overlap detection MinHash shingles miss).
+    */
+  def q50ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -464,5 +471,6 @@ object TestQueries {
     "q47_salted_join" -> (q47SaltedJoin _),
     "q48_json_extract" -> (q48JsonExtract _),
     "q49_source_similarity" -> (q49SourceSimilarity _),
+    "q50_chunk_dedup" -> (q50ChunkDedup _),
   )
 }

@@ -187,6 +187,54 @@ case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
 }
 
+/** Content-defined chunk fingerprints via a polynomial rolling hash
+  * (Rabin-Karp style): slide a `window`-char hash over the text; positions
+  * where the low `maskBits` bits are zero end a chunk; each chunk's
+  * fingerprint is xxhash64 of its characters. Shared runs of text produce
+  * identical chunk fingerprints regardless of surrounding edits — the
+  * standard primitive for partial-overlap dedup of long documents (and,
+  * over bytes, for CDC storage dedup).
+  */
+case class RollingChunkHashes(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0 && maskBits > 0 && maskBits < 32)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Base = 1000003L
+  private val mask = (1L << maskBits) - 1
+  @transient private lazy val basePow = {
+    var p = 1L
+    var i = 0
+    while (i < window - 1) { p *= Base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var chunkStart = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toLong
+      h = if (i < window) h * Base + c
+          else (h - s.charAt(i - window).toLong * basePow) * Base + c
+      if (i >= window - 1 && (h & mask) == 0 && i + 1 > chunkStart) {
+        out += XxHash64Function.hash(
+          UTF8String.fromString(s.substring(chunkStart, i + 1)), StringType, 42L)
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    if (chunkStart < s.length || s.isEmpty)
+      out += XxHash64Function.hash(
+        UTF8String.fromString(s.substring(chunkStart)), StringType, 42L)
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): RollingChunkHashes =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -204,4 +252,7 @@ object TextHashExpressions {
 
   def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
     ColumnShim.column(LangId(ColumnShim.expression(text), langs))
+
+  def rollingChunkHashes(text: Column, window: Int = 16, maskBits: Int = 6): Column =
+    ColumnShim.column(RollingChunkHashes(ColumnShim.expression(text), window, maskBits))
 }

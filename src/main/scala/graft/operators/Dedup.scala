@@ -159,6 +159,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Rolling-hash chunk dedup --------------------------------------------
+
+  /** Partial-overlap candidates via content-defined chunking
+    * ([[graft.functions.expressions.RollingChunkHashes]]): docs sharing any
+    * chunk fingerprint pair up. Catches long shared passages that MinHash
+    * misses when the rest of the document differs. Shuffle key is the
+    * 8-byte chunk hash; per-chunk pairing is bucket-bounded like LSH.
+    */
+  def chunkCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 16, maskBits: Int = 6): DataFrame = {
+    val chunked = df.select(col(idCol).as("id"),
+        explode(array_distinct(graft.functions.expressions.TextHashExpressions
+          .rollingChunkHashes(col(textCol), window, maskBits))).as("chunk"))
+    chunked.groupBy("chunk")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
   // ---- Group-level sketches ------------------------------------------------
 
   /** Per-group MinHash union sketch ([[graft.functions.expressions.MinHashUnionAgg]]):

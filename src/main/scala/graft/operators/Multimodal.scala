@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -74,6 +75,29 @@ object Multimodal {
           feature = fakeDecodeFeatures(bytes, dim))
       }
     }
+  }
+
+  /** STUB resize: deterministic byte-stride downsample standing in for
+    * `decode → resize → re-encode`. The plumbing is the real part: payload
+    * replaced in place, width/height metadata updated, executed per
+    * partition so a real codec initializes once.
+    */
+  def resizeStub(media: DataFrame, width: Int, height: Int): Dataset[Row] = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val target = width * height
+    media.select(mediaSchema.fieldNames.map(col): _*).mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        val out = new Array[Byte](math.min(target, math.max(payload.length, 1)))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (payload.isEmpty) 0 else payload(i * payload.length / out.length)
+          i += 1
+        }
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+          r.getAs[String]("mime"), out, width, height, r.getAs[Any]("duration_ms"))
+      }
+    }(enc)
   }
 
   /** Frame-sampling plumbing for video-like payloads: split payload into

@@ -65,6 +65,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out((1L, 4L)) === 0.0)
   }
 
+  test("rolling-hash chunk candidates catch partial overlap MinHash-style shingles miss") {
+    val longShared = ("the shared middle passage of this document continues " * 8)
+    val partial = Seq(
+      (10L, "unique prefix alpha beta. " + longShared + " unique suffix one"),
+      (11L, "totally different opening words here. " + longShared + " and another ending"),
+      (12L, "no overlap with anything else at all in this row of text")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.chunkCandidatePairs(partial, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 >= 1))
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("lake zones: write/read/promote across a file:// root") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val lake = graft.sources.Lake(root)
+    lake.write(docs, "bronze", "docs")
+    assert(lake.read(spark, "bronze", "docs").count() === 5)
+    lake.promote(spark, "bronze", "silver", "docs",
+      df => df.where(org.apache.spark.sql.functions.col("doc_id") <= 3))
+    assert(lake.read(spark, "silver", "docs").count() === 3)
+    assert(lake.path("gold", "t") === s"$root/gold/t")
+  }
+
   test("group MinHash union sketches estimate cross-group Jaccard") {
     val grouped = Seq(
       ("s1", "alpha beta gamma delta epsilon zeta eta theta"),

@@ -38,6 +38,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(1L).checksum === crc.getValue)
   }
 
+  test("resizeStub: payload downsampled, metadata updated, schema stable") {
+    val out = Multimodal.resizeStub(media, 2, 2).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Array[Byte]]("payload").length === 4)
+    assert(out(1L).getAs[Int]("width") === 2 && out(1L).getAs[Int]("height") === 2)
+    // deterministic
+    val again = Multimodal.resizeStub(media, 2, 2).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(again(1L) === out(1L).getAs[Array[Byte]]("payload").toSeq)
+  }
+
   test("sampleFrames: 1 row in → N frame rows out, fixed-size slices") {
     val frames = Multimodal.sampleFrames(
         media.where("media_id = 1"), frameBytes = 4, everyNth = 1)
