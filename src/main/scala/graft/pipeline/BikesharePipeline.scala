@@ -12,8 +12,8 @@ import graft.operators.{Analytics, DateSpine}
   *
   * Stage boundaries in the reference are Delta tables; here each stage is a
   * pure `DataFrame => DataFrame` so callers choose whether to materialize
-  * (pipeline-breaking at scale) or fuse. `run` materializes nothing — on a
-  * cluster you'd persist `conform`/`enrich` outputs partitioned by date.
+  * (pipeline-breaking at scale) or fuse. `build` materializes nothing — on
+  * a cluster you'd persist `conform`/`enrich` outputs partitioned by date.
   */
 object BikesharePipeline {
 
