@@ -263,6 +263,28 @@ object Oracles {
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY 1"),
 
+    "q51_percentiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, count(*) AS n " +
+        "FROM lineitem GROUP BY 1"),
+
+    "q52_string_funcs" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8, " +
+        "concat_ws('|', p_brand, p_type) AS bt, " +
+        "regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, " +
+        "CAST(length(p_name) AS BIGINT) AS name_len FROM part"),
+
+    "q53_null_handling" ->
+      ("SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2, " +
+        "CAST(CASE WHEN nullif(o_orderpriority, o_orderpriority) IS NULL " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS always_one FROM orders"),
+
+    "q54_window_lag_ntile" ->
+      ("SELECT o_custkey, o_orderkey, round(lag(o_totalprice, 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price, " +
+        "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "AS BIGINT) AS tile FROM orders"),
+
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),

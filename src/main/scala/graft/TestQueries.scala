@@ -417,6 +417,42 @@ object TestQueries {
     Dedup.chunkCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`).
+    */
+  def q51Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+      count(lit(1)).as("n"))
+
+  /** String-function family: case, substring, concat, regex extract. */
+  def q52StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+      length(col("p_name")).cast("long").as("name_len"))
+
+  /** Null-handling family: nullif / coalesce / CASE over nulls. */
+  def q53NullHandling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+      when(nullif(col("o_orderpriority"), col("o_orderpriority")).isNull, 1L)
+        .otherwise(0L).as("always_one"))
+
+  /** Window family: lag + ntile per customer. */
+  def q54WindowLagNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+      ntile(4).over(w).cast("long").as("tile"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -472,5 +508,9 @@ object TestQueries {
     "q48_json_extract" -> (q48JsonExtract _),
     "q49_source_similarity" -> (q49SourceSimilarity _),
     "q50_chunk_dedup" -> (q50ChunkDedup _),
+    "q51_percentiles" -> (q51Percentiles _),
+    "q52_string_funcs" -> (q52StringFuncs _),
+    "q53_null_handling" -> (q53NullHandling _),
+    "q54_window_lag_ntile" -> (q54WindowLagNtile _),
   )
 }

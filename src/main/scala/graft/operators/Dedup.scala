@@ -159,6 +159,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Transitive closure over candidate pairs -----------------------------
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation (GraphX-CC shape without the dependency): each
+    * node adopts the min label among itself and its neighbors until fixed
+    * point. Iterations are bounded by component diameter — near-dup
+    * clusters are shallow, so this converges in a few rounds; each round is
+    * one join + one aggregate, with `localCheckpoint` cutting lineage so
+    * plans don't grow across iterations.
+    *
+    * Returns (id, cluster) where cluster = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("id_b") === col("nid"))
+        .groupBy("id_a").agg(min("cluster").as("ncluster"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("id_a", "nid"),
+          col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.withColumnRenamed("cluster", "c2")
+        .join(labels, Seq("id"))
+        .where(col("c2") =!= col("cluster")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Fully-transitive MinHash dedup: candidate pairs → connected
+    * components → keep each cluster's min id (plus all unpaired docs).
+    */
+  def minhashKeepIdsTransitive(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int = 3, numHashes: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val victims = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("victim"))
+    df.select(col(idCol))
+      .join(victims, col(idCol) === col("victim"), "left_anti")
+  }
+
   // ---- Rolling-hash chunk dedup --------------------------------------------
 
   /** Partial-overlap candidates via content-defined chunking

