@@ -285,6 +285,17 @@ object Oracles {
         "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "AS BIGINT) AS tile FROM orders"),
 
+    "q55_pivot" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS \"F\", " +
+        "CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS \"O\" " +
+        "FROM lineitem GROUP BY 1"),
+
+    "q56_posexplode" ->
+      ("SELECT vec_id, CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS pos, " +
+        "round(CAST(unnest(embedding) AS DOUBLE), 6) AS xr " +
+        "FROM embeddings WHERE vec_id <= 3"),
+
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),

@@ -453,6 +453,23 @@ object TestQueries {
       ntile(4).over(w).cast("long").as("tile"))
   }
 
+  /** Pivot (wide aggregation) — oracle is the conditional-agg equivalent. */
+  def q55Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** posexplode of a real array column (1-based pos to match SQL
+    * ordinality).
+    */
+  def q56Posexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").where(col("vec_id") <= 3)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        round(col("x").cast("double"), 6).as("xr"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -512,5 +529,7 @@ object TestQueries {
     "q52_string_funcs" -> (q52StringFuncs _),
     "q53_null_handling" -> (q53NullHandling _),
     "q54_window_lag_ntile" -> (q54WindowLagNtile _),
+    "q55_pivot" -> (q55Pivot _),
+    "q56_posexplode" -> (q56Posexplode _),
   )
 }
