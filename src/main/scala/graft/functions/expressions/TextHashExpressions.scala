@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -53,7 +53,8 @@ private[graft] object ShingleUtil {
   * xxhash64(shingle, seed=s); Long.MaxValue when no shingles.
   */
 case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val sh = ShingleUtil.shingles(input.asInstanceOf[UTF8String], shingleSize)
@@ -77,7 +78,8 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
   * i; vote > 0 sets bit i of the result.
   */
 case class SimHash(child: Expression, shingleSize: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
   require(bits > 0 && bits <= 64)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
@@ -112,7 +114,8 @@ case class SimHash(child: Expression, shingleSize: Int, bits: Int)
   * SQL oracle on tab/newline-edged strings).
   */
 case class NormFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString
@@ -133,7 +136,8 @@ case class NormFingerprint(child: Expression)
   * but without per-window interpreted lambdas or its janino-compile cost.
   */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
@@ -150,7 +154,8 @@ case class Shingles(child: Expression, n: Int)
   * order with the maximal score; `und` when no stopword hits.
   */
 case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
 
   @transient private lazy val sets: Array[(UTF8String, java.util.HashSet[String])] =
@@ -196,7 +201,8 @@ case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
   * over bytes, for CDC storage dedup).
   */
 case class RollingChunkHashes(child: Expression, window: Int, maskBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
   require(window > 0 && maskBits > 0 && maskBits < 32)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
   * Mismatched lengths yield null (HOF zip_with would null-poison the sum).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // Declared float-array inputs: SQL callers passing array<double> get an
+  // implicit cast at analysis instead of a runtime ClassCastException (or
+  // silent garbage from UnsafeArrayData.getFloat misreads).
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

@@ -22,6 +22,10 @@ object DateSpine {
   def paymentDates(spark: SparkSession, payments: DataFrame,
                    dateCol: String = "date_id"): DataFrame = {
     val r = payments.agg(min(to_date(col(dateCol))), max(to_date(col(dateCol)))).head()
+    if (r.isNullAt(0)) // empty/all-null input → empty spine, not a NullType crash
+      return spark.emptyDataFrame.select(lit(null).cast("date").as("date_id"),
+        lit(null).cast("int").as("month"), lit(null).cast("int").as("quarter"),
+        lit(null).cast("int").as("year")).limit(0)
     val (lo, hi) = (r.getDate(0), r.getDate(1))
     spark.range(1).select(
         explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 DAY"))).as("date_id"))
@@ -40,6 +44,11 @@ object DateSpine {
   def tripDates(spark: SparkSession, trips: DataFrame,
                 tsCol: String = "time_id"): DataFrame = {
     val r = trips.agg(min(col(tsCol)), max(col(tsCol))).head()
+    if (r.isNullAt(0))
+      return spark.emptyDataFrame.select(
+        lit(null).cast("timestamp").as("time_id"),
+        lit(null).cast("int").as("day_of_week"),
+        lit(null).cast("string").as("time_of_day")).limit(0)
     val (lo, hi) = (r.getTimestamp(0), r.getTimestamp(1))
     spark.range(1).select(
         explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))).as("time_id"))

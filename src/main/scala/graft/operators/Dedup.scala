@@ -67,9 +67,16 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, numHashes: Int = 16,
                             bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // Docs with < shingleSize tokens have NO shingles → identical degenerate
+    // signatures; without this filter every short doc would pair with every
+    // other short doc and dedup would silently delete unrelated rows.
+    val sig = df
+      .where(Text.tokenCount(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
     val banded = sig.select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -94,8 +101,7 @@ object Dedup {
                      shingleSize: Int = 3, numHashes: Int = 16,
                      bands: Int = 4): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
-    val victims = pairs.groupBy("id_b").agg(min("id_a").as("kept_by"))
-      .select(col("id_b").as("victim"))
+    val victims = pairs.select(col("id_b").as("victim")).distinct()
     df.select(col(idCol))
       .join(victims, col(idCol) === col("victim"), "left_anti")
   }
@@ -116,7 +122,10 @@ object Dedup {
     * [[minhashCandidatePairs]].
     */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // Same degenerate-signature guard as minhashCandidatePairs (2-shingles).
+    val sigs = df
+      .where(Text.tokenCount(col(textCol)) >= 2)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val blocked = sigs.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("blk"),

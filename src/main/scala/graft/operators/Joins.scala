@@ -27,25 +27,31 @@ object Joins {
                leftTs: String, rightTs: String,
                rightValCols: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Right values travel as ONE struct so the carry-forward picks entire
+    // right rows atomically — per-column last(ignoreNulls) would stitch
+    // fields from different right rows whenever a matched row holds a NULL.
+    val rStruct = struct(rightValCols.map(col): _*)
+    val rStructType = {
+      val tmp = right.select(rStruct.as("__r")).schema("__r").dataType
+      tmp
+    }
     val tagged =
       left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
         .select(Seq(col("__ts"), col("__side"), col(key)) ++
-          leftCols.filterNot(_ == key).map(col) ++
-          rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+          leftCols.filterNot(_ == key).map(col) :+
+          lit(null).cast(rStructType).as("__r"): _*)
         .unionByName(
           right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
             .select(Seq(col("__ts"), col("__side"), col(key)) ++
               leftCols.filterNot(_ == key)
-                .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-              rightValCols.map(c => col(c).as(s"__r_$c")): _*))
+                .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+              rStruct.as("__r"): _*))
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"$asOfPrefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1 &&
-        rightValCols.map(c => col(s"$asOfPrefix$c").isNotNull).reduce(_ && _))
-      .select(leftCols.map(col) ++ rightValCols.map(c => col(s"$asOfPrefix$c")): _*)
+    tagged.withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__match").isNotNull)
+      .select(leftCols.map(col) ++
+        rightValCols.map(c => col(s"__match.$c").as(s"$asOfPrefix$c")): _*)
   }
 
   /** Salted equi-join for skewed keys: replicate the small side `salt` ways

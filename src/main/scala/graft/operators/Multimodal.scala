@@ -109,8 +109,11 @@ object Multimodal {
     val nFrames = floor(octet_length(col("payload")) / frameBytes).cast("int")
     media
       .withColumn("frame_idx",
-        explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-          i => i % everyNth === 0)))
+        // payloads shorter than one frame yield ZERO rows (explode of the
+        // empty array drops them) — not a truncated pseudo-frame
+        explode(when(nFrames > 0,
+            filter(sequence(lit(0), nFrames - 1), i => i % everyNth === 0))
+          .otherwise(array().cast("array<int>"))))
       .select(col("media_id"), col("frame_idx"),
         col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
           .as("frame_payload"))

@@ -132,6 +132,8 @@ object BikesharePipeline {
     val aggCol = aggName match {
       case "sum" => sum("amount").as("total_amount")
       case "avg" => avg("amount").as("avg_amount")
+      case other => throw new IllegalArgumentException(
+        s"aggName must be 'sum' or 'avg', got '$other'")
     }
     Analytics.aggregateOverJoin(w.payments, w.paymentDates, "date_id",
       Seq(part), Seq(aggCol))
@@ -142,6 +144,8 @@ object BikesharePipeline {
     val aggCol = aggName match {
       case "sum" => sum("amount").as("total_amount")
       case "avg" => avg("amount").as("avg_amount")
+      case other => throw new IllegalArgumentException(
+        s"aggName must be 'sum' or 'avg', got '$other'")
     }
     Analytics.aggregateOverFilteredJoin(w.payments, w.riders,
       col("is_member") === true, "rider_id", Seq("age_at_account_start"), Seq(aggCol))

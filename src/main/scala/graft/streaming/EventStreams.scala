@@ -65,8 +65,14 @@ object EventStreams {
   /** Gap-based sessionization with explicit state — the
     * `KeyValueGroupedDataset.flatMapGroupsWithState` form for session logic
     * `session_window` can't express (custom emit shape, per-session
-    * aggregates). Works in batch (state starts empty per group) and
-    * streaming (state persists across micro-batches).
+    * aggregates).
+    *
+    * BATCH-ORIENTED: the trailing open session is flushed at the end of
+    * each invocation, so in a multi-micro-batch streaming run a session
+    * spanning batches would be split. For streaming-correct session windows
+    * use [[sessionWindows]] (watermarked `session_window`); a streaming
+    * version of this operator would hold the open session in state with an
+    * event-time timeout instead of flushing.
     */
   def sessionizeStateful(events: DataFrame, gapSeconds: Long): Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -105,6 +105,17 @@ class BikesharePipelineSpec extends AnyFunSuite {
     assert(tod === "morning")
   }
 
+  test("date spines on empty input return empty dims, not a crash") {
+    import graft.operators.DateSpine
+    val emptyP = conformed.payments.where("payment_id < 0")
+    val emptyT = wh.trips.where("trip_id = 'none'")
+    assert(DateSpine.paymentDates(spark, emptyP).count() === 0)
+    assert(DateSpine.tripDates(spark, emptyT).count() === 0)
+    intercept[IllegalArgumentException] {
+      BikesharePipeline.paymentsByDatePart(wh, "month", "median")
+    }
+  }
+
   test("Q13-18: payment aggregates by month/quarter/year") {
     val byYear = BikesharePipeline.paymentsByDatePart(wh, "year", "sum").collect()
       .map(r => r.getInt(0) -> r.getDecimal(1).longValue()).toMap

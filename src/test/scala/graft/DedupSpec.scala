@@ -56,6 +56,14 @@ class DedupSpec extends AnyFunSuite {
     assert(p12.isDefined && p12.get.getInt(2) === 0)
   }
 
+  test("short docs (no shingles) never become candidate pairs") {
+    val short = Seq((1L, "hi"), (2L, "bye"), (3L, "completely unrelated"),
+      (4L, ""), (5L, "one two three four five six seven")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidatePairs(short, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashCandidatePairs(short, "doc_id", "text")
+      .where("id_a = 1 OR id_b = 1").count() === 0) // 'hi' has no 2-shingles
+  }
+
   test("connectedComponents: chains collapse transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs).collect()

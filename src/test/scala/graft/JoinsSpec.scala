@@ -29,6 +29,19 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 10.0, 2L -> 11.0, 4L -> 20.0))
   }
 
+  test("asOfJoin carries right rows atomically when value columns hold NULLs") {
+    val trades = Seq((1L, 100L, ts("2021-01-01 10:05:00"))).toDF("trade_id", "acct", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2021-01-01 09:00:00"), Some(4.0), Some(9L)),
+      (100L, ts("2021-01-01 10:00:00"), Some(5.0), None) // matched row has NULL sz
+    ).toDF("acct", "q_ts", "px", "sz")
+    val got = Joins.asOfJoin(trades, quotes, "acct", "t_ts", "q_ts", Seq("px", "sz"))
+      .select("trade_id", "asof_px", "asof_sz").collect()
+    assert(got.length === 1) // row kept despite NULL field in the match
+    assert(got(0).getDouble(1) === 5.0)
+    assert(got(0).isNullAt(2)) // NOT stitched from the 09:00 quote
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     val large = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
       .toDF("key", "v")

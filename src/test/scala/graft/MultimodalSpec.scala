@@ -56,5 +56,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length === 2) // 11 bytes → 2 full 4-byte frames
     assert(new String(frames(0).getAs[Array[Byte]]("frame_payload")) === "hell")
     assert(new String(frames(1).getAs[Array[Byte]]("frame_payload")) === "o wo")
+    // payloads shorter than one frame (incl. empty) yield zero rows
+    val shorter = Multimodal.sampleFrames(
+      media.where("media_id IN (2, 3)"), frameBytes = 8, everyNth = 1)
+    assert(shorter.count() === 0)
   }
 }

@@ -55,8 +55,10 @@ def main():
             if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
                 ga = g.astype(float).to_numpy(); ea = e.astype(float).to_numpy()
                 both_nan = np.isnan(ga) & np.isnan(ea)
+                one_nan = np.isnan(ga) ^ np.isnan(ea)
                 delta = np.abs(ga - ea)
                 delta[both_nan] = 0.0
+                delta[one_nan] = np.inf  # one-sided NaN is a hard mismatch
                 mx = np.nanmax(delta) if len(delta) else 0.0
                 if mx > 0:
                     flag = "FLOATDELTA" if mx < 1e-9 else "MISMATCH"
