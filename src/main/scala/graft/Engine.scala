@@ -28,8 +28,15 @@ object Engine {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 
+  /** Cores for local sessions: the harness machine exposes 32; cap there so
+    * CI-sized boxes still work. Overridable via SPARK_GRAFT_CPUS.
+    */
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
+
   /** Standalone local session for tests / ad-hoc runs. */
-  def localSession(cores: Int = 4, appName: String = "graft"): SparkSession = {
+  def localSession(cores: Int = defaultCores, appName: String = "graft"): SparkSession = {
     val spark = configure(
       SparkSession.builder()
         .master(s"local[$cores]")

@@ -2,10 +2,48 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen glue shared by the text-hash expressions: emit a call to the
+  * expression instance's public `compute` method via a reference object.
+  * Unlike `CodegenFallback`, this keeps the host operator inside
+  * whole-stage codegen (`CollapseCodegenStages` ejects any plan node
+  * containing a fallback expression into interpreted glue); the interior
+  * hash loop still runs as plain JVM code either way.
+  */
+private[expressions] trait ComputeCallCodegen { self: UnaryExpression =>
+  /** Public entry the generated code calls; impls delegate nullSafeEval here. */
+  def compute(input: UTF8String): Any
+
+  /** How to coerce the `Object` returned by `compute` to `ev.value`'s java
+    * type — a plain reference cast for objects, an explicit unbox for
+    * primitives (janino has no Object→primitive cast).
+    */
+  protected def castCall(call: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeCallCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${castCall(s"$ref.compute($c)")};")
+  }
+}
+
+private[expressions] trait ArrayDataResult extends ComputeCallCodegen { self: UnaryExpression =>
+  override protected def castCall(call: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $call"
+}
+
+private[expressions] trait LongResult extends ComputeCallCodegen { self: UnaryExpression =>
+  override protected def castCall(call: String): String =
+    s"((java.lang.Long) $call).longValue()"
+}
+
+private[expressions] trait UTF8StringResult extends ComputeCallCodegen { self: UnaryExpression =>
+  override protected def castCall(call: String): String =
+    s"(org.apache.spark.unsafe.types.UTF8String) $call"
+}
 
 /** Native Catalyst expressions for hash-heavy text signatures.
   *
@@ -13,9 +51,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * per element — profiling at sf0.01 showed 11-22 s for 500 docs, ~1000×
   * native cost, plus tens of seconds of janino compile for the giant
   * expression trees. These expressions do the shingle+hash loops in plain
-  * JVM code (CodegenFallback — the internal loop dominates, codegen of the
-  * surrounding row plumbing is irrelevant), reusing Spark's XxHash64 so
-  * signatures stay deterministic and engine-version-stable.
+  * JVM code, called from generated code via [[ComputeCallCodegen]] so the
+  * host projection stays inside whole-stage codegen, reusing Spark's
+  * XxHash64 so signatures stay deterministic and engine-version-stable.
   */
 private[graft] object ShingleUtil {
   private val WS = java.util.regex.Pattern.compile("\\s+")
@@ -53,11 +91,12 @@ private[graft] object ShingleUtil {
   * xxhash64(shingle, seed=s); Long.MaxValue when no shingles.
   */
 case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with ArrayDataResult {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val sh = ShingleUtil.shingles(input.asInstanceOf[UTF8String], shingleSize)
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any = {
+    val sh = ShingleUtil.shingles(input, shingleSize)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
@@ -78,12 +117,13 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
   * i; vote > 0 sets bit i of the result.
   */
 case class SimHash(child: Expression, shingleSize: Int, bits: Int)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with LongResult {
   override def inputTypes = Seq(StringType)
   require(bits > 0 && bits <= 64)
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val sh = ShingleUtil.shingles(input.asInstanceOf[UTF8String], shingleSize)
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any = {
+    val sh = ShingleUtil.shingles(input, shingleSize)
     val votes = new Array[Int](bits)
     var i = 0
     while (i < sh.length) {
@@ -114,11 +154,12 @@ case class SimHash(child: Expression, shingleSize: Int, bits: Int)
   * SQL oracle on tab/newline-edged strings).
   */
 case class NormFingerprint(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with LongResult {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any = {
+    val raw = input.toString
     var i = 0
     var j = raw.length
     while (i < j && raw.charAt(i) == ' ') i += 1
@@ -136,13 +177,12 @@ case class NormFingerprint(child: Expression)
   * but without per-window interpreted lambdas or its janino-compile cost.
   */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with ArrayDataResult {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      ShingleUtil.shingles(input.asInstanceOf[UTF8String], n)
-        .asInstanceOf[Array[Any]])
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any =
+    new GenericArrayData(ShingleUtil.shingles(input, n).asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
 }
 
@@ -154,7 +194,7 @@ case class Shingles(child: Expression, n: Int)
   * order with the maximal score; `und` when no stopword hits.
   */
 case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with UTF8StringResult {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
 
@@ -166,8 +206,9 @@ case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
     }.toArray
   @transient private lazy val und = UTF8String.fromString("und")
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any = {
+    val raw = input.toString
     var i = 0
     var j = raw.length
     while (i < j && raw.charAt(i) == ' ') i += 1
@@ -201,7 +242,7 @@ case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
   * over bytes, for CDC storage dedup).
   */
 case class RollingChunkHashes(child: Expression, window: Int, maskBits: Int)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with ArrayDataResult {
   override def inputTypes = Seq(StringType)
   require(window > 0 && maskBits > 0 && maskBits < 32)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -215,8 +256,9 @@ case class RollingChunkHashes(child: Expression, window: Int, maskBits: Int)
     p
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any = {
+    val s = input.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var h = 0L
     var chunkStart = 0
