@@ -299,5 +299,30 @@ object Oracles {
     "q42_binary_meta" ->
       ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"),
+
+    "q57_range_join" ->
+      ("WITH bands AS (SELECT CAST(i AS BIGINT) AS band_id, i * 50.0 AS lo, " +
+        "(i + 1) * 50.0 AS hi FROM range(0, 10) t(i)) " +
+        "SELECT band_id, count(*) AS n, round(sum(value), 2) AS total_value " +
+        "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi " +
+        "GROUP BY 1"),
+
+    "q58_scd2" ->
+      ("WITH o AS (SELECT user_id, event_id, ts, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+        "FROM events), " +
+        "c AS (SELECT user_id, event_id, ts, event_type FROM o " +
+        "WHERE prev IS NULL OR prev <> event_type) " +
+        "SELECT user_id, event_type, " +
+        "CAST(date_trunc('second', ts) AS TIMESTAMP) AS valid_from, " +
+        "CAST(date_trunc('second', lead(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS TIMESTAMP) AS valid_to, " +
+        "(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) " +
+        "AS is_current FROM c"),
+
+    "q59_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"),
   )
 }

@@ -470,6 +470,44 @@ object TestQueries {
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
         round(col("x").cast("double"), 6).as("xr"))
 
+  /** Binned range join ([[operators.Joins.rangeJoinBinned]]): events bucketed
+    * into fixed-width value bands via equi-join on the bin, not a nested
+    * loop. The oracle is the plain inequality join.
+    */
+  def q57RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 10).select(col("id").as("band_id"),
+      (col("id") * lit(50.0)).as("lo"), ((col("id") + 1) * lit(50.0)).as("hi"))
+    operators.Joins.rangeJoinBinned(Tables.loadEvents(s, dir), "value", bands,
+        "lo", "hi", binWidth = 50.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+  }
+
+  /** Type-2 SCD build ([[operators.Scd.scd2]]) over the events log: each
+    * user's event_type runs become [valid_from, valid_to) intervals.
+    * Timestamps truncate to seconds on both sides (ns-precision parquet).
+    */
+  def q58Scd2(s: SparkSession, dir: String): DataFrame =
+    operators.Scd.scd2(
+        Tables.loadEvents(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        key = "user_id", ts = "ts", attrs = Seq("event_type"),
+        tiebreaker = Some("event_id"))
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("valid_from")).as("valid_from"),
+        date_trunc("second", col("valid_to")).as("valid_to"),
+        col("is_current"))
+
+  /** GROUPING SETS (partial-rollup shape rollup/cube can't express) via the
+    * SQL surface.
+    */
+  def q59GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem_gs " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -531,5 +569,8 @@ object TestQueries {
     "q54_window_lag_ntile" -> (q54WindowLagNtile _),
     "q55_pivot" -> (q55Pivot _),
     "q56_posexplode" -> (q56Posexplode _),
+    "q57_range_join" -> (q57RangeJoin _),
+    "q58_scd2" -> (q58Scd2 _),
+    "q59_grouping_sets" -> (q59GroupingSets _),
   )
 }

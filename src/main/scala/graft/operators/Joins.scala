@@ -54,6 +54,32 @@ object Joins {
         rightValCols.map(c => col(s"__match.$c").as(s"$asOfPrefix$c")): _*)
   }
 
+  /** Range join (`lo ≤ leftVal < hi`) accelerated by binning: both sides map
+    * to fixed-width bins (ranges explode to every bin they cover, values to
+    * the one bin containing them), the join becomes an equi-join on the bin
+    * plus a residual range filter. A plain inequality join has no equi-key,
+    * so Spark plans BroadcastNestedLoopJoin — O(|left|·|ranges|) compares;
+    * binning bounds compares to rows sharing a bin. Each (row, range) match
+    * appears exactly once: a value's bin is unique and a range covers it at
+    * most once, so no post-dedup is needed. Pick `binWidth` near the median
+    * range width — much smaller multiplies the range side's replication,
+    * much larger degrades toward the nested loop inside oversized bins. The
+    * range side is typically dim-sized and broadcast by Catalyst; the big
+    * side then never shuffles.
+    */
+  def rangeJoinBinned(left: DataFrame, leftVal: String,
+                      ranges: DataFrame, lo: String, hi: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binnedRanges = ranges.withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    left.withColumn("__bin", floor(col(leftVal) / binWidth).cast("long"))
+      .join(binnedRanges, Seq("__bin"))
+      .where(col(leftVal) >= col(lo) && col(leftVal) < col(hi))
+      .drop("__bin")
+  }
+
   /** Salted equi-join for skewed keys: replicate the small side `salt` ways
     * and scatter the large side's hot keys across the replicas, so no
     * single reducer owns a hot key. AQE's skew-join handles moderate skew

@@ -33,6 +33,39 @@ final case class Lake(root: String) {
       .parquet(path(zone, table))
   }
 
+  /** MERGE-style keyed upsert: rows in `updates` replace current rows with
+    * the same `key`; among collisions the greatest `versionCol` wins, and at
+    * equal versions the incoming row wins. Plain parquet has no MVCC, so
+    * this is read → union → window-dedup → snapshot rewrite
+    * (`localCheckpoint` pins the merged result before overwriting its own
+    * source, same safety as `Tables.replaceTable`); on a Delta/Iceberg lake
+    * the identical call site maps to `MERGE INTO`, which rewrites only
+    * touched files. The dedup is one shuffle on `key` — updates are
+    * typically a small fraction of the table, and on a real lake the
+    * rewrite cost is bounded by partition pruning on the union.
+    */
+  def upsert(spark: SparkSession, zone: String, table: String,
+             updates: DataFrame, key: String, versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val target = path(zone, table)
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(target)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val merged =
+      if (exists)
+        spark.read.parquet(target).withColumn("__src", lit(0))
+          .unionByName(updates.withColumn("__src", lit(1)))
+      else updates.withColumn("__src", lit(1))
+    val w = Window.partitionBy(key)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    merged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__src")
+      .localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(target)
+  }
+
   /** Promote a table between zones (e.g. bronze → silver after conform). */
   def promote(spark: SparkSession, from: String, to: String, table: String,
               transform: DataFrame => DataFrame,

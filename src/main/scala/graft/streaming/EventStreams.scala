@@ -55,6 +55,58 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on `event_id` (at-least-once sources re-deliver)
+    * feeding the hourly aggregate. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only inside the watermark horizon — bounded, unlike
+    * `dropDuplicates` whose state grows forever on an unbounded stream.
+    */
+  def dedupedHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Stream-stream interval join: each click paired with the same user's
+    * purchases in the following `horizon`. Watermarks on BOTH sides plus the
+    * time-bound condition let Spark expire join state — without the bound
+    * each side would buffer forever waiting for late matches.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("amount"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select("user_id", "click_id", "click_ts", "purchase_ts", "amount")
+  }
+
+  /** Incremental ingest: each micro-batch MERGEs into a lake table on
+    * `event_id` via [[graft.sources.Lake.upsert]] (stream → silver, the
+    * medallion hand-off). foreachBatch gives exactly-once per batch-id
+    * together with the checkpoint; re-delivered rows collapse in the upsert.
+    */
+  def upsertToLake(events: DataFrame, lake: graft.sources.Lake, zone: String,
+                   table: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        lake.upsert(batch.sparkSession, zone, table, batch.toDF(),
+          key = "event_id", versionCol = "ts")
+      }
+      .start()
+
   // ---- custom state: flatMapGroupsWithState --------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

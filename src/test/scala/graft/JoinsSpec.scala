@@ -42,6 +42,23 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(0).isNullAt(2)) // NOT stitched from the 09:00 quote
   }
 
+  test("rangeJoinBinned equals the plain inequality join, incl. overlaps") {
+    val values = Seq.tabulate(500)(i => (i.toLong, (i * 7 % 483).toDouble / 1.7))
+      .toDF("id", "v")
+    // overlapping + boundary-aligned + bin-straddling ranges
+    val ranges = Seq(
+      (1L, 0.0, 50.0), (2L, 25.0, 125.0), (3L, 50.0, 100.0),
+      (4L, 90.0, 290.0), (5L, 199.9, 200.1)
+    ).toDF("range_id", "lo", "hi")
+    val plain = values.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "range_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val binned = Joins.rangeJoinBinned(values, "v", ranges, "lo", "hi", 50.0)
+      .select("id", "range_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.toSet === plain)
+    assert(binned.length === binned.toSet.size) // exactly-once per (row, range)
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     val large = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
       .toDF("key", "v")

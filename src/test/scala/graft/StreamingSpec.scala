@@ -75,4 +75,103 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.table("sliding_out").count()
     assert(n > 5) // each event lands in 4 overlapping 1h/15m windows
   }
+
+  private lazy val dupEventsDir: String = {
+    // The same 5 events with event_id 1 and 4 re-delivered (at-least-once).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup-events").toString
+    Seq(
+      (1L, "2021-01-01 10:05:00", 7L, "click", 1.0, "{}"),
+      (1L, "2021-01-01 10:05:00", 7L, "click", 1.0, "{}"),
+      (2L, "2021-01-01 10:15:00", 7L, "click", 2.0, "{}"),
+      (3L, "2021-01-01 11:05:00", 7L, "view", 3.0, "{}"),
+      (4L, "2021-01-01 11:20:00", 8L, "click", 4.0, "{}"),
+      (4L, "2021-01-01 11:20:00", 8L, "click", 4.0, "{}"),
+      (5L, "2021-01-01 13:00:00", 8L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming dedup drops re-delivered events before aggregating") {
+    val stream = EventStreams.readStream(spark, dupEventsDir)
+    EventStreams.runToMemory(EventStreams.dedupedHourlyCounts(stream),
+      "dedup_hourly_out", mode = "append")
+    // Append mode emits only watermark-closed windows; compare against the
+    // batch aggregate over the DISTINCT events, restricted to emitted hours.
+    val got = spark.table("dedup_hourly_out")
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventStreams.hourlyTypeCounts(
+        spark.read.parquet(dupEventsDir).dropDuplicates("event_id"))
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (h, _, _, _) => got.exists(_._1 == h) }
+    assert(got.nonEmpty)
+    assert(got.toSeq === batch.toSeq)
+    // the duplicated click (id=1) counted once: 10:00 click window n=2 value=3
+    assert(got.head === (("2021-01-01 10:00:00.0", "click", 2L, 3.0)))
+  }
+
+  private lazy val funnelDir: String = {
+    // click → purchase funnel: user 7 purchases 10 min after the click
+    // (inside the 30m horizon), user 8 purchases 2h later (outside).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      (1L, "2021-01-01 10:05:00", 7L, "click", 0.0, "{}"),
+      (2L, "2021-01-01 10:15:00", 7L, "purchase", 42.0, "{}"),
+      (3L, "2021-01-01 11:00:00", 8L, "click", 0.0, "{}"),
+      (4L, "2021-01-01 13:00:00", 8L, "purchase", 9.0, "{}"),
+      (5L, "2021-01-01 14:00:00", 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("stream-stream interval join pairs clicks with in-horizon purchases") {
+    val clicks = EventStreams.readStream(spark, funnelDir)
+    val purchases = EventStreams.readStream(spark, funnelDir)
+    EventStreams.runToMemory(
+      EventStreams.clickToPurchase(clicks, purchases, "30 minutes"),
+      "funnel_out", mode = "append")
+    val got = spark.table("funnel_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Double]("amount")))
+    assert(got.toSeq === Seq((7L, 1L, 42.0))) // user 8's purchase is late
+    // batch formulation agrees
+    val ev = spark.read.parquet(funnelDir)
+    val batch = EventStreams.clickToPurchase(ev, ev, "30 minutes").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Double]("amount")))
+    assert(batch.toSeq === got.toSeq)
+  }
+
+  test("foreachBatch upsert streams micro-batches into a lake table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lake-stream")
+    val lake = graft.sources.Lake(s"file://$tmp/lake")
+    val q = EventStreams.upsertToLake(
+      EventStreams.readStream(spark, dupEventsDir), lake, "silver", "events",
+      checkpoint = s"$tmp/chk")
+    q.processAllAvailable()
+    q.stop()
+    val got = lake.read(spark, "silver", "events")
+    assert(got.count() === 5) // re-delivered ids 1 and 4 collapsed
+    assert(got.select("event_id").distinct().count() === 5)
+    // a second upsert with a newer version of event 5 replaces it
+    import spark.implicits._
+    val update = Seq((5L, "2021-01-01 13:30:00", 8L, "view", 7.5, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    lake.upsert(spark, "silver", "events", update, "event_id", "ts")
+    val after = lake.read(spark, "silver", "events")
+    assert(after.count() === 5)
+    assert(after.where(col("event_id") === 5).select("value")
+      .head().getDouble(0) === 7.5)
+  }
 }
