@@ -27,6 +27,11 @@ object Engine {
     // read as long nanos and convert in Tables.loadEvents.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // Runtime bloom-filter pruning: when one side of a shuffle join has a
+    // selective predicate, inject a bloom filter on the other side so the
+    // big fact shuffles only candidate rows — a large-join win at 100 TB
+    // (pinned explicitly; the default has flipped across Spark versions).
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 
   /** Cores for local sessions: the harness machine exposes 32; cap there so
     * CI-sized boxes still work. Overridable via SPARK_GRAFT_CPUS.

@@ -324,5 +324,57 @@ object Oracles {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
         "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"),
+
+    "q60_array_funcs" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq, " +
+        "list_contains(toks, 'spark') AS has_spark, " +
+        "list_sort(toks)[1] AS first_tok FROM d"),
+
+    "q61_date_arith" ->
+      ("SELECT o_orderkey, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        // DATE + integer (day add) — NOT "+ INTERVAL 30 DAY": DuckDB 1.0's
+        // subexpression elimination wrongly merges two `date + INTERVAL`
+        // terms with different constants, so plus30 would inherit 1 MONTH.
+        "CAST(o_orderdate AS DATE) + 30 AS plus30, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') " +
+        "AS BIGINT) AS days_to_98 FROM orders"),
+
+    "q62_unixtime" ->
+      ("SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, " +
+        "strftime(to_timestamp(floor(epoch(ts))), '%Y-%m-%d %H:%M:%S') AS ts_str " +
+        "FROM events"),
+
+    "q63_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "t2 AS (SELECT doc_id, term FROM terms WHERE length(term) > 0), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, " +
+        "round(tf * ln((n_docs + 1) / (df + 1.0)), 6) AS tfidf " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, tfidf, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored) " +
+        "SELECT doc_id, term AS top_term, tfidf FROM r WHERE rn = 1"),
+
+    "q64_hash_split" ->
+      ("WITH s AS (SELECT source, CASE WHEN doc_id % 100 < 80 THEN 'train' " +
+        "WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split, n_chars " +
+        "FROM documents) " +
+        "SELECT source, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
+        "FROM s GROUP BY 1, 2"),
+
+    "q65_normalize" ->
+      ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
+        "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, " +
+        "round(avg((l_extendedprice - lo) / (hi - lo)), 4) AS avg_norm, " +
+        "round(stddev_samp((l_extendedprice - lo) / (hi - lo)), 4) AS sd_norm, " +
+        "count(*) AS n FROM lineitem JOIN mm USING (l_returnflag) GROUP BY 1"),
   )
 }

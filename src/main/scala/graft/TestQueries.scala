@@ -508,6 +508,86 @@ object TestQueries {
         "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())")
   }
 
+  /** Array function family over tokenized documents. */
+  def q60ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        element_at(sort_array(col("toks")), 1).as("first_tok"))
+
+  /** Date arithmetic family: add_months (month-end clamping), last_day,
+    * day offsets, datediff.
+    */
+  def q61DateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+      last_day(to_date(col("o_orderdate"))).as("month_end"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+      datediff(lit("1998-01-01").cast("date"), to_date(col("o_orderdate")))
+        .cast("long").as("days_to_98"))
+
+  /** Epoch round-trip: unix_timestamp (floor-to-second) and the formatted
+    * conversion back.
+    */
+  def q62Unixtime(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir).select(col("event_id"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      from_unixtime(unix_timestamp(col("ts"))).as("ts_str"))
+
+  /** TF-IDF top term per document — the classic corpus-weighting pipeline:
+    * explode terms once, tf per (doc, term), df per term, smoothed idf,
+    * top-1 by score with a term tiebreak. The df side is vocabulary-sized
+    * (≪ corpus) → broadcast; ranking orders by the ROUNDED score so the
+    * oracle agrees at ties.
+    */
+  def q63Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+  }
+
+  /** Deterministic train/val/test split ([[operators.Splits.hashSplit]]).
+    * The gate uses a modulo bucketer both engines compute identically; the
+    * operator's default is xxhash64 (uniform for clustered keys) —
+    * SplitsSpec covers that path.
+    */
+  def q64HashSplit(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100),
+        bucket = k => pmod(k.cast("long"), lit(100)))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
+
+  /** Two-pass min-max normalization + dispersion per group (feature
+    * scaling): per-group extrema broadcast back over the fact.
+    */
+  def q65Normalize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val mm = li.groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+    li.join(broadcast(mm), "l_returnflag")
+      .withColumn("norm",
+        (col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")))
+      .groupBy("l_returnflag")
+      .agg(round(avg("norm"), 4).as("avg_norm"),
+        round(stddev_samp("norm"), 4).as("sd_norm"),
+        count(lit(1)).as("n"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -572,5 +652,11 @@ object TestQueries {
     "q57_range_join" -> (q57RangeJoin _),
     "q58_scd2" -> (q58Scd2 _),
     "q59_grouping_sets" -> (q59GroupingSets _),
+    "q60_array_funcs" -> (q60ArrayFuncs _),
+    "q61_date_arith" -> (q61DateArith _),
+    "q62_unixtime" -> (q62Unixtime _),
+    "q63_tfidf" -> (q63Tfidf _),
+    "q64_hash_split" -> (q64HashSplit _),
+    "q65_normalize" -> (q65Normalize _),
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Splits
+
+class SplitsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val keys = spark.range(0, 10000).toDF("id")
+
+  test("hashSplit is deterministic, exhaustive, and disjoint") {
+    val boundaries = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val a = Splits.hashSplit(keys, "id", boundaries)
+    val b = Splits.hashSplit(keys, "id", boundaries)
+    // same assignment on re-run (pure function of the key)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    // every row labeled exactly once
+    assert(a.count() === 10000)
+    assert(a.where(col("split").isNull).count() === 0)
+  }
+
+  test("hashSplit fractions approach the boundaries even on sequential keys") {
+    val got = Splits
+      .hashSplit(keys, "id", Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // xxhash64 bucketing: expect ~8000/1000/1000 within a loose tolerance
+    assert(math.abs(got("train") - 8000L) < 400)
+    assert(math.abs(got("val") - 1000L) < 200)
+    assert(math.abs(got("test") - 1000L) < 200)
+  }
+
+  test("hashSplit keeps existing rows stable when new rows arrive") {
+    val boundaries = Seq("train" -> 50, "test" -> 100)
+    val before = Splits.hashSplit(keys, "id", boundaries)
+    val after = Splits.hashSplit(spark.range(0, 20000).toDF("id"), "id", boundaries)
+      .where(col("id") < 10000)
+    assert(before.except(after).count() === 0 && after.except(before).count() === 0)
+  }
+
+  test("hashSplit rejects malformed boundaries") {
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(keys, "id", Seq("train" -> 80, "test" -> 90))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(keys, "id", Seq("a" -> 90, "b" -> 80, "c" -> 100))
+    }
+  }
+}
