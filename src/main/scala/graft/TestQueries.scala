@@ -588,6 +588,28 @@ object TestQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Z-order layout effectiveness ([[sources.Layout.zorderWrite]]): cluster
+    * lineitem on (l_partkey, l_extendedprice), then report per-file min/max
+    * extents — the statistic parquet pruning runs on. Rows-only gate (file
+    * split is environment-dependent); LayoutSpec asserts the clustering
+    * quantitatively.
+    */
+  def q66ZorderStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    sources.Layout.zorderWrite(li, Seq("l_partkey", "l_extendedprice"), out, 16)
+    s.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("pk_ext"),
+        (max("l_extendedprice") - min("l_extendedprice")).as("price_ext"),
+        count(lit(1)).as("rows"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        round(avg("pk_ext"), 2).as("avg_pk_extent"),
+        round(avg("price_ext"), 2).as("avg_price_extent"),
+        sum("rows").as("total_rows"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -658,5 +680,6 @@ object TestQueries {
     "q63_tfidf" -> (q63Tfidf _),
     "q64_hash_split" -> (q64HashSplit _),
     "q65_normalize" -> (q65Normalize _),
+    "q66_zorder_stats" -> (q66ZorderStats _),
   )
 }

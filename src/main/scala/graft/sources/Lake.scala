@@ -66,6 +66,54 @@ final case class Lake(root: String) {
       .write.mode("overwrite").parquet(target)
   }
 
+  /** Small-file compaction: rewrite a table into `numFiles` right-sized
+    * files. Streaming ingest (one file per micro-batch per partition) decays
+    * scan throughput — open/footer costs dominate once files ≪ the 128 MB
+    * split size; periodic compaction restores it. Snapshot-pinned like
+    * [[upsert]]; on Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
+    */
+  def compact(spark: SparkSession, zone: String, table: String,
+              numFiles: Int): Unit = {
+    require(numFiles > 0)
+    read(spark, zone, table)
+      .localCheckpoint(eager = true)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(path(zone, table))
+  }
+
+  /** Read with schema evolution: union the schemas of all files so a table
+    * whose ingest added columns over time presents the full schema, older
+    * files padding the new columns with NULL (parquet `mergeSchema`).
+    */
+  def readEvolved(spark: SparkSession, zone: String, table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(zone, table))
+
+  /** Incremental aggregate maintenance: fold a batch of pre-aggregated
+    * deltas into a gold table — union current + delta, re-sum on the keys.
+    * Additive measures only (sum/count; avg must travel as sum+count).
+    * The combine shuffles |gold| + |delta| rows on the group key — gold
+    * tables are aggregate-sized, orders below the facts; on Delta this
+    * becomes MERGE WHEN MATCHED THEN UPDATE SET x = x + delta.
+    */
+  def mergeAggregate(spark: SparkSession, zone: String, table: String,
+                     delta: DataFrame, keys: Seq[String],
+                     sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val target = path(zone, table)
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(target)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val combined =
+      if (exists) spark.read.parquet(target).unionByName(delta) else delta
+    combined
+      .groupBy(keys.map(col): _*)
+      .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+      .toDF(keys ++ sumCols: _*)
+      .localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(target)
+  }
+
   /** Promote a table between zones (e.g. bronze → silver after conform). */
   def promote(spark: SparkSession, from: String, to: String, table: String,
               transform: DataFrame => DataFrame,

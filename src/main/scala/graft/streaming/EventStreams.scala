@@ -107,6 +107,29 @@ object EventStreams {
       }
       .start()
 
+  /** Incremental gold-aggregate maintenance: each micro-batch partial-
+    * aggregates locally, then folds into the gold table via
+    * [[graft.sources.Lake.mergeAggregate]] — the batch view of a
+    * continuously-maintained rollup (counts/sums are additive, so
+    * batch-at-a-time folding is exact regardless of batch boundaries).
+    */
+  def hourlyGoldToLake(events: DataFrame, lake: graft.sources.Lake,
+                       zone: String, table: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        lake.mergeAggregate(batch.sparkSession, zone, table, delta,
+          keys = Seq("hour_start", "event_type"),
+          sumCols = Seq("n", "total_value"))
+      }
+      .start()
+
   // ---- custom state: flatMapGroupsWithState --------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Lake
+import graft.streaming.EventStreams
+
+class LakeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newLake() = Lake(
+    s"file://${java.nio.file.Files.createTempDirectory("graft-lake")}/root")
+
+  test("compact rewrites many small files into few, preserving data") {
+    val lake = newLake()
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+    df.repartition(64).write.mode("overwrite")
+      .parquet(lake.path("silver", "wide"))
+    val before = spark.read.parquet(lake.path("silver", "wide"))
+      .select(input_file_name()).distinct().count()
+    assert(before > 30)
+    lake.compact(spark, "silver", "wide", numFiles = 4)
+    val after = spark.read.parquet(lake.path("silver", "wide"))
+    assert(after.select(input_file_name()).distinct().count() === 4)
+    assert(after.count() === 1000)
+    assert(after.agg(sum("id")).head().getLong(0) === 499500L)
+  }
+
+  test("readEvolved unions schemas across file generations") {
+    val lake = newLake()
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(lake.path("bronze", "evo"))
+    Seq((2L, "b", 9.9)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(lake.path("bronze", "evo"))
+    val got = lake.readEvolved(spark, "bronze", "evo")
+    assert(got.columns.toSet === Set("id", "v1", "v2"))
+    assert(got.count() === 2)
+    assert(got.where(col("id") === 1).select("v2").head().isNullAt(0))
+    assert(got.where(col("id") === 2).select("v2").head().getDouble(0) === 9.9)
+  }
+
+  test("mergeAggregate folds deltas additively") {
+    val lake = newLake()
+    val d1 = Seq(("a", 2L, 10.0), ("b", 1L, 1.0)).toDF("k", "n", "tot")
+    val d2 = Seq(("a", 3L, 5.0), ("c", 1L, 7.0)).toDF("k", "n", "tot")
+    lake.mergeAggregate(spark, "gold", "agg", d1, Seq("k"), Seq("n", "tot"))
+    lake.mergeAggregate(spark, "gold", "agg", d2, Seq("k"), Seq("n", "tot"))
+    val got = lake.read(spark, "gold", "agg").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("a", 5L, 15.0), ("b", 1L, 1.0), ("c", 1L, 7.0)))
+  }
+
+  test("streamed hourly gold equals the batch aggregate") {
+    val eventsDir = java.nio.file.Files.createTempDirectory("graft-gold-ev").toString
+    Seq(
+      (1L, "2021-01-01 10:05:00", 7L, "click", 1.0, "{}"),
+      (2L, "2021-01-01 10:15:00", 7L, "click", 2.0, "{}"),
+      (3L, "2021-01-01 11:05:00", 7L, "view", 3.0, "{}"),
+      (4L, "2021-01-01 11:20:00", 8L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(eventsDir)
+
+    val lake = newLake()
+    val chk = java.nio.file.Files.createTempDirectory("graft-gold-chk").toString
+    val q = EventStreams.hourlyGoldToLake(
+      EventStreams.readStream(spark, eventsDir), lake, "gold", "hourly", chk)
+    q.processAllAvailable()
+    q.stop()
+    val got = lake.read(spark, "gold", "hourly")
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventStreams.hourlyTypeCounts(spark.read.parquet(eventsDir))
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === batch.toSeq)
+  }
+}
