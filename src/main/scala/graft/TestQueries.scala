@@ -548,8 +548,14 @@ object TestQueries {
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
+    // df derives from tf (tf rows are unique per (doc, term), so df = row
+    // count per term), and tf is localCheckpoint-pinned: it feeds BOTH the
+    // join and the df aggregate, and without the pin each consumer re-runs
+    // the corpus explode (column pruning diverges the subtrees, defeating
+    // ReuseExchange). On a cluster the pin is a persisted intermediate.
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
