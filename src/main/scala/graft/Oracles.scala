@@ -369,6 +369,21 @@ object Oracles {
         "SELECT source, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
         "FROM s GROUP BY 1, 2"),
 
+    "q67_data_quality" ->
+      ("SELECT 'o_orderkey_not_null' AS check_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed " +
+        "FROM orders " +
+        "UNION ALL SELECT 'o_totalprice_in_range', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 0 ELSE 1 END) " +
+        "AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus_in_set', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) " +
+        "AS BIGINT) FROM orders"),
+
+    "q68_hash_sample" ->
+      ("SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
+        "FROM documents WHERE doc_id % 100 < 10 GROUP BY 1"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -616,6 +616,24 @@ object TestQueries {
         sum("rows").as("total_rows"))
   }
 
+  /** Single-pass data-quality audit ([[operators.Quality.audit]]): N checks
+    * = one scan + stack unpivot. The oracle is the N-scan UNION ALL.
+    */
+  def q67DataQuality(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.audit(t(s, dir, "orders"), Seq(
+      operators.Quality.notNull("o_orderkey"),
+      operators.Quality.inRange("o_totalprice", 0.0, 100000.0),
+      operators.Quality.inSet("o_orderstatus", Seq("O", "F", "P"))))
+
+  /** Deterministic 10% sample ([[operators.Splits.hashSample]]) — modulo
+    * bucketer for cross-engine parity; the xxhash64 default is spec-tested.
+    */
+  def q68HashSample(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.hashSample(t(s, dir, "documents"), "doc_id", 10,
+        bucket = k => pmod(k.cast("long"), lit(100)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -687,5 +705,7 @@ object TestQueries {
     "q64_hash_split" -> (q64HashSplit _),
     "q65_normalize" -> (q65Normalize _),
     "q66_zorder_stats" -> (q66ZorderStats _),
+    "q67_data_quality" -> (q67DataQuality _),
+    "q68_hash_sample" -> (q68HashSample _),
   )
 }

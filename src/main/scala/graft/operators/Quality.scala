@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audits over a table — the dbt-test /
+  * Deequ-style contract layer a lake pipeline runs between zones (the
+  * reference eyeballs its conform step; this makes the checks queryable).
+  *
+  * All checks evaluate in ONE scan: each predicate becomes a conditional
+  * count inside a single aggregate, then the wide row unpivots to one row
+  * per check. N checks cost one pass regardless of N — never a scan per
+  * check (the naive UNION ALL formulation is N scans).
+  */
+object Quality {
+
+  /** Run named validity predicates (`true` = row passes); returns one row
+    * per check: `check_name, n_rows, n_failed`. NULL predicate results
+    * count as failures (a null check outcome is not a pass).
+    */
+  def audit(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty)
+    // Evaluate predicates in a projection first: window-based checks (e.g.
+    // `unique`) are legal in a select but not inside an aggregate call.
+    val flags = checks.zipWithIndex.map { case ((_, pred), i) =>
+      coalesce(pred, lit(false)).as(s"__p$i")
+    }
+    val aggs = count(lit(1)).as("__n") +:
+      checks.indices.map(i =>
+        sum(when(col(s"__p$i"), 0L).otherwise(1L)).as(s"__c$i"))
+    val wide = df.select(flags: _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.zipWithIndex
+      .map { case ((name, _), i) => s"'${name.replace("'", "''")}', __c$i" }
+      .mkString(", ")
+    wide.select(
+      expr(s"stack(${checks.size}, $stackArgs) AS (check_name, n_failed)"),
+      col("__n").as("n_rows"))
+      .select("check_name", "n_rows", "n_failed")
+  }
+
+  // ---- common predicate builders ------------------------------------------
+
+  def notNull(c: String): (String, Column) =
+    (s"${c}_not_null", col(c).isNotNull)
+
+  def inRange(c: String, lo: Double, hi: Double): (String, Column) =
+    (s"${c}_in_range", col(c).between(lo, hi))
+
+  def inSet(c: String, values: Seq[String]): (String, Column) =
+    (s"${c}_in_set", col(c).isin(values: _*))
+
+  def unique(df: DataFrame, c: String): (String, Column) = {
+    // uniqueness needs a per-key count — expressed as a window so it still
+    // composes into the single-pass audit (one extra shuffle on the key)
+    import org.apache.spark.sql.expressions.Window
+    (s"${c}_unique", count(lit(1)).over(Window.partitionBy(c)) === 1)
+  }
+}

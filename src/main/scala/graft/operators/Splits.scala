@@ -35,4 +35,16 @@ object Splits {
     }
     df.withColumn("split", label)
   }
+
+  /** Content-hash sample: keep rows whose key hashes below `percent`. Same
+    * stability rationale as [[hashSplit]] — unlike `df.sample`, membership
+    * doesn't depend on partitioning or a per-run RNG stream, so a 1%
+    * debug-slice of a 100 TB table is the SAME slice on every run, and
+    * samples of related tables taken on a shared key line up (join-able).
+    */
+  def hashSample(df: DataFrame, keyCol: String, percent: Int,
+                 bucket: Column => Column = hashBucket): DataFrame = {
+    require(percent > 0 && percent <= 100)
+    df.where(bucket(col(keyCol)) < percent)
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Quality
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Some(1L), Some(10.0), "O"),
+    (Some(2L), Some(-5.0), "F"),   // range fail
+    (None, Some(3.0), "X"),        // null fail + set fail
+    (Some(2L), None, "P")          // dup key + null range input (fail)
+  ).toDF("id", "amt", "status")
+
+  test("audit counts failures per check in one result") {
+    val got = Quality.audit(df, Seq(
+        Quality.notNull("id"),
+        Quality.inRange("amt", 0.0, 100.0),
+        Quality.inSet("status", Seq("O", "F", "P")),
+        Quality.unique(df, "id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("id_not_null") === ((4L, 1L)))
+    // NULL predicate outcome counts as a failure, not a pass
+    assert(got("amt_in_range") === ((4L, 2L)))
+    assert(got("status_in_set") === ((4L, 1L)))
+    // two rows share id=2; the NULL id row is its own group of 1
+    assert(got("id_unique") === ((4L, 2L)))
+  }
+
+  test("audit is a single scan for plain predicates") {
+    val plan = Quality.audit(df, Seq(
+        Quality.notNull("id"), Quality.inRange("amt", 0, 1)))
+      .queryExecution.executedPlan.toString
+    // no union of repeated scans — one aggregate over one source
+    assert(!plan.contains("Union"))
+  }
+}
