@@ -17,13 +17,15 @@ import graft.functions.expressions._
   * harness builds its own sessions, so Verify/Bench use the latter).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, builder) =>
       e.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -49,10 +51,16 @@ object GraftExtensions {
     "graft_cosine" -> { args => CosineSim(args.head, args(1)) },
   )
 
-  /** Register on an already-built session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (temp functions + the optimizer
+    * rule via `experimental.extraOptimizations`).
+    */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+  }
 }

@@ -384,6 +384,13 @@ object Oracles {
       ("SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
         "FROM documents WHERE doc_id % 100 < 10 GROUP BY 1"),
 
+    "q69_auto_range_join" ->
+      ("WITH bands AS (SELECT CAST(i AS BIGINT) AS band_id, i * 50.0 AS lo, " +
+        "(i + 1) * 50.0 AS hi FROM range(0, 10) t(i)) " +
+        "SELECT band_id, count(*) AS n, round(sum(value), 2) AS total_value " +
+        "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi " +
+        "GROUP BY 1"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

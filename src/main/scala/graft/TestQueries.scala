@@ -634,6 +634,22 @@ object TestQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
 
+  /** The [[plans.BinnedRangeJoinRule]] optimizer rule end-to-end: the join
+    * is written as a NAIVE inequality join; with the bin-width conf set the
+    * injected rule rewrites it to the binned equi-join (no
+    * BroadcastNestedLoopJoin — BinnedRangeJoinRuleSpec asserts the plan).
+    * Oracle = the same inequality join, so the rewrite's semantics gate too.
+    */
+  def q69AutoRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(plans.BinnedRangeJoinRule.BinWidthKey, "50")
+    val bands = s.range(0, 10).select(col("id").as("band_id"),
+      (col("id") * lit(50.0)).as("lo"), ((col("id") + 1) * lit(50.0)).as("hi"))
+    Tables.loadEvents(s, dir)
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -707,5 +723,6 @@ object TestQueries {
     "q66_zorder_stats" -> (q66ZorderStats _),
     "q67_data_quality" -> (q67DataQuality _),
     "q68_hash_sample" -> (q68HashSample _),
+    "q69_auto_range_join" -> (q69AutoRangeJoin _),
   )
 }

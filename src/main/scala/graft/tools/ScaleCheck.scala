@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Engine
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Joins, Scd, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,14 +56,41 @@ object ScaleCheck {
         "vec_id", "embedding", 3).count()
     }
 
+    def rangeJoin(dir: String): Long = {
+      val bands = spark.range(0, 40).select(col("id").as("band_id"),
+        (col("id") * lit(2500.0)).as("lo"), ((col("id") + 1) * lit(2500.0)).as("hi"))
+      Joins.rangeJoinBinned(spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_extendedprice", bands, "lo", "hi", 2500.0)
+        .groupBy("band_id").count().count()
+    }
+    def tfidf(dir: String): Long = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), "term").count()
+    }
+    def scd2(dir: String): Long =
+      Scd.scd2(spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("doc_id"), col("lang")),
+        key = "source", ts = "doc_id", attrs = Seq("lang")).count()
+
     // warm both paths once, then measure
-    starJoin(base); minhash(base); ann(base)
+    starJoin(base); minhash(base); ann(base); rangeJoin(base); tfidf(base); scd2(base)
     time("star_join_1x")(starJoin(base))
     time(s"star_join_${rep}x")(starJoin(out))
     time("minhash_1x")(minhash(base))
     time(s"minhash_${rep}x")(minhash(out))
     time("ann_1x")(ann(base))
     time(s"ann_${rep}x")(ann(out))
+    time("range_join_1x")(rangeJoin(base))
+    time(s"range_join_${rep}x")(rangeJoin(out))
+    time("tfidf_1x")(tfidf(base))
+    time(s"tfidf_${rep}x")(tfidf(out))
+    time("scd2_1x")(scd2(base))
+    time(s"scd2_${rep}x")(scd2(out))
     spark.stop()
   }
 }
