@@ -391,6 +391,15 @@ object Oracles {
         "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi " +
         "GROUP BY 1"),
 
+    "q70_histogram" ->
+      ("SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket, " +
+        "count(*) AS n FROM lineitem GROUP BY 1"),
+
+    "q71_corr" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) " +
+        "AS qty_price_corr, round(covar_samp(l_quantity, l_discount), 6) " +
+        "AS qty_disc_covar, count(*) AS n FROM lineitem GROUP BY 1"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

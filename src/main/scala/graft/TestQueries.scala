@@ -650,6 +650,22 @@ object TestQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
   }
 
+  /** Fixed-width histogram — the profiling primitive behind quality scoring
+    * distributions; one scan, one small shuffle on the bucket id.
+    */
+  def q70Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Correlation / covariance aggregates per group (feature diagnostics). */
+  def q71Corr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_discount"), 6).as("qty_disc_covar"),
+        count(lit(1)).as("n"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -724,5 +740,7 @@ object TestQueries {
     "q67_data_quality" -> (q67DataQuality _),
     "q68_hash_sample" -> (q68HashSample _),
     "q69_auto_range_join" -> (q69AutoRangeJoin _),
+    "q70_histogram" -> (q70Histogram _),
+    "q71_corr" -> (q71Corr _),
   )
 }
