@@ -400,6 +400,24 @@ object Oracles {
         "AS qty_price_corr, round(covar_samp(l_quantity, l_discount), 6) " +
         "AS qty_disc_covar, count(*) AS n FROM lineitem GROUP BY 1"),
 
+    "q72_pii_redact" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "concat_ws(' ', text, concat(source, '@example.com'), " +
+        "'call 555-123-4567 or 555.987.6543'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b(?:\\d[ -]?){13,16}\\b', '<CARD>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
+        "'(?:\\+?1[ .-]?)?(?:\\(\\d{3}\\)|\\d{3})[ .-]?\\d{3}[ .-]?\\d{4}\\b', " +
+        "'<PHONE>', 'g') AS clean_text " +
+        "FROM documents"),
+
+    "q73_skew_report" ->
+      ("WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS tot FROM c) " +
+        "SELECT l_suppkey, n, round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) " +
+        "AS share FROM c CROSS JOIN t ORDER BY n DESC, l_suppkey LIMIT 10"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

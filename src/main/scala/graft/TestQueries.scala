@@ -666,6 +666,22 @@ object TestQueries {
         round(covar_samp("l_quantity", "l_discount"), 6).as("qty_disc_covar"),
         count(lit(1)).as("n"))
 
+  /** PII scrubbing over synthesized dirty text (the raw documents are
+    * clean, so emails/phones are spliced in from other columns — the oracle
+    * must then perform the identical redactions).
+    */
+  def q72PiiRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.redactPii(concat_ws(" ", col("text"),
+        concat(col("source"), lit("@example.com")),
+        lit("call 555-123-4567 or 555.987.6543"))).as("clean_text"))
+
+  /** Key-skew report ([[operators.Analytics.keySkew]]) — pre-join
+    * diagnostics for salt/partition sizing.
+    */
+  def q73SkewReport(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.keySkew(t(s, dir, "lineitem"), "l_suppkey", 10)
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -742,5 +758,7 @@ object TestQueries {
     "q69_auto_range_join" -> (q69AutoRangeJoin _),
     "q70_histogram" -> (q70Histogram _),
     "q71_corr" -> (q71Corr _),
+    "q72_pii_redact" -> (q72PiiRedact _),
+    "q73_skew_report" -> (q73SkewReport _),
   )
 }

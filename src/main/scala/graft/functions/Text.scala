@@ -102,4 +102,27 @@ object Text {
     */
   def languageId(text: Column): Column =
     graft.functions.expressions.TextHashExpressions.langId(text, stopwords)
+
+  // ---- PII redaction -------------------------------------------------------
+
+  /** Conservative pattern set for corpus scrubbing. Codegen'd
+    * `regexp_replace` — one scan-side pass, no shuffle, no UDF. RE2-safe
+    * (no lookaround) so the same patterns run in DuckDB/Go engines. Order
+    * matters: emails first (their digit runs must not be clipped), cards
+    * before phones (a 13-16 digit run would otherwise lose 10 digits to
+    * the phone pattern). The phone pattern deliberately has no leading
+    * `\b` — there is no word boundary before `(` or `+`.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d[ -]?){13,16}\\b" -> "<CARD>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "(?:\\+?1[ .-]?)?(?:\\(\\d{3}\\)|\\d{3})[ .-]?\\d{3}[ .-]?\\d{4}\\b" -> "<PHONE>"
+  )
+
+  /** Replace each PII pattern with its placeholder token. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
 }

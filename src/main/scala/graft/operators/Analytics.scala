@@ -56,4 +56,20 @@ object Analytics {
     val r = df.agg(min(col(c)), max(col(c))).head()
     (r.get(0), r.get(1))
   }
+
+  /** Key-skew report: the top-N heaviest keys and their share of all rows —
+    * what you run BEFORE choosing a salt factor or partition count for a
+    * join on `key`. One partial+final agg over the fact; the per-key counts
+    * (≪ fact) cross-join a broadcast one-row total; top-N is
+    * TakeOrderedAndProject with the key as tiebreaker.
+    */
+  def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col(key), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col(key)).limit(topN)
+  }
 }

@@ -104,4 +104,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.schema === df.schema)
     assert(out.collect().toSeq === df.collect().toSeq)
   }
+
+  test("redactPii masks emails, SSNs, phones, and card numbers") {
+    import graft.functions.Text
+    val dirty = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "ssn 123-45-6789 leaked",
+      "call (312) 555-0199 or +1 312.555.0199",
+      "card 4111 1111 1111 1111 on file",
+      "clean text stays untouched"
+    ).toDF("t")
+    val got = dirty.select(Text.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "mail me at <EMAIL> today")
+    assert(got(1) === "ssn <SSN> leaked")
+    assert(got(2).contains("<PHONE>") && !got(2).exists(_.isDigit))
+    assert(got(3) === "card <CARD>on file" || got(3) === "card <CARD> on file")
+    assert(got(4) === "clean text stays untouched")
+  }
 }
