@@ -406,7 +406,7 @@ object Oracles {
         "concat_ws(' ', text, concat(source, '@example.com'), " +
         "'call 555-123-4567 or 555.987.6543'), " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\b(?:\\d[ -]?){13,16}\\b', '<CARD>', 'g'), " +
+        "'\\b\\d(?:[ -]?\\d){12,15}\\b', '<CARD>', 'g'), " +
         "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
         "'(?:\\+?1[ .-]?)?(?:\\(\\d{3}\\)|\\d{3})[ .-]?\\d{3}[ .-]?\\d{4}\\b', " +
         "'<PHONE>', 'g') AS clean_text " +

@@ -641,10 +641,14 @@ object TestQueries {
     * Oracle = the same inequality join, so the rewrite's semantics gate too.
     */
   def q69AutoRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(plans.BinnedRangeJoinRule.BinWidthKey, "50")
-    val bands = s.range(0, 10).select(col("id").as("band_id"),
+    // Cloned session: the bin-width conf arms the rewrite for THIS query
+    // only instead of leaking into every later query on the shared session.
+    val s2 = s.newSession()
+    GraftExtensions.register(s2) // extraOptimizations are per-session
+    s2.conf.set(plans.BinnedRangeJoinRule.BinWidthKey, "50")
+    val bands = s2.range(0, 10).select(col("id").as("band_id"),
       (col("id") * lit(50.0)).as("lo"), ((col("id") + 1) * lit(50.0)).as("hi"))
-    Tables.loadEvents(s, dir)
+    Tables.loadEvents(s2, dir)
       .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy("band_id")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))

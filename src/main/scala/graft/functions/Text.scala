@@ -115,7 +115,7 @@ object Text {
     */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\b(?:\\d[ -]?){13,16}\\b" -> "<CARD>",
+    "\\b\\d(?:[ -]?\\d){12,15}\\b" -> "<CARD>",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
     "(?:\\+?1[ .-]?)?(?:\\(\\d{3}\\)|\\d{3})[ .-]?\\d{3}[ .-]?\\d{4}\\b" -> "<PHONE>"
   )

@@ -71,13 +71,17 @@ object Joins {
                       ranges: DataFrame, lo: String, hi: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binnedRanges = ranges.withColumn("__bin",
+    // temp column name guaranteed absent from both inputs (a user column
+    // named "__bin" would be silently overwritten and dropped otherwise)
+    val bin = Iterator.from(0).map(i => s"__bin$i")
+      .find(n => !left.columns.contains(n) && !ranges.columns.contains(n)).get
+    val binnedRanges = ranges.withColumn(bin,
       explode(sequence(floor(col(lo) / binWidth).cast("long"),
         floor(col(hi) / binWidth).cast("long"))))
-    left.withColumn("__bin", floor(col(leftVal) / binWidth).cast("long"))
-      .join(binnedRanges, Seq("__bin"))
+    left.withColumn(bin, floor(col(leftVal) / binWidth).cast("long"))
+      .join(binnedRanges, Seq(bin))
       .where(col(leftVal) >= col(lo) && col(leftVal) < col(hi))
-      .drop("__bin")
+      .drop(bin)
   }
 
   /** Salted equi-join for skewed keys: replicate the small side `salt` ways

@@ -25,9 +25,12 @@ object Quality {
     val flags = checks.zipWithIndex.map { case ((_, pred), i) =>
       coalesce(pred, lit(false)).as(s"__p$i")
     }
+    // coalesce: sum() over zero rows is NULL, but an empty (e.g. fully
+    // filtered) table must report 0 failures, not null-poison the gate
     val aggs = count(lit(1)).as("__n") +:
       checks.indices.map(i =>
-        sum(when(col(s"__p$i"), 0L).otherwise(1L)).as(s"__c$i"))
+        coalesce(sum(when(col(s"__p$i"), 0L).otherwise(1L)), lit(0L))
+          .as(s"__c$i"))
     val wide = df.select(flags: _*).agg(aggs.head, aggs.tail: _*)
     val stackArgs = checks.zipWithIndex
       .map { case ((name, _), i) => s"'${name.replace("'", "''")}', __c$i" }
@@ -49,7 +52,7 @@ object Quality {
   def inSet(c: String, values: Seq[String]): (String, Column) =
     (s"${c}_in_set", col(c).isin(values: _*))
 
-  def unique(df: DataFrame, c: String): (String, Column) = {
+  def unique(c: String): (String, Column) = {
     // uniqueness needs a per-key count — expressed as a window so it still
     // composes into the single-pass audit (one extra shuffle on the key)
     import org.apache.spark.sql.expressions.Window

@@ -74,9 +74,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
               nullable = false)()
             // timeZoneId must be pinned here: Sequence is TimeZoneAware and
             // counts as unresolved without it, and the analyzer's
-            // ResolveTimeZone has already run by optimization time.
+            // ResolveTimeZone has already run by optimization time. The
+            // step is left for Sequence to infer: an explicit 1 throws
+            // "Illegal sequence boundaries" on a malformed band (lo > hi)
+            // that the original nested-loop plan would simply not match —
+            // the inferred descending bins are then dropped by the
+            // residual predicate, preserving the no-match semantics.
             val gen = Generate(
-              Explode(new Sequence(bin(lo), bin(hi), Some(Literal(1L)),
+              Explode(new Sequence(bin(lo), bin(hi), None,
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bBin), child = bandSide)

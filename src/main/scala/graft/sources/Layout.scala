@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Quantile boundaries for one column: `2^bits - 1` interior cut points.
-    * approxQuantile is a single distributed pass (Greenwald-Khanna sketch);
-    * the result is a driver-side array of ≤ 2^bits doubles — broadcast as
-    * literals, never a shuffle.
+  /** Quantile boundaries for ALL z-order columns in ONE distributed pass
+    * (the multi-column approxQuantile overload runs one Greenwald-Khanna
+    * sketch job; the per-column overload would re-scan the table per
+    * column). Result: per column, `2^bits - 1` interior cut points as a
+    * driver-side array of ≤ 2^bits doubles — broadcast as literals, never
+    * a shuffle.
     */
-  private def boundaries(df: DataFrame, c: String, bits: Int): Array[Double] = {
+  private def boundaries(df: DataFrame, cols: Seq[String],
+                         bits: Int): Seq[Array[Double]] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
-    df.stat.approxQuantile(c, probs, 0.01).distinct
+    df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq.map(_.distinct)
   }
 
   /** Bucket index of `c` against sorted cut points: #(boundaries < value),
@@ -40,7 +43,8 @@ object Layout {
     */
   def zorderKey(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 4): Column = {
     require(cols.nonEmpty && bitsPerCol >= 1 && bitsPerCol * cols.size <= 63)
-    val buckets = cols.map(c => bucketOf(col(c), boundaries(df, c, bitsPerCol)))
+    val cuts = boundaries(df, cols, bitsPerCol)
+    val buckets = cols.zip(cuts).map { case (c, b) => bucketOf(col(c), b) }
     val terms = for {
       (b, ci) <- buckets.zipWithIndex
       bit <- 0 until bitsPerCol

@@ -112,6 +112,12 @@ object EventStreams {
     * [[graft.sources.Lake.mergeAggregate]] — the batch view of a
     * continuously-maintained rollup (counts/sums are additive, so
     * batch-at-a-time folding is exact regardless of batch boundaries).
+    *
+    * foreachBatch is AT-LEAST-once: after a crash between the fold and the
+    * checkpoint commit, the same batch replays — and an additive fold is
+    * not idempotent. A last-applied-batch-id marker next to the table makes
+    * the replay a no-op (batch ids are monotonic, and only the most recent
+    * batch can replay).
     */
   def hourlyGoldToLake(events: DataFrame, lake: graft.sources.Lake,
                        zone: String, table: String, checkpoint: String):
@@ -119,14 +125,31 @@ object EventStreams {
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val delta = batch
-          .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
-        lake.mergeAggregate(batch.sparkSession, zone, table, delta,
-          keys = Seq("hour_start", "event_type"),
-          sumCols = Seq("n", "total_value"))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          lake.path(zone, table) + "._applied_batch")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        val lastApplied =
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          } else -1L
+        if (batchId > lastApplied) {
+          val delta = batch
+            .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+          lake.mergeAggregate(spark, zone, table, delta,
+            keys = Seq("hour_start", "event_type"),
+            sumCols = Seq("n", "total_value"))
+          val out = fs.create(marker, true)
+          try out.write(batchId.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
       }
       .start()
 

@@ -57,6 +57,18 @@ class BinnedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rule tolerates malformed bands (lo > hi) like the original plan") {
+    val bad = Seq((9L, 500.0, 100.0), (1L, 0.0, 50.0)).toDF("band_id", "lo", "hi")
+    withBinWidth("50") {
+      val got = values.join(bad, col("v") >= col("lo") && col("v") < col("hi"))
+        .groupBy("band_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the inverted band matches nothing — no "Illegal sequence boundaries"
+      assert(!got.contains(9L))
+      assert(got(1L) > 0)
+    }
+  }
+
   test("rule leaves equi-joins and other shapes alone") {
     val oddExpected = values.join(bands,
       col("v") >= col("lo") && col("v") < col("hi") && col("v") =!= 10.0).count()

@@ -20,7 +20,7 @@ class QualitySpec extends AnyFunSuite {
         Quality.notNull("id"),
         Quality.inRange("amt", 0.0, 100.0),
         Quality.inSet("status", Seq("O", "F", "P")),
-        Quality.unique(df, "id")))
+        Quality.unique("id")))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got("id_not_null") === ((4L, 1L)))
     // NULL predicate outcome counts as a failure, not a pass
@@ -28,6 +28,14 @@ class QualitySpec extends AnyFunSuite {
     assert(got("status_in_set") === ((4L, 1L)))
     // two rows share id=2; the NULL id row is its own group of 1
     assert(got("id_unique") === ((4L, 2L)))
+  }
+
+  test("audit reports 0 failures (not NULL) on an empty table") {
+    val got = Quality.audit(df.where(lit(false)), Seq(
+        Quality.notNull("id"), Quality.inRange("amt", 0, 1)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("id_not_null") === ((0L, 0L)))
+    assert(got("amt_in_range") === ((0L, 0L)))
   }
 
   test("audit is a single scan for plain predicates") {
