@@ -21,6 +21,20 @@ object EventStreams {
     "event_id long, ts timestamp, user_id long, event_type string, " +
       "value double, props string")
 
+  /** Production state-store settings for large stateful streams: the
+    * default in-memory HDFS-backed provider holds every key in executor
+    * heap — at 100 TB-scale key cardinality that's the first OOM. RocksDB
+    * spills state to local disk with bounded memory, and changelog
+    * checkpointing ships deltas instead of full snapshots. Apply to the
+    * session before `.start()` (state format is per-checkpoint — don't
+    * switch providers on an existing checkpoint).
+    */
+  val rocksDbStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
 

@@ -151,6 +151,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq === got.toSeq)
   }
 
+  test("windowed aggregation runs on the RocksDB state store provider") {
+    val s2 = spark.newSession()
+    EventStreams.rocksDbStateConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+    val stream = EventStreams.readStream(s2, eventsDir)
+    val q = EventStreams.hourlyTypeCounts(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rocksdb_hourly").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("rocksdb_hourly").orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val batch = EventStreams.hourlyTypeCounts(spark.read.parquet(eventsDir))
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("foreachBatch upsert streams micro-batches into a lake table") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake-stream")
     val lake = graft.sources.Lake(s"file://$tmp/lake")
