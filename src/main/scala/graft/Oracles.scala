@@ -366,8 +366,8 @@ object Oracles {
       ("WITH s AS (SELECT source, CASE WHEN doc_id % 100 < 80 THEN 'train' " +
         "WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split, n_chars " +
         "FROM documents) " +
-        "SELECT source, split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
-        "FROM s GROUP BY 1, 2"),
+        "SELECT source, split, count(*) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM s GROUP BY 1, 2"),
 
     "q67_data_quality" ->
       ("SELECT 'o_orderkey_not_null' AS check_name, CAST(count(*) AS BIGINT) AS n_rows, " +
@@ -381,7 +381,7 @@ object Oracles {
         "AS BIGINT) FROM orders"),
 
     "q68_hash_sample" ->
-      ("SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars " +
+      ("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents WHERE doc_id % 100 < 10 GROUP BY 1"),
 
     "q69_auto_range_join" ->

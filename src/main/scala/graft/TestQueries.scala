@@ -576,7 +576,9 @@ object TestQueries {
         Seq("train" -> 80, "val" -> 90, "test" -> 100),
         bucket = k => pmod(k.cast("long"), lit(100)))
       .groupBy("source", "split")
-      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
+      // exact-integer measure: avg() rounded to 2dp sits on a half-boundary
+      // at some scales and Spark/DuckDB disagree at the final ulp
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
 
   /** Two-pass min-max normalization + dispersion per group (feature
     * scaling): per-group extrema broadcast back over the fact.
@@ -632,7 +634,7 @@ object TestQueries {
     operators.Splits.hashSample(t(s, dir, "documents"), "doc_id", 10,
         bucket = k => pmod(k.cast("long"), lit(100)))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 2).as("avg_chars"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
 
   /** The [[plans.BinnedRangeJoinRule]] optimizer rule end-to-end: the join
     * is written as a NAIVE inequality join; with the bin-width conf set the
