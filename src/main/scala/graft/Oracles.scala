@@ -418,6 +418,10 @@ object Oracles {
         "SELECT l_suppkey, n, round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) " +
         "AS share FROM c CROSS JOIN t ORDER BY n DESC, l_suppkey LIMIT 10"),
 
+    "q74_kfold" ->
+      ("SELECT CAST(doc_id % 5 AS INTEGER) AS fold, count(*) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -688,6 +688,15 @@ object TestQueries {
   def q73SkewReport(s: SparkSession, dir: String): DataFrame =
     operators.Analytics.keySkew(t(s, dir, "lineitem"), "l_suppkey", 10)
 
+  /** K-fold assignment ([[operators.Splits.kFold]]) — modulo fold for
+    * cross-engine parity; xxhash64 default covered by SplitsSpec.
+    */
+  def q74KFold(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.kFold(t(s, dir, "documents"), "doc_id", 5,
+        fold = c => c.cast("long"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -766,5 +775,6 @@ object TestQueries {
     "q71_corr" -> (q71Corr _),
     "q72_pii_redact" -> (q72PiiRedact _),
     "q73_skew_report" -> (q73SkewReport _),
+    "q74_kfold" -> (q74KFold _),
   )
 }

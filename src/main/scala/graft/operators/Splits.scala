@@ -36,6 +36,17 @@ object Splits {
     df.withColumn("split", label)
   }
 
+  /** K-fold assignment for cross-validation: fold = stable hash of the key
+    * mod k. Same stability contract as [[hashSplit]] — folds are
+    * reproducible row-by-row, and all derived tables keyed the same way
+    * fold identically.
+    */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+            fold: Column => Column = c => pmod(xxhash64(c), lit(1000))): DataFrame = {
+    require(k > 1)
+    df.withColumn("fold", pmod(fold(col(keyCol)), lit(k)).cast("int"))
+  }
+
   /** Content-hash sample: keep rows whose key hashes below `percent`. Same
     * stability rationale as [[hashSplit]] — unlike `df.sample`, membership
     * doesn't depend on partitioning or a per-run RNG stream, so a 1%

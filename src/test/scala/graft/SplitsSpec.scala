@@ -40,6 +40,16 @@ class SplitsSpec extends AnyFunSuite {
     assert(before.except(after).count() === 0 && after.except(before).count() === 0)
   }
 
+  test("kFold covers all folds, stably, with roughly equal sizes") {
+    val a = Splits.kFold(keys, "id", 5)
+    val b = Splits.kFold(keys, "id", 5)
+    assert(a.except(b).count() === 0)
+    val sizes = a.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(0, 1, 2, 3, 4))
+    sizes.values.foreach(n => assert(math.abs(n - 2000L) < 300, sizes))
+  }
+
   test("hashSplit rejects malformed boundaries") {
     intercept[IllegalArgumentException] {
       Splits.hashSplit(keys, "id", Seq("train" -> 80, "test" -> 90))
