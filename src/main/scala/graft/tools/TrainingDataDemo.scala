@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.Engine
+import graft.functions.Text
+import graft.operators.{CorpusPipeline, Quality, Splits}
+import graft.sources.{Lake, Layout, Snapshot, Tables}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation demo — the extension operators chained
+  * the way a pipeline consumes them:
+  *
+  *   bronze ingest → curate (annotate / quality-filter / two-tier dedup) →
+  *   PII redaction → deterministic split + k-fold → quality gate →
+  *   z-ordered silver write → gold rollup → snapshot diff vs bronze.
+  *
+  * Usage: runMain graft.tools.TrainingDataDemo [sfDir] [lakeRoot]
+  */
+object TrainingDataDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val lakeRoot = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-training-lake").toString)
+    val spark = Engine.localSession(appName = "training-data-demo")
+    val lake = Lake(lakeRoot)
+
+    // 1. bronze: raw ingest
+    val docs = Tables.load(spark, sfDir, "documents")
+    lake.write(docs, "bronze", "documents")
+    println(s"bronze: ${docs.count()} raw docs → $lakeRoot/bronze")
+
+    // 2. curate: annotate → quality/lang filter → exact + MinHash dedup
+    val curated = CorpusPipeline.curate(docs)
+    println(s"curated: ${curated.count()} docs survive quality+dedup")
+
+    // 3. scrub PII, assign reproducible splits and folds
+    val prepared = Splits.kFold(
+      Splits.hashSplit(
+        curated.withColumn("text", Text.redactPii(col("text"))),
+        "doc_id", Seq("train" -> 80, "val" -> 90, "test" -> 100)),
+      "doc_id", k = 5)
+
+    // 4. quality gate before promotion (single-pass audit)
+    val audit = Quality.audit(prepared, Seq(
+      Quality.notNull("doc_id"),
+      Quality.notNull("text"),
+      Quality.inSet("split", Seq("train", "val", "test")),
+      Quality.unique("doc_id")))
+    audit.show(truncate = false)
+    val failed = audit.where(col("n_failed") > 0).count()
+    require(failed == 0, s"$failed audit checks failed — aborting promotion")
+
+    // 5. silver: z-ordered on (n_chars, quality) for stat-based pruning
+    Layout.zorderWrite(prepared, Seq("n_chars", "quality"),
+      lake.path("silver", "documents"), numFiles = 8)
+    val silver = lake.read(spark, "silver", "documents")
+    println(s"silver: ${silver.count()} docs, z-ordered → silver/documents")
+
+    // 6. gold: per (source, split) rollup maintained additively
+    lake.mergeAggregate(spark, "gold", "corpus_stats",
+      silver.groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars")),
+      keys = Seq("source", "split"), sumCols = Seq("n", "sum_chars"))
+    lake.read(spark, "gold", "corpus_stats").orderBy("source", "split")
+      .show(40, truncate = false)
+
+    // 7. audit trail: what did curation drop/change vs bronze?
+    Snapshot.diffSummary(
+        docs.select("doc_id", "text"),
+        silver.select("doc_id", "text"), Seq("doc_id"))
+      .orderBy("change").show(truncate = false)
+
+    spark.stop()
+  }
+}
