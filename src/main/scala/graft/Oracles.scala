@@ -422,6 +422,17 @@ object Oracles {
       ("SELECT CAST(doc_id % 5 AS INTEGER) AS fold, count(*) AS n, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"),
 
+    "q75_jaccard_exact" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t " +
+        "FROM documents WHERE doc_id < 50), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)]) AS s FROM toks) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "ORDER BY jaccard DESC, id_a, id_b LIMIT 20"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

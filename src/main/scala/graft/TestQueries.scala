@@ -697,6 +697,27 @@ object TestQueries {
       .groupBy("fold")
       .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
 
+  /** Exact all-pairs n-gram Jaccard on a bounded subset, top-20 — the
+    * deterministic complement to q38's LSH path (LSH recall is
+    * probabilistic, so only the exact formulation can be oracle-checked;
+    * DuckDB builds identical shingles via a list comprehension). Scores
+    * round BEFORE ranking, pair ids break ties.
+    */
+  def q75JaccardExact(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -776,5 +797,6 @@ object TestQueries {
     "q72_pii_redact" -> (q72PiiRedact _),
     "q73_skew_report" -> (q73SkewReport _),
     "q74_kfold" -> (q74KFold _),
+    "q75_jaccard_exact" -> (q75JaccardExact _),
   )
 }
