@@ -606,7 +606,8 @@ object TestQueries {
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
-    sources.Layout.zorderWrite(li, Seq("l_partkey", "l_extendedprice"), out, 16)
+    sources.Layout.zorderWrite(li, Seq("l_partkey", "l_extendedprice"), out, 16,
+      sampleFraction = 0.25) // cuts from a sample, as a 100 TB job would
     s.read.parquet(out)
       .groupBy(input_file_name().as("f"))
       .agg((max("l_partkey") - min("l_partkey")).as("pk_ext"),

@@ -21,11 +21,12 @@ object Layout {
     * driver-side array of ≤ 2^bits doubles — broadcast as literals, never
     * a shuffle.
     */
-  private def boundaries(df: DataFrame, cols: Seq[String],
-                         bits: Int): Seq[Array[Double]] = {
+  private def boundaries(df: DataFrame, cols: Seq[String], bits: Int,
+                         sampleFraction: Double): Seq[Array[Double]] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
-    df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq.map(_.distinct)
+    val src = if (sampleFraction < 1.0) df.sample(sampleFraction, seed = 42) else df
+    src.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq.map(_.distinct)
   }
 
   /** Bucket index of `c` against sorted cut points: #(boundaries < value),
@@ -41,9 +42,16 @@ object Layout {
     * distributions still fill all buckets), then interleave the bucket
     * bits — bit `i` of column `c` lands at position `i * ncols + c`.
     */
-  def zorderKey(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 4): Column = {
+  /** `sampleFraction` < 1 sketches the quantile cuts on a sample — cut
+    * precision only shifts bucket boundaries slightly (clustering quality
+    * degrades gracefully), so at 100 TB you never pay a full scan for the
+    * cuts. Correctness is unaffected: every row still gets a key.
+    */
+  def zorderKey(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 4,
+                sampleFraction: Double = 1.0): Column = {
     require(cols.nonEmpty && bitsPerCol >= 1 && bitsPerCol * cols.size <= 63)
-    val cuts = boundaries(df, cols, bitsPerCol)
+    require(sampleFraction > 0 && sampleFraction <= 1.0)
+    val cuts = boundaries(df, cols, bitsPerCol, sampleFraction)
     val buckets = cols.zip(cuts).map { case (c, b) => bucketOf(col(c), b) }
     val terms = for {
       (b, ci) <- buckets.zipWithIndex
@@ -59,8 +67,10 @@ object Layout {
     * tight on every z-ordered column.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
-                  numFiles: Int, bitsPerCol: Int = 4): Unit = {
-    val keyed = df.withColumn("__z", zorderKey(df, cols, bitsPerCol))
+                  numFiles: Int, bitsPerCol: Int = 4,
+                  sampleFraction: Double = 1.0): Unit = {
+    val keyed = df.withColumn("__z",
+      zorderKey(df, cols, bitsPerCol, sampleFraction))
     keyed.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

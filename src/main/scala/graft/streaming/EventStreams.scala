@@ -167,6 +167,53 @@ object EventStreams {
       }
       .start()
 
+  // ---- custom state: transformWithState (Spark 4 arbitrary-state API) ------
+
+  final case class UserValue(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, total_value: Double, n_events: Long)
+  final case class TotState(total: Double, n: Long)
+
+  /** Running per-user totals on the `transformWithState` API — the Spark 4
+    * replacement for flatMapGroupsWithState: typed per-key `ValueState`
+    * handles with optional TTL, explicit TimeMode, and timer callbacks.
+    * Requires the RocksDB state store provider
+    * ([[rocksDbStateConfs]] — the operator rejects the default provider).
+    */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserValue, UserTotal] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[TotState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TotState]("totals",
+        Encoders.product[TotState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserValue],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val prev = if (st.exists()) st.get() else TotState(0.0, 0L)
+      var t = prev.total
+      var n = prev.n
+      rows.foreach { e => t += e.value; n += 1 }
+      st.update(TotState(t, n))
+      Iterator.single(UserTotal(key, t, n))
+    }
+  }
+
+  /** Continuously-updated per-user totals (update mode: one row per user
+    * per micro-batch it appears in, carrying the lifetime total).
+    */
+  def runningTotals(events: DataFrame): Dataset[UserTotal] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val uvEnc = Encoders.product[UserValue]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[UserTotal]
+    events.select(col("user_id"), col("value")).as[UserValue]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- custom state: flatMapGroupsWithState --------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

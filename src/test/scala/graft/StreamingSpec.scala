@@ -168,6 +168,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("transformWithState running totals match the batch aggregate") {
+    val s2 = spark.newSession()
+    EventStreams.rocksDbStateConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+    val q = EventStreams.runningTotals(EventStreams.readStream(s2, eventsDir))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_totals").start()
+    q.processAllAvailable()
+    q.stop()
+    // single micro-batch → one row per user with lifetime totals
+    val got = s2.table("tws_totals").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val batch = spark.read.parquet(eventsDir)
+      .groupBy("user_id").agg(sum("value"), count(lit(1)))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("foreachBatch upsert streams micro-batches into a lake table") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake-stream")
     val lake = graft.sources.Lake(s"file://$tmp/lake")
