@@ -423,7 +423,11 @@ object Oracles {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"),
 
     "q75_jaccard_exact" ->
-      ("WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t " +
+      // string_split_regex, not string_split(' '): Spark's shingle
+      // tokenizer splits on \s+, and a fixture with a double space or
+      // newline would silently diverge on a plain single-space split
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t " +
         "FROM documents WHERE doc_id < 50), " +
         "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
         "for i in range(1, len(t) - 1)]) AS s FROM toks) " +

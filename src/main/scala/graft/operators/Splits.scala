@@ -42,7 +42,7 @@ object Splits {
     * fold identically.
     */
   def kFold(df: DataFrame, keyCol: String, k: Int,
-            fold: Column => Column = c => pmod(xxhash64(c), lit(1000))): DataFrame = {
+            fold: Column => Column = c => xxhash64(c)): DataFrame = {
     require(k > 1)
     df.withColumn("fold", pmod(fold(col(keyCol)), lit(k)).cast("int"))
   }

@@ -26,7 +26,14 @@ object Layout {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
     val src = if (sampleFraction < 1.0) df.sample(sampleFraction, seed = 42) else df
-    src.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq.map(_.distinct)
+    val cuts = src.stat.approxQuantile(cols.toArray, probs, 0.01)
+      .toSeq.map(_.distinct)
+    // A too-small sample can come back empty → zero cut points → every row
+    // would get the same constant key. Fall back to the full input rather
+    // than silently losing the clustering.
+    if (sampleFraction < 1.0 && cuts.exists(_.isEmpty))
+      df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq.map(_.distinct)
+    else cuts
   }
 
   /** Bucket index of `c` against sorted cut points: #(boundaries < value),
@@ -41,8 +48,8 @@ object Layout {
   /** Z-order key: rank-bucket each column (quantile cuts, so skewed
     * distributions still fill all buckets), then interleave the bucket
     * bits — bit `i` of column `c` lands at position `i * ncols + c`.
-    */
-  /** `sampleFraction` < 1 sketches the quantile cuts on a sample — cut
+    *
+    * `sampleFraction` < 1 sketches the quantile cuts on a sample — cut
     * precision only shifts bucket boundaries slightly (clustering quality
     * degrades gracefully), so at 100 TB you never pay a full scan for the
     * cuts. Correctness is unaffected: every row still gets a key.

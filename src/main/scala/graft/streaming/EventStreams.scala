@@ -201,6 +201,9 @@ object EventStreams {
 
   /** Continuously-updated per-user totals (update mode: one row per user
     * per micro-batch it appears in, carrying the lifetime total).
+    * NULL-valued events are dropped up front: the `value` field decodes
+    * into a primitive Double, and one NULL would otherwise kill the whole
+    * streaming query at runtime.
     */
   def runningTotals(events: DataFrame): Dataset[UserTotal] = {
     import org.apache.spark.sql.Encoders
@@ -208,7 +211,9 @@ object EventStreams {
     implicit val uvEnc = Encoders.product[UserValue]
     implicit val keyEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[UserTotal]
-    events.select(col("user_id"), col("value")).as[UserValue]
+    events.select(col("user_id"), col("value"))
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .as[UserValue]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor, TimeMode.None(),
         OutputMode.Update())

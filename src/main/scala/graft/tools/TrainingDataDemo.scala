@@ -55,11 +55,14 @@ object TrainingDataDemo {
     val silver = lake.read(spark, "silver", "documents")
     println(s"silver: ${silver.count()} docs, z-ordered → silver/documents")
 
-    // 6. gold: per (source, split) rollup maintained additively
-    lake.mergeAggregate(spark, "gold", "corpus_stats",
+    // 6. gold: per (source, split) rollup. This is a FULL-snapshot
+    // aggregate, so an idempotent overwrite is correct — mergeAggregate is
+    // for incremental DELTAS (see EventStreams.hourlyGoldToLake) and would
+    // double-count on a re-run.
+    lake.write(
       silver.groupBy("source", "split")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars")),
-      keys = Seq("source", "split"), sumCols = Seq("n", "sum_chars"))
+      "gold", "corpus_stats")
     lake.read(spark, "gold", "corpus_stats").orderBy("source", "split")
       .show(40, truncate = false)
 

@@ -155,11 +155,8 @@ class StreamingSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     EventStreams.rocksDbStateConfs.foreach { case (k, v) => s2.conf.set(k, v) }
     val stream = EventStreams.readStream(s2, eventsDir)
-    val q = EventStreams.hourlyTypeCounts(stream)
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("rocksdb_hourly").start()
-    q.processAllAvailable()
-    q.stop()
+    EventStreams.runToMemory(EventStreams.hourlyTypeCounts(stream),
+      "rocksdb_hourly", mode = "complete")
     val got = s2.table("rocksdb_hourly").orderBy("hour_start", "event_type")
       .collect().map(r => (r.getString(1), r.getLong(2)))
     val batch = EventStreams.hourlyTypeCounts(spark.read.parquet(eventsDir))
@@ -171,11 +168,9 @@ class StreamingSpec extends AnyFunSuite {
   test("transformWithState running totals match the batch aggregate") {
     val s2 = spark.newSession()
     EventStreams.rocksDbStateConfs.foreach { case (k, v) => s2.conf.set(k, v) }
-    val q = EventStreams.runningTotals(EventStreams.readStream(s2, eventsDir))
-      .writeStream.outputMode("update").format("memory")
-      .queryName("tws_totals").start()
-    q.processAllAvailable()
-    q.stop()
+    EventStreams.runToMemory(
+      EventStreams.runningTotals(EventStreams.readStream(s2, eventsDir)).toDF(),
+      "tws_totals", mode = "update")
     // single micro-batch → one row per user with lifetime totals
     val got = s2.table("tws_totals").orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
