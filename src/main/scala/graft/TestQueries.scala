@@ -719,6 +719,22 @@ object TestQueries {
       .limit(20)
   }
 
+  /** Multimodal → ANN hand-off: media payloads through the batched feature
+    * extractor ([[operators.Multimodal.extractFeatures]]) into cosine
+    * top-k — the media-dedup/retrieval shape. Rows-only (the stub decoder
+    * has no SQL equivalent); the per-stage pieces are oracle/spec-checked
+    * (q42, MultimodalSpec, q39).
+    */
+  def q76MediaAnn(s: SparkSession, dir: String): DataFrame = {
+    val media = operators.Multimodal.fromText(
+      t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text")
+    val feats = operators.Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      .localCheckpoint() // corpus AND query side — avoid double extraction
+    operators.Similarity.bruteForceTopK(feats,
+      feats.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -799,5 +815,6 @@ object TestQueries {
     "q73_skew_report" -> (q73SkewReport _),
     "q74_kfold" -> (q74KFold _),
     "q75_jaccard_exact" -> (q75JaccardExact _),
+    "q76_media_ann" -> (q76MediaAnn _),
   )
 }
