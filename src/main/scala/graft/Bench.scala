@@ -19,18 +19,30 @@ object Bench {
     // Best-of-2 per query: the first run can absorb janino compilation for
     // that query's plan shape plus transient host noise; the minimum is the
     // steady-state cost a warmed cluster would see.
+    // A query that throws reports -1.0 (never a fast-looking timing) and its
+    // error lands in the "errors" field — a regression that breaks a query
+    // must read as a failure, not a speedup.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r]", " ").take(200)
+          -1.0
+        }
       }
-      name -> math.min(once(), once())
+      val a = once()
+      val b = if (a < 0) a else math.min(a, once())
+      name -> b
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,10 @@ case class CosineSim(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element yields null overall (ArrayData.getFloat on a null
+      // slot returns undefined garbage — same contract as zip_with's
+      // null-poisoning, but explicit instead of silent)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = xs.getFloat(i).toDouble
       val y = ys.getFloat(i).toDouble
       dot += x * y
@@ -70,14 +74,17 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $x = (double) $a.getFloat($i);
          |    final double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y;
          |    $na += $x * $x;
          |    $nb += $y * $y;
          |  }
-         |  final double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  ${ev.value} = ($d == 0.0) ? 0.0 : ($dot / $d);
+         |  if (!${ev.isNull}) {
+         |    final double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($d == 0.0) ? 0.0 : ($dot / $d);
+         |  }
          |}
        """.stripMargin
     })

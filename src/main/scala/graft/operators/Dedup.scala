@@ -170,17 +170,30 @@ object Dedup {
 
   // ---- Transitive closure over candidate pairs -----------------------------
 
-  /** Connected components over an undirected pair list via iterative
-    * min-label propagation (GraphX-CC shape without the dependency): each
-    * node adopts the min label among itself and its neighbors until fixed
-    * point. Iterations are bounded by component diameter — near-dup
-    * clusters are shallow, so this converges in a few rounds; each round is
-    * one join + one aggregate, with `localCheckpoint` cutting lineage so
-    * plans don't grow across iterations.
+  /** Connected components over an undirected pair list via min-label
+    * propagation WITH pointer jumping (label-of-label compression): each
+    * round a node takes `c = min(own label, neighbors' labels)` and then
+    * jumps through `c`'s previous label — so the frontier DOUBLES per round
+    * and convergence is O(log diameter), not O(diameter) (a 200-node chain
+    * converges in ~9 rounds; plain propagation needs 200).
+    *
+    * Each round is ONE materialization job: the changed-flag is computed
+    * inside the same plan as the new labels (the old label is already on the
+    * row), `localCheckpoint(eager)` pins the result, and the convergence
+    * probe is a max() over the pinned blocks — no separate join-and-count
+    * job re-executing the round (the previous formulation ran a second full
+    * join per round just to count changes). On a cluster, swap
+    * `localCheckpoint` for reliable checkpoints / intermediate tables.
+    *
+    * Iteration bound: after `t` rounds every label has reached the minimum
+    * over its ~2^t-hop neighborhood, so `maxIter = 20` covers component
+    * diameters up to ~10^6. If the bound is hit before the fixed point the
+    * current (partially-converged) labels are returned — raise `maxIter`
+    * for adversarially deep graphs.
     *
     * Returns (id, cluster) where cluster = min id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
@@ -192,17 +205,25 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "nid"), col("id_b") === col("nid"))
         .groupBy("id_a").agg(min("cluster").as("ncluster"))
+      // candidate = min over closed neighborhood; jump = candidate's own
+      // previous label (labels is checkpointed, so referencing it twice in
+      // this plan re-reads pinned blocks, not recomputed lineage)
       val next = labels
         .join(neighborMin.withColumnRenamed("id_a", "nid"),
           col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val changed = next.withColumnRenamed("cluster", "c2")
-        .join(labels, Seq("id"))
-        .where(col("c2") =!= col("cluster")).count()
-      labels = next
-      converged = changed == 0
+        .select(col("id"), col("cluster").as("__old"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("__cand"))
+        .join(labels.select(col("id").as("__cid"), col("cluster").as("__cc")),
+          col("__cand") === col("__cid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__cand"), coalesce(col("__cc"), col("__cand"))).as("cluster"))
+        .withColumn("__changed", (col("cluster") =!= col("__old")).cast("int"))
+        .select("id", "cluster", "__changed")
+        .localCheckpoint(eager = true)
+      // coalesce: max over an empty label set (no pairs at all) is null
+      converged = next.agg(coalesce(max(col("__changed")), lit(0)).as("c"))
+        .head.getAs[Int]("c") == 0
+      labels = next.select("id", "cluster")
       i += 1
     }
     labels

@@ -88,11 +88,26 @@ object Joins {
     * and scatter the large side's hot keys across the replicas, so no
     * single reducer owns a hot key. AQE's skew-join handles moderate skew
     * automatically; salting is the explicit tool for pathological keys.
+    *
+    * The salt derives from the large row's CONTENT (xxhash64 over all its
+    * columns), never from `monotonically_increasing_id()` or `rand()` —
+    * those change with partition layout and task retries, so two runs of
+    * the same input could route rows differently (results stay equal, but
+    * partition-level placement and any downstream per-partition effect
+    * would not be reproducible). Content-hashing is stable across
+    * partitioning, retries, and engines; identical duplicate rows sharing a
+    * salt is acceptable — exact-duplicate rows are not the skew being
+    * scattered, hot KEYS with varied payloads are.
     */
+  /** The row→salt mapping used by [[saltedJoin]] (exposed for spec-level
+    * determinism assertions): content hash of every column, mod `salt`.
+    */
+  private[graft] def saltOf(df: DataFrame, salt: Int) =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salt: Int): DataFrame = {
-    val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedLarge = large.withColumn("__salt", saltOf(large, salt))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

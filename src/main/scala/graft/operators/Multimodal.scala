@@ -91,7 +91,10 @@ object Multimodal {
         val out = new Array[Byte](math.min(target, math.max(payload.length, 1)))
         var i = 0
         while (i < out.length) {
-          out(i) = if (payload.isEmpty) 0 else payload(i * payload.length / out.length)
+          // Long arithmetic: i * payload.length overflows Int for MB-scale
+          // payloads (4095 * 1_048_576 > Int.MaxValue) → negative index.
+          out(i) = if (payload.isEmpty) 0
+            else payload((i.toLong * payload.length / out.length).toInt)
           i += 1
         }
         Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),

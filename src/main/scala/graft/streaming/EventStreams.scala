@@ -132,6 +132,15 @@ object EventStreams {
     * not idempotent. A last-applied-batch-id marker next to the table makes
     * the replay a no-op (batch ids are monotonic, and only the most recent
     * batch can replay).
+    *
+    * RESIDUAL WINDOW — the marker narrows, but does not close, the
+    * double-fold hazard: a crash after `mergeAggregate` overwrites the table
+    * but before the marker write leaves the fold applied with a stale
+    * marker, so the replayed batch folds twice. Plain parquet offers no
+    * atomic multi-file commit, so fold+marker cannot be made transactional
+    * here; on Delta/Iceberg the fix is exact — record `batchId` in the same
+    * commit as the MERGE (e.g. `txnAppId`/`txnVersion`) and the replay check
+    * becomes transactional with the data.
     */
   def hourlyGoldToLake(events: DataFrame, lake: graft.sources.Lake,
                        zone: String, table: String, checkpoint: String):

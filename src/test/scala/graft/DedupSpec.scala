@@ -76,6 +76,22 @@ class DedupSpec extends AnyFunSuite {
     val _ = docs2 // transitivity of the full path covered by the chain above
   }
 
+  test("connectedComponents: 200-node chain converges within default maxIter (pointer jumping)") {
+    // diameter 200 ≫ maxIter 20: plain min-propagation moves the label one
+    // hop per round and would return partial labels; pointer jumping
+    // doubles reach per round (~log2(200)+slack ≈ 9 rounds)
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 200)
+    assert(cc.forall(_._2 === 1L))
+  }
+
+  test("connectedComponents: empty pair set yields empty labels, no error") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(none).count() === 0)
+  }
+
   test("jaccard verification scores candidate pairs exactly") {
     val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.jaccardVerify(docs, cands, "doc_id", "text", n = 3, threshold = 0.0)

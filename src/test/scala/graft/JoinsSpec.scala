@@ -59,6 +59,17 @@ class JoinsSpec extends AnyFunSuite {
     assert(binned.length === binned.toSet.size) // exactly-once per (row, range)
   }
 
+  test("saltedJoin salt assignment is content-derived: identical across partitionings") {
+    val rows = Seq.tabulate(500)(i => (if (i % 3 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    def saltMap(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt", Joins.saltOf(df, 8))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // monotonically_increasing_id-based salting changes with partition
+    // layout; content-derived salting must not
+    assert(saltMap(rows.repartition(1)) === saltMap(rows.repartition(7)))
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     val large = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
       .toDF("key", "v")
