@@ -22,6 +22,54 @@ object Oracles {
       "WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon' " +
       "WHEN hour(ts) BETWEEN 17 AND 21 THEN 'evening' ELSE 'night' END"
 
+  /** Shared CTE prefix: per-doc distinct 3-token shingle sets, identical to
+    * Spark's `Text.shingles(text, 3)` (lowercase, \s+ tokenization), docs
+    * with < 3 tokens excluded — the same population the LSH path shingles.
+    */
+  private val shingleCtes =
+    "toks AS (SELECT doc_id, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+      "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3)"
+
+  private val exactJaccard =
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+
+  /** Spark `Text.qualityScore` transliterated: identical double arithmetic
+    * (divide → scale → clamp → combine, in the same order both engines
+    * evaluate IEEE-deterministically).
+    */
+  private val qualitySql = {
+    def classCount(re: String) =
+      s"(length(text) - length(regexp_replace(text, '$re', '', 'g')))"
+    def penalty(re: String, w: String) =
+      "least(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        s"CAST(${classCount(re)} AS DOUBLE) / CAST(length(text) AS DOUBLE) END * $w, 1.0)"
+    "greatest(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) - (" +
+      penalty("[.,;:!?]", "5.0") + " + " + penalty("[0-9]", "3.0") + " + " +
+      penalty("[A-Z]", "2.0") + ") / 3.0, 0.0)"
+  }
+
+  /** Spark `Text.languageId` tie-break order (en > de > fr > es, 'und' when
+    * no stopword hits) as a CASE — shared by q35 and the q45b pipeline.
+    */
+  private val langCase =
+    "CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und' " +
+      "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' " +
+      "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
+      "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+
+  private val langScoreCtes =
+    "ltoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS lt " +
+      "FROM documents), " +
+      "lsc AS (SELECT doc_id, " +
+      "len(list_filter(lt, t -> t IN ('the','and','of','to','in','is','that','for','with'))) AS s_en, " +
+      "len(list_filter(lt, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','für'))) AS s_de, " +
+      "len(list_filter(lt, t -> t IN ('le','la','et','les','des','est','pas','pour','que'))) AS s_fr, " +
+      "len(list_filter(lt, t -> t IN ('el','la','que','de','los','es','por','con','para'))) AS s_es " +
+      "FROM ltoks)"
+
   val sql: ListMap[String, String] = ListMap(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -209,7 +257,83 @@ object Oracles {
         "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
         "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM sc"),
 
+    // Exact all-pairs truth: q38's LSH→verify output hash-matching this is
+    // a 100%-recall gate on the candidate generation (any banding bug that
+    // drops a >=0.5-Jaccard pair fails the compare).
+    "q38_jaccard_dups" ->
+      (s"WITH $shingleCtes " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"round($exactJaccard, 4) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        s"WHERE $exactJaccard >= 0.5"),
+
+    // Exact connected components over exact-Jaccard pairs via recursive
+    // CTE — survivors are docs from which no smaller doc is reachable.
+    "q77_transitive_dedup" ->
+      (s"WITH RECURSIVE $shingleCtes, " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        s"WHERE $exactJaccard >= 0.5), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+        "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src)"),
+
+    // annotate → filter → exact-normalized dedup → select: the full q45b
+    // pipeline composition in SQL.
+    "q45b_corpus_pipeline_exact" ->
+      (s"WITH $langScoreCtes, " +
+        "ann AS (SELECT d.doc_id, d.text, " +
+        "CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        s"$qualitySql AS quality, " +
+        s"$langCase AS lang_pred, " +
+        "regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g') AS norm " +
+        "FROM documents d JOIN lsc ON d.doc_id = lsc.doc_id), " +
+        "f AS (SELECT * FROM ann WHERE n_tokens >= 5 AND quality >= 0.05 " +
+        "AND lang_pred IN ('en')), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY norm) " +
+        "SELECT doc_id, lang_pred, n_tokens, round(quality, 4) AS quality " +
+        "FROM f WHERE doc_id IN (SELECT doc_id FROM k)"),
+
+    // Read-only z-order cell statistics: range-quarter buckets from global
+    // min/max scalars, Morton interleave (bit i of col c -> position
+    // i*ncols + c; for 2 cols x 2 bits: (bp&1) + (bp&2)*2 + (be&1)*2 +
+    // (be&2)*4), per-cell counts and extents.
+    "q66_zorder_stats" ->
+      ("WITH mm AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi, " +
+        "min(l_extendedprice) AS pr_lo, max(l_extendedprice) AS pr_hi FROM lineitem), " +
+        "b AS (SELECT l_partkey, l_extendedprice, " +
+        "((CASE WHEN CAST(l_partkey AS DOUBLE) > CAST(pk_lo AS DOUBLE) + 1 * ((CAST(pk_hi AS DOUBLE) - CAST(pk_lo AS DOUBLE)) / 4.0) THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(l_partkey AS DOUBLE) > CAST(pk_lo AS DOUBLE) + 2 * ((CAST(pk_hi AS DOUBLE) - CAST(pk_lo AS DOUBLE)) / 4.0) THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN CAST(l_partkey AS DOUBLE) > CAST(pk_lo AS DOUBLE) + 3 * ((CAST(pk_hi AS DOUBLE) - CAST(pk_lo AS DOUBLE)) / 4.0) THEN 1 ELSE 0 END)) AS bp, " +
+        "((CASE WHEN l_extendedprice > pr_lo + 1 * ((pr_hi - pr_lo) / 4.0) THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN l_extendedprice > pr_lo + 2 * ((pr_hi - pr_lo) / 4.0) THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN l_extendedprice > pr_lo + 3 * ((pr_hi - pr_lo) / 4.0) THEN 1 ELSE 0 END)) AS be " +
+        "FROM lineitem CROSS JOIN mm) " +
+        "SELECT CAST((bp & 1) + (bp & 2) * 2 + (be & 1) * 2 + (be & 2) * 4 AS BIGINT) AS zcell, " +
+        "count(*) AS n, min(l_partkey) AS pk_min, max(l_partkey) AS pk_max, " +
+        "min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max " +
+        "FROM b GROUP BY 1"),
+
     "q39_embedding_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id <= 20), " +
+        "c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings), " +
+        "s AS (SELECT query_id, nbr_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM q, c WHERE query_id <> nbr_id), " +
+        "r AS (SELECT query_id, nbr_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rnk FROM s) " +
+        "SELECT query_id, nbr_id, CAST(rnk AS BIGINT) AS \"rank\", " +
+        "round(cos, 6) AS cos_r FROM r WHERE rnk <= 3"),
+
+    // identical SQL to q39: nprobe = numCells makes IVF exactly brute force
+    "q39d_ivf_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
         "WHERE vec_id <= 20), " +
         "c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings), " +

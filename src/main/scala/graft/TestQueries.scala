@@ -317,6 +317,21 @@ object TestQueries {
         round(col("cos"), 6).as("cos_r"))
   }
 
+  /** IVF top-k through the Lloyd-iterated quantizer with `nprobe =
+    * numCells`: every cell probed → EXACTLY brute force (each corpus vector
+    * is in one cell), so the full IVF machinery — Lloyd centroids, cell
+    * assignment, probe join, scoring — is oracle-checked against the exact
+    * SQL. Production recall at nprobe ≪ numCells is spec-asserted
+    * (SimilaritySpec) since a partial probe has no SQL equivalent.
+    */
+  def q39dIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", k = 3, numCells = 8, nprobe = 8)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -359,6 +374,20 @@ object TestQueries {
   def q45CorpusPipeline(s: SparkSession, dir: String): DataFrame =
     operators.CorpusPipeline.curate(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy("doc_id")
+
+  /** The curation pipeline with the near-dup tier swapped for exact
+    * fingerprint dedup ([[operators.CorpusPipeline.curateExact]]) — every
+    * stage (annotate → quality/lang filter → normalized dedup → select) is
+    * SQL-expressible, so the COMPOSITION is hash-checked end-to-end, not
+    * just the stages; q45 keeps the LSH tier whose recall gates via
+    * q38/q77.
+    */
+  def q45bCorpusPipelineExact(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusPipeline.curateExact(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang_pred"),
+        col("n_tokens").cast("long").as("n_tokens"),
         round(col("quality"), 4).as("quality"))
       .orderBy("doc_id")
 
@@ -596,27 +625,36 @@ object TestQueries {
         count(lit(1)).as("n"))
   }
 
-  /** Z-order layout effectiveness ([[sources.Layout.zorderWrite]]): cluster
-    * lineitem on (l_partkey, l_extendedprice), then report per-file min/max
-    * extents — the statistic parquet pruning runs on. Rows-only gate (file
-    * split is environment-dependent); LayoutSpec asserts the clustering
-    * quantitatively.
+  /** Z-order layout statistics, READ-ONLY and oracle-checked: bucket both
+    * cluster columns into range quarters (global min/max scalars broadcast
+    * back — one extra tiny aggregate, no sketch), Morton-interleave the
+    * bucket bits through [[sources.Layout.interleave]] (the exact bit math
+    * `zorderWrite` files by), and report per-cell row counts and column
+    * extents — the statistic parquet min/max pruning sees. No filesystem
+    * write, so the result is environment-independent and the DuckDB oracle
+    * replicates the full bucket+interleave arithmetic; the write path
+    * (repartitionByRange + per-file extents, sampled quantile cuts) stays
+    * covered by LayoutSpec.
     */
   def q66ZorderStats(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
-    sources.Layout.zorderWrite(li, Seq("l_partkey", "l_extendedprice"), out, 16,
-      sampleFraction = 0.25) // cuts from a sample, as a 100 TB job would
-    s.read.parquet(out)
-      .groupBy(input_file_name().as("f"))
-      .agg((max("l_partkey") - min("l_partkey")).as("pk_ext"),
-        (max("l_extendedprice") - min("l_extendedprice")).as("price_ext"),
-        count(lit(1)).as("rows"))
-      .agg(count(lit(1)).cast("long").as("n_files"),
-        round(avg("pk_ext"), 2).as("avg_pk_extent"),
-        round(avg("price_ext"), 2).as("avg_price_extent"),
-        sum("rows").as("total_rows"))
+    val mm = li.agg(min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+      min("l_extendedprice").as("pr_lo"), max("l_extendedprice").as("pr_hi"))
+    def bucket(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+               hi: org.apache.spark.sql.Column) =
+      (0 until 3).map { k =>
+        when(v.cast("double") > lo + lit(k + 1) * ((hi - lo) / lit(4.0)), 1)
+          .otherwise(0)
+      }.reduce(_ + _)
+    li.crossJoin(broadcast(mm))
+      .withColumn("zcell", sources.Layout.interleave(Seq(
+        bucket(col("l_partkey"), col("pk_lo").cast("double"), col("pk_hi").cast("double")),
+        bucket(col("l_extendedprice"), col("pr_lo"), col("pr_hi"))), bitsPerCol = 2))
+      .groupBy("zcell")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+        min("l_extendedprice").as("price_min"), max("l_extendedprice").as("price_max"))
   }
 
   /** Single-pass data-quality audit ([[operators.Quality.audit]]): N checks
@@ -719,15 +757,29 @@ object TestQueries {
       .limit(20)
   }
 
-  /** Multimodal → ANN hand-off: media payloads through the batched feature
-    * extractor ([[operators.Multimodal.extractFeatures]]) into cosine
-    * top-k — the media-dedup/retrieval shape. Rows-only (the stub decoder
-    * has no SQL equivalent); the per-stage pieces are oracle/spec-checked
-    * (q42, MultimodalSpec, q39).
+  /** Verified-transitive dedup, oracle-checked end-to-end: LSH candidates →
+    * exact-Jaccard verify (≥ 0.5) → connected components over verified
+    * pairs → surviving doc ids. The DuckDB oracle computes exact
+    * connected components over exact-Jaccard pairs with a recursive CTE, so
+    * a hash-match proves BOTH 100% LSH recall at the threshold AND a
+    * correct transitive closure ([[operators.Dedup.minhashKeepIdsTransitiveVerified]]).
+    */
+  def q77TransitiveDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashKeepIdsTransitiveVerified(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      .orderBy("doc_id")
+
+  /** Multimodal → ANN hand-off: REAL PNG payloads (text bytes packed into
+    * lossless rasters, [[operators.Multimodal.textToPng]]) through the
+    * batched ImageIO feature extractor
+    * ([[operators.Multimodal.extractFeatures]] → real pixel luma
+    * histograms) into cosine top-k — the media-dedup/retrieval shape.
+    * Rows-only (a real codec has no SQL equivalent); the per-stage pieces
+    * are oracle/spec-checked (q42, MultimodalSpec, q39).
     */
   def q76MediaAnn(s: SparkSession, dir: String): DataFrame = {
-    val media = operators.Multimodal.fromText(
-      t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text")
+    val media = operators.Multimodal.textToPng(
+      t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text").toDF()
     val feats = operators.Multimodal.extractFeatures(media, dim = 16).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
       .localCheckpoint() // corpus AND query side — avoid double extraction
@@ -780,11 +832,13 @@ object TestQueries {
     "q39_embedding_topk" -> (q39EmbeddingTopk _),
     "q39b_embedding_norms" -> (q39bEmbeddingNorms _),
     "q39c_lsh_topk" -> (q39cLshTopk _),
+    "q39d_ivf_topk" -> (q39dIvfTopk _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
     "q44_csv_roundtrip" -> (q44CsvRoundtrip _),
     "q45_corpus_pipeline" -> (q45CorpusPipeline _),
+    "q45b_corpus_pipeline_exact" -> (q45bCorpusPipelineExact _),
     "q46_asof_join" -> (q46AsofJoin _),
     "q47_salted_join" -> (q47SaltedJoin _),
     "q48_json_extract" -> (q48JsonExtract _),
@@ -816,5 +870,6 @@ object TestQueries {
     "q74_kfold" -> (q74KFold _),
     "q75_jaccard_exact" -> (q75JaccardExact _),
     "q76_media_ann" -> (q76MediaAnn _),
+    "q77_transitive_dedup" -> (q77TransitiveDedup _),
   )
 }

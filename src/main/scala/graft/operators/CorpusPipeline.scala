@@ -55,4 +55,17 @@ object CorpusPipeline {
   def curate(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text", cfg: Config = Config()): DataFrame =
     dedup(qualityFilter(annotate(docs, textCol), cfg), idCol, textCol, cfg)
+
+  /** The pipeline with the near-dup tier swapped for exact
+    * normalized-fingerprint dedup only — every stage SQL-expressible, so
+    * the whole composition (annotate → filter → dedup → select) is
+    * hash-checked end-to-end by the gate (q45b); [[curate]] adds the
+    * LSH tier, whose recall is gated separately (q38/q77).
+    */
+  def curateExact(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", cfg: Config = Config()): DataFrame = {
+    val filtered = qualityFilter(annotate(docs, textCol), cfg)
+    val keep = filtered.groupBy("fp").agg(min(col(idCol)).as(idCol)).select(idCol)
+    filtered.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -243,6 +243,29 @@ object Dedup {
       .join(victims, col(idCol) === col("victim"), "left_anti")
   }
 
+  /** Verified transitive dedup: LSH candidates → exact-Jaccard
+    * verification at `threshold` → connected components over the VERIFIED
+    * pairs → survivors (each component's min id, plus unpaired docs).
+    * Unlike [[minhashKeepIdsTransitive]] this never deletes on an LSH false
+    * positive: every edge in the closure has exact Jaccard ≥ threshold, so
+    * the result equals exact connected components whenever LSH recall is
+    * 100% — the oracle-checked configuration (gate q77's DuckDB oracle is a
+    * recursive-CTE closure over exact-Jaccard pairs).
+    */
+  def minhashKeepIdsTransitiveVerified(df: DataFrame, idCol: String,
+                                       textCol: String, shingleSize: Int = 3,
+                                       numHashes: Int = 16, bands: Int = 4,
+                                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val verified = jaccardVerify(df, cands, idCol, textCol, n, threshold)
+      .select("id_a", "id_b")
+    val victims = connectedComponents(verified)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("victim"))
+    df.select(col(idCol))
+      .join(victims, col(idCol) === col("victim"), "left_anti")
+  }
+
   // ---- Rolling-hash chunk dedup --------------------------------------------
 
   /** Partial-overlap candidates via content-defined chunking

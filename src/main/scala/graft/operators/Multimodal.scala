@@ -5,19 +5,31 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns beside typed metadata, mirroring how a 100 TB
   * training-data lake stores media (bytes in parquet/blob store, features
   * extracted in-pipeline).
   *
-  * The decode step is STUBBED — this container has no image/audio codecs —
-  * with a deterministic fake ([[fakeDecodeFeatures]]) so every piece of
-  * Spark-side plumbing (schema, batched `mapPartitions`, partition sizing,
-  * feature schema) is real and tested; swap the stub for a JNI/codec call
-  * in production. Batching per partition matters at scale: the codec is
+  * Image payloads (PNG/JPEG/GIF/BMP, sniffed by magic bytes) take a REAL
+  * decode path through `javax.imageio` — in the JDK, zero external
+  * dependencies: [[decodeFeatures]] computes a luma histogram over actual
+  * pixels, [[resize]] renders a true scaled raster and re-encodes PNG.
+  * Non-image payloads (and undecodable bytes) fall back to the
+  * deterministic fakes ([[fakeDecodeFeatures]], [[resizeStub]] semantics),
+  * standing in for audio/video codecs this container lacks. Either way the
+  * Spark-side plumbing (schema, batched `mapPartitions`, feature width) is
+  * identical. Batching per partition matters at scale: the codec is
   * amortized per-partition (like an Arrow batch UDF), not per-row.
   */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache writes a temp file per decode —
+  // pure overhead for byte-array streams on an executor.
+  ImageIO.setUseCache(false)
 
   /** Canonical media-row schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -33,9 +45,55 @@ object Multimodal {
                                  n_bytes: Long, checksum: Long,
                                  feature: Array[Float])
 
-  /** STUB decoder: deterministic features derived from the payload bytes.
-    * Stands in for `decode → resize → embed`; same signature and batch
-    * shape as a real codec-backed implementation.
+  /** Magic-byte sniff — decides whether to hand bytes to ImageIO at all
+    * (cheap guard; ImageIO reader discovery per non-image row is not).
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||  // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                          // BMP
+
+  /** Real image decode via the JDK's ImageIO; None for non-image or
+    * corrupt payloads (callers fall back to the deterministic fake).
+    */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    if (payload == null || !looksLikeImage(payload)) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Pixel-derived features: a `dim`-bucket luma histogram normalized by
+    * pixel count. Deterministic for lossless formats (decoded raster ==
+    * encoded raster) and stable across encoders for the same pixels.
+    */
+  def imageFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w == 0 || h == 0) return out
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        out(math.min(dim - 1, luma * dim / 256)) += 1.0f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    var i = 0
+    while (i < dim) { out(i) /= n; i += 1 }
+    out
+  }
+
+  /** STUB decoder for non-image modalities: deterministic features derived
+    * from the payload bytes. Stands in for `decode → embed` for the codecs
+    * (audio/video) this container lacks; same signature and batch shape.
     */
   def fakeDecodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
@@ -47,6 +105,13 @@ object Multimodal {
     out
   }
 
+  /** Dispatching decoder: real pixel features for decodable images, the
+    * deterministic fake for everything else.
+    */
+  def decodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] =
+    decodeImage(payload).map(imageFeatures(_, dim))
+      .getOrElse(fakeDecodeFeatures(payload, dim))
+
   /** Metadata pass — pure expressions, no decode: byte size + checksum per
     * payload. Runs entirely scan-side.
     */
@@ -56,9 +121,11 @@ object Multimodal {
       crc32(col("payload")).as("checksum"))
 
   /** Feature extraction over batched partitions. `mapPartitions` (not a
-    * per-row UDF) so a real decoder can init once per partition/batch —
-    * the JVM analog of a Pandas-batch UDF. Output is a typed Dataset with a
-    * fixed-width feature vector ready for [[Similarity]] / [[Dedup]].
+    * per-row UDF) so the decoder initializes once per partition/batch —
+    * the JVM analog of a Pandas-batch UDF. Image payloads decode through
+    * ImageIO ([[decodeFeatures]]); others use the fake. Output is a typed
+    * Dataset with a fixed-width feature vector ready for [[Similarity]] /
+    * [[Dedup]].
     */
   def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -72,15 +139,61 @@ object Multimodal {
           modality = r.getAs[String]("modality"),
           n_bytes = bytes.length.toLong,
           checksum = { val c = new java.util.zip.CRC32(); c.update(bytes); c.getValue },
-          feature = fakeDecodeFeatures(bytes, dim))
+          feature = decodeFeatures(bytes, dim))
       }
     }
   }
 
-  /** STUB resize: deterministic byte-stride downsample standing in for
-    * `decode → resize → re-encode`. The plumbing is the real part: payload
-    * replaced in place, width/height metadata updated, executed per
-    * partition so a real codec initializes once.
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def scaleImage(img: BufferedImage, width: Int, height: Int): BufferedImage = {
+    val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, width, height, null)
+    finally g.dispose()
+    out
+  }
+
+  /** Resize: decodable image payloads are truly rescaled (ImageIO decode →
+    * Graphics2D render at target dims → PNG re-encode, mime updated);
+    * non-image payloads keep the deterministic byte-stride downsample of
+    * [[resizeStub]]. Per-partition execution so a codec initializes once.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): Dataset[Row] = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val target = width * height
+    media.select(mediaSchema.fieldNames.map(col): _*).mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+        decodeImage(payload) match {
+          case Some(img) =>
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+              "image/png", encodePng(scaleImage(img, width, height)),
+              width, height, r.getAs[Any]("duration_ms"))
+          case None =>
+            val out = new Array[Byte](math.min(target, math.max(payload.length, 1)))
+            var i = 0
+            while (i < out.length) {
+              // Long arithmetic: i * payload.length overflows Int for
+              // MB-scale payloads → negative index.
+              out(i) = if (payload.isEmpty) 0
+                else payload((i.toLong * payload.length / out.length).toInt)
+              i += 1
+            }
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+              r.getAs[String]("mime"), out, width, height, r.getAs[Any]("duration_ms"))
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB resize (fallback semantics of [[resize]], kept addressable for
+    * non-image pipelines): deterministic byte-stride downsample; payload
+    * replaced in place, width/height metadata updated.
     */
   def resizeStub(media: DataFrame, width: Int, height: Int): Dataset[Row] = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
@@ -133,4 +246,34 @@ object Multimodal {
       lit(null).cast("int").as("width"),
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
+
+  /** Build a media table of REAL PNGs from any (id, text) source: utf-8
+    * bytes packed 3-per-RGB-pixel into a fixed-width raster, PNG-encoded
+    * per partition. PNG is lossless, so downstream decodes recover exactly
+    * these pixels — a deterministic real-codec corpus for exercising the
+    * ImageIO path ([[decodeFeatures]], [[resize]]) without binary fixtures.
+    */
+  def textToPng(df: DataFrame, idCol: String, textCol: String,
+                rasterWidth: Int = 32): Dataset[Row] = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = Option(r.getAs[String]("text"))
+            .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nPix = math.max(1, (bytes.length + 2) / 3)
+          val h = (nPix + rasterWidth - 1) / rasterWidth
+          val img = new BufferedImage(rasterWidth, h, BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < rasterWidth * h) {
+            def b(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else 0
+            img.setRGB(p % rasterWidth, p / rasterWidth,
+              (b(p * 3) << 16) | (b(p * 3 + 1) << 8) | b(p * 3 + 2))
+            p += 1
+          }
+          Row(r.getAs[Long]("media_id"), "image", "image/png", encodePng(img),
+            rasterWidth, h, null)
+        }
+      }(enc)
+  }
 }

@@ -68,28 +68,47 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
-  /** IVF coarse-quantizer centroids: deterministic hash-seeded cells, then
-    * position-wise mean per cell — a k-means-lite single iteration, enough
-    * structure to bound candidate sets (swap in ml-lib KMeans for more
-    * iterations). Returns (cell0, centroid array<double>); always
-    * numCells-sized → broadcastable at any corpus scale.
+  /** IVF coarse-quantizer centroids via Lloyd's algorithm, all-DataFrame:
+    * deterministic hash-seeded initial cells (position-wise mean per
+    * cell), then `iters` Lloyd rounds — assign every vector to its nearest
+    * centroid (broadcast join, corpus scanned once per round), recompute
+    * position-wise means. Each round's centroid table is numCells rows →
+    * `localCheckpoint` pins it so plans stay flat and the broadcast input
+    * is materialized, never a re-derivation. Returns (cell0, centroid
+    * array<double>); always numCells-sized → broadcastable at any corpus
+    * scale. A cell that loses every member simply drops out (k shrinks),
+    * which only merges probe sets — never loses candidates.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   numCells: Int, seed: Long = 42L): DataFrame =
-    corpus.select(
-        pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
-        posexplode(col(vecCol)).as(Seq("pos", "x")))
+                   numCells: Int, seed: Long = 42L, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val vecsOnly = corpus.select(col(idCol), col(vecCol))
+    def meansOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell0"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("cell0", "pos").agg(avg("x").as("cx"))
       .groupBy("cell0").agg(
         transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s.getField("cx")).as("centroid"))
+    var centroids = meansOf(corpus.select(
+        pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
+        col(vecCol)))
+      .localCheckpoint(eager = true)
+    var i = 1
+    while (i < iters) {
+      val assigned = nearestCells(vecsOnly, idCol, vecCol, centroids, 1)
+        .select(col("cell").as("cell0"), col(vecCol))
+      centroids = meansOf(assigned).localCheckpoint(eager = true)
+      i += 1
+    }
+    centroids
+  }
 
   /** Assign every vector to its nearest centroid (one broadcast of the
     * centroid table, one scan of the corpus).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                numCells: Int, seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed)
+                numCells: Int, seed: Long = 42L, iters: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters)
     nearestCells(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, 1)
       .select(col(idCol), col("cell"), col("dist"))
@@ -109,12 +128,15 @@ object Similarity {
 
   /** IVF top-k: score only corpus vectors in the query's nearest `nprobe`
     * cells — the scan per query shrinks by ~numCells/nprobe while recall
-    * stays high for clustered corpora.
+    * stays high for clustered corpora. With `nprobe = numCells` every cell
+    * is probed and the result is EXACTLY brute force (each corpus vector
+    * lives in one cell, so each (query, corpus) pair scores once) — the
+    * oracle-checked configuration; production sets nprobe ≪ numCells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed)
+              nprobe: Int = 4, seed: Long = 42L, iters: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters)
     val corpusCells = nearestCells(corpus.select(col(idCol), col(vecCol)),
         idCol, vecCol, centroids, 1)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("cell"))

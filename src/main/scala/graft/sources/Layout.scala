@@ -45,9 +45,24 @@ object Layout {
       acc + when(c.cast("double") > b, 1).otherwise(0)
     }
 
+  /** Morton bit-interleave of pre-computed per-column bucket ranks: bit `i`
+    * of column `c` lands at position `i * ncols + c`. Public (and pure
+    * arithmetic — SQL-expressible) so gates can hash-check the interleave
+    * math read-only, without a quantile sketch or a filesystem write.
+    */
+  def interleave(buckets: Seq[Column], bitsPerCol: Int): Column = {
+    require(buckets.nonEmpty && bitsPerCol >= 1 && bitsPerCol * buckets.size <= 63)
+    val terms = for {
+      (b, ci) <- buckets.zipWithIndex
+      bit <- 0 until bitsPerCol
+    } yield shiftleft(b.bitwiseAND(lit(1 << bit)).cast("long")
+        , bit * (buckets.size - 1) + ci) // value already carries 2^bit; shift the rest
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Z-order key: rank-bucket each column (quantile cuts, so skewed
-    * distributions still fill all buckets), then interleave the bucket
-    * bits — bit `i` of column `c` lands at position `i * ncols + c`.
+    * distributions still fill all buckets), then [[interleave]] the bucket
+    * bits.
     *
     * `sampleFraction` < 1 sketches the quantile cuts on a sample — cut
     * precision only shifts bucket boundaries slightly (clustering quality
@@ -56,16 +71,11 @@ object Layout {
     */
   def zorderKey(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 4,
                 sampleFraction: Double = 1.0): Column = {
-    require(cols.nonEmpty && bitsPerCol >= 1 && bitsPerCol * cols.size <= 63)
+    require(cols.nonEmpty)
     require(sampleFraction > 0 && sampleFraction <= 1.0)
     val cuts = boundaries(df, cols, bitsPerCol, sampleFraction)
-    val buckets = cols.zip(cuts).map { case (c, b) => bucketOf(col(c), b) }
-    val terms = for {
-      (b, ci) <- buckets.zipWithIndex
-      bit <- 0 until bitsPerCol
-    } yield shiftleft(b.bitwiseAND(lit(1 << bit)).cast("long")
-        , bit * (cols.size - 1) + ci) // value already carries 2^bit; shift the rest
-    terms.reduce(_.bitwiseOR(_))
+    interleave(cols.zip(cuts).map { case (c, b) => bucketOf(col(c), b) },
+      bitsPerCol)
   }
 
   /** Write `df` clustered on the Z-curve: range-partition by the key (file

@@ -57,6 +57,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // 4 orthogonal-axis clusters × 10 vectors in 8 dims, deterministic jitter
+  private lazy val clustered = {
+    val rows = for (c <- 0 until 4; i <- 0 until 10) yield {
+      val v = Array.fill(8)(0.0f)
+      v(c * 2) = 1.0f
+      v(c * 2 + 1) = 0.05f * (i % 5)
+      ((c * 10 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK probing every cell equals brute force exactly") {
+    val q = clustered.where(col("vec_id") % 7 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Int]("rank"))).toSet
+    val bf = asSet(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
+    val ivf = asSet(Similarity.ivfTopK(clustered, q, "vec_id", "embedding", 3,
+      numCells = 4, nprobe = 4))
+    assert(ivf === bf)
+  }
+
+  test("Lloyd-iterated IVF recall >= LSH recall on a clustered corpus") {
+    val q = clustered.where(col("vec_id") % 9 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
+    def recall(approx: Set[(Long, Long)]) =
+      approx.intersect(exact).size.toDouble / exact.size
+    val ivfR = recall(pairs(Similarity.ivfTopK(clustered, q, "vec_id", "embedding",
+      3, numCells = 4, nprobe = 1)))
+    val lshR = recall(pairs(Similarity.lshTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numPlanes = 4)))
+    assert(ivfR >= lshR)   // the quantizer separates the clusters
+    assert(ivfR >= 0.9)    // near-perfect at nprobe=1 on cleanly-clustered data
+  }
+
   test("IVF assigns every vector to exactly one cell") {
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", numCells = 2)
     assert(assigned.count() === 5)
