@@ -44,23 +44,45 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
-  /** Cosine-LSH top-k: only corpus vectors in the query's hyperplane bucket
-    * are scored. Recall is approximate (bucket may miss true neighbors);
-    * multi-probe = rerun with different seeds and union. Shuffle key is the
-    * compact signature string.
+  /** Multi-table cosine-LSH top-k: `numTables` independent hyperplane sets
+    * (seeds seed..seed+L-1); a corpus vector is a candidate for a query if
+    * they share a bucket in ANY table. Per-pair candidate probability is
+    * 1-(1-p^planes)^tables for hyperplane-agreement probability p =
+    * 1-θ/π, so recall is tuned by (numPlanes, numTables): more planes →
+    * smaller buckets (better pruning, lower per-table recall), more tables
+    * → recall back up. A single 6-plane table measured 5% top-3 recall on
+    * the structureless synthetic embeddings — multi-table is what makes
+    * LSH-ANN usable (the gate's 3×10 configuration measures ~0.9, spec-
+    * asserted ≥ 0.8 in SimilaritySpec).
+    *
+    * One corpus scan: all L signatures are computed scan-side and exploded
+    * in-flight (rows ×L carry only (id, vec, table, sig)), the query side
+    * is broadcast, so the corpus never shuffles; duplicate candidates
+    * (pairs sharing buckets in several tables) collapse in a compact
+    * (query, nbr) aggregate before ranking.
+    *
+    * On a corpus with NO cluster structure high recall necessarily means
+    * scoring most of the corpus (no hash can prune what geometry doesn't
+    * separate) — for clustered corpora the same parameters prune hard. See
+    * [[ivfTopK]] for the quantizer-based alternative.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
-              numPlanes: Int = 6, seed: Long = 42L): DataFrame = {
-    val planes = randomPlanes(numPlanes, dim, seed)
-    val sig = (v: Column) => Vectors.lshSignature(v, planes)
+              numPlanes: Int = 3, seed: Long = 42L,
+              numTables: Int = 10): DataFrame = {
+    val tables = (0 until numTables).map(t => randomPlanes(numPlanes, dim, seed + t))
+    def sigs(v: Column) = explode(array(tables.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), Vectors.lshSignature(v, planes).as("sig"))
+    }: _*))
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
-      sig(col(vecCol)).as("sig"))
+      sigs(col(vecCol)).as("ts"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sig(col(vecCol)).as("sig"))
-    val scored = c.join(broadcast(q), Seq("sig"))
+      sigs(col(vecCol)).as("ts"))
+    val scored = c.join(broadcast(q), Seq("ts"))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("nbr_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id", "nbr_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -76,6 +76,87 @@ class DedupSpec extends AnyFunSuite {
     val _ = docs2 // transitivity of the full path covered by the chain above
   }
 
+  test("MinHash-LSH candidate recall on the sf0.001 corpus: 100% of exact Jaccard>=0.5 pairs") {
+    // The measured-recall gate at default parameters (16 hashes, 4 bands):
+    // exact truth from all-pairs shingle Jaccard, candidates must cover it.
+    // Deterministic — fixed data, fixed seeds.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+        array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(cands).size.toDouble / exact.size
+    assert(recall === 1.0, s"missed: ${exact -- cands}")
+  }
+
+  test("SimHash candidates include EVERY pair at Hamming <= 3 (pigeonhole guarantee)") {
+    // <= 3 differing bits cannot touch all 4 16-bit blocks, so any pair at
+    // Hamming <= 3 shares a block and MUST bucket together — a hard
+    // recall-1.0 contract, checked against all-pairs Hamming truth.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val toks = base.split(" ")
+    val variants = toks.indices.map { i =>
+      (100L + i, toks.updated(i, s"swap$i").mkString(" "))
+    }
+    val vdocs = (Seq((1L, base), (2L, base)) ++ variants).toDF("doc_id", "text")
+    val sigs = vdocs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val close = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      if java.lang.Long.bitCount(sigs(x) ^ sigs(y)) <= 3
+    } yield (x, y)).toSet
+    assert(close.nonEmpty) // at least the exact-dup pair exercises the bound
+    val cands = Dedup.simhashCandidatePairs(vdocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.forall(cands.contains), s"missed: ${close -- cands}")
+  }
+
+  test("chunk dedup planted recall: every pair sharing a long passage is found, only those") {
+    val docs = (0 until 5).flatMap { i =>
+      // varied (non-periodic) content: a repetitive passage can lack any
+      // content-defined boundary, leaving no complete chunk to share
+      val passage = (0 until 60).map(j => s"p${i}word${j}x${i * 7 + j * 3}").mkString(" ")
+      // openings/closings differ from their first character — a shared
+      // prefix longer than the chunk window would itself become a shared
+      // first chunk across documents
+      Seq((i * 2L, s"$i${('a' + i).toChar}-distinct-opening-$i. " + passage),
+        (i * 2L + 1, passage + s" ${i}z-distinct-closing-$i"))
+    } :+ (100L, "completely unrelated filler text with no shared passages at all")
+    val pairs = Dedup.chunkCandidatePairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 5).map(i => (i * 2L, i * 2L + 1)).toSet
+    assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}") // recall 1.0
+    assert(pairs === planted, s"false positives: ${pairs -- planted}")
+  }
+
+  test("group sketch estimate within tolerance of exact Jaccard at mid-range overlap") {
+    val words = (0 until 90).map(i => s"word$i")
+    val grouped = Seq(
+      ("ga", words.slice(0, 60).mkString(" ")),
+      ("gb", words.slice(30, 90).mkString(" "))
+    ).toDF("source", "text")
+    // exact Jaccard of the two sources' distinct 3-shingle sets
+    val sh = grouped.select(col("source"),
+      array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+    val Array(sa, sb) = sh.orderBy("source").collect()
+      .map(_.getAs[Seq[String]]("sh").toSet)
+    val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(exact > 0.2 && exact < 0.8) // genuinely mid-range
+    val est = Dedup.groupMinhashSimilarity(grouped, "source", "text")
+      .collect()(0).getAs[Double]("est_jaccard")
+    // 64-coordinate sketch: stderr ~ sqrt(j(1-j)/64) ~ 0.06; 0.15 is 2.5 sigma
+    assert(math.abs(est - exact) <= 0.15, s"est $est vs exact $exact")
+  }
+
   test("connectedComponents: 200-node chain converges within default maxIter (pointer jumping)") {
     // diameter 200 ≫ maxIter 20: plain min-propagation moves the label one
     // hop per round and would return partial labels; pointer jumping

@@ -68,6 +68,9 @@ class SimilaritySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  private def nbrPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+
   test("ivfTopK probing every cell equals brute force exactly") {
     val q = clustered.where(col("vec_id") % 7 === 0)
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -79,19 +82,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf === bf)
   }
 
-  test("Lloyd-iterated IVF recall >= LSH recall on a clustered corpus") {
+  test("Lloyd-iterated IVF recall >= single-table LSH recall on a clustered corpus") {
     val q = clustered.where(col("vec_id") % 9 === 0)
-    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
-    val exact = pairs(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
+    val exact = nbrPairs(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
     def recall(approx: Set[(Long, Long)]) =
       approx.intersect(exact).size.toDouble / exact.size
-    val ivfR = recall(pairs(Similarity.ivfTopK(clustered, q, "vec_id", "embedding",
+    val ivfR = recall(nbrPairs(Similarity.ivfTopK(clustered, q, "vec_id", "embedding",
       3, numCells = 4, nprobe = 1)))
-    val lshR = recall(pairs(Similarity.lshTopK(clustered, q, "vec_id", "embedding",
-      dim = 8, k = 3, numPlanes = 4)))
+    val lshR = recall(nbrPairs(Similarity.lshTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numPlanes = 4, numTables = 1)))
     assert(ivfR >= lshR)   // the quantizer separates the clusters
     assert(ivfR >= 0.9)    // near-perfect at nprobe=1 on cleanly-clustered data
+  }
+
+  test("multi-table LSH top-3 recall >= 0.8 vs exact on the structureless embeddings") {
+    // The hard case: sf0.001 embeddings are near-random (top-1 cos ~0.35),
+    // where a single 6-plane table measured ~5% recall. q39c's gate
+    // parameters (3 planes x 10 tables) must measure >= 0.8; deterministic
+    // because data and seeds are fixed.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") <= 20)
+    val exact = nbrPairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3))
+    val multi = nbrPairs(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 3))
+    val single = nbrPairs(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 3, numPlanes = 6, numTables = 1))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    assert(recall(multi) >= 0.8)
+    assert(recall(multi) > recall(single)) // the tables are why
   }
 
   test("IVF assigns every vector to exactly one cell") {
