@@ -35,17 +35,30 @@ final case class Lake(root: String) {
 
   /** MERGE-style keyed upsert: rows in `updates` replace current rows with
     * the same `key`; among collisions the greatest `versionCol` wins, and at
-    * equal versions the incoming row wins. Plain parquet has no MVCC, so
-    * this is read → union → window-dedup → snapshot rewrite
-    * (`localCheckpoint` pins the merged result before overwriting its own
-    * source, same safety as `Tables.replaceTable`); on a Delta/Iceberg lake
-    * the identical call site maps to `MERGE INTO`, which rewrites only
-    * touched files. The dedup is one shuffle on `key` — updates are
-    * typically a small fraction of the table, and on a real lake the
-    * rewrite cost is bounded by partition pruning on the union.
+    * equal versions the incoming row wins.
+    *
+    * `deleteCol` (MERGE's WHEN MATCHED AND flag THEN DELETE): an update row
+    * whose boolean flag is true deletes its key — IF it wins the version
+    * race. A stale delete (older version than the current row) loses and is
+    * discarded; a delete for an absent key is a no-op; the winning delete
+    * leaves no tombstone, so a later higher-versioned insert simply
+    * re-creates the key. The flag column never persists to the table.
+    *
+    * ISOLATION: plain parquet has no MVCC, so this is read → union →
+    * window-dedup → snapshot rewrite (`localCheckpoint` pins the merged
+    * result before overwriting its own source, same safety as
+    * `Tables.replaceTable`). Writers serialize per call, but a READER whose
+    * plan was resolved before the overwrite observes the file swap:
+    * FileNotFound or the new snapshot — never the old isolated snapshot
+    * (LakeSpec documents this gap). On Delta/Iceberg the identical call
+    * site maps to `MERGE INTO`, which rewrites only touched files and
+    * gives readers snapshot isolation. The dedup is one shuffle on `key` —
+    * updates are typically a small fraction of the table, and on a real
+    * lake the rewrite cost is bounded by partition pruning on the union.
     */
   def upsert(spark: SparkSession, zone: String, table: String,
-             updates: DataFrame, key: String, versionCol: String): Unit = {
+             updates: DataFrame, key: String, versionCol: String,
+             deleteCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val target = path(zone, table)
@@ -55,13 +68,21 @@ final case class Lake(root: String) {
     }
     val merged =
       if (exists)
+        // allowMissingColumns: current rows carry a NULL delete flag when
+        // the table was written without one
         spark.read.parquet(target).withColumn("__src", lit(0))
-          .unionByName(updates.withColumn("__src", lit(1)))
+          .unionByName(updates.withColumn("__src", lit(1)),
+            allowMissingColumns = true)
       else updates.withColumn("__src", lit(1))
     val w = Window.partitionBy(key)
       .orderBy(col(versionCol).desc, col("__src").desc)
-    merged.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn", "__src")
+    val winners = merged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val alive = deleteCol match {
+      case Some(d) => winners.where(!coalesce(col(d), lit(false))).drop(d)
+      case None => winners
+    }
+    alive.drop("__rn", "__src")
       .localCheckpoint(eager = true)
       .write.mode("overwrite").parquet(target)
   }

@@ -51,6 +51,49 @@ class LakeSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("a", 5L, 15.0), ("b", 1L, 1.0), ("c", 1L, 7.0)))
   }
 
+  test("upsert with delete flags: winning delete removes key, stale delete loses, absent-key delete no-op") {
+    val lake = newLake()
+    val base = Seq(("a", 1L, 10.0), ("b", 1L, 20.0), ("c", 5L, 30.0))
+      .toDF("k", "ver", "v")
+    lake.upsert(spark, "silver", "del", base, "k", "ver")
+    val updates = Seq(
+      ("a", 2L, 0.0, true),    // delete wins (newer version) → key gone
+      ("b", 2L, 25.0, false),  // plain update
+      ("c", 1L, 0.0, true),    // STALE delete (ver 1 < current 5) → discarded
+      ("x", 1L, 0.0, true)     // delete of absent key → no-op
+    ).toDF("k", "ver", "v", "is_deleted")
+    lake.upsert(spark, "silver", "del", updates, "k", "ver",
+      deleteCol = Some("is_deleted"))
+    val got = lake.read(spark, "silver", "del")
+    assert(got.columns.toSet === Set("k", "ver", "v")) // flag never persists
+    val rows = got.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(("b", 2L, 25.0), ("c", 5L, 30.0)))
+    // deletes leave no tombstone: a later higher-versioned insert re-creates
+    lake.upsert(spark, "silver", "del",
+      Seq(("a", 3L, 11.0)).toDF("k", "ver", "v"), "k", "ver")
+    assert(lake.read(spark, "silver", "del").where(col("k") === "a").count() === 1)
+  }
+
+  test("plain-parquet isolation gap: a pre-overwrite reader never sees the old snapshot") {
+    // Documents the Delta/Iceberg MVCC gap explicitly: a reader plan
+    // resolved BEFORE an upsert overwrite either fails (files swapped out
+    // from under it) or re-lists and sees the NEW data — plain parquet
+    // cannot serve the old isolated snapshot. On a transactional lake the
+    // same read would pin the pre-merge version.
+    val lake = newLake()
+    lake.upsert(spark, "silver", "iso",
+      Seq(("a", 1L, 1.0)).toDF("k", "ver", "v"), "k", "ver")
+    val stale = lake.read(spark, "silver", "iso") // plan + file listing pinned now
+    lake.upsert(spark, "silver", "iso",
+      Seq(("b", 1L, 2.0), ("c", 1L, 3.0)).toDF("k", "ver", "v"), "k", "ver")
+    val observed = try Left(stale.count()) catch { case e: Throwable => Right(e) }
+    observed match {
+      case Left(n) => assert(n === 3L, "reader saw neither old nor new snapshot")
+      case Right(_) => succeed // FileNotFound-style failure: the honest outcome
+    }
+  }
+
   test("streamed hourly gold equals the batch aggregate") {
     val eventsDir = java.nio.file.Files.createTempDirectory("graft-gold-ev").toString
     Seq(
