@@ -272,16 +272,32 @@ object Dedup {
     * ([[graft.functions.expressions.RollingChunkHashes]]): docs sharing any
     * chunk fingerprint pair up. Catches long shared passages that MinHash
     * misses when the rest of the document differs. Shuffle key is the
-    * 8-byte chunk hash; per-chunk pairing is bucket-bounded like LSH.
+    * 8-byte chunk hash.
+    *
+    * `maxDocsPerChunk` (stop-chunk cap): a chunk shared by more than this
+    * many docs is boilerplate (headers, license text, navigation chrome) —
+    * pairing inside it is quadratic and the pairs carry no dedup signal.
+    * ScaleCheck measured exponent 2.11 (10× data → 114× pairs, 288 s)
+    * without the cap; with it the operator is linear. The cap is enforced
+    * with a count-aggregate + semi-join BEFORE any `collect_list`, so a
+    * pathologically hot chunk never materializes its full doc array in one
+    * task (count partials combine map-side; the collect only ever sees
+    * buckets ≤ the cap). The chunk stream is recomputed once for the count
+    * pass — scan-side work, cheaper at scale than pinning it.
     */
   def chunkCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                          window: Int = 16, maskBits: Int = 6): DataFrame = {
+                          window: Int = 16, maskBits: Int = 6,
+                          maxDocsPerChunk: Int = 64): DataFrame = {
     val chunked = df.select(col(idCol).as("id"),
         explode(array_distinct(graft.functions.expressions.TextHashExpressions
           .rollingChunkHashes(col(textCol), window, maskBits))).as("chunk"))
-    chunked.groupBy("chunk")
+    val sharedBounded = chunked.groupBy("chunk")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1 && col("cnt") <= maxDocsPerChunk)
+      .select("chunk")
+    chunked.join(sharedBounded, Seq("chunk"), "left_semi")
+      .groupBy("chunk")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_chunks"))

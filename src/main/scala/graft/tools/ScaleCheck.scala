@@ -1,13 +1,24 @@
 package graft.tools
 
 import graft.Engine
-import graft.operators.{Dedup, Joins, Scd, Similarity}
+import graft.operators.{Dedup, Joins, Scd, Sessionize, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scaling sanity check: replicate sf0.1 tables 10× (shifted keys) into
-  * /tmp and compare operator runtimes at 1× vs 10×. Near-linear ratios are
-  * evidence the plans don't have a hidden quadratic/driver bottleneck.
+/** Scaling measurement: replicate the sf0.1 tables `rep`× (≈ sf1 at the
+  * default 10) and compare operator runtimes at 1× vs rep×, reporting the
+  * per-operator scaling exponent `log_rep(t_rep / t_1)` — 1.0 is perfectly
+  * linear, anything ≳ 1.3 is flagged as a super-linear outlier (hidden
+  * quadratic step, driver bottleneck, or broadcast threshold crossed).
+  * Writes the table to SCALING.md.
+  *
+  * Replication is content-aware, not just key-shifted: document TEXT is
+  * vowel-permuted per replica (`translate`) so replicas are genuinely
+  * different corpora — naive copies make every doc a near-dup of its 9
+  * clones, and the dedup operators would then (correctly!) emit ~100× the
+  * candidate pairs, measuring data pathology instead of operator scaling.
+  * Within-replica duplicate structure is preserved (dups transform alike).
+  *
   * Usage: runMain graft.tools.ScaleCheck [replication]
   */
 object ScaleCheck {
@@ -15,82 +26,132 @@ object ScaleCheck {
     val rep = args.headOption.map(_.toInt).getOrElse(10)
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$rep"
-    val spark = Engine.localSession(8, "scalecheck")
+    val spark = Engine.localSession(Engine.defaultCores, "scalecheck")
+    spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, keyCols: Seq[String]): Unit = {
+    val vowelPerms = "aeiou".permutations.take(rep).toIndexedSeq
+
+    def replicate(name: String, keyCols: Seq[String],
+                  textCols: Seq[String] = Nil): Unit = {
       val src = spark.read.parquet(s"$base/$name.parquet")
       val shifted = (0 until rep).map { i =>
-        keyCols.foldLeft(src)((d, k) =>
+        val keyed = keyCols.foldLeft(src)((d, k) =>
           d.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+        textCols.foldLeft(keyed)((d, t) =>
+          d.withColumn(t, translate(col(t), "aeiou", vowelPerms(i))))
       }.reduce(_ union _)
       shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
-    replicate("documents", Seq("doc_id"))
+    replicate("documents", Seq("doc_id"), textCols = Seq("text"))
     replicate("embeddings", Seq("vec_id"))
+    replicate("events", Seq("event_id", "user_id"))
 
-    def time(label: String)(f: => Long): Unit = {
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    val ops: Seq[(String, String => Long)] = Seq(
+      "star_join" -> { dir =>
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        val c = spark.read.parquet(s"$dir/customer.parquet")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .count()
+      },
+      "exact_dedup" -> { dir =>
+        Dedup.exactKeepIds(docs(dir), "doc_id", Seq("text")).count()
+      },
+      "minhash_pairs" -> { dir =>
+        Dedup.minhashCandidatePairs(docs(dir), "doc_id", "text").count()
+      },
+      "simhash_pairs" -> { dir =>
+        Dedup.simhashCandidatePairs(docs(dir), "doc_id", "text").count()
+      },
+      "chunk_pairs" -> { dir =>
+        Dedup.chunkCandidatePairs(docs(dir), "doc_id", "text").count()
+      },
+      "transitive_dedup" -> { dir =>
+        Dedup.minhashKeepIdsTransitiveVerified(docs(dir), "doc_id", "text",
+          threshold = 0.5).count()
+      },
+      "ann_brute" -> { dir =>
+        val e = emb(dir)
+        Similarity.bruteForceTopK(e, e.where(col("vec_id") <= 20),
+          "vec_id", "embedding", 3).count()
+      },
+      "ann_lsh" -> { dir =>
+        val e = emb(dir)
+        Similarity.lshTopK(e, e.where(col("vec_id") <= 20),
+          "vec_id", "embedding", dim = 64, k = 3).count()
+      },
+      "range_join" -> { dir =>
+        val bands = spark.range(0, 40).select(col("id").as("band_id"),
+          (col("id") * lit(2500.0)).as("lo"), ((col("id") + 1) * lit(2500.0)).as("hi"))
+        Joins.rangeJoinBinned(spark.read.parquet(s"$dir/lineitem.parquet"),
+            "l_extendedprice", bands, "lo", "hi", 2500.0)
+          .groupBy("band_id").count().count()
+      },
+      "tfidf" -> { dir =>
+        val d = docs(dir)
+        val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfq), "term").count()
+      },
+      "sessionize" -> { dir =>
+        Sessionize.perUserStats(graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_id", 1800).count()
+      },
+      "scd2" -> { dir =>
+        Scd.scd2(docs(dir).select(col("source"), col("doc_id"), col("lang")),
+          key = "source", ts = "doc_id", attrs = Seq("lang")).count()
+      })
+
+    def timeOf(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    def starJoin(dir: String): Long = {
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      val o = spark.read.parquet(s"$dir/orders.parquet")
-      val c = spark.read.parquet(s"$dir/customer.parquet")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-        .count()
-    }
-    def minhash(dir: String): Long =
-      Dedup.minhashCandidatePairs(
-        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text").count()
-    def ann(dir: String): Long = {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 20),
-        "vec_id", "embedding", 3).count()
+    // warm every op once at 1× (janino + scan infra), then measure both
+    ops.foreach { case (_, f) => f(base) }
+    val results = ops.map { case (name, f) =>
+      val (t1, n1) = timeOf(f(base))
+      val (tN, nN) = timeOf(f(out))
+      val exp = math.log(tN / t1) / math.log(rep.toDouble)
+      println(f"SCALE $name%-18s t1=$t1%6.2fs t${rep}x=$tN%6.2fs rows $n1%d -> $nN%d exp=$exp%.2f")
+      (name, t1, tN, n1, nN, exp)
     }
 
-    def rangeJoin(dir: String): Long = {
-      val bands = spark.range(0, 40).select(col("id").as("band_id"),
-        (col("id") * lit(2500.0)).as("lo"), ((col("id") + 1) * lit(2500.0)).as("hi"))
-      Joins.rangeJoinBinned(spark.read.parquet(s"$dir/lineitem.parquet"),
-          "l_extendedprice", bands, "lo", "hi", 2500.0)
-        .groupBy("band_id").count().count()
+    val md = new StringBuilder
+    md ++= s"# Scaling: sf0.1 → ${rep}× (≈ sf${"%.1f".format(0.1 * rep)})\n\n"
+    md ++= "Per-operator wall-clock at 1× vs ${REP}× replicated data and the\n"
+      .replace("${REP}", rep.toString)
+    md ++= s"scaling exponent `log_$rep(t_$rep/t_1)` — 1.0 = linear; > 1.3 flagged.\n"
+    md ++= "Replication is content-aware (document text vowel-permuted per\n" +
+      "replica) so dedup operators see genuinely new corpora, not clone\n" +
+      "pathology. Measured on local[" + Engine.defaultCores + "] after warm-up.\n\n"
+    md ++= s"| operator | t(sf0.1) s | t(×$rep) s | rows 1× | rows ${rep}× | exponent | verdict |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    results.foreach { case (name, t1, tN, n1, nN, exp) =>
+      val verdict =
+        if (exp <= 1.1) "linear"
+        else if (exp <= 1.3) "near-linear"
+        else "FLAG super-linear"
+      md ++= f"| $name | $t1%.2f | $tN%.2f | $n1 | $nN | $exp%.2f | $verdict |\n"
     }
-    def tfidf(dir: String): Long = {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val terms = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfq), "term").count()
-    }
-    def scd2(dir: String): Long =
-      Scd.scd2(spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("source"), col("doc_id"), col("lang")),
-        key = "source", ts = "doc_id", attrs = Seq("lang")).count()
-
-    // warm both paths once, then measure
-    starJoin(base); minhash(base); ann(base); rangeJoin(base); tfidf(base); scd2(base)
-    time("star_join_1x")(starJoin(base))
-    time(s"star_join_${rep}x")(starJoin(out))
-    time("minhash_1x")(minhash(base))
-    time(s"minhash_${rep}x")(minhash(out))
-    time("ann_1x")(ann(base))
-    time(s"ann_${rep}x")(ann(out))
-    time("range_join_1x")(rangeJoin(base))
-    time(s"range_join_${rep}x")(rangeJoin(out))
-    time("tfidf_1x")(tfidf(base))
-    time(s"tfidf_${rep}x")(tfidf(out))
-    time("scd2_1x")(scd2(base))
-    time(s"scd2_${rep}x")(scd2(out))
+    md ++= "\nSub-linear exponents mean the 1× run is dominated by fixed\n" +
+      "per-job overhead (task launch, planning) rather than data volume —\n" +
+      "the signal that matters is the absence of super-linear outliers.\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
+      md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println("wrote SCALING.md")
     spark.stop()
   }
 }

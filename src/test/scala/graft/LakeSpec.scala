@@ -94,6 +94,18 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("lake roots are scheme-agnostic: abfss:// paths compose like file://") {
+    // The ADLS claim is config-only (hadoop-azure auth keys), not code:
+    // path arithmetic must be identical for any Hadoop filesystem scheme.
+    // No I/O here — this sandbox has no egress; the file:// round-trips in
+    // the other tests exercise the same code path end to end.
+    val adls = Lake("abfss://corpus@lakeacct.dfs.core.windows.net/graft/")
+    assert(adls.path("silver", "documents") ===
+      "abfss://corpus@lakeacct.dfs.core.windows.net/graft/silver/documents")
+    val hdfs = Lake("hdfs://nn:8020/warehouse")
+    assert(hdfs.path("gold", "hourly") === "hdfs://nn:8020/warehouse/gold/hourly")
+  }
+
   test("streamed hourly gold equals the batch aggregate") {
     val eventsDir = java.nio.file.Files.createTempDirectory("graft-gold-ev").toString
     Seq(
