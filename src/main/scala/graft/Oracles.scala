@@ -561,6 +561,32 @@ object Oracles {
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
         "ORDER BY jaccard DESC, id_a, id_b LIMIT 20"),
 
+    "q78_contamination" ->
+      ("WITH ttoks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE doc_id >= 100), " +
+        "tsh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)])) AS sh FROM ttoks WHERE len(t) >= 3), " +
+        "etoks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE doc_id < 20), " +
+        "esh AS (SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)])) AS sh FROM etoks WHERE len(t) >= 3) " +
+        "SELECT doc_id, count(*) AS n_shared FROM tsh " +
+        "WHERE sh IN (SELECT sh FROM esh) GROUP BY 1 HAVING count(*) >= 1"),
+
+    "q79_pack_budget" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "p AS (SELECT lang, n_tokens, " +
+        "CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 500) " +
+        "AS BIGINT) AS pack_id FROM d) " +
+        "SELECT lang, pack_id, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM p GROUP BY 1, 2"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -769,6 +769,31 @@ object TestQueries {
         "text", n = 3, threshold = 0.5)
       .orderBy("doc_id")
 
+  /** Train/eval contamination ([[operators.Dedup.contamination]]): docs
+    * 100+ are "training data", docs < 20 the "eval benchmark"; flag train
+    * docs sharing any 3-gram shingle with the eval set. Eval shingles
+    * broadcast; the train side never shuffles.
+    */
+  def q78Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(docs.where(col("doc_id") >= 100),
+        docs.where(col("doc_id") < 20), "doc_id", "text", n = 3, minShared = 1)
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget sequence packing ([[operators.Splits.packByBudget]]):
+    * pack documents into 500-token context windows per language shard,
+    * report per-pack doc counts and token sums.
+    */
+  def q79PackBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+    operators.Splits.packByBudget(docs, "doc_id", "n_tokens", 500, Seq("lang"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
+  }
+
   /** Multimodal → ANN hand-off: REAL PNG payloads (text bytes packed into
     * lossless rasters, [[operators.Multimodal.textToPng]]) through the
     * batched ImageIO feature extractor
@@ -871,5 +896,7 @@ object TestQueries {
     "q75_jaccard_exact" -> (q75JaccardExact _),
     "q76_media_ann" -> (q76MediaAnn _),
     "q77_transitive_dedup" -> (q77TransitiveDedup _),
+    "q78_contamination" -> (q78Contamination _),
+    "q79_pack_budget" -> (q79PackBudget _),
   )
 }

@@ -303,6 +303,35 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_chunks"))
   }
 
+  // ---- Eval-set contamination ----------------------------------------------
+
+  /** Train/eval contamination detection — the pre-training hygiene check:
+    * training docs sharing at least `minShared` distinct word n-gram
+    * shingles with ANY eval document are flagged (their eval n-gram overlap
+    * would leak benchmark answers into the corpus).
+    *
+    * Shape for scale: both sides explode to distinct shingles scan-side;
+    * the eval side (benchmarks are small — thousands of docs) aggregates to
+    * a distinct-shingle set and is BROADCAST, so the train corpus never
+    * shuffles; the per-train-doc count is a partial-aggregable groupBy on
+    * the train id. Joining on shingle strings keeps the operator
+    * SQL-oracle-able; at petabyte scale swap the join key for
+    * `xxhash64(shingle)` (8 bytes) — same plan shape.
+    *
+    * Returns (train id, n_shared) for flagged docs.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minShared: Int = 1): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+    val evalShingles = shingled(eval).select("sh").distinct()
+    shingled(train)
+      .join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("id").as(idCol), col("n_shared"))
+  }
+
   // ---- Group-level sketches ------------------------------------------------
 
   /** Per-group MinHash union sketch ([[graft.functions.expressions.MinHashUnionAgg]]):

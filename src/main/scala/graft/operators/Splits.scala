@@ -58,4 +58,29 @@ object Splits {
     require(percent > 0 && percent <= 100)
     df.where(bucket(col(keyCol)) < percent)
   }
+
+  /** Sequence packing for LLM training: assign documents to consecutive
+    * fixed-token-budget packs (context windows). Docs are ordered by
+    * `orderCol` within each `partitionCols` shard; a doc lands in pack
+    * `floor(tokens_before_it / budget)` — the deterministic streaming-
+    * greedy rule (a doc may straddle its pack boundary; real loaders split
+    * the straddler, which is a row-local decision downstream).
+    *
+    * `partitionCols` is the scale lever: packing is a running sum, so an
+    * UNPARTITIONED call is a single-partition window (fine for one shard,
+    * wrong for a corpus). At 100 TB you pack within shards — (split,
+    * source, date, …) — which is also what keeps pack contents stable when
+    * other shards change. Adds `pack_id`.
+    */
+  def packByBudget(df: DataFrame, orderCol: String, tokensCol: String,
+                   budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_id",
+        floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / lit(budget))
+          .cast("long"))
+  }
 }

@@ -138,6 +138,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === planted, s"false positives: ${pairs -- planted}")
   }
 
+  test("contamination flags train docs overlapping the eval set, counts shared shingles") {
+    val train = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"), // shares eval 1's shingles
+      (102L, "completely novel training content with no benchmark overlap here"),
+      (103L, "benchmark answer forty two appears verbatim in this training document")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "benchmark answer forty two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text", n = 3, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(101L, 103L))           // 102 is clean
+    assert(got(101L) === 7L)  // 9-token eval doc → 7 shared 3-shingles
+    assert(got(103L) === 2L)  // "benchmark answer forty" + "answer forty two"
+    // raising the threshold drops the weak overlap
+    val strict = Dedup.contamination(train, eval, "doc_id", "text", n = 3, minShared = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict === Set(101L))
+  }
+
   test("group sketch estimate within tolerance of exact Jaccard at mid-range overlap") {
     val words = (0 until 90).map(i => s"word$i")
     val grouped = Seq(

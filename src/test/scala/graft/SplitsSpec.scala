@@ -50,6 +50,26 @@ class SplitsSpec extends AnyFunSuite {
     sizes.values.foreach(n => assert(math.abs(n - 2000L) < 300, sizes))
   }
 
+  test("packByBudget: streaming-greedy pack assignment, per-shard, straddlers stay put") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", 1L, 300), ("en", 2L, 300), // doc 2 straddles: starts at 300 → pack 0
+      ("en", 3L, 300),                  // starts at 600 → pack 1
+      ("en", 4L, 500),                  // starts at 900 → pack 1
+      ("de", 10L, 499), ("de", 11L, 2)  // de packs independently: 0, 0
+    ).toDF("lang", "doc_id", "n_tokens")
+    val got = operators.Splits.packByBudget(docs, "doc_id", "n_tokens", 500, Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === Map(("en", 1L) -> 0L, ("en", 2L) -> 0L, ("en", 3L) -> 1L,
+      ("en", 4L) -> 1L, ("de", 10L) -> 0L, ("de", 11L) -> 0L))
+    // shard independence: adding docs to 'de' never moves an 'en' pack
+    val more = docs.union(Seq(("de", 12L, 400)).toDF("lang", "doc_id", "n_tokens"))
+    val again = operators.Splits.packByBudget(more, "doc_id", "n_tokens", 500, Seq("lang"))
+      .where(col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(again === got.filter(_._1._1 == "en"))
+  }
+
   test("hashSplit rejects malformed boundaries") {
     intercept[IllegalArgumentException] {
       Splits.hashSplit(keys, "id", Seq("train" -> 80, "test" -> 90))
