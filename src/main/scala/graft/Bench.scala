@@ -29,7 +29,7 @@ object Bench {
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r]", " ").take(200)
+            .replaceAll("[\\\\\"\\n\\r]", " ").take(200)
           -1.0
         }
       }

@@ -64,7 +64,10 @@ object CorpusPipeline {
     */
   def curateExact(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", cfg: Config = Config()): DataFrame = {
-    val filtered = qualityFilter(annotate(docs, textCol), cfg)
+    // materialized for the same reason as dedup(): the keep-aggregate and
+    // the semi-join both reference it, and without the boundary Catalyst
+    // re-inlines the whole annotate tree into each branch
+    val filtered = qualityFilter(annotate(docs, textCol), cfg).localCheckpoint()
     val keep = filtered.groupBy("fp").agg(min(col(idCol)).as(idCol)).select(idCol)
     filtered.join(keep, Seq(idCol), "left_semi")
   }

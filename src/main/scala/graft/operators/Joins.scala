@@ -89,25 +89,33 @@ object Joins {
     * single reducer owns a hot key. AQE's skew-join handles moderate skew
     * automatically; salting is the explicit tool for pathological keys.
     *
-    * The salt derives from the large row's CONTENT (xxhash64 over all its
-    * columns), never from `monotonically_increasing_id()` or `rand()` —
-    * those change with partition layout and task retries, so two runs of
-    * the same input could route rows differently (results stay equal, but
-    * partition-level placement and any downstream per-partition effect
-    * would not be reproducible). Content-hashing is stable across
-    * partitioning, retries, and engines; identical duplicate rows sharing a
-    * salt is acceptable — exact-duplicate rows are not the skew being
-    * scattered, hot KEYS with varied payloads are.
+    * Two scatter modes — a real tradeoff:
+    *  - DEFAULT (`uniformScatter = false`): salt = xxhash64 of the large
+    *    row's content — stable across partition layout, task retries, and
+    *    runs (bit-reproducible routing). Limitation: rows with identical
+    *    or low-cardinality content share salts, so a hot key whose 10M
+    *    rows carry only 2 distinct payloads still lands on ≤ 2 reducers.
+    *  - `uniformScatter = true`: salt from
+    *    `monotonically_increasing_id()` — scatters ANY hot key uniformly,
+    *    duplicate rows included, at the cost of partition-layout- and
+    *    retry-dependent routing (join RESULTS are identical either way;
+    *    only row→reducer placement varies).
+    * Pick uniform when the skew is duplicate-heavy; pick content when
+    * reproducible placement matters.
     */
-  /** The row→salt mapping used by [[saltedJoin]] (exposed for spec-level
-    * determinism assertions): content hash of every column, mod `salt`.
+  /** The content row→salt mapping used by [[saltedJoin]] (exposed for
+    * spec-level determinism assertions): hash of every column, mod `salt`.
     */
   private[graft] def saltOf(df: DataFrame, salt: Int) =
     pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
 
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 salt: Int): DataFrame = {
-    val saltedLarge = large.withColumn("__salt", saltOf(large, salt))
+                 salt: Int, uniformScatter: Boolean = false): DataFrame = {
+    val saltCol =
+      if (uniformScatter)
+        pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int")
+      else saltOf(large, salt)
+    val saltedLarge = large.withColumn("__salt", saltCol)
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

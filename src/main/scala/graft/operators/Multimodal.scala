@@ -85,7 +85,8 @@ object Multimodal {
       }
       y += 1
     }
-    val n = (w * h).toFloat
+    // Long product: w * h overflows Int beyond ~2^31 pixels
+    val n = (w.toLong * h).toFloat
     var i = 0
     while (i < dim) { out(i) /= n; i += 1 }
     out
@@ -108,9 +109,11 @@ object Multimodal {
   /** Dispatching decoder: real pixel features for decodable images, the
     * deterministic fake for everything else.
     */
-  def decodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] =
-    decodeImage(payload).map(imageFeatures(_, dim))
-      .getOrElse(fakeDecodeFeatures(payload, dim))
+  def decodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    decodeImage(bytes).map(imageFeatures(_, dim))
+      .getOrElse(fakeDecodeFeatures(bytes, dim))
+  }
 
   /** Metadata pass — pure expressions, no decode: byte size + checksum per
     * payload. Runs entirely scan-side.

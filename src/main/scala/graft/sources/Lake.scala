@@ -66,20 +66,34 @@ final case class Lake(root: String) {
       val p = new org.apache.hadoop.fs.Path(target)
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
-    val merged =
-      if (exists)
-        // allowMissingColumns: current rows carry a NULL delete flag when
-        // the table was written without one
-        spark.read.parquet(target).withColumn("__src", lit(0))
-          .unionByName(updates.withColumn("__src", lit(1)),
-            allowMissingColumns = true)
-      else updates.withColumn("__src", lit(1))
+    val current = if (exists) Some(spark.read.parquet(target)) else None
+    // A persisted column with the flag's name (business data, or leaked by
+    // an earlier flag-less upsert whose updates carried it) would make
+    // current rows deletable by their own stored values — refuse loudly
+    // rather than risk silent data loss.
+    for (d <- deleteCol; c <- current)
+      require(!c.columns.contains(d),
+        s"deleteCol '$d' collides with a persisted column of '$table'; rename the flag")
+    val merged = current match {
+      // allowMissingColumns: current rows carry a NULL delete flag when
+      // the table was written without one
+      case Some(c) => c.withColumn("__src", lit(0))
+        .unionByName(updates.withColumn("__src", lit(1)),
+          allowMissingColumns = true)
+      case None => updates.withColumn("__src", lit(1))
+    }
     val w = Window.partitionBy(key)
       .orderBy(col(versionCol).desc, col("__src").desc)
     val winners = merged.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
     val alive = deleteCol match {
-      case Some(d) => winners.where(!coalesce(col(d), lit(false))).drop(d)
+      // Only an UPDATE row can delete (__src = 1): a column of the same
+      // name already persisted in the table (business data, or leaked by a
+      // prior flag-less upsert) must never delete keys this batch didn't
+      // touch.
+      case Some(d) =>
+        winners.where(!(coalesce(col(d), lit(false)) && col("__src") === 1))
+          .drop(d)
       case None => winners
     }
     alive.drop("__rn", "__src")

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(10)
+    // text replicas are distinguished by vowel permutation; 5! bounds rep
+    require(rep >= 2 && rep <= 120, s"replication must be in [2, 120], got $rep")
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$rep"
     val spark = Engine.localSession(Engine.defaultCores, "scalecheck")

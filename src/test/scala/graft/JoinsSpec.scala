@@ -70,14 +70,28 @@ class JoinsSpec extends AnyFunSuite {
     assert(saltMap(rows.repartition(1)) === saltMap(rows.repartition(7)))
   }
 
-  test("saltedJoin equals plain join on a skewed key") {
+  test("saltedJoin equals plain join on a skewed key, in both scatter modes") {
     val large = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
       .toDF("key", "v")
     val small = Seq(("hot", 1), ("k950", 2)).toDF("key", "w")
     val plain = large.join(small, Seq("key")).agg(count(lit(1)), sum("v"), sum("w"))
       .head()
-    val salted = Joins.saltedJoin(large, small, "key", 8)
-      .agg(count(lit(1)), sum("v"), sum("w")).head()
-    assert(salted === plain)
+    for (uniform <- Seq(false, true)) {
+      val salted = Joins.saltedJoin(large, small, "key", 8, uniformScatter = uniform)
+        .agg(count(lit(1)), sum("v"), sum("w")).head()
+      assert(salted === plain, s"uniformScatter=$uniform")
+    }
+  }
+
+  test("uniformScatter spreads duplicate-row hot keys that content salting cannot") {
+    // 900 IDENTICAL rows on the hot key: content hashing maps them all to
+    // one salt; the row-id mode must use several
+    val dupHot = Seq.fill(900)(("hot", 1)).toDF("key", "v").repartition(8)
+    val contentSalts = dupHot.withColumn("__salt", Joins.saltOf(dupHot, 8))
+      .select("__salt").distinct().count()
+    assert(contentSalts === 1)
+    val spread = Joins.saltedJoin(dupHot, Seq(("hot", 9)).toDF("key", "w"),
+        "key", 8, uniformScatter = true)
+    assert(spread.count() === 900)
   }
 }

@@ -94,6 +94,20 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert refuses a delete flag that collides with a persisted column") {
+    val lake = newLake()
+    lake.upsert(spark, "silver", "collide",
+      Seq(("a", 1L, true)).toDF("k", "ver", "is_deleted"), "k", "ver")
+    // 'is_deleted' is now business data in the table; using it as the flag
+    // would let stored values delete keys this batch never touched
+    intercept[IllegalArgumentException] {
+      lake.upsert(spark, "silver", "collide",
+        Seq(("b", 1L, false)).toDF("k", "ver", "is_deleted"), "k", "ver",
+        deleteCol = Some("is_deleted"))
+    }
+    assert(lake.read(spark, "silver", "collide").count() === 1) // untouched
+  }
+
   test("lake roots are scheme-agnostic: abfss:// paths compose like file://") {
     // The ADLS claim is config-only (hadoop-azure auth keys), not code:
     // path arithmetic must be identical for any Hadoop filesystem scheme.
