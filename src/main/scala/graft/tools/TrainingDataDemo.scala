@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.Engine
 import graft.functions.Text
-import graft.operators.{CorpusPipeline, Quality, Splits}
+import graft.operators.{CorpusPipeline, Dedup, Quality, Splits}
 import graft.sources.{Lake, Layout, Snapshot, Tables}
 import org.apache.spark.sql.functions._
 
@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * the way a pipeline consumes them:
   *
   *   bronze ingest → curate (annotate / quality-filter / two-tier dedup) →
-  *   PII redaction → deterministic split + k-fold → quality gate →
-  *   z-ordered silver write → gold rollup → snapshot diff vs bronze.
+  *   eval-contamination scrub → PII redaction → deterministic split +
+  *   k-fold → quality gate → z-ordered silver write → token-budget packing
+  *   → gold rollup → snapshot diff vs bronze.
   *
   * Usage: runMain graft.tools.TrainingDataDemo [sfDir] [lakeRoot]
   */
@@ -32,14 +33,23 @@ object TrainingDataDemo {
     val curated = CorpusPipeline.curate(docs)
     println(s"curated: ${curated.count()} docs survive quality+dedup")
 
-    // 3. scrub PII, assign reproducible splits and folds
+    // 3. eval-set contamination scrub: drop curated docs overlapping the
+    // held-out benchmark (here: the first 20 docs stand in for an eval set)
+    val evalSet = docs.where(col("doc_id") < 20)
+    val contaminated = Dedup.contamination(
+      curated.where(col("doc_id") >= 20), evalSet, "doc_id", "text",
+      n = 3, minShared = 3)
+    val clean = curated.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    println(s"contamination: ${contaminated.count()} docs dropped for eval overlap")
+
+    // 4. scrub PII, assign reproducible splits and folds
     val prepared = Splits.kFold(
       Splits.hashSplit(
-        curated.withColumn("text", Text.redactPii(col("text"))),
+        clean.withColumn("text", Text.redactPii(col("text"))),
         "doc_id", Seq("train" -> 80, "val" -> 90, "test" -> 100)),
       "doc_id", k = 5)
 
-    // 4. quality gate before promotion (single-pass audit)
+    // 5. quality gate before promotion (single-pass audit)
     val audit = Quality.audit(prepared, Seq(
       Quality.notNull("doc_id"),
       Quality.notNull("text"),
@@ -49,13 +59,22 @@ object TrainingDataDemo {
     val failed = audit.where(col("n_failed") > 0).count()
     require(failed == 0, s"$failed audit checks failed — aborting promotion")
 
-    // 5. silver: z-ordered on (n_chars, quality) for stat-based pruning
+    // 6. silver: z-ordered on (n_chars, quality) for stat-based pruning
     Layout.zorderWrite(prepared, Seq("n_chars", "quality"),
       lake.path("silver", "documents"), numFiles = 8)
     val silver = lake.read(spark, "silver", "documents")
     println(s"silver: ${silver.count()} docs, z-ordered → silver/documents")
 
-    // 6. gold: per (source, split) rollup. This is a FULL-snapshot
+    // 7. pack each split into 2048-token context windows (per-shard
+    // running sum — the loader consumes packs, not loose docs)
+    val packed = Splits.packByBudget(silver, "doc_id", "n_tokens", 2048,
+      partitionCols = Seq("split"))
+    packed.groupBy("split").agg(
+        countDistinct("pack_id").as("n_packs"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("split").show(truncate = false)
+
+    // 8. gold: per (source, split) rollup. This is a FULL-snapshot
     // aggregate, so an idempotent overwrite is correct — mergeAggregate is
     // for incremental DELTAS (see EventStreams.hourlyGoldToLake) and would
     // double-count on a re-run.
@@ -66,7 +85,7 @@ object TrainingDataDemo {
     lake.read(spark, "gold", "corpus_stats").orderBy("source", "split")
       .show(40, truncate = false)
 
-    // 7. audit trail: what did curation drop/change vs bronze?
+    // 9. audit trail: what did curation drop/change vs bronze?
     Snapshot.diffSummary(
         docs.select("doc_id", "text"),
         silver.select("doc_id", "text"), Seq("doc_id"))
