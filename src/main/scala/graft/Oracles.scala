@@ -392,6 +392,11 @@ object Oracles {
         "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, count(*) AS n " +
         "FROM lineitem GROUP BY 1"),
 
+    "q80_collect_agg" ->
+      ("SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, " +
+        "count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_supp " +
+        "FROM lineitem GROUP BY 1"),
+
     "q52_string_funcs" ->
       ("SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8, " +
         "concat_ws('|', p_brand, p_type) AS bt, " +

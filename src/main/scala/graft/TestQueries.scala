@@ -455,6 +455,27 @@ object TestQueries {
       round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
       count(lit(1)).as("n"))
 
+  /** approx_percentile (GK sketch) — engine capability; sketch outputs are
+    * engine-specific so the gate is rows-only, with accuracy asserted
+    * against exact `percentile` in QualitySpec (rank error ≤ n/accuracy).
+    */
+  def q51bApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
+      count(lit(1)).as("n"))
+
+  /** Collection aggregates: collect_set (sorted for determinism) and a
+    * collect_list-derived measure — the §2.5 list-aggregation surface.
+    */
+  def q80CollectAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        size(collect_list(col("l_suppkey"))).cast("long").as("n_rows"),
+        size(array_distinct(collect_list(col("l_suppkey")))).cast("long")
+          .as("n_supp"))
+
   /** String-function family: case, substring, concat, regex extract. */
   def q52StringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(
@@ -870,6 +891,7 @@ object TestQueries {
     "q49_source_similarity" -> (q49SourceSimilarity _),
     "q50_chunk_dedup" -> (q50ChunkDedup _),
     "q51_percentiles" -> (q51Percentiles _),
+    "q51b_approx_percentiles" -> (q51bApproxPercentiles _),
     "q52_string_funcs" -> (q52StringFuncs _),
     "q53_null_handling" -> (q53NullHandling _),
     "q54_window_lag_ntile" -> (q54WindowLagNtile _),
@@ -898,5 +920,6 @@ object TestQueries {
     "q77_transitive_dedup" -> (q77TransitiveDedup _),
     "q78_contamination" -> (q78Contamination _),
     "q79_pack_budget" -> (q79PackBudget _),
+    "q80_collect_agg" -> (q80CollectAgg _),
   )
 }

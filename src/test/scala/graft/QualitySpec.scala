@@ -38,6 +38,26 @@ class QualitySpec extends AnyFunSuite {
     assert(got("amt_in_range") === ((0L, 0L)))
   }
 
+  test("approx_percentile tracks exact percentile within the GK rank-error bound") {
+    // q51b's gate is rows-only (sketch output is engine-specific); the
+    // accuracy contract lives here: with accuracy=10000 the rank error is
+    // <= n/10000, so the approx value must sit between the exact values at
+    // ranks p*n -/+ n/10000 (checked via a generous value tolerance).
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = li.groupBy("l_returnflag").agg(
+        org.apache.spark.sql.functions.expr(
+          "approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        org.apache.spark.sql.functions.expr(
+          "percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ap = r.getDouble(1); val ex = r.getDouble(2)
+      assert(math.abs(ap - ex) / math.max(ex, 1.0) < 0.01,
+        s"${r.getString(0)}: approx $ap vs exact $ex")
+    }
+  }
+
   test("audit is a single scan for plain predicates") {
     val plan = Quality.audit(df, Seq(
         Quality.notNull("id"), Quality.inRange("amt", 0, 1)))
