@@ -93,7 +93,94 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Cells ranked by squared-L2 distance from the input vector to each
+  * centroid: returns `array<struct<cell:int, dist:double>>` sorted by
+  * (distance asc, cell asc) — `[0]` is the IVF assignment, `slice(1..p)`
+  * the multi-probe set.
+  *
+  * The centroid matrix is an expression LITERAL (numCells × dim doubles —
+  * bounded by the quantizer's design, independent of corpus size, same
+  * class of driver-side constant as the LSH plane matrix), so cell
+  * assignment is pure scan-side compute: no broadcast join, no explode, no
+  * per-row window — the formulation it replaces shuffled corpus×numCells
+  * rows through a sort window per Lloyd round. Ties keep the lower cell id
+  * (stable insertion sort over ascending ids), matching the old
+  * `orderBy(dist, cell)` ranking.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
+                        cellIds: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(centroids.nonEmpty && centroids.length == cellIds.length)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", IntegerType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Int] = cellIds.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val k = cents.length
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val diff = a.getFloat(i).toDouble - cent(i)
+        s += diff * diff
+        i += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    // stable insertion argsort by distance; k <= 64 by design
+    val order = Array.tabulate(k)(identity)
+    var x = 1
+    while (x < k) {
+      val v = order(x)
+      var y = x - 1
+      while (y >= 0 && d2(v) < d2(order(y))) { order(y + 1) = order(y); y -= 1 }
+      order(y + 1) = v
+      x += 1
+    }
+    val out = new Array[Any](k)
+    var r = 0
+    while (r < k) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(
+        ids(order(r)), math.sqrt(d2(order(r))))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Reference-object call keeps the host operator inside whole-stage
+    * codegen (same pattern as the text-hash expressions).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 object VectorExpressions {
   def cosineF(a: Column, b: Column): Column =
     ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def nearestCells(v: Column, centroids: Seq[Seq[Double]],
+                   cellIds: Seq[Int]): Column =
+    ColumnShim.column(NearestCells(ColumnShim.expression(v), centroids, cellIds))
 }

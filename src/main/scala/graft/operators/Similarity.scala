@@ -90,21 +90,21 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
-  /** IVF coarse-quantizer centroids via Lloyd's algorithm, all-DataFrame:
-    * deterministic hash-seeded initial cells (position-wise mean per
-    * cell), then `iters` Lloyd rounds — assign every vector to its nearest
-    * centroid (broadcast join, corpus scanned once per round), recompute
-    * position-wise means. Each round's centroid table is numCells rows →
-    * `localCheckpoint` pins it so plans stay flat and the broadcast input
-    * is materialized, never a re-derivation. Returns (cell0, centroid
-    * array<double>); always numCells-sized → broadcastable at any corpus
-    * scale. A cell that loses every member simply drops out (k shrinks),
-    * which only merges probe sets — never loses candidates.
+  /** IVF coarse-quantizer centroids via Lloyd's algorithm: deterministic
+    * hash-seeded initial cells (position-wise mean per cell), then `iters`
+    * Lloyd rounds — collect the (numCells × dim, driver-bounded BY DESIGN)
+    * centroid table, re-assign every vector SCAN-SIDE through the
+    * [[graft.functions.expressions.NearestCells]] literal expression,
+    * recompute position-wise means. Per round the only shuffle is the
+    * mean aggregate's compact (cell, pos, partial) — the broadcast-join +
+    * per-row sort-window formulation it replaces shuffled corpus×numCells
+    * rows every round. Returns (cell0, centroid array<double>); a cell
+    * that loses every member simply drops out (k shrinks), which only
+    * merges probe sets — never loses candidates.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    numCells: Int, seed: Long = 42L, iters: Int = 4): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val vecsOnly = corpus.select(col(idCol), col(vecCol))
     def meansOf(assigned: DataFrame): DataFrame = assigned
       .select(col("cell0"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("cell0", "pos").agg(avg("x").as("cx"))
@@ -112,40 +112,44 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s.getField("cx")).as("centroid"))
     var centroids = meansOf(corpus.select(
-        pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
-        col(vecCol)))
-      .localCheckpoint(eager = true)
+      pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
+      col(vecCol)))
     var i = 1
     while (i < iters) {
-      val assigned = nearestCells(vecsOnly, idCol, vecCol, centroids, 1)
-        .select(col("cell").as("cell0"), col(vecCol))
-      centroids = meansOf(assigned).localCheckpoint(eager = true)
+      val (ids, cents) = collectCentroids(centroids)
+      val assigned = corpus.select(
+        graft.functions.expressions.VectorExpressions
+          .nearestCells(col(vecCol), cents, ids)(0).getField("cell").as("cell0"),
+        col(vecCol))
+      centroids = meansOf(assigned)
       i += 1
     }
     centroids
   }
 
-  /** Assign every vector to its nearest centroid (one broadcast of the
-    * centroid table, one scan of the corpus).
+  /** Centroid table → driver literals (cell ids ascending). numCells rows
+    * by construction — the same bounded-constant class as the LSH plane
+    * matrix, NOT a data-sized collect.
+    */
+  private def collectCentroids(centroids: DataFrame): (Seq[Int], Seq[Seq[Double]]) = {
+    val rows = centroids.select(col("cell0").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2.toSeq).toSeq)
+  }
+
+  /** Assign every vector to its nearest centroid — one corpus scan, zero
+    * shuffle (cell + distance computed by the literal expression).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 numCells: Int, seed: Long = 42L, iters: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters)
-    nearestCells(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
-        centroids, 1)
-      .select(col(idCol), col("cell"), col("dist"))
-  }
-
-  /** Per-row nearest `n` centroid cells by L2 distance. */
-  private def nearestCells(df: DataFrame, idCol: String, vecCol: String,
-                           centroids: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell0"))
-    df.join(broadcast(centroids), lit(true))
-      .withColumn("dist", Vectors.l2Distance(col(vecCol), col("centroid")))
-      .withColumn("cell_rank", row_number().over(w))
-      .where(col("cell_rank") <= n)
-      .withColumnRenamed("cell0", "cell")
-      .drop("centroid", "cell_rank")
+    val (ids, cents) = collectCentroids(
+      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters))
+    val nearest = graft.functions.expressions.VectorExpressions
+      .nearestCells(col(vecCol), cents, ids)(0)
+    corpus.select(col(idCol), nearest.getField("cell").as("cell"),
+      nearest.getField("dist").as("dist"))
   }
 
   /** IVF top-k: score only corpus vectors in the query's nearest `nprobe`
@@ -158,13 +162,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
               nprobe: Int = 4, seed: Long = 42L, iters: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters)
-    val corpusCells = nearestCells(corpus.select(col(idCol), col(vecCol)),
-        idCol, vecCol, centroids, 1)
-      .select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("cell"))
-    val queryCells = nearestCells(queries.select(col(idCol), col(vecCol)),
-        idCol, vecCol, centroids, nprobe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val (ids, cents) = collectCentroids(
+      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters))
+    def ranked(v: Column) = graft.functions.expressions.VectorExpressions
+      .nearestCells(v, cents, ids)
+    val corpusCells = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).as("cv"),
+      ranked(col(vecCol))(0).getField("cell").as("cell"))
+    val queryCells = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"),
+        explode(slice(ranked(col(vecCol)), 1, nprobe)).as("rc"))
+      .select(col("query_id"), col("qv"), col("rc.cell").as("cell"))
     val probed = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
