@@ -11,7 +11,9 @@ object Explain {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_scan_project", "q03_filter_predicates", "q08_join_orders_customer",
-        "q11_star_join", "q12_topk_suppliers", "q36_minhash_pairs")
+        "q11_star_join", "q12_topk_suppliers", "q36_minhash_pairs",
+        "q39d_ivf_topk", "q66_zorder_stats", "q77_transitive_dedup",
+        "q78_contamination", "q79_pack_budget")
     val spark = Engine.localSession(4, "explain")
     names.foreach { n =>
       println(s"\n================ $n ================")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Joins, Splits}
+
+/** Property checks of the compositional operators against brute-force
+  * reference implementations on randomized (seed-deterministic) inputs —
+  * the window/bin/running-sum formulations must match the quadratic or
+  * sequential semantics they re-express, not just hand-picked fixtures.
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  /** Deterministic property sampling without the scalatestplus bridge. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOfJoin == quadratic reference on random key/ts data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 120L).map(i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))      // (id, key, ts)
+    val right = (1L to 80L).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0)) // (key, ts, px)
+      // duplicate (key, ts) right rows make the max-ts winner ambiguous;
+      // dedup to the max px like the operator's sort-order guarantees
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val expected = left.flatMap { case (id, k, ts) =>
+      val eligible = right.filter(r => r._1 == k && r._2 <= ts)
+      if (eligible.isEmpty) None
+      else Some(id -> eligible.maxBy(_._2)._3)
+    }.toMap
+    val got = Joins.asOfJoin(
+        left.toDF("id", "k", "ts"), right.toDF("k", "rts", "px"),
+        "k", "ts", "rts", Seq("px"))
+      .select("id", "asof_px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
+  test("rangeJoinBinned == inequality join on random values and ranges, many bin widths") {
+    val vals = samples(Gen.choose(0.0, 400.0), 120).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val ranges = samples(Gen.zip(Gen.choose(0.0, 350.0), Gen.choose(1.0, 120.0)), 25)
+      .zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+    val valDf = vals.toDF("id", "v")
+    val rangeDf = ranges.toDF("range_id", "lo", "hi")
+    val expected = (for {
+      (id, v) <- vals; (rid, lo, hi) <- ranges if v >= lo && v < hi
+    } yield (id, rid)).toSet
+    for (binWidth <- Seq(3.0, 50.0, 500.0)) {
+      val got = Joins.rangeJoinBinned(valDf, "v", rangeDf, "lo", "hi", binWidth)
+        .select("id", "range_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === expected, s"binWidth=$binWidth")
+      assert(got.length === expected.size, s"duplicates at binWidth=$binWidth")
+    }
+  }
+
+  test("packByBudget invariants on random token counts") {
+    val toks = samples(Gen.choose(1, 900), 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val budget = 1000L
+    val packs = Splits.packByBudget(toks.toDF("id", "n_tok"), "id", "n_tok", budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1)
+    // pack ids are non-decreasing in doc order and start at 0
+    assert(packs.head._3 === 0L)
+    assert(packs.sliding(2).forall(p => p(1)._3 >= p(0)._3))
+    // a doc starts a new pack iff the tokens before it cross the boundary:
+    // cumulative-before div budget IS the pack id
+    var cum = 0L
+    packs.foreach { case (_, t, pid) =>
+      assert(pid === cum / budget)
+      cum += t
+    }
+    // every pack's PRE-straddle content is under budget: the tokens before
+    // the pack's last doc fit, by construction of the floor rule
+    val byPack = packs.groupBy(_._3).toSeq.sortBy(_._1)
+    byPack.foreach { case (_, ds) =>
+      assert(ds.init.map(_._2.toLong).sum < budget)
+    }
+  }
+}
