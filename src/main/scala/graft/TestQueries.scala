@@ -456,8 +456,8 @@ object TestQueries {
       count(lit(1)).as("n"))
 
   /** approx_percentile (GK sketch) — engine capability; sketch outputs are
-    * engine-specific so the gate is rows-only, with accuracy asserted
-    * against exact `percentile` in QualitySpec (rank error ≤ n/accuracy).
+    * engine-specific so the gate is rows-only, with a value-tolerance
+    * accuracy check against exact `percentile` in QualitySpec.
     */
   def q51bApproxPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy("l_returnflag").agg(
@@ -472,7 +472,9 @@ object TestQueries {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-        size(collect_list(col("l_suppkey"))).cast("long").as("n_rows"),
+        // count(lit(1)), not size(collect_list(...)): collect_list drops
+        // NULLs while the oracle's count(*) counts every row
+        count(lit(1)).as("n_rows"),
         size(array_distinct(collect_list(col("l_suppkey")))).cast("long")
           .as("n_supp"))
 

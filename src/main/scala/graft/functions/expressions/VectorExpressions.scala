@@ -112,7 +112,10 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(centroids.nonEmpty && centroids.length == cellIds.length)
+  require(centroids.forall(_.length == centroids.head.length),
+    "centroids must share one dimension")
   override def inputTypes = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = true // null on dim mismatch / null element
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("cell", IntegerType, nullable = false),
       StructField("dist", DoubleType, nullable = false))),
@@ -125,17 +128,25 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  def compute(a: ArrayData): ArrayData = {
+  def compute(a: ArrayData): Any = {
     val n = a.numElements()
     val k = cents.length
+    // dimension mismatch or null elements → null result, never a distance
+    // over a silently-truncated prefix or garbage bits from a null slot
+    // (same contract as CosineSim)
+    if (n != cents(0).length) return null
+    var chk = 0
+    while (chk < n) {
+      if (a.isNullAt(chk)) return null
+      chk += 1
+    }
     val d2 = new Array[Double](k)
     var c = 0
     while (c < k) {
       val cent = cents(c)
-      val m = math.min(n, cent.length)
       var s = 0.0
       var i = 0
-      while (i < m) {
+      while (i < n) {
         val diff = a.getFloat(i).toDouble - cent(i)
         s += diff * diff
         i += 1
@@ -168,8 +179,14 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
     */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ranked")
+      s"""
+         |Object $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCells =

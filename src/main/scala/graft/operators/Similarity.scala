@@ -114,7 +114,8 @@ object Similarity {
     var centroids = meansOf(corpus.select(
       pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
       col(vecCol)))
-    var i = 1
+    // `iters` full reassignment rounds after the hash-seeded init
+    var i = 0
     while (i < iters) {
       val (ids, cents) = collectCentroids(centroids)
       val assigned = corpus.select(

@@ -33,13 +33,15 @@ object TrainingDataDemo {
     val curated = CorpusPipeline.curate(docs)
     println(s"curated: ${curated.count()} docs survive quality+dedup")
 
-    // 3. eval-set contamination scrub: drop curated docs overlapping the
-    // held-out benchmark (here: the first 20 docs stand in for an eval set)
+    // 3. eval-set contamination scrub: the eval docs themselves leave the
+    // training pool entirely, and remaining docs overlapping them are
+    // dropped (pinned: the flag set feeds both the count and the anti-join)
     val evalSet = docs.where(col("doc_id") < 20)
-    val contaminated = Dedup.contamination(
-      curated.where(col("doc_id") >= 20), evalSet, "doc_id", "text",
-      n = 3, minShared = 3)
-    val clean = curated.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val trainPool = curated.where(col("doc_id") >= 20)
+    val contaminated = Dedup.contamination(trainPool, evalSet, "doc_id", "text",
+        n = 3, minShared = 3)
+      .localCheckpoint()
+    val clean = trainPool.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
     println(s"contamination: ${contaminated.count()} docs dropped for eval overlap")
 
     // 4. scrub PII, assign reproducible splits and folds

@@ -40,9 +40,12 @@ class QualitySpec extends AnyFunSuite {
 
   test("approx_percentile tracks exact percentile within the GK rank-error bound") {
     // q51b's gate is rows-only (sketch output is engine-specific); the
-    // accuracy contract lives here: with accuracy=10000 the rank error is
-    // <= n/10000, so the approx value must sit between the exact values at
-    // ranks p*n -/+ n/10000 (checked via a generous value tolerance).
+    // accuracy contract lives here as a VALUE tolerance: on this data the
+    // extendedprice distribution is dense, so the GK sketch's rank error
+    // (<= n/accuracy = a handful of rows at accuracy=10000) translates to
+    // well under 1% relative value error. (A literal rank-bound check
+    // would need the full sorted column; the value bound is what
+    // downstream consumers of the percentile actually rely on.)
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val got = li.groupBy("l_returnflag").agg(
         org.apache.spark.sql.functions.expr(

@@ -112,6 +112,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall(multi) > recall(single)) // the tables are why
   }
 
+  test("NearestCells yields null on dimension mismatch or null elements, never garbage") {
+    import graft.functions.expressions.VectorExpressions
+    val cents = Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))
+    val df = Seq(
+      (1L, Some(Array(1.0f, 1.0f, 1.0f))),
+      (2L, Some(Array(1.0f, 1.0f)))           // wrong dimension
+    ).toDF("id", "v")
+      .union(Seq((3L, None: Option[Array[Float]])).toDF("id", "v"))
+    val got = df.select(col("id"),
+        VectorExpressions.nearestCells(col("v"), cents, Seq(0, 1)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got(1L) === false)
+    assert(got(2L) === true)
+    assert(got(3L) === true)
+    // null ELEMENT inside the array
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)) AS v")
+    val r2 = withNullElem.select(
+      VectorExpressions.nearestCells(col("v"), cents, Seq(0, 1)).as("r")).collect()(0)
+    assert(r2.isNullAt(0))
+  }
+
   test("IVF assigns every vector to exactly one cell") {
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", numCells = 2)
     assert(assigned.count() === 5)
