@@ -173,4 +173,33 @@ class BikesharePipelineSpec extends AnyFunSuite {
     Tables.dropTable(spark, "graft_test_trips_part")
     Tables.dropTable(spark, "graft_test_trips_buck")
   }
+
+  test("co-located join: tables bucketed on the same key join with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    Tables.dropTable(spark, "graft_buck_a")
+    Tables.dropTable(spark, "graft_buck_b")
+    Tables.saveBucketed(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va")),
+      "graft_buck_a", 4, Seq("k"))
+    Tables.saveBucketed(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb")),
+      "graft_buck_b", 4, Seq("k"))
+    // force the SMJ path a 100 TB fact-fact join takes (no broadcast)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Tables.table(spark, "graft_buck_a")
+        .join(Tables.table(spark, "graft_buck_b"), Seq("k"))
+      // matching bucket layout on both sides: sort happens per bucket, but
+      // NO shuffle (and no broadcast) anywhere in the plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.linesIterator.take(12).mkString("\n"))
+      assert(j.count() === 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      Tables.dropTable(spark, "graft_buck_a")
+      Tables.dropTable(spark, "graft_buck_b")
+    }
+  }
 }
