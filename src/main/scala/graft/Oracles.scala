@@ -595,6 +595,20 @@ object Oracles {
         "SELECT lang, pack_id, count(*) AS n_docs, " +
         "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM p GROUP BY 1, 2"),
 
+    "q81_range_frame" ->
+      ("SELECT user_id, event_id, round(sum(value) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h " +
+        "FROM events"),
+
+    "q82_rank_family" ->
+      ("SELECT event_type, event_id, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS dr " +
+        "FROM events WINDOW w AS " +
+        "(PARTITION BY event_type ORDER BY value, event_id)"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -835,6 +835,31 @@ object TestQueries {
       feats.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
   }
 
+  /** RANGE-frame window (time-based rolling aggregate — value-bounded
+    * frame, not row-bounded like q24): per user, the sum of event values in
+    * the trailing hour. The frame is over epoch seconds so both engines
+    * bound it identically; ties at one timestamp are all frame-peers.
+    */
+  def q81RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"),
+        round(sum("value").over(w), 2).as("rolling_1h"))
+  }
+
+  /** Rank-distribution family: percent_rank / cume_dist / dense_rank with a
+    * unique ordering so peer groups are single rows in both engines.
+    */
+  def q82RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.loadEvents(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).cast("long").as("dr"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -923,5 +948,7 @@ object TestQueries {
     "q78_contamination" -> (q78Contamination _),
     "q79_pack_budget" -> (q79PackBudget _),
     "q80_collect_agg" -> (q80CollectAgg _),
+    "q81_range_frame" -> (q81RangeFrame _),
+    "q82_rank_family" -> (q82RankFamily _),
   )
 }
