@@ -17,6 +17,16 @@ import scala.collection.immutable.ListMap
   */
 object Oracles {
 
+  /** Cosine over two FLOAT[] operands with the exact accumulation recipe of
+    * [[graft.functions.Vectors.cosine]] (CAST-to-DOUBLE, array order) —
+    * bit-identical across engines, shared by q39/q39d/q84/q87.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
   private val tod =
     "CASE WHEN hour(ts) BETWEEN 5 AND 11 THEN 'morning' " +
       "WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon' " +
@@ -608,6 +618,63 @@ object Oracles {
         "CAST(dense_rank() OVER w AS BIGINT) AS dr " +
         "FROM events WINDOW w AS " +
         "(PARTITION BY event_type ORDER BY value, event_id)"),
+
+    // the bloom sketch is value-transparent: the oracle is the plain
+    // anti-join of the re-crawl batch against the standing corpus
+    "q83_bloom_increment" ->
+      ("WITH corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents " +
+        "WHERE doc_id < 400), " +
+        "batch AS (SELECT doc_id, md5(text) AS fp FROM documents " +
+        "WHERE doc_id >= 450 OR doc_id < 30) " +
+        "SELECT b.doc_id, b.fp FROM batch b ANTI JOIN corpus c ON b.fp = c.fp " +
+        "ORDER BY b.doc_id"),
+
+    "q84_embedding_dedup" ->
+      (s"WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id < 150), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        s"WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a) " +
+        "SELECT vec_id FROM e WHERE vec_id NOT IN " +
+        "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
+        "ORDER BY vec_id"),
+
+    "q85_stratified_sample" ->
+      ("WITH c AS (SELECT doc_id, lang, " +
+        "row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM documents) " +
+        "SELECT doc_id, lang FROM c WHERE rn <= ceil(0.2 * cnt) " +
+        "ORDER BY doc_id"),
+
+    "q86_source_jaccard_exact" ->
+      ("WITH toks AS (SELECT source, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT source, s FROM (SELECT source, " +
+        "unnest(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)])) AS s FROM toks WHERE len(t) >= 3)), " +
+        "sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1), " +
+        "shared AS (SELECT a.source AS group_a, b.source AS group_b, " +
+        "count(*) AS i FROM sh a JOIN sh b ON a.s = b.s " +
+        "AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT group_a, group_b, round(CAST(i AS DOUBLE) / " +
+        "(sa.n + sb.n - i), 4) AS jaccard FROM shared " +
+        "JOIN sizes sa ON group_a = sa.source " +
+        "JOIN sizes sb ON group_b = sb.source " +
+        "ORDER BY group_a, group_b"),
+
+    "q87_cosine_pairs" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id < 150), " +
+        "s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cosSql("a.embedding", "b.embedding")} AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(cos, 6) AS cos_r FROM s " +
+        "WHERE cos >= 0.30 ORDER BY id_a, id_b"),
 
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +

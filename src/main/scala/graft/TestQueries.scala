@@ -860,6 +860,67 @@ object TestQueries {
         dense_rank().over(w).cast("long").as("dr"))
   }
 
+  /** Incremental ingest dedup ([[operators.Incremental.newRows]]): the
+    * standing corpus is docs < 400; the incoming "re-crawl" batch mixes
+    * genuinely new docs (≥ 450) with already-ingested ones (< 30). The
+    * bloom sketch prefilters the batch scan-side; bloom-positive rows are
+    * verified with an exact anti-join, so the oracle is the plain anti-join
+    * — the sketch must be value-transparent, exactly like q47's salt.
+    */
+  def q83BloomIncrement(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") < 400)
+      .select(md5(col("text")).as("fp"))
+    val batch = docs.where(col("doc_id") >= 450 || col("doc_id") < 30)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    operators.Incremental.newRows(batch, corpus, "fp")
+      .orderBy("doc_id")
+  }
+
+  /** Semantic transitive dedup ([[operators.Dedup.embeddingDedupExact]]):
+    * exact cosine ≥ 0.30 pairs on a bounded slice → connected components →
+    * surviving vec_ids. The DuckDB oracle recomputes the pairs with the
+    * bit-identical list arithmetic and closes them with a recursive CTE —
+    * hash-matching proves the embedding-side closure end-to-end (the text
+    *-side twin is q77).
+    */
+  def q84EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDedupExact(
+        t(s, dir, "embeddings").where(col("vec_id") < 150),
+        "vec_id", "embedding", threshold = 0.30)
+      .orderBy("vec_id")
+
+  /** Exact-quota stratified sample ([[operators.Splits.stratifiedSample]]):
+    * 20% per language, hash-ordered — corpus mixing with exact per-stratum
+    * quotas, deterministic across engines (both order by md5 of the id).
+    */
+  def q85StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), 0.2, "doc_id")
+      .orderBy("doc_id")
+
+  /** Exact source-pair content overlap ([[operators.Dedup.groupJaccardExact]])
+    * — the deterministic anchor for q49's MinHash-union sketches: same
+    * shingle sets, inverted-index counting, J = i/(na+nb−i).
+    */
+  def q86SourceJaccardExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.groupJaccardExact(t(s, dir, "documents"), "source", "text")
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("group_a", "group_b")
+
+  /** Exact embedding near-dup PAIRS ([[operators.Dedup.embeddingNearDupExact]]):
+    * the pair-level gate under q84's closure — ids and cosine values both
+    * hash-checked (threshold cut happens on the unrounded double in both
+    * engines; display rounds to 6).
+    */
+  def q87CosinePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupExact(
+        t(s, dir, "embeddings").where(col("vec_id") < 150),
+        "vec_id", "embedding", threshold = 0.30)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("id_a", "id_b")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -950,5 +1011,10 @@ object TestQueries {
     "q80_collect_agg" -> (q80CollectAgg _),
     "q81_range_frame" -> (q81RangeFrame _),
     "q82_rank_family" -> (q82RankFamily _),
+    "q83_bloom_increment" -> (q83BloomIncrement _),
+    "q84_embedding_dedup" -> (q84EmbeddingDedup _),
+    "q85_stratified_sample" -> (q85StratifiedSample _),
+    "q86_source_jaccard_exact" -> (q86SourceJaccardExact _),
+    "q87_cosine_pairs" -> (q87CosinePairs _),
   )
 }

@@ -363,6 +363,37 @@ object Dedup {
       .select("group_a", "group_b", "est_jaccard")
   }
 
+  /** EXACT per-group-pair Jaccard over distinct word n-gram shingle sets —
+    * the deterministic anchor for [[groupMinhashSimilarity]]'s sketch
+    * estimates (the gate hash-checks this; the sketch's error is
+    * spec-bounded against it).
+    *
+    * Inverted-index formulation: distinct (group, shingle) rows self-join
+    * on the shingle, so cost is linear in shared-shingle occurrences, and
+    * the quadratic term is over GROUPS sharing a shingle — bounded by the
+    * group count (sources/snapshots number in the dozens), never by corpus
+    * size. J = i/(na+nb−i) needs only intersection + set sizes, so full
+    * shingle sets are never materialized per pair. Only pairs sharing ≥ 1
+    * shingle appear (disjoint groups have J = 0).
+    */
+  def groupJaccardExact(df: DataFrame, groupCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val sh = df.where(Text.tokenCount(col(textCol)) >= n)
+      .select(col(groupCol).as("g"),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    sh.select(col("g").as("group_a"), col("s"))
+      .join(sh.select(col("g").as("group_b"), col("s")), Seq("s"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("na"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("nb"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+  }
+
   // ---- Embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed: only
@@ -382,5 +413,44 @@ object Dedup {
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         Vectors.cosine(col("p.a.v"), col("p.b.v")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** EXACT all-pairs cosine near-dup pairs — the deterministic anchor for
+    * [[embeddingNearDupPairs]] (whose hyperplane bucketing is probabilistic):
+    * the gate hash-checks this against DuckDB's list arithmetic, and the LSH
+    * path's recall is spec-measured against it. All-pairs is quadratic by
+    * definition — bound the input (a partition, a sampled slice, or one LSH
+    * bucket) at scale; the production path stays [[embeddingNearDupPairs]].
+    * Cosine accumulates in double, array order, on both engines
+    * ([[graft.functions.Vectors.cosine]]) so the threshold cut is
+    * bit-reproducible.
+    */
+  def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Semantic (embedding-space) transitive dedup: exact cosine pairs at
+    * `threshold` → connected components → each component's min id survives
+    * (plus all unpaired vectors). The embedding-side mirror of
+    * [[minhashKeepIdsTransitiveVerified]]: every edge is an exact
+    * similarity, so the closure is oracle-checkable (recursive CTE over the
+    * same exact pairs). For corpus-scale inputs swap the pair source for
+    * [[embeddingNearDupPairs]] — same closure, LSH-bounded candidate set.
+    */
+  def embeddingDedupExact(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupExact(df, idCol, vecCol, threshold)
+      .select("id_a", "id_b")
+    val victims = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("victim"))
+    df.select(col(idCol))
+      .join(victims, col(idCol) === col("victim"), "left_anti")
   }
 }

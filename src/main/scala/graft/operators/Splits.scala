@@ -59,6 +59,33 @@ object Splits {
     df.where(bucket(col(keyCol)) < percent)
   }
 
+  /** Exact-quota stratified sample: from each stratum, keep the first
+    * `ceil(fraction · stratum_size)` rows in a deterministic pseudo-random
+    * order (default: md5 of the key, key as tiebreaker). This is the
+    * corpus-MIXING primitive — per-source/per-language quotas must be hit
+    * EXACTLY, which `sampleBy` (Bernoulli per row) cannot guarantee, and
+    * the hash ordering makes the chosen rows a pure function of the data
+    * (stable across runs and partitioning, auditable like [[hashSplit]]).
+    *
+    * Cost shape: one shuffle on the strata + a per-stratum sort (the
+    * row_number window). Strata here are bounded groups (sources,
+    * languages, shards) — for quotas over UNBOUNDED strata, first split
+    * each stratum into hash sub-shards and take per-shard quotas, or use
+    * [[hashSample]] when an approximate fraction suffices (no sort at
+    * all).
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], fraction: Double,
+                       keyCol: String): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(part))
+      .where(col("__rn") <= ceil(lit(fraction) * col("__cnt")))
+      .drop("__rn", "__cnt")
+  }
+
   /** Sequence packing for LLM training: assign documents to consecutive
     * fixed-token-budget packs (context windows). Docs are ordered by
     * `orderCol` within each `partitionCols` shard; a doc lands in pack

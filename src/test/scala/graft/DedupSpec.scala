@@ -242,6 +242,61 @@ class DedupSpec extends AnyFunSuite {
     assert(sim(("s2", "s3")) === sim(("s1", "s3")))
   }
 
+  test("groupJaccardExact matches set arithmetic; sketch estimate bounded by it") {
+    val words = (0 until 90).map(i => s"word$i")
+    val grouped = Seq(
+      ("ga", words.slice(0, 60).mkString(" ")),
+      ("gb", words.slice(30, 90).mkString(" ")),
+      ("gc", (100 until 140).map(i => s"other$i").mkString(" "))
+    ).toDF("source", "text")
+    // brute-force truth from collected shingle sets
+    val sets = grouped.select(col("source"),
+        array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getAs[Seq[String]]("sh").toSet).toMap
+    def j(a: String, b: String) =
+      sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+    val got = Dedup.groupJaccardExact(grouped, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("ga", "gb")) === j("ga", "gb"))
+    // disjoint pairs share no shingles → absent (J = 0), not zero rows
+    assert(!got.contains(("ga", "gc")) && !got.contains(("gb", "gc")))
+    // the q49 sketch's error is bounded against this exact anchor
+    val est = Dedup.groupMinhashSimilarity(grouped, "source", "text")
+      .where(col("group_a") === "ga" && col("group_b") === "gb")
+      .collect()(0).getAs[Double]("est_jaccard")
+    assert(math.abs(est - got(("ga", "gb"))) <= 0.15)
+  }
+
+  test("embeddingNearDupExact: threshold cut and cosine values match brute force") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (3L, 4L)))
+    // 1e-6, not tighter: inputs are float32 (0.9f != 0.9 in double)
+    assert(math.abs(pairs((1L, 2L)) - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+    // LSH path's pairs are a subset of exact at the same threshold
+    val lsh = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 4, threshold = 0.9, numPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(pairs.keySet))
+  }
+
+  test("embeddingDedupExact keeps each cosine-component's min id, transitively") {
+    // 1-2 and 2-3 are near (cos >= .99) but 1-3 only via 2: closure needed
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.96f, 0.28f)), (9L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingDedupExact(vecs, "vec_id", "embedding", 0.988)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -70,6 +70,34 @@ class SplitsSpec extends AnyFunSuite {
     assert(again === got.filter(_._1._1 == "en"))
   }
 
+  test("stratifiedSample hits the exact per-stratum quota") {
+    val rows = (0L until 1000L).map(i => (i, s"s${i % 7}")).toDF("id", "stratum")
+    val got = Splits.stratifiedSample(rows, Seq("stratum"), 0.25, "id")
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = rows.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(got(s) === math.ceil(0.25 * n).toLong, s"stratum $s")
+    }
+  }
+
+  test("stratifiedSample is a deterministic subset, stable under repartitioning") {
+    val rows = (0L until 1000L).map(i => (i, s"s${i % 7}")).toDF("id", "stratum")
+    val a = Splits.stratifiedSample(rows, Seq("stratum"), 0.3, "id")
+    val b = Splits.stratifiedSample(rows.repartition(13), Seq("stratum"), 0.3, "id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    assert(a.except(rows).count() === 0) // pure subset, columns untouched
+  }
+
+  test("stratifiedSample rejects out-of-range fractions; fraction 1.0 keeps all") {
+    val rows = (0L until 50L).map(i => (i, "only")).toDF("id", "stratum")
+    intercept[IllegalArgumentException] {
+      Splits.stratifiedSample(rows, Seq("stratum"), 0.0, "id")
+    }
+    assert(Splits.stratifiedSample(rows, Seq("stratum"), 1.0, "id").count() === 50)
+  }
+
   test("hashSplit rejects malformed boundaries") {
     intercept[IllegalArgumentException] {
       Splits.hashSplit(keys, "id", Seq("train" -> 80, "test" -> 90))
