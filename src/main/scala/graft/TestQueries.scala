@@ -873,7 +873,9 @@ object TestQueries {
       .select(md5(col("text")).as("fp"))
     val batch = docs.where(col("doc_id") >= 450 || col("doc_id") < 30)
       .select(col("doc_id"), md5(col("text")).as("fp"))
-    operators.Incremental.newRows(batch, corpus, "fp")
+    // sketch sized to the corpus: 64k items ≈ 60 KB of bloom bits — the
+    // default 4M sizing costs ~MB-scale partials per task for no fpp gain
+    operators.Incremental.newRows(batch, corpus, "fp", expectedItems = 1L << 16)
       .orderBy("doc_id")
   }
 
