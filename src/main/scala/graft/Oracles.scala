@@ -676,6 +676,18 @@ object Oracles {
         "SELECT id_a, id_b, round(cos, 6) AS cos_r FROM s " +
         "WHERE cos >= 0.30 ORDER BY id_a, id_b"),
 
+    "q88_repetition" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS g FROM toks WHERE len(t) >= 2), " +
+        "per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx, " +
+        "count(*) AS nd FROM per GROUP BY 1) " +
+        "SELECT doc_id, round(1.0 - CAST(nd AS DOUBLE) / tot, 4) AS dup_frac, " +
+        "round(CAST(mx AS DOUBLE) / tot, 4) AS top_frac FROM agg " +
+        "ORDER BY doc_id"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -923,6 +923,16 @@ object TestQueries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
       .orderBy("id_a", "id_b")
 
+  /** Repetition quality profile ([[operators.Quality.repetitionProfile]]):
+    * duplicate-2-gram fraction and dominant-2-gram share per document —
+    * the repetitious-text filter signal.
+    */
+  def q88Repetition(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), round(col("dup_frac"), 4).as("dup_frac"),
+        round(col("top_frac"), 4).as("top_frac"))
+      .orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1018,5 +1028,6 @@ object TestQueries {
     "q85_stratified_sample" -> (q85StratifiedSample _),
     "q86_source_jaccard_exact" -> (q86SourceJaccardExact _),
     "q87_cosine_pairs" -> (q87CosinePairs _),
+    "q88_repetition" -> (q88Repetition _),
   )
 }

@@ -41,6 +41,34 @@ object Quality {
       .select("check_name", "n_rows", "n_failed")
   }
 
+  /** Per-document repetition profile over word n-grams — the
+    * Gopher/RefinedWeb-style "repetitious text" quality signal: boilerplate
+    * and generation loops show up as a high duplicate-n-gram fraction or a
+    * single n-gram dominating the document.
+    *
+    * Returns (id, dup_frac, top_frac): fraction of n-gram OCCURRENCES that
+    * are repeats of an earlier one, and the most frequent n-gram's share.
+    * Docs with fewer than `n` tokens have no n-grams and are omitted
+    * (filter them with a length check first — they're a different failure
+    * mode).
+    *
+    * Shape for scale: shingles come from the scan-side native expression;
+    * the per-(doc, gram) count partial-aggregates map-side, and the second
+    * aggregate carries only (doc, count) rows. Both shuffles are keyed on
+    * the doc id — no corpus-wide hot key is possible.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame =
+    df.where(graft.functions.Text.tokenCount(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(graft.functions.Text.shingles(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("__tot"), max("__c").as("__mx"), count(lit(1)).as("__nd"))
+      .select(col(idCol),
+        (lit(1.0) - col("__nd").cast("double") / col("__tot")).as("dup_frac"),
+        (col("__mx").cast("double") / col("__tot")).as("top_frac"))
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

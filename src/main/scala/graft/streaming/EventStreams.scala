@@ -121,6 +121,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest dedup — the continuous form of
+    * [[graft.operators.Incremental.newRows]]: each micro-batch is reduced
+    * to rows unique within the batch AND absent from the standing table,
+    * and only those survivors are APPENDED. The bloom sketch prefilters
+    * the batch scan-side; bloom-positive rows verify with an exact
+    * anti-join, so no duplicate key is ever appended.
+    *
+    * Replay is key-idempotent WITHOUT a marker: a re-delivered batch's
+    * keys are already in the table, so the filter drops them — unlike the
+    * additive fold in [[hourlyGoldToLake]], which needs the batch-id
+    * marker. Residual on plain parquet: a crash mid-append can leave a
+    * torn multi-file append visible; Delta/Iceberg commit the append
+    * atomically at the same call site.
+    *
+    * The sketch is rebuilt from the standing table each batch (simple and
+    * correct); a long-running deployment caches it and refreshes on corpus
+    * version bumps — the verify join keeps the result exact either way.
+    */
+  def dedupToLake(events: DataFrame, lake: graft.sources.Lake, zone: String,
+                  table: String, keyCol: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val p = lake.path(zone, table)
+        val fresh = batch.toDF().dropDuplicates(keyCol)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val exists = hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+        val survivors =
+          if (!exists) fresh
+          else graft.operators.Incremental.newRows(fresh,
+            lake.read(spark, zone, table).select(keyCol), keyCol)
+        // pin BEFORE the append: the survivor plan reads the same directory
+        // it appends to, and a lazy plan could list the newly-written files
+        survivors.localCheckpoint().write.mode("append").parquet(p)
+      }
+      .start()
+
   /** Incremental gold-aggregate maintenance: each micro-batch partial-
     * aggregates locally, then folds into the gold table via
     * [[graft.sources.Lake.mergeAggregate]] — the batch view of a

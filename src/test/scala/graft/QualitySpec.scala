@@ -61,6 +61,21 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionProfile: dup and top n-gram fractions from first principles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),            // 2-grams: ab ba ab ba ab → 5 occ, 2 distinct
+      (2L, "all distinct words here"), // 3 occ, 3 distinct → dup 0
+      (3L, "single")                   // < 2 tokens → omitted
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Quality.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(math.abs(got(1L)._1 - (1.0 - 2.0 / 5.0)) < 1e-12)
+    assert(math.abs(got(1L)._2 - 3.0 / 5.0) < 1e-12) // "a b" occurs 3 of 5
+    assert(got(2L) === ((0.0, 1.0 / 3.0)))
+  }
+
   test("audit is a single scan for plain predicates") {
     val plan = Quality.audit(df, Seq(
         Quality.notNull("id"), Quality.inRange("amt", 0, 1)))

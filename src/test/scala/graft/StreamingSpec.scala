@@ -181,6 +181,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("foreachBatch ingest dedup appends only corpus-new keys; replay is key-idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-dedup")
+    val lake = graft.sources.Lake(s"file://$tmp/lake")
+    val q = EventStreams.dedupToLake(
+      EventStreams.readStream(spark, dupEventsDir), lake, "bronze", "events_new",
+      keyCol = "event_id", checkpoint = s"$tmp/chk")
+    q.processAllAvailable()
+    q.stop()
+    val got = lake.read(spark, "bronze", "events_new")
+    assert(got.count() === 5) // within-batch re-deliveries collapsed
+    assert(got.select("event_id").distinct().count() === 5)
+    // the same source replayed through a FRESH stream (new checkpoint):
+    // every key is already in the table, so nothing is appended
+    val q2 = EventStreams.dedupToLake(
+      EventStreams.readStream(spark, dupEventsDir), lake, "bronze", "events_new",
+      keyCol = "event_id", checkpoint = s"$tmp/chk2")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(lake.read(spark, "bronze", "events_new").count() === 5)
+  }
+
   test("foreachBatch upsert streams micro-batches into a lake table") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake-stream")
     val lake = graft.sources.Lake(s"file://$tmp/lake")
