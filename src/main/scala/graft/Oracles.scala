@@ -688,6 +688,29 @@ object Oracles {
         "round(CAST(mx AS DOUBLE) / tot, 4) AS top_frac FROM agg " +
         "ORDER BY doc_id"),
 
+    "q89_unigram_nll" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq) " +
+        "SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / t)), 4) AS nll, " +
+        "CAST(count(*) AS BIGINT) AS n_toks " +
+        "FROM toks JOIN freq USING (tok), tot GROUP BY doc_id ORDER BY doc_id"),
+
+    "q90_mixture_weights" ->
+      ("WITH d AS (SELECT lang, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "a AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM a), " +
+        "w AS (SELECT lang, n_tokens, CAST(n_tokens AS DOUBLE) / tot AS ashare, " +
+        "CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2 " +
+        "WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS tshare FROM a, t) " +
+        "SELECT lang, n_tokens, round(ashare, 6) AS actual_share, " +
+        "round(tshare, 6) AS target_share, round(tshare / ashare, 6) AS weight " +
+        "FROM w ORDER BY lang"),
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -933,6 +933,32 @@ object TestQueries {
         round(col("top_frac"), 4).as("top_frac"))
       .orderBy("doc_id")
 
+  /** Corpus-relative unigram NLL ([[operators.Quality.unigramLogProb]]) —
+    * the LM-perplexity-proxy quality filter. avg of ~n_toks doubles: round
+    * 4 absorbs cross-engine summation-order ulp drift.
+    */
+  def q89UnigramNll(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), round(col("nll"), 4).as("nll"),
+        col("n_toks").cast("long").as("n_toks"))
+      .orderBy("doc_id")
+
+  /** Source-mixture reweighting ([[operators.Analytics.mixtureWeights]]):
+    * token share per language vs a target mixture, and the up/down-sampling
+    * weight that would hit it.
+    */
+  def q90MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), Text.tokenCount(col("text")).as("n_tokens"))
+    operators.Analytics.mixtureWeights(docs, "lang", col("n_tokens"),
+        Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1))
+      .select(col("lang"), col("measure").cast("long").as("n_tokens"),
+        round(col("actual_share"), 6).as("actual_share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1029,5 +1055,7 @@ object TestQueries {
     "q86_source_jaccard_exact" -> (q86SourceJaccardExact _),
     "q87_cosine_pairs" -> (q87CosinePairs _),
     "q88_repetition" -> (q88Repetition _),
+    "q89_unigram_nll" -> (q89UnigramNll _),
+    "q90_mixture_weights" -> (q90MixtureWeights _),
   )
 }

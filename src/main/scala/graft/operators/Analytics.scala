@@ -63,6 +63,33 @@ object Analytics {
     * (≪ fact) cross-join a broadcast one-row total; top-N is
     * TakeOrderedAndProject with the key as tiebreaker.
     */
+  /** Corpus-mixture reweighting: each group's actual share of a measure
+    * (token counts, bytes, rows) vs its target share, and the sampling
+    * weight `target / actual` that hits the target mixture — what a
+    * training-data pipeline computes before up/down-sampling sources. A
+    * group absent from `targets` gets target 0 (weight 0 = drop).
+    *
+    * One partial+final aggregate over the fact; the per-group rows
+    * (≪ fact) cross a broadcast one-row total; targets ship as a literal
+    * map. Feed the weights to [[Splits.stratifiedSample]] (exact quotas)
+    * or [[Splits.hashSample]] (approximate, shuffle-free).
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, measure: Column,
+                     targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(_ >= 0), "target shares must be >= 0")
+    val targetExpr = targets.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, w).otherwise(acc)
+    }
+    val actual = df.groupBy(groupCol).agg(sum(measure).as("measure"))
+    val total = actual.agg(sum("measure").cast("double").as("__tot"))
+    actual.crossJoin(broadcast(total))
+      .select(col(groupCol), col("measure"),
+        (col("measure").cast("double") / col("__tot")).as("actual_share"),
+        targetExpr.as("target_share"),
+        (targetExpr / (col("measure").cast("double") / col("__tot")))
+          .as("weight"))
+  }
+
   def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("__tot"))

@@ -69,6 +69,31 @@ object Quality {
         (lit(1.0) - col("__nd").cast("double") / col("__tot")).as("dup_frac"),
         (col("__mx").cast("double") / col("__tot")).as("top_frac"))
 
+  /** Corpus-relative unigram negative-log-likelihood per document — the
+    * cheap proxy for the LM-perplexity quality filter (CCNet-style): docs
+    * whose tokens are improbable UNDER THIS CORPUS's own unigram
+    * distribution score high (gibberish, encoding damage, wrong-language
+    * residue); boilerplate scores low. Returns (id, nll, n_toks).
+    *
+    * Shape for scale: one explode of the corpus; the unigram frequency
+    * table (vocabulary ≪ corpus) broadcasts back onto the token stream —
+    * identical to the TF-IDF plan (q63), one shuffle keyed on the doc id
+    * for the final per-doc average; the corpus total is a broadcast
+    * one-row cross join (the A5 scalar pattern).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.where(graft.functions.Text.tokenCount(col(textCol)) >= 1)
+      .select(col(idCol),
+        explode(graft.functions.Text.shingles(col(textCol), 1)).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = freq.agg(sum("__c").cast("double").as("__t"))
+    toks.join(broadcast(freq), Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol)).agg(
+        avg(-log(col("__c").cast("double") / col("__t"))).as("nll"),
+        count(lit(1)).as("n_toks"))
+  }
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

@@ -13,7 +13,9 @@ object Explain {
       else Seq("q01_scan_project", "q03_filter_predicates", "q08_join_orders_customer",
         "q11_star_join", "q12_topk_suppliers", "q36_minhash_pairs",
         "q39d_ivf_topk", "q66_zorder_stats", "q77_transitive_dedup",
-        "q78_contamination", "q79_pack_budget")
+        "q78_contamination", "q79_pack_budget", "q83_bloom_increment",
+        "q85_stratified_sample", "q86_source_jaccard_exact",
+        "q88_repetition", "q89_unigram_nll")
     val spark = Engine.localSession(4, "explain")
     names.foreach { n =>
       println(s"\n================ $n ================")

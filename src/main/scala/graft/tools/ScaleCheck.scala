@@ -113,6 +113,25 @@ object ScaleCheck {
       "scd2" -> { dir =>
         Scd.scd2(docs(dir).select(col("source"), col("doc_id"), col("lang")),
           key = "source", ts = "doc_id", attrs = Seq("lang")).count()
+      },
+      "bloom_increment" -> { dir =>
+        // corpus (even ids) and re-crawl batch (ids % 3 == 0: half dups,
+        // half new) both grow with sf; sketch sized for the 10x corpus
+        val d = docs(dir)
+        graft.operators.Incremental.newRows(
+          d.where(col("doc_id") % 3 === 0).select(col("doc_id"), md5(col("text")).as("fp")),
+          d.where(col("doc_id") % 2 === 0).select(md5(col("text")).as("fp")),
+          "fp", expectedItems = 1L << 18).count()
+      },
+      "group_jaccard" -> { dir =>
+        Dedup.groupJaccardExact(docs(dir), "source", "text").count()
+      },
+      "stratified_sample" -> { dir =>
+        graft.operators.Splits.stratifiedSample(docs(dir), Seq("lang"), 0.2,
+          "doc_id").count()
+      },
+      "repetition" -> { dir =>
+        graft.operators.Quality.repetitionProfile(docs(dir), "doc_id", "text").count()
       })
 
     def timeOf(f: => Long): (Double, Long) = {

@@ -76,6 +76,31 @@ class QualitySpec extends AnyFunSuite {
     assert(got(2L) === ((0.0, 1.0 / 3.0)))
   }
 
+  test("unigramLogProb: NLL from first principles on a tiny corpus") {
+    import spark.implicits._
+    // corpus unigrams: a:2 b:2 c:1 (total 5)
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.operators.Quality.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(got(1L)._1 - (-math.log(0.4))) < 1e-12 && got(1L)._2 === 3L)
+    assert(math.abs(got(2L)._1 -
+      (-math.log(0.4) - math.log(0.2)) / 2.0) < 1e-12 && got(2L)._2 === 2L)
+  }
+
+  test("mixtureWeights: shares sum to 1; weight = target/actual; unlisted group drops") {
+    import spark.implicits._
+    val rows = Seq(("a", 60L), ("a", 20L), ("b", 15L), ("c", 5L))
+      .toDF("src", "toks")
+    val got = graft.operators.Analytics.mixtureWeights(rows, "src",
+        col("toks"), Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") === ((80L, 0.8, 0.5, 0.625)))
+    assert(got("b") === ((15L, 0.15, 0.5, 0.5 / 0.15)))
+    assert(got("c")._3 === 0.0 && got("c")._4 === 0.0) // target 0 → weight 0
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("audit is a single scan for plain predicates") {
     val plan = Quality.audit(df, Seq(
         Quality.notNull("id"), Quality.inRange("amt", 0, 1)))
