@@ -60,13 +60,31 @@ private[graft] object ShingleUtil {
 
   def normalizeWs(s: String): String = WS.matcher(s).replaceAll(" ")
 
-  def splitWs(s: String): Array[String] = WS.split(s)
+  /** limit -1: Java's default split DROPS trailing empty tokens, but Spark
+    * SQL `split` and DuckDB `string_split_regex` both KEEP them — a
+    * trailing newline/tab must yield the same trailing "" token here as in
+    * the oracle formulations.
+    */
+  def splitWs(s: String): Array[String] = WS.split(s, -1)
+
+  /** SQL-`trim` semantics: strip ASCII SPACES only. Java `String.trim`
+    * also strips control chars (tab, newline), which would make shingle
+    * sets diverge from the Spark-SQL/DuckDB formulation on
+    * tab/newline-edged text (same rule as [[NormFingerprint]]).
+    */
+  def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
 
   /** Lowercased whitespace tokens → n-token shingles joined by a space.
     * Mirrors `split(lower(trim(text)), "\\s+")` + sliding windows.
     */
   def shingles(text: UTF8String, n: Int): Array[UTF8String] = {
-    val toks = WS.split(text.toString.trim.toLowerCase)
+    val toks = splitWs(trimSpaces(text.toString).toLowerCase)
     if (toks.length < n) Array.empty
     else {
       val out = new Array[UTF8String](toks.length - n + 1)

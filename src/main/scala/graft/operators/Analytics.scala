@@ -57,12 +57,6 @@ object Analytics {
     (r.get(0), r.get(1))
   }
 
-  /** Key-skew report: the top-N heaviest keys and their share of all rows —
-    * what you run BEFORE choosing a salt factor or partition count for a
-    * join on `key`. One partial+final agg over the fact; the per-key counts
-    * (≪ fact) cross-join a broadcast one-row total; top-N is
-    * TakeOrderedAndProject with the key as tiebreaker.
-    */
   /** Corpus-mixture reweighting: each group's actual share of a measure
     * (token counts, bytes, rows) vs its target share, and the sampling
     * weight `target / actual` that hits the target mixture — what a
@@ -90,6 +84,12 @@ object Analytics {
           .as("weight"))
   }
 
+  /** Key-skew report: the top-N heaviest keys and their share of all rows —
+    * what you run BEFORE choosing a salt factor or partition count for a
+    * join on `key`. One partial+final agg over the fact; the per-key counts
+    * (≪ fact) cross-join a broadcast one-row total; top-N is
+    * TakeOrderedAndProject with the key as tiebreaker.
+    */
   def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("__tot"))

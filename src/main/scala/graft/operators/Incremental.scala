@@ -59,6 +59,15 @@ object Incremental {
     * (bloom prefilter + anti-join verify of the bloom-positive survivors).
     * `expectedItems` sizes the sketch; oversizing costs bytes, undersizing
     * costs fpp (extra verify traffic), never correctness.
+    *
+    * A NULL key is treated as a value: the verify join is null-safe, so a
+    * null-key batch row is "new" only while the corpus holds no null key
+    * (a plain equi-anti-join would re-admit it forever).
+    *
+    * `batch` must be a DETERMINISTIC plan — the prefilter and verify
+    * branches each evaluate it (the union is what lets definitely-new rows
+    * skip the join entirely). Pin a non-deterministic input (sample/rand)
+    * with `localCheckpoint` first.
     */
   def newRows(batch: DataFrame, corpus: DataFrame, keyCol: String,
               expectedItems: Long = 1L << 22): DataFrame = {
@@ -66,8 +75,9 @@ object Incremental {
     if (bloom == null) batch // empty corpus: every batch row is new
     else {
       val definitelyNew = batch.where(!mightContain(bloom, col(keyCol)))
+      val corpusKeys = corpus.select(col(keyCol).as("__ck")).distinct()
       val survivors = batch.where(mightContain(bloom, col(keyCol)))
-        .join(corpus.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .join(corpusKeys, col(keyCol) <=> col("__ck"), "left_anti")
       definitelyNew.unionByName(survivors)
     }
   }

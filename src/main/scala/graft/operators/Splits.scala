@@ -78,12 +78,18 @@ object Splits {
                        keyCol: String): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // temp names guaranteed absent from the input (a user column named
+    // "__rn" would be silently clobbered and dropped otherwise)
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    val cnt = Iterator.from(0).map(i => s"__cnt$i")
+      .find(n => !df.columns.contains(n)).get
     val part = Window.partitionBy(strataCols.map(col): _*)
     val w = part.orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(part))
-      .where(col("__rn") <= ceil(lit(fraction) * col("__cnt")))
-      .drop("__rn", "__cnt")
+    df.withColumn(rn, row_number().over(w))
+      .withColumn(cnt, count(lit(1)).over(part))
+      .where(col(rn) <= ceil(lit(fraction) * col(cnt)))
+      .drop(rn, cnt)
   }
 
   /** Sequence packing for LLM training: assign documents to consecutive

@@ -138,9 +138,13 @@ object EventStreams {
     * The sketch is rebuilt from the standing table each batch (simple and
     * correct); a long-running deployment caches it and refreshes on corpus
     * version bumps — the verify join keeps the result exact either way.
+    * Size `expectedItems` to the standing table's eventual key count: the
+    * per-batch sketch build pays for the declared size whether or not the
+    * table has grown into it.
     */
   def dedupToLake(events: DataFrame, lake: graft.sources.Lake, zone: String,
-                  table: String, keyCol: String, checkpoint: String):
+                  table: String, keyCol: String, checkpoint: String,
+                  expectedItems: Long = 1L << 20):
       org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
@@ -154,7 +158,7 @@ object EventStreams {
         val survivors =
           if (!exists) fresh
           else graft.operators.Incremental.newRows(fresh,
-            lake.read(spark, zone, table).select(keyCol), keyCol)
+            lake.read(spark, zone, table).select(keyCol), keyCol, expectedItems)
         // pin BEFORE the append: the survivor plan reads the same directory
         // it appends to, and a lazy plan could list the newly-written files
         survivors.localCheckpoint().write.mode("append").parquet(p)

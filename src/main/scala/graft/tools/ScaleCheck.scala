@@ -134,10 +134,19 @@ object ScaleCheck {
         graft.operators.Quality.repetitionProfile(docs(dir), "doc_id", "text").count()
       })
 
+    // best-of-2 per point: a single-shot timing is at the mercy of GC /
+    // host noise, and a noisy t1 flips the exponent sign — the MIN of two
+    // runs is the steady-state signal (same policy as Bench)
     def timeOf(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
+      def once: (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (ta, na) = once
+      val (tb, nb) = once
+      require(na == nb, s"non-deterministic op: $na vs $nb rows")
+      (math.min(ta, tb), na)
     }
 
     // warm every op once at 1× (janino + scan infra), then measure both

@@ -69,6 +69,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("native shingles equal the SQL split(lower(trim(...))) formulation, incl. tab/newline edges") {
+    // trim must strip SPACES only (SQL semantics): a tab/newline-edged text
+    // keeps its leading separator, so \s+ split yields a leading empty
+    // token — Java String.trim would silently drop it and shingle sets
+    // would diverge from the DuckDB oracles (q75/q86/q88/q89)
+    val texts = Seq("The quick brown fox", "\ttab edge lead", "nl trail\n",
+      "  spaces  only  ", "mid\t\ntab", "")
+    val df = texts.toDF("text")
+    val got = df.select(Text.shingles(col("text"), 2)).as[Seq[String]].collect()
+    val toks = "split(lower(trim(text)), '\\\\s+')"
+    val ref = df.select(expr(
+        s"CASE WHEN size($toks) >= 2 THEN transform(sequence(1, size($toks) - 1), " +
+        s"i -> concat_ws(' ', slice($toks, i, 2))) ELSE slice($toks, 1, 0) END"))
+      .as[Seq[String]].collect()
+    got.zip(ref).zip(texts).foreach { case ((g, r), t) =>
+      assert(g === r, s"diverged on ${t.replace("\t", "\\t").replace("\n", "\\n")}")
+    }
+  }
+
   test("native fingerprint equals the SQL xxhash64(regexp_replace(...)) formulation") {
     val texts = Seq("Hello  World", "  padded  ", "tab\tsep", "line\nbreak",
       "\t edge tab", "", "MiXeD Case   runs")

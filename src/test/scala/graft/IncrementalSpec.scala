@@ -52,6 +52,20 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.newRows(batch, empty, "key").count() === batch.count())
   }
 
+  test("null keys are values: dropped when the corpus has one, kept when it doesn't") {
+    val withNull = Seq((Some("k1"), 1L), (None, 2L))
+      .toDF("key", "id").select(col("key"), col("id"))
+    val corpusNull = Seq(Option.empty[String]).toDF("key")
+    // corpus holds a null key → the batch's null-key row is NOT new
+    val got = Incremental.newRows(withNull, corpusNull, "key")
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L))
+    // corpus without nulls → the null-key row is new (appended once)
+    val got2 = Incremental.newRows(withNull, Seq("other").toDF("key"), "key")
+      .select("id").as[Long].collect().toSet
+    assert(got2 === Set(1L, 2L))
+  }
+
   test("duplicate keys WITHIN the batch are preserved (dedup is vs corpus only)") {
     val doubled = batch.union(batch)
     assert(Incremental.newRows(doubled, corpus, "key").count() === 100)
