@@ -390,6 +390,16 @@ object Oracles {
         "FROM clicks c ASOF JOIN views v " +
         "ON c.user_id = v.user_id AND c.ts >= v.vts"),
 
+    "q91_asof_forward" ->
+      ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click'), " +
+        "views AS (SELECT user_id, ts AS vts, max(event_id) AS view_id " +
+        "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.click_id, c.user_id, v.view_id, " +
+        "date_diff('second', c.ts, v.vts) AS lead_sec " +
+        "FROM clicks c ASOF JOIN views v " +
+        "ON c.user_id = v.user_id AND c.ts <= v.vts"),
+
     "q47_salted_join" ->
       ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),

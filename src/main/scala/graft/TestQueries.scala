@@ -959,6 +959,24 @@ object TestQueries {
       .orderBy("lang")
   }
 
+  /** Forward as-of join ([[operators.Joins.asOfJoinForward]]): each click
+    * matched to the user's NEXT view at or after it — the "what happened
+    * next" direction, oracle-checked against DuckDB's native ASOF JOIN
+    * with the inequality reversed.
+    */
+  def q91AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      .withColumnRenamed("ts", "vts")
+    operators.Joins.asOfJoinForward(clicks, views, "user_id", "ts", "vts",
+        Seq("view_id", "vts"), asOfPrefix = "")
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (col("vts").cast("long") - col("ts").cast("long")).as("lead_sec"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1057,5 +1075,6 @@ object TestQueries {
     "q88_repetition" -> (q88Repetition _),
     "q89_unigram_nll" -> (q89UnigramNll _),
     "q90_mixture_weights" -> (q90MixtureWeights _),
+    "q91_asof_forward" -> (q91AsofForward _),
   )
 }

@@ -54,6 +54,50 @@ object Joins {
         rightValCols.map(c => col(s"__match.$c").as(s"$asOfPrefix$c")): _*)
   }
 
+  /** Forward as-of join: for each left row, the single right row with the
+    * SMALLEST `rightTs` ≥ `leftTs` within the same `key` (the "next
+    * observation" direction — e.g. the first sensor reading after an
+    * order). Same union + single-sorted-pass shape as [[asOfJoin]], with
+    * the carry running over the FOLLOWING frame; at equal timestamps the
+    * left row sorts first so `ts ≤ ts` matches. `toleranceSec` drops
+    * matches further than the bound (inner semantics, like kdb `wj`
+    * windows); it compares the two timestamp columns cast to epoch
+    * seconds.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightValCols: Seq[String], asOfPrefix: String = "asof_",
+                      toleranceSec: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // the matched right row's own timestamp travels in the struct (__rts)
+    // so the tolerance bound can compare it to the left timestamp
+    val rStruct = struct(col(rightTs).as("__rts") +: rightValCols.map(col): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val tagged =
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+        .select(Seq(col("__ts"), col("__side"), col(key)) ++
+          leftCols.filterNot(_ == key).map(col) :+
+          lit(null).cast(rStructType).as("__r"): _*)
+        .unionByName(
+          right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))
+            .select(Seq(col("__ts"), col("__side"), col(key)) ++
+              leftCols.filterNot(_ == key)
+                .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+              rStruct.as("__r"): _*))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = tagged
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0 && col("__match").isNotNull)
+    val bounded = toleranceSec match {
+      case Some(tol) => matched.where(
+        col("__match.__rts").cast("long") - col("__ts").cast("long") <= tol)
+      case None => matched
+    }
+    bounded.select(leftCols.map(col) ++
+      rightValCols.map(c => col(s"__match.$c").as(s"$asOfPrefix$c")): _*)
+  }
+
   /** Range join (`lo ≤ leftVal < hi`) accelerated by binning: both sides map
     * to fixed-width bins (ranges explode to every bin they cover, values to
     * the one bin containing them), the join becomes an equi-join on the bin

@@ -116,6 +116,37 @@ final case class Lake(root: String) {
       .write.mode("overwrite").parquet(path(zone, table))
   }
 
+  /** Retention vacuum: delete ORPHANED files under a table directory —
+    * files no longer part of the current snapshot (left behind by crashed
+    * overwrite jobs, e.g. `_temporary` attempt dirs) whose modification
+    * time is older than `olderThanMs`. Files the live snapshot references
+    * (data files + `_SUCCESS`) are never touched, so a concurrent reader
+    * of the CURRENT snapshot is safe; the age bound is what protects
+    * still-running zombie writers, exactly like Delta's VACUUM retention
+    * (where the manifest, not the directory listing, defines liveness).
+    * Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, zone: String, table: String,
+             olderThanMs: Long): Int = {
+    val target = new org.apache.hadoop.fs.Path(path(zone, table))
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(target)) return 0
+    // liveness = the files Spark's reader resolves for the current snapshot
+    val live = spark.read.parquet(path(zone, table)).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val it = fs.listFiles(target, true)
+    var deleted = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val isLive = live.contains(p.toUri.getPath) || p.getName == "_SUCCESS"
+      if (!isLive && f.getModificationTime < cutoff && fs.delete(p, false))
+        deleted += 1
+    }
+    deleted
+  }
+
   /** Read with schema evolution: union the schemas of all files so a table
     * whose ingest added columns over time presents the full schema, older
     * files padding the new columns with NULL (parquet `mergeSchema`).

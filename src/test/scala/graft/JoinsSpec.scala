@@ -42,6 +42,30 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(0).isNullAt(2)) // NOT stitched from the 09:00 quote
   }
 
+  test("asOfJoinForward picks the earliest right row at or after; tolerance bounds it") {
+    val trades = Seq(
+      (1L, 100L, ts("2021-01-01 10:00:05")),  // next quote 10:00:30
+      (2L, 100L, ts("2021-01-01 10:01:00")),  // after all quotes → dropped
+      (3L, 100L, ts("2021-01-01 09:59:00")),  // next quote 10:00:00
+      (4L, 200L, ts("2021-01-01 10:00:00"))   // equal ts → matches
+    ).toDF("trade_id", "acct", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2021-01-01 10:00:00"), 10.0),
+      (100L, ts("2021-01-01 10:00:30"), 11.0),
+      (200L, ts("2021-01-01 10:00:00"), 20.0)
+    ).toDF("acct", "q_ts", "px")
+    val got = Joins.asOfJoinForward(trades, quotes, "acct", "t_ts", "q_ts", Seq("px"))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 11.0, 3L -> 10.0, 4L -> 20.0))
+    // tolerance 30s: trade 3's match is 60s ahead → dropped
+    val tol = Joins.asOfJoinForward(trades, quotes, "acct", "t_ts", "q_ts",
+        Seq("px"), toleranceSec = Some(30L))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tol === Map(1L -> 11.0, 4L -> 20.0))
+  }
+
   test("rangeJoinBinned equals the plain inequality join, incl. overlaps") {
     val values = Seq.tabulate(500)(i => (i.toLong, (i * 7 % 483).toDouble / 1.7))
       .toDF("id", "v")

@@ -27,6 +27,28 @@ class LakeSpec extends AnyFunSuite {
     assert(after.agg(sum("id")).head().getLong(0) === 499500L)
   }
 
+  test("vacuum deletes aged orphans, never live files or young orphans") {
+    val lake = newLake()
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(lake.path("silver", "t"))
+    // plant orphans: a crashed write attempt (old) and a fresh temp (young)
+    val dir = new org.apache.hadoop.fs.Path(lake.path("silver", "t"))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldOrphan = new org.apache.hadoop.fs.Path(dir, "_temporary_attempt_0.parquet")
+    val youngOrphan = new org.apache.hadoop.fs.Path(dir, "part-stale-new.tmp")
+    fs.create(oldOrphan).close()
+    fs.setTimes(oldOrphan, System.currentTimeMillis() - 3600 * 1000L, -1)
+    fs.create(youngOrphan).close()
+    val deleted = lake.vacuum(spark, "silver", "t", olderThanMs = 60 * 1000L)
+    assert(deleted === 1)
+    assert(!fs.exists(oldOrphan))
+    assert(fs.exists(youngOrphan)) // inside the retention window → kept
+    val after = spark.read.parquet(lake.path("silver", "t"))
+    assert(after.count() === 100) // data untouched
+    assert(lake.vacuum(spark, "silver", "t", 60 * 1000L) === 0) // idempotent
+    assert(lake.vacuum(spark, "silver", "absent", 0L) === 0)    // missing table
+  }
+
   test("readEvolved unions schemas across file generations") {
     val lake = newLake()
     Seq((1L, "a")).toDF("id", "v1")
