@@ -43,6 +43,29 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("asOfJoinForward == quadratic reference, with and without tolerance") {
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 120L).map(i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val right = (1L to 80L).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    def expected(tol: Option[Long]) = left.flatMap { case (id, k, ts) =>
+      val eligible = right.filter(r => r._1 == k && r._2 >= ts &&
+        tol.forall(t => r._2 - ts <= t))
+      // min by rts; the window picks the earliest eligible right row
+      if (eligible.isEmpty) None else Some(id -> eligible.minBy(_._2)._3)
+    }.toMap
+    for (tol <- Seq(None, Some(50L), Some(0L))) {
+      val got = Joins.asOfJoinForward(
+          left.toDF("id", "k", "ts"), right.toDF("k", "rts", "px"),
+          "k", "ts", "rts", Seq("px"), toleranceSec = tol)
+        .select("id", "asof_px").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expected(tol), s"tolerance=$tol")
+    }
+  }
+
   test("rangeJoinBinned == inequality join on random values and ranges, many bin widths") {
     val vals = samples(Gen.choose(0.0, 400.0), 120).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
