@@ -416,7 +416,7 @@ object Oracles {
         "FROM lineitem GROUP BY 1"),
 
     "q80_collect_agg" ->
-      ("SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, " +
+      ("SELECT l_returnflag, array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses, " +
         "count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_supp " +
         "FROM lineitem GROUP BY 1"),
 

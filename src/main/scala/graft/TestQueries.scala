@@ -467,11 +467,14 @@ object TestQueries {
 
   /** Collection aggregates: collect_set (sorted for determinism) and a
     * collect_list-derived measure — the §2.5 list-aggregation surface.
+    * The set is emitted as a comma-joined scalar, not an ARRAY column:
+    * the driver's pandas-side row sort cannot hash arrays.
     */
   def q80CollectAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
         // count(lit(1)), not size(collect_list(...)): collect_list drops
         // NULLs while the oracle's count(*) counts every row
         count(lit(1)).as("n_rows"),

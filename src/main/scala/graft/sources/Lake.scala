@@ -52,21 +52,47 @@ final case class Lake(root: String) {
     * FileNotFound or the new snapshot — never the old isolated snapshot
     * (LakeSpec documents this gap). On Delta/Iceberg the identical call
     * site maps to `MERGE INTO`, which rewrites only touched files and
-    * gives readers snapshot isolation. The dedup is one shuffle on `key` —
-    * updates are typically a small fraction of the table, and on a real
-    * lake the rewrite cost is bounded by partition pruning on the union.
+    * gives readers snapshot isolation. The dedup is one shuffle on `key`.
+    *
+    * SCALE: when `partitionCols` is given (and matches how the table was
+    * written), the rewrite is PARTITION-SCOPED — the touched partition
+    * values are collected from `updates` (driver-bounded: one tuple per
+    * touched partition), the current-table read is statically pruned to
+    * those partitions, and the write uses dynamic partition overwrite, so
+    * untouched partition files are never read or rewritten. A one-key
+    * upsert on a date-partitioned 100 TB table moves one day, not 100 TB.
+    * Requires keys to be partition-stable (a key never moves partitions —
+    * standard for facts keyed within their partition date); partition
+    * values must be non-null. Without `partitionCols` the full-table
+    * rewrite of round 2 applies. For reader snapshot isolation and
+    * time travel on top of the same scoping, see [[VersionedLake]].
     */
   def upsert(spark: SparkSession, zone: String, table: String,
              updates: DataFrame, key: String, versionCol: String,
-             deleteCol: Option[String] = None): Unit = {
+             deleteCol: Option[String] = None,
+             partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val target = path(zone, table)
+    val hconf = spark.sessionState.newHadoopConf()
     val exists = {
       val p = new org.apache.hadoop.fs.Path(target)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      p.getFileSystem(hconf).exists(p)
     }
-    val current = if (exists) Some(spark.read.parquet(target)) else None
+    // Touched-partition tuples, collected once on the driver. Bounded by
+    // the number of partitions the batch touches, not by data size.
+    val touched: Array[org.apache.spark.sql.Row] =
+      if (partitionCols.isEmpty) Array.empty
+      else updates.select(partitionCols.map(col): _*).distinct().collect()
+    def pruneToTouched(df: DataFrame): DataFrame =
+      if (touched.isEmpty) df
+      else df.where(touched.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)) // disjunction of partition tuples → static pruning
+    val current =
+      if (exists) Some(pruneToTouched(spark.read.parquet(target))) else None
     // A persisted column with the flag's name (business data, or leaked by
     // an earlier flag-less upsert whose updates carried it) would make
     // current rows deletable by their own stored values — refuse loudly
@@ -96,9 +122,30 @@ final case class Lake(root: String) {
           .drop(d)
       case None => winners
     }
-    alive.drop("__rn", "__src")
-      .localCheckpoint(eager = true)
-      .write.mode("overwrite").parquet(target)
+    val result = alive.drop("__rn", "__src").localCheckpoint(eager = true)
+    if (partitionCols.isEmpty || !exists) {
+      val w = result.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(target)
+    } else {
+      // Dynamic partition overwrite: only partitions PRESENT in `result`
+      // (⊆ touched) are replaced; everything else is untouched on disk.
+      result.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(target)
+      // A touched partition whose keys were ALL deleted has no surviving
+      // rows, so dynamic overwrite never visits it — drop its directory
+      // explicitly or the deleted keys would resurrect on the next read.
+      val survived = result.select(partitionCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSet
+      val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(hconf)
+      for (r <- touched if !survived.contains(r.toSeq)) {
+        val dir = partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$target/$dir"), true)
+      }
+    }
   }
 
   /** Small-file compaction: rewrite a table into `numFiles` right-sized
@@ -160,24 +207,55 @@ final case class Lake(root: String) {
     * The combine shuffles |gold| + |delta| rows on the group key — gold
     * tables are aggregate-sized, orders below the facts; on Delta this
     * becomes MERGE WHEN MATCHED THEN UPDATE SET x = x + delta.
+    *
+    * With `partitionCols` (must be a subset of `keys`, so groups never span
+    * partitions) the fold is partition-scoped like [[upsert]]: only the
+    * partitions present in `delta` are read, re-summed, and dynamically
+    * overwritten — an hourly delta into a year-partitioned gold table
+    * touches one partition, not the year.
     */
   def mergeAggregate(spark: SparkSession, zone: String, table: String,
                      delta: DataFrame, keys: Seq[String],
-                     sumCols: Seq[String]): Unit = {
+                     sumCols: Seq[String],
+                     partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
+    require(partitionCols.forall(keys.contains),
+      "partitionCols must be group keys, or groups would span partitions")
     val target = path(zone, table)
     val exists = {
       val p = new org.apache.hadoop.fs.Path(target)
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
-    val combined =
-      if (exists) spark.read.parquet(target).unionByName(delta) else delta
-    combined
+    val touched: Array[org.apache.spark.sql.Row] =
+      if (partitionCols.isEmpty) Array.empty
+      else delta.select(partitionCols.map(col): _*).distinct().collect()
+    val current =
+      if (!exists) None
+      else if (touched.isEmpty) Some(spark.read.parquet(target))
+      else Some(spark.read.parquet(target).where(touched.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)))
+    val combined = current match {
+      case Some(c) => c.unionByName(delta)
+      case None    => delta
+    }
+    val folded = combined
       .groupBy(keys.map(col): _*)
       .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
       .toDF(keys ++ sumCols: _*)
       .localCheckpoint(eager = true)
-      .write.mode("overwrite").parquet(target)
+    if (partitionCols.isEmpty || !exists) {
+      val w = folded.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(target)
+    } else {
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(target)
+    }
   }
 
   /** Promote a table between zones (e.g. bronze → silver after conform). */

@@ -116,6 +116,91 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-scoped upsert leaves untouched partition files byte- and mtime-identical") {
+    val lake = newLake()
+    val base = Seq(
+      ("2021-01", "a", 1L, 10.0), ("2021-01", "b", 1L, 20.0),
+      ("2021-02", "c", 1L, 30.0), ("2021-03", "d", 1L, 40.0))
+      .toDF("month", "k", "ver", "v")
+    lake.write(base, "silver", "fact", partitionCols = Seq("month"))
+    val root = new org.apache.hadoop.fs.Path(lake.path("silver", "fact"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def snapshot(): Map[String, Long] = {
+      val it = fs.listFiles(root, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = snapshot()
+    Thread.sleep(1100) // parquet mtimes have second granularity on some FS
+    lake.upsert(spark, "silver", "fact",
+      Seq(("2021-02", "c", 2L, 31.0), ("2021-02", "e", 1L, 50.0))
+        .toDF("month", "k", "ver", "v"),
+      "k", "ver", partitionCols = Seq("month"))
+    val after = snapshot()
+    val untouched = (p: String) => !p.contains("month=2021-02")
+    // every untouched file survives with its original mtime
+    assert(before.filter(kv => untouched(kv._1)).forall {
+      case (p, m) => after.get(p).contains(m)
+    }, "untouched partition files were rewritten")
+    // and the merge itself is correct
+    val got = lake.read(spark, "silver", "fact")
+    assert(got.count() === 5)
+    assert(got.where(col("k") === "c").select("v").head().getDouble(0) === 31.0)
+    assert(got.where(col("k") === "a").select("v").head().getDouble(0) === 10.0)
+  }
+
+  test("partition-scoped upsert drops a fully-deleted partition's directory") {
+    val lake = newLake()
+    lake.write(Seq(("p1", "a", 1L), ("p2", "b", 1L)).toDF("p", "k", "ver"),
+      "silver", "pdel", partitionCols = Seq("p"))
+    lake.upsert(spark, "silver", "pdel",
+      Seq(("p2", "b", 2L, true)).toDF("p", "k", "ver", "gone"),
+      "k", "ver", deleteCol = Some("gone"), partitionCols = Seq("p"))
+    val got = lake.read(spark, "silver", "pdel")
+    assert(got.select("k").collect().map(_.getString(0)).toSeq === Seq("a"))
+    val p2dir = new org.apache.hadoop.fs.Path(lake.path("silver", "pdel") + "/p=p2")
+    val fs = p2dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(p2dir), "emptied partition directory must be deleted")
+  }
+
+  test("partition-scoped mergeAggregate only rewrites touched partitions") {
+    val lake = newLake()
+    lake.mergeAggregate(spark, "gold", "pagg",
+      Seq(("h1", "click", 2L), ("h2", "view", 3L)).toDF("hr", "typ", "n"),
+      keys = Seq("hr", "typ"), sumCols = Seq("n"), partitionCols = Seq("hr"))
+    val root = new org.apache.hadoop.fs.Path(lake.path("gold", "pagg"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def mtimes(): Map[String, Long] = {
+      val it = fs.listFiles(root, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = mtimes()
+    Thread.sleep(1100)
+    lake.mergeAggregate(spark, "gold", "pagg",
+      Seq(("h1", "click", 5L)).toDF("hr", "typ", "n"),
+      keys = Seq("hr", "typ"), sumCols = Seq("n"), partitionCols = Seq("hr"))
+    val after = mtimes()
+    assert(before.filter(_._1.contains("hr=h2")).forall {
+      case (p, m) => after.get(p).contains(m)
+    }, "untouched gold partition was rewritten")
+    // partition col reads back LAST on a partitioned table → select by name
+    val got = lake.read(spark, "gold", "pagg")
+      .select("hr", "typ", "n").orderBy("typ")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("h1", "click", 7L), ("h2", "view", 3L)))
+  }
+
   test("upsert refuses a delete flag that collides with a persisted column") {
     val lake = newLake()
     lake.upsert(spark, "silver", "collide",

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.VersionedLake
+
+class VersionedLakeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newLake() = VersionedLake(
+    s"file://${java.nio.file.Files.createTempDirectory("graft-vlake")}/root")
+
+  test("write/read round trip; versions increment per commit") {
+    val vl = newLake()
+    assert(vl.versions(spark, "silver", "t").isEmpty)
+    val v1 = vl.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "silver", "t")
+    assert(v1 === 1)
+    val v2 = vl.write(Seq((3L, "c")).toDF("id", "v"), "silver", "t")
+    assert(v2 === 2)
+    assert(vl.versions(spark, "silver", "t") === Seq(1, 2))
+    assert(vl.read(spark, "silver", "t").count() === 1) // current = v2
+  }
+
+  test("snapshot isolation: a reader resolved before a commit keeps the old snapshot") {
+    // This is the exact scenario LakeSpec documents as a GAP for plain
+    // parquet ("plain-parquet isolation gap" test): here it must PASS.
+    val vl = newLake()
+    vl.write(Seq(("a", 1L)).toDF("k", "n"), "silver", "iso")
+    val pinned = vl.read(spark, "silver", "iso") // manifest resolved NOW
+    vl.upsert(spark, "silver", "iso",
+      Seq(("b", 1L, 2L), ("c", 1L, 3L)).toDF("k", "ver", "n")
+        .select("k", "n", "ver"), "k", "ver")
+    // the commit happened...
+    assert(vl.read(spark, "silver", "iso").count() === 3)
+    // ...but the pre-commit reader still serves the OLD snapshot, intact
+    assert(pinned.count() === 1)
+    assert(pinned.select("k").as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("time travel: read(version) serves any retained snapshot") {
+    val vl = newLake()
+    vl.write(Seq((1L, "one")).toDF("id", "v"), "silver", "tt")
+    vl.write(Seq((1L, "uno"), (2L, "dos")).toDF("id", "v"), "silver", "tt")
+    val v1 = vl.read(spark, "silver", "tt", version = Some(1))
+    assert(v1.select("v").as[String].collect().toSeq === Seq("one"))
+    assert(vl.read(spark, "silver", "tt", version = Some(2)).count() === 2)
+    intercept[Exception] { vl.read(spark, "silver", "tt", Some(9)).collect() }
+  }
+
+  test("partition-scoped upsert: untouched partitions carry forward with zero data movement") {
+    val vl = newLake()
+    val base = Seq(
+      ("2021-01", "a", 1L, 10.0), ("2021-01", "b", 1L, 20.0),
+      ("2021-02", "c", 1L, 30.0), ("2021-03", "d", 1L, 40.0))
+      .toDF("month", "k", "ver", "v")
+    vl.write(base, "silver", "fact", partitionCols = Seq("month"))
+    // upsert touches ONLY 2021-02
+    vl.upsert(spark, "silver", "fact",
+      Seq(("2021-02", "c", 2L, 31.0), ("2021-02", "e", 1L, 50.0))
+        .toDF("month", "k", "ver", "v"),
+      "k", "ver", partitionCols = Seq("month"))
+    val cur = vl.read(spark, "silver", "fact")
+    assert(cur.count() === 5)
+    assert(cur.where($"k" === "c").select("v").as[Double].head() === 31.0)
+    // untouched partitions resolve to v1's SAME physical files — the new
+    // manifest re-references them; zero bytes moved
+    val v1Files = vl.read(spark, "silver", "fact", Some(1))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val untouchedNow = cur.where($"month" =!= "2021-02")
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(untouchedNow.nonEmpty && untouchedNow.subsetOf(v1Files),
+      "untouched partitions were rewritten")
+    // and the old snapshot still reads in full (time travel after upsert)
+    assert(vl.read(spark, "silver", "fact", Some(1)).count() === 4)
+  }
+
+  test("upsert delete flags drop keys; a fully-deleted partition vanishes from the snapshot") {
+    val vl = newLake()
+    vl.write(Seq(("p1", "a", 1L), ("p1", "b", 1L), ("p2", "c", 5L))
+      .toDF("p", "k", "ver"), "silver", "del", partitionCols = Seq("p"))
+    vl.upsert(spark, "silver", "del",
+      Seq(("p2", "c", 6L, true), ("p2", "z", 1L, true))
+        .toDF("p", "k", "ver", "gone"),
+      "k", "ver", deleteCol = Some("gone"), partitionCols = Seq("p"))
+    val cur = vl.read(spark, "silver", "del")
+    assert(cur.select("k").as[String].collect().sorted.toSeq === Seq("a", "b"))
+    assert(cur.columns.toSet === Set("p", "k", "ver")) // flag never persists
+    // stale delete loses the version race
+    vl.upsert(spark, "silver", "del",
+      Seq(("p1", "a", 0L, true)).toDF("p", "k", "ver", "gone"),
+      "k", "ver", deleteCol = Some("gone"), partitionCols = Seq("p"))
+    assert(vl.read(spark, "silver", "del").where($"k" === "a").count() === 1)
+  }
+
+  test("mergeAggregate folds additively and only rewrites touched partitions") {
+    val vl = newLake()
+    vl.mergeAggregate(spark, "gold", "agg",
+      Seq(("h1", "click", 2L), ("h2", "view", 3L)).toDF("hr", "typ", "n"),
+      keys = Seq("hr", "typ"), sumCols = Seq("n"), partitionCols = Seq("hr"))
+    vl.mergeAggregate(spark, "gold", "agg",
+      Seq(("h1", "click", 5L)).toDF("hr", "typ", "n"),
+      keys = Seq("hr", "typ"), sumCols = Seq("n"), partitionCols = Seq("hr"))
+    val got = vl.read(spark, "gold", "agg").orderBy("hr")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("h1", "click", 7L), ("h2", "view", 3L)))
+    // h2 entry carried: v2 manifest references v1's h2 dir (same files)
+    val t = vl.tablePath("gold", "agg")
+    val h2v1 = vl.read(spark, "gold", "agg", Some(1)).where($"hr" === "h2")
+      .select(input_file_name()).as[String].collect().toSet
+    val h2v2 = vl.read(spark, "gold", "agg", Some(2)).where($"hr" === "h2")
+      .select(input_file_name()).as[String].collect().toSet
+    assert(h2v1 === h2v2)
+  }
+
+  test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
+    val vl = newLake()
+    vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
+    vl.write(Seq((2L, "v2")).toDF("id", "v"), "silver", "vac")
+    vl.write(Seq((3L, "v3")).toDF("id", "v"), "silver", "vac")
+    // age everything on disk so only the retention count protects files
+    val t = new org.apache.hadoop.fs.Path(vl.tablePath("silver", "vac"))
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(t, true)
+    while (it.hasNext) {
+      val f = it.next()
+      fs.setTimes(f.getPath, System.currentTimeMillis() - 3600 * 1000L, -1)
+    }
+    val deleted = vl.vacuum(spark, "silver", "vac",
+      retainVersions = 2, olderThanMs = 60 * 1000L)
+    assert(deleted > 0)
+    assert(vl.versions(spark, "silver", "vac") === Seq(2, 3))
+    // retained versions still fully readable
+    assert(vl.read(spark, "silver", "vac", Some(2))
+      .select("v").as[String].head() === "v2")
+    assert(vl.read(spark, "silver", "vac").select("v").as[String].head() === "v3")
+    // idempotent
+    assert(vl.vacuum(spark, "silver", "vac", 2, 60 * 1000L) === 0)
+  }
+
+  test("commit is first-wins: a racing commit for the same version aborts") {
+    val vl = newLake()
+    vl.write(Seq((1L, "a")).toDF("id", "v"), "silver", "race")
+    // simulate a racer that already committed v2
+    vl.write(Seq((2L, "b")).toDF("id", "v"), "silver", "race")
+    val t = vl.tablePath("silver", "race")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // our writer read version=1 before the racer committed v2: its commit
+    // of v2 must fail loudly, not clobber
+    val mdir = new org.apache.hadoop.fs.Path(s"$t/_manifests")
+    val before = fs.listStatus(mdir).length
+    intercept[IllegalStateException] {
+      // reach into the protocol: attempt to re-commit an existing version,
+      // exactly what a writer that resolved version 1 pre-race would do
+      vl.commitManifest(spark, t, 2, Nil, Nil)
+    }
+    assert(fs.listStatus(mdir).length === before) // no half-commit left
+  }
+
+  test("unpartitioned upsert that deletes every key leaves a readable empty snapshot") {
+    val vl = newLake()
+    vl.write(Seq(("a", 1L)).toDF("k", "ver"), "silver", "empty")
+    vl.upsert(spark, "silver", "empty",
+      Seq(("a", 2L, true)).toDF("k", "ver", "gone"),
+      "k", "ver", deleteCol = Some("gone"))
+    val cur = vl.read(spark, "silver", "empty")
+    assert(cur.count() === 0)
+    assert(cur.columns.toSet === Set("k", "ver")) // schema pinned
+  }
+}
