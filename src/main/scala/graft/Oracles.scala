@@ -275,6 +275,27 @@ object Oracles {
         "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
         "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM sc"),
 
+    // Exact SimHash truth: DuckDB recomputes the MD5-token-hash simhash
+    // signature nibble-for-nibble (tokens → 2-shingles → per-bit ±1 votes
+    // over the first 16 md5 hex chars → sign), then takes exact all-pairs
+    // Hamming ≤ 3. The Spark side is the block-BUCKETED candidate path
+    // post-filtered to ≤ 3 — hash equality proves both the signature and
+    // the pigeonhole recall of the bucketing.
+    "q37b_simhash_exact" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE (CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 2), " +
+        "sh AS (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS s FROM tk), " +
+        "nb AS (SELECT doc_id, list_transform(s, x -> list_transform(range(1, 17), " +
+        "k -> strpos('0123456789abcdef', substr(md5(x), CAST(k AS INTEGER), 1)) - 1)) AS h FROM sh), " +
+        "sg AS (SELECT doc_id, list_transform(range(0, 64), b -> CASE WHEN " +
+        "list_sum(list_transform(h, v -> CASE WHEN ((v[CAST(16 - b // 4 AS INTEGER)] >> (b % 4)) & 1) = 1 " +
+        "THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS g FROM nb), " +
+        "hp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN a.g[CAST(i AS INTEGER)] <> b.g[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming " +
+        "FROM sg a JOIN sg b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, hamming FROM hp WHERE hamming <= 3"),
+
     // Exact all-pairs truth: q38's LSH→verify output hash-matching this is
     // a 100%-recall gate on the candidate generation (any banding bug that
     // drops a >=0.5-Jaccard pair fails the compare).

@@ -287,6 +287,18 @@ object TestQueries {
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
 
+  /** Exact SimHash anchor (what q38 is to MinHash): block-bucketed
+    * candidates over the MD5-hash signature, post-filtered to Hamming ≤ 3,
+    * must hash-match DuckDB's exact all-pairs recomputation of the SAME
+    * signature — covering tokenize→shingle→per-bit-vote→sign AND the
+    * 4-block pigeonhole recall in one gate.
+    */
+  def q37bSimhashExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidatePairsMd5(t(s, dir, "documents"), "doc_id", "text")
+      .where(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+
   def q38JaccardDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
@@ -1021,6 +1033,7 @@ object TestQueries {
     "q35_lang_id" -> (q35LangId _),
     "q36_minhash_pairs" -> (q36MinhashPairs _),
     "q37_simhash_pairs" -> (q37SimhashPairs _),
+    "q37b_simhash_exact" -> (q37bSimhashExact _),
     "q38_jaccard_dups" -> (q38JaccardDups _),
     "q39_embedding_topk" -> (q39EmbeddingTopk _),
     "q39b_embedding_norms" -> (q39bEmbeddingNorms _),

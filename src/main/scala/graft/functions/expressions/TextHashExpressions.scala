@@ -164,6 +164,51 @@ case class SimHash(child: Expression, shingleSize: Int, bits: Int)
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }
 
+/** SimHash with MD5 shingle hashes instead of xxhash: identical
+  * sign-aggregation loop, but the per-shingle 64-bit hash is the first 8
+  * bytes of `md5(shingle)` (big-endian) — a hash DuckDB can recompute
+  * nibble-for-nibble from `md5()` hex output, which makes the WHOLE
+  * signature oracle-checkable in SQL (gate q37b). The production
+  * [[SimHash]] keeps xxhash (one long op per shingle vs a full MD5); this
+  * variant exists so the algorithm — tokenize → shingle → per-bit majority
+  * vote → sign — has an exact cross-engine anchor, like q38's exact-Jaccard
+  * anchor for MinHash.
+  */
+case class SimHashMd5(child: Expression, shingleSize: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with LongResult {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override def compute(input: UTF8String): Any = {
+    val sh = ShingleUtil.shingles(input, shingleSize)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < sh.length) {
+      md.reset()
+      val d = md.digest(sh(i).getBytes)
+      // first 8 digest bytes, big-endian == first 16 hex chars as u64
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
+}
+
 /** 64-bit fingerprint of whitespace-normalized, lowercased text — native
   * equivalent of `xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))`
   * (same bytes hashed, same seed 42, so identical values). Trim strips only
@@ -309,6 +354,9 @@ object TextHashExpressions {
 
   def simhash(text: Column, shingleSize: Int, bits: Int): Column =
     ColumnShim.column(SimHash(ColumnShim.expression(text), shingleSize, bits))
+
+  def simhashMd5(text: Column, shingleSize: Int): Column =
+    ColumnShim.column(SimHashMd5(ColumnShim.expression(text), shingleSize))
 
   def shingles(text: Column, n: Int): Column =
     ColumnShim.column(Shingles(ColumnShim.expression(text), n))

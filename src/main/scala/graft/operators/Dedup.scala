@@ -121,11 +121,27 @@ object Dedup {
     * pair generation is per-bucket, same shape as
     * [[minhashCandidatePairs]].
     */
-  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashPairsWithSig(df, idCol, textCol, simhash(col(textCol)))
+
+  /** Oracle-anchored SimHash variant: the same block-permutation bucketing
+    * over [[graft.functions.expressions.SimHashMd5]] — a signature DuckDB
+    * recomputes bit-for-bit from `md5()` hex — so post-filtering to
+    * Hamming ≤ 3 must equal exact all-pairs SQL truth (gate q37b; the
+    * 4-block pigeonhole guarantees 100% recall at distance ≤ 3, the filter
+    * enforces precision). Production path stays xxhash ([[simhashCandidatePairs]]).
+    */
+  def simhashCandidatePairsMd5(df: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    simhashPairsWithSig(df, idCol, textCol,
+      graft.functions.expressions.TextHashExpressions.simhashMd5(col(textCol), 2))
+
+  private def simhashPairsWithSig(df: DataFrame, idCol: String,
+                                  textCol: String, sig: Column): DataFrame = {
     // Same degenerate-signature guard as minhashCandidatePairs (2-shingles).
     val sigs = df
       .where(Text.tokenCount(col(textCol)) >= 2)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), sig.as("sh"))
     val blocked = sigs.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("blk"),

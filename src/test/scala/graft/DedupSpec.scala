@@ -120,6 +120,31 @@ class DedupSpec extends AnyFunSuite {
     assert(close.forall(cands.contains), s"missed: ${close -- cands}")
   }
 
+  test("MD5 simhash: bucketed candidates filtered to Hamming <= 3 equal exact all-pairs") {
+    // The q37b contract, locally: the oracle-checkable signature variant's
+    // bucketed path must reproduce exact truth bit-for-bit.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val toks = base.split(" ")
+    val variants = toks.indices.map { i =>
+      (100L + i, toks.updated(i, s"swap$i").mkString(" "))
+    }
+    val vdocs = (Seq((1L, base), (2L, base)) ++ variants).toDF("doc_id", "text")
+    val sigs = vdocs.select(col("doc_id"),
+        graft.functions.expressions.TextHashExpressions.simhashMd5(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      if java.lang.Long.bitCount(sigs(x) ^ sigs(y)) <= 3
+    } yield (x, y, java.lang.Long.bitCount(sigs(x) ^ sigs(y)).toLong)).toSet
+    assert(exact.nonEmpty)
+    val got = Dedup.simhashCandidatePairsMd5(vdocs, "doc_id", "text")
+      .where(col("hamming") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming").toLong)).toSet
+    assert(got === exact)
+  }
+
   test("chunk dedup planted recall: every pair sharing a long passage is found, only those") {
     val docs = (0 until 5).flatMap { i =>
       // varied (non-periodic) content: a repetitive passage can lack any
