@@ -92,9 +92,80 @@ object Multimodal {
     out
   }
 
-  /** STUB decoder for non-image modalities: deterministic features derived
-    * from the payload bytes. Stands in for `decode → embed` for the codecs
-    * (audio/video) this container lacks; same signature and batch shape.
+  // ---- audio (real decode via javax.sound.sampled — in the JDK) ----------
+
+  /** Magic-byte sniff for RIFF/WAVE containers. */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real WAV/PCM decode through `javax.sound.sampled` (JDK, zero external
+    * deps): any WAV the JDK can read is converted to signed 16-bit PCM,
+    * channels averaged to mono, normalized to [-1, 1]. None for non-WAV or
+    * corrupt payloads (callers fall back to the deterministic fake).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    if (payload == null || !looksLikeWav(payload)) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+          fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val bytes = try pcm.readAllBytes() finally pcm.close()
+        val ch = fmt.getChannels
+        val frames = bytes.length / (2 * ch)
+        if (frames == 0) Some(Array.emptyFloatArray)
+        else {
+          val mono = new Array[Float](frames)
+          var f = 0
+          while (f < frames) {
+            var sum = 0f
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              // little-endian signed 16-bit
+              val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+              sum += s / 32768.0f
+              c += 1
+            }
+            mono(f) = sum / ch
+            f += 1
+          }
+          Some(mono)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sample-derived features: `dim` windowed RMS values — the signal's
+    * energy envelope at fixed resolution. Deterministic (PCM decode is
+    * exact), comparable across clips of different lengths.
+    */
+  def audioFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = samples.length
+    if (n == 0) return out
+    var w = 0
+    while (w < dim) {
+      val lo = (w.toLong * n / dim).toInt
+      val hi = math.max(lo + 1, ((w + 1).toLong * n / dim).toInt)
+      var acc = 0.0
+      var i = lo
+      while (i < math.min(hi, n)) { acc += samples(i).toDouble * samples(i); i += 1 }
+      val cnt = math.min(hi, n) - lo
+      out(w) = if (cnt <= 0) 0f else math.sqrt(acc / cnt).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** STUB decoder for remaining modalities (video): deterministic features
+    * derived from the payload bytes. Stands in for `decode → embed` for the
+    * codecs this container lacks; same signature and batch shape.
     */
   def fakeDecodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
@@ -106,12 +177,14 @@ object Multimodal {
     out
   }
 
-  /** Dispatching decoder: real pixel features for decodable images, the
-    * deterministic fake for everything else.
+  /** Dispatching decoder: real pixel features for decodable images, real
+    * RMS-envelope features for decodable WAV audio, the deterministic fake
+    * only for what's left (video).
     */
   def decodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     decodeImage(bytes).map(imageFeatures(_, dim))
+      .orElse(decodeAudio(bytes).map(audioFeatures(_, dim)))
       .getOrElse(fakeDecodeFeatures(bytes, dim))
   }
 
