@@ -92,7 +92,10 @@ final case class Lake(root: String) {
           .reduce(_ && _)
       }.reduce(_ || _)) // disjunction of partition tuples → static pruning
     val current =
-      if (exists) Some(pruneToTouched(spark.read.parquet(target))) else None
+      if (exists)
+        Some(pruneToTouched(readWithPartitionTypesOf(spark, target,
+          partitionCols, updates)))
+      else None
     // A persisted column with the flag's name (business data, or leaked by
     // an earlier flag-less upsert whose updates carried it) would make
     // current rows deletable by their own stored values — refuse loudly
@@ -141,8 +144,15 @@ final case class Lake(root: String) {
         .collect().map(_.toSeq).toSet
       val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(hconf)
       for (r <- touched if !survived.contains(r.toSeq)) {
+        // Spark escapes partition path values (':', '#', '%', …) when it
+        // lays down directories — build the delete path through the same
+        // escaping or values like "a:b" would dodge the cleanup and their
+        // deleted keys would resurrect on the next read.
         val dir = partitionCols.zipWithIndex
-          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+          .map { case (c, i) =>
+            s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(String.valueOf(r.get(i)))}"
+          }.mkString("/")
         fs.delete(new org.apache.hadoop.fs.Path(s"$target/$dir"), true)
       }
     }
