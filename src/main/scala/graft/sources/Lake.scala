@@ -33,6 +33,72 @@ final case class Lake(root: String) {
       .parquet(path(zone, table))
   }
 
+  /** Read `target` presenting each partition column with the dtype it has in
+    * `updates` — the merge-side contract the partition-scoped [[upsert]]
+    * depends on. A plain `spark.read.parquet` INFERS partition dtypes from
+    * the directory names: `month=01` infers as int `1`, and after union
+    * coercion a dynamic partition overwrite would lay down `month=1` BESIDE
+    * the stale `month=01` directory, silently resurrecting replaced rows on
+    * the next read. Reading with an explicit schema instead parses the raw
+    * path string directly as the declared type, so a string column keeps
+    * `"01"` verbatim.
+    *
+    * Fails loudly (instead of corrupting) when the table's on-disk layout
+    * cannot canonically carry the requested dtype: a raw directory value
+    * that does not parse as the dtype (`month=abc` as int), or one whose
+    * re-rendering differs from the directory name (`month=01` as int
+    * renders `month=1` — the resurrection case in the other direction).
+    * The check walks partition DIRECTORIES only (metadata-bounded: one
+    * name per partition value per level), never data files.
+    */
+  private[sources] def readWithPartitionTypesOf(
+      spark: SparkSession, target: String,
+      partitionCols: Seq[String], updates: DataFrame): DataFrame = {
+    if (partitionCols.isEmpty) return spark.read.parquet(target)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val wanted = updates.schema
+    partitionCols.foreach(c => require(wanted.fieldNames.contains(c),
+      s"partition column '$c' missing from updates"))
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val root = new org.apache.hadoop.fs.Path(target)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // Raw (unescaped) directory values per partition level.
+    var level = Seq(root)
+    partitionCols.foreach { c =>
+      val next = level.flatMap { d =>
+        fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith(s"$c="))
+      }
+      val dt = wanted(c).dataType
+      next.map(_.getName.drop(c.length + 1)).distinct.foreach { esc =>
+        val raw = ExternalCatalogUtils.unescapePathName(esc)
+        require(raw != ExternalCatalogUtils.DEFAULT_PARTITION_NAME,
+          s"null partition value under '$target' for '$c'; upsert requires non-null partition values")
+        if (dt != StringType) {
+          val parsed = Cast(Literal(raw), dt, tz).eval()
+          require(parsed != null,
+            s"partition dir '$c=$raw' of '$target' does not parse as $dt — " +
+              s"updates' dtype for '$c' does not match the table layout")
+          val rendered = Cast(Literal.create(parsed, dt), StringType, tz).eval().toString
+          require(rendered == raw,
+            s"partition dir '$c=$raw' of '$target' re-renders as '$c=$rendered' under " +
+              s"$dt — a dynamic overwrite would write '$c=$rendered' beside the stale " +
+              s"'$c=$raw' directory; align updates' dtype for '$c' with the table layout")
+        }
+      }
+      level = next
+    }
+    // Inferred schema gives the data-field types and column order; only the
+    // partition columns' dtypes are overridden.
+    val inferred = spark.read.parquet(target).schema
+    val fixed = StructType(inferred.map(f =>
+      if (partitionCols.contains(f.name)) f.copy(dataType = wanted(f.name).dataType)
+      else f))
+    spark.read.schema(fixed).parquet(target)
+  }
+
   /** MERGE-style keyed upsert: rows in `updates` replace current rows with
     * the same `key`; among collisions the greatest `versionCol` wins, and at
     * equal versions the incoming row wins.

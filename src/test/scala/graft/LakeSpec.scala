@@ -201,6 +201,59 @@ class LakeSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("h1", "click", 7L), ("h2", "view", 3L)))
   }
 
+  test("partition-scoped upsert keeps string partition values that look numeric ('01')") {
+    // Partition-type inference would read month=01 back as int 1; a merge on
+    // that inferred frame dynamic-overwrites month=1 BESIDE the stale
+    // month=01 directory, duplicating/resurrecting rows. The pruned read
+    // must present partition columns with the updates' dtypes instead.
+    val lake = newLake()
+    val base = Seq(("01", "a", 1L, 10.0), ("01", "b", 1L, 20.0),
+                   ("02", "c", 1L, 30.0))
+      .toDF("month", "k", "ver", "v")
+    lake.write(base, "silver", "zfact", partitionCols = Seq("month"))
+    lake.upsert(spark, "silver", "zfact",
+      Seq(("01", "a", 2L, 11.0), ("01", "d", 1L, 40.0))
+        .toDF("month", "k", "ver", "v"),
+      "k", "ver", partitionCols = Seq("month"))
+    val root = new org.apache.hadoop.fs.Path(lake.path("silver", "zfact"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.toSeq === Seq("month=01", "month=02"),
+      "leading-zero partition dir was re-rendered — resurrection hazard")
+    val got = lake.read(spark, "silver", "zfact")
+    assert(got.count() === 4) // a updated in place, b kept, c untouched, d new
+    assert(got.where(col("k") === "a").select("v").head().getDouble(0) === 11.0)
+    // and no key appears twice (the duplicate-directory failure mode)
+    assert(got.groupBy("k").count().where(col("count") > 1).count() === 0)
+    // a schema-declared read (how a consumer avoids partition inference)
+    // still sees the verbatim leading-zero values
+    import org.apache.spark.sql.types._
+    val declared = new StructType()
+      .add("k", StringType).add("ver", LongType).add("v", DoubleType)
+      .add("month", StringType)
+    val months = spark.read.schema(declared).parquet(lake.path("silver", "zfact"))
+      .select("month").distinct().collect().map(_.getString(0)).sorted
+    assert(months.toSeq === Seq("01", "02"))
+  }
+
+  test("partition-scoped upsert fails loudly when updates' partition dtype re-renders the layout") {
+    // Table laid out with string '01' dirs; updates carrying int 1 would
+    // write month=1 beside month=01 — refuse instead of corrupting.
+    val lake = newLake()
+    lake.write(Seq(("01", "a", 1L)).toDF("month", "k", "ver"),
+      "silver", "zbad", partitionCols = Seq("month"))
+    val e = intercept[IllegalArgumentException] {
+      lake.upsert(spark, "silver", "zbad",
+        Seq((1, "a", 2L)).toDF("month", "k", "ver"),
+        "k", "ver", partitionCols = Seq("month"))
+    }
+    assert(e.getMessage.contains("re-renders"))
+    // table untouched by the refused merge
+    val got = lake.read(spark, "silver", "zbad")
+    assert(got.count() === 1)
+    assert(got.select("ver").head().getLong(0) === 1L)
+  }
+
   test("upsert refuses a delete flag that collides with a persisted column") {
     val lake = newLake()
     lake.upsert(spark, "silver", "collide",
