@@ -58,7 +58,8 @@ object VersionedLake {
   final case class Entry(key: String, dir: String)
 
   final case class Manifest(version: Int, partitionCols: Seq[String],
-                            entries: Seq[Entry])
+                            entries: Seq[Entry],
+                            schemaJson: Option[String] = None)
 }
 
 final case class VersionedLake(root: String) {
@@ -107,11 +108,18 @@ final case class VersionedLake(root: String) {
       case "" => Nil
       case s  => s.split(",", -1).toSeq
     }
-    val entries = lines.tail.toSeq.map { l =>
+    // Optional schema header (newer manifests): the committed snapshot's
+    // full schema, so readers never have to derive one from data files.
+    val (schemaJson, entryLines) = lines.tail.toSeq match {
+      case h +: rest if h.startsWith("schema=") =>
+        (Some(h.stripPrefix("schema=")), rest)
+      case rest => (None, rest)
+    }
+    val entries = entryLines.map { l =>
       val i = l.lastIndexOf('\t')
       Entry(l.substring(0, i), l.substring(i + 1))
     }
-    Manifest(version, cols, entries)
+    Manifest(version, cols, entries, schemaJson)
   }
 
   /** Atomic commit: temp write + rename-to-absent-destination. Exactly one
@@ -120,12 +128,15 @@ final case class VersionedLake(root: String) {
   private[graft] def commitManifest(spark: SparkSession, t: String,
                                     version: Int,
                                     partitionCols: Seq[String],
-                                    entries: Seq[VersionedLake.Entry]): Unit = {
+                                    entries: Seq[VersionedLake.Entry],
+                                    schemaJson: Option[String] = None): Unit = {
     require(partitionCols.forall(c => !c.contains(",") && !c.contains("\n")))
+    require(schemaJson.forall(!_.contains("\n")), "schema JSON must be one line")
     val mdir = manifestsDir(t)
     val fs = fsFor(spark, mdir)
     fs.mkdirs(mdir)
-    val body = (s"cols=${partitionCols.mkString(",")}" +:
+    val body = (Seq(s"cols=${partitionCols.mkString(",")}") ++
+      schemaJson.map(s => s"schema=$s") ++
       entries.map(e => s"${e.key}\t${e.dir}")).mkString("", "\n", "\n")
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
@@ -191,7 +202,7 @@ final case class VersionedLake(root: String) {
     val t = tablePath(zone, table)
     val entries = writeDataCommit(t, df, partitionCols)
     val v = currentVersion(spark, zone, table) + 1
-    commitManifest(spark, t, v, partitionCols, entries)
+    commitManifest(spark, t, v, partitionCols, entries, Some(df.schema.json))
     v
   }
 
@@ -209,7 +220,28 @@ final case class VersionedLake(root: String) {
     }
     val m = readManifest(spark, t, v)
     require(m.entries.nonEmpty, s"empty manifest v$v for $zone/$table")
-    spark.read.parquet(m.entries.map(e => s"$t/${e.dir}"): _*)
+    readDirs(spark, t, m.entries, m.schemaJson)
+  }
+
+  /** Read a set of manifest data dirs under the snapshot's committed
+    * schema: columns a later commit ADDED read back as NULL from older
+    * data dirs (parquet pads missing columns), and the schema is
+    * deterministic — no dependence on which file Spark samples, and no
+    * `mergeSchema` footer sweep over the whole table (which at 100 TB
+    * reads every file's footer just to plan). Pre-schema-header manifests
+    * fall back to merging footers (correct, just not O(1) in planning).
+    */
+  private def readDirs(spark: SparkSession, t: String,
+                       entries: Seq[Entry],
+                       schemaJson: Option[String]): DataFrame = {
+    val paths = entries.map(e => s"$t/${e.dir}")
+    schemaJson match {
+      case Some(json) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** MERGE-style keyed upsert with the same semantics as [[Lake.upsert]]
@@ -244,7 +276,7 @@ final case class VersionedLake(root: String) {
 
     val currentScoped =
       if (touchedEntries.isEmpty) None
-      else Some(spark.read.parquet(touchedEntries.map(e => s"$t/${e.dir}"): _*))
+      else Some(readDirs(spark, t, touchedEntries, manifest.schemaJson))
     for (d <- deleteCol; c <- currentScoped)
       require(!c.columns.contains(d),
         s"deleteCol '$d' collides with a persisted column of '$table'")
@@ -276,7 +308,11 @@ final case class VersionedLake(root: String) {
       if (entries.nonEmpty) entries
       else writeDataCommit(t, result.limit(0), Nil)
     val v = cur + 1
-    commitManifest(spark, t, v, partitionCols, finalEntries)
+    // result.schema is the UNION of carried and new columns (unionByName
+    // allowMissingColumns), so carried dirs read back with any column this
+    // batch added (NULL-padded) instead of nondeterministically dropping it.
+    commitManifest(spark, t, v, partitionCols, finalEntries,
+      Some(result.schema.json))
     v
   }
 
@@ -306,8 +342,7 @@ final case class VersionedLake(root: String) {
       manifest.entries.partition(e => touchedKeys.contains(e.key))
     val combined = touchedEntries match {
       case Seq() => delta
-      case es =>
-        spark.read.parquet(es.map(e => s"$t/${e.dir}"): _*).unionByName(delta)
+      case es => readDirs(spark, t, es, manifest.schemaJson).unionByName(delta)
     }
     val folded = combined
       .groupBy(keys.map(col): _*)
@@ -315,13 +350,20 @@ final case class VersionedLake(root: String) {
       .toDF(keys ++ sumCols: _*)
     val newEntries = writeDataCommit(t, folded, partitionCols)
     val v = cur + 1
-    commitManifest(spark, t, v, partitionCols, carried ++ newEntries)
+    commitManifest(spark, t, v, partitionCols, carried ++ newEntries,
+      Some(folded.schema.json))
     v
   }
 
-  /** Compaction as a snapshot commit: rewrite the current data into
+  /** Compaction as a snapshot commit: rewrite the current data into at most
     * `filesPerPartition` files per partition (one data commit, readers of
     * prior versions unaffected). On Delta this is OPTIMIZE.
+    *
+    * Partitioned tables shuffle on (partition cols, salt∈[0,N)): each
+    * (partition, salt) slice lands in one task and each task writes one
+    * file per partition value it holds, so a skew-heavy partition still
+    * compacts into N right-sized files in parallel instead of funneling
+    * through a single writer task.
     */
   def compact(spark: SparkSession, zone: String, table: String,
               filesPerPartition: Int): Int = {
@@ -333,11 +375,22 @@ final case class VersionedLake(root: String) {
     val df = read(spark, zone, table)
     val sized =
       if (m.partitionCols.isEmpty) df.repartition(filesPerPartition)
-      else df.repartition(m.partitionCols.map(col): _*)
-        .sortWithinPartitions(m.partitionCols.map(col): _*)
+      else {
+        // Explicit task count (AQE would otherwise coalesce the shuffle and
+        // silently merge the salt slices): one slot per (partition, salt),
+        // the manifest's distinct keys giving the partition count for free.
+        val numParts =
+          filesPerPartition * m.entries.map(_.key).distinct.size.max(1)
+        df.withColumn("__salt",
+            floor(rand(7919) * filesPerPartition).cast("int"))
+          .repartition(numParts, m.partitionCols.map(col) :+ col("__salt"): _*)
+          .sortWithinPartitions(m.partitionCols.map(col): _*)
+          .drop("__salt")
+      }
     val entries = writeDataCommit(t, sized, m.partitionCols)
     val v = cur + 1
-    commitManifest(spark, t, v, m.partitionCols, entries)
+    commitManifest(spark, t, v, m.partitionCols, entries,
+      Some(df.schema.json))
     v
   }
 

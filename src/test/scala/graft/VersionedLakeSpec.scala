@@ -158,6 +158,55 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(fs.listStatus(mdir).length === before) // no half-commit left
   }
 
+  test("schema evolution: a column added by upsert survives reads deterministically") {
+    // upsert permits evolution (unionByName allowMissingColumns), so the
+    // committed manifest must carry the union schema: carried partitions'
+    // older files NULL-pad the new column instead of the whole read
+    // nondeterministically dropping it (which file Spark samples first
+    // must not matter).
+    val vl = newLake()
+    vl.write(Seq(("p1", "a", 1L), ("p2", "b", 1L)).toDF("p", "k", "ver"),
+      "silver", "evo", partitionCols = Seq("p"))
+    // touch only p1, adding a column the table never had
+    vl.upsert(spark, "silver", "evo",
+      Seq(("p1", "a", 2L, "new")).toDF("p", "k", "ver", "extra"),
+      "k", "ver", partitionCols = Seq("p"))
+    val got = vl.read(spark, "silver", "evo")
+    assert(got.columns.toSet === Set("p", "k", "ver", "extra"))
+    assert(got.where(col("k") === "a").select("extra").head().getString(0) === "new")
+    // carried partition p2 (old files, no 'extra') reads back NULL-padded
+    assert(got.where(col("k") === "b").select("extra").head().isNullAt(0))
+    // time travel to v1 keeps v1's schema — no 'extra' there
+    assert(vl.read(spark, "silver", "evo", Some(1)).columns.toSet
+      === Set("p", "k", "ver"))
+    // and a further partition-scoped merge on the evolved table is stable
+    vl.upsert(spark, "silver", "evo",
+      Seq(("p2", "b", 2L, null.asInstanceOf[String]))
+        .toDF("p", "k", "ver", "extra"),
+      "k", "ver", partitionCols = Seq("p"))
+    assert(vl.read(spark, "silver", "evo").columns.toSet
+      === Set("p", "k", "ver", "extra"))
+  }
+
+  test("compact honors filesPerPartition on a partitioned table") {
+    val vl = newLake()
+    val df = spark.range(0, 3000)
+      .select((col("id") % 3).cast("string").as("p"), col("id"))
+    vl.write(df.repartition(24), "silver", "cmp", partitionCols = Seq("p"))
+    vl.compact(spark, "silver", "cmp", filesPerPartition = 3)
+    val got = vl.read(spark, "silver", "cmp")
+    assert(got.count() === 3000)
+    assert(got.agg(sum("id")).head().getLong(0) === 4498500L)
+    // per-partition file counts: >1 proves the parameter is live (the old
+    // code funneled each partition into exactly one file), <=N proves the
+    // bound holds
+    val perPart = got.withColumn("f", input_file_name())
+      .groupBy("p").agg(countDistinct(col("f")).as("files"))
+      .collect().map(r => r.getLong(1))
+    assert(perPart.forall(n => n >= 2 && n <= 3),
+      s"files per partition out of [2,3]: ${perPart.mkString(",")}")
+  }
+
   test("unpartitioned upsert that deletes every key leaves a readable empty snapshot") {
     val vl = newLake()
     vl.write(Seq(("a", 1L)).toDF("k", "ver"), "silver", "empty")
