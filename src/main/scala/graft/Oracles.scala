@@ -397,7 +397,7 @@ object Oracles {
         "SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events " +
         "FROM f GROUP BY 1"),
 
-    "q44_csv_roundtrip" ->
+    "q44_conform_agg" ->
       ("SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY 1"),
 

@@ -195,11 +195,17 @@ object Dedup {
     *
     * Each round is ONE materialization job: the changed-flag is computed
     * inside the same plan as the new labels (the old label is already on the
-    * row), `localCheckpoint(eager)` pins the result, and the convergence
-    * probe is a max() over the pinned blocks — no separate join-and-count
-    * job re-executing the round (the previous formulation ran a second full
-    * join per round just to count changes). On a cluster, swap
-    * `localCheckpoint` for reliable checkpoints / intermediate tables.
+    * row), a checkpoint pins the result, and the convergence probe is a
+    * max() over the pinned blocks — no separate join-and-count job
+    * re-executing the round (the previous formulation ran a second full
+    * join per round just to count changes).
+    *
+    * `checkpointDir`: None (default) pins rounds with `localCheckpoint` —
+    * fastest, but executor-local blocks, so an executor loss forfeits the
+    * run (fine for local mode and short jobs). On a cluster, pass a
+    * reliable directory (HDFS/object store): rounds pin with
+    * `checkpoint()`, lineage truncates identically, and the job survives
+    * executor loss at the cost of writing each round's labels out.
     *
     * Iteration bound: after `t` rounds every label has reached the minimum
     * over its ~2^t-hop neighborhood, so `maxIter = 20` covers component
@@ -209,12 +215,16 @@ object Dedup {
     *
     * Returns (id, cluster) where cluster = min id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val edges = pin(pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    var labels = pin(edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -224,7 +234,7 @@ object Dedup {
       // candidate = min over closed neighborhood; jump = candidate's own
       // previous label (labels is checkpointed, so referencing it twice in
       // this plan re-reads pinned blocks, not recomputed lineage)
-      val next = labels
+      val next = pin(labels
         .join(neighborMin.withColumnRenamed("id_a", "nid"),
           col("id") === col("nid"), "left")
         .select(col("id"), col("cluster").as("__old"),
@@ -234,8 +244,7 @@ object Dedup {
         .select(col("id"), col("__old"),
           least(col("__cand"), coalesce(col("__cc"), col("__cand"))).as("cluster"))
         .withColumn("__changed", (col("cluster") =!= col("__old")).cast("int"))
-        .select("id", "cluster", "__changed")
-        .localCheckpoint(eager = true)
+        .select("id", "cluster", "__changed"))
       // coalesce: max over an empty label set (no pairs at all) is null
       converged = next.agg(coalesce(max(col("__changed")), lit(0)).as("c"))
         .head.getAs[Int]("c") == 0

@@ -25,6 +25,68 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Hyperplane-agreement probability for a pair at cosine `c`:
+    * p = 1 − θ/π with θ = arccos(c) (Charikar's SimHash bound).
+    */
+  def planeAgreementProb(cosine: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+
+  /** Probability a pair at cosine `c` shares a bucket in ≥1 of `tables`
+    * tables of `planes` hyperplanes each: 1 − (1 − p^planes)^tables.
+    */
+  def lshCandidateProb(cosine: Double, planes: Int, tables: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(planeAgreementProb(cosine), planes), tables)
+
+  /** Smallest table count reaching `targetRecall` for pairs at
+    * `cosineThreshold` with `planes` hyperplanes per table:
+    * T = ⌈ln(1−recall) / ln(1−p^planes)⌉.
+    */
+  def lshTablesForRecall(targetRecall: Double, cosineThreshold: Double,
+                         planes: Int): Int = {
+    require(targetRecall > 0 && targetRecall < 1, "recall must be in (0,1)")
+    val pb = math.pow(planeAgreementProb(cosineThreshold), planes)
+    require(pb > 0 && pb < 1, s"degenerate agreement probability $pb")
+    math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt.max(1)
+  }
+
+  /** Solve (numPlanes, numTables) for a requested recall at a cosine
+    * threshold: the LARGEST plane count whose required table count still
+    * fits `maxTables`. Rationale: each extra plane halves a random pair's
+    * bucket-collision probability (~2^-planes, since random pairs sit near
+    * cosine 0 ⇒ p ≈ ½) — candidate pruning improves geometrically — while
+    * the recall formula above only demands a linear-ish growth in tables,
+    * so within a table budget the most-planes configuration verifies the
+    * fewest junk candidates. Recall is then a PROMISE of the returned
+    * configuration, not a measured accident (SimilaritySpec checks measured
+    * tracks predicted on real pairs).
+    */
+  def lshParamsForRecall(targetRecall: Double, cosineThreshold: Double,
+                         maxTables: Int = 16): (Int, Int) = {
+    val fits = Iterator.from(1)
+      .map(b => (b, lshTablesForRecall(targetRecall, cosineThreshold, b)))
+      .takeWhile { case (b, t) => t <= maxTables || b == 1 }
+      .toSeq
+    require(fits.nonEmpty, s"no configuration fits maxTables=$maxTables")
+    val (b, t) = fits.last
+    require(t <= maxTables,
+      s"recall $targetRecall at cosine $cosineThreshold needs $t tables even " +
+        s"with 1 plane — raise maxTables or lower the target")
+    (b, t)
+  }
+
+  /** [[lshTopK]] with (planes, tables) SOLVED from the requested recall at
+    * a cosine threshold instead of hand-tuned: pairs at least
+    * `cosineThreshold` similar become candidates with probability ≥
+    * `targetRecall` (more-similar pairs, strictly higher).
+    */
+  def lshTopKForRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dim: Int, k: Int,
+                       targetRecall: Double, cosineThreshold: Double,
+                       seed: Long = 42L, maxTables: Int = 16): DataFrame = {
+    val (planes, tables) = lshParamsForRecall(targetRecall, cosineThreshold, maxTables)
+    lshTopK(corpus, queries, idCol, vecCol, dim, k, planes, seed, tables)
+  }
+
   /** Brute-force cosine top-k: every query against every corpus vector.
     * The query side should be the small one — it is broadcast, so the
     * corpus is scanned exactly once with no shuffle; per-query ranking is a

@@ -214,6 +214,25 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.forall(_._2 === 1L))
   }
 
+  test("connectedComponents: reliable-checkpoint mode yields identical labels") {
+    // Cluster mode: localCheckpoint blocks die with their executor, so the
+    // checkpointDir switch pins rounds to a reliable filesystem instead.
+    // Same graph, both modes, identical fixed point.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L))
+      .toDF("id_a", "id_b")
+      .union((20L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    def labelsOf(dir: Option[String]) =
+      Dedup.connectedComponents(pairs, checkpointDir = dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelsOf(None)
+    val reliable = labelsOf(Some(ckpt))
+    assert(reliable === local)
+    assert(reliable(3L) === 1L && reliable(6L) === 5L && reliable(60L) === 20L)
+    // the reliable run actually wrote checkpoint data
+    assert(new java.io.File(ckpt).listFiles().nonEmpty)
+  }
+
   test("connectedComponents: empty pair set yields empty labels, no error") {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(none).count() === 0)

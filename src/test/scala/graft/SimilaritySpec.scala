@@ -112,6 +112,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall(multi) > recall(single)) // the tables are why
   }
 
+  test("recall-targeted LSH sizing: solver math, and measured recall tracks predicted") {
+    // Solver arithmetic: 85% at cosine 0.2 needs 10 tables of 3 planes
+    // (the config the gate measured ~0.9 with), and more planes always
+    // means more tables for the same promise.
+    assert(Similarity.lshParamsForRecall(0.85, 0.2) === (3, 10))
+    assert(Similarity.lshTablesForRecall(0.85, 0.2, 2) === 5)
+    val t1 = Similarity.lshTablesForRecall(0.9, 0.3, 4)
+    assert(Similarity.lshCandidateProb(0.3, 4, t1) >= 0.9)
+    assert(Similarity.lshCandidateProb(0.3, 4, t1 - 1) < 0.9)
+    // a target no single-plane budget can meet fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.lshParamsForRecall(0.999, 0.05, maxTables = 4)
+    }
+
+    // Measured-vs-predicted on the real embeddings: for each true top-3
+    // pair, the formula predicts its candidate probability from its OWN
+    // cosine; the mean prediction must track the measured recall of the
+    // derived configuration (planes are random, so ±0.15 slack).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") <= 20)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")),
+        r.getAs[Double]("cos")))
+    val (planes, tables) = Similarity.lshParamsForRecall(0.85, 0.2)
+    val predicted = exact
+      .map(p => Similarity.lshCandidateProb(p._2, planes, tables))
+      .sum / exact.length
+    val found = nbrPairs(Similarity.lshTopKForRecall(emb, q, "vec_id",
+      "embedding", dim = 64, k = 3, targetRecall = 0.85, cosineThreshold = 0.2))
+    val measured =
+      found.intersect(exact.map(_._1).toSet).size.toDouble / exact.length
+    assert(measured >= 0.8, s"measured recall $measured below the gate bar")
+    assert(math.abs(measured - predicted) <= 0.15,
+      s"measured $measured does not track predicted $predicted")
+  }
+
   test("NearestCells yields null on dimension mismatch or null elements, never garbage") {
     import graft.functions.expressions.VectorExpressions
     val cents = Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))
