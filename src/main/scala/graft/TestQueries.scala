@@ -840,8 +840,15 @@ object TestQueries {
     * are oracle/spec-checked (q42, MultimodalSpec, q39).
     */
   def q76MediaAnn(s: SparkSession, dir: String): DataFrame = {
+    // Mixed real-codec corpus: PNG images for doc_id < 100, MJPEG-AVI
+    // clips for 100-199 — every feature vector comes from an actual
+    // decode (pixels or frames), none from the byte-hash fallback.
+    val docs = t(s, dir, "documents")
     val media = operators.Multimodal.textToPng(
-      t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text").toDF()
+        docs.where(col("doc_id") < 100), "doc_id", "text").toDF()
+      .unionByName(operators.Multimodal.textToAvi(
+        docs.where(col("doc_id") >= 100 && col("doc_id") < 200),
+        "doc_id", "text").toDF())
     val feats = operators.Multimodal.extractFeatures(media, dim = 16).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
       .localCheckpoint() // corpus AND query side — avoid double extraction

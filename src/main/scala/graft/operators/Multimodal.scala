@@ -14,16 +14,18 @@ import javax.imageio.ImageIO
   * training-data lake stores media (bytes in parquet/blob store, features
   * extracted in-pipeline).
   *
-  * Image payloads (PNG/JPEG/GIF/BMP, sniffed by magic bytes) take a REAL
-  * decode path through `javax.imageio` — in the JDK, zero external
-  * dependencies: [[decodeFeatures]] computes a luma histogram over actual
-  * pixels, [[resize]] renders a true scaled raster and re-encodes PNG.
-  * Non-image payloads (and undecodable bytes) fall back to the
-  * deterministic fakes ([[fakeDecodeFeatures]], [[resizeStub]] semantics),
-  * standing in for audio/video codecs this container lacks. Either way the
-  * Spark-side plumbing (schema, batched `mapPartitions`, feature width) is
-  * identical. Batching per partition matters at scale: the codec is
-  * amortized per-partition (like an Arrow batch UDF), not per-row.
+  * All three modalities take REAL decode paths with zero external
+  * dependencies: images (PNG/JPEG/GIF/BMP, sniffed by magic bytes) through
+  * `javax.imageio` — luma histograms over actual pixels, [[resize]] renders
+  * a true scaled raster and re-encodes PNG; audio (WAV/PCM) through
+  * `javax.sound.sampled` — RMS envelopes over decoded samples; video
+  * (MJPEG-in-AVI) through a RIFF container parse ([[decodeVideo]]) whose
+  * frames decode as JPEGs — frame-averaged histograms. Bytes NO codec
+  * claims fall back to the deterministic fakes ([[fakeDecodeFeatures]],
+  * [[resizeStub]] semantics). Either way the Spark-side plumbing (schema,
+  * batched `mapPartitions`, feature width) is identical. Batching per
+  * partition matters at scale: the codec is amortized per-partition (like
+  * an Arrow batch UDF), not per-row.
   */
 object Multimodal {
 
@@ -163,9 +165,98 @@ object Multimodal {
     out
   }
 
-  /** STUB decoder for remaining modalities (video): deterministic features
-    * derived from the payload bytes. Stands in for `decode → embed` for the
-    * codecs this container lacks; same signature and batch shape.
+  // ---- video (real MJPEG-in-AVI decode — RIFF walk + ImageIO, in the JDK) --
+
+  /** A parsed AVI clip: dimensions and per-frame timing from the `avih`
+    * header, raw video-stream chunks (JPEGs for MJPEG) from the `movi`
+    * list.
+    */
+  final case class VideoClip(width: Int, height: Int, microSecPerFrame: Long,
+                             frames: Vector[Array[Byte]]) {
+    def durationMs: Long = microSecPerFrame * frames.length / 1000
+  }
+
+  /** Magic-byte sniff for RIFF/AVI containers. */
+  def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Real AVI container parse: walk the RIFF chunk tree (little-endian
+    * sizes, even padding), read dimensions + frame timing from the `avih`
+    * main header, and collect the video-stream data chunks (`##dc`/`##db`)
+    * out of the `movi` list. None for non-AVI or structurally broken
+    * payloads (callers fall back to the deterministic fake). Truncated
+    * trailing chunks are clamped, not fatal — exactly how lenient players
+    * treat interrupted recordings.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[VideoClip] =
+    if (payload == null || !looksLikeAvi(payload)) None
+    else
+      try {
+        def le32(o: Int): Long =
+          ((payload(o) & 0xFF) | (payload(o + 1) & 0xFF) << 8 |
+            (payload(o + 2) & 0xFF) << 16) | (payload(o + 3).toLong & 0xFF) << 24
+        def fourcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+        var width = 0
+        var height = 0
+        var uspf = 0L
+        val frames = Vector.newBuilder[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = fourcc(off)
+            val sz = le32(off + 4).toInt
+            val dataStart = off + 8
+            val dataEnd = math.min(dataStart.toLong + sz, end.toLong).toInt
+            if (id == "RIFF" || id == "LIST") {
+              if (dataEnd >= dataStart + 4) walk(dataStart + 4, dataEnd)
+            } else if (id == "avih" && sz >= 40) {
+              uspf = le32(dataStart)
+              width = le32(dataStart + 32).toInt
+              height = le32(dataStart + 36).toInt
+            } else if (id(0).isDigit && id(1).isDigit &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+            }
+            off = dataStart + sz + (sz & 1) // chunks pad to even offsets
+          }
+        }
+        walk(12, payload.length)
+        if (width <= 0 || height <= 0) None
+        else Some(VideoClip(width, height, uspf, frames.result()))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame-derived features: decode up to `maxFrames` evenly-sampled video
+    * frames (MJPEG frames are plain JPEGs — ImageIO again) and average
+    * their luma histograms — the clip's brightness profile, length-
+    * independent. None when no frame decodes (unknown intra-frame codec):
+    * callers fall back rather than fabricate.
+    */
+  def videoFeatures(clip: VideoClip, dim: Int,
+                    maxFrames: Int = 8): Option[Array[Float]] = {
+    val n = clip.frames.length
+    if (n == 0) return None
+    val picks =
+      if (n <= maxFrames) clip.frames
+      else (0 until maxFrames).map(i => clip.frames((i.toLong * n / maxFrames).toInt))
+    val decoded = picks.flatMap(decodeImage(_)).map(imageFeatures(_, dim))
+    if (decoded.isEmpty) None
+    else {
+      val out = new Array[Float](dim)
+      decoded.foreach { f =>
+        var i = 0
+        while (i < dim) { out(i) += f(i); i += 1 }
+      }
+      var i = 0
+      while (i < dim) { out(i) /= decoded.length; i += 1 }
+      Some(out)
+    }
+  }
+
+  /** Fallback decoder for payloads NO real codec claims (unknown bytes,
+    * corrupt containers): deterministic features derived from the raw
+    * bytes, same signature and batch shape as the real paths.
     */
   def fakeDecodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
@@ -178,13 +269,15 @@ object Multimodal {
   }
 
   /** Dispatching decoder: real pixel features for decodable images, real
-    * RMS-envelope features for decodable WAV audio, the deterministic fake
-    * only for what's left (video).
+    * RMS-envelope features for decodable WAV audio, real frame-averaged
+    * features for decodable MJPEG/AVI video — the deterministic fake only
+    * for bytes no codec claims.
     */
   def decodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     decodeImage(bytes).map(imageFeatures(_, dim))
       .orElse(decodeAudio(bytes).map(audioFeatures(_, dim)))
+      .orElse(decodeVideo(bytes).flatMap(videoFeatures(_, dim)))
       .getOrElse(fakeDecodeFeatures(bytes, dim))
   }
 
@@ -224,6 +317,75 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  private def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  // ---- MJPEG-AVI writer (RIFF assembly, zero external deps) ----------------
+
+  private def le32Bytes(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def le16Bytes(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32Bytes(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+
+  private def riffList(listType: String, data: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ data)
+
+  /** Encode frames as a REAL MJPEG-in-AVI clip: each frame JPEG-encoded via
+    * ImageIO, wrapped in a standards-shaped RIFF tree (`avih` main header,
+    * `strl` with a `vids/MJPG` stream header + BITMAPINFOHEADER, `movi`
+    * with one `00dc` chunk per frame). Any MJPEG-capable player or parser
+    * — including [[decodeVideo]] — reads it back.
+    */
+  def encodeMjpegAvi(frames: Seq[BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "a clip needs at least one frame")
+    require(fps > 0, "fps must be positive")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val jpegs = frames.map(encodeJpeg)
+    val maxJpeg = jpegs.map(_.length).max
+    val avih = Array.concat(
+      le32Bytes(1000000L / fps),        // dwMicroSecPerFrame
+      le32Bytes(0), le32Bytes(0), le32Bytes(0), // maxBytesPerSec, padding, flags
+      le32Bytes(jpegs.length.toLong),   // dwTotalFrames
+      le32Bytes(0), le32Bytes(1),       // initialFrames, streams
+      le32Bytes(maxJpeg.toLong),        // suggestedBufferSize
+      le32Bytes(w.toLong), le32Bytes(h.toLong),
+      le32Bytes(0), le32Bytes(0), le32Bytes(0), le32Bytes(0)) // reserved
+    val strh = Array.concat(
+      "vids".getBytes("US-ASCII"), "MJPG".getBytes("US-ASCII"),
+      le32Bytes(0), le16Bytes(0), le16Bytes(0), // flags, priority, language
+      le32Bytes(0),                     // initialFrames
+      le32Bytes(1), le32Bytes(fps.toLong), // scale, rate → fps frames/sec
+      le32Bytes(0), le32Bytes(jpegs.length.toLong), // start, length
+      le32Bytes(maxJpeg.toLong), le32Bytes(0xFFFFFFFFL), // bufSize, quality
+      le32Bytes(0),                     // sampleSize
+      le16Bytes(0), le16Bytes(0), le16Bytes(w), le16Bytes(h)) // rcFrame
+    val strf = Array.concat(            // BITMAPINFOHEADER
+      le32Bytes(40), le32Bytes(w.toLong), le32Bytes(h.toLong),
+      le16Bytes(1), le16Bytes(24),      // planes, bitcount
+      "MJPG".getBytes("US-ASCII"),
+      le32Bytes(w.toLong * h * 3),
+      le32Bytes(0), le32Bytes(0), le32Bytes(0), le32Bytes(0))
+    val hdrl = riffList("hdrl", Array.concat(
+      riffChunk("avih", avih),
+      riffList("strl", Array.concat(
+        riffChunk("strh", strh), riffChunk("strf", strf)))))
+    val movi = riffList("movi",
+      Array.concat(jpegs.map(riffChunk("00dc", _)): _*))
+    val body = Array.concat("AVI ".getBytes("US-ASCII"), hdrl, movi)
+    Array.concat("RIFF".getBytes("US-ASCII"),
+      le32Bytes(body.length.toLong), body)
   }
 
   private def scaleImage(img: BufferedImage, width: Int, height: Int): BufferedImage = {
@@ -337,18 +499,62 @@ object Multimodal {
         rows.map { r =>
           val bytes = Option(r.getAs[String]("text"))
             .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val nPix = math.max(1, (bytes.length + 2) / 3)
-          val h = (nPix + rasterWidth - 1) / rasterWidth
-          val img = new BufferedImage(rasterWidth, h, BufferedImage.TYPE_INT_RGB)
-          var p = 0
-          while (p < rasterWidth * h) {
-            def b(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else 0
-            img.setRGB(p % rasterWidth, p / rasterWidth,
-              (b(p * 3) << 16) | (b(p * 3 + 1) << 8) | b(p * 3 + 2))
-            p += 1
-          }
+          val img = textRaster(bytes, rasterWidth, 0)
           Row(r.getAs[Long]("media_id"), "image", "image/png", encodePng(img),
-            rasterWidth, h, null)
+            rasterWidth, img.getHeight, null)
+        }
+      }(enc)
+  }
+
+  /** Pack bytes 3-per-RGB-pixel into a `rasterWidth`-wide image of at least
+    * `minHeight` rows — the deterministic raster both synthetic-media
+    * builders share.
+    */
+  private def textRaster(bytes: Array[Byte], rasterWidth: Int,
+                         minHeight: Int): BufferedImage = {
+    val nPix = math.max(1, (bytes.length + 2) / 3)
+    val h = math.max(minHeight, (nPix + rasterWidth - 1) / rasterWidth)
+    val img = new BufferedImage(rasterWidth, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < rasterWidth * h) {
+      def b(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else 0
+      img.setRGB(p % rasterWidth, p / rasterWidth,
+        (b(p * 3) << 16) | (b(p * 3 + 1) << 8) | b(p * 3 + 2))
+      p += 1
+    }
+    img
+  }
+
+  /** Build a media table of REAL MJPEG-AVI clips from any (id, text)
+    * source: the text splits into `nFrames` slices, each slice rasterized
+    * ([[textRaster]] at a fixed height so all frames share dimensions),
+    * JPEG-encoded, and wrapped in a real AVI container — a deterministic
+    * real-codec video corpus for the [[decodeVideo]] path, no binary
+    * fixtures needed.
+    */
+  def textToAvi(df: DataFrame, idCol: String, textCol: String,
+                nFrames: Int = 4, rasterWidth: Int = 32,
+                rasterHeight: Int = 32, fps: Int = 10): Dataset[Row] = {
+    require(nFrames > 0)
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = Option(r.getAs[String]("text"))
+            .getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val per = math.max(1, (bytes.length + nFrames - 1) / nFrames)
+          // every frame must share dimensions: clamp a slice to the raster's
+          // byte capacity so an oversized text can't grow its frame taller
+          val cap = rasterWidth * rasterHeight * 3
+          val frames = (0 until nFrames).map { f =>
+            val lo = math.min(f * per, bytes.length)
+            val hi = math.min(lo + math.min(per, cap), bytes.length)
+            textRaster(java.util.Arrays.copyOfRange(bytes, lo, hi),
+              rasterWidth, rasterHeight)
+          }
+          val clip = encodeMjpegAvi(frames, fps)
+          Row(r.getAs[Long]("media_id"), "video", "video/x-msvideo", clip,
+            rasterWidth, rasterHeight, 1000L * nFrames / fps)
         }
       }(enc)
   }

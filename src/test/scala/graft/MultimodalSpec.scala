@@ -111,6 +111,52 @@ class MultimodalSpec extends AnyFunSuite {
       row.getAs[Array[Byte]]("payload").toSeq)
   }
 
+  test("decodeVideo: a generated MJPEG-AVI clip parses back frame-exact") {
+    // writer → parser round trip on a real container: dimensions and
+    // frame timing from the avih header, one movi chunk per frame, each
+    // chunk a decodable JPEG of the original dimensions
+    val imgs = (0 until 5).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, (f * 40 + x) << 16 | (y * 10) << 8)
+      img
+    }
+    val clipBytes = Multimodal.encodeMjpegAvi(imgs, fps = 5)
+    assert(Multimodal.looksLikeAvi(clipBytes))
+    val clip = Multimodal.decodeVideo(clipBytes).get
+    assert(clip.width === 16 && clip.height === 12)
+    assert(clip.frames.length === 5)
+    assert(clip.microSecPerFrame === 200000L)
+    assert(clip.durationMs === 1000L)
+    clip.frames.foreach { fb =>
+      val frame = Multimodal.decodeImage(fb).get // MJPEG frame == JPEG
+      assert(frame.getWidth === 16 && frame.getHeight === 12)
+    }
+    // non-AVI and truncated payloads refuse instead of garbage
+    assert(Multimodal.decodeVideo("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(clipBytes.take(20)).isEmpty)
+  }
+
+  test("video features come from decoded frames, not the byte-hash fallback") {
+    val docs = Seq((1L, "a" * 900), (2L, "z" * 900)).toDF("doc_id", "text")
+    val avi = Multimodal.textToAvi(docs, "doc_id", "text", nFrames = 3).toDF()
+    assert(avi.select("modality").distinct().head().getString(0) === "video")
+    val row = avi.where("media_id = 1").head()
+    val payload = row.getAs[Array[Byte]]("payload")
+    val clip = Multimodal.decodeVideo(payload).get
+    // dispatched features == frame-averaged luma histograms, and != the
+    // fallback's byte accumulation over the container bytes
+    val dispatched = Multimodal.decodeFeatures(payload, dim = 8)
+    val direct = Multimodal.videoFeatures(clip, dim = 8).get
+    assert(dispatched.toSeq === direct.toSeq)
+    assert(dispatched.toSeq !== Multimodal.fakeDecodeFeatures(payload, 8).toSeq)
+    // different text → different frames → different features
+    val other = Multimodal.decodeFeatures(
+      avi.where("media_id = 2").head().getAs[Array[Byte]]("payload"), dim = 8)
+    assert(dispatched.toSeq !== other.toSeq)
+  }
+
   test("sampleFrames: 1 row in → N frame rows out, fixed-size slices") {
     val frames = Multimodal.sampleFrames(
         media.where("media_id = 1"), frameBytes = 4, everyNth = 1)
