@@ -60,6 +60,13 @@ object VersionedLake {
   final case class Manifest(version: Int, partitionCols: Seq[String],
                             entries: Seq[Entry],
                             schemaJson: Option[String] = None)
+
+  /** A racing writer committed the version this writer computed against.
+    * Retryable by construction: recompute against the new current snapshot
+    * and commit again (what [[VersionedLake.upsert]] does internally).
+    */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
 }
 
 final case class VersionedLake(root: String) {
@@ -144,9 +151,27 @@ final case class VersionedLake(root: String) {
     val dst = manifestPath(t, version)
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new VersionedLake.CommitConflictException(
         s"concurrent commit lost the race for $dst — retry on the new snapshot")
     }
+  }
+
+  /** Optimistic-concurrency loop: run `body` (one read-merge-commit
+    * attempt); when its commit loses the rename race, recompute from the
+    * NEW current snapshot and try again, up to `maxAttempts`. The merge
+    * semantics make retries safe: an attempt re-reads the current manifest,
+    * so the winner's rows are folded into the loser's next try (Delta's
+    * MERGE conflict behavior). A lost attempt's data dirs are orphans that
+    * [[vacuum]] sweeps. The last attempt's conflict propagates.
+    */
+  private[graft] def retryingCommit[T](maxAttempts: Int)(body: => T): T = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return body
+      catch { case _: VersionedLake.CommitConflictException => attempt += 1 }
+    }
+    body
   }
 
   /** Write `df` as a new data commit under `t/data/<uuid>/` and return the
@@ -195,9 +220,13 @@ final case class VersionedLake(root: String) {
     }
   }
 
-  /** Full-snapshot write: a new data commit replacing every partition. */
+  /** Full-snapshot write: a new data commit replacing every partition.
+    * Retries under a commit race (replace-all semantics are
+    * version-independent, so a retry just re-commits at the next slot).
+    */
   def write(df: DataFrame, zone: String, table: String,
-            partitionCols: Seq[String] = Nil): Int = {
+            partitionCols: Seq[String] = Nil,
+            maxCommitAttempts: Int = 5): Int = retryingCommit(maxCommitAttempts) {
     val spark = df.sparkSession
     val t = tablePath(zone, table)
     val entries = writeDataCommit(t, df, partitionCols)
@@ -254,7 +283,8 @@ final case class VersionedLake(root: String) {
   def upsert(spark: SparkSession, zone: String, table: String,
              updates: DataFrame, key: String, versionCol: String,
              deleteCol: Option[String] = None,
-             partitionCols: Seq[String] = Nil): Int = {
+             partitionCols: Seq[String] = Nil,
+             maxCommitAttempts: Int = 5): Int = retryingCommit(maxCommitAttempts) {
     import org.apache.spark.sql.expressions.Window
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -323,7 +353,8 @@ final case class VersionedLake(root: String) {
   def mergeAggregate(spark: SparkSession, zone: String, table: String,
                      delta: DataFrame, keys: Seq[String],
                      sumCols: Seq[String],
-                     partitionCols: Seq[String] = Nil): Int = {
+                     partitionCols: Seq[String] = Nil,
+                     maxCommitAttempts: Int = 5): Int = retryingCommit(maxCommitAttempts) {
     require(partitionCols.forall(keys.contains),
       "partitionCols must be group keys, or groups would span partitions")
     val t = tablePath(zone, table)

@@ -158,6 +158,45 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(fs.listStatus(mdir).length === before) // no half-commit left
   }
 
+  test("retryingCommit: conflicts retry against the new snapshot, then propagate") {
+    val vl = newLake()
+    var calls = 0
+    val got = vl.retryingCommit(5) {
+      calls += 1
+      if (calls < 3) throw new VersionedLake.CommitConflictException("race")
+      42
+    }
+    assert(got === 42 && calls === 3)
+    var calls2 = 0
+    intercept[VersionedLake.CommitConflictException] {
+      vl.retryingCommit(2) {
+        calls2 += 1
+        throw new VersionedLake.CommitConflictException("race")
+      }
+    }
+    assert(calls2 === 2) // exactly maxAttempts, the last one propagating
+  }
+
+  test("concurrent upserts on different keys both land (loser retries and folds winner)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vl = newLake()
+    vl.write(Seq(("seed", 0L, 0.0)).toDF("k", "ver", "x"), "silver", "cc")
+    val a = Future(vl.upsert(spark, "silver", "cc",
+      Seq(("a", 1L, 1.0)).toDF("k", "ver", "x"), "k", "ver"))
+    val b = Future(vl.upsert(spark, "silver", "cc",
+      Seq(("b", 1L, 2.0)).toDF("k", "ver", "x"), "k", "ver"))
+    val (va, vb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    // both committed, at distinct versions
+    assert(Set(va, vb).size === 2)
+    assert(vl.currentVersion(spark, "silver", "cc") === math.max(va, vb))
+    // and the final snapshot folds BOTH writers regardless of who lost
+    val keys = vl.read(spark, "silver", "cc")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(keys === Set("seed", "a", "b"))
+  }
+
   test("schema evolution: a column added by upsert survives reads deterministically") {
     // upsert permits evolution (unionByName allowMissingColumns), so the
     // committed manifest must carry the union schema: carried partitions'
