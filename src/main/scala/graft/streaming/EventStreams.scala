@@ -121,6 +121,28 @@ object EventStreams {
       }
       .start()
 
+  /** Incremental ingest with SNAPSHOT ISOLATION: like [[upsertToLake]] but
+    * each micro-batch MERGEs into a [[graft.sources.VersionedLake]] table —
+    * one committed snapshot per batch, so concurrent readers never observe
+    * a half-written micro-batch (the residual gap plain parquet leaves),
+    * replayed batches collapse in the keyed merge, maintenance jobs racing
+    * the stream resolve through the commit-retry loop, and any retained
+    * version time-travels. This is the plain-parquet emulation of a
+    * streaming Delta MERGE sink.
+    */
+  def upsertToVersionedLake(events: DataFrame,
+                            lake: graft.sources.VersionedLake, zone: String,
+                            table: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        lake.upsert(batch.sparkSession, zone, table, batch.toDF(),
+          key = "event_id", versionCol = "ts"): Unit
+      }
+      .start()
+
   /** Streaming ingest dedup — the continuous form of
     * [[graft.operators.Incremental.newRows]]: each micro-batch is reduced
     * to rows unique within the batch AND absent from the standing table,

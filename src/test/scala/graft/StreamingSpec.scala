@@ -225,4 +225,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.where(col("event_id") === 5).select("value")
       .head().getDouble(0) === 7.5)
   }
+
+  test("foreachBatch upsert into a VERSIONED lake commits one snapshot per batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vlake-stream")
+    val vl = graft.sources.VersionedLake(s"file://$tmp/lake")
+    val q = EventStreams.upsertToVersionedLake(
+      EventStreams.readStream(spark, dupEventsDir), vl, "silver", "events",
+      checkpoint = s"$tmp/chk")
+    q.processAllAvailable()
+    q.stop()
+    val got = vl.read(spark, "silver", "events")
+    assert(got.count() === 5) // re-delivered ids collapsed in the merge
+    assert(got.select("event_id").distinct().count() === 5)
+    // every micro-batch left a committed, time-travelable snapshot
+    val vs = vl.versions(spark, "silver", "events")
+    assert(vs.nonEmpty && vs === (1 to vs.length))
+    // ingest keeps flowing AFTER a maintenance commit bumped the version
+    // out from under the stream's table (the race retryingCommit absorbs)
+    vl.compact(spark, "silver", "events", filesPerPartition = 1)
+    import spark.implicits._
+    val update = Seq((5L, "2021-01-01 13:30:00", 8L, "view", 7.5, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    vl.upsert(spark, "silver", "events", update, "event_id", "ts")
+    val after = vl.read(spark, "silver", "events")
+    assert(after.count() === 5)
+    assert(after.where(col("event_id") === 5).select("value")
+      .head().getDouble(0) === 7.5)
+    // pre-maintenance snapshot still time-travels
+    assert(vl.read(spark, "silver", "events", Some(vs.last)).count() === 5)
+  }
 }
