@@ -19,12 +19,14 @@ import scala.collection.mutable.ArrayBuffer
   *   _manifests/v00000001.manifest                 snapshot definitions
   * }}}
   *
-  * A snapshot IS a manifest file: a header naming the partition columns,
-  * then one line per `(partitionKey, dataDir)`. COMMIT = write the manifest
-  * under a temp name, then rename it to `v<N>.manifest`. Rename to an
-  * absent destination is atomic on local/HDFS filesystems, so of two racing
-  * commits for the same version exactly one wins and the loser aborts with
-  * an error — the same optimistic concurrency Delta gets from its commit
+  * A snapshot IS a manifest file: a header naming the partition columns
+  * (and, since round 6, the snapshot's schema), then one line per
+  * `(partitionKey, dataDir)`. COMMIT = write the manifest under a temp
+  * name, then atomically publish it as `v<N>.manifest` — server-side
+  * atomic rename on HDFS/ABFS, `link(2)` create-if-absent on local
+  * filesystems (see [[commitManifest]]) — so of two racing commits for the
+  * same version exactly one wins and the loser retries against the new
+  * snapshot — the same optimistic concurrency Delta gets from its commit
   * log. The CURRENT version is simply the highest manifest present; there
   * is no second mutable pointer file that could crash out of sync with the
   * log (resolution costs one directory listing — on an object store, one
@@ -129,8 +131,18 @@ final case class VersionedLake(root: String) {
     Manifest(version, cols, entries, schemaJson)
   }
 
-  /** Atomic commit: temp write + rename-to-absent-destination. Exactly one
-    * of two racing commits for `version` succeeds; the loser throws.
+  /** Atomic commit: temp write + atomic publish-if-absent. Exactly one of
+    * two racing commits for `version` succeeds; the loser throws.
+    *
+    * The publish primitive is scheme-dependent: on HDFS/ABFS,
+    * rename-to-absent-destination is SERVER-SIDE atomic, so `fs.rename` is
+    * the claim. Hadoop's LOCAL filesystem rename, however, is
+    * check-then-`File.renameTo` — a TOCTOU window in which two racers both
+    * "succeed", the second silently replacing the first's manifest (POSIX
+    * rename overwrites). For `file:` the atomic create-if-absent primitive
+    * is `link(2)`: hard-linking the temp file to the destination fails
+    * EEXIST atomically in the kernel. The two-writer race in
+    * VersionedLakeSpec caught exactly this.
     */
   private[graft] def commitManifest(spark: SparkSession, t: String,
                                     version: Int,
@@ -149,11 +161,21 @@ final case class VersionedLake(root: String) {
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val dst = manifestPath(t, version)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else fs.rename(tmp, dst)
+    if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
+    if (!won)
       throw new VersionedLake.CommitConflictException(
         s"concurrent commit lost the race for $dst — retry on the new snapshot")
-    }
   }
 
   /** Optimistic-concurrency loop: run `body` (one read-merge-commit

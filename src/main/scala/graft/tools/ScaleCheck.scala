@@ -132,6 +132,17 @@ object ScaleCheck {
       },
       "repetition" -> { dir =>
         graft.operators.Quality.repetitionProfile(docs(dir), "doc_id", "text").count()
+      },
+      "media_features" -> { dir =>
+        // real-codec batch path end to end: synthesize PNG images + MJPEG-
+        // AVI clips from text, then decode-extract features per partition.
+        // Codec work per row is constant, so the path must scale linearly.
+        val d = docs(dir).where(col("doc_id") % 4 === 0)
+        val media = graft.operators.Multimodal.textToPng(
+            d.where(col("doc_id") % 8 === 0), "doc_id", "text").toDF()
+          .unionByName(graft.operators.Multimodal.textToAvi(
+            d.where(col("doc_id") % 8 =!= 0), "doc_id", "text").toDF())
+        graft.operators.Multimodal.extractFeatures(media, dim = 16).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /

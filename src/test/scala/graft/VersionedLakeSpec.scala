@@ -178,23 +178,34 @@ class VersionedLakeSpec extends AnyFunSuite {
   }
 
   test("concurrent upserts on different keys both land (loser retries and folds winner)") {
+    // This race caught a real bug: Hadoop's LOCAL rename is check-then-
+    // rename, so two committers could both "win" the same version, the
+    // second silently replacing the first's manifest. The commit now
+    // publishes via link(2) create-if-absent on file:// — rerun the race
+    // several rounds to keep the window exercised.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val vl = newLake()
     vl.write(Seq(("seed", 0L, 0.0)).toDF("k", "ver", "x"), "silver", "cc")
-    val a = Future(vl.upsert(spark, "silver", "cc",
-      Seq(("a", 1L, 1.0)).toDF("k", "ver", "x"), "k", "ver"))
-    val b = Future(vl.upsert(spark, "silver", "cc",
-      Seq(("b", 1L, 2.0)).toDF("k", "ver", "x"), "k", "ver"))
-    val (va, vb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
-    // both committed, at distinct versions
-    assert(Set(va, vb).size === 2)
-    assert(vl.currentVersion(spark, "silver", "cc") === math.max(va, vb))
-    // and the final snapshot folds BOTH writers regardless of who lost
+    val expected = scala.collection.mutable.Set("seed")
+    for (round <- 0 until 5) {
+      val (ka, kb) = (s"a$round", s"b$round")
+      val a = Future(vl.upsert(spark, "silver", "cc",
+        Seq((ka, 1L, 1.0)).toDF("k", "ver", "x"), "k", "ver"))
+      val b = Future(vl.upsert(spark, "silver", "cc",
+        Seq((kb, 1L, 2.0)).toDF("k", "ver", "x"), "k", "ver"))
+      val (va, vb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+      // both committed, at distinct versions — a shared version number
+      // would mean one manifest silently clobbered the other
+      assert(Set(va, vb).size === 2, s"round $round: versions $va/$vb collided")
+      expected ++= Seq(ka, kb)
+    }
+    assert(vl.currentVersion(spark, "silver", "cc") === 11) // 1 + 5×2
+    // the final snapshot folds EVERY writer regardless of who lost races
     val keys = vl.read(spark, "silver", "cc")
       .select("k").collect().map(_.getString(0)).toSet
-    assert(keys === Set("seed", "a", "b"))
+    assert(keys === expected.toSet)
   }
 
   test("schema evolution: a column added by upsert survives reads deterministically") {
