@@ -421,6 +421,47 @@ object Oracles {
         "FROM clicks c ASOF JOIN views v " +
         "ON c.user_id = v.user_id AND c.ts <= v.vts"),
 
+    "q92_html_strip" ->
+      ("WITH h AS (SELECT doc_id, '<html><body onload=\"f()\"><h1>' || source || " +
+        "'</h1> <p class=\"a\">' || text || " +
+        "'</p><script>var x = 1 < 2;</script> &lt;tail&gt; &amp;amp;' AS html " +
+        "FROM documents), " +
+        "s1 AS (SELECT doc_id, regexp_replace(html, " +
+        "'(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h), " +
+        "s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s1), " +
+        "s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(t, " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&') AS t " +
+        "FROM s2), " +
+        "s4 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean FROM s3) " +
+        "SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars, md5(clean) AS clean_hash " +
+        "FROM s4"),
+
+    "q93_expanding_cv" ->
+      ("WITH ev AS (SELECT date_trunc('second', ts) AS ts FROM events), " +
+        "per_ts AS (SELECT ts, count(*) AS n FROM ev GROUP BY ts), " +
+        "tiled AS (SELECT ts, n, ntile(5) OVER (ORDER BY ts) AS tile FROM per_ts), " +
+        "per_tile AS (SELECT tile, sum(n) AS rows_, max(ts) AS end_ts " +
+        "FROM tiled GROUP BY tile), " +
+        "folds AS (SELECT tile, " +
+        "sum(rows_) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS train_rows, " +
+        "lead(rows_, 1) OVER (ORDER BY tile) AS test_rows, end_ts FROM per_tile) " +
+        "SELECT CAST(tile AS BIGINT) AS fold, CAST(train_rows AS BIGINT) AS train_rows, " +
+        "CAST(test_rows AS BIGINT) AS test_rows, " +
+        "CAST(floor(epoch(end_ts)) AS BIGINT) AS train_end_s FROM folds WHERE tile <= 4"),
+
+    "q94_token_chunks" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk), " +
+        "c AS (SELECT doc_id, toks, nt, GREATEST(1, " +
+        "CAST(ceil((nt - 16) / 48.0) AS INTEGER)) AS nc FROM n), " +
+        "e AS (SELECT doc_id, toks, nt, unnest(generate_series(0, nc - 1)) AS ci FROM c), " +
+        "s AS (SELECT doc_id, ci, toks[ci * 48 + 1 : LEAST(ci * 48 + 64, nt)] AS chunk " +
+        "FROM e) " +
+        "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, " +
+        "CAST(len(chunk) AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(chunk, ' ')) AS chunk_hash FROM s"),
+
     "q47_salted_join" ->
       ("SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),

@@ -985,6 +985,44 @@ object TestQueries {
     * next" direction, oracle-checked against DuckDB's native ASOF JOIN
     * with the inequality reversed.
     */
+  /** HTML boilerplate strip over a deterministic synthetic page per doc:
+    * script content (with < > inside) must vanish wholesale, tags flatten
+    * to spaces, entities unescape exactly once (&amp;amp; → &amp;, not &),
+    * whitespace collapses. Output hashes the cleaned text so the gate
+    * compares content, not megabytes.
+    */
+  def q92HtmlStrip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), concat(
+        lit("<html><body onload=\"f()\"><h1>"), col("source"),
+        lit("</h1> <p class=\"a\">"), col("text"),
+        lit("</p><script>var x = 1 < 2;</script> &lt;tail&gt; &amp;amp;"))
+        .as("html"))
+      .select(col("doc_id"), functions.Text.stripHtml(col("html")).as("clean"))
+      .select(col("doc_id"), length(col("clean")).cast("long").as("n_chars"),
+        md5(col("clean")).as("clean_hash"))
+
+  /** Expanding-window time-series CV folds over the event stream (second-
+    * truncated timestamps — the ns-precision parity rule). Train/test row
+    * counts and boundary per fold; the backtest protocol where random
+    * k-fold would leak the future.
+    */
+  def q93ExpandingCv(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.expandingTimeFolds(
+        Tables.loadEvents(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        "ts", k = 4)
+      .select(col("fold"), col("train_rows"), col("test_rows"),
+        unix_timestamp(col("train_end")).as("train_end_s"))
+
+  /** Token-budget chunking with overlap: long docs split into ≤64-token
+    * chunks striding 48 (16-token overlap); emits per-chunk token count +
+    * content hash, the shape per-chunk dedup/contamination consumes.
+    */
+  def q94TokenChunks(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+      maxTokens = 64, overlap = 16)
+
   def q91AsofForward(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.loadEvents(s, dir)
     val clicks = ev.where(col("event_type") === "click")
@@ -1098,5 +1136,8 @@ object TestQueries {
     "q89_unigram_nll" -> (q89UnigramNll _),
     "q90_mixture_weights" -> (q90MixtureWeights _),
     "q91_asof_forward" -> (q91AsofForward _),
+    "q92_html_strip" -> (q92HtmlStrip _),
+    "q93_expanding_cv" -> (q93ExpandingCv _),
+    "q94_token_chunks" -> (q94TokenChunks _),
   )
 }

@@ -125,4 +125,25 @@ object Text {
     piiPatterns.foldLeft(text) { case (c, (re, tok)) =>
       regexp_replace(c, re, tok)
     }
+
+  /** HTML boilerplate strip — the first pass of a web-crawl → training-text
+    * pipeline: drop `<script>`/`<style>` blocks wholesale (their CONTENT is
+    * code, not prose), flatten the remaining tags to spaces, unescape the
+    * five standard entities, collapse whitespace. All codegen'd
+    * `regexp_replace`/`replace` scan-side work — no UDF, no shuffle. The
+    * patterns are RE2-safe (no backrefs/lookaround) so the DuckDB oracle
+    * runs the identical expressions ('g' flag; (?is) inline flags work in
+    * both engines).
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    // &amp; LAST or "&amp;lt;" would double-unescape
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
 }

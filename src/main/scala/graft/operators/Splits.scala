@@ -116,4 +116,78 @@ object Splits {
         floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / lit(budget))
           .cast("long"))
   }
+
+  /** Expanding-window time-series cross-validation folds: the event stream
+    * is cut at k+1 TIME boundaries (quantiles of the DISTINCT timestamps —
+    * every row of one timestamp stays on one side of every cut, so a fold
+    * can never leak future rows that share its boundary instant); fold f
+    * trains on everything up to cut f and tests on (cut f, cut f+1]. The
+    * standard backtest protocol — a random k-fold on time-series data
+    * leaks the future into training.
+    *
+    * Returns one row per fold: train row count, test row count, and the
+    * train-end boundary timestamp.
+    *
+    * SCALE: the full stream is touched only by a per-timestamp count
+    * aggregate (one shuffle on ts, partial map-side). The ntile window
+    * runs over the DISTINCT-timestamp aggregate — calendar-sized, orders
+    * below the row count. (An ntile over raw rows would be a
+    * single-partition sort of the corpus; over an hourly/daily event
+    * stream the distinct-ts set is bounded by the time span.)
+    */
+  def expandingTimeFolds(df: DataFrame, tsCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one fold")
+    import org.apache.spark.sql.expressions.Window
+    val perTs = df.groupBy(col(tsCol).as("__ts"))
+      .agg(count(lit(1)).as("__n"))
+    val tiled = perTs.withColumn("__tile",
+      ntile(k + 1).over(Window.orderBy(col("__ts"))))
+    val perTile = tiled.groupBy("__tile")
+      .agg(sum("__n").as("__rows"), max("__ts").as("__end"))
+    val ordered = Window.orderBy(col("__tile"))
+    perTile
+      .withColumn("train_rows",
+        sum("__rows").over(ordered.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("test_rows", lead(col("__rows"), 1).over(ordered))
+      .where(col("__tile") <= k)
+      .select(col("__tile").cast("long").as("fold"),
+        col("train_rows").cast("long").as("train_rows"),
+        col("test_rows").cast("long").as("test_rows"),
+        col("__end").as("train_end"))
+  }
+
+  /** Chunk long documents into ≤ `maxTokens`-token pieces with
+    * `overlap`-token overlap — training-sequence construction for
+    * fixed-context models (the complement of [[packByBudget]], which packs
+    * SHORT docs together; this splits LONG ones). Tokens are the
+    * whitespace tokenization the corpus stats use; chunk i covers token
+    * range [i·(maxTokens−overlap), i·(maxTokens−overlap)+maxTokens).
+    * Pure expressions — tokenize once, `sequence`+`explode` the chunk
+    * index, `slice` the token array — so the work is scan-side and the
+    * only wide op downstream is whatever consumes the chunks. Emits
+    * (id, chunk_idx, n_tokens, chunk_hash); the hash (md5 of the
+    * space-joined slice) lets dedup/contamination run per-chunk without
+    * carrying chunk text through shuffles.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
+    val nTok = size(toks)
+    // ceil((nTok - overlap) / stride) chunks, min 1 so empty docs keep a row
+    val nChunks = greatest(lit(1),
+      ceil((nTok - lit(overlap)).cast("double") / stride).cast("int"))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(maxTokens))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
+  }
 }

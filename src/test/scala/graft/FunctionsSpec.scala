@@ -141,4 +141,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3) === "card <CARD> on file") // separator NOT eaten by the match
     assert(got(4) === "clean text stays untouched")
   }
+
+  test("stripHtml drops script/style content, flattens tags, unescapes once") {
+    import graft.functions.Text
+    val pages = Seq(
+      // script CONTENT (with < > operators inside) vanishes wholesale
+      "<p>keep</p><script type=\"x\">if (1 < 2 && 3 > 0) { bad(); }</script><b>this</b>",
+      "<style>p { color: red; }</style>text",
+      // entities unescape exactly once: &amp;lt; is a LITERAL "&lt;"
+      "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; more &amp;lt;",
+      // multiline tag + whitespace collapse + trim
+      "  <div\n class='x'>\n  spaced   out\n</div>  ",
+      "no markup at all"
+    ).toDF("t")
+    val got = pages.select(Text.stripHtml(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "keep this")
+    assert(got(1) === "text")
+    assert(got(2) === "a <tag> \"q\" 's' & more &lt;")
+    assert(got(3) === "spaced out")
+    assert(got(4) === "no markup at all")
+  }
 }

@@ -106,4 +106,50 @@ class SplitsSpec extends AnyFunSuite {
       Splits.hashSplit(keys, "id", Seq("a" -> 90, "b" -> 80, "c" -> 100))
     }
   }
+
+  test("expandingTimeFolds: trains only on the past, never splits a timestamp") {
+    // 10 distinct seconds, 2 rows each; one timestamp (t=5) has 4 rows to
+    // prove boundary rows never straddle a fold cut
+    val rows = (0 until 10).flatMap { s =>
+      val n = if (s == 5) 4 else 2
+      Seq.fill(n)((s, java.sql.Timestamp.valueOf(f"2021-01-01 00:00:$s%02d")))
+    }.toDF("i", "ts")
+    val folds = Splits.expandingTimeFolds(rows, "ts", k = 4)
+      .orderBy("fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(folds.length === 4)
+    // monotone expanding train set; train + next-test are contiguous
+    assert(folds.map(_._2).toSeq === folds.map(_._2).sorted.toSeq)
+    folds.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 + a._3 === b._2, "test window must be the next train increment")
+    }
+    // total coverage: last train + its test = all 22 rows
+    assert(folds.last._2 + folds.last._3 === 22L)
+    // no fold boundary splits t=5's four rows: every count is even
+    assert(folds.forall(f => f._2 % 2 === 0 && f._3 % 2 === 0))
+  }
+
+  test("tokenChunks: stride/overlap math, short and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "just a few tokens"),                       // 4 tokens
+      (3L, "   ")                                      // whitespace-only
+    ).toDF("doc_id", "text")
+    val got = Splits.tokenChunks(docs, "doc_id", "text",
+        maxTokens = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d1 = got.filter(_._1 == 1L)
+    // 100 tokens, stride 8: ceil((100-2)/8) = 13 chunks
+    assert(d1.length === 13)
+    assert(d1.init.forall(_._3 === 10L)) // full chunks
+    assert(d1.last._3 === 100L - 12 * 8) // tail chunk: tokens 97..100
+    // consecutive chunks overlap by exactly 2 tokens: starts differ by 8
+    assert(d1.map(_._2).toSeq === (0L until 13L))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 4L)))
+    assert(got.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L))) // kept, empty
+    intercept[IllegalArgumentException] {
+      Splits.tokenChunks(docs, "doc_id", "text", maxTokens = 5, overlap = 5)
+    }
+  }
 }
