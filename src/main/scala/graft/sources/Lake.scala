@@ -150,13 +150,25 @@ final case class Lake(root: String) {
     val touched: Array[org.apache.spark.sql.Row] =
       if (partitionCols.isEmpty) Array.empty
       else updates.select(partitionCols.map(col): _*).distinct().collect()
+    // Static pruning via per-column IN-lists (compact predicates — an
+    // OR-of-tuples disjunction grows with the touched count and bloats
+    // analysis/codegen at thousands of partitions). For one partition
+    // column IN is exact; for several, the per-column INs prune to the
+    // cross-product superset and the tuple disjunction (only then needed)
+    // restores exactness after the scan.
     def pruneToTouched(df: DataFrame): DataFrame =
       if (touched.isEmpty) df
-      else df.where(touched.map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduce(_ || _)) // disjunction of partition tuples → static pruning
+      else {
+        val inLists = partitionCols.zipWithIndex.map { case (c, i) =>
+          col(c).isin(touched.map(_.get(i)).distinct.toIndexedSeq: _*)
+        }.reduce(_ && _)
+        if (partitionCols.length == 1) df.where(inLists)
+        else df.where(inLists && touched.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _))
+      }
     val current =
       if (exists)
         Some(pruneToTouched(readWithPartitionTypesOf(spark, target,
@@ -305,14 +317,27 @@ final case class Lake(root: String) {
     val touched: Array[org.apache.spark.sql.Row] =
       if (partitionCols.isEmpty) Array.empty
       else delta.select(partitionCols.map(col): _*).distinct().collect()
+    // Same compact IN-list pruning as upsert's pruneToTouched, over the
+    // same dtype-canonicalized read (partition inference would coerce a
+    // string 'hr=01' layout to int and corrupt the dynamic overwrite —
+    // identical hazard to upsert's).
     val current =
       if (!exists) None
       else if (touched.isEmpty) Some(spark.read.parquet(target))
-      else Some(spark.read.parquet(target).where(touched.map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduce(_ || _)))
+      else {
+        val inLists = partitionCols.zipWithIndex.map { case (c, i) =>
+          col(c).isin(touched.map(_.get(i)).distinct.toIndexedSeq: _*)
+        }.reduce(_ && _)
+        val exact =
+          if (partitionCols.length == 1) inLists
+          else inLists && touched.map { r =>
+            partitionCols.zipWithIndex
+              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+        Some(readWithPartitionTypesOf(spark, target, partitionCols, delta)
+          .where(exact))
+      }
     val combined = current match {
       case Some(c) => c.unionByName(delta)
       case None    => delta

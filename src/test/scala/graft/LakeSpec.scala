@@ -254,6 +254,25 @@ class LakeSpec extends AnyFunSuite {
     assert(got.select("ver").head().getLong(0) === 1L)
   }
 
+  test("partition-scoped mergeAggregate keeps numeric-looking string partitions ('01')") {
+    val lake = newLake()
+    lake.mergeAggregate(spark, "gold", "zagg",
+      Seq(("01", "click", 2L), ("02", "view", 3L)).toDF("hr", "typ", "n"),
+      keys = Seq("hr", "typ"), sumCols = Seq("n"), partitionCols = Seq("hr"))
+    lake.mergeAggregate(spark, "gold", "zagg",
+      Seq(("01", "click", 5L)).toDF("hr", "typ", "n"),
+      keys = Seq("hr", "typ"), sumCols = Seq("n"), partitionCols = Seq("hr"))
+    val root = new org.apache.hadoop.fs.Path(lake.path("gold", "zagg"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.toSeq === Seq("hr=01", "hr=02"),
+      "leading-zero partition dir re-rendered by the fold — duplication hazard")
+    val got = lake.read(spark, "gold", "zagg")
+      .select("typ", "n").orderBy("typ").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("click", 7L), ("view", 3L))) // folded, not doubled
+  }
+
   test("upsert refuses a delete flag that collides with a persisted column") {
     val lake = newLake()
     lake.upsert(spark, "silver", "collide",
