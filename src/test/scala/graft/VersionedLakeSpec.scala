@@ -158,6 +158,27 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(fs.listStatus(mdir).length === before) // no half-commit left
   }
 
+  test("pre-schema-header manifests still read (mergeSchema fallback)") {
+    // Manifests written before round 6 carry no schema= line; readers must
+    // fall back to footer-merging so evolved columns still surface.
+    val vl = newLake()
+    vl.write(Seq((1L, "a")).toDF("id", "v"), "silver", "old")
+    val t = vl.tablePath("silver", "old")
+    // rewrite v1's manifest WITHOUT the schema header, preserving entries
+    val mdir = new org.apache.hadoop.fs.Path(s"$t/_manifests")
+    val fs = mdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mp = new org.apache.hadoop.fs.Path(mdir, "v00000001.manifest")
+    val lines = scala.io.Source.fromInputStream(fs.open(mp), "UTF-8")
+      .mkString.split("\n").filterNot(_.startsWith("schema="))
+    fs.delete(mp, false)
+    val out = fs.create(mp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val got = vl.read(spark, "silver", "old")
+    assert(got.columns.toSet === Set("id", "v"))
+    assert(got.count() === 1)
+  }
+
   test("retryingCommit: conflicts retry against the new snapshot, then propagate") {
     val vl = newLake()
     var calls = 0
