@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: PLANS.md's scale claims, pinned as tests.
+  * Each assertion checks the PHYSICAL plan property that makes the operator
+  * scale — a filter reaching the parquet scan, a dimension broadcasting, a
+  * narrow pipeline staying shuffle-free — so an innocent-looking rewrite
+  * that silently introduces a shuffle or loses pushdown fails here, not in
+  * a 100 TB run. Plans are inspected at sf0.001 (shape, not timing).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: predicates are pushed into the parquet scan") {
+    val p = planOf("q03_filter_predicates")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual") || p.contains("EqualTo"),
+      "filter predicates must reach the scan, not evaluate post-read")
+  }
+
+  test("q11 star join: dimensions broadcast, fact never shuffles pre-agg") {
+    val p = planOf("q11_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join at this scale means a dim lost its broadcast")
+  }
+
+  test("q12 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q12_topk_suppliers")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q92/q94 text pipelines stay shuffle-free (scan-side narrow ops)") {
+    for (q <- Seq("q92_html_strip", "q94_token_chunks")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle")
+      assert(p.contains("WholeStageCodegen") || p.contains("*"),
+        s"$q fell out of whole-stage codegen")
+    }
+  }
+
+  test("q63 tf-idf: rank pushdown (WindowGroupLimit) and broadcast vocab") {
+    val p = planOf("q63_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      "top-1-per-doc must prune per-partition before the window sort")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary stats must broadcast")
+  }
+
+  test("q39 ANN brute force: query side broadcast, corpus not exchanged") {
+    val p = planOf("q39_embedding_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the query set must broadcast — a corpus shuffle here is the scale bug")
+  }
+
+  test("q78 contamination: eval side broadcast semi join, train text unshuffled") {
+    val p = planOf("q78_contamination")
+    assert(p.contains("LeftSemi"), "containment must be a semi join")
+    assert(p.contains("BroadcastHashJoin"), "the eval shingle set must broadcast")
+  }
+
+  test("q30 exact dedup is one hash-aggregate shuffle, no join") {
+    val p = planOf("q30_dedup_exact")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "exact dedup must be a groupBy, not an all-pairs formulation")
+  }
+}
