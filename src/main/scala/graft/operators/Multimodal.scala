@@ -207,6 +207,9 @@ object Multimodal {
           while (off + 8 <= end) {
             val id = fourcc(off)
             val sz = le32(off + 4).toInt
+            // a declared size with the high bit set (>2 GiB "length") would
+            // walk the cursor BACKWARDS — malformed, refuse the container
+            require(sz >= 0, s"negative chunk size at offset $off")
             val dataStart = off + 8
             val dataEnd = math.min(dataStart.toLong + sz, end.toLong).toInt
             if (id == "RIFF" || id == "LIST") {
@@ -219,7 +222,10 @@ object Multimodal {
                 (id.endsWith("dc") || id.endsWith("db"))) {
               frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
             }
-            off = dataStart + sz + (sz & 1) // chunks pad to even offsets
+            // advance in Long (dataStart + sz overflows Int near 2 GiB),
+            // clamping to end so an oversized declared length terminates
+            val next = dataStart.toLong + sz + (sz & 1) // chunks pad to even
+            off = if (next > end) end else next.toInt
           }
         }
         walk(12, payload.length)

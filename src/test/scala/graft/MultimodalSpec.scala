@@ -136,6 +136,15 @@ class MultimodalSpec extends AnyFunSuite {
     // non-AVI and truncated payloads refuse instead of garbage
     assert(Multimodal.decodeVideo("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(Multimodal.decodeVideo(clipBytes.take(20)).isEmpty)
+    // malformed chunk sizes must terminate, not loop or walk backwards:
+    // (a) negative declared size, (b) size just under 2 GiB (Int overflow)
+    for (evil <- Seq(0xFF.toByte, 0x7F.toByte)) {
+      val bad = clipBytes.clone()
+      bad(16) = 0xFC.toByte; bad(17) = 0xFF.toByte // first subchunk size
+      bad(18) = 0xFF.toByte; bad(19) = evil
+      val r = Multimodal.decodeVideo(bad) // must return promptly
+      assert(r.isEmpty || r.get.frames != null)
+    }
   }
 
   test("video features come from decoded frames, not the byte-hash fallback") {
