@@ -55,9 +55,15 @@ import scala.collection.mutable.ArrayBuffer
 object VersionedLake {
   /** One snapshot line: which data dir holds which partition. `key` is the
     * `/`-joined partition values ("" for an unpartitioned table); `dir` is
-    * relative to the table path and immutable once committed.
+    * relative to the table path and immutable once committed. `stats`, when
+    * present, is a one-line JSON object of per-column min/max/non-null
+    * counts over the dir's rows — the data-skipping index (Delta keeps the
+    * same stats in its commit log). Entries carried forward by
+    * partition-scoped maintenance keep their stats verbatim, so the index
+    * never needs a rebuild for untouched data.
     */
-  final case class Entry(key: String, dir: String)
+  final case class Entry(key: String, dir: String,
+                         stats: Option[String] = None)
 
   final case class Manifest(version: Int, partitionCols: Seq[String],
                             entries: Seq[Entry],
@@ -125,8 +131,16 @@ final case class VersionedLake(root: String) {
       case rest => (None, rest)
     }
     val entries = entryLines.map { l =>
-      val i = l.lastIndexOf('\t')
-      Entry(l.substring(0, i), l.substring(i + 1))
+      // Optional third field `stats=<json>` (round 6+). Split it off first:
+      // the marker can't occur inside key or dir (dir is a generated path;
+      // JSON string escaping means the stats field itself never holds a raw
+      // tab), and pre-stats lines parse exactly as before.
+      val (core, stats) = l.indexOf("\tstats=") match {
+        case -1 => (l, None)
+        case i  => (l.substring(0, i), Some(l.substring(i + "\tstats=".length)))
+      }
+      val i = core.lastIndexOf('\t')
+      Entry(core.substring(0, i), core.substring(i + 1), stats)
     }
     Manifest(version, cols, entries, schemaJson)
   }
@@ -154,9 +168,13 @@ final case class VersionedLake(root: String) {
     val mdir = manifestsDir(t)
     val fs = fsFor(spark, mdir)
     fs.mkdirs(mdir)
+    require(entries.forall(_.stats.forall(s =>
+      !s.contains("\n") && !s.contains("\t"))),
+      "entry stats must be one tab-free JSON line")
     val body = (Seq(s"cols=${partitionCols.mkString(",")}") ++
       schemaJson.map(s => s"schema=$s") ++
-      entries.map(e => s"${e.key}\t${e.dir}")).mkString("", "\n", "\n")
+      entries.map(e => s"${e.key}\t${e.dir}" +
+        e.stats.fold("")(s => s"\tstats=$s"))).mkString("", "\n", "\n")
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -205,11 +223,12 @@ final case class VersionedLake(root: String) {
     * readable.
     */
   private def writeDataCommit(t: String, df: DataFrame,
-                              partitionCols: Seq[String]): Seq[Entry] = {
+                              partitionCols: Seq[String],
+                              collectStats: Boolean = true): Seq[Entry] = {
     val spark = df.sparkSession
     val rel = s"data/commit-${java.util.UUID.randomUUID()}"
     val dest = s"$t/$rel"
-    if (partitionCols.isEmpty) {
+    val bare: Seq[Entry] = if (partitionCols.isEmpty) {
       val out = if (df.isEmpty) df.repartition(1) else df
       out.write.parquet(dest)
       Seq(Entry("", rel))
@@ -240,6 +259,14 @@ final case class VersionedLake(root: String) {
           .stripPrefix(new Path(t).toUri.getPath).stripPrefix("/"))
       }
     }
+    if (!collectStats) bare
+    else {
+      // One re-scan of only the new data builds the skipping index; the
+      // stats keys byte-match the entry keys (escaped directory names).
+      val stats = entryStats(spark, dest, df.schema,
+        partitionCols.map(c => s"__gp_$c"))
+      bare.map(e => e.copy(stats = stats.get(e.key)))
+    }
   }
 
   /** Full-snapshot write: a new data commit replacing every partition.
@@ -248,10 +275,11 @@ final case class VersionedLake(root: String) {
     */
   def write(df: DataFrame, zone: String, table: String,
             partitionCols: Seq[String] = Nil,
-            maxCommitAttempts: Int = 5): Int = retryingCommit(maxCommitAttempts) {
+            maxCommitAttempts: Int = 5,
+            collectStats: Boolean = true): Int = retryingCommit(maxCommitAttempts) {
     val spark = df.sparkSession
     val t = tablePath(zone, table)
-    val entries = writeDataCommit(t, df, partitionCols)
+    val entries = writeDataCommit(t, df, partitionCols, collectStats)
     val v = currentVersion(spark, zone, table) + 1
     commitManifest(spark, t, v, partitionCols, entries, Some(df.schema.json))
     v
@@ -295,6 +323,265 @@ final case class VersionedLake(root: String) {
     }
   }
 
+  // ---------------------------------------------------------------- stats
+
+  /** Columns eligible for min/max skipping stats: atomic orderable types.
+    * Arrays/structs/maps/binary carry no stats (entries always "could
+    * match" on them).
+    */
+  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Strings longer than this carry NO min/max rather than a truncated one:
+    * a truncated max is not an upper bound, so truncation could prune a dir
+    * that actually matches (Delta instead widens the truncated max; dropping
+    * the stat is equally safe and simpler). Non-null counts always persist.
+    */
+  private val MaxStatsStringLen = 64
+
+  private def quoted(name: String) = col(s"`$name`")
+
+  /** to_json/from_json options for stats: UTC and full microsecond
+    * precision. The default timestamp format keeps only milliseconds —
+    * a max truncated by 999 µs could wrongly prune a dir holding a row
+    * inside the truncated window.
+    */
+  private val statsJsonOpts = Map(
+    "timeZone" -> "UTC",
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  private def statFieldsOf(schema: org.apache.spark.sql.types.StructType) =
+    schema.fields.filter(f => statsEligible(f.dataType) &&
+      !f.name.contains("`")).toSeq
+
+  private def statAggs(schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types.StringType
+    val per = statFieldsOf(schema).flatMap { f =>
+      val c = quoted(f.name)
+      val (mn, mx) = f.dataType match {
+        case StringType =>
+          (when(length(min(c)) <= MaxStatsStringLen, min(c)),
+           when(length(max(c)) <= MaxStatsStringLen, max(c)))
+        case _ => (min(c), max(c))
+      }
+      Seq(mn.as(s"min__${f.name}"), mx.as(s"max__${f.name}"),
+          count(c).as(s"nn__${f.name}"))
+    }
+    count(lit(1)).as("rc") +: per
+  }
+
+  private def statsSchema(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(StructField("rc", LongType) +: statFieldsOf(schema).flatMap { f =>
+      Seq(StructField(s"min__${f.name}", f.dataType),
+          StructField(s"max__${f.name}", f.dataType),
+          StructField(s"nn__${f.name}", LongType))
+    })
+  }
+
+  /** Per-entry skipping stats for a freshly written commit dir: ONE scan of
+    * the new data (grouped by the shadow partition dirs), one driver-bounded
+    * row per touched partition. Shadow columns are read back under an
+    * explicit StringType schema so `month='01'` can never re-infer as int —
+    * the keys here must byte-match the manifest entry keys, which come from
+    * the escaped directory names Spark wrote.
+    */
+  private def entryStats(spark: SparkSession, dest: String,
+                         dataSchema: org.apache.spark.sql.types.StructType,
+                         shadows: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val readSchema = StructType(dataSchema.fields ++
+      shadows.map(s => StructField(s, StringType)))
+    val df = spark.read.schema(readSchema).parquet(dest)
+    val aggs = statAggs(dataSchema)
+    val grouped =
+      if (shadows.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(shadows.map(quoted): _*).agg(aggs.head, aggs.tail: _*)
+    val statCols = grouped.columns.filterNot(shadows.contains).toSeq
+    grouped.select(shadows.map(quoted) :+
+        to_json(struct(statCols.map(quoted): _*), statsJsonOpts).as("__stats"): _*)
+      .collect().map { r =>
+        val key = shadows.indices
+          .map(i => ExternalCatalogUtils.escapePathName(r.getString(i)))
+          .mkString("/")
+        key -> r.getString(shadows.length)
+      }.toMap
+  }
+
+  /** Resolve `predicate` against the snapshot's schema by analyzing a
+    * filter over an empty relation: names resolve with Spark's own
+    * case-sensitivity rules and type coercion inserts the exact casts the
+    * real scan would use. An unresolvable predicate (unknown column, type
+    * error) returns None — callers then skip pruning and let the real read
+    * surface the error.
+    */
+  private def resolvedPredicate(spark: SparkSession,
+                                schema: org.apache.spark.sql.types.StructType,
+                                predicate: org.apache.spark.sql.Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        .where(predicate).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Rewrite a RESOLVED read predicate into a conservative "this dir COULD
+    * hold a matching row" test over an entry's stats struct `st`. Unknown
+    * shapes, missing stats, and evolved columns all collapse to TRUE (keep
+    * the dir); pruning is only ever an optimization, never a filter.
+    */
+  private def couldMatch(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+                         schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.{DataType, StringType}
+    val tracked = statFieldsOf(schema).map(_.name).toSet
+    def st(field: String) = col("st").getField(field)
+    // A stats reference, upcast when coercion wrapped the column side (an
+    // upcast is monotone and injective, so min/max commute with it).
+    final case class Ref(name: String, castTo: Option[DataType]) {
+      private def c(x: org.apache.spark.sql.Column) = castTo.fold(x)(x.cast)
+      def mn = c(st(s"min__$name"))
+      def mx = c(st(s"max__$name"))
+      def nn = st(s"nn__$name")
+    }
+    def attr(e: Expression): Option[Ref] = e match {
+      case a: AttributeReference if tracked(a.name) => Some(Ref(a.name, None))
+      case Cast(a: AttributeReference, dt, _, _)
+          if tracked(a.name) && Cast.canUpCast(a.dataType, dt) =>
+        Some(Ref(a.name, Some(dt)))
+      case _ => None
+    }
+    // Coercion may wrap the literal side in a foldable cast; evaluate it.
+    def asLit(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.foldable =>
+        try Some(Literal.create(c.eval(InternalRow.empty), c.dataType))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    object L { def unapply(e: Expression): Option[Literal] = asLit(e) }
+    val keep = lit(true)
+    def lc(l: Literal) = ColumnShim.column(l)
+    // nn>0 guard: a dir whose column is entirely NULL matches no comparison.
+    // `nn > 0 && <null stat>` evaluates to false/null → coalesce keeps only
+    // genuinely-unknown cases.
+    def cmp(x: Expression, l: Literal)(f: Ref => org.apache.spark.sql.Column) =
+      attr(x).map(r => coalesce(r.nn > 0 && f(r), keep)).getOrElse(keep)
+    def rw(e: Expression): org.apache.spark.sql.Column = e match {
+      case And(a, b) => rw(a) && rw(b)
+      case Or(a, b)  => rw(a) || rw(b)
+      case EqualTo(x, L(l)) => cmp(x, l)(r => lc(l) >= r.mn && lc(l) <= r.mx)
+      case EqualTo(L(l), x) => rw(EqualTo(x, l))
+      case EqualNullSafe(x, L(l)) =>
+        if (l.value == null)
+          attr(x).map(r => coalesce(st("rc") > r.nn, keep)).getOrElse(keep)
+        else rw(EqualTo(x, l))
+      case EqualNullSafe(L(l), x) => rw(EqualNullSafe(x, l))
+      case GreaterThan(x, L(l)) => cmp(x, l)(r => r.mx > lc(l))
+      case GreaterThan(L(l), x) => rw(LessThan(x, l))
+      case GreaterThanOrEqual(x, L(l)) => cmp(x, l)(r => r.mx >= lc(l))
+      case GreaterThanOrEqual(L(l), x) => rw(LessThanOrEqual(x, l))
+      case LessThan(x, L(l)) => cmp(x, l)(r => r.mn < lc(l))
+      case LessThan(L(l), x) => rw(GreaterThan(x, l))
+      case LessThanOrEqual(x, L(l)) => cmp(x, l)(r => r.mn <= lc(l))
+      case LessThanOrEqual(L(l), x) => rw(GreaterThanOrEqual(x, l))
+      case In(x, ls) if ls.nonEmpty && ls.forall(asLit(_).isDefined) =>
+        ls.map(l => rw(EqualTo(x, asLit(l).get))).reduce(_ || _)
+      case InSet(x, vs) if vs.nonEmpty && attr(x).isDefined =>
+        // InSet holds catalyst-internal values; route through Literal so
+        // comparisons stay in Spark's own type semantics.
+        vs.toSeq.map(v => rw(EqualTo(x, Literal(v, x.dataType)))).reduce(_ || _)
+      case IsNull(x) =>
+        attr(x).map(r => coalesce(st("rc") > r.nn, keep)).getOrElse(keep)
+      case IsNotNull(x) =>
+        attr(x).map(r => coalesce(r.nn > 0, keep)).getOrElse(keep)
+      case Not(EqualTo(x, L(l))) =>
+        cmp(x, l)(r => !(r.mn === lc(l) && r.mx === lc(l)))
+      case Not(EqualTo(L(l), x)) => rw(Not(EqualTo(x, l)))
+      case StartsWith(x, L(l))
+          if l.dataType == StringType && l.value != null =>
+        val v = l.value.toString
+        cmp(x, l)(r => substring(r.mn, 1, v.length) <= lit(v) &&
+          substring(r.mx, 1, v.length) >= lit(v))
+      case _ => keep
+    }
+    rw(pred)
+  }
+
+  /** The entries of a snapshot that could hold rows matching `predicate`,
+    * by stats pruning. Entries without stats (pre-round-6 manifests, or
+    * `collectStats = false` commits) are always kept. Exposed for
+    * observability — `readWhere` is the reading API.
+    */
+  def candidateEntries(spark: SparkSession, zone: String, table: String,
+                       predicate: org.apache.spark.sql.Column,
+                       version: Option[Int] = None): Seq[VersionedLake.Entry] = {
+    val t = tablePath(zone, table)
+    val m = resolveManifest(spark, zone, table, version)
+    pruneEntries(spark, m, predicate)
+  }
+
+  private def pruneEntries(spark: SparkSession, m: Manifest,
+                           predicate: org.apache.spark.sql.Column): Seq[Entry] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val schema = m.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val (withS, withoutS) = m.entries.partition(_.stats.isDefined)
+    if (schema.isEmpty || withS.isEmpty) return m.entries
+    val resolved = resolvedPredicate(spark, schema.get, predicate)
+    if (resolved.isEmpty) return m.entries
+    val cond = couldMatch(resolved.get, schema.get)
+    import spark.implicits._
+    val keep = withS.zipWithIndex.map { case (e, i) => (i, e.stats.get) }
+      .toDF("__i", "__s")
+      .select(col("__i"),
+        from_json(col("__s"), statsSchema(schema.get), statsJsonOpts).as("st"))
+      .where(cond).select("__i").collect().map(_.getInt(0)).toSet
+    withoutS ++ withS.zipWithIndex.collect { case (e, i) if keep(i) => e }
+  }
+
+  private def resolveManifest(spark: SparkSession, zone: String,
+                              table: String, version: Option[Int]): Manifest = {
+    val v = version.getOrElse {
+      val cur = currentVersion(spark, zone, table)
+      require(cur > 0, s"no committed snapshot for $zone/$table")
+      cur
+    }
+    readManifest(spark, tablePath(zone, table), v)
+  }
+
+  /** Data-skipping read: resolve the snapshot, DROP every data dir whose
+    * manifest stats prove it can't satisfy `predicate`, and apply the
+    * predicate to what remains (skipping is an optimization — the filter
+    * still runs, and parquet row-group pruning still applies inside each
+    * kept file). On a 100 TB table with date/id-clustered commits, a
+    * point or range query plans a handful of dirs instead of all of them
+    * — without listing or footer-reading the skipped ones.
+    */
+  def readWhere(spark: SparkSession, zone: String, table: String,
+                predicate: org.apache.spark.sql.Column,
+                version: Option[Int] = None): DataFrame = {
+    val t = tablePath(zone, table)
+    val m = resolveManifest(spark, zone, table, version)
+    require(m.entries.nonEmpty, s"empty manifest for $zone/$table")
+    val pruned = pruneEntries(spark, m, predicate)
+    if (pruned.isEmpty)
+      // schema-correct empty result; limit(0) collapses to an empty
+      // relation before any file is touched
+      readDirs(spark, t, m.entries, m.schemaJson).limit(0).where(predicate)
+    else readDirs(spark, t, pruned, m.schemaJson).where(predicate)
+  }
+
   /** MERGE-style keyed upsert with the same semantics as [[Lake.upsert]]
     * (greatest `versionCol` wins, incoming wins ties, winning `deleteCol`
     * rows drop their key) — but committed as a NEW SNAPSHOT: only touched
@@ -306,7 +593,8 @@ final case class VersionedLake(root: String) {
              updates: DataFrame, key: String, versionCol: String,
              deleteCol: Option[String] = None,
              partitionCols: Seq[String] = Nil,
-             maxCommitAttempts: Int = 5): Int = retryingCommit(maxCommitAttempts) {
+             maxCommitAttempts: Int = 5,
+             collectStats: Boolean = true): Int = retryingCommit(maxCommitAttempts) {
     import org.apache.spark.sql.expressions.Window
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -352,13 +640,13 @@ final case class VersionedLake(root: String) {
     // New dirs for surviving touched partitions; a fully-deleted partition
     // simply has no entry in the new manifest. Data dirs are immutable, so
     // no checkpoint pin is needed — we never overwrite what we read.
-    val newEntries = writeDataCommit(t, result, partitionCols)
+    val newEntries = writeDataCommit(t, result, partitionCols, collectStats)
     val entries = carried ++ newEntries
     // Everything deleted → pin the schema with one empty unpartitioned dir
     // (key "" never matches a real partition key, so it just carries).
     val finalEntries =
       if (entries.nonEmpty) entries
-      else writeDataCommit(t, result.limit(0), Nil)
+      else writeDataCommit(t, result.limit(0), Nil, collectStats)
     val v = cur + 1
     // result.schema is the UNION of carried and new columns (unionByName
     // allowMissingColumns), so carried dirs read back with any column this
@@ -376,7 +664,8 @@ final case class VersionedLake(root: String) {
                      delta: DataFrame, keys: Seq[String],
                      sumCols: Seq[String],
                      partitionCols: Seq[String] = Nil,
-                     maxCommitAttempts: Int = 5): Int = retryingCommit(maxCommitAttempts) {
+                     maxCommitAttempts: Int = 5,
+                     collectStats: Boolean = true): Int = retryingCommit(maxCommitAttempts) {
     require(partitionCols.forall(keys.contains),
       "partitionCols must be group keys, or groups would span partitions")
     val t = tablePath(zone, table)
@@ -401,7 +690,7 @@ final case class VersionedLake(root: String) {
       .groupBy(keys.map(col): _*)
       .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
       .toDF(keys ++ sumCols: _*)
-    val newEntries = writeDataCommit(t, folded, partitionCols)
+    val newEntries = writeDataCommit(t, folded, partitionCols, collectStats)
     val v = cur + 1
     commitManifest(spark, t, v, partitionCols, carried ++ newEntries,
       Some(folded.schema.json))
@@ -419,7 +708,8 @@ final case class VersionedLake(root: String) {
     * through a single writer task.
     */
   def compact(spark: SparkSession, zone: String, table: String,
-              filesPerPartition: Int): Int = {
+              filesPerPartition: Int,
+              collectStats: Boolean = true): Int = {
     require(filesPerPartition > 0)
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -440,7 +730,7 @@ final case class VersionedLake(root: String) {
           .sortWithinPartitions(m.partitionCols.map(col): _*)
           .drop("__salt")
       }
-    val entries = writeDataCommit(t, sized, m.partitionCols)
+    val entries = writeDataCommit(t, sized, m.partitionCols, collectStats)
     val v = cur + 1
     commitManifest(spark, t, v, m.partitionCols, entries,
       Some(df.schema.json))

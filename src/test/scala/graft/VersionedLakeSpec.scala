@@ -278,6 +278,103 @@ class VersionedLakeSpec extends AnyFunSuite {
       s"files per partition out of [2,3]: ${perPart.mkString(",")}")
   }
 
+  test("data skipping: readWhere prunes dirs whose stats exclude the predicate") {
+    val vl = newLake()
+    // three partitions with disjoint id ranges and distinct name prefixes
+    val df = spark.range(0, 300).select(
+      concat(lit("p"), (col("id") / 100).cast("int").cast("string")).as("p"),
+      col("id"),
+      concat(lit("u"), format_string("%03d", col("id"))).as("name"))
+    vl.write(df, "silver", "skip", partitionCols = Seq("p"))
+    val total = 3
+    def cand(pred: org.apache.spark.sql.Column) =
+      vl.candidateEntries(spark, "silver", "skip", pred).size
+    def check(pred: org.apache.spark.sql.Column, expectDirs: Int): Unit = {
+      assert(cand(pred) === expectDirs, s"pruning for $pred")
+      val got = vl.readWhere(spark, "silver", "skip", pred)
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = vl.read(spark, "silver", "skip").where(pred)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === want, s"rows for $pred")
+    }
+    check(col("id") > 250, 1)                            // range
+    check(col("id") === 150L, 1)                         // point
+    check(col("id").isin(5L, 295L), 2)                   // IN
+    check(col("id") < 0, 0)                              // nothing matches
+    check(col("id") >= 100 && col("id") < 200, 1)        // AND of bounds
+    check(col("id") < 50 || col("id") > 280, 2)          // OR
+    check(col("name").startsWith("u2"), 1)               // string prefix
+    check(col("name") === "u050", 1)                     // string point
+    check(col("id").isNull, 0)                           // no nulls anywhere
+    check(col("id").isNotNull, 3)
+    check(col("p") === "p1", 1)                          // partition col stats
+    // a predicate on an unsupported shape keeps everything (conservative)
+    check(abs(col("id")) > 9999, 3)
+  }
+
+  test("data skipping: carried entries keep their stats through upserts") {
+    val vl = newLake()
+    val base = Seq(("a", 1L, 1L, 10.0), ("b", 101L, 1L, 20.0),
+      ("c", 201L, 1L, 30.0)).toDF("p", "id", "ver", "v")
+    vl.write(base, "silver", "carry", partitionCols = Seq("p"))
+    // touch only partition b — a and c carry forward with stats verbatim
+    vl.upsert(spark, "silver", "carry",
+      Seq(("b", 102L, 2L, 21.0)).toDF("p", "id", "ver", "v"),
+      "id", "ver", partitionCols = Seq("p"))
+    // range predicate on id prunes to the single carried partition c
+    val cands = vl.candidateEntries(spark, "silver", "carry", col("id") > 200)
+    assert(cands.map(_.key) === Seq("c"))
+    assert(vl.readWhere(spark, "silver", "carry", col("id") > 200)
+      .select("v").as[Double].collect().toSeq === Seq(30.0))
+  }
+
+  test("data skipping degrades conservatively: no stats, long strings, evolved columns") {
+    val vl = newLake()
+    // collectStats=false → entries carry no stats → no pruning, reads correct
+    vl.write(Seq(("p1", 1L), ("p2", 200L)).toDF("p", "id"), "silver", "nostat",
+      partitionCols = Seq("p"), collectStats = false)
+    assert(vl.candidateEntries(spark, "silver", "nostat", col("id") > 100).size === 2)
+    assert(vl.readWhere(spark, "silver", "nostat", col("id") > 100).count() === 1)
+    // >64-char strings: min/max dropped (NOT truncated — a truncated max
+    // could wrongly prune), so string predicates keep the dir
+    val long = "x" * 80
+    vl.write(Seq(("p1", long), ("p2", "short")).toDF("p", "s"), "silver", "longs",
+      partitionCols = Seq("p"))
+    assert(vl.candidateEntries(spark, "silver", "longs",
+      col("s") === long).map(_.key).contains("p1"))
+    assert(vl.readWhere(spark, "silver", "longs", col("s") === long).count() === 1)
+    // a column added by a later upsert: carried entries' stats predate it →
+    // they must be kept when filtering on it
+    vl.write(Seq(("p1", 1L, 1L), ("p2", 2L, 1L)).toDF("p", "id", "ver"),
+      "silver", "evoskip", partitionCols = Seq("p"))
+    vl.upsert(spark, "silver", "evoskip",
+      Seq(("p1", 1L, 2L, 9L)).toDF("p", "id", "ver", "extra"),
+      "id", "ver", partitionCols = Seq("p"))
+    // p2 carried (its stats predate 'extra') must remain a candidate;
+    // p1's fresh stats show extra is never null there, so it CAN prune
+    assert(vl.candidateEntries(spark, "silver", "evoskip",
+      col("extra").isNull).map(_.key).toSet === Set("p2"))
+    assert(vl.readWhere(spark, "silver", "evoskip", col("extra").isNull)
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("data skipping: timestamp stats keep microsecond precision at range boundaries") {
+    val vl = newLake()
+    // partition q1 tops out at .123456 µs — a stats index that rounds to
+    // milliseconds would store .123 and wrongly prune the >= .123400 probe
+    val df = Seq(
+      ("q1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456")),
+      ("q2", java.sql.Timestamp.valueOf("2024-06-01 00:00:00.0")))
+      .toDF("p", "ts")
+    vl.write(df, "silver", "micro", partitionCols = Seq("p"))
+    val probe = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123400"))
+    assert(vl.candidateEntries(spark, "silver", "micro", probe).size === 2)
+    assert(vl.readWhere(spark, "silver", "micro", probe).count() === 2)
+    // and the µs bound still PRUNES what it can: strictly-greater probe
+    val above = col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456"))
+    assert(vl.candidateEntries(spark, "silver", "micro", above).map(_.key) === Seq("q2"))
+  }
+
   test("unpartitioned upsert that deletes every key leaves a readable empty snapshot") {
     val vl = newLake()
     vl.write(Seq(("a", 1L)).toDF("k", "ver"), "silver", "empty")
