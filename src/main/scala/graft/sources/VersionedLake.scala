@@ -656,6 +656,72 @@ final case class VersionedLake(root: String) {
     v
   }
 
+  /** Change data feed: the row-level difference between two retained
+    * snapshots, keyed by `key` — Delta's CDF surface recomputed from
+    * snapshot structure instead of persisted change files.
+    *
+    * Scale path: a data dir referenced by BOTH manifests is bit-identical
+    * (dirs are immutable and carried verbatim by partition-scoped
+    * maintenance), so only dirs present in exactly one manifest are read —
+    * a one-partition upsert on a 100 TB table diffs one partition, not the
+    * table. Within the differing dirs, a full outer join on `key` labels
+    * each key `insert` / `delete` / `update_postimage` (emitted with the
+    * new row; unchanged rows are dropped by a whole-row comparison).
+    *
+    * Result: the NEW snapshot's schema plus `_change_type`, with pre-image
+    * values only implied (time-travel `read(fromVersion)` serves them) —
+    * matching Delta's `readChangeFeed` minus `update_preimage` rows.
+    */
+  def changes(spark: SparkSession, zone: String, table: String,
+              key: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, "fromVersion must precede toVersion")
+    val t = tablePath(zone, table)
+    val from = readManifest(spark, t, fromVersion)
+    val to = readManifest(spark, t, toVersion)
+    val fromDirs = from.entries.map(_.dir).toSet
+    val toDirs = to.entries.map(_.dir).toSet
+    val removed = from.entries.filterNot(e => toDirs.contains(e.dir))
+    val added = to.entries.filterNot(e => fromDirs.contains(e.dir))
+    val toSchema = to.schemaJson
+    def side(entries: Seq[Entry], schemaJson: Option[String]): DataFrame =
+      if (entries.isEmpty)
+        // schema-correct empty side: read under the OTHER side's entries
+        // (limit 0 collapses before any file IO)
+        readDirs(spark, t, (removed ++ added).distinct, schemaJson).limit(0)
+      else readDirs(spark, t, entries, schemaJson)
+    // Both sides under the NEW schema: columns added between the versions
+    // NULL-pad on the old side, exactly as a reader of the new snapshot
+    // sees carried-forward data.
+    val before = side(removed, toSchema)
+    val after = side(added, toSchema)
+    val cols = after.columns.toSeq
+    require(cols.contains(key), s"key '$key' not in table columns $cols")
+    val b = before.select(cols.map(col): _*).withColumn("__b", lit(1))
+    val a = after.select(cols.map(col): _*).withColumn("__a", lit(1))
+    val joined = b.as("b").join(a.as("a"), Seq(key), "full_outer")
+    val dataCols = cols.filterNot(_ == key)
+    def rowOf(side: String) =
+      struct(dataCols.map(c => col(s"$side.$c")): _*)
+    // whole-row null-safe compare: physically moved but value-identical
+    // rows (compaction, carried rewrites) are not changes. A key-only
+    // table has no payload to differ on.
+    val rowChanged =
+      if (dataCols.isEmpty) lit(false) else !(rowOf("b") <=> rowOf("a"))
+    val typed = joined.withColumn("_change_type",
+      when(col("b.__b").isNull, lit("insert"))
+        .when(col("a.__a").isNull, lit("delete"))
+        .when(rowChanged, lit("update_postimage")))
+      .where(col("_change_type").isNotNull)
+    // emit the post-image for inserts/updates, the pre-image for deletes
+    val out = typed.select(
+      col(key) +:
+        dataCols.map(c =>
+          when(col("_change_type") === "delete", col(s"b.$c"))
+            .otherwise(col(s"a.$c")).as(c)) :+
+        col("_change_type"): _*)
+    out
+  }
+
   /** Additive gold-table fold, partition-scoped like [[upsert]]: only the
     * partitions present in `delta` are read, re-summed, and re-written;
     * the rest carry forward. `partitionCols` must be group keys.

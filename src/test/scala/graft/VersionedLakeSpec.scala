@@ -375,6 +375,59 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(vl.candidateEntries(spark, "silver", "micro", above).map(_.key) === Seq("q2"))
   }
 
+  test("change data feed: keyed row-level diff between snapshots, reading only differing dirs") {
+    val vl = newLake()
+    vl.write(Seq(
+      ("p1", "a", 1L, 10.0), ("p1", "b", 1L, 20.0),
+      ("p2", "c", 1L, 30.0), ("p3", "d", 1L, 40.0))
+      .toDF("p", "k", "ver", "v"), "silver", "cdf", partitionCols = Seq("p"))
+    // v2: update b, insert e (both p1); delete c (p2); p3 untouched
+    vl.upsert(spark, "silver", "cdf",
+      Seq(("p1", "b", 2L, 21.0, false), ("p1", "e", 1L, 50.0, false),
+        ("p2", "c", 2L, 0.0, true)).toDF("p", "k", "ver", "v", "gone"),
+      "k", "ver", deleteCol = Some("gone"), partitionCols = Seq("p"))
+    val ch = vl.changes(spark, "silver", "cdf", "k", 1, 2)
+    val got = ch.select("k", "_change_type").as[(String, String)]
+      .collect().toMap
+    assert(got === Map("b" -> "update_postimage", "e" -> "insert",
+      "c" -> "delete"))
+    // post-image values for updates/inserts, pre-image for the delete
+    val vals = ch.select("k", "v").as[(String, Double)].collect().toMap
+    assert(vals === Map("b" -> 21.0, "e" -> 50.0, "c" -> 30.0))
+    // 'a' rewrote physically (p1 got a new dir) but is value-identical →
+    // not a change; and untouched p3's files never enter the diff plan:
+    // every file the plan scans comes from a differing dir, none from p3's
+    val scanned = ch.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(!scanned.exists(_.contains("__gp_p=p3")),
+      "CDF planned files of an untouched partition")
+  }
+
+  test("change data feed: compaction produces zero changes; schema evolution null-pads the old side") {
+    val vl = newLake()
+    vl.write(Seq(("p1", "a", 1L), ("p2", "b", 1L)).toDF("p", "k", "ver"),
+      "silver", "cdf2", partitionCols = Seq("p"))
+    vl.compact(spark, "silver", "cdf2", filesPerPartition = 1)
+    // every dir differs (compaction rewrites all), but no VALUES changed
+    assert(vl.changes(spark, "silver", "cdf2", "k", 1, 2).count() === 0)
+    // add a column in v3 touching only p1
+    vl.upsert(spark, "silver", "cdf2",
+      Seq(("p1", "a", 2L, 7L)).toDF("p", "k", "ver", "extra"),
+      "k", "ver", partitionCols = Seq("p"))
+    val ch = vl.changes(spark, "silver", "cdf2", "k", 2, 3)
+    val row = ch.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Long]("extra"),
+        r.getAs[String]("_change_type"))).toSeq
+    assert(row === Seq(("a", 7L, "update_postimage")))
+    // identity diff is empty
+    assert(vl.changes(spark, "silver", "cdf2", "k", 3, 3).count() === 0)
+  }
+
   test("unpartitioned upsert that deletes every key leaves a readable empty snapshot") {
     val vl = newLake()
     vl.write(Seq(("a", 1L)).toDF("k", "ver"), "silver", "empty")
