@@ -347,6 +347,35 @@ object TestQueries {
         round(col("cos"), 6).as("cos_r"))
   }
 
+  /** PQ top-k with an exhaustive refine pool: `refine·k ≥ corpus size`
+    * makes the ADC candidate stage a total preorder, so the exact re-rank
+    * reproduces brute force EXACTLY and the whole PQ machinery — subspace
+    * Lloyd codebooks, code assignment, per-query lookup table, ADC scoring,
+    * candidate window, re-rank join — is oracle-checked against the same
+    * SQL as q39. Production sets a small constant refine (q95b); its recall
+    * is spec-measured (SimilaritySpec), as with LSH/IVF.
+    */
+  def q95PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val refine = ((n + 2) / 3).toInt.max(1) // refine·k ≥ n at k=3
+    Similarity.pqTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", dim = 64, k = 3, numSub = 16, ksub = 16, refine = refine)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** Production-config PQ: 16 subspaces × 16 cells (64 floats → 16 codes),
+    * constant refine pool. Rows-only; recall floor spec-asserted.
+    */
+  def q95bPqTopkProd(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", dim = 64, k = 3, numSub = 16, ksub = 16, refine = 8)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1083,6 +1112,8 @@ object TestQueries {
     "q39b_embedding_norms" -> (q39bEmbeddingNorms _),
     "q39c_lsh_topk" -> (q39cLshTopk _),
     "q39d_ivf_topk" -> (q39dIvfTopk _),
+    "q95_pq_topk" -> (q95PqTopk _),
+    "q95b_pq_topk_prod" -> (q95bPqTopkProd _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -215,6 +215,152 @@ object Similarity {
       nearest.getField("dist").as("dist"))
   }
 
+  /** Product-quantization codebooks: the vector space is split into
+    * `numSub` contiguous subspaces of dim/numSub dims, and each subspace
+    * gets its own `ksub`-centroid quantizer (Lloyd's algorithm, hash-seeded
+    * init). ALL subspaces train in the same jobs: subvectors explode
+    * scan-side to (sub, subvector) rows, each Lloyd round is one grouped
+    * mean aggregate over (sub, cell, pos) plus one scan-side reassignment
+    * through per-sub literal centroid tables — the corpus is scanned once
+    * per round regardless of numSub, and nothing driver-sized exceeds the
+    * numSub × ksub × (dim/numSub) = ksub × dim doubles of the codebook
+    * (the same bounded-constant class as the IVF centroid table).
+    *
+    * Returns (sub, cell, centroid: array<double>).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, numSub: Int = 4, ksub: Int = 16,
+                  seed: Long = 42L, iters: Int = 3): DataFrame = {
+    require(numSub >= 1 && dim % numSub == 0,
+      s"dim $dim must divide evenly into $numSub subspaces")
+    require(iters >= 1, "iters must be >= 1")
+    val d = dim / numSub
+    val subRows = corpus.select(col(idCol).as("__id"),
+        explode(array((0 until numSub).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * d + 1, d).as("sv"))): _*)).as("e"))
+      .select(col("__id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    def meansOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("sub"), col("cell0"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "cell0", "pos").agg(avg("x").as("cx"))
+      .groupBy("sub", "cell0").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("centroid"))
+    var books = meansOf(subRows.withColumn("cell0",
+      pmod(xxhash64(col("__id"), col("sub"), lit(seed)), lit(ksub))))
+    var i = 0
+    while (i < iters) {
+      val bySub = collectCodebooks(books)
+      // CaseWhen picks the row's own subspace table; untaken branches are
+      // not evaluated, so each row pays ONE nearest-centroid scan
+      val assign = bySub.foldLeft(lit(-1L)) { case (acc, (s, (ids, cents))) =>
+        when(col("sub") === s,
+          graft.functions.expressions.VectorExpressions
+            .nearestCells(col("sv"), cents, ids)(0).getField("cell")
+            .cast("long"))
+          .otherwise(acc)
+      }
+      books = meansOf(subRows.withColumn("cell0", assign))
+      i += 1
+    }
+    books.select(col("sub"), col("cell0").as("cell"), col("centroid"))
+  }
+
+  /** Codebook table → driver literals per subspace (numSub × ksub rows by
+    * construction, never data-sized).
+    */
+  private def collectCodebooks(books: DataFrame): Seq[(Int, (Seq[Int], Seq[Seq[Double]]))] =
+    books.selectExpr("cast(sub as int) sub", "cast(cell0 as int) cell", "centroid")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (s, rows) =>
+        val sorted = rows.map(r => r.getInt(1) -> r.getSeq[Double](2).toSeq)
+          .sortBy(_._1).toSeq
+        s -> ((sorted.map(_._1), sorted.map(_._2)))
+      }
+
+  /** Encode vectors as `numSub` small integer codes — the PQ compression:
+    * at ksub ≤ 256 a 64-dim float vector (256 bytes) becomes numSub bytes
+    * of codes. One scan, zero shuffle; codes are computed by the same
+    * literal nearest-centroid expression the quantizer trains with.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               codebooks: DataFrame): DataFrame = {
+    val bySub = collectCodebooks(
+      codebooks.withColumnRenamed("cell", "cell0"))
+    val numSub = bySub.size
+    val d = dim / numSub
+    val codes = array(bySub.map { case (s, (ids, cents)) =>
+      graft.functions.expressions.VectorExpressions
+        .nearestCells(slice(col(vecCol), s * d + 1, d), cents, ids)(0)
+        .getField("cell").cast("int")
+    }: _*)
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) and exact
+    * re-ranking.
+    *
+    * Scale path: the corpus contributes only (id, codes) to candidate
+    * scoring — numSub ints per vector instead of dim floats — so the
+    * memory-bandwidth-bound first pass touches ~32× less data at
+    * (dim=64, numSub=8). Each query precomputes a lookup table of
+    * subspace dot products against every codebook centroid (numSub × ksub
+    * doubles, built by one broadcast join against the codebook, NOT per
+    * candidate); a candidate's approximate score is then numSub map
+    * lookups summed — no vector arithmetic in the hot loop. The top
+    * `refine`·k by approximate score re-rank by exact cosine (one
+    * broadcast-semi join back to the full vectors for candidates only).
+    *
+    * Cosine is approximated as the dot of the query with the quantized
+    * corpus vector: Σ_s 〈q_s, centroid[s][code_s]〉. Ranking quality
+    * follows quantization error; the exact re-rank restores true scores,
+    * so precision of the returned cos values is exact — only WHICH
+    * candidates survive is approximate (recall spec-measured, like LSH).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int, numSub: Int = 4,
+             ksub: Int = 16, refine: Int = 4, seed: Long = 42L,
+             iters: Int = 3): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, numSub, ksub, seed, iters)
+    val coded = pqEncode(corpus, idCol, vecCol, dim, books)
+      .select(col(idCol).as("nbr_id"), col("codes"))
+    val d = dim / numSub
+    // per-query ADC lookup table keyed sub·ksub+cell (cells can go dark
+    // during Lloyd, so a map — not positional arithmetic — is the index)
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(books))
+      .select(col("query_id"), col("qv"),
+        (col("sub") * ksub + col("cell")).cast("int").as("slot"),
+        Vectors.dot(slice(col("qv"), col("sub").cast("int") * d + 1, lit(d)),
+          col("centroid")).as("dp"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("dp"))))
+        .as("lut"), first("qv").as("qv"))
+    val approx = coded.crossJoin(broadcast(lut))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("ascore",
+        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
+          (acc, s) => acc +
+            element_at(col("lut"),
+              (s * ksub + element_at(col("codes"), s + 1)).cast("int"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ascore").desc, col("nbr_id"))
+    val cand = approx.withColumn("arank", row_number().over(w))
+      .where(col("arank") <= refine * k)
+      .select("query_id", "nbr_id", "qv")
+    // exact re-rank: candidates (queries × refine·k rows) broadcast back
+    // onto the corpus vectors; the full corpus never shuffles
+    val exact = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("nbr_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+
   /** IVF top-k: score only corpus vectors in the query's nearest `nprobe`
     * cells — the scan per query shrinks by ~numCells/nprobe while recall
     * stays high for clustered corpora. With `nprobe = numCells` every cell

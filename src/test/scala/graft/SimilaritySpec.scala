@@ -149,6 +149,49 @@ class SimilaritySpec extends AnyFunSuite {
       s"measured $measured does not track predicted $predicted")
   }
 
+  test("PQ codebooks and codes are well-formed; encode is one code per subspace") {
+    val books = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      dim = 8, numSub = 4, ksub = 4)
+    val rows = books.collect()
+    // at most numSub × ksub centroids, each of dim/numSub dims
+    assert(rows.length <= 16)
+    assert(rows.forall(_.getSeq[Double](2).length === 2))
+    assert(rows.map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cell"))).distinct.length === rows.length)
+    val coded = Similarity.pqEncode(clustered, "vec_id", "embedding", 8, books)
+    assert(coded.count() === 40)
+    val codes = coded.collect().map(_.getSeq[Int](1))
+    assert(codes.forall(_.length === 4))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 4)))
+  }
+
+  test("PQ top-k with exact re-rank: perfect recall on the clustered corpus, scores exact") {
+    val q = clustered.where(col("vec_id") % 7 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")) ->
+        r.getAs[Double]("cos")).toMap
+    val bf = asMap(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
+    val pq = asMap(Similarity.pqTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numSub = 4, ksub = 4, refine = 4))
+    // clusters are axis-aligned → quantized scores separate them; the
+    // refine·k candidate pool then recovers the exact top-3
+    assert(pq.keySet === bf.keySet)
+    // re-rank recomputes TRUE cosine: scores bit-match brute force
+    pq.foreach { case (k2, c) => assert(c === bf(k2)) }
+  }
+
+  test("PQ recall on structureless embeddings beats its own no-refine floor and clears 0.6") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") <= 20)
+    val exact = nbrPairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    val wide = recall(nbrPairs(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 3, numSub = 16, ksub = 16, refine = 8)))
+    val narrow = recall(nbrPairs(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 3, numSub = 16, ksub = 16, refine = 1)))
+    assert(wide >= 0.6, s"PQ recall $wide below floor on random embeddings")
+    assert(wide >= narrow, "a wider refine pool must not lose recall")
+  }
+
   test("NearestCells yields null on dimension mismatch or null elements, never garbage") {
     import graft.functions.expressions.VectorExpressions
     val cents = Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))
