@@ -58,12 +58,16 @@ object VersionedLake {
     * relative to the table path and immutable once committed. `stats`, when
     * present, is a one-line JSON object of per-column min/max/non-null
     * counts over the dir's rows — the data-skipping index (Delta keeps the
-    * same stats in its commit log). Entries carried forward by
-    * partition-scoped maintenance keep their stats verbatim, so the index
-    * never needs a rebuild for untouched data.
+    * same stats in its commit log). `bloom`, when present, is the relative
+    * path of the commit's bloom-index parquet (rows `(dir, col, bloom)`),
+    * for point-lookup skipping on columns whose values are spread across
+    * every dir's min/max range. Entries carried forward by partition-scoped
+    * maintenance keep both verbatim, so the indexes never need a rebuild
+    * for untouched data.
     */
   final case class Entry(key: String, dir: String,
-                         stats: Option[String] = None)
+                         stats: Option[String] = None,
+                         bloom: Option[String] = None)
 
   final case class Manifest(version: Int, partitionCols: Seq[String],
                             entries: Seq[Entry],
@@ -131,16 +135,20 @@ final case class VersionedLake(root: String) {
       case rest => (None, rest)
     }
     val entries = entryLines.map { l =>
-      // Optional third field `stats=<json>` (round 6+). Split it off first:
-      // the marker can't occur inside key or dir (dir is a generated path;
-      // JSON string escaping means the stats field itself never holds a raw
-      // tab), and pre-stats lines parse exactly as before.
-      val (core, stats) = l.indexOf("\tstats=") match {
-        case -1 => (l, None)
-        case i  => (l.substring(0, i), Some(l.substring(i + "\tstats=".length)))
-      }
+      // Optional fields `stats=<json>` and `bloom=<relpath>` (round 6+).
+      // Split them off first: the markers can't occur inside key or dir
+      // (generated paths; JSON string escaping means the stats field never
+      // holds a raw tab), and pre-index lines parse exactly as before.
+      val sIdx = l.indexOf("\tstats=")
+      val bIdx = l.indexOf("\tbloom=")
+      val cut = Seq(sIdx, bIdx).filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      val core = if (cut < 0) l else l.substring(0, cut)
+      def field(at: Int, other: Int) =
+        if (at < 0) None
+        else Some(l.substring(at + 7, if (other > at) other else l.length))
       val i = core.lastIndexOf('\t')
-      Entry(core.substring(0, i), core.substring(i + 1), stats)
+      Entry(core.substring(0, i), core.substring(i + 1),
+        field(sIdx, bIdx), field(bIdx, sIdx))
     }
     Manifest(version, cols, entries, schemaJson)
   }
@@ -168,13 +176,14 @@ final case class VersionedLake(root: String) {
     val mdir = manifestsDir(t)
     val fs = fsFor(spark, mdir)
     fs.mkdirs(mdir)
-    require(entries.forall(_.stats.forall(s =>
+    require(entries.forall(e => (e.stats ++ e.bloom).forall(s =>
       !s.contains("\n") && !s.contains("\t"))),
-      "entry stats must be one tab-free JSON line")
+      "entry stats/bloom fields must be one tab-free line each")
     val body = (Seq(s"cols=${partitionCols.mkString(",")}") ++
       schemaJson.map(s => s"schema=$s") ++
       entries.map(e => s"${e.key}\t${e.dir}" +
-        e.stats.fold("")(s => s"\tstats=$s"))).mkString("", "\n", "\n")
+        e.stats.fold("")(s => s"\tstats=$s") +
+        e.bloom.fold("")(b => s"\tbloom=$b"))).mkString("", "\n", "\n")
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -224,7 +233,9 @@ final case class VersionedLake(root: String) {
     */
   private def writeDataCommit(t: String, df: DataFrame,
                               partitionCols: Seq[String],
-                              collectStats: Boolean = true): Seq[Entry] = {
+                              collectStats: Boolean = true,
+                              bloomCols: Seq[String] = Nil,
+                              bloomExpectedItems: Long = 1000000L): Seq[Entry] = {
     val spark = df.sparkSession
     val rel = s"data/commit-${java.util.UUID.randomUUID()}"
     val dest = s"$t/$rel"
@@ -259,13 +270,20 @@ final case class VersionedLake(root: String) {
           .stripPrefix(new Path(t).toUri.getPath).stripPrefix("/"))
       }
     }
-    if (!collectStats) bare
+    val shadows = partitionCols.map(c => s"__gp_$c")
+    val withStats =
+      if (!collectStats) bare
+      else {
+        // One re-scan of only the new data builds the skipping index; the
+        // stats keys byte-match the entry keys (escaped directory names).
+        val stats = entryStats(spark, dest, df.schema, shadows)
+        bare.map(e => e.copy(stats = stats.get(e.key)))
+      }
+    if (bloomCols.isEmpty) withStats
     else {
-      // One re-scan of only the new data builds the skipping index; the
-      // stats keys byte-match the entry keys (escaped directory names).
-      val stats = entryStats(spark, dest, df.schema,
-        partitionCols.map(c => s"__gp_$c"))
-      bare.map(e => e.copy(stats = stats.get(e.key)))
+      val idx = writeBloomIndex(spark, t, dest, rel, df.schema, shadows,
+        bloomCols, bloomExpectedItems)
+      withStats.map(e => e.copy(bloom = Some(idx)))
     }
   }
 
@@ -276,10 +294,13 @@ final case class VersionedLake(root: String) {
   def write(df: DataFrame, zone: String, table: String,
             partitionCols: Seq[String] = Nil,
             maxCommitAttempts: Int = 5,
-            collectStats: Boolean = true): Int = retryingCommit(maxCommitAttempts) {
+            collectStats: Boolean = true,
+            bloomCols: Seq[String] = Nil,
+            bloomExpectedItems: Long = 1000000L): Int = retryingCommit(maxCommitAttempts) {
     val spark = df.sparkSession
     val t = tablePath(zone, table)
-    val entries = writeDataCommit(t, df, partitionCols, collectStats)
+    val entries = writeDataCommit(t, df, partitionCols, collectStats,
+      bloomCols, bloomExpectedItems)
     val v = currentVersion(spark, zone, table) + 1
     commitManifest(spark, t, v, partitionCols, entries, Some(df.schema.json))
     v
@@ -415,6 +436,121 @@ final case class VersionedLake(root: String) {
       }.toMap
   }
 
+  /** Build the commit's bloom index: one grouped scan of the new data
+    * aggregating a Bloom sketch per (dir, column) with Spark's own
+    * codegen'd `BloomFilterAggregate` over `xxhash64(col)`, written as a
+    * small parquet dataset `(dir, col, bloom)` under `_index/`. Sketches
+    * never pass through the driver — the agg shuffles compact partials and
+    * the rows write straight out. Returns the index's relative path.
+    *
+    * Sizing: ~1.2 MB per million expected items per column at the default
+    * 3% fpp — sidecar files, never manifest bytes.
+    */
+  private def writeBloomIndex(spark: SparkSession, t: String, dest: String,
+                              rel: String,
+                              dataSchema: org.apache.spark.sql.types.StructType,
+                              shadows: Seq[String], bloomCols: Seq[String],
+                              expectedItems: Long): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    require(bloomCols.nonEmpty)
+    bloomCols.foreach { c =>
+      val f = dataSchema.fields.find(_.name == c)
+      require(f.exists(f => statsEligible(f.dataType)),
+        s"bloom column '$c' must be an atomic column of the table")
+      require(!c.exists("\t\n:;".contains(_)), s"unsupported bloom column name '$c'")
+    }
+    val readSchema = StructType(dataSchema.fields ++
+      shadows.map(s => StructField(s, StringType)))
+    val df = spark.read.schema(readSchema).parquet(dest)
+    def bloomAgg(c: String) = ColumnShim.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnShim.expression(xxhash64(quoted(c))), expectedItems)
+        .toAggregateExpression())
+    val aggs = bloomCols.map(c => bloomAgg(c).as(s"bf__$c"))
+    val grouped =
+      if (shadows.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(shadows.map(quoted): _*).agg(aggs.head, aggs.tail: _*)
+    val esc = udf((s: String) => ExternalCatalogUtils.escapePathName(s))
+    // dir must byte-match Entry.dir: rel + escaped shadow leaf path
+    val dirCol =
+      if (shadows.isEmpty) lit(rel)
+      else concat_ws("/", lit(rel) +: shadows.map(s =>
+        concat(lit(s + "="), esc(quoted(s)))): _*)
+    val unpivoted = grouped.select(dirCol.as("dir"),
+      explode(array(bloomCols.map(c =>
+        struct(lit(c).as("col"), col(s"bf__$c").as("bloom"))): _*)).as("e"))
+      .select(col("dir"), col("e.col").as("col"), col("e.bloom").as("bloom"))
+      // an all-null column aggregates to a null sketch; absent rows simply
+      // degrade that (dir, col) to "keep" at probe time
+      .where(col("bloom").isNotNull)
+    val idxRel = s"_index/${rel.stripPrefix("data/")}.parquet"
+    unpivoted.write.parquet(s"$t/$idxRel")
+    idxRel
+  }
+
+  /** Equality literals per column in a resolved predicate — the probes a
+    * bloom index can answer. Only uncast columns count (a widened column
+    * hashes differently than its literal for non-integral types; stay
+    * strictly type-exact).
+    */
+  private def bloomProbes(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+                          schema: org.apache.spark.sql.types.StructType): Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val tracked = statFieldsOf(schema).map(f => f.name -> f.dataType).toMap
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def lits(c: String, ls: Seq[Expression]): Unit = ls.foreach {
+      case l: Literal if l.value != null && tracked.get(c).contains(l.dataType) =>
+        found += c -> XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+      case _ => ()
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(a, b) => walk(a); walk(b)
+      case Or(a, b) => walk(a); walk(b)
+      case EqualTo(a: AttributeReference, l) => lits(a.name, Seq(l))
+      case EqualTo(l, a: AttributeReference) => lits(a.name, Seq(l))
+      case EqualNullSafe(a: AttributeReference, l) => lits(a.name, Seq(l))
+      case EqualNullSafe(l, a: AttributeReference) => lits(a.name, Seq(l))
+      case In(a: AttributeReference, ls) => lits(a.name, ls)
+      case InSet(a: AttributeReference, vs) =>
+        lits(a.name, vs.toSeq.map(v => Literal(v, a.dataType)))
+      case _ => ()
+    }
+    walk(pred)
+    found.groupBy(_._1).map { case (c, hs) => c -> hs.map(_._2).distinct.toSeq }
+  }
+
+  /** Probe the bloom indexes of `entries` for the predicate's equality
+    * literals: the index parquets are read and probed EXECUTOR-side (a
+    * deserialized `util.sketch.BloomFilter` per (dir, col) row, the hash
+    * list a closure constant), so planning never pulls megabytes of
+    * sketches through the driver — only booleans come back. Returns
+    * (dir → col → hash → present).
+    */
+  private def probeBloomIndexes(spark: SparkSession, t: String,
+                                entries: Seq[Entry],
+                                probes: Map[String, Seq[Long]]): Map[String, Map[String, Map[Long, Boolean]]] = {
+    val withBloom = entries.filter(_.bloom.isDefined)
+    if (withBloom.isEmpty || probes.isEmpty) return Map.empty
+    val paths = withBloom.map(e => s"$t/${e.bloom.get}").distinct
+    val dirs = withBloom.map(_.dir).toSet
+    val cols = probes.keySet
+    import spark.implicits._
+    val rows = spark.read.parquet(paths: _*)
+      .where(col("dir").isin(dirs.toSeq: _*) && col("col").isin(cols.toSeq: _*))
+      .as[(String, String, Array[Byte])]
+      .map { case (dir, c, bytes) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        (dir, c, probes(c).map(h => h -> bf.mightContainLong(h)).toMap)
+      }
+      .collect()
+    rows.groupBy(_._1).map { case (dir, rs) =>
+      dir -> rs.map(r => r._2 -> r._3).toMap
+    }
+  }
+
   /** Resolve `predicate` against the snapshot's schema by analyzing a
     * filter over an empty relation: names resolve with Spark's own
     * case-sensitivity rules and type coercion inserts the exact casts the
@@ -439,12 +575,14 @@ final case class VersionedLake(root: String) {
     * the dir); pruning is only ever an optimization, never a filter.
     */
   private def couldMatch(pred: org.apache.spark.sql.catalyst.expressions.Expression,
-                         schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column = {
+                         schema: org.apache.spark.sql.types.StructType,
+                         withBloom: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.types.{DataType, StringType}
-    val tracked = statFieldsOf(schema).map(_.name).toSet
+    val fieldType = statFieldsOf(schema).map(f => f.name -> f.dataType).toMap
+    val tracked = fieldType.keySet
     def st(field: String) = col("st").getField(field)
     // A stats reference, upcast when coercion wrapped the column side (an
     // upcast is monotone and injective, so min/max commute with it).
@@ -477,10 +615,19 @@ final case class VersionedLake(root: String) {
     // genuinely-unknown cases.
     def cmp(x: Expression, l: Literal)(f: Ref => org.apache.spark.sql.Column) =
       attr(x).map(r => coalesce(r.nn > 0 && f(r), keep)).getOrElse(keep)
+    // Bloom probe for a strictly type-exact, uncast equality literal: the
+    // evaluation frame carries `bh: map<col, map<xxhash64, present>>` with
+    // probe answers; a missing col/hash degrades to keep via coalesce.
+    def bloomTest(r: Ref, l: Literal): org.apache.spark.sql.Column =
+      if (!withBloom || r.castTo.isDefined || l.value == null ||
+          !fieldType.get(r.name).contains(l.dataType)) keep
+      else coalesce(element_at(element_at(col("bh"), lit(r.name)),
+        lit(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long])), keep)
     def rw(e: Expression): org.apache.spark.sql.Column = e match {
       case And(a, b) => rw(a) && rw(b)
       case Or(a, b)  => rw(a) || rw(b)
-      case EqualTo(x, L(l)) => cmp(x, l)(r => lc(l) >= r.mn && lc(l) <= r.mx)
+      case EqualTo(x, L(l)) =>
+        cmp(x, l)(r => lc(l) >= r.mn && lc(l) <= r.mx && bloomTest(r, l))
       case EqualTo(L(l), x) => rw(EqualTo(x, l))
       case EqualNullSafe(x, L(l)) =>
         if (l.value == null)
@@ -528,26 +675,53 @@ final case class VersionedLake(root: String) {
                        version: Option[Int] = None): Seq[VersionedLake.Entry] = {
     val t = tablePath(zone, table)
     val m = resolveManifest(spark, zone, table, version)
-    pruneEntries(spark, m, predicate)
+    pruneEntries(spark, t, m, predicate)
   }
 
-  private def pruneEntries(spark: SparkSession, m: Manifest,
+  private def pruneEntries(spark: SparkSession, t: String, m: Manifest,
                            predicate: org.apache.spark.sql.Column): Seq[Entry] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     val schema = m.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    val (withS, withoutS) = m.entries.partition(_.stats.isDefined)
-    if (schema.isEmpty || withS.isEmpty) return m.entries
+    val indexed = m.entries.filter(e => e.stats.isDefined || e.bloom.isDefined)
+    if (schema.isEmpty || indexed.isEmpty) return m.entries
     val resolved = resolvedPredicate(spark, schema.get, predicate)
     if (resolved.isEmpty) return m.entries
-    val cond = couldMatch(resolved.get, schema.get)
+    val sSchema = statsSchema(schema.get)
     import spark.implicits._
-    val keep = withS.zipWithIndex.map { case (e, i) => (i, e.stats.get) }
-      .toDF("__i", "__s")
-      .select(col("__i"),
-        from_json(col("__s"), statsSchema(schema.get), statsJsonOpts).as("st"))
-      .where(cond).select("__i").collect().map(_.getInt(0)).toSet
-    withoutS ++ withS.zipWithIndex.collect { case (e, i) if keep(i) => e }
+    // Pass 1 — manifest-local min/max stats (no IO beyond the manifest).
+    val (withS, withoutS) = m.entries.partition(_.stats.isDefined)
+    val cond1 = couldMatch(resolved.get, schema.get)
+    val keep1 =
+      if (withS.isEmpty) Set.empty[Int]
+      else withS.zipWithIndex.map { case (e, i) => (i, e.stats.get) }
+        .toDF("__i", "__s")
+        .select(col("__i"), from_json(col("__s"), sSchema, statsJsonOpts).as("st"))
+        .where(cond1).select("__i").collect().map(_.getInt(0)).toSet
+    val pass1 = withoutS ++ withS.zipWithIndex.collect {
+      case (e, i) if keep1(i) => e
+    }
+    // Pass 2 — bloom probes for the predicate's equality literals, only
+    // over pass-1 survivors that carry an index (so sketches are read for
+    // as few dirs as possible). The full could-match re-evaluates with
+    // both stats and probe answers, which keeps AND/OR semantics exact.
+    val probes = bloomProbes(resolved.get, schema.get)
+    val bloomable = pass1.filter(_.bloom.isDefined)
+    if (probes.isEmpty || bloomable.isEmpty) return pass1
+    val hits = probeBloomIndexes(spark, t, bloomable, probes)
+    val cond2 = couldMatch(resolved.get, schema.get, withBloom = true)
+    val rows = pass1.zipWithIndex
+      .filter(_._1.bloom.isDefined)
+      .map { case (e, i) =>
+        (i, e.stats.orNull, hits.getOrElse(e.dir, Map.empty[String, Map[Long, Boolean]]))
+      }
+    val keep2 = rows.toDF("__i", "__s", "bh")
+      .select(col("__i"), from_json(col("__s"), sSchema, statsJsonOpts).as("st"),
+        col("bh"))
+      .where(cond2).select("__i").collect().map(_.getInt(0)).toSet
+    pass1.zipWithIndex.collect {
+      case (e, i) if e.bloom.isEmpty || keep2(i) => e
+    }
   }
 
   private def resolveManifest(spark: SparkSession, zone: String,
@@ -574,7 +748,7 @@ final case class VersionedLake(root: String) {
     val t = tablePath(zone, table)
     val m = resolveManifest(spark, zone, table, version)
     require(m.entries.nonEmpty, s"empty manifest for $zone/$table")
-    val pruned = pruneEntries(spark, m, predicate)
+    val pruned = pruneEntries(spark, t, m, predicate)
     if (pruned.isEmpty)
       // schema-correct empty result; limit(0) collapses to an empty
       // relation before any file is touched
@@ -594,7 +768,9 @@ final case class VersionedLake(root: String) {
              deleteCol: Option[String] = None,
              partitionCols: Seq[String] = Nil,
              maxCommitAttempts: Int = 5,
-             collectStats: Boolean = true): Int = retryingCommit(maxCommitAttempts) {
+             collectStats: Boolean = true,
+             bloomCols: Seq[String] = Nil,
+             bloomExpectedItems: Long = 1000000L): Int = retryingCommit(maxCommitAttempts) {
     import org.apache.spark.sql.expressions.Window
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -640,7 +816,8 @@ final case class VersionedLake(root: String) {
     // New dirs for surviving touched partitions; a fully-deleted partition
     // simply has no entry in the new manifest. Data dirs are immutable, so
     // no checkpoint pin is needed — we never overwrite what we read.
-    val newEntries = writeDataCommit(t, result, partitionCols, collectStats)
+    val newEntries = writeDataCommit(t, result, partitionCols, collectStats,
+      bloomCols, bloomExpectedItems)
     val entries = carried ++ newEntries
     // Everything deleted → pin the schema with one empty unpartitioned dir
     // (key "" never matches a real partition key, so it just carries).
@@ -775,7 +952,9 @@ final case class VersionedLake(root: String) {
     */
   def compact(spark: SparkSession, zone: String, table: String,
               filesPerPartition: Int,
-              collectStats: Boolean = true): Int = {
+              collectStats: Boolean = true,
+              bloomCols: Seq[String] = Nil,
+              bloomExpectedItems: Long = 1000000L): Int = {
     require(filesPerPartition > 0)
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -796,7 +975,8 @@ final case class VersionedLake(root: String) {
           .sortWithinPartitions(m.partitionCols.map(col): _*)
           .drop("__salt")
       }
-    val entries = writeDataCommit(t, sized, m.partitionCols, collectStats)
+    val entries = writeDataCommit(t, sized, m.partitionCols, collectStats,
+      bloomCols, bloomExpectedItems)
     val v = cur + 1
     commitManifest(spark, t, v, m.partitionCols, entries,
       Some(df.schema.json))
@@ -816,33 +996,39 @@ final case class VersionedLake(root: String) {
     val vs = versions(spark, zone, table)
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(retainVersions)
-    val liveDirs: Set[String] = retained
-      .flatMap(v => readManifest(spark, t, v).entries.map(_.dir)).toSet
-    val dataRoot = new Path(s"$t/data")
-    val fs = fsFor(spark, dataRoot)
+    val retainedEntries = retained
+      .flatMap(v => readManifest(spark, t, v).entries)
+    val liveDirs: Set[String] = retainedEntries.map(_.dir).toSet
+    // bloom-index parquets live exactly as long as a retained manifest
+    // references them — same rule as data dirs
+    val liveIdx: Set[String] = retainedEntries.flatMap(_.bloom).toSet
+    val fs = fsFor(spark, new Path(t))
     val cutoff = System.currentTimeMillis() - olderThanMs
     var deleted = 0
-    if (fs.exists(dataRoot)) {
-      val tRootLen = new Path(t).toUri.getPath.length
-      val it = fs.listFiles(dataRoot, true)
-      val toDelete = ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = f.getPath.toUri.getPath.drop(tRootLen + 1)
-        val live = liveDirs.exists(d => rel.startsWith(d + "/") || {
-          // the file sits directly inside a live dir (unpartitioned entry)
-          val parent = rel.take(rel.lastIndexOf('/').max(0))
-          parent == d
-        })
-        if (!live && f.getModificationTime < cutoff) toDelete += f.getPath
-      }
-      toDelete.foreach { p => if (fs.delete(p, false)) deleted += 1 }
-      // sweep now-empty commit dirs (best-effort, never a live one)
-      for (s <- fs.listStatus(dataRoot) if s.isDirectory) {
-        val rel = s.getPath.toUri.getPath.drop(tRootLen + 1)
-        val anyLive = liveDirs.exists(_.startsWith(rel))
-        if (!anyLive && !fs.listFiles(s.getPath, true).hasNext)
-          fs.delete(s.getPath, true)
+    for ((root, live) <- Seq("data" -> liveDirs, "_index" -> liveIdx)) {
+      val rootPath = new Path(s"$t/$root")
+      if (fs.exists(rootPath)) {
+        val tRootLen = new Path(t).toUri.getPath.length
+        val it = fs.listFiles(rootPath, true)
+        val toDelete = ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toUri.getPath.drop(tRootLen + 1)
+          val isLive = live.exists(d => rel.startsWith(d + "/") || {
+            // the file sits directly inside a live dir (unpartitioned entry)
+            val parent = rel.take(rel.lastIndexOf('/').max(0))
+            parent == d
+          })
+          if (!isLive && f.getModificationTime < cutoff) toDelete += f.getPath
+        }
+        toDelete.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+        // sweep now-empty commit dirs (best-effort, never a live one)
+        for (s <- fs.listStatus(rootPath) if s.isDirectory) {
+          val rel = s.getPath.toUri.getPath.drop(tRootLen + 1)
+          val anyLive = live.exists(_.startsWith(rel))
+          if (!anyLive && !fs.listFiles(s.getPath, true).hasNext)
+            fs.delete(s.getPath, true)
+        }
       }
     }
     for (v <- vs.dropRight(retainVersions)) {

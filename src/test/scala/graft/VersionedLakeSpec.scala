@@ -375,6 +375,75 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(vl.candidateEntries(spark, "silver", "micro", above).map(_.key) === Seq("q2"))
   }
 
+  test("bloom index: point lookups prune dirs min/max stats cannot") {
+    val vl = newLake()
+    // keys interleave across partitions: every partition's [min,max] spans
+    // the whole range, so stats alone can never prune a point probe
+    val df = spark.range(0, 300).select(
+      (col("id") % 3).cast("string").as("p"),
+      concat(lit("k"), format_string("%04d", col("id"))).as("k"),
+      col("id").as("v"))
+    vl.write(df, "silver", "bloomed", partitionCols = Seq("p"),
+      bloomCols = Seq("k"), bloomExpectedItems = 1000L)
+    // every key lands in exactly one partition (id % 3) — the bloom must
+    // cut candidates to (whp) that one dir, and NEVER lose the true one
+    for (id <- Seq(0, 1, 2, 7, 151, 299)) {
+      val key = f"k$id%04d"
+      val cand = vl.candidateEntries(spark, "silver", "bloomed",
+        col("k") === key)
+      assert(cand.map(_.key).contains((id % 3).toString),
+        s"bloom pruned the dir that HOLDS $key")
+      assert(cand.size <= 2, s"bloom barely pruned for $key: ${cand.map(_.key)}")
+      val got = vl.readWhere(spark, "silver", "bloomed", col("k") === key)
+        .select("v").as[Long].collect().toSeq
+      assert(got === Seq(id.toLong), s"wrong rows for $key")
+    }
+    // an absent key can prune to zero dirs, and reads empty with schema
+    val none = vl.readWhere(spark, "silver", "bloomed", col("k") === "nope")
+    assert(none.count() === 0 && none.columns.toSet === Set("p", "k", "v"))
+    // IN over two partitions keeps (whp) exactly those; OR with a range
+    // composes with the stats pass conservatively
+    val in2 = vl.candidateEntries(spark, "silver", "bloomed",
+      col("k").isin("k0000", "k0001"))
+    assert(Set("0", "1").subsetOf(in2.map(_.key).toSet) && in2.size <= 3)
+    val got2 = vl.readWhere(spark, "silver", "bloomed",
+        col("k") === "k0000" || col("v") >= 298)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(got2 === Seq(0L, 298L, 299L))
+  }
+
+  test("bloom index: carried forward by upsert, swept by vacuum only when unreferenced") {
+    val vl = newLake()
+    val base = Seq(("a", "u1", 1L), ("b", "u2", 1L), ("c", "u3", 1L))
+      .toDF("p", "k", "ver")
+    vl.write(base, "silver", "bcarry", partitionCols = Seq("p"),
+      bloomCols = Seq("k"), bloomExpectedItems = 100L)
+    // touch only partition a; b and c carry their bloom refs verbatim
+    vl.upsert(spark, "silver", "bcarry",
+      Seq(("a", "u9", 1L)).toDF("p", "k", "ver"), "k", "ver",
+      partitionCols = Seq("p"), bloomCols = Seq("k"),
+      bloomExpectedItems = 100L)
+    val cand = vl.candidateEntries(spark, "silver", "bcarry", col("k") === "u3")
+    assert(cand.map(_.key) === Seq("c"), s"carried bloom did not prune: $cand")
+    assert(vl.readWhere(spark, "silver", "bcarry", col("k") === "u2")
+      .count() === 1)
+    // vacuum with retain=1: v1's index is still referenced by v2's carried
+    // entries, so it must survive; probing still works after the sweep
+    val t = new org.apache.hadoop.fs.Path(vl.tablePath("silver", "bcarry"))
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(t, true)
+    while (it.hasNext) {
+      val f = it.next()
+      fs.setTimes(f.getPath, System.currentTimeMillis() - 3600 * 1000L, -1)
+    }
+    vl.vacuum(spark, "silver", "bcarry", retainVersions = 1,
+      olderThanMs = 60 * 1000L)
+    assert(vl.candidateEntries(spark, "silver", "bcarry", col("k") === "u3")
+      .map(_.key) === Seq("c"))
+    assert(vl.readWhere(spark, "silver", "bcarry", col("k") === "u3")
+      .count() === 1)
+  }
+
   test("change data feed: keyed row-level diff between snapshots, reading only differing dirs") {
     val vl = newLake()
     vl.write(Seq(
