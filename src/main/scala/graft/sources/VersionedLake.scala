@@ -235,20 +235,26 @@ final case class VersionedLake(root: String) {
                               partitionCols: Seq[String],
                               collectStats: Boolean = true,
                               bloomCols: Seq[String] = Nil,
-                              bloomExpectedItems: Long = 1000000L): Seq[Entry] = {
+                              bloomExpectedItems: Long = 1000000L,
+                              sliceBy: Option[org.apache.spark.sql.Column] = None): Seq[Entry] = {
     val spark = df.sparkSession
     val rel = s"data/commit-${java.util.UUID.randomUUID()}"
     val dest = s"$t/$rel"
-    val bare: Seq[Entry] = if (partitionCols.isEmpty) {
+    // `sliceBy` adds a synthetic trailing shadow dir: several dirs PER
+    // partition key (the Z-range slices of optimizeZOrder), each its own
+    // entry with its own skipping stats. The slice value never appears in
+    // the entry key — downstream key matching is untouched.
+    val pShadows = partitionCols.map(c => s"__gp_$c")
+    val shadows = pShadows ++ sliceBy.map(_ => "__gp__zs").toSeq
+    val bare: Seq[Entry] = if (shadows.isEmpty) {
       val out = if (df.isEmpty) df.repartition(1) else df
       out.write.parquet(dest)
       Seq(Entry("", rel))
     } else {
-      val shadows = partitionCols.map(c => s"__gp_$c")
+      val shadowVals = partitionCols.map(c => col(c).cast("string")) ++
+        sliceBy.map(_.cast("string")).toSeq
       df.select(df.columns.map(col).toSeq ++
-          partitionCols.zip(shadows).map { case (c, s) =>
-            col(c).cast("string").as(s)
-          }: _*)
+          shadows.zip(shadowVals).map { case (s, c) => c.as(s) }: _*)
         .write.partitionBy(shadows: _*).parquet(dest)
       // Recover (partitionKey → leaf dir) from what Spark laid down.
       val base = new Path(dest)
@@ -266,18 +272,20 @@ final case class VersionedLake(root: String) {
       leaves(base, shadows.length).map { case (key, leaf) =>
         require(!key.contains("__HIVE_DEFAULT_PARTITION__"),
           "null partition values are not supported")
-        Entry(key, leaf.toUri.getPath
+        val entryKey =
+          if (sliceBy.isEmpty) key
+          else key.split("/", -1).dropRight(1).mkString("/")
+        Entry(entryKey, leaf.toUri.getPath
           .stripPrefix(new Path(t).toUri.getPath).stripPrefix("/"))
       }
     }
-    val shadows = partitionCols.map(c => s"__gp_$c")
     val withStats =
       if (!collectStats) bare
       else {
-        // One re-scan of only the new data builds the skipping index; the
-        // stats keys byte-match the entry keys (escaped directory names).
-        val stats = entryStats(spark, dest, df.schema, shadows)
-        bare.map(e => e.copy(stats = stats.get(e.key)))
+        // One re-scan of only the new data builds the skipping index,
+        // keyed by dir (unique even when slices share a partition key).
+        val stats = entryStats(spark, dest, rel, df.schema, shadows)
+        bare.map(e => e.copy(stats = stats.get(e.dir)))
       }
     if (bloomCols.isEmpty) withStats
     else {
@@ -406,18 +414,27 @@ final case class VersionedLake(root: String) {
     })
   }
 
-  /** Per-entry skipping stats for a freshly written commit dir: ONE scan of
-    * the new data (grouped by the shadow partition dirs), one driver-bounded
-    * row per touched partition. Shadow columns are read back under an
-    * explicit StringType schema so `month='01'` can never re-infer as int —
-    * the keys here must byte-match the manifest entry keys, which come from
-    * the escaped directory names Spark wrote.
+  /** The relative data-dir path for a grouped row of shadow values —
+    * byte-matching `Entry.dir` (escaped directory names Spark wrote).
+    * Shadow columns must be read back under an explicit StringType schema
+    * so `month='01'` can never re-infer as int.
     */
-  private def entryStats(spark: SparkSession, dest: String,
+  private def dirColOf(rel: String, shadows: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val esc = udf((s: String) => ExternalCatalogUtils.escapePathName(s))
+    if (shadows.isEmpty) lit(rel)
+    else concat_ws("/", lit(rel) +: shadows.map(s =>
+      concat(lit(s + "="), esc(quoted(s)))): _*)
+  }
+
+  /** Per-dir skipping stats for a freshly written commit: ONE scan of the
+    * new data (grouped by the shadow partition dirs), one driver-bounded
+    * row per written dir, keyed by the dir's relative path.
+    */
+  private def entryStats(spark: SparkSession, dest: String, rel: String,
                          dataSchema: org.apache.spark.sql.types.StructType,
                          shadows: Seq[String]): Map[String, String] = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val readSchema = StructType(dataSchema.fields ++
       shadows.map(s => StructField(s, StringType)))
     val df = spark.read.schema(readSchema).parquet(dest)
@@ -426,14 +443,9 @@ final case class VersionedLake(root: String) {
       if (shadows.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(shadows.map(quoted): _*).agg(aggs.head, aggs.tail: _*)
     val statCols = grouped.columns.filterNot(shadows.contains).toSeq
-    grouped.select(shadows.map(quoted) :+
-        to_json(struct(statCols.map(quoted): _*), statsJsonOpts).as("__stats"): _*)
-      .collect().map { r =>
-        val key = shadows.indices
-          .map(i => ExternalCatalogUtils.escapePathName(r.getString(i)))
-          .mkString("/")
-        key -> r.getString(shadows.length)
-      }.toMap
+    grouped.select(dirColOf(rel, shadows).as("__dir"),
+        to_json(struct(statCols.map(quoted): _*), statsJsonOpts).as("__stats"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
   /** Build the commit's bloom index: one grouped scan of the new data
@@ -451,7 +463,6 @@ final case class VersionedLake(root: String) {
                               dataSchema: org.apache.spark.sql.types.StructType,
                               shadows: Seq[String], bloomCols: Seq[String],
                               expectedItems: Long): String = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     require(bloomCols.nonEmpty)
@@ -472,13 +483,7 @@ final case class VersionedLake(root: String) {
     val grouped =
       if (shadows.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(shadows.map(quoted): _*).agg(aggs.head, aggs.tail: _*)
-    val esc = udf((s: String) => ExternalCatalogUtils.escapePathName(s))
-    // dir must byte-match Entry.dir: rel + escaped shadow leaf path
-    val dirCol =
-      if (shadows.isEmpty) lit(rel)
-      else concat_ws("/", lit(rel) +: shadows.map(s =>
-        concat(lit(s + "="), esc(quoted(s)))): _*)
-    val unpivoted = grouped.select(dirCol.as("dir"),
+    val unpivoted = grouped.select(dirColOf(rel, shadows).as("dir"),
       explode(array(bloomCols.map(c =>
         struct(lit(c).as("col"), col(s"bf__$c").as("bloom"))): _*)).as("e"))
       .select(col("dir"), col("e.col").as("col"), col("e.bloom").as("bloom"))
@@ -980,6 +985,61 @@ final case class VersionedLake(root: String) {
     val v = cur + 1
     commitManifest(spark, t, v, m.partitionCols, entries,
       Some(df.schema.json))
+    v
+  }
+
+  /** Delta's `OPTIMIZE ZORDER BY` analogue: rewrite the current snapshot
+    * with each partition split into `slicesPerPartition` contiguous ranges
+    * of the Z-curve over `zCols` ([[Layout.zorderKey]]: quantile-bucketed
+    * Morton interleave), committed as multiple manifest entries per
+    * partition key. Each slice dir then carries TIGHT min/max stats on
+    * every z-ordered column, so [[readWhere]] range probes on ANY of them
+    * prune at dir granularity — the multi-dimensional clustering that
+    * makes the stats index effective for more than one filter column.
+    *
+    * Slice boundaries come from one approxQuantile sketch of the z-key
+    * (`sampleFraction` < 1 samples it); the rewrite is one shuffle on
+    * (partition cols, slice) with rows sorted along the curve inside each
+    * task, so parquet row-group stats are tight too. Readers of prior
+    * versions are unaffected; a later upsert that touches a partition
+    * collapses its slices back to one dir (clustering degrades gracefully
+    * until the next optimize, exactly like Delta).
+    */
+  def optimizeZOrder(spark: SparkSession, zone: String, table: String,
+                     zCols: Seq[String], slicesPerPartition: Int = 8,
+                     bitsPerCol: Int = 4, sampleFraction: Double = 1.0,
+                     collectStats: Boolean = true,
+                     bloomCols: Seq[String] = Nil,
+                     bloomExpectedItems: Long = 1000000L): Int = {
+    require(zCols.nonEmpty && slicesPerPartition >= 1)
+    val t = tablePath(zone, table)
+    val cur = currentVersion(spark, zone, table)
+    require(cur > 0, s"no committed snapshot for $zone/$table")
+    val m = readManifest(spark, t, cur)
+    require(zCols.forall(c => !m.partitionCols.contains(c)),
+      "z-order columns must not be partition columns (constant per dir)")
+    val df = read(spark, zone, table)
+    val zkey = graft.sources.Layout.zorderKey(df, zCols, bitsPerCol, sampleFraction)
+    val sliceCol: org.apache.spark.sql.Column =
+      if (slicesPerPartition == 1) lit(0)
+      else {
+        val probs = (1 until slicesPerPartition)
+          .map(_.toDouble / slicesPerPartition).toArray
+        val cuts = df.withColumn("__zk", zkey)
+          .stat.approxQuantile("__zk", probs, 0.01).distinct
+        cuts.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(zkey.cast("double") > b, 1).otherwise(0)
+        }
+      }
+    // one task per (partition, slice) → one file per slice dir; rows
+    // sorted along the curve within it
+    val arranged = df
+      .repartition(m.partitionCols.map(col) :+ sliceCol: _*)
+      .sortWithinPartitions(m.partitionCols.map(col) :+ zkey: _*)
+    val entries = writeDataCommit(t, arranged, m.partitionCols, collectStats,
+      bloomCols, bloomExpectedItems, sliceBy = Some(sliceCol))
+    val v = cur + 1
+    commitManifest(spark, t, v, m.partitionCols, entries, Some(df.schema.json))
     v
   }
 

@@ -444,6 +444,55 @@ class VersionedLakeSpec extends AnyFunSuite {
       .count() === 1)
   }
 
+  test("optimizeZOrder: slices give dir-level pruning on BOTH z columns") {
+    val vl = newLake()
+    // x ascending, y decorrelated (multiplicative shuffle): a sort on one
+    // column alone would leave the other unprunable
+    val df = spark.range(0, 1000).select(
+      col("id").as("x"),
+      ((col("id") * 7919) % 1000).as("y"))
+    vl.write(df, "silver", "zopt")
+    val v = vl.optimizeZOrder(spark, "silver", "zopt", Seq("x", "y"),
+      slicesPerPartition = 8)
+    assert(v === 2)
+    val m = vl.candidateEntries(spark, "silver", "zopt", lit(true))
+    assert(m.size >= 6, s"expected ~8 slice dirs, got ${m.size}") // ≥6 allows quantile ties
+    // a narrow range on EITHER column prunes most slices…
+    val cx = vl.candidateEntries(spark, "silver", "zopt", col("x") < 100)
+    val cy = vl.candidateEntries(spark, "silver", "zopt", col("y") < 100)
+    assert(cx.size <= m.size / 2, s"x-range kept ${cx.size}/${m.size}")
+    assert(cy.size <= m.size / 2, s"y-range kept ${cy.size}/${m.size}")
+    // …and results stay exact
+    assert(vl.readWhere(spark, "silver", "zopt", col("x") < 100).count() === 100)
+    assert(vl.readWhere(spark, "silver", "zopt", col("y") < 100).count() === 100)
+    assert(vl.read(spark, "silver", "zopt").count() === 1000)
+    assert(vl.read(spark, "silver", "zopt").agg(sum("x")).head.getLong(0) === 499500L)
+  }
+
+  test("optimizeZOrder on a partitioned table: keys preserved, later upserts still work") {
+    val vl = newLake()
+    val df = spark.range(0, 400).select(
+      (col("id") % 2).cast("string").as("p"),
+      col("id").as("x"), ((col("id") * 31) % 400).as("y"), lit(1L).as("ver"))
+    vl.write(df, "silver", "zp", partitionCols = Seq("p"))
+    vl.optimizeZOrder(spark, "silver", "zp", Seq("x", "y"),
+      slicesPerPartition = 4)
+    val m = vl.candidateEntries(spark, "silver", "zp", lit(true))
+    assert(m.map(_.key).toSet === Set("0", "1"))
+    assert(m.size > 2, "expected multiple slice dirs per partition")
+    assert(vl.read(spark, "silver", "zp").count() === 400)
+    // an upsert touching partition 0 collapses its slices, stays correct
+    vl.upsert(spark, "silver", "zp",
+      Seq(("0", 5000L, 0L, 2L)).toDF("p", "x", "y", "ver"),
+      "x", "ver", partitionCols = Seq("p"))
+    val after = vl.read(spark, "silver", "zp")
+    assert(after.count() === 401)
+    assert(after.where(col("x") === 5000L).count() === 1)
+    // partition 1's slices carried forward untouched
+    val m2 = vl.candidateEntries(spark, "silver", "zp", lit(true))
+    assert(m2.count(_.key == "1") > 1 && m2.count(_.key == "0") === 1)
+  }
+
   test("change data feed: keyed row-level diff between snapshots, reading only differing dirs") {
     val vl = newLake()
     vl.write(Seq(
