@@ -285,11 +285,14 @@ object Similarity {
     * literal nearest-centroid expression the quantizer trains with.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-               codebooks: DataFrame): DataFrame = {
-    val bySub = collectCodebooks(
-      codebooks.withColumnRenamed("cell", "cell0"))
-    val numSub = bySub.size
-    val d = dim / numSub
+               codebooks: DataFrame): DataFrame =
+    encodeWith(corpus, idCol, vecCol, dim,
+      collectCodebooks(codebooks.withColumnRenamed("cell", "cell0")))
+
+  private def encodeWith(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int,
+                         bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))]): DataFrame = {
+    val d = dim / bySub.size
     val codes = array(bySub.map { case (s, (ids, cents)) =>
       graft.functions.expressions.VectorExpressions
         .nearestCells(slice(col(vecCol), s * d + 1, d), cents, ids)(0)
@@ -322,14 +325,25 @@ object Similarity {
              vecCol: String, dim: Int, k: Int, numSub: Int = 4,
              ksub: Int = 16, refine: Int = 4, seed: Long = 42L,
              iters: Int = 3): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, vecCol, dim, numSub, ksub, seed, iters)
-    val coded = pqEncode(corpus, idCol, vecCol, dim, books)
+    // collect the trained codebook ONCE; encoding and the lut join then
+    // build from driver literals instead of re-running the training agg
+    val bySub = collectCodebooks(
+      pqCodebooks(corpus, idCol, vecCol, dim, numSub, ksub, seed, iters)
+        .withColumnRenamed("cell", "cell0"))
+    val coded = encodeWith(corpus, idCol, vecCol, dim, bySub)
       .select(col(idCol).as("nbr_id"), col("codes"))
     val d = dim / numSub
+    val localBooks = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      bySub.flatMap { case (s, (ids, cents)) =>
+        ids.zip(cents).map { case (id, c) => (s, id, c) }
+      }.toDF("sub", "cell", "centroid")
+    }
     // per-query ADC lookup table keyed sub·ksub+cell (cells can go dark
     // during Lloyd, so a map — not positional arithmetic — is the index)
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(books))
+      .crossJoin(broadcast(localBooks))
       .select(col("query_id"), col("qv"),
         (col("sub") * ksub + col("cell")).cast("int").as("slot"),
         Vectors.dot(slice(col("qv"), col("sub").cast("int") * d + 1, lit(d)),

@@ -91,6 +91,13 @@ object ScaleCheck {
         Similarity.lshTopK(e, e.where(col("vec_id") <= 20),
           "vec_id", "embedding", dim = 64, k = 3).count()
       },
+      "ann_pq" -> { dir =>
+        // production PQ config: 16 subspaces × 16 cells, constant refine
+        val e = emb(dir)
+        Similarity.pqTopK(e, e.where(col("vec_id") <= 20),
+          "vec_id", "embedding", dim = 64, k = 3,
+          numSub = 16, ksub = 16, refine = 8).count()
+      },
       "range_join" -> { dir =>
         val bands = spark.range(0, 40).select(col("id").as("band_id"),
           (col("id") * lit(2500.0)).as("lo"), ((col("id") + 1) * lit(2500.0)).as("hi"))
