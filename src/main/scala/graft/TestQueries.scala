@@ -359,8 +359,11 @@ object TestQueries {
     val emb = t(s, dir, "embeddings")
     val n = emb.count()
     val refine = ((n + 2) / 3).toInt.max(1) // refine·k ≥ n at k=3
+    // iters=1: with an exhaustive pool the ADC stage only ORDERS candidates,
+    // so the result is exact for ANY codebook — don't pay extra Lloyd rounds
     Similarity.pqTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
-        "embedding", dim = 64, k = 3, numSub = 16, ksub = 16, refine = refine)
+        "embedding", dim = 64, k = 3, numSub = 16, ksub = 16, refine = refine,
+        iters = 1)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos_r"))
   }
