@@ -397,6 +397,21 @@ object Oracles {
         "SELECT query_id, nbr_id, CAST(rnk AS BIGINT) AS \"rank\", " +
         "round(cos, 6) AS cos_r FROM r WHERE rnk <= 3"),
 
+    // identical SQL to q39: all cells probed + exhaustive refine ≡ brute force
+    "q96_ivfpq_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id <= 20), " +
+        "c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings), " +
+        "s AS (SELECT query_id, nbr_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM q, c WHERE query_id <> nbr_id), " +
+        "r AS (SELECT query_id, nbr_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rnk FROM s) " +
+        "SELECT query_id, nbr_id, CAST(rnk AS BIGINT) AS \"rank\", " +
+        "round(cos, 6) AS cos_r FROM r WHERE rnk <= 3"),
+
     "q39b_embedding_norms" ->
       ("SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm FROM embeddings"),

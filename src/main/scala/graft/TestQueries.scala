@@ -379,6 +379,23 @@ object TestQueries {
         round(col("cos"), 6).as("cos_r"))
   }
 
+  /** IVF+PQ (coarse cells + residual product codes) in its oracle
+    * configuration: every cell probed and an exhaustive refine pool make
+    * the two-level pipeline exactly brute force — coarse assignment,
+    * residual encoding, per-cell ADC tables, and re-rank all hash-checked.
+    * Pruned-probe recall is spec-measured (SimilaritySpec).
+    */
+  def q96IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val refine = ((n + 2) / 3).toInt.max(1)
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", dim = 64, k = 3, numCells = 8, nprobe = 8,
+        numSub = 8, ksub = 16, refine = refine, iters = 1)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1117,6 +1134,7 @@ object TestQueries {
     "q39d_ivf_topk" -> (q39dIvfTopk _),
     "q95_pq_topk" -> (q95PqTopk _),
     "q95b_pq_topk_prod" -> (q95bPqTopkProd _),
+    "q96_ivfpq_topk" -> (q96IvfPqTopk _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -289,16 +289,27 @@ object Similarity {
     encodeWith(corpus, idCol, vecCol, dim,
       collectCodebooks(codebooks.withColumnRenamed("cell", "cell0")))
 
-  private def encodeWith(corpus: DataFrame, idCol: String, vecCol: String,
-                         dim: Int,
-                         bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))]): DataFrame = {
+  private def codesCol(vec: Column, dim: Int,
+                       bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))]): Column = {
     val d = dim / bySub.size
-    val codes = array(bySub.map { case (s, (ids, cents)) =>
+    array(bySub.map { case (s, (ids, cents)) =>
       graft.functions.expressions.VectorExpressions
-        .nearestCells(slice(col(vecCol), s * d + 1, d), cents, ids)(0)
+        .nearestCells(slice(vec, s * d + 1, d), cents, ids)(0)
         .getField("cell").cast("int")
     }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  private def encodeWith(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int,
+                         bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))]): DataFrame =
+    corpus.select(col(idCol), codesCol(col(vecCol), dim, bySub).as("codes"))
+
+  private def localBooksDf(spark: org.apache.spark.sql.SparkSession,
+                           bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))]): DataFrame = {
+    import spark.implicits._
+    bySub.flatMap { case (s, (ids, cents)) =>
+      ids.zip(cents).map { case (id, c) => (s, id, c) }
+    }.toDF("sub", "code", "centroid")
   }
 
   /** PQ top-k with asymmetric distance computation (ADC) and exact
@@ -333,19 +344,13 @@ object Similarity {
     val coded = encodeWith(corpus, idCol, vecCol, dim, bySub)
       .select(col(idCol).as("nbr_id"), col("codes"))
     val d = dim / numSub
-    val localBooks = {
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      bySub.flatMap { case (s, (ids, cents)) =>
-        ids.zip(cents).map { case (id, c) => (s, id, c) }
-      }.toDF("sub", "cell", "centroid")
-    }
+    val localBooks = localBooksDf(corpus.sparkSession, bySub)
     // per-query ADC lookup table keyed sub·ksub+cell (cells can go dark
     // during Lloyd, so a map — not positional arithmetic — is the index)
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(localBooks))
       .select(col("query_id"), col("qv"),
-        (col("sub") * ksub + col("cell")).cast("int").as("slot"),
+        (col("sub") * ksub + col("code")).cast("int").as("slot"),
         Vectors.dot(slice(col("qv"), col("sub").cast("int") * d + 1, lit(d)),
           col("centroid")).as("dp"))
       .groupBy("query_id")
@@ -365,6 +370,82 @@ object Similarity {
       .select("query_id", "nbr_id", "qv")
     // exact re-rank: candidates (queries × refine·k rows) broadcast back
     // onto the corpus vectors; the full corpus never shuffles
+    val exact = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("nbr_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+
+  /** IVF+PQ top-k — the classic two-level ANN architecture (coarse
+    * quantizer prunes, product codes score): corpus vectors are assigned
+    * to a Lloyd cell and PQ-encoded on their RESIDUAL from the cell
+    * centroid (residuals are smaller and better centered than raw vectors,
+    * so the same codebook budget quantizes them more accurately). A query
+    * probes its `nprobe` nearest cells; within each it scores candidates
+    * as 〈q, c_cell〉 + Σ_s 〈q_s − c_cell,s, codebook[s][code_s]〉 — the
+    * cell term computed once per (query, cell), the residual term via an
+    * ADC lookup table keyed (query, cell). Top `refine`·k re-rank by exact
+    * cosine.
+    *
+    * Scale path: candidate scoring touches numSub ints per corpus row AND
+    * only ~numCells/nprobe of the corpus; both prunings compose. With
+    * `nprobe = numCells` and an exhaustive refine pool the result is
+    * EXACTLY brute force (spec-checked), mirroring q39d/q95's oracle
+    * configurations.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, k: Int, numCells: Int = 16,
+                nprobe: Int = 4, numSub: Int = 4, ksub: Int = 16,
+                refine: Int = 4, seed: Long = 42L, iters: Int = 3): DataFrame = {
+    val (cellIds, cents) = collectCentroids(
+      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters))
+    val cmap = map_from_arrays(
+      array(cellIds.map(lit(_)): _*),
+      array(cents.map(cv => array(cv.map(lit): _*)): _*))
+    def ranked(v: Column) = graft.functions.expressions.VectorExpressions
+      .nearestCells(v, cents, cellIds)
+    def residual(v: Column, cell: Column) =
+      zip_with(v, element_at(cmap, cell), (x, c) => x.cast("double") - c)
+    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+        ranked(col(vecCol))(0).getField("cell").as("cell"))
+      .withColumn("rv", residual(col("cv"), col("cell")))
+    val bySub = collectCodebooks(
+      pqCodebooks(assigned.select(col("nbr_id"), col("rv")), "nbr_id", "rv",
+        dim, numSub, ksub, seed, iters).withColumnRenamed("cell", "cell0"))
+    val coded = assigned.select(col("nbr_id"), col("cell"),
+      codesCol(col("rv"), dim, bySub).as("codes"))
+    val d = dim / numSub
+    val localBooks = localBooksDf(corpus.sparkSession, bySub)
+    // per-(query, probed cell): residual ADC table + the cell's dot term
+    val qcells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(ranked(col(vecCol)), 1, nprobe)).as("rc"))
+      .select(col("query_id"), col("qv"), col("rc.cell").as("cell"))
+      .withColumn("qr", residual(col("qv"), col("cell")))
+      .withColumn("qc", Vectors.dot(col("qv"), element_at(cmap, col("cell"))))
+    val qlut = qcells.crossJoin(broadcast(localBooks))
+      .select(col("query_id"), col("cell"), col("qv"), col("qc"),
+        (col("sub") * ksub + col("code")).cast("int").as("slot"),
+        Vectors.dot(slice(col("qr"), col("sub").cast("int") * d + 1, lit(d)),
+          col("centroid")).as("dp"))
+      .groupBy("query_id", "cell")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("dp"))))
+        .as("lut"), first("qv").as("qv"), first("qc").as("qc"))
+    val approx = coded.join(broadcast(qlut), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("ascore", col("qc") +
+        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
+          (acc, s) => acc +
+            element_at(col("lut"),
+              (s * ksub + element_at(col("codes"), s + 1)).cast("int"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ascore").desc, col("nbr_id"))
+    val cand = approx.withColumn("arank", row_number().over(w))
+      .where(col("arank") <= refine * k)
+      .select("query_id", "nbr_id", "qv")
     val exact = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .join(broadcast(cand), Seq("nbr_id"))
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))

@@ -192,6 +192,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(wide >= narrow, "a wider refine pool must not lose recall")
   }
 
+  test("IVF+PQ: probing every cell with an exhaustive pool equals brute force exactly") {
+    val q = clustered.where(col("vec_id") % 7 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Int]("rank"), math.round(r.getAs[Double]("cos") * 1e9))).toSet
+    val bf = asSet(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
+    val ivfpq = asSet(Similarity.ivfPqTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numCells = 4, nprobe = 4, numSub = 4, ksub = 4,
+      refine = 14)) // refine·k ≥ 40 = exhaustive
+    assert(ivfpq === bf)
+  }
+
+  test("IVF+PQ: pruned probe keeps high recall on the clustered corpus") {
+    val q = clustered.where(col("vec_id") % 9 === 0)
+    val exact = nbrPairs(Similarity.bruteForceTopK(clustered, q, "vec_id", "embedding", 3))
+    val got = nbrPairs(Similarity.ivfPqTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numCells = 4, nprobe = 1, numSub = 4, ksub = 4,
+      refine = 4))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF+PQ recall $recall on cleanly clustered data")
+  }
+
   test("NearestCells yields null on dimension mismatch or null elements, never garbage") {
     import graft.functions.expressions.VectorExpressions
     val cents = Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))
