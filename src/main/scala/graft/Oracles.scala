@@ -420,6 +420,20 @@ object Oracles {
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2"),
 
+    "q97_resample_ffill" ->
+      ("WITH b AS (SELECT user_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS bin_sec, " +
+        "count(*) AS n, avg(value) AS v FROM events GROUP BY 1, 2), " +
+        "e AS (SELECT user_id, min(bin_sec) AS lo, max(bin_sec) AS hi " +
+        "FROM b GROUP BY 1), " +
+        "s AS (SELECT user_id, unnest(range(lo, hi + 300, 300)) AS bin_sec FROM e), " +
+        "j AS (SELECT s.user_id, s.bin_sec, coalesce(b.n, 0) AS n, b.v " +
+        "FROM s LEFT JOIN b ON s.user_id = b.user_id AND s.bin_sec = b.bin_sec) " +
+        "SELECT user_id, bin_sec, n, round(v, 6) AS v_r, " +
+        "round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY bin_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) " +
+        "AS v_ffill_r FROM j"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

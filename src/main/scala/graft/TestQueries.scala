@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Derived, Text, Vectors}
-import graft.operators.{Analytics, DateSpine, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{Analytics, DateSpine, Dedup, Multimodal, Sessionize, Similarity, Timeseries}
 import graft.sources.Tables
 
 import scala.collection.immutable.ListMap
@@ -395,6 +395,17 @@ object TestQueries {
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos_r"))
   }
+
+  /** 5-minute regular-grid resample of per-user event values with forward
+    * fill — bins emitted as epoch seconds so the DuckDB oracle compares
+    * integers, not timezone-sensitive timestamp renderings.
+    */
+  def q97ResampleFfill(s: SparkSession, dir: String): DataFrame =
+    Timeseries.resampleFfill(Tables.loadEvents(s, dir), "user_id", "ts",
+        "value", stepSeconds = 300L)
+      .select(col("user_id"), col("bin").cast("long").as("bin_sec"),
+        col("n"), round(col("v"), 6).as("v_r"),
+        round(col("v_ffill"), 6).as("v_ffill_r"))
 
   // ---- events: batch mirrors of the streaming surface ----------------------
 
@@ -1135,6 +1146,7 @@ object TestQueries {
     "q95_pq_topk" -> (q95PqTopk _),
     "q95b_pq_topk_prod" -> (q95bPqTopkProd _),
     "q96_ivfpq_topk" -> (q96IvfPqTopk _),
+    "q97_resample_ffill" -> (q97ResampleFfill _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

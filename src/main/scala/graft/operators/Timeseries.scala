@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling for event streams — the standard prep step that
+  * turns irregular logs/sensor data into fixed-interval training series.
+  *
+  * The reference's pipeline has no time-series surface (its date spines are
+  * calendar dimensions, `adls_bikeshare_project_IsmaelDawuda.ipynb` cell
+  * building `dim_date`); this extends the same spine idea to per-key
+  * regular grids with gap fill.
+  */
+object Timeseries {
+
+  /** Resample `df` onto a `stepSeconds`-regular grid per key:
+    *
+    *  1. bucket rows to their bin (epoch-second floor division) and
+    *     aggregate observed values — ONE shuffle on (key, bin) with
+    *     map-side partials;
+    *  2. build each key's dense spine with `sequence(lo, hi, step)` from a
+    *     cheap per-key min/max aggregate — the spine never materializes
+    *     more than keys × bins rows, bounded by time-range/step, not by
+    *     input volume;
+    *  3. left-join observations onto the spine (same (key, bin) keys the
+    *     aggregate already shuffled on) and forward-fill gaps with the
+    *     last observed value (`last(ignoreNulls)` over a keyed
+    *     running-rows window — no global sort anywhere).
+    *
+    * Returns (key, bin timestamp, n observed rows, v mean-of-bin or NULL,
+    * v_ffill gap-filled). Bins before a key's first observation cannot
+    * fill (no history) — by construction the spine starts at the first
+    * observed bin, so `v_ffill` is never NULL.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val step = lit(stepSeconds)
+    val binSec = (col(tsCol).cast("long") / step).cast("long") * step
+    val binned = df
+      .groupBy(col(keyCol), timestamp_seconds(binSec).as("bin"))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("v"))
+    val spine = binned
+      .groupBy(col(keyCol))
+      .agg(min("bin").as("lo"), max("bin").as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"),
+        expr(s"interval $stepSeconds seconds"))).as("bin"))
+    val joined = spine.join(binned, Seq(keyCol, "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(keyCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.withColumn("v_ffill", last("v", ignoreNulls = true).over(w))
+  }
+}
