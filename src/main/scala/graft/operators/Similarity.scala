@@ -155,39 +155,60 @@ object Similarity {
   /** IVF coarse-quantizer centroids via Lloyd's algorithm: deterministic
     * hash-seeded initial cells (position-wise mean per cell), then `iters`
     * Lloyd rounds — collect the (numCells × dim, driver-bounded BY DESIGN)
-    * centroid table, re-assign every vector SCAN-SIDE through the
+    * centroid table, re-assign every training vector SCAN-SIDE through the
     * [[graft.functions.expressions.NearestCells]] literal expression,
     * recompute position-wise means. Per round the only shuffle is the
     * mean aggregate's compact (cell, pos, partial) — the broadcast-join +
     * per-row sort-window formulation it replaces shuffled corpus×numCells
-    * rows every round. Returns (cell0, centroid array<double>); a cell
+    * rows every round. Returns (cell0, centroid array<double>) as a LOCAL
+    * relation (numCells rows), so downstream collects cost nothing; a cell
     * that loses every member simply drops out (k shrinks), which only
     * merges probe sets — never loses candidates.
+    *
+    * `trainFraction` bounds what Lloyd reads: a deterministic
+    * hash-Bernoulli sample of the corpus (quantizer quality saturates at
+    * O(1000·numCells) vectors — the standard IVF practice), cached across
+    * rounds so rounds 2+ read memory, not the source scan. Assignment and
+    * encoding always remain full-corpus. At 100 TB pass e.g. 1e-5 and
+    * training cost is constant while the oracle configurations
+    * (trainFraction = 1 on test data) are byte-identical to before.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   numCells: Int, seed: Long = 42L, iters: Int = 4): DataFrame = {
+                   numCells: Int, seed: Long = 42L, iters: Int = 4,
+                   trainFraction: Double = 1.0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    def meansOf(assigned: DataFrame): DataFrame = assigned
-      .select(col("cell0"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("cell0", "pos").agg(avg("x").as("cx"))
-      .groupBy("cell0").agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          s => s.getField("cx")).as("centroid"))
-    var centroids = meansOf(corpus.select(
-      pmod(xxhash64(col(idCol), lit(seed)), lit(numCells)).as("cell0"),
-      col(vecCol)))
-    // `iters` full reassignment rounds after the hash-seeded init
-    var i = 0
-    while (i < iters) {
-      val (ids, cents) = collectCentroids(centroids)
-      val assigned = corpus.select(
-        graft.functions.expressions.VectorExpressions
-          .nearestCells(col(vecCol), cents, ids)(0).getField("cell").as("cell0"),
-        col(vecCol))
-      centroids = meansOf(assigned)
-      i += 1
-    }
-    centroids
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction $trainFraction must be in (0, 1]")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
+    val train = (if (trainFraction >= 1.0) base
+      else base.where(pmod(xxhash64(col("__tid"), lit(seed + 17)),
+        lit(1000000L)) < lit(math.round(trainFraction * 1e6))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def meansOf(assigned: DataFrame): DataFrame = assigned
+        .select(col("cell0"), posexplode(col("__tv")).as(Seq("pos", "x")))
+        .groupBy("cell0", "pos").agg(avg("x").as("cx"))
+        .groupBy("cell0").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            s => s.getField("cx")).as("centroid"))
+      var current = collectCentroids(meansOf(train.withColumn("cell0",
+        pmod(xxhash64(col("__tid"), lit(seed)), lit(numCells)))))
+      // `iters` full reassignment rounds after the hash-seeded init
+      var i = 0
+      while (i < iters) {
+        val (ids, cents) = current
+        val assigned = train.select(
+          graft.functions.expressions.VectorExpressions
+            .nearestCells(col("__tv"), cents, ids)(0).getField("cell")
+            .as("cell0"),
+          col("__tv"))
+        current = collectCentroids(meansOf(assigned))
+        i += 1
+      }
+      import spark.implicits._
+      current._1.zip(current._2).toDF("cell0", "centroid")
+    } finally { train.unpersist(blocking = false); () }
   }
 
   /** Centroid table → driver literals (cell ids ascending). numCells rows
@@ -206,9 +227,11 @@ object Similarity {
     * shuffle (cell + distance computed by the literal expression).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                numCells: Int, seed: Long = 42L, iters: Int = 4): DataFrame = {
+                numCells: Int, seed: Long = 42L, iters: Int = 4,
+                trainFraction: Double = 1.0): DataFrame = {
     val (ids, cents) = collectCentroids(
-      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters))
+      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters,
+        trainFraction))
     val nearest = graft.functions.expressions.VectorExpressions
       .nearestCells(col(vecCol), cents, ids)(0)
     corpus.select(col(idCol), nearest.getField("cell").as("cell"),
@@ -226,44 +249,59 @@ object Similarity {
     * numSub × ksub × (dim/numSub) = ksub × dim doubles of the codebook
     * (the same bounded-constant class as the IVF centroid table).
     *
-    * Returns (sub, cell, centroid: array<double>).
+    * `trainFraction` bounds what Lloyd reads, exactly as in
+    * [[ivfCentroids]]: a deterministic hash-Bernoulli sample, cached
+    * across rounds; encoding stays full-corpus.
+    *
+    * Returns (sub, cell, centroid: array<double>) as a LOCAL relation
+    * (numSub × ksub rows), so downstream collects cost nothing.
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   dim: Int, numSub: Int = 4, ksub: Int = 16,
-                  seed: Long = 42L, iters: Int = 3): DataFrame = {
+                  seed: Long = 42L, iters: Int = 3,
+                  trainFraction: Double = 1.0): DataFrame = {
     require(numSub >= 1 && dim % numSub == 0,
       s"dim $dim must divide evenly into $numSub subspaces")
     require(iters >= 1, "iters must be >= 1")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction $trainFraction must be in (0, 1]")
+    val spark = corpus.sparkSession
     val d = dim / numSub
-    val subRows = corpus.select(col(idCol).as("__id"),
+    val base = (if (trainFraction >= 1.0) corpus
+      else corpus.where(pmod(xxhash64(col(idCol), lit(seed + 17)),
+        lit(1000000L)) < lit(math.round(trainFraction * 1e6))))
+    val subRows = base.select(col(idCol).as("__id"),
         explode(array((0 until numSub).map(s =>
           struct(lit(s).as("sub"),
             slice(col(vecCol), s * d + 1, d).as("sv"))): _*)).as("e"))
       .select(col("__id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-    def meansOf(assigned: DataFrame): DataFrame = assigned
-      .select(col("sub"), col("cell0"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("sub", "cell0", "pos").agg(avg("x").as("cx"))
-      .groupBy("sub", "cell0").agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          s => s.getField("cx")).as("centroid"))
-    var books = meansOf(subRows.withColumn("cell0",
-      pmod(xxhash64(col("__id"), col("sub"), lit(seed)), lit(ksub))))
-    var i = 0
-    while (i < iters) {
-      val bySub = collectCodebooks(books)
-      // CaseWhen picks the row's own subspace table; untaken branches are
-      // not evaluated, so each row pays ONE nearest-centroid scan
-      val assign = bySub.foldLeft(lit(-1L)) { case (acc, (s, (ids, cents))) =>
-        when(col("sub") === s,
-          graft.functions.expressions.VectorExpressions
-            .nearestCells(col("sv"), cents, ids)(0).getField("cell")
-            .cast("long"))
-          .otherwise(acc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def meansOf(assigned: DataFrame): DataFrame = assigned
+        .select(col("sub"), col("cell0"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell0", "pos").agg(avg("x").as("cx"))
+        .groupBy("sub", "cell0").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            s => s.getField("cx")).as("centroid"))
+      var bySub = collectCodebooks(meansOf(subRows.withColumn("cell0",
+        pmod(xxhash64(col("__id"), col("sub"), lit(seed)), lit(ksub)))))
+      var i = 0
+      while (i < iters) {
+        // CaseWhen picks the row's own subspace table; untaken branches are
+        // not evaluated, so each row pays ONE nearest-centroid scan
+        val assign = bySub.foldLeft(lit(-1L)) { case (acc, (s, (ids, cents))) =>
+          when(col("sub") === s,
+            graft.functions.expressions.VectorExpressions
+              .nearestCells(col("sv"), cents, ids)(0).getField("cell")
+              .cast("long"))
+            .otherwise(acc)
+        }
+        bySub = collectCodebooks(meansOf(subRows.withColumn("cell0", assign)))
+        i += 1
       }
-      books = meansOf(subRows.withColumn("cell0", assign))
-      i += 1
-    }
-    books.select(col("sub"), col("cell0").as("cell"), col("centroid"))
+      localBooksDf(spark, bySub)
+        .select(col("sub"), col("code").cast("long").as("cell"), col("centroid"))
+    } finally { subRows.unpersist(blocking = false); () }
   }
 
   /** Codebook table → driver literals per subspace (numSub × ksub rows by
@@ -335,11 +373,12 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, k: Int, numSub: Int = 4,
              ksub: Int = 16, refine: Int = 4, seed: Long = 42L,
-             iters: Int = 3): DataFrame = {
+             iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
     // collect the trained codebook ONCE; encoding and the lut join then
     // build from driver literals instead of re-running the training agg
     val bySub = collectCodebooks(
-      pqCodebooks(corpus, idCol, vecCol, dim, numSub, ksub, seed, iters)
+      pqCodebooks(corpus, idCol, vecCol, dim, numSub, ksub, seed, iters,
+        trainFraction)
         .withColumnRenamed("cell", "cell0"))
     val coded = encodeWith(corpus, idCol, vecCol, dim, bySub)
       .select(col(idCol).as("nbr_id"), col("codes"))
@@ -400,9 +439,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, dim: Int, k: Int, numCells: Int = 16,
                 nprobe: Int = 4, numSub: Int = 4, ksub: Int = 16,
-                refine: Int = 4, seed: Long = 42L, iters: Int = 3): DataFrame = {
+                refine: Int = 4, seed: Long = 42L, iters: Int = 3,
+                trainFraction: Double = 1.0): DataFrame = {
     val (cellIds, cents) = collectCentroids(
-      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters))
+      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters,
+        trainFraction))
     val cmap = map_from_arrays(
       array(cellIds.map(lit(_)): _*),
       array(cents.map(cv => array(cv.map(lit): _*)): _*))
@@ -415,7 +456,8 @@ object Similarity {
       .withColumn("rv", residual(col("cv"), col("cell")))
     val bySub = collectCodebooks(
       pqCodebooks(assigned.select(col("nbr_id"), col("rv")), "nbr_id", "rv",
-        dim, numSub, ksub, seed, iters).withColumnRenamed("cell", "cell0"))
+        dim, numSub, ksub, seed, iters, trainFraction)
+        .withColumnRenamed("cell", "cell0"))
     val coded = assigned.select(col("nbr_id"), col("cell"),
       codesCol(col("rv"), dim, bySub).as("codes"))
     val d = dim / numSub
@@ -465,9 +507,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L, iters: Int = 4): DataFrame = {
+              nprobe: Int = 4, seed: Long = 42L, iters: Int = 4,
+              trainFraction: Double = 1.0): DataFrame = {
     val (ids, cents) = collectCentroids(
-      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters))
+      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters,
+        trainFraction))
     def ranked(v: Column) = graft.functions.expressions.VectorExpressions
       .nearestCells(v, cents, ids)
     val corpusCells = corpus.select(col(idCol).as("nbr_id"),

@@ -192,6 +192,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(wide >= narrow, "a wider refine pool must not lose recall")
   }
 
+  test("sample-trained quantizers: exhaustive configs stay exact, production recall holds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val q = emb.where(col("vec_id") <= 20)
+    val exact = nbrPairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3))
+    // an exhaustive refine pool means the ADC stage only ORDERS candidates,
+    // so the result is exact for ANY codebook — including one trained on a
+    // hash-sampled half of the corpus (the 100 TB configuration)
+    val ex = nbrPairs(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 3, numSub = 16, ksub = 16, refine = (n + 2) / 3,
+      iters = 1, trainFraction = 0.5))
+    assert(ex === exact)
+    // production config (bounded refine) with sampled training still holds
+    // a recall floor on the structureless embeddings; deterministic seeds
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    val r = recall(nbrPairs(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 3, numSub = 16, ksub = 16, refine = 8,
+      trainFraction = 0.5)))
+    assert(r >= 0.5, s"sample-trained PQ recall $r below floor")
+    // IVF with every cell probed is exact regardless of where the
+    // centroids came from: each corpus vector lands in exactly one cell
+    val cq = clustered.where(col("vec_id") % 7 === 0)
+    val bf = nbrPairs(Similarity.bruteForceTopK(clustered, cq, "vec_id", "embedding", 3))
+    val ivf = nbrPairs(Similarity.ivfTopK(clustered, cq, "vec_id", "embedding",
+      3, numCells = 4, nprobe = 4, trainFraction = 0.6))
+    assert(ivf === bf)
+  }
+
   test("IVF+PQ: probing every cell with an exhaustive pool equals brute force exactly") {
     val q = clustered.where(col("vec_id") % 7 === 0)
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
