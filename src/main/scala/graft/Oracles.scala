@@ -434,6 +434,30 @@ object Oracles {
         "ORDER BY bin_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) " +
         "AS v_ffill_r FROM j"),
 
+    // seed-anchored semantic clusters: nearest of the first-8 embeddings by
+    // L2, accumulation in double and array order exactly like NearestCells;
+    // (dist, cell) tie order matches the expression's stable argsort
+    "q98_semantic_clusters" ->
+      ("WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
+        "embedding AS cv FROM embeddings WHERE vec_id <= 8), " +
+        "d AS (SELECT e.vec_id, s.cell, " +
+        "sqrt(list_sum(list_transform(list_zip(e.embedding, s.cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist " +
+        "FROM embeddings e CROSS JOIN seeds s), " +
+        "a AS (SELECT vec_id, cell, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d) " +
+        "SELECT cell, count(*) AS n, round(min(dist), 6) AS min_dist, " +
+        "round(max(dist), 6) AS max_dist, round(avg(dist), 4) AS avg_dist_r " +
+        "FROM a WHERE rn = 1 GROUP BY cell"),
+
+    "q99_vocab_topn" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "c AS (SELECT token, count(*) AS n FROM t WHERE length(token) > 0 " +
+        "GROUP BY 1) " +
+        "SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Derived, Text, Vectors}
-import graft.operators.{Analytics, DateSpine, Dedup, Multimodal, Sessionize, Similarity, Timeseries}
+import graft.operators.{Analytics, DateSpine, Dedup, Multimodal, Sessionize, Similarity, Sketches, Timeseries}
 import graft.sources.Tables
 
 import scala.collection.immutable.ListMap
@@ -406,6 +406,59 @@ object TestQueries {
       .select(col("user_id"), col("bin").cast("long").as("bin_sec"),
         col("n"), round(col("v"), 6).as("v_r"),
         round(col("v_ffill"), 6).as("v_ffill_r"))
+
+  /** Semantic clustering profile: every embedding assigned scan-side to
+    * its nearest seed exemplar (the first 8 vectors — literal centroids,
+    * driver-bounded), then per-cluster size and distance stats. The
+    * seed-anchored assignment is exactly SQL-expressible, so the whole
+    * NearestCells scan-side path (double accumulation, sqrt, (dist, cell)
+    * tie order) is hash-checked; Lloyd-TRAINED clustering reuses this exact
+    * assignment machinery and is spec-covered (SimilaritySpec).
+    */
+  def q98SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.where(col("vec_id") <= 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        seeds.map(_._1).toSeq, seeds.map(_._2).toSeq)
+      .groupBy("cell").agg(count(lit(1)).as("n"),
+        round(min("dist"), 6).as("min_dist"),
+        round(max("dist"), 6).as("max_dist"),
+        round(avg("dist"), 4).as("avg_dist_r"))
+  }
+
+  /** Tokenizer-vocabulary construction: corpus-wide token frequencies,
+    * top-100 by (count desc, token). Partial map-side aggregation shrinks
+    * the shuffle to the vocabulary; the top-100 is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q99VocabTopn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+
+  /** Count–min-sketch point frequencies vs exact, for the top-20 tokens:
+    * one constant-size mergeable sketch pass replaces a full group-by when
+    * only point probes are needed. Rows-only (estimates are
+    * sketch-internal); SketchSpec asserts the CM error bound
+    * true ≤ est ≤ true + eps·N on every probe.
+    */
+  def q99bCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val est = Sketches.cmsTokenCounts(toks, "token", top.map(_._1).toSeq).toMap
+    top.toSeq.map { case (tk, n) => (tk, n, est(tk)) }
+      .toDF("token", "n_exact", "n_cms")
+  }
 
   // ---- events: batch mirrors of the streaming surface ----------------------
 
@@ -1147,6 +1200,9 @@ object TestQueries {
     "q95b_pq_topk_prod" -> (q95bPqTopkProd _),
     "q96_ivfpq_topk" -> (q96IvfPqTopk _),
     "q97_resample_ffill" -> (q97ResampleFfill _),
+    "q98_semantic_clusters" -> (q98SemanticClusters _),
+    "q99_vocab_topn" -> (q99VocabTopn _),
+    "q99b_cms_counts" -> (q99bCmsCounts _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

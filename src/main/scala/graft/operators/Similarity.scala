@@ -238,6 +238,21 @@ object Similarity {
       nearest.getField("dist").as("dist"))
   }
 
+  /** Assign every vector to the nearest of a FIXED literal centroid set
+    * (e.g. exemplar documents picked by a curator, or externally-trained
+    * centroids) — the seed-anchored variant of [[ivfAssign]]: no training,
+    * pure scan-side compute through the same NearestCells literal
+    * expression, zero shuffle. Returns (idCol, cell, dist).
+    */
+  def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        cellIds: Seq[Int],
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    val nearest = graft.functions.expressions.VectorExpressions
+      .nearestCells(col(vecCol), centroids, cellIds)(0)
+    corpus.select(col(idCol), nearest.getField("cell").as("cell"),
+      nearest.getField("dist").as("dist"))
+  }
+
   /** Product-quantization codebooks: the vector space is split into
     * `numSub` contiguous subspaces of dim/numSub dims, and each subspace
     * gets its own `ksub`-centroid quantizer (Lloyd's algorithm, hash-seeded

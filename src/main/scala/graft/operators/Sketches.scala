@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches over token streams.
+  *
+  * The exact heavy-hitter query (group-by token, top-N) is the oracle
+  * anchor; the count–min sketch is the 100 TB path for interactive probes:
+  * ONE aggregate pass builds a constant-size, mergeable summary (so it
+  * parallelizes as a partial-agg like any sum), after which any number of
+  * point-frequency probes cost zero cluster work.
+  */
+object Sketches {
+
+  /** Count–min-sketch point-frequency estimates for a bounded probe set.
+    *
+    * One aggregate over `tokens` builds the sketch — `ceil(2/eps)` counters
+    * × `ceil(ln(1/(1-confidence)))` hash rows, independent of both corpus
+    * and vocabulary size — and the probe tokens are estimated driver-side
+    * from the collected (constant-size) sketch bytes. The CM guarantee:
+    * true ≤ estimate ≤ true + eps·N with probability ≥ confidence, N the
+    * total token count; SketchSpec asserts both ends.
+    */
+  def cmsTokenCounts(tokens: DataFrame, tokenCol: String,
+                     probes: Seq[String], eps: Double = 0.001,
+                     confidence: Double = 0.99,
+                     seed: Int = 42): Seq[(String, Long)] = {
+    val bytes = tokens
+      .agg(count_min_sketch(col(tokenCol), lit(eps), lit(confidence),
+        lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    probes.map(t => t -> cms.estimateCount(t))
+  }
+}
