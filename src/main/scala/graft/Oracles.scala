@@ -458,6 +458,16 @@ object Oracles {
         "GROUP BY 1) " +
         "SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100"),
 
+    // balanced downsample: per-source cap in md5-of-key order — the same
+    // proven cross-engine recipe as q85's stratified sample
+    "q100_balance_sources" ->
+      ("WITH r AS (SELECT source, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
+        "AS rn FROM documents) " +
+        "SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM r WHERE rn <= 80 GROUP BY 1"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

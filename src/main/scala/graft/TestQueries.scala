@@ -460,6 +460,18 @@ object TestQueries {
       .toDF("token", "n_exact", "n_cms")
   }
 
+  /** Source rebalancing: cap every source at 80 documents
+    * ([[operators.Splits.balancedDownsample]]) so no crawl dominates the
+    * mixture, then profile what survived. The kept subset is a pure
+    * function of the data (md5 order), so the oracle reproduces it
+    * exactly.
+    */
+  def q100BalanceSources(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.balancedDownsample(t(s, dir, "documents"),
+        Seq("source"), 80L, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1203,6 +1215,7 @@ object TestQueries {
     "q98_semantic_clusters" -> (q98SemanticClusters _),
     "q99_vocab_topn" -> (q99VocabTopn _),
     "q99b_cms_counts" -> (q99bCmsCounts _),
+    "q100_balance_sources" -> (q100BalanceSources _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

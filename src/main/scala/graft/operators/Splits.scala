@@ -92,6 +92,33 @@ object Splits {
       .drop(rn, cnt)
   }
 
+  /** Balance a skewed corpus across groups by capping each group at `cap`
+    * rows: groups at or under the cap pass through whole; larger groups
+    * keep a deterministic pseudo-random `cap`-row subset (the same
+    * hash-order recipe as [[stratifiedSample]], so membership is a pure
+    * function of the data). This is the over-represented-source
+    * REBALANCER: where [[stratifiedSample]] scales every stratum by one
+    * fraction, this equalizes absolute sizes — the common shape for "no
+    * single crawl dominates the mixture".
+    *
+    * Cost shape: one shuffle on the group columns + a per-group sort
+    * window. Groups here are bounded (sources, languages); for a cap over
+    * an unbounded group split it into hash sub-shards first, exactly as
+    * the [[stratifiedSample]] note prescribes.
+    */
+  def balancedDownsample(df: DataFrame, groupCols: Seq[String], cap: Long,
+                         keyCol: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= cap)
+      .drop(rn)
+  }
+
   /** Sequence packing for LLM training: assign documents to consecutive
     * fixed-token-budget packs (context windows). Docs are ordered by
     * `orderCol` within each `partitionCols` shard; a doc lands in pack

@@ -65,6 +65,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the eval shingle set must broadcast")
   }
 
+  test("q99 vocab top-N: map-side partial agg, TakeOrdered instead of global sort") {
+    val p = planOf("q99_vocab_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a TakeOrdered, never a full sort of the vocabulary")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "token counts must combine map-side before the shuffle")
+  }
+
+  test("q98 semantic clustering: scan-side assignment, one aggregate, no join") {
+    val p = planOf("q98_semantic_clusters")
+    assert(!p.contains("Join"),
+      "seed assignment is a literal expression — a join means the " +
+        "centroids stopped being scan-side constants")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("q30 exact dedup is one hash-aggregate shuffle, no join") {
     val p = planOf("q30_dedup_exact")
     assert(p.contains("HashAggregate"))

@@ -98,6 +98,22 @@ class SplitsSpec extends AnyFunSuite {
     assert(Splits.stratifiedSample(rows, Seq("stratum"), 1.0, "id").count() === 50)
   }
 
+  test("balancedDownsample caps big groups, passes small groups whole, deterministically") {
+    val df = (0 until 900).map(i => (i.toLong, if (i < 800) "big" else "small"))
+      .toDF("id", "source")
+    val got = Splits.balancedDownsample(df, Seq("source"), 100L, "id")
+    val sizes = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes("big") === 100L, "over-cap group must be cut to the cap")
+    assert(sizes("small") === 100L, "at-cap group must pass through whole")
+    // membership is a pure function of the data: repartitioning changes nothing
+    val again = Splits.balancedDownsample(df.repartition(7), Seq("source"), 100L, "id")
+    assert(got.except(again).count() === 0 && again.except(got).count() === 0)
+    intercept[IllegalArgumentException] {
+      Splits.balancedDownsample(df, Seq("source"), 0L, "id")
+    }
+  }
+
   test("hashSplit rejects malformed boundaries") {
     intercept[IllegalArgumentException] {
       Splits.hashSplit(keys, "id", Seq("train" -> 80, "test" -> 90))
