@@ -140,6 +140,38 @@ object ScaleCheck {
       "repetition" -> { dir =>
         graft.operators.Quality.repetitionProfile(docs(dir), "doc_id", "text").count()
       },
+      "vocab_topn" -> { dir =>
+        docs(dir).select(explode(split(col("text"), " ")).as("token"))
+          .where(length(col("token")) > 0)
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(100).count()
+      },
+      "balanced_downsample" -> { dir =>
+        graft.operators.Splits.balancedDownsample(docs(dir), Seq("source"),
+          80L, "doc_id").count()
+      },
+      "semantic_clusters" -> { dir =>
+        val e = emb(dir)
+        val seeds = e.where(col("vec_id") <= 8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+          .sortBy(_._1)
+        Similarity.assignToCentroids(e, "vec_id", "embedding",
+            seeds.map(_._1).toSeq, seeds.map(_._2).toSeq)
+          .groupBy("cell").count().count()
+      },
+      "cms_counts" -> { dir =>
+        val toks = docs(dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .where(length(col("token")) > 0)
+        graft.operators.Sketches.cmsTokenCounts(toks, "token",
+          Seq("the")).head._2
+      },
+      "resample_ffill" -> { dir =>
+        graft.operators.Timeseries.resampleFfill(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "value", stepSeconds = 300L).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.
