@@ -468,6 +468,24 @@ object Oracles {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM r WHERE rn <= 80 GROUP BY 1"),
 
+    // snapshot diff: Spark classifies via one xxhash64 of the value tuple;
+    // the oracle compares columns directly (IS NOT DISTINCT FROM) — the
+    // hash shortcut must reach identical classifications
+    "q101_snapshot_diff" ->
+      ("WITH b AS (SELECT * FROM documents WHERE doc_id % 3 <> 0), " +
+        "a AS (SELECT doc_id, text, CASE WHEN doc_id % 7 = 0 THEN 'xx' " +
+        "ELSE lang END AS lang, source, n_chars FROM documents " +
+        "WHERE doc_id % 2 <> 0) " +
+        "SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+        "CASE WHEN b.doc_id IS NULL THEN 'added' " +
+        "WHEN a.doc_id IS NULL THEN 'removed' " +
+        "WHEN b.text IS NOT DISTINCT FROM a.text " +
+        "AND b.lang IS NOT DISTINCT FROM a.lang " +
+        "AND b.source IS NOT DISTINCT FROM a.source " +
+        "AND b.n_chars IS NOT DISTINCT FROM a.n_chars THEN 'unchanged' " +
+        "ELSE 'changed' END AS change " +
+        "FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -472,6 +472,22 @@ object TestQueries {
       .groupBy("source").agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars").cast("long")).as("sum_chars"))
 
+  /** Snapshot reconciliation as a gate query ([[sources.Snapshot.diff]]):
+    * per-key added/removed/changed/unchanged between two table versions in
+    * ONE full-outer join — Spark compares the value tuple as a single
+    * 64-bit hash (only key + hash shuffle, O(1) per row for wide tables);
+    * the oracle compares the columns directly, so the hash shortcut is
+    * checked for classification equivalence.
+    */
+  def q101SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val before = docs.where(col("doc_id") % 3 =!= 0)
+    val after = docs.where(col("doc_id") % 2 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")))
+    graft.sources.Snapshot.diff(before, after, Seq("doc_id"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1216,6 +1232,7 @@ object TestQueries {
     "q99_vocab_topn" -> (q99VocabTopn _),
     "q99b_cms_counts" -> (q99bCmsCounts _),
     "q100_balance_sources" -> (q100BalanceSources _),
+    "q101_snapshot_diff" -> (q101SnapshotDiff _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
