@@ -49,6 +49,19 @@ object GraftExtensions {
     },
     "graft_norm_fingerprint" -> { args => NormFingerprint(args.head) },
     "graft_cosine" -> { args => CosineSim(args.head, args(1)) },
+    "graft_simhash_md5" -> { args =>
+      SimHashMd5(args.head, intArg(args(1), "shingleSize"))
+    },
+    "graft_lang_id" -> { args =>
+      LangId(args.head, graft.functions.Text.stopwords)
+    },
+    "graft_chunk_hashes" -> { args =>
+      RollingChunkHashes(args.head, intArg(args(1), "window"),
+        intArg(args(2), "maskBits"))
+    },
+    "graft_minhash_union" -> { args =>
+      MinHashUnionAgg(args.head, intArg(args(1), "numHashes"))
+    },
   )
 
   /** Register on an already-built session (temp functions + the optimizer

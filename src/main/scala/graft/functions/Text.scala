@@ -82,7 +82,7 @@ object Text {
     */
   // Ordered: ties resolve to the earliest language — the DuckDB-oracle CASE
   // in SparkEntry encodes the same tie-break order.
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
+  private[graft] val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "pour", "que"),

@@ -114,6 +114,19 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+    // the round-6 registrations: scalar, array, and AGGREGATE expressions
+    val more = spark.sql(
+      "SELECT graft_lang_id(text) AS lang, " +
+        "graft_simhash_md5(text, 2) AS shm, " +
+        "size(graft_chunk_hashes(text, 4, 2)) AS n_ch FROM ext_docs")
+      .collect()
+    assert(more.forall(_.getString(0) == "en"))
+    assert(more.map(_.getLong(1)).distinct.length === 1) // normalization collapses
+    assert(more.forall(_.getInt(2) >= 1))
+    val sk = spark.sql(
+      "SELECT size(graft_minhash_union(graft_minhash_sig(text, 2, 16), 16)) " +
+        "FROM ext_docs").head().getInt(0)
+    assert(sk === 16) // constant-size union sketch regardless of group size
   }
 
   test("conform: identity rename+cast preserves data (P1/P2 property)") {
