@@ -838,6 +838,54 @@ final case class VersionedLake(root: String) {
     v
   }
 
+  /** Predicate DELETE committed as a new snapshot, rewriting ONLY the data
+    * dirs whose skipping stats (and bloom indexes) admit a match — the
+    * GDPR-shaped operation: deleting one user from a 100 TB table reads
+    * and rewrites the handful of dirs that can contain them; every other
+    * entry is carried forward VERBATIM (same files, zero bytes moved), and
+    * prior snapshots stay readable for time travel until vacuum retires
+    * them. SQL DELETE null semantics: rows where the predicate is TRUE are
+    * removed; FALSE and NULL rows survive.
+    *
+    * A delete whose predicate prunes to zero candidate dirs still commits
+    * (an identical-entry snapshot) — the version history is the audit
+    * record of the request. Returns the committed version.
+    */
+  def delete(spark: SparkSession, zone: String, table: String,
+             predicate: org.apache.spark.sql.Column,
+             maxCommitAttempts: Int = 5,
+             collectStats: Boolean = true,
+             bloomCols: Seq[String] = Nil,
+             bloomExpectedItems: Long = 1000000L): Int =
+    retryingCommit(maxCommitAttempts) {
+      val t = tablePath(zone, table)
+      val cur = currentVersion(spark, zone, table)
+      require(cur > 0, s"no committed snapshot for $zone/$table")
+      val m = readManifest(spark, t, cur)
+      require(m.entries.nonEmpty, s"empty manifest for $zone/$table")
+      val candidates = pruneEntries(spark, t, m, predicate)
+      val candidateDirs = candidates.map(_.dir).toSet
+      val carried = m.entries.filterNot(e => candidateDirs.contains(e.dir))
+      val v = cur + 1
+      if (candidates.isEmpty) {
+        // nothing can match: commit the identical entry set as the audit
+        commitManifest(spark, t, v, m.partitionCols, m.entries, m.schemaJson)
+      } else {
+        val survivors = readDirs(spark, t, candidates, m.schemaJson)
+          .where(!coalesce(predicate, lit(false)))
+        val newEntries = writeDataCommit(t, survivors, m.partitionCols,
+          collectStats, bloomCols, bloomExpectedItems)
+        val entries = carried ++ newEntries
+        // everything deleted → pin the schema with one empty dir, as upsert
+        val finalEntries =
+          if (entries.nonEmpty) entries
+          else writeDataCommit(t, survivors.limit(0), Nil, collectStats)
+        commitManifest(spark, t, v, m.partitionCols, finalEntries,
+          m.schemaJson)
+      }
+      v
+    }
+
   /** Change data feed: the row-level difference between two retained
     * snapshots, keyed by `key` — Delta's CDF surface recomputed from
     * snapshot structure instead of persisted change files.

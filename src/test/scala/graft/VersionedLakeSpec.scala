@@ -113,6 +113,45 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(h2v1 === h2v2)
   }
 
+  test("delete rewrites only stats-candidate dirs; time travel keeps pre-images") {
+    val vl = newLake()
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p1"),
+      (100L, "x", "p2"), (101L, "y", "p2")).toDF("id", "v", "p")
+    val v1 = vl.write(df, "silver", "d", partitionCols = Seq("p"))
+    val v2 = vl.delete(spark, "silver", "d", col("id") === 100L)
+    def files(ver: Int, part: String) =
+      vl.read(spark, "silver", "d", Some(ver)).where($"p" === part)
+        .select(input_file_name()).as[String].collect().toSet
+    // p1's stats (id in [1,2]) prune it out: its entry carries verbatim
+    assert(files(v1, "p1") === files(v2, "p1"))
+    // p2 held the victim: rewritten as a fresh dir
+    assert(files(v1, "p2").intersect(files(v2, "p2")).isEmpty)
+    assert(vl.read(spark, "silver", "d").count() === 3)
+    assert(vl.read(spark, "silver", "d").where($"id" === 100L).count() === 0)
+    // the pre-image survives in the old snapshot
+    assert(vl.read(spark, "silver", "d", Some(v1))
+      .where($"id" === 100L).count() === 1)
+    // a no-match delete commits an identical snapshot (audit record)
+    val v3 = vl.delete(spark, "silver", "d", col("id") === 99999L)
+    assert(files(v2, "p1") === files(v3, "p1"))
+    assert(files(v2, "p2") === files(v3, "p2"))
+    // delete-everything leaves an empty, schema-intact current version
+    val v4 = vl.delete(spark, "silver", "d", lit(true))
+    val emptied = vl.read(spark, "silver", "d", Some(v4))
+    assert(emptied.count() === 0)
+    assert(emptied.columns.sorted.toSeq === Seq("id", "p", "v"))
+  }
+
+  test("delete follows SQL null semantics: NULL-predicate rows survive") {
+    val vl = newLake()
+    vl.write(Seq((1L, Some("zap")), (2L, None), (3L, Some("keep")))
+      .toDF("id", "s"), "silver", "nd")
+    vl.delete(spark, "silver", "nd", $"s" === "zap")
+    val left = vl.read(spark, "silver", "nd").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(left === Seq(2L, 3L)) // NULL comparison is not TRUE → kept
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
