@@ -886,6 +886,61 @@ final case class VersionedLake(root: String) {
       v
     }
 
+  /** Predicate UPDATE committed as a new snapshot — `set` maps column
+    * names to replacement expressions, applied to rows where `predicate`
+    * is TRUE (NULL/FALSE rows pass through untouched, SQL UPDATE
+    * semantics). The same stats/bloom prune as [[delete]] bounds the
+    * rewrite: only dirs that can hold matching rows are read and
+    * rewritten; the rest carry verbatim. Updated columns cast back to
+    * their declared dtype so the snapshot schema is invariant (an
+    * un-castable assignment fails loudly, never silently rewrites the
+    * schema). Partition columns cannot be assigned — rows would silently
+    * migrate between partition dirs; delete + re-insert is the explicit
+    * form of that operation. Returns the committed version.
+    */
+  def update(spark: SparkSession, zone: String, table: String,
+             predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             maxCommitAttempts: Int = 5,
+             collectStats: Boolean = true,
+             bloomCols: Seq[String] = Nil,
+             bloomExpectedItems: Long = 1000000L): Int =
+    retryingCommit(maxCommitAttempts) {
+      require(set.nonEmpty, "update requires at least one assignment")
+      val t = tablePath(zone, table)
+      val cur = currentVersion(spark, zone, table)
+      require(cur > 0, s"no committed snapshot for $zone/$table")
+      val m = readManifest(spark, t, cur)
+      require(m.entries.nonEmpty, s"empty manifest for $zone/$table")
+      set.keys.foreach { c =>
+        require(!m.partitionCols.contains(c),
+          s"cannot assign partition column '$c' — delete + re-insert moves " +
+            "rows between partitions explicitly")
+      }
+      val candidates = pruneEntries(spark, t, m, predicate)
+      val candidateDirs = candidates.map(_.dir).toSet
+      val carried = m.entries.filterNot(e => candidateDirs.contains(e.dir))
+      val v = cur + 1
+      if (candidates.isEmpty) {
+        commitManifest(spark, t, v, m.partitionCols, m.entries, m.schemaJson)
+      } else {
+        val rows = readDirs(spark, t, candidates, m.schemaJson)
+        val schema = rows.schema
+        set.keys.foreach(c => require(schema.fieldNames.contains(c),
+          s"unknown column '$c' in update assignment"))
+        val hit = coalesce(predicate, lit(false))
+        val rewritten = set.foldLeft(rows) { case (df, (c, expr)) =>
+          df.withColumn(c,
+            when(hit, expr.cast(schema(c).dataType)).otherwise(col(c)))
+        }
+        val newEntries = writeDataCommit(t, rewritten, m.partitionCols,
+          collectStats, bloomCols, bloomExpectedItems)
+        commitManifest(spark, t, v, m.partitionCols, carried ++ newEntries,
+          m.schemaJson)
+      }
+      v
+    }
+
   /** Change data feed: the row-level difference between two retained
     * snapshots, keyed by `key` — Delta's CDF surface recomputed from
     * snapshot structure instead of persisted change files.

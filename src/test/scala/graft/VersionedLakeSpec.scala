@@ -152,6 +152,30 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(left === Seq(2L, 3L)) // NULL comparison is not TRUE → kept
   }
 
+  test("update assigns only matching rows in candidate dirs; schema and dtypes invariant") {
+    val vl = newLake()
+    val df = Seq((1L, 10.0, "p1"), (2L, 20.0, "p1"),
+      (100L, 30.0, "p2"), (101L, 40.0, "p2")).toDF("id", "x", "p")
+    val v1 = vl.write(df, "silver", "u", partitionCols = Seq("p"))
+    val v2 = vl.update(spark, "silver", "u", $"id" === 100L,
+      Map("x" -> lit(99)))  // int literal casts back to the double column
+    def files(ver: Int, part: String) =
+      vl.read(spark, "silver", "u", Some(ver)).where($"p" === part)
+        .select(input_file_name()).as[String].collect().toSet
+    assert(files(v1, "p1") === files(v2, "p1")) // p1 pruned by id stats
+    assert(files(v1, "p2").intersect(files(v2, "p2")).isEmpty)
+    val now = vl.read(spark, "silver", "u")
+    assert(now.schema("x").dataType.typeName === "double")
+    val byId = now.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId === Map(1L -> 10.0, 2L -> 20.0, 100L -> 99.0, 101L -> 40.0))
+    // pre-image intact; partition-column assignment refused
+    assert(vl.read(spark, "silver", "u", Some(v1))
+      .where($"id" === 100L).head().getDouble(1) === 30.0)
+    intercept[IllegalArgumentException] {
+      vl.update(spark, "silver", "u", $"id" === 1L, Map("p" -> lit("p9")))
+    }
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
