@@ -941,6 +941,26 @@ final case class VersionedLake(root: String) {
       v
     }
 
+  /** RESTORE: make a retained older snapshot current again by committing a
+    * NEW version that references the old version's entries verbatim — the
+    * rollback operation. Zero data movement (dirs are immutable and
+    * shared), history is preserved (the bad versions stay readable for
+    * forensics until vacuum), and concurrent committers race through the
+    * usual first-wins manifest rename. Returns the committed version.
+    */
+  def restore(spark: SparkSession, zone: String, table: String,
+              toVersion: Int, maxCommitAttempts: Int = 5): Int =
+    retryingCommit(maxCommitAttempts) {
+      val t = tablePath(zone, table)
+      val cur = currentVersion(spark, zone, table)
+      require(toVersion >= 1 && toVersion <= cur,
+        s"cannot restore $zone/$table to v$toVersion (current v$cur)")
+      val m = readManifest(spark, t, toVersion)
+      val v = cur + 1
+      commitManifest(spark, t, v, m.partitionCols, m.entries, m.schemaJson)
+      v
+    }
+
   /** Change data feed: the row-level difference between two retained
     * snapshots, keyed by `key` — Delta's CDF surface recomputed from
     * snapshot structure instead of persisted change files.

@@ -176,6 +176,26 @@ class VersionedLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("restore re-commits an old snapshot's entries: rollback with zero data movement") {
+    val vl = newLake()
+    val v1 = vl.write(Seq((1L, "good"), (2L, "good")).toDF("id", "v"), "silver", "r")
+    vl.upsert(spark, "silver", "r",
+      Seq((1L, "BAD", 2L)).toDF("id", "v", "ver"), "id", "ver")
+    val v3 = vl.restore(spark, "silver", "r", v1)
+    assert(v3 === 3)
+    // current content equals v1, served from v1's very files
+    def files(ver: Int) = vl.read(spark, "silver", "r", Some(ver))
+      .select(input_file_name()).as[String].collect().toSet
+    assert(files(v3) === files(v1))
+    assert(vl.read(spark, "silver", "r").where($"v" === "BAD").count() === 0)
+    // the bad version remains readable for forensics
+    assert(vl.read(spark, "silver", "r", Some(2))
+      .where($"v" === "BAD").count() === 1)
+    intercept[IllegalArgumentException] {
+      vl.restore(spark, "silver", "r", 99)
+    }
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
