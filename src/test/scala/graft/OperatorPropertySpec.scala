@@ -109,4 +109,50 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(ds.init.map(_._2.toLong).sum < budget)
     }
   }
+
+  test("balancedDownsample invariants on random group sizes") {
+    val rows = samples(Gen.choose(0, 6), 400).zipWithIndex
+      .map { case (g, i) => (i.toLong, s"g$g") }
+    val df = rows.toDF("id", "grp")
+    val inSizes = rows.groupBy(_._2).map { case (g, rs) => g -> rs.size.toLong }
+    for (cap <- Seq(1L, 17L, 60L, 1000L)) {
+      val kept = Splits.balancedDownsample(df, Seq("grp"), cap, "id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val keptBy = kept.groupBy(_._2).map { case (g, rs) => g -> rs.size.toLong }
+      // every group is capped at min(cap, its input size), exactly
+      inSizes.foreach { case (g, n) =>
+        assert(keptBy.getOrElse(g, 0L) === math.min(cap, n),
+          s"group $g at cap $cap")
+      }
+      // output is a SUBSET of the input (no synthesis, no duplication)
+      assert(kept.toSet.subsetOf(rows.toSet))
+      assert(kept.length === kept.toSet.size)
+    }
+    // monotone membership: raising the cap only ADDS rows (prefix property
+    // of the md5 ordering) — a cache of the small sample stays valid
+    val at10 = Splits.balancedDownsample(df, Seq("grp"), 10L, "id")
+      .collect().map(_.getLong(0)).toSet
+    val at20 = Splits.balancedDownsample(df, Seq("grp"), 20L, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(at10.subsetOf(at20))
+  }
+
+  test("assignToCentroids == argmin over explicit distances on random vectors") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    val vecs = (1L to 150L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val cents = (0 until 5).map(c =>
+      Seq.fill(dim)(rnd.nextGaussian()))
+    val got = Similarity.assignToCentroids(vecs.toDF("id", "v"), "id", "v",
+        cents.indices, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val dists = cents.map(c =>
+        v.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+      val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(got(id) === best, s"vector $id")
+    }
+  }
 }
