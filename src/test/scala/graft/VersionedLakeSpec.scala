@@ -196,6 +196,28 @@ class VersionedLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("delete racing an upsert: loser retries against the new snapshot, both effects land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vl = newLake()
+    vl.write((1L to 20L).map(i => (i, i, 0.0)).toDF("k", "ver", "x"),
+      "silver", "dr")
+    for (round <- 0 until 3) {
+      val victim = (round * 2 + 1).toLong
+      val newKey = 100L + round
+      val d = Future(vl.delete(spark, "silver", "dr", col("k") === victim))
+      val u = Future(vl.upsert(spark, "silver", "dr",
+        Seq((newKey, 1L, 9.9)).toDF("k", "ver", "x"), "k", "ver"))
+      val (vd, vu) = (Await.result(d, 120.seconds), Await.result(u, 120.seconds))
+      assert(Set(vd, vu).size === 2, s"round $round: versions collided")
+      val keys = vl.read(spark, "silver", "dr")
+        .select("k").as[Long].collect().toSet
+      assert(!keys.contains(victim), s"round $round: victim survived the race")
+      assert(keys.contains(newKey), s"round $round: upsert lost to the delete")
+    }
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
