@@ -488,6 +488,31 @@ object TestQueries {
     graft.sources.Snapshot.diff(before, after, Seq("doc_id"))
   }
 
+  /** BPE tokenizer training ([[functions.Text.bpeMerges]]): ONE
+    * vocabulary-sized aggregate over the corpus, then a driver loop over
+    * the bounded word-frequency table. Rows-only (the merge loop has no
+    * SQL equivalent); FunctionsSpec hand-checks the classic merge sequence
+    * and the partition property.
+    */
+  def q102BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Text.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)
+      .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** BPE segmentation at corpus scale: the trained merge table rides into
+    * a scan-side expression ([[functions.expressions.BpeSegment]]) — no
+    * shuffle, no UDF; per-doc subword/word counts profile the compression.
+    */
+  def q103BpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Text.bpeMerges(docs, "text", numMerges = 30)
+    docs.select(col("doc_id"),
+      size(Text.bpeSegment(col("text"), merges)).cast("long").as("n_subwords"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1233,6 +1258,8 @@ object TestQueries {
     "q99b_cms_counts" -> (q99bCmsCounts _),
     "q100_balance_sources" -> (q100BalanceSources _),
     "q101_snapshot_diff" -> (q101SnapshotDiff _),
+    "q102_bpe_merges" -> (q102BpeMerges _),
+    "q103_bpe_segment" -> (q103BpeSegment _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -135,6 +135,79 @@ object Text {
     * runs the identical expressions ('g' flag; (?is) inline flags work in
     * both engines).
     */
+  /** Train a byte-pair-encoding merge table over the corpus word
+    * distribution. The corpus is touched by exactly ONE aggregate
+    * (word → count — the same map-side-combining shape as q99's
+    * vocabulary build, capped at `maxVocabRows` most-frequent words); the
+    * merge loop then runs driver-side over that bounded frequency table,
+    * which is the standard practice — BPE statistics live in the word
+    * distribution, not raw text, so at 100 TB training cost is one
+    * aggregate + a vocabulary-sized loop, never numMerges corpus scans.
+    *
+    * Deterministic: ties in pair frequency break lexicographically, and
+    * the vocabulary cut orders by (count desc, word). Words are whitespace
+    * tokens of `lower(trim(text))`; initial symbols are code points.
+    * Returns merges in training order, ready for
+    * [[graft.functions.expressions.BpeSegment]].
+    */
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                numMerges: Int, maxVocabRows: Int = 100000): Seq[(String, String)] = {
+    require(numMerges >= 1 && maxVocabRows >= 1)
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocabRows)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      val syms = new scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i); val n = Character.charCount(cp)
+        syms += w.substring(i, i + n); i += n
+      }
+      (syms.toArray, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // max count; ties break on the lexicographically smallest pair
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) =>
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += best._1 + best._2; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.toArray, c)
+        }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Segment text into BPE subwords with a trained merge table — a pure
+    * scan-side expression ([[graft.functions.expressions.BpeSegment]]).
+    */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.expressions.BpeExpressions.bpeSegment(text, merges)
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")

@@ -129,6 +129,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk === 16) // constant-size union sketch regardless of group size
   }
 
+  test("bpeMerges learns the classic merge sequence; segmentation partitions words") {
+    import graft.functions.Text
+    // the BPE-paper corpus shape: low x5, lower x2, newest x6, widest x3
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = Text.bpeMerges(docs, "text", numMerges = 4)
+    // hand-derived: (e,s)=9 beats (s,t)=9 lexicographically; then (es,t)=9;
+    // then (l,o)=7 beats (o,w); then (lo,w)=7
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val toks = docs
+      .select(col("text"), Text.bpeSegment(col("text"), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    toks.foreach { case (w, ts) =>
+      assert(ts.mkString("") === w, s"'$w' must re-concatenate from subwords")
+    }
+    assert(toks.find(_._1 == "low").get._2 === Seq("low"))
+    assert(toks.find(_._1 == "newest").get._2 === Seq("n", "e", "w", "est"))
+    // more merges never increase the subword count
+    val more = Text.bpeMerges(docs, "text", numMerges = 8)
+    def total(ms: Seq[(String, String)]) = docs
+      .select(size(Text.bpeSegment(col("text"), ms))).as[Int].collect().sum
+    assert(total(more) <= total(merges))
+    // the loop exhausts gracefully once every word is a single symbol
+    assert(Text.bpeMerges(docs, "text", numMerges = 1000).length < 1000)
+    // multi-word text segments per word; whitespace never becomes a token
+    val multi = Seq((1L, "newest low")).toDF("id", "text")
+      .select(Text.bpeSegment(col("text"), merges)).head().getSeq[String](0)
+    assert(multi === Seq("n", "e", "w", "est", "low"))
+  }
+
   test("conform: identity rename+cast preserves data (P1/P2 property)") {
     import graft.sources.Tables
     val df = Seq((1, "a"), (2, "b")).toDF("x", "y")
