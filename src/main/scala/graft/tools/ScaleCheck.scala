@@ -167,6 +167,12 @@ object ScaleCheck {
         graft.operators.Sketches.cmsTokenCounts(toks, "token",
           Seq("the")).head._2
       },
+      "bpe_train_segment" -> { dir =>
+        val d = docs(dir)
+        val merges = graft.functions.Text.bpeMerges(d, "text", numMerges = 30)
+        d.select(sum(size(graft.functions.Text.bpeSegment(col("text"),
+          merges))).as("n")).head().getLong(0)
+      },
       "resample_ffill" -> { dir =>
         graft.operators.Timeseries.resampleFfill(
           graft.sources.Tables.loadEvents(spark, dir),
