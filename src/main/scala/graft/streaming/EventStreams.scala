@@ -121,6 +121,58 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming heavy-hitter sketch: each micro-batch aggregates its OWN
+    * count–min sketch (one constant-size partial-combining agg — no keyed
+    * state at all), and the driver folds batch sketches into a running
+    * accumulator via the sketch's native merge. Point-frequency estimates
+    * over the whole stream are then available at any moment without a
+    * vocabulary-sized state store — the streaming face of
+    * [[graft.operators.Sketches.cmsTokenCounts]], with the same
+    * true ≤ est ≤ true + eps·N bound (N = rows seen so far). CM sketches
+    * are monoidal, so batch boundaries don't affect the result
+    * (StreamingSpec asserts stream == batch exactly).
+    *
+    * foreachBatch is at-least-once: a replayed batch would double-count
+    * into the accumulator, exactly like re-summing any non-idempotent
+    * foreachBatch aggregate — pair with the checkpoint for exactly-once
+    * batch ids, or rebuild the accumulator from an idempotent sink on
+    * recovery.
+    */
+  final class CmsAccumulator(eps: Double = 0.001, confidence: Double = 0.99,
+                             seed: Int = 42) extends Serializable {
+    private var acc: Option[org.apache.spark.util.sketch.CountMinSketch] = None
+    /** Fold serialized sketch bytes (same eps/conf/seed) into the total. */
+    def fold(bytes: Array[Byte]): Unit = synchronized {
+      val s = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      acc = acc match {
+        case Some(a) => Some(a.mergeInPlace(s))
+        case None => Some(s)
+      }
+    }
+    def estimate(key: String): Long = synchronized {
+      acc.map(_.estimateCount(key)).getOrElse(0L)
+    }
+    def sketchFor(batch: DataFrame, keyCol: String): Array[Byte] = batch
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence),
+        lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Start a stream folding per-batch count–min sketches of `keyCol` into
+    * `into` — query the accumulator for estimates while the stream runs.
+    */
+  def heavyHittersSink(events: DataFrame, keyCol: String,
+                       into: CmsAccumulator, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) into.fold(into.sketchFor(batch.toDF(), keyCol))
+      }
+      .start()
+
   /** Incremental ingest with SNAPSHOT ISOLATION: like [[upsertToLake]] but
     * each micro-batch MERGEs into a [[graft.sources.VersionedLake]] table —
     * one committed snapshot per batch, so concurrent readers never observe

@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q103 BPE segmentation is scan-side: no exchange, codegen-hosted") {
+    val p = planOf("q103_bpe_segment")
+    assert(!p.contains("Exchange"),
+      "segmentation must be a narrow projection — the merge table is a " +
+        "plan literal, not a join/broadcast")
+    assert(p.contains("WholeStageCodegen") || p.contains("*"),
+      "BpeSegment must not eject the projection from codegen")
+  }
+
   test("q30 exact dedup is one hash-aggregate shuffle, no join") {
     val p = planOf("q30_dedup_exact")
     assert(p.contains("HashAggregate"))

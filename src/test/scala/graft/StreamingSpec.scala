@@ -202,6 +202,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(lake.read(spark, "bronze", "events_new").count() === 5)
   }
 
+  test("streaming count-min accumulator == one batch sketch (monoidal merge)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    val acc = new EventStreams.CmsAccumulator()
+    val q = EventStreams.heavyHittersSink(
+      EventStreams.readStream(spark, eventsDir), "event_type", acc,
+      checkpoint = s"$tmp/chk")
+    q.processAllAvailable()
+    q.stop()
+    // batch truth: one sketch over the same static rows — CM sketches are
+    // monoidal, so however the stream batched, estimates must be identical
+    val batchAcc = new EventStreams.CmsAccumulator()
+    batchAcc.fold(batchAcc.sketchFor(spark.read.parquet(eventsDir), "event_type"))
+    for (k <- Seq("click", "view", "absent")) {
+      assert(acc.estimate(k) === batchAcc.estimate(k), s"key $k")
+    }
+    // and on this tiny stream the estimates are exact
+    assert(acc.estimate("click") === 3L)
+    assert(acc.estimate("view") === 2L)
+    assert(acc.estimate("absent") === 0L)
+  }
+
   test("foreachBatch upsert streams micro-batches into a lake table") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake-stream")
     val lake = graft.sources.Lake(s"file://$tmp/lake")
