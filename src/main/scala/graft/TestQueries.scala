@@ -357,13 +357,13 @@ object TestQueries {
     */
   def q95PqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val n = emb.count()
-    val refine = ((n + 2) / 3).toInt.max(1) // refine·k ≥ n at k=3
+    // refine·k = 30M ≥ any gate corpus → the pool is exhaustive WITHOUT
+    // paying a count job; the window keeps every candidate either way.
     // iters=1: with an exhaustive pool the ADC stage only ORDERS candidates,
     // so the result is exact for ANY codebook — don't pay extra Lloyd rounds
     Similarity.pqTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
-        "embedding", dim = 64, k = 3, numSub = 16, ksub = 16, refine = refine,
-        iters = 1)
+        "embedding", dim = 64, k = 3, numSub = 16, ksub = 16,
+        refine = 10000000, iters = 1)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos_r"))
   }
@@ -387,11 +387,10 @@ object TestQueries {
     */
   def q96IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val n = emb.count()
-    val refine = ((n + 2) / 3).toInt.max(1)
+    // constant exhaustive refine bound — see q95's note
     Similarity.ivfPqTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
         "embedding", dim = 64, k = 3, numCells = 8, nprobe = 8,
-        numSub = 8, ksub = 16, refine = refine, iters = 1)
+        numSub = 8, ksub = 16, refine = 10000000, iters = 1)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos_r"))
   }

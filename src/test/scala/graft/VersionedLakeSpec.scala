@@ -171,6 +171,11 @@ class VersionedLakeSpec extends AnyFunSuite {
     // pre-image intact; partition-column assignment refused
     assert(vl.read(spark, "silver", "u", Some(v1))
       .where($"id" === 100L).head().getDouble(1) === 30.0)
+    // assignments can reference the row's own columns (x = x * 2 + id)
+    vl.update(spark, "silver", "u", $"id" === 101L,
+      Map("x" -> (col("x") * 2 + col("id"))))
+    assert(vl.read(spark, "silver", "u")
+      .where($"id" === 101L).head().getDouble(1) === 181.0)
     intercept[IllegalArgumentException] {
       vl.update(spark, "silver", "u", $"id" === 1L, Map("p" -> lit("p9")))
     }
