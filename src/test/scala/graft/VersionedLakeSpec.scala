@@ -223,6 +223,23 @@ class VersionedLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum after restore: re-referenced old dirs survive, the bypassed version's don't") {
+    val vl = newLake()
+    val v1 = vl.write(Seq((1L, "keep")).toDF("id", "v"), "silver", "rv")
+    vl.write(Seq((2L, "bad")).toDF("id", "v"), "silver", "rv") // v2 replaces
+    val v3 = vl.restore(spark, "silver", "rv", v1)
+    // retain only the current version; age threshold 0 = everything is old
+    val removed = vl.vacuum(spark, "silver", "rv", retainVersions = 1,
+      olderThanMs = 0L)
+    assert(removed > 0, "v2's unreferenced dir must be swept")
+    // v3 references v1's ORIGINAL dirs — liveness is by manifest
+    // reference, not file age, so the restore target reads intact
+    val got = vl.read(spark, "silver", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "keep")))
+    assert(vl.versions(spark, "silver", "rv") === Seq(v3))
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
