@@ -1082,7 +1082,9 @@ final case class VersionedLake(root: String) {
               filesPerPartition: Int,
               collectStats: Boolean = true,
               bloomCols: Seq[String] = Nil,
-              bloomExpectedItems: Long = 1000000L): Int = {
+              bloomExpectedItems: Long = 1000000L,
+              maxCommitAttempts: Int = 5): Int =
+      retryingCommit(maxCommitAttempts) {
     require(filesPerPartition > 0)
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -1109,7 +1111,8 @@ final case class VersionedLake(root: String) {
     commitManifest(spark, t, v, m.partitionCols, entries,
       Some(df.schema.json))
     v
-  }
+  } // retryingCommit: a compact losing to a concurrent writer re-reads
+    // the new snapshot and re-compacts — maintenance never crashes a race
 
   /** Delta's `OPTIMIZE ZORDER BY` analogue: rewrite the current snapshot
     * with each partition split into `slicesPerPartition` contiguous ranges
@@ -1133,7 +1136,9 @@ final case class VersionedLake(root: String) {
                      bitsPerCol: Int = 4, sampleFraction: Double = 1.0,
                      collectStats: Boolean = true,
                      bloomCols: Seq[String] = Nil,
-                     bloomExpectedItems: Long = 1000000L): Int = {
+                     bloomExpectedItems: Long = 1000000L,
+                     maxCommitAttempts: Int = 5): Int =
+      retryingCommit(maxCommitAttempts) {
     require(zCols.nonEmpty && slicesPerPartition >= 1)
     val t = tablePath(zone, table)
     val cur = currentVersion(spark, zone, table)
@@ -1164,7 +1169,7 @@ final case class VersionedLake(root: String) {
     val v = cur + 1
     commitManifest(spark, t, v, m.partitionCols, entries, Some(df.schema.json))
     v
-  }
+  } // retryingCommit: same maintenance-race rule as compact
 
   /** Retention vacuum: keep the newest `retainVersions` manifests; any data
     * file not referenced by a RETAINED manifest and older than `olderThanMs`

@@ -240,6 +240,28 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(vl.versions(spark, "silver", "rv") === Seq(v3))
   }
 
+  test("compact racing an upsert: maintenance retries instead of crashing, data intact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vl = newLake()
+    vl.write((1L to 40L).map(i => (i, i, s"p${i % 2}")).toDF("k", "ver", "p"),
+      "silver", "mr", partitionCols = Seq("p"))
+    for (round <- 0 until 3) {
+      val newKey = 1000L + round
+      val c = Future(vl.compact(spark, "silver", "mr", filesPerPartition = 1))
+      val u = Future(vl.upsert(spark, "silver", "mr",
+        Seq((newKey, 1L, "p0")).toDF("k", "ver", "p"), "k", "ver",
+        partitionCols = Seq("p")))
+      val (vc, vu) = (Await.result(c, 120.seconds), Await.result(u, 120.seconds))
+      assert(Set(vc, vu).size === 2, s"round $round: versions collided")
+      val keys = vl.read(spark, "silver", "mr")
+        .select("k").as[Long].collect().toSet
+      assert(keys.contains(newKey), s"round $round: upsert lost to compact")
+      assert((1L to 40L).forall(keys.contains), s"round $round: compact lost rows")
+    }
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
