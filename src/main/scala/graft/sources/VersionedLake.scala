@@ -1171,6 +1171,22 @@ final case class VersionedLake(root: String) {
     v
   } // retryingCommit: same maintenance-race rule as compact
 
+  /** Commit history as a DataFrame — the audit view: one row per retained
+    * version with its entry/partition shape. Reads only manifests (small
+    * files), never data.
+    */
+  def history(spark: SparkSession, zone: String, table: String): DataFrame = {
+    import spark.implicits._
+    val t = tablePath(zone, table)
+    versions(spark, zone, table).map { v =>
+      val m = readManifest(spark, t, v)
+      (v, m.entries.size, m.entries.map(_.key).distinct.size,
+        m.partitionCols.mkString(","), m.schemaJson.isDefined,
+        m.entries.count(_.stats.isDefined), m.entries.count(_.bloom.isDefined))
+    }.toDF("version", "n_entries", "n_partition_keys", "partition_cols",
+      "has_schema", "n_with_stats", "n_with_bloom")
+  }
+
   /** Retention vacuum: keep the newest `retainVersions` manifests; any data
     * file not referenced by a RETAINED manifest and older than `olderThanMs`
     * is deleted, along with expired manifests. Liveness comes from the

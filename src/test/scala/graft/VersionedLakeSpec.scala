@@ -262,6 +262,33 @@ class VersionedLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("delete on an evolved column: NULL rows in old dirs survive, new rows match") {
+    val vl = newLake()
+    vl.write(Seq((1L, 1L, "old")).toDF("k", "ver", "v"), "silver", "ev")
+    // evolution: later upsert adds a 'tag' column the old dir lacks
+    vl.upsert(spark, "silver", "ev",
+      Seq((2L, 2L, "new", "zap"), (3L, 2L, "new", "keep"))
+        .toDF("k", "ver", "v", "tag"), "k", "ver")
+    vl.delete(spark, "silver", "ev", $"tag" === "zap")
+    val left = vl.read(spark, "silver", "ev").select("k")
+      .as[Long].collect().sorted.toSeq
+    // k=1 has tag NULL (predicate not TRUE) → survives; k=2 matched → gone
+    assert(left === Seq(1L, 3L))
+  }
+
+  test("history lists every retained commit's shape from manifests only") {
+    val vl = newLake()
+    vl.write(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
+      "silver", "h", partitionCols = Seq("p"))
+    vl.upsert(spark, "silver", "h", Seq((3L, "c", "p1")).toDF("id", "v", "p"),
+      "id", "id", partitionCols = Seq("p"))
+    val h = vl.history(spark, "silver", "h").orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(h.forall(_.getString(3) === "p"))
+    assert(h.forall(_.getBoolean(4)))       // schema carried in every commit
+    assert(h(1).getInt(1) >= 2)             // upsert carried p2 + rewrote p1
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
