@@ -62,6 +62,25 @@ object GraftExtensions {
     "graft_minhash_union" -> { args =>
       MinHashUnionAgg(args.head, intArg(args(1), "numHashes"))
     },
+    // merges = array('e s', 'es t', ...) — each element "left right"
+    "graft_bpe_segment" -> { args =>
+      val merges = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+          elems.map {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+              s.toString.split(" ", 2) match {
+                case Array(l, r) => (l, r)
+                case _ => throw new IllegalArgumentException(
+                  s"merge '$s' must be 'left right'")
+              }
+            case other => throw new IllegalArgumentException(
+              s"merges must be string literals, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"second argument must be array('l r', ...), got $other")
+      }
+      BpeSegment(args.head, merges)
+    },
   )
 
   /** Register on an already-built session (temp functions + the optimizer

@@ -977,6 +977,23 @@ final case class VersionedLake(root: String) {
     * values only implied (time-travel `read(fromVersion)` serves them) —
     * matching Delta's `readChangeFeed` minus `update_preimage` rows.
     */
+  /** Incremental consumption cursor: the row-level changes between a
+    * consumer's last-seen version and the CURRENT one, plus the new
+    * cursor to persist — the polling CDC loop Delta serves with
+    * `readChangeFeed` + `startingVersion`. A fresh consumer bootstraps
+    * with `read(spark, zone, table, Some(v0))` and cursor `v0`; equal
+    * cursor and current yields an empty (schema-correct) frame. The
+    * cursor version must still be retained (vacuum governs how far back
+    * consumers may lag).
+    */
+  def changesSince(spark: SparkSession, zone: String, table: String,
+                   key: String, sinceVersion: Int): (Int, DataFrame) = {
+    val cur = currentVersion(spark, zone, table)
+    require(sinceVersion >= 1 && sinceVersion <= cur,
+      s"cursor v$sinceVersion out of range for $zone/$table (current v$cur)")
+    (cur, changes(spark, zone, table, key, sinceVersion, cur))
+  }
+
   def changes(spark: SparkSession, zone: String, table: String,
               key: String, fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must precede toVersion")

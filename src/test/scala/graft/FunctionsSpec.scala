@@ -127,6 +127,10 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT size(graft_minhash_union(graft_minhash_sig(text, 2, 16), 16)) " +
         "FROM ext_docs").head().getInt(0)
     assert(sk === 16) // constant-size union sketch regardless of group size
+    val bpe = spark.sql(
+      "SELECT graft_bpe_segment('newest', array('e s', 'es t')) AS t")
+      .head().getSeq[String](0)
+    assert(bpe === Seq("n", "e", "w", "est"))
   }
 
   test("bpeMerges learns the classic merge sequence; segmentation partitions words") {

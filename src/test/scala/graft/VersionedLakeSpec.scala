@@ -289,6 +289,27 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(h(1).getInt(1) >= 2)             // upsert carried p2 + rewrote p1
   }
 
+  test("changesSince: a polling consumer sees each change once, then nothing") {
+    val vl = newLake()
+    val v1 = vl.write(Seq((1L, 1L, "a")).toDF("k", "ver", "v"), "silver", "cs")
+    vl.upsert(spark, "silver", "cs",
+      Seq((2L, 2L, "b")).toDF("k", "ver", "v"), "k", "ver")
+    vl.upsert(spark, "silver", "cs",
+      Seq((1L, 3L, "a2")).toDF("k", "ver", "v"), "k", "ver")
+    val (cursor, delta) = vl.changesSince(spark, "silver", "cs", "k", v1)
+    assert(cursor === 3)
+    val got = delta.select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "insert"), (1L, "update_postimage")))
+    // caught-up consumer: same cursor, empty delta, schema intact
+    val (c2, d2) = vl.changesSince(spark, "silver", "cs", "k", cursor)
+    assert(c2 === 3 && d2.count() === 0)
+    assert(d2.columns.contains("_change_type"))
+    intercept[IllegalArgumentException] {
+      vl.changesSince(spark, "silver", "cs", "k", 99)
+    }
+  }
+
   test("vacuum keeps retained snapshots readable, deletes expired data and manifests") {
     val vl = newLake()
     vl.write(Seq((1L, "v1")).toDF("id", "v"), "silver", "vac")
