@@ -486,6 +486,22 @@ object Oracles {
         "ELSE 'changed' END AS change " +
         "FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id"),
 
+    // contrastive negatives: identical modulo arithmetic both engines, then
+    // the shared exact-cosine recipe; (id+1+mix mod (n-1)) mod n is
+    // self-exclusion by construction
+    "q104_negative_pairs" ->
+      ("WITH n AS (SELECT count(*) AS n FROM embeddings), " +
+        "a AS (SELECT vec_id AS anchor_id, embedding AS av FROM embeddings " +
+        "WHERE vec_id <= 20), " +
+        "s AS (SELECT anchor_id, av, CAST(unnest(range(1, 6)) AS BIGINT) " +
+        "AS slot FROM a), " +
+        "p AS (SELECT anchor_id, slot, av, " +
+        "(anchor_id + 1 + (anchor_id * 2654435761 + slot * 40503) % (n.n - 1)) " +
+        "% n.n AS neg_id FROM s CROSS JOIN n) " +
+        "SELECT p.anchor_id, p.slot, p.neg_id, " +
+        s"round(${cosSql("p.av", "e.embedding")}, 6) AS cos_r " +
+        "FROM p JOIN embeddings e ON e.vec_id = p.neg_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

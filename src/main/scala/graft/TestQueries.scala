@@ -512,6 +512,27 @@ object TestQueries {
       size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"))
   }
 
+  /** Contrastive negative pairs ([[operators.Splits.negativePairs]]): 5
+    * arithmetic negatives per anchor (never the anchor itself, zero
+    * shuffle to generate), scored by exact cosine after one join. The gate
+    * uses a modulo mixer both engines compute identically (the q64
+    * pattern); the operator's default is xxhash64 (SplitsSpec).
+    */
+  def q104NegativePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val pairs = operators.Splits.negativePairs(
+      emb.where(col("vec_id") <= 20), "vec_id", k = 5, n = n,
+      mix = (id, slot) => id * lit(2654435761L) + slot * lit(40503L))
+    pairs
+      .join(emb.select(col("vec_id").as("anchor_id"), col("embedding").as("av")),
+        Seq("anchor_id"))
+      .join(emb.select(col("vec_id").as("neg_id"), col("embedding").as("nv")),
+        Seq("neg_id"))
+      .select(col("anchor_id"), col("slot"), col("neg_id"),
+        round(Vectors.cosine(col("av"), col("nv")), 6).as("cos_r"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1259,6 +1280,7 @@ object TestQueries {
     "q101_snapshot_diff" -> (q101SnapshotDiff _),
     "q102_bpe_merges" -> (q102BpeMerges _),
     "q103_bpe_segment" -> (q103BpeSegment _),
+    "q104_negative_pairs" -> (q104NegativePairs _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

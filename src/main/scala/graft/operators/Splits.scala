@@ -119,6 +119,32 @@ object Splits {
       .drop(rn)
   }
 
+  /** Deterministic negative sampling for contrastive training: each anchor
+    * pairs with `k` pseudo-random OTHER rows by pure arithmetic —
+    * `neg = (id + 1 + mix(id, slot) mod (n-1)) mod n` can never return the
+    * anchor itself, so there is no rejection loop. Requires ids dense in
+    * [0, n) (the standard shape after a one-time id-densify pass);
+    * generation is then scan-side with ZERO shuffle, and the only exchange
+    * is whatever join the caller uses to materialize the negative's
+    * payload. Membership is a pure function of the data: epochs are
+    * reproducible, resumable, and identical across partitionings — none of
+    * which `rand()`-based sampling gives.
+    *
+    * Returns (anchor_id, slot, neg_id) with slot in [1, k].
+    */
+  def negativePairs(df: DataFrame, idCol: String, k: Int, n: Long,
+                    mix: (Column, Column) => Column =
+                      (id, slot) => xxhash64(id, slot)): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(n >= 2, "need at least two rows to draw a negative")
+    df.select(col(idCol).cast("long").as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("slot"))
+      .withColumn("neg_id",
+        pmod(col("anchor_id") + lit(1L) +
+          pmod(mix(col("anchor_id"), col("slot")), lit(n - 1)), lit(n)))
+  }
+
   /** Sequence packing for LLM training: assign documents to consecutive
     * fixed-token-budget packs (context windows). Docs are ordered by
     * `orderCol` within each `partitionCols` shard; a doc lands in pack

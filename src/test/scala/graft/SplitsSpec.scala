@@ -114,6 +114,25 @@ class SplitsSpec extends AnyFunSuite {
     }
   }
 
+  test("negativePairs: k per anchor, never self, ids in range, deterministic") {
+    val n = 97L
+    val df = spark.range(0, n).toDF("id")
+    val got = Splits.negativePairs(df, "id", k = 4, n = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === (n * 4).toInt)
+    got.foreach { case (a, _, neg) =>
+      assert(neg !== a, s"anchor $a drew itself")
+      assert(neg >= 0 && neg < n)
+    }
+    assert(got.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L)))
+    // pure function of the data: a repartition changes nothing
+    val again = Splits.negativePairs(df.repartition(13), "id", k = 4, n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // negatives are spread, not clustered on a few ids
+    assert(got.map(_._3).distinct.length > n / 2)
+  }
+
   test("hashSplit rejects malformed boundaries") {
     intercept[IllegalArgumentException] {
       Splits.hashSplit(keys, "id", Seq("train" -> 80, "test" -> 90))
