@@ -502,6 +502,34 @@ object Oracles {
         s"round(${cosSql("p.av", "e.embedding")}, 6) AS cos_r " +
         "FROM p JOIN embeddings e ON e.vec_id = p.neg_id"),
 
+    // hard negatives: the q39 brute-force recipe, taking the rank band
+    // (m, m+k] instead of the top-k
+    "q105_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id <= 20), " +
+        "c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings), " +
+        "s AS (SELECT anchor_id, nbr_id, " +
+        s"${cosSql("qv", "cv")} AS cos FROM q, c WHERE anchor_id <> nbr_id), " +
+        "r AS (SELECT anchor_id, nbr_id, cos, row_number() OVER " +
+        "(PARTITION BY anchor_id ORDER BY cos DESC, nbr_id) AS rnk FROM s) " +
+        "SELECT anchor_id, nbr_id AS hard_neg_id, CAST(rnk AS BIGINT) AS \"rank\", " +
+        "round(cos, 6) AS cos_r FROM r WHERE rnk > 3 AND rnk <= 8"),
+
+    // per-source unigram KL vs the corpus distribution, add-one smoothing
+    // over the corpus vocabulary
+    "q106_unigram_kl" ->
+      ("WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), " +
+        "'\\s+')) AS tok FROM documents), " +
+        "t2 AS (SELECT source, tok FROM t WHERE length(tok) > 0), " +
+        "bs AS (SELECT source, tok, count(*) AS c FROM t2 GROUP BY 1, 2), " +
+        "corpus AS (SELECT tok, count(*) AS cc FROM t2 GROUP BY 1), " +
+        "v AS (SELECT count(*) AS v, CAST(sum(cc) AS DOUBLE) AS n FROM corpus), " +
+        "st AS (SELECT source, CAST(sum(c) AS DOUBLE) AS sn FROM bs GROUP BY 1) " +
+        "SELECT bs.source, round(sum((bs.c / st.sn) * " +
+        "ln((bs.c / st.sn) / ((corpus.cc + 1.0) / (v.n + v.v)))), 6) AS kl " +
+        "FROM bs JOIN corpus USING (tok) JOIN st ON bs.source = st.source " +
+        "CROSS JOIN v GROUP BY 1"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -533,6 +533,48 @@ object TestQueries {
         round(Vectors.cosine(col("av"), col("nv")), 6).as("cos_r"))
   }
 
+  /** Hard-negative mining: for each anchor, the cosine ranks m+1..m+k —
+    * near misses that are similar but NOT top-m neighbors, the standard
+    * contrastive-curriculum slice. Same broadcast-query / corpus-unshuffled
+    * plan as q39; the rank window just takes a different band.
+    */
+  def q105HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (m, k) = (3, 5)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
+        "embedding", k = m + k)
+      .where(col("rank") > m)
+      .select(col("query_id").as("anchor_id"), col("nbr_id").as("hard_neg_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** Unigram KL divergence D(p‖q) between each source's token distribution
+    * and the corpus-wide one — the data-mixing diagnostic (which crawls
+    * skew the token distribution, and by how much). Add-one smoothing over
+    * the corpus vocabulary keeps q > 0 without dropping source-absent
+    * tokens. Plan: one token explode feeding both frequency tables; the
+    * vocabulary-sized corpus table broadcasts back onto the source table.
+    */
+  def q106UnigramKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val bySource = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val vocab = corpus.agg(count(lit(1)).as("v"),
+      sum("cc").cast("double").as("n"))
+    val srcTotals = bySource.groupBy("source")
+      .agg(sum("c").cast("double").as("sn"))
+    bySource.join(broadcast(corpus), Seq("tok"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(vocab))
+      .select(col("source"),
+        (col("c") / col("sn") *
+          log((col("c") / col("sn")) /
+            ((col("cc") + lit(1.0)) / (col("n") + col("v"))))).as("term"))
+      .groupBy("source").agg(round(sum("term"), 6).as("kl"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1281,6 +1323,8 @@ object TestQueries {
     "q102_bpe_merges" -> (q102BpeMerges _),
     "q103_bpe_segment" -> (q103BpeSegment _),
     "q104_negative_pairs" -> (q104NegativePairs _),
+    "q105_hard_negatives" -> (q105HardNegatives _),
+    "q106_unigram_kl" -> (q106UnigramKl _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
