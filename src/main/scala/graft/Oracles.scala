@@ -530,6 +530,24 @@ object Oracles {
         "FROM bs JOIN corpus USING (tok) JOIN st ON bs.source = st.source " +
         "CROSS JOIN v GROUP BY 1"),
 
+    // diversity sampling = q98's seed assignment composed with q100's
+    // md5-order cap, per cluster
+    "q107_diverse_sample" ->
+      ("WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
+        "embedding AS cv FROM embeddings WHERE vec_id <= 8), " +
+        "d AS (SELECT e.vec_id, s.cell, " +
+        "sqrt(list_sum(list_transform(list_zip(e.embedding, s.cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist " +
+        "FROM embeddings e CROSS JOIN seeds s), " +
+        "a AS (SELECT vec_id, cell, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d), " +
+        "asg AS (SELECT vec_id, cell FROM a WHERE rn = 1), " +
+        "r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS krn FROM asg) " +
+        "SELECT cell, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) " +
+        "AS sum_ids FROM r WHERE krn <= 20 GROUP BY cell"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

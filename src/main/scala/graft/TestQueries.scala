@@ -575,6 +575,26 @@ object TestQueries {
       .groupBy("source").agg(round(sum("term"), 6).as("kl"))
   }
 
+  /** Diversity sampling — the composed pipeline: assign every embedding to
+    * its nearest seed exemplar (q98's scan-side machinery), then cap each
+    * cluster at 20 rows in deterministic md5 order (q100's rebalancer).
+    * Semantic balance instead of source balance: no cluster dominates the
+    * sample. Both stages reuse their individually-proven oracle recipes.
+    */
+  def q107DiverseSample(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.where(col("vec_id") <= 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    val assigned = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+      seeds.map(_._1).toSeq, seeds.map(_._2).toSeq)
+    operators.Splits.balancedDownsample(assigned.select("vec_id", "cell"),
+        Seq("cell"), 20L, "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"),
+        sum("vec_id").as("sum_ids"))
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1325,6 +1345,7 @@ object TestQueries {
     "q104_negative_pairs" -> (q104NegativePairs _),
     "q105_hard_negatives" -> (q105HardNegatives _),
     "q106_unigram_kl" -> (q106UnigramKl _),
+    "q107_diverse_sample" -> (q107DiverseSample _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
