@@ -173,6 +173,22 @@ object ScaleCheck {
         d.select(sum(size(graft.functions.Text.bpeSegment(col("text"),
           merges))).as("n")).head().getLong(0)
       },
+      "negative_pairs" -> { dir =>
+        // embeddings replicate with SHIFTED ids (not dense) — run the
+        // arithmetic over a dense 0..n synthetic id of the same cardinality
+        val n = emb(dir).count()
+        val ids = emb(dir).sparkSession.range(0, n).toDF("id")
+        graft.operators.Splits.negativePairs(ids, "id", k = 5, n = n).count()
+      },
+      "unigram_kl" -> { dir =>
+        val toks = docs(dir).select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0)
+        val bySource = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+        bySource.join(broadcast(corpus), Seq("tok"))
+          .groupBy("source").agg(count(lit(1)).as("n")).count()
+      },
       "resample_ffill" -> { dir =>
         graft.operators.Timeseries.resampleFfill(
           graft.sources.Tables.loadEvents(spark, dir),
