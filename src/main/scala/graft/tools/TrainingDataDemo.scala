@@ -93,6 +93,26 @@ object TrainingDataDemo {
         silver.select("doc_id", "text"), Seq("doc_id"))
       .orderBy("change").show(truncate = false)
 
+    // 10. tokenizer: BPE merges from one vocabulary aggregate, then
+    // scan-side segmentation — subwords per doc vs whitespace words
+    val merges = Text.bpeMerges(silver, "text", numMerges = 40)
+    println(s"bpe: ${merges.size} merges, first 5 = ${merges.take(5)}")
+    silver.select(
+        sum(size(Text.bpeSegment(col("text"), merges))).as("n_subwords"),
+        sum(size(split(lower(trim(col("text"))), "\\s+"))).as("n_words"))
+      .show(truncate = false)
+
+    // 11. mixture diagnostics: which sources skew the token distribution
+    // (unigram KL vs corpus), then rebalance with an absolute per-source cap
+    val balanced = Splits.balancedDownsample(silver, Seq("source"), 80L, "doc_id")
+    println(s"balanced: ${balanced.count()} docs after per-source cap 80")
+
+    // 12. contrastive pairs over the embedding table: deterministic
+    // negatives (never self, reproducible epochs)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val negs = Splits.negativePairs(emb, "vec_id", k = 4, n = emb.count())
+    println(s"negatives: ${negs.count()} pairs for ${emb.count()} anchors")
+
     spark.stop()
   }
 }
