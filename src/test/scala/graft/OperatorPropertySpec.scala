@@ -137,6 +137,34 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(at10.subsetOf(at20))
   }
 
+  test("BPE on random corpora: segmentation always partitions, merges always help") {
+    import graft.functions.Text
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdef"
+    val words = (1 to 300).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = words.toDF("id", "text")
+    val merges = Text.bpeMerges(df, "text", numMerges = 12)
+    assert(merges.nonEmpty && merges.length <= 12)
+    // every learned merge pair is two non-empty symbols
+    merges.foreach { case (l, r) => assert(l.nonEmpty && r.nonEmpty) }
+    val seg = df.select(col("text"), Text.bpeSegment(col("text"), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    seg.foreach { case (w, ts) =>
+      assert(ts.mkString("") === w, s"'$w' must re-concatenate")
+      assert(ts.forall(_.nonEmpty))
+    }
+    // token counts never increase as the merge list grows, prefix by prefix
+    val counts = (0 to merges.length).map { k =>
+      df.select(sum(size(Text.bpeSegment(col("text"), merges.take(k).toSeq))))
+        .head().getLong(0)
+    }
+    assert(counts.sliding(2).forall(p => p(1) <= p(0)),
+      s"token counts must be monotone non-increasing: $counts")
+  }
+
   test("assignToCentroids == argmin over explicit distances on random vectors") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(11)
