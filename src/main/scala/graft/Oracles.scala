@@ -548,6 +548,29 @@ object Oracles {
         "SELECT cell, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) " +
         "AS sum_ids FROM r WHERE krn <= 20 GROUP BY cell"),
 
+    // DSIR importance weights: hashed-unigram (md5-prefix, 256 buckets)
+    // add-1-smoothed log-likelihood ratio, target = src0/src1
+    "q108_dsir_weights" ->
+      ("WITH tk AS (SELECT doc_id, source, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bk AS (SELECT doc_id, source, " +
+        "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b FROM tk), " +
+        "tc AS (SELECT b, count(*) AS ct FROM bk " +
+        "WHERE source IN ('src0', 'src1') GROUP BY 1), " +
+        "rc AS (SELECT b, count(*) AS cr FROM bk " +
+        "WHERE source NOT IN ('src0', 'src1') GROUP BY 1), " +
+        "tot AS (SELECT (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tc) AS nt, " +
+        "(SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) FROM rc) AS nr), " +
+        "llr AS (SELECT coalesce(tc.b, rc.b) AS b, " +
+        "ln((coalesce(ct, 0) + 1.0) / (nt + 256.0)) - " +
+        "ln((coalesce(cr, 0) + 1.0) / (nr + 256.0)) AS llr " +
+        "FROM tc FULL OUTER JOIN rc ON tc.b = rc.b CROSS JOIN tot) " +
+        "SELECT bk.doc_id, round(sum(llr.llr), 4) AS weight, " +
+        "CAST(count(*) AS BIGINT) AS n_toks FROM bk JOIN llr ON bk.b = llr.b " +
+        "WHERE bk.source NOT IN ('src0', 'src1') GROUP BY 1 ORDER BY 1"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -595,6 +595,23 @@ object TestQueries {
         sum("vec_id").as("sum_ids"))
   }
 
+  /** DSIR importance weights ([[operators.Quality.importanceWeights]]):
+    * hashed-unigram log-likelihood ratio of each candidate doc against a
+    * target domain (sources src0/src1), md5-prefix bucketing (256 buckets)
+    * so DuckDB reproduces the hash exactly. The Gumbel resample step is
+    * spec-tested (QualitySpec) — selection is a top-k over these weights.
+    */
+  def q108DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.where(col("source").isin("src0", "src1"))
+    val cands = docs.where(!col("source").isin("src0", "src1"))
+    operators.Quality.importanceWeights(cands, target, "doc_id", "text",
+        buckets = 256, alpha = 1.0, bucket = Some(operators.Quality.md5Bucket))
+      .select(col("doc_id"), round(col("weight"), 4).as("weight"),
+        col("n_toks").cast("long").as("n_toks"))
+      .orderBy("doc_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1346,6 +1363,7 @@ object TestQueries {
     "q105_hard_negatives" -> (q105HardNegatives _),
     "q106_unigram_kl" -> (q106UnigramKl _),
     "q107_diverse_sample" -> (q107DiverseSample _),
+    "q108_dsir_weights" -> (q108DsirWeights _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

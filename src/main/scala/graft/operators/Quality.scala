@@ -94,6 +94,100 @@ object Quality {
         count(lit(1)).as("n_toks"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each candidate
+    * document by how much more likely its hashed-unigram bag is under the
+    * TARGET corpus's distribution than under the candidate pool's own —
+    * `log w = Σ_tok [ log p̂_target(b(tok)) − log p̂_raw(b(tok)) ]` with
+    * add-α smoothing over `buckets` hash buckets. Positive = looks like the
+    * target domain; the standard cheap proxy for "select web data that
+    * resembles Wikipedia/books" at pre-training scale.
+    *
+    * Returns `(idCol, weight, n_toks)` for every candidate with ≥1 token.
+    *
+    * `bucket` overrides the token→bucket hash (default murmur3 `hash()`,
+    * codegen'd); the md5-prefix variant ([[Quality.md5Bucket]]) exists so a
+    * SQL oracle can reproduce the bucketing exactly (same pattern as the
+    * SimHash exact-oracle variant).
+    *
+    * Shape for scale: both corpora tokenize scan-side; the two bucket
+    * histograms are ≤ `buckets` rows each (constants), so the log-ratio
+    * table broadcasts back onto the candidate token stream — the only
+    * data-sized shuffle is the final per-doc sum, keyed on the doc id, and
+    * partial aggregation compacts it map-side. The target corpus is read
+    * once and never joined row-to-row against candidates.
+    */
+  def importanceWeights(candidates: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 4096, alpha: Double = 1.0,
+                        bucket: Option[Column => Column] = None): DataFrame = {
+    require(buckets > 0 && alpha > 0)
+    val bfn = bucket.getOrElse(murmurBucket(buckets) _)
+    // target only needs textCol — it may be a different table than candidates
+    def toks(df: DataFrame, ids: Seq[Column]): DataFrame =
+      df.where(graft.functions.Text.tokenCount(col(textCol)) >= 1)
+        .select(ids :+
+          explode(graft.functions.Text.shingles(col(textCol), 1)).as("__tok"): _*)
+        .select(ids :+ bfn(col("__tok")).as("__b"): _*)
+    val candToks = toks(candidates, Seq(col(idCol)))
+    val tgtHist = toks(target, Nil).groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rawHist = candToks.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val totals = tgtHist.agg(coalesce(sum("__ct"), lit(0L)).cast("double").as("__nt"))
+      .crossJoin(rawHist.agg(coalesce(sum("__cr"), lit(0L)).cast("double").as("__nr")))
+    val aB = alpha * buckets
+    val llr = tgtHist.join(rawHist, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + alpha) / (col("__nt") + aB)) -
+         log((coalesce(col("__cr"), lit(0L)) + alpha) / (col("__nr") + aB)))
+          .as("__llr"))
+    candToks.join(broadcast(llr), Seq("__b"))
+      .groupBy(col(idCol)).agg(
+        sum("__llr").as("weight"), count(lit(1)).as("n_toks"))
+  }
+
+  /** Gumbel-top-k importance RESAMPLE over [[importanceWeights]]: draw `k`
+    * candidates without replacement with probability ∝ exp(weight) — the
+    * paper's sampling step, which keeps diversity that a hard top-k cut
+    * destroys (top-k alone concentrates on near-duplicates of the target).
+    * The Gumbel noise is seeded per doc id (`-ln(-ln(u))`,
+    * `u = (xxhash64(id, seed) mod M + ½)/M`), so the draw is deterministic
+    * and re-runs select the identical set — auditable data selection.
+    * `temperature` scales the weights (→0 approaches hard top-k; large
+    * flattens toward uniform); `gumbel = false` gives the hard top-k cut.
+    *
+    * Top-k plans as TakeOrderedAndProject — no global sort materializes.
+    */
+  def importanceResample(candidates: DataFrame, target: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         seed: Long = 42L, temperature: Double = 1.0,
+                         gumbel: Boolean = true,
+                         buckets: Int = 4096, alpha: Double = 1.0,
+                         bucket: Option[Column => Column] = None): DataFrame = {
+    require(k > 0 && temperature > 0)
+    val w = importanceWeights(candidates, target, idCol, textCol,
+      buckets, alpha, bucket)
+    val m = 1L << 20
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(m)).cast("double") + 0.5) / m
+    val key =
+      if (gumbel) col("weight") / temperature - log(-log(u)) else col("weight")
+    w.withColumn("__k", key)
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(k)
+      .drop("__k")
+  }
+
+  /** Default token→bucket hash: murmur3, codegen'd. */
+  def murmurBucket(buckets: Int)(tok: Column): Column =
+    pmod(hash(tok), lit(buckets))
+
+  /** md5-prefix bucket over 256 buckets — SQL-oracle-reproducible
+    * (`(hexdigit₁ × 16 + hexdigit₂)` of `md5(tok)`). Use with
+    * `buckets = 256`.
+    */
+  def md5Bucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 2), 16, 10).cast("int")
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

@@ -101,6 +101,62 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("importanceWeights: LLR from first principles with a transparent bucket") {
+    import spark.implicits._
+    // bucket = token length → hand-computable histograms, B = 8, α = 1:
+    // target "a a bb":  b1:2 b2:1  (Nt=3); candidates: b1:1 b2:1 b3:2 (Nr=4)
+    val target = Seq((10L, "a a bb")).toDF("doc_id", "text")
+    val cands = Seq((1L, "a bb"), (2L, "ccc ccc")).toDF("doc_id", "text")
+    val got = Quality.importanceWeights(cands, target, "doc_id", "text",
+        buckets = 8, alpha = 1.0, bucket = Some(c => length(c)))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def llr(ct: Int, cr: Int) =
+      math.log((ct + 1.0) / (3 + 8.0)) - math.log((cr + 1.0) / (4 + 8.0))
+    assert(math.abs(got(1L)._1 - (llr(2, 1) + llr(1, 1))) < 1e-12)
+    assert(got(1L)._2 === 2L)
+    assert(math.abs(got(2L)._1 - 2 * llr(0, 2)) < 1e-12)
+    assert(got(2L)._2 === 2L)
+  }
+
+  test("importanceWeights ranks target-like candidates above off-domain ones") {
+    import spark.implicits._
+    val target = (1 to 5).map(i => (100L + i, "apple banana cherry date"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, "apple banana cherry"), (2L, "zebra xylophone quartz"))
+      .toDF("doc_id", "text")
+    val w = Quality.importanceWeights(cands, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(2L))
+  }
+
+  test("importanceResample: hard top-k honors weights; gumbel draw is seed-deterministic") {
+    import spark.implicits._
+    val target = Seq((10L, "a a bb")).toDF("doc_id", "text")
+    val cands = Seq((1L, "a bb"), (2L, "ccc ccc"), (3L, "a a")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val hard = Quality.importanceResample(cands, target, "doc_id", "text",
+      k = 2, gumbel = false, buckets = 8, bucket = Some(c => length(c)))
+    // weights: doc3 (all b1-like target mass) and doc1 beat the off-domain doc2
+    assert(ids(hard) === Set(1L, 3L))
+    val g1 = ids(Quality.importanceResample(cands, target, "doc_id", "text",
+      k = 2, seed = 7L, buckets = 8, bucket = Some(c => length(c))))
+    val g2 = ids(Quality.importanceResample(cands, target, "doc_id", "text",
+      k = 2, seed = 7L, buckets = 8, bucket = Some(c => length(c))))
+    assert(g1 === g2 && g1.size === 2 && g1.subsetOf(Set(1L, 2L, 3L)))
+  }
+
+  test("importanceResample plans as TakeOrderedAndProject with a broadcast LLR join") {
+    import spark.implicits._
+    val target = Seq((10L, "a a bb")).toDF("doc_id", "text")
+    val cands = Seq((1L, "a bb"), (2L, "ccc ccc")).toDF("doc_id", "text")
+    val plan = Quality.importanceResample(cands, target, "doc_id", "text", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the candidate token stream joins the ≤B-row LLR table without a shuffle
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("audit is a single scan for plain predicates") {
     val plan = Quality.audit(df, Seq(
         Quality.notNull("id"), Quality.inRange("amt", 0, 1)))
