@@ -48,6 +48,8 @@ object GraftExtensions {
       Shingles(args.head, intArg(args(1), "n"))
     },
     "graft_norm_fingerprint" -> { args => NormFingerprint(args.head) },
+    "graft_nfc" -> { args => NormalizeUnicode(args.head, "NFC") },
+    "graft_fold_accents" -> { args => FoldAccents(args.head) },
     "graft_cosine" -> { args => CosineSim(args.head, args(1)) },
     "graft_simhash_md5" -> { args =>
       SimHashMd5(args.head, intArg(args(1), "shingleSize"))

@@ -571,6 +571,16 @@ object Oracles {
         "CAST(count(*) AS BIGINT) AS n_toks FROM bk JOIN llr ON bk.b = llr.b " +
         "WHERE bk.source NOT IN ('src0', 'src1') GROUP BY 1 ORDER BY 1"),
 
+    // unicode hygiene: suffix every 'a' with a combining acute (U+0301 =
+    // chr(769)); NFC must re-compose, strip_accents must fold back
+    "q109_unicode_norm" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "replace(text, 'a', 'a' || chr(769)) AS troubled FROM documents) " +
+        "SELECT doc_id, md5(nfc_normalize(troubled)) AS nfc_hash, " +
+        "md5(strip_accents(troubled)) AS folded_hash, " +
+        "strip_accents(troubled) = text AS refolds " +
+        "FROM d ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

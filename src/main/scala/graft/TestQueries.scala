@@ -612,6 +612,23 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Unicode normalization + accent folding ([[functions.Text
+    * .normalizeUnicode]] / [[functions.Text.foldAccents]]): decomposed
+    * sequences are synthesized by suffixing every `a` with a combining
+    * acute (U+0301), then NFC must re-compose them (byte-level change,
+    * hash-checked) and folding must strip them back to the original text.
+    * Oracle: DuckDB `nfc_normalize` / `strip_accents`.
+    */
+  def q109UnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    val troubled = regexp_replace(col("text"), "a", "á")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(Text.normalizeUnicode(troubled)).as("nfc_hash"),
+        md5(Text.foldAccents(troubled)).as("folded_hash"),
+        (Text.foldAccents(troubled) === col("text")).as("refolds"))
+      .orderBy("doc_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1364,6 +1381,7 @@ object TestQueries {
     "q106_unigram_kl" -> (q106UnigramKl _),
     "q107_diverse_sample" -> (q107DiverseSample _),
     "q108_dsir_weights" -> (q108DsirWeights _),
+    "q109_unicode_norm" -> (q109UnicodeNorm _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -66,6 +66,22 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     graft.functions.expressions.TextHashExpressions.shingles(text, n)
 
+  /** Canonical Unicode normalization (NFC default) — byte-canonicalize
+    * mixed composed/decomposed crawl text BEFORE fingerprinting or exact
+    * dedup, or two spellings of one document dodge the hash. Native
+    * expression with an ASCII fast path;
+    * see [[graft.functions.expressions.NormalizeUnicode]].
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.expressions.UnicodeExpressions.normalizeUnicode(text, form)
+
+  /** Latin-diacritic folding (`café` → `cafe`, composed or decomposed
+    * input alike) — the match-key normalizer for cross-corpus joins.
+    * Native expression; see [[graft.functions.expressions.FoldAccents]].
+    */
+  def foldAccents(text: Column): Column =
+    graft.functions.expressions.UnicodeExpressions.foldAccents(text)
+
   /** Deterministic 64-bit document fingerprint (xxHash64 of the
     * whitespace-normalized, lowercased text) — rolling-hash-style identity
     * for exact-ish dedup that ignores spacing differences. Native

@@ -194,6 +194,14 @@ object ScaleCheck {
           graft.sources.Tables.loadEvents(spark, dir),
           "user_id", "ts", "value", stepSeconds = 300L).count()
       },
+      "dsir_weights" -> { dir =>
+        // target histogram is a ≤B-row constant; the candidate side is the
+        // data-sized stream — both must scale with corpus tokens, linearly
+        val d = docs(dir)
+        graft.operators.Quality.importanceWeights(
+          d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+          "doc_id", "text").count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.

@@ -131,6 +131,10 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT graft_bpe_segment('newest', array('e s', 'es t')) AS t")
       .head().getSeq[String](0)
     assert(bpe === Seq("n", "e", "w", "est"))
+    val uni = spark.sql(
+      "SELECT graft_nfc('cafe\u0301') AS n, graft_fold_accents('cafe\u0301') AS f")
+      .head()
+    assert(uni.getString(0) === "caf\u00e9" && uni.getString(1) === "cafe")
   }
 
   test("bpeMerges learns the classic merge sequence; segmentation partitions words") {
@@ -209,5 +213,55 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2) === "a <tag> \"q\" 's' & more &lt;")
     assert(got(3) === "spaced out")
     assert(got(4) === "no markup at all")
+  }
+
+  test("normalizeUnicode: NFC composes; foldAccents strips marks either way") {
+    import spark.implicits._
+    import graft.functions.Text
+    val composed = "caf\u00e9"            // é as one codepoint
+    val decomposed = "cafe\u0301"         // e + combining acute
+    val df = Seq(composed, decomposed, "plain ascii", "\u00dcber na\u00efve")
+      .toDF("t")
+      .select(Text.normalizeUnicode(col("t")).as("nfc"),
+        Text.normalizeUnicode(col("t"), "NFD").as("nfd"),
+        Text.foldAccents(col("t")).as("folded"))
+    val got = df.collect()
+    // both spellings canonicalize to the SAME bytes under NFC…
+    assert(got(0).getString(0) === composed)
+    assert(got(1).getString(0) === composed)
+    // …and to the same decomposed bytes under NFD
+    assert(got(0).getString(1) === decomposed)
+    assert(got(1).getString(1) === decomposed)
+    // folding reaches plain ASCII from either spelling
+    assert(got(0).getString(2) === "cafe" && got(1).getString(2) === "cafe")
+    // ASCII fast path: identity
+    assert(got(2).getString(0) === "plain ascii" &&
+      got(2).getString(2) === "plain ascii")
+    assert(got(3).getString(2) === "Uber naive")
+  }
+
+  test("unicode normalization fixes the dedup miss it exists for") {
+    import spark.implicits._
+    import graft.functions.Text
+    // one document, two crawl encodings: exact dedup misses them raw,
+    // catches them after NFC
+    val docs = Seq((1L, "r\u00e9sum\u00e9 text"), (2L, "re\u0301sume\u0301 text"))
+      .toDF("id", "text")
+    assert(docs.select(md5(col("text"))).distinct().count() === 2)
+    assert(docs.select(md5(Text.normalizeUnicode(col("text"))))
+      .distinct().count() === 1)
+  }
+
+  test("normalizeUnicode/foldAccents are null-safe and idempotent") {
+    import spark.implicits._
+    import graft.functions.Text
+    val df = Seq(Some("tri\u0301ky"), None).toDF("t")
+    val got = df.select(
+        Text.normalizeUnicode(col("t")).as("n"),
+        Text.foldAccents(Text.foldAccents(col("t"))).as("ff"),
+        Text.foldAccents(col("t")).as("f"))
+      .collect()
+    assert(got(0).getString(1) === got(0).getString(2)) // fold∘fold = fold
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
   }
 }
