@@ -581,6 +581,32 @@ object Oracles {
         "strip_accents(troubled) = text AS refolds " +
         "FROM d ORDER BY doc_id"),
 
+    // bigram stupid-backoff NLL vs the src0-src4 reference slice:
+    // seen bigram → c2/c1(w1); unseen → 0.4·(c1(w2)+1)/(N+V)
+    "q110_bigram_nll" ->
+      ("WITH rt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE source IN ('src0','src1','src2','src3','src4') " +
+        "AND length(trim(text)) > 0), " +
+        "c1 AS (SELECT tok, count(*) AS c FROM " +
+        "(SELECT unnest(t) AS tok FROM rt) GROUP BY 1), " +
+        "c2 AS (SELECT bg, count(*) AS c FROM " +
+        "(SELECT unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS bg FROM rt WHERE len(t) >= 2) GROUP BY 1), " +
+        "s AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM c1), " +
+        "dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "db AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS bg FROM dt WHERE len(t) >= 2) " +
+        "SELECT db.doc_id, round(avg(-ln(CASE WHEN c2.c IS NOT NULL " +
+        "THEN CAST(c2.c AS DOUBLE) / c1a.c " +
+        "ELSE 0.4 * (coalesce(c1b.c, 0) + 1.0) / (s.n + s.v) END)), 4) AS nll_bg, " +
+        "CAST(count(*) AS BIGINT) AS n_bigrams " +
+        "FROM db LEFT JOIN c2 ON db.bg = c2.bg " +
+        "LEFT JOIN c1 c1a ON split_part(db.bg, ' ', 1) = c1a.tok " +
+        "LEFT JOIN c1 c1b ON split_part(db.bg, ' ', 2) = c1b.tok " +
+        "CROSS JOIN s GROUP BY 1 ORDER BY 1"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

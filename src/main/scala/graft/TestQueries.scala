@@ -629,6 +629,21 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram stupid-backoff NLL ([[operators.Quality.bigramLogProb]]):
+    * perplexity-proxy scoring of the WHOLE corpus against a 5-source
+    * reference slice — unseen bigrams exercise the smoothed unigram
+    * backoff path, not just the happy path.
+    */
+  def q110BigramNll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = docs.where(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"))
+    operators.Quality.bigramLogProb(docs, ref, "doc_id", "text")
+      .select(col("doc_id"), round(col("nll_bg"), 4).as("nll_bg"),
+        col("n_bigrams").cast("long").as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1382,6 +1397,7 @@ object TestQueries {
     "q107_diverse_sample" -> (q107DiverseSample _),
     "q108_dsir_weights" -> (q108DsirWeights _),
     "q109_unicode_norm" -> (q109UnicodeNorm _),
+    "q110_bigram_nll" -> (q110BigramNll _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

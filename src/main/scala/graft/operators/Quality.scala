@@ -94,6 +94,54 @@ object Quality {
         count(lit(1)).as("n_toks"))
   }
 
+  /** Bigram stupid-backoff NLL vs a REFERENCE corpus — one rung up the
+    * perplexity-filter ladder from [[unigramLogProb]] (CCNet trains a
+    * 5-gram KenLM on Wikipedia and filters web text by perplexity; the
+    * bigram stupid-backoff model is its shuffle-friendly sketch). Score of
+    * an occurrence `w1 w2`:
+    * `c2(w1 w2) / c1(w1)` when the bigram is in the reference, else
+    * `backoff × (c1(w2) + 1) / (N + V)` (add-1-smoothed unigram fallback,
+    * so out-of-vocabulary words stay finite). Returns
+    * `(idCol, nll_bg, n_bigrams)` = avg −ln(score) over the doc's bigram
+    * occurrences; docs with < 2 tokens are omitted.
+    *
+    * Shape for scale: scoring joins happen once per DISTINCT bigram of the
+    * scored corpus (vocabulary-sized), not per occurrence; the occurrence
+    * stream then joins the scored-bigram table and aggregates per doc.
+    * No broadcast is forced — reference n-gram tables grow with the
+    * reference corpus, so AQE picks broadcast vs shuffle join by size.
+    */
+  def bigramLogProb(df: DataFrame, reference: DataFrame, idCol: String,
+                    textCol: String, backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0 && backoff <= 1)
+    def grams(d: DataFrame, n: Int, ids: Seq[Column]) =
+      d.where(graft.functions.Text.tokenCount(col(textCol)) >= n)
+        .select(ids :+
+          explode(graft.functions.Text.shingles(col(textCol), n)).as("__g"): _*)
+    val c1 = grams(reference, 1, Nil).groupBy("__g").agg(count(lit(1)).as("__c1"))
+    val c2 = grams(reference, 2, Nil).groupBy("__g").agg(count(lit(1)).as("__c2"))
+      .withColumnRenamed("__g", "__bg")
+    val scal = c1.agg(coalesce(sum("__c1"), lit(0L)).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val docBg = grams(df, 2, Seq(col(idCol))).withColumnRenamed("__g", "__bg")
+    val scoredBg = docBg.select("__bg").distinct()
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .withColumn("__w2", substring_index(col("__bg"), " ", -1))
+      .join(c2, Seq("__bg"), "left")
+      .join(c1.withColumnRenamed("__g", "__w1"), Seq("__w1"), "left")
+      .join(c1.withColumnRenamed("__g", "__w2")
+        .withColumnRenamed("__c1", "__c1b"), Seq("__w2"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("__bg"),
+        when(col("__c2").isNotNull,
+          col("__c2").cast("double") / col("__c1"))
+          .otherwise(lit(backoff) * (coalesce(col("__c1b"), lit(0L)) + 1.0) /
+            (col("__n") + col("__v"))).as("__s"))
+    docBg.join(scoredBg, Seq("__bg"))
+      .groupBy(col(idCol)).agg(
+        avg(-log(col("__s"))).as("nll_bg"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each candidate
     * document by how much more likely its hashed-unigram bag is under the

@@ -202,6 +202,14 @@ object ScaleCheck {
           d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
           "doc_id", "text").count()
       },
+      "bigram_nll" -> { dir =>
+        // scoring joins are per-DISTINCT-bigram; occurrence stream joins
+        // the scored table once — must track corpus tokens linearly
+        val d = docs(dir)
+        graft.operators.Quality.bigramLogProb(d,
+          d.where(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+          "doc_id", "text").count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.

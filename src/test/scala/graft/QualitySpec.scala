@@ -101,6 +101,26 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("bigramLogProb: seen-bigram and backoff paths from first principles") {
+    import spark.implicits._
+    // reference "a b a c": c1 = {a:2, b:1, c:1}, N=4, V=3;
+    // bigrams c2 = {"a b":1, "b a":1, "a c":1}
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b a"),  // both bigrams seen: s = 1/2, 1/1
+      (2L, "a d"),    // unseen bigram, OOV w2: s = 0.4·(0+1)/(4+3)
+      (3L, "c b"),    // unseen bigram, known w2: s = 0.4·(1+1)/(4+3)
+      (4L, "x")       // < 2 tokens → omitted
+    ).toDF("doc_id", "text")
+    val got = Quality.bigramLogProb(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(got(1L)._1 - (math.log(2.0) + 0.0) / 2) < 1e-12)
+    assert(got(1L)._2 === 2L)
+    assert(math.abs(got(2L)._1 - -math.log(0.4 / 7)) < 1e-12)
+    assert(math.abs(got(3L)._1 - -math.log(0.8 / 7)) < 1e-12)
+  }
+
   test("importanceWeights: LLR from first principles with a transparent bucket") {
     import spark.implicits._
     // bucket = token length → hand-computable histograms, B = 8, α = 1:
