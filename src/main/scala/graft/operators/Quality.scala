@@ -205,6 +205,10 @@ object Quality {
     * flattens toward uniform); `gumbel = false` gives the hard top-k cut.
     *
     * Top-k plans as TakeOrderedAndProject — no global sort materializes.
+    * Returns the selected candidate ROWS (all their columns) with `weight`
+    * and `n_toks` attached: the k-row winner set joins back onto the
+    * candidate table (id-keyed; AQE sizes the join — broadcast for typical
+    * k, shuffle when k is itself corpus-scale).
     */
   def importanceResample(candidates: DataFrame, target: DataFrame,
                          idCol: String, textCol: String, k: Int,
@@ -219,10 +223,11 @@ object Quality {
     val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(m)).cast("double") + 0.5) / m
     val key =
       if (gumbel) col("weight") / temperature - log(-log(u)) else col("weight")
-    w.withColumn("__k", key)
+    val picked = w.withColumn("__k", key)
       .orderBy(col("__k").desc, col(idCol))
       .limit(k)
       .drop("__k")
+    candidates.join(picked, Seq(idCol))
   }
 
   /** Default token→bucket hash: murmur3, codegen'd. */

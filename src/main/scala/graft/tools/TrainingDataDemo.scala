@@ -29,9 +29,22 @@ object TrainingDataDemo {
     lake.write(docs, "bronze", "documents")
     println(s"bronze: ${docs.count()} raw docs → $lakeRoot/bronze")
 
-    // 2. curate: annotate → quality/lang filter → exact + MinHash dedup
-    val curated = CorpusPipeline.curate(docs)
+    // 2. curate: NFC-canonicalize (composed/decomposed crawl spellings must
+    // collapse BEFORE any fingerprint) → annotate → quality/lang filter →
+    // exact + MinHash dedup
+    val canonical = docs.withColumn("text", Text.normalizeUnicode(col("text")))
+    val curated = CorpusPipeline.curate(canonical)
     println(s"curated: ${curated.count()} docs survive quality+dedup")
+
+    // 2b. domain selection: DSIR importance resample toward the src0/src1
+    // "target domain", plus the bigram-perplexity signal both as evidence
+    val dsirTarget = canonical.where(col("source").isin("src0", "src1"))
+    val dsirPool = curated.where(!col("source").isin("src0", "src1"))
+    val selected = Quality.importanceResample(dsirPool, dsirTarget,
+      "doc_id", "text", k = 200, seed = 42L)
+    val ppl = Quality.bigramLogProb(selected, dsirTarget, "doc_id", "text")
+    println(s"dsir: ${selected.count()} docs drawn toward target; " +
+      s"mean bigram NLL ${ppl.agg(avg("nll_bg")).head().getDouble(0)}")
 
     // 3. eval-set contamination scrub: the eval docs themselves leave the
     // training pool entirely, and remaining docs overlapping them are

@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import graft.operators.{Joins, Splits}
 
 /** Property checks of the compositional operators against brute-force
-  * reference implementations on randomized (seed-deterministic) inputs —
+  * reference implementations on randomized (seed-deterministic) inputs \u2014
   * the window/bin/running-sum formulations must match the quadratic or
   * sequential semantics they re-express, not just hand-picked fixtures.
   */
@@ -27,7 +27,7 @@ class OperatorPropertySpec extends AnyFunSuite {
       (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0)) // (key, ts, px)
       // duplicate (key, ts) right rows are deduped from the INPUT: the
       // operator's window orders only by (ts, side), so among tied rows it
-      // keeps an arbitrary one — dedup keeps the property deterministic
+      // keeps an arbitrary one \u2014 dedup keeps the property deterministic
       // without asserting an ordering guarantee the operator doesn't make
       .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
     val expected = left.flatMap { case (id, k, ts) =>
@@ -129,7 +129,7 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(kept.length === kept.toSet.size)
     }
     // monotone membership: raising the cap only ADDS rows (prefix property
-    // of the md5 ordering) — a cache of the small sample stays valid
+    // of the md5 ordering) \u2014 a cache of the small sample stays valid
     val at10 = Splits.balancedDownsample(df, Seq("grp"), 10L, "id")
       .collect().map(_.getLong(0)).toSet
     val at20 = Splits.balancedDownsample(df, Seq("grp"), 20L, "id")
@@ -181,6 +181,39 @@ class OperatorPropertySpec extends AnyFunSuite {
         v.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
       val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
       assert(got(id) === best, s"vector $id")
+    }
+  }
+
+  test("unicode normalize/fold == java.text.Normalizer reference on random text") {
+    import graft.functions.Text
+    // mix ASCII, precomposed Latin, and combining marks \u2014 the crawl soup
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('\u00e0', '\u00e9', '\u00ee', '\u00f6', '\u00fc', '\u00f1', '\u00e7', '\u00c5'),
+      1 -> Gen.oneOf('\u0300', '\u0301', '\u0302', '\u0308'),
+      1 -> Gen.const(' '))
+    val texts = samples(Gen.listOf(charGen).map(_.mkString), 150)
+    def refNfc(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    def refFold(s: String) = {
+      val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder
+      nfd.codePoints().forEach { cp =>
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          sb.appendCodePoint(cp)
+      }
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
+    }
+    val got = texts.toDF("t")
+      .select(Text.normalizeUnicode(col("t")).as("nfc"),
+        Text.foldAccents(col("t")).as("f"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    texts.zip(got).foreach { case (t, (nfc, f)) =>
+      assert(nfc === refNfc(t), s"NFC diverged on ${t.map(c => f"${c.toInt}%04x").mkString(" ")}")
+      assert(f === refFold(t), s"fold diverged on ${t.map(c => f"${c.toInt}%04x").mkString(" ")}")
+      // idempotence \u2014 the canonical forms are fixed points
+      assert(refNfc(nfc) === nfc)
+      assert(refFold(f) === f)
     }
   }
 }
