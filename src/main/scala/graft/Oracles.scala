@@ -607,6 +607,16 @@ object Oracles {
         "LEFT JOIN c1 c1b ON split_part(db.bg, ' ', 2) = c1b.tok " +
         "CROSS JOIN s GROUP BY 1 ORDER BY 1"),
 
+    // char entropy: H = ln(n) − Σ c·ln(c)/n over per-doc char counts
+    "q111_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c " +
+        "FROM documents WHERE length(text) >= 1), " +
+        "cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS n, " +
+        "sum(n * ln(n)) AS clogc FROM cc GROUP BY 1) " +
+        "SELECT doc_id, round(ln(n) - clogc / n, 4) AS entropy, " +
+        "CAST(n AS BIGINT) AS n_chars FROM agg ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -644,6 +644,15 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Character entropy ([[operators.Quality.charEntropy]]): the
+    * gibberish/encoding-damage band check over every document.
+    */
+  def q111CharEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), round(col("entropy"), 4).as("entropy"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1398,6 +1407,7 @@ object TestQueries {
     "q108_dsir_weights" -> (q108DsirWeights _),
     "q109_unicode_norm" -> (q109UnicodeNorm _),
     "q110_bigram_nll" -> (q110BigramNll _),
+    "q111_char_entropy" -> (q111CharEntropy _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -94,6 +94,30 @@ object Quality {
         count(lit(1)).as("n_toks"))
   }
 
+  /** Per-document character Shannon entropy (nats) — the cheap
+    * gibberish/encoding-damage detector: natural prose sits in a narrow
+    * entropy band, base64/hex blobs and mojibake score high, repeated-char
+    * padding scores near zero. Returns `(idCol, entropy, n_chars)`;
+    * empty/null docs are omitted.
+    *
+    * Shape for scale: one explode keyed by the doc id; the per-(doc, char)
+    * count partial-aggregates map-side, and the second aggregate carries
+    * only (doc, char-count) rows — both shuffles doc-keyed, no corpus-wide
+    * hot key.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(length(col(textCol)) >= 1)
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("__n"),
+        sum(col("__c") * log(col("__c"))).as("__clogc"))
+      // H = ln(n) − Σ c·ln(c) / n  (algebraic form: one pass, no second
+      // join against the total)
+      .select(col(idCol),
+        (log(col("__n")) - col("__clogc") / col("__n")).as("entropy"),
+        col("__n").cast("long").as("n_chars"))
+
   /** Bigram stupid-backoff NLL vs a REFERENCE corpus — one rung up the
     * perplexity-filter ladder from [[unigramLogProb]] (CCNet trains a
     * 5-gram KenLM on Wikipedia and filters web text by perplexity; the

@@ -101,6 +101,30 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("charEntropy: hand-computed values; padding low, varied text high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),     // one symbol → H = 0
+      (2L, "ab"),       // two equiprobable → H = ln 2
+      (3L, "aab"),      // H = ln 3 − (2 ln 2)/3
+      (4L, "")          // empty → omitted
+    ).toDF("doc_id", "text")
+    val got = Quality.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(got(1L)._1 - 0.0) < 1e-12 && got(1L)._2 === 4L)
+    assert(math.abs(got(2L)._1 - math.log(2)) < 1e-12)
+    assert(math.abs(got(3L)._1 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    // the detector's point: padding ≪ prose < base64-ish noise
+    val band = Seq((10L, "xxxxxxxxxxxxxxxxxxxx"),
+      (11L, "the cat sat on the mat"),
+      (12L, "aG9wZWxlc3NseSByYW5kb20gYmxvYg=="))
+      .toDF("doc_id", "text")
+    val h = Quality.charEntropy(band, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(10L) < h(11L) && h(11L) < h(12L))
+  }
+
   test("bigramLogProb: seen-bigram and backoff paths from first principles") {
     import spark.implicits._
     // reference "a b a c": c1 = {a:2, b:1, c:1}, N=4, V=3;
