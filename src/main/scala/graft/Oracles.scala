@@ -617,6 +617,22 @@ object Oracles {
         "SELECT doc_id, round(ln(n) - clogc / n, 4) AS entropy, " +
         "CAST(n AS BIGINT) AS n_chars FROM agg ORDER BY doc_id"),
 
+    // pack materialization: q79's floor(cumulative-before / budget)
+    // assignment, then texts string_agg'd in doc order per pack
+    "q112_pack_concat" ->
+      ("WITH d AS (SELECT doc_id, lang, text, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "p AS (SELECT lang, doc_id, text, n_tokens, " +
+        "CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 500) " +
+        "AS BIGINT) AS pack_id FROM d) " +
+        "SELECT lang, pack_id, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_hash " +
+        "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

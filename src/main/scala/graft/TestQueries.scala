@@ -653,6 +653,22 @@ object TestQueries {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** Pack materialization ([[operators.Splits.materializePacks]]): q79's
+    * assignment turned into actual training sequences — member texts
+    * concatenated in doc order; the gate hashes each sequence.
+    */
+  def q112PackConcat(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.materializePacks(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "text", budget = 500L,
+        partitionCols = Seq("lang"))
+      .select(col("lang"), col("pack_id"), col("n_docs").cast("long").as("n_docs"),
+        col("sum_tokens").cast("long").as("sum_tokens"),
+        md5(col("seq_text")).as("seq_hash"))
+      .orderBy("lang", "pack_id")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1408,6 +1424,7 @@ object TestQueries {
     "q109_unicode_norm" -> (q109UnicodeNorm _),
     "q110_bigram_nll" -> (q110BigramNll _),
     "q111_char_entropy" -> (q111CharEntropy _),
+    "q112_pack_concat" -> (q112PackConcat _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -170,6 +170,33 @@ object Splits {
           .cast("long"))
   }
 
+  /** Materialize [[packByBudget]]'s assignment into actual training
+    * sequences: one row per pack with the member docs' text concatenated
+    * in `orderCol` order (`sep`-joined — the doc-boundary marker the
+    * loader splits attention on), plus `n_docs` and `sum_tokens`.
+    *
+    * SCALE: the per-pack collect is BOUNDED BY THE BUDGET — a pack holds
+    * at most `budget` tokens (plus one straddling doc), so group state is
+    * a context-window of text, never a corpus skew risk. One doc-keyed
+    * window (the assignment) + one pack-keyed aggregate.
+    */
+  def materializePacks(df: DataFrame, orderCol: String, tokensCol: String,
+                       textCol: String, budget: Long,
+                       partitionCols: Seq[String] = Nil,
+                       sep: String = "\n\n"): DataFrame = {
+    val packed = packByBudget(df, orderCol, tokensCol, budget, partitionCols)
+    val keys = partitionCols :+ "pack_id"
+    packed.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("sum_tokens"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("__o"),
+              col(textCol).as("__t")))),
+            x => x("__t"))).as("seq_text"))
+  }
+
   /** Expanding-window time-series cross-validation folds: the event stream
     * is cut at k+1 TIME boundaries (quantiles of the DISTINCT timestamps —
     * every row of one timestamp stays on one side of every cut, so a fold

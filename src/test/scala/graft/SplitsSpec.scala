@@ -187,4 +187,28 @@ class SplitsSpec extends AnyFunSuite {
       Splits.tokenChunks(docs, "doc_id", "text", maxTokens = 5, overlap = 5)
     }
   }
+
+  test("materializePacks: every sequence is its members' text in doc order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (1 to 60).map(i => (i.toLong, s"d$i", 1L + rnd.nextInt(9)))
+    val df = docs.toDF("doc_id", "text", "n_tok")
+    val got = Splits.materializePacks(df, "doc_id", "n_tok", "text",
+        budget = 10L)
+      .collect()
+      .map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[String]("seq_text"))).toMap
+    // reference: sequential fill in doc order
+    var cum = 0L
+    val expected = docs.map { case (id, t, n) =>
+      val pid = cum / 10L; cum += n; (pid, id, t, n)
+    }.groupBy(_._1).map { case (pid, ms) =>
+      pid -> (ms.size.toLong, ms.map(_._4).sum,
+        ms.sortBy(_._2).map(_._3).mkString("\n\n"))
+    }
+    assert(got === expected)
+    // every doc's text appears in exactly one sequence
+    assert(got.values.map(_._3.split("\n\n").length.toLong).sum === 60L)
+  }
 }
