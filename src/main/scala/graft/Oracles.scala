@@ -633,6 +633,15 @@ object Oracles {
         "md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_hash " +
         "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // curriculum buckets: quartile thresholds (quantile_cont ≡ Spark's
+    // exact percentile: linear interpolation at p·(n−1)), bucket = count
+    // of thresholds strictly below the value
+    "q113_curriculum" ->
+      ("WITH t AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS ths " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(len(list_filter(t.ths, x -> n_chars > x)) AS INTEGER) " +
+        "AS bucket FROM documents, t ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -669,6 +669,18 @@ object TestQueries {
         md5(col("seq_text")).as("seq_hash"))
       .orderBy("lang", "pack_id")
 
+  /** Curriculum buckets ([[operators.Splits.quantileBuckets]]): quartile
+    * difficulty tiers over doc length — exact-percentile thresholds are
+    * dyadic-fraction interpolations over integers, so Spark and DuckDB
+    * compute bit-identical cutoffs.
+    */
+  def q113Curriculum(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.quantileBuckets(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", numBuckets = 4)
+      .select(col("doc_id"), col("bucket"))
+      .orderBy("doc_id")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1425,6 +1437,7 @@ object TestQueries {
     "q110_bigram_nll" -> (q110BigramNll _),
     "q111_char_entropy" -> (q111CharEntropy _),
     "q112_pack_concat" -> (q112PackConcat _),
+    "q113_curriculum" -> (q113Curriculum _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -197,6 +197,34 @@ object Splits {
             x => x("__t"))).as("seq_text"))
   }
 
+  /** Quantile-bucketed curriculum assignment: split the corpus into
+    * `numBuckets` equal-population difficulty tiers by `valueCol` (length,
+    * perplexity, quality score …) — the curriculum-learning ordering key,
+    * and the scale-correct alternative to `ntile()` (whose global window
+    * single-partition-sorts the corpus). Adds `bucket` ∈ [0, numBuckets):
+    * the count of thresholds strictly below the row's value.
+    *
+    * Thresholds come from ONE global percentile aggregate (a scalar row
+    * that broadcasts back — the A5 pattern); bucketing is then scan-side.
+    * Default is the EXACT percentile (deterministic, oracle-matchable —
+    * but it holds the column in memory per partial, so at corpus scale
+    * pass `approxAccuracy` to switch to the GK sketch, same plan shape).
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, numBuckets: Int,
+                      approxAccuracy: Option[Int] = None): DataFrame = {
+    require(numBuckets >= 2)
+    val ps = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val pctFn = approxAccuracy match {
+      case Some(acc) => s"approx_percentile($valueCol, array(${ps.mkString(", ")}), $acc)"
+      case None      => s"percentile($valueCol, array(${ps.mkString(", ")}))"
+    }
+    val ths = df.agg(expr(pctFn).as("__ths"))
+    df.crossJoin(broadcast(ths))
+      .withColumn("bucket",
+        size(filter(col("__ths"), t => col(valueCol) > t)))
+      .drop("__ths")
+  }
+
   /** Expanding-window time-series cross-validation folds: the event stream
     * is cut at k+1 TIME boundaries (quantiles of the DISTINCT timestamps —
     * every row of one timestamp stays on one side of every cut, so a fold

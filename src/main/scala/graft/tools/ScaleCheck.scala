@@ -210,6 +210,19 @@ object ScaleCheck {
           d.where(col("source").isin("src0", "src1", "src2", "src3", "src4")),
           "doc_id", "text").count()
       },
+      "char_entropy" -> { dir =>
+        graft.operators.Quality.charEntropy(docs(dir), "doc_id", "text").count()
+      },
+      "pack_concat" -> { dir =>
+        // window partitioned by source — the production shape (a global
+        // pack order would single-partition the window sort)
+        graft.operators.Splits.materializePacks(
+          docs(dir).select(col("doc_id"), col("source"), col("text"),
+            graft.functions.Text.tokenCount(col("text")).cast("long")
+              .as("n_tok")),
+          "doc_id", "n_tok", "text", budget = 2048L,
+          partitionCols = Seq("source")).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.

@@ -211,4 +211,25 @@ class SplitsSpec extends AnyFunSuite {
     // every doc's text appears in exactly one sequence
     assert(got.values.map(_._3.split("\n\n").length.toLong).sum === 60L)
   }
+
+  test("quantileBuckets: equal-population tiers, monotone in the value") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 400).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+    val got = Splits.quantileBuckets(rows.toDF("id", "v"), "v", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // monotone: higher value never lands in a lower bucket
+    val byValue = got.sortBy(_._2)
+    assert(byValue.sliding(2).forall(p => p(1)._3 >= p(0)._3))
+    // quartiles of 400 distinct-ish values: each tier within a hair of 100
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(0, 1, 2, 3))
+    sizes.values.foreach(n => assert(math.abs(n - 100) <= 2, sizes.toString))
+    // approx variant agrees with exact away from the cut points
+    val appr = Splits.quantileBuckets(rows.toDF("id", "v"), "v", 4,
+        approxAccuracy = Some(10000))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val exact = got.map(r => r._1 -> r._3).toMap
+    assert(exact.count { case (id, b) => appr(id) != b } <= 8)
+  }
 }
