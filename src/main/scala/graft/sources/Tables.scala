@@ -49,6 +49,29 @@ object Tables {
     spark.read.format("csv").option("sep", sep).option("header", "false")
       .schema(schema).load(path)
 
+  /** JSONL scan with a DECLARED schema — schema-on-read, no inference
+    * pass (inference reads the whole dataset once before the real scan;
+    * at 100 TB that doubles the job). Malformed lines surface as nulls
+    * (PERMISSIVE) — audit with [[graft.operators.Quality.audit]] rather
+    * than failing the scan.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC scan/sink — Spark-native columnar alternative when the lake
+    * standard is ORC (Hive estates); same pushdown/pruning machinery as
+    * parquet (PushedFilters — spec-pinned).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S2 — managed-table scan. */
   def table(spark: SparkSession, name: String): DataFrame = spark.read.table(name)
 
