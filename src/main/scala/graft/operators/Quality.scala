@@ -134,6 +134,10 @@ object Quality {
     * stream then joins the scored-bigram table and aggregates per doc.
     * No broadcast is forced — reference n-gram tables grow with the
     * reference corpus, so AQE picks broadcast vs shuffle join by size.
+    *
+    * The reference must contain at least one token: with an empty
+    * reference the smoothing denominator `N + V` is 0 and every score
+    * degenerates (there is no distribution to score against).
     */
   def bigramLogProb(df: DataFrame, reference: DataFrame, idCol: String,
                     textCol: String, backoff: Double = 0.4): DataFrame = {
