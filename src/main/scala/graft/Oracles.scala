@@ -642,6 +642,23 @@ object Oracles {
         "SELECT doc_id, CAST(len(list_filter(t.ths, x -> n_chars > x)) AS INTEGER) " +
         "AS bucket FROM documents, t ORDER BY doc_id"),
 
+    // source signature keywords: q63's TF-IDF at the source grain, top-5
+    // per source over the ROUNDED score, term-tiebroken
+    "q114_source_keywords" ->
+      ("WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "t2 AS (SELECT source, term FROM terms WHERE length(term) > 0), " +
+        "tf AS (SELECT source, term, count(*) AS tf FROM t2 GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(DISTINCT source) AS n_src FROM documents), " +
+        "scored AS (SELECT source, term, " +
+        "round(tf * ln((n_src + 1) / (df + 1.0)), 6) AS tfidf " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "r AS (SELECT source, term, tfidf, row_number() OVER " +
+        "(PARTITION BY source ORDER BY tfidf DESC, term) AS rn FROM scored) " +
+        "SELECT source, CAST(rn AS BIGINT) AS rank, term, tfidf " +
+        "FROM r WHERE rn <= 5 ORDER BY source, rank"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

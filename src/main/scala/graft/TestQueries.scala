@@ -681,6 +681,34 @@ object TestQueries {
       .select(col("doc_id"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Source signature keywords: q63's TF-IDF machinery at the SOURCE
+    * grain (each source's text = one pseudo-doc; df = sources containing
+    * the term) → top-5 distinguishing terms per source. The corpus-triage
+    * view: what makes src7 different. Ranking is over the ROUNDED score
+    * (q63's rule — unrounded ln can differ in the last ulp across
+    * engines), term-tiebroken.
+    */
+  def q114SourceKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    // same pin rationale as q63: tf feeds both the join and the df agg
+    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSrc = docs.agg(countDistinct("source").as("n_src"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nSrc))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_src") + 1) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy("source")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("source"), col("rn").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy("source", "rank")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1438,6 +1466,7 @@ object TestQueries {
     "q111_char_entropy" -> (q111CharEntropy _),
     "q112_pack_concat" -> (q112PackConcat _),
     "q113_curriculum" -> (q113Curriculum _),
+    "q114_source_keywords" -> (q114SourceKeywords _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
