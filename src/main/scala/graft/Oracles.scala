@@ -659,6 +659,25 @@ object Oracles {
         "SELECT source, CAST(rn AS BIGINT) AS rank, term, tfidf " +
         "FROM r WHERE rn <= 5 ORDER BY source, rank"),
 
+    // dedup survivors: q77's transitive closure, but the longest member of
+    // each component survives (tie → min id); singletons keep themselves
+    "q115_dedup_survivors" ->
+      (s"WITH RECURSIVE $exactPairCtes, " +
+        "p AS (SELECT id_a, id_b FROM jp WHERE j >= 0.5), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "lab AS (SELECT src AS id, least(src, min(dst)) AS cl " +
+        "FROM reach GROUP BY src), " +
+        "ad AS (SELECT d.doc_id, d.n_chars, coalesce(l.cl, d.doc_id) AS cl " +
+        "FROM documents d LEFT JOIN lab l ON d.doc_id = l.id), " +
+        "r AS (SELECT doc_id, cl, row_number() OVER " +
+        "(PARTITION BY cl ORDER BY n_chars DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY cl) AS n_dups FROM ad) " +
+        "SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups FROM r " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -709,6 +709,19 @@ object TestQueries {
       .orderBy("source", "rank")
   }
 
+  /** Dedup survivor selection ([[operators.Dedup.keepBestTransitiveVerified]]):
+    * q77's LSH→verify→CC clusters, but each family keeps its LONGEST
+    * member (n_chars, tie → min id) instead of the arbitrary min-id.
+    * Same parameters as q77, whose LSH recall is exact on this data, so
+    * the recursive-CTE oracle is ground truth here too.
+    */
+  def q115DedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestTransitiveVerified(
+        t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars")),
+        "doc_id", "text", "n_chars", n = 3, threshold = 0.5)
+      .select(col("doc_id"), col("n_dups").cast("long").as("n_dups"))
+      .orderBy("doc_id")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1467,6 +1480,7 @@ object TestQueries {
     "q112_pack_concat" -> (q112PackConcat _),
     "q113_curriculum" -> (q113Curriculum _),
     "q114_source_keywords" -> (q114SourceKeywords _),
+    "q115_dedup_survivors" -> (q115DedupSurvivors _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -291,6 +291,43 @@ object Dedup {
       .join(victims, col(idCol) === col("victim"), "left_anti")
   }
 
+  /** Survivor SELECTION, not just elimination: like
+    * [[minhashKeepIdsTransitiveVerified]], but within each duplicate
+    * cluster the doc with the highest `scoreCol` survives (ties → lowest
+    * id) instead of the arbitrary min-id — keep the longest / highest
+    * -quality variant of every near-dup family, which is what a curation
+    * pipeline actually wants. Returns the surviving ROWS with `n_dups`
+    * (cluster size; 1 for docs with no duplicate) attached.
+    *
+    * A singleton's "cluster" is its own id, which cannot collide with a
+    * real cluster label: labels are cluster-min ids, and the min doc of a
+    * cluster is itself clustered, never a singleton.
+    *
+    * Shape for scale: CC runs on the verified PAIRS (candidate-sized);
+    * the corpus is touched by one left join against the label set and one
+    * cluster-keyed window (the rank and the size share the exchange).
+    */
+  def keepBestTransitiveVerified(df: DataFrame, idCol: String,
+                                 textCol: String, scoreCol: String,
+                                 shingleSize: Int = 3, numHashes: Int = 16,
+                                 bands: Int = 4, n: Int = 3,
+                                 threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val verified = jaccardVerify(df, cands, idCol, textCol, n, threshold)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(verified)
+    val labeled = df.join(labels, col(idCol) === col("id"), "left")
+      .withColumn("__cl", coalesce(col("cluster"), col(idCol)))
+    val w = Window.partitionBy("__cl")
+    val ranked = labeled
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("n_dups", count(lit(1)).over(w))
+    ranked.where(col("__rn") === 1)
+      .drop("id", "cluster", "__cl", "__rn")
+  }
+
   // ---- Rolling-hash chunk dedup --------------------------------------------
 
   /** Partial-overlap candidates via content-defined chunking

@@ -352,4 +352,28 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((1L, 2L)))
   }
+
+  test("keepBestTransitiveVerified: highest score survives per cluster, singletons pass") {
+    import spark.implicits._
+    // docs 1-3 near-dup family (shared text, small edits); 4-5 another
+    // pair; 6 a singleton. Scores pick NON-min-id survivors deliberately.
+    val family = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, family, 10L),
+      (2L, s"$family today", 99L),            // longest of its family → survives
+      (3L, s"$family now", 50L),
+      (4L, "completely different text about spark catalyst optimizers", 5L),
+      (5L, "completely different text about spark catalyst optimizer", 7L),
+      (6L, "a lonely unique document with no duplicates anywhere", 1L)
+    ).toDF("doc_id", "text", "score")
+    val got = graft.operators.Dedup.keepBestTransitiveVerified(
+        docs, "doc_id", "text", "score", n = 2, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dups"))
+      .toMap
+    assert(got === Map(2L -> 3L, 5L -> 2L, 6L -> 1L))
+    // kept rows carry their original columns
+    val cols = graft.operators.Dedup.keepBestTransitiveVerified(
+      docs, "doc_id", "text", "score", n = 2, threshold = 0.5).columns.toSet
+    assert(Set("doc_id", "text", "score", "n_dups").subsetOf(cols))
+  }
 }
