@@ -678,6 +678,20 @@ object Oracles {
         "SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups FROM r " +
         "WHERE rn = 1 ORDER BY doc_id"),
 
+    // exact containment (directed |A∩B|/|A|) on the doc_id<80 slice
+    "q116_containment" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE doc_id < 80), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)])) AS s FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / sa.n, 4) AS containment " +
+        "FROM shared JOIN sizes sa ON id_a = sa.doc_id " +
+        "WHERE CAST(i AS DOUBLE) / sa.n >= 0.5 ORDER BY id_a, id_b"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

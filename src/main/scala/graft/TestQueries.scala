@@ -722,6 +722,16 @@ object TestQueries {
       .select(col("doc_id"), col("n_dups").cast("long").as("n_dups"))
       .orderBy("doc_id")
 
+  /** Exact containment pairs ([[operators.Dedup.containmentPairsExact]])
+    * on a bounded slice — the quote/subset detector Jaccard can't see
+    * (asymmetric |A∩B|/|A|); chunk dedup (q50) is the scale sibling.
+    */
+  def q116Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsExact(
+        t(s, dir, "documents").where(col("doc_id") < 80),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1481,6 +1491,7 @@ object TestQueries {
     "q113_curriculum" -> (q113Curriculum _),
     "q114_source_keywords" -> (q114SourceKeywords _),
     "q115_dedup_survivors" -> (q115DedupSurvivors _),
+    "q116_containment" -> (q116Containment _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -328,6 +328,39 @@ object Dedup {
       .drop("id", "cluster", "__cl", "__rn")
   }
 
+  /** Exact CONTAINMENT pairs: directed `(id_a, id_b, |A∩B| / |A|)` over
+    * distinct n-gram shingle sets, thresholded. Asymmetric by design — a
+    * short doc quoted wholesale inside a long one has containment ≈ 1 but
+    * Jaccard ≈ |A|/|B| ≈ 0, so MinHash/Jaccard dedup never sees it; this
+    * is the quote/subset detector (RETRO-style passage dedup).
+    *
+    * EXACT anchor, not the scale path: the shared-shingle self-join is
+    * quadratic in per-shingle frequency (boilerplate shingles explode it).
+    * Run it on bounded slices (the q116 gate) or behind a hot-shingle cap;
+    * at corpus scale use [[chunkCandidatePairs]] — rolling-hash chunks
+    * catch shared passages with bucket-confined pairing — and treat this
+    * as its verifier on candidate pairs.
+    */
+  def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val sh = df.select(col(idCol).as("__id"),
+        array_distinct(Text.shingles(col(textCol), n)).as("__sh"))
+      .where(size(col("__sh")) >= 1)
+      .localCheckpoint() // feeds both the explode and the size table
+    val ex = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val sizes = sh.select(col("__id").as("id_a"), size(col("__sh")).as("__na"))
+    val shared = ex.as("a")
+      .join(ex.as("b"),
+        col("a.__s") === col("b.__s") && col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__i"))
+    shared.join(sizes, Seq("id_a"))
+      .where(col("__i").cast("double") / col("__na") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__na"), 4).as("containment"))
+  }
+
   // ---- Rolling-hash chunk dedup --------------------------------------------
 
   /** Partial-overlap candidates via content-defined chunking

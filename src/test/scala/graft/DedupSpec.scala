@@ -376,4 +376,27 @@ class DedupSpec extends AnyFunSuite {
       docs, "doc_id", "text", "score", n = 2, threshold = 0.5).columns.toSet
     assert(Set("doc_id", "text", "score", "n_dups").subsetOf(cols))
   }
+
+  test("containmentPairsExact catches a quoted subset that Jaccard misses") {
+    import spark.implicits._
+    val quote = "to be or not to be that is the question"
+    val host = s"he opened with a long preamble and then said $quote before " +
+      "wandering into several unrelated anecdotes about compilers and sailing"
+    val docs = Seq((1L, quote), (2L, host),
+      (3L, "entirely unrelated third document about parquet footers"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairsExact(
+        docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1 fully contained in doc 2 — directed pair (1, 2) only
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(got.head._3 === 1.0)
+    // the symmetric metric would never flag it: |A∩B|/|A∪B| is small
+    val hand = {
+      val sa = quote.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val sb = host.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(hand < 0.5, s"fixture not asymmetric enough: jaccard=$hand")
+  }
 }
