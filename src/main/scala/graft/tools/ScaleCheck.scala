@@ -223,6 +223,13 @@ object ScaleCheck {
           "doc_id", "n_tok", "text", budget = 2048L,
           partitionCols = Seq("source")).count()
       },
+      "dedup_keep_best" -> { dir =>
+        // transitive_dedup's pipeline + the survivor window: label join +
+        // cluster-keyed window must stay corpus-linear
+        graft.operators.Dedup.keepBestTransitiveVerified(
+          docs(dir).select(col("doc_id"), col("text"), col("n_chars")),
+          "doc_id", "text", "n_chars", n = 3, threshold = 0.5).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.
