@@ -692,6 +692,26 @@ object Oracles {
         "FROM shared JOIN sizes sa ON id_a = sa.doc_id " +
         "WHERE CAST(i AS DOUBLE) / sa.n >= 0.5 ORDER BY id_a, id_b"),
 
+    // materialized mixture sample: binding group kept whole, others cut to
+    // target_g × min_g(mass_g / target_g) in md5 order (q100's idiom)
+    "q117_mixture_sample" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "m AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n, " +
+        "CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2 " +
+        "WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS t " +
+        "FROM d GROUP BY 1), " +
+        "mt AS (SELECT lang, n, t FROM m WHERE t > 0), " +
+        "sc AS (SELECT min(n / t) AS total FROM mt), " +
+        "caps AS (SELECT lang, t * total AS cap FROM mt CROSS JOIN sc), " +
+        "r AS (SELECT d.doc_id, d.lang, d.n_tokens, caps.cap, " +
+        "sum(d.n_tokens) OVER (PARTITION BY d.lang " +
+        "ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS run " +
+        "FROM d JOIN caps USING (lang)) " +
+        "SELECT doc_id, lang, n_tokens FROM r WHERE run <= cap ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

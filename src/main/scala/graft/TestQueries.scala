@@ -732,6 +732,21 @@ object TestQueries {
         "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Materialized mixture sample ([[operators.Splits.mixtureSample]]):
+    * q90's target language shares executed — the kept subset whose token
+    * mass matches the mixture, md5-order membership.
+    */
+  def q117MixtureSample(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.mixtureSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", col("n_tokens"),
+        Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1492,6 +1507,7 @@ object TestQueries {
     "q114_source_keywords" -> (q114SourceKeywords _),
     "q115_dedup_survivors" -> (q115DedupSurvivors _),
     "q116_containment" -> (q116Containment _),
+    "q117_mixture_sample" -> (q117MixtureSample _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

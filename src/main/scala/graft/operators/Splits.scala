@@ -197,6 +197,41 @@ object Splits {
             x => x("__t"))).as("seq_text"))
   }
 
+  /** Materialized target-mixture sampling: KEEP the largest subset whose
+    * `measureCol` mass hits the requested group shares exactly, without
+    * upsampling — the executable form of `Analytics.mixtureWeights` (which
+    * only reports the weights). The binding group is kept whole; every
+    * other group downsamples to `target_g × total*` where
+    * `total* = min_g (mass_g / target_g)`. Membership is md5-order (the
+    * q100 idiom): a pure function of the data, so re-runs, repartitions,
+    * and later cap raises keep prefix-stable subsets. Groups without a
+    * positive target drop entirely.
+    *
+    * One aggregate for the group masses (group-count-sized), caps
+    * broadcast back, one group-keyed window for the running mass. A doc
+    * straddling its group's cap is excluded (mass never exceeds target).
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, measureCol: Column,
+                    targets: Map[String, Double], idCol: String): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0))
+    import org.apache.spark.sql.expressions.Window
+    val tgt = targets.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, v).otherwise(acc)
+    }
+    val masses = df.groupBy(groupCol)
+      .agg(sum(measureCol).cast("double").as("__n"))
+      .withColumn("__t", tgt).where(col("__t") > 0)
+    val scale = masses.agg(min(col("__n") / col("__t")).as("__total"))
+    val caps = masses.crossJoin(broadcast(scale))
+      .select(col(groupCol), (col("__t") * col("__total")).as("__cap"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(caps), Seq(groupCol))
+      .withColumn("__run", sum(measureCol).over(w))
+      .where(col("__run") <= col("__cap"))
+      .drop("__run", "__cap")
+  }
+
   /** Quantile-bucketed curriculum assignment: split the corpus into
     * `numBuckets` equal-population difficulty tiers by `valueCol` (length,
     * perplexity, quality score …) — the curriculum-learning ordering key,

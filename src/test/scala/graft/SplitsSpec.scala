@@ -212,6 +212,41 @@ class SplitsSpec extends AnyFunSuite {
     assert(got.values.map(_._3.split("\n\n").length.toLong).sum === 60L)
   }
 
+  test("mixtureSample: shares approach targets, binding group kept whole, subset of input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 'b' is scarce relative to its target → binding group, kept whole
+    val rows = (1 to 300).map(i =>
+      (i.toLong, if (i % 10 == 0) "b" else if (i % 3 == 0) "c" else "a",
+        1L + rnd.nextInt(20)))
+    val df = rows.toDF("id", "g", "tok")
+    val kept = Splits.mixtureSample(df, "g", col("tok"),
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "id")
+      .select("id", "g", "tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // subset, no duplication
+    assert(kept.map(_._1).distinct.length === kept.length)
+    assert(kept.toSet.subsetOf(rows.toSet))
+    val massIn = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val massKept = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // the binding group (max mass_g/target deficit = min n/t) survives whole
+    val binding = massIn.map { case (g, n) =>
+      g -> n / Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)(g) }.minBy(_._2)._1
+    assert(massKept(binding) === massIn(binding))
+    // every group's kept mass is within one straddling doc of its cap
+    val total = massIn(binding) / Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)(binding)
+    massKept.foreach { case (g, m) =>
+      val cap = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)(g) * total
+      assert(m <= cap + 1e-9, s"$g over cap")
+      assert(m >= cap - 21, s"$g left more than one doc of slack")
+    }
+    // determinism under repartition
+    val again = Splits.mixtureSample(df.repartition(7), "g", col("tok"),
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_._1).toSet)
+  }
+
   test("quantileBuckets: equal-population tiers, monotone in the value") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
