@@ -277,4 +277,47 @@ class StreamingSpec extends AnyFunSuite {
     // pre-maintenance snapshot still time-travels
     assert(vl.read(spark, "silver", "events", Some(vs.last)).count() === 5)
   }
+
+  test("streaming doc curation: NFC collapses cross-encoding dups, quality floor holds, replay appends nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    val lake = graft.sources.Lake(s"$tmp/lake")
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+    // drop 1: composed + decomposed spellings of ONE doc, a good doc, junk
+    write(s"$tmp/drop1", Seq(
+      (1L, "r\u00e9sum\u00e9 of the quick brown fox and the lazy dog"),
+      (2L, "re\u0301sume\u0301 of the quick brown fox and the lazy dog"),
+      (3L, "a perfectly ordinary second document about parquet files"),
+      (4L, "!!!! ???? %%%% @@@@")))   // fails the quality floor
+    val q = streaming.DocStreams.curateToLake(
+      streaming.DocStreams.readStream(spark, s"$tmp/drop1"), lake,
+      "bronze", "docs", s"$tmp/chk1", minQuality = 0.05)
+    q.processAllAvailable(); q.stop()
+    val got = lake.read(spark, "bronze", "docs")
+    // cross-encoding dup collapsed to ONE row; junk filtered
+    assert(got.count() === 2)
+    assert(got.select("doc_id").as[Long].collect().toSet.subsetOf(Set(1L, 2L, 3L)))
+    // drop 2 via a FRESH stream: a re-encoded replay of doc 3 + one new doc
+    write(s"$tmp/drop2", Seq(
+      (5L, "a perfectly ordinary second document about parquet files"),
+      (6L, "genuinely new content that has never been seen before")))
+    val q2 = streaming.DocStreams.curateToLake(
+      streaming.DocStreams.readStream(spark, s"$tmp/drop2"), lake,
+      "bronze", "docs", s"$tmp/chk2", minQuality = 0.05)
+    q2.processAllAvailable(); q2.stop()
+    val after = lake.read(spark, "bronze", "docs")
+    assert(after.count() === 3) // only doc 6 appended
+    assert(after.where(col("doc_id") === 6L).count() === 1)
+    // stream == batch: the same curation applied statically agrees
+    val batchFps = spark.read.parquet(s"$tmp/drop1").unionByName(
+        spark.read.parquet(s"$tmp/drop2"))
+      .withColumn("text", graft.functions.Text.normalizeUnicode(col("text")))
+      .where(graft.functions.Text.qualityScore(col("text")) >= 0.05)
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .distinct().as[Long].collect().toSet
+    assert(after.select("fp").as[Long].collect().toSet === batchFps)
+  }
 }
