@@ -712,6 +712,32 @@ object Oracles {
         "FROM d JOIN caps USING (lang)) " +
         "SELECT doc_id, lang, n_tokens FROM r WHERE run <= cap ORDER BY doc_id"),
 
+    // SemDeDup: q107's seed assignment + within-cell cosine pairs (q87's
+    // cosine) + q77's transitive closure, min-id survivor
+    "q118_semdedup" ->
+      (s"WITH RECURSIVE seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
+        "embedding AS cv FROM embeddings WHERE vec_id <= 8), " +
+        "dd AS (SELECT e.vec_id, s.cell, " +
+        "sqrt(list_sum(list_transform(list_zip(e.embedding, s.cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist " +
+        "FROM embeddings e CROSS JOIN seeds s), " +
+        "ar AS (SELECT vec_id, cell, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd), " +
+        "asg AS (SELECT vec_id, cell FROM ar WHERE rn = 1), " +
+        "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b " +
+        "FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+        "JOIN embeddings ea ON ea.vec_id = x.vec_id " +
+        "JOIN embeddings eb ON eb.vec_id = y.vec_id " +
+        s"WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN " +
+        "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
+        "ORDER BY vec_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

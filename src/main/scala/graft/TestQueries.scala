@@ -747,6 +747,23 @@ object TestQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")
 
+  /** SemDeDup ([[operators.Similarity.semDedup]]): cluster-confined
+    * semantic dedup — q98's seed assignment, cosine pairs within cells
+    * only, q77's transitive min-id keep. Oracle rebuilds the identical
+    * pipeline from its three proven pieces.
+    */
+  def q118SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.where(col("vec_id") <= 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    Similarity.semDedup(emb, "vec_id", "embedding",
+        seeds.map(_._1).toSeq, seeds.map(_._2).toSeq, threshold = 0.3)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1508,6 +1525,7 @@ object TestQueries {
     "q115_dedup_survivors" -> (q115DedupSurvivors _),
     "q116_containment" -> (q116Containment _),
     "q117_mixture_sample" -> (q117MixtureSample _),
+    "q118_semdedup" -> (q118SemDedup _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -544,4 +544,39 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "nbr_id", "cos", "rank")
   }
+
+  /** SemDeDup-style cluster-confined semantic dedup (Abbas et al. 2023):
+    * assign every vector to its nearest centroid, find cosine-≥-threshold
+    * pairs WITHIN each cell only, close them transitively, keep each
+    * component's min id. The published recipe for embedding dedup at
+    * corpus scale: clustering confines the quadratic pair step to
+    * cell-sized buckets (cells ≈ N/k), the same role LSH bands play for
+    * MinHash — near-dups sit in the same cell because they are near the
+    * same centroid. Cross-cell near-dups on a cell boundary are the
+    * documented recall gap (SemDeDup accepts it; tighten with more
+    * centroids or the LSH path q84).
+    *
+    * Returns the surviving rows of `corpus` unchanged.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               cellIds: Seq[Int], centroids: Seq[Seq[Double]],
+               threshold: Double): DataFrame = {
+    require(threshold > -1 && threshold <= 1)
+    val nearest = graft.functions.expressions.VectorExpressions
+      .nearestCells(col(vecCol), centroids, cellIds)(0)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearest.getField("cell").as("__cell"))
+    val a = assigned.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b") &&
+        Vectors.cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    val victims = Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__victim"))
+    corpus.join(victims, col(idCol) === col("__victim"), "left_anti")
+  }
 }

@@ -272,4 +272,23 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 2, numCells = 2)
     topk.collect().foreach(r => assert(r.getAs[Long]("nbr_id") !== 1L))
   }
+
+  test("semDedup: within-cell near-dups collapse to min id; distinct content survives") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val vecs = Seq(
+      (10L, v(1.0, 0.01)), (11L, v(1.0, 0.02)),   // cell 0 near-dups → keep 10
+      (20L, v(0.01, 1.0)), (21L, v(-0.01, 1.0)),  // cell 1 near-dups → keep 20
+      (30L, v(0.6, -0.8))                          // cell 0, dissimilar → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+        cellIds = Seq(0, 1), centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 20L, 30L))
+    // survivors carry their original row shape
+    val cols = Similarity.semDedup(vecs, "vec_id", "embedding",
+      Seq(0, 1), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 0.95).columns.toSeq
+    assert(cols === Seq("vec_id", "embedding"))
+  }
 }
