@@ -738,6 +738,24 @@ object Oracles {
         "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
         "ORDER BY vec_id"),
 
+    // prototypicality: q98's assignment + per-cell percent_rank of dist
+    // (desc → 1.0 = most central), vec_id-tiebroken
+    "q119_prototypicality" ->
+      ("WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, " +
+        "embedding AS cv FROM embeddings WHERE vec_id <= 8), " +
+        "dd AS (SELECT e.vec_id, s.cell, " +
+        "sqrt(list_sum(list_transform(list_zip(e.embedding, s.cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist " +
+        "FROM embeddings e CROSS JOIN seeds s), " +
+        "ar AS (SELECT vec_id, cell, dist, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dd), " +
+        "asg AS (SELECT vec_id, cell, dist FROM ar WHERE rn = 1) " +
+        "SELECT vec_id, cell, round(dist, 4) AS dist_r, " +
+        "round(percent_rank() OVER (PARTITION BY cell " +
+        "ORDER BY dist DESC, vec_id), 6) AS proto " +
+        "FROM asg ORDER BY vec_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -764,6 +764,28 @@ object TestQueries {
       .orderBy("vec_id")
   }
 
+  /** Prototypicality scores (the D4/SSL-prototypes selection signal):
+    * per-cluster percent-rank of the distance to the assigned centroid —
+    * 1.0 = the cell's most central (prototypical) vector, 0.0 = its
+    * farthest outlier. Downstream selection keeps a band (drop exact
+    * prototypes AND far outliers). Cell-keyed window; input is the
+    * assignment, never pairwise.
+    */
+  def q119Prototypicality(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.where(col("vec_id") <= 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    val w = Window.partitionBy("cell").orderBy(col("dist").desc, col("vec_id"))
+    Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        seeds.map(_._1).toSeq, seeds.map(_._2).toSeq)
+      .withColumn("proto", round(percent_rank().over(w), 6))
+      .select(col("vec_id"), col("cell"), round(col("dist"), 4).as("dist_r"),
+        col("proto"))
+      .orderBy("vec_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1526,6 +1548,7 @@ object TestQueries {
     "q116_containment" -> (q116Containment _),
     "q117_mixture_sample" -> (q117MixtureSample _),
     "q118_semdedup" -> (q118SemDedup _),
+    "q119_prototypicality" -> (q119Prototypicality _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
