@@ -230,6 +230,17 @@ object ScaleCheck {
           docs(dir).select(col("doc_id"), col("text"), col("n_chars")),
           "doc_id", "text", "n_chars", n = 3, threshold = 0.5).count()
       },
+      "sem_dedup" -> { dir =>
+        // cluster-confined pair step: quadratic within cells, which grow
+        // with N/k — watch the exponent as cells fatten at 10×
+        val e = emb(dir)
+        val seeds = e.where(col("vec_id") <= 8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0).toInt ->
+            r.getSeq[Float](1).map(_.toDouble).toSeq).sortBy(_._1)
+        graft.operators.Similarity.semDedup(e, "vec_id", "embedding",
+          seeds.map(_._1).toSeq, seeds.map(_._2).toSeq, 0.3).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.

@@ -126,6 +126,24 @@ object TrainingDataDemo {
     val negs = Splits.negativePairs(emb, "vec_id", k = 4, n = emb.count())
     println(s"negatives: ${negs.count()} pairs for ${emb.count()} anchors")
 
+    // 13. semantic curation of the embedding space: SemDeDup inside seed
+    // cells, then prototypicality band selection on the survivors (drop
+    // the most prototypical 10% and the outlier 10% — D4-style)
+    val seeds = emb.where(col("vec_id") <= 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1)
+    val semKept = graft.operators.Similarity.semDedup(emb, "vec_id",
+      "embedding", seeds.map(_._1).toSeq, seeds.map(_._2).toSeq, 0.3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("dist").desc, col("vec_id"))
+    val band = graft.operators.Similarity.assignToCentroids(semKept, "vec_id",
+        "embedding", seeds.map(_._1).toSeq, seeds.map(_._2).toSeq)
+      .withColumn("proto", percent_rank().over(w))
+      .where(col("proto") > 0.1 && col("proto") < 0.9)
+    println(s"semantic: ${emb.count()} vecs → ${semKept.count()} after " +
+      s"SemDeDup → ${band.count()} in the prototypicality band")
+
     spark.stop()
   }
 }
