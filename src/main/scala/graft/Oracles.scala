@@ -756,6 +756,21 @@ object Oracles {
         "ORDER BY dist DESC, vec_id), 6) AS proto " +
         "FROM asg ORDER BY vec_id"),
 
+    // padding waste per 64-token dynamic-batching bucket
+    "q120_padding_waste" ->
+      ("WITH d AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "b AS (SELECT ((n_tok + 63) // 64) * 64 AS bucket_len, n_tok FROM d), " +
+        "g AS (SELECT bucket_len, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS sum_tokens FROM b GROUP BY 1) " +
+        "SELECT bucket_len, n_docs, sum_tokens, " +
+        "CAST(bucket_len * n_docs - sum_tokens AS BIGINT) AS pad_tokens, " +
+        "round(CASE WHEN bucket_len = 0 THEN 0.0 " +
+        "ELSE CAST(bucket_len * n_docs - sum_tokens AS DOUBLE) / " +
+        "(bucket_len * n_docs) END, 6) AS waste_frac " +
+        "FROM g ORDER BY bucket_len"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

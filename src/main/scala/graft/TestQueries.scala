@@ -786,6 +786,27 @@ object TestQueries {
       .orderBy("vec_id")
   }
 
+  /** Padding waste by length bucket — the training-efficiency analytic
+    * that motivates packing (q79/q112): batch docs by 64-token buckets
+    * (dynamic batching) and report the tokens burned as pad vs a packed
+    * layout's zero waste. Pure integer bucket arithmetic + one agg.
+    */
+  def q120PaddingWaste(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket_len", ((col("n_tok") + 63L) / 64L).cast("long") * 64L)
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .select(col("bucket_len"), col("n_docs"),
+        col("sum_tokens").cast("long").as("sum_tokens"),
+        (col("bucket_len") * col("n_docs") - col("sum_tokens")).cast("long")
+          .as("pad_tokens"),
+        round(when(col("bucket_len") === 0, 0.0)
+          .otherwise((col("bucket_len") * col("n_docs") - col("sum_tokens"))
+            .cast("double") / (col("bucket_len") * col("n_docs"))), 6)
+          .as("waste_frac"))
+      .orderBy("bucket_len")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1549,6 +1570,7 @@ object TestQueries {
     "q117_mixture_sample" -> (q117MixtureSample _),
     "q118_semdedup" -> (q118SemDedup _),
     "q119_prototypicality" -> (q119Prototypicality _),
+    "q120_padding_waste" -> (q120PaddingWaste _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
