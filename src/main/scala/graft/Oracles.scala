@@ -771,6 +771,21 @@ object Oracles {
         "(bucket_len * n_docs) END, 6) AS waste_frac " +
         "FROM g ORDER BY bucket_len"),
 
+    // temperature mixture: p_g = share^0.7 / Σ share^0.7, alloc out of 1M
+    "q121_temperature_mix" ->
+      ("WITH d AS (SELECT lang, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "m AS (SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS n FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM m), " +
+        "sh AS (SELECT lang, n, n / tot AS share, pow(n / tot, 0.7) AS pt " +
+        "FROM m CROSS JOIN t), " +
+        "z AS (SELECT sum(pt) AS z FROM sh) " +
+        "SELECT lang, CAST(n AS BIGINT) AS n_tokens, round(share, 6) AS share, " +
+        "round(pt / z, 6) AS temp_share, " +
+        "CAST(floor(pt / z * 1000000) AS BIGINT) AS alloc_tokens " +
+        "FROM sh CROSS JOIN z ORDER BY lang"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

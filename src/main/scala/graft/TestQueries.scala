@@ -807,6 +807,21 @@ object TestQueries {
           .as("waste_frac"))
       .orderBy("bucket_len")
 
+  /** Temperature mixture ([[operators.Analytics.temperatureAllocation]]):
+    * τ = 0.7 language allocation out of a 1M-token budget — low-resource
+    * languages up-weighted relative to their natural share.
+    */
+  def q121TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.temperatureAllocation(
+        t(s, dir, "documents")
+          .select(col("lang"), Text.tokenCount(col("text")).cast("long").as("n_tok")),
+        "lang", col("n_tok"), temperature = 0.7, budgetTokens = 1000000L)
+      .select(col("lang"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("temp_share"), 6).as("temp_share"),
+        col("alloc_tokens"))
+      .orderBy("lang")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1571,6 +1586,7 @@ object TestQueries {
     "q118_semdedup" -> (q118SemDedup _),
     "q119_prototypicality" -> (q119Prototypicality _),
     "q120_padding_waste" -> (q120PaddingWaste _),
+    "q121_temperature_mix" -> (q121TemperatureMix _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -57,6 +57,34 @@ object Analytics {
     (r.get(0), r.get(1))
   }
 
+  /** Temperature-scaled mixture allocation — the multilingual pre-training
+    * recipe (mBERT/XLM-R style): sampling probability
+    * `p_g = share_g^τ / Σ share_h^τ` flattens the natural distribution
+    * toward uniform as τ → 0 (low-resource groups up-weighted), keeps it
+    * proportional at τ = 1. Returns per group: natural share, temperature
+    * share, and the token allocation out of `budgetTokens`.
+    *
+    * One group aggregate (group-count-sized result); the Σ share^τ
+    * normalizer is a broadcast scalar (A5 pattern). Feed the allocation to
+    * [[Splits.mixtureSample]] to materialize the subset.
+    */
+  def temperatureAllocation(df: DataFrame, groupCol: String, measure: Column,
+                            temperature: Double,
+                            budgetTokens: Long): DataFrame = {
+    require(temperature > 0 && budgetTokens > 0)
+    val masses = df.groupBy(groupCol).agg(sum(measure).cast("double").as("__n"))
+    val tot = masses.agg(sum("__n").as("__tot"))
+    val shared = masses.crossJoin(broadcast(tot))
+      .withColumn("share", col("__n") / col("__tot"))
+      .withColumn("__pt", pow(col("share"), temperature))
+    val norm = shared.agg(sum("__pt").as("__z"))
+    shared.crossJoin(broadcast(norm))
+      .select(col(groupCol), col("__n").cast("long").as("n_tokens"),
+        col("share"), (col("__pt") / col("__z")).as("temp_share"),
+        floor(col("__pt") / col("__z") * budgetTokens).cast("long")
+          .as("alloc_tokens"))
+  }
+
   /** Corpus-mixture reweighting: each group's actual share of a measure
     * (token counts, bytes, rows) vs its target share, and the sampling
     * weight `target / actual` that hits the target mixture — what a
