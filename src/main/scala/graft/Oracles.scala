@@ -786,6 +786,31 @@ object Oracles {
         "CAST(floor(pt / z * 1000000) AS BIGINT) AS alloc_tokens " +
         "FROM sh CROSS JOIN z ORDER BY lang"),
 
+    // Gopher rules: word count / mean word length / symbol ratio /
+    // stopword hits, with per-rule flags
+    "q122_gopher_rules" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_letters, " +
+        "CAST(length(text) - length(regexp_replace(text, '[#@%^*{}|~]', '', 'g')) " +
+        "AS DOUBLE) AS n_sym FROM documents), " +
+        "s AS (SELECT doc_id, n_words, " +
+        "CASE WHEN n_words = 0 THEN 0.0 ELSE n_letters / n_words END AS mean_wlen, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE n_sym / length(text) END AS sym_ratio, " +
+        "CAST(CASE WHEN n_words = 0 THEN 0 ELSE " +
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "x -> list_contains(['the','and','of','to','a','in','is','that'], x))) " +
+        "END AS BIGINT) AS stop_hits FROM d) " +
+        "SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen, " +
+        "round(sym_ratio, 6) AS sym_ratio, stop_hits, " +
+        "n_words BETWEEN 5 AND 100000 AS ok_words, " +
+        "mean_wlen BETWEEN 3.0 AND 10.0 AS ok_wlen, " +
+        "sym_ratio < 0.1 AS ok_sym, stop_hits >= 2 AS ok_stop, " +
+        "(n_words BETWEEN 5 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0) " +
+        "AND sym_ratio < 0.1 AND stop_hits >= 2 AS passes " +
+        "FROM s ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -822,6 +822,20 @@ object TestQueries {
         col("alloc_tokens"))
       .orderBy("lang")
 
+  /** Gopher quality rules ([[operators.Quality.gopherRules]]): per-doc
+    * signals + per-rule pass flags over the corpus (minWords lowered to
+    * 5 — the synthetic docs are short).
+    */
+  def q122GopherRules(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 5)
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_wlen"), 4).as("mean_wlen"),
+        round(col("sym_ratio"), 6).as("sym_ratio"),
+        col("stop_hits"), col("ok_words"), col("ok_wlen"), col("ok_sym"),
+        col("ok_stop"), col("passes"))
+      .orderBy("doc_id")
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1587,6 +1601,7 @@ object TestQueries {
     "q119_prototypicality" -> (q119Prototypicality _),
     "q120_padding_waste" -> (q120PaddingWaste _),
     "q121_temperature_mix" -> (q121TemperatureMix _),
+    "q122_gopher_rules" -> (q122GopherRules _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -94,6 +94,47 @@ object Quality {
         count(lit(1)).as("n_toks"))
   }
 
+  /** Gopher-style quality-rule report (Rae et al. 2021, table A1
+    * simplified to the signals derivable from a bare text column): per doc,
+    * the raw signals AND the per-rule pass flags, so a pipeline can both
+    * filter (`passes`) and AUDIT which rule fires where — filter stacks
+    * tuned blind are how good corpora get gutted.
+    *
+    *  - `n_words` ∈ [minWords, maxWords]
+    *  - mean word length ∈ [3, 10]
+    *  - symbol-to-char ratio (# @ % ^ * { } | ~) < 0.1
+    *  - ≥ 2 standalone hits from a tiny English stopword set (the
+    *    "real prose, not a keyword list" signal)
+    *
+    * Entirely scan-side: one projection computes every signal (the
+    * stopword count is a `filter` HOF over the token split, no explode,
+    * no shuffle at all until the caller aggregates).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val stops = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nWords = graft.functions.Text.tokenCount(col(textCol)).cast("long")
+    val nLetters = length(regexp_replace(col(textCol), "\\s", "")).cast("double")
+    val meanWlen = when(nWords === 0, 0.0).otherwise(nLetters / nWords)
+    val nSymbols = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[#@%^*{}|~]", ""))).cast("double")
+    val symRatio = when(length(col(textCol)) === 0, 0.0)
+      .otherwise(nSymbols / length(col(textCol)))
+    val stopHits = when(nWords === 0, 0)
+      .otherwise(size(filter(toks, t =>
+        stops.map(s => t === s).reduce(_ || _))))
+    df.select(col(idCol),
+        nWords.as("n_words"), meanWlen.as("mean_wlen"),
+        symRatio.as("sym_ratio"), stopHits.cast("long").as("stop_hits"))
+      .withColumn("ok_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_wlen", col("mean_wlen").between(3.0, 10.0))
+      .withColumn("ok_sym", col("sym_ratio") < 0.1)
+      .withColumn("ok_stop", col("stop_hits") >= 2)
+      .withColumn("passes",
+        col("ok_words") && col("ok_wlen") && col("ok_sym") && col("ok_stop"))
+  }
+
   /** Per-document character Shannon entropy (nats) — the cheap
     * gibberish/encoding-damage detector: natural prose sits in a narrow
     * entropy band, base64/hex blobs and mojibake score high, repeated-char
