@@ -811,6 +811,22 @@ object Oracles {
         "AND sym_ratio < 0.1 AND stop_hits >= 2 AS passes " +
         "FROM s ORDER BY doc_id"),
 
+    // sentence chunks: sentences split on [.!?]+\s+ (terminator consumed),
+    // windows of 3 starting every 2, '. '-joined, hashed
+    "q123_sentence_chunks" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "replace(text, ' the ', '. The ') AS text FROM documents), " +
+        "sp AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(trim(text), '[.!?]+\\s+'), x -> length(x) > 0) AS ss " +
+        "FROM d), " +
+        "w AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1, 2)) AS st " +
+        "FROM sp WHERE len(ss) >= 1), " +
+        "c AS (SELECT doc_id, CAST((st - 1) / 2 AS BIGINT) AS chunk_idx, " +
+        "ss[st:st+2] AS chunk FROM w) " +
+        "SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_sentences, " +
+        "md5(array_to_string(chunk, '. ')) AS chunk_hash " +
+        "FROM c WHERE len(chunk) >= 1 ORDER BY doc_id, chunk_idx"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

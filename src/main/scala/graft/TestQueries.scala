@@ -836,6 +836,22 @@ object TestQueries {
         col("ok_stop"), col("passes"))
       .orderBy("doc_id")
 
+  /** Sentence chunking ([[operators.Splits.sentenceChunks]]): 3-sentence
+    * windows, stride 2, over synthesized multi-sentence docs (the corpus
+    * text is single-sentence, so sentences are manufactured by replacing
+    * every " the " with ". The " — deterministic in both engines).
+    */
+  def q123SentenceChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", ". The ").as("text"))
+    operators.Splits.sentenceChunks(docs, "doc_id", "text",
+        window = 3, stride = 2)
+      .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1602,6 +1618,7 @@ object TestQueries {
     "q120_padding_waste" -> (q120PaddingWaste _),
     "q121_temperature_mix" -> (q121TemperatureMix _),
     "q122_gopher_rules" -> (q122GopherRules _),
+    "q123_sentence_chunks" -> (q123SentenceChunks _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

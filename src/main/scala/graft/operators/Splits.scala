@@ -170,6 +170,36 @@ object Splits {
           .cast("long"))
   }
 
+  /** Sentence-boundary chunking — RAG/retrieval prep: split text into
+    * sentences (runs of `[.!?]` + whitespace; the terminator is consumed —
+    * RE2-compatible, no lookbehind, so a SQL oracle can reproduce the
+    * split exactly), then emit overlapping windows of `window` sentences
+    * advancing by `stride`. Sentence-aligned chunks retrieve better than
+    * token strides (q94), which cut mid-thought.
+    *
+    * Returns one row per chunk: `(idCol, chunk_idx, n_sentences_in_chunk,
+    * chunk_text)`. Docs with no sentence content are omitted. Scan-side
+    * generation (split + slice per row), shuffle-free until the caller
+    * aggregates.
+    */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 3, stride: Int = 2): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window)
+    val sents = filter(split(trim(col(textCol)), "[.!?]+\\s+"),
+      s => length(s) > 0)
+    // starts at 1, 1+stride, … ≤ n — trailing chunks may hold < window
+    // sentences (standard sliding semantics, and SQL-mirrorable)
+    val starts = sequence(lit(1), size(col("__sents")), lit(stride))
+    df.select(col(idCol), sents.as("__sents"))
+      .where(size(col("__sents")) >= 1)
+      .select(col(idCol),
+        posexplode(transform(starts, i => slice(col("__sents"), i, lit(window)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_sentences"),
+        concat_ws(". ", col("col")).as("chunk_text"))
+      .where(col("n_sentences") >= 1)
+  }
+
   /** Materialize [[packByBudget]]'s assignment into actual training
     * sequences: one row per pack with the member docs' text concatenated
     * in `orderCol` order (`sep`-joined — the doc-boundary marker the

@@ -267,4 +267,33 @@ class SplitsSpec extends AnyFunSuite {
     val exact = got.map(r => r._1 -> r._3).toMap
     assert(exact.count { case (id, b) => appr(id) != b } <= 8)
   }
+
+  test("sentenceChunks: window/stride semantics, terminators consumed") {
+    val docs = Seq(
+      (1L, "One. Two! Three? Four. Five."),
+      (2L, "Lonely sentence"),
+      (3L, "   "),
+      (4L, "A.  B.")
+    ).toDF("doc_id", "text")
+    val got = Splits.sentenceChunks(docs, "doc_id", "text",
+        window = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: sentences [One,Two,Three,Four,Five.] (trailing '.' has no
+    // following whitespace so it stays attached); windows at 1,3,5
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1 === Array(
+      (1L, 0L, 3L, "One. Two. Three"),
+      (1L, 1L, 3L, "Three. Four. Five."),
+      (1L, 2L, 1L, "Five.")))
+    // doc 2: one sentence, one short chunk
+    assert(got.filter(_._1 == 2L) === Array((2L, 0L, 1L, "Lonely sentence")))
+    // doc 3: whitespace-only → no sentences → omitted entirely
+    assert(!got.exists(_._1 == 3L))
+    // doc 4: multi-space after terminator still splits once
+    assert(got.filter(_._1 == 4L) === Array((4L, 0L, 2L, "A. B.")))
+    // every chunk holds between 1 and `window` sentences
+    got.foreach { case (_, _, n, _) => assert(n >= 1 && n <= 3) }
+  }
 }
