@@ -827,6 +827,27 @@ object Oracles {
         "md5(array_to_string(chunk, '. ')) AS chunk_hash " +
         "FROM c WHERE len(chunk) >= 1 ORDER BY doc_id, chunk_idx"),
 
+    // boilerplate: units recurring in >= 3 distinct docs dropped, survivors
+    // rejoined in order ('. '), hashed
+    "q124_boilerplate" ->
+      ("WITH d AS (SELECT doc_id, replace(text || " +
+        "' Accept all cookies to continue. Subscribe to the newsletter.', " +
+        "' the ', '. The ') AS text FROM documents), " +
+        "sp AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(trim(text), '[.!?]+\\s+'), x -> length(x) > 0) AS ss " +
+        "FROM d), " +
+        "u AS (SELECT doc_id, st - 1 AS pos, ss[st] AS unit FROM " +
+        "(SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS st FROM sp)), " +
+        "f AS (SELECT md5(unit) AS uh FROM u GROUP BY 1 " +
+        "HAVING count(DISTINCT doc_id) >= 3), " +
+        "j AS (SELECT u.doc_id, u.pos, u.unit, f.uh IS NOT NULL AS boiler " +
+        "FROM u LEFT JOIN f ON md5(u.unit) = f.uh) " +
+        "SELECT doc_id, md5(coalesce(string_agg(unit, '. ' ORDER BY pos) " +
+        "FILTER (WHERE NOT boiler), '')) AS clean_hash, " +
+        "CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept, " +
+        "CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_dropped " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -852,6 +852,25 @@ object TestQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Boilerplate removal ([[operators.Quality.boilerplateFilter]]): a
+    * shared footer is appended to every doc (manufactured boilerplate —
+    * deterministic in both engines), sentences manufactured as in q123;
+    * the footer sentences recur in every doc and must be dropped, the
+    * organic sentences survive in order.
+    */
+  def q124Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(
+          concat(col("text"),
+            lit(" Accept all cookies to continue. Subscribe to the newsletter.")),
+          " the ", ". The ").as("text"))
+    operators.Quality.boilerplateFilter(docs, "doc_id", "text", minDocs = 3)
+      .select(col("doc_id"), md5(col("text_clean")).as("clean_hash"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1619,6 +1638,7 @@ object TestQueries {
     "q121_temperature_mix" -> (q121TemperatureMix _),
     "q122_gopher_rules" -> (q122GopherRules _),
     "q123_sentence_chunks" -> (q123SentenceChunks _),
+    "q124_boilerplate" -> (q124Boilerplate _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

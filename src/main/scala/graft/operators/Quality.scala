@@ -135,6 +135,48 @@ object Quality {
         col("ok_words") && col("ok_wlen") && col("ok_sym") && col("ok_stop"))
   }
 
+  /** CCNet-style boilerplate removal: drop text units (sentences /
+    * paragraphs, split on `unitRegex`) that recur across `minDocs` or more
+    * DISTINCT documents — nav bars, cookie banners, license footers — and
+    * reassemble each doc's surviving units in original order. Returns
+    * `(idCol, text_clean, n_kept, n_dropped)`; a doc whose every unit is
+    * boilerplate survives with empty `text_clean` (so the caller can count
+    * gutted docs rather than silently losing them).
+    *
+    * Shape for scale (the CCNet shard recipe): unit frequency aggregates
+    * on `md5(unit)` — the 32-byte digest shuffles, never the unit text —
+    * and the frequent set (bounded by corpus_units / minDocs, tiny at any
+    * sane threshold: boilerplate is by definition repeated) broadcasts
+    * back as a LEFT join marker. The one full-text shuffle is the per-doc
+    * reassembly groupBy, unavoidable for order-preserving re-join and
+    * doc-keyed so it skews only if a single doc is huge. md5 collisions
+    * (2^-128-scale) could at worst mark one rare unit as boilerplate —
+    * the same trade CCNet's sha1 paragraph hashing makes.
+    */
+  def boilerplateFilter(df: DataFrame, idCol: String, textCol: String,
+                        unitRegex: String = "[.!?]+\\s+", minDocs: Long = 3,
+                        joinSep: String = ". "): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every unit")
+    val units = df
+      .select(col(idCol), posexplode(filter(
+        split(trim(col(textCol)), unitRegex), s => length(s) > 0)))
+      .select(col(idCol), col("pos"), col("col").as("__unit"),
+        md5(col("col")).as("__uh"))
+    val frequent = units.groupBy("__uh")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__uh"), lit(true).as("__boiler"))
+    units.join(broadcast(frequent), Seq("__uh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(joinSep, transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("__unit"))))),
+          _.getField("__unit"))).as("text_clean"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Per-document character Shannon entropy (nats) — the cheap
     * gibberish/encoding-damage detector: natural prose sits in a narrow
     * entropy band, base64/hex blobs and mojibake score high, repeated-char

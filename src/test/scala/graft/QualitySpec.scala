@@ -201,6 +201,40 @@ class QualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("boilerplateFilter drops recurring units, keeps order, counts both") {
+    val docs = Seq(
+      (1L, "Alpha beta. Cookie banner. Gamma delta. Footer text."),
+      (2L, "Cookie banner. Unique two. Footer text."),
+      (3L, "Footer text. Cookie banner. Unique three."),
+      (4L, "Cookie banner. Footer text.")
+    ).toDF("doc_id", "text")
+    // minDocs=3: "Cookie banner" (mid-doc, 4 docs) and the doc-final
+    // "Footer text." (docs 1/2/4 — the final unit keeps its terminator, so
+    // doc 3's mid-doc "Footer text" is a DIFFERENT unit, seen once, kept)
+    val got = Quality.boilerplateFilter(docs, "doc_id", "text", minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("Alpha beta. Gamma delta", 2L, 2L)))
+    assert(got(2L) === (("Unique two", 1L, 2L)))
+    assert(got(3L) === (("Footer text. Unique three.", 2L, 1L)))
+    // a fully-boilerplate doc survives as an empty row, not a lost row
+    assert(got(4L) === (("", 0L, 2L)))
+    // raising the threshold above the recurrence keeps everything
+    val loose = Quality.boilerplateFilter(docs, "doc_id", "text", minDocs = 5)
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(loose === 0L)
+  }
+
+  test("boilerplateFilter broadcasts the frequent set") {
+    val docs = Seq((1L, "A b. C d."), (2L, "A b. E f.")).toDF("doc_id", "text")
+    val plan = Quality.boilerplateFilter(docs, "doc_id", "text", minDocs = 2)
+      .queryExecution.executedPlan.toString
+    // the frequent-hash marker joins broadcast — unit text never shuffles
+    // for the membership test (only the doc-keyed reassembly shuffles)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("audit is a single scan for plain predicates") {
     val plan = Quality.audit(df, Seq(
         Quality.notNull("id"), Quality.inRange("amt", 0, 1)))
