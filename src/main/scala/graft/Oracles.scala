@@ -848,6 +848,26 @@ object Oracles {
         "CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_dropped " +
         "FROM j GROUP BY 1 ORDER BY 1"),
 
+    // C4 line rules: terminal punct + >=5 words + no 'javascript' per line;
+    // lorem/brace/minLines doc flags
+    "q125_c4_clean" ->
+      ("WITH d AS (SELECT doc_id, replace(text, ' the ', " +
+        "'.' || chr(10) || 'The ') AS text FROM documents), " +
+        "c AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls, " +
+        "list_filter(string_split(text, chr(10)), l -> " +
+        "regexp_matches(rtrim(l), '[.!?\"]$') AND " +
+        "len(string_split_regex(trim(l), '\\s+')) >= 5 AND " +
+        "NOT contains(lower(l), 'javascript')) AS ks FROM d) " +
+        "SELECT doc_id, md5(coalesce(array_to_string(ks, chr(10)), '')) " +
+        "AS clean_hash, " +
+        "CAST(len(ks) AS BIGINT) AS n_kept, " +
+        "CAST(len(ls) AS BIGINT) AS n_lines, " +
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, " +
+        "contains(text, '{') AS has_brace, " +
+        "NOT contains(lower(text), 'lorem ipsum') AND " +
+        "NOT contains(text, '{') AND len(ks) >= 3 AS passes " +
+        "FROM c ORDER BY doc_id"),
+
     "q41_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

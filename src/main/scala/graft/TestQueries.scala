@@ -871,6 +871,22 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** C4 line rules ([[operators.Quality.c4Clean]]): lines manufactured by
+    * breaking at " the " (each line then ends with '.', except the doc's
+    * final line which keeps the corpus text's own ending — so the
+    * terminal-punctuation rule genuinely fires), 5-word minimum.
+    */
+  def q125C4Clean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", ".\nThe ").as("text"))
+    operators.Quality.c4Clean(docs, "doc_id", "text", minLineWords = 5)
+      .select(col("doc_id"), md5(col("text_clean")).as("clean_hash"),
+        col("n_kept"), col("n_lines"), col("has_lorem"), col("has_brace"),
+        col("passes"))
+      .orderBy("doc_id")
+  }
+
   // ---- events: batch mirrors of the streaming surface ----------------------
 
   def q40EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -1639,6 +1655,7 @@ object TestQueries {
     "q122_gopher_rules" -> (q122GopherRules _),
     "q123_sentence_chunks" -> (q123SentenceChunks _),
     "q124_boilerplate" -> (q124Boilerplate _),
+    "q125_c4_clean" -> (q125C4Clean _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -135,6 +135,38 @@ object Quality {
         col("ok_words") && col("ok_wlen") && col("ok_sym") && col("ok_stop"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics
+    * derivable from a bare text column): keep only lines that end in a
+    * terminal punctuation mark (`. ! ? "`), carry at least `minLineWords`
+    * words, and do not mention "javascript"; flag docs containing
+    * "lorem ipsum" or a curly brace (code/template leakage), and docs
+    * whose surviving line count falls below `minLines`. Returns per doc:
+    * `text_clean` (kept lines, original order, `lineSep`-joined),
+    * `n_kept`, `n_lines`, `has_lorem`, `has_brace`, `passes` — signals
+    * AND flags, same auditability contract as [[gopherRules]].
+    *
+    * Entirely scan-side: one projection — the line split, per-line rule
+    * stack, and reassembly are all `filter`/`concat_ws` HOFs over the
+    * split array, no explode, ZERO shuffle at any corpus size.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              lineSep: String = "\n", minLineWords: Int = 5,
+              minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(lineSep))
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol),
+        concat_ws(lineSep, kept).as("text_clean"),
+        size(kept).cast("long").as("n_kept"),
+        size(lines).cast("long").as("n_lines"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+        col(textCol).contains("{").as("has_brace"))
+      .withColumn("passes",
+        !col("has_lorem") && !col("has_brace") && col("n_kept") >= minLines)
+  }
+
   /** CCNet-style boilerplate removal: drop text units (sentences /
     * paragraphs, split on `unitRegex`) that recur across `minDocs` or more
     * DISTINCT documents — nav bars, cookie banners, license footers — and

@@ -201,6 +201,43 @@ class QualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("c4Clean applies the published line and doc rules") {
+    val docs = Seq(
+      (1L, "This line has five good words.\nshort line.\nNo terminal punctuation here at all\nEnable javascript to view this page.\nAnother perfectly fine prose line!\nA third keeper sentence ends here?"),
+      (2L, "Lorem ipsum dolor sit amet friend.\nSecond acceptable line is right here.\nThird acceptable line is right here.\nFourth acceptable line is right here."),
+      (3L, "function f() { return 1; }\nOne good line that would survive fine.\nTwo good line that would survive fine.\nSix good line that would survive fine."),
+      (4L, "Only one surviving line sits here.")
+    ).toDF("doc_id", "text")
+    val got = Quality.c4Clean(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    // doc 1: 6 lines — short (<5 words), unterminated, and javascript
+    // lines drop; 3 survive in order → passes
+    assert(got(1L) === (("This line has five good words.\n" +
+      "Another perfectly fine prose line!\nA third keeper sentence ends here?",
+      3L, 6L, false, false, true)))
+    // doc 2: every line fine in isolation, but the doc mentions lorem ipsum
+    assert(got(2L)._4 === true)
+    assert(got(2L)._6 === false)
+    assert(got(2L)._2 === 4L)
+    // doc 3: brace flag fires (the code line also fails the line rules)
+    assert(got(3L)._5 === true)
+    assert(got(3L)._6 === false)
+    assert(got(3L)._2 === 3L)
+    // doc 4: clean but below minLines=3 survivors
+    assert(got(4L) === (("Only one surviving line sits here.",
+      1L, 1L, false, false, false)))
+  }
+
+  test("c4Clean is shuffle-free — one projection, no exchange") {
+    val docs = Seq((1L, "A b c d e.\nf")).toDF("doc_id", "text")
+    val plan = Quality.c4Clean(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("boilerplateFilter drops recurring units, keeps order, counts both") {
     val docs = Seq(
       (1L, "Alpha beta. Cookie banner. Gamma delta. Footer text."),
