@@ -607,6 +607,37 @@ object Oracles {
         "LEFT JOIN c1 c1b ON split_part(db.bg, ' ', 2) = c1b.tok " +
         "CROSS JOIN s GROUP BY 1 ORDER BY 1"),
 
+    // CCNet tiers: q110's NLL CTE + tertile thresholds (quantile_cont
+    // interpolates over 4dp-rounded values, matching Spark percentile)
+    "q126_perplexity_tiers" ->
+      ("WITH rt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE source IN ('src0','src1','src2','src3','src4') " +
+        "AND length(trim(text)) > 0), " +
+        "c1 AS (SELECT tok, count(*) AS c FROM " +
+        "(SELECT unnest(t) AS tok FROM rt) GROUP BY 1), " +
+        "c2 AS (SELECT bg, count(*) AS c FROM " +
+        "(SELECT unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS bg FROM rt WHERE len(t) >= 2) GROUP BY 1), " +
+        "s AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM c1), " +
+        "dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "db AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS bg FROM dt WHERE len(t) >= 2), " +
+        "nll AS (SELECT db.doc_id, round(avg(-ln(CASE WHEN c2.c IS NOT NULL " +
+        "THEN CAST(c2.c AS DOUBLE) / c1a.c " +
+        "ELSE 0.4 * (coalesce(c1b.c, 0) + 1.0) / (s.n + s.v) END)), 4) AS nll_bg " +
+        "FROM db LEFT JOIN c2 ON db.bg = c2.bg " +
+        "LEFT JOIN c1 c1a ON split_part(db.bg, ' ', 1) = c1a.tok " +
+        "LEFT JOIN c1 c1b ON split_part(db.bg, ' ', 2) = c1b.tok " +
+        "CROSS JOIN s GROUP BY 1), " +
+        "th AS (SELECT quantile_cont(nll_bg, [1.0/3, 2.0/3]) AS t FROM nll) " +
+        "SELECT doc_id, nll_bg, " +
+        "CAST(len(list_filter(th.t, x -> nll_bg > x)) AS INTEGER) AS tier_idx, " +
+        "CASE len(list_filter(th.t, x -> nll_bg > x)) WHEN 0 THEN 'head' " +
+        "WHEN 1 THEN 'middle' ELSE 'tail' END AS tier " +
+        "FROM nll CROSS JOIN th ORDER BY doc_id"),
+
     // char entropy: H = ln(n) − Σ c·ln(c)/n over per-doc char counts
     "q111_char_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c " +

@@ -644,6 +644,21 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet perplexity tiers ([[operators.Quality.perplexityTiers]]):
+    * q110's NLL (same src0–4 reference) cut into head/middle/tail
+    * tertiles. Thresholds interpolate over 4-dp-rounded NLLs, so the
+    * cross-engine comparison is stable away from exact threshold hits.
+    */
+  def q126PerplexityTiers(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = docs.where(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"))
+    operators.Quality.perplexityTiers(docs, ref, "doc_id", "text")
+      .select(col("doc_id"), col("nll_bg"),
+        col("bucket").cast("int").as("tier_idx"), col("tier"))
+      .orderBy("doc_id")
+  }
+
   /** Character entropy ([[operators.Quality.charEntropy]]): the
     * gibberish/encoding-damage band check over every document.
     */
@@ -1656,6 +1671,7 @@ object TestQueries {
     "q123_sentence_chunks" -> (q123SentenceChunks _),
     "q124_boilerplate" -> (q124Boilerplate _),
     "q125_c4_clean" -> (q125C4Clean _),
+    "q126_perplexity_tiers" -> (q126PerplexityTiers _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

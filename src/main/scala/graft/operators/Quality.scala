@@ -285,6 +285,36 @@ object Quality {
         avg(-log(col("__s"))).as("nll_bg"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity tiers (Wenzek et al. 2020): score every doc's
+    * [[bigramLogProb]] NLL against a trusted `reference` corpus, then cut
+    * the corpus into `numTiers` equal-population tiers by NLL quantile —
+    * `head` (lowest perplexity, most reference-like), `middle`, `tail`.
+    * CCNet keeps head+middle for LM training and drops or down-weights
+    * tail; returning the assignment (not a filtered corpus) keeps that
+    * policy choice with the caller. Labels are head/middle/tail for 3
+    * tiers, `tier_k` otherwise. NLL is rounded to `roundTo` decimals
+    * BEFORE bucketing so thresholds sit on reproducible values.
+    *
+    * Shape for scale: [[bigramLogProb]]'s vocabulary-sized scoring joins,
+    * then ONE threshold aggregate broadcast back ([[Splits.quantileBuckets]]
+    * — pass `approxAccuracy` at real scale for a mergeable sketch instead
+    * of exact percentile's full sort).
+    */
+  def perplexityTiers(df: DataFrame, reference: DataFrame, idCol: String,
+                      textCol: String, numTiers: Int = 3, roundTo: Int = 4,
+                      approxAccuracy: Option[Int] = None): DataFrame = {
+    val labels =
+      if (numTiers == 3) Seq("head", "middle", "tail")
+      else (0 until numTiers).map(i => s"tier_$i")
+    val nll = bigramLogProb(df, reference, idCol, textCol)
+      .select(col(idCol), round(col("nll_bg"), roundTo).as("nll_bg"),
+        col("n_bigrams"))
+    graft.operators.Splits
+      .quantileBuckets(nll, "nll_bg", numTiers, approxAccuracy)
+      .withColumn("tier",
+        element_at(array(labels.map(lit): _*), col("bucket") + 1))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each candidate
     * document by how much more likely its hashed-unigram bag is under the

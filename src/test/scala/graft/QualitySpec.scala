@@ -201,6 +201,30 @@ class QualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("perplexityTiers: reference-like docs head, gibberish tail") {
+    val ref = Seq((100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // pure reference bigrams
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "the cat zz qq the mat"),    // half OOV
+      (5L, "the dog zz qq the rug"),
+      (6L, "the mat qq zz the cat"),
+      (7L, "zz qq xx yy ww vv"),        // pure OOV gibberish
+      (8L, "qq zz yy xx vv ww"),
+      (9L, "xx ww zz vv qq yy")
+    ).toDF("doc_id", "text")
+    val got = Quality.perplexityTiers(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(Seq(1L, 2L, 3L).map(got) === Seq("head", "head", "head"))
+    assert(Seq(4L, 5L, 6L).map(got) === Seq("middle", "middle", "middle"))
+    assert(Seq(7L, 8L, 9L).map(got) === Seq("tail", "tail", "tail"))
+    // tier populations are balanced (9 docs, 3 tiers)
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes === Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+  }
+
   test("c4Clean applies the published line and doc rules") {
     val docs = Seq(
       (1L, "This line has five good words.\nshort line.\nNo terminal punctuation here at all\nEnable javascript to view this page.\nAnother perfectly fine prose line!\nA third keeper sentence ends here?"),
