@@ -638,6 +638,21 @@ object Oracles {
         "WHEN 1 THEN 'middle' ELSE 'tail' END AS tier " +
         "FROM nll CROSS JOIN th ORDER BY doc_id"),
 
+    // tokenizer fertility: GPT-2-ish RE2 pre-token split per lang
+    "q127_tokenizer_fertility" ->
+      ("WITH p AS (SELECT lang, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(string_split_regex(trim(text), '\\s+')) END AS w, " +
+        "len(regexp_extract_all(text, " +
+        "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+')) AS t, " +
+        "length(text) AS c FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(w) AS BIGINT) AS n_words, " +
+        "CAST(sum(t) AS BIGINT) AS n_tokens, " +
+        "round(CAST(sum(t) AS DOUBLE) / sum(w), 4) AS fertility, " +
+        "round(CAST(sum(c) AS DOUBLE) / sum(t), 4) AS chars_per_token " +
+        "FROM p GROUP BY 1 ORDER BY 1"),
+
     // char entropy: H = ln(n) − Σ c·ln(c)/n over per-doc char counts
     "q111_char_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c " +

@@ -659,6 +659,17 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility ([[operators.Analytics.tokenizerFertility]]):
+    * GPT-2-style pre-token counts per language. The synthetic corpus is
+    * space-separated ASCII words, so fertility degenerates to 1.0 here —
+    * the oracle still pins the full count/ratio arithmetic; the per-script
+    * contrast (CJK runs, contractions) is spec-covered in FunctionsSpec.
+    */
+  def q127TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.tokenizerFertility(
+        t(s, dir, "documents"), "lang", "text")
+      .orderBy("lang")
+
   /** Character entropy ([[operators.Quality.charEntropy]]): the
     * gibberish/encoding-damage band check over every document.
     */
@@ -1672,6 +1683,7 @@ object TestQueries {
     "q124_boilerplate" -> (q124Boilerplate _),
     "q125_c4_clean" -> (q125C4Clean _),
     "q126_perplexity_tiers" -> (q126PerplexityTiers _),
+    "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

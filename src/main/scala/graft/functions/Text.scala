@@ -26,6 +26,18 @@ object Text {
       .otherwise(size(split(trim(text), "\\s+")).cast("long") +
         floor(length(regexp_replace(text, "[^A-Za-z0-9]", "")) / lit(4)).cast("long"))
 
+  /** GPT-2-style pre-tokenization (Radford et al. 2019's regex, reduced
+    * to its RE2-safe subset — no lookahead — so a SQL oracle reproduces
+    * the split): contraction suffixes (`'s`, `'t`, …), space-prefixed
+    * letter runs, digit runs, and punctuation/symbol runs. Returns the
+    * array of pre-tokens; `size(preTokenize(c))` is the pre-token count a
+    * byte-level BPE would start from. Scan-side `regexp_extract_all`,
+    * codegen-hosted, zero shuffle.
+    */
+  def preTokenize(text: Column): Column =
+    regexp_extract_all(text,
+      lit("'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"), lit(0))
+
   /** Count of characters matching a regex character class. */
   def charClassCount(text: Column, charClassRe: String): Column =
     length(text) - length(regexp_replace(text, charClassRe, ""))

@@ -85,6 +85,33 @@ object Analytics {
           .as("alloc_tokens"))
   }
 
+  /** Tokenizer-fertility report per group (usually language): pre-tokens
+    * per whitespace word and characters per pre-token, over
+    * [[graft.functions.Text.preTokenize]]'s GPT-2-style split. Fertility
+    * is THE multilingual-tokenizer health metric — a tokenizer tuned on
+    * English fragments non-Latin scripts into many more pieces per word,
+    * which silently taxes those languages' effective context length and
+    * training budget (the signal feeding [[temperatureAllocation]]).
+    *
+    * One scan computes all per-doc counts in a projection (no explode —
+    * only array sizes leave the row), then one group-count-sized
+    * aggregate. Zero joins, one shuffle of 4-long rows.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val t = graft.functions.Text
+    df.select(col(groupCol),
+        t.tokenCount(col(textCol)).cast("long").as("__w"),
+        size(t.preTokenize(col(textCol))).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("n_words"), sum("__t").as("n_tokens"),
+        round(sum("__t").cast("double") / sum("__w"), 4).as("fertility"),
+        round(sum("__c").cast("double") / sum("__t"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Corpus-mixture reweighting: each group's actual share of a measure
     * (token counts, bytes, rows) vs its target share, and the sampling
     * weight `target / actual` that hits the target mixture — what a

@@ -241,6 +241,37 @@ object ScaleCheck {
         graft.operators.Similarity.semDedup(e, "vec_id", "embedding",
           seeds.map(_._1).toSeq, seeds.map(_._2).toSeq, 0.3).count()
       },
+      "sentence_chunks" -> { dir =>
+        // scan-side split + slice per row — must track corpus chars
+        graft.operators.Splits.sentenceChunks(
+          docs(dir).select(col("doc_id"),
+            regexp_replace(col("text"), " the ", ". The ").as("text")),
+          "doc_id", "text", window = 3, stride = 2).count()
+      },
+      "boilerplate" -> { dir =>
+        // md5-digest frequency shuffle + broadcast marker + one doc-keyed
+        // reassembly shuffle — corpus-linear, no pairwise step
+        graft.operators.Quality.boilerplateFilter(
+          docs(dir).select(col("doc_id"),
+            regexp_replace(concat(col("text"), lit(" Shared footer line.")),
+              " the ", ". The ").as("text")),
+          "doc_id", "text", minDocs = 3).count()
+      },
+      "c4_clean" -> { dir =>
+        // pure projection — any super-linearity here is a harness bug
+        graft.operators.Quality.c4Clean(
+          docs(dir).select(col("doc_id"),
+            regexp_replace(col("text"), " the ", ".\nThe ").as("text")),
+          "doc_id", "text").count()
+      },
+      "perplexity_tiers" -> { dir =>
+        // bigram_nll's joins + ONE broadcast threshold aggregate; the
+        // sketch path (approxAccuracy) is what a real cluster would use
+        val d = docs(dir)
+        graft.operators.Quality.perplexityTiers(d,
+          d.where(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+          "doc_id", "text", approxAccuracy = Some(1000)).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.

@@ -252,6 +252,35 @@ class FunctionsSpec extends AnyFunSuite {
       .distinct().count() === 1)
   }
 
+  test("preTokenize splits like GPT-2's pre-tokenizer (RE2 subset)") {
+    import graft.functions.Text
+    val got = Seq("don't stop, it's 42 now!")
+      .toDF("t").select(Text.preTokenize(col("t"))).collect()(0)
+      .getSeq[String](0)
+    assert(got === Seq("don", "'t", " stop", ",", " it", "'s", " 42",
+      " now", "!"))
+    // every character lands in exactly one pre-token (spaces before words
+    // attach; the split is a partition of the non-discarded chars)
+    assert(got.mkString === "don't stop, it's 42 now!")
+  }
+
+  test("tokenizerFertility: per-group token/word/char arithmetic") {
+    import graft.operators.Analytics
+    val docs = Seq(
+      ("en", "don't stop"),          // 3 pre-tokens, 2 words, 10 chars
+      ("en", "go now"),              // 2 pre-tokens, 2 words, 7... chars=6
+      ("zh", "\u4f60\u597d\u4e16\u754c")  // one non-Latin-run pre-token
+    ).toDF("lang", "text")
+    val got = Analytics.tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("en") === ((2L, 4L, 5L, 1.25, 3.2)))
+    // CJK: the whole run is ONE pre-token under a Latin-centric split —
+    // fertility 1 per "word", but 4 chars compress into 1 token
+    assert(got("zh") === ((1L, 1L, 1L, 1.0, 4.0)))
+  }
+
   test("normalizeUnicode/foldAccents are null-safe and idempotent") {
     import spark.implicits._
     import graft.functions.Text
