@@ -653,6 +653,34 @@ object Oracles {
         "round(CAST(sum(c) AS DOUBLE) / sum(t), 4) AS chars_per_token " +
         "FROM p GROUP BY 1 ORDER BY 1"),
 
+    // repeat allocation: waterfill λ over cap-sorted prefix sums,
+    // budget = floor(1.2 × unique tokens)
+    "q128_repeat_allocation" ->
+      ("WITH m AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 " +
+        "THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) " +
+        "AS BIGINT) AS u FROM documents GROUP BY 1), " +
+        "c AS (SELECT source, u, CAST(CASE " +
+        "WHEN source IN ('src0','src1') THEN 4.0 " +
+        "WHEN source IN ('src2','src3') THEN 2.0 ELSE 1.0 END AS DOUBLE) " +
+        "AS cap FROM m), " +
+        "t AS (SELECT CAST(sum(u) AS BIGINT) AS utot, " +
+        "CAST(floor(CAST(sum(u) AS DOUBLE) * 1.2) AS BIGINT) AS b FROM m), " +
+        "s AS (SELECT source, u, cap, " +
+        "row_number() OVER (ORDER BY cap, source) AS rn, " +
+        "coalesce(sum(cap * u) OVER (ORDER BY cap, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS capprev, " +
+        "coalesce(sum(u) OVER (ORDER BY cap, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS uprev " +
+        "FROM c), " +
+        "l AS (SELECT min_by(lam, rn) AS lamstar FROM " +
+        "(SELECT rn, cap, (t.b - capprev) / (t.utot - uprev) AS lam " +
+        "FROM s, t) WHERE lam <= cap) " +
+        "SELECT source, u AS n_tokens, cap AS epoch_cap, " +
+        "round(least(cap, coalesce(l.lamstar, cap)), 4) AS epochs, " +
+        "round(least(cap, coalesce(l.lamstar, cap)) * u, 4) AS alloc_tokens, " +
+        "l.lamstar IS NOT NULL AS budget_met " +
+        "FROM s, l ORDER BY source"),
+
     // char entropy: H = ln(n) − Σ c·ln(c)/n over per-doc char counts
     "q111_char_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c " +

@@ -670,6 +670,25 @@ object TestQueries {
         t(s, dir, "documents"), "lang", "text")
       .orderBy("lang")
 
+  /** Repeat allocation ([[operators.Analytics.repeatAllocation]]): budget
+    * = 1.2× the corpus's unique tokens, so the cap-1 web tier binds at
+    * every sf, the cap-2 tier binds or rides λ depending on the mass
+    * split, and the cap-4 tier absorbs the remainder — the full waterfill
+    * path, deterministically (integer token sums; cap-sorted scan).
+    */
+  def q128RepeatAllocation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val utot = docs
+      .agg(sum(functions.Text.tokenCount(col("text"))).cast("long"))
+      .head.getLong(0)
+    val budget = (utot.toDouble * 1.2).floor.toLong
+    operators.Analytics.repeatAllocation(docs, "source",
+        functions.Text.tokenCount(col("text")), budget,
+        Map("src0" -> 4.0, "src1" -> 4.0, "src2" -> 2.0, "src3" -> 2.0),
+        defaultCap = 1.0)
+      .orderBy("source")
+  }
+
   /** Character entropy ([[operators.Quality.charEntropy]]): the
     * gibberish/encoding-damage band check over every document.
     */
@@ -1684,6 +1703,7 @@ object TestQueries {
     "q125_c4_clean" -> (q125C4Clean _),
     "q126_perplexity_tiers" -> (q126PerplexityTiers _),
     "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
+    "q128_repeat_allocation" -> (q128RepeatAllocation _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -112,6 +112,72 @@ object Analytics {
           .as("chars_per_token"))
   }
 
+  /** Data-constrained repeat allocation (the "Scaling Data-Constrained
+    * Language Models" regime): split `budgetTokens` of training across
+    * sources proportionally to their UNIQUE token mass, but cap each
+    * source at `epochCaps(source)` epochs (quality tiers repeat more;
+    * raw web maybe once). The exact waterfill: a single repeat rate λ
+    * applies to every uncapped source, capped sources contribute
+    * `cap × unique`, and λ solves `Σ min(cap_g, λ) × u_g = budget` —
+    * computed CLOSED-FORM by sorting groups by cap and scanning prefix
+    * sums (the binding set of a waterfill is a prefix of the cap-sorted
+    * order), no iteration. If the budget exceeds total capacity
+    * (`Σ cap_g × u_g`), every source caps and `budget_met` is false.
+    *
+    * Returns per group: `n_tokens` (unique), `epoch_cap`, `epochs`
+    * (= min(cap, λ), rounded 4dp), `alloc_tokens`, `budget_met`.
+    *
+    * Shape for scale: one fact-sized aggregate to group masses, then ALL
+    * window work runs over the group-count-sized table (≤ #sources rows —
+    * the "global sort" is of a handful of rows), and λ broadcasts back as
+    * a one-row scalar. Token sums stay LONG until the final division, so
+    * λ is deterministic — no float-summation-order drift.
+    */
+  def repeatAllocation(df: DataFrame, groupCol: String, measure: Column,
+                       budgetTokens: Long, epochCaps: Map[String, Double],
+                       defaultCap: Double = 1.0): DataFrame = {
+    require(budgetTokens > 0 && defaultCap > 0 &&
+      epochCaps.values.forall(_ > 0))
+    import org.apache.spark.sql.expressions.Window
+    val capExpr = epochCaps.foldLeft(lit(defaultCap)) {
+      case (acc, (g, c)) => when(col(groupCol) === g, c).otherwise(acc)
+    }
+    // group-count-sized; pinned because it feeds both the scan and the
+    // total (one fact aggregate, not two)
+    val masses = df.groupBy(groupCol)
+      .agg(sum(measure).cast("long").as("__u"))
+      .withColumn("__cap", capExpr)
+      .localCheckpoint()
+    // cap-sorted prefix scan over ≤ #groups rows (group-tiebroken: total
+    // order, so every cumulative sum is deterministic; the unpartitioned
+    // window is safe — it sorts #sources rows, not the fact)
+    val w = Window.orderBy(col("__cap"), col(groupCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = masses
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__capPrev",
+        coalesce(sum(col("__cap") * col("__u")).over(wPrev), lit(0.0)))
+      .withColumn("__uPrev", coalesce(sum("__u").over(wPrev), lit(0L)))
+      .crossJoin(broadcast(masses.agg(sum("__u").as("__utot"))))
+      // λ if every group from this row on is uncapped: spend what the
+      // capped prefix left, spread over the remaining unique mass
+      .withColumn("__lam",
+        (lit(budgetTokens.toDouble) - col("__capPrev")) /
+          (col("__utot") - col("__uPrev")).cast("double"))
+    // the waterfill boundary: the FIRST cap-sorted row whose own cap does
+    // not bind (λ ≤ cap); absent ⇒ budget exceeds capacity, all cap
+    val lamStar = scanned.where(col("__lam") <= col("__cap"))
+      .agg(min_by(col("__lam"), col("__rn")).as("__lamStar"))
+    scanned.crossJoin(broadcast(lamStar))
+      .select(col(groupCol), col("__u").as("n_tokens"),
+        col("__cap").as("epoch_cap"),
+        round(least(col("__cap"), coalesce(col("__lamStar"),
+          col("__cap"))), 4).as("epochs"),
+        round(least(col("__cap"), coalesce(col("__lamStar"), col("__cap"))) *
+          col("__u"), 4).as("alloc_tokens"),
+        col("__lamStar").isNotNull.as("budget_met"))
+  }
+
   /** Corpus-mixture reweighting: each group's actual share of a measure
     * (token counts, bytes, rows) vs its target share, and the sampling
     * weight `target / actual` that hits the target mixture — what a

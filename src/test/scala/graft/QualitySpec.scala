@@ -201,6 +201,34 @@ class QualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("repeatAllocation waterfills: caps bind as a cap-sorted prefix") {
+    import graft.operators.Analytics
+    val docs = Seq(("a", 4L), ("a", 6L), ("b", 10L), ("c", 10L))
+      .toDF("source", "n")
+    val caps = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    def run(budget: Long) =
+      Analytics.repeatAllocation(docs, "source", col("n"), budget, caps)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // budget 45: λ0 = 45/30 = 1.5 > cap(a) → a caps at 1 epoch (10 tok);
+    // λ = (45−10)/20 = 1.75 ≤ cap(b) → b and c both run 1.75 epochs
+    val mid = run(45L)
+    assert(mid("a") === ((1.0, 10.0, true)))
+    assert(mid("b") === ((1.75, 17.5, true)))
+    assert(mid("c") === ((1.75, 17.5, true)))
+    // allocations exhaust the budget exactly when met
+    assert(mid.values.map(_._2).sum === 45.0)
+    // budget 24 < unique mass × min cap: λ = 0.8, nobody caps
+    val low = run(24L)
+    assert(low("a") === ((0.8, 8.0, true)))
+    assert(low("c") === ((0.8, 8.0, true)))
+    // budget 100 > capacity 70: every source caps, budget unmet
+    val over = run(100L)
+    assert(over("a") === ((1.0, 10.0, false)))
+    assert(over("b") === ((2.0, 20.0, false)))
+    assert(over("c") === ((4.0, 40.0, false)))
+  }
+
   test("perplexityTiers: reference-like docs head, gibberish tail") {
     val ref = Seq((100L, "the cat sat on the mat"),
       (101L, "the dog sat on the rug")).toDF("doc_id", "text")
