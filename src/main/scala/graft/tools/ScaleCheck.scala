@@ -272,6 +272,19 @@ object ScaleCheck {
           d.where(col("source").isin("src0", "src1", "src2", "src3", "src4")),
           "doc_id", "text", approxAccuracy = Some(1000)).count()
       },
+      "repeat_allocation" -> { dir =>
+        // one fact aggregate for masses (+ one for the budget, as a user
+        // would) — every window/join after that is over ≤ #sources rows,
+        // so the timing must track the SCAN, never a sort of the fact
+        val d = docs(dir)
+        val utot = d.agg(sum(graft.functions.Text.tokenCount(col("text")))
+          .cast("long")).head.getLong(0)
+        graft.operators.Analytics.repeatAllocation(d, "source",
+          graft.functions.Text.tokenCount(col("text")),
+          (utot * 1.2).floor.toLong,
+          Map("src0" -> 4.0, "src1" -> 4.0, "src2" -> 2.0, "src3" -> 2.0))
+          .count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.
