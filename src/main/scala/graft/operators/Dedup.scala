@@ -316,16 +316,20 @@ object Dedup {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
     val verified = jaccardVerify(df, cands, idCol, textCol, n, threshold)
       .select("id_a", "id_b")
+    // '__'-prefixed label columns: joining the raw (id, cluster) output
+    // onto the input would be ambiguous when idCol == "id" (or silently
+    // drop a user 'cluster' column) — same hygiene as containmentPairsExact
     val labels = connectedComponents(verified)
-    val labeled = df.join(labels, col(idCol) === col("id"), "left")
-      .withColumn("__cl", coalesce(col("cluster"), col(idCol)))
+      .select(col("id").as("__lid"), col("cluster").as("__lcl"))
+    val labeled = df.join(labels, col(idCol) === col("__lid"), "left")
+      .withColumn("__cl", coalesce(col("__lcl"), col(idCol)))
     val w = Window.partitionBy("__cl")
     val ranked = labeled
       .withColumn("__rn", row_number().over(
         w.orderBy(col(scoreCol).desc, col(idCol))))
       .withColumn("n_dups", count(lit(1)).over(w))
     ranked.where(col("__rn") === 1)
-      .drop("id", "cluster", "__cl", "__rn")
+      .drop("__lid", "__lcl", "__cl", "__rn")
   }
 
   /** Exact CONTAINMENT pairs: directed `(id_a, id_b, |A∩B| / |A|)` over
@@ -342,8 +346,10 @@ object Dedup {
     * as its verifier on candidate pairs.
     */
   def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
-                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                            n: Int = 3, threshold: Double = 0.5,
+                            maxRows: Int = 100000): DataFrame = {
     require(threshold > 0 && threshold <= 1)
+    guardAllPairs(df, maxRows, "containmentPairsExact", "chunkCandidatePairs")
     val sh = df.select(col(idCol).as("__id"),
         array_distinct(Text.shingles(col(textCol), n)).as("__sh"))
       .where(size(col("__sh")) >= 1)
@@ -472,7 +478,11 @@ object Dedup {
     * shingle appear (disjoint groups have J = 0).
     */
   def groupJaccardExact(df: DataFrame, groupCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3, maxGroups: Int = 1000): DataFrame = {
+    // the quadratic term here is over GROUPS, so that's what the guard
+    // bounds (a column-pruned distinct-count pass, cheap vs the operator)
+    guardAllPairs(df.select(col(groupCol)).distinct(), maxGroups,
+      "groupJaccardExact", "groupMinhashSimilarity")
     val sh = df.where(Text.tokenCount(col(textCol)) >= n)
       .select(col(groupCol).as("g"),
         explode(array_distinct(Text.shingles(col(textCol), n))).as("s"))
@@ -487,6 +497,23 @@ object Dedup {
       .select(col("group_a"), col("group_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")))
           .as("jaccard"))
+  }
+
+  /** Fail-fast input bound for the exact all-pairs anchors. They are
+    * quadratic by definition — correct as oracle anchors and verifiers on
+    * bounded slices, a cluster-killer on an unbounded corpus — so rather
+    * than silently running O(n²), the API refuses and names the LSH/sketch
+    * sibling that scales. The check is one `limit(max+1).count()` job
+    * (bounded work, stops at the first max+1 rows), never a full count.
+    */
+  private def guardAllPairs(df: DataFrame, maxRows: Int, op: String,
+                            scalePath: String): Unit = {
+    require(maxRows > 0 && maxRows < Int.MaxValue, s"$op: bad maxRows $maxRows")
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$op is an exact all-pairs anchor bounded at maxRows=$maxRows, but " +
+        s"the input has > $maxRows rows. Slice/sample the input, raise " +
+        s"maxRows explicitly, or use the scale path: $scalePath.")
   }
 
   // ---- Embedding near-dup --------------------------------------------------
@@ -521,7 +548,9 @@ object Dedup {
     * bit-reproducible.
     */
   def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxRows: Int = 20000): DataFrame = {
+    guardAllPairs(df, maxRows, "embeddingNearDupExact", "embeddingNearDupPairs")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -177,9 +177,11 @@ object Quality {
     *
     * Shape for scale (the CCNet shard recipe): unit frequency aggregates
     * on `md5(unit)` — the 32-byte digest shuffles, never the unit text —
-    * and the frequent set (bounded by corpus_units / minDocs, tiny at any
-    * sane threshold: boilerplate is by definition repeated) broadcasts
-    * back as a LEFT join marker. The one full-text shuffle is the per-doc
+    * and the frequent set (bounded by corpus_units / minDocs) joins back
+    * as a LEFT join marker — strategy left to AQE: at web-corpus scale
+    * the frequent-unit set can be far from broadcastable (its bound grows
+    * with the corpus), and a forced broadcast would OOM exactly where the
+    * operator is most needed. The one full-text shuffle is the per-doc
     * reassembly groupBy, unavoidable for order-preserving re-join and
     * doc-keyed so it skews only if a single doc is huge. md5 collisions
     * (2^-128-scale) could at worst mark one rare unit as boilerplate —
@@ -198,7 +200,7 @@ object Quality {
       .agg(countDistinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDocs)
       .select(col("__uh"), lit(true).as("__boiler"))
-    units.join(broadcast(frequent), Seq("__uh"), "left")
+    units.join(frequent, Seq("__uh"), "left")
       .groupBy(col(idCol))
       .agg(
         concat_ws(joinSep, transform(

@@ -181,9 +181,18 @@ object Similarity {
       s"trainFraction $trainFraction must be in (0, 1]")
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
-    val train = (if (trainFraction >= 1.0) base
-      else base.where(pmod(xxhash64(col("__tid"), lit(seed + 17)),
-        lit(1000000L)) < lit(math.round(trainFraction * 1e6))))
+    // An empty training sample (tiny fraction × small corpus, or a
+    // fraction that rounds to a 0/1e6 hash cut) would make Lloyd's init
+    // aggregate nothing and fail opaquely — fall back to the full corpus.
+    val sampled =
+      if (trainFraction >= 1.0) base
+      else {
+        val cut = math.max(1L, math.round(trainFraction * 1e6))
+        val s = base.where(pmod(xxhash64(col("__tid"), lit(seed + 17)),
+          lit(1000000L)) < lit(cut))
+        if (s.isEmpty) base else s
+      }
+    val train = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def meansOf(assigned: DataFrame): DataFrame = assigned
@@ -282,9 +291,15 @@ object Similarity {
       s"trainFraction $trainFraction must be in (0, 1]")
     val spark = corpus.sparkSession
     val d = dim / numSub
-    val base = (if (trainFraction >= 1.0) corpus
-      else corpus.where(pmod(xxhash64(col(idCol), lit(seed + 17)),
-        lit(1000000L)) < lit(math.round(trainFraction * 1e6))))
+    // same empty-sample fallback as [[ivfCentroids]]
+    val base =
+      if (trainFraction >= 1.0) corpus
+      else {
+        val cut = math.max(1L, math.round(trainFraction * 1e6))
+        val s = corpus.where(pmod(xxhash64(col(idCol), lit(seed + 17)),
+          lit(1000000L)) < lit(cut))
+        if (s.isEmpty) corpus else s
+      }
     val subRows = base.select(col(idCol).as("__id"),
         explode(array((0 until numSub).map(s =>
           struct(lit(s).as("sub"),

@@ -278,15 +278,20 @@ object Splits {
   def quantileBuckets(df: DataFrame, valueCol: String, numBuckets: Int,
                       approxAccuracy: Option[Int] = None): DataFrame = {
     require(numBuckets >= 2)
-    val ps = (1 until numBuckets).map(_.toDouble / numBuckets)
-    val pctFn = approxAccuracy match {
-      case Some(acc) => s"approx_percentile($valueCol, array(${ps.mkString(", ")}), $acc)"
-      case None      => s"percentile($valueCol, array(${ps.mkString(", ")}))"
+    val ps = array((1 until numBuckets).map(b => lit(b.toDouble / numBuckets)): _*)
+    // Column API with explicit backtick quoting, not SQL-string
+    // interpolation: a bare col()/SQL reference would parse a dot in the
+    // name as a struct-field path and fail to resolve (or hit a nested
+    // field); quoting makes any name — dots, spaces, hyphens — literal
+    val v = df("`" + valueCol.replace("`", "``") + "`")
+    val pctCol = approxAccuracy match {
+      case Some(acc) => percentile_approx(v, ps, lit(acc))
+      case None      => percentile(v, ps)
     }
-    val ths = df.agg(expr(pctFn).as("__ths"))
+    val ths = df.agg(pctCol.as("__ths"))
     df.crossJoin(broadcast(ths))
       .withColumn("bucket",
-        size(filter(col("__ths"), t => col(valueCol) > t)))
+        size(filter(col("__ths"), t => v > t)))
       .drop("__ths")
   }
 

@@ -892,9 +892,12 @@ final case class VersionedLake(root: String) {
     * semantics). The same stats/bloom prune as [[delete]] bounds the
     * rewrite: only dirs that can hold matching rows are read and
     * rewritten; the rest carry verbatim. Updated columns cast back to
-    * their declared dtype so the snapshot schema is invariant (an
-    * un-castable assignment fails loudly, never silently rewrites the
-    * schema). Partition columns cannot be assigned — rows would silently
+    * their declared dtype so the snapshot schema is invariant. Caveat:
+    * only TYPE-incompatible assignments fail at analysis; a value-level
+    * cast failure (e.g. the string 'abc' assigned to an int column) yields
+    * NULL under non-ANSI semantics — enable `spark.sql.ansi.enabled`, or
+    * validate with `try_cast` + a no-new-nulls check, if silent nulling is
+    * unacceptable. Partition columns cannot be assigned — rows would silently
     * migrate between partition dirs; delete + re-insert is the explicit
     * form of that operation. Returns the committed version.
     */

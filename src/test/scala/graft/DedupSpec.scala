@@ -330,6 +330,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(pairs.keySet))
   }
 
+  test("all-pairs anchors refuse inputs over their maxRows bound") {
+    val vecs = (1L to 6L).map(i => (i, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.5, maxRows = 5)
+    }
+    assert(e1.getMessage.contains("embeddingNearDupPairs")) // names the scale path
+    val docs = (1L to 4L).map(i => (i, s"alpha beta gamma delta doc $i"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.containmentPairsExact(docs, "doc_id", "text", maxRows = 3)
+    }
+    assert(e2.getMessage.contains("chunkCandidatePairs"))
+    val grouped = (1 to 5).map(g => (s"g$g", "some shared shingle text here"))
+      .toDF("source", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.groupJaccardExact(grouped, "source", "text", maxGroups = 4)
+    }
+    assert(e3.getMessage.contains("groupMinhashSimilarity"))
+    // at exactly the bound, the guard stays quiet
+    assert(Dedup.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.5,
+      maxRows = 6).count() === 15L)
+  }
+
   test("embeddingDedupExact keeps each cosine-component's min id, transitively") {
     // 1-2 and 2-3 are near (cos >= .99) but 1-3 only via 2: closure needed
     val vecs = Seq(
@@ -375,6 +398,15 @@ class DedupSpec extends AnyFunSuite {
     val cols = graft.operators.Dedup.keepBestTransitiveVerified(
       docs, "doc_id", "text", "score", n = 2, threshold = 0.5).columns.toSet
     assert(Set("doc_id", "text", "score", "n_dups").subsetOf(cols))
+    // idCol named "id" (colliding with the CC label schema) must not be
+    // ambiguous, and a user 'cluster' column must survive untouched
+    val collide = docs.withColumnRenamed("doc_id", "id")
+      .withColumn("cluster", col("id") * 100)
+    val got2 = graft.operators.Dedup.keepBestTransitiveVerified(
+        collide, "id", "text", "score", n = 2, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_dups"), r.getAs[Long]("cluster"))).toMap
+    assert(got2 === Map(2L -> ((3L, 200L)), 5L -> ((2L, 500L)), 6L -> ((1L, 600L))))
   }
 
   test("containmentPairsExact catches a quoted subset that Jaccard misses") {

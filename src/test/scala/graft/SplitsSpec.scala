@@ -266,6 +266,11 @@ class SplitsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     val exact = got.map(r => r._1 -> r._3).toMap
     assert(exact.count { case (id, b) => appr(id) != b } <= 8)
+    // column names that would break raw SQL interpolation resolve fine
+    val weird = Splits.quantileBuckets(
+        rows.toDF("id", "my.value-col"), "my.value-col", 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(weird === exact)
   }
 
   test("sentenceChunks: window/stride semantics, terminators consumed") {
