@@ -410,28 +410,67 @@ object Similarity {
       pqCodebooks(corpus, idCol, vecCol, dim, numSub, ksub, seed, iters,
         trainFraction)
         .withColumnRenamed("cell", "cell0"))
+    pqSearchWith(corpus, queries, idCol, vecCol, dim, k, bySub, ksub, refine)
+  }
+
+  /** Search phase of [[pqTopK]] against a TRAINED codebook artifact — the
+    * train-once / search-many split. `codebooks` is the (sub, cell,
+    * centroid) DataFrame from [[pqCodebooks]], either live or read back
+    * from any sink (it is a plain saveable table: ints + an array of
+    * doubles), so the Lloyd training cost is paid once per corpus — at
+    * ingest time — instead of once per query batch. Results are identical
+    * to [[pqTopK]] with the same codebook parameters.
+    */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, dim: Int, k: Int, codebooks: DataFrame,
+               refine: Int = 4): DataFrame = {
+    val bySub = collectCodebooks(codebooks.withColumnRenamed("cell", "cell0"))
+    pqSearchWith(corpus, queries, idCol, vecCol, dim, k, bySub,
+      slotStride(bySub), refine)
+  }
+
+  /** Smallest collision-free slot stride for the lut map keys: codes are
+    * original 0..ksub-1 Lloyd labels (survivors of dark-cell drops), so
+    * max-id+1 keys `sub·stride + code` uniquely. Any stride ≥ this gives
+    * identical results — the keying is internal to one search.
+    */
+  private def slotStride(bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))]): Int =
+    bySub.flatMap(_._2._1).max + 1
+
+  private def pqSearchWith(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, dim: Int, k: Int,
+                           bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))],
+                           stride: Int, refine: Int): DataFrame = {
+    val numSub = bySub.size
     val coded = encodeWith(corpus, idCol, vecCol, dim, bySub)
       .select(col(idCol).as("nbr_id"), col("codes"))
     val d = dim / numSub
     val localBooks = localBooksDf(corpus.sparkSession, bySub)
-    // per-query ADC lookup table keyed sub·ksub+cell (cells can go dark
-    // during Lloyd, so a map — not positional arithmetic — is the index)
+    // per-query ADC lookup table: slots keyed sub·stride+cell are built as
+    // a MAP (cells can go dark during Lloyd, so positions can be sparse),
+    // then densified once per query into a flat array — the hot loop below
+    // does O(1) positional indexing instead of an O(slots) map probe per
+    // subspace per candidate (the map probe dominated the search cost)
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(localBooks))
       .select(col("query_id"), col("qv"),
-        (col("sub") * ksub + col("code")).cast("int").as("slot"),
+        (col("sub") * stride + col("code")).cast("int").as("slot"),
         Vectors.dot(slice(col("qv"), col("sub").cast("int") * d + 1, lit(d)),
           col("centroid")).as("dp"))
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(col("slot"), col("dp"))))
-        .as("lut"), first("qv").as("qv"))
+        .as("m"), first("qv").as("qv"))
+      .select(col("query_id"), col("qv"),
+        transform(sequence(lit(0), lit(numSub * stride - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0.0d)))
+          .as("lut"))
     val approx = coded.crossJoin(broadcast(lut))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("ascore",
         aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
           (acc, s) => acc +
             element_at(col("lut"),
-              (s * ksub + element_at(col("codes"), s + 1)).cast("int"))))
+              (s * stride + element_at(col("codes"), s + 1) + 1).cast("int"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("ascore").desc, col("nbr_id"))
     val cand = approx.withColumn("arank", row_number().over(w))
@@ -471,23 +510,80 @@ object Similarity {
                 nprobe: Int = 4, numSub: Int = 4, ksub: Int = 16,
                 refine: Int = 4, seed: Long = 42L, iters: Int = 3,
                 trainFraction: Double = 1.0): DataFrame = {
-    val (cellIds, cents) = collectCentroids(
-      ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters,
-        trainFraction))
-    val cmap = map_from_arrays(
+    val m = ivfPqTrain(corpus, idCol, vecCol, dim, numCells, numSub, ksub,
+      seed, iters, trainFraction)
+    ivfPqSearchWith(corpus, queries, idCol, vecCol, dim, k,
+      collectCentroids(m.centroids.withColumnRenamed("cell", "cell0")),
+      collectCodebooks(m.codebooks.withColumnRenamed("cell", "cell0")),
+      ksub, nprobe, refine)
+  }
+
+  /** The trained IVF+PQ quantizer as two plain saveable DataFrames —
+    * `centroids` (cell, centroid) is the coarse Lloyd table, `codebooks`
+    * (sub, cell, centroid) the residual product codebooks. Both are local
+    * relations of bounded size (numCells + numSub·ksub rows); persist them
+    * with any sink and read them back into [[ivfPqSearch]].
+    */
+  final case class IvfPqModel(centroids: DataFrame, codebooks: DataFrame)
+
+  /** Training phase of [[ivfPqTopK]]: coarse Lloyd centroids, then product
+    * codebooks over the corpus RESIDUALS from their assigned centroid.
+    * Train once per corpus (at ingest), search many with [[ivfPqSearch]].
+    */
+  def ivfPqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 numCells: Int = 16, numSub: Int = 4, ksub: Int = 16,
+                 seed: Long = 42L, iters: Int = 3,
+                 trainFraction: Double = 1.0): IvfPqModel = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, numCells, seed,
+      iters, trainFraction)
+    val (cellIds, cents) = collectCentroids(centroids)
+    val cmap = centroidMap(cellIds, cents)
+    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+        graft.functions.expressions.VectorExpressions
+          .nearestCells(col(vecCol), cents, cellIds)(0).getField("cell")
+          .as("cell"))
+      .withColumn("rv", residualCol(col("cv"), col("cell"), cmap))
+    val books = pqCodebooks(assigned.select(col("nbr_id"), col("rv")),
+      "nbr_id", "rv", dim, numSub, ksub, seed, iters, trainFraction)
+    IvfPqModel(centroids.withColumnRenamed("cell0", "cell"), books)
+  }
+
+  /** Search phase of [[ivfPqTopK]] against a trained [[IvfPqModel]] —
+    * identical results to the fused call with the same model parameters.
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, k: Int, model: IvfPqModel,
+                  nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    val bySub = collectCodebooks(
+      model.codebooks.withColumnRenamed("cell", "cell0"))
+    ivfPqSearchWith(corpus, queries, idCol, vecCol, dim, k,
+      collectCentroids(model.centroids.withColumnRenamed("cell", "cell0")),
+      bySub, slotStride(bySub), nprobe, refine)
+  }
+
+  private def centroidMap(cellIds: Seq[Int], cents: Seq[Seq[Double]]): Column =
+    map_from_arrays(
       array(cellIds.map(lit(_)): _*),
       array(cents.map(cv => array(cv.map(lit): _*)): _*))
+
+  private def residualCol(v: Column, cell: Column, cmap: Column): Column =
+    zip_with(v, element_at(cmap, cell), (x, c) => x.cast("double") - c)
+
+  private def ivfPqSearchWith(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, dim: Int,
+                              k: Int, coarse: (Seq[Int], Seq[Seq[Double]]),
+                              bySub: Seq[(Int, (Seq[Int], Seq[Seq[Double]]))],
+                              stride: Int, nprobe: Int,
+                              refine: Int): DataFrame = {
+    val (cellIds, cents) = coarse
+    val numSub = bySub.size
+    val cmap = centroidMap(cellIds, cents)
     def ranked(v: Column) = graft.functions.expressions.VectorExpressions
       .nearestCells(v, cents, cellIds)
-    def residual(v: Column, cell: Column) =
-      zip_with(v, element_at(cmap, cell), (x, c) => x.cast("double") - c)
+    def residual(v: Column, cell: Column) = residualCol(v, cell, cmap)
     val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
         ranked(col(vecCol))(0).getField("cell").as("cell"))
       .withColumn("rv", residual(col("cv"), col("cell")))
-    val bySub = collectCodebooks(
-      pqCodebooks(assigned.select(col("nbr_id"), col("rv")), "nbr_id", "rv",
-        dim, numSub, ksub, seed, iters, trainFraction)
-        .withColumnRenamed("cell", "cell0"))
     val coded = assigned.select(col("nbr_id"), col("cell"),
       codesCol(col("rv"), dim, bySub).as("codes"))
     val d = dim / numSub
@@ -500,19 +596,25 @@ object Similarity {
       .withColumn("qc", Vectors.dot(col("qv"), element_at(cmap, col("cell"))))
     val qlut = qcells.crossJoin(broadcast(localBooks))
       .select(col("query_id"), col("cell"), col("qv"), col("qc"),
-        (col("sub") * ksub + col("code")).cast("int").as("slot"),
+        (col("sub") * stride + col("code")).cast("int").as("slot"),
         Vectors.dot(slice(col("qr"), col("sub").cast("int") * d + 1, lit(d)),
           col("centroid")).as("dp"))
       .groupBy("query_id", "cell")
       .agg(map_from_entries(collect_list(struct(col("slot"), col("dp"))))
-        .as("lut"), first("qv").as("qv"), first("qc").as("qc"))
+        .as("m"), first("qv").as("qv"), first("qc").as("qc"))
+      // densified per (query, cell) — O(1) array indexing in the hot loop,
+      // as in [[pqSearchWith]]
+      .select(col("query_id"), col("cell"), col("qv"), col("qc"),
+        transform(sequence(lit(0), lit(numSub * stride - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0.0d)))
+          .as("lut"))
     val approx = coded.join(broadcast(qlut), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("ascore", col("qc") +
         aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
           (acc, s) => acc +
             element_at(col("lut"),
-              (s * ksub + element_at(col("codes"), s + 1)).cast("int"))))
+              (s * stride + element_at(col("codes"), s + 1) + 1).cast("int"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("ascore").desc, col("nbr_id"))
     val cand = approx.withColumn("arank", row_number().over(w))
@@ -538,10 +640,20 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
               nprobe: Int = 4, seed: Long = 42L, iters: Int = 4,
-              trainFraction: Double = 1.0): DataFrame = {
-    val (ids, cents) = collectCentroids(
+              trainFraction: Double = 1.0): DataFrame =
+    ivfSearch(corpus, queries, idCol, vecCol, k,
       ivfCentroids(corpus, idCol, vecCol, numCells, seed, iters,
-        trainFraction))
+        trainFraction).withColumnRenamed("cell0", "cell"), nprobe)
+
+  /** Search phase of [[ivfTopK]] against a trained centroid artifact —
+    * `centroids` is the (cell, centroid) DataFrame from [[ivfCentroids]]
+    * (column `cell0` renamed to `cell`), live or read back from any sink.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, centroids: DataFrame,
+                nprobe: Int = 4): DataFrame = {
+    val (ids, cents) = collectCentroids(
+      centroids.withColumnRenamed("cell", "cell0"))
     def ranked(v: Column) = graft.functions.expressions.VectorExpressions
       .nearestCells(v, cents, ids)
     val corpusCells = corpus.select(col(idCol).as("nbr_id"),

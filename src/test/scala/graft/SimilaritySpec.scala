@@ -220,6 +220,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf === bf)
   }
 
+  test("trained quantizer artifacts: search == fused call, and survive a parquet roundtrip") {
+    val q = clustered.where(col("vec_id") % 7 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Int]("rank"), math.round(r.getAs[Double]("cos") * 1e9))).toSet
+    // PQ: train-once artifact reproduces the fused path exactly
+    val fused = asSet(Similarity.pqTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numSub = 4, ksub = 4, refine = 4))
+    val books = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      dim = 8, numSub = 4, ksub = 4)
+    assert(asSet(Similarity.pqSearch(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, codebooks = books, refine = 4)) === fused)
+    // ... including after persisting the codebook and reading it back
+    val dir = java.nio.file.Files.createTempDirectory("pqbooks").toString
+    books.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(asSet(Similarity.pqSearch(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, codebooks = reloaded, refine = 4)) === fused)
+    // IVF+PQ: same contract for the two-table model
+    val fused2 = asSet(Similarity.ivfPqTopK(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, numCells = 4, nprobe = 4, numSub = 4, ksub = 4,
+      refine = 1000))
+    val m = Similarity.ivfPqTrain(clustered, "vec_id", "embedding", dim = 8,
+      numCells = 4, numSub = 4, ksub = 4)
+    val cdir = java.nio.file.Files.createTempDirectory("ivfpq_c").toString
+    val bdir = java.nio.file.Files.createTempDirectory("ivfpq_b").toString
+    m.centroids.write.mode("overwrite").parquet(cdir)
+    m.codebooks.write.mode("overwrite").parquet(bdir)
+    val m2 = Similarity.IvfPqModel(spark.read.parquet(cdir),
+      spark.read.parquet(bdir))
+    assert(asSet(Similarity.ivfPqSearch(clustered, q, "vec_id", "embedding",
+      dim = 8, k = 3, m2, nprobe = 4, refine = 1000)) === fused2)
+    // IVF: centroid artifact path
+    val fused3 = asSet(Similarity.ivfTopK(clustered, q, "vec_id", "embedding",
+      k = 3, numCells = 4, nprobe = 4))
+    val cents = Similarity.ivfCentroids(clustered, "vec_id", "embedding",
+      numCells = 4).withColumnRenamed("cell0", "cell")
+    assert(asSet(Similarity.ivfSearch(clustered, q, "vec_id", "embedding",
+      k = 3, centroids = cents, nprobe = 4)) === fused3)
+  }
+
   test("IVF+PQ: probing every cell with an exhaustive pool equals brute force exactly") {
     val q = clustered.where(col("vec_id") % 7 === 0)
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
