@@ -275,6 +275,25 @@ object Oracles {
         "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
         "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM sc"),
 
+    // Exact MinHash truth: DuckDB recomputes the MD5 minhash signature
+    // (coordinate i = lexicographic min of md5(i || ':' || shingle) hex
+    // over the distinct shingle set — fixed-width lowercase hex, so string
+    // min == numeric min in both engines), then takes exact all-pairs with
+    // the banding predicate "some 4-wide band agrees". The Spark side is
+    // the band-BUCKETED candidate path — hash equality proves both the
+    // signature and that bucketing emits exactly the agreeing-band pairs.
+    "q36b_minhash_exact" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sh2 AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3), " +
+        "sg AS (SELECT doc_id, [list_min(list_transform(s, " +
+        "x -> md5(CAST(i AS VARCHAR) || ':' || x))) for i in range(0, 16)] AS g FROM sh2) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sg a JOIN sg b " +
+        "ON a.doc_id < b.doc_id " +
+        "WHERE a.g[1:4] = b.g[1:4] OR a.g[5:8] = b.g[5:8] " +
+        "OR a.g[9:12] = b.g[9:12] OR a.g[13:16] = b.g[13:16]"),
+
     // Exact SimHash truth: DuckDB recomputes the MD5-token-hash simhash
     // signature nibble-for-nibble (tokens → 2-shingles → per-bit ±1 votes
     // over the first 16 md5 hex chars → sign), then takes exact all-pairs
@@ -1024,6 +1043,31 @@ object Oracles {
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY 1"),
+
+    // Exact chunk-dedup truth: DuckDB replays the token-windowed MD5 cut
+    // rule (cut after token j iff the first md5 nibble of the last-4-token
+    // window has low 2 bits zero, or j ends the doc), fingerprints the
+    // spans between cuts, and re-counts shared chunks per doc pair under
+    // the same >1 / <=64 bucket bound.
+    "q50b_chunk_dedup_exact" ->
+      ("WITH tk AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "ct AS (SELECT doc_id, t, [CAST(j AS INTEGER) for j in range(1, len(t) + 1) " +
+        "if ((strpos('0123456789abcdef', substr(md5(array_to_string(" +
+        "t[greatest(1, CAST(j AS INTEGER) - 3):CAST(j AS INTEGER)], ' ')), 1, 1)) - 1) & 3) = 0 " +
+        "OR j = len(t)] AS c FROM tk), " +
+        "ch AS (SELECT doc_id, list_distinct([md5(array_to_string(" +
+        "t[(CASE WHEN k = 1 THEN 1 ELSE c[CAST(k AS INTEGER) - 1] + 1 END):c[CAST(k AS INTEGER)]], ' ')) " +
+        "for k in range(1, len(c) + 1)]) AS chunks FROM ct), " +
+        "e AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch), " +
+        "sb AS (SELECT chunk FROM e GROUP BY 1 " +
+        "HAVING count(*) > 1 AND count(*) <= 64), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a " +
+        "JOIN e b ON a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+        "JOIN sb ON a.chunk = sb.chunk) " +
+        "SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_chunks " +
+        "FROM p GROUP BY 1, 2"),
 
     "q51_percentiles" ->
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +

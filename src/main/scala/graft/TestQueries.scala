@@ -296,6 +296,16 @@ object TestQueries {
     Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Exact MinHash anchor (the q37b treatment for q36): band-bucketed
+    * candidates over the MD5 signature must hash-match DuckDB's exact
+    * all-pairs "≥ 1 band agrees" recomputation of the SAME signature —
+    * covering tokenize→shingle→min-hash→band→bucket→pair in one gate.
+    * The xxhash production path (q36) keeps its rows-only check.
+    */
+  def q36bMinhashExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairsMd5(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   def q37SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
       .select("id_a", "id_b", "hamming")
@@ -1064,6 +1074,16 @@ object TestQueries {
     Dedup.chunkCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Exact chunk-dedup anchor: token-windowed MD5 content-defined cuts
+    * DuckDB replays digit-for-digit — chunking, fingerprints, the bounded
+    * bucket counting, and the per-pair shared-chunk counts all
+    * hash-checked. The byte-rolling production path (q50) keeps its
+    * rows-only check.
+    */
+  def q50bChunkDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkCandidatePairsMd5(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`).
     */
@@ -1684,6 +1704,7 @@ object TestQueries {
     "q35_lang_id" -> (q35LangId _),
     "q36_minhash_pairs" -> (q36MinhashPairs _),
     "q37_simhash_pairs" -> (q37SimhashPairs _),
+    "q36b_minhash_exact" -> (q36bMinhashExact _),
     "q37b_simhash_exact" -> (q37bSimhashExact _),
     "q38_jaccard_dups" -> (q38JaccardDups _),
     "q39_embedding_topk" -> (q39EmbeddingTopk _),
@@ -1737,6 +1758,7 @@ object TestQueries {
     "q48_json_extract" -> (q48JsonExtract _),
     "q49_source_similarity" -> (q49SourceSimilarity _),
     "q50_chunk_dedup" -> (q50ChunkDedup _),
+    "q50b_chunk_dedup_exact" -> (q50bChunkDedupExact _),
     "q51_percentiles" -> (q51Percentiles _),
     "q51b_approx_percentiles" -> (q51bApproxPercentiles _),
     "q52_string_funcs" -> (q52StringFuncs _),

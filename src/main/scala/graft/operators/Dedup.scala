@@ -106,6 +106,49 @@ object Dedup {
       .join(victims, col(idCol) === col("victim"), "left_anti")
   }
 
+  /** Oracle-anchored MinHash variant (what [[simhashCandidatePairsMd5]] is
+    * to SimHash): the same band-bucketed candidate generation over an
+    * MD5-derived signature DuckDB recomputes bit-for-bit — coordinate i is
+    * the lexicographic MIN of `md5(i || ':' || shingle)` hex strings over
+    * the doc's shingle set (fixed-length lowercase hex, so string min ==
+    * numeric min of the 128-bit value, identically in both engines), and
+    * buckets key on the band's joined hex strings, not an xxhash of them.
+    * A pair is emitted iff ≥ 1 band agrees EXACTLY — the same predicate an
+    * all-pairs SQL can state — so hash-equality against the oracle proves
+    * tokenize→shingle→min-hash→band→bucket→pair end to end (gate q36b).
+    * Production stays [[minhashCandidatePairs]] (xxhash signatures, 8-byte
+    * band keys) — this path shuffles 32-char hex strings instead, the
+    * price of cross-engine reproducibility.
+    */
+  def minhashCandidatePairsMd5(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int = 3, numHashes: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val sig = df
+      .where(Text.tokenCount(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("id"), array((0 until numHashes).map { i =>
+        array_min(transform(col("__sh"),
+          x => md5(concat_ws(":", lit(i.toString), x))))
+      }: _*).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bk"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    banded.groupBy("band", "bk")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over word shingles: per bit, sum ±1 weighted by shingle
@@ -388,10 +431,57 @@ object Dedup {
     */
   def chunkCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                           window: Int = 16, maskBits: Int = 6,
-                          maxDocsPerChunk: Int = 64): DataFrame = {
+                          maxDocsPerChunk: Int = 64): DataFrame =
+    chunkPairsFrom(df, idCol,
+      graft.functions.expressions.TextHashExpressions
+        .rollingChunkHashes(col(textCol), window, maskBits), maxDocsPerChunk)
+
+  /** Oracle-anchored content-defined chunking: TOKEN-windowed MD5 cut
+    * decisions DuckDB recomputes digit-for-digit. Position j (1-based) is
+    * a cut iff the first hex nibble of `md5` of the space-joined window of
+    * the last `window` tokens ending at j has its low `maskBits` bits zero
+    * (or j is the last token); chunks span between cuts and fingerprint as
+    * `md5` of their joined tokens. The same boundary rule as production
+    * CDC — a shared passage re-synchronizes to identical cuts regardless
+    * of its offset in the doc — stated entirely in md5/list arithmetic an
+    * all-pairs SQL can replay, so the gate (q50b) hash-checks
+    * chunking→fingerprint→bucket→pair-count end to end. Production stays
+    * [[chunkCandidatePairs]] (byte-rolling polynomial hash, scan-speed);
+    * `maskBits` ≤ 4 here because the decision reads one nibble.
+    */
+  def chunkCandidatePairsMd5(df: DataFrame, idCol: String, textCol: String,
+                             window: Int = 4, maskBits: Int = 2,
+                             maxDocsPerChunk: Int = 64): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 4,
+      s"maskBits $maskBits must be in [1,4]: the cut reads one hex nibble")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val idx = sequence(lit(1), size(toks))
+    def winStart(j: Column) = greatest(j - (window - 1), lit(1))
+    def winHash(j: Column) =
+      md5(concat_ws(" ", slice(toks, winStart(j), j - winStart(j) + 1)))
+    val nib = (j: Column) =>
+      conv(substring(winHash(j), 1, 1), 16, 10).cast("int")
+    val mask = (1 << maskBits) - 1
+    val cuts = filter(idx,
+      j => (nib(j).bitwiseAND(lit(mask)) === 0) || (j === size(toks)))
+    val chunkHashes = transform(sequence(lit(1), size(cuts)), k => {
+      val start = when(k === 1, lit(1))
+        .otherwise(element_at(cuts, (k - 1).cast("int")) + 1)
+      val end = element_at(cuts, k.cast("int"))
+      md5(concat_ws(" ", slice(toks, start, end - start + 1)))
+    })
+    chunkPairsFrom(df.where(length(trim(col(textCol))) > 0), idCol,
+      chunkHashes, maxDocsPerChunk)
+  }
+
+  /** Shared bucket→pair→count tail of both chunking paths: `chunksCol`
+    * evaluates to the doc's array of chunk fingerprints.
+    */
+  private def chunkPairsFrom(df: DataFrame, idCol: String,
+                             chunksCol: Column,
+                             maxDocsPerChunk: Int): DataFrame = {
     val chunked = df.select(col(idCol).as("id"),
-        explode(array_distinct(graft.functions.expressions.TextHashExpressions
-          .rollingChunkHashes(col(textCol), window, maskBits))).as("chunk"))
+        explode(array_distinct(chunksCol)).as("chunk"))
     val sharedBounded = chunked.groupBy("chunk")
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1 && col("cnt") <= maxDocsPerChunk)
