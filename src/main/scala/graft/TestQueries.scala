@@ -721,6 +721,24 @@ object TestQueries {
       .orderBy("source")
   }
 
+  /** Reference-scale bikeshare E2E ([[pipeline.BikeshareGen.runAll]]):
+    * the 5-stage pipeline + all 22 analytical queries over the generated
+    * reference-shape corpus — 4.58 M trips at bench scale (sf0.1), scaled
+    * down 10×/100× at the smaller gate dirs so Verify stays fast. Output
+    * is one row per query (cardinality + rounded control total); value
+    * semantics are pinned by the fixture goldens (BikesharePipelineSpec)
+    * and the conservation invariants by BikeshareScaleSpec. Rows-only in
+    * the driver gate: the corpus is generated, not a parquet table DuckDB
+    * can see.
+    */
+  def q129BikeshareScale(s: SparkSession, dir: String): DataFrame = {
+    val scale =
+      if (dir.contains("sf0.001")) 0.01
+      else if (dir.contains("sf0.01")) 0.1
+      else 1.0
+    pipeline.BikeshareGen.runAll(s, scale).orderBy("query")
+  }
+
   /** Character entropy ([[operators.Quality.charEntropy]]): the
     * gibberish/encoding-damage band check over every document.
     */
@@ -1747,6 +1765,7 @@ object TestQueries {
     "q126_perplexity_tiers" -> (q126PerplexityTiers _),
     "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
     "q128_repeat_allocation" -> (q128RepeatAllocation _),
+    "q129_bikeshare_scale" -> (q129BikeshareScale _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Bikeshare
+
+/** Deterministic synthetic bikeshare corpus at the REFERENCE's published
+  * scale (BASELINE.md: ≈4.58 M trips over the 2021-02-01→2022-01-31 year,
+  * ≈2.05 M payments over 2013-02-01→2022-02-01, ≈75 K riders with ids from
+  * 1000, a small alphanumeric-id station dim) — the reference's own 4.58 M
+  * -row corpus is not in the sandbox, so the 24 analytical queries were
+  * previously proven only on 5-row fixtures; this generator closes that
+  * by E2E-running the 5-stage pipeline + Q1-Q22 at the real row counts
+  * (gate q129, BikeshareScaleSpec).
+  *
+  * Every column is a pure function of the row id through `xxhash64`, so
+  * generation is scan-side distributed compute: `spark.range` gives each
+  * partition its id span, no driver-side data, no RNG state, identical
+  * output at any parallelism (the property `Math.random`-style generators
+  * lack). Foreign keys are valid BY CONSTRUCTION (trip/payment rider ids
+  * and station ids reuse the dims' id formulas), which the E2E asserts via
+  * join-preservation invariants rather than assuming.
+  *
+  * Shape for scale: generating 100× this corpus is the same one-pass
+  * `range → project` plan; nothing collects, nothing joins, nothing
+  * shuffles. Facts land value-clustered on the row id, deliberately NOT
+  * time-sorted — a worst case for the date-dim joins, like real ingest.
+  */
+object BikeshareGen {
+
+  final case class Sizes(trips: Long, payments: Long, riders: Long,
+                         stations: Int)
+
+  /** Reference scale (scale = 1.0): BASELINE.md row counts. */
+  def sizes(scale: Double): Sizes = {
+    require(scale > 0 && scale <= 1.0, s"scale $scale must be in (0, 1]")
+    Sizes(
+      trips = math.max(1000L, math.round(4580000L * scale)),
+      payments = math.max(500L, math.round(2050000L * scale)),
+      riders = math.max(100L, math.round(75000L * scale)),
+      stations = math.max(20, math.round(150 * scale).toInt))
+  }
+
+  /** Uniform deterministic draw in [0, n) from (id, salt). */
+  private def u(salt: Int, n: Long): Column =
+    pmod(xxhash64(col("id"), lit(salt)), lit(n))
+
+  /** Divvy-style alphanumeric station id, shared by the dim and the fact
+    * FK columns so referential integrity holds without a join.
+    */
+  private def stationId(ordinal: Column): Column =
+    concat(
+      element_at(array(Seq("KA", "TA", "WL", "LP", "HQ").map(lit): _*),
+        pmod(ordinal, lit(5)).cast("int") + 1),
+      lpad(ordinal.cast("string"), 10, "0"))
+
+  private val tripEpochLo = 1612141200L     // 2021-02-01 01:00:00 UTC
+  private val tripSpanSeconds = 365L * 24 * 3600 - 3600
+  private val payEpochDayLo = "2013-02-01"
+  private val paySpanDays = 3288L           // → 2022-02-01
+
+  def riders(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1000).cast("int").as("rider_id"),
+      concat(lit("First"), u(1, 5000)).as("first"),
+      concat(lit("Last"), u(2, 20000)).as("last"),
+      concat(u(3, 9899) + 100, lit(" W Addison St")).as("address"),
+      // births 1946..2000 → ages ~21-75 at ride time, always before the
+      // account start (age derivations never go negative)
+      date_add(lit(java.sql.Date.valueOf("1946-01-01")),
+        u(4, 20000).cast("int")).as("birthday"),
+      date_add(lit(java.sql.Date.valueOf(payEpochDayLo)),
+        u(5, 3250).cast("int")).as("account_start_date"),
+      // ~70% active (NULL end date), closures within ~5 years of start
+      when(u(6, 10) < 7, lit(null).cast("date"))
+        .otherwise(date_add(lit(java.sql.Date.valueOf(payEpochDayLo)),
+          (u(5, 3250) + u(7, 1800) + 30).cast("int"))).as("account_end_date"),
+      (u(8, 100) < 80).as("is_member"))
+
+  def stations(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n).select(
+      stationId(col("id")).as("station_id"),
+      concat(lit("Station "), col("id")).as("name"),
+      (lit(41.78f) + (u(9, 3000).cast("float") / 10000.0f)).as("latitude"),
+      (lit(-87.83f) + (u(10, 3000).cast("float") / 10000.0f)).as("longitude"))
+
+  def trips(spark: SparkSession, n: Long, nRiders: Long,
+            nStations: Int): DataFrame = {
+    val startEpoch = lit(tripEpochLo) + u(12, tripSpanSeconds)
+    // 300..2315 s uniform → mean ≈ 1307 s, the reference's observed avg
+    val duration = lit(300L) + u(13, 2016)
+    spark.range(n).select(
+      substring(md5(concat(lit("trip"), col("id"))), 1, 16).as("trip_id"),
+      element_at(array(Seq("classic_bike", "electric_bike", "docked_bike")
+        .map(lit): _*), u(14, 3).cast("int") + 1).as("rideable_type"),
+      timestamp_seconds(startEpoch).as("started_at"),
+      timestamp_seconds(startEpoch + duration).as("ended_at"),
+      stationId(u(15, nStations)).as("start_station_id"),
+      stationId(u(16, nStations)).as("end_station_id"),
+      (u(17, nRiders) + 1000).cast("int").as("rider_id"))
+  }
+
+  def payments(spark: SparkSession, n: Long, nRiders: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + 1).cast("int").as("payment_id"),
+      date_add(lit(java.sql.Date.valueOf(payEpochDayLo)),
+        u(21, paySpanDays).cast("int")).as("date_id"),
+      // whole-dollar decimal(10,0) fees 0..20 → mean ≈ 10.00 (BASELINE.md)
+      u(22, 21L).cast(Bikeshare.payments("amount").dataType).as("amount"),
+      (u(23, nRiders) + 1000).cast("int").as("rider_id"))
+
+  /** The conformed (post-stage-3) table set at `scale` — what
+    * [[BikesharePipeline.build]] takes. Column order/types match
+    * [[Bikeshare]]'s declared schemas exactly (spec-asserted).
+    */
+  def conformed(spark: SparkSession, scale: Double): BikesharePipeline.Conformed = {
+    val s = sizes(scale)
+    BikesharePipeline.Conformed(
+      payments = payments(spark, s.payments, s.riders),
+      trips = trips(spark, s.trips, s.riders, s.stations),
+      riders = riders(spark, s.riders),
+      stations = stations(spark, s.stations))
+  }
+
+  /** Session-cached MATERIALIZED corpus: generated once per (session,
+    * scale), persisted via eager localCheckpoint so the 22 analytical
+    * queries read stored columnar batches instead of regenerating — the
+    * same cost shape as reading the warehouse's parquet. (The corpus is
+    * ≈0.5 GB at scale 1; local checkpoints spill to disk if needed.)
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, BikesharePipeline.Conformed]()
+  def conformedCached(spark: SparkSession,
+                      scale: Double): BikesharePipeline.Conformed =
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$scale", {
+      val c = conformed(spark, scale)
+      BikesharePipeline.Conformed(
+        payments = c.payments.localCheckpoint(),
+        trips = c.trips.localCheckpoint(),
+        riders = c.riders.localCheckpoint(),
+        stations = c.stations.localCheckpoint())
+    })
+
+  /** The full E2E at `scale`: conform → enrich → dims → all 22 analytical
+    * queries, summarized one row per query (name, result cardinality, a
+    * rounded control total over the result's numeric columns). `count()`
+    * on this executes the entire reference workload; the per-query
+    * invariants live in BikeshareScaleSpec.
+    */
+  def runAll(spark: SparkSession, scale: Double): DataFrame = {
+    val w = BikesharePipeline.build(spark, conformedCached(spark, scale))
+    val qs: Seq[(String, DataFrame)] = Seq(
+      "q1_avg_duration_dow" -> BikesharePipeline.q1AvgDurationByDayOfWeek(w),
+      "q2_total_duration_dow" -> BikesharePipeline.q2TotalDurationByDayOfWeek(w),
+      "q3_avg_duration_start" -> BikesharePipeline.q3AvgDurationByStartTime(w),
+      "q4_total_duration_start" -> BikesharePipeline.q4TotalDurationByStartTime(w),
+      "q5_avg_duration_sstation" -> BikesharePipeline.q5AvgDurationByStartStation(w),
+      "q6_total_duration_sstation" -> BikesharePipeline.q6TotalDurationByStartStation(w),
+      "q7_avg_duration_estation" -> BikesharePipeline.q7AvgDurationByEndStation(w),
+      "q8_total_duration_estation" -> BikesharePipeline.q8TotalDurationByEndStation(w),
+      "q9_total_duration_age" -> BikesharePipeline.q9TotalDurationByAge(w),
+      "q10_avg_duration_age" -> BikesharePipeline.q10AvgDurationByAge(w),
+      "q11_avg_duration_member" -> BikesharePipeline.q11AvgDurationByMembership(w),
+      "q12_total_duration_member" -> BikesharePipeline.q12TotalDurationByMembership(w),
+      "q13_sum_month" -> BikesharePipeline.paymentsByDatePart(w, "month", "sum"),
+      "q14_avg_month" -> BikesharePipeline.paymentsByDatePart(w, "month", "avg"),
+      "q15_sum_quarter" -> BikesharePipeline.paymentsByDatePart(w, "quarter", "sum"),
+      "q16_avg_quarter" -> BikesharePipeline.paymentsByDatePart(w, "quarter", "avg"),
+      "q17_sum_year" -> BikesharePipeline.paymentsByDatePart(w, "year", "sum"),
+      "q18_avg_year" -> BikesharePipeline.paymentsByDatePart(w, "year", "avg"),
+      "q19_sum_member_age" -> BikesharePipeline.memberPaymentsByAge(w, "sum"),
+      "q20_avg_member_age" -> BikesharePipeline.memberPaymentsByAge(w, "avg"),
+      "q21_monthly_spend" -> BikesharePipeline.q21MonthlySpendPerMember(w),
+      "q22_spend_per_minute" -> BikesharePipeline.q22SpendPerMinutePerMember(w))
+    qs.map { case (name, df) =>
+      // control total: sum of every numeric result column, rounded — a
+      // cheap cross-run regression fingerprint on top of the cardinality
+      val numerics = df.schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }).map(f => sum(col(f.name).cast("double")))
+      val ctrl =
+        if (numerics.isEmpty) lit(0.0d)
+        else round(numerics.reduce(_ + _), 2)
+      df.agg(count(lit(1)).as("n_rows"), ctrl.as("control_total"))
+        .select(lit(name).as("query"), col("n_rows"),
+          col("control_total").cast("double").as("control_total"))
+    }.reduce(_ unionByName _)
+  }
+}
