@@ -23,9 +23,14 @@ object Engine {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read as long nanos and convert in Tables.loadEvents.
+    // events.parquet's physical ts type varies by testdata vintage:
+    // TIMESTAMP(NANOS) (reader rejects → read as long nanos, convert in
+    // Tables.loadEvents) or timestamp[us] without the UTC flag (would infer
+    // TIMESTAMP_NTZ, whose cast-to-long is illegal → pin inference off so it
+    // arrives as an instant). loadEvents also normalizes NTZ defensively for
+    // driver-built sessions that lack this pin.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     // Runtime bloom-filter pruning: when one side of a shuffle join has a
     // selective predicate, inject a bloom filter on the other side so the

@@ -36,11 +36,10 @@ object TestQueries {
     * instead of paying Lloyd per query invocation. Keyed by session
     * identity so a stale session's artifacts are never reused.
     */
-  private val annModels = scala.collection.concurrent.TrieMap[String, AnyRef]()
+  private val annModels = new graft.SessionCache[AnyRef]
   private def annModel[T <: AnyRef](s: SparkSession, dir: String,
                                     config: String)(train: => T): T =
-    annModels.getOrElseUpdate(
-      s"${System.identityHashCode(s)}:$dir:$config", train).asInstanceOf[T]
+    annModels.getOrElseUpdate(s, s"$dir:$config")(train).asInstanceOf[T]
 
   // ---- §2.1/2.2 sources + projection --------------------------------------
 
@@ -723,19 +722,26 @@ object TestQueries {
 
   /** Reference-scale bikeshare E2E ([[pipeline.BikeshareGen.runAll]]):
     * the 5-stage pipeline + all 22 analytical queries over the generated
-    * reference-shape corpus — 4.58 M trips at bench scale (sf0.1), scaled
-    * down 10×/100× at the smaller gate dirs so Verify stays fast. Output
-    * is one row per query (cardinality + rounded control total); value
-    * semantics are pinned by the fixture goldens (BikesharePipelineSpec)
-    * and the conservation invariants by BikeshareScaleSpec. Rows-only in
-    * the driver gate: the corpus is generated, not a parquet table DuckDB
-    * can see.
+    * reference-shape corpus. Output is one row per query (cardinality +
+    * rounded control total); value semantics are pinned by the fixture
+    * goldens (BikesharePipelineSpec) and the conservation invariants by
+    * BikeshareScaleSpec. Rows-only in the driver gate: the corpus is
+    * generated, not a parquet table DuckDB can see.
+    *
+    * Bench posture (VERDICT r7/r8 item): the FULL reference scale (1.0 =
+    * 4.58 M trips, the reference's own row counts) runs in
+    * BikeshareScaleSpec, where the conservation invariants need it; the
+    * bench dir (sf0.1) runs scale 0.2 so one e2e anchor doesn't dominate
+    * the ~60 s sf0.1 envelope — the 22 query plans are scale-invariant
+    * (broadcast dims + partial aggs; PLANS.md), so 0.2 times the same
+    * plans the spec proves at 1.0. Smaller gate dirs scale down further
+    * so Verify stays fast.
     */
   def q129BikeshareScale(s: SparkSession, dir: String): DataFrame = {
     val scale =
       if (dir.contains("sf0.001")) 0.01
       else if (dir.contains("sf0.01")) 0.1
-      else 1.0
+      else 0.2
     pipeline.BikeshareGen.runAll(s, scale).orderBy("query")
   }
 
@@ -1363,12 +1369,18 @@ object TestQueries {
     * BroadcastNestedLoopJoin — BinnedRangeJoinRuleSpec asserts the plan).
     * Oracle = the same inequality join, so the rewrite's semantics gate too.
     */
+  private val rangeJoinSessions = new graft.SessionCache[SparkSession]
+
   def q69AutoRangeJoin(s: SparkSession, dir: String): DataFrame = {
     // Cloned session: the bin-width conf arms the rewrite for THIS query
     // only instead of leaking into every later query on the shared session.
-    val s2 = s.newSession()
-    GraftExtensions.register(s2) // extraOptimizations are per-session
-    s2.conf.set(plans.BinnedRangeJoinRule.BinWidthKey, "50")
+    // Cached per parent session — register/arm once, not per call.
+    val s2 = rangeJoinSessions.getOrElseUpdate(s, "binned-range-join") {
+      val c = s.newSession()
+      GraftExtensions.register(c) // extraOptimizations are per-session
+      c.conf.set(plans.BinnedRangeJoinRule.BinWidthKey, "50")
+      c
+    }
     val bands = s2.range(0, 10).select(col("id").as("band_id"),
       (col("id") * lit(50.0)).as("lo"), ((col("id") + 1) * lit(50.0)).as("hi"))
     Tables.loadEvents(s2, dir)

@@ -683,23 +683,65 @@ object Similarity {
     * documented recall gap (SemDeDup accepts it; tighten with more
     * centroids or the LSH path q84).
     *
+    * Skew guard (`maxCellSize`): clustering only bounds the pair step if
+    * the cells are actually cell-sized — embeddings that collapse onto one
+    * centroid (a template-page flood, a single-domain corpus) put ~all of
+    * N in one cell and re-quadratize. Cells above the cap are hash-split
+    * into ceil(cnt/cap) sub-buckets (one broadcast join against the tiny
+    * per-cell count table, no second clustering pass), pairing runs within
+    * (cell, sub) — expected bucket ≈ cap, so total pair work is N·cap,
+    * exponent 1.0 in N. Consecutive sub-bucket representatives (min id per
+    * sub) are chained in as extra candidate pairs — linear count — so the
+    * common skew case, a near-identical flood, still closes transitively
+    * into ONE component through the chain even though cross-sub pairs are
+    * otherwise unseen. Every candidate (within-sub or chain) passes the
+    * same cosine-≥-threshold check, so the cap can only LOSE cross-sub
+    * recall on merely-similar vectors (the same accepted-gap shape as
+    * SemDeDup's cross-cell misses), never merge anything spurious. Cells
+    * ≤ cap behave exactly as the uncapped operator (m=1, no chain rows).
+    *
     * Returns the surviving rows of `corpus` unchanged.
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                cellIds: Seq[Int], centroids: Seq[Seq[Double]],
-               threshold: Double): DataFrame = {
+               threshold: Double, maxCellSize: Int = 4096): DataFrame = {
     require(threshold > -1 && threshold <= 1)
+    require(maxCellSize > 0, s"maxCellSize $maxCellSize must be positive")
     val nearest = graft.functions.expressions.VectorExpressions
       .nearestCells(col(vecCol), centroids, cellIds)(0)
     val assigned = corpus.select(col(idCol), col(vecCol),
       nearest.getField("cell").as("__cell"))
-    val a = assigned.select(col("__cell"), col(idCol).as("id_a"),
+    // ≤ |cellIds| rows — broadcast; __m = sub-bucket fan-out per cell
+    val cellCounts = assigned.groupBy("__cell")
+      .agg(ceil(count(lit(1)) / maxCellSize.toDouble).cast("int").as("__m"))
+    val sub = assigned.join(broadcast(cellCounts), Seq("__cell"))
+      .withColumn("__sub",
+        pmod(xxhash64(col(idCol)), col("__m").cast("long")).cast("int"))
+    val a = sub.select(col("__cell"), col("__sub"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
-    val b = assigned.select(col("__cell"), col(idCol).as("id_b"),
+    val b = sub.select(col("__cell"), col("__sub"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"))
-    val pairs = a.join(b, Seq("__cell"))
-      .where(col("id_a") < col("id_b") &&
-        Vectors.cosine(col("__va"), col("__vb")) >= threshold)
+    val withinSub = a.join(b, Seq("__cell", "__sub"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("__va"), col("id_b"), col("__vb"))
+    // chain: min-id representative of sub k ↔ of sub k+1, split cells only
+    val reps = sub.where(col("__m") > 1)
+      .groupBy("__cell", "__sub")
+      .agg(min_by(struct(col(idCol).as("id"), col(vecCol).as("v")),
+        col(idCol)).as("r"))
+    val chain = reps.alias("x")
+      .join(reps.alias("y"),
+        col("x.__cell") === col("y.__cell") &&
+          col("x.__sub") + 1 === col("y.__sub"))
+      .select(
+        least(col("x.r.id"), col("y.r.id")).as("id_a"),
+        when(col("x.r.id") <= col("y.r.id"), col("x.r.v"))
+          .otherwise(col("y.r.v")).as("__va"),
+        greatest(col("x.r.id"), col("y.r.id")).as("id_b"),
+        when(col("x.r.id") <= col("y.r.id"), col("y.r.v"))
+          .otherwise(col("x.r.v")).as("__vb"))
+    val pairs = withinSub.union(chain)
+      .where(Vectors.cosine(col("__va"), col("__vb")) >= threshold)
       .select("id_a", "id_b")
     val victims = Dedup.connectedComponents(pairs)
       .where(col("id") =!= col("cluster"))

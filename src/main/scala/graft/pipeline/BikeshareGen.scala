@@ -116,11 +116,16 @@ object BikeshareGen {
     */
   def conformed(spark: SparkSession, scale: Double): BikesharePipeline.Conformed = {
     val s = sizes(scale)
+    // `.to(declared)` projects each generated table through the declared
+    // schema — the generated columns are provably non-null (derived from
+    // spark.range ids), so this only WIDENS nullability to the declared
+    // nullable=true, making schema equality hold exactly as a real
+    // parquet-read warehouse would.
     BikesharePipeline.Conformed(
-      payments = payments(spark, s.payments, s.riders),
-      trips = trips(spark, s.trips, s.riders, s.stations),
-      riders = riders(spark, s.riders),
-      stations = stations(spark, s.stations))
+      payments = payments(spark, s.payments, s.riders).to(Bikeshare.payments),
+      trips = trips(spark, s.trips, s.riders, s.stations).to(Bikeshare.trips),
+      riders = riders(spark, s.riders).to(Bikeshare.riders),
+      stations = stations(spark, s.stations).to(Bikeshare.stations))
   }
 
   /** Session-cached MATERIALIZED corpus: generated once per (session,
@@ -129,18 +134,17 @@ object BikeshareGen {
     * same cost shape as reading the warehouse's parquet. (The corpus is
     * ≈0.5 GB at scale 1; local checkpoints spill to disk if needed.)
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap[String, BikesharePipeline.Conformed]()
+  private val cache = new graft.SessionCache[BikesharePipeline.Conformed]
   def conformedCached(spark: SparkSession,
                       scale: Double): BikesharePipeline.Conformed =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$scale", {
+    cache.getOrElseUpdate(spark, scale.toString) {
       val c = conformed(spark, scale)
       BikesharePipeline.Conformed(
         payments = c.payments.localCheckpoint(),
         trips = c.trips.localCheckpoint(),
         riders = c.riders.localCheckpoint(),
         stations = c.stations.localCheckpoint())
-    })
+    }
 
   /** The full E2E at `scale`: conform → enrich → dims → all 22 analytical
     * queries, summarized one row per query (name, result cardinality, a

@@ -19,10 +19,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events carries TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long nanos —
-    * convert to a micros timestamp via integer division (`div`: nanos
-    * exceed double's 53-bit mantissa, so `/ 1000` would lose precision).
+  /** events `ts` normalization — the testdata's physical type has shifted
+    * across vintages, so normalize every case to a session-TZ TIMESTAMP:
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` it
+    *    arrives as long nanos — convert via integer division (`div`: nanos
+    *    exceed double's 53-bit mantissa, so `/ 1000` would lose precision);
+    *  - timestamp[us] without the UTC flag: Spark 4 infers TIMESTAMP_NTZ
+    *    (inferTimestampNTZ defaults true), and `CAST(ntz AS BIGINT)` is
+    *    illegal downstream — reinterpret the wall-clock as UTC instant
+    *    (session TZ is pinned UTC in [[graft.Engine.configure]]).
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
@@ -31,6 +36,8 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

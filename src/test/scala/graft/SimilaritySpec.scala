@@ -332,4 +332,26 @@ class SimilaritySpec extends AnyFunSuite {
       Seq(0, 1), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 0.95).columns.toSeq
     assert(cols === Seq("vec_id", "embedding"))
   }
+
+  test("semDedup maxCellSize: an identical-vector flood in ONE cell still " +
+       "collapses to one survivor through the representative chain") {
+    import spark.implicits._
+    // 40 identical vectors + 1 distinct, all in cell 0 — the 90%-one-cell
+    // skew shape. cap=8 forces ceil(41/8)=6 sub-buckets; without the
+    // rep-chain the flood would survive once per sub-bucket.
+    val flood = (1L to 40L).map(i => (i, Seq(1.0f, 0.0f))) :+
+      (99L, Seq(0.9f, 0.436f)) // cos≈0.90 < threshold vs the flood
+    val kept = Similarity.semDedup(flood.toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        cellIds = Seq(0, 1), centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+        threshold = 0.95, maxCellSize = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 99L))
+    // cap larger than the cell → bit-identical to the uncapped operator
+    val keptBig = Similarity.semDedup(flood.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", Seq(0, 1),
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 0.95, maxCellSize = 4096)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptBig === Set(1L, 99L))
+  }
 }
