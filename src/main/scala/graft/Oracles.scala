@@ -1380,6 +1380,51 @@ object Oracles {
         "round(tshare, 6) AS target_share, round(tshare / ashare, 6) AS weight " +
         "FROM w ORDER BY lang"),
 
+    // Verified transitive chunk dedup: replay the md5 cut rule (q50b) for
+    // candidates, verify each candidate pair with the exact overlap
+    // coefficient |A∩B| / min(|A|,|B|) over distinct 3-gram shingles, close
+    // the verified edges recursively, keep component minima + unpaired docs.
+    "q131_chunk_dedup_verified" ->
+      ("WITH RECURSIVE tk AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "ct AS (SELECT doc_id, t, [CAST(j AS INTEGER) for j in range(1, len(t) + 1) " +
+        "if ((strpos('0123456789abcdef', substr(md5(array_to_string(" +
+        "t[greatest(1, CAST(j AS INTEGER) - 3):CAST(j AS INTEGER)], ' ')), 1, 1)) - 1) & 3) = 0 " +
+        "OR j = len(t)] AS c FROM tk), " +
+        "ch AS (SELECT doc_id, list_distinct([md5(array_to_string(" +
+        "t[(CASE WHEN k = 1 THEN 1 ELSE c[CAST(k AS INTEGER) - 1] + 1 END):c[CAST(k AS INTEGER)]], ' ')) " +
+        "for k in range(1, len(c) + 1)]) AS chunks FROM ct), " +
+        "e AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch), " +
+        "sb AS (SELECT chunk FROM e GROUP BY 1 " +
+        "HAVING count(*) > 1 AND count(*) <= 64), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM e a " +
+        "JOIN e b ON a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+        "JOIN sb ON a.chunk = sb.chunk), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)])) AS s FROM tk WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "ver AS (SELECT c.id_a, c.id_b FROM cand c " +
+        "JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b " +
+        "JOIN sizes sa ON c.id_a = sa.doc_id " +
+        "JOIN sizes sb2 ON c.id_b = sb2.doc_id " +
+        "WHERE CAST(s.i AS DOUBLE) / least(sa.n, sb2.n) >= 0.5), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM ver " +
+        "UNION ALL SELECT id_b, id_a FROM ver), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+        "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
+        "ORDER BY doc_id"),
+
+    // Delta-log replay truth: the staged 2-commit log's live file set
+    // reconstructs exactly the original region rows (remove tombstones one
+    // file, a re-add restores its rows), so the oracle is region itself.
+    "q130_delta_read" ->
+      "SELECT r_regionkey, r_name FROM region",
+
     "q65_normalize" ->
       ("WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo, " +
         "max(l_extendedprice) AS hi FROM lineitem GROUP BY 1) " +

@@ -1693,6 +1693,70 @@ object TestQueries {
         (col("vts").cast("long") - col("ts").cast("long")).as("lead_sec"))
   }
 
+  /** Verified transitive chunk dedup ([[operators.Dedup.chunkKeepIdsVerifiedMd5]]):
+    * md5-rule chunk candidates → exact containment (overlap-coefficient)
+    * verification → connected components → survivors. The chunk path's
+    * q77: candidates alone never delete; DuckDB replays cut rule,
+    * verification and closure exactly.
+    */
+  def q131ChunkDedupVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkKeepIdsVerifiedMd5(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Delta-protocol read interop ([[sources.DeltaRead]]): a 2-commit Delta
+    * log is staged once per gate dir over the gate's own `region` rows —
+    * commit 0 adds two data files, commit 1 tombstones one and re-adds its
+    * rows as a new file, so the read exercises latest-action-wins replay,
+    * not just a file listing. Oracle = the region table itself: correct
+    * replay reconstructs exactly the original rows; a reader that missed
+    * the remove would double rows 0-1, one that missed the re-add would
+    * drop them.
+    */
+  def q130DeltaRead(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_q130_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    stageDeltaFixture(s, dir, root)
+    sources.DeltaRead.read(s, root).orderBy("r_regionkey")
+  }
+
+  private def stageDeltaFixture(s: SparkSession, dir: String,
+                                root: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(root, "_delta_log", f"${1L}%020d.json")
+    if (Files.exists(marker)) return // staged content is deterministic per dir
+    val rootF = new java.io.File(root)
+    if (rootF.exists()) org.apache.commons.io.FileUtils.deleteDirectory(rootF)
+    val region = t(s, dir, "region")
+    def part(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$root/__stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val p = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(p.toPath, Paths.get(root, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    part(region.where(col("r_regionkey") < 2), "a0.parquet")
+    part(region.where(col("r_regionkey") >= 2), "b0.parquet")
+    part(region.where(col("r_regionkey") < 2), "a1.parquet")
+    def esc(x: String) = x.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    def add(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true}}"""
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"q130","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(region.schema.json)}","partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      add("a0.parquet"), add("b0.parquet")).mkString("\n"))
+    Files.writeString(marker, Seq(
+      """{"remove":{"path":"a0.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      add("a1.parquet")).mkString("\n"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1778,6 +1842,8 @@ object TestQueries {
     "q127_tokenizer_fertility" -> (q127TokenizerFertility _),
     "q128_repeat_allocation" -> (q128RepeatAllocation _),
     "q129_bikeshare_scale" -> (q129BikeshareScale _),
+    "q130_delta_read" -> (q130DeltaRead _),
+    "q131_chunk_dedup_verified" -> (q131ChunkDedupVerified _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

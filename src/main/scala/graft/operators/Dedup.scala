@@ -479,17 +479,25 @@ object Dedup {
       .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("__cuts", filter(sequence(lit(1), size(toks)),
         j => (nib(j).bitwiseAND(lit(mask)) === 0) || (j === size(toks))))
-    chunkPairsFrom(staged, idCol, chunkHashes, maxDocsPerChunk)
+    chunkPairsFrom(staged, idCol, chunkHashes, maxDocsPerChunk, pin = true)
   }
 
   /** Shared bucket→pair→count tail of both chunking paths: `chunksCol`
     * evaluates to the doc's array of chunk fingerprints.
+    *
+    * `pin`: the chunk stream feeds BOTH the bounding count pass and the
+    * pair join. For the production rolling-hash path recomputing it is
+    * scan-speed work, cheaper at 100 TB than materializing the stream; the
+    * md5 oracle path's chunking is ~all of its cost, so it pins the stream
+    * once with localCheckpoint instead of paying it twice.
     */
   private def chunkPairsFrom(df: DataFrame, idCol: String,
                              chunksCol: Column,
-                             maxDocsPerChunk: Int): DataFrame = {
-    val chunked = df.select(col(idCol).as("id"),
+                             maxDocsPerChunk: Int,
+                             pin: Boolean = false): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
         explode(array_distinct(chunksCol)).as("chunk"))
+    val chunked = if (pin) exploded.localCheckpoint() else exploded
     val sharedBounded = chunked.groupBy("chunk")
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1 && col("cnt") <= maxDocsPerChunk)
@@ -500,6 +508,78 @@ object Dedup {
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
+  /** Candidate-scoped CONTAINMENT verification (the chunk path's analogue
+    * of [[jaccardVerify]]): for each candidate pair, exact overlap
+    * coefficient |A∩B| / min(|A|,|B|) over distinct n-gram shingle sets,
+    * thresholded. Symmetric on purpose — a chunk-level hit means a shared
+    * passage, and the passage is "most of" whichever doc is SMALLER, so
+    * min-normalization flags quote-in-long-doc in either direction (plain
+    * Jaccard dilutes it by the long doc's size; that miss is why the chunk
+    * path exists). Only docs appearing in a candidate pair are shingled —
+    * at corpus scale the candidate set is orders of magnitude smaller than
+    * the corpus, so this never re-scans everything.
+    */
+  def containmentVerify(df: DataFrame, pairs: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val candIds = pairs.select(col("id_a").as("cid"))
+      .union(pairs.select(col("id_b").as("cid"))).distinct()
+    val sh = df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol),
+        array_distinct(Text.shingles(col(textCol), n)).as("sh"))
+    pairs.select("id_a", "id_b")
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"),
+        Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"),
+        Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("__mn", least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .withColumn("containment",
+        when(col("__mn") === 0, 0.0).otherwise(col("__i") / col("__mn")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
+  /** Verified transitive CHUNK dedup — the passage-level sibling of
+    * [[minhashKeepIdsTransitiveVerified]] (q77): rolling-hash chunk
+    * candidates → exact containment verification → connected components
+    * over the VERIFIED pairs → survivors (component min id + unpaired
+    * docs). An LSH-style chunk collision alone never deletes a doc; every
+    * edge in the closure carries overlap ≥ threshold.
+    */
+  def chunkKeepIdsVerified(df: DataFrame, idCol: String, textCol: String,
+                           window: Int = 16, maskBits: Int = 6,
+                           maxDocsPerChunk: Int = 64, n: Int = 3,
+                           threshold: Double = 0.5): DataFrame =
+    keepFromVerified(df, idCol,
+      containmentVerify(df,
+        chunkCandidatePairs(df, idCol, textCol, window, maskBits,
+          maxDocsPerChunk), idCol, textCol, n, threshold))
+
+  /** [[chunkKeepIdsVerified]] over the MD5 cut rule
+    * ([[chunkCandidatePairsMd5]]) so DuckDB can replay candidates,
+    * verification and closure digit-for-digit — the oracle anchor (q131);
+    * production stays on the rolling-hash path.
+    */
+  def chunkKeepIdsVerifiedMd5(df: DataFrame, idCol: String, textCol: String,
+                              window: Int = 4, maskBits: Int = 2,
+                              maxDocsPerChunk: Int = 64, n: Int = 3,
+                              threshold: Double = 0.5): DataFrame =
+    keepFromVerified(df, idCol,
+      containmentVerify(df,
+        chunkCandidatePairsMd5(df, idCol, textCol, window, maskBits,
+          maxDocsPerChunk), idCol, textCol, n, threshold))
+
+  private def keepFromVerified(df: DataFrame, idCol: String,
+                               verified: DataFrame): DataFrame = {
+    val victims = connectedComponents(verified.select("id_a", "id_b"))
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("victim"))
+    df.select(col(idCol))
+      .join(victims, col(idCol) === col("victim"), "left_anti")
   }
 
   // ---- Eval-set contamination ----------------------------------------------

@@ -260,6 +260,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("chunkKeepIdsVerified: shared-passage family collapses to min id, " +
+       "chunk-collision alone never deletes") {
+    val longShared = ("the shared middle passage of this document continues " * 8)
+    val partial = Seq(
+      (10L, "unique prefix alpha beta. " + longShared + " unique suffix one"),
+      (11L, "totally different opening words here. " + longShared + " and another ending"),
+      (12L, "no overlap with anything else at all in this row of text")
+    ).toDF("doc_id", "text")
+    // 10 and 11 share the long passage → candidates AND ≥0.5 overlap of the
+    // smaller doc → one survivor (min id 10); 12 untouched
+    val kept = Dedup.chunkKeepIdsVerified(partial, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 12L))
+    // verification gate: raise the threshold past the real overlap and the
+    // SAME candidates no longer delete anything
+    val keptStrict = Dedup.chunkKeepIdsVerified(partial, "doc_id", "text",
+        threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptStrict === Set(10L, 11L, 12L))
+    // md5 path agrees on the same corpus
+    val keptMd5 = Dedup.chunkKeepIdsVerifiedMd5(partial, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptMd5 === Set(10L, 12L))
+  }
+
   test("lake zones: write/read/promote across a file:// root") {
     val root = java.nio.file.Files.createTempDirectory("graft-lake").toString
     val lake = graft.sources.Lake(root)

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.DeltaRead
+
+/** [[DeltaRead]] against hand-written `_delta_log` fixtures — the protocol
+  * surface a reference-produced Delta table exercises: multi-commit replay
+  * with latest-action-wins, remove tombstones, time travel, partitioned
+  * tables (values from the LOG, not the directory layout), parquet
+  * checkpoints seeding the state, and the unsupported-feature guard.
+  */
+class DeltaReadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  }
+
+  private def schemaJson(s: StructType): String = esc(s.json)
+
+  /** Write one data file from rows of (a, b); returns path relative to dir. */
+  private def dataFile(dir: String, name: String,
+                       rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir/__stage"
+    rows.toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(s"$dir/$name").getParent)
+    Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  private def commit(dir: String, v: Long, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+    Files.writeString(
+      Paths.get(f"$dir/_delta_log/$v%020d.json"), lines.mkString("\n"))
+  }
+
+  private val abSchema = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType)))
+
+  private def metaLine(s: StructType, partCols: Seq[String] = Seq.empty) =
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${schemaJson(s)}",""" +
+      s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
+      s""""configuration":{},"createdTime":0}}"""
+
+  private def addLine(path: String, pv: Map[String, String] = Map.empty) =
+    s"""{"add":{"path":"$path","partitionValues":{${
+      pv.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    }},"size":1,"modificationTime":0,"dataChange":true}}"""
+
+  test("multi-commit replay: adds accumulate, removes tombstone, time travel") {
+    val dir = Files.createTempDirectory("delta_basic").toString
+    dataFile(dir, "f0.parquet", Seq((1L, "x"), (2L, "y")))
+    dataFile(dir, "f1.parquet", Seq((3L, "z")))
+    dataFile(dir, "f2.parquet", Seq((4L, "w")))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(abSchema),
+      addLine("f0.parquet")))
+    commit(dir, 1, Seq(addLine("f1.parquet")))
+    commit(dir, 2, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      addLine("f2.parquet")))
+
+    assert(DeltaRead.versions(spark, dir) === Seq(0L, 1L, 2L))
+    // latest: f1 + f2 live, f0 tombstoned
+    val latest = DeltaRead.read(spark, dir)
+    assert(latest.schema === abSchema)
+    assert(latest.select("a").collect().map(_.getLong(0)).sorted
+      === Array(3L, 4L))
+    // as of v1: f0 + f1
+    val v1 = DeltaRead.read(spark, dir, asOf = Some(1L))
+    assert(v1.select("a").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // as of v0: just f0
+    assert(DeltaRead.read(spark, dir, asOf = Some(0L)).count() === 2L)
+  }
+
+  test("partitioned table: partition values come from the log, typed") {
+    val dir = Files.createTempDirectory("delta_part").toString
+    // files deliberately NOT in key=value dirs — the log is authoritative
+    dataFile(dir, "p_en.parquet", Seq((1L, "hello")))
+    dataFile(dir, "p_de.parquet", Seq((2L, "hallo")))
+    val full = StructType(abSchema.fields.toSeq :+
+      StructField("lang", StringType) :+ StructField("day", DateType))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(full, Seq("lang", "day")),
+      addLine("p_en.parquet", Map("lang" -> "en", "day" -> "2021-02-01")),
+      addLine("p_de.parquet", Map("lang" -> "de", "day" -> "2021-02-02"))))
+
+    val df = DeltaRead.read(spark, dir)
+    assert(df.columns.toSeq === Seq("a", "b", "lang", "day"))
+    assert(df.schema("day").dataType === DateType)
+    val got = df.select("a", "lang", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString)).sorted
+    assert(got === Array((1L, "en", "2021-02-01"), (2L, "de", "2021-02-02")))
+    // partition predicate prunes to one branch and still answers right
+    assert(df.where(col("lang") === "en").count() === 1L)
+  }
+
+  test("checkpoint parquet seeds the state; pre-checkpoint commits not needed") {
+    val dir = Files.createTempDirectory("delta_ckpt").toString
+    dataFile(dir, "f0.parquet", Seq((1L, "x")))
+    dataFile(dir, "f1.parquet", Seq((2L, "y")))
+    dataFile(dir, "f2.parquet", Seq((3L, "z")))
+    // checkpoint at v1 holds the full state (meta + protocol + adds f0,f1)
+    val addT = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("dataChange", BooleanType)))
+    val metaT = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoT = StructType(Seq(StructField("minReaderVersion", IntegerType)))
+    val ckptSchema = StructType(Seq(StructField("add", addT),
+      StructField("metaData", metaT), StructField("protocol", protoT)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("f0.parquet", Map.empty[String, String], 1L, true),
+        null, null),
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("f1.parquet", Map.empty[String, String], 1L, true),
+        null, null),
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row("fixture", abSchema.json,
+          Seq.empty[String], Map.empty[String, String]), null),
+      org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(1)))
+    val stage = s"$dir/__ckpt"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), ckptSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+    Files.move(part.toPath,
+      Paths.get(f"$dir/_delta_log/${1L}%020d.checkpoint.parquet"))
+    // v0 deliberately ABSENT (vacuumed after checkpointing); v1 empty marker,
+    // v2 adds f2 — replay must start from the checkpoint
+    commit(dir, 1, Seq("""{"commitInfo":{"operation":"noop"}}"""))
+    commit(dir, 2, Seq(addLine("f2.parquet")))
+
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.files.map(_._1) === Seq("f0.parquet", "f1.parquet", "f2.parquet"))
+    assert(DeltaRead.read(spark, dir).select("a").collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+  }
+
+  test("unsupported reader requirements are refused, not misread") {
+    val dir = Files.createTempDirectory("delta_dv").toString
+    dataFile(dir, "f0.parquet", Seq((1L, "x")))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(abSchema),
+      addLine("f0.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, dir)
+    }
+    assert(e.getMessage.contains("deletionVectors"))
+    // ...but a v3 table whose features are all benign reads fine
+    val dir2 = Files.createTempDirectory("delta_ntz").toString
+    dataFile(dir2, "f0.parquet", Seq((1L, "x")))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaLine(abSchema),
+      addLine("f0.parquet")))
+    assert(DeltaRead.read(spark, dir2).count() === 1L)
+  }
+
+  test("url-encoded paths and gap detection") {
+    val dir = Files.createTempDirectory("delta_enc").toString
+    dataFile(dir, "with space.parquet", Seq((7L, "s")))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(abSchema),
+      addLine("with%20space.parquet")))
+    assert(DeltaRead.read(spark, dir).select("a").head().getLong(0) === 7L)
+    // a hole in the commit sequence must fail loudly
+    commit(dir, 2, Seq(addLine("with%20space.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("gap"))
+  }
+}
