@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Write-side Delta-protocol interop: publish graft-produced parquet as a
+  * Delta table other engines (the reference's Databricks stack included)
+  * can read — the inverse of [[DeltaRead]]. Same public-protocol-only
+  * footing: JSON commits under `_delta_log/`, minReaderVersion 1 /
+  * minWriterVersion 2, no Delta jars.
+  *
+  * Three operations:
+  *  - [[convert]] — CONVERT-TO-DELTA an EXISTING parquet directory in
+  *    place: list its data files, stamp commit 0 (protocol + metaData +
+  *    adds). Zero data movement; hive-style `key=value/` subdirs become
+  *    partitionValues.
+  *  - [[append]] / [[overwrite]] — write a DataFrame as new uniquely-named
+  *    parquet files inside the table dir and commit them (overwrite also
+  *    tombstones every previously-live file), so repeated exports build a
+  *    real multi-version log with time travel.
+  *
+  * Scale posture: data is written by executors (a normal parquet write to
+  * a staging dir); only the per-file RENAMES and the commit JSON are
+  * driver-side — same shape as Delta's own driver commit. Renames are
+  * metadata ops on HDFS/ABFS (cheap) and the file count per commit is the
+  * write's partition count, not the corpus size. NOT concurrency-safe: the
+  * single-writer export loop (a scheduled publish job) is the use case; a
+  * racing writer needs the real Delta commit protocol.
+  *
+  * Cited interop target: the reference persists with
+  * `.format("delta").saveAsTable(...)` (ipynb:264, :982).
+  */
+object DeltaExport {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** RFC-2396-encode a path for add/remove actions (space and the chars
+    * URI treats specially); '/' separators stay literal.
+    */
+  private def encPath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
+
+  private def protoLine =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaLine(id: String, schema: StructType,
+                       partitionColumns: Seq[String]): String =
+    s"""{"metaData":{"id":"${esc(id)}",""" +
+      """"format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(schema.json)}",""" +
+      s""""partitionColumns":[${
+        partitionColumns.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+      """"configuration":{},"createdTime":0}}"""
+
+  private def addLine(rel: String, pv: Map[String, String], size: Long,
+                      ts: Long): String =
+    s"""{"add":{"path":"${encPath(rel)}","partitionValues":{${
+      pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    }},"size":$size,"modificationTime":$ts,"dataChange":true}}"""
+
+  private def removeLine(rel: String, ts: Long): String =
+    s"""{"remove":{"path":"${encPath(rel)}","deletionTimestamp":$ts,""" +
+      """"dataChange":true}}"""
+
+  private def commit(spark: SparkSession, table: Path, v: Long,
+                     lines: Seq[String]): Unit = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    fs.mkdirs(logDir)
+    val dest = new Path(logDir, f"$v%020d.json")
+    require(!fs.exists(dest), s"commit $dest already exists")
+    // write-then-rename: the commit file appears atomically or not at all
+    val tmp = new Path(logDir, s".${dest.getName}.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"lost commit race for $dest")
+    }
+  }
+
+  /** Parse `key=value` segments between table root and file name. */
+  private def partitionOf(table: Path, file: Path): Map[String, String] = {
+    val rootDepth = table.depth
+    val segs = Iterator.iterate(file.getParent)(_.getParent)
+      .takeWhile(p => p != null && p.depth > rootDepth)
+      .map(_.getName).toSeq.reverse
+    segs.collect { case s if s.contains('=') =>
+      val Array(k, v) = s.split("=", 2)
+      // hive's null sentinel → protocol's empty-value null encoding
+      val dec = java.net.URLDecoder.decode(v, "UTF-8")
+      k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") "" else dec)
+    }.toMap
+  }
+
+  /** Stamp an existing parquet directory as Delta version 0 — zero data
+    * movement. `schema` defaults to the parquet footers' merged schema
+    * WITH hive partition columns appended (matching what [[DeltaRead]] /
+    * any Delta reader reconstructs). Fails if a log already exists.
+    */
+  def convert(spark: SparkSession, dir: String,
+              schema: Option[StructType] = None): Long = {
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$dir already has a _delta_log")
+    val files = listDataFiles(spark, table)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val inferred = schema.getOrElse(
+      spark.read.parquet(dir).schema) // hive partition cols included
+    val partCols = {
+      val pvKeys = files.flatMap(_._2.keys).distinct
+      inferred.fieldNames.filter(pvKeys.contains(_)).toSeq
+    }
+    commit(spark, table, 0L,
+      protoLine +: metaLine(java.util.UUID.randomUUID.toString, inferred,
+        partCols) +: files.map { case (rel, pv, size, ts) =>
+        addLine(rel, pv.filter(kv => partCols.contains(kv._1)), size, ts) })
+    0L
+  }
+
+  private def listDataFiles(spark: SparkSession, table: Path)
+      : Seq[(String, Map[String, String], Long, Long)] = {
+    val fs = fsOf(spark, table)
+    val it = fs.listFiles(table, true)
+    val out = Seq.newBuilder[(String, Map[String, String], Long, Long)]
+    val rootUri = fs.makeQualified(table).toUri
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
+      val name = p.getName
+      if (name.endsWith(".parquet") && !name.startsWith(".") &&
+          !name.startsWith("_") && !rel.startsWith("_delta_log/"))
+        out += ((rel, partitionOf(table, p), st.getLen,
+          st.getModificationTime))
+    }
+    out.result().sortBy(_._1)
+  }
+
+  /** Write `df` into the table as a new commit. `overwrite = true`
+    * tombstones every previously-live file (snapshot replace); `false`
+    * appends. Creates the table (commit 0) if no log exists yet.
+    * Partitioned export writes hive-style `key=value/` dirs so the layout
+    * stays readable as plain parquet too. Returns the committed version.
+    */
+  def write(df: DataFrame, dir: String, overwrite: Boolean,
+            partitionColumns: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    val hasLog = fs.exists(new Path(table, "_delta_log"))
+    val prior: Option[DeltaRead.Snapshot] =
+      if (hasLog) Some(DeltaRead.snapshot(spark, dir)) else None
+    prior.foreach { s =>
+      require(s.partitionColumns == partitionColumns,
+        s"partitioning mismatch: table has ${s.partitionColumns}, " +
+          s"write declares $partitionColumns")
+    }
+    // executors write to a staging dir; files then move (metadata rename)
+    // into the table with their unique part-file names preserved
+    val stage = new Path(table, s".stage-${java.util.UUID.randomUUID}")
+    val w = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+     else w).parquet(stage.toString)
+    val staged = listDataFiles(spark, stage)
+    val ts = System.currentTimeMillis()
+    val moved = staged.map { case (rel, pv, size, _) =>
+      val from = new Path(stage, rel)
+      val to = new Path(table, rel)
+      fs.mkdirs(to.getParent)
+      require(fs.rename(from, to), s"rename $from -> $to failed")
+      (rel, pv, size, ts)
+    }
+    fs.delete(stage, true)
+    val v = prior.map(_.version + 1).getOrElse(0L)
+    val removes =
+      if (overwrite) prior.toSeq.flatMap(_.files).map(f => removeLine(f._1, ts))
+      else Seq.empty
+    val header =
+      if (v == 0L) Seq(protoLine,
+        metaLine(java.util.UUID.randomUUID.toString, df.schema, partitionColumns))
+      else Seq.empty
+    commit(spark, table, v,
+      header ++ removes ++ moved.map { case (rel, pv, size, t) =>
+        addLine(rel, pv, size, t) })
+    v
+  }
+
+  def overwrite(df: DataFrame, dir: String,
+                partitionColumns: Seq[String] = Nil): Long =
+    write(df, dir, overwrite = true, partitionColumns)
+
+  def append(df: DataFrame, dir: String,
+             partitionColumns: Seq[String] = Nil): Long =
+    write(df, dir, overwrite = false, partitionColumns)
+}

@@ -285,6 +285,44 @@ object ScaleCheck {
           Map("src0" -> 4.0, "src1" -> 4.0, "src2" -> 2.0, "src3" -> 2.0))
           .count()
       },
+      "minhash_pairs_md5" -> { dir =>
+        // the q36b oracle anchor: md5-signature banding — EXPENSIVE hash
+        // per (doc, band, row) but must stay corpus-linear (r7/r8 verdict:
+        // the anchors that blew up were the ones never swept)
+        Dedup.minhashCandidatePairsMd5(docs(dir), "doc_id", "text").count()
+      },
+      "chunk_pairs_md5" -> { dir =>
+        // the q50b oracle anchor: token-windowed md5 cuts. With the token/
+        // cut arrays bound as projected columns this is one md5 per token
+        // position — the unbound form was O(tokens²) (670 s at sf0.1)
+        Dedup.chunkCandidatePairsMd5(docs(dir), "doc_id", "text").count()
+      },
+      "chunk_dedup_verified" -> { dir =>
+        // the q131 gate: chunk candidates → containment verify → CC; the
+        // verify stage shingles only candidate docs, CC is candidate-sized
+        Dedup.chunkKeepIdsVerifiedMd5(docs(dir), "doc_id", "text").count()
+      },
+      "sem_dedup_skewed" -> { dir =>
+        // the 90%-one-cell shape (r6-r8 verdict): one far-away seed grabs
+        // ~every vector; maxCellSize hash-splits the flood so the pair step
+        // stays N·cap. Without the cap this exponent reads ~2.
+        val e = emb(dir)
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val far = Seq.fill(dim)(100.0)
+        val near = e.where(col("vec_id") === 1)
+          .select(col("embedding")).head.getSeq[Float](0)
+          .map(_.toDouble).toSeq
+        graft.operators.Similarity.semDedup(e, "vec_id", "embedding",
+          Seq(0, 1), Seq(near, far), threshold = 0.3,
+          maxCellSize = 512).count()
+      },
+      "bikeshare_e2e" -> { dir =>
+        // the q129 anchor: the full 5-stage reference pipeline + 22 queries
+        // over a GENERATED corpus — scale rides the dir (0.04 → 0.4 at
+        // ×10), exercising the same plans the sf-dir queries never touch
+        val scale = if (dir == base) 0.04 else math.min(1.0, 0.04 * rep)
+        graft.pipeline.BikeshareGen.runAll(spark.newSession(), scale).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.
