@@ -159,7 +159,8 @@ object DeltaExport {
     * stays readable as plain parquet too. Returns the committed version.
     */
   def write(df: DataFrame, dir: String, overwrite: Boolean,
-            partitionColumns: Seq[String] = Nil): Long = {
+            partitionColumns: Seq[String] = Nil,
+            txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val table = new Path(dir)
     val fs = fsOf(spark, table)
@@ -171,6 +172,11 @@ object DeltaExport {
         s"partitioning mismatch: table has ${s.partitionColumns}, " +
           s"write declares $partitionColumns")
     }
+    // txn idempotence (the protocol's streaming bookkeeping): a replayed
+    // micro-batch whose (appId, version) is already committed is a NO-OP —
+    // exactly-once append under retry without a coordination service
+    for ((appId, tv) <- txn; s <- prior; last <- s.txns.get(appId))
+      if (tv <= last) return s.version
     // executors write to a staging dir; files then move (metadata rename)
     // into the table with their unique part-file names preserved
     val stage = new Path(table, s".stage-${java.util.UUID.randomUUID}")
@@ -195,8 +201,11 @@ object DeltaExport {
       if (v == 0L) Seq(protoLine,
         metaLine(java.util.UUID.randomUUID.toString, df.schema, partitionColumns))
       else Seq.empty
+    val txnLines = txn.toSeq.map { case (appId, tv) =>
+      s"""{"txn":{"appId":"${esc(appId)}","version":$tv}}"""
+    }
     commit(spark, table, v,
-      header ++ removes ++ moved.map { case (rel, pv, size, t) =>
+      header ++ txnLines ++ removes ++ moved.map { case (rel, pv, size, t) =>
         addLine(rel, pv, size, t) })
     v
   }
@@ -206,6 +215,20 @@ object DeltaExport {
     write(df, dir, overwrite = true, partitionColumns)
 
   def append(df: DataFrame, dir: String,
-             partitionColumns: Seq[String] = Nil): Long =
-    write(df, dir, overwrite = false, partitionColumns)
+             partitionColumns: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Long =
+    write(df, dir, overwrite = false, partitionColumns, txn)
+
+  /** Structured-Streaming sink: append each micro-batch as one Delta
+    * commit, carrying `(appId, batchId)` as the txn action so a REPLAYED
+    * batch (restart from checkpoint before the offset commit) is a no-op
+    * — the same exactly-once recipe as Delta's own streaming sink. Pair
+    * with the query's checkpointLocation; `appId` must be stable per
+    * query (default: the checkpoint's logical identity, passed by caller).
+    */
+  def foreachBatchSink(dir: String, appId: String,
+                       partitionColumns: Seq[String] = Nil)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) =>
+      append(batch.toDF(), dir, partitionColumns, Some((appId, batchId)))
 }

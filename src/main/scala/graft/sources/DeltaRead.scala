@@ -60,8 +60,10 @@ object DeltaRead {
       StructField("configuration", MapType(StringType, StringType))))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType)))))))
-
+      StructField("readerFeatures", ArrayType(StringType))))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   private val readerFeaturesOk = Set("timestampNtz", "vacuumProtocolCheck")
 
@@ -71,7 +73,9 @@ object DeltaRead {
       partitionColumns: Seq[String],
       /** (relative path, partitionValues) of every live data file. */
       files: Seq[(String, Map[String, String])],
-      configuration: Map[String, String])
+      configuration: Map[String, String],
+      /** Highest committed txn version per appId (streaming idempotence). */
+      txns: Map[String, Long] = Map.empty)
 
   /** Reconstruct the table state at `asOf` (default: latest version). */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -109,7 +113,7 @@ object DeltaRead {
 
     def norm(df: DataFrame, v: org.apache.spark.sql.Column): DataFrame =
       df.select(v.as("__v"), col("add"), col("remove"),
-        col("metaData"), col("protocol"))
+        col("metaData"), col("protocol"), col("txn"))
 
     val fromJson = if (tail.isEmpty) None else Some(norm(
       spark.read.schema(actionSchema)
@@ -138,8 +142,8 @@ object DeltaRead {
         }: _*)).as(action)
       def sch(action: String) = actionSchema(action).dataType.asInstanceOf[StructType]
       norm(raw.select(sub("add", sch("add")), sub("remove", sch("remove")),
-        sub("metaData", sch("metaData")), sub("protocol", sch("protocol"))),
-        lit(v))
+        sub("metaData", sch("metaData")), sub("protocol", sch("protocol")),
+        sub("txn", sch("txn"))), lit(v))
     }
     val acts = (fromCkpt.toSeq ++ fromJson.toSeq).reduce(_ union _)
 
@@ -185,8 +189,39 @@ object DeltaRead {
         Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
       .toSeq.sortBy(_._1)
 
-    Snapshot(target, schema, partCols, live, config)
+    // highest txn version per appId — a handful of rows (one per streaming
+    // writer), the standard idempotent-retry bookkeeping
+    val txns = acts.where(col("txn.appId").isNotNull)
+      .groupBy(col("txn.appId").as("appId"))
+      .agg(max(col("txn.version")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    Snapshot(target, schema, partCols, live, config, txns)
   }
+
+  /** Version visible as of a wall-clock instant: the newest commit whose
+    * log-file modification time is ≤ `ts` (the protocol's documented
+    * timestamp-travel semantics — commit mtime approximates commit time).
+    */
+  def versionAsOfTimestamp(spark: SparkSession, tablePath: String,
+                           ts: Long): Long = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = fs.listStatus(logDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case CommitFile(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }).sortBy(_._1)
+    require(commits.nonEmpty, s"empty _delta_log under $tablePath")
+    val eligible = commits.takeWhile(_._2 <= ts)
+    require(eligible.nonEmpty,
+      s"no commit at or before timestamp $ts (earliest is ${commits.head._2})")
+    eligible.last._1
+  }
+
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String,
+                        ts: Long): DataFrame =
+    read(spark, tablePath, Some(versionAsOfTimestamp(spark, tablePath, ts)))
 
   /** Read the table at `asOf` (default: latest) as a DataFrame with the
     * log's declared schema, partition columns included and typed.

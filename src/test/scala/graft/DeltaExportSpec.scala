@@ -83,4 +83,65 @@ class DeltaExportSpec extends AnyFunSuite {
       DeltaExport.append(df, dir, partitionColumns = Nil)
     }
   }
+
+  test("txn actions make replayed appends no-ops (exactly-once under retry)") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.append(Seq((1L, "a")).toDF("k", "v"), dir,
+      txn = Some(("stream-1", 0L)))
+    DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir,
+      txn = Some(("stream-1", 1L)))
+    // replay of batch 1 (restart before the offset commit): dropped
+    val v = DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir,
+      txn = Some(("stream-1", 1L)))
+    assert(v === 1L) // returns the already-committed version
+    assert(DeltaRead.versions(spark, dir) === Seq(0L, 1L))
+    assert(DeltaRead.read(spark, dir).count() === 2L)
+    assert(DeltaRead.snapshot(spark, dir).txns === Map("stream-1" -> 1L))
+    // a DIFFERENT writer's txn counter is independent
+    DeltaExport.append(Seq((3L, "c")).toDF("k", "v"), dir,
+      txn = Some(("stream-2", 0L)))
+    assert(DeltaRead.read(spark, dir).count() === 3L)
+  }
+
+  test("timestamp time travel resolves to the newest commit at-or-before ts") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.overwrite(Seq((1L, "a")).toDF("k", "v"), dir)
+    val log = new java.io.File(s"$dir/_delta_log")
+    // pin distinct mtimes so the ordering is deterministic
+    log.listFiles().find(_.getName.endsWith("0.json")).get.setLastModified(1000000L)
+    DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir)
+    log.listFiles().find(_.getName.contains("0000001.json")).get.setLastModified(2000000L)
+    assert(DeltaRead.versionAsOfTimestamp(spark, dir, 1500000L) === 0L)
+    assert(DeltaRead.readAsOfTimestamp(spark, dir, 1500000L).count() === 1L)
+    assert(DeltaRead.versionAsOfTimestamp(spark, dir, 2000000L) === 1L)
+    intercept[IllegalArgumentException] {
+      DeltaRead.versionAsOfTimestamp(spark, dir, 1L)
+    }
+  }
+
+  test("streaming foreachBatch sink: micro-batches land as Delta versions") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = Files.createTempDirectory("delta_stream_src").toString
+    val ckpt = Files.createTempDirectory("delta_stream_ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(DeltaExport.foreachBatchSink(dir, appId = "spec-stream"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = DeltaRead.read(spark, dir)
+    assert(got.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(DeltaRead.snapshot(spark, dir).txns.contains("spec-stream"))
+  }
 }
