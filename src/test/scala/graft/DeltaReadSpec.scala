@@ -101,8 +101,16 @@ class DeltaReadSpec extends AnyFunSuite {
     val got = df.select("a", "lang", "day").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString)).sorted
     assert(got === Array((1L, "en", "2021-02-01"), (2L, "de", "2021-02-02")))
-    // partition predicate prunes to one branch and still answers right
-    assert(df.where(col("lang") === "en").count() === 1L)
+    // partition predicate prunes to one branch and still answers right —
+    // PLAN-LEVEL: the literal partition values constant-fold the other
+    // branch's filter to false and PropagateEmptyRelation removes its scan
+    // entirely (this is the claimed free partition pruning)
+    val pruned = df.where(col("lang") === "en")
+    assert(pruned.count() === 1L)
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size === 1, s"expected 1 surviving scan, got ${scans.size}")
   }
 
   test("checkpoint parquet seeds the state; pre-checkpoint commits not needed") {
