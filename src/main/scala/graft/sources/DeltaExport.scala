@@ -210,6 +210,83 @@ object DeltaExport {
     v
   }
 
+  /** Write a single-file parquet checkpoint of the CURRENT state (live
+    * adds + metaData + protocol + per-app txn watermarks) at the latest
+    * version, plus the `_last_checkpoint` pointer. After checkpointing,
+    * [[cleanLog]] may delete older commit JSONs — the reader seeds from
+    * the checkpoint and replays only the tail. This is what keeps the
+    * streaming sink's one-commit-per-micro-batch log O(recent), not
+    * O(lifetime): replay cost stops growing with table age.
+    */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val snap = DeltaRead.snapshot(spark, dir)
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    val addT = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("dataChange", BooleanType)))
+    val metaT = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoT = StructType(Seq(StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val txnT = StructType(Seq(StructField("appId", StringType),
+      StructField("version", LongType)))
+    val ckptT = StructType(Seq(StructField("add", addT),
+      StructField("metaData", metaT), StructField("protocol", protoT),
+      StructField("txn", txnT)))
+    val rows =
+      Row(null, Row(java.util.UUID.randomUUID.toString, snap.schema.json,
+        snap.partitionColumns, snap.configuration), null, null) +:
+      Row(null, null, Row(1, 2), null) +:
+      snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v)) } ++:
+      snap.files.map { case (rel, pv) =>
+        val dec = try new java.net.URI(rel).getPath catch {
+          case _: java.net.URISyntaxException => rel
+        }
+        val len = fs.getFileStatus(new Path(table, dec)).getLen
+        Row(Row(rel, pv, len, true), null, null, null) }
+    val stage = new Path(table, s".ckpt-${java.util.UUID.randomUUID}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), ckptT)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(new Path(table, "_delta_log"),
+      f"${snap.version}%020d.checkpoint.parquet")
+    require(fs.rename(part, dest), s"rename $part -> $dest failed")
+    fs.delete(stage, true)
+    val lastCp = new Path(new Path(table, "_delta_log"), "_last_checkpoint")
+    val out = fs.create(lastCp, true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  /** Delete commit JSONs strictly below the newest checkpoint version (the
+    * checkpoint seeds replay; the checkpoint version's own commit is kept,
+    * so the log always has at least one commit file). Returns the number
+    * of files removed.
+    */
+  def cleanLog(spark: SparkSession, dir: String): Int = {
+    val logDir = new Path(dir, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    val names = fs.listStatus(logDir).map(_.getPath.getName).toSeq
+    val Ckpt = """(\d{20})\.checkpoint\.parquet""".r
+    val Commit = """(\d{20})\.json""".r
+    val cp = names.collect { case Ckpt(v) => v.toLong }
+    if (cp.isEmpty) return 0
+    val bound = cp.max
+    val victims = names.collect { case n @ Commit(v) if v.toLong < bound => n }
+    victims.foreach(n => fs.delete(new Path(logDir, n), false))
+    victims.size
+  }
+
   def overwrite(df: DataFrame, dir: String,
                 partitionColumns: Seq[String] = Nil): Long =
     write(df, dir, overwrite = true, partitionColumns)

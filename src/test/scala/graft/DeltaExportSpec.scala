@@ -121,6 +121,29 @@ class DeltaExportSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint + cleanLog: old commits removable, state and txns survive") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.overwrite(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir,
+      txn = Some(("s", 7L)))
+    DeltaExport.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    assert(DeltaExport.checkpoint(spark, dir) === 2L)
+    assert(DeltaExport.cleanLog(spark, dir) === 2) // commits 0 and 1 removed
+    assert(DeltaRead.versions(spark, dir) === Seq(2L))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.txns === Map("s" -> 7L)) // idempotence survives cleanup
+    assert(DeltaRead.read(spark, dir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // replayed pre-cleanup batch still a no-op via the checkpointed txn
+    assert(DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir,
+      txn = Some(("s", 7L))) === 2L)
+    // and the log keeps working past the checkpoint
+    DeltaExport.append(Seq((4L, "d")).toDF("k", "v"), dir)
+    assert(DeltaRead.read(spark, dir).count() === 4L)
+  }
+
   test("streaming foreachBatch sink: micro-batches land as Delta versions") {
     import spark.implicits._
     val dir = tmp()

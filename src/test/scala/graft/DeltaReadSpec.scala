@@ -161,6 +161,54 @@ class DeltaReadSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
 
+  test("multipart checkpoint: all parts present → used; missing part → ignored") {
+    val dir = Files.createTempDirectory("delta_mpck").toString
+    dataFile(dir, "f0.parquet", Seq((1L, "x")))
+    dataFile(dir, "f1.parquet", Seq((2L, "y")))
+    val addT = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("dataChange", BooleanType)))
+    val metaT = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val ckptSchema = StructType(Seq(StructField("add", addT),
+      StructField("metaData", metaT)))
+    def part(rows: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val stage = s"$dir/__mp"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckptSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val p = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+      Files.move(p.toPath, Paths.get(s"$dir/_delta_log/$name"))
+    }
+    // state at v1 split across 2 parts: part 1 = meta + f0, part 2 = f1
+    part(Seq(
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row("m",
+        abSchema.json, Seq.empty[String], Map.empty[String, String])),
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row("f0.parquet",
+        Map.empty[String, String], 1L, true), null)),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    part(Seq(org.apache.spark.sql.Row(org.apache.spark.sql.Row("f1.parquet",
+        Map.empty[String, String], 1L, true), null)),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    commit(dir, 1, Seq("""{"commitInfo":{"operation":"noop"}}"""))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.version === 1L)
+    assert(snap.files.map(_._1) === Seq("f0.parquet", "f1.parquet"))
+    assert(DeltaRead.read(spark, dir).count() === 2L)
+    // remove part 2 of 2 → incomplete checkpoint must NOT be used; with no
+    // commit 0 available either, reconstruction fails loudly instead of
+    // silently serving half the table
+    Files.delete(Paths.get(
+      s"$dir/_delta_log/" + f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("gap"))
+  }
+
   test("unsupported reader requirements are refused, not misread") {
     val dir = Files.createTempDirectory("delta_dv").toString
     dataFile(dir, "f0.parquet", Seq((1L, "x")))
