@@ -35,6 +35,13 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # queries that errored before producing output (Verify writes these so
+    # regressions surface as explicit failures, not missing keys)
+    try:
+        for name, err in sorted(json.load(open(f"{out}/errors.json")).items()):
+            print(f"FAIL {name}: query errored: {err[:160]}"); n_fail += 1
+    except FileNotFoundError:
+        pass
     for name in sorted(oracle):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
