@@ -1713,8 +1713,11 @@ object TestQueries {
     * drop them.
     */
   def q130DeltaRead(s: SparkSession, dir: String): DataFrame = {
+    // v2 suffix: fixture CONTENT is versioned into the path so a staged
+    // dir from an older code vintage (e.g. pre-real-sizes) never survives
+    // the marker check
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_delta_q130_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      "graft_delta_q130v2_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
     stageDeltaFixture(s, dir, root)
     sources.DeltaRead.read(s, root).orderBy("r_regionkey")
   }
@@ -1742,8 +1745,11 @@ object TestQueries {
     def esc(x: String) = x.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
+    // size must be the REAL length: the protocol requires it accurate and
+    // the scan plans splits from it
     def add(p: String) =
-      s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+      s"""{"add":{"path":"$p","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(root, p))},""" +
         s""""modificationTime":0,"dataChange":true}}"""
     Files.createDirectories(Paths.get(root, "_delta_log"))
     Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"), Seq(

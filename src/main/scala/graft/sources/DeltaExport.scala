@@ -196,7 +196,7 @@ object DeltaExport {
     val v = prior.map(_.version + 1).getOrElse(0L)
     val removes =
       if (overwrite) prior.toSeq.flatMap(_.files).map(f => removeLine(f._1, ts))
-      else Seq.empty
+      else Seq.empty[String]
     val header =
       if (v == 0L) Seq(protoLine,
         metaLine(java.util.UUID.randomUUID.toString, df.schema, partitionColumns))
@@ -244,12 +244,8 @@ object DeltaExport {
       Row(null, null, Row(1, 2), null) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v)) } ++:
-      snap.files.map { case (rel, pv) =>
-        val dec = try new java.net.URI(rel).getPath catch {
-          case _: java.net.URISyntaxException => rel
-        }
-        val len = fs.getFileStatus(new Path(table, dec)).getLen
-        Row(Row(rel, pv, len, true), null, null, null) }
+      snap.files.map { case (rel, pv, size) =>
+        Row(Row(rel, pv, size, true), null, null, null) }
     val stage = new Path(table, s".ckpt-${java.util.UUID.randomUUID}")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), ckptT)

@@ -71,8 +71,11 @@ object DeltaRead {
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      /** (relative path, partitionValues) of every live data file. */
-      files: Seq[(String, Map[String, String])],
+      /** (relative path, partitionValues, size) of every live data file —
+        * size is the LOG's add.size (the protocol requires it accurate;
+        * the scan trusts it, as Delta's own reader does).
+        */
+      files: Seq[(String, Map[String, String], Long)],
       configuration: Map[String, String],
       /** Highest committed txn version per appId (streaming idempotence). */
       txns: Map[String, Long] = Map.empty)
@@ -178,15 +181,19 @@ object DeltaRead {
     val fileActs = acts.select(col("__v"),
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.path").isNotNull.as("isAdd"),
-        col("add.partitionValues").as("pv"))
+        col("add.partitionValues").as("pv"),
+        col("add.size").as("sz"))
       .where(col("path").isNotNull)
     val live = fileActs.groupBy("path")
-      .agg(max_by(struct(col("isAdd"), col("pv")), col("__v")).as("last"))
+      .agg(max_by(struct(col("isAdd"), col("pv"), col("sz")), col("__v"))
+        .as("last"))
       .where(col("last.isAdd"))
-      .select(col("path"), col("last.pv").as("pv"))
+      .select(col("path"), col("last.pv").as("pv"), col("last.sz").as("sz"))
       .collect()
-      .map(r => r.getString(0) ->
-        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
       .toSeq.sortBy(_._1)
 
     // highest txn version per appId — a handful of rows (one per streaming
@@ -225,6 +232,15 @@ object DeltaRead {
 
   /** Read the table at `asOf` (default: latest) as a DataFrame with the
     * log's declared schema, partition columns included and typed.
+    *
+    * The scan is ONE `HadoopFsRelation` over a log-backed [[FileIndex]]
+    * ([[DeltaFileIndex]]) — the same integration point Spark's built-in
+    * file sources use — so a partitioned table of ANY tuple count plans a
+    * single `FileScan` whose `PartitionFilters` prune at planning time
+    * from the log's partitionValues, with no directory listing and no
+    * per-tuple plan fan-out. (The earlier union-of-scans formulation was
+    * correct but planned one scan per tuple — wrong shape above ~10⁴
+    * tuples.)
     */
   def read(spark: SparkSession, tablePath: String,
            asOf: Option[Long] = None): DataFrame = {
@@ -235,41 +251,20 @@ object DeltaRead {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-
-    // add.path is a percent-encoded RELATIVE URI (PROTOCOL.md). URI.getPath
-    // percent-decodes without URLDecoder's '+'→space corruption (a literal
-    // '+' in a file name must survive).
-    def abs(rel: String): String = {
-      val dec = try new java.net.URI(rel).getPath catch {
-        case _: java.net.URISyntaxException => rel
-      }
-      new Path(tablePath, dec).toString
-    }
+    val partitionSchema = StructType(
+      snap.partitionColumns.map(declared(_)))
     val dataSchema = StructType(
       declared.filterNot(f => snap.partitionColumns.contains(f.name)))
-
-    if (snap.partitionColumns.isEmpty) {
-      spark.read.schema(declared).parquet(snap.files.map(f => abs(f._1)): _*)
-    } else {
-      // one scan per distinct partition tuple, values attached as typed
-      // literals; the final select restores declared column order
-      val byTuple = snap.files.groupBy(_._2).toSeq
-        .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-      val scans = byTuple.map { case (pv, fs0) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(fs0.map(f => abs(f._1)): _*)
-        snap.partitionColumns.foldLeft(base) { (df, pc) =>
-          val t = declared(pc).dataType
-          // protocol: absent key or "" (non-string types) encodes NULL
-          val raw = pv.get(pc).filterNot(v =>
-            v == null || (v.isEmpty && t != StringType))
-          df.withColumn(pc,
-            raw.map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t)))
-        }
-      }
-      scans.reduce(_ unionByName _)
-        .select(declared.fieldNames.map(col).toSeq: _*)
-    }
+    val index = new DeltaFileIndex(spark, new Path(tablePath), snap,
+      partitionSchema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    // HadoopFsRelation appends partition cols after data cols; restore the
+    // declared order
+    spark.baseRelationToDataFrame(relation)
+      .select(declared.fieldNames.map(col).toSeq: _*)
   }
 
   /** Version list visible in the log (commit files present), ascending. */

@@ -49,10 +49,18 @@ class DeltaReadSpec extends AnyFunSuite {
       s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
       s""""configuration":{},"createdTime":0}}"""
 
-  private def addLine(path: String, pv: Map[String, String] = Map.empty) =
+  /** add action with the file's REAL size — the scan plans splits from
+    * the log's add.size, so a fake size would truncate reads. `dir`+`path`
+    * locate the staged file; percent-encoded paths are decoded to stat.
+    */
+  private def addLine(dir: String, path: String,
+                      pv: Map[String, String] = Map.empty) = {
+    val dec = new java.net.URI(path).getPath
+    val size = Files.size(Paths.get(dir, dec))
     s"""{"add":{"path":"$path","partitionValues":{${
       pv.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
-    }},"size":1,"modificationTime":0,"dataChange":true}}"""
+    }},"size":$size,"modificationTime":0,"dataChange":true}}"""
+  }
 
   test("multi-commit replay: adds accumulate, removes tombstone, time travel") {
     val dir = Files.createTempDirectory("delta_basic").toString
@@ -62,11 +70,11 @@ class DeltaReadSpec extends AnyFunSuite {
     commit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       metaLine(abSchema),
-      addLine("f0.parquet")))
-    commit(dir, 1, Seq(addLine("f1.parquet")))
+      addLine(dir, "f0.parquet")))
+    commit(dir, 1, Seq(addLine(dir, "f1.parquet")))
     commit(dir, 2, Seq(
       """{"remove":{"path":"f0.parquet","deletionTimestamp":1,"dataChange":true}}""",
-      addLine("f2.parquet")))
+      addLine(dir, "f2.parquet")))
 
     assert(DeltaRead.versions(spark, dir) === Seq(0L, 1L, 2L))
     // latest: f1 + f2 live, f0 tombstoned
@@ -92,8 +100,8 @@ class DeltaReadSpec extends AnyFunSuite {
     commit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       metaLine(full, Seq("lang", "day")),
-      addLine("p_en.parquet", Map("lang" -> "en", "day" -> "2021-02-01")),
-      addLine("p_de.parquet", Map("lang" -> "de", "day" -> "2021-02-02"))))
+      addLine(dir, "p_en.parquet", Map("lang" -> "en", "day" -> "2021-02-01")),
+      addLine(dir, "p_de.parquet", Map("lang" -> "de", "day" -> "2021-02-02"))))
 
     val df = DeltaRead.read(spark, dir)
     assert(df.columns.toSeq === Seq("a", "b", "lang", "day"))
@@ -101,16 +109,17 @@ class DeltaReadSpec extends AnyFunSuite {
     val got = df.select("a", "lang", "day").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString)).sorted
     assert(got === Array((1L, "en", "2021-02-01"), (2L, "de", "2021-02-02")))
-    // partition predicate prunes to one branch and still answers right —
-    // PLAN-LEVEL: the literal partition values constant-fold the other
-    // branch's filter to false and PropagateEmptyRelation removes its scan
-    // entirely (this is the claimed free partition pruning)
+    // partition predicate prunes at PLANNING time: DeltaFileIndex.listFiles
+    // receives the predicate and keeps only the matching tuple's file group
+    // — the scan's numFiles metric must show 1 of the 2 live files touched
     val pruned = df.where(col("lang") === "en")
-    assert(pruned.count() === 1L)
-    val scans = pruned.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
-    }
-    assert(scans.size === 1, s"expected 1 surviving scan, got ${scans.size}")
+    val qe = pruned.queryExecution
+    assert(qe.executedPlan.executeCollect().length === 1)
+    val scan = qe.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value === 1,
+      s"partition pruning must keep 1 file of 2, scanned ${scan.metrics("numFiles").value}")
   }
 
   test("checkpoint parquet seeds the state; pre-checkpoint commits not needed") {
@@ -131,10 +140,12 @@ class DeltaReadSpec extends AnyFunSuite {
       StructField("metaData", metaT), StructField("protocol", protoT)))
     val rows = Seq(
       org.apache.spark.sql.Row(
-        org.apache.spark.sql.Row("f0.parquet", Map.empty[String, String], 1L, true),
+        org.apache.spark.sql.Row("f0.parquet", Map.empty[String, String],
+          Files.size(Paths.get(dir, "f0.parquet")), true),
         null, null),
       org.apache.spark.sql.Row(
-        org.apache.spark.sql.Row("f1.parquet", Map.empty[String, String], 1L, true),
+        org.apache.spark.sql.Row("f1.parquet", Map.empty[String, String],
+          Files.size(Paths.get(dir, "f1.parquet")), true),
         null, null),
       org.apache.spark.sql.Row(null,
         org.apache.spark.sql.Row("fixture", abSchema.json,
@@ -152,7 +163,7 @@ class DeltaReadSpec extends AnyFunSuite {
     // v0 deliberately ABSENT (vacuumed after checkpointing); v1 empty marker,
     // v2 adds f2 — replay must start from the checkpoint
     commit(dir, 1, Seq("""{"commitInfo":{"operation":"noop"}}"""))
-    commit(dir, 2, Seq(addLine("f2.parquet")))
+    commit(dir, 2, Seq(addLine(dir, "f2.parquet")))
 
     val snap = DeltaRead.snapshot(spark, dir)
     assert(snap.version === 2L)
@@ -188,10 +199,12 @@ class DeltaReadSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(null, org.apache.spark.sql.Row("m",
         abSchema.json, Seq.empty[String], Map.empty[String, String])),
       org.apache.spark.sql.Row(org.apache.spark.sql.Row("f0.parquet",
-        Map.empty[String, String], 1L, true), null)),
+        Map.empty[String, String], Files.size(Paths.get(dir, "f0.parquet")),
+        true), null)),
       f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
     part(Seq(org.apache.spark.sql.Row(org.apache.spark.sql.Row("f1.parquet",
-        Map.empty[String, String], 1L, true), null)),
+        Map.empty[String, String], Files.size(Paths.get(dir, "f1.parquet")),
+        true), null)),
       f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
     commit(dir, 1, Seq("""{"commitInfo":{"operation":"noop"}}"""))
     val snap = DeltaRead.snapshot(spark, dir)
@@ -216,7 +229,7 @@ class DeltaReadSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaLine(abSchema),
-      addLine("f0.parquet")))
+      addLine(dir, "f0.parquet")))
     val e = intercept[IllegalArgumentException] {
       DeltaRead.read(spark, dir)
     }
@@ -228,7 +241,7 @@ class DeltaReadSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
       metaLine(abSchema),
-      addLine("f0.parquet")))
+      addLine(dir, "f0.parquet")))
     assert(DeltaRead.read(spark, dir2).count() === 1L)
   }
 
@@ -238,10 +251,10 @@ class DeltaReadSpec extends AnyFunSuite {
     commit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       metaLine(abSchema),
-      addLine("with%20space.parquet")))
+      addLine(dir, "with%20space.parquet")))
     assert(DeltaRead.read(spark, dir).select("a").head().getLong(0) === 7L)
     // a hole in the commit sequence must fail loudly
-    commit(dir, 2, Seq(addLine("with%20space.parquet")))
+    commit(dir, 2, Seq(addLine(dir, "with%20space.parquet")))
     val e = intercept[IllegalArgumentException] {
       DeltaRead.snapshot(spark, dir)
     }
