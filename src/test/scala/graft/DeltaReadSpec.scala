@@ -172,6 +172,31 @@ class DeltaReadSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
 
+  test("join on the partition column works (incl. any dynamic pruning path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_dpp").toString
+    dataFile(dir, "p_en.parquet", Seq((1L, "hello")))
+    dataFile(dir, "p_de.parquet", Seq((2L, "hallo")))
+    dataFile(dir, "p_fr.parquet", Seq((3L, "salut")))
+    val full = StructType(abSchema.fields.toSeq :+ StructField("lang", StringType))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(full, Seq("lang")),
+      addLine(dir, "p_en.parquet", Map("lang" -> "en")),
+      addLine(dir, "p_de.parquet", Map("lang" -> "de")),
+      addLine(dir, "p_fr.parquet", Map("lang" -> "fr"))))
+    val fact = DeltaRead.read(spark, dir)
+    // selective dim filtered on the join (= partition) key: the shape that
+    // triggers dynamic partition pruning when the planner opts in — the
+    // FileIndex must serve whatever filter forms reach listFiles
+    val dim = Seq(("en", "English"), ("es", "Spanish"))
+      .toDF("lang", "lang_name").where(col("lang_name").startsWith("Eng"))
+    val joined = fact.join(dim, Seq("lang"))
+      .select("a", "lang", "lang_name").collect()
+    assert(joined.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq((1L, "en", "English")))
+  }
+
   test("multipart checkpoint: all parts present → used; missing part → ignored") {
     val dir = Files.createTempDirectory("delta_mpck").toString
     dataFile(dir, "f0.parquet", Seq((1L, "x")))
