@@ -65,15 +65,16 @@ object DeltaExport {
       """"configuration":{},"createdTime":0}}"""
 
   private def addLine(rel: String, pv: Map[String, String], size: Long,
-                      ts: Long): String =
+                      ts: Long, dataChange: Boolean = true): String =
     s"""{"add":{"path":"${encPath(rel)}","partitionValues":{${
       pv.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
-    }},"size":$size,"modificationTime":$ts,"dataChange":true}}"""
+    }},"size":$size,"modificationTime":$ts,"dataChange":$dataChange}}"""
 
-  private def removeLine(rel: String, ts: Long): String =
+  private def removeLine(rel: String, ts: Long,
+                         dataChange: Boolean = true): String =
     s"""{"remove":{"path":"${encPath(rel)}","deletionTimestamp":$ts,""" +
-      """"dataChange":true}}"""
+      s""""dataChange":$dataChange}}"""
 
   private def commit(spark: SparkSession, table: Path, v: Long,
                      lines: Seq[String]): Unit = {
@@ -208,6 +209,73 @@ object DeltaExport {
       header ++ txnLines ++ removes ++ moved.map { case (rel, pv, size, t) =>
         addLine(rel, pv, size, t) })
     v
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the current state into one file
+    * per hive partition (or `numFiles` for an unpartitioned table) and
+    * commit the rewrite with `dataChange=false` on every add/remove — the
+    * protocol's signal that the commit rearranges bytes without changing
+    * rows, so change-feed/streaming readers skip it. The streaming sink's
+    * one-file-per-micro-batch accumulation is the intended customer.
+    * Old files stay on disk for time travel until [[vacuum]].
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Long = {
+    require(numFiles >= 1)
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    val snap = DeltaRead.snapshot(spark, dir)
+    val df = DeltaRead.read(spark, dir)
+    val compacted =
+      if (snap.partitionColumns.nonEmpty)
+        // all rows of a hive partition land in one task → one file each
+        df.repartition(snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(numFiles)
+    val stage = new Path(table, s".stage-${java.util.UUID.randomUUID}")
+    val w = compacted.write.mode("overwrite")
+    (if (snap.partitionColumns.nonEmpty)
+       w.partitionBy(snap.partitionColumns: _*)
+     else w).parquet(stage.toString)
+    val staged = listDataFiles(spark, stage)
+    val ts = System.currentTimeMillis()
+    val moved = staged.map { case (rel, pv, size, _) =>
+      val from = new Path(stage, rel)
+      val to = new Path(table, rel)
+      fs.mkdirs(to.getParent)
+      require(fs.rename(from, to), s"rename $from -> $to failed")
+      (rel, pv, size)
+    }
+    fs.delete(stage, true)
+    val v = snap.version + 1
+    commit(spark, table, v,
+      snap.files.map(f => removeLine(f._1, ts, dataChange = false)) ++
+        moved.map { case (rel, pv, size) =>
+          addLine(rel, pv, size, ts, dataChange = false) })
+    v
+  }
+
+  /** Delete data files that are NOT in the current live set and whose
+    * modification time is older than `retainMs` (Delta's vacuum contract:
+    * tombstoned files serve time travel until retention expires; after
+    * vacuum, pre-compaction/overwrite versions stop being readable).
+    * Returns the number of files deleted. Never touches `_delta_log`.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+             retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    val snap = DeltaRead.snapshot(spark, dir)
+    val live = snap.files.map { case (rel, _, _) =>
+      try new java.net.URI(rel).getPath catch {
+        case _: java.net.URISyntaxException => rel
+      }
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    val victims = listDataFiles(spark, table).filter { case (rel, _, _, mtime) =>
+      !live.contains(rel) && mtime < cutoff
+    }
+    victims.foreach { case (rel, _, _, _) =>
+      fs.delete(new Path(table, rel), false) }
+    victims.size
   }
 
   /** Write a single-file parquet checkpoint of the CURRENT state (live

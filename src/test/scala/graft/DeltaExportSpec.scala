@@ -144,6 +144,38 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).count() === 4L)
   }
 
+  test("compact + vacuum: small files merge, tombstones age out, reads hold") {
+    import spark.implicits._
+    val dir = tmp()
+    // three appends = three data files (the streaming-sink accumulation)
+    DeltaExport.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir)
+    DeltaExport.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    assert(DeltaRead.snapshot(spark, dir).files.size === 3)
+    val v = DeltaExport.compact(spark, dir)
+    assert(v === 3L)
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.files.size === 1, s"expected 1 compacted file, got ${snap.files.size}")
+    assert(DeltaRead.read(spark, dir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // pre-compaction version still time-travels (files on disk)...
+    assert(DeltaRead.read(spark, dir, Some(2L)).count() === 3L)
+    // ...until vacuum with zero retention removes the 3 tombstoned files
+    assert(DeltaExport.vacuum(spark, dir, retainMs = 0L) === 3)
+    assert(DeltaRead.read(spark, dir).count() === 3L) // live state intact
+    // partitioned compaction: one file per hive partition
+    val pdir = tmp()
+    DeltaExport.append(Seq((1L, "en"), (2L, "de")).toDF("k", "lang"), pdir,
+      partitionColumns = Seq("lang"))
+    DeltaExport.append(Seq((3L, "en")).toDF("k", "lang"), pdir,
+      partitionColumns = Seq("lang"))
+    DeltaExport.compact(spark, pdir)
+    val psnap = DeltaRead.snapshot(spark, pdir)
+    assert(psnap.files.size === 2)
+    assert(psnap.files.map(_._2("lang")).sorted === Seq("de", "en"))
+    assert(DeltaRead.read(spark, pdir).where(col("lang") === "en").count() === 2L)
+  }
+
   test("streaming foreachBatch sink: micro-batches land as Delta versions") {
     import spark.implicits._
     val dir = tmp()
