@@ -270,6 +270,36 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir2).count() === 1L)
   }
 
+  test("schema evolution: latest metaData wins, pre-evolution files null-pad") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_evo").toString
+    dataFile(dir, "old.parquet", Seq((1L, "x")))
+    // newer file carries the added column
+    val tmp2 = s"$dir/__stage2"
+    Seq((2L, "y", 9.5)).toDF("a", "b", "score")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val p2 = new java.io.File(tmp2).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(p2.toPath, Paths.get(s"$dir/new.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
+    val evolved = StructType(abSchema.fields.toSeq :+
+      StructField("score", DoubleType))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(abSchema),
+      addLine(dir, "old.parquet")))
+    commit(dir, 1, Seq(
+      metaLine(evolved),
+      addLine(dir, "new.parquet")))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq === Seq("a", "b", "score"))
+    val rows = got.orderBy("a").collect()
+    assert(rows(0).isNullAt(2))            // pre-evolution file null-pads
+    assert(rows(1).getDouble(2) === 9.5)
+    // time travel to v0 serves the OLD schema
+    assert(DeltaRead.read(spark, dir, Some(0L)).columns.toSeq === Seq("a", "b"))
+  }
+
   test("url-encoded paths and gap detection") {
     val dir = Files.createTempDirectory("delta_enc").toString
     dataFile(dir, "with space.parquet", Seq((7L, "s")))
