@@ -230,6 +230,64 @@ object DeltaRead {
                         ts: Long): DataFrame =
     read(spark, tablePath, Some(versionAsOfTimestamp(spark, tablePath, ts)))
 
+  /** Incremental tail: the rows of files ADDED in versions (fromV, toV]
+    * with `dataChange=true` — the append-only change feed a polling
+    * consumer drains after a [[DeltaExport.foreachBatchSink]] writer
+    * (track `toV` as the cursor, like `VersionedLake.changesSince`).
+    * Compactions commit `dataChange=false` and are invisible here, per
+    * the flag's protocol meaning. Only valid for append-only ranges: a
+    * remove with `dataChange=true` inside the range (overwrite/delete)
+    * is refused rather than silently under-reported.
+    */
+  def readAppendsBetween(spark: SparkSession, tablePath: String,
+                         fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val snap = snapshot(spark, tablePath, Some(toV))
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = (fromV + 1) to toV
+    val paths = versions.map(v => new Path(logDir, f"$v%020d.json"))
+    val missing = paths.filterNot(fs.exists)
+    require(missing.isEmpty,
+      s"commits missing for range ($fromV, $toV] (cleaned log?): " +
+        missing.map(_.getName).mkString(", ") +
+        " — fall back to a full snapshot read")
+    val acts = spark.read.schema(actionSchema).json(paths.map(_.toString): _*)
+    val dataRemoves = acts
+      .where(col("remove.path").isNotNull &&
+        coalesce(col("remove.dataChange"), lit(true)))
+      .limit(1).collect()
+    require(dataRemoves.isEmpty,
+      s"versions ($fromV, $toV] of $tablePath contain data-changing removes" +
+        " — not an append-only range; re-read the full snapshot instead")
+    val added = acts
+      .where(col("add.path").isNotNull &&
+        coalesce(col("add.dataChange"), lit(true)))
+      .select(col("add.path").as("path"),
+        col("add.partitionValues").as("pv"), col("add.size").as("sz"))
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val declared = snap.schema
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    val partitionSchema = StructType(snap.partitionColumns.map(declared(_)))
+    val dataSchema = StructType(
+      declared.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val index = new DeltaFileIndex(spark, new Path(tablePath),
+      snap.copy(files = added), partitionSchema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
+      .select(declared.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Read the table at `asOf` (default: latest) as a DataFrame with the
     * log's declared schema, partition columns included and typed.
     *

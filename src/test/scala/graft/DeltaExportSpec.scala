@@ -176,6 +176,30 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, pdir).where(col("lang") === "en").count() === 2L)
   }
 
+  test("readAppendsBetween: cursor-style tail of an append-only log") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.append(Seq((1L, "a")).toDF("k", "v"), dir)      // v0
+    DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir)      // v1
+    DeltaExport.append(Seq((3L, "c")).toDF("k", "v"), dir)      // v2
+    // consumer saw through v0; drains v1..v2 only
+    assert(DeltaRead.readAppendsBetween(spark, dir, 0L, 2L)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // caught up → empty, schema intact
+    val empty = DeltaRead.readAppendsBetween(spark, dir, 2L, 2L)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("k", "v"))
+    // compaction is dataChange=false → still drains as empty, not refused
+    DeltaExport.compact(spark, dir)                              // v3
+    assert(DeltaRead.readAppendsBetween(spark, dir, 2L, 3L).count() === 0L)
+    // an overwrite in range is NOT append-only → refused loudly
+    DeltaExport.overwrite(Seq((9L, "z")).toDF("k", "v"), dir)    // v4
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readAppendsBetween(spark, dir, 3L, 4L)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("streaming foreachBatch sink: micro-batches land as Delta versions") {
     import spark.implicits._
     val dir = tmp()
