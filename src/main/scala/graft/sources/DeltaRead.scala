@@ -65,7 +65,8 @@ object DeltaRead {
       StructField("appId", StringType),
       StructField("version", LongType))))))
 
-  private val readerFeaturesOk = Set("timestampNtz", "vacuumProtocolCheck")
+  private val readerFeaturesOk =
+    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping")
 
   final case class Snapshot(
       version: Long,
@@ -165,9 +166,13 @@ object DeltaRead {
       val mrv = p.getInt(1)
       val feats = Option(p.getSeq[String](2)).getOrElse(Seq.empty).toSet
       val mapping = config.getOrElse("delta.columnMapping.mode", "none")
+      // column mapping: 'name' mode is readable (physical names from the
+      // schemaString metadata); 'id' mode needs parquet field-id matching
+      // the reader doesn't do — refuse rather than misread
+      val mappingOk = mapping == "none" || mapping == "name"
       require(mrv <= 1 ||
-        (mrv == 2 && mapping == "none") ||
-        (mrv == 3 && (feats -- readerFeaturesOk).isEmpty && mapping == "none"),
+        (mrv == 2 && mappingOk) ||
+        (mrv == 3 && (feats -- readerFeaturesOk).isEmpty && mappingOk),
         s"unsupported Delta reader requirement: minReaderVersion=$mrv " +
           s"features=${feats.mkString(",")} columnMapping=$mapping")
     }
@@ -271,21 +276,69 @@ object DeltaRead {
           .getOrElse(Map.empty[String, String]),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .toSeq.sortBy(_._1)
-    val declared = snap.schema
     if (added.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    val partitionSchema = StructType(snap.partitionColumns.map(declared(_)))
-    val dataSchema = StructType(
-      declared.filterNot(f => snap.partitionColumns.contains(f.name)))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        logicalSchema(snap.schema))
+    scan(spark, tablePath, snap.copy(files = added))
+  }
+
+  /** Physical column name under column mapping (`name` mode): the
+    * `delta.columnMapping.physicalName` field metadata; the logical name
+    * otherwise.
+    */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The user-facing schema: logical names, mapping metadata stripped. */
+  private def logicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+
+  /** Shared scan construction: one `HadoopFsRelation` over
+    * [[DeltaFileIndex]]. Under column mapping `name` mode the FILES carry
+    * physical column names and `add.partitionValues` is keyed by physical
+    * partition names — the scan requests physical names and the final
+    * projection renames to logical, while partition values/keys are
+    * rewritten to logical before the index so partition predicates (which
+    * reference the output's logical attributes) bind directly.
+    */
+  private def scan(spark: SparkSession, tablePath: String,
+                   snap: Snapshot): DataFrame = {
+    val declared = snap.schema
+    val mapped = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "name"
+    val physByLogical = declared.fields.map(f => f.name -> physicalName(f)).toMap
+    val partPhysToLogical = snap.partitionColumns
+      .map(c => physByLogical(c) -> c).toMap
+    val files =
+      if (!mapped) snap.files
+      else snap.files.map { case (rel, pv, sz) =>
+        (rel, pv.map { case (k, v) =>
+          partPhysToLogical.getOrElse(k, k) -> v }, sz)
+      }
+    val partitionSchema = StructType(snap.partitionColumns.map(c =>
+      org.apache.spark.sql.types.StructField(c, declared(c).dataType,
+        declared(c).nullable)))
+    val dataSchema = StructType(declared.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(
+        if (mapped) physicalName(f) else f.name, f.dataType, f.nullable)))
     val index = new DeltaFileIndex(spark, new Path(tablePath),
-      snap.copy(files = added), partitionSchema)
+      snap.copy(files = files), partitionSchema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
+    // restore declared order; rename physical → logical where mapped
     spark.baseRelationToDataFrame(relation)
-      .select(declared.fieldNames.map(col).toSeq: _*)
+      .select(declared.fieldNames.toSeq.map { n =>
+        if (mapped && !snap.partitionColumns.contains(n))
+          col(physByLogical(n)).as(n)
+        else col(n)
+      }: _*)
   }
 
   /** Read the table at `asOf` (default: latest) as a DataFrame with the
@@ -303,26 +356,13 @@ object DeltaRead {
   def read(spark: SparkSession, tablePath: String,
            asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, asOf)
-    val declared = snap.schema
-    require(snap.files.nonEmpty || declared.nonEmpty,
+    require(snap.files.nonEmpty || snap.schema.nonEmpty,
       s"Delta table $tablePath has no schema")
     if (snap.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    val partitionSchema = StructType(
-      snap.partitionColumns.map(declared(_)))
-    val dataSchema = StructType(
-      declared.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val index = new DeltaFileIndex(spark, new Path(tablePath), snap,
-      partitionSchema)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partitionSchema, dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(spark)
-    // HadoopFsRelation appends partition cols after data cols; restore the
-    // declared order
-    spark.baseRelationToDataFrame(relation)
-      .select(declared.fieldNames.map(col).toSeq: _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        logicalSchema(snap.schema))
+    scan(spark, tablePath, snap)
   }
 
   /** Version list visible in the log (commit files present), ascending. */

@@ -270,6 +270,56 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir2).count() === 1L)
   }
 
+  test("column mapping 'name' mode: physical file names read as logical; 'id' refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_cmap").toString
+    // data file carries PHYSICAL column names (what Databricks writes under
+    // column mapping); the partition column is absent from the file
+    val tmp2 = s"$dir/__stage"
+    Seq((1L, "hello")).toDF("col-aaaa", "col-bbbb")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val p2 = new java.io.File(tmp2).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(p2.toPath, Paths.get(s"$dir/part0.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
+    def mappedField(name: String, tpe: String, phys: String) =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":""" +
+        s"""{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"$phys"}}"""
+    val schemaStr = esc(
+      s"""{"type":"struct","fields":[${mappedField("a", "long", "col-aaaa")},""" +
+        s"""${mappedField("b", "string", "col-bbbb")},""" +
+        s"""${mappedField("lang", "string", "col-pppp")}]}""")
+    def metaWithMapping(mode: String) =
+      s"""{"metaData":{"id":"cmap","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaStr","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}"""
+    // partitionValues keyed by the PHYSICAL partition name, per protocol
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMapping("name"),
+      s"""{"add":{"path":"part0.parquet","partitionValues":{"col-pppp":"en"},""" +
+        s""""size":${Files.size(Paths.get(dir, "part0.parquet"))},""" +
+        s""""modificationTime":0,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq === Seq("a", "b", "lang"))
+    val row = got.head()
+    assert((row.getLong(0), row.getString(1), row.getString(2))
+      === ((1L, "hello", "en")))
+    // and partition pruning still binds on the logical name
+    assert(got.where(col("lang") === "de").count() === 0L)
+    assert(got.where(col("lang") === "en").count() === 1L)
+    // 'id' mode needs parquet field-id resolution — refused
+    val dir2 = Files.createTempDirectory("delta_cmap_id").toString
+    dataFile(dir2, "f0.parquet", Seq((1L, "x")))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaWithMapping("id").replace(""""partitionColumns":["lang"]""",
+        """"partitionColumns":[]"""),
+      addLine(dir2, "f0.parquet")))
+    val e = intercept[IllegalArgumentException](DeltaRead.read(spark, dir2))
+    assert(e.getMessage.contains("columnMapping=id"))
+  }
+
   test("schema evolution: latest metaData wins, pre-evolution files null-pad") {
     import spark.implicits._
     val dir = Files.createTempDirectory("delta_evo").toString
