@@ -1419,6 +1419,47 @@ object Oracles {
         "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
         "ORDER BY doc_id"),
 
+    // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
+    // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
+    // (cos desc, nbr id), majority vote with ties to the smallest label.
+    "q132_knn_labels" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id % 5 = 0), " +
+        "l AS (SELECT vec_id AS nid, embedding AS lv, label FROM embeddings " +
+        "WHERE vec_id % 5 <> 0), " +
+        s"s AS (SELECT query_id, nid, label, ${cosSql("qv", "lv")} AS cos " +
+        "FROM q, l WHERE query_id <> nid), " +
+        "r AS (SELECT query_id, label, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, nid) AS rnk FROM s), " +
+        "v AS (SELECT query_id, label, count(*) AS votes FROM r " +
+        "WHERE rnk <= 5 GROUP BY 1, 2), " +
+        "m AS (SELECT query_id, label, votes, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY votes DESC, label) AS mk FROM v) " +
+        "SELECT query_id, label AS predicted_label, votes FROM m " +
+        "WHERE mk = 1 ORDER BY query_id"),
+
+    // Centroid-margin mislabel screen: per-label element-wise mean
+    // embeddings (double accumulation), cosine of each vector to every
+    // centroid via the shared recipe, own-vs-best-other margin.
+    "q133_centroid_margin" ->
+      ("WITH ex AS (SELECT label, unnest(range(1, len(embedding) + 1)) AS idx, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "ce AS (SELECT label, idx, avg(x) AS m FROM ex GROUP BY 1, 2), " +
+        "cent AS (SELECT label AS clab, list(m ORDER BY idx) AS cv " +
+        "FROM ce GROUP BY 1), " +
+        "s AS (SELECT e.vec_id, e.label, c.clab, " +
+        s"${cosSql("e.embedding", "c.cv")} AS cos " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "agg AS (SELECT vec_id, label, " +
+        "max(CASE WHEN label = clab THEN cos END) AS own_cos, " +
+        "max_by(clab, CASE WHEN label <> clab THEN cos END) AS other_lab, " +
+        "max(CASE WHEN label <> clab THEN cos END) AS other_cos " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT vec_id, label, round(own_cos, 4) AS own_cos, " +
+        "other_lab AS nearest_other_label, round(other_cos, 4) AS other_cos, " +
+        "round(own_cos - other_cos, 4) AS margin " +
+        "FROM agg ORDER BY vec_id"),
+
     // Delta-log replay truth: the staged 2-commit log's live file set
     // reconstructs exactly the original region rows (remove tombstones one
     // file, a re-add restores its rows), so the oracle is region itself.

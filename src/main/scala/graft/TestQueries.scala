@@ -1703,6 +1703,38 @@ object TestQueries {
     Dedup.chunkKeepIdsVerifiedMd5(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
+    * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
+    * labeled seed set; each pool vector takes the majority label of its 5
+    * nearest seeds by cosine. DuckDB replays scoring, top-k and the
+    * vote/tie rules exactly.
+    */
+  def q132KnnLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.knnLabelPropagation(
+        labeled = e.where(col("vec_id") % 5 =!= 0),
+        unlabeled = e.where(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("predicted_label").cast("int").as("predicted_label"),
+        col("votes"))
+      .orderBy("query_id")
+  }
+
+  /** Centroid-margin mislabel screen ([[operators.Similarity.centroidMargins]]):
+    * cosine to own label's centroid minus best cosine to any other — the
+    * label-noise audit. Rounded to 4dp; DuckDB rebuilds the per-label mean
+    * embeddings and the same margins.
+    */
+  def q133CentroidMargin(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidMargins(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"),
+        round(col("own_cos"), 4).as("own_cos"),
+        col("nearest_other_label").cast("int").as("nearest_other_label"),
+        round(col("other_cos"), 4).as("other_cos"),
+        round(col("margin"), 4).as("margin"))
+      .orderBy("vec_id")
+
   /** Delta-protocol read interop ([[sources.DeltaRead]]): a 2-commit Delta
     * log is staged once per gate dir over the gate's own `region` rows —
     * commit 0 adds two data files, commit 1 tombstones one and re-adds its
@@ -1850,6 +1882,8 @@ object TestQueries {
     "q129_bikeshare_scale" -> (q129BikeshareScale _),
     "q130_delta_read" -> (q130DeltaRead _),
     "q131_chunk_dedup_verified" -> (q131ChunkDedupVerified _),
+    "q132_knn_labels" -> (q132KnnLabels _),
+    "q133_centroid_margin" -> (q133CentroidMargin _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

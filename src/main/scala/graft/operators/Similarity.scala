@@ -672,6 +672,99 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /** Double-accumulating cosine via `zip_with`+`aggregate` — for operands
+    * of MIXED element types (float vectors × double centroids) where the
+    * native float-array [[Vectors.cosine]] doesn't apply. Same
+    * cast-to-double, array-order accumulation as the DuckDB oracle's
+    * cosSql, so results are bit-comparable. Both operands are bound column
+    * references (the bind-once HOF rule — PLANS.md Round-9).
+    */
+  private def cosMixed(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** kNN label propagation (auto-labeling): every unlabeled vector takes
+    * the majority label of its `k` nearest labeled neighbors by cosine
+    * (vote ties → smallest label; neighbor ties → smallest id, so the
+    * result is deterministic). The semi-supervised curation step: a small
+    * hand-labeled seed set fans its labels out over the big unlabeled
+    * pool.
+    *
+    * Shape for scale: the LABELED seed set broadcasts (it is the small
+    * side by construction); the unlabeled pool streams scan-side through
+    * the cosine scoring and shuffles once on the query id for the top-k
+    * window, carrying only (query, nbr, label, cos) — never raw vectors.
+    * For seed sets too big to broadcast, run [[ivfTopK]] first and vote
+    * over its output instead.
+    */
+  def knnLabelPropagation(labeled: DataFrame, unlabeled: DataFrame,
+                          idCol: String, vecCol: String, labelCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1)
+    val seeds = broadcast(labeled.select(col(idCol).as("__nid"),
+      col(vecCol).as("__lv"), col(labelCol).as("__lab")))
+    val scored = unlabeled
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(seeds, col("query_id") =!= col("__nid"))
+      .select(col("query_id"), col("__nid"), col("__lab"),
+        Vectors.cosine(col("__qv"), col("__lv")).as("__cos"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("__nid"))
+    val votes = scored.withColumn("__rn", row_number().over(wTop))
+      .where(col("__rn") <= k)
+      .groupBy("query_id", "__lab")
+      .agg(count(lit(1)).as("votes"), max("__cos").as("__best"))
+    val wMaj = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__lab"))
+    votes.withColumn("__rk", row_number().over(wMaj))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__lab").as("predicted_label"),
+        col("votes"))
+  }
+
+  /** Per-label centroids: element-wise mean embedding per label, assembled
+    * in dimension order. One fact-sized posexplode + (label, pos) agg;
+    * output is #labels rows.
+    */
+  def labelCentroids(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy("label", "__pos")
+      .agg(avg(col("__x").cast("double")).as("__m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("centroid"))
+
+  /** Centroid-margin mislabel screen (confident-learning-style): each
+    * vector's cosine to its OWN label's centroid minus its best cosine to
+    * any OTHER centroid. Negative margins sit closer to another class's
+    * center than their own — the classic label-noise audit before
+    * training. Centroids broadcast (#labels rows); everything else is
+    * scan-side.
+    */
+  def centroidMargins(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val cents = broadcast(labelCentroids(df, vecCol, labelCol)
+      .select(col("label").as("__clab"), col("centroid")))
+    df.select(col(idCol), col(vecCol), col(labelCol))
+      .crossJoin(cents)
+      .withColumn("__cos", cosMixed(col(vecCol), col("centroid")))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        max(when(col(labelCol) === col("__clab"), col("__cos"))).as("own_cos"),
+        max(when(col(labelCol) =!= col("__clab"),
+          struct(col("__cos").as("c"), col("__clab").as("l")))).as("__other"))
+      .select(col(idCol), col(labelCol),
+        col("own_cos"),
+        col("__other.l").as("nearest_other_label"),
+        col("__other.c").as("other_cos"),
+        (col("own_cos") - col("__other.c")).as("margin"))
+  }
+
   /** SemDeDup-style cluster-confined semantic dedup (Abbas et al. 2023):
     * assign every vector to its nearest centroid, find cosine-≥-threshold
     * pairs WITHIN each cell only, close them transitively, keep each

@@ -333,6 +333,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cols === Seq("vec_id", "embedding"))
   }
 
+  test("knnLabelPropagation: planted clusters vote their label; ties break low") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val labeled = Seq(
+      (1L, v(1.0, 0.05), 7), (2L, v(1.0, -0.05), 7), (3L, v(0.98, 0.1), 7),
+      (4L, v(0.05, 1.0), 2), (5L, v(-0.05, 1.0), 2), (6L, v(0.1, 0.98), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val pool = Seq((10L, v(1.0, 0.0)), (11L, v(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnLabelPropagation(labeled, pool,
+        "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(10L) === ((7, 3L))) // unanimous x-cluster
+    assert(got(11L) === ((2, 3L))) // unanimous y-cluster
+    // k=4 at the x-pole: 3 votes for 7, 1 for 2 — majority holds
+    val k4 = Similarity.knnLabelPropagation(labeled, pool.where($"vec_id" === 10),
+      "vec_id", "embedding", "label", k = 4).head()
+    assert(k4.getInt(1) === 7 && k4.getLong(2) === 3L)
+  }
+
+  test("centroidMargins: a vector planted in the wrong cluster goes negative") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val df = Seq(
+      (1L, v(1.0, 0.05), 0), (2L, v(1.0, -0.05), 0), (3L, v(0.98, 0.1), 0),
+      (4L, v(0.05, 1.0), 1), (5L, v(-0.05, 1.0), 1),
+      (9L, v(0.99, 0.02), 1) // x-cluster vector labeled as the y-cluster
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.centroidMargins(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(5), r.getInt(3))).toMap
+    assert(m(1L)._1 > 0)                  // correctly-labeled: positive margin
+    assert(m(9L)._1 < 0)                  // planted mislabel: negative
+    assert(m(9L)._2 === 0)                // ...and its nearest OTHER class is 0
+  }
+
   test("semDedup maxCellSize: an identical-vector flood in ONE cell still " +
        "collapses to one survivor through the representative chain") {
     import spark.implicits._
