@@ -323,6 +323,21 @@ object ScaleCheck {
         val scale = if (dir == base) 0.04 else math.min(1.0, 0.04 * rep)
         graft.pipeline.BikeshareGen.runAll(spark.newSession(), scale).count()
       },
+      "knn_labels" -> { dir =>
+        // the documented shape: the labeled SEED set is fixed-size (always
+        // the base dir's seeds) while the unlabeled pool scales with the
+        // corpus — pool×seeds work grows linearly in the pool
+        val seeds = emb(base).where(col("vec_id") % 5 =!= 0)
+        graft.operators.Similarity.knnLabelPropagation(
+          seeds, emb(dir).where(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", "label", k = 5).count()
+      },
+      "centroid_margin" -> { dir =>
+        // posexplode agg (fact-sized, partial map-side) + 10-centroid
+        // broadcast cross join — strictly corpus-linear
+        graft.operators.Similarity.centroidMargins(emb(dir),
+          "vec_id", "embedding", "label").count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.

@@ -144,6 +144,25 @@ object TrainingDataDemo {
     println(s"semantic: ${emb.count()} vecs → ${semKept.count()} after " +
       s"SemDeDup → ${band.count()} in the prototypicality band")
 
+    // 14. label hygiene: auto-label a held-out pool from the labeled seeds,
+    // then screen the WHOLE labeled set for label noise by centroid margin
+    val autoLabeled = graft.operators.Similarity.knnLabelPropagation(
+      emb.where(col("vec_id") % 5 =!= 0), emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "label", k = 5)
+    val noisy = graft.operators.Similarity.centroidMargins(emb,
+      "vec_id", "embedding", "label").where(col("margin") < 0)
+    println(s"labels: ${autoLabeled.count()} pool vecs auto-labeled; " +
+      s"${noisy.count()} flagged as possible label noise")
+
+    // 15. publish the curated silver table AS DELTA so the reference's own
+    // stack can read it in place (and prove it round-trips via our reader)
+    val deltaDir = s"$lakeRoot/delta/documents_silver"
+    graft.sources.DeltaExport.overwrite(
+      balanced.select("doc_id", "lang", "source", "text"), deltaDir)
+    val back = graft.sources.DeltaRead.read(spark, deltaDir)
+    println(s"delta: ${back.count()} rows published at $deltaDir " +
+      s"(v${graft.sources.DeltaRead.snapshot(spark, deltaDir).version})")
+
     spark.stop()
   }
 }
