@@ -333,7 +333,7 @@ object TestQueries {
   // ---- similarity search ---------------------------------------------------
 
   def q39EmbeddingTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
         "embedding", k = 3)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
@@ -341,11 +341,11 @@ object TestQueries {
   }
 
   def q39bEmbeddingNorms(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"),
+    Tables.loadEmbeddings(s, dir).select(col("vec_id"),
       round(Vectors.norm(col("embedding")), 6).as("l2_norm"))
 
   def q39cLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     // (planes, tables) solved for 85% recall of pairs at cosine >= 0.2 —
     // resolves to (3, 10); SimilaritySpec asserts measured recall tracks
     // the formula's prediction.
@@ -363,7 +363,7 @@ object TestQueries {
     * (SimilaritySpec) since a partial probe has no SQL equivalent.
     */
   def q39dIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     Similarity.ivfTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
         "embedding", k = 3, numCells = 8, nprobe = 8)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
@@ -379,7 +379,7 @@ object TestQueries {
     * is spec-measured (SimilaritySpec), as with LSH/IVF.
     */
   def q95PqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     // refine·k = 30M ≥ any gate corpus → the pool is exhaustive WITHOUT
     // paying a count job; the window keeps every candidate either way.
     // iters=1: with an exhaustive pool the ADC stage only ORDERS candidates,
@@ -398,7 +398,7 @@ object TestQueries {
     * constant refine pool. Rows-only; recall floor spec-asserted.
     */
   def q95bPqTopkProd(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val books = annModel[DataFrame](s, dir, "pq:16:16:i3")(
       Similarity.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
         numSub = 16, ksub = 16))
@@ -415,7 +415,7 @@ object TestQueries {
     * Pruned-probe recall is spec-measured (SimilaritySpec).
     */
   def q96IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     // constant exhaustive refine bound — see q95's note
     val model = annModel[Similarity.IvfPqModel](s, dir, "ivfpq:8:8:16:i1")(
       Similarity.ivfPqTrain(emb, "vec_id", "embedding", dim = 64,
@@ -446,7 +446,7 @@ object TestQueries {
     * assignment machinery and is spec-covered (SimilaritySpec).
     */
   def q98SemanticClusters(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val seeds = emb.where(col("vec_id") <= 8)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
@@ -550,7 +550,7 @@ object TestQueries {
     * pattern); the operator's default is xxhash64 (SplitsSpec).
     */
   def q104NegativePairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val n = emb.count()
     val pairs = operators.Splits.negativePairs(
       emb.where(col("vec_id") <= 20), "vec_id", k = 5, n = n,
@@ -570,7 +570,7 @@ object TestQueries {
     * plan as q39; the rank window just takes a different band.
     */
   def q105HardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val (m, k) = (3, 5)
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") <= 20), "vec_id",
         "embedding", k = m + k)
@@ -613,7 +613,7 @@ object TestQueries {
     * sample. Both stages reuse their individually-proven oracle recipes.
     */
   def q107DiverseSample(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val seeds = emb.where(col("vec_id") <= 8)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
@@ -854,7 +854,7 @@ object TestQueries {
     * pipeline from its three proven pieces.
     */
   def q118SemDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val seeds = emb.where(col("vec_id") <= 8)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
@@ -873,7 +873,7 @@ object TestQueries {
     * assignment, never pairwise.
     */
   def q119Prototypicality(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = Tables.loadEmbeddings(s, dir)
     val seeds = emb.where(col("vec_id") <= 8)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toSeq)
@@ -1182,7 +1182,7 @@ object TestQueries {
     * ordinality).
     */
   def q56Posexplode(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").where(col("vec_id") <= 3)
+    Tables.loadEmbeddings(s, dir).where(col("vec_id") <= 3)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
         round(col("x").cast("double"), 6).as("xr"))
@@ -1566,7 +1566,7 @@ object TestQueries {
     */
   def q84EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDedupExact(
-        t(s, dir, "embeddings").where(col("vec_id") < 150),
+        Tables.loadEmbeddings(s, dir).where(col("vec_id") < 150),
         "vec_id", "embedding", threshold = 0.30)
       .orderBy("vec_id")
 
@@ -1596,7 +1596,7 @@ object TestQueries {
     */
   def q87CosinePairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupExact(
-        t(s, dir, "embeddings").where(col("vec_id") < 150),
+        Tables.loadEmbeddings(s, dir).where(col("vec_id") < 150),
         "vec_id", "embedding", threshold = 0.30)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
       .orderBy("id_a", "id_b")
@@ -1710,7 +1710,7 @@ object TestQueries {
     * vote/tie rules exactly.
     */
   def q132KnnLabels(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.loadEmbeddings(s, dir)
     Similarity.knnLabelPropagation(
         labeled = e.where(col("vec_id") % 5 =!= 0),
         unlabeled = e.where(col("vec_id") % 5 === 0),
@@ -1726,7 +1726,7 @@ object TestQueries {
     * embeddings and the same margins.
     */
   def q133CentroidMargin(s: SparkSession, dir: String): DataFrame =
-    Similarity.centroidMargins(t(s, dir, "embeddings"),
+    Similarity.centroidMargins(Tables.loadEmbeddings(s, dir),
         "vec_id", "embedding", "label")
       .select(col("vec_id"), col("label"),
         round(col("own_cos"), 4).as("own_cos"),

@@ -42,6 +42,27 @@ object Tables {
     }
   }
 
+  /** embeddings `embedding` normalization — the same testdata-vintage
+    * defense as [[loadEvents]]: every vector operator (native
+    * CosineSim/MinHash/PQ expressions included) requires `array<float>`,
+    * so a regenerated parquet shipping `array<double>` (or any numeric
+    * element) would break the whole vector surface at analysis time the
+    * way TIMESTAMP_NTZ broke the event surface in round 8. Normalize the
+    * element type at the scan; float data passes through untouched.
+    */
+  def loadEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => df
+      case _: org.apache.spark.sql.types.ArrayType =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings.embedding has non-array type $other")
+    }
+  }
+
   /** S1 — headerless CSV scan, all columns arrive as string `_c0…_cN`
     * (nb:250-253). No inferSchema: one pass, conform applies types.
     */

@@ -52,7 +52,7 @@ object ScaleCheck {
     replicate("events", Seq("event_id", "user_id"))
 
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
-    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def emb(dir: String) = graft.sources.Tables.loadEmbeddings(spark, dir)
 
     val ops: Seq[(String, String => Long)] = Seq(
       "star_join" -> { dir =>

@@ -122,7 +122,7 @@ object TrainingDataDemo {
 
     // 12. contrastive pairs over the embedding table: deterministic
     // negatives (never self, reproducible epochs)
-    val emb = Tables.load(spark, sfDir, "embeddings")
+    val emb = Tables.loadEmbeddings(spark, sfDir)
     val negs = Splits.negativePairs(emb, "vec_id", k = 4, n = emb.count())
     println(s"negatives: ${negs.count()} pairs for ${emb.count()} anchors")
 
