@@ -216,4 +216,74 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(refFold(f) === f)
     }
   }
+
+  test("knnLabelPropagation == quadratic majority-vote reference on random vectors") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val labeled = (1L to 60L).map(i => (i, vec(), rnd.nextInt(4)))
+    val pool = (100L to 120L).map(i => (i, vec()))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val k = 5
+    val expected = pool.map { case (qid, qv) =>
+      val top = labeled.map { case (nid, lv, lab) => (cos(qv, lv), nid, lab) }
+        .sortBy { case (c, nid, _) => (-c, nid) }.take(k)
+      val votes = top.groupBy(_._3).view.mapValues(_.size).toMap
+      val (lab, n) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> ((lab, n.toLong))
+    }.toMap
+    val got = operators.Similarity.knnLabelPropagation(
+        labeled.toDF("vec_id", "embedding", "label"),
+        pool.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "label", k)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
+  test("semDedup: capping can only ADD survivors, never merge spuriously") {
+    // every capped component is a subset of an uncapped component, and the
+    // min of the bigger set stays the min of the piece containing it \u2014 so
+    // survivors(uncapped) \u2286 survivors(capped), at ANY cap
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)
+    val vecs = (1L to 80L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val cells = Seq(0, 1)
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val uncapped = operators.Similarity.semDedup(vecs, "vec_id", "embedding",
+        cells, cents, threshold = 0.6, maxCellSize = 1000000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    for (cap <- Seq(5, 16, 40)) {
+      val capped = operators.Similarity.semDedup(vecs, "vec_id", "embedding",
+          cells, cents, threshold = 0.6, maxCellSize = cap)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(uncapped.subsetOf(capped),
+        s"cap $cap lost survivors ${uncapped -- capped}")
+    }
+  }
+
+  test("chunkKeepIdsVerified: raising the threshold only ADDS survivors") {
+    // fewer verified edges \u21d2 components only split \u21d2 old minima remain
+    val rnd = new scala.util.Random(17)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def sentence(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val shared = sentence(40)
+    val docs = (1L to 30L).map { i =>
+      val own = sentence(10 + rnd.nextInt(30))
+      (i, if (i % 3 == 0) s"$own $shared" else s"$own ${sentence(20)}")
+    }.toDF("doc_id", "text")
+    val loose = operators.Dedup.chunkKeepIdsVerified(docs, "doc_id", "text",
+        window = 4, maskBits = 2, threshold = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val strict = operators.Dedup.chunkKeepIdsVerified(docs, "doc_id", "text",
+        window = 4, maskBits = 2, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.subsetOf(strict), s"lost ${loose -- strict}")
+    // and every doc is accounted for exactly once: survivors \u222a victims = all
+    assert(strict.subsetOf((1L to 30L).toSet))
+  }
 }
