@@ -1419,6 +1419,38 @@ object Oracles {
         "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
         "ORDER BY doc_id"),
 
+    // First-touch funnel: per-stage conditional minima — first view, first
+    // click strictly after it, first purchase strictly after that.
+    "q134_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS t_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e " +
+        "JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e " +
+        "JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1) " +
+        "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase FROM v " +
+        "LEFT JOIN c ON v.user_id = c.user_id " +
+        "LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"),
+
+    // Weekly retention: cohort = floor-7-day bucket of first activity
+    // since the global earliest event; distinct active users per offset.
+    // floor(epoch) everywhere: DuckDB epoch() keeps fractional seconds,
+    // Spark unix_timestamp truncates — both sides must bucket on the
+    // truncated value or a sub-second straddle flips a week boundary
+    "q135_retention" ->
+      ("WITH e0 AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS e0 FROM events), " +
+        "f AS (SELECT user_id, CAST(floor((min(CAST(floor(epoch(ts)) AS BIGINT)) - e0) / 604800) AS INTEGER) " +
+        "AS cohort FROM events, e0 GROUP BY user_id, e0), " +
+        "a AS (SELECT DISTINCT user_id, " +
+        "CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - e0) / 604800) AS INTEGER) AS week " +
+        "FROM events, e0) " +
+        "SELECT cohort, week - cohort AS k, count(DISTINCT f.user_id) AS n_users " +
+        "FROM f JOIN a USING (user_id) " +
+        "WHERE week - cohort BETWEEN 0 AND 4 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

@@ -1703,6 +1703,27 @@ object TestQueries {
     Dedup.chunkKeepIdsVerifiedMd5(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** First-touch funnel ([[operators.EventAnalytics.funnel]]): per-user
+    * resolved view→click→purchase times (each stage strictly after the
+    * previous), plus the rollup counts. DuckDB replays the per-stage
+    * conditional minima exactly.
+    */
+  def q134Funnel(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.funnel(Tables.loadEvents(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .select(col("user").as("user_id"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+
+  /** Weekly retention cohorts ([[operators.EventAnalytics.weeklyRetention]]):
+    * cohort = 7-day bucket of first activity since the global earliest
+    * event; n_users active at each offset k.
+    */
+  def q135Retention(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.weeklyRetention(Tables.loadEvents(s, dir),
+        "user_id", "ts", maxWeeks = 4)
+      .orderBy("cohort", "k")
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -1884,6 +1905,8 @@ object TestQueries {
     "q131_chunk_dedup_verified" -> (q131ChunkDedupVerified _),
     "q132_knn_labels" -> (q132KnnLabels _),
     "q133_centroid_margin" -> (q133CentroidMargin _),
+    "q134_funnel" -> (q134Funnel _),
+    "q135_retention" -> (q135Retention _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventAnalytics
+
+/** [[EventAnalytics]] funnel/retention semantics on hand-built event logs
+  * — first-touch ordering rules and week bucketing pinned exactly.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: stages must advance strictly; pre-view clicks don't count") {
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:09:00"), "purchase"),
+      // u2: click BEFORE the first view — not a conversion click; the
+      // later click is, but no purchase follows it
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      // u3: view only
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      // u4: never viewed → not in the funnel at all
+      (4L, ts("2024-01-01 08:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val f = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)))).toMap
+    assert(f.keySet === Set(1L, 2L, 3L))
+    assert(f(1L) === ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:09:00")))))
+    assert(f(2L) === ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), None)))
+    assert(f(3L)._2 === None && f(3L)._3 === None)
+    val counts = EventAnalytics.funnelCounts(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("weeklyRetention: 7-day buckets from the earliest event, k offsets") {
+    val ev = Seq(
+      // u1 first in week 0, active weeks 0,1,2
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-08 12:00:00")),
+      (1L, ts("2024-01-16 00:00:00")),
+      // u2 first in week 0, active week 0 only
+      (2L, ts("2024-01-02 00:00:00")),
+      // u3 first in week 1, active weeks 1,2
+      (3L, ts("2024-01-09 00:00:00")), (3L, ts("2024-01-15 23:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.weeklyRetention(ev, "user_id", "ts", maxWeeks = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0, 0) -> 2L, (0, 1) -> 1L, (0, 2) -> 1L,
+      (1, 0) -> 1L, (1, 1) -> 1L))
+  }
+}
