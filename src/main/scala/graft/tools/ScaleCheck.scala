@@ -323,6 +323,19 @@ object ScaleCheck {
         val scale = if (dir == base) 0.04 else math.min(1.0, 0.04 * rep)
         graft.pipeline.BikeshareGen.runAll(spark.newSession(), scale).count()
       },
+      "funnel" -> { dir =>
+        // per-stage user-keyed conditional minima — events-linear
+        graft.operators.EventAnalytics.funnel(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")).count()
+      },
+      "retention" -> { dir =>
+        // first-event + distinct-activity aggregates — events-linear
+        graft.operators.EventAnalytics.weeklyRetention(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", maxWeeks = 4).count()
+      },
       "knn_labels" -> { dir =>
         // the documented shape: the labeled SEED set is fixed-size (always
         // the base dir's seeds) while the unlabeled pool scales with the
