@@ -307,19 +307,51 @@ object Splits {
     * train-end boundary timestamp.
     *
     * SCALE: the full stream is touched only by a per-timestamp count
-    * aggregate (one shuffle on ts, partial map-side). The ntile window
-    * runs over the DISTINCT-timestamp aggregate — calendar-sized, orders
-    * below the row count. (An ntile over raw rows would be a
-    * single-partition sort of the corpus; over an hourly/daily event
-    * stream the distinct-ts set is bounded by the time span.)
+    * aggregate (one shuffle on ts, partial map-side). Tile assignment is
+    * EXACT ntile semantics over the distinct timestamps — but computed
+    * with the distributed-rank pattern instead of a global-sort window:
+    * range-partition the distinct-ts table on ts, count each partition
+    * (tiny, one row per partition), broadcast the cumulative offsets
+    * back, and rank = offset + within-partition row_number. The only
+    * windows are per-range-partition (each holding ~n/P timestamps) and
+    * over the P-row partition-count table, so an event log with
+    * per-row-unique microsecond timestamps (distinct-ts ≈ N) still never
+    * funnels through one task — the naive `ntile(k+1) OVER (ORDER BY ts)`
+    * would single-partition-sort the whole corpus in that shape.
     */
   def expandingTimeFolds(df: DataFrame, tsCol: String, k: Int): DataFrame = {
     require(k >= 1, "need at least one fold")
     import org.apache.spark.sql.expressions.Window
     val perTs = df.groupBy(col(tsCol).as("__ts"))
       .agg(count(lit(1)).as("__n"))
-    val tiled = perTs.withColumn("__tile",
-      ntile(k + 1).over(Window.orderBy(col("__ts"))))
+    // Distributed exact rank of each distinct ts (ties impossible post
+    // group-by). Range partitions are ordered by ts, so global rank =
+    // (rows in earlier partitions) + (row_number within this partition).
+    val ranged = perTs.repartitionByRange(col("__ts"))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", coalesce(sum("__pc").over(
+        Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum("__pc").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select("__pid", "__off", "__total")
+    val ranked = ranged.join(broadcast(offsets), "__pid")
+      .withColumn("__rank", col("__off") +
+        row_number().over(Window.partitionBy("__pid").orderBy("__ts")))
+    // ntile(g) closed form from (rank, total): the first `rem` tiles get
+    // base+1 rows, the rest get base. Doubles are exact to 2^53 — far
+    // beyond any real distinct-ts count.
+    val g = k + 1
+    val base = floor(col("__total") / g).cast("long")
+    val rem = col("__total") - base * g
+    val bigSpan = rem * (base + lit(1L))
+    val tiled = ranked.withColumn("__tile",
+      when(col("__rank") <= bigSpan,
+        ceil(col("__rank").cast("double") / (base + lit(1L))))
+        .otherwise(rem + ceil((col("__rank") - bigSpan).cast("double") / base))
+        .cast("int"))
     val perTile = tiled.groupBy("__tile")
       .agg(sum("__n").as("__rows"), max("__ts").as("__end"))
     val ordered = Window.orderBy(col("__tile"))

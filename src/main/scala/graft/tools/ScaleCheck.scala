@@ -351,6 +351,17 @@ object ScaleCheck {
         graft.operators.Similarity.centroidMargins(emb(dir),
           "vec_id", "embedding", "label").count()
       },
+      "expanding_folds_unique_ts" -> { dir =>
+        // the adversarial shape for time-fold cutting: every row carries a
+        // UNIQUE microsecond timestamp, so distinct-ts ≈ N and a naive
+        // `ntile() OVER (ORDER BY ts)` would global-sort the corpus in one
+        // task; the distributed-rank tiling must stay events-linear
+        // offset by the FULL (replica-shifted) event_id so replicas don't
+        // collapse onto the base run's distinct-ts set
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+          .withColumn("ts", expr("timestampadd(MICROSECOND, event_id, ts)"))
+        graft.operators.Splits.expandingTimeFolds(ev, "ts", k = 4).count()
+      },
       "media_features" -> { dir =>
         // real-codec batch path end to end: synthesize PNG images + MJPEG-
         // AVI clips from text, then decode-extract features per partition.
