@@ -88,6 +88,34 @@ object Oracles {
       "len(list_filter(lt, t -> t IN ('el','la','que','de','los','es','por','con','para'))) AS s_es " +
       "FROM ltoks)"
 
+  /** One unrolled BPE training iteration (the q102b oracle): pair counts
+    * over the 0x1F-joined symbol strings of stage i-1, the best pair under
+    * the exact `bpeMerges` tie-break (count desc, then left, then right),
+    * and re-segmentation by left-to-right non-overlapping `replace` —
+    * which IS the merge loop's single-pass application, since a merged
+    * symbol can never re-match its own pair.
+    */
+  private def bpeStage(i: Int): String =
+    s"p$i AS (SELECT string_split(p, chr(31))[1] AS l, " +
+      "string_split(p, chr(31))[2] AS r, sum(c) AS pc " +
+      "FROM (SELECT unnest([sp[i] || chr(31) || sp[i+1] " +
+      "for i in range(1, len(sp))]) AS p, c " +
+      s"FROM (SELECT string_split(s, chr(31)) AS sp, c FROM v${i - 1})) " +
+      "GROUP BY 1, 2), " +
+      s"m$i AS (SELECT l, r FROM p$i ORDER BY pc DESC, l, r LIMIT 1), " +
+      s"v$i AS (SELECT replace(s, (SELECT l || chr(31) || r FROM m$i), " +
+      s"(SELECT l || r FROM m$i)) AS s, c FROM v${i - 1})"
+
+  /** Chained merge application for the q103b oracle: each fixed merge
+    * (l, r) collapses `l<US>r` → `lr` over the whole symbol string; words
+    * are joined by the RECORD separator so no merge crosses a word
+    * boundary. Same left-to-right replace equivalence as [[bpeStage]].
+    */
+  private def bpeApply(merges: Seq[(String, String)]): String =
+    merges.foldLeft("s") { case (acc, (l, r)) =>
+      s"replace($acc, '$l' || chr(31) || '$r', '$l$r')"
+    }
+
   val sql: ListMap[String, String] = ListMap(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -1020,6 +1048,31 @@ object Oracles {
         "SELECT CAST(tile AS BIGINT) AS fold, CAST(train_rows AS BIGINT) AS train_rows, " +
         "CAST(test_rows AS BIGINT) AS test_rows, " +
         "CAST(floor(epoch(end_ts)) AS BIGINT) AS train_end_s FROM folds WHERE tile <= 4"),
+
+    "q102b_bpe_train_exact" ->
+      ("WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (" +
+        "SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        "x -> x <> '')) AS w FROM documents) GROUP BY w " +
+        "ORDER BY c DESC, w LIMIT 100000), " +
+        "v0 AS (SELECT array_to_string(string_split(w, ''), chr(31)) AS s, c FROM words), " +
+        (1 to 5).map(bpeStage).mkString(", ") + " " +
+        (1 to 5).map(i => s"SELECT CAST(${i - 1} AS BIGINT) AS rank, " +
+          s"""l AS "left", r AS "right", l || r AS merged FROM m$i""")
+          .mkString(" UNION ALL ")),
+
+    "q103b_bpe_segment_exact" ->
+      ("WITH s0 AS (SELECT doc_id, array_to_string([" +
+        "array_to_string(string_split(w, ''), chr(31)) for w in " +
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')" +
+        "], chr(30)) AS s FROM documents), " +
+        "seg AS (SELECT doc_id, " +
+        bpeApply(Seq("e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e",
+          "o" -> "n", "a" -> "n", "an" -> "d", "er" -> "s")) +
+        " AS s FROM s0) " +
+        "SELECT doc_id, CAST(CASE WHEN s = '' THEN 0 ELSE " +
+        "len(string_split(replace(s, chr(30), chr(31)), chr(31))) END AS BIGINT) " +
+        "AS n_subwords, " +
+        "md5(replace(replace(s, chr(30), ' '), chr(31), ' ')) AS seg_hash FROM seg"),
 
     "q94_token_chunks" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +

@@ -543,6 +543,42 @@ object TestQueries {
       size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"))
   }
 
+  /** Training-loop EXACT anchor for q102 (the one family with no
+    * hash-checked sibling until round 10): the first 5 BPE merges,
+    * matched against a DuckDB oracle that replays the same algorithm with
+    * the merge loop UNROLLED into five explicit CTE stages — pair counts
+    * via a list comprehension over separator-joined symbols, argmax under
+    * the identical (count desc, left, right) tie-break, re-segmentation
+    * via left-to-right non-overlapping `replace` (exactly BPE's
+    * single-pass application: a merged symbol can never re-match its own
+    * pair, so scan-forward replace == the merge loop). ASCII corpus ⇒
+    * char split == code-point split, and the 0x1F separator never occurs
+    * in text.
+    */
+  def q102bBpeTrainExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Text.bpeMerges(t(s, dir, "documents"), "text", numMerges = 5)
+      .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Segmentation EXACT anchor for q103: corpus-wide [[BpeSegment]] with a
+    * FIXED literal merge table (chained multi-char merges included, so the
+    * rank-order replay is genuinely exercised), per-doc subword count and
+    * md5 of the space-joined segmentation. The oracle replays it with
+    * chained `replace` over unit-separator-joined symbols (words joined by
+    * the record separator so merges can't cross word boundaries).
+    */
+  def q103bBpeSegmentExact(s: SparkSession, dir: String): DataFrame = {
+    val merges = Seq("e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e",
+      "o" -> "n", "a" -> "n", "an" -> "d", "er" -> "s")
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.bpeSegment(col("text"), merges).as("__seg"))
+      .select(col("doc_id"),
+        size(col("__seg")).cast("long").as("n_subwords"),
+        md5(array_join(col("__seg"), " ")).as("seg_hash"))
+  }
+
   /** Contrastive negative pairs ([[operators.Splits.negativePairs]]): 5
     * arithmetic negatives per anchor (never the anchor itself, zero
     * shuffle to generate), scored by exact cosine after one join. The gate
@@ -1875,6 +1911,8 @@ object TestQueries {
     "q101_snapshot_diff" -> (q101SnapshotDiff _),
     "q102_bpe_merges" -> (q102BpeMerges _),
     "q103_bpe_segment" -> (q103BpeSegment _),
+    "q102b_bpe_train_exact" -> (q102bBpeTrainExact _),
+    "q103b_bpe_segment_exact" -> (q103bBpeSegmentExact _),
     "q104_negative_pairs" -> (q104NegativePairs _),
     "q105_hard_negatives" -> (q105HardNegatives _),
     "q106_unigram_kl" -> (q106UnigramKl _),
