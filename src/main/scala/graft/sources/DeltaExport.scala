@@ -290,6 +290,12 @@ object DeltaExport {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val snap = DeltaRead.snapshot(spark, dir)
+    // this checkpoint schema doesn't carry deletionVector structs — a
+    // checkpoint that drops them would resurrect deleted rows for readers
+    // seeding from it. Refuse; `compact` first (it purges DVs by rewrite).
+    require(snap.dvs.isEmpty,
+      s"refusing to checkpoint $dir: live files carry deletion vectors; " +
+        "run compact() to purge them first")
     val table = new Path(dir)
     val fs = fsOf(spark, table)
     val addT = StructType(Seq(StructField("path", StringType),

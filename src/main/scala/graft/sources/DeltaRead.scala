@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,10 +32,15 @@ import org.apache.spark.sql.types._
   *    FileIndex instead; the per-tuple union is the right trade below ~10⁴
   *    tuples, and the reference's tables are date-partitioned at most.)
   *
-  * Unsupported (checked, not silently misread): minReaderVersion 2 with
-  * column mapping enabled, and minReaderVersion 3 with any reader feature
-  * beyond timestampNtz / vacuumProtocolCheck (deletion vectors, v2
-  * checkpoints, ... change scan semantics and need the real reader).
+  * Deletion vectors (the default on-DML format of DBR 14+) are READ: the
+  * protocol's z85 paths, versioned `.bin` sidecars and portable
+  * RoaringBitmapArray are handled by [[DeltaDv]], and deleted row
+  * positions drop via a scan-side `_metadata.row_index` filter — no join.
+  * Still unsupported (checked, not silently misread): `id`-mode column
+  * mapping, and minReaderVersion 3 with any reader feature beyond
+  * timestampNtz / vacuumProtocolCheck / columnMapping / deletionVectors
+  * (v2 checkpoints, type widening, ... change scan semantics and need the
+  * real reader).
   */
 object DeltaRead {
 
@@ -43,13 +48,25 @@ object DeltaRead {
   private val CkptSingle = """(\d{20})\.checkpoint\.parquet""".r
   private val CkptPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
+  /** The add action's deletionVector descriptor (protocol § Deletion
+    * Vectors) — the fields [[DeltaDv]] needs to locate and verify the
+    * bitmap.
+    */
+  private val dvSchema = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   /** Action schema for commit JSON — only the fields replay needs. */
   private val actionSchema = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType)))),
@@ -66,7 +83,8 @@ object DeltaRead {
       StructField("version", LongType))))))
 
   private val readerFeaturesOk =
-    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping")
+    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping",
+      "deletionVectors")
 
   final case class Snapshot(
       version: Long,
@@ -79,7 +97,11 @@ object DeltaRead {
       files: Seq[(String, Map[String, String], Long)],
       configuration: Map[String, String],
       /** Highest committed txn version per appId (streaming idempotence). */
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      /** Deletion-vector descriptor per live file (relative path key);
+        * absent key = no deleted rows in that file.
+        */
+      dvs: Map[String, DeltaDv.Descriptor] = Map.empty)
 
   /** Reconstruct the table state at `asOf` (default: latest version). */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -130,7 +152,7 @@ object DeltaRead {
       // lack whole action columns (no tombstones → no `remove`, pre-features
       // writer → no readerFeatures) — re-project onto the action schema,
       // substituting typed nulls for anything absent
-      def has(path: String*): Boolean = {
+      def has(path: Seq[String]): Boolean = {
         var t: DataType = raw.schema
         path.forall { n => t match {
           case s: StructType if s.fieldNames.contains(n) =>
@@ -138,12 +160,23 @@ object DeltaRead {
           case _ => false
         }}
       }
+      // RECURSIVE re-projection: real checkpoints carry extra nested
+      // fields inside struct-typed action fields too (deletionVector's
+      // maxRowIndex, stats structs, ...) and a struct-to-struct Cast
+      // requires matching arity — project field-by-field at every level,
+      // null-preserving at each struct
+      def proj(path: Seq[String], want: DataType): Column = want match {
+        case st: StructType =>
+          when(col(path.mkString(".")).isNotNull,
+            struct(st.fields.toSeq.map { f =>
+              (if (has(path :+ f.name)) proj(path :+ f.name, f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)
+            }: _*))
+        case dt => col(path.mkString(".")).cast(dt)
+      }
       def sub(action: String, want: StructType) =
-        if (!has(action)) lit(null).cast(want).as(action)
-        else when(col(action).isNotNull, struct(want.fields.toSeq.map { f =>
-          (if (has(action, f.name)) col(s"$action.${f.name}").cast(f.dataType)
-           else lit(null).cast(f.dataType)).as(f.name)
-        }: _*)).as(action)
+        if (!has(Seq(action))) lit(null).cast(want).as(action)
+        else proj(Seq(action), want).as(action)
       def sch(action: String) = actionSchema(action).dataType.asInstanceOf[StructType]
       norm(raw.select(sub("add", sch("add")), sub("remove", sch("remove")),
         sub("metaData", sch("metaData")), sub("protocol", sch("protocol")),
@@ -180,26 +213,43 @@ object DeltaRead {
     val schema = DataType.fromJson(meta.getString(2)).asInstanceOf[StructType]
     val partCols = Option(meta.getSeq[String](3)).getOrElse(Seq.empty)
 
-    // latest action per file path wins; a path whose latest action is an
-    // add is live (add+remove of the SAME path in one commit is illegal
-    // per the protocol, so the max_by tie cannot occur)
+    // latest action per file path wins; within one commit an add
+    // supersedes a remove of the same path — DV-writing DML re-adds a
+    // file (with its new deletionVector) in the SAME commit that removes
+    // its old state, so the tie-break key is (version, isAdd)
     val fileActs = acts.select(col("__v"),
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.path").isNotNull.as("isAdd"),
         col("add.partitionValues").as("pv"),
-        col("add.size").as("sz"))
+        col("add.size").as("sz"),
+        col("add.deletionVector").as("dv"))
       .where(col("path").isNotNull)
-    val live = fileActs.groupBy("path")
-      .agg(max_by(struct(col("isAdd"), col("pv"), col("sz")), col("__v"))
-        .as("last"))
+    val liveRows = fileActs.groupBy("path")
+      .agg(max_by(struct(col("isAdd"), col("pv"), col("sz"), col("dv")),
+        struct(col("__v"), col("isAdd"))).as("last"))
       .where(col("last.isAdd"))
-      .select(col("path"), col("last.pv").as("pv"), col("last.sz").as("sz"))
+      .select(col("path"), col("last.pv").as("pv"), col("last.sz").as("sz"),
+        col("last.dv").as("dv"))
       .collect()
+    val live = liveRows
       .map(r => (r.getString(0),
         Option(r.getMap[String, String](1)).map(_.toMap)
           .getOrElse(Map.empty[String, String]),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .toSeq.sortBy(_._1)
+    val dvs = liveRows.flatMap { r =>
+      if (r.isNullAt(3)) None
+      else {
+        val d = r.getStruct(3)
+        // a descriptor with cardinality 0 (or a null storageType from a
+        // non-conforming writer) filters nothing — drop it here
+        if (d.isNullAt(0)) None
+        else Some(r.getString(0) -> DeltaDv.Descriptor(
+          d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) None else Some(d.getInt(2)),
+          d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4)))
+      }
+    }.toMap
 
     // highest txn version per appId — a handful of rows (one per streaming
     // writer), the standard idempotent-retry bookkeeping
@@ -208,7 +258,7 @@ object DeltaRead {
       .agg(max(col("txn.version")).as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    Snapshot(target, schema, partCols, live, config, txns)
+    Snapshot(target, schema, partCols, live, config, txns, dvs)
   }
 
   /** Version visible as of a wall-clock instant: the newest commit whose
@@ -265,6 +315,14 @@ object DeltaRead {
     require(dataRemoves.isEmpty,
       s"versions ($fromV, $toV] of $tablePath contain data-changing removes" +
         " — not an append-only range; re-read the full snapshot instead")
+    val dvAdds = acts
+      .where(col("add.path").isNotNull &&
+        col("add.deletionVector.storageType").isNotNull)
+      .limit(1).collect()
+    require(dvAdds.isEmpty,
+      s"versions ($fromV, $toV] of $tablePath add files carrying deletion " +
+        "vectors (DML rewrite) — not an append-only range; re-read the " +
+        "full snapshot instead")
     val added = acts
       .where(col("add.path").isNotNull &&
         coalesce(col("add.dataChange"), lit(true)))
@@ -280,7 +338,9 @@ object DeltaRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         logicalSchema(snap.schema))
-    scan(spark, tablePath, snap.copy(files = added))
+    // in-range files are DV-free (checked above) — don't load snapshot
+    // bitmaps for files outside the range
+    scan(spark, tablePath, snap.copy(files = added, dvs = Map.empty))
   }
 
   /** Physical column name under column mapping (`name` mode): the
@@ -332,8 +392,31 @@ object DeltaRead {
       index, partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
+    val base = spark.baseRelationToDataFrame(relation)
+    // deletion vectors: drop deleted row positions with a scan-side filter
+    // on the parquet row index — bitmap bytes are loaded once driver-side
+    // (small, log-bounded) and ride the plan as expression literals keyed
+    // by the data file's URI path; no join, no shuffle
+    val filtered =
+      if (snap.dvs.isEmpty) base
+      else {
+        val table = new Path(tablePath)
+        val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+        val qualified = fs.makeQualified(table)
+        def decode(rel: String): String =
+          try new java.net.URI(rel).getPath
+          catch { case _: java.net.URISyntaxException => rel }
+        val bytesByPath: Map[String, Array[Byte]] = snap.dvs.map {
+          case (rel, d) =>
+            val abs = new Path(qualified, decode(rel))
+            abs.toUri.getPath -> DeltaDv.loadBitmapBytes(fs, qualified, d)
+        }
+        val meta = base.metadataColumn("_metadata")
+        base.where(!DeltaDv.deletedCol(
+          meta.getField("file_path"), meta.getField("row_index"), bytesByPath))
+      }
     // restore declared order; rename physical → logical where mapped
-    spark.baseRelationToDataFrame(relation)
+    filtered
       .select(declared.fieldNames.toSeq.map { n =>
         if (mapped && !snap.partitionColumns.contains(n))
           col(physByLogical(n)).as(n)

@@ -248,17 +248,17 @@ class DeltaReadSpec extends AnyFunSuite {
   }
 
   test("unsupported reader requirements are refused, not misread") {
-    val dir = Files.createTempDirectory("delta_dv").toString
+    val dir = Files.createTempDirectory("delta_v2ckpt").toString
     dataFile(dir, "f0.parquet", Seq((1L, "x")))
     commit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       metaLine(abSchema),
       addLine(dir, "f0.parquet")))
     val e = intercept[IllegalArgumentException] {
       DeltaRead.read(spark, dir)
     }
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("v2Checkpoint"))
     // ...but a v3 table whose features are all benign reads fine
     val dir2 = Files.createTempDirectory("delta_ntz").toString
     dataFile(dir2, "f0.parquet", Seq((1L, "x")))
