@@ -76,21 +76,38 @@ object DeltaExport {
     s"""{"remove":{"path":"${encPath(rel)}","deletionTimestamp":$ts,""" +
       s""""dataChange":$dataChange}}"""
 
+  /** Another writer committed this version first — the optimistic-
+    * concurrency signal callers react to (retry or abort).
+    */
+  final class CommitConflict(val version: Long, table: Path)
+    extends Exception(s"version $version of $table was committed concurrently")
+
+  /** Test-only seam: invoked with the version about to be committed,
+    * BETWEEN snapshotting and the commit attempt — the window a concurrent
+    * writer races in. Lets specs exercise conflict handling
+    * deterministically instead of hoping two threads collide.
+    */
+  private[graft] var onCommitAttempt: Option[Long => Unit] = None
+
   private def commit(spark: SparkSession, table: Path, v: Long,
                      lines: Seq[String]): Unit = {
     val logDir = new Path(table, "_delta_log")
     val fs = fsOf(spark, logDir)
     fs.mkdirs(logDir)
     val dest = new Path(logDir, f"$v%020d.json")
-    require(!fs.exists(dest), s"commit $dest already exists")
-    // write-then-rename: the commit file appears atomically or not at all
+    if (fs.exists(dest)) throw new CommitConflict(v, table)
+    // write-then-rename: the commit file appears atomically or not at all.
+    // A lost rename means another writer won the version — the same
+    // conflict as the exists() check, caught at the last possible moment.
     val tmp = new Path(logDir, s".${dest.getName}.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, dest)) {
+    // local/HDFS rename won't clobber an existing dest; re-check first for
+    // object stores whose rename overwrites silently
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"lost commit race for $dest")
+      throw new CommitConflict(v, table)
     }
   }
 
@@ -127,10 +144,15 @@ object DeltaExport {
       val pvKeys = files.flatMap(_._2.keys).distinct
       inferred.fieldNames.filter(pvKeys.contains(_)).toSeq
     }
-    commit(spark, table, 0L,
+    try commit(spark, table, 0L,
       protoLine +: metaLine(java.util.UUID.randomUUID.toString, inferred,
         partCols) +: files.map { case (rel, pv, size, ts) =>
         addLine(rel, pv.filter(kv => partCols.contains(kv._1)), size, ts) })
+    catch {
+      case _: CommitConflict =>
+        throw new java.util.ConcurrentModificationException(
+          s"$dir was converted to Delta concurrently")
+    }
     0L
   }
 
@@ -165,21 +187,11 @@ object DeltaExport {
     val spark = df.sparkSession
     val table = new Path(dir)
     val fs = fsOf(spark, table)
-    val hasLog = fs.exists(new Path(table, "_delta_log"))
-    val prior: Option[DeltaRead.Snapshot] =
-      if (hasLog) Some(DeltaRead.snapshot(spark, dir)) else None
-    prior.foreach { s =>
-      require(s.partitionColumns == partitionColumns,
-        s"partitioning mismatch: table has ${s.partitionColumns}, " +
-          s"write declares $partitionColumns")
-    }
-    // txn idempotence (the protocol's streaming bookkeeping): a replayed
-    // micro-batch whose (appId, version) is already committed is a NO-OP —
-    // exactly-once append under retry without a coordination service
-    for ((appId, tv) <- txn; s <- prior; last <- s.txns.get(appId))
-      if (tv <= last) return s.version
     // executors write to a staging dir; files then move (metadata rename)
-    // into the table with their unique part-file names preserved
+    // into the table with their unique part-file names preserved. Done
+    // ONCE — on a commit conflict only the log attempt retries, the data
+    // files are already in place under names no other writer can collide
+    // with.
     val stage = new Path(table, s".stage-${java.util.UUID.randomUUID}")
     val w = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
@@ -194,21 +206,62 @@ object DeltaExport {
       (rel, pv, size, ts)
     }
     fs.delete(stage, true)
-    val v = prior.map(_.version + 1).getOrElse(0L)
-    val removes =
-      if (overwrite) prior.toSeq.flatMap(_.files).map(f => removeLine(f._1, ts))
-      else Seq.empty[String]
-    val header =
-      if (v == 0L) Seq(protoLine,
-        metaLine(java.util.UUID.randomUUID.toString, df.schema, partitionColumns))
-      else Seq.empty
-    val txnLines = txn.toSeq.map { case (appId, tv) =>
-      s"""{"txn":{"appId":"${esc(appId)}","version":$tv}}"""
+
+    // OPTIMISTIC CONCURRENCY: snapshot → attempt commit at version+1 →
+    // on conflict re-snapshot and re-check. A pure append commutes with
+    // whatever the winner committed (our adds are fresh UUID part files no
+    // other commit can reference), so it retries; an overwrite computed
+    // its removes against a snapshot that is now stale, and blindly
+    // retrying would silently clobber rows the interleaved commit added —
+    // abort and make the caller re-run against fresh state.
+    val maxAttempts = 50
+    var attempt = 0
+    while (true) {
+      val hasLog = fs.exists(new Path(table, "_delta_log"))
+      val prior: Option[DeltaRead.Snapshot] =
+        if (hasLog) Some(DeltaRead.snapshot(spark, dir)) else None
+      prior.foreach { s =>
+        require(s.partitionColumns == partitionColumns,
+          s"partitioning mismatch: table has ${s.partitionColumns}, " +
+            s"write declares $partitionColumns")
+      }
+      // txn idempotence (the protocol's streaming bookkeeping): a replayed
+      // micro-batch whose (appId, version) is already committed is a NO-OP
+      // — exactly-once append under retry without a coordination service.
+      // Re-checked per attempt: the CONCURRENT writer may have been the
+      // same app's retry. Our moved files stay orphaned (unreferenced) and
+      // are vacuum-able.
+      for ((appId, tv) <- txn; s <- prior; last <- s.txns.get(appId))
+        if (tv <= last) return s.version
+      val v = prior.map(_.version + 1).getOrElse(0L)
+      val removes =
+        if (overwrite) prior.toSeq.flatMap(_.files).map(f => removeLine(f._1, ts))
+        else Seq.empty[String]
+      val header =
+        if (v == 0L) Seq(protoLine,
+          metaLine(java.util.UUID.randomUUID.toString, df.schema, partitionColumns))
+        else Seq.empty
+      val txnLines = txn.toSeq.map { case (appId, tv) =>
+        s"""{"txn":{"appId":"${esc(appId)}","version":$tv}}"""
+      }
+      onCommitAttempt.foreach(_(v))
+      try {
+        commit(spark, table, v,
+          header ++ txnLines ++ removes ++ moved.map { case (rel, pv, size, t) =>
+            addLine(rel, pv, size, t) })
+        return v
+      } catch {
+        case c: CommitConflict =>
+          attempt += 1
+          if (overwrite) throw new java.util.ConcurrentModificationException(
+            s"overwrite of $dir lost the commit race at version ${c.version}" +
+              " — another writer committed first and the computed removes" +
+              " are stale; re-run the overwrite against fresh state")
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"append to $dir still conflicting after $maxAttempts attempts", c)
+      }
     }
-    commit(spark, table, v,
-      header ++ txnLines ++ removes ++ moved.map { case (rel, pv, size, t) =>
-        addLine(rel, pv, size, t) })
-    v
+    -1L // unreachable
   }
 
   /** OPTIMIZE-style compaction: rewrite the current state into one file
@@ -246,10 +299,18 @@ object DeltaExport {
     }
     fs.delete(stage, true)
     val v = snap.version + 1
-    commit(spark, table, v,
+    try commit(spark, table, v,
       snap.files.map(f => removeLine(f._1, ts, dataChange = false)) ++
         moved.map { case (rel, pv, size) =>
           addLine(rel, pv, size, ts, dataChange = false) })
+    catch {
+      case c: CommitConflict =>
+        // the rewrite no longer represents the live state — abort; the
+        // staged rewrite files stay orphaned until vacuum
+        throw new java.util.ConcurrentModificationException(
+          s"compaction of $dir lost the commit race at version ${c.version}" +
+            " — re-run compact against fresh state")
+    }
     v
   }
 

@@ -223,4 +223,63 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(got.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
     assert(DeltaRead.snapshot(spark, dir).txns.contains("spec-stream"))
   }
+
+  test("optimistic concurrency: append retries past an interleaved commit") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.append(Seq((1L, "a")).toDF("k", "v"), dir) // v0
+    // deterministic race: when our append is about to commit v1, a
+    // competing writer lands v1 first — exactly once
+    var fired = false
+    DeltaExport.onCommitAttempt = Some { v =>
+      if (!fired) {
+        fired = true
+        Files.writeString(
+          java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"),
+          """{"commitInfo":{"operation":"race"}}""")
+      }
+    }
+    try {
+      val v = DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir)
+      assert(v === 2L, "append must land AFTER the interleaved commit")
+    } finally DeltaExport.onCommitAttempt = None
+    val got = DeltaRead.read(spark, dir)
+    assert(got.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("optimistic concurrency: overwrite aborts on conflict, appends race cleanly") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    var fired = false
+    DeltaExport.onCommitAttempt = Some { v =>
+      if (!fired) {
+        fired = true
+        Files.writeString(
+          java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"),
+          """{"commitInfo":{"operation":"race"}}""")
+      }
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      DeltaExport.overwrite(Seq((9L, "z")).toDF("k", "v"), dir)
+    } finally DeltaExport.onCommitAttempt = None
+
+    // real threads: two writers interleave appends; every commit must land
+    // (no lost updates) with contiguous versions
+    val dir2 = tmp()
+    DeltaExport.append(Seq((0L, "seed")).toDF("k", "v"), dir2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (1 to 2).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 3).foreach { i =>
+          DeltaExport.append(Seq((t * 10L + i, s"w$t-$i")).toDF("k", "v"), dir2)
+        }
+      })
+    }
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val snap = DeltaRead.snapshot(spark, dir2)
+    assert(snap.version === 6L, "7 appends → versions 0..6")
+    assert(DeltaRead.read(spark, dir2).count() === 7L)
+  }
 }
