@@ -25,8 +25,15 @@ import scala.collection.immutable.ListMap
   */
 object TestQueries {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = n match {
+    // the vintage-defended tables route through their normalizing loaders
+    // (physical-type drift in regenerated testdata must be normalized or
+    // refused at the scan, never propagated — the round-8 lesson)
+    case "documents"  => Tables.loadDocuments(s, dir)
+    case "events"     => Tables.loadEvents(s, dir)
+    case "embeddings" => Tables.loadEmbeddings(s, dir)
+    case _            => Tables.load(s, dir, n)
+  }
 
   /** Session-scoped cache of trained ANN quantizer artifacts (codebook /
     * centroid DataFrames — LOCAL relations of collected literals, so no

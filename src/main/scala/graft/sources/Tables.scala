@@ -31,7 +31,7 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
+    val tsFixed = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
@@ -40,28 +40,110 @@ object Tables {
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
+    // the remaining columns get the generic normalize-or-refuse pass (ids
+    // widen, event_type/props must BE strings, value must be numeric)
+    normalizeTo(tsFixed, "events", eventsSchema)
   }
+
+  private lazy val eventsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType)))
 
   /** embeddings `embedding` normalization — the same testdata-vintage
     * defense as [[loadEvents]]: every vector operator (native
     * CosineSim/MinHash/PQ expressions included) requires `array<float>`,
     * so a regenerated parquet shipping `array<double>` (or any numeric
     * element) would break the whole vector surface at analysis time the
-    * way TIMESTAMP_NTZ broke the event surface in round 8. Normalize the
-    * element type at the scan; float data passes through untouched.
+    * way TIMESTAMP_NTZ broke the event surface in round 8. NUMERIC
+    * elements normalize at the scan; float passes untouched; anything
+    * else (array<string>, structs, ...) is a corrupt vintage and must
+    * fail HERE — a silent cast-to-null would surface as empty similarity
+    * results three operators downstream.
     */
   def loadEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "embeddings")
     df.schema("embedding").dataType match {
       case org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType, _) => df
-      case _: org.apache.spark.sql.types.ArrayType =>
+      case org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.NumericType, _) =>
         df.withColumn("embedding", col("embedding").cast("array<float>"))
       case other =>
         throw new IllegalArgumentException(
-          s"embeddings.embedding has non-array type $other")
+          s"embeddings.embedding has unreadable type $other — expected an " +
+            "array of a numeric element type; refusing to scan a corrupt " +
+            "vintage into float-nulls")
     }
   }
+
+  /** Normalize-or-refuse vintage defense for an arbitrary table: each
+    * declared column must be present and either exact, LOSSLESSLY
+    * widenable (integral → wider integral, float → double, NTZ →
+    * session-TZ timestamp — the drifts parquet regeneration actually
+    * produces), or the scan fails with the table+column named. The
+    * alternative — letting a drifted physical type flow into 140
+    * downstream operators — produced round 8's five-query breakage; a
+    * narrowing or cross-family cast (string → long, double → string)
+    * is DATA corruption and always refused.
+    */
+  private[graft] def normalizeTo(df: DataFrame, tableName: String,
+                                 declared: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    def widenable(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType | ShortType | IntegerType, IntegerType | LongType) => true
+      case (LongType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (TimestampNTZType, TimestampType) => true
+      // decimals up to 15 digits sit inside double's 53-bit mantissa
+      case (f: DecimalType, DoubleType) => f.precision <= 15
+      case _ => false
+    }
+    val cols = declared.fields.toSeq.map { want =>
+      require(df.columns.contains(want.name),
+        s"$tableName is missing declared column '${want.name}' " +
+          s"(vintage has: ${df.columns.mkString(", ")})")
+      val have = df.schema(want.name).dataType
+      if (have == want.dataType) col(want.name)
+      else if (widenable(have, want.dataType))
+        col(want.name).cast(want.dataType).as(want.name)
+      else throw new IllegalArgumentException(
+        s"$tableName.${want.name} has unreadable type $have — expected " +
+          s"${want.dataType} (or a lossless widening); refusing to scan " +
+          "a drifted vintage")
+    }
+    df.select(cols: _*)
+  }
+
+  private val documentsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  /** documents with the vintage defense: ids/counters widen to long, text
+    * columns must BE strings (a binary or numeric `text` is corruption —
+    * every text operator's tokenization would silently degrade, the exact
+    * failure mode [[loadEmbeddings]] refuses for vectors).
+    */
+  def loadDocuments(spark: SparkSession, dir: String): DataFrame =
+    normalizeTo(load(spark, dir, "documents"), "documents", documentsSchema)
 
   /** S1 — headerless CSV scan, all columns arrive as string `_c0…_cN`
     * (nb:250-253). No inferSchema: one pass, conform applies types.

@@ -55,13 +55,67 @@ class VintageDefenseSpec extends AnyFunSuite {
     val top = graft.operators.Similarity.bruteForceTopK(
       e, e.where(col("vec_id") === 1), "vec_id", "embedding", k = 1)
     assert(top.select("nbr_id").head().getLong(0) === 2L)
-    // non-numeric element types still fail loudly, never silently
+    // non-numeric element types fail AT THE SCAN — a silent cast to
+    // float-nulls would surface as empty similarity results downstream
     Seq((1L, Seq("x"))).toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val got = Tables.loadEmbeddings(spark, dir)
-    // cast string→float yields nulls rather than garbage; the loader
-    // accepts any ARRAY type and leaves hard failures to the operator
-    assert(got.schema("embedding").dataType
-      .asInstanceOf[ArrayType].elementType === FloatType)
+    val e2 = intercept[IllegalArgumentException] {
+      Tables.loadEmbeddings(spark, dir)
+    }
+    assert(e2.getMessage.contains("unreadable type"))
+  }
+
+  test("documents: ids widen, drifted text refuses, missing column refuses") {
+    val dir = Files.createTempDirectory("vintage_docs").toString
+    // int doc_id / int n_chars (a narrower-typed vintage) widens to long
+    Seq((1, "hello world", "en", "web", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = Tables.loadDocuments(spark, dir)
+    assert(d.schema("doc_id").dataType === LongType)
+    assert(d.schema("n_chars").dataType === LongType)
+    assert(d.select("text").head().getString(0) === "hello world")
+
+    // text shipped as BINARY is corruption — refused at the scan
+    Seq((1L, "hello".getBytes("UTF-8"), "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.loadDocuments(spark, dir)
+    }
+    assert(e.getMessage.contains("documents.text"))
+
+    // a vintage that dropped a declared column names the gap
+    Seq((1L, "hello")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e3 = intercept[IllegalArgumentException] {
+      Tables.loadDocuments(spark, dir)
+    }
+    assert(e3.getMessage.contains("missing declared column"))
+  }
+
+  test("events: value as float/decimal widens to double, string user_id refuses") {
+    val dir = Files.createTempDirectory("vintage_ev").toString
+    Seq((1L, "2024-01-01 10:00:00", 7L, "view", 1.5f, """{"k":1}"""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast(TimestampType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.loadEvents(spark, dir)
+    assert(ev.schema("value").dataType === DoubleType)
+    assert(ev.select("value").head().getDouble(0) === 1.5)
+
+    // ids shipped as strings cannot be trusted numerically — refuse
+    Seq(("1", "2024-01-01 10:00:00", "u7", "view", 1.5, """{"k":1}"""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast(TimestampType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.loadEvents(spark, dir)
+    }
+    assert(e.getMessage.contains("events.event_id"))
   }
 }
