@@ -24,37 +24,49 @@ object EventAnalytics {
     * window over raw events. Events outside the stage list are filtered
     * scan-side before any shuffle.
     */
-  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
-             stages: Seq[String]): DataFrame = {
+  /** Funnel computation on INDEX-based internal column names (`__t0`,
+    * `__t1`, ...): stage VALUES are data, and resolving columns named
+    * after them (`t_<stage>`) breaks at analysis time the moment a stage
+    * string contains '.', backticks or other name-special characters —
+    * legitimate event-type values. Only the final projection derives
+    * stage-named output columns (safe: `.as()` takes the name literally).
+    */
+  private def funnelIdx(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       s"stages must be non-empty and distinct: $stages")
     val relevant = df.where(col(typeCol).isin(stages: _*))
       .select(col(userCol).as("user"), col(tsCol).as("ts"),
         col(typeCol).as("tp"))
-    def stageCol(i: Int) = s"t_${stages(i)}"
     val first = relevant.where(col("tp") === stages.head)
-      .groupBy("user").agg(min("ts").as(stageCol(0)))
+      .groupBy("user").agg(min("ts").as("__t0"))
     stages.indices.drop(1).foldLeft(first) { (acc, i) =>
-      val prev = stageCol(i - 1)
+      val prev = s"__t${i - 1}"
       val next = relevant.where(col("tp") === stages(i))
         .join(acc.select(col("user"), col(prev)), Seq("user"))
         .where(col("ts") > col(prev))
-        .groupBy("user").agg(min("ts").as(stageCol(i)))
-      acc.join(next.select(col("user").as("__u"), col(stageCol(i))),
+        .groupBy("user").agg(min("ts").as(s"__t$i"))
+      acc.join(next.select(col("user").as("__u"), col(s"__t$i")),
           col("user") === col("__u"), "left")
         .drop("__u")
     }
   }
+
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String]): DataFrame =
+    funnelIdx(df, userCol, tsCol, typeCol, stages)
+      .select(col("user") +: stages.indices.map(i =>
+        col(s"__t$i").as(s"t_${stages(i)}")): _*)
 
   /** Funnel rollup: how many users reached each stage (reached = non-null
     * resolved time), in declared stage order.
     */
   def funnelCounts(df: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, stages: Seq[String]): DataFrame = {
-    val f = funnel(df, userCol, tsCol, typeCol, stages)
+    val f = funnelIdx(df, userCol, tsCol, typeCol, stages)
     val counts = stages.zipWithIndex.map { case (s, i) =>
       struct(lit(i).as("stage_idx"), lit(s).as("stage"),
-        count(col(s"t_$s")).as("n_users"))
+        count(col(s"__t$i")).as("n_users"))
     }
     f.agg(explode(array(counts: _*)).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))

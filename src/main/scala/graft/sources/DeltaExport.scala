@@ -119,10 +119,32 @@ object DeltaExport {
       .map(_.getName).toSeq.reverse
     segs.collect { case s if s.contains('=') =>
       val Array(k, v) = s.split("=", 2)
-      // hive's null sentinel → protocol's empty-value null encoding
-      val dec = java.net.URLDecoder.decode(v, "UTF-8")
+      // hive's null sentinel → protocol's empty-value null encoding.
+      // %xx-only unescape (mirroring catalog unescapePathName): hive path
+      // escaping never encodes '+', so URLDecoder — which also maps '+'
+      // to space — would corrupt a literal '+' in a partition value
+      val dec = unescapePath(v)
       k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") "" else dec)
     }.toMap
+  }
+
+  /** Decode hive path escaping: '%' followed by two hex digits → that
+    * char; everything else literal (char-level, matching the escape side).
+    */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Stamp an existing parquet directory as Delta version 0 — zero data
@@ -359,9 +381,14 @@ object DeltaExport {
         "run compact() to purge them first")
     val table = new Path(dir)
     val fs = fsOf(spark, table)
+    // modificationTime carried from the log's add actions — the protocol
+    // lists it required in add, and strict third-party readers seeding
+    // from this checkpoint (after cleanLog) may reject its absence
     val addT = StructType(Seq(StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("size", LongType), StructField("dataChange", BooleanType)))
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
     val metaT = StructType(Seq(StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
@@ -380,7 +407,8 @@ object DeltaExport {
       snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v)) } ++:
       snap.files.map { case (rel, pv, size) =>
-        Row(Row(rel, pv, size, true), null, null, null) }
+        Row(Row(rel, pv, size, snap.modTimes.getOrElse(rel, 0L), true),
+          null, null, null) }
     val stage = new Path(table, s".ckpt-${java.util.UUID.randomUUID}")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), ckptT)

@@ -65,6 +65,7 @@ object DeltaRead {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
+      StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("deletionVector", dvSchema)))),
     StructField("remove", StructType(Seq(
@@ -101,7 +102,11 @@ object DeltaRead {
       /** Deletion-vector descriptor per live file (relative path key);
         * absent key = no deleted rows in that file.
         */
-      dvs: Map[String, DeltaDv.Descriptor] = Map.empty)
+      dvs: Map[String, DeltaDv.Descriptor] = Map.empty,
+      /** add.modificationTime per live file — carried so a re-emitted
+        * checkpoint add can include it (the protocol lists it required).
+        */
+      modTimes: Map[String, Long] = Map.empty)
 
   /** Reconstruct the table state at `asOf` (default: latest version). */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -222,14 +227,15 @@ object DeltaRead {
         col("add.path").isNotNull.as("isAdd"),
         col("add.partitionValues").as("pv"),
         col("add.size").as("sz"),
-        col("add.deletionVector").as("dv"))
+        col("add.deletionVector").as("dv"),
+        col("add.modificationTime").as("mt"))
       .where(col("path").isNotNull)
     val liveRows = fileActs.groupBy("path")
-      .agg(max_by(struct(col("isAdd"), col("pv"), col("sz"), col("dv")),
-        struct(col("__v"), col("isAdd"))).as("last"))
+      .agg(max_by(struct(col("isAdd"), col("pv"), col("sz"), col("dv"),
+        col("mt")), struct(col("__v"), col("isAdd"))).as("last"))
       .where(col("last.isAdd"))
       .select(col("path"), col("last.pv").as("pv"), col("last.sz").as("sz"),
-        col("last.dv").as("dv"))
+        col("last.dv").as("dv"), col("last.mt").as("mt"))
       .collect()
     val live = liveRows
       .map(r => (r.getString(0),
@@ -250,6 +256,9 @@ object DeltaRead {
           d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4)))
       }
     }.toMap
+    val modTimes = liveRows.flatMap { r =>
+      if (r.isNullAt(4)) None else Some(r.getString(0) -> r.getLong(4))
+    }.toMap
 
     // highest txn version per appId — a handful of rows (one per streaming
     // writer), the standard idempotent-retry bookkeeping
@@ -258,7 +267,7 @@ object DeltaRead {
       .agg(max(col("txn.version")).as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    Snapshot(target, schema, partCols, live, config, txns, dvs)
+    Snapshot(target, schema, partCols, live, config, txns, dvs, modTimes)
   }
 
   /** Version visible as of a wall-clock instant: the newest commit whose
@@ -275,7 +284,10 @@ object DeltaRead {
         case _ => None
       }).sortBy(_._1)
     require(commits.nonEmpty, s"empty _delta_log under $tablePath")
-    val eligible = commits.takeWhile(_._2 <= ts)
+    // filter, not takeWhile: a single out-of-order mtime (clock skew, a
+    // restored/copied log file) must not hide every later commit — the
+    // protocol semantics are "newest commit at-or-before ts"
+    val eligible = commits.filter(_._2 <= ts)
     require(eligible.nonEmpty,
       s"no commit at or before timestamp $ts (earliest is ${commits.head._2})")
     eligible.last._1
@@ -352,10 +364,39 @@ object DeltaRead {
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
+  /** Recursively rewrite a type to PHYSICAL field names at every nesting
+    * level — under column mapping the parquet files carry physical names
+    * for nested struct fields too (their physicalName lives in the nested
+    * field's metadata), so mapping only the top level would silently read
+    * every nested field as null.
+    */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), physicalType(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(physicalType(et), n)
+    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+    case o => o
+  }
+
+  /** The declared type with LOGICAL names at every level and mapping
+    * metadata stripped — the cast target that renames physical nested
+    * fields back (struct-to-struct Cast renames by position).
+    */
+  private def plainType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, plainType(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(plainType(et), n)
+    case MapType(k, v, n) => MapType(plainType(k), plainType(v), n)
+    case o => o
+  }
+
   /** The user-facing schema: logical names, mapping metadata stripped. */
   private def logicalSchema(s: StructType): StructType =
     StructType(s.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+      org.apache.spark.sql.types.StructField(
+        f.name, plainType(f.dataType), f.nullable)))
 
   /** Shared scan construction: one `HadoopFsRelation` over
     * [[DeltaFileIndex]]. Under column mapping `name` mode the FILES carry
@@ -385,7 +426,8 @@ object DeltaRead {
     val dataSchema = StructType(declared.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
       .map(f => org.apache.spark.sql.types.StructField(
-        if (mapped) physicalName(f) else f.name, f.dataType, f.nullable)))
+        if (mapped) physicalName(f) else f.name,
+        if (mapped) physicalType(f.dataType) else f.dataType, f.nullable)))
     val index = new DeltaFileIndex(spark, new Path(tablePath),
       snap.copy(files = files), partitionSchema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
@@ -415,11 +457,13 @@ object DeltaRead {
         base.where(!DeltaDv.deletedCol(
           meta.getField("file_path"), meta.getField("row_index"), bytesByPath))
       }
-    // restore declared order; rename physical → logical where mapped
+    // restore declared order; rename physical → logical where mapped —
+    // nested levels rename via a cast to the logical type (position-wise
+    // struct cast), a no-op for flat columns
     filtered
       .select(declared.fieldNames.toSeq.map { n =>
         if (mapped && !snap.partitionColumns.contains(n))
-          col(physByLogical(n)).as(n)
+          col(physByLogical(n)).cast(plainType(declared(n).dataType)).as(n)
         else col(n)
       }: _*)
   }

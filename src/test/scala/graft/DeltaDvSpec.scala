@@ -152,6 +152,27 @@ class DeltaDvSpec extends AnyFunSuite {
       .orderBy("a").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
   }
 
+  test("versionAsOfTimestamp survives an out-of-order commit mtime") {
+    val dir = Files.createTempDirectory("delta_ts_skew").toString
+    dataFile(dir, "f0.parquet", Seq((1L, "a")))
+    dataFile(dir, "f1.parquet", Seq((2L, "b")))
+    dataFile(dir, "f2.parquet", Seq((3L, "c")))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(abSchema), addLine(dir, "f0.parquet")))
+    commit(dir, 1, Seq(addLine(dir, "f1.parquet")))
+    commit(dir, 2, Seq(addLine(dir, "f2.parquet")))
+    // v1's mtime is skewed HIGH (clock skew / file restore); v2 is normal.
+    // "newest commit at-or-before ts" must still see v2, not stop at v0.
+    def setM(v: Long, t: Long) = Files.setLastModifiedTime(
+      java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t))
+    setM(0, 1000L); setM(1, 2000L); setM(2, 1200L)
+    assert(DeltaRead.versionAsOfTimestamp(spark, dir, 1500L) === 2L)
+    assert(DeltaRead.versionAsOfTimestamp(spark, dir, 2500L) === 2L)
+    assert(DeltaRead.versionAsOfTimestamp(spark, dir, 1000L) === 0L)
+  }
+
   test("append-range cursor refuses DV-carrying adds; checkpoint refuses DV tables") {
     val dir = Files.createTempDirectory("delta_dv_refuse").toString
     dataFile(dir, "f0.parquet", Seq((1L, "a"), (2L, "b")))

@@ -224,6 +224,31 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(DeltaRead.snapshot(spark, dir).txns.contains("spec-stream"))
   }
 
+  test("partition values with '+' survive convert; checkpoint adds carry mtime") {
+    import spark.implicits._
+    val dir = tmp()
+    // hive path escaping does NOT escape '+', so the directory is
+    // literally "p=a+b" — URLDecoder-style decoding would corrupt it to
+    // "a b" in the log's partitionValues
+    Seq((1L, "a+b"), (2L, "c%d"), (3L, "e f")).toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    DeltaExport.convert(spark, dir)
+    val vals = DeltaRead.snapshot(spark, dir).files
+      .flatMap(_._2.get("p")).sorted
+    assert(vals === Seq("a+b", "c%d", "e f"))
+    assert(DeltaRead.read(spark, dir).where(col("p") === "a+b").count() === 1L)
+
+    // checkpoint adds must carry the log's modificationTime (required by
+    // the protocol; strict readers seeding from the checkpoint check it)
+    DeltaExport.checkpoint(spark, dir)
+    val ckpt = spark.read.parquet(
+      f"$dir/_delta_log/${0L}%020d.checkpoint.parquet")
+    val mts = ckpt.where(col("add").isNotNull)
+      .select(col("add.modificationTime")).collect().map(_.getLong(0))
+    assert(mts.length === 3 && mts.forall(_ > 0L),
+      s"checkpoint adds must carry real mtimes, got ${mts.toSeq}")
+  }
+
   test("optimistic concurrency: append retries past an interleaved commit") {
     import spark.implicits._
     val dir = tmp()

@@ -308,6 +308,52 @@ class DeltaReadSpec extends AnyFunSuite {
     // and partition pruning still binds on the logical name
     assert(got.where(col("lang") === "de").count() === 0L)
     assert(got.where(col("lang") === "en").count() === 1L)
+    // NESTED struct fields carry physical names too — a top-level-only
+    // mapping would read them as null; every level must map
+    val dirN = Files.createTempDirectory("delta_cmap_nested").toString
+    val tmpN = s"$dirN/__stage"
+    Seq((7L, ("deep", 42L)))
+      .toDF("col-top", "col-nest")
+      .select(col("col-top"), col("col-nest").cast(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("col-inner-s",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("col-inner-n",
+            org.apache.spark.sql.types.LongType)))).as("col-nest"))
+      .coalesce(1).write.mode("overwrite").parquet(tmpN)
+    val pN = new java.io.File(tmpN).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(pN.toPath, Paths.get(s"$dirN/part0.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpN))
+    def innerField(name: String, tpe: String, phys: String) =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":""" +
+        s"""{"delta.columnMapping.physicalName":"$phys"}}"""
+    val nestedType =
+      s"""{"type":"struct","fields":[${innerField("s", "string", "col-inner-s")},""" +
+        s"""${innerField("n", "long", "col-inner-n")}]}"""
+    val schemaN = esc(
+      s"""{"type":"struct","fields":[${mappedField("top", "long", "col-top")},""" +
+        s"""{"name":"nest","type":$nestedType,"nullable":true,"metadata":""" +
+        s"""{"delta.columnMapping.physicalName":"col-nest"}}]}""")
+    commit(dirN, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cmapn","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaN","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+      s"""{"add":{"path":"part0.parquet","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(dirN, "part0.parquet"))},""" +
+        s""""modificationTime":0,"dataChange":true}}"""))
+    val gotN = DeltaRead.read(spark, dirN)
+    assert(gotN.columns.toSeq === Seq("top", "nest"))
+    assert(gotN.schema("nest").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq === Seq("s", "n"))
+    val rowN = gotN.head()
+    assert(rowN.getLong(0) === 7L)
+    val nest = rowN.getStruct(1)
+    assert(nest.getString(0) === "deep", "nested string must not be null")
+    assert(nest.getLong(1) === 42L, "nested long must not be null")
+    assert(gotN.select(col("nest.n")).head().getLong(0) === 42L)
+
     // 'id' mode needs parquet field-id resolution — refused
     val dir2 = Files.createTempDirectory("delta_cmap_id").toString
     dataFile(dir2, "f0.parquet", Seq((1L, "x")))

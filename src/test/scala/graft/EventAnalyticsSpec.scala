@@ -48,6 +48,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(counts === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("funnel: stage values with name-special characters work") {
+    // event types containing '.', backticks and spaces are legitimate DATA
+    // — the internal computation must not resolve columns named after them
+    val stages = Seq("page.view", "cart`add", "checkout done")
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "page.view"),
+      (1L, ts("2024-01-01 10:05:00"), "cart`add"),
+      (1L, ts("2024-01-01 10:09:00"), "checkout done"),
+      (2L, ts("2024-01-01 10:00:00"), "page.view")
+    ).toDF("user_id", "ts", "event_type")
+    val f = EventAnalytics.funnel(ev, "user_id", "ts", "event_type", stages)
+    assert(f.columns.toSeq ===
+      Seq("user", "t_page.view", "t_cart`add", "t_checkout done"))
+    val rows = f.collect().map(r => r.getLong(0) ->
+      (0 to 2).map(i => Option(r.getTimestamp(i + 1)))).toMap
+    assert(rows(1L).forall(_.isDefined))
+    assert(rows(2L) === Seq(Some(ts("2024-01-01 10:00:00")), None, None))
+    val counts = EventAnalytics.funnelCounts(ev, "user_id", "ts",
+        "event_type", stages)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts === Map("page.view" -> 2L, "cart`add" -> 1L,
+      "checkout done" -> 1L))
+  }
+
   test("weeklyRetention: 7-day buckets from the earliest event, k offsets") {
     val ev = Seq(
       // u1 first in week 0, active weeks 0,1,2
