@@ -36,11 +36,12 @@ import org.apache.spark.sql.types._
   * protocol's z85 paths, versioned `.bin` sidecars and portable
   * RoaringBitmapArray are handled by [[DeltaDv]], and deleted row
   * positions drop via a scan-side `_metadata.row_index` filter — no join.
-  * Still unsupported (checked, not silently misread): `id`-mode column
-  * mapping, and minReaderVersion 3 with any reader feature beyond
-  * timestampNtz / vacuumProtocolCheck / columnMapping / deletionVectors
-  * (v2 checkpoints, type widening, ... change scan semantics and need the
-  * real reader).
+  * Column mapping reads in BOTH modes: `name` via recursive physical-name
+  * schemas, `id` via Spark's parquet field-id matching. Still unsupported
+  * (checked, not silently misread): minReaderVersion 3 with any reader
+  * feature beyond timestampNtz / vacuumProtocolCheck / columnMapping /
+  * deletionVectors (v2 checkpoints, type widening, ... change scan
+  * semantics and need the real reader).
   */
 object DeltaRead {
 
@@ -204,10 +205,11 @@ object DeltaRead {
       val mrv = p.getInt(1)
       val feats = Option(p.getSeq[String](2)).getOrElse(Seq.empty).toSet
       val mapping = config.getOrElse("delta.columnMapping.mode", "none")
-      // column mapping: 'name' mode is readable (physical names from the
-      // schemaString metadata); 'id' mode needs parquet field-id matching
-      // the reader doesn't do — refuse rather than misread
-      val mappingOk = mapping == "none" || mapping == "name"
+      // column mapping: 'name' mode reads via physical names from the
+      // schemaString metadata; 'id' mode reads via parquet field-id
+      // matching (Spark's fieldId.read path, enabled per-scan)
+      val mappingOk =
+        mapping == "none" || mapping == "name" || mapping == "id"
       require(mrv <= 1 ||
         (mrv == 2 && mappingOk) ||
         (mrv == 3 && (feats -- readerFeaturesOk).isEmpty && mappingOk),
@@ -364,18 +366,34 @@ object DeltaRead {
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
+  /** `parquet.field.id` metadata from the Delta field's columnMapping id
+    * — the key Spark's field-id-matching parquet reader resolves by
+    * (`spark.sql.parquet.fieldId.read.enabled`), which is exactly the
+    * resolution `id`-mode column mapping requires.
+    */
+  private def idMeta(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.Metadata =
+    if (f.metadata.contains("delta.columnMapping.id"))
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        .build()
+    else org.apache.spark.sql.types.Metadata.empty
+
   /** Recursively rewrite a type to PHYSICAL field names at every nesting
     * level — under column mapping the parquet files carry physical names
     * for nested struct fields too (their physicalName lives in the nested
     * field's metadata), so mapping only the top level would silently read
-    * every nested field as null.
+    * every nested field as null. With `withIds` (id mode) each field also
+    * carries its parquet.field.id so the scan matches by id, not name.
     */
-  private def physicalType(dt: DataType): DataType = dt match {
+  private def physicalType(dt: DataType, withIds: Boolean): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
       org.apache.spark.sql.types.StructField(
-        physicalName(f), physicalType(f.dataType), f.nullable)))
-    case ArrayType(et, n) => ArrayType(physicalType(et), n)
-    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+        physicalName(f), physicalType(f.dataType, withIds), f.nullable,
+        if (withIds) idMeta(f) else org.apache.spark.sql.types.Metadata.empty)))
+    case ArrayType(et, n) => ArrayType(physicalType(et, withIds), n)
+    case MapType(k, v, n) =>
+      MapType(physicalType(k, withIds), physicalType(v, withIds), n)
     case o => o
   }
 
@@ -409,8 +427,14 @@ object DeltaRead {
   private def scan(spark: SparkSession, tablePath: String,
                    snap: Snapshot): DataFrame = {
     val declared = snap.schema
-    val mapped = snap.configuration
-      .getOrElse("delta.columnMapping.mode", "none") == "name"
+    val mode = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    val mapped = mode == "name" || mode == "id"
+    // id mode resolves parquet columns by FIELD ID (names are arbitrary);
+    // Spark's reader does exactly that when the requested schema carries
+    // parquet.field.id metadata and this conf is on
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physByLogical = declared.fields.map(f => f.name -> physicalName(f)).toMap
     val partPhysToLogical = snap.partitionColumns
       .map(c => physByLogical(c) -> c).toMap
@@ -427,7 +451,10 @@ object DeltaRead {
       .filterNot(f => snap.partitionColumns.contains(f.name))
       .map(f => org.apache.spark.sql.types.StructField(
         if (mapped) physicalName(f) else f.name,
-        if (mapped) physicalType(f.dataType) else f.dataType, f.nullable)))
+        if (mapped) physicalType(f.dataType, mode == "id") else f.dataType,
+        f.nullable,
+        if (mode == "id") idMeta(f)
+        else org.apache.spark.sql.types.Metadata.empty)))
     val index = new DeltaFileIndex(spark, new Path(tablePath),
       snap.copy(files = files), partitionSchema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(

@@ -354,16 +354,58 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(nest.getLong(1) === 42L, "nested long must not be null")
     assert(gotN.select(col("nest.n")).head().getLong(0) === 42L)
 
-    // 'id' mode needs parquet field-id resolution — refused
+    // 'id' mode: resolution is by parquet FIELD ID — the file's column
+    // names (x1/x2, and x3.x4 nested) match NEITHER the logical nor the
+    // physical names, so only id matching can produce these values
     val dir2 = Files.createTempDirectory("delta_cmap_id").toString
-    dataFile(dir2, "f0.parquet", Seq((1L, "x")))
+    val tmpId = s"$dir2/__stage"
+    def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val writeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x1",
+        org.apache.spark.sql.types.LongType, true, fid(1)),
+      org.apache.spark.sql.types.StructField("x2",
+        org.apache.spark.sql.types.StringType, true, fid(2)),
+      org.apache.spark.sql.types.StructField("x3",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x4",
+            org.apache.spark.sql.types.LongType, true, fid(4)))),
+        true, fid(3))))
+    val idRows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(9L, "idm", org.apache.spark.sql.Row(77L)))
+    spark.createDataFrame(idRows, writeSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpId)
+    val pId = new java.io.File(tmpId).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(pId.toPath, Paths.get(s"$dir2/part0.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpId))
+    def idField(name: String, tpe: String, phys: String, id: Long) =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":""" +
+        s"""{"delta.columnMapping.id":$id,""" +
+        s""""delta.columnMapping.physicalName":"$phys"}}"""
+    val nestedIdType =
+      s"""{"type":"struct","fields":[${idField("n", "long", "col-inner", 4)}]}"""
+    val schemaId = esc(
+      s"""{"type":"struct","fields":[${idField("a", "long", "col-aaaa", 1)},""" +
+        s"""${idField("b", "string", "col-bbbb", 2)},""" +
+        s"""{"name":"nest","type":$nestedIdType,"nullable":true,"metadata":""" +
+        s"""{"delta.columnMapping.id":3,""" +
+        s""""delta.columnMapping.physicalName":"col-nnnn"}}]}""")
     commit(dir2, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaWithMapping("id").replace(""""partitionColumns":["lang"]""",
-        """"partitionColumns":[]"""),
-      addLine(dir2, "f0.parquet")))
-    val e = intercept[IllegalArgumentException](DeltaRead.read(spark, dir2))
-    assert(e.getMessage.contains("columnMapping=id"))
+      s"""{"metaData":{"id":"cmapid","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaId","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
+      s"""{"add":{"path":"part0.parquet","partitionValues":{},""" +
+        s""""size":${Files.size(Paths.get(dir2, "part0.parquet"))},""" +
+        s""""modificationTime":0,"dataChange":true}}"""))
+    val gotId = DeltaRead.read(spark, dir2)
+    assert(gotId.columns.toSeq === Seq("a", "b", "nest"))
+    val rowId = gotId.head()
+    assert(rowId.getLong(0) === 9L)
+    assert(rowId.getString(1) === "idm")
+    assert(rowId.getStruct(2).getLong(0) === 77L,
+      "nested field must resolve by parquet field id")
   }
 
   test("schema evolution: latest metaData wins, pre-evolution files null-pad") {
