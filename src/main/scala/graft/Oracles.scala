@@ -1504,6 +1504,49 @@ object Oracles {
         "WHERE week - cohort BETWEEN 0 AND 4 " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // Event-path transitions: lead() over (user, ts, event_id), adjacent
+    // type pairs counted corpus-wide.
+    "q136_transitions" ->
+      ("WITH s AS (SELECT user_id, event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS to_type FROM events) " +
+        "SELECT from_type, to_type, count(*) AS n_transitions FROM s " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Last-touch attribution: per purchase, the latest view/click
+    // at-or-before it (ties at one ts resolved by max event_id, matching
+    // the Spark side's pre-dedup); inner as-of — untouched purchases drop.
+    "q137_attribution" ->
+      ("WITH p AS (SELECT user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, ts, max_by(event_type, event_id) AS touch_type " +
+        "FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2), " +
+        "j AS (SELECT p.user_id, p.ts, p.value, t.touch_type, " +
+        "row_number() OVER (PARTITION BY p.user_id, p.ts ORDER BY t.ts DESC) " +
+        "AS rk FROM p JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts) " +
+        "SELECT touch_type, count(*) AS n_conversions, " +
+        "round(sum(value), 4) AS total_value FROM j WHERE rk = 1 " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    // A/B lift: variant = user_id % 2, converted = any purchase; pooled
+    // two-proportion z. One row.
+    "q138_ab_lift" ->
+      ("WITH u AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted " +
+        "FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT count(*) FILTER (variant = 0) AS n_a, " +
+        "count(*) FILTER (variant = 1) AS n_b, " +
+        "CAST(sum(converted) FILTER (variant = 0) AS BIGINT) AS conv_a, " +
+        "CAST(sum(converted) FILTER (variant = 1) AS BIGINT) AS conv_b FROM u) " +
+        "SELECT n_a, n_b, conv_a, conv_b, " +
+        "round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a, " +
+        "round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b, " +
+        "round(conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE), 6) AS lift, " +
+        "round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE)) / " +
+        "sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "(1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "(1.0 / n_a + 1.0 / n_b)), 6) AS z FROM a"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

@@ -1767,6 +1767,40 @@ object TestQueries {
         "user_id", "ts", maxWeeks = 4)
       .orderBy("cohort", "k")
 
+  /** Event-path transitions ([[operators.EventAnalytics.transitionCounts]]):
+    * adjacent (type → next type) pairs per user ordered by (ts, event_id),
+    * counted corpus-wide. DuckDB replays the `lead` window exactly.
+    */
+  def q136Transitions(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.transitionCounts(Tables.loadEvents(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+
+  /** Last-touch attribution ([[operators.EventAnalytics.lastTouchAttribution]]):
+    * each purchase credited to the latest view/click at-or-before it for
+    * the same user (as-of semantics); count + value by credited type.
+    */
+  def q137Attribution(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.lastTouchAttribution(Tables.loadEvents(s, dir),
+        "user_id", "ts", "event_type", "event_id", "value",
+        conversionType = "purchase", touchTypes = Seq("view", "click"))
+      .select(col("touch_type"), col("n_conversions"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy("touch_type")
+
+  /** A/B conversion lift ([[operators.EventAnalytics.abLift]]): users split
+    * by `user_id % 2`, conversion = any purchase event; one-row report with
+    * per-arm sizes/rates, absolute lift and the pooled two-proportion z.
+    */
+  def q138AbLift(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.abLift(Tables.loadEvents(s, dir),
+        "user_id", "event_type", "purchase", col("user_id") % 2)
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(col("rate_a"), 6).as("rate_a"),
+        round(col("rate_b"), 6).as("rate_b"),
+        round(col("lift"), 6).as("lift"),
+        round(col("z"), 6).as("z"))
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -1952,6 +1986,9 @@ object TestQueries {
     "q133_centroid_margin" -> (q133CentroidMargin _),
     "q134_funnel" -> (q134Funnel _),
     "q135_retention" -> (q135Retention _),
+    "q136_transitions" -> (q136Transitions _),
+    "q137_attribution" -> (q137Attribution _),
+    "q138_ab_lift" -> (q138AbLift _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

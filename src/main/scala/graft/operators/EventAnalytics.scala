@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-log analytics beyond sessionization: conversion funnels and
@@ -70,6 +71,96 @@ object EventAnalytics {
     }
     f.agg(explode(array(counts: _*)).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
+  }
+
+  /** Event-path transition counts: per user, events ordered by
+    * (`tsCol`, `tieCol`); every adjacent (type → next type) pair counted
+    * across the corpus. The "where do users go next" report — the bigram
+    * of path analysis (longer n-grams compose by re-applying `lead`).
+    *
+    * Shape for scale: ONE shuffle on the user key feeds the `lead` window
+    * (per-user sorted pass, state = one row); the transition aggregate is
+    * keyed on (from, to) — cardinality `|types|²`, partial-aggregable
+    * map-side, so the second exchange carries at most a few hundred rows
+    * per task regardless of corpus size. `tieCol` makes the ordering total
+    * (timestamps collide in real logs), so results are deterministic under
+    * any partitioning.
+    */
+  def transitionCounts(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy("user").orderBy(col("ts"), col("tie"))
+    df.select(col(userCol).as("user"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * latest touch event (`touchTypes`) at-or-before it for the same user;
+    * output aggregates conversion count and value by credited touch type.
+    * Conversions with no prior touch are dropped (inner as-of semantics).
+    *
+    * Reuses [[Joins.asOfJoin]] — union + ONE user-keyed sorted window
+    * pass, no per-conversion probe join. Touches are first reduced to one
+    * row per (user, ts) keeping the highest `tieCol` (real logs collide on
+    * timestamps; the as-of carry must see a total order to be
+    * deterministic). Both inputs are filtered scan-side to the named event
+    * types before any shuffle.
+    */
+  def lastTouchAttribution(df: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, tieCol: String, valueCol: String,
+                           conversionType: String,
+                           touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touchTypes must be non-empty and exclude the conversion type")
+    val conv = df.where(col(typeCol) === conversionType)
+      .select(col(userCol).as("user"), col(tsCol).as("ts"),
+        col(valueCol).as("value"))
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol).as("user"), col(tsCol).as("ts"))
+      .agg(max_by(col(typeCol), col(tieCol)).as("touch_type"))
+    Joins.asOfJoin(conv, touches, "user", "ts", "ts", Seq("touch_type"))
+      .groupBy(col("asof_touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("value").as("total_value"))
+  }
+
+  /** Two-proportion A/B conversion test: users are split by `variantCol`
+    * (a deterministic 0/1 assignment, e.g. `user_id % 2` — hash-stable so
+    * re-runs and late events land in the same arm); a user converts if
+    * they have ≥1 `conversionType` event. Returns ONE row with per-arm
+    * sizes, conversions, rates, the absolute lift, and the pooled
+    * two-proportion z statistic.
+    *
+    * Shape for scale: one user-keyed aggregate (partial-aggregable `max`)
+    * collapses the corpus to one row per user, then a single global
+    * aggregate of conditional counts — the classic two-exchange scalar
+    * report; no collect, no pivot.
+    */
+  def abLift(df: DataFrame, userCol: String, typeCol: String,
+             conversionType: String, variantCol: Column): DataFrame = {
+    val perUser = df
+      .select(col(userCol).as("user"), variantCol.cast("int").as("variant"),
+        (col(typeCol) === conversionType).cast("int").as("is_conv"))
+      .groupBy("user", "variant")
+      .agg(max("is_conv").as("converted"))
+    val agg = perUser.agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      sum(when(col("variant") === 0, col("converted"))
+        .otherwise(0)).as("conv_a"),
+      sum(when(col("variant") === 1, col("converted"))
+        .otherwise(0)).as("conv_b"))
+    val pA = col("conv_a") / col("n_a")
+    val pB = col("conv_b") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      pA.as("rate_a"), pB.as("rate_b"), (pB - pA).as("lift"),
+      ((pB - pA) /
+        sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z"))
   }
 
   /** Weekly retention cohorts: each user's cohort is the week-index of

@@ -72,6 +72,70 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "checkout done" -> 1L))
   }
 
+  test("transitionCounts: adjacent pairs per user, tie column totalizes order") {
+    val ev = Seq(
+      // u1 path: view → click → purchase
+      (1L, ts("2024-01-01 10:00:00"), 10L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 11L, "click"),
+      (1L, ts("2024-01-01 10:09:00"), 12L, "purchase"),
+      // u2: two events at the SAME ts — event_id decides order
+      (2L, ts("2024-01-01 09:00:00"), 21L, "view"),
+      (2L, ts("2024-01-01 09:00:00"), 20L, "error"),
+      // u3: a single event yields no transition
+      (3L, ts("2024-01-01 08:00:00"), 30L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.transitionCounts(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("view", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("error", "view") -> 1L))
+  }
+
+  test("lastTouchAttribution: latest touch at-or-before wins; ties by id") {
+    val ev = Seq(
+      // u1: view then click then purchase → click credited
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 10:09:00"), 3L, "purchase", 50.0),
+      // u1 second purchase, no new touch → still the same click
+      (1L, ts("2024-01-01 11:00:00"), 4L, "purchase", 25.0),
+      // u2: touch at the SAME instant as the purchase counts; two touches
+      // at that instant → higher event_id (click) wins
+      (2L, ts("2024-01-01 09:00:00"), 5L, "view", 0.0),
+      (2L, ts("2024-01-01 09:00:00"), 6L, "click", 0.0),
+      (2L, ts("2024-01-01 09:00:00"), 7L, "purchase", 10.0),
+      // u3: purchase with no prior touch → dropped
+      (3L, ts("2024-01-01 08:00:00"), 8L, "purchase", 99.0),
+      (3L, ts("2024-01-01 09:00:00"), 9L, "view", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "value", "purchase", Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map("click" -> ((3L, 85.0))))
+  }
+
+  test("abLift: arm sizes, conversion rates and pooled z on a known split") {
+    val ev = Seq(
+      // arm 0: users 0,2 — user 0 converts
+      (0L, "view"), (0L, "purchase"), (2L, "view"),
+      // arm 1: users 1,3,5 — users 1 and 3 convert
+      (1L, "purchase"), (3L, "view"), (3L, "purchase"), (5L, "click")
+    ).toDF("user_id", "event_type")
+    val r = EventAnalytics.abLift(ev, "user_id", "event_type", "purchase",
+      col("user_id") % 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 3L, 1L, 2L)))
+    assert(r.getDouble(4) === 0.5) // rate_a
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-12) // rate_b
+    val p = 3.0 / 5.0
+    val expZ = (2.0 / 3.0 - 0.5) /
+      math.sqrt(p * (1 - p) * (1.0 / 2 + 1.0 / 3))
+    assert(math.abs(r.getDouble(7) - expZ) < 1e-12)
+  }
+
   test("weeklyRetention: 7-day buckets from the earliest event, k offsets") {
     val ev = Seq(
       // u1 first in week 0, active weeks 0,1,2
