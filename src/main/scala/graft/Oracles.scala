@@ -1547,6 +1547,50 @@ object Oracles {
         "(1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) * " +
         "(1.0 / n_a + 1.0 / n_b)), 6) AS z FROM a"),
 
+    // BM25: smoothed idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2 b=0.75,
+    // dl = non-empty whitespace tokens; contributions rounded 6dp,
+    // totals 4dp; top-10 by (score desc, doc_id).
+    "q139_bm25" ->
+      ("WITH base AS (SELECT doc_id, CAST(len(list_filter(" +
+        "string_split(text, ' '), x -> len(x) > 0)) AS DOUBLE) AS dl " +
+        "FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), " +
+        "terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms " +
+        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "c AS (SELECT tf.doc_id, round(" +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * b.dl / avgdl)), 6) AS c " +
+        "FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id " +
+        "CROSS JOIN stats) " +
+        "SELECT doc_id, round(sum(c), 4) AS score, " +
+        "count(*) AS n_terms_matched FROM c GROUP BY 1 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // Per-source curation report: md5-of-text corpus-wide collision flag,
+    // composition share, char/token volume and means.
+    "q140_source_report" ->
+      ("WITH base AS (SELECT source, md5(text) AS fp, " +
+        "CAST(length(text) AS BIGINT) AS chars, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) " +
+        "AS BIGINT) AS ntok FROM documents), " +
+        "fpc AS (SELECT fp, count(*) AS fp_n FROM base GROUP BY 1), " +
+        "ps AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(ntok) AS BIGINT) AS sum_tokens " +
+        "FROM base JOIN fpc USING (fp) GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total FROM documents) " +
+        "SELECT source, n_docs, " +
+        "round(n_docs / CAST(total AS DOUBLE), 6) AS share, n_dup_docs, " +
+        "round(n_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_rate, " +
+        "sum_chars, sum_tokens, " +
+        "round(sum_chars / CAST(n_docs AS DOUBLE), 4) AS mean_chars, " +
+        "round(sum_tokens / CAST(n_docs AS DOUBLE), 4) AS mean_tokens " +
+        "FROM ps CROSS JOIN t ORDER BY source"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

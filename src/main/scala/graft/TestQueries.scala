@@ -1801,6 +1801,22 @@ object TestQueries {
         round(col("lift"), 6).as("lift"),
         round(col("z"), 6).as("z"))
 
+  /** BM25 ranked retrieval ([[operators.Retrieval.bm25]]): top-10 documents
+    * for a fixed 3-term query, per-term contributions rounded 6dp, totals
+    * 4dp. DuckDB replays tf/df/length-normalization exactly.
+    */
+  def q139Bm25(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "join", "window"), topK = 10)
+
+  /** Per-source curation report ([[operators.CorpusPipeline.sourceReport]]):
+    * corpus composition, exact-dup rate (corpus-wide md5 collisions), and
+    * char/token volume per source.
+    */
+  def q140SourceReport(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusPipeline.sourceReport(t(s, dir, "documents"))
+      .orderBy("source")
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -1989,6 +2005,8 @@ object TestQueries {
     "q136_transitions" -> (q136Transitions _),
     "q137_attribution" -> (q137Attribution _),
     "q138_ab_lift" -> (q138AbLift _),
+    "q139_bm25" -> (q139Bm25 _),
+    "q140_source_report" -> (q140SourceReport _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

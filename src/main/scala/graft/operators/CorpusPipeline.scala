@@ -71,4 +71,46 @@ object CorpusPipeline {
     val keep = filtered.groupBy("fp").agg(min(col(idCol)).as(idCol)).select(idCol)
     filtered.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Per-source curation report — the "what is my corpus made of" table a
+    * data-mixing decision starts from: for each source its document count
+    * and corpus share, how many of its docs are exact duplicates of ANY
+    * corpus doc (md5-of-text occurring ≥2 times corpus-wide) and the dup
+    * rate, plus char/token volume and means.
+    *
+    * Shape for scale: char/token measures are scan-side expressions (the
+    * split bound to a projected column before the HOF filter); the dup flag
+    * is one md5-keyed aggregate joined back on the same compact key (two
+    * 16-byte-key shuffles, never raw text); the per-source rollup is a
+    * partial-aggregable hash agg and the corpus total a one-row broadcast.
+    */
+  def sourceReport(docs: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val base = docs
+      .select(col(sourceCol).as("source"), md5(col(textCol)).as("__fp"),
+        length(col(textCol)).cast("long").as("__chars"),
+        split(col(textCol), " ").as("__toks"))
+      .withColumn("__ntok",
+        size(filter(col("__toks"), t => length(t) > 0)).cast("long"))
+      .drop("__toks")
+    val fpCounts = base.groupBy("__fp").agg(count(lit(1)).as("__fp_n"))
+    val perSource = base.join(fpCounts, "__fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__fp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum("__chars").as("sum_chars"),
+        sum("__ntok").as("sum_tokens"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("__total").cast("double"), 6).as("share"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        col("sum_chars"), col("sum_tokens"),
+        round(col("sum_chars") / col("n_docs").cast("double"), 4)
+          .as("mean_chars"),
+        round(col("sum_tokens") / col("n_docs").cast("double"), 4)
+          .as("mean_tokens"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a documents table — BM25, the lexical scoring
+  * function behind every search / RAG candidate-generation stage. Complements
+  * the corpus-weighting TF-IDF (TestQueries q63) with the saturating,
+  * length-normalized variant that actually ranks.
+  */
+object Retrieval {
+
+  /** BM25 ranking of `docs` against a fixed bag of `queryTerms`:
+    * {{{ score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) }}}
+    * with the standard smoothed idf `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    * Tokenization is single-space splitting (the corpus convention shared
+    * with TF-IDF/token counting); `dl` is the token count of the document.
+    * Returns the `topK` documents by `(score desc, id)` with per-term
+    * contributions rounded to 6dp and the total to 4dp (deterministic
+    * cross-engine ranking — the q63 rounding convention).
+    *
+    * Shape for scale:
+    *  - the corpus is exploded ONCE and filtered to query terms *scan-side*
+    *    (`isin` on the exploded term before any shuffle) — tf rows are
+    *    `|query| × matching docs`, never corpus-sized;
+    *  - `df` derives from tf (≤ |query| rows) → broadcast; `N`/`avgdl` are
+    *    one-row scalar aggregates → broadcast cross join;
+    *  - doc length is a scan-side expression on the documents row (one row
+    *    per doc — no aggregate), with the split bound to a projected column
+    *    first so the HOF filter does not re-split per element;
+    *  - final ranking is `orderBy(...).limit(k)` → TakeOrderedAndProject,
+    *    never a global sort.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK > 0, s"topK must be positive: $topK")
+    val base = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("__toks"))
+      .withColumn("dl",
+        size(filter(col("__toks"), t => length(t) > 0)).cast("double"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c", round(
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    contrib.groupBy("doc_id")
+      .agg(round(sum("c"), 4).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

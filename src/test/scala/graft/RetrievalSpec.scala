@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusPipeline, Retrieval}
+
+/** [[Retrieval.bm25]] scoring semantics and the
+  * [[CorpusPipeline.sourceReport]] rollup on hand-built corpora.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25: rare terms outrank common ones; repeated tf saturates") {
+    // 'rare' appears in one doc, 'common' in all four → idf(rare) ≫
+    // idf(common); d1 (rare) must outrank d2..d4 (common only)
+    val docs = Seq(
+      (1L, "rare common x"),
+      (2L, "common y z"),
+      (3L, "common common common y"),
+      (4L, "common w")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("rare", "common"), topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.head._1 === 1L)
+    // saturation: tf=3 in d3 scores above tf=1 at the same idf but far
+    // less than 3× — the (k1+1)/(tf+k1·norm) curve flattens
+    val byId = got.toMap
+    val s3 = byId(3L); val s2 = byId(2L)
+    assert(s3 > s2 && s3 < 3 * s2)
+  }
+
+  test("bm25: length normalization favors the shorter doc at equal tf") {
+    val docs = Seq(
+      (1L, "term a"),
+      (2L, "term a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("term"), topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("bm25: only matching docs return; topK truncates by (score, id)") {
+    val docs = Seq(
+      (1L, "hit x"), (2L, "hit x"), (3L, "miss y")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("hit"), topK = 1)
+      .collect()
+    // d1 and d2 tie exactly — doc_id breaks the tie; d3 never appears
+    assert(got.length === 1 && got.head.getLong(0) === 1L)
+  }
+
+  test("sourceReport: dup flag is corpus-wide, measures per source") {
+    val docs = Seq(
+      // 'dup text' appears in BOTH sources → both copies flagged
+      (1L, "dup text", "a"),
+      (2L, "dup text", "b"),
+      (3L, "solo one", "a"),
+      (4L, "three tok doc", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusPipeline.sourceReport(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a"); val b = got("b")
+    assert(a.getLong(1) === 2L && b.getLong(1) === 2L) // n_docs
+    assert(a.getDouble(2) === 0.5)                     // share
+    assert(a.getLong(3) === 1L && b.getLong(3) === 1L) // n_dup_docs
+    assert(a.getDouble(4) === 0.5)                     // dup_rate
+    assert(b.getLong(6) === 5L)                        // sum_tokens: 2 + 3
+    assert(a.getLong(5) === ("dup text".length + "solo one".length).toLong)
+  }
+}
