@@ -116,6 +116,34 @@ object Oracles {
       s"replace($acc, '$l' || chr(31) || '$r', '$l$r')"
     }
 
+  /** Unrolled fixed-iteration PageRank over the q141 derived doc graph —
+    * one CTE per round (recursive CTEs disallow the aggregate in the
+    * recursive term), mirroring `Graphs.pageRank`'s float recipe exactly:
+    * contribution = pr * (1.0/outdeg), new pr = (1.0-d)/N + d * Σ.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val head =
+      "WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "e AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+      "FROM documents, mn " +
+      "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n FROM documents, mn " +
+      "WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, (doc_id + 101) % mn.n FROM documents, mn " +
+      "WHERE doc_id % 3 = 0), " +
+      "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+      "r0 AS (SELECT doc_id AS node, 1.0 / mn.n AS pr FROM documents, mn)"
+    val rounds = (1 to iters).map { k =>
+      s"r$k AS (SELECT d.doc_id AS node, " +
+        "(1.0 - 0.85) / mn.n + 0.85 * COALESCE(s.m, 0.0) AS pr " +
+        "FROM documents d CROSS JOIN mn LEFT JOIN " +
+        "(SELECT e.dst AS dst, sum(r.pr * (1.0 / od.outdeg)) AS m " +
+        s"FROM e JOIN r${k - 1} r ON e.src = r.node " +
+        "JOIN od ON e.src = od.src GROUP BY e.dst) s ON d.doc_id = s.dst)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
+  }
+
   val sql: ListMap[String, String] = ListMap(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -1590,6 +1618,10 @@ object Oracles {
         "round(sum_chars / CAST(n_docs AS DOUBLE), 4) AS mean_chars, " +
         "round(sum_tokens / CAST(n_docs AS DOUBLE), 4) AS mean_tokens " +
         "FROM ps CROSS JOIN t ORDER BY source"),
+
+    // PageRank over the derived doc graph (see q141 scaladoc): 10 unrolled
+    // rounds, 9dp.
+    "q141_pagerank" -> pageRankSql(10),
 
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by

@@ -1817,6 +1817,31 @@ object TestQueries {
     operators.CorpusPipeline.sourceReport(t(s, dir, "documents"))
       .orderBy("source")
 
+  /** PageRank ([[operators.Graphs.pageRank]]) over a deterministic
+    * citation-style graph derived from the documents table: doc i links to
+    * (i+1) mod N always, (i+7) mod N when i is even, (i+101) mod N when
+    * i ≡ 0 (mod 3) — varied out/in-degree, no dangling nodes, identical on
+    * both engines. 10 fixed rounds, damping 0.85, ranks rounded 9dp;
+    * DuckDB replays the rounds as unrolled CTEs.
+    */
+  def q141PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 101) % col("n")).as("dst")))
+    operators.Graphs.pageRank(edges, iterations = 10)
+      .select(col("node"), round(col("pr"), 9).as("pr"))
+      .orderBy("node")
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2007,6 +2032,7 @@ object TestQueries {
     "q138_ab_lift" -> (q138AbLift _),
     "q139_bm25" -> (q139Bm25 _),
     "q140_source_report" -> (q140SourceReport _),
+    "q141_pagerank" -> (q141PageRank _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
