@@ -144,6 +144,35 @@ object Oracles {
       s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled batch gradient descent for the q142 logistic regression —
+    * one CTE per round mirroring `Classify.trainLogistic`'s float recipe:
+    * zero init, margin as the left-assoc 4-term dot product, update
+    * `w − 1.0·avg((σ(w·x) − y)·x)`; `max(w)` reads the constant weight row
+    * without a GROUP BY.
+    */
+  private def logRegSql(iters: Int): String = {
+    val ntok =
+      "greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1)"
+    val uniq =
+      "len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0)))"
+    val dot = "(w0 * f0 + w1 * f1 + w2 * f2 + w3 * f3)"
+    val sig = s"1.0 / (1.0 + exp(-$dot))"
+    val head =
+      "WITH f AS (SELECT doc_id, 1.0 AS f0, " +
+      s"CAST($ntok AS DOUBLE) / 100.0 AS f1, " +
+      s"CAST(length(text) AS DOUBLE) / (CAST($ntok AS DOUBLE) * 10.0) AS f2, " +
+      s"CAST($uniq AS DOUBLE) / CAST($ntok AS DOUBLE) AS f3, " +
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents), " +
+      "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
+    val rounds = (1 to iters).map { k =>
+      val upd = (0 to 3).map(j =>
+        s"max(w$j) - 1.0 * avg(($sig - y) * f$j) AS w$j").mkString(", ")
+      s"w$k AS (SELECT $upd FROM f, w${k - 1})"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT doc_id, round($sig, 6) AS p, y FROM f, w$iters ORDER BY doc_id"
+  }
+
   val sql: ListMap[String, String] = ListMap(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -1622,6 +1651,10 @@ object Oracles {
     // PageRank over the derived doc graph (see q141 scaladoc): 10 unrolled
     // rounds, 9dp.
     "q141_pagerank" -> pageRankSql(10),
+
+    // Logistic-regression language filter: 5 unrolled GD rounds over the
+    // shallow text features, per-doc scores 6dp.
+    "q142_logreg" -> logRegSql(5),
 
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by

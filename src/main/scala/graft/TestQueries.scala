@@ -1842,6 +1842,24 @@ object TestQueries {
       .orderBy("node")
   }
 
+  /** Distributed logistic regression ([[operators.Classify.trainLogistic]]):
+    * a language-filter classifier (y = lang=='en') trained with 5 batch-GD
+    * rounds over scan-side text features — each round ONE gradient
+    * aggregate, the model on the driver — then scored per doc. DuckDB
+    * replays the training loop as unrolled CTEs and matches scores at 6dp.
+    */
+  def q142LogReg(s: SparkSession, dir: String): DataFrame = {
+    val fcols = Seq("f0", "f1", "f2", "f3")
+    val feats = operators.Classify.textFeatures(
+        t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+    val w = operators.Classify.trainLogistic(feats, fcols, "y",
+      iterations = 5, lr = 1.0)
+    operators.Classify.scoreLogistic(feats, fcols, w)
+      .select(col("doc_id"), round(col("p"), 6).as("p"), col("y"))
+      .orderBy("doc_id")
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2033,6 +2051,7 @@ object TestQueries {
     "q139_bm25" -> (q139Bm25 _),
     "q140_source_report" -> (q140SourceReport _),
     "q141_pagerank" -> (q141PageRank _),
+    "q142_logreg" -> (q142LogReg _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
