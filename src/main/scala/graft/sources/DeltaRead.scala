@@ -37,10 +37,13 @@ import org.apache.spark.sql.types._
   * RoaringBitmapArray are handled by [[DeltaDv]], and deleted row
   * positions drop via a scan-side `_metadata.row_index` filter — no join.
   * Column mapping reads in BOTH modes: `name` via recursive physical-name
-  * schemas, `id` via Spark's parquet field-id matching. Still unsupported
-  * (checked, not silently misread): minReaderVersion 3 with any reader
-  * feature beyond timestampNtz / vacuumProtocolCheck / columnMapping /
-  * deletionVectors (v2 checkpoints, type widening, ... change scan
+  * schemas, `id` via Spark's parquet field-id matching. V2 checkpoints
+  * (protocol § V2 Spec; UUID-named manifests with `sidecar` actions under
+  * `_delta_log/_sidecars/`) seed the replay like classic ones — the
+  * manifest's own actions union the sidecars'. Still unsupported (checked,
+  * not silently misread): minReaderVersion 3 with any reader feature
+  * beyond timestampNtz / vacuumProtocolCheck / columnMapping /
+  * deletionVectors / v2Checkpoint (type widening, ... change scan
   * semantics and need the real reader).
   */
 object DeltaRead {
@@ -48,6 +51,10 @@ object DeltaRead {
   private val CommitFile = """(\d{20})\.json""".r
   private val CkptSingle = """(\d{20})\.checkpoint\.parquet""".r
   private val CkptPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // v2 spec: <version>.checkpoint.<uniqueStr>.{json|parquet}; the unique
+  // string is one dot-free segment, so part-file names (two numeric
+  // segments) never match
+  private val CkptV2 = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
 
   /** The add action's deletionVector descriptor (protocol § Deletion
     * Vectors) — the fields [[DeltaDv]] needs to locate and verify the
@@ -84,9 +91,50 @@ object DeltaRead {
       StructField("appId", StringType),
       StructField("version", LongType))))))
 
+  /** The v2-checkpoint `sidecar` action (protocol § V2 Spec) — only the
+    * path is needed to locate the file; size/modificationTime are
+    * advisory.
+    */
+  private val sidecarSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)))
+
   private val readerFeaturesOk =
     Set("timestampNtz", "vacuumProtocolCheck", "columnMapping",
-      "deletionVectors")
+      "deletionVectors", "v2Checkpoint")
+
+  /** Re-project a parquet-read action DataFrame onto `want`: real
+    * checkpoints/sidecars carry extra nested fields (stats, tags,
+    * maxRowIndex...) and may lack whole action columns (no tombstones → no
+    * `remove`, pre-features writer → no readerFeatures) — project
+    * field-by-field at every nesting level, substituting typed nulls for
+    * anything absent (a struct-to-struct Cast would require matching
+    * arity).
+    */
+  private def reproject(raw: DataFrame, want: StructType): DataFrame = {
+    def has(path: Seq[String]): Boolean = {
+      var t: DataType = raw.schema
+      path.forall { n => t match {
+        case s: StructType if s.fieldNames.contains(n) =>
+          t = s(n).dataType; true
+        case _ => false
+      }}
+    }
+    def proj(path: Seq[String], w: DataType): Column = w match {
+      case st: StructType =>
+        when(col(path.mkString(".")).isNotNull,
+          struct(st.fields.toSeq.map { f =>
+            (if (has(path :+ f.name)) proj(path :+ f.name, f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*))
+      case dt => col(path.mkString(".")).cast(dt)
+    }
+    raw.select(want.fields.toSeq.map { f =>
+      (if (has(Seq(f.name))) proj(Seq(f.name), f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
 
   final case class Snapshot(
       version: Long,
@@ -125,8 +173,10 @@ object DeltaRead {
     require(commits.contains(target) || asOf.isEmpty,
       s"version $target not present in $logDir (have ≤ $latest)")
 
-    // newest COMPLETE checkpoint at-or-before target: single-file, or all
-    // `i.of.n` parts present
+    // newest COMPLETE checkpoint at-or-before target: single-file, all
+    // `i.of.n` parts present, or a v2 UUID-named manifest. At equal
+    // versions the classic form wins (both are complete states; classic
+    // needs no sidecar hop).
     val singles = names.collect { case n @ CkptSingle(v)
       if v.toLong <= target => v.toLong -> Seq(n) }
     val parts = names.collect { case n @ CkptPart(v, _, total)
@@ -134,7 +184,17 @@ object DeltaRead {
       .groupBy { case (v, total, _) => (v, total) }
       .collect { case ((v, total), ps) if ps.size == total =>
         v -> ps.map(_._3).sorted }
-    val checkpoint = (singles ++ parts).sortBy(_._1).lastOption
+    val classic = (singles ++ parts).sortBy(_._1).lastOption
+    val v2 = names.collect { case n @ CkptV2(v, _, _)
+      if v.toLong <= target => v.toLong -> n }.sortBy(_._1).lastOption
+    val checkpoint: Option[(Long, Either[Seq[String], String])] =
+      (classic, v2) match {
+        case (Some((cv, cf)), Some((vv, vn))) =>
+          if (vv > cv) Some(vv -> Right(vn)) else Some(cv -> Left(cf))
+        case (Some((cv, cf)), None) => Some(cv -> Left(cf))
+        case (None, Some((vv, vn))) => Some(vv -> Right(vn))
+        case _ => None
+      }
 
     val cpVersion = checkpoint.map(_._1).getOrElse(-1L)
     val tail = commits.keys.filter(v => v > cpVersion && v <= target).toSeq.sorted
@@ -151,42 +211,37 @@ object DeltaRead {
       spark.read.schema(actionSchema)
         .json(tail.map(v => new Path(logDir, commits(v)).toString): _*),
       regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast("long")))
-    val fromCkpt = checkpoint.map { case (v, fs0) =>
-      val raw = spark.read
-        .parquet(fs0.map(n => new Path(logDir, n).toString): _*)
-      // checkpoints carry extra nested fields (stats, tags, txn...) and may
-      // lack whole action columns (no tombstones → no `remove`, pre-features
-      // writer → no readerFeatures) — re-project onto the action schema,
-      // substituting typed nulls for anything absent
-      def has(path: Seq[String]): Boolean = {
-        var t: DataType = raw.schema
-        path.forall { n => t match {
-          case s: StructType if s.fieldNames.contains(n) =>
-            t = s(n).dataType; true
-          case _ => false
-        }}
-      }
-      // RECURSIVE re-projection: real checkpoints carry extra nested
-      // fields inside struct-typed action fields too (deletionVector's
-      // maxRowIndex, stats structs, ...) and a struct-to-struct Cast
-      // requires matching arity — project field-by-field at every level,
-      // null-preserving at each struct
-      def proj(path: Seq[String], want: DataType): Column = want match {
-        case st: StructType =>
-          when(col(path.mkString(".")).isNotNull,
-            struct(st.fields.toSeq.map { f =>
-              (if (has(path :+ f.name)) proj(path :+ f.name, f.dataType)
-               else lit(null).cast(f.dataType)).as(f.name)
-            }: _*))
-        case dt => col(path.mkString(".")).cast(dt)
-      }
-      def sub(action: String, want: StructType) =
-        if (!has(Seq(action))) lit(null).cast(want).as(action)
-        else proj(Seq(action), want).as(action)
-      def sch(action: String) = actionSchema(action).dataType.asInstanceOf[StructType]
-      norm(raw.select(sub("add", sch("add")), sub("remove", sch("remove")),
-        sub("metaData", sch("metaData")), sub("protocol", sch("protocol")),
-        sub("txn", sch("txn"))), lit(v))
+    val fromCkpt = checkpoint.map {
+      case (v, Left(fs0)) =>
+        norm(reproject(spark.read
+          .parquet(fs0.map(n => new Path(logDir, n).toString): _*),
+          actionSchema), lit(v))
+      case (v, Right(manifest)) =>
+        // v2: the manifest holds checkpointMetadata + sidecar pointers +
+        // any non-file actions; file actions live in the manifest and/or
+        // the referenced `_sidecars/` parquets. The sidecar NAME list is a
+        // bounded driver collect (same budget as the live-file list).
+        val mPath = new Path(logDir, manifest).toString
+        val v2Schema = StructType(
+          actionSchema.fields :+ StructField("sidecar", sidecarSchema))
+        val raw =
+          if (manifest.endsWith(".json"))
+            spark.read.schema(v2Schema).json(mPath)
+          else reproject(spark.read.parquet(mPath), v2Schema)
+        val sidecars = raw.where(col("sidecar.path").isNotNull)
+          .select(col("sidecar.path")).collect().map(_.getString(0))
+          .toSeq.map { p =>
+            // relative per the protocol; tolerate absolute URIs
+            if (p.contains("://") || p.startsWith("/")) p
+            else new Path(new Path(logDir, "_sidecars"), p).toString
+          }
+        val manifestActs = raw.select(
+          actionSchema.fieldNames.toSeq.map(col): _*)
+        val acts =
+          if (sidecars.isEmpty) manifestActs
+          else manifestActs.unionByName(
+            reproject(spark.read.parquet(sidecars: _*), actionSchema))
+        norm(acts, lit(v))
     }
     val acts = (fromCkpt.toSeq ++ fromJson.toSeq).reduce(_ union _)
 

@@ -172,6 +172,85 @@ class DeltaReadSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
 
+  test("v2 checkpoint: UUID parquet manifest + sidecar file actions") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("delta_v2ckpt").toString
+    dataFile(dir, "f0.parquet", Seq((1L, "x")))
+    dataFile(dir, "f1.parquet", Seq((2L, "y")))
+    dataFile(dir, "f2.parquet", Seq((3L, "z")))
+    def write1(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val stage = s"$dir/__stage_v2"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(dest).getParent)
+      Files.move(part.toPath, Paths.get(dest))
+    }
+    val addT = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("dataChange", BooleanType)))
+    // sidecar parquet: the two seed adds live here, not in the manifest
+    val scSchema = StructType(Seq(StructField("add", addT)))
+    val scRows = Seq("f0.parquet", "f1.parquet").map(f =>
+      Row(Row(f, Map.empty[String, String],
+        Files.size(Paths.get(dir, f)), true)))
+    write1(spark.createDataFrame(
+        spark.sparkContext.parallelize(scRows, 1), scSchema),
+      s"$dir/_delta_log/_sidecars/sc1.parquet")
+    // manifest: metaData + protocol(v2Checkpoint) + sidecar pointer + a
+    // checkpointMetadata column the reader must tolerate (and ignore)
+    val metaT = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoT = StructType(Seq(StructField("minReaderVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType))))
+    val scT = StructType(Seq(StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val cmT = StructType(Seq(StructField("version", LongType)))
+    val mSchema = StructType(Seq(StructField("metaData", metaT),
+      StructField("protocol", protoT), StructField("sidecar", scT),
+      StructField("checkpointMetadata", cmT)))
+    val scSize = Files.size(Paths.get(s"$dir/_delta_log/_sidecars/sc1.parquet"))
+    val mRows = Seq(
+      Row(Row("fixture", abSchema.json, Seq.empty[String],
+        Map.empty[String, String]), null, null, null),
+      Row(null, Row(3, Seq("v2Checkpoint")), null, null),
+      Row(null, null, Row("sc1.parquet", scSize, 0L), null),
+      Row(null, null, null, Row(1L)))
+    write1(spark.createDataFrame(
+        spark.sparkContext.parallelize(mRows, 1), mSchema),
+      f"$dir/_delta_log/${1L}%020d.checkpoint.80a083e8-7026.parquet")
+    // v0 vacuumed away; v1 marker; v2 adds f2 — replay must seed from
+    // the v2 manifest + sidecar
+    commit(dir, 1, Seq("""{"commitInfo":{"operation":"noop"}}"""))
+    commit(dir, 2, Seq(addLine(dir, "f2.parquet")))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.version === 2L)
+    assert(snap.files.map(_._1) === Seq("f0.parquet", "f1.parquet", "f2.parquet"))
+    assert(DeltaRead.read(spark, dir).select("a").collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+  }
+
+  test("v2 checkpoint: JSON manifest with inline file actions") {
+    val dir = Files.createTempDirectory("delta_v2json").toString
+    dataFile(dir, "f0.parquet", Seq((10L, "x")))
+    dataFile(dir, "f2.parquet", Seq((30L, "z")))
+    Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+    Files.writeString(
+      Paths.get(f"$dir/_delta_log/${1L}%020d.checkpoint.cafe-44.json"),
+      Seq(metaLine(abSchema),
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}""",
+        addLine(dir, "f0.parquet"),
+        """{"checkpointMetadata":{"version":1}}""").mkString("\n"))
+    commit(dir, 1, Seq("""{"commitInfo":{"operation":"noop"}}"""))
+    commit(dir, 2, Seq(addLine(dir, "f2.parquet")))
+    assert(DeltaRead.read(spark, dir).select("a").collect()
+      .map(_.getLong(0)).sorted === Array(10L, 30L))
+  }
+
   test("join on the partition column works (incl. any dynamic pruning path)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("delta_dpp").toString
@@ -252,13 +331,13 @@ class DeltaReadSpec extends AnyFunSuite {
     dataFile(dir, "f0.parquet", Seq((1L, "x")))
     commit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
       metaLine(abSchema),
       addLine(dir, "f0.parquet")))
     val e = intercept[IllegalArgumentException] {
       DeltaRead.read(spark, dir)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     // ...but a v3 table whose features are all benign reads fine
     val dir2 = Files.createTempDirectory("delta_ntz").toString
     dataFile(dir2, "f0.parquet", Seq((1L, "x")))
