@@ -351,6 +351,63 @@ object ScaleCheck {
         graft.operators.Similarity.centroidMargins(emb(dir),
           "vec_id", "embedding", "label").count()
       },
+      "transitions" -> { dir =>
+        // one user-keyed window + a |types|²-key aggregate — events-linear
+        graft.operators.EventAnalytics.transitionCounts(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_type", "event_id").count()
+      },
+      "attribution" -> { dir =>
+        // as-of union + one sorted user-keyed pass — events-linear
+        graft.operators.EventAnalytics.lastTouchAttribution(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_type", "event_id", "value",
+          "purchase", Seq("view", "click")).count()
+      },
+      "ab_lift" -> { dir =>
+        // user-keyed partial agg → one-row report — events-linear
+        graft.operators.EventAnalytics.abLift(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "event_type", "purchase", col("user_id") % 2).count()
+      },
+      "bm25" -> { dir =>
+        // scan-side explode filtered to query terms; replicas vowel-permute
+        // text so the match side thins — the measured cost is the
+        // corpus-linear scan + doc-length pass, the worst case for the scan
+        graft.operators.Retrieval.bm25(docs(dir), "doc_id", "text",
+          Seq("spark", "join", "window"), topK = 10).count()
+      },
+      "source_report" -> { dir =>
+        // two md5-keyed compact shuffles + per-source rollup — corpus-linear
+        graft.operators.CorpusPipeline.sourceReport(docs(dir)).count()
+      },
+      "logreg" -> { dir =>
+        // 5 GD rounds, each one gradient aggregate over pinned features —
+        // corpus-linear with a fixed round count
+        val f = graft.operators.Classify.textFeatures(docs(dir), "doc_id", "text")
+          .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+        val w = graft.operators.Classify.trainLogistic(
+          f, Seq("f0", "f1", "f2", "f3"), "y", iterations = 5)
+        graft.operators.Classify.scoreLogistic(
+          f, Seq("f0", "f1", "f2", "f3"), w).count()
+      },
+      "pagerank" -> { dir =>
+        // 10 fixed rounds over the q141-derived graph; replica ids collapse
+        // onto the base modulo range, so in-degree skews rep× on the low
+        // nodes — absorbed by map-side combine, rounds stay edges-linear
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val b = d.crossJoin(broadcast(nDf))
+        val edges = b.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(b.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst")))
+          .union(b.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 101) % col("n")).as("dst")))
+        graft.operators.Graphs.pageRank(edges, iterations = 10).count()
+      },
       "expanding_folds_unique_ts" -> { dir =>
         // the adversarial shape for time-fold cutting: every row carries a
         // UNIQUE microsecond timestamp, so distinct-ts ≈ N and a naive
