@@ -1656,6 +1656,20 @@ object Oracles {
     // shallow text features, per-doc scores 6dp.
     "q142_logreg" -> logRegSql(5),
 
+    // Embedding covariance: E[xi·xj] − E[xi]·E[xj] from an unnest
+    // self-join, 0-based indices, 8dp.
+    "q143_embed_cov" ->
+      ("WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) " +
+        "AS idx, embedding FROM embeddings), " +
+        "xe AS (SELECT vec_id, CAST(idx - 1 AS INTEGER) AS i, " +
+        "CAST(embedding[idx] AS DOUBLE) AS xi FROM x), " +
+        "m AS (SELECT i, avg(xi) AS mi FROM xe GROUP BY 1), " +
+        "p AS (SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS eij " +
+        "FROM xe a JOIN xe b USING (vec_id) GROUP BY 1, 2) " +
+        "SELECT p.i, p.j, round(eij - ma.mi * mb.mi, 8) AS cov " +
+        "FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i " +
+        "ORDER BY 1, 2"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

@@ -1860,6 +1860,19 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Embedding covariance ([[operators.EmbeddingStats.moments]]): the
+    * distributed mean/outer-product pass behind PCA/whitening, emitted as
+    * the full d×d population covariance (0-based indices, 8dp). DuckDB
+    * rebuilds it from an unnest self-join.
+    */
+  def q143EmbedCov(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, cov) = operators.EmbeddingStats.moments(
+      Tables.loadEmbeddings(s, dir), "embedding")
+    operators.EmbeddingStats.covarianceDF(s, cov)
+      .select(col("i"), col("j"), round(col("cov"), 8).as("cov"))
+      .orderBy("i", "j")
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2052,6 +2065,7 @@ object TestQueries {
     "q140_source_report" -> (q140SourceReport _),
     "q141_pagerank" -> (q141PageRank _),
     "q142_logreg" -> (q142LogReg _),
+    "q143_embed_cov" -> (q143EmbedCov _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

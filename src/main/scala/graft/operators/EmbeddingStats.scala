@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level embedding statistics — the mean/covariance pass behind PCA,
+  * whitening and anisotropy diagnostics on an embedding column. The
+  * distributed part is ONE accumulation pass (per-partition outer-product
+  * sums, d + d² doubles per partition); eigen-extraction happens on the
+  * driver over the d×d matrix — the Lloyd-centroid budget, not a data
+  * collect.
+  */
+object EmbeddingStats {
+
+  /** One pass over the corpus → (n, mean[d], covariance[d][d]) (population
+    * covariance). Per-partition accumulators are merged in partition order
+    * (deterministic), so results are reproducible run-to-run on the same
+    * partitioning; the gate rounds away sub-1e-8 layout noise.
+    *
+    * Shape for scale: `mapPartitions` holds ONE (d + d²)-double
+    * accumulator per partition (the imperative-accumulator case the
+    * engine reserves mapPartitions for — a posexplode self-join would
+    * shuffle d²·N rows); the driver merges #partitions rows of d²+d+1
+    * doubles. d is validated uniform.
+    */
+  def moments(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    val partials = vecs.mapPartitions { it =>
+      var n = 0L
+      var sums: Array[Double] = null
+      var outer: Array[Double] = null
+      it.foreach { v =>
+        val x = v.toArray
+        if (sums == null) {
+          sums = new Array[Double](x.length)
+          outer = new Array[Double](x.length * x.length)
+        }
+        require(x.length == sums.length,
+          s"ragged embeddings: ${x.length} vs ${sums.length}")
+        n += 1
+        var i = 0
+        while (i < x.length) {
+          sums(i) += x(i)
+          var j = 0
+          while (j < x.length) { outer(i * x.length + j) += x(i) * x(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, sums.toSeq, outer.toSeq))
+    }.collect()
+    require(partials.nonEmpty, "moments of an empty corpus")
+    val d = partials.head._2.size
+    require(partials.forall(_._2.size == d), s"ragged embeddings across partitions")
+    val n = partials.map(_._1).sum
+    val sums = new Array[Double](d)
+    val outer = new Array[Double](d * d)
+    partials.foreach { case (_, s, o) =>
+      var i = 0
+      while (i < d) { sums(i) += s(i); i += 1 }
+      var k = 0
+      while (k < d * d) { outer(k) += o(k); k += 1 }
+    }
+    val mean = sums.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      outer(i * d + j) / n - mean(i) * mean(j))
+    (n, mean, cov)
+  }
+
+  /** The covariance matrix as a (i, j, cov) DataFrame — 0-based indices,
+    * d² rows (a local relation; broadcast-sized for any sane d).
+    */
+  def covarianceDF(spark: SparkSession, cov: Array[Array[Double]]): DataFrame = {
+    val rows = for (i <- cov.indices; j <- cov.indices)
+      yield Row(i, j, cov(i)(j))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("cov", DoubleType, nullable = false))))
+  }
+
+  /** Top-k principal directions by power iteration with deflation —
+    * driver-side over the d×d covariance (deterministic: fixed start
+    * 1/√d, fixed iteration count, sign fixed so the largest-|component|
+    * entry is positive, lowest index on ties). Returns unit vectors.
+    */
+  def pcaTopDirections(cov: Array[Array[Double]], k: Int,
+                       iterations: Int = 50): Seq[Array[Double]] = {
+    val d = cov.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]: $k")
+    val a = cov.map(_.clone())
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(i)(j) * v(j); j += 1 }
+        s
+      }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0.0) v else v.map(_ / nrm)
+    }
+    def signFix(v: Array[Double]): Array[Double] = {
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(-_) else v
+    }
+    (0 until k).map { _ =>
+      var v = normalize(Array.fill(d)(1.0))
+      var t = 0
+      while (t < iterations) { v = normalize(matVec(v)); t += 1 }
+      v = signFix(v)
+      // deflate: A ← A − λ v vᵀ so the next round finds the next direction
+      val av = matVec(v)
+      val lambda = v.zip(av).map { case (x, y) => x * y }.sum
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      v
+    }
+  }
+
+  /** Project the embedding column onto fixed directions: adds `pc0..pcK`,
+    * each a scan-side dot product against a literal vector (no shuffle,
+    * no join). The vector binds to a projected column first (HOF rule).
+    */
+  def project(df: DataFrame, vecCol: String,
+              directions: Seq[Array[Double]]): DataFrame = {
+    val bound = df.withColumn("__v", col(vecCol).cast("array<double>"))
+    directions.zipWithIndex.foldLeft(bound) { case (d0, (dir, k)) =>
+      d0.withColumn(s"pc$k",
+        aggregate(zip_with(col("__v"), lit(dir), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+    }.drop("__v")
+  }
+}

@@ -381,6 +381,11 @@ object ScaleCheck {
         // two md5-keyed compact shuffles + per-source rollup — corpus-linear
         graft.operators.CorpusPipeline.sourceReport(docs(dir)).count()
       },
+      "embed_cov" -> { dir =>
+        // one mapPartitions accumulation (d+d² doubles/partition) — the
+        // PCA/whitening prep pass, corpus-linear by construction
+        graft.operators.EmbeddingStats.moments(emb(dir), "embedding")._1
+      },
       "logreg" -> { dir =>
         // 5 GD rounds, each one gradient aggregate over pinned features —
         // corpus-linear with a fixed round count
