@@ -78,7 +78,15 @@ object DeltaRead {
       StructField("deletionVector", dvSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
       StructField("dataChange", BooleanType)))),
+    StructField("cdc", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType)))),
+    StructField("commitInfo", StructType(Seq(
+      StructField("timestamp", LongType),
+      StructField("inCommitTimestamp", LongType)))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
@@ -581,5 +589,122 @@ object DeltaRead {
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).map(_.getPath.getName)
       .collect { case CommitFile(v) => v.toLong }.toSeq.sorted
+  }
+
+  /** Change Data Feed over `[fromV, toV]` (protocol § Change Data Files):
+    * per commit, either the commit's explicit `cdc` files (row-level
+    * `_change_type` incl. update pre/post images, written by CDF-enabled
+    * DML) or — when a commit carries no cdc action — changes synthesized
+    * from its data-changing adds (`insert`) and removes (`delete`, reading
+    * the still-present tombstoned file), exactly the reader behavior the
+    * protocol specifies. Appends `_change_type`, `_commit_version`,
+    * `_commit_timestamp` (the commitInfo in-commit timestamp when present,
+    * else the commit file's mtime — the same source timestamp travel
+    * uses).
+    *
+    * Each commit's files scan through the same log-backed FileIndex path
+    * as a table read (partition values from the LOG, pruning intact); the
+    * per-version frames union, so plan size is O(versions in range) —
+    * the CDF consumer shape (bounded cursor ranges, like
+    * [[readAppendsBetween]]). Refused, not misread: column-mapped tables
+    * (cdc data columns would need the physical-name path while
+    * `_change_type` stays literal) and DV-carrying adds in cdc-less
+    * commits (row-level deltas a file-level synthesis cannot express).
+    */
+  def readChanges(spark: SparkSession, tablePath: String,
+                  fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val snap = snapshot(spark, tablePath, Some(toV))
+    require(snap.configuration
+        .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "readChanges on a column-mapped table is not supported")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fromV to toV
+    val paths = versions.map(v => v -> new Path(logDir, f"$v%020d.json"))
+    val missing = paths.filterNot(p => fs.exists(p._2))
+    require(missing.isEmpty,
+      s"commits missing for range [$fromV, $toV] (cleaned log?): " +
+        missing.map(_._2.getName).mkString(", "))
+    val withType = StructType(snap.schema.fields :+
+      StructField("_change_type", StringType))
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(logicalSchema(withType).fields ++ Seq(
+        StructField("_commit_version", LongType, nullable = false),
+        StructField("_commit_timestamp", LongType, nullable = false))))
+    val perVersion = paths.map { case (v, p) =>
+      val acts = spark.read.schema(actionSchema).json(p.toString)
+      // one bounded collect per commit: the commit's own action list
+      val rows = acts.select(col("add"), col("remove"), col("cdc"),
+        col("commitInfo.inCommitTimestamp").as("ict")).collect()
+      def pvOf(r: org.apache.spark.sql.Row, i: Int): Map[String, String] =
+        if (r.isNullAt(i)) Map.empty
+        else Option(r.getStruct(i).getAs[scala.collection.Map[String, String]](
+          "partitionValues")).map(_.toMap).getOrElse(Map.empty)
+      val cdcFiles = rows.filter(r => !r.isNullAt(2)).map { r =>
+        val c = r.getStruct(2)
+        (c.getAs[String]("path"), pvOf(r, 2),
+          Option(c.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L))
+      }.toSeq
+      val ts = rows.flatMap(r =>
+          if (r.isNullAt(3)) None else Some(r.getLong(3))).headOption
+        .getOrElse(fs.getFileStatus(p).getModificationTime)
+      val frame: Option[DataFrame] =
+        if (cdcFiles.nonEmpty) {
+          // explicit change files carry _change_type in their content
+          Some(scan(spark, tablePath, snap.copy(schema = withType,
+            files = cdcFiles.sortBy(_._1), dvs = Map.empty)))
+        } else {
+          val adds = rows.filter { r => !r.isNullAt(0) &&
+            Option(r.getStruct(0).getAs[java.lang.Boolean]("dataChange"))
+              .forall(_.booleanValue) }
+          val dvAdds = adds.filter(r => !r.getStruct(0).isNullAt(
+            r.getStruct(0).fieldIndex("deletionVector")))
+          require(dvAdds.isEmpty,
+            s"version $v adds files carrying deletion vectors without cdc" +
+              " files — row-level changes not reconstructable file-level")
+          val removes = rows.filter { r => !r.isNullAt(1) &&
+            Option(r.getStruct(1).getAs[java.lang.Boolean]("dataChange"))
+              .forall(_.booleanValue) }
+          def files(rs: Array[org.apache.spark.sql.Row], i: Int) =
+            rs.map { r =>
+              val s = r.getStruct(i)
+              val sz = if (i == 0)
+                Option(s.getAs[java.lang.Long]("size"))
+                  .map(_.toLong).getOrElse(0L)
+              else {
+                // removes carry no size — stat the (still present) file;
+                // absence means vacuum beat the CDF consumer: refuse
+                val abs = new Path(tablePath,
+                  new java.net.URI(s.getAs[String]("path")).getPath)
+                require(fs.exists(abs),
+                  s"version $v removes ${s.getAs[String]("path")} but the " +
+                    "file is gone (vacuumed) — change feed unavailable")
+                fs.getFileStatus(abs).getLen
+              }
+              (s.getAs[String]("path"), pvOf(r, i), sz)
+            }.toSeq.sortBy(_._1)
+          val ins =
+            if (adds.isEmpty) None
+            else Some(scan(spark, tablePath,
+                snap.copy(files = files(adds, 0), dvs = Map.empty))
+              .withColumn("_change_type", lit("insert")))
+          val del =
+            if (removes.isEmpty) None
+            else Some(scan(spark, tablePath,
+                snap.copy(files = files(removes, 1), dvs = Map.empty))
+              .withColumn("_change_type", lit("delete")))
+          (ins, del) match {
+            case (Some(a), Some(b)) => Some(a.unionByName(b))
+            case (a, b) => a.orElse(b)
+          }
+        }
+      frame.map(_.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(ts)))
+    }
+    perVersion.flatten
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyOut)
   }
 }
