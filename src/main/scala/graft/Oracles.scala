@@ -1670,6 +1670,15 @@ object Oracles {
         "FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i " +
         "ORDER BY 1, 2"),
 
+    // A-Res weighted sample: priority u^(1/weight) from the
+    // multiplicative-modulo uniform, top-20 by (priority, doc_id).
+    "q144_weighted_sample" ->
+      ("WITH w AS (SELECT doc_id, n_chars, " +
+        "power(CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0, " +
+        "1.0 / n_chars) AS p FROM documents WHERE n_chars > 0) " +
+        "SELECT doc_id, n_chars, round(p, 9) AS priority FROM w " +
+        "ORDER BY p DESC, doc_id LIMIT 20"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

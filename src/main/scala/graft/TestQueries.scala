@@ -1873,6 +1873,21 @@ object TestQueries {
       .orderBy("i", "j")
   }
 
+  /** Weighted sampling without replacement ([[operators.Splits.weightedSample]],
+    * A-Res): top-20 documents by `u^(1/n_chars)` priority. The gate swaps
+    * the production xxhash64 uniform for a multiplicative-modulo uniform
+    * both engines compute identically (the q64 bucketer pattern); the
+    * xxhash64 default is spec-covered.
+    */
+  def q144WeightedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.weightedSample(t(s, dir, "documents"),
+        "doc_id", "n_chars", k = 20,
+        uniform = c => ((c * 2654435761L) % 1000003L).cast("double")
+          / 1000003.0)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("__priority"), 9).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2066,6 +2081,7 @@ object TestQueries {
     "q141_pagerank" -> (q141PageRank _),
     "q142_logreg" -> (q142LogReg _),
     "q143_embed_cov" -> (q143EmbedCov _),
+    "q144_weighted_sample" -> (q144WeightedSample _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -59,6 +59,39 @@ object Splits {
     df.where(bucket(col(keyCol)) < percent)
   }
 
+  /** Default deterministic uniform in (0, 1): xxhash64 of the key,
+    * folded into 2⁴⁰ buckets with a half-bucket offset so 0 and 1 are
+    * never produced (a zero would give every weight the same priority).
+    */
+  def hashUniform(key: Column): Column =
+    (pmod(xxhash64(key), lit(1L << 40)).cast("double") + 0.5) /
+      lit((1L << 40).toDouble)
+
+  /** Weighted sampling WITHOUT replacement, k items with inclusion odds
+    * ∝ `weightCol` (Efraimidis–Spirakis A-Res): each row draws priority
+    * `u^(1/w)` from a deterministic uniform and the top-k priorities win.
+    * The sample-∝-quality corpus-mixing primitive (weight = quality score,
+    * token count, ...), with [[hashSplit]]'s auditability: membership is a
+    * pure function of the data — stable across runs, partitioning and
+    * appends (an appended row displaces at most the lowest survivor).
+    *
+    * Shape for scale: priority is a scan-side expression; selection is
+    * `orderBy(...).limit(k)` → TakeOrderedAndProject (per-partition top-k,
+    * K rows to the driver merge — never a global sort). Rows with
+    * non-positive weight are excluded (they'd get priority 0 anyway in the
+    * limit; excluding makes the contract explicit).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int,
+                     uniform: Column => Column = hashUniform): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.where(col(weightCol) > 0)
+      .withColumn("__priority",
+        pow(uniform(col(keyCol)), lit(1.0) / col(weightCol)))
+      .orderBy(col("__priority").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Exact-quota stratified sample: from each stratum, keep the first
     * `ceil(fraction · stratum_size)` rows in a deterministic pseudo-random
     * order (default: md5 of the key, key as tiebreaker). This is the

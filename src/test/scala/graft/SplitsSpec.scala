@@ -301,4 +301,34 @@ class SplitsSpec extends AnyFunSuite {
     // every chunk holds between 1 and `window` sentences
     got.foreach { case (_, _, n, _) => assert(n >= 1 && n <= 3) }
   }
+
+  test("weightedSample: A-Res priorities, weight dominance, stability") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = (1L to 100L).map(i => (i, if (i == 42L) 1.0e9 else 1.0))
+    val df = rows.toDF("id", "w")
+    val got = Splits.weightedSample(df, "id", "w", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // u^(1/1e9) ≈ 1 for any u in (0,1): the heavy row must be sampled
+    assert(got.contains(42L) && got.size === 5)
+    // membership is a pure function of the data: partitioning-independent
+    val got2 = Splits.weightedSample(df.repartition(7), "id", "w", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 === got)
+    // appending a row displaces at most one survivor
+    val got3 = Splits.weightedSample(
+        df.union(Seq((1000L, 1.0)).toDF("id", "w")), "id", "w", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((got intersect got3).size >= 4)
+    // non-positive weights are excluded outright
+    val zw = Splits.weightedSample(
+        Seq((1L, 0.0), (2L, -3.0), (3L, 2.0)).toDF("id", "w"),
+        "id", "w", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(zw === Seq(3L))
+    // hand-checked priority: uniform fixed at 0.25, w = 2 → priority 0.5
+    val p = Splits.weightedSample(Seq((7L, 2.0)).toDF("id", "w"),
+        "id", "w", k = 1, uniform = _ => lit(0.25))
+      .select(col("__priority")).head.getDouble(0)
+    assert(math.abs(p - 0.5) < 1e-15)
+  }
 }
