@@ -1679,6 +1679,34 @@ object Oracles {
         "SELECT doc_id, n_chars, round(p, 9) AS priority FROM w " +
         "ORDER BY p DESC, doc_id LIMIT 20"),
 
+    // Triangle stats: degree-oriented closure replayed; wedge total is the
+    // center-counted sum C(deg, 2).
+    "q145_triangles" ->
+      ("WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "e0 AS (SELECT doc_id AS s, (doc_id + 1) % mn.n AS t " +
+        "FROM documents, mn " +
+        "UNION ALL SELECT doc_id, (doc_id + 2) % mn.n FROM documents, mn " +
+        "WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, (doc_id + 3) % mn.n FROM documents, mn " +
+        "WHERE doc_id % 3 = 0), " +
+        "und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b " +
+        "FROM e0 WHERE s <> t), " +
+        "deg AS (SELECT v, count(*) AS d FROM " +
+        "(SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u, " +
+        "CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS w, " +
+        "CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dw " +
+        "FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v), " +
+        "cand AS (SELECT o1.w AS u, o2.w AS w FROM o o1 JOIN o o2 " +
+        "ON o1.u = o2.u WHERE (o1.dw, o1.w) < (o2.dw, o2.w)), " +
+        "tri AS (SELECT count(*) AS nt FROM cand JOIN " +
+        "(SELECT u, w FROM o) x USING (u, w)), " +
+        "agg AS (SELECT (SELECT count(*) FROM und) AS n_edges, " +
+        "(SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges, " +
+        "(SELECT nt FROM tri) AS n_triangles) " +
+        "SELECT n_edges, n_wedges, n_triangles, " +
+        "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff FROM agg"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

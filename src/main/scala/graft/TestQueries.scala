@@ -1888,6 +1888,30 @@ object TestQueries {
         round(col("__priority"), 9).as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
 
+  /** Triangle counting ([[operators.Graphs.triangleStats]]) over a second
+    * derived doc graph (steps +1 always, +2 for even ids, +3 for ids
+    * divisible by 3, mod N — 1+2=3 closes triangles): edge/wedge/triangle
+    * counts and the global clustering coefficient, all exact. DuckDB
+    * replays orientation, wedge join and closure.
+    */
+  def q145Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 2) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 3) % col("n")).as("dst")))
+    operators.Graphs.triangleStats(edges)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(col("clustering_coeff"), 6).as("clustering_coeff"))
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2082,6 +2106,7 @@ object TestQueries {
     "q142_logreg" -> (q142LogReg _),
     "q143_embed_cov" -> (q143EmbedCov _),
     "q144_weighted_sample" -> (q144WeightedSample _),
+    "q145_triangles" -> (q145Triangles _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

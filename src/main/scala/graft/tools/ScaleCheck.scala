@@ -413,6 +413,24 @@ object ScaleCheck {
               ((col("doc_id") + 101) % col("n")).as("dst")))
         graft.operators.Graphs.pageRank(edges, iterations = 10).count()
       },
+      "triangles" -> { dir =>
+        // degree-oriented closure; replica ids collapse onto the base
+        // modulo range (hub degrees grow rep×) — orientation must keep the
+        // wedge join bounded anyway
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val b = d.crossJoin(broadcast(nDf))
+        val edges = b.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(b.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 2) % col("n")).as("dst")))
+          .union(b.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 3) % col("n")).as("dst")))
+        graft.operators.Graphs.triangleStats(edges)
+          .head.getLong(2)
+      },
       "expanding_folds_unique_ts" -> { dir =>
         // the adversarial shape for time-fold cutting: every row carries a
         // UNIQUE microsecond timestamp, so distinct-ts ≈ N and a naive

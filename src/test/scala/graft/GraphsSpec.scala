@@ -41,4 +41,33 @@ class GraphsSpec extends AnyFunSuite {
     val r = ranks(Seq((1L, 2L), (2L, 3L)), iters = 0)
     assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+    val r = Graphs.triangleStats(edges.toDF("src", "dst")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("triangleStats: K4 has 4 triangles and coefficient 1") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val (e, w, t, c) = tri(k4)
+    assert(e === 6L && w === 12L && t === 4L && c === 1.0)
+  }
+
+  test("triangleStats: a path has wedges but no triangles") {
+    val (e, w, t, c) = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(e === 3L && w === 2L && t === 0L && c === 0.0)
+  }
+
+  test("triangleStats: duplicates, reversals and self-loops collapse") {
+    // the same triangle asserted three redundant ways + a self-loop
+    val (e, w, t, _) = tri(Seq((1L, 2L), (2L, 1L), (1L, 2L),
+      (2L, 3L), (3L, 1L), (1L, 1L)))
+    assert(e === 3L && w === 3L && t === 1L)
+  }
+
+  test("triangleStats: hub wedges are counted at the center") {
+    // star K1,3: 3 wedges centered at the hub, none elsewhere
+    val (_, w, t, c) = tri(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(w === 3L && t === 0L && c === 0.0)
+  }
 }
