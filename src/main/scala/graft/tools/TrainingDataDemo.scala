@@ -163,6 +163,59 @@ object TrainingDataDemo {
     println(s"delta: ${back.count()} rows published at $deltaDir " +
       s"(v${graft.sources.DeltaRead.snapshot(spark, deltaDir).version})")
 
+    // 16. corpus composition report + sample-∝-quality draw for a
+    // human-review batch (deterministic: re-runs review the same docs)
+    CorpusPipeline.sourceReport(canonical).orderBy(col("share").desc)
+      .show(5, truncate = false)
+    val review = Splits.weightedSample(
+      curated.where(col("quality") > 0), "doc_id", "quality", k = 25)
+    println(s"review batch: ${review.count()} docs drawn ∝ quality")
+
+    // 17. train the learned quality/language filter (distributed GD) and
+    // score the pool; BM25 retrieves audit examples for a probe query
+    val fcols = Seq("f0", "f1", "f2", "f3")
+    val feats = graft.operators.Classify.textFeatures(canonical, "doc_id", "text")
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+    val wts = graft.operators.Classify.trainLogistic(feats, fcols, "y",
+      iterations = 20, lr = 2.0)
+    val scored = graft.operators.Classify.scoreLogistic(feats, fcols, wts)
+    scored.groupBy("y").agg(round(avg("p"), 4).as("mean_score"),
+      count(lit(1)).as("n")).orderBy("y").show(truncate = false)
+    graft.operators.Retrieval.bm25(canonical, "doc_id", "text",
+      Seq("spark", "join", "window"), topK = 3).show(truncate = false)
+
+    // 18. embedding-space geometry: covariance spectrum (top-2 principal
+    // directions) — the anisotropy check before trusting cosine distances
+    val (nv, _, cov) = graft.operators.EmbeddingStats.moments(emb, "embedding")
+    val dirs = graft.operators.EmbeddingStats.pcaTopDirections(cov, k = 2)
+    val proj = graft.operators.EmbeddingStats.project(emb, "embedding", dirs)
+    val varTot = cov.indices.map(i => cov(i)(i)).sum
+    val pcVar = proj.agg(var_pop(col("pc0")).as("v0"), var_pop(col("pc1")).as("v1")).head
+    println(f"pca: $nv vecs, top-2 directions explain " +
+      f"${(pcVar.getDouble(0) + pcVar.getDouble(1)) / varTot * 100}%.1f%% of variance")
+
+    // 19. relationship structure over the dedup graph: PageRank authority
+    // + triangle clustering on verified near-dup pairs (template families
+    // show up as dense, high-coefficient clusters)
+    val dupPairs = Dedup.minhashCandidatePairs(canonical, "doc_id", "text")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    if (!dupPairs.isEmpty) {
+      graft.operators.Graphs.triangleStats(dupPairs).show(truncate = false)
+      graft.operators.Graphs.pageRank(dupPairs.unionByName(
+          dupPairs.select(col("dst").as("src"), col("src").as("dst"))),
+          iterations = 5)
+        .orderBy(col("pr").desc).limit(5).show(truncate = false)
+    }
+
+    // 20. incremental consumption: append a second batch to the Delta
+    // table and tail the change feed — the downstream-trainer handoff
+    val v1 = graft.sources.DeltaExport.append(
+      canonical.where(col("doc_id") < 10)
+        .select("doc_id", "lang", "source", "text"), deltaDir)
+    val feed = graft.sources.DeltaRead.readChanges(spark, deltaDir, v1, v1)
+    println(s"change feed v$v1: " + feed.groupBy("_change_type").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+
     spark.stop()
   }
 }
