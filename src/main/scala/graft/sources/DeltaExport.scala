@@ -103,11 +103,29 @@ object DeltaExport {
     val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // local/HDFS rename won't clobber an existing dest; re-check first for
-    // object stores whose rename overwrites silently
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new CommitConflict(v, table)
+    val scheme = Option(fs.getUri).map(_.getScheme).getOrElse("")
+    if (scheme == "file") {
+      // POSIX rename(2) — what Hadoop's local rename compiles down to —
+      // silently CLOBBERS an existing destination, so two racing writers
+      // can both "win" the same version and one commit is lost (observed
+      // as a missing version under a two-thread append race). link(2) is
+      // the local-filesystem put-if-absent: atomic, fails if dest exists.
+      val destFile = java.nio.file.Paths.get(fs.makeQualified(dest).toUri)
+      val tmpFile = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+      try {
+        java.nio.file.Files.createLink(destFile, tmpFile)
+        java.nio.file.Files.deleteIfExists(tmpFile)
+      } catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmpFile)
+        throw new CommitConflict(v, table)
+      }
+    } else {
+      // HDFS rename is atomic no-clobber; re-check exists() first for
+      // object stores whose rename overwrites silently
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        throw new CommitConflict(v, table)
+      }
     }
   }
 
