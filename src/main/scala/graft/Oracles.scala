@@ -1707,6 +1707,39 @@ object Oracles {
         "SELECT n_edges, n_wedges, n_triangles, " +
         "round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff FROM agg"),
 
+    // Local clustering: q145's closure with the apex carried; each
+    // triangle credits all three corners; coeff = nt / C(deg, 2).
+    "q146_local_clustering" ->
+      ("WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "e0 AS (SELECT doc_id AS s, (doc_id + 1) % mn.n AS t " +
+        "FROM documents, mn " +
+        "UNION ALL SELECT doc_id, (doc_id + 2) % mn.n FROM documents, mn " +
+        "WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, (doc_id + 3) % mn.n FROM documents, mn " +
+        "WHERE doc_id % 3 = 0), " +
+        "und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b " +
+        "FROM e0 WHERE s <> t), " +
+        "deg AS (SELECT v, count(*) AS d FROM " +
+        "(SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u, " +
+        "CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS w, " +
+        "CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dw " +
+        "FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v), " +
+        "cand AS (SELECT o1.u AS apex, o1.w AS w1, o2.w AS w2 " +
+        "FROM o o1 JOIN o o2 ON o1.u = o2.u " +
+        "WHERE (o1.dw, o1.w) < (o2.dw, o2.w)), " +
+        "closed AS (SELECT c.apex, c.w1, c.w2 FROM cand c " +
+        "JOIN o ON c.w1 = o.u AND c.w2 = o.w), " +
+        "pv AS (SELECT v, count(*) AS nt FROM " +
+        "(SELECT apex AS v FROM closed UNION ALL SELECT w1 FROM closed " +
+        "UNION ALL SELECT w2 FROM closed) GROUP BY 1) " +
+        "SELECT d.v, d.d AS degree, COALESCE(pv.nt, 0) AS n_triangles, " +
+        "round(COALESCE(pv.nt, 0) / (d.d * (d.d - 1) / 2), 6) " +
+        "AS clustering_coeff FROM deg d LEFT JOIN pv USING (v) " +
+        "WHERE d.d >= 2 " +
+        "ORDER BY COALESCE(pv.nt, 0) / (d.d * (d.d - 1) / 2) DESC, d.v " +
+        "LIMIT 20"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

@@ -1912,6 +1912,31 @@ object TestQueries {
         round(col("clustering_coeff"), 6).as("clustering_coeff"))
   }
 
+  /** Local clustering coefficients ([[operators.Graphs.localClustering]])
+    * on the q145 graph: top-20 vertices by `tri(v)/C(deg,2)` (the ratio is
+    * exact-integer arithmetic — bit-identical cross-engine), vertex id
+    * tiebreak.
+    */
+  def q146LocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 2) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 3) % col("n")).as("dst")))
+    operators.Graphs.localClustering(edges)
+      .orderBy(col("clustering_coeff").desc, col("v"))
+      .limit(20)
+      .select(col("v"), col("degree"), col("n_triangles"),
+        round(col("clustering_coeff"), 6).as("clustering_coeff"))
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2107,6 +2132,7 @@ object TestQueries {
     "q143_embed_cov" -> (q143EmbedCov _),
     "q144_weighted_sample" -> (q144WeightedSample _),
     "q145_triangles" -> (q145Triangles _),
+    "q146_local_clustering" -> (q146LocalClustering _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -90,6 +90,51 @@ object Graphs {
       .toDF("n_edges", "n_wedges", "n_triangles", "clustering_coeff")
   }
 
+  /** Per-vertex triangle counts and local clustering coefficients
+    * `tri(v) / C(deg(v), 2)` for vertices with degree ≥ 2 — the
+    * community-core signal (template families in a dup graph are
+    * high-coefficient clusters; bridges are low). Same degree-oriented
+    * closure as [[triangleStats]], with the apex carried so each found
+    * triangle credits all three corners (one explode + a vertex-keyed
+    * count — compact shuffles only). The coefficient is a ratio of exact
+    * integers, so it is bit-identical cross-engine.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("da").as("dw"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+      .localCheckpoint()
+    val triangles = oriented
+      .select(col("u").as("apex"), col("w").as("w1"), col("dw").as("d1"))
+      .join(oriented.select(col("u").as("apex"), col("w").as("w2"),
+        col("dw").as("d2")), "apex")
+      .where(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+      .join(oriented.select(col("u").as("w1"), col("w").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+    val perVertex = triangles
+      .select(explode(array(col("apex"), col("w1"), col("w2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.where(col("d") >= 2)
+      .join(perVertex, Seq("v"), "left")
+      .select(col("v"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (coalesce(col("n_triangles"), lit(0L)) /
+          (col("d") * (col("d") - 1) / 2)).as("clustering_coeff"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
                checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 0, s"iterations must be ≥ 0: $iterations")

@@ -70,4 +70,19 @@ class GraphsSpec extends AnyFunSuite {
     val (_, w, t, c) = tri(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
     assert(w === 3L && t === 0L && c === 0.0)
   }
+
+  test("localClustering: triangle credits all corners, bridges score low") {
+    // a triangle {1,2,3} plus a pendant edge 3-4: vertices 1,2 have
+    // coeff 1; vertex 3 has deg 3 → 1/C(3,2) = 1/3; vertex 4 (deg 1)
+    // is excluded
+    val got = Graphs.localClustering(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((2L, 1L, 1.0)) && got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L)._1 === 3L && got(3L)._2 === 1L)
+    assert(math.abs(got(3L)._3 - 1.0 / 3) < 1e-15)
+  }
 }
