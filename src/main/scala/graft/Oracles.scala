@@ -1740,6 +1740,22 @@ object Oracles {
         "ORDER BY COALESCE(pv.nt, 0) / (d.d * (d.d - 1) / 2) DESC, d.v " +
         "LIMIT 20"),
 
+    // Exact Jaccard join ground truth: FULL inverted-index pair join (no
+    // prefix filter), so a hash match proves the filter lost no pair.
+    "q147_jaccard_join" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(" +
+        "string_split(text, ' '), x -> len(x) > 0))) AS tok FROM documents), " +
+        "sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM toks a JOIN toks b USING (tok) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "j AS (SELECT id_a, id_b, " +
+        "CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jac " +
+        "FROM p JOIN sz sa ON id_a = sa.doc_id " +
+        "JOIN sz sb ON id_b = sb.doc_id) " +
+        "SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j " +
+        "WHERE jac >= 0.9 ORDER BY 1, 2"),
+
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by
     // (cos desc, nbr id), majority vote with ties to the smallest label.

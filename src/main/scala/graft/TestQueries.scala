@@ -1937,6 +1937,18 @@ object TestQueries {
         round(col("clustering_coeff"), 6).as("clustering_coeff"))
   }
 
+  /** Exact set-similarity join ([[operators.Dedup.jaccardJoinExact]],
+    * prefix filtering): ALL pairs with token-set Jaccard ≥ 0.9 — no LSH
+    * recall caveat. The DuckDB oracle computes ground truth from the full
+    * inverted-index join, so this also PROVES the prefix filter's
+    * completeness on real data.
+    */
+  def q147JaccardJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.jaccardJoinExact(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2133,6 +2145,7 @@ object TestQueries {
     "q144_weighted_sample" -> (q144WeightedSample _),
     "q145_triangles" -> (q145Triangles _),
     "q146_local_clustering" -> (q146LocalClustering _),
+    "q147_jaccard_join" -> (q147JaccardJoin _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -755,4 +755,57 @@ object Dedup {
     df.select(col(idCol))
       .join(victims, col(idCol) === col("victim"), "left_anti")
   }
+
+  /** EXACT set-similarity join — every pair with token-set Jaccard ≥
+    * `threshold`, no LSH recall caveat — via prefix filtering (the
+    * PPJoin family): order each document's distinct tokens globally by
+    * (frequency asc, token), keep only the first `|d| − ⌈t·|d|⌉ + 1` as
+    * its PREFIX, and generate candidates from prefix-token collisions.
+    * Complete by the standard argument: J(a,b) ≥ t forces overlap
+    * o ≥ t·|a| (and t·|b|), so the globally-smallest shared token sits at
+    * rank ≤ |a| − o + 1 ≤ prefix length in BOTH prefixes.
+    *
+    * Shape for scale: the candidate join runs on PREFIX tokens only,
+    * which the (freq asc) order makes the RAREST tokens in the corpus —
+    * bucket sizes are small by construction, the exact inverse of the
+    * hot-token blow-up a naive inverted-index join hits. Verification
+    * counts intersections only over candidate pairs (semi-join-scoped,
+    * like `containmentVerify`), never re-joining the full corpus.
+    * Returns (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          filter(split(col(textCol), " "), t => length(t) > 0))).as("tok"))
+      .localCheckpoint() // feeds frequency, prefix and verification
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("tf"), col("tok"))))
+      .join(sizes, "id")
+      .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "tok")
+    val cands = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), "tok")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cands
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")),
+        Seq("id_b", "tok"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("i") / (col("sz_a") + col("sz_b") - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -413,6 +413,12 @@ object ScaleCheck {
               ((col("doc_id") + 101) % col("n")).as("dst")))
         graft.operators.Graphs.pageRank(edges, iterations = 10).count()
       },
+      "jaccard_join" -> { dir =>
+        // prefix-filtered exact set-similarity join; vowel-permuted
+        // replicas have disjoint-ish vocabularies, so candidate buckets
+        // stay per-replica — corpus-linear
+        Dedup.jaccardJoinExact(docs(dir), "doc_id", "text", 0.9).count()
+      },
       "triangles" -> { dir =>
         // degree-oriented closure; replica ids collapse onto the base
         // modulo range (hub degrees grow rep×) — orientation must keep the

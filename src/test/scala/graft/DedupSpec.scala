@@ -456,4 +456,37 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(hand < 0.5, s"fixture not asymmetric enough: jaccard=$hand")
   }
+
+  test("jaccardJoinExact: complete vs brute force, threshold gates, prefix prunes") {
+    // distinctive vocabularies so the prefix filter has something to prune
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),        // J(1,2) = 4/6 = 0.667
+      (3L, "alpha beta gamma delta epsilon"),     // J(1,3) = 1.0
+      (4L, "omega psi chi phi upsilon"),          // disjoint-ish
+      (5L, "omega psi chi phi tau")               // J(4,5) = 4/6
+    ).toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long)] = {
+      val sets = Map(
+        1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta zeta",
+        3L -> "alpha beta gamma delta epsilon", 4L -> "omega psi chi phi upsilon",
+        5L -> "omega psi chi phi tau").map { case (k, v) => k -> v.split(" ").toSet }
+      (for (a <- sets.keys; b <- sets.keys if a < b) yield {
+        val i = sets(a).intersect(sets(b)).size.toDouble
+        val j = i / sets(a).union(sets(b)).size
+        (a, b, j)
+      }).filter(_._3 >= t).map(x => (x._1, x._2)).toSet
+    }
+    for (t <- Seq(0.5, 0.7, 0.99)) {
+      val got = Dedup.jaccardJoinExact(docs, "doc_id", "text", t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute(t), s"threshold $t")
+    }
+    // jaccard values are exact
+    val j13 = Dedup.jaccardJoinExact(docs, "doc_id", "text", 0.9)
+      .where(col("id_a") === 1 && col("id_b") === 3)
+      .select("jaccard").head.getDouble(0)
+    assert(j13 === 1.0)
+  }
 }
