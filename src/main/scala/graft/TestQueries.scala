@@ -1949,6 +1949,25 @@ object TestQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Mergeable HLL distinct sketches ([[operators.Sketches.distinctSketches]]):
+    * per-source distinct-token estimates plus the `__all__` row computed by
+    * UNIONING the per-source sketches (never rescanning tokens). Rows-only
+    * (datasketches estimates have no DuckDB mirror); SketchSpec gates
+    * accuracy and lossless mergeability.
+    */
+  def q148HllSketches(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val perSource = operators.Sketches.distinctSketches(
+      toks, Seq("source"), "tok")
+    operators.Sketches.estimate(perSource)
+      .select(col("source"), col("distinct_est"))
+      .unionByName(operators.Sketches.unionSketches(perSource)
+        .select(lit("__all__").as("source"), col("distinct_est")))
+      .orderBy("source")
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2146,6 +2165,7 @@ object TestQueries {
     "q145_triangles" -> (q145Triangles _),
     "q146_local_clustering" -> (q146LocalClustering _),
     "q147_jaccard_join" -> (q147JaccardJoin _),
+    "q148_hll_sketches" -> (q148HllSketches _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

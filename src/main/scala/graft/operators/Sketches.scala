@@ -34,4 +34,37 @@ object Sketches {
       new java.io.ByteArrayInputStream(bytes))
     probes.map(t => t -> cms.estimateCount(t))
   }
+
+  /** Per-group HLL distinct-count SKETCHES (Apache DataSketches via
+    * Spark's `hll_sketch_agg`) — not just estimates: the returned `sketch`
+    * column is a mergeable binary summary. That mergeability is the
+    * 100 TB pattern: sketch each partition/day/source ONCE at ingest,
+    * persist the bytes (KBs per group at `lgK`=12, ~2.5% rel. error), and
+    * answer any later union — all-time distincts, rollups across sources,
+    * cross-vintage overlap-free counts — by merging sketches with
+    * [[unionSketches]], never rescanning the corpus.
+    */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK out of datasketches range: $lgK")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+  }
+
+  /** Merge sketch rows down to `groupCols` (empty = one global row) and
+    * estimate — the no-rescan rollup over [[distinctSketches]] output.
+    */
+  def unionSketches(sketches: DataFrame, groupCols: Seq[String] = Nil,
+                    allowDifferentLgK: Boolean = false): DataFrame = {
+    val u = s"hll_union_agg(sketch, $allowDifferentLgK)"
+    val merged =
+      if (groupCols.isEmpty) sketches.agg(expr(u).as("sketch"))
+      else sketches.groupBy(groupCols.map(col): _*).agg(expr(u).as("sketch"))
+    merged.withColumn("distinct_est",
+      expr("hll_sketch_estimate(sketch)"))
+  }
+
+  /** Estimates for sketch rows (adds `distinct_est`). */
+  def estimate(sketches: DataFrame): DataFrame =
+    sketches.withColumn("distinct_est", expr("hll_sketch_estimate(sketch)"))
 }

@@ -36,4 +36,31 @@ class SketchSpec extends AnyFunSuite {
       Seq("__definitely_not_a_token__"), eps = eps).head._2
     assert(est <= math.ceil(eps * total).toLong)
   }
+
+  test("HLL sketches: per-group accuracy, lossless union, no-rescan rollup") {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode, lit, sequence}
+    val spark2 = spark
+    import spark2.implicits._
+    // two groups with overlapping value ranges (union must dedupe)
+    val df = Seq.tabulate(30000)(i => (if (i % 2 == 0) "a" else "b", i % 9000))
+      .toDF("g", "v")
+    val perGroup = Sketches.distinctSketches(df, Seq("g"), "v")
+    val est = Sketches.estimate(perGroup).collect()
+      .map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+    val exact = df.groupBy("g").agg(countDistinct("v").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.05, s"group $g: ${est(g)} vs $n")
+    }
+    // union of per-group sketches == sketching the whole stream: HLL
+    // union at equal lgK is lossless, so the estimates are EQUAL
+    val merged = Sketches.unionSketches(perGroup).head.getLong(1)
+    val direct = Sketches.estimate(
+      Sketches.distinctSketches(df.withColumn("g", lit("all")), Seq("g"), "v"))
+      .head.getLong(2)
+    assert(merged === direct)
+    // and the rollup is accurate vs the exact global distinct (9000)
+    val exactAll = df.agg(countDistinct("v")).head.getLong(0)
+    assert(math.abs(merged.toDouble - exactAll) / exactAll < 0.05)
+  }
 }
