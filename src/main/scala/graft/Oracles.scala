@@ -144,6 +144,36 @@ object Oracles {
       s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled synchronous label propagation over the q141 derived graph —
+    * one (count, arg-max) CTE pair per round mirroring
+    * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
+    * init label = node id, adopt by (neighbour-label count desc, label).
+    */
+  private def labelPropSql(iters: Int): String = {
+    val head =
+      "WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "e0 AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+      "FROM documents, mn " +
+      "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n FROM documents, mn " +
+      "WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, (doc_id + 101) % mn.n FROM documents, mn " +
+      "WHERE doc_id % 3 = 0), " +
+      "und AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT src, dst FROM e0 WHERE src <> dst " +
+      "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), " +
+      "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)"
+    val rounds = (1 to iters).map { k =>
+      s"c$k AS (SELECT u.src, l.lbl, count(*) AS c FROM und u " +
+        s"JOIN l${k - 1} l ON u.dst = l.node GROUP BY 1, 2), " +
+        s"l$k AS (SELECT src AS node, lbl FROM (SELECT src, lbl, " +
+        "row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn " +
+        s"FROM c$k) WHERE rn = 1)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT node, CAST(lbl AS BIGINT) AS community FROM l$iters " +
+      "ORDER BY node"
+  }
+
   /** Unrolled batch gradient descent for the q142 logistic regression —
     * one CTE per round mirroring `Classify.trainLogistic`'s float recipe:
     * zero init, margin as the left-assoc 4-term dot product, update
@@ -1755,6 +1785,63 @@ object Oracles {
         "JOIN sz sb ON id_b = sb.doc_id) " +
         "SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j " +
         "WHERE jac >= 0.9 ORDER BY 1, 2"),
+
+    // Edit-distance≤1 ground truth: brute-force levenshtein over all
+    // ordered pairs — a hash match proves the deletion-neighborhood
+    // blocking (SymSpell) generated every candidate.
+    "q149_edit_distance" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY 1, 2"),
+
+    // Rolling z-score anomalies: the same strictly-trailing 20-row keyed
+    // frame, (ts, event_id) total order, n ≥ 5 and sigma > 0 guards.
+    "q150_anomaly" ->
+      ("WITH w AS (SELECT user_id, event_id, value, " +
+        "avg(value) OVER win AS mu, stddev_samp(value) OVER win AS sigma, " +
+        "count(value) OVER win AS n " +
+        "FROM events WINDOW win AS (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, event_id, value, " +
+        "round((value - mu) / sigma, 4) AS zscore " +
+        "FROM w WHERE n >= 5 AND sigma > 0 " +
+        "AND abs((value - mu) / sigma) > 3.0 ORDER BY 1, 2"),
+
+    // Token↔source MI: occurrence-count joint/marginals, natural log,
+    // rank on the unrounded MI, final order by token.
+    "q151_token_mi" ->
+      ("WITH occ AS (SELECT source AS cls, " +
+        "unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) " +
+        "AS tok FROM documents), " +
+        "j AS (SELECT tok, cls, count(*) AS ntc FROM occ GROUP BY 1, 2), " +
+        "tm AS (SELECT tok, sum(ntc) AS nt FROM j GROUP BY 1 " +
+        "HAVING sum(ntc) >= 50), " +
+        "cm AS (SELECT cls, sum(ntc) AS nc FROM j GROUP BY 1), " +
+        "tot AS (SELECT sum(ntc) AS ntot FROM j), " +
+        "mi AS (SELECT j.tok, tm.nt, " +
+        "sum((ntc / ntot) * ln((ntc * ntot) / (nt * nc))) AS mi " +
+        "FROM j JOIN tm USING (tok) JOIN cm USING (cls) CROSS JOIN tot " +
+        "GROUP BY 1, 2), " +
+        "top AS (SELECT tok, nt, mi, row_number() OVER " +
+        "(ORDER BY mi DESC, tok) AS rk FROM mi) " +
+        "SELECT tok, CAST(nt AS BIGINT) AS n, round(mi, 6) AS mi " +
+        "FROM top WHERE rk <= 50 ORDER BY tok"),
+
+    // Robust scaling: exact interpolated quantiles (quantile_cont ≡
+    // Spark percentile), median/IQR z clipped to ±3, IQR 0 → 0.
+    "q152_robust_scale" ->
+      ("WITH st AS (SELECT source, " +
+        "quantile_cont(n_chars, 0.25) AS q25, " +
+        "quantile_cont(n_chars, 0.5) AS med, " +
+        "quantile_cont(n_chars, 0.75) AS q75 FROM documents GROUP BY 1) " +
+        "SELECT doc_id, d.source, n_chars, " +
+        "round(CASE WHEN q75 = q25 THEN 0.0 ELSE " +
+        "greatest(-3.0, least(3.0, (n_chars - med) / (q75 - q25))) END, 4) " +
+        "AS robust_z FROM documents d JOIN st USING (source) " +
+        "ORDER BY doc_id"),
+
+    "q153_communities" -> labelPropSql(5),
 
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by

@@ -1968,6 +1968,79 @@ object TestQueries {
       .orderBy("source")
   }
 
+  /** Exact edit-distance≤1 record linkage ([[operators.Dedup.editDistanceJoin]]):
+    * SymSpell deletion-neighborhood blocking over customer names, then
+    * `levenshtein` verification. The oracle is the UNBLOCKED brute-force
+    * levenshtein join, so the gate hash-match proves the deletion blocks
+    * are a complete candidate generator on real keys.
+    */
+  def q149EditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceJoin(t(s, dir, "customer"), "c_custkey", "c_name",
+        maxDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+
+  /** Rolling z-score anomaly screen ([[operators.Timeseries.rollingAnomalies]]):
+    * events whose value sits > 3 trailing-window standard deviations from
+    * the same user's previous 20 observations. DuckDB replays the keyed
+    * trailing frame (ts + event_id total order) exactly.
+    */
+  def q150Anomaly(s: SparkSession, dir: String): DataFrame =
+    Timeseries.rollingAnomalies(t(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "value",
+        lookback = 20, zThreshold = 3.0, minPoints = 5)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("zscore"), 4).as("zscore"))
+      .orderBy("user_id", "event_id")
+
+  /** Token↔source mutual information ([[operators.Quality.tokenClassMI]]):
+    * the top source-discriminating tokens over occurrence counts. Ranking
+    * happens on the unrounded MI in both engines; the output re-sorts by
+    * token so summation-order ulps can't reorder rounded ties.
+    */
+  def q151TokenMi(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.tokenClassMI(t(s, dir, "documents"), "text", "source",
+        minCount = 50, topN = 50)
+      .select(col("tok"), col("n").cast("long").as("n"),
+        round(col("mi"), 6).as("mi"))
+      .orderBy("tok")
+
+  /** Per-source robust scaling ([[operators.Analytics.robustScale]]):
+    * median/IQR calibration of document lengths within each source —
+    * exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), ±3 clip.
+    */
+  def q152RobustScale(s: SparkSession, dir: String): DataFrame =
+    Analytics.robustScale(t(s, dir, "documents"), "source", "n_chars",
+        clip = 3.0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("robust_z"), 4).as("robust_z"))
+      .orderBy("doc_id")
+
+  /** Deterministic label-propagation communities
+    * ([[operators.Graphs.labelPropagation]]): 5 synchronous rounds with
+    * (count desc, label asc) adoption over the q141 ring+chords graph;
+    * DuckDB unrolls the rounds as CTEs and must land every node in the
+    * identical community.
+    */
+  def q153Communities(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 101) % col("n")).as("dst")))
+    operators.Graphs.labelPropagation(edges, iterations = 5)
+      .select(col("node"), col("community").cast("long").as("community"))
+      .orderBy("node")
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2166,6 +2239,11 @@ object TestQueries {
     "q146_local_clustering" -> (q146LocalClustering _),
     "q147_jaccard_join" -> (q147JaccardJoin _),
     "q148_hll_sketches" -> (q148HllSketches _),
+    "q149_edit_distance" -> (q149EditDistance _),
+    "q150_anomaly" -> (q150Anomaly _),
+    "q151_token_mi" -> (q151TokenMi _),
+    "q152_robust_scale" -> (q152RobustScale _),
+    "q153_communities" -> (q153Communities _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

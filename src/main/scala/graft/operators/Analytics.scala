@@ -220,4 +220,38 @@ object Analytics {
           .as("share"))
       .orderBy(col("n").desc, col(key)).limit(topN)
   }
+
+  /** Per-group robust scaling — median/IQR standardization of a score
+    * column WITHIN each group, the cross-source calibration step that
+    * makes quality scores comparable before a global threshold or
+    * mixture weighting is applied (a raw "length" or "perplexity" cut
+    * means different things in different sources; a robust z of +3 means
+    * the same thing everywhere). Median/IQR rather than mean/stddev so a
+    * source's own outliers don't stretch its scale.
+    *
+    * robust_z = clip((x − median) / (q75 − q25), ±clip); groups with a
+    * degenerate IQR of 0 scale to 0 (every value is "typical").
+    *
+    * Shape for scale: ONE exact-percentile aggregate per group (Spark's
+    * `percentile` — a partial-aggregable sketchless digest; swap in
+    * `percentile_approx` at petabyte group sizes), broadcast back onto
+    * the rows — no window over the fact, no per-row shuffle beyond the
+    * one the group join needs; with few groups the join is a broadcast
+    * hash join and the fact never shuffles at all.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String,
+                  clip: Double = 3.0): DataFrame = {
+    require(clip > 0, s"clip must be positive: $clip")
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.25)).as("__q25"),
+        percentile(v, lit(0.5)).as("__med"),
+        percentile(v, lit(0.75)).as("__q75"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("robust_z",
+        when(col("__q75") === col("__q25"), lit(0.0))
+          .otherwise(greatest(lit(-clip), least(lit(clip),
+            (v - col("__med")) / (col("__q75") - col("__q25"))))))
+      .drop("__q25", "__med", "__q75")
+  }
 }

@@ -808,4 +808,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** All deletion variants of `s` at exactly `d` characters removed
+    * (d = 0 is `s` itself), as a distinct array column. Built from pure
+    * codegen'd collection functions — no UDF. */
+  private def deletionVariants(s: Column, d: Int): Column = {
+    // empty input has no deletions (sequence(0,-1) would count DOWN)
+    def delOne(str: Column): Column =
+      when(length(str) <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), length(str) - 1), i =>
+          concat(str.substr(lit(1), i), str.substr(i + 2, length(str)))))
+    d match {
+      case 0 => array(s)
+      case 1 => array_distinct(delOne(s))
+      case 2 => array_distinct(flatten(transform(delOne(s), v => delOne(v))))
+      case _ => throw new IllegalArgumentException(
+        s"maxDist must be 0, 1 or 2: $d")
+    }
+  }
+
+  /** Exact small-edit-distance self-join — record linkage / fuzzy entity
+    * dedup (user handles, author names, near-identical titles) WITHOUT a
+    * quadratic compare: the SymSpell deletion-neighborhood block. Every
+    * string generates its deletion variants at up to `maxDist` removed
+    * characters; two strings within Levenshtein distance `maxDist` (≤ 2)
+    * are guaranteed to share at least one variant (each edit is covered
+    * by deleting the edited position from one or both sides), so the
+    * variant-equality join is a COMPLETE candidate generator. Candidates
+    * are then verified with the real `levenshtein` — the variant join
+    * over-generates (e.g. transposes at distance 2), never misses.
+    *
+    * Shape for scale: a string of length L yields O(L^maxDist) variant
+    * keys, and a variant bucket only holds strings that agree on every
+    * OTHER character — bucket sizes track true near-duplicate density,
+    * not corpus size (the same inversion `jaccardJoinExact` gets from
+    * rare-token prefixes). The verify join carries ids only, rejoining
+    * each side's string by id. No driver collection anywhere.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist — including
+    * dist 0 (exact duplicates under the key).
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"maxDist must be in [0, 2]: $maxDist")
+    val strs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+    val keys = strs
+      .select(col("id"), explode(array_distinct(concat(
+        (0 to maxDist).map(d => deletionVariants(col("s"), d)): _*))).as("k"))
+    val cands = keys.select(col("id").as("id_a"), col("k"))
+      .join(keys.select(col("id").as("id_b"), col("k")), "k")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

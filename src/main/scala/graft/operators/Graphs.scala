@@ -175,4 +175,50 @@ object Graphs {
     }
     ranks
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, made deterministic): every node starts in its own community
+    * (label = node id); each round, every node simultaneously adopts the
+    * most frequent label among its neighbours, ties broken by the
+    * SMALLEST label — the async/random variants of LPA are not
+    * replayable, this one is, which is what makes it oracle-checkable
+    * and idempotent across cluster sizes.
+    *
+    * Edges are treated as undirected (symmetrized + self-pair-deduped
+    * here); isolated nodes keep their own label. Runs a FIXED number of
+    * sync rounds rather than to convergence — sync LPA can 2-cycle on
+    * bipartite structures, so "until stable" is not well-defined; a
+    * fixed horizon is (and matches the unrolled oracle).
+    *
+    * Shape for scale: per round ONE join of edges against the label
+    * frame (shuffle on node id, the same key every round), a (node,
+    * label) count aggregate with map-side partials, and a per-node
+    * arg-max window — all linear in |E|. Each round's result is
+    * checkpointed to cut the lineage (the `connectedComponents`
+    * discipline).
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations >= 0, s"iterations must be ≥ 0: $iterations")
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val und = pin(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var labels = pin(und.select(col("src").as("node")).distinct())
+      .withColumn("lbl", col("node"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("__c").desc, col("lbl"))
+    var i = 0
+    while (i < iterations) {
+      val next = und
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+      labels = pin(next)
+      i += 1
+    }
+    labels.withColumnRenamed("lbl", "community")
+  }
 }

@@ -416,6 +416,47 @@ object Quality {
   def md5Bucket(tok: Column): Column =
     conv(substring(md5(tok), 1, 2), 16, 10).cast("int")
 
+  /** Token↔class mutual information — which tokens carry the most signal
+    * about a class column (source, language, label): the feature-selection
+    * score behind contamination probes ("which tokens give away the eval
+    * split?") and domain-classifier vocabularies. Over token OCCURRENCES,
+    * per token t: MI(t) = Σ_c p(t,c)·ln(p(t,c) / (p(t)·p(c))), natural
+    * log, probabilities from global occurrence counts. A token used
+    * uniformly across classes scores ~0; one concentrated in a single
+    * class scores high.
+    *
+    * Shape for scale: three hash aggregates off one tokenize pass —
+    * (token, class) joint counts, then token and class marginals derived
+    * FROM the joint (never re-scanning text) — a broadcast of the class
+    * marginals (|classes| rows) onto the joint, and a global-count scalar
+    * cross join. The top-N head is TakeOrderedAndProject, not a sort.
+    * Tokens below `minCount` total occurrences are dropped before the MI
+    * arithmetic (rare-token MI is noise).
+    *
+    * Returns the `topN` tokens by (MI desc, token): (tok, n, mi).
+    */
+  def tokenClassMI(df: DataFrame, textCol: String, classCol: String,
+                   minCount: Long = 50, topN: Int = 50): DataFrame = {
+    val occ = df.select(col(classCol).as("cls"),
+      explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("tok"))
+    val joint = occ.groupBy("tok", "cls").agg(count(lit(1)).as("ntc"))
+      .localCheckpoint() // marginals + MI both read it
+    val tokMarg = joint.groupBy("tok").agg(sum("ntc").as("nt"))
+      .where(col("nt") >= minCount)
+    val clsMarg = joint.groupBy("cls").agg(sum("ntc").as("nc"))
+    val total = joint.agg(sum("ntc").as("ntot"))
+    joint
+      .join(tokMarg, "tok") // drops rare tokens before any arithmetic
+      .join(broadcast(clsMarg), "cls")
+      .crossJoin(broadcast(total))
+      .groupBy(col("tok"), col("nt"))
+      .agg(sum((col("ntc") / col("ntot")) *
+        log((col("ntc") * col("ntot")) / (col("nt") * col("nc")))).as("mi"))
+      .orderBy(col("mi").desc, col("tok"))
+      .limit(topN)
+      .select(col("tok"), col("nt").as("n"), col("mi"))
+  }
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

@@ -52,4 +52,43 @@ object Timeseries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.withColumn("v_ffill", last("v", ignoreNulls = true).over(w))
   }
+
+  /** Rolling z-score anomaly detection: flag rows whose value deviates
+    * from the trailing per-key window by more than `zThreshold` standard
+    * deviations — the standard streaming-metrics outlier screen (and, on
+    * a training corpus's per-source quality scores, the drift alarm).
+    *
+    * The window is `ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING` over
+    * `orderCols` WITHIN each key — strictly trailing, so a spike never
+    * suppresses its own detection by inflating the baseline it is judged
+    * against. Rows with fewer than `minPoints` trailing observations or a
+    * zero trailing stddev are unjudgeable and never flagged.
+    *
+    * Shape for scale: one keyed window (shuffle on `keyCol`, per-key
+    * sort) — no global sort, no self-join; avg/stddev over a ROWS frame
+    * are O(1) per row in Spark's sliding-frame aggregation. `orderCols`
+    * must make the per-key order total (e.g. ts + a unique id) or the
+    * trailing frame is nondeterministic under ties.
+    *
+    * Returns the flagged rows: key, order columns, value, `mu`/`sigma`
+    * (the trailing baseline) and `zscore`.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                       valueCol: String, lookback: Int = 20,
+                       zThreshold: Double = 3.0,
+                       minPoints: Int = 5): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(lookback >= minPoints && minPoints >= 2,
+      s"need lookback ≥ minPoints ≥ 2: $lookback / $minPoints")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    df
+      .withColumn("mu", avg(col(valueCol)).over(w))
+      .withColumn("sigma", stddev_samp(col(valueCol)).over(w))
+      .withColumn("__n", count(col(valueCol)).over(w))
+      .where(col("__n") >= minPoints && col("sigma") > 0)
+      .withColumn("zscore", (col(valueCol) - col("mu")) / col("sigma"))
+      .where(abs(col("zscore")) > zThreshold)
+      .drop("__n")
+  }
 }

@@ -489,4 +489,53 @@ class DedupSpec extends AnyFunSuite {
       .select("jaccard").head.getDouble(0)
     assert(j13 === 1.0)
   }
+
+  private def edPairs(strs: Seq[String], d: Int): Set[(Long, Long, Int)] =
+    Dedup.editDistanceJoin(
+        strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+        "id", "s", maxDist = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("editDistanceJoin: substitution, insertion, deletion and exact dups") {
+    val got = edPairs(Seq("abc", "abd", "abcd", "xyz", "abc"), d = 1)
+    assert(got === Set(
+      (0L, 1L, 1),  // abc → abd   substitution
+      (0L, 2L, 1),  // abc → abcd  insertion
+      (1L, 2L, 1),  // abd → abcd  insertion
+      (0L, 4L, 0),  // exact duplicate
+      (1L, 4L, 1), (2L, 4L, 1)))
+  }
+
+  test("editDistanceJoin: distance-2 chains appear only at maxDist 2") {
+    val d1 = edPairs(Seq("kitten", "sitten", "sittin"), d = 1)
+    assert(d1 === Set((0L, 1L, 1), (1L, 2L, 1)))
+    val d2 = edPairs(Seq("kitten", "sitten", "sittin"), d = 2)
+    assert(d2 === Set((0L, 1L, 1), (1L, 2L, 1), (0L, 2L, 2)))
+  }
+
+  test("editDistanceJoin: empty and single-char strings are safe") {
+    val got = edPairs(Seq("", "a", "b", "ab"), d = 1)
+    assert(got === Set(
+      (0L, 1L, 1), (0L, 2L, 1),   // "" ↔ one char
+      (1L, 2L, 1),                // a ↔ b substitution
+      (1L, 3L, 1), (2L, 3L, 1)))  // insertion
+  }
+
+  test("editDistanceJoin: complete vs brute force on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val strs = Seq.tabulate(120)(_ =>
+      Seq.fill(3 + rnd.nextInt(5))("ab".charAt(rnd.nextInt(2))).mkString)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val brute = df.select(col("id").as("id_a"), col("s").as("s_a"))
+        .crossJoin(df.select(col("id").as("id_b"), col("s").as("s_b")))
+        .where(col("id_a") < col("id_b") &&
+          levenshtein(col("s_a"), col("s_b")) <= d)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("s_a"), col("s_b")).as("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(edPairs(strs, d) === brute, s"maxDist $d")
+    }
+  }
 }

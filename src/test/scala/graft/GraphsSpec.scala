@@ -85,4 +85,38 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(3L)._1 === 3L && got(3L)._2 === 1L)
     assert(math.abs(got(3L)._3 - 1.0 / 3) < 1e-15)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.labelPropagation(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: a barbell splits at the bridge") {
+    // two triangles joined by one edge 3-4: hand-simulated sync rounds
+    // with min-label ties settle A={1,2,3}→1 and B={4,5,6}→3 by round 4
+    val got = lpa(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)), iters = 5)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: disconnected components never mix") {
+    val got = lpa(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)), iters = 5)
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(Set(got(10L), got(11L), got(12L)).size === 1)
+    assert(got(1L) !== got(10L))
+  }
+
+  test("labelPropagation: the sync 2-cycle on a lone edge is deterministic") {
+    // a single edge swaps labels every round — exactly why the operator
+    // runs a FIXED horizon (matching the unrolled oracle) instead of
+    // "until stable": 5 rounds (odd) lands on the swapped assignment
+    assert(lpa(Seq((1L, 2L)), iters = 5) === Map(1L -> 2L, 2L -> 1L))
+    assert(lpa(Seq((1L, 2L)), iters = 4) === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("labelPropagation: zero iterations returns every node its own label") {
+    val got = lpa(Seq((1L, 2L), (2L, 3L)), iters = 0)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }

@@ -331,4 +331,52 @@ class QualitySpec extends AnyFunSuite {
     // no union of repeated scans — one aggregate over one source
     assert(!plan.contains("Union"))
   }
+
+  test("tokenClassMI: class-exclusive tokens score high, uniform ones ~0") {
+    import spark.implicits._
+    // 'alpha' only in class A, 'beta' only in B, 'the' uniform everywhere
+    val docs = Seq(
+      ("A", "the alpha alpha the"), ("A", "alpha the alpha the"),
+      ("B", "the beta beta the"), ("B", "beta the beta the"))
+      .toDF("cls", "text")
+    val got = graft.operators.Quality
+      .tokenClassMI(docs, "text", "cls", minCount = 1, topN = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === Set("alpha", "beta", "the"))
+    assert(got("the")._1 === 8L && math.abs(got("the")._2) < 1e-12)
+    // p(alpha,A)=1/4·ln((1/4)/(1/4·1/2)) = 1/4·ln 2, one term
+    assert(math.abs(got("alpha")._2 - math.log(2) / 4) < 1e-12)
+    assert(got("alpha")._2 === got("beta")._2) // symmetric by construction
+  }
+
+  test("tokenClassMI: minCount prunes and topN ranks by MI") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "aa aa aa aa rare"), ("B", "bb bb bb bb"), ("B", "mid aa"))
+      .toDF("cls", "text")
+    val all = graft.operators.Quality
+      .tokenClassMI(docs, "text", "cls", minCount = 2, topN = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(all === Set("aa", "bb")) // rare/mid dropped below minCount
+    val top1 = graft.operators.Quality
+      .tokenClassMI(docs, "text", "cls", minCount = 2, topN = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 === Seq("bb")) // class-pure bb beats the split aa
+  }
+
+  test("robustScale: median/IQR z with clipping; degenerate IQR scales to 0") {
+    import spark.implicits._
+    val rows = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 103),
+      ("flat", 7), ("flat", 7), ("flat", 7))
+      .toDF("src", "v")
+    val got = graft.operators.Analytics.robustScale(rows, "src", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    // g: q25=2, med=3, q75=4 (interpolated exact) → IQR 2
+    assert(got(("g", 1)) === -1.0 && got(("g", 2)) === -0.5)
+    assert(got(("g", 3)) === 0.0 && got(("g", 4)) === 0.5)
+    assert(got(("g", 103)) === 3.0)  // (103−3)/2 = 50 → clipped
+    assert(got(("flat", 7)) === 0.0) // IQR 0 → typical
+  }
 }

@@ -54,4 +54,41 @@ class TimeseriesSpec extends AnyFunSuite {
       .orderBy("bin").select("v").as[Double].collect().toSeq
     assert(got === Seq(1.0, 3.0))
   }
+
+  private def anomalyRows(vals: Seq[Double], lookback: Int = 20,
+                          z: Double = 3.0): Seq[(Int, Double)] = {
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k", i, v) }.toDF("k", "i", "v")
+    Timeseries.rollingAnomalies(df, "k", Seq("i"), "v",
+        lookback = lookback, zThreshold = z, minPoints = 5)
+      .orderBy("i").select("i", "zscore").as[(Int, Double)].collect().toSeq
+  }
+
+  test("rollingAnomalies: a spike over a varying baseline is flagged") {
+    // alternating 9/11 baseline (sigma ≈ 1), one 100 — only the spike trips
+    val base = Seq.tabulate(30)(i => if (i % 2 == 0) 9.0 else 11.0)
+    val got = anomalyRows(base ++ Seq(100.0) ++ base.take(5))
+    assert(got.map(_._1) === Seq(30))
+    assert(got.head._2 > 50)
+  }
+
+  test("rollingAnomalies: strictly-trailing frame — the spike cannot " +
+    "suppress itself, and post-spike rows are judged against it") {
+    // after the spike enters the lookback window the baseline sigma
+    // explodes, so ordinary rows right after it must NOT be flagged
+    val base = Seq.tabulate(30)(i => if (i % 2 == 0) 9.0 else 11.0)
+    val got = anomalyRows(base ++ Seq(100.0) ++ base.take(10))
+    assert(got.map(_._1) === Seq(30)) // the spike and nothing else
+  }
+
+  test("rollingAnomalies: warm-up rows below minPoints are never judged") {
+    // huge jump at row 3 — still unjudgeable (only 3 trailing points)
+    val got = anomalyRows(Seq(9.0, 11.0, 9.0, 1000.0, 9.0, 11.0, 9.0, 11.0))
+    assert(got.isEmpty)
+  }
+
+  test("rollingAnomalies: a constant baseline (sigma 0) never flags") {
+    val got = anomalyRows(Seq.fill(25)(10.0) ++ Seq(100.0))
+    assert(got.isEmpty)
+  }
 }
