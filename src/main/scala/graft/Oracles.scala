@@ -1770,21 +1770,13 @@ object Oracles {
         "ORDER BY COALESCE(pv.nt, 0) / (d.d * (d.d - 1) / 2) DESC, d.v " +
         "LIMIT 20"),
 
-    // Exact Jaccard join ground truth: FULL inverted-index pair join (no
-    // prefix filter), so a hash match proves the filter lost no pair.
+    // Exact Jaccard join ground truth over the SHARED 3-shingle
+    // population: FULL inverted-index pair join (no prefix filter), so a
+    // hash match proves the prefix filter lost no pair.
     "q147_jaccard_join" ->
-      ("WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(" +
-        "string_split(text, ' '), x -> len(x) > 0))) AS tok FROM documents), " +
-        "sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
-        "FROM toks a JOIN toks b USING (tok) WHERE a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2), " +
-        "j AS (SELECT id_a, id_b, " +
-        "CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jac " +
-        "FROM p JOIN sz sa ON id_a = sa.doc_id " +
-        "JOIN sz sb ON id_b = sb.doc_id) " +
-        "SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j " +
-        "WHERE jac >= 0.9 ORDER BY 1, 2"),
+      (s"WITH $exactPairCtes " +
+        "SELECT id_a, id_b, round(j, 6) AS jaccard FROM jp " +
+        "WHERE j >= 0.9 ORDER BY 1, 2"),
 
     // Edit-distance≤1 ground truth: brute-force levenshtein over all
     // ordered pairs — a hash match proves the deletion-neighborhood
@@ -1820,7 +1812,8 @@ object Oracles {
         "cm AS (SELECT cls, sum(ntc) AS nc FROM j GROUP BY 1), " +
         "tot AS (SELECT sum(ntc) AS ntot FROM j), " +
         "mi AS (SELECT j.tok, tm.nt, " +
-        "sum((ntc / ntot) * ln((ntc * ntot) / (nt * nc))) AS mi " +
+        "sum((ntc / ntot) * ln((CAST(ntc AS DOUBLE) * ntot) / " +
+        "(CAST(nt AS DOUBLE) * nc))) AS mi " +
         "FROM j JOIN tm USING (tok) JOIN cm USING (cls) CROSS JOIN tot " +
         "GROUP BY 1, 2), " +
         "top AS (SELECT tok, nt, mi, row_number() OVER " +
@@ -1842,6 +1835,94 @@ object Oracles {
         "ORDER BY doc_id"),
 
     "q153_communities" -> labelPropSql(5),
+
+    // RRF hybrid retrieval: the q139 BM25 recipe at top-50 + cosine
+    // top-50 around vector 0, fused as sum(1/(60+rank)) — the two-term
+    // sum is IEEE-commutative, so no rounding is needed before ranking.
+    "q154_rrf_fusion" ->
+      ("WITH base AS (SELECT doc_id, CAST(len(list_filter(" +
+        "string_split(text, ' '), x -> len(x) > 0)) AS DOUBLE) AS dl " +
+        "FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), " +
+        "terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms " +
+        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "c AS (SELECT tf.doc_id, round(" +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * b.dl / avgdl)), 6) AS c " +
+        "FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id " +
+        "CROSS JOIN stats), " +
+        "lexs AS (SELECT doc_id, round(sum(c), 4) AS score FROM c " +
+        "GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50), " +
+        "lex AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS rank FROM lexs), " +
+        "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
+        s"cs AS (SELECT vec_id AS doc_id, ${cosSql("q", "embedding")} " +
+        "AS cos FROM embeddings, qv WHERE vec_id <> 0), " +
+        "sem AS (SELECT doc_id, rank FROM (SELECT doc_id, row_number() " +
+        "OVER (ORDER BY cos DESC, doc_id) AS rank FROM cs) " +
+        "WHERE rank <= 50), " +
+        "u AS (SELECT doc_id, rank FROM lex " +
+        "UNION ALL SELECT doc_id, rank FROM sem), " +
+        "f AS (SELECT doc_id, sum(1.0 / (60 + rank)) AS s, " +
+        "count(*) AS n_systems FROM u GROUP BY 1), " +
+        "top AS (SELECT doc_id, s, n_systems, row_number() OVER " +
+        "(ORDER BY s DESC, doc_id) AS rk FROM f) " +
+        "SELECT doc_id, round(s, 6) AS rrf_score, " +
+        "CAST(n_systems AS BIGINT) AS n_systems FROM top WHERE rk <= 10 " +
+        "ORDER BY doc_id"),
+
+    // Bigram PMI collocations: list_zip-offset bigrams, double-product
+    // PMI (the operator's overflow-safe form), rank on unrounded PMI.
+    "q155_collocations" ->
+      ("WITH tk AS (SELECT list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0) AS toks FROM documents), " +
+        "uni AS (SELECT unnest(toks) AS tok FROM tk), " +
+        "un AS (SELECT tok, count(*) AS nx FROM uni GROUP BY 1), " +
+        "ut AS (SELECT sum(nx) AS nu FROM un), " +
+        "bg AS (SELECT unnest(list_filter(list_zip(toks, toks[2:]), " +
+        "p -> p[2] IS NOT NULL)) AS p FROM tk WHERE len(toks) >= 2), " +
+        "bn AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS nxy FROM bg " +
+        "GROUP BY 1, 2 HAVING count(*) >= 25), " +
+        "bt AS (SELECT sum(len(toks) - 1) AS nb FROM tk " +
+        "WHERE len(toks) >= 2), " +
+        "j AS (SELECT w1, w2, nxy, " +
+        "ln((CAST(nxy AS DOUBLE) * nu * nu) / " +
+        "(CAST(nb AS DOUBLE) * u1.nx * u2.nx)) AS pmi " +
+        "FROM bn JOIN un u1 ON bn.w1 = u1.tok " +
+        "JOIN un u2 ON bn.w2 = u2.tok CROSS JOIN ut CROSS JOIN bt), " +
+        "top AS (SELECT w1, w2, nxy, pmi, row_number() OVER " +
+        "(ORDER BY pmi DESC, w1, w2) AS rk FROM j) " +
+        "SELECT w1, w2, CAST(nxy AS BIGINT) AS n, round(pmi, 6) AS pmi " +
+        "FROM top WHERE rk <= 50 ORDER BY w1, w2"),
+
+    // Column dependencies: one joint-count CTE per pair, entropies from
+    // the joint, U(A|B) = (H(A) − H(A|B)) / H(A).
+    "q156_column_deps" -> {
+      def pairSql(a: String, b: String): String =
+        s"(WITH j AS (SELECT $a AS a, $b AS b, count(*) AS nab " +
+          "FROM orders GROUP BY 1, 2), " +
+          "ma AS (SELECT a, sum(nab) AS na FROM j GROUP BY 1), " +
+          "mb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1), " +
+          "t AS (SELECT sum(nab) AS n FROM j), " +
+          "ha AS (SELECT sum(-(na / n) * ln(na / n)) AS h_a FROM ma, t), " +
+          "hb AS (SELECT sum(-(nb / n) * ln(nb / n)) AS h_b FROM mb, t), " +
+          "hab AS (SELECT sum(-(nab / n) * ln(nab / mb.nb)) " +
+          "AS h_a_given_b FROM j JOIN mb USING (b), t) " +
+          s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          "round(h_a, 6) AS h_a, round(h_b, 6) AS h_b, " +
+          "round(h_a_given_b, 6) AS h_a_given_b, " +
+          "round(CASE WHEN h_a = 0 THEN 1.0 ELSE " +
+          "(h_a - h_a_given_b) / h_a END, 6) AS uncertainty_coef " +
+          "FROM ha, hb, hab)"
+      Seq(("o_orderstatus", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderstatus", "o_custkey"))
+        .map { case (a, b) => pairSql(a, b) }
+        .mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+    },
 
     // kNN label propagation: unlabeled pool (vec_id % 5 = 0) scored against
     // the labeled seeds (the rest) with the shared cosine recipe; top-5 by

@@ -1944,8 +1944,14 @@ object TestQueries {
     * completeness on real data.
     */
   def q147JaccardJoin(s: SparkSession, dir: String): DataFrame =
+    // 3-token shingle sets (the q38 population), NOT whitespace unigrams:
+    // the synthetic corpus has a ~31-word vocabulary, so every unigram is
+    // common and prefix filtering over words degenerates to all-pairs
+    // (measured 80 s at sf0.1); shingle frequencies stay low and the same
+    // join runs in under a second with the identical completeness proof
     operators.Dedup.jaccardJoinExact(t(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.9)
+        "doc_id", "text", threshold = 0.9,
+        tokens = c => Text.shingles(c, 3))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
@@ -2039,6 +2045,76 @@ object TestQueries {
     operators.Graphs.labelPropagation(edges, iterations = 5)
       .select(col("node"), col("community").cast("long").as("community"))
       .orderBy("node")
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[operators.Retrieval.reciprocalRankFusion]]): the BM25 lexical
+    * top-50 (q139's terms) fused with the embedding-cosine top-50 around
+    * vector 0 (doc_id ≡ vec_id in the testdata). Both input ranks are
+    * cross-engine deterministic (rounded score + id tiebreaks), and the
+    * two-term RRF sum is order-exact, so DuckDB replays the fusion
+    * digit-for-digit.
+    */
+  def q154RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = operators.Retrieval.bm25(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "join", "window"), topK = 50)
+      // bounded 50-row frame — the unpartitioned window is fine here
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val emb = Tables.loadEmbeddings(s, dir)
+    val sem = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("nbr_id").as("doc_id"), col("rank"))
+    operators.Retrieval.reciprocalRankFusion(Seq(lex, sem), "doc_id",
+        topK = 10)
+      .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"),
+        col("n_systems"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram PMI collocations ([[operators.Quality.collocations]]): the
+    * phrase-mining pass; counts, totals and the double-product PMI all
+    * replay exactly in DuckDB, ranking on the unrounded PMI.
+    */
+  def q155Collocations(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.collocations(t(s, dir, "documents"), "text",
+        minCount = 25, topN = 50)
+      .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
+        round(col("pmi"), 6).as("pmi"))
+      .orderBy("w1", "w2")
+
+  /** Column-dependency profile ([[operators.Quality.columnDependencies]]):
+    * entropies + uncertainty coefficients over orders column pairs — the
+    * near-functional-dependency probe. One row per pair, 6dp.
+    */
+  def q156ColumnDeps(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.columnDependencies(t(s, dir, "orders"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderpriority", "o_orderstatus"),
+          ("o_orderstatus", "o_custkey")))
+      .select(col("col_a"), col("col_b"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        round(col("h_a_given_b"), 6).as("h_a_given_b"),
+        round(col("uncertainty_coef"), 6).as("uncertainty_coef"))
+      .orderBy("col_a", "col_b")
+
+  /** Mergeable GK quantile sketches ([[operators.Sketches.quantileSketches]]):
+    * per-source document-length p50/p95 plus the `__all__` row computed by
+    * MERGING the per-source sketches (never rescanning documents).
+    * Rows-only (GK estimates depend on fold order and have no DuckDB
+    * mirror); SketchSpec gates the rank-error guarantee and merge bound,
+    * q51's exact percentiles are the family's exact anchor.
+    */
+  def q157QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val per = operators.Sketches.quantileSketches(
+      t(s, dir, "documents"), Seq("source"), "n_chars")
+    operators.Sketches.quantileEstimates(per, Seq(0.5, 0.95))
+      .select(col("source"), col("q_50"), col("q_95"))
+      .unionByName(operators.Sketches.quantileEstimates(
+          operators.Sketches.mergeQuantileSketches(per), Seq(0.5, 0.95))
+        .select(lit("__all__").as("source"), col("q_50"), col("q_95")))
+      .orderBy("source")
   }
 
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
@@ -2244,6 +2320,10 @@ object TestQueries {
     "q151_token_mi" -> (q151TokenMi _),
     "q152_robust_scale" -> (q152RobustScale _),
     "q153_communities" -> (q153Communities _),
+    "q154_rrf_fusion" -> (q154RrfFusion _),
+    "q155_collocations" -> (q155Collocations _),
+    "q156_column_deps" -> (q156ColumnDeps _),
+    "q157_quantile_sketch" -> (q157QuantileSketch _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -774,13 +774,22 @@ object Dedup {
     * Returns (id_a, id_b, jaccard), id_a < id_b.
     */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       tokens: Column => Column = c =>
+                         filter(split(c, " "), t => length(t) > 0))
+      : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
+    // `tokens` picks the set element: whitespace words by default, but on
+    // a SMALL-vocabulary corpus pass shingles (`Text.shingles(_, n)`) —
+    // prefix filtering prunes by rare tokens, and when every token is
+    // common (31-word synthetic vocab, df ≈ 0.8·N) no unigram is rare and
+    // the candidate join degenerates to all-pairs; shingle vocabularies
+    // are combinatorial, so their frequencies stay low (the q147 lesson:
+    // 80 s → sub-second at sf0.1 for the identical join code)
     val toks = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(
-          filter(split(col(textCol), " "), t => length(t) > 0))).as("tok"))
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .localCheckpoint() // feeds frequency, prefix and verification
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))

@@ -450,11 +450,106 @@ object Quality {
       .join(broadcast(clsMarg), "cls")
       .crossJoin(broadcast(total))
       .groupBy(col("tok"), col("nt"))
+      // double products, not long: ntc·ntot overflows int64 on a corpus
+      // with ~1e13 tokens (the 100 TB shape); the double rounding is
+      // mirrored verbatim in the oracle SQL
       .agg(sum((col("ntc") / col("ntot")) *
-        log((col("ntc") * col("ntot")) / (col("nt") * col("nc")))).as("mi"))
+        log((col("ntc").cast("double") * col("ntot")) /
+          (col("nt").cast("double") * col("nc")))).as("mi"))
       .orderBy(col("mi").desc, col("tok"))
       .limit(topN)
       .select(col("tok"), col("nt").as("n"), col("mi"))
+  }
+
+  /** Top bigram collocations by pointwise mutual information — the
+    * phrase-mining pass (multi-word entities, boilerplate phrases, tokens
+    * that should be merged before vocabulary building). For a bigram
+    * (x,y): PMI = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from bigram
+    * counts over the bigram total and p(x) from unigram counts over the
+    * unigram total. High PMI = the pair co-occurs far above chance.
+    *
+    * Shape for scale: tokens are bound as a projected column and bigrams
+    * built scan-side from one `transform(sequence(...))` over it (no
+    * self-join on position, no per-element re-split — the q50b HOF
+    * lesson); then two compact count aggregates (bigram, unigram), the
+    * unigram marginals joined back TWICE on token keys (w1, w2) — both
+    * joins carry count rows, never corpus rows. Bigrams below `minCount`
+    * drop before the join. Top-N is TakeOrderedAndProject.
+    *
+    * Returns the `topN` bigrams by (PMI desc, w1, w2): (w1, w2, n, pmi).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 25,
+                   topN: Int = 50): DataFrame = {
+    val toked = df
+      .select(filter(split(col(textCol), " "), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .localCheckpoint() // unigram and bigram passes share the tokenize
+    val uni = toked.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("nx"))
+    val uniTotal = uni.agg(sum("nx").as("nu"))
+    val bi = toked.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("nxy"))
+      .where(col("nxy") >= minCount)
+    val biTotal = toked.where(size(col("toks")) >= 2)
+      .agg(sum(size(col("toks")) - 1).as("nb"))
+    bi
+      .join(uni.select(col("tok").as("w1"), col("nx").as("nx1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("nx").as("nx2")), "w2")
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(biTotal))
+      // double products (nxy·nu² overflows int64 at ~1e13 corpus tokens)
+      .withColumn("pmi",
+        log((col("nxy").cast("double") * col("nu") * col("nu")) /
+          (col("nb").cast("double") * col("nx1") * col("nx2"))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("nxy").as("n"), col("pmi"))
+  }
+
+  /** Pairwise column-dependency profile — entropies and the uncertainty
+    * coefficient U(A|B) = (H(A) − H(A|B)) / H(A) for each requested
+    * (a, b) column pair: the data-profiling step that surfaces
+    * near-functional dependencies (U ≈ 1: B determines A — a denormalized
+    * copy, a derivable column) and independent pairs (U ≈ 0) before
+    * choosing partition/clustering keys. Natural-log entropies.
+    *
+    * Shape for scale: per pair ONE joint-count aggregate over the fact
+    * (compact (a, b) cardinality), with marginals and entropies derived
+    * from the joint — the fact is never re-scanned per marginal and
+    * nothing but count rows shuffles. Output is one row per pair.
+    */
+  def columnDependencies(df: DataFrame,
+                         pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    pairs.map { case (a, b) =>
+      val joint = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("nab"))
+        .localCheckpoint() // feeds both marginals and the conditional term
+      val margA = joint.groupBy("__a").agg(sum("nab").as("na"))
+      val margB = joint.groupBy("__b").agg(sum("nab").as("nb"))
+      val total = joint.agg(sum("nab").as("n"))
+      val hA = margA.crossJoin(broadcast(total))
+        .agg(sum(-(col("na") / col("n")) * log(col("na") / col("n")))
+          .as("h_a"))
+      val hB = margB.crossJoin(broadcast(total))
+        .agg(sum(-(col("nb") / col("n")) * log(col("nb") / col("n")))
+          .as("h_b"))
+      val hAgivenB = joint
+        .join(broadcast(margB), "__b")
+        .crossJoin(broadcast(total))
+        .agg(sum(-(col("nab") / col("n")) * log(col("nab") / col("nb")))
+          .as("h_a_given_b"))
+      hA.crossJoin(hB).crossJoin(hAgivenB)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("h_a"), col("h_b"), col("h_a_given_b"),
+          when(col("h_a") === 0.0, lit(1.0))
+            .otherwise((col("h_a") - col("h_a_given_b")) / col("h_a"))
+            .as("uncertainty_coef"))
+    }.reduce(_ unionByName _)
   }
 
   // ---- common predicate builders ------------------------------------------

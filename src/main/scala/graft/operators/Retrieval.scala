@@ -60,4 +60,37 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * merge heterogeneous candidate lists (lexical BM25 + embedding ANN,
+    * the hybrid-retrieval shape) without calibrating their incomparable
+    * scores: each system contributes `1/(rrfK + rank)` and the fused
+    * score is the sum, so an item ranked well by several systems beats a
+    * single system's favourite.
+    *
+    * Inputs are already-ranked candidate lists (`idCol`, `rankCol` with
+    * rank 1 = best) — BOUNDED top-k frames by construction, which is why
+    * a plain union + per-id aggregate is the whole plan: the fused work
+    * is O(systems × k), independent of corpus size; the corpus-scale
+    * work happened inside the upstream rankers. Ties are broken by id.
+    *
+    * With two systems the fused sum is order-exact (IEEE addition is
+    * commutative); at three or more, compare at rounded precision
+    * (summation order is not guaranteed).
+    */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], idCol: String,
+                           rankCol: String = "rank", rrfK: Int = 60,
+                           topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK > 0 && topK > 0, s"rrfK/topK must be positive: $rrfK/$topK")
+    rankings
+      .map(df => df.select(col(idCol),
+        col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("__rank"))).as("rrf_score"),
+        count(lit(1)).as("n_systems"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -67,4 +67,46 @@ object Sketches {
   /** Estimates for sketch rows (adds `distinct_est`). */
   def estimate(sketches: DataFrame): DataFrame =
     sketches.withColumn("distinct_est", expr("hll_sketch_estimate(sketch)"))
+
+  /** Per-group GK quantile SKETCHES ([[graft.functions.expressions.
+    * QuantileSketchAgg]]) — the quantile member of the mergeable-summary
+    * family. One aggregate pass emits a few-KB binary `qsketch` per group
+    * whose estimates carry the Greenwald–Khanna guarantee (rank within
+    * ±relativeError·n); persist them and later quantile questions —
+    * per-source, rolled up, cross-vintage — merge sketches instead of
+    * rescanning the corpus.
+    */
+  def quantileSketches(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String,
+                       relativeError: Double = 0.01): DataFrame = {
+    require(relativeError > 0 && relativeError < 1,
+      s"relativeError must be in (0, 1): $relativeError")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.expressions.QuantileSketchAgg
+        .quantileSketch(col(valueCol).cast("double"), relativeError)
+        .as("qsketch"))
+  }
+
+  /** Merge quantile-sketch rows down to `groupCols` (empty = one global
+    * row) — the no-rescan rollup over [[quantileSketches]] output.
+    */
+  def mergeQuantileSketches(sketches: DataFrame,
+                            groupCols: Seq[String] = Nil): DataFrame = {
+    val m = graft.functions.expressions.QuantileSketchAgg
+      .quantileSketchMerge(col("qsketch")).as("qsketch")
+    if (groupCols.isEmpty) sketches.agg(m)
+    else sketches.groupBy(groupCols.map(col): _*).agg(m)
+  }
+
+  /** Probe sketch rows at `probs`, adding one `q_<pct>` double column per
+    * probability — executor-side, no driver round trip.
+    */
+  def quantileEstimates(sketches: DataFrame, probs: Seq[Double]): DataFrame = {
+    val qs = sketches.withColumn("__qs",
+      graft.functions.expressions.QuantileSketchAgg
+        .quantileSketchQuery(col("qsketch"), probs))
+    probs.zipWithIndex.foldLeft(qs) { case (df, (p, i)) =>
+      df.withColumn(s"q_${(p * 100).round}", col("__qs").getItem(i))
+    }.drop("__qs")
+  }
 }

@@ -46,7 +46,10 @@ object ScaleCheck {
     }
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
-    replicate("customer", Seq("c_custkey"))
+    // c_name is vowel-permuted so replicas carry DISTINCT names: plain
+    // copies would make every name a 10-way exact dup and the edit-
+    // distance shape would measure clone pathology, not operator scaling
+    replicate("customer", Seq("c_custkey"), textCols = Seq("c_name"))
     replicate("documents", Seq("doc_id"), textCols = Seq("text"))
     replicate("embeddings", Seq("vec_id"))
     replicate("events", Seq("event_id", "user_id"))
@@ -458,6 +461,84 @@ object ScaleCheck {
           .unionByName(graft.operators.Multimodal.textToAvi(
             d.where(col("doc_id") % 8 =!= 0), "doc_id", "text").toDF())
         graft.operators.Multimodal.extractFeatures(media, dim = 16).count()
+      },
+      "local_clustering" -> { dir =>
+        // per-vertex coefficients over the triangles graph — same oriented
+        // wedge join plus a per-vertex rollup, must stay edges-linear
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val b = d.crossJoin(broadcast(nDf))
+        val edges = b.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(b.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 2) % col("n")).as("dst")))
+          .union(b.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 3) % col("n")).as("dst")))
+        graft.operators.Graphs.localClustering(edges).count()
+      },
+      "label_prop" -> { dir =>
+        // 5 sync LPA rounds over the q153 ring+chords graph; replica ids
+        // collapse modulo N like pagerank's — per-round work is one edge
+        // join + count agg + per-node argmax, rounds stay edges-linear
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val b = d.crossJoin(broadcast(nDf))
+        val edges = b.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(b.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst")))
+          .union(b.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 101) % col("n")).as("dst")))
+        graft.operators.Graphs.labelPropagation(edges, iterations = 5).count()
+      },
+      "weighted_sample" -> { dir =>
+        // A-Res top-k: one priority projection + TakeOrderedAndProject —
+        // corpus-linear scan, constant result
+        graft.operators.Splits.weightedSample(docs(dir),
+          "doc_id", "n_chars", k = 20,
+          uniform = c => ((c * 2654435761L) % 1000003L).cast("double")
+            / 1000003.0).count()
+      },
+      "hll_distinct" -> { dir =>
+        // mergeable HLL registers per source + one sketch-union row —
+        // fixed sketch width, token-linear build, constant-size merge
+        val toks = docs(dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .where(length(col("tok")) > 0)
+        val per = graft.operators.Sketches.distinctSketches(
+          toks, Seq("source"), "tok")
+        graft.operators.Sketches.estimate(per).count() +
+          graft.operators.Sketches.unionSketches(per).count()
+      },
+      "edit_distance" -> { dir =>
+        // SymSpell deletion-neighborhood join on customer names; replicas
+        // carry vowel-permuted (distinct) names, so candidate buckets stay
+        // per-replica and pair volume scales with true near-dup density
+        val c = spark.read.parquet(s"$dir/customer.parquet")
+        Dedup.editDistanceJoin(c, "c_custkey", "c_name", maxDist = 1).count()
+      },
+      "rolling_anomalies" -> { dir =>
+        // keyed trailing window — one shuffle on user_id, per-key sort;
+        // replicated users are new keys, so events-linear
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Timeseries.rollingAnomalies(ev, "user_id",
+          Seq("ts", "event_id"), "value").count()
+      },
+      "token_mi" -> { dir =>
+        // joint/marginal aggregates off one tokenize pass + broadcast
+        // class marginals — token-linear, constant top-N head
+        graft.operators.Quality.tokenClassMI(docs(dir), "text", "source",
+          minCount = 50, topN = 50).count()
+      },
+      "robust_scale" -> { dir =>
+        // one exact-percentile agg per source broadcast back on the rows —
+        // corpus-linear, no window over the fact
+        graft.operators.Analytics.robustScale(docs(dir), "source", "n_chars")
+          .count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /

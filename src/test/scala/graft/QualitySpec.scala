@@ -365,6 +365,43 @@ class QualitySpec extends AnyFunSuite {
     assert(top1 === Seq("bb")) // class-pure bb beats the split aa
   }
 
+  test("collocations: co-occurring pairs score high PMI; minCount prunes") {
+    import spark.implicits._
+    val docs = Seq("new york a", "new york b", "a b a b").toDF("text")
+    val got = graft.operators.Quality.collocations(docs, "text",
+        minCount = 2, topN = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // unigrams: new 2, york 2, a 3, b 3 (nu 10); bigrams total 7
+    assert(got.keySet === Set(("new", "york"), ("a", "b")))
+    assert(got(("new", "york"))._1 === 2L)
+    assert(math.abs(got(("new", "york"))._2 - math.log(200.0 / 28)) < 1e-12)
+    assert(math.abs(got(("a", "b"))._2 - math.log(200.0 / 63)) < 1e-12)
+    // topN=1 keeps the highest-PMI pair
+    val top1 = graft.operators.Quality.collocations(docs, "text",
+        minCount = 2, topN = 1).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top1.toSeq === Seq(("new", "york")))
+    // minCount above every bigram count → empty
+    assert(graft.operators.Quality.collocations(docs, "text",
+      minCount = 3, topN = 10).count() === 0)
+  }
+
+  test("columnDependencies: FD gives U=1, independence gives U=0") {
+    import spark.implicits._
+    val fd = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("a", "b")
+    val r1 = graft.operators.Quality.columnDependencies(fd, Seq(("a", "b")))
+      .collect().head
+    assert(math.abs(r1.getDouble(4)) < 1e-15)       // H(A|B) = 0
+    assert(math.abs(r1.getDouble(5) - 1.0) < 1e-12) // U = 1
+    val ind = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    val r2 = graft.operators.Quality.columnDependencies(ind, Seq(("a", "b")))
+      .collect().head
+    assert(math.abs(r2.getDouble(2) - math.log(2)) < 1e-12) // H(A) = ln 2
+    assert(math.abs(r2.getDouble(4) - math.log(2)) < 1e-12) // H(A|B) = ln 2
+    assert(math.abs(r2.getDouble(5)) < 1e-12)               // U = 0
+  }
+
   test("robustScale: median/IQR z with clipping; degenerate IQR scales to 0") {
     import spark.implicits._
     val rows = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 103),

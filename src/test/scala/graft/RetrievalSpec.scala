@@ -68,4 +68,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(b.getLong(6) === 5L)                        // sum_tokens: 2 + 3
     assert(a.getLong(5) === ("dup text".length + "solo one".length).toLong)
   }
+
+  test("reciprocalRankFusion: consensus beats a single system's favourite") {
+    val sysA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val sysB = Seq((3L, 1), (2L, 2), (9L, 3)).toDF("id", "rank")
+    val got = Retrieval.reciprocalRankFusion(Seq(sysA, sysB), "id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // id 3 (ranks 3+1) and id 2 (2+2): 1/63+1/61 > 2/62, so 3 wins;
+    // both outrank the single-system ids 1 and 9
+    assert(got.map(_._1).toSeq === Seq(3L, 2L, 1L, 9L))
+    assert(math.abs(got(0)._2 - (1.0 / 63 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(1)._2 - 2.0 / 62) < 1e-15)
+    assert(got.take(2).forall(_._3 === 2L) && got.drop(2).forall(_._3 === 1L))
+  }
+
+  test("reciprocalRankFusion: exact ties break by id; topK truncates") {
+    // symmetric ranks → identical fused scores for 1 and 2
+    val sysA = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val sysB = Seq((2L, 1), (1L, 2)).toDF("id", "rank")
+    val got = Retrieval.reciprocalRankFusion(Seq(sysA, sysB), "id",
+        topK = 1).collect()
+    assert(got.length === 1 && got.head.getLong(0) === 1L)
+  }
 }

@@ -63,4 +63,54 @@ class SketchSpec extends AnyFunSuite {
     val exactAll = df.agg(countDistinct("v")).head.getLong(0)
     assert(math.abs(merged.toDouble - exactAll) / exactAll < 0.05)
   }
+
+  test("quantile sketches: GK rank guarantee per group and after merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    val relErr = 0.01
+    val n = 10000
+    // values 0..9999, deterministically scrambled across two groups —
+    // the true quantile of p is ~p·n, so a rank-error bound is a VALUE
+    // bound: |est − p·n| ≤ relErr·n (+1 for rank/index off-by-one)
+    val df = Seq.tabulate(n)(i =>
+      ((i * 7919) % 2 match { case 0 => "a"; case _ => "b" },
+        ((i.toLong * 2654435761L) % n).toDouble))
+      .toDF("g", "v")
+    val per = Sketches.quantileSketches(df, Seq("g"), "v", relErr)
+    val probs = Seq(0.1, 0.5, 0.9)
+    // per-group bound: each group holds every OTHER residue, still
+    // uniform over 0..n-1, half the count → same value bound
+    val perEst = Sketches.quantileEstimates(per, probs)
+      .select("g", "q_10", "q_50", "q_90").collect()
+    perEst.foreach { r =>
+      probs.zipWithIndex.foreach { case (p, i) =>
+        val est = r.getDouble(1 + i)
+        assert(math.abs(est - p * n) <= 2 * relErr * n + 2,
+          s"group ${r.getString(0)} p=$p est=$est")
+      }
+    }
+    // merged rollup: GK merge degrades error at most 2×; the merged
+    // sketch over both groups must estimate the GLOBAL quantiles
+    val merged = Sketches.quantileEstimates(
+        Sketches.mergeQuantileSketches(per), probs)
+      .select("q_10", "q_50", "q_90").head
+    probs.zipWithIndex.foreach { case (p, i) =>
+      val est = merged.getDouble(i)
+      assert(math.abs(est - p * n) <= 2 * relErr * n + 2,
+        s"merged p=$p est=$est")
+    }
+  }
+
+  test("quantile sketches: empty-group probe is NULL, single value exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("a", Some(5.0)), ("b", None: Option[Double]))
+      .toDF("g", "v")
+    val per = Sketches.quantileSketches(df, Seq("g"), "v")
+    val got = Sketches.quantileEstimates(per, Seq(0.5))
+      .select("g", "q_50").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a") === Some(5.0)) // one value is every quantile
+    assert(got("b") === None)      // no non-null inputs → NULL probe
+  }
 }
