@@ -174,6 +174,57 @@ object Oracles {
       "ORDER BY node"
   }
 
+  /** BM25 top-10 for the shared ('spark','join','window') query — the
+    * q139 recipe, also the q162 oracle: search over the materialized
+    * inverted index must equal search over the corpus row for row.
+    */
+  private val bm25TopSql: String =
+    "WITH base AS (SELECT doc_id, CAST(len(list_filter(" +
+      "string_split(text, ' '), x -> len(x) > 0)) AS DOUBLE) AS dl " +
+      "FROM documents), " +
+      "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), " +
+      "terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms " +
+      "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "c AS (SELECT tf.doc_id, round(" +
+      "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * b.dl / avgdl)), 6) AS c " +
+      "FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id " +
+      "CROSS JOIN stats) " +
+      "SELECT doc_id, round(sum(c), 4) AS score, " +
+      "count(*) AS n_terms_matched FROM c GROUP BY 1 " +
+      "ORDER BY score DESC, doc_id LIMIT 10"
+
+  /** Unrolled synchronous k-core peeling over the q160 planted-core graph
+    * (ring + ids < 40 chorded to +2/+3/+4 mod 40) — one (keep, filter)
+    * CTE pair per round mirroring `Graphs.kCore`; rounds past
+    * convergence peel nothing, so a fixed unroll replays an until-stable
+    * run exactly.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val head =
+      "WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "e0 AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+      "FROM documents, mn " +
+      "UNION ALL SELECT doc_id, (doc_id + j) % 40 " +
+      "FROM documents, (VALUES (2), (3), (4)) v(j) WHERE doc_id < 40), " +
+      "u0 AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT src, dst FROM e0 WHERE src <> dst " +
+      "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst))"
+    val peels = (1 to rounds).map { r =>
+      s"k$r AS (SELECT src FROM u${r - 1} GROUP BY src " +
+        s"HAVING count(*) >= $k), " +
+        s"u$r AS (SELECT src, dst FROM u${r - 1} " +
+        s"WHERE src IN (SELECT src FROM k$r) " +
+        s"AND dst IN (SELECT src FROM k$r))"
+    }.mkString(", ", ", ", "")
+    head + peels +
+      s" SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree " +
+      s"FROM u$rounds GROUP BY src HAVING count(*) >= $k ORDER BY node"
+  }
+
   /** Unrolled batch gradient descent for the q142 logistic regression —
     * one CTE per round mirroring `Classify.trainLogistic`'s float recipe:
     * zero init, margin as the left-assoc 4-term dot product, update
@@ -1637,24 +1688,11 @@ object Oracles {
     // BM25: smoothed idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2 b=0.75,
     // dl = non-empty whitespace tokens; contributions rounded 6dp,
     // totals 4dp; top-10 by (score desc, doc_id).
-    "q139_bm25" ->
-      ("WITH base AS (SELECT doc_id, CAST(len(list_filter(" +
-        "string_split(text, ' '), x -> len(x) > 0)) AS DOUBLE) AS dl " +
-        "FROM documents), " +
-        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), " +
-        "terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
-        "FROM documents), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms " +
-        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
-        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
-        "c AS (SELECT tf.doc_id, round(" +
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * b.dl / avgdl)), 6) AS c " +
-        "FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id " +
-        "CROSS JOIN stats) " +
-        "SELECT doc_id, round(sum(c), 4) AS score, " +
-        "count(*) AS n_terms_matched FROM c GROUP BY 1 " +
-        "ORDER BY score DESC, doc_id LIMIT 10"),
+    "q139_bm25" -> bm25TopSql,
+
+    // Search over the materialized inverted index must equal search over
+    // the corpus row for row — the oracle is literally q139's.
+    "q162_index_search" -> bm25TopSql,
 
     // Per-source curation report: md5-of-text corpus-wide collision flag,
     // composition share, char/token volume and means.
@@ -1900,6 +1938,67 @@ object Oracles {
 
     // Column dependencies: one joint-count CTE per pair, entropies from
     // the joint, U(A|B) = (H(A) − H(A|B)) / H(A).
+    // PSI drift: reference-decile edges (quantile_cont ≡ Spark
+    // percentile), CASE bucketing on the same edge doubles, +0.5
+    // smoothing over a dense bucket spine.
+    "q158_psi_drift" -> {
+      val caseOf = (1 to 9).map(i =>
+        s"WHEN v <= qs[$i] THEN ${i - 1}").mkString(
+        "CASE ", " ", " ELSE 9 END")
+      "WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        "cur AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents " +
+        "WHERE doc_id % 2 = 1), " +
+        "ed AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, " +
+        "0.7, 0.8, 0.9]) AS qs FROM ref), " +
+        s"rb AS (SELECT $caseOf AS bucket FROM ref, ed), " +
+        s"cb AS (SELECT $caseOf AS bucket FROM cur, ed), " +
+        "rn AS (SELECT bucket, count(*) AS n FROM rb GROUP BY 1), " +
+        "cn AS (SELECT bucket, count(*) AS n FROM cb GROUP BY 1), " +
+        "rt AS (SELECT count(*) AS t FROM rb), " +
+        "ct AS (SELECT count(*) AS t FROM cb), " +
+        "sp AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(10)), " +
+        "sh AS (SELECT sp.bucket, " +
+        "(COALESCE(rn.n, 0) + 0.5) / (rt.t + 5.0) AS ref_share, " +
+        "(COALESCE(cn.n, 0) + 0.5) / (ct.t + 5.0) AS cur_share " +
+        "FROM sp LEFT JOIN rn USING (bucket) LEFT JOIN cn USING (bucket), " +
+        "rt, ct) " +
+        "SELECT bucket, round(ref_share, 6) AS ref_share, " +
+        "round(cur_share, 6) AS cur_share, " +
+        "round((cur_share - ref_share) * ln(cur_share / ref_share), 6) " +
+        "AS psi_term FROM sh ORDER BY bucket"
+    },
+
+    // Association rules over (user × day) distinct baskets: support /
+    // confidence / lift with the operator's exact arithmetic.
+    "q159_association_rules" ->
+      ("WITH bi AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, " +
+        "event_type AS item FROM events), " +
+        "nb AS (SELECT count(*) AS n FROM " +
+        "(SELECT DISTINCT user_id, d FROM bi)), " +
+        "m AS (SELECT item, count(*) AS n_item FROM bi GROUP BY 1), " +
+        "p AS (SELECT a.item AS ante, b.item AS cons, count(*) AS n_both " +
+        "FROM bi a JOIN bi b ON a.user_id = b.user_id AND a.d = b.d " +
+        "AND a.item <> b.item GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT ante, cons, CAST(n_both AS BIGINT) AS n_both, " +
+        "round(n_both / n, 6) AS support, " +
+        "round(n_both / ma.n_item, 6) AS confidence, " +
+        "round(n_both * n / (CAST(ma.n_item AS DOUBLE) * mc.n_item), 6) " +
+        "AS lift FROM p JOIN m ma ON ante = ma.item " +
+        "JOIN m mc ON cons = mc.item CROSS JOIN nb ORDER BY 1, 2"),
+
+    // k-core over the planted-core graph, peel rounds unrolled (rounds
+    // past convergence are no-ops, so 5 covers the 2-3 round run).
+    "q160_kcore" -> kCoreSql(k = 5, rounds = 5),
+
+    // Heap top-k per group == the window formulation (rank order total).
+    "q161_topk_per_group" ->
+      ("SELECT source, CAST(rn AS BIGINT) AS rank, " +
+        "CAST(n_chars AS BIGINT) AS n_chars, doc_id FROM " +
+        "(SELECT source, n_chars, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 3 ORDER BY source, rank"),
+
     "q156_column_deps" -> {
       def pairSql(a: String, b: String): String =
         s"(WITH j AS (SELECT $a AS a, $b AS b, count(*) AS nab " +

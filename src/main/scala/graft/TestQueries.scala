@@ -2117,6 +2117,86 @@ object TestQueries {
       .orderBy("source")
   }
 
+  /** PSI vintage drift ([[operators.Quality.populationStability]]):
+    * even-doc lengths as the reference vintage, odd docs as the current —
+    * reference-decile edges, +0.5-smoothed shares, per-bucket PSI terms.
+    * DuckDB rebuilds identical quantile edges (quantile_cont ≡ Spark
+    * percentile) and replays the bucketing and smoothing.
+    */
+  def q158PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Quality.populationStability(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "n_chars", buckets = 10)
+      .select(col("bucket"), round(col("ref_share"), 6).as("ref_share"),
+        round(col("cur_share"), 6).as("cur_share"),
+        round(col("psi_term"), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  /** Association rules ([[operators.EventAnalytics.associationRules]]):
+    * (user × day) baskets of event types — support/confidence/lift per
+    * ordered pair, the market-basket report. DuckDB replays the distinct
+    * basket sets and the rule arithmetic exactly.
+    */
+  def q159AssociationRules(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.associationRules(
+        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "day"), "event_type", minBasketCount = 5)
+      .select(col("ante"), col("cons"), col("n_both").cast("long").as("n_both"),
+        round(col("support"), 6).as("support"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 6).as("lift"))
+      .orderBy("ante", "cons")
+
+  /** k-core decomposition ([[operators.Graphs.kCore]]) over a ring with a
+    * planted dense core (ids < 40 chord to +2/+3/+4 mod 40): at k = 5 the
+    * degree-2 ring peels in one synchronous round and exactly the planted
+    * core survives. Peeling a stable set is a no-op, so the fixed-round
+    * oracle replays the until-stable run exactly.
+    */
+  def q160KCore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val ring = base.select(col("doc_id").as("src"),
+      ((col("doc_id") + 1) % col("n")).as("dst"))
+    val core = base.where(col("doc_id") < 40)
+      .select(col("doc_id").as("src"),
+        explode(array(lit(2), lit(3), lit(4))).as("j"))
+      .select(col("src"), ((col("src") + col("j")) % 40).as("dst"))
+    operators.Graphs.kCore(ring.unionByName(core), k = 5)
+      .select(col("node"), col("core_degree").cast("long").as("core_degree"))
+      .orderBy("node")
+  }
+
+  /** Heap-based top-k per group ([[operators.Analytics.topKPerGroup]]):
+    * top-3 longest docs per source via the k-bounded partial aggregate —
+    * shuffle carries ≤ k entries per group per map task, no window sort.
+    * The oracle is the window formulation, proving equivalence.
+    */
+  def q161TopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    Analytics.topKPerGroup(t(s, dir, "documents"), Seq("source"),
+        "n_chars", "doc_id", k = 3)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("ord").cast("long").as("n_chars"), col("tie").as("doc_id"))
+      .orderBy("source", "rank")
+
+  /** Search over a materialized inverted index
+    * ([[operators.Retrieval.invertedIndex]]/[[operators.Retrieval.searchIndex]]):
+    * the same BM25 query as q139 answered from posting lists instead of
+    * rescanning the corpus — search-over-index must equal
+    * search-over-corpus row for row, so the oracle IS q139's.
+    */
+  def q162IndexSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = operators.Retrieval.invertedIndex(docs, "doc_id", "text",
+      bandSize = 128) // small band → the band-rollup path is exercised
+    val lens = operators.Retrieval.docLengths(docs, "doc_id", "text")
+    operators.Retrieval.searchIndex(idx, lens,
+      Seq("spark", "join", "window"), topK = 10)
+  }
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2324,6 +2404,11 @@ object TestQueries {
     "q155_collocations" -> (q155Collocations _),
     "q156_column_deps" -> (q156ColumnDeps _),
     "q157_quantile_sketch" -> (q157QuantileSketch _),
+    "q158_psi_drift" -> (q158PsiDrift _),
+    "q159_association_rules" -> (q159AssociationRules _),
+    "q160_kcore" -> (q160KCore _),
+    "q161_topk_per_group" -> (q161TopkPerGroup _),
+    "q162_index_search" -> (q162IndexSearch _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -239,6 +239,29 @@ object Analytics {
     * one the group join needs; with few groups the join is a broadcast
     * hash join and the fact never shuffles at all.
     */
+  /** Top-k rows per group WITHOUT a window sort — a k-bounded
+    * [[graft.functions.expressions.TopKAgg]] buffer per group, maintained
+    * map-side, so the shuffle carries ≤ k entries per group per map task
+    * instead of every group row (`row_number() OVER (PARTITION BY ...)`
+    * ships and sorts the full group). Ordering (ord desc, tie asc) is
+    * total, so the result is deterministic and window-equivalent.
+    *
+    * Returns one row per kept entry: groupCols..., `rank` (1-based),
+    * `ord` (double), `tie` (long).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], ordCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.expressions.TopKAgg
+        .topK(col(ordCol), col(tieCol), k).as("__topk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.ord").as("ord"), col("__e.tie").as("tie")): _*)
+  }
+
   def robustScale(df: DataFrame, groupCol: String, valueCol: String,
                   clip: Double = 3.0): DataFrame = {
     require(clip > 0, s"clip must be positive: $clip")

@@ -190,4 +190,50 @@ object EventAnalytics {
       .groupBy("cohort", "k")
       .agg(countDistinct("user").as("n_users"))
   }
+
+  /** Pairwise association rules over baskets — support / confidence /
+    * lift for every ordered item pair co-occurring in at least
+    * `minBasketCount` baskets: the market-basket view of an event log
+    * ("users who error also churn", "docs tagged X also carry Y").
+    *
+    * A basket is the DISTINCT item set of a `basketCols` group (e.g.
+    * user × day). For the pair (a → c): support = n(a,c)/N baskets,
+    * confidence = n(a,c)/n(a), lift = support / (p(a)·p(c)) — lift > 1 is
+    * positive association, < 1 avoidance.
+    *
+    * Shape for scale: the (basket, item) distinct is one shuffle of
+    * compact keys; the pair self-join runs WITHIN basket keys, so its
+    * output is Σ items-per-basket² — bounded by the item vocabulary per
+    * basket (small in practice: event types, tags), never corpus². Item
+    * marginals derive from the same distinct frame and broadcast onto
+    * the pair counts.
+    */
+  def associationRules(df: DataFrame, basketCols: Seq[String],
+                       itemCol: String,
+                       minBasketCount: Long = 1): DataFrame = {
+    require(basketCols.nonEmpty, "need at least one basket column")
+    // \u0001-joined key: plain concat would collide "ab"+"c" with "a"+"bc"
+    val bi = df.select(
+        concat_ws("\u0001", basketCols.map(col): _*).as("basket"),
+        col(itemCol).as("item"))
+      .distinct()
+      .localCheckpoint() // pair join + marginals + total share it
+    val n = bi.select(col("basket")).distinct().count().toDouble
+    val marg = bi.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = bi.join(
+        bi.select(col("basket"), col("item").as("cons")), "basket")
+      .where(col("item") =!= col("cons"))
+      .groupBy(col("item").as("ante"), col("cons"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minBasketCount)
+    pairs
+      .join(broadcast(marg.select(col("item").as("ante"),
+        col("n_item").as("n_ante"))), "ante")
+      .join(broadcast(marg.select(col("item").as("cons"),
+        col("n_item").as("n_cons"))), "cons")
+      .select(col("ante"), col("cons"), col("n_both"),
+        (col("n_both") / n).as("support"),
+        (col("n_both") / col("n_ante")).as("confidence"),
+        (col("n_both") * n / (col("n_ante") * col("n_cons"))).as("lift"))
+  }
 }

@@ -221,4 +221,45 @@ object Graphs {
     }
     labels.withColumnRenamed("lbl", "community")
   }
+
+  /** k-core decomposition (the k-core): iteratively peel vertices with
+    * degree < k until the remainder is stable — the standard dense-
+    * subgraph extraction (spam rings, tightly-coupled near-dup clusters,
+    * community cores). Returns the surviving vertices with their degree
+    * WITHIN the core.
+    *
+    * Edges are symmetrized + deduped once; each peel round is one degree
+    * aggregate over remaining edges plus two semi-joins to drop edges
+    * incident to peeled vertices — all linear in |E|, checkpointed per
+    * round. Convergence is detected by a bounded scalar (vertex count);
+    * peeling a stable set removes nothing, so extra rounds are no-ops
+    * (which is what lets a fixed-round oracle replay an until-stable
+    * run exactly).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    var e = pin(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var survivors = -1L
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = pin(deg.where(col("deg") >= k).select("src"))
+      val n = keep.count()
+      if (n == survivors) done = true
+      else {
+        survivors = n
+        e = pin(e
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+      }
+      i += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      .where(col("core_degree") >= k)
+  }
 }

@@ -552,6 +552,57 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** Population stability index between a reference and a current
+    * distribution of `valueCol` — the vintage-drift alarm: run it between
+    * last crawl's quality scores / doc lengths / language mix and this
+    * crawl's before letting a new vintage into the training mix. Bucket
+    * edges are the REFERENCE quantiles (equal-population buckets), both
+    * sides are bucketed on those same edges, and each bucket contributes
+    * `(cur − ref)·ln(cur/ref)` with +0.5 count smoothing so empty buckets
+    * are defined. PSI < 0.1 ≈ stable, > 0.25 ≈ population shift.
+    *
+    * Shape for scale: edges come from ONE exact-percentile aggregate on
+    * the reference (a bounded scalar row — swap `percentile_approx` in at
+    * petabyte scale), then both sides take one scan-side CASE bucketing +
+    * count aggregate each. Nothing but bucket counts crosses the wire.
+    *
+    * Returns one row per bucket: (bucket, ref_share, cur_share,
+    * psi_term); total PSI = sum(psi_term).
+    */
+  def populationStability(reference: DataFrame, current: DataFrame,
+                          valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val v = col(valueCol).cast("double")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val edges = reference
+      .agg(percentile(v, lit(ps.toArray)).as("qs"))
+      .head().getSeq[Double](0)
+    // CASE chain over the broadcast edge literals: first edge ≥ v wins
+    def bucketOf(c: Column): Column =
+      edges.zipWithIndex.foldRight(lit(buckets - 1)) {
+        case ((e, i), rest) => when(c <= lit(e), lit(i)).otherwise(rest)
+      }
+    def shares(df: DataFrame, name: String): DataFrame = {
+      val counts = df.select(bucketOf(v).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("t"))
+      // dense bucket spine so empty buckets still smooth to 0.5
+      reference.sparkSession.range(buckets)
+        .select(col("id").cast("int").as("bucket"))
+        .join(counts, Seq("bucket"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("bucket"),
+          ((coalesce(col("n"), lit(0L)) + 0.5) /
+            (col("t") + 0.5 * buckets)).as(name))
+    }
+    shares(reference, "ref_share")
+      .join(shares(current, "cur_share"), "bucket")
+      .withColumn("psi_term",
+        (col("cur_share") - col("ref_share")) *
+          log(col("cur_share") / col("ref_share")))
+      .orderBy("bucket")
+  }
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

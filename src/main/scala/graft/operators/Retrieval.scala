@@ -61,6 +61,81 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Materialized inverted index: one row per (term, band) with an
+    * id-sorted posting array of (id, tf) structs — the persist-once
+    * search artifact. Banding (`floor(id / bandSize)`) caps every
+    * posting ARRAY at the band's doc count, so a stop-word's postings
+    * shard across rows instead of concentrating 10⁹ entries in one
+    * array/task — the skew guard that makes the build safe at corpus
+    * scale. `df` on each row is the term's TOTAL document frequency
+    * (repeated across its bands, so any slice of the index scores
+    * correctly without a second lookup).
+    *
+    * Build shape: explode once → (term, id) count agg → band rollup with
+    * `sort_array(collect_list(...))` per (term, band) — two compact-key
+    * shuffles, raw text never moves past the first projection.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    bandSize: Long = 1 << 20): DataFrame = {
+    require(bandSize >= 1, s"bandSize must be positive: $bandSize")
+    val tf = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(filter(split(col(textCol), " "), t => length(t) > 0))
+          .as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.withColumn("band", floor(col("id") / bandSize))
+      .groupBy("term", "band")
+      .agg(sort_array(collect_list(struct(col("id"), col("tf"))))
+        .as("postings"))
+      .join(df, "term")
+      .select("term", "band", "df", "postings")
+  }
+
+  /** Per-document token lengths — the index's companion dictionary
+    * (BM25's `dl`); persist alongside [[invertedIndex]].
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      size(filter(split(col(textCol), " "), t => length(t) > 0))
+        .cast("double").as("dl"))
+
+  /** BM25 search over a PREBUILT [[invertedIndex]] — the no-rescan query
+    * path: only the query terms' index rows are touched (a scan-side
+    * `isin` filter the parquet reader can push down on the `term`
+    * column), their postings explode into |query| × df tf rows, and
+    * scoring proceeds exactly as [[bm25]] — same idf, same saturation,
+    * same rounding, same ranking, so search-over-index ≡ search-over-
+    * corpus row for row. Corpus stats (N, avgdl) come from the lengths
+    * dictionary, never the corpus.
+    */
+  def searchIndex(index: DataFrame, lengths: DataFrame,
+                  queryTerms: Seq[String], k1: Double = 1.2,
+                  b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val stats = lengths.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = index
+      .where(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df"),
+        explode(col("postings")).as("p"))
+      .select(col("term"), col("df"),
+        col("p.id").as("doc_id"), col("p.tf").as("tf"))
+      .join(lengths.withColumnRenamed("id", "doc_id"), "doc_id")
+    val contrib = tf
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c", round(
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    contrib.groupBy("doc_id")
+      .agg(round(sum("c"), 4).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge heterogeneous candidate lists (lexical BM25 + embedding ANN,
     * the hybrid-retrieval shape) without calibrating their incomparable

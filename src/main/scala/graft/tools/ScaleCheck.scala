@@ -417,10 +417,13 @@ object ScaleCheck {
         graft.operators.Graphs.pageRank(edges, iterations = 10).count()
       },
       "jaccard_join" -> { dir =>
-        // prefix-filtered exact set-similarity join; vowel-permuted
-        // replicas have disjoint-ish vocabularies, so candidate buckets
-        // stay per-replica — corpus-linear
-        Dedup.jaccardJoinExact(docs(dir), "doc_id", "text", 0.9).count()
+        // prefix-filtered exact set-similarity join over 3-shingles (the
+        // q147 population — on the 31-word vocab no unigram is rare and
+        // word-level prefixes degenerate to all-pairs); vowel-permuted
+        // replicas keep shingle vocabularies disjoint-ish, so candidate
+        // buckets stay per-replica — corpus-linear
+        Dedup.jaccardJoinExact(docs(dir), "doc_id", "text", 0.9,
+          tokens = c => graft.functions.Text.shingles(c, 3)).count()
       },
       "triangles" -> { dir =>
         // degree-oriented closure; replica ids collapse onto the base
@@ -539,6 +542,75 @@ object ScaleCheck {
         // corpus-linear, no window over the fact
         graft.operators.Analytics.robustScale(docs(dir), "source", "n_chars")
           .count()
+      },
+      "collocations" -> { dir =>
+        // scan-side bigram build + two count aggregates — token-linear;
+        // vowel permutation grows the vocab, counts stay per-replica
+        graft.operators.Quality.collocations(docs(dir), "text",
+          minCount = 25, topN = 50).count()
+      },
+      "column_deps" -> { dir =>
+        // one joint-count agg per pair over the fact, entropies from the
+        // compact joint — fact-linear per pair
+        graft.operators.Quality.columnDependencies(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          Seq(("o_orderstatus", "o_orderpriority"),
+            ("o_orderstatus", "o_custkey"))).count()
+      },
+      "quantile_sketch" -> { dir =>
+        // GK sketch build is one partial-aggregable pass (KB-sized
+        // buffers); the merge row touches only the 20 group sketches
+        val per = graft.operators.Sketches.quantileSketches(
+          docs(dir), Seq("source"), "n_chars")
+        graft.operators.Sketches.quantileEstimates(per, Seq(0.5, 0.95))
+          .count() +
+          graft.operators.Sketches.mergeQuantileSketches(per).count()
+      },
+      "psi_drift" -> { dir =>
+        // one reference percentile agg + two scan-side bucket counts —
+        // corpus-linear, only bucket counts shuffle
+        val d = docs(dir)
+        graft.operators.Quality.populationStability(
+          d.where(col("doc_id") % 2 === 0),
+          d.where(col("doc_id") % 2 === 1), "n_chars").count()
+      },
+      "association_rules" -> { dir =>
+        // distinct (basket, item) + within-basket pair join (bounded by
+        // per-basket vocab²) — events-linear
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+          .withColumn("day", to_date(col("ts")))
+        graft.operators.EventAnalytics.associationRules(
+          ev, Seq("user_id", "day"), "event_type", minBasketCount = 5)
+          .count()
+      },
+      "kcore" -> { dir =>
+        // planted-core peel: ring strips in one sync round at any sf, so
+        // round count is constant and each round is edges-linear
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val b = d.crossJoin(broadcast(nDf))
+        val ring = b.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % col("n")).as("dst"))
+        val coreE = b.where(col("doc_id") % 100000000L < 40)
+          .select(col("doc_id").as("src"),
+            explode(array(lit(2), lit(3), lit(4))).as("j"))
+          .select(col("src"), ((col("src") + col("j")) % 40).as("dst"))
+        graft.operators.Graphs.kCore(ring.unionByName(coreE), k = 5).count()
+      },
+      "topk_per_group" -> { dir =>
+        // k-bounded partial aggregate: ≤ k entries per group per map task
+        // cross the wire — corpus-linear scan, constant exchange
+        graft.operators.Analytics.topKPerGroup(docs(dir), Seq("source"),
+          "n_chars", "doc_id", k = 3).count()
+      },
+      "index_search" -> { dir =>
+        // index build (two compact shuffles) + query-term-only search
+        val d = docs(dir)
+        val idx = graft.operators.Retrieval.invertedIndex(
+          d, "doc_id", "text", bandSize = 1024)
+        graft.operators.Retrieval.searchIndex(idx,
+          graft.operators.Retrieval.docLengths(d, "doc_id", "text"),
+          Seq("spark", "join", "window"), topK = 10).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /

@@ -152,4 +152,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (0, 0) -> 2L, (0, 1) -> 1L, (0, 2) -> 1L,
       (1, 0) -> 1L, (1, 1) -> 1L))
   }
+
+  test("associationRules: hand-computed support/confidence/lift; dup rows collapse") {
+    // baskets: b1 {x,y}, b2 {x,y}, b3 {x}, b4 {y,z} — x appears twice in
+    // b3 to prove the distinct; N = 4 baskets
+    val rows = Seq(
+      ("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "x"), ("b4", "y"), ("b4", "z"))
+      .toDF("b", "item")
+    val got = EventAnalytics.associationRules(rows, Seq("b"), "item")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // x→y: n=2, support 0.5, conf 2/3, lift 4·2/(3·3)
+    assert(got(("x", "y")) === ((2L, 0.5, 2.0 / 3, 8.0 / 9)))
+    // y→x symmetric support/lift, conf 2/3 too (ny = 3)
+    assert(got(("y", "x")) === ((2L, 0.5, 2.0 / 3, 8.0 / 9)))
+    // y→z: n=1, conf 1/3, lift 4/(3·1)
+    assert(got(("y", "z")) === ((1L, 0.25, 1.0 / 3, 4.0 / 3)))
+    assert(!got.contains(("x", "z"))) // never co-occur
+  }
+
+  test("associationRules: multi-column baskets don't collide on concat") {
+    // ("a","bc") and ("ab","c") would collide under plain concat — the
+    //  separator keeps them distinct baskets
+    val rows = Seq(
+      ("a", "bc", "x"), ("a", "bc", "y"),
+      ("ab", "c", "x"), ("ab", "c", "z"))
+      .toDF("b1", "b2", "item")
+    val got = EventAnalytics.associationRules(rows, Seq("b1", "b2"), "item")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // collision would fabricate x→z and x→y cross-pairs in one basket of
+    // four items; with distinct baskets y and z never share a basket
+    assert(got === Set(("x", "y"), ("y", "x"), ("x", "z"), ("z", "x")))
+  }
 }

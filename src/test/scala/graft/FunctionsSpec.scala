@@ -293,4 +293,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0).getString(1) === got(0).getString(2)) // fold∘fold = fold
     assert(got(1).isNullAt(0) && got(1).isNullAt(1))
   }
+
+  test("topKPerGroup == the window formulation on random multi-partition data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // few groups, many rows, deliberate score ties → the tiebreak matters;
+    // 8 partitions force the merge (partial-aggregation) path
+    val df = Seq.tabulate(5000)(i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(40).toDouble, i.toLong))
+      .toDF("g", "score", "id").repartition(8)
+    val got = graft.operators.Analytics
+      .topKPerGroup(df, Seq("g"), "score", "id", k = 5)
+      .select("g", "rank", "ord", "tie")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("g", "rank", "score", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("topKPerGroup: groups smaller than k return all rows; nulls skipped") {
+    import spark.implicits._
+    val df = Seq(("g", Some(2.0), 1L), ("g", Some(1.0), 2L),
+      ("g", None: Option[Double], 3L)).toDF("g", "score", "id")
+    val got = graft.operators.Analytics
+      .topKPerGroup(df, Seq("g"), "score", "id", k = 10)
+      .select("rank", "tie").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq.sorted
+    assert(got === Seq(1 -> 1L, 2 -> 2L)) // null ord never ranks
+  }
 }

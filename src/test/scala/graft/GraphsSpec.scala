@@ -119,4 +119,30 @@ class GraphsSpec extends AnyFunSuite {
     val got = lpa(Seq((1L, 2L), (2L, 3L)), iters = 0)
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: a whisker chain peels iteratively, the clique survives") {
+    // K4 {1,2,3,4} with a pendant chain 4-5-6: at k=2 the chain strips
+    // end-first over TWO rounds (6 first, then 5) — the cascade case
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = core(k4 ++ Seq((4L, 5L), (5L, 6L)), k = 2)
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: core degrees are WITHIN the core, not the raw graph") {
+    // triangle {1,2,3} + two pendants on node 3: raw deg(3) = 4, but
+    // after the pendants peel at k=2 its core degree is 2
+    val got = core(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 10L), (3L, 11L)), k = 2)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: no k-core yields empty, k=1 keeps every non-isolated node") {
+    assert(core(Seq((1L, 2L), (2L, 3L)), k = 3) === Map.empty)
+    assert(core(Seq((1L, 2L), (2L, 3L)), k = 1) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }

@@ -402,6 +402,25 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(5)) < 1e-12)               // U = 0
   }
 
+  test("populationStability: identical vintages ≈ 0, shifted vintages large") {
+    import spark.implicits._
+    val ref = Seq.tabulate(1000)(i => i.toDouble).toDF("v")
+    // same distribution → every bucket's shares match → PSI ~ 0
+    val same = graft.operators.Quality
+      .populationStability(ref, ref, "v", buckets = 10)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(math.abs(same) < 1e-12)
+    // hard right shift (+2000: everything lands in the last bucket)
+    val shifted = Seq.tabulate(1000)(i => i.toDouble + 2000).toDF("v")
+    val drift = graft.operators.Quality
+      .populationStability(ref, shifted, "v", buckets = 10)
+    val terms = drift.collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(terms.size === 10)
+    assert(terms.values.sum > 1.0) // far beyond the 0.25 alarm line
+    // empty buckets are defined (smoothing), never NaN/null
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("robustScale: median/IQR z with clipping; degenerate IQR scales to 0") {
     import spark.implicits._
     val rows = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 103),

@@ -69,6 +69,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.getLong(5) === ("dup text".length + "solo one".length).toLong)
   }
 
+  test("invertedIndex: banded postings, id-sorted, total df on every band") {
+    val docs = Seq(
+      (0L, "w a"), (1L, "w b"), (2L, "w c"), (3L, "w w d")
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text", bandSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[org.apache.spark.sql.Row](3)
+          .map(p => (p.getLong(0), p.getLong(1))))))
+      .toMap
+    // 'w' in all 4 docs → two bands of 2, BOTH carrying df = 4
+    assert(idx(("w", 0L)) === ((4L, Seq(0L -> 1L, 1L -> 1L))))
+    assert(idx(("w", 1L)) === ((4L, Seq(2L -> 1L, 3L -> 2L)))) // tf 2 in d3
+    assert(idx(("a", 0L)) === ((1L, Seq(0L -> 1L))))
+  }
+
+  test("searchIndex over the prebuilt index == bm25 over the corpus") {
+    val docs = Seq(
+      (1L, "rare common x"), (2L, "common y z"),
+      (3L, "common common common y"), (4L, "common w"),
+      (5L, "nothing matches here")
+    ).toDF("doc_id", "text")
+    val direct = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("rare", "common"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val viaIndex = Retrieval.searchIndex(
+        Retrieval.invertedIndex(docs, "doc_id", "text", bandSize = 2),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        Seq("rare", "common"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(viaIndex === direct)
+  }
+
   test("reciprocalRankFusion: consensus beats a single system's favourite") {
     val sysA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val sysB = Seq((3L, 1), (2L, 2), (9L, 3)).toDF("id", "rank")
