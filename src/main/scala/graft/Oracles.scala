@@ -1991,6 +1991,44 @@ object Oracles {
     // past convergence are no-ops, so 5 covers the 2-3 round run).
     "q160_kcore" -> kCoreSql(k = 5, rounds = 5),
 
+    // Categorical drift: union categories, +0.5 smoothing, chi-square
+    // with explicit multiply (mirrors Spark's (d)*(d)/exp), JS terms.
+    "q163_categorical_drift" ->
+      ("WITH r AS (SELECT lang AS category, count(*) AS rn FROM documents " +
+        "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "c AS (SELECT lang AS category, count(*) AS cn FROM documents " +
+        "WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "j AS (SELECT category, COALESCE(rn, 0) AS rn, " +
+        "COALESCE(cn, 0) AS cn FROM r FULL OUTER JOIN c USING (category)), " +
+        "kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM j), " +
+        "t AS (SELECT sum(rn) AS rt, sum(cn) AS ct FROM j), " +
+        "s AS (SELECT category, cn, ct, k, " +
+        "(rn + 0.5) / (rt + 0.5 * k) AS ref_share, " +
+        "(cn + 0.5) / (ct + 0.5 * k) AS cur_share FROM j, t, kk), " +
+        "e AS (SELECT category, ref_share, cur_share, " +
+        "ref_share * (ct + 0.5 * k) AS ex, cn, " +
+        "(ref_share + cur_share) / 2.0 AS m FROM s) " +
+        "SELECT category, round(ref_share, 6) AS ref_share, " +
+        "round(cur_share, 6) AS cur_share, " +
+        "round(((cn + 0.5) - ex) * ((cn + 0.5) - ex) / ex, 6) " +
+        "AS chi2_term, " +
+        "round(0.5 * ref_share * ln(ref_share / m) + " +
+        "0.5 * cur_share * ln(cur_share / m), 6) AS js_term " +
+        "FROM e ORDER BY category"),
+
+    // Neyman allocation: budget · N_h·S_h / Σ(N_h·S_h), fractional.
+    "q164_neyman_allocation" ->
+      ("WITH per AS (SELECT source, count(*) AS n_rows, " +
+        "stddev_samp(CAST(n_chars AS DOUBLE)) AS sd FROM documents " +
+        "GROUP BY 1), " +
+        "w AS (SELECT source, n_rows, sd, " +
+        "n_rows * COALESCE(sd, 0.0) AS w FROM per), " +
+        "t AS (SELECT sum(w) AS tw FROM w) " +
+        "SELECT source, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "round(sd, 6) AS stddev, " +
+        "round(CASE WHEN tw > 0 THEN 1000.0 * w / tw ELSE 0.0 END, 4) " +
+        "AS allocation FROM w, t ORDER BY source"),
+
     // Heap top-k per group == the window formulation (rank order total).
     "q161_topk_per_group" ->
       ("SELECT source, CAST(rn AS BIGINT) AS rank, " +

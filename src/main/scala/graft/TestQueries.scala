@@ -2197,6 +2197,35 @@ object TestQueries {
       Seq("spark", "join", "window"), topK = 10)
   }
 
+  /** Categorical drift ([[operators.Quality.categoricalDrift]]): language
+    * mix of even vs odd docs — chi-square and Jensen–Shannon terms per
+    * category, +0.5-smoothed. DuckDB replays counts, smoothing and the
+    * explicit-multiply arithmetic.
+    */
+  def q163CategoricalDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Quality.categoricalDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "lang")
+      .select(col("category"), round(col("ref_share"), 6).as("ref_share"),
+        round(col("cur_share"), 6).as("cur_share"),
+        round(col("chi2_term"), 6).as("chi2_term"),
+        round(col("js_term"), 6).as("js_term"))
+      .orderBy("category")
+  }
+
+  /** Neyman allocation ([[operators.Splits.neymanAllocation]]): a
+    * 1000-row audit budget split across sources by N_h·S_h — the
+    * variance-optimal stratified-sampling plan, fractional allocations.
+    */
+  def q164NeymanAllocation(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.neymanAllocation(t(s, dir, "documents"),
+        Seq("source"), "n_chars", totalBudget = 1000)
+      .select(col("source"), col("n_rows").cast("long").as("n_rows"),
+        round(col("stddev"), 6).as("stddev"),
+        round(col("allocation"), 4).as("allocation"))
+      .orderBy("source")
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2409,6 +2438,8 @@ object TestQueries {
     "q160_kcore" -> (q160KCore _),
     "q161_topk_per_group" -> (q161TopkPerGroup _),
     "q162_index_search" -> (q162IndexSearch _),
+    "q163_categorical_drift" -> (q163CategoricalDrift _),
+    "q164_neyman_allocation" -> (q164NeymanAllocation _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

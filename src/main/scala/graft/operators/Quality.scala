@@ -603,6 +603,51 @@ object Quality {
       .orderBy("bucket")
   }
 
+  /** Categorical drift between vintages — the discrete sibling of
+    * [[populationStability]]: per-category share comparison of `catCol`
+    * (language mix, source mix, license tags) with the two standard
+    * summary statistics as per-category terms: chi-square (current
+    * observed vs reference-expected counts) and Jensen–Shannon
+    * divergence (symmetric, bounded by ln 2, defined even for disjoint
+    * supports). Categories are the UNION of both sides; +0.5 count
+    * smoothing keeps vanished/new categories finite.
+    *
+    * Shape for scale: one count aggregate per side (category
+    * cardinality rows), a full outer join on the category, scalar
+    * totals broadcast — nothing corpus-sized moves.
+    *
+    * Returns (category, ref_share, cur_share, chi2_term, js_term);
+    * chi² = Σ chi2_term, JS = Σ js_term.
+    */
+  def categoricalDrift(reference: DataFrame, current: DataFrame,
+                       catCol: String): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as(name))
+    val joined = counts(reference, "__rn")
+      .join(counts(current, "__cn"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+      .localCheckpoint() // totals + terms both read it
+    val k = joined.count().toDouble // distinct categories (bounded)
+    val totals = joined.agg(sum("__rn").as("__rt"), sum("__cn").as("__ct"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("ref_share",
+        (col("__rn") + 0.5) / (col("__rt") + 0.5 * k))
+      .withColumn("cur_share",
+        (col("__cn") + 0.5) / (col("__ct") + 0.5 * k))
+      .withColumn("__exp", col("ref_share") * (col("__ct") + 0.5 * k))
+      .withColumn("chi2_term",
+        ((col("__cn") + 0.5) - col("__exp")) *
+          ((col("__cn") + 0.5) - col("__exp")) / col("__exp"))
+      .withColumn("__m", (col("ref_share") + col("cur_share")) / 2.0)
+      .withColumn("js_term",
+        lit(0.5) * col("ref_share") * log(col("ref_share") / col("__m")) +
+          lit(0.5) * col("cur_share") * log(col("cur_share") / col("__m")))
+      .select("category", "ref_share", "cur_share", "chi2_term", "js_term")
+  }
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

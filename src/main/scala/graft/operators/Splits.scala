@@ -295,6 +295,38 @@ object Splits {
       .drop("__run", "__cap")
   }
 
+  /** Neyman allocation of a sampling budget across strata: the optimal
+    * (variance-minimizing) split of `totalBudget` sample rows gives each
+    * stratum `budget · N_h·S_h / Σ(N_h·S_h)` — big AND internally varied
+    * strata earn more samples than big-but-uniform ones (where a handful
+    * suffices). The planning step before a stratified quality-audit or
+    * eval-set draw; pair the result with [[stratifiedSample]] per
+    * stratum.
+    *
+    * One partial-aggregable (count, stddev) pass per stratum, a scalar
+    * total broadcast back — nothing but stratum rows move. Single-row
+    * strata (undefined S_h) allocate 0; callers wanting a floor can
+    * clamp downstream.
+    *
+    * Returns (strataCols..., n_rows, stddev, allocation) — allocation
+    * left fractional (deterministic; integerize downstream to taste).
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueCol: String, totalBudget: Long): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val per = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        stddev_samp(col(valueCol).cast("double")).as("stddev"))
+      .withColumn("__w", col("n_rows") * coalesce(col("stddev"), lit(0.0)))
+    val tot = per.agg(sum("__w").as("__tw"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("allocation",
+        when(col("__tw") > 0, lit(totalBudget.toDouble) * col("__w") / col("__tw"))
+          .otherwise(lit(0.0)))
+      .drop("__w", "__tw")
+  }
+
   /** Quantile-bucketed curriculum assignment: split the corpus into
     * `numBuckets` equal-population difficulty tiers by `valueCol` (length,
     * perplexity, quality score …) — the curriculum-learning ordering key,

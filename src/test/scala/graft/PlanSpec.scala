@@ -96,4 +96,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "exact dedup must be a groupBy, not an all-pairs formulation")
   }
+
+  test("q161 heap top-k: partial ObjectHashAggregate, NO window sort") {
+    val p = planOf("q161_topk_per_group")
+    assert(p.contains("ObjectHashAggregate"),
+      "TopKAgg must plan as an (object) hash aggregate")
+    // both halves of the partial/final pair must be present — a
+    // final-only agg would mean the k-bound stopped applying map-side
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "partial aggregation lost: the shuffle now carries full groups")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      "the whole point is avoiding the window formulation")
+  }
+
+  test("q152 robust scaling: per-group stats broadcast, fact not shuffled twice") {
+    val p = planOf("q152_robust_scale")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row stats frame must broadcast onto the fact")
+    assert(!p.contains("Window"), "no window over the fact")
+  }
+
+  test("q150 rolling anomalies: ONE keyed window, no extra exchange") {
+    val p = planOf("q150_anomaly")
+    // one shuffle for the keyed window (+ the orderBy for output); the
+    // avg/stddev/count trio must share the single window pass
+    assert("WindowExec|Window ".r.findAllIn(p).size <= 2,
+      "the three frame aggregates must share one window")
+  }
+
+  test("q162 index search: only query terms' index rows are read") {
+    val p = planOf("q162_index_search")
+    // the isin filter must sit below the posting explode (generate),
+    // so untouched terms' postings never decompress
+    assert(p.contains("Generate"), "postings must explode in-flight")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q149 edit-distance join: candidate join, never a cartesian") {
+    val p = planOf("q149_edit_distance")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood blocking must plan as an equi-join")
+  }
 }

@@ -421,6 +421,31 @@ class QualitySpec extends AnyFunSuite {
     assert(terms.values.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("categoricalDrift: identical mixes are exactly 0; disjoint bounded by ln 2") {
+    import spark.implicits._
+    val a = Seq("en", "en", "de", "fr").toDF("lang")
+    val same = graft.operators.Quality.categoricalDrift(a, a, "lang")
+      .collect()
+    // equal counts and totals → expected == observed and p == q exactly
+    assert(same.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
+    // big disjoint samples so the +0.5 smoothing is negligible and the
+    // JS sum approaches its ln 2 ceiling
+    val aBig = (Seq.fill(200)("en") ++ Seq.fill(100)("de") ++
+      Seq.fill(100)("fr")).toDF("lang")
+    val bBig = (Seq.fill(200)("zh") ++ Seq.fill(100)("ja") ++
+      Seq.fill(100)("ko")).toDF("lang")
+    val disj = graft.operators.Quality.categoricalDrift(aBig, bBig, "lang")
+      .agg(sum("js_term"), sum("chi2_term")).head
+    assert(disj.getDouble(0) > 0.6 && disj.getDouble(0) <= math.log(2) + 1e-12)
+    assert(disj.getDouble(1) > 10.0 && !disj.getDouble(1).isInfinite)
+    // vanished + new categories all present and finite
+    val rows = graft.operators.Quality.categoricalDrift(aBig, bBig, "lang")
+      .collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("en", "de", "fr", "zh", "ja", "ko"))
+    assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(4).isNaN))
+  }
+
   test("robustScale: median/IQR z with clipping; degenerate IQR scales to 0") {
     import spark.implicits._
     val rows = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 103),

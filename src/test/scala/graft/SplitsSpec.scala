@@ -331,4 +331,27 @@ class SplitsSpec extends AnyFunSuite {
       .select(col("__priority")).head.getDouble(0)
     assert(math.abs(p - 0.5) < 1e-15)
   }
+
+  test("neymanAllocation: budget follows N_h·S_h; constant strata get 0") {
+    import spark.implicits._
+    // A: {0,2} (sd √2), B: {0,6} (sd √18 = 3√2), C constant → sd 0
+    val df = Seq(("A", 0), ("A", 2), ("B", 0), ("B", 6), ("C", 5), ("C", 5))
+      .toDF("s", "v")
+    val got = Splits.neymanAllocation(df, Seq("s"), "v", totalBudget = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // weights 2·√2 : 2·3√2 : 0 → allocations 250 : 750 : 0
+    assert(math.abs(got("A") - 250.0) < 1e-9)
+    assert(math.abs(got("B") - 750.0) < 1e-9)
+    assert(got("C") === 0.0)
+    // allocations always sum to the budget when any stratum varies
+    assert(math.abs(got.values.sum - 1000.0) < 1e-9)
+  }
+
+  test("neymanAllocation: all-constant strata allocate 0 (no 0/0 NaN)") {
+    import spark.implicits._
+    val df = Seq(("A", 1), ("A", 1), ("B", 2)).toDF("s", "v")
+    val got = Splits.neymanAllocation(df, Seq("s"), "v", 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got === Map("A" -> 0.0, "B" -> 0.0))
+  }
 }
