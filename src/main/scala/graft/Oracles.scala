@@ -2016,6 +2016,33 @@ object Oracles {
         "0.5 * cur_share * ln(cur_share / m), 6) AS js_term " +
         "FROM e ORDER BY category"),
 
+    // Margin bitext mining: cosine top-4 retrieval, both-direction
+    // neighbour-level denominators, margin re-rank, best pair per src.
+    "q165_margin_mining" ->
+      ("WITH s AS (SELECT vec_id AS src_id, embedding AS sv " +
+        "FROM embeddings WHERE vec_id % 2 = 0), " +
+        "g AS (SELECT vec_id AS tgt_id, embedding AS tv " +
+        "FROM embeddings WHERE vec_id % 2 = 1), " +
+        s"sc AS (SELECT src_id, tgt_id, ${cosSql("sv", "tv")} AS cos " +
+        "FROM g CROSS JOIN s), " +
+        "r AS (SELECT src_id, tgt_id, cos, " +
+        "row_number() OVER (PARTITION BY src_id " +
+        "ORDER BY cos DESC, tgt_id) AS rs, " +
+        "row_number() OVER (PARTITION BY tgt_id " +
+        "ORDER BY cos DESC, src_id) AS rt FROM sc), " +
+        "da AS (SELECT src_id, avg(cos) AS da FROM r WHERE rs <= 4 " +
+        "GROUP BY 1), " +
+        "db AS (SELECT tgt_id, avg(cos) AS db FROM r WHERE rt <= 4 " +
+        "GROUP BY 1), " +
+        "m AS (SELECT r.src_id, r.tgt_id, cos, " +
+        "cos / ((da + db) / 2.0) AS margin FROM r " +
+        "JOIN da USING (src_id) JOIN db USING (tgt_id) WHERE rs <= 4), " +
+        "b AS (SELECT src_id, tgt_id, cos, margin, row_number() OVER " +
+        "(PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rb FROM m) " +
+        "SELECT src_id, tgt_id, round(cos, 6) AS cos, " +
+        "round(margin, 5) AS margin FROM b WHERE rb = 1 AND margin >= 1.0 " +
+        "ORDER BY src_id"),
+
     // Neyman allocation: budget · N_h·S_h / Σ(N_h·S_h), fractional.
     "q164_neyman_allocation" ->
       ("WITH per AS (SELECT source, count(*) AS n_rows, " +

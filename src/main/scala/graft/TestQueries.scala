@@ -2218,6 +2218,22 @@ object TestQueries {
     * 1000-row audit budget split across sources by N_h·S_h — the
     * variance-optimal stratified-sampling plan, fractional allocations.
     */
+  /** Margin-based bitext mining ([[operators.Similarity.marginMining]]):
+    * even vec_ids play the source language, odd the target; cosine top-4
+    * retrieval re-scored by the Artetxe–Schwenk margin, best pair per
+    * source at margin ≥ 1. DuckDB replays retrieval, both denominator
+    * directions and the re-ranking exactly.
+    */
+  def q165MarginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEmbeddings(s, dir)
+    Similarity.marginMining(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+      .select(col("src_id"), col("tgt_id"), round(col("cos"), 6).as("cos"),
+        round(col("margin"), 5).as("margin"))
+      .orderBy("src_id")
+  }
+
   def q164NeymanAllocation(s: SparkSession, dir: String): DataFrame =
     operators.Splits.neymanAllocation(t(s, dir, "documents"),
         Seq("source"), "n_chars", totalBudget = 1000)
@@ -2440,6 +2456,7 @@ object TestQueries {
     "q162_index_search" -> (q162IndexSearch _),
     "q163_categorical_drift" -> (q163CategoricalDrift _),
     "q164_neyman_allocation" -> (q164NeymanAllocation _),
+    "q165_margin_mining" -> (q165MarginMining _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

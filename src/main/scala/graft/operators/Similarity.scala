@@ -841,4 +841,61 @@ object Similarity {
       .select(col("id").as("__victim"))
     corpus.join(victims, col(idCol) === col("__victim"), "left_anti")
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix recipe): candidate translation pairs between two
+    * embedding sides scored by the MARGIN `cos(x,y) / ((Ax + By) / 2)`,
+    * where Ax/By are each point's mean cosine to its `k` nearest
+    * neighbours on the OTHER side — raw cosine is hub-biased (some
+    * points are close to everything); dividing by the local similarity
+    * level is what makes thresholds transfer across corpora. Each source
+    * keeps its best-margin candidate (retrieve-by-cosine top-k,
+    * re-score by margin), filtered at `threshold`; margin > 1 means
+    * "closer than either point's typical neighbour".
+    *
+    * This is the exact anchor (one cross-score with the smaller side
+    * broadcast, bounded by `maxRows` per side); for corpus-scale mining
+    * run [[ivfTopK]] both directions and feed its pairs through the same
+    * re-scoring arithmetic. Ids must be unique across BOTH sides.
+    *
+    * Returns (src_id, tgt_id, cos, margin), best pair per src_id.
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+                   vecCol: String, k: Int = 4, threshold: Double = 1.0,
+                   maxRows: Int = 20000): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    Seq(("src", src), ("tgt", tgt)).foreach { case (side, df) =>
+      require(df.limit(maxRows + 1).count() <= maxRows,
+        s"marginMining is an exact all-pairs anchor bounded at " +
+          s"maxRows=$maxRows, but the $side side exceeds it — slice the " +
+          s"input or mine candidates with ivfTopK and re-score.")
+    }
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+    val g = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+    val scored = g.crossJoin(broadcast(s))
+      .withColumn("cos", Vectors.cosine(col("__sv"), col("__tv")))
+      .select("src_id", "tgt_id", "cos")
+      .localCheckpoint() // both rank directions + denominators read it
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("tgt_id"))
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("cos").desc, col("src_id"))
+    val ranked = scored
+      .withColumn("__rs", row_number().over(wS))
+      .withColumn("__rt", row_number().over(wT))
+    val denomS = ranked.where(col("__rs") <= k)
+      .groupBy("src_id").agg(avg("cos").as("__da"))
+    val denomT = ranked.where(col("__rt") <= k)
+      .groupBy("tgt_id").agg(avg("cos").as("__db"))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    ranked.where(col("__rs") <= k)
+      .join(denomS, "src_id")
+      .join(denomT, "tgt_id")
+      .withColumn("margin",
+        col("cos") / ((col("__da") + col("__db")) / 2.0))
+      .withColumn("__rb", row_number().over(wBest))
+      .where(col("__rb") === 1 && col("margin") >= threshold)
+      .select("src_id", "tgt_id", "cos", "margin")
+  }
 }

@@ -390,4 +390,47 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(keptBig === Set(1L, 99L))
   }
+
+  test("marginMining: the margin out-ranks a hub the raw cosine prefers") {
+    // srcs x1..x3 cluster on the x-axis; query xq sits on z. Target h is
+    // a HUB: closest to xq by raw cosine (0.937) but also near the whole
+    // x-cluster, so its neighbour level is high; y* is slightly farther
+    // from xq (0.9) but distinctive — margin must pick y* over h.
+    val srcs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.8f, 0.2f, 0.0f)),
+      (6L, Array(0.0f, 0.0f, 1.0f))) // xq
+      .toDF("vec_id", "embedding")
+    val tgts = Seq(
+      (1L, Array(0.35f, 0.0f, 0.937f)), // hub h
+      (3L, Array(0.0f, 0.42f, 0.9f)))   // distinctive y*
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginMining(srcs, tgts, "vec_id", "embedding",
+        k = 4, threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(got(6L)._1 === 3L, "margin must prefer the distinctive target")
+    // raw cosine would have picked the hub: verify the premise holds
+    val cosQ = Similarity.bruteForceTopK(tgts, srcs.where(col("vec_id") === 6),
+        "vec_id", "embedding", k = 1).head
+    assert(cosQ.getLong(1) === 1L, "premise: hub wins on raw cosine")
+    // margins exceed 1 for genuinely-paired points
+    assert(got(6L)._2 > 1.0)
+  }
+
+  test("marginMining: threshold filters; bound guard refuses oversized sides") {
+    val a = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // orthogonal pair: margin = cos/cos = 1 exactly... cos is 0 here, so
+    // margin is NaN-guarded by the threshold filter → empty at ≥ 1
+    assert(Similarity.marginMining(a, b, "vec_id", "embedding",
+      k = 2, threshold = 1.5).count() === 0)
+    val big = spark.range(30001)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.marginMining(big, b, "vec_id", "embedding")
+    }
+  }
 }
