@@ -2016,6 +2016,37 @@ object Oracles {
         "0.5 * cur_share * ln(cur_share / m), 6) AS js_term " +
         "FROM e ORDER BY category"),
 
+    // Flesch readability: identical tokenization and vowel-group regex,
+    // score arithmetic replayed in the same operation order.
+    "q166_readability" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "lower(text), '\\s+'), x -> len(x) > 0) AS ws, " +
+        "CAST(len(list_filter(string_split_regex(text, '[.!?]+'), " +
+        "s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences " +
+        "FROM documents), " +
+        "a AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "n_sentences, CAST(list_sum(list_transform(ws, " +
+        "x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) " +
+        "AS n_syllables FROM w) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "round(206.835 - 1.015 * (n_words / n_sentences) " +
+        "- 84.6 * (n_syllables / n_words), 4) AS flesch FROM a " +
+        "WHERE n_words > 0 AND n_sentences > 0 ORDER BY doc_id"),
+
+    // Zipf fit: ln-freq on ln-rank closed-form regression, (n desc, tok)
+    // rank order shared with the Spark window.
+    "q167_zipf_fit" ->
+      ("WITH c AS (SELECT tok, count(*) AS n FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0)) AS tok FROM documents) GROUP BY 1 " +
+        "ORDER BY n DESC, tok LIMIT 1000), " +
+        "r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) " +
+        "AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM c) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(regr_slope(y, x), 5) AS slope, " +
+        "round(regr_intercept(y, x), 5) AS intercept, " +
+        "round(regr_r2(y, x), 5) AS r2 FROM r"),
+
     // Margin bitext mining: cosine top-4 retrieval, both-direction
     // neighbour-level denominators, margin re-rank, best pair per src.
     "q165_margin_mining" ->

@@ -2242,6 +2242,39 @@ object TestQueries {
         round(col("allocation"), 4).as("allocation"))
       .orderBy("source")
 
+  /** Flesch readability ([[operators.Quality.readability]]): words,
+    * sentence runs, vowel-group syllables and the reading-ease score —
+    * DuckDB replays the tokenization, both regexes and the arithmetic.
+    */
+  def q166Readability(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.readability(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), round(col("flesch"), 4).as("flesch"))
+      .orderBy("doc_id")
+
+  /** Zipf-law fit ([[operators.Quality.zipfFit]]): ln-freq on ln-rank
+    * least squares over the top vocabulary via the engine's closed-form
+    * regression aggregates; DuckDB's regr_* replay the fit.
+    */
+  def q167ZipfFit(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.zipfFit(t(s, dir, "documents"), "text", topN = 1000)
+      .select(col("n_tokens"), round(col("slope"), 5).as("slope"),
+        round(col("intercept"), 5).as("intercept"),
+        round(col("r2"), 5).as("r2"))
+
+  /** Deflate compression-ratio quality signal
+    * ([[graft.functions.expressions.DeflateRatio]]): rows-only (DuckDB
+    * has no zlib mirror); QualitySpec gates the repetitive ≪ prose <
+    * noise ordering and determinism.
+    */
+  def q168CompressRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(functions.expressions.CompressionExpressions
+          .compressionRatio(col("text")), 4).as("deflate_ratio"))
+      .where(col("deflate_ratio").isNotNull)
+      .orderBy("doc_id")
+
   /** kNN label propagation ([[operators.Similarity.knnLabelPropagation]]):
     * vectors with `vec_id % 5 = 0` play the unlabeled pool, the rest the
     * labeled seed set; each pool vector takes the majority label of its 5
@@ -2457,6 +2490,9 @@ object TestQueries {
     "q163_categorical_drift" -> (q163CategoricalDrift _),
     "q164_neyman_allocation" -> (q164NeymanAllocation _),
     "q165_margin_mining" -> (q165MarginMining _),
+    "q166_readability" -> (q166Readability _),
+    "q167_zipf_fit" -> (q167ZipfFit _),
+    "q168_compress_ratio" -> (q168CompressRatio _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -648,6 +648,70 @@ object Quality {
       .select("category", "ref_share", "cur_share", "chi2_term", "js_term")
   }
 
+  /** Flesch-style readability per document: words, sentences (split on
+    * `[.!?]+` runs), syllables (vowel-group runs `[aeiouy]+` per word —
+    * the standard dictionary-free approximation), and the Flesch
+    * reading-ease score `206.835 − 1.015·(W/S) − 84.6·(Syl/W)`. A crude
+    * but useful quality axis orthogonal to length/entropy: token-soup
+    * junk scores deep-negative, natural prose lands 30–90.
+    *
+    * Pure codegen'd string expressions over the scan (split +
+    * regexp_extract_all + size aggregates in a HOF) — no shuffle, no
+    * UDF. Documents with zero words or sentences are excluded (the
+    * score is undefined).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val out = df
+      .withColumn("__w", words)
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_sentences",
+        size(filter(split(col(textCol), "[.!?]+"),
+          s => length(trim(s)) > 0)).cast("long"))
+      .withColumn("n_syllables",
+        aggregate(transform(col("__w"),
+          w => size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+            .cast("long")),
+          lit(0L), (acc, v) => acc + v))
+    out.where(col("n_words") > 0 && col("n_sentences") > 0)
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words")))
+          .as("flesch"))
+  }
+
+  /** Zipf-law fit over the corpus vocabulary: least-squares regression of
+    * ln(frequency) on ln(rank) for the top `topN` tokens — the corpus
+    * health diagnostic (natural language slopes ≈ −1; template/boilerplate
+    * corpora flatten, deduped-to-death corpora steepen). Uses the
+    * engine's closed-form regression aggregates (`regr_slope` /
+    * `regr_intercept` / `regr_r2`).
+    *
+    * Token counts are one hash aggregate; the rank window runs over the
+    * top-N VOCABULARY rows (bounded by `topN`, not the corpus). Returns
+    * ONE row: (n_tokens, slope, intercept, r2).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 3, s"need at least 3 ranks to fit: $topN")
+    val counts = df
+      .select(explode(filter(split(col(textCol), " "),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(topN)
+    val ranked = counts.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))))
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("n").cast("double")))
+    ranked.agg(count(lit(1)).as("n_tokens"),
+      regr_slope(col("y"), col("x")).as("slope"),
+      regr_intercept(col("y"), col("x")).as("intercept"),
+      regr_r2(col("y"), col("x")).as("r2"))
+  }
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

@@ -446,6 +446,61 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(4).isNaN))
   }
 
+  test("readability: hand-counted words/sentences/syllables and score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences
+      (2L, ""),                          // excluded: no words
+      (3L, "no terminator here")         // 3 words, 1 sentence run
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Quality.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(1L, 3L))
+    // syllable groups: the=1 cat=1 sat=1 the=1 dog=1 ran=1 → 6
+    assert(got(1L)._1 === 6L && got(1L)._2 === 2L && got(1L)._3 === 6L)
+    val expected = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert(math.abs(got(1L)._4 - expected) < 1e-9)
+    // "no terminator here": no=1, terminator: e,a,o → 4? e-a-o → 'e','a','o'
+    // → t-e-rm-i-n-a-t-o-r: vowel groups e,i,a,o = 4; here: e,e = 2; no=1
+    assert(got(3L)._3 === 7L)
+  }
+
+  test("zipfFit: a planted power law recovers its slope") {
+    import spark.implicits._
+    // token k repeated ⌊1000/k⌋ times, k = 1..20 → ln f ≈ ln 1000 − ln k
+    val text = (1 to 20).flatMap(k =>
+      Seq.fill(1000 / k)(f"tok$k%02d")).mkString(" ")
+    val got = graft.operators.Quality.zipfFit(
+      Seq(text).toDF("text"), "text", topN = 20).head
+    assert(got.getLong(0) === 20L)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 0.02) // slope ≈ −1
+    assert(got.getDouble(3) > 0.999)                   // near-perfect fit
+  }
+
+  test("compressionRatio: repetitive ≪ prose < noise; deterministic; empty → NULL") {
+    import spark.implicits._
+    import graft.functions.expressions.CompressionExpressions.compressionRatio
+    val rnd = new scala.util.Random(3)
+    val noise = Seq.fill(2000)(rnd.nextPrintableChar()).mkString
+    val prose = Seq.fill(40)("the quick brown fox jumps over a lazy dog " +
+      "while considering compression").mkString(" ")
+    val docs = Seq(
+      (1L, "ab" * 1000), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("id", "t")
+    val got = docs.select(col("id"), compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val rep = got(1L).get.asInstanceOf[Double]
+    val pr = got(2L).get.asInstanceOf[Double]
+    val nz = got(3L).get.asInstanceOf[Double]
+    assert(rep < 0.05 && rep < pr && pr < nz)
+    assert(got(4L) === None)
+    // determinism: same input → bit-identical ratio
+    val again = docs.select(compressionRatio(col("t")).as("r"))
+      .where(col("r").isNotNull).collect().map(_.getDouble(0)).sorted.toSeq
+    assert(again === Seq(rep, pr, nz).sorted)
+  }
+
   test("robustScale: median/IQR z with clipping; degenerate IQR scales to 0") {
     import spark.implicits._
     val rows = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 103),
