@@ -611,6 +611,48 @@ object ScaleCheck {
         graft.operators.Retrieval.searchIndex(idx,
           graft.operators.Retrieval.docLengths(d, "doc_id", "text"),
           Seq("spark", "join", "window"), topK = 10).count()
+      },
+      "categorical_drift" -> { dir =>
+        // two category-count aggregates + an outer join on categories —
+        // corpus-linear scans, category-sized everything else
+        val d = docs(dir)
+        graft.operators.Quality.categoricalDrift(
+          d.where(col("doc_id") % 2 === 0),
+          d.where(col("doc_id") % 2 === 1), "lang").count()
+      },
+      "neyman_allocation" -> { dir =>
+        // one (count, stddev) partial-agg pass per stratum
+        graft.operators.Splits.neymanAllocation(docs(dir), Seq("source"),
+          "n_chars", totalBudget = 1000).count()
+      },
+      "margin_mining" -> { dir =>
+        // src pinned to the BASE replica (the anchor is all-pairs by
+        // design — growing both sides would measure its intended
+        // quadratic, not operator health); tgt grows with the data, so
+        // this sweeps the fixed-queries-growing-corpus shape
+        val e = emb(dir)
+        graft.operators.Similarity.marginMining(
+          e.where(col("vec_id") % 2 === 0 && col("vec_id") < 100000000L),
+          e.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, threshold = 1.0,
+          maxRows = 40000).count()
+      },
+      "readability" -> { dir =>
+        // pure scan-side string expressions — no shuffle
+        graft.operators.Quality.readability(docs(dir), "doc_id", "text")
+          .count()
+      },
+      "zipf_fit" -> { dir =>
+        // one token-count agg + a topN-bounded rank window + one
+        // regression aggregate over ≤ topN rows
+        graft.operators.Quality.zipfFit(docs(dir), "text", topN = 1000)
+          .count()
+      },
+      "compress_ratio" -> { dir =>
+        // native deflate per row, scan-side — linear in corpus bytes
+        docs(dir).select(graft.functions.expressions
+          .CompressionExpressions.compressionRatio(col("text")).as("r"))
+          .where(col("r").isNotNull).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /
