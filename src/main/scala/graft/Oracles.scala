@@ -2173,5 +2173,214 @@ object Oracles {
         "round(avg((l_extendedprice - lo) / (hi - lo)), 4) AS avg_norm, " +
         "round(stddev_samp((l_extendedprice - lo) / (hi - lo)), 4) AS sd_norm, " +
         "count(*) AS n FROM lineitem JOIN mm USING (l_returnflag) GROUP BY 1"),
+
+    // Ranked-retrieval metrics: per-source length ranking, doc_id%7
+    // relevance, recall@10 / MRR / NDCG@10 with the binary-gain IDCG
+    // prefix table rebuilt from range().
+    "q169_ranking_metrics" ->
+      ("WITH r AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rel " +
+        "FROM documents), " +
+        "h AS (SELECT CAST(range + 1 AS BIGINT) AS m, " +
+        "sum(1.0 / log2(range + 2.0)) OVER (ORDER BY range) AS idcg " +
+        "FROM range(10)), " +
+        "a AS (SELECT source, CAST(sum(rel) AS BIGINT) AS n_rel, " +
+        "CAST(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS BIGINT) " +
+        "AS hits_k, " +
+        "min(CASE WHEN rel = 1 THEN rank END) AS first_rel, " +
+        "sum(CASE WHEN rank <= 10 THEN rel / log2(rank + 1.0) " +
+        "ELSE 0 END) AS dcg FROM r GROUP BY 1) " +
+        "SELECT source, n_rel, hits_k, " +
+        "round(CASE WHEN n_rel > 0 THEN CAST(hits_k AS DOUBLE) / n_rel " +
+        "ELSE 0 END, 6) AS recall_k, " +
+        "round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel " +
+        "ELSE 0 END, 6) AS mrr, " +
+        "round(CASE WHEN n_rel > 0 THEN dcg / h.idcg ELSE 0 END, 6) " +
+        "AS ndcg_k " +
+        "FROM a LEFT JOIN h ON h.m = least(a.n_rel, 10) ORDER BY source"),
+
+    // Reliability bins / ECE: deterministic modular pseudo-score,
+    // quantity-threshold label, unrounded bin stats feed the ece term.
+    "q170_calibration" ->
+      ("WITH s AS (SELECT ((l_orderkey * 7 + l_linenumber) % 100) / 100.0 " +
+        "AS score, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS label " +
+        "FROM lineitem), " +
+        "b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, " +
+        "count(*) AS n, avg(score) AS confidence, " +
+        "avg(CAST(label AS DOUBLE)) AS accuracy FROM s GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS total FROM b) " +
+        "SELECT bin, CAST(n AS BIGINT) AS n, " +
+        "round(confidence, 6) AS confidence, " +
+        "round(accuracy, 6) AS accuracy, " +
+        "round(n / CAST(total AS DOUBLE) * abs(confidence - accuracy), 6) " +
+        "AS ece_term FROM b, t ORDER BY bin"),
+
+    // Cohen's kappa: marginal-product chance agreement, same guard-free
+    // region (pe < 1 on this data).
+    "q171_kappa" ->
+      ("WITH d AS (SELECT lang AS a, CASE WHEN doc_id % 7 = 0 THEN 'en' " +
+        "ELSE lang END AS b FROM documents), " +
+        "n AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM d), " +
+        "ma AS (SELECT a AS c, count(*) AS na FROM d GROUP BY 1), " +
+        "mb AS (SELECT b AS c, count(*) AS nb FROM d GROUP BY 1), " +
+        "pe AS (SELECT sum(CAST(na AS DOUBLE) * nb) AS pesum " +
+        "FROM ma JOIN mb USING (c)) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "round(agree / CAST(n AS DOUBLE), 6) AS po, " +
+        "round(pesum / (CAST(n AS DOUBLE) * n), 6) AS pe, " +
+        "round((agree / CAST(n AS DOUBLE) - pesum / (CAST(n AS DOUBLE) * n)) " +
+        "/ (1 - pesum / (CAST(n AS DOUBLE) * n)), 6) AS kappa " +
+        "FROM n, pe"),
+
+    // Chi-squared independence: full margin cross-product (zero-observed
+    // cells carry expected mass), Cramér's V effect size.
+    "q172_chisq" ->
+      ("WITH d AS (SELECT event_type AS a, " +
+        "CAST(user_id % 3 AS VARCHAR) AS b FROM events), " +
+        "o AS (SELECT a, b, count(*) AS o FROM d GROUP BY 1, 2), " +
+        "ma AS (SELECT a, count(*) AS ra FROM d GROUP BY 1), " +
+        "mb AS (SELECT b, count(*) AS rb FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d), " +
+        "cell AS (SELECT COALESCE(o.o, 0) AS o, " +
+        "CAST(ma.ra AS DOUBLE) * mb.rb / t.n AS e " +
+        "FROM ma CROSS JOIN mb CROSS JOIN t " +
+        "LEFT JOIN o ON o.a = ma.a AND o.b = mb.b) " +
+        "SELECT CAST((SELECT n FROM t) AS BIGINT) AS n, " +
+        "CAST(((SELECT count(*) FROM ma) - 1) * " +
+        "((SELECT count(*) FROM mb) - 1) AS BIGINT) AS dof, " +
+        "round(sum((o - e) * (o - e) / e), 4) AS chi2, " +
+        "round(sqrt(sum((o - e) * (o - e) / e) / ((SELECT n FROM t) * " +
+        "least((SELECT count(*) FROM ma) - 1, " +
+        "(SELECT count(*) FROM mb) - 1))), 6) AS cramers_v FROM cell"),
+
+    // Mann-Whitney U: per-distinct-value count collapse, running-sum
+    // average ranks, tie-corrected sigma — U exact (all terms halves).
+    "q173_mannwhitney" ->
+      ("WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS v, " +
+        "CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS ia, " +
+        "CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS ib " +
+        "FROM lineitem WHERE l_linestatus IN ('O', 'F')), " +
+        "p AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb, count(*) AS t " +
+        "FROM d GROUP BY 1), " +
+        "r AS (SELECT *, sum(t) OVER (ORDER BY v) AS cum FROM p), " +
+        "a AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
+        "sum(ca * ((cum - t) + (t + 1) / 2.0)) AS rsa, " +
+        "sum(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM r), " +
+        "f AS (SELECT na, nb, rsa - na * (na + 1) / 2.0 AS u, " +
+        "sqrt(na * nb / 12.0 * ((na + nb + 1) - tie3 / " +
+        "(CAST(na + nb AS DOUBLE) * (na + nb - 1)))) AS sig FROM a) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "round(u, 2) AS u, " +
+        "round(CASE WHEN sig > 0 THEN (u - na * nb / 2.0) / sig " +
+        "ELSE 0 END, 6) AS z FROM f"),
+
+    // Sample ACF: hourly bin means, lag self-joins, shared Σx²−nμ²
+    // denominator. Bin = floor(seconds/3600): explicit floor — DuckDB's
+    // `//` does NOT floor doubles and CAST(double AS BIGINT) rounds,
+    // while Spark's cast truncates.
+    "q174_acf" ->
+      ("WITH s AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bin, " +
+        "avg(value) AS x FROM events GROUP BY 1), " +
+        "m AS (SELECT avg(x) AS mu, sum(x * x) AS sxx, " +
+        "CAST(count(*) AS DOUBLE) AS n FROM s), " +
+        "l AS (SELECT a.bin, (a.x - m.mu) AS c, " +
+        "CAST(range + 1 AS BIGINT) AS lag FROM s a, m, range(5)), " +
+        "j AS (SELECT l.lag, count(*) AS n_pairs, " +
+        "sum(l.c * (b.x - m.mu)) AS num " +
+        "FROM l JOIN s b ON l.bin + l.lag = b.bin, m GROUP BY 1) " +
+        "SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "round(num / (m.sxx - m.n * m.mu * m.mu), 6) AS acf " +
+        "FROM j, m ORDER BY lag"),
+
+    // k-anonymity audit over (nation, segment) at k = 5.
+    "q175_kanonymity" ->
+      ("WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz " +
+        "FROM customer GROUP BY 1, 2) " +
+        "SELECT CAST(sum(sz) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST(min(sz) AS BIGINT) AS min_class_size, " +
+        "CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS classes_below_k, " +
+        "CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) " +
+        "AS rows_below_k, " +
+        "round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) / " +
+        "CAST(sum(sz) AS DOUBLE), 6) AS at_risk_share FROM c"),
+
+    // Multinomial NB replay: Laplace-1 token likelihoods, class OOV mass,
+    // doc-frequency priors, arg-max with (posterior desc, class) ties.
+    "q176_naive_bayes" ->
+      ("WITH tok AS (SELECT lang AS class, " +
+        "unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) " +
+        "AS token FROM documents), " +
+        "cnt AS (SELECT class, token, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT class, sum(c) AS tot FROM cnt GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cnt), " +
+        "model AS (SELECT class, token, ln((c + 1.0) / (tot + v)) AS lp " +
+        "FROM cnt JOIN tot USING (class), v), " +
+        "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+        "pri AS (SELECT class, ln(cd / n) AS log_prior, " +
+        "ln(1.0 / (tot + v)) AS log_oov FROM " +
+        "(SELECT lang AS class, CAST(count(*) AS DOUBLE) AS cd " +
+        "FROM documents GROUP BY 1) JOIN tot USING (class), v, nd), " +
+        "dt AS (SELECT doc_id, token, count(*) AS m FROM " +
+        "(SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0)) AS token FROM documents WHERE doc_id % 10 = 0) " +
+        "GROUP BY 1, 2), " +
+        "sc AS (SELECT dt.doc_id, p.class, " +
+        "sum(dt.m * COALESCE(model.lp, p.log_oov)) AS s " +
+        "FROM dt CROSS JOIN (SELECT class, log_oov FROM pri) p " +
+        "LEFT JOIN model ON model.token = dt.token " +
+        "AND model.class = p.class GROUP BY 1, 2), " +
+        "post AS (SELECT doc_id, sc.class, s + pri.log_prior AS post " +
+        "FROM sc JOIN pri ON sc.class = pri.class) " +
+        "SELECT doc_id, class AS predicted_class, " +
+        "round(post, 4) AS log_posterior FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY post DESC, class) AS rn FROM post) " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+
+    // k-means, two unrolled Lloyd rounds: arg-min by (d2, cid), means,
+    // final assignment under the twice-updated centroids.
+    "q177_kmeans" -> {
+      def assign(cents: String) =
+        s"(SELECT id, x, y, cid FROM (SELECT p.id, p.x, p.y, c.cid, " +
+          "row_number() OVER (PARTITION BY p.id ORDER BY " +
+          "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), " +
+          s"c.cid) AS rn FROM pts p CROSS JOIN $cents c) WHERE rn = 1)"
+      "WITH pts AS (SELECT c_custkey AS id, " +
+        "CAST(c_acctbal AS DOUBLE) AS x, " +
+        "CAST(c_nationkey AS DOUBLE) AS y FROM customer), " +
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) " +
+        "AS cid, x AS cx, y AS cy FROM " +
+        "(SELECT * FROM pts ORDER BY id LIMIT 3)), " +
+        s"a1 AS ${assign("c0")}, " +
+        "c1 AS (SELECT cid, avg(x) AS cx, avg(y) AS cy FROM a1 GROUP BY 1), " +
+        s"a2 AS ${assign("c1")}, " +
+        "c2 AS (SELECT cid, avg(x) AS cx, avg(y) AS cy FROM a2 GROUP BY 1), " +
+        s"fin AS ${assign("c2")} " +
+        "SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_points, " +
+        "round(avg(x), 4) AS mean_acctbal, " +
+        "round(avg(y), 6) AS mean_nation FROM fin GROUP BY 1 ORDER BY cluster"
+    },
+
+    // Two-predictor OLS closed form from population moments; r2 from
+    // explained covariance over var_pop.
+    "q178_ols" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "avg(l_extendedprice) AS my, var_pop(l_extendedprice) AS vy, " +
+        "avg(l_quantity) AS m1, avg(l_discount) AS m2, " +
+        "covar_pop(l_quantity, l_extendedprice) AS cy1, " +
+        "covar_pop(l_discount, l_extendedprice) AS cy2, " +
+        "var_pop(l_quantity) AS s11, " +
+        "covar_pop(l_quantity, l_discount) AS s12, " +
+        "var_pop(l_discount) AS s22 FROM lineitem), " +
+        "b AS (SELECT *, " +
+        "(cy1 * s22 - cy2 * s12) / (s11 * s22 - s12 * s12) AS b1, " +
+        "(cy2 * s11 - cy1 * s12) / (s11 * s22 - s12 * s12) AS b2 FROM m) " +
+        "SELECT n, round(my - b1 * m1 - b2 * m2, 2) AS intercept, " +
+        "round(b1, 3) AS beta_quantity, round(b2, 2) AS beta_discount, " +
+        "round((b1 * cy1 + b2 * cy2) / vy, 6) AS r2 FROM b"),
   )
 }

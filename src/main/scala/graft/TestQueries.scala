@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Derived, Text, Vectors}
-import graft.operators.{Analytics, DateSpine, Dedup, Multimodal, Sessionize, Similarity, Sketches, Timeseries}
+import graft.operators.{Analytics, Classify, DateSpine, Dedup, Multimodal, Sessionize, Similarity, Sketches, Timeseries}
 import graft.sources.Tables
 
 import scala.collection.immutable.ListMap
@@ -2367,6 +2367,159 @@ object TestQueries {
       add("a1.parquet")).mkString("\n"))
   }
 
+  // ---- evaluation / statistics family (operators.Stats & friends) ---------
+
+  /** Ranked-retrieval evaluation ([[operators.Stats.rankingMetrics]]):
+    * per-source rankings (docs by length desc, doc_id tiebreak) scored
+    * against a deterministic relevance marker (`doc_id % 7 = 0`) —
+    * recall@10, MRR and NDCG@10 per query. The binary-gain IDCG prefix
+    * table ships as a broadcast literal; DuckDB rebuilds it from
+    * `range()` and replays every metric.
+    */
+  def q169RankingMetrics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("rel", (col("doc_id") % 7 === 0).cast("int"))
+    operators.Stats.rankingMetrics(ranked, "source", "rank", "rel", k = 10)
+      .select(col("source"), col("n_rel"), col("hits_k"),
+        round(col("recall_k"), 6).as("recall_k"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("ndcg_k"), 6).as("ndcg_k"))
+      .orderBy("source")
+  }
+
+  /** Reliability diagram / ECE ([[operators.Stats.calibrationBins]]): a
+    * deterministic pseudo-score (modular arithmetic, identical in both
+    * engines) against a quantity-threshold label, 10 equal-width bins —
+    * per-bin confidence, accuracy and ECE contribution.
+    */
+  def q170Calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "lineitem").select(
+      (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / lit(100.0))
+        .as("score"),
+      (col("l_quantity") > 25).cast("int").as("label"))
+    operators.Stats.calibrationBins(scored, "score", "label", bins = 10)
+      .select(col("bin"), col("n").cast("long").as("n"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("ece_term"), 6).as("ece_term"))
+      .orderBy("bin")
+  }
+
+  /** Cohen's kappa ([[operators.Stats.cohenKappa]]) between the corpus
+    * lang labels and a simulated second annotator that mislabels every
+    * 7th document as 'en' — observed vs chance-corrected agreement.
+    */
+  def q171Kappa(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.cohenKappa(
+        t(s, dir, "documents").withColumn("lang2",
+          when(col("doc_id") % 7 === 0, "en").otherwise(col("lang"))),
+        "lang", "lang2")
+      .select(col("n"), round(col("po"), 6).as("po"),
+        round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+
+  /** Chi-squared independence + Cramér's V
+    * ([[operators.Stats.chiSquareIndependence]]): event_type against a
+    * derived user cohort (user_id mod 3) — the "is the mix uniform across
+    * cohorts" screen. Zero-observed margin cells contribute expected mass.
+    */
+  def q172Chisq(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.chiSquareIndependence(
+        t(s, dir, "events").withColumn("cohort", col("user_id") % 3),
+        "event_type", "cohort")
+      .select(col("n"), col("dof"), round(col("chi2"), 4).as("chi2"),
+        round(col("cramers_v"), 6).as("cramers_v"))
+
+  /** Mann-Whitney U ([[operators.Stats.mannWhitney]]): does l_quantity
+    * stochastically differ between linestatus 'O' and 'F'? Integer value
+    * domain (1..50) — exactly the bounded-domain shape the rank collapse
+    * assumes; U is exact in both engines (all terms are halves), z at 6dp.
+    */
+  def q173MannWhitney(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.mannWhitney(t(s, dir, "lineitem"),
+        "l_quantity", "l_linestatus", groupA = "O", groupB = "F")
+      .select(col("n_a"), col("n_b"), round(col("u"), 2).as("u"),
+        round(col("z"), 6).as("z"))
+
+  /** Sample autocorrelation ([[operators.Timeseries.autocorrelation]]):
+    * hourly-mean event values, lags 1..5, shared full-series
+    * denominator — the seasonality probe. DuckDB replays the bin grid,
+    * the lag self-joins and the Σx²−nμ² denominator exactly.
+    */
+  def q174Acf(s: SparkSession, dir: String): DataFrame =
+    Timeseries.autocorrelation(t(s, dir, "events"), "ts", "value",
+        stepSeconds = 3600, maxLag = 5)
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        round(col("acf"), 6).as("acf"))
+      .orderBy("lag")
+
+  /** k-anonymity release audit ([[operators.Stats.kAnonymity]]) over the
+    * (nation, market segment) quasi-identifier pair at k = 5 — class
+    * counts, the minimum class size and the at-risk row share.
+    */
+  def q175KAnonymity(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("classes_below_k"), col("rows_below_k"),
+        round(col("at_risk_share"), 6).as("at_risk_share"))
+
+  /** Multinomial Naive Bayes ([[operators.Classify.trainNaiveBayes]] /
+    * [[operators.Classify.scoreNaiveBayes]]): train a language router on
+    * the full corpus (class = lang, Laplace α = 1), score every 10th
+    * document. DuckDB replays training counts, smoothing, OOV mass and
+    * the arg-max (posteriors to 4dp — sums of hundreds of ln terms agree
+    * far below that).
+    */
+  def q176NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (model, priors) = Classify.trainNaiveBayes(docs, "text", "lang")
+    Classify.scoreNaiveBayes(docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", model, priors)
+      .select(col("doc_id"), col("predicted_class"),
+        round(col("log_posterior"), 4).as("log_posterior"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-iteration k-means ([[operators.Classify.kMeansFixed]]) on
+    * customer (acctbal, nationkey) at k = 3, two Lloyd rounds, seeded
+    * from the three smallest custkeys — final centroid table. DuckDB
+    * unrolls both rounds (arg-min by (d2, cid), per-cluster means).
+    */
+  def q177KMeans(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nat"))
+    val (_, cents) = Classify.kMeansFixed(cust, "c_custkey",
+      Seq("c_acctbal", "c_nat"), k = 3, iterations = 2)
+    cents
+      .select(col("cluster"), col("n_points").cast("long").as("n_points"),
+        round(col("c_acctbal"), 4).as("mean_acctbal"),
+        round(col("c_nat"), 6).as("mean_nation"))
+      .orderBy("cluster")
+  }
+
+  /** Closed-form OLS ([[operators.Classify.olsFit]]): extended price on
+    * (quantity, discount) — one moment-aggregate pass, driver-side 2×2
+    * normal-equation solve. DuckDB mirrors with var_pop/covar_pop and the
+    * two-predictor closed form; the well-conditioned design (independent
+    * uniform regressors) keeps both solves far inside the rounding.
+    */
+  def q178Ols(s: SparkSession, dir: String): DataFrame = {
+    val (n, icpt, beta, r2) = Classify.olsFit(t(s, dir, "lineitem"),
+      "l_extendedprice", Seq("l_quantity", "l_discount"))
+    import s.implicits._
+    Seq((n, icpt, beta(0), beta(1), r2))
+      .toDF("n", "intercept", "beta_quantity", "beta_discount", "r2")
+      .select(col("n"), round(col("intercept"), 2).as("intercept"),
+        round(col("beta_quantity"), 3).as("beta_quantity"),
+        round(col("beta_discount"), 2).as("beta_discount"),
+        round(col("r2"), 6).as("r2"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2493,6 +2646,16 @@ object TestQueries {
     "q166_readability" -> (q166Readability _),
     "q167_zipf_fit" -> (q167ZipfFit _),
     "q168_compress_ratio" -> (q168CompressRatio _),
+    "q169_ranking_metrics" -> (q169RankingMetrics _),
+    "q170_calibration" -> (q170Calibration _),
+    "q171_kappa" -> (q171Kappa _),
+    "q172_chisq" -> (q172Chisq _),
+    "q173_mannwhitney" -> (q173MannWhitney _),
+    "q174_acf" -> (q174Acf _),
+    "q175_kanonymity" -> (q175KAnonymity _),
+    "q176_naive_bayes" -> (q176NaiveBayes _),
+    "q177_kmeans" -> (q177KMeans _),
+    "q178_ols" -> (q178Ols _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -80,4 +80,186 @@ object Classify {
     require(weights.length == featureCols.size)
     data.withColumn("p", sigmoid(margin(featureCols, weights)))
   }
+
+  /** Multinomial Naive Bayes training with Laplace smoothing — the
+    * classical fastText-before-fastText corpus router (source / language /
+    * topic from bags of tokens), trained in three aggregate passes:
+    * per-(class, token) counts, per-class token totals, and the shared
+    * vocabulary size. Token log-likelihoods are
+    * `ln((cnt + α)/(total_c + α·V))`; the vocabulary is the union over all
+    * classes, so every class scores every token (out-of-vocabulary handling
+    * lives in [[scoreNaiveBayes]]).
+    *
+    * Returns (model, priors): `model` is (class, token, log_prob) — the
+    * distributed model table, shuffled on token exactly as scoring joins
+    * it; `priors` is the tiny (class, log_prior, log_oov) table carrying
+    * each class's document-frequency prior and its OOV fallback
+    * `ln(α/(total_c + α·V))`.
+    */
+  def trainNaiveBayes(docs: DataFrame, textCol: String, classCol: String,
+                      alpha: Double = 1.0): (DataFrame, DataFrame) = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val toks = docs
+      .select(col(classCol).cast("string").as("class"),
+        explode(filter(split(col(textCol), " "), t => length(t) > 0))
+          .as("token"))
+    val counts = toks.groupBy("class", "token").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("class").agg(sum("__c").as("__tot"))
+    val vocab = counts.agg(countDistinct("token").cast("double").as("__v"))
+    val model = counts
+      .join(broadcast(totals), Seq("class"))
+      .crossJoin(broadcast(vocab))
+      .select(col("class"), col("token"),
+        log((col("__c") + alpha) / (col("__tot") + lit(alpha) * col("__v")))
+          .as("log_prob"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val priors = docs.groupBy(col(classCol).cast("string").as("class"))
+      .agg(count(lit(1)).as("__nd"))
+      .crossJoin(broadcast(nDocs))
+      .join(broadcast(totals), Seq("class"))
+      .crossJoin(broadcast(vocab))
+      .select(col("class"), log(col("__nd") / col("__n")).as("log_prior"),
+        log(lit(alpha) / (col("__tot") + lit(alpha) * col("__v")))
+          .as("log_oov"))
+    (model, priors)
+  }
+
+  /** Score documents against a trained Naive Bayes model: each document's
+    * log-posterior per class is its prior plus Σ token log-likelihoods
+    * (token multiplicity counts, as multinomial NB requires), with
+    * out-of-vocabulary tokens taking the class's smoothed OOV mass; the
+    * prediction is the arg-max class, ties to the lexicographically first.
+    *
+    * Shape for scale: documents explode to (doc, token, count) once and
+    * join the model ON TOKEN (the model is token-partitioned; classes per
+    * token ride in one row group) — never a corpus × classes blow-up
+    * before aggregation; the class fan-out happens on the matched rows
+    * via the broadcast priors table. One shuffle on token, one on doc id.
+    */
+  def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame, priors: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(filter(split(col(textCol), " "),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__m"))
+    // per (doc, token, class): matched log_prob or the class OOV fallback
+    val perClass = toks
+      .crossJoin(broadcast(priors.select(col("class"), col("log_oov"))))
+      .join(model, Seq("token", "class"), "left")
+      .select(col(idCol), col("class"),
+        (col("__m") * coalesce(col("log_prob"), col("log_oov"))).as("__lp"))
+    perClass.groupBy(col(idCol), col("class"))
+      .agg(sum("__lp").as("__sum"))
+      .join(broadcast(priors.select(col("class"), col("log_prior"))),
+        Seq("class"))
+      .withColumn("log_posterior", col("__sum") + col("log_prior"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("class"), col("log_posterior")),
+        struct(negate(col("log_posterior")), col("class"))).as("__best"))
+      .select(col(idCol), col("__best.class").as("predicted_class"),
+        col("__best.log_posterior").as("log_posterior"))
+  }
+
+  /** Lloyd's k-means with a FIXED iteration count and deterministic
+    * seeding (the k rows with the smallest `idCol` become the initial
+    * centroids) — the embedding-space partitioner behind IVF cells,
+    * SemDeDup buckets and topic tiles, here exposed over explicit scalar
+    * feature columns so runs replay exactly across engines.
+    *
+    * Each round is ONE aggregate pass: points score against the k
+    * broadcast centroids scan-side (arg-min squared distance, ties to the
+    * lower centroid id) and per-cluster means reduce via partial aggs;
+    * only k centroid rows ever reach the driver. Empty clusters keep
+    * their previous centroid. Returns (assignments, centroids):
+    * assignments = (idCol, cluster, plus the feature columns), centroids =
+    * (cluster, n_points, feature means) from the LAST assignment.
+    */
+  def kMeansFixed(df: DataFrame, idCol: String, featureCols: Seq[String],
+                  k: Int, iterations: Int): (DataFrame, DataFrame) = {
+    require(k >= 2 && iterations >= 1 && featureCols.nonEmpty)
+    val feats = df
+      .select((col(idCol) +: featureCols.map(c => col(c).cast("double"))): _*)
+      .localCheckpoint()
+    var centroids: Array[(Int, Array[Double])] = feats
+      .orderBy(col(idCol)).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, featureCols.indices.map(j => r.getDouble(j + 1)).toArray) }
+    def assignCol: Column = {
+      val dist = centroids.map { case (cid, c) =>
+        val d2 = featureCols.zipWithIndex.map { case (f, j) =>
+          (col(f) - lit(c(j))) * (col(f) - lit(c(j))) }.reduce(_ + _)
+        struct(d2.as("d2"), lit(cid).as("cid"))
+      }
+      least(dist: _*).getField("cid")
+    }
+    var i = 0
+    while (i < iterations) {
+      val means = feats.withColumn("cluster", assignCol)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          featureCols.map(f => avg(col(f)).as(f)): _*)
+        .collect()
+      val byId = means.map(r => r.getInt(0) ->
+        featureCols.indices.map(j => r.getDouble(j + 2)).toArray).toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, byId.getOrElse(cid, old)) }
+      i += 1
+    }
+    val assigned = feats.withColumn("cluster", assignCol)
+    val cents = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        featureCols.map(f => avg(col(f)).as(f)): _*)
+    (assigned, cents)
+  }
+
+  /** Ordinary-least-squares fit via the normal equations — closed-form
+    * multiple regression (the quality-signal vs downstream-metric probe)
+    * computed from ONE aggregate pass of second moments: means, the
+    * feature covariance matrix and the feature-target covariances (all
+    * population form). The p×p solve happens on the driver (p is the
+    * feature count, a handful), Gaussian elimination with partial
+    * pivoting. Returns ONE local row rendered as a DataFrame:
+    * (n, intercept, beta_<feature>..., r2).
+    */
+  def olsFit(df: DataFrame, yCol: String,
+             xCols: Seq[String]): (Long, Double, Array[Double], Double) = {
+    require(xCols.nonEmpty)
+    val y = col(yCol).cast("double")
+    val aggs: Seq[Column] =
+      Seq(avg(y).as("my"), var_pop(y).as("vy")) ++
+        xCols.map(c => avg(col(c).cast("double")).as(s"m_$c")) ++
+        xCols.map(c => covar_pop(col(c).cast("double"), y).as(s"cy_$c")) ++
+        (for (a <- xCols; b <- xCols if a <= b)
+          yield covar_pop(col(a).cast("double"), col(b).cast("double"))
+            .as(s"c_${a}_$b"))
+    val moments = df.agg(count(lit(1)).as("n"), aggs: _*).head()
+    def g(name: String): Double = moments.getAs[Any](name) match {
+      case d: Double => d; case l: Long => l.toDouble
+    }
+    val p = xCols.size
+    val a = Array.tabulate(p, p) { (i, j) =>
+      val (x1, x2) = if (xCols(i) <= xCols(j)) (xCols(i), xCols(j))
+        else (xCols(j), xCols(i))
+      g(s"c_${x1}_$x2")
+    }
+    val b = xCols.map(c => g(s"cy_$c")).toArray
+    // Gaussian elimination with partial pivoting on the p×p system
+    val m = Array.tabulate(p)(i => a(i) :+ b(i))
+    for (c <- 0 until p) {
+      val piv = (c until p).maxBy(r => math.abs(m(r)(c)))
+      val tmp = m(c); m(c) = m(piv); m(piv) = tmp
+      require(math.abs(m(c)(c)) > 1e-12, "singular design matrix")
+      for (r <- c + 1 until p; cc <- p to c by -1)
+        m(r)(cc) -= m(r)(c) / m(c)(c) * m(c)(cc)
+    }
+    val beta = new Array[Double](p)
+    for (c <- p - 1 to 0 by -1)
+      beta(c) = (m(c)(p) - (c + 1 until p).map(j => m(c)(j) * beta(j)).sum) /
+        m(c)(c)
+    val intercept = g("my") -
+      xCols.indices.map(j => beta(j) * g(s"m_${xCols(j)}")).sum
+    val r2 = xCols.indices.map(j => beta(j) * b(j)).sum / g("vy")
+    (moments.getAs[Long]("n"), intercept, beta, r2)
+  }
 }

@@ -91,4 +91,47 @@ object Timeseries {
       .where(abs(col("zscore")) > zThreshold)
       .drop("__n")
   }
+
+  /** Autocorrelation function of an event stream at lags 1..`maxLag` over a
+    * `stepSeconds`-regular grid: the seasonality probe run before choosing
+    * resample grain or drift windows. The series is the per-bin MEAN of
+    * `valueCol` (empty bins are absent and simply never pair).
+    *
+    * acf(k) = Σ (x_t − μ)(x_{t+k} − μ) / Σ (x_t − μ)², with μ and the
+    * denominator taken over the FULL series (the standard sample-ACF
+    * normalization — one shared denominator, so acf(0) ≡ 1).
+    *
+    * Shape for scale: raw rows collapse to the bin grid in one shuffle
+    * (bounded by time-range/step, not row count); each lag is an equi-join
+    * of the bin table against itself shifted by k·step — `maxLag` joins of
+    * bin-table size, driven by one exploded lag column, with μ and the
+    * denominator broadcast as scalars. Nothing row-scale is touched after
+    * the first aggregate. Returns (lag, n_pairs, acf).
+    */
+  def autocorrelation(df: DataFrame, tsCol: String, valueCol: String,
+                      stepSeconds: Long, maxLag: Int): DataFrame = {
+    require(stepSeconds > 0 && maxLag >= 1)
+    val bin = (col(tsCol).cast("long") / stepSeconds).cast("long")
+    val series = df.groupBy(bin.as("__bin"))
+      .agg(avg(col(valueCol)).as("__x"))
+    val mom = series.agg(avg("__x").as("__mu"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      count(lit(1)).cast("double").as("__n"))
+    val lags = series.crossJoin(broadcast(mom))
+      .select(col("__bin"), (col("__x") - col("__mu")).as("__c"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val shifted = series.crossJoin(broadcast(mom))
+      .select(col("__bin").as("__bin2"), (col("__x") - col("__mu")).as("__c2"))
+    lags
+      .join(shifted, lags("__bin") + col("lag") === col("__bin2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__c") * col("__c2")).as("__num"))
+      .crossJoin(broadcast(mom.select(
+        (col("__sxx") - col("__n") * col("__mu") * col("__mu"))
+          .as("__den"))))
+      .withColumn("acf",
+        when(col("__den") > 0, col("__num") / col("__den")).otherwise(0.0))
+      .select(col("lag"), col("n_pairs"), col("acf"))
+  }
 }

@@ -52,4 +52,69 @@ class ClassifySpec extends AnyFunSuite {
       Classify.scoreLogistic(feats, fcols, Array(1.0))
     }
   }
+
+  test("naive bayes: routes held-out docs to their token distribution") {
+    val train = Seq(
+      ("en", "the cat sat on the mat"), ("en", "the dog ran to the park"),
+      ("de", "der hund lief zum park"), ("de", "die katze sass auf der matte")
+    ).toDF("lang", "text")
+    val (model, priors) = Classify.trainNaiveBayes(train, "text", "lang")
+    val test = Seq((1L, "the cat ran"), (2L, "der hund auf matte"))
+      .toDF("doc_id", "text")
+    val got = Classify.scoreNaiveBayes(test, "doc_id", "text", model, priors)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("predicted_class")).toSeq ===
+      Seq("en", "de"))
+    assert(got.forall(_.getAs[Double]("log_posterior") < 0.0))
+  }
+
+  test("naive bayes: all-OOV doc falls back to priors (tie → first class)") {
+    val train = Seq(("a", "x x"), ("b", "y y")).toDF("lang", "text")
+    val (model, priors) = Classify.trainNaiveBayes(train, "text", "lang")
+    // 'w' unseen by both classes; equal priors and equal OOV mass
+    // (same totals) → posterior tie → lexicographically first class
+    val got = Classify.scoreNaiveBayes(
+      Seq((1L, "w")).toDF("doc_id", "text"), "doc_id", "text", model, priors)
+      .head()
+    assert(got.getAs[String]("predicted_class") === "a")
+  }
+
+  test("kMeansFixed: recovers two planted blobs with blob-seeded init") {
+    // ids 1,2 are the two blob anchors, so the k=2 init starts one
+    // centroid in each blob and Lloyd converges in one round
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 0.5, 0.0),
+      (4L, 9.5, 10.0), (5L, 0.0, 0.5), (6L, 10.0, 9.5)
+    ).toDF("id", "x", "y")
+    val (assigned, cents) = Classify.kMeansFixed(pts, "id", Seq("x", "y"),
+      k = 2, iterations = 2)
+    val c = cents.orderBy("cluster").collect()
+    assert(c.map(_.getAs[Long]("n_points")).toSeq === Seq(3L, 3L))
+    assert(math.abs(c(0).getAs[Double]("x") - 0.5 / 3) < 1e-12)
+    assert(math.abs(c(1).getAs[Double]("x") - (29.5 / 3)) < 1e-12)
+    val byCluster = assigned.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cluster")).toMap
+    assert(Seq(1L, 3L, 5L).forall(byCluster(_) === byCluster(1L)))
+    assert(Seq(2L, 4L, 6L).forall(byCluster(_) === byCluster(2L)))
+  }
+
+  test("olsFit: exact linear data recovers coefficients with r2 = 1") {
+    // y = 2 + 3·x1 − x2 on a non-degenerate grid
+    val rows = for (x1 <- 0 to 4; x2 <- 0 to 3)
+      yield (x1.toDouble, x2.toDouble, 2.0 + 3.0 * x1 - x2)
+    val df = rows.toDF("x1", "x2", "y")
+    val (n, icpt, beta, r2) = Classify.olsFit(df, "y", Seq("x1", "x2"))
+    assert(n === 20L)
+    assert(math.abs(icpt - 2.0) < 1e-9)
+    assert(math.abs(beta(0) - 3.0) < 1e-9)
+    assert(math.abs(beta(1) + 1.0) < 1e-9)
+    assert(math.abs(r2 - 1.0) < 1e-9)
+  }
+
+  test("olsFit: collinear design fails loudly, not with garbage betas") {
+    val rows = (1 to 10).map(i => (i.toDouble, 2.0 * i, i * 3.0))
+    assertThrows[IllegalArgumentException] {
+      Classify.olsFit(rows.toDF("x1", "x2", "y"), "y", Seq("x1", "x2"))
+    }
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** [[Stats]] — evaluation / statistical-test operators against closed-form
+  * fixtures computed by hand.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(x: Double, y: Double, tol: Double = 1e-9): Boolean =
+    math.abs(x - y) <= tol
+
+  test("rankingMetrics: recall/MRR/NDCG from first principles") {
+    // query q1: rel at ranks 2 and 5, k=3; query q2: nothing relevant
+    val ranked = Seq(
+      ("q1", 1, 0), ("q1", 2, 1), ("q1", 3, 0), ("q1", 4, 0), ("q1", 5, 1),
+      ("q2", 1, 0), ("q2", 2, 0)
+    ).toDF("q", "rank", "rel")
+    val m = Stats.rankingMetrics(ranked, "q", "rank", "rel", k = 3)
+      .orderBy("q").collect()
+    val r1 = m(0)
+    assert(r1.getAs[Long]("n_rel") === 2L)
+    assert(r1.getAs[Long]("hits_k") === 1L)
+    assert(d(r1.getAs[Double]("recall_k"), 0.5))
+    assert(d(r1.getAs[Double]("mrr"), 0.5))
+    val log2_3 = math.log(3.0) / math.log(2.0)
+    val ndcg = (1.0 / log2_3) / (1.0 + 1.0 / log2_3)
+    assert(d(r1.getAs[Double]("ndcg_k"), ndcg, 1e-6))
+    val r2 = m(1) // no relevant items: all metrics 0, never NULL
+    assert(r2.getAs[Long]("n_rel") === 0L)
+    assert(d(r2.getAs[Double]("recall_k"), 0.0))
+    assert(d(r2.getAs[Double]("mrr"), 0.0))
+    assert(d(r2.getAs[Double]("ndcg_k"), 0.0))
+  }
+
+  test("calibrationBins: bin stats, ECE terms, score 1.0 clamps to top bin") {
+    val rows = Seq((0.05, 0), (0.95, 1), (0.95, 0), (1.0, 1))
+      .toDF("score", "label")
+    val b = Stats.calibrationBins(rows, "score", "label", bins = 10)
+      .orderBy("bin").collect()
+    assert(b.map(_.getAs[Int]("bin")).toSeq === Seq(0, 9))
+    val b0 = b(0)
+    assert(b0.getAs[Long]("n") === 1L)
+    assert(d(b0.getAs[Double]("confidence"), 0.05))
+    assert(d(b0.getAs[Double]("accuracy"), 0.0))
+    assert(d(b0.getAs[Double]("ece_term"), 0.25 * 0.05))
+    val b9 = b(1)
+    assert(b9.getAs[Long]("n") === 3L)
+    assert(d(b9.getAs[Double]("accuracy"), 2.0 / 3.0))
+    // ECE term = share × |conf − acc|
+    val conf9 = (0.95 + 0.95 + 1.0) / 3.0
+    assert(d(b9.getAs[Double]("ece_term"), 0.75 * math.abs(conf9 - 2.0 / 3.0)))
+  }
+
+  test("cohenKappa: textbook marginals") {
+    val rows = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val r = Stats.cohenKappa(rows, "a", "b").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(d(r.getAs[Double]("po"), 0.75))
+    assert(d(r.getAs[Double]("pe"), 0.5))
+    assert(d(r.getAs[Double]("kappa"), 0.5))
+  }
+
+  test("cohenKappa: identical labelings score kappa 1") {
+    val rows = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    val r = Stats.cohenKappa(rows, "a", "b").head()
+    assert(d(r.getAs[Double]("po"), 1.0))
+    assert(d(r.getAs[Double]("kappa"), 1.0))
+  }
+
+  test("chiSquareIndependence: 2×2 closed form incl. zero-observed cells") {
+    val rows =
+      (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+        Seq.fill(30)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2")))
+        .toDF("a", "b")
+    val r = Stats.chiSquareIndependence(rows, "a", "b").head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Long]("dof") === 1L)
+    val expected = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    assert(d(r.getAs[Double]("chi2"), expected, 1e-9))
+    assert(d(r.getAs[Double]("cramers_v"), math.sqrt(expected / 100), 1e-9))
+    // a category pair never observed together still contributes its
+    // expected mass: add a lone ("a3","b1") row — cell (a3,b2) has o=0
+    val r2 = Stats.chiSquareIndependence(
+      rows.union(Seq(("a3", "b1")).toDF("a", "b")), "a", "b").head()
+    assert(r2.getAs[Long]("dof") === 2L)
+    assert(r2.getAs[Double]("chi2") > expected)
+  }
+
+  test("mannWhitney: tied ranks, U and z from first principles") {
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0),
+      ("A", 4.0)).toDF("g", "v")
+    val r = Stats.mannWhitney(rows, "v", "g", "A", "B").head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(d(r.getAs[Double]("u"), 2.5))
+    val sigma = math.sqrt(3.0 * 2 / 12 * (6.0 - 6.0 / 20))
+    assert(d(r.getAs[Double]("z"), (2.5 - 3.0) / sigma, 1e-9))
+  }
+
+  test("mannWhitney: symmetric samples give z = 0") {
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val r = Stats.mannWhitney(rows, "v", "g", "A", "B").head()
+    assert(d(r.getAs[Double]("z"), 0.0))
+  }
+
+  test("kAnonymity: class-size audit") {
+    val rows = (Seq.fill(1)(("n1", "s1")) ++ Seq.fill(2)(("n1", "s2")) ++
+      Seq.fill(5)(("n2", "s1"))).zipWithIndex
+      .map { case ((a, b), i) => (a, b, i) }.toDF("qa", "qb", "id")
+    val r = Stats.kAnonymity(rows, Seq("qa", "qb"), k = 3).head()
+    assert(r.getAs[Long]("n_rows") === 8L)
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("min_class_size") === 1L)
+    assert(r.getAs[Long]("classes_below_k") === 2L)
+    assert(r.getAs[Long]("rows_below_k") === 3L)
+    assert(d(r.getAs[Double]("at_risk_share"), 3.0 / 8))
+  }
+}

@@ -91,4 +91,36 @@ class TimeseriesSpec extends AnyFunSuite {
     val got = anomalyRows(Seq.fill(25)(10.0) ++ Seq(100.0))
     assert(got.isEmpty)
   }
+
+  test("autocorrelation: alternating series — closed-form ACF signs") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // x_t = (-1)^t over 6 one-second bins: μ = 0 exactly, Σx² = 6;
+    // lag 1 → 5 pairs of −1 → −5/6; lag 2 → 4 pairs of +1 → 4/6
+    val rows = (0 until 6)
+      .map(i => (i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("sec", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"value")
+    val acf = Timeseries.autocorrelation(rows, "ts", "value",
+        stepSeconds = 1, maxLag = 2)
+      .orderBy("lag").collect()
+    assert(acf.map(_.getAs[Long]("n_pairs")).toSeq === Seq(5L, 4L))
+    assert(math.abs(acf(0).getAs[Double]("acf") - (-5.0 / 6)) < 1e-12)
+    assert(math.abs(acf(1).getAs[Double]("acf") - 4.0 / 6) < 1e-12)
+  }
+
+  test("autocorrelation: in-bin rows average before lagging") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // two rows land in bin 0 (mean 1.0); bins 1,2 hold one row each —
+    // identical to the pre-averaged 3-bin series
+    val raw = Seq((0L, 0.5), (0L, 1.5), (1L, -1.0), (2L, 1.0))
+      .toDF("sec", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"value")
+    val pre = Seq((0L, 1.0), (1L, -1.0), (2L, 1.0))
+      .toDF("sec", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"value")
+    val a = Timeseries.autocorrelation(raw, "ts", "value", 1, 1).head()
+    val b = Timeseries.autocorrelation(pre, "ts", "value", 1, 1).head()
+    assert(a.getAs[Long]("n_pairs") === b.getAs[Long]("n_pairs"))
+    assert(math.abs(a.getAs[Double]("acf") - b.getAs[Double]("acf")) < 1e-12)
+  }
 }
