@@ -2382,5 +2382,74 @@ object Oracles {
         "SELECT n, round(my - b1 * m1 - b2 * m2, 2) AS intercept, " +
         "round(b1, 3) AS beta_quantity, round(b2, 2) AS beta_discount, " +
         "round((b1 * cy1 + b2 * cy2) / vy, 6) AS r2 FROM b"),
+
+    // Leave-one-out target encoding: category sums minus own target,
+    // m=10 shrinkage toward the global mean.
+    "q179_target_encode" ->
+      ("WITH per AS (SELECT o_orderpriority, sum(o_totalprice) AS s, " +
+        "count(*) AS n FROM orders GROUP BY 1), " +
+        "g AS (SELECT avg(o_totalprice) AS gm FROM orders) " +
+        "SELECT o_orderkey, round((per.s - o_totalprice + 10.0 * g.gm) / " +
+        "(per.n - 1 + 10.0), 4) AS te " +
+        "FROM orders JOIN per USING (o_orderpriority), g " +
+        "ORDER BY o_orderkey"),
+
+    // Benford audit: clamped first-digit derivation (floor before any
+    // int cast — DuckDB CAST(double AS INT) rounds), log10 expected
+    // shares, chi2 terms.
+    "q180_benford" ->
+      ("WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x " +
+        "FROM lineitem WHERE l_extendedprice > 0), " +
+        "d AS (SELECT least(greatest(CAST(floor(x / power(10, " +
+        "floor(log10(x)))) AS INT), 1), 9) AS digit FROM v), " +
+        "per AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
+        "sp AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)), " +
+        "t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM per), " +
+        "e AS (SELECT sp.digit, COALESCE(per.n, 0) AS n, t.t, " +
+        "log10(1 + 1.0 / sp.digit) AS es " +
+        "FROM sp LEFT JOIN per USING (digit), t) " +
+        "SELECT digit, CAST(n AS BIGINT) AS n, " +
+        "round(n / t, 6) AS obs_share, round(es, 6) AS exp_share, " +
+        "round((n - t * es) * (n - t * es) / (t * es), 4) AS chi2_term " +
+        "FROM e ORDER BY digit"),
+
+    // Multi-source BFS over the ring+core graph: 4 unrolled synchronous
+    // min-relaxation rounds from seeds {0,1,2}.
+    "q181_bfs" -> {
+      def relax(prev: String, next: String) =
+        s"$next AS (SELECT node, min(dist) AS dist FROM " +
+          s"(SELECT u.dst AS node, d.dist + 1 AS dist FROM und u " +
+          s"JOIN $prev d ON u.src = d.node " +
+          s"UNION ALL SELECT node, dist FROM $prev) GROUP BY 1)"
+      "WITH docs AS (SELECT doc_id FROM documents), " +
+        "nn AS (SELECT count(*) AS n FROM docs), " +
+        "ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst " +
+        "FROM docs, nn), " +
+        "core AS (SELECT src, (src + j) % 40 AS dst FROM " +
+        "(SELECT doc_id AS src FROM docs WHERE doc_id < 40), " +
+        "(SELECT unnest([2, 3, 4]) AS j)), " +
+        "e0 AS (SELECT src, dst FROM ring UNION ALL " +
+        "SELECT src, dst FROM core), " +
+        "und AS (SELECT DISTINCT src, dst FROM " +
+        "(SELECT src, dst FROM e0 WHERE src <> dst " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM e0 " +
+        "WHERE src <> dst)), " +
+        "d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist " +
+        "FROM docs WHERE doc_id < 3), " +
+        s"${relax("d0", "d1")}, ${relax("d1", "d2")}, " +
+        s"${relax("d2", "d3")}, ${relax("d3", "d4")} " +
+        "SELECT node, dist FROM d4 ORDER BY node"
+    },
+
+    // Finite-window normalized EWMA via the offset self-join formulation
+    // (weights power(0.7, offset) over the trailing 10 rows per user).
+    "q182_ewma" ->
+      ("WITH r AS (SELECT event_id, user_id, value, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "p AS (SELECT a.event_id, power(0.7, a.rn - b.rn) AS w, " +
+        "b.value AS x FROM r a JOIN r b ON a.user_id = b.user_id " +
+        "AND b.rn BETWEEN a.rn - 10 AND a.rn) " +
+        "SELECT event_id, round(sum(w * x) / sum(w), 4) AS ewma " +
+        "FROM p GROUP BY 1 ORDER BY event_id"),
   )
 }

@@ -2520,6 +2520,63 @@ object TestQueries {
         round(col("r2"), 6).as("r2"))
   }
 
+  /** Leave-one-out target encoding ([[operators.Classify.targetEncodeLoo]]):
+    * order priority encoded by the smoothed out-of-row mean of total
+    * price (m = 10) — the leakage-controlled categorical encoder. DuckDB
+    * replays category sums, the global-mean prior and the per-row
+    * exclusion exactly.
+    */
+  def q179TargetEncode(s: SparkSession, dir: String): DataFrame =
+    Classify.targetEncodeLoo(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", m = 10.0)
+      .select(col("o_orderkey"), round(col("te"), 4).as("te"))
+      .orderBy("o_orderkey")
+
+  /** Benford first-digit audit ([[operators.Quality.benford]]) of
+    * extended price: observed vs log10(1+1/d) shares and chi-squared
+    * terms per digit. The clamped digit derivation is libm-stable; both
+    * engines compute the identical formula.
+    */
+  def q180Benford(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.benford(t(s, dir, "lineitem"), "l_extendedprice")
+      .select(col("digit"), col("n"),
+        round(col("obs_share"), 6).as("obs_share"),
+        round(col("exp_share"), 6).as("exp_share"),
+        round(col("chi2_term"), 4).as("chi2_term"))
+      .orderBy("digit")
+
+  /** Multi-source BFS ([[operators.Graphs.bfsDistances]]) over the q160
+    * ring-plus-planted-core graph from seeds {0, 1, 2}, horizon 4 — hop
+    * distance to the nearest seed; unreached nodes are absent. DuckDB
+    * unrolls the four synchronous relaxation rounds.
+    */
+  def q181Bfs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val ring = base.select(col("doc_id").as("src"),
+      ((col("doc_id") + 1) % col("n")).as("dst"))
+    val core = base.where(col("doc_id") < 40)
+      .select(col("doc_id").as("src"),
+        explode(array(lit(2), lit(3), lit(4))).as("j"))
+      .select(col("src"), ((col("src") + col("j")) % 40).as("dst"))
+    operators.Graphs.bfsDistances(ring.unionByName(core),
+        docs.where(col("doc_id") < 3).select(col("doc_id").as("node")),
+        maxHops = 4)
+      .orderBy("node")
+  }
+
+  /** Finite-window EWMA ([[operators.Timeseries.ewmaSmooth]]): per-user
+    * event values smoothed with α = 0.3 over the trailing 10 rows,
+    * (ts, event_id)-ordered. DuckDB replays via the offset self-join
+    * formulation — same weights, same normalization, 4dp.
+    */
+  def q182Ewma(s: SparkSession, dir: String): DataFrame =
+    Timeseries.ewmaSmooth(t(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "value", alpha = 0.3, lookback = 10)
+      .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
+      .orderBy("event_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2656,6 +2713,10 @@ object TestQueries {
     "q176_naive_bayes" -> (q176NaiveBayes _),
     "q177_kmeans" -> (q177KMeans _),
     "q178_ols" -> (q178Ols _),
+    "q179_target_encode" -> (q179TargetEncode _),
+    "q180_benford" -> (q180Benford _),
+    "q181_bfs" -> (q181Bfs _),
+    "q182_ewma" -> (q182Ewma _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

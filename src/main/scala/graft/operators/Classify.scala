@@ -160,6 +160,36 @@ object Classify {
         col("__best.log_posterior").as("log_posterior"))
   }
 
+  /** Leave-one-out target encoding with additive smoothing: replace a
+    * high-cardinality categorical with the mean of the target over the
+    * OTHER rows of its category, shrunk toward the global mean by a
+    * pseudo-count `m` — `te_i = (sum_c − y_i + m·ȳ) / (n_c − 1 + m)`.
+    * The standard leakage-controlled encoder for training-data prep:
+    * excluding the row's own target keeps the encoding honest on the
+    * training fold, and the prior keeps singleton categories defined
+    * and shrunk instead of degenerate.
+    *
+    * One category-keyed aggregate (partial sums), a broadcast scalar for
+    * ȳ, and a join back on the category. The category table is left to
+    * AQE's join-strategy choice (broadcast when it is small, shuffle on
+    * the category key when the cardinality is genuinely high — the
+    * operator's target use case). Adds `te`.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      m: Double = 10.0): DataFrame = {
+    require(m > 0, s"smoothing pseudo-count must be positive: $m")
+    val y = col(targetCol).cast("double")
+    val per = df.groupBy(col(catCol))
+      .agg(sum(y).as("__sum"), count(lit(1)).as("__n"))
+    val gm = df.agg(avg(y).as("__gm"))
+    df.join(per, Seq(catCol))
+      .crossJoin(broadcast(gm))
+      .withColumn("te",
+        (col("__sum") - y + lit(m) * col("__gm")) /
+          (col("__n") - 1 + lit(m)))
+      .drop("__sum", "__n", "__gm")
+  }
+
   /** Lloyd's k-means with a FIXED iteration count and deterministic
     * seeding (the k rows with the smallest `idCol` become the initial
     * centroids) — the embedding-space partitioner behind IVF cells,

@@ -222,6 +222,43 @@ object Graphs {
     labels.withColumnRenamed("lbl", "community")
   }
 
+  /** Multi-source BFS: hop distance from the nearest seed node, out to
+    * `maxHops` — the influence/contamination radius probe (how far does a
+    * flagged document's link neighbourhood reach; which records sit
+    * within N hops of a known-bad source). Nodes the frontier never
+    * reaches within the horizon are absent from the result.
+    *
+    * Synchronous relaxation: every round joins the CURRENT distance
+    * frame to the (symmetrized, deduped) edge list once and keeps the
+    * per-node minimum of (old, neighbour+1) — shuffle on node id, the
+    * same key each round, linear in |E|, checkpointed per round to cut
+    * lineage. A fixed horizon of `maxHops` rounds relaxes every distance
+    * ≤ maxHops exactly (round r finalizes hop r), so the run replays in
+    * a fixed-unroll oracle.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be ≥ 0: $maxHops")
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val und = pin(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var dist = pin(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = und
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .union(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+      dist = pin(relaxed)
+      i += 1
+    }
+    dist
+  }
+
   /** k-core decomposition (the k-core): iteratively peel vertices with
     * degree < k until the remainder is stable — the standard dense-
     * subgraph extraction (spam rings, tightly-coupled near-dup clusters,

@@ -712,6 +712,43 @@ object Quality {
       regr_r2(col("y"), col("x")).as("r2"))
   }
 
+  /** Benford first-digit audit: the observed distribution of first
+    * significant digits of `valueCol` (positive rows only) against
+    * Benford's law `log10(1 + 1/d)` — the classic fabricated-or-truncated
+    * numbers screen for financial/measurement columns. Returns one row
+    * per digit 1..9: (digit, n, obs_share, exp_share, chi2_term); Σ
+    * chi2_term is the 8-dof test statistic.
+    *
+    * Digit extraction is `floor(x / 10^floor(log10 x))` CLAMPED into
+    * [1, 9]: a last-ulp `log10` disagreement at an exact power of 10
+    * yields 0 or 10 and clamps back to the correct digit, so the
+    * derivation is stable across engines/libms. One scan-side projection
+    * plus a 9-group aggregate; the total joins back as a broadcast
+    * scalar.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val digit = least(greatest(
+      floor(x / pow(lit(10.0), floor(log10(x)))).cast("int"), lit(1)), lit(9))
+    val per = df.where(x > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val tot = per.agg(sum("n").cast("double").as("__t"))
+    spine.join(per, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_share", col("n") / col("__t"))
+      .withColumn("exp_share",
+        log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("chi2_term",
+        (col("n") - col("__t") * col("exp_share")) *
+          (col("n") - col("__t") * col("exp_share")) /
+          (col("__t") * col("exp_share")))
+      .drop("__t")
+  }
+
   // ---- common predicate builders ------------------------------------------
 
   def notNull(c: String): (String, Column) =

@@ -92,6 +92,47 @@ object Timeseries {
       .drop("__n")
   }
 
+  /** Finite-window exponentially-weighted moving average per key:
+    * `y_t = Σ_{i=0..L} (1−α)^i · x_{t−i} / Σ_{i} (1−α)^i` over the
+    * trailing `lookback` rows — the standard metric smoother, normalized
+    * over the weights actually present so warm-up rows are unbiased
+    * (pandas `ewm(adjust=True)` semantics, truncated at L where the
+    * dropped tail mass is (1−α)^L).
+    *
+    * Shape for scale: ONE keyed window (shuffle on key, per-key sort on
+    * `orderCols`); the trailing frame materializes as a ≤(L+1)-element
+    * array via `collect_list` OVER the frame (frame order = sort order,
+    * so `reverse` puts the current row at index 0) and the weighted fold
+    * is a scan-side indexed-lambda HOF — O(L) per row, no self-join, no
+    * global sort. The list column binds ONCE as a projection before the
+    * HOF lambdas (the bind-once discipline: interpreted lambdas re-
+    * evaluate referenced expressions per element).
+    *
+    * `orderCols` must totally order rows within a key (ts + unique id)
+    * or the trailing frame is nondeterministic under ties.
+    */
+  def ewmaSmooth(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 valueCol: String, alpha: Double,
+                 lookback: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(lookback >= 1, s"lookback must be ≥ 1: $lookback")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, Window.currentRow)
+    val decay = 1.0 - alpha
+    df
+      .withColumn("__xs",
+        reverse(collect_list(col(valueCol).cast("double")).over(w)))
+      .withColumn("ewma",
+        aggregate(zip_with(col("__xs"),
+            transform(col("__xs"), (_, i) => pow(lit(decay), i)),
+            (x, wt) => x * wt),
+          lit(0.0), (acc, t) => acc + t) /
+          aggregate(transform(col("__xs"), (_, i) => pow(lit(decay), i)),
+            lit(0.0), (acc, t) => acc + t))
+      .drop("__xs")
+  }
+
   /** Autocorrelation function of an event stream at lags 1..`maxLag` over a
     * `stepSeconds`-regular grid: the seasonality probe run before choosing
     * resample grain or drift windows. The series is the per-bin MEAN of

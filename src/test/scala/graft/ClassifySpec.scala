@@ -111,6 +111,22 @@ class ClassifySpec extends AnyFunSuite {
     assert(math.abs(r2 - 1.0) < 1e-9)
   }
 
+  test("targetEncodeLoo: own row excluded, prior shrinks singletons") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("cat", "y")
+    val gm = 4.0 // (1+2+3+10)/4
+    val got = Classify.targetEncodeLoo(rows, "cat", "y", m = 1.0)
+      .orderBy("cat", "y").collect()
+      .map(r => (r.getAs[String]("cat"), r.getAs[Double]("y"),
+        r.getAs[Double]("te")))
+    // a, y=1: (6-1 + 1*4)/(3-1+1) = 3
+    assert(math.abs(got(0)._3 - 3.0) < 1e-12)
+    // a, y=3: (6-3+4)/3 = 7/3
+    assert(math.abs(got(2)._3 - 7.0 / 3) < 1e-12)
+    // singleton b: (10-10+4)/(0+1) = gm exactly — pure prior, no leak
+    assert(math.abs(got(3)._3 - gm) < 1e-12)
+  }
+
   test("olsFit: collinear design fails loudly, not with garbage betas") {
     val rows = (1 to 10).map(i => (i.toDouble, 2.0 * i, i * 3.0))
     assertThrows[IllegalArgumentException] {

@@ -145,4 +145,33 @@ class GraphsSpec extends AnyFunSuite {
     assert(core(Seq((1L, 2L), (2L, 3L)), k = 1) ===
       Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  hops: Int): Map[Long, Long] =
+    Graphs.bfsDistances(edges.toDF("src", "dst"),
+        seeds.toDF("node"), maxHops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsDistances: path graph — horizon cuts off exactly at maxHops") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(bfs(path, Seq(0L), hops = 2) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(bfs(path, Seq(0L), hops = 0) === Map(0L -> 0L))
+  }
+
+  test("bfsDistances: nearest of several seeds wins; edges are undirected") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    // seeds at both ends: middle node 2 is 2 hops from each
+    assert(bfs(path, Seq(0L, 4L), hops = 4) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    // directed-looking edge list still relaxes against the arrow
+    assert(bfs(Seq((1L, 0L), (2L, 1L)), Seq(0L), hops = 2) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("bfsDistances: a shortcut edge shortens the distance") {
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    assert(bfs(g, Seq(0L), hops = 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }

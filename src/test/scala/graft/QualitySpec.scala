@@ -515,4 +515,26 @@ class QualitySpec extends AnyFunSuite {
     assert(got(("g", 103)) === 3.0)  // (103−3)/2 = 50 → clipped
     assert(got(("flat", 7)) === 0.0) // IQR 0 → typical
   }
+
+  test("benford: first-digit extraction across magnitudes, zero/neg dropped") {
+    val vals = Seq(1.0, 10.0, 999.99, 0.5, 0.0042, 123456.0,
+      -5.0, 0.0) // -5 and 0 are not auditable and must be dropped
+    val b = Quality.benford(vals.toDF("v"), "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    assert(b(1) === 3L) // 1.0, 10.0, 123456.0
+    assert(b(9) === 1L) // 999.99
+    assert(b(5) === 1L) // 0.5
+    assert(b(4) === 1L) // 0.0042
+    assert(b(2) === 0L) // spine digit with no observations stays present
+  }
+
+  test("benford: shares and expectations each total 1; chi2 ≥ 0") {
+    val vals = (1 to 300).map(i => (i * 37 % 997 + 1).toDouble)
+    val rows = Quality.benford(vals.toDF("v"), "v").collect()
+    val obs = rows.map(_.getAs[Double]("obs_share")).sum
+    val exp = rows.map(_.getAs[Double]("exp_share")).sum
+    assert(math.abs(obs - 1.0) < 1e-9)
+    assert(math.abs(exp - 1.0) < 1e-9)
+    assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
+  }
 }

@@ -108,6 +108,34 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(math.abs(acf(1).getAs[Double]("acf") - 4.0 / 6) < 1e-12)
   }
 
+  test("ewmaSmooth: closed-form weights, per-key isolation") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val rows = Seq((1L, 0L, 0.0), (1L, 1L, 1.0), (2L, 0L, 5.0))
+      .toDF("k", "sec", "value")
+      .select($"k", timestamp_seconds($"sec").as("ts"),
+        $"sec".as("event_id"), $"value")
+    val got = Timeseries.ewmaSmooth(rows, "k", Seq("ts", "event_id"),
+        "value", alpha = 0.5, lookback = 10)
+      .orderBy("k", "ts").collect()
+    // key 1 row 1: frame [0]: ewma 0; row 2: rev [1,0], w [1,.5]
+    assert(got(0).getAs[Double]("ewma") === 0.0)
+    assert(math.abs(got(1).getAs[Double]("ewma") - 1.0 / 1.5) < 1e-12)
+    // key 2 never sees key 1's history
+    assert(got(2).getAs[Double]("ewma") === 5.0)
+  }
+
+  test("ewmaSmooth: constant series is a fixed point; lookback truncates") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val rows = (0 until 30).map(i => (1L, i.toLong, 7.0))
+      .toDF("k", "sec", "value")
+      .select($"k", timestamp_seconds($"sec").as("ts"),
+        $"sec".as("event_id"), $"value")
+    val got = Timeseries.ewmaSmooth(rows, "k", Seq("ts", "event_id"),
+        "value", alpha = 0.3, lookback = 5)
+      .select("ewma").collect().map(_.getDouble(0))
+    assert(got.forall(v => math.abs(v - 7.0) < 1e-12))
+  }
+
   test("autocorrelation: in-bin rows average before lagging") {
     import org.apache.spark.sql.functions.timestamp_seconds
     // two rows land in bin 0 (mean 1.0); bins 1,2 hold one row each —
