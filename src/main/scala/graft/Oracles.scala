@@ -2441,6 +2441,61 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // Gini over the top-1000 vocabulary: shared (n desc, tok) head cut,
+    // ascending-rank Σ(2i−n−1)xᵢ arithmetic.
+    "q183_gini" ->
+      ("WITH c AS (SELECT tok, count(*) AS n FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0)) AS tok FROM documents) GROUP BY 1 " +
+        "ORDER BY n DESC, tok LIMIT 1000), " +
+        "r AS (SELECT n, row_number() OVER (ORDER BY n ASC, tok ASC) " +
+        "AS i FROM c), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n) AS BIGINT) AS total_count FROM c) " +
+        "SELECT n_tokens, total_count, " +
+        "round(sum((2 * i - n_tokens - 1) * CAST(n AS DOUBLE)) / " +
+        "(n_tokens * total_count), 6) AS gini " +
+        "FROM r, t GROUP BY 1, 2"),
+
+    // Mahalanobis via the 2×2 closed-form inverse from the same
+    // population moments (det factored last; 5dp absorbs the grouping).
+    "q184_mahalanobis" ->
+      ("WITH m AS (SELECT avg(c_acctbal) AS m1, " +
+        "avg(CAST(c_nationkey AS DOUBLE)) AS m2, " +
+        "var_pop(c_acctbal) AS s11, " +
+        "covar_pop(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS s12, " +
+        "var_pop(CAST(c_nationkey AS DOUBLE)) AS s22 FROM customer), " +
+        "p AS (SELECT c_custkey, c_acctbal AS x1, " +
+        "CAST(c_nationkey AS DOUBLE) AS x2 FROM customer) " +
+        "SELECT c_custkey, " +
+        "round(((x1 - m1) * (s22 * (x1 - m1) - s12 * (x2 - m2)) + " +
+        "(x2 - m2) * (s11 * (x2 - m2) - s12 * (x1 - m1))) / " +
+        "(s11 * s22 - s12 * s12), 5) AS md2 " +
+        "FROM p, m ORDER BY c_custkey"),
+
+    // Delta-join maintenance identity: the oracle is the PLAIN full
+    // join — the Spark side assembles it as snapshot-join ∪ the three
+    // delta terms, so the hash match proves the algebra.
+    "q185_delta_join" ->
+      ("SELECT o_orderstatus, c_mktsegment, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Int8 min-max quantization: per-dim extents from unnest +
+    // generate_subscripts (DuckDB 1.0 lacks WITH ORDINALITY), identical
+    // floor(+0.5) code rule, subscript-ordered code lists.
+    "q186_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, " +
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1), " +
+        "q AS (SELECT vec_id, e.i, CASE WHEN mx - mn > 0 THEN " +
+        "CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT) " +
+        "ELSE 0 END AS code FROM e JOIN st USING (i)) " +
+        "SELECT vec_id, list(code ORDER BY i) AS codes FROM q " +
+        "GROUP BY 1 ORDER BY vec_id"),
+
     // Finite-window normalized EWMA via the offset self-join formulation
     // (weights power(0.7, offset) over the trailing 10 rows per user).
     "q182_ewma" ->

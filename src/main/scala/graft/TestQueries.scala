@@ -2577,6 +2577,88 @@ object TestQueries {
       .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
       .orderBy("event_id")
 
+  /** Gini vocabulary concentration ([[operators.Quality.giniConcentration]]):
+    * inequality of the top-1000 token frequencies — the corpus-diversity
+    * scalar next to q167's Zipf slope. DuckDB replays the head ranking
+    * (shared (n, tok) order) and the Σ(2i−n−1)xᵢ arithmetic.
+    */
+  def q183Gini(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.giniConcentration(t(s, dir, "documents"), "text",
+        topN = 1000)
+      .select(col("n_tokens"), col("total_count"),
+        round(col("gini"), 6).as("gini"))
+
+  /** Mahalanobis outlier scores ([[operators.Stats.mahalanobis]]) over
+    * customer (acctbal, nationkey): covariance-aware distance per row,
+    * inverse baked scan-side. DuckDB mirrors with the 2×2 closed-form
+    * inverse from the same population moments.
+    */
+  def q184Mahalanobis(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.mahalanobis(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_acctbal"), col("c_nationkey").cast("double").as("c_nat")),
+        Seq("c_acctbal", "c_nat"))
+      .select(col("c_custkey"), round(col("md2"), 5).as("md2"))
+      .orderBy("c_custkey")
+
+  /** Incremental join maintenance ([[operators.Incremental.deltaJoin]]):
+    * orders and customer each split into a snapshot and an insert delta;
+    * the materialized snapshot join UNION the three delta-join terms must
+    * equal the full refreshed join — the oracle IS the plain full join,
+    * so the hash match proves the maintenance identity end to end.
+    */
+  def q185DeltaJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val (snapO, deltaO) = (o.where(col("o_orderkey") % 10 < 9),
+      o.where(col("o_orderkey") % 10 === 9))
+    val (snapC, deltaC) = (c.where(col("c_custkey") % 7 < 6),
+      c.where(col("c_custkey") % 7 === 6))
+    val renamedO = (d: DataFrame) => d.select(col("o_custkey").as("custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val renamedC = (d: DataFrame) => d.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    val materialized = renamedO(snapO).join(renamedC(snapC), Seq("custkey"))
+    val delta = operators.Incremental.deltaJoin(
+      renamedO(snapO), renamedO(deltaO),
+      renamedC(snapC), renamedC(deltaC), Seq("custkey"))
+    materialized.unionByName(delta)
+      .groupBy("o_orderstatus", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus", "c_mktsegment")
+  }
+
+  /** Int8 embedding quantization ([[operators.EmbeddingStats.quantizeInt8]]):
+    * per-dimension min-max codes for the whole embeddings table. DuckDB
+    * replays the per-dim extents and the floor(+½) code rule digit for
+    * digit — the code arrays hash-compare exactly.
+    */
+  def q186QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val (codes, _) = operators.EmbeddingStats.quantizeInt8(
+      Tables.loadEmbeddings(s, dir), "vec_id", "embedding")
+    codes.orderBy("vec_id")
+  }
+
+  /** Perceptual near-duplicate images
+    * ([[operators.Multimodal.nearDupImages]]): a real-PNG corpus (docs
+    * < 60 rasterized) unioned with one-character-edited re-rasters at
+    * id+10000 — dHash banding + Hamming verify finds the planted
+    * pairs. Rows-only (ImageIO has no DuckDB mirror); MultimodalSpec
+    * pins identity/small-edit/distinct cases.
+    */
+  def q187ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 60)
+    val base = operators.Multimodal.textToPng(docs, "doc_id", "text")
+    val edited = operators.Multimodal.textToPng(
+      docs.select((col("doc_id") + 10000).as("doc_id"),
+        overlay(col("text"), lit("X"), lit(1)).as("text")),
+      "doc_id", "text")
+    operators.Multimodal.nearDupImages(
+        base.unionByName(edited).toDF(), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2717,6 +2799,11 @@ object TestQueries {
     "q180_benford" -> (q180Benford _),
     "q181_bfs" -> (q181Bfs _),
     "q182_ewma" -> (q182Ewma _),
+    "q183_gini" -> (q183Gini _),
+    "q184_mahalanobis" -> (q184Mahalanobis _),
+    "q185_delta_join" -> (q185DeltaJoin _),
+    "q186_quantize_int8" -> (q186QuantizeInt8 _),
+    "q187_image_near_dup" -> (q187ImageNearDup _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

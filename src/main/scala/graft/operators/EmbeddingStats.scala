@@ -132,4 +132,36 @@ object EmbeddingStats {
           lit(0.0), (acc, x) => acc + x))
     }.drop("__v")
   }
+
+  /** Per-dimension int8 (0..255) min-max quantization — 4× embedding
+    * compression for ANN candidate stores. Codes are
+    * `floor((x − mn_d)·255/(mx_d − mn_d) + ½)` with degenerate (constant)
+    * dimensions coding 0; dequantization is the affine inverse, so the
+    * worst-case reconstruction error per dimension is span/510.
+    *
+    * Per-dim extents come from ONE posexplode + d-group aggregate
+    * (map-side partials, never a self-join) and bake into the scan-side
+    * transform as two literal arrays — d·16 bytes of driver state, the
+    * bounded-scalar budget. Returns (quantized rows `(idCol, codes)`,
+    * the (dim, mn, mx) params table for dequantization).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String,
+                   vecCol: String): (DataFrame, DataFrame) = {
+    val stats = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+    val params = stats.orderBy("dim").collect()
+    require(params.nonEmpty, "quantizing an empty corpus")
+    val mins = params.map(_.getDouble(1))
+    val maxs = params.map(_.getDouble(2))
+    val codes = transform(col(vecCol).cast("array<double>"), (x, i) => {
+      val mn = element_at(lit(mins), i + 1)
+      val span = element_at(lit(maxs), i + 1) - mn
+      when(span > 0,
+        floor((x - mn) * lit(255.0) / span + 0.5).cast("int"))
+        .otherwise(lit(0))
+    })
+    (df.select(col(idCol), codes.as("codes")), stats)
+  }
 }

@@ -81,4 +81,29 @@ object Incremental {
       definitelyNew.unionByName(survivors)
     }
   }
+
+  /** Incremental join maintenance (the delta-join identity): the NEW rows
+    * of `(A ∪ ΔA) ⋈ (B ∪ ΔB)` beyond the already-materialized `A ⋈ B` are
+    * exactly
+    *
+    *   ΔA ⋈ B  ∪all  A ⋈ ΔB  ∪all  ΔA ⋈ ΔB
+    *
+    * — the algebra every materialized join view maintains by. Appending
+    * this delta to the stored view IS the refreshed view, so a 100 TB
+    * join view updates at the cost of the (small) deltas: each term
+    * shuffles ΔA/ΔB fully but the big snapshots only on the join key
+    * (and AQE broadcasts the delta side when it fits, leaving the
+    * snapshots entirely unshuffled). Insert-only deltas; deletes are the
+    * lake layer's tombstone problem, not the view algebra's.
+    *
+    * `keys` are USING-style join keys (coalesced once in the output).
+    */
+  def deltaJoin(snapA: DataFrame, deltaA: DataFrame,
+                snapB: DataFrame, deltaB: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    deltaA.join(snapB, keys)
+      .unionByName(snapA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+  }
 }

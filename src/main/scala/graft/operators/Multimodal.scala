@@ -402,6 +402,80 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual difference hash (dHash): luma of a 9×8 rescale,
+    * one bit per adjacent-pixel comparison per row. Robust to re-encode,
+    * resize and small local edits — the standard near-duplicate IMAGE
+    * fingerprint (exact hashes only catch byte-identical files).
+    */
+  def dHash(img: BufferedImage): Long = {
+    val s = scaleImage(img, 9, 8)
+    def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (luma(s.getRGB(x, y)) > luma(s.getRGB(x + 1, y))) 1L
+          else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual hashes for a media table: ImageIO decode → [[dHash]] per
+    * row, per-partition so the codec initializes once; undecodable
+    * payloads are dropped (they have no perceptual identity). Returns
+    * (media_id, dhash).
+    */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeImage(Option(payload).getOrElse(Array.emptyByteArray))
+          .map(img => (id, dHash(img)))
+      })
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming` over
+    * [[dHashes]]: the 64-bit hash splits into four 16-bit blocks and
+    * candidates must share (block index, block value) — the SimHash
+    * pigeonhole, guaranteeing 100% recall at distance ≤ 3 — then the
+    * exact popcount-of-XOR verifies. Shuffles carry (block, id, hash)
+    * triples; all-pairs never forms. Returns (id_a, id_b, hamming),
+    * id_a < id_b, deduped across blocks.
+    */
+  def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only to distance 3: $maxHamming")
+    val hashes = dHashes(media)
+    val blocks = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("dhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.blk").as("blk"), col("b.v").as("v"))
+    val a = blocks.select(col("blk"), col("v"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = blocks.select(col("blk"), col("v"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("blk", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Resize: decodable image payloads are truly rescaled (ImageIO decode →
     * Graphics2D render at target dims → PNG re-encode, mime updated);
     * non-image payloads keep the deterministic byte-stride downsample of

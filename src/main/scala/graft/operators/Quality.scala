@@ -712,6 +712,39 @@ object Quality {
       regr_r2(col("y"), col("x")).as("r2"))
   }
 
+  /** Gini concentration of the head vocabulary: how unequal are the top-N
+    * token frequencies — 0 = uniform usage, →1 = a few tokens dominate.
+    * The corpus-diversity companion to [[zipfFit]] (Zipf says HOW the
+    * frequencies decay, Gini compresses the inequality into one number a
+    * mixing dashboard can track per vintage/source).
+    *
+    * G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over the ascending-sorted counts.
+    * Token counts are one hash aggregate; sorting and ranking touch only
+    * the ≤ topN vocabulary rows (the zipfFit discipline — the window is
+    * head-sized, never corpus-sized). Returns ONE row:
+    * (n_tokens, total_count, gini).
+    */
+  def giniConcentration(df: DataFrame, textCol: String,
+                        topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"need at least 2 ranks: $topN")
+    val counts = df
+      .select(explode(filter(split(col(textCol), " "),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(topN)
+    val ranked = counts.withColumn("i", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").asc, col("tok"))))
+    val tot = counts.agg(count(lit(1)).as("__ntok"), sum("n").as("__tot"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max("__ntok").as("n_tokens"), max("__tot").as("total_count"),
+        sum((lit(2) * col("i") - col("__ntok") - 1) *
+          col("n").cast("double")).as("__num"))
+      .withColumn("gini",
+        col("__num") / (col("n_tokens") * col("total_count")))
+      .drop("__num")
+  }
+
   /** Benford first-digit audit: the observed distribution of first
     * significant digits of `valueCol` (positive rows only) against
     * Benford's law `log10(1 + 1/d)` — the classic fabricated-or-truncated

@@ -209,6 +209,59 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("u"), col("z"))
   }
 
+  /** Squared Mahalanobis distance over scalar feature columns — the
+    * covariance-aware multivariate outlier score (a point 3σ out along a
+    * tight axis scores high even when each marginal looks ordinary).
+    * Adds `md2 = (x−μ)ᵀ Σ⁻¹ (x−μ)`; under multivariate normality md2 is
+    * ~χ²(p), so thresholding at the χ² quantile gives the standard
+    * audit cut.
+    *
+    * ONE moment-aggregate pass (means + population covariance matrix),
+    * a driver-side p×p inversion (Gauss-Jordan with partial pivoting; p
+    * is the feature count, a handful), then a scan-side quadratic form
+    * with the inverse baked in as literals — rows are touched twice by
+    * scans and never shuffled. Singular covariance fails loudly.
+    */
+  def mahalanobis(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty)
+    val p = featureCols.size
+    val aggs: Seq[Column] =
+      featureCols.map(c => avg(col(c).cast("double")).as(s"m_$c")) ++
+        (for (a <- featureCols; b <- featureCols if a <= b)
+          yield covar_pop(col(a).cast("double"), col(b).cast("double"))
+            .as(s"c_${a}_$b"))
+    val mom = df.agg(aggs.head, aggs.tail: _*).head()
+    def g(name: String): Double = mom.getAs[Double](name)
+    val cov = Array.tabulate(p, p) { (i, j) =>
+      val (a, b) = if (featureCols(i) <= featureCols(j))
+        (featureCols(i), featureCols(j)) else (featureCols(j), featureCols(i))
+      g(s"c_${a}_$b")
+    }
+    // Gauss-Jordan inversion with partial pivoting on [Σ | I]
+    val m = Array.tabulate(p)(i => cov(i) ++ Array.tabulate(p)(j =>
+      if (i == j) 1.0 else 0.0))
+    for (c <- 0 until p) {
+      val piv = (c until p).maxBy(r => math.abs(m(r)(c)))
+      val tmp = m(c); m(c) = m(piv); m(piv) = tmp
+      require(math.abs(m(c)(c)) > 1e-12, "singular covariance matrix")
+      val d = m(c)(c)
+      for (cc <- 0 until 2 * p) m(c)(cc) /= d
+      for (r <- 0 until p if r != c) {
+        val f = m(r)(c)
+        for (cc <- 0 until 2 * p) m(r)(cc) -= f * m(c)(cc)
+      }
+    }
+    val inv = Array.tabulate(p, p)((i, j) => m(i)(j + p))
+    val centered = featureCols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("double") - lit(g(s"m_$c"))).as(s"__d$i")
+    }
+    val quad = (for (i <- 0 until p; j <- 0 until p)
+      yield col(s"__d$i") * col(s"__d$j") * lit(inv(i)(j))).reduce(_ + _)
+    df.select((df.columns.map(col) ++ centered): _*)
+      .withColumn("md2", quad)
+      .drop((0 until p).map(i => s"__d$i"): _*)
+  }
+
   /** k-anonymity audit over a set of quasi-identifier columns: how many
     * equivalence classes (distinct quasi-identifier combinations) fall
     * below size `k`, and what share of rows they carry — the release gate

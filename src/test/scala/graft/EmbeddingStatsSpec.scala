@@ -56,4 +56,41 @@ class EmbeddingStatsSpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getDouble(1)))
     assert(got.toSet === Set((1.0, 3.0), (-1.0, 1.5)))
   }
+
+  test("quantizeInt8: extremes hit 0/255, midpoints round, constant dim → 0") {
+    val vecs = Seq((1L, Seq(0.0f, 10.0f, 7.0f)), (2L, Seq(5.0f, 20.0f, 7.0f)),
+      (3L, Seq(10.0f, 30.0f, 7.0f))).toDF("vec_id", "embedding")
+    val (codes, params) = EmbeddingStats.quantizeInt8(vecs, "vec_id",
+      "embedding")
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(byId(1L) === Seq(0, 0, 0))
+    // dim0: 5/10·255 = 127.5 → floor(128.0) = 128; dim1: 10/20·255 = 127.5
+    assert(byId(2L) === Seq(128, 128, 0))
+    assert(byId(3L) === Seq(255, 255, 0))
+    val p = params.orderBy("dim").collect()
+    assert(p.map(_.getDouble(1)).toSeq === Seq(0.0, 10.0, 7.0)) // mins
+    assert(p.map(_.getDouble(2)).toSeq === Seq(10.0, 30.0, 7.0)) // maxs
+  }
+
+  test("quantizeInt8: dequantization error bounded by span/510") {
+    val vecs = (1L to 50L)
+      .map(i => (i, Seq.tabulate(4)(d => (i * (d + 3) % 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (codes, params) = EmbeddingStats.quantizeInt8(vecs, "vec_id",
+      "embedding")
+    val p = params.orderBy("dim").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val orig = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble)).toMap
+    codes.collect().foreach { r =>
+      val xs = orig(r.getLong(0))
+      r.getSeq[Int](1).zipWithIndex.foreach { case (c, d) =>
+        val (mn, mx) = p(d)
+        val recon = mn + c * (mx - mn) / 255.0
+        assert(math.abs(recon - xs(d)) <= (mx - mn) / 510.0 + 1e-9,
+          s"dim $d code $c recon $recon vs ${xs(d)}")
+      }
+    }
+  }
 }

@@ -70,4 +70,21 @@ class IncrementalSpec extends AnyFunSuite {
     val doubled = batch.union(batch)
     assert(Incremental.newRows(doubled, corpus, "key").count() === 100)
   }
+
+  test("deltaJoin: materialized ∪ delta equals the full refreshed join") {
+    val a = (1L to 40L).map(i => (i % 7, i, s"a$i")).toDF("k", "ai", "av")
+    val b = (1L to 30L).map(i => (i % 5, i, s"b$i")).toDF("k", "bi", "bv")
+    val (snapA, deltaA) = (a.where($"ai" <= 30), a.where($"ai" > 30))
+    val (snapB, deltaB) = (b.where($"bi" <= 20), b.where($"bi" > 20))
+    val full = a.join(b, Seq("k"))
+    val incremental = snapA.join(snapB, Seq("k")).unionByName(
+      Incremental.deltaJoin(snapA, deltaA, snapB, deltaB, Seq("k")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ai", "bi").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(canon(incremental) === canon(full))
+    // empty deltas: the delta term is empty, not an error
+    assert(Incremental.deltaJoin(snapA, deltaA.limit(0),
+      snapB, deltaB.limit(0), Seq("k")).count() === 0)
+  }
 }

@@ -178,4 +178,37 @@ class MultimodalSpec extends AnyFunSuite {
       media.where("media_id IN (2, 3)"), frameBytes = 8, everyNth = 1)
     assert(shorter.count() === 0)
   }
+
+  test("dHash/nearDupImages: identity at 0, small edits near, distinct apart") {
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val texts = Seq(
+      (1L, base),
+      (2L, base),                       // byte-identical → hamming 0
+      (3L, "X" + base.substring(1)),    // one-char edit → tiny hamming
+      (4L, Seq.fill(200)("zqw").mkString("_"))) // unrelated content
+    val media = Multimodal.textToPng(
+      texts.toDF("doc_id", "text"), "doc_id", "text")
+    val pairs = Multimodal.nearDupImages(media.toDF(), maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)) === Some(0L), s"identity pair missing: $pairs")
+    assert(byPair.contains((1L, 3L)) || byPair.contains((2L, 3L)),
+      s"small edit must stay within hamming 3: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image must not pair: $pairs")
+  }
+
+  test("dHash is deterministic and undecodable payloads drop") {
+    val media = Multimodal.textToPng(
+      Seq((7L, "deterministic hash input " * 30)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val h1 = Multimodal.dHashes(media.toDF()).head().getLong(1)
+    val h2 = Multimodal.dHashes(media.toDF()).head().getLong(1)
+    assert(h1 === h2)
+    val junk = Multimodal.fromText(
+      Seq((8L, "not an image")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Multimodal.dHashes(junk.toDF()).count() === 0)
+  }
 }

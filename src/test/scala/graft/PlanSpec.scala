@@ -138,4 +138,38 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "deletion-neighborhood blocking must plan as an equi-join")
   }
+
+  test("q169 ranking metrics: one aggregation, no second ranking pass") {
+    val p = planOf("q169_ranking_metrics")
+    // the IDCG table must arrive as a literal, not a join against a
+    // derived ranking — exactly one window (the harness-side ranking)
+    // and hash aggregates, no SortMergeJoin anywhere
+    assert(!p.contains("SortMergeJoin"),
+      "metrics must not join a second per-query ranking")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q182 ewma: ONE keyed window, weighted fold scan-side") {
+    val p = planOf("q182_ewma")
+    assert(p.contains("Window"), "the trailing frame must be a window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "EWMA must not plan the O(N·L) self-join formulation")
+  }
+
+  test("q180 benford: 9-row spine joins broadcast, one scan of the fact") {
+    val p = planOf("q180_benford")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "digit spine and total must broadcast against the 9-row aggregate")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in this plan is big enough to sort-merge")
+  }
+
+  test("q179 target encoding: category stats join without shuffling twice") {
+    val p = planOf("q179_target_encode")
+    // at gate scale AQE broadcasts the category table; the fact must
+    // not pay a sort for the join
+    assert(!p.contains("SortMergeJoin"),
+      "category-stats join must not sort the fact at this scale")
+  }
 }

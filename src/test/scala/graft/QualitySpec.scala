@@ -528,6 +528,18 @@ class QualitySpec extends AnyFunSuite {
     assert(b(2) === 0L) // spine digit with no observations stays present
   }
 
+  test("giniConcentration: closed form, uniform → 0") {
+    val docs = Seq("a a a b b c").toDF("text")
+    val r = Quality.giniConcentration(docs, "text", topN = 10).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("total_count") === 6L)
+    // ascending counts (1,2,3): Σ(2i−n−1)xᵢ = −2+0+6 = 4 → 4/(3·6)
+    assert(math.abs(r.getAs[Double]("gini") - 4.0 / 18) < 1e-12)
+    val uniform = Quality.giniConcentration(
+      Seq("a b c").toDF("text"), "text", topN = 10).head()
+    assert(math.abs(uniform.getAs[Double]("gini")) < 1e-12)
+  }
+
   test("benford: shares and expectations each total 1; chi2 ≥ 0") {
     val vals = (1 to 300).map(i => (i * 37 % 997 + 1).toDouble)
     val rows = Quality.benford(vals.toDF("v"), "v").collect()

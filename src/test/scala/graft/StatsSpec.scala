@@ -110,6 +110,28 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("z"), 0.0))
   }
 
+  test("mahalanobis: independent standardized features → md2 = Σz²") {
+    // symmetric ±1 grid: means 0, variances 1, covariance 0
+    val rows = Seq((1L, -1.0, -1.0), (2L, -1.0, 1.0),
+      (3L, 1.0, -1.0), (4L, 1.0, 1.0)).toDF("id", "x1", "x2")
+    val got = Stats.mahalanobis(rows, Seq("x1", "x2"))
+      .select("id", "md2").collect()
+    assert(got.forall(r => math.abs(r.getDouble(1) - 2.0) < 1e-9))
+    // scale-invariant: stretching one axis leaves md2 unchanged
+    val stretched = Stats.mahalanobis(
+      rows.select($"id", ($"x1" * 100).as("x1"), $"x2"), Seq("x1", "x2"))
+      .select("md2").collect()
+    assert(stretched.forall(r => math.abs(r.getDouble(0) - 2.0) < 1e-9))
+  }
+
+  test("mahalanobis: singular covariance fails loudly") {
+    val rows = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0))
+      .toDF("id", "x1", "x2")
+    assertThrows[IllegalArgumentException] {
+      Stats.mahalanobis(rows, Seq("x1", "x2")).collect()
+    }
+  }
+
   test("kAnonymity: class-size audit") {
     val rows = (Seq.fill(1)(("n1", "s1")) ++ Seq.fill(2)(("n1", "s2")) ++
       Seq.fill(5)(("n2", "s1"))).zipWithIndex
