@@ -653,6 +653,148 @@ object ScaleCheck {
         docs(dir).select(graft.functions.expressions
           .CompressionExpressions.compressionRatio(col("text")).as("r"))
           .where(col("r").isNotNull).count()
+      },
+      "ranking_metrics" -> { dir =>
+        // per-query (source-partitioned) rank window + ONE groupBy —
+        // group count fixed, per-group sort grows linearly
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+        graft.operators.Stats.rankingMetrics(
+          docs(dir).select(col("source"), col("doc_id"), col("n_chars"))
+            .withColumn("rank", row_number().over(w))
+            .withColumn("rel", (col("doc_id") % 7 === 0).cast("int")),
+          "source", "rank", "rel", k = 10).count()
+      },
+      "calibration" -> { dir =>
+        // scan-side binning + a 10-group aggregate + broadcast total
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        graft.operators.Stats.calibrationBins(
+          li.select((((col("l_orderkey") * 7 + col("l_linenumber")) % 100)
+            / lit(100.0)).as("score"),
+            (col("l_quantity") > 25).cast("int").as("label")),
+          "score", "label", bins = 10).count()
+      },
+      "mann_whitney" -> { dir =>
+        // distinct-value collapse (50 quantities) then a 50-row window
+        graft.operators.Stats.mannWhitney(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_quantity", "l_linestatus", "O", "F").count()
+      },
+      "chi_square" -> { dir =>
+        // contingency counts + category-sized margins
+        graft.operators.Stats.chiSquareIndependence(
+          spark.read.parquet(s"$dir/events.parquet")
+            .withColumn("cohort", col("user_id") % 3),
+          "event_type", "cohort").count()
+      },
+      "acf" -> { dir =>
+        // bin-grid collapse (span-bounded) + 5 bin-table self-joins
+        graft.operators.Timeseries.autocorrelation(
+          graft.sources.Tables.loadEvents(spark, dir), "ts", "value",
+          stepSeconds = 3600, maxLag = 5).count()
+      },
+      "naive_bayes" -> { dir =>
+        // three aggregate passes to train + token-keyed scoring join
+        val d = docs(dir)
+        val (model, priors) = graft.operators.Classify
+          .trainNaiveBayes(d, "text", "lang")
+        graft.operators.Classify.scoreNaiveBayes(
+          d.where(col("doc_id") % 10 === 0), "doc_id", "text",
+          model, priors).count()
+      },
+      "kmeans" -> { dir =>
+        // 2 Lloyd rounds: each ONE aggregate over points vs k broadcast
+        // centroids; only k rows reach the driver per round
+        graft.operators.Classify.kMeansFixed(
+          spark.read.parquet(s"$dir/customer.parquet")
+            .select(col("c_custkey"), col("c_acctbal"),
+              col("c_nationkey").cast("double").as("c_nat")),
+          "c_custkey", Seq("c_acctbal", "c_nat"), k = 3,
+          iterations = 2)._1.count()
+      },
+      "ols_fit" -> { dir =>
+        // one moment-aggregate pass; the solve is a driver-side 2×2
+        val (n, _, _, _) = graft.operators.Classify.olsFit(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_extendedprice", Seq("l_quantity", "l_discount"))
+        n
+      },
+      "target_encode" -> { dir =>
+        // category aggregate + join back on the category key
+        graft.operators.Classify.targetEncodeLoo(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          "o_orderpriority", "o_totalprice", m = 10.0).count()
+      },
+      "benford" -> { dir =>
+        // scan-side digit projection + a 9-group aggregate
+        graft.operators.Quality.benford(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_extendedprice").count()
+      },
+      "bfs" -> { dir =>
+        // 4 rounds × one edge-vs-frontier join — linear in |E| per round
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val ring = d.crossJoin(broadcast(nDf))
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+        graft.operators.Graphs.bfsDistances(ring,
+          d.where(col("doc_id") < 3).select(col("doc_id").as("node")),
+          maxHops = 4).count()
+      },
+      "ewma" -> { dir =>
+        // keyed window, ≤11-element frame array per row — O(L) scan-side
+        graft.operators.Timeseries.ewmaSmooth(
+          graft.sources.Tables.loadEvents(spark, dir), "user_id",
+          Seq("ts", "event_id"), "value", alpha = 0.3,
+          lookback = 10).count()
+      },
+      "kappa_kanon" -> { dir =>
+        // two marginal aggregates + a class-count rollup, both bounded
+        val d = docs(dir)
+        graft.operators.Stats.cohenKappa(
+          d.withColumn("lang2", when(col("doc_id") % 7 === 0, "en")
+            .otherwise(col("lang"))), "lang", "lang2").count() +
+          graft.operators.Stats.kAnonymity(
+            spark.read.parquet(s"$dir/customer.parquet"),
+            Seq("c_nationkey", "c_mktsegment"), k = 5).count()
+      },
+      "gini_mahalanobis" -> { dir =>
+        // head-bounded rank window + one moment pass / scan-side quad form
+        graft.operators.Quality.giniConcentration(docs(dir), "text",
+          topN = 1000).count() +
+          graft.operators.Stats.mahalanobis(
+            spark.read.parquet(s"$dir/customer.parquet")
+              .select(col("c_custkey"), col("c_acctbal"),
+                col("c_nationkey").cast("double").as("c_nat")),
+            Seq("c_acctbal", "c_nat")).count()
+      },
+      "delta_join" -> { dir =>
+        // three delta-term joins; deltas broadcast when small
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        val c = spark.read.parquet(s"$dir/customer.parquet")
+        graft.operators.Incremental.deltaJoin(
+          o.where(col("o_orderkey") % 10 < 9)
+            .select(col("o_custkey").as("k")),
+          o.where(col("o_orderkey") % 10 === 9)
+            .select(col("o_custkey").as("k")),
+          c.where(col("c_custkey") % 7 < 6)
+            .select(col("c_custkey").as("k"), col("c_mktsegment")),
+          c.where(col("c_custkey") % 7 === 6)
+            .select(col("c_custkey").as("k"), col("c_mktsegment")),
+          Seq("k")).count()
+      },
+      "quantize_int8" -> { dir =>
+        // posexplode extents (d groups) + scan-side literal transform
+        graft.operators.EmbeddingStats.quantizeInt8(
+          emb(dir), "vec_id", "embedding")._1.count()
+      },
+      "image_near_dup" -> { dir =>
+        // real PNG decode + dHash per row, 4-block banded pair join
+        val d = docs(dir).where(col("doc_id") % 50 === 0)
+        graft.operators.Multimodal.nearDupImages(
+          graft.operators.Multimodal.textToPng(d, "doc_id", "text").toDF(),
+          maxHamming = 3).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /
