@@ -2441,6 +2441,62 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // OOV rate: top-500 vocab of even docs (shared head-cut order),
+    // token-marked left join, per-doc rollup.
+    "q188_oov_rate" ->
+      ("WITH v AS (SELECT tok AS token FROM (SELECT tok, count(*) AS n " +
+        "FROM (SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0)) AS tok FROM documents WHERE doc_id % 2 = 0) " +
+        "GROUP BY 1 ORDER BY n DESC, tok LIMIT 500)), " +
+        "t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0)) AS token FROM documents WHERE doc_id % 2 = 1), " +
+        "m AS (SELECT doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END " +
+        "AS oov FROM t LEFT JOIN v USING (token)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate " +
+        "FROM m GROUP BY 1 ORDER BY doc_id"),
+
+    // Trimmed mean: quantile_cont cuts (≡ Spark percentile), inclusive
+    // band membership, conditional mean.
+    "q189_trimmed_mean" ->
+      ("WITH c AS (SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.05) AS lo_cut, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi_cut " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN l_extendedprice BETWEEN lo_cut AND hi_cut " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "round(lo_cut, 4) AS lo_cut, round(hi_cut, 4) AS hi_cut, " +
+        "round(avg(CASE WHEN l_extendedprice BETWEEN lo_cut AND hi_cut " +
+        "THEN l_extendedprice END), 4) AS trimmed_mean " +
+        "FROM lineitem JOIN c USING (l_returnflag) " +
+        "GROUP BY 1, lo_cut, hi_cut ORDER BY 1"),
+
+    // Blocked linear MMD²: 8-id blocks, two smallest ids per side, RBF
+    // kernel on double-cast elements in array order.
+    "q190_mmd_drift" -> {
+      def l2(a: String, b: String): String =
+        s"list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      def side(par: Int, tag: String): String =
+        s"$tag AS (SELECT blk, " +
+          s"first(embedding) FILTER (rn = 1) AS ${tag}1, " +
+          s"first(embedding) FILTER (rn = 2) AS ${tag}2 FROM " +
+          "(SELECT vec_id // 8 AS blk, embedding, row_number() OVER " +
+          "(PARTITION BY vec_id // 8 ORDER BY vec_id) AS rn " +
+          s"FROM embeddings WHERE vec_id % 2 = $par) " +
+          s"WHERE rn <= 2 GROUP BY 1 HAVING count(*) = 2)"
+      s"WITH ${side(0, "x")}, ${side(1, "y")}, " +
+        "h AS (SELECT " +
+        s"exp(-0.02 * ${l2("x1", "x2")}) + exp(-0.02 * ${l2("y1", "y2")}) " +
+        s"- exp(-0.02 * ${l2("x1", "y2")}) - exp(-0.02 * ${l2("x2", "y1")}) " +
+        "AS h FROM x JOIN y USING (blk)) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "round(avg(h), 8) AS mmd2 FROM h"
+    },
+
     // Gini over the top-1000 vocabulary: shared (n desc, tok) head cut,
     // ascending-rank Σ(2i−n−1)xᵢ arithmetic.
     "q183_gini" ->

@@ -2659,6 +2659,53 @@ object TestQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** OOV rate ([[operators.Quality.oovRate]]): vocabulary = the top-500
+    * tokens of the EVEN documents, scored over the odd documents — the
+    * tokenizer-migration coverage check. DuckDB replays the shared
+    * (count desc, token) head cut and the per-doc rollup.
+    */
+  def q188OovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = docs.where(col("doc_id") % 2 === 0)
+      .select(explode(filter(split(col("text"), " "),
+        tk => length(tk) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token")).limit(500)
+      .select("token")
+    operators.Quality.oovRate(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("oov_rate"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Trimmed mean ([[operators.Analytics.trimmedMean]]): extended price
+    * per return flag inside the [5%, 95%] band — the robust mean.
+    * quantile_cont ≡ Spark percentile (the q158 identity), so cuts and
+    * band membership replay exactly.
+    */
+  def q189TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    Analytics.trimmedMean(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", lo = 0.05, hi = 0.95)
+      .select(col("l_returnflag"), col("n"), col("n_kept"),
+        round(col("lo_cut"), 4).as("lo_cut"),
+        round(col("hi_cut"), 4).as("hi_cut"),
+        round(col("trimmed_mean"), 4).as("trimmed_mean"))
+      .orderBy("l_returnflag")
+
+  /** Blocked linear MMD² ([[operators.EmbeddingStats.mmdLinear]]): even
+    * vec_ids as the reference sample, odd as current, RBF γ = 0.02,
+    * 8-id blocks — same-distribution samples score ≈ 0. DuckDB replays
+    * blocks, the 2+2 member pick and the kernel arithmetic exactly.
+    */
+  def q190MmdDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEmbeddings(s, dir)
+    operators.EmbeddingStats.mmdLinear(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", gamma = 0.02, blockWidth = 8)
+      .select(col("n_blocks"), round(col("mmd2"), 8).as("mmd2"))
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2804,6 +2851,9 @@ object TestQueries {
     "q185_delta_join" -> (q185DeltaJoin _),
     "q186_quantize_int8" -> (q186QuantizeInt8 _),
     "q187_image_near_dup" -> (q187ImageNearDup _),
+    "q188_oov_rate" -> (q188OovRate _),
+    "q189_trimmed_mean" -> (q189TrimmedMean _),
+    "q190_mmd_drift" -> (q190MmdDrift _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -262,6 +262,36 @@ object Analytics {
         col("__e.ord").as("ord"), col("__e.tie").as("tie")): _*)
   }
 
+  /** Trimmed mean per group: the mean of values inside the
+    * [lo, hi]-percentile band — the robust central-tendency aggregate
+    * (a handful of giant or corrupt rows can't move it, unlike avg; the
+    * metric dashboards actually want this for latency/length columns).
+    * Returns (groupCols..., n, n_kept, lo_cut, hi_cut, trimmed_mean).
+    *
+    * Two group-keyed passes: ONE exact-percentile aggregate for the cut
+    * points (partial-aggregable; swap `percentile_approx` at petabyte
+    * group sizes) broadcast back, then a conditional mean over the band.
+    * The band is INCLUSIVE of the cuts, matching the interpolated-
+    * percentile convention DuckDB's quantile_cont shares.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 ≤ lo < hi ≤ 1: $lo/$hi")
+    val v = col(valueCol).cast("double")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(lo)).as("lo_cut"),
+        percentile(v, lit(hi)).as("hi_cut"))
+    df.join(broadcast(cuts), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(v.between(col("lo_cut"), col("hi_cut")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        first(col("lo_cut")).as("lo_cut"),
+        first(col("hi_cut")).as("hi_cut"),
+        avg(when(v.between(col("lo_cut"), col("hi_cut")), v))
+          .as("trimmed_mean"))
+  }
+
   def robustScale(df: DataFrame, groupCol: String, valueCol: String,
                   clip: Double = 3.0): DataFrame = {
     require(clip > 0, s"clip must be positive: $clip")

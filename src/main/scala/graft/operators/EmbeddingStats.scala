@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,6 +131,53 @@ object EmbeddingStats {
         aggregate(zip_with(col("__v"), lit(dir), (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x))
     }.drop("__v")
+  }
+
+  /** Blocked linear-time MMD² drift between two embedding samples — did
+    * the embedding DISTRIBUTION move between vintages, beyond what the
+    * per-dimension moments (PSI etc.) can see. Kernel two-sample statistic
+    * with the RBF kernel `k(a,b) = exp(−γ‖a−b‖²)`; near 0 = same
+    * distribution, positive = drift.
+    *
+    * The estimator is the linear-time MMD (Gretton et al., JMLR 2012)
+    * computed over id-blocked quadruples instead of a global ranking:
+    * rows land in block `id div blockWidth`, each block contributes
+    * `h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁)` from its two
+    * smallest-id members per side (blocks lacking 2+2 members skip).
+    * Blocking keeps the pairing DETERMINISTIC and replayable without any
+    * global sort — the only windows are partitioned by block, and the
+    * final mean is a scalar aggregate. Returns ONE row:
+    * (n_blocks, mmd2).
+    */
+  def mmdLinear(ref: DataFrame, cur: DataFrame, idCol: String,
+                vecCol: String, gamma: Double,
+                blockWidth: Long = 8): DataFrame = {
+    require(gamma > 0 && blockWidth >= 2)
+    import org.apache.spark.sql.expressions.Window
+    def sides(df: DataFrame, tag: String): DataFrame = {
+      val w = Window.partitionBy("__blk").orderBy(col(idCol))
+      df.select(col(idCol),
+          (col(idCol).cast("long") / blockWidth).cast("long").as("__blk"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 2)
+        .groupBy("__blk")
+        // exactly one row carries each __rn, so first(ignoreNulls) is
+        // deterministic — no array-ordering comparison needed
+        .agg(first(when(col("__rn") === 1, col("__v")), ignoreNulls = true)
+            .as(s"${tag}1"),
+          first(when(col("__rn") === 2, col("__v")), ignoreNulls = true)
+            .as(s"${tag}2"))
+        .where(col(s"${tag}2").isNotNull)
+    }
+    def k(a: String, b: String): Column =
+      exp(lit(-gamma) * aggregate(
+        zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t))
+    sides(ref, "x").join(sides(cur, "y"), "__blk")
+      .select((k("x1", "x2") + k("y1", "y2") -
+        k("x1", "y2") - k("x2", "y1")).as("__h"))
+      .agg(count(lit(1)).as("n_blocks"), avg("__h").as("mmd2"))
   }
 
   /** Per-dimension int8 (0..255) min-max quantization — 4× embedding

@@ -712,6 +712,35 @@ object Quality {
       regr_r2(col("y"), col("x")).as("r2"))
   }
 
+  /** Out-of-vocabulary rate per document against a reference vocabulary —
+    * the tokenizer-migration / domain-shift check (how much of each doc
+    * would a tokenizer trained on the reference corpus fragment into
+    * unknowns). `vocab` is a one-column (`token`) table; returns
+    * (idCol, n_tokens, n_oov, oov_rate), empty docs rating 0.
+    *
+    * One explode + token-keyed left join against the vocab (AQE
+    * broadcasts it when small; at 10⁸-token vocabularies the join
+    * shuffles on the token key) + a doc-keyed count rollup.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    // explode_outer keeps token-less (empty/null) docs as a null-token
+    // row, so they rate 0 instead of vanishing from the report
+    val toks = df.select(col(idCol),
+      explode_outer(filter(split(col(textCol), " "), t => length(t) > 0))
+        .as("token"))
+    val marked = toks.join(
+      vocab.select(col("token")).distinct().withColumn("__in", lit(1)),
+      Seq("token"), "left")
+    marked.groupBy(col(idCol))
+      .agg(count(col("token")).as("n_tokens"),
+        sum(when(col("token").isNotNull && col("__in").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov") / col("n_tokens").cast("double")).otherwise(0.0))
+  }
+
   /** Gini concentration of the head vocabulary: how unequal are the top-N
     * token frequencies — 0 = uniform usage, →1 = a few tokens dominate.
     * The corpus-diversity companion to [[zipfFit]] (Zipf says HOW the

@@ -795,6 +795,24 @@ object ScaleCheck {
         graft.operators.Multimodal.nearDupImages(
           graft.operators.Multimodal.textToPng(d, "doc_id", "text").toDF(),
           maxHamming = 3).count()
+      },
+      "oov_trimmed_mmd" -> { dir =>
+        // vocab join + percentile-cut conditional mean + blocked MMD
+        val d = docs(dir)
+        val vocab = d.where(col("doc_id") % 2 === 0)
+          .select(explode(filter(split(col("text"), " "),
+            tk => length(tk) > 0)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("__n"))
+          .orderBy(col("__n").desc, col("token")).limit(500).select("token")
+        graft.operators.Quality.oovRate(d.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", vocab).count() +
+          graft.operators.Analytics.trimmedMean(
+            spark.read.parquet(s"$dir/lineitem.parquet"),
+            "l_returnflag", "l_extendedprice").count() +
+          graft.operators.EmbeddingStats.mmdLinear(
+            emb(dir).where(col("vec_id") % 2 === 0),
+            emb(dir).where(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", gamma = 0.02, blockWidth = 8).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /

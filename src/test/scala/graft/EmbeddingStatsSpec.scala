@@ -57,6 +57,37 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     assert(got.toSet === Set((1.0, 3.0), (-1.0, 1.5)))
   }
 
+  test("mmdLinear: identical samples → 0, shifted samples → positive") {
+    def mk(ids: Seq[Long], shift: Float) = ids
+      .map(i => (i, Seq((i % 5).toFloat + shift, (i % 3).toFloat - shift)))
+      .toDF("vec_id", "embedding")
+    // even ids 0..30 and odd ids 1..31 trace the SAME (id%5, id%3) orbit
+    // family; identical distributions via identical values per block pair
+    val ref = mk(0L to 30L by 2, 0f)
+    val same = mk(0L to 30L by 2, 0f)
+    val r0 = graft.operators.EmbeddingStats.mmdLinear(ref, same,
+      "vec_id", "embedding", gamma = 0.5, blockWidth = 8).head()
+    // x-members and y-members coincide per block → h ≡ 0 exactly
+    assert(math.abs(r0.getAs[Double]("mmd2")) < 1e-12)
+    // distant sample: cross-kernels vanish, so mmd2 ≈ the within-sample
+    // kernel mass E[k(x,x')] + E[k(y,y')] — strictly positive drift
+    val far = mk(0L to 30L by 2, 50f)
+    val r1 = graft.operators.EmbeddingStats.mmdLinear(ref, far,
+      "vec_id", "embedding", gamma = 0.5, blockWidth = 8).head()
+    assert(r1.getAs[Double]("mmd2") > 0.01,
+      s"distant sample must drift: ${r1.getAs[Double]("mmd2")}")
+  }
+
+  test("mmdLinear: blocks lacking two members per side are skipped") {
+    val ref = Seq((0L, Seq(1f)), (2L, Seq(2f)), (8L, Seq(3f)))
+      .toDF("vec_id", "embedding") // block 1 has only one ref member
+    val cur = Seq((1L, Seq(1f)), (3L, Seq(2f)), (9L, Seq(3f)),
+      (11L, Seq(4f))).toDF("vec_id", "embedding")
+    val r = graft.operators.EmbeddingStats.mmdLinear(ref, cur,
+      "vec_id", "embedding", gamma = 1.0, blockWidth = 8).head()
+    assert(r.getAs[Long]("n_blocks") === 1L) // only block 0 qualifies
+  }
+
   test("quantizeInt8: extremes hit 0/255, midpoints round, constant dim → 0") {
     val vecs = Seq((1L, Seq(0.0f, 10.0f, 7.0f)), (2L, Seq(5.0f, 20.0f, 7.0f)),
       (3L, Seq(10.0f, 30.0f, 7.0f))).toDF("vec_id", "embedding")

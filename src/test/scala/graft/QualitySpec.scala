@@ -528,6 +528,19 @@ class QualitySpec extends AnyFunSuite {
     assert(b(2) === 0L) // spine digit with no observations stays present
   }
 
+  test("oovRate: per-doc coverage, empty docs rate 0, dup vocab harmless") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "a").toDF("token") // dup must not fan out
+    val got = Quality.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Double]("oov_rate")))
+    assert(got(0) === ((4L, 2L, 0.5)))
+    assert(got(1) === ((2L, 0L, 0.0)))
+    assert(got(2) === ((0L, 0L, 0.0))) // token-less doc kept at rate 0
+  }
+
   test("giniConcentration: closed form, uniform → 0") {
     val docs = Seq("a a a b b c").toDF("text")
     val r = Quality.giniConcentration(docs, "text", topN = 10).head()

@@ -132,6 +132,24 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("trimmedMean: interpolated cuts, inclusive band, outliers drop") {
+    import graft.operators.Analytics
+    val rows = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Analytics.trimmedMean(rows, "grp", "v", lo = 0.1, hi = 0.9)
+      .head()
+    assert(r.getAs[Long]("n") === 20L)
+    // cuts interpolate: 1 + 0.1·19 = 2.9 and 1 + 0.9·19 = 18.1 →
+    // band keeps 3..18 (16 values), mean 10.5
+    assert(math.abs(r.getAs[Double]("lo_cut") - 2.9) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hi_cut") - 18.1) < 1e-9)
+    assert(r.getAs[Long]("n_kept") === 16L)
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - 10.5) < 1e-9)
+    // a giant outlier cannot move the trimmed mean beyond cut shift
+    val poisoned = rows.union(Seq(("g", 1e9)).toDF("grp", "v"))
+    val r2 = Analytics.trimmedMean(poisoned, "grp", "v", 0.1, 0.9).head()
+    assert(r2.getAs[Double]("trimmed_mean") < 20.0)
+  }
+
   test("kAnonymity: class-size audit") {
     val rows = (Seq.fill(1)(("n1", "s1")) ++ Seq.fill(2)(("n1", "s2")) ++
       Seq.fill(5)(("n2", "s1"))).zipWithIndex
