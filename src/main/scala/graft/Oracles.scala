@@ -2441,6 +2441,20 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // Column profile: per-column counts + native-type extremes rendered
+    // as VARCHAR (int/string columns only — double rendering differs).
+    "q193_profile" -> {
+      // "column" is reserved in DuckDB → quoted alias
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n, """ +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, " +
+          s"CAST(max($c) AS VARCHAR) AS max_value FROM customer"
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .map(one).mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
     // OOV rate: top-500 vocab of even docs (shared head-cut order),
     // token-marked left join, per-doc rollup.
     "q188_oov_rate" ->

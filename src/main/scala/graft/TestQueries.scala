@@ -2706,6 +2706,42 @@ object TestQueries {
       .select(col("n_blocks"), round(col("mmd2"), 8).as("mmd2"))
   }
 
+  /** CMS join-size estimate ([[operators.Sketches.cmsJoinSizeEstimate]]):
+    * |orders ⋈ lineitem| on the order key from two constant-size
+    * sketches, zero join work. Rows-only (the estimate is sketch-level;
+    * SketchSpec pins the one-sided true ≤ est ≤ true + ε·|A|·|B| bound
+    * against the exact join count).
+    */
+  def q191CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val (est, na, nb) = operators.Sketches.cmsJoinSizeEstimate(
+      t(s, dir, "orders"), "o_orderkey",
+      t(s, dir, "lineitem"), "l_orderkey")
+    import s.implicits._
+    Seq((est, na, nb)).toDF("join_size_estimate", "n_orders", "n_lineitem")
+  }
+
+  /** Bootstrap mean CI ([[operators.Stats.bootstrapMeanCI]]): the error
+    * bar on mean event value from 100 deterministic Poissonized
+    * resamples. Rows-only (xxhash64 has no DuckDB mirror); StatsSpec
+    * pins determinism, the σ/√n width law and coverage of the true mean.
+    */
+  def q192BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.bootstrapMeanCI(t(s, dir, "events"), "event_id",
+        "value", replicates = 100)
+      .select(round(col("mean"), 6).as("mean"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"), col("replicates"))
+
+  /** One-pass column profile ([[operators.Quality.profile]]) of customer:
+    * row/null/distinct counts and native-type extremes per column —
+    * the catalog profiling report. DuckDB replays per column (string
+    * rendering pinned to int/string columns, where both engines agree).
+    */
+  def q193Profile(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .orderBy("column")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2854,6 +2890,9 @@ object TestQueries {
     "q188_oov_rate" -> (q188OovRate _),
     "q189_trimmed_mean" -> (q189TrimmedMean _),
     "q190_mmd_drift" -> (q190MmdDrift _),
+    "q191_cms_join_size" -> (q191CmsJoinSize _),
+    "q192_bootstrap_ci" -> (q192BootstrapCi _),
+    "q193_profile" -> (q193Profile _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

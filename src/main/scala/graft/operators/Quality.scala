@@ -712,6 +712,35 @@ object Quality {
       regr_r2(col("y"), col("x")).as("r2"))
   }
 
+  /** One-pass column profile: per column, row/null/distinct counts and
+    * min/max — the table-level data-profiling report a lake catalog
+    * surfaces next to every dataset. Returns one row per profiled
+    * column: (column, n, n_null, n_distinct, min_value, max_value), the
+    * extremes computed on the NATIVE type (so numeric columns order
+    * numerically) and rendered as strings only in the output.
+    *
+    * All statistics fold in ONE aggregate pass over the scan (the
+    * distinct counts expand internally but never materialize a second
+    * read); the unpivot touches |cols| rows.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    total.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
   /** Out-of-vocabulary rate per document against a reference vocabulary —
     * the tokenizer-migration / domain-shift check (how much of each doc
     * would a tokenizer trained on the reference corpus fragment into

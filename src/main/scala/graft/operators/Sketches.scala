@@ -109,4 +109,56 @@ object Sketches {
       df.withColumn(s"q_${(p * 100).round}", col("__qs").getItem(i))
     }.drop("__qs")
   }
+
+  /** Equi-join cardinality estimate from two count–min sketches — the
+    * classic AMS/CM inner-product estimator: |A ⋈ B| = Σ_k cA(k)·cB(k),
+    * approximated by min over hash rows of the counter-row dot product.
+    * The planner-side question ("how big would this join be?") answered
+    * from two constant-size summaries with ZERO join work — and since
+    * sketches persist and merge, per-partition sketches answer it per
+    * partition/vintage without rescanning either table.
+    *
+    * Guarantee (one-sided, like the point estimate): true ≤ estimate ≤
+    * true + eps·|A|·|B| with probability ≥ confidence. Both sketches
+    * MUST share (eps, confidence, seed) — enforced here by building both
+    * with the same parameters. Returns (estimate, trueAUpper = |A|,
+    * |B|) driver-side; the two builds are independent single aggregates.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, keyA: String,
+                          b: DataFrame, keyB: String,
+                          eps: Double = 0.0005, confidence: Double = 0.99,
+                          seed: Int = 42): (Long, Long, Long) = {
+    def sketchBytes(df: DataFrame, k: String): Array[Byte] = df
+      .agg(count_min_sketch(col(k).cast("string"), lit(eps),
+        lit(confidence), lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val (ta, tb) = (parseCms(sketchBytes(a, keyA)),
+      parseCms(sketchBytes(b, keyB)))
+    require(ta._3.length == tb._3.length &&
+      ta._3.head.length == tb._3.head.length,
+      "sketch geometries diverged despite shared parameters")
+    val est = ta._3.zip(tb._3).map { case (ra, rb) =>
+      ra.zip(rb).map { case (x, y) => x * y }.sum
+    }.min
+    (est, ta._1, tb._1)
+  }
+
+  /** Parse Spark's serialized CountMinSketch (public stable format,
+    * `CountMinSketchImpl.writeTo`: version, totalCount, depth, width,
+    * hashA[depth] longs, then table longs row-major) → (totalCount,
+    * width, table[depth][width]). The class exposes no table accessor,
+    * so the inner product reads the serialized form instead.
+    */
+  private def parseCms(bytes: Array[Byte]): (Long, Int, Array[Array[Long]]) = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1, s"unknown CountMinSketch version $version")
+    val total = in.readLong()
+    val depth = in.readInt()
+    val width = in.readInt()
+    (0 until depth).foreach(_ => in.readLong()) // hashA seeds
+    val table = Array.fill(depth)(Array.fill(width)(in.readLong()))
+    (total, width, table)
+  }
 }

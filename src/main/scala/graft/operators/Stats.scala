@@ -209,6 +209,44 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("u"), col("z"))
   }
 
+  /** Poissonized-bootstrap confidence interval for a mean — the error bar
+    * every corpus metric should carry. Each of `replicates` resamples
+    * weights every row by a DETERMINISTIC pseudo-Poisson(1) draw
+    * (thresholded `xxhash64(id, b)`-uniform, so runs replay exactly);
+    * the replicate means' empirical [α/2, 1−α/2] percentiles are the CI.
+    *
+    * Shape for scale: the explode makes B copies of the (id, value)
+    * PROJECTION — B·N compact rows through one (replicate)-keyed partial
+    * aggregate, then a bounded B-row percentile. Linear in B·N; run on a
+    * sample or pre-aggregated values when N is petabyte-scale. Returns
+    * ONE row: (mean, ci_lo, ci_hi, replicates).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      replicates: Int = 200,
+                      alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 20, s"too few replicates: $replicates")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    val u = (pmod(xxhash64(col(idCol), col("b")), lit(1000000L))
+      .cast("double") + 0.5) / 1000000.0
+    // Poisson(1) CDF thresholds: P(0)=e⁻¹, P(≤1)=2e⁻¹, P(≤2)=2.5e⁻¹…
+    val e = math.exp(-1.0)
+    val w = when(u < e, 0).when(u < 2 * e, 1).when(u < 2.5 * e, 2)
+      .when(u < e * (2.5 + 1.0 / 6), 3).otherwise(4)
+    val rep = df
+      .select(col(idCol), col(valueCol).cast("double").as("__x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .withColumn("__w", w)
+      .groupBy("b")
+      .agg((sum(col("__w") * col("__x")) / sum("__w")).as("__m"))
+    val base = df.agg(avg(col(valueCol).cast("double")).as("mean"))
+    rep.agg(
+        percentile(col("__m"), lit(alpha / 2)).as("ci_lo"),
+        percentile(col("__m"), lit(1 - alpha / 2)).as("ci_hi"),
+        count(lit(1)).cast("int").as("replicates"))
+      .crossJoin(broadcast(base))
+      .select(col("mean"), col("ci_lo"), col("ci_hi"), col("replicates"))
+  }
+
   /** Squared Mahalanobis distance over scalar feature columns — the
     * covariance-aware multivariate outlier score (a point 3σ out along a
     * tight axis scores high even when each marginal looks ordinary).

@@ -813,6 +813,19 @@ object ScaleCheck {
             emb(dir).where(col("vec_id") % 2 === 0),
             emb(dir).where(col("vec_id") % 2 === 1),
             "vec_id", "embedding", gamma = 0.02, blockWidth = 8).count()
+      },
+      "cms_bootstrap_profile" -> { dir =>
+        // two sketch aggregates + B·N bootstrap partials + one profile agg
+        val (est, _, _) = graft.operators.Sketches.cmsJoinSizeEstimate(
+          spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
+          spark.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey")
+        graft.operators.Stats.bootstrapMeanCI(
+          graft.sources.Tables.loadEvents(spark, dir), "event_id",
+          "value", replicates = 100).count() +
+          graft.operators.Quality.profile(
+            spark.read.parquet(s"$dir/customer.parquet"),
+            Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+            .count() + (est & 0L)
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /

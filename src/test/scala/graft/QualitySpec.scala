@@ -528,6 +528,21 @@ class QualitySpec extends AnyFunSuite {
     assert(b(2) === 0L) // spine digit with no observations stays present
   }
 
+  test("profile: counts, nulls, distincts, native-type extremes") {
+    val rows = Seq((Some(1L), Some("b")), (Some(2L), None),
+      (Some(10L), Some("a")), (None, Some("a")))
+      .toDF("i", "s")
+    val got = Quality.profile(rows, Seq("i", "s")).orderBy("column")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+        r.getAs[String]("min_value"), r.getAs[String]("max_value"))))
+      .toMap
+    // native numeric ordering: max is 10, not the lexicographic "2"
+    assert(got("i") === ((4L, 1L, 3L, "1", "10")))
+    assert(got("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
   test("oovRate: per-doc coverage, empty docs rate 0, dup vocab harmless") {
     val docs = Seq((1L, "a b c d"), (2L, "a a"), (3L, ""))
       .toDF("doc_id", "text")

@@ -113,4 +113,22 @@ class SketchSpec extends AnyFunSuite {
     assert(got("a") === Some(5.0)) // one value is every quantile
     assert(got("b") === None)      // no non-null inputs → NULL probe
   }
+
+  test("cmsJoinSizeEstimate: one-sided bound around the exact join size") {
+    import spark.implicits._
+    val a = (1L to 500L).map(i => i % 50).toDF("k")  // 10 × each of 50 keys
+    val b = (1L to 200L).map(i => i % 40).toDF("k2") // 5 × each of 40 keys
+    val exact = a.join(b, col("k") === col("k2")).count()
+    val (est, na, nb) = Sketches.cmsJoinSizeEstimate(a, "k", b, "k2",
+      eps = 0.001)
+    assert(na === 500L && nb === 200L)
+    assert(est >= exact, s"CM inner product must never undercount: $est < $exact")
+    assert(est <= exact + (0.001 * na * nb).toLong + 1,
+      s"estimate $est beyond the ε·|A|·|B| slack of exact $exact")
+    // disjoint key spaces estimate ≈ 0 within slack
+    val c = (1L to 300L).map(i => 1000L + i % 30).toDF("k2")
+    val (estDisjoint, _, _) = Sketches.cmsJoinSizeEstimate(a, "k", c, "k2",
+      eps = 0.001)
+    assert(estDisjoint <= (0.001 * 500 * 300).toLong + 1)
+  }
 }

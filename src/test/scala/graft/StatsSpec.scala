@@ -132,6 +132,22 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapMeanCI: deterministic, covers the mean, width ~ σ/√n") {
+    val rows = (1 to 1000).map(i => (i.toLong, (i % 100) / 10.0))
+      .toDF("id", "v")
+    val r1 = Stats.bootstrapMeanCI(rows, "id", "v", replicates = 100).head()
+    val r2 = Stats.bootstrapMeanCI(rows, "id", "v", replicates = 100).head()
+    assert(r1 === r2, "hash-seeded resampling must replay exactly")
+    val (mean, lo, hi) = (r1.getAs[Double]("mean"),
+      r1.getAs[Double]("ci_lo"), r1.getAs[Double]("ci_hi"))
+    assert(math.abs(mean - 4.95) < 1e-9)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must cover the mean")
+    // σ ≈ 2.886 → σ/√n ≈ 0.0913 → 95% CI width ≈ 0.36; allow slack for
+    // 100-replicate percentile noise
+    val width = hi - lo
+    assert(width > 0.15 && width < 0.7, s"implausible CI width $width")
+  }
+
   test("trimmedMean: interpolated cuts, inclusive band, outliers drop") {
     import graft.operators.Analytics
     val rows = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
