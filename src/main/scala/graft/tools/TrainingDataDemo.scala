@@ -216,6 +216,30 @@ object TrainingDataDemo {
     println(s"change feed v$v1: " + feed.groupBy("_change_type").count()
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
 
+    // 14. measurement layer: profile the published table, put an error bar
+    // on its mean length, route languages with NB, check annotator
+    // agreement against the router, and test the vintage for drift
+    val profile = graft.operators.Quality.profile(silver,
+      Seq("doc_id", "lang", "source"))
+    println("profile: " + profile.collect()
+      .map(r => s"${r.getString(0)}(distinct=${r.getLong(3)})").mkString(", "))
+    val ci = graft.operators.Stats.bootstrapMeanCI(silver, "doc_id",
+      "n_chars", replicates = 100).head()
+    println(f"mean n_chars ${ci.getAs[Double]("mean")}%.1f " +
+      f"CI [${ci.getAs[Double]("ci_lo")}%.1f, ${ci.getAs[Double]("ci_hi")}%.1f]")
+    val (nbModel, nbPriors) = graft.operators.Classify.trainNaiveBayes(
+      silver, "text", "lang")
+    val routed = graft.operators.Classify.scoreNaiveBayes(silver, "doc_id",
+      "text", nbModel, nbPriors)
+    val agreement = graft.operators.Stats.cohenKappa(
+      silver.join(routed, "doc_id"), "lang", "predicted_class").head()
+    println(f"nb-vs-label kappa ${agreement.getAs[Double]("kappa")}%.3f")
+    val drift = graft.operators.EmbeddingStats.mmdLinear(
+      emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", gamma = 0.02, blockWidth = 8).head()
+    println(f"embedding MMD² ${drift.getAs[Double]("mmd2")}%.6f over " +
+      s"${drift.getAs[Long]("n_blocks")} blocks")
+
     spark.stop()
   }
 }
