@@ -173,6 +173,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming vintage-drift monitor: each micro-batch's categorical mix
+    * over `catCol` is scored against a STATIC reference distribution
+    * ([[graft.operators.Quality.categoricalDrift]] — the same arithmetic
+    * the batch gate q163 hash-checks), and the per-batch drift report
+    * (batch id, category shares, chi²/JS terms) APPENDS to `outDir` as
+    * parquet — the continuously-updated data-quality alarm a crawl
+    * ingest runs beside its main sink.
+    *
+    * The reference frame is read once per batch from the captured plan
+    * (tiny: it is an aggregate input, the categorical domain); the batch
+    * side is one count aggregate over the micro-batch. Alert policy is
+    * downstream's (Σ chi2_term over a batch row group vs a threshold).
+    */
+  def driftMonitorSink(events: DataFrame, reference: DataFrame,
+                       catCol: String, outDir: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Quality.categoricalDrift(
+              reference, batch.toDF(), catCol)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Incremental ingest with SNAPSHOT ISOLATION: like [[upsertToLake]] but
     * each micro-batch MERGEs into a [[graft.sources.VersionedLake]] table —
     * one committed snapshot per batch, so concurrent readers never observe

@@ -320,4 +320,25 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().as[Long].collect().toSet
     assert(after.select("fp").as[Long].collect().toSet === batchFps)
   }
+
+  test("driftMonitorSink: per-batch drift report equals the batch operator") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val reference = Seq.fill(8)("click").union(Seq.fill(2)("view"))
+      .toDF("event_type")
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val q = EventStreams.driftMonitorSink(stream, reference, "event_type",
+      s"$tmp/out", s"$tmp/chk")
+    q.processAllAvailable(); q.stop()
+    val report = spark.read.parquet(s"$tmp/out")
+    // one batch over the 5 staged events (3 click / 2 view)
+    assert(report.select("batch_id").distinct().count() === 1)
+    val batchEquiv = graft.operators.Quality.categoricalDrift(
+      reference, spark.read.parquet(eventsDir), "event_type")
+    val got = report.select("category", "cur_share", "chi2_term")
+      .orderBy("category").collect().map(_.toSeq)
+    val want = batchEquiv.select("category", "cur_share", "chi2_term")
+      .orderBy("category").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
 }
