@@ -2441,6 +2441,14 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // Observed metrics: the CollectMetrics side channel must equal the
+    // plain aggregates (sum rounded half-up to match the driver render).
+    "q194_observe" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) - count(o_orderpriority) AS BIGINT) " +
+        "AS n_null_priority, " +
+        "round(sum(o_totalprice), 2) AS sum_totalprice FROM orders"),
+
     // Column profile: per-column counts + native-type extremes rendered
     // as VARCHAR (int/string columns only — double rendering differs).
     "q193_profile" -> {

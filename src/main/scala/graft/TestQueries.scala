@@ -2742,6 +2742,30 @@ object TestQueries {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
       .orderBy("column")
 
+  /** Observed-metrics telemetry ([[operators.Observe]]): the standard
+    * write-side bundle (row count, null count, measure total) captured
+    * from a CollectMetrics node riding a foreachPartition action — then
+    * surfaced as a one-row frame the DuckDB oracle recomputes with plain
+    * aggregates. Proves the side-channel reports exactly what a real
+    * aggregate would.
+    */
+  def q194Observe(s: SparkSession, dir: String): DataFrame = {
+    val df = operators.Observe.instrumentStandard(t(s, dir, "orders"),
+      "m", nullCols = Seq("o_orderpriority"),
+      measureCol = Some("o_totalprice"))
+    // collect() runs the frame's OWN QueryExecution, which is where the
+    // CollectMetrics accumulators live (foreachPartition uses a separate
+    // RDD execution and reports nothing here) — harness-scale only; a
+    // production pipeline reads metrics off its write action instead
+    df.collect()
+    val m = operators.Observe.metricsOf(df)("m")
+    import s.implicits._
+    Seq((m.getAs[Long]("n_rows"), m.getAs[Long]("n_null_o_orderpriority"),
+        BigDecimal(m.getAs[Double]("sum_o_totalprice"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_rows", "n_null_priority", "sum_totalprice")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2893,6 +2917,7 @@ object TestQueries {
     "q191_cms_join_size" -> (q191CmsJoinSize _),
     "q192_bootstrap_ci" -> (q192BootstrapCi _),
     "q193_profile" -> (q193Profile _),
+    "q194_observe" -> (q194Observe _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

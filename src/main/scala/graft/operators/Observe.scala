@@ -41,11 +41,13 @@ object Observe {
   }
 
   /** Observed metrics of `df`'s OWN QueryExecution, keyed by observation
-    * name. Valid after an action that ran THIS frame's plan — `collect`,
-    * `write`, `foreachPartition` — NOT `count()`/`agg`, which build their
-    * own derived plan and report metrics there instead. Reading from the
-    * frame's QueryExecution avoids listener registration and its async
-    * race. Before any action the accumulators hold their defaults.
+    * name. Valid after an action that ran THIS frame's plan — `collect`
+    * and friends — NOT `count()`/`agg` (they build a derived plan) and
+    * NOT `foreach`/`foreachPartition` (they run the separate RDD
+    * execution); for write-path jobs register a QueryExecutionListener
+    * and read the metrics off the write's execution. Reading from the
+    * frame's QueryExecution avoids the listener's async race in the
+    * interactive case. Before any action the accumulators hold defaults.
     */
   def metricsOf(df: DataFrame): Map[String, Row] =
     df.queryExecution.observedMetrics
