@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
   }
 }
 
@@ -93,8 +94,11 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+    Seq(graft.plans.BinnedRangeJoinRule, graft.plans.MvRewriteRule)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
   }
 }

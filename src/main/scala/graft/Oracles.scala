@@ -2441,6 +2441,17 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // MV rewrite: the oracle is the PLAIN base-table aggregation — the
+    // engine answers it from the materialized rollup (plan-asserted in
+    // the query), so the hash match proves navigation correctness.
+    "q195_mv_rewrite" ->
+      ("SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "round(avg(l_extendedprice), 4) AS avg_price, " +
+        "round(min(l_extendedprice), 2) AS min_price, " +
+        "round(max(l_extendedprice), 2) AS max_price " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
     // Observed metrics: the CollectMetrics side channel must equal the
     // plain aggregates (sum rounded half-up to match the driver render).
     "q194_observe" ->

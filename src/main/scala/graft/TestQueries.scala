@@ -2766,6 +2766,44 @@ object TestQueries {
       .toDF("n_rows", "n_null_priority", "sum_totalprice")
   }
 
+  /** Materialized-view rewrite ([[plans.MvRewriteRule]]): a
+    * (returnflag, linestatus) rollup of lineitem is materialized once per
+    * gate dir; the query aggregates the BASE table by returnflag and the
+    * optimizer navigates it onto the summary — asserted here by plan
+    * inspection (the scan must read the MV files), then hash-matched
+    * against DuckDB running the plain base-table SQL. The rewrite flag is
+    * scoped to this query: the result materializes inside the builder and
+    * returns as a local relation, so no other gate query re-plans.
+    */
+  def q195MvRewrite(s: SparkSession, dir: String): DataFrame = {
+    val mvRoot = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_mv_q195_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // (re)materialize + register unconditionally: the rollup is 6 rows,
+    // the write is deterministic, and a fresh session's registry must
+    // re-learn the mapping either way
+    this.synchronized {
+      plans.MaterializedViews.create(s, t(s, dir, "lineitem"), mvRoot,
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+    }
+    s.conf.set(plans.MvRewriteRule.EnabledKey, "true")
+    try {
+      val q = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("l_returnflag")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(mvRoot).getName),
+        "MV rewrite did not fire: scan still reads the base table")
+      val rows = q.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), q.schema)
+    } finally s.conf.set(plans.MvRewriteRule.EnabledKey, "false")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2918,6 +2956,7 @@ object TestQueries {
     "q192_bootstrap_ci" -> (q192BootstrapCi _),
     "q193_profile" -> (q193Profile _),
     "q194_observe" -> (q194Observe _),
+    "q195_mv_rewrite" -> (q195MvRewrite _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
