@@ -199,6 +199,40 @@ object MaterializedViews {
     registry.put(rootPathsOf(base), Entry(mvPath, groupCols, measures, spark))
   }
 
+  /** Incrementally fold an INSERT delta of the base table into its
+    * materialized rollup — the maintenance half of aggregate navigation:
+    * the delta is rolled up alone (delta-sized work) and merged with the
+    * stored summary by partial-aggregate algebra (SUM and counts add,
+    * MIN/MAX fold), so a 100 TB base never rescans to keep its summary
+    * fresh. `registeredBase` identifies the entry (same frame/path the
+    * MV was created from). The summary is pinned (`localCheckpoint`)
+    * before the overwrite — plain parquet lacks read-snapshot isolation
+    * (the SURVEY §3.4 stage-3 hazard).
+    */
+  def refresh(spark: SparkSession, registeredBase: DataFrame,
+              delta: DataFrame): Unit = {
+    val entry = lookup(rootPathsOf(registeredBase)).getOrElse(
+      throw new IllegalArgumentException(
+        "no materialized view registered for this base"))
+    val aggs = Seq(count(lit(1)).as("cnt")) ++ entry.measures.flatMap(m =>
+      Seq(sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m"), count(col(m)).as(s"cnt_$m")))
+    val deltaRollup = delta.groupBy(entry.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val foldAggs = Seq(sum(col("cnt")).as("cnt")) ++
+      entry.measures.flatMap(m => Seq(
+        sum(col(s"sum_$m")).as(s"sum_$m"),
+        min(col(s"min_$m")).as(s"min_$m"),
+        max(col(s"max_$m")).as(s"max_$m"),
+        sum(col(s"cnt_$m")).as(s"cnt_$m")))
+    val merged = spark.read.parquet(entry.mvPath)
+      .unionByName(deltaRollup)
+      .groupBy(entry.groupCols.map(col): _*)
+      .agg(foldAggs.head, foldAggs.tail: _*)
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(entry.mvPath)
+  }
+
   /** Drop all registrations (tests / re-registration hygiene). */
   def clear(): Unit = registry.clear()
 

@@ -100,6 +100,45 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental refresh: delta folds in; rewrite answers the new truth") {
+    // an isolated base so the shared fixture stays untouched
+    val bDir = java.nio.file.Files.createTempDirectory("graft-mv-b2").toString
+    val mv2 = java.nio.file.Files.createTempDirectory("graft-mv-m2").toString
+    (1 to 100).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x")
+      .write.mode("overwrite").parquet(bDir)
+    val baseFrame = spark.read.parquet(bDir)
+    MaterializedViews.create(spark, baseFrame, mv2,
+      groupCols = Seq("g"), measures = Seq("x"))
+    // append the delta to the base files AND fold it into the summary
+    val delta = (101 to 140).map(i => (s"g${i % 3}", i.toDouble))
+      .toDF("g", "x")
+    delta.write.mode("append").parquet(bDir)
+    MaterializedViews.refresh(spark, baseFrame, delta)
+    spark.conf.set(MvRewriteRule.EnabledKey, "true")
+    try {
+      val q = spark.read.parquet(bDir).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"), max("x").as("mx"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(mv2).getName))
+      val got = q.orderBy("g").collect().map(_.toSeq)
+      spark.conf.set(MvRewriteRule.EnabledKey, "false")
+      val want = spark.read.parquet(bDir).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"), max("x").as("mx"))
+        .orderBy("g").collect().map(_.toSeq)
+      assert(got.toSeq === want.toSeq)
+      // refresh ≡ full rebuild, column for column
+      val rebuilt = spark.read.parquet(bDir).groupBy("g")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          count($"x").as("cnt_x"))
+        .orderBy("g").collect().map(_.toSeq)
+      val stored = spark.read.parquet(mv2)
+        .select("g", "cnt", "sum_x", "min_x", "max_x", "cnt_x")
+        .orderBy("g").collect().map(_.toSeq)
+      assert(stored.toSeq === rebuilt.toSeq)
+    } finally spark.conf.set(MvRewriteRule.EnabledKey, "false")
+  }
+
   test("full-group aggregation equals the MV contents directly") {
     withMv {
       val q = base.groupBy("g", "h").agg(sum("x").as("sx"),
