@@ -2804,6 +2804,24 @@ object TestQueries {
     } finally s.conf.set(plans.MvRewriteRule.EnabledKey, "false")
   }
 
+  /** Geo proximity join ([[graft.functions.Geo.neighborPairs]]): synthetic
+    * station coordinates derived from supplier keys (lat ∈ ±54°,
+    * lon ∈ ±177°, deterministic modular spread), all pairs within 250 km
+    * via the 3×3 grid-cell candidate join + exact haversine verify. The
+    * oracle is the PLAIN all-pairs cross join with the same formula — the
+    * hash match proves the blocking loses nothing.
+    */
+  def q196GeoPairs(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+      ((col("c_custkey") * 37 % 108) - 54 +
+        (col("c_custkey") % 97) / 100.0).as("lat"),
+      ((col("c_custkey") * 53 % 354) - 177 +
+        (col("c_custkey") % 89) / 100.0).as("lon"))
+    graft.functions.Geo.neighborPairs(pts, "id", "lat", "lon", maxKm = 250.0)
+      .select(col("id_a"), col("id_b"), round(col("km"), 4).as("km"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2957,6 +2975,7 @@ object TestQueries {
     "q193_profile" -> (q193Profile _),
     "q194_observe" -> (q194Observe _),
     "q195_mv_rewrite" -> (q195MvRewrite _),
+    "q196_geo_pairs" -> (q196GeoPairs _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),
