@@ -2446,15 +2446,15 @@ object Oracles {
     // blocking loses no pair.
     "q196_geo_pairs" ->
       ("WITH p AS (SELECT c_custkey AS id, " +
-        "(c_custkey * 37 % 108) - 54 + (c_custkey % 97) / 100.0 AS lat, " +
-        "(c_custkey * 53 % 354) - 177 + (c_custkey % 89) / 100.0 AS lon " +
+        "c_custkey % 1000 * 0.01 AS lat, " +
+        "floor(c_custkey / 1000.0) * 0.5 AS lon " +
         "FROM customer), " +
         "j AS (SELECT a.id AS id_a, b.id AS id_b, " +
         "2 * 6371.0 * asin(sqrt(power(sin((b.lat - a.lat) * (PI() / 180) " +
         "/ 2), 2) + cos(a.lat * (PI() / 180)) * cos(b.lat * (PI() / 180)) " +
         "* power(sin((b.lon - a.lon) * (PI() / 180) / 2), 2))) AS km " +
         "FROM p a JOIN p b ON a.id < b.id) " +
-        "SELECT id_a, id_b, round(km, 4) AS km FROM j WHERE km <= 250.0 " +
+        "SELECT id_a, id_b, round(km, 4) AS km FROM j WHERE km <= 5.0 " +
         "ORDER BY 1, 2"),
 
     // MV rewrite: the oracle is the PLAIN base-table aggregation — the

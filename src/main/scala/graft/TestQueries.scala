@@ -2805,19 +2805,19 @@ object TestQueries {
   }
 
   /** Geo proximity join ([[graft.functions.Geo.neighborPairs]]): synthetic
-    * station coordinates derived from supplier keys (lat ∈ ±54°,
-    * lon ∈ ±177°, deterministic modular spread), all pairs within 250 km
-    * via the 3×3 grid-cell candidate join + exact haversine verify. The
-    * oracle is the PLAIN all-pairs cross join with the same formula — the
-    * hash match proves the blocking loses nothing.
+    * station coordinates from customer keys — points march north in
+    * ~1.1 km steps (lat = (key mod 1000)·0.01°) along columns 0.5° of
+    * longitude apart, so every scale factor has real 5 km neighborhoods
+    * and no cross-column pair. All pairs within 5 km via the 3×3
+    * grid-cell candidate join + exact haversine verify; the oracle is
+    * the PLAIN all-pairs cross join with the same formula — the hash
+    * match proves the blocking loses nothing.
     */
   def q196GeoPairs(s: SparkSession, dir: String): DataFrame = {
     val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
-      ((col("c_custkey") * 37 % 108) - 54 +
-        (col("c_custkey") % 97) / 100.0).as("lat"),
-      ((col("c_custkey") * 53 % 354) - 177 +
-        (col("c_custkey") % 89) / 100.0).as("lon"))
-    graft.functions.Geo.neighborPairs(pts, "id", "lat", "lon", maxKm = 250.0)
+      (col("c_custkey") % 1000 * 0.01).as("lat"),
+      (floor(col("c_custkey") / 1000.0) * 0.5).as("lon"))
+    graft.functions.Geo.neighborPairs(pts, "id", "lat", "lon", maxKm = 5.0)
       .select(col("id_a"), col("id_b"), round(col("km"), 4).as("km"))
       .orderBy("id_a", "id_b")
   }

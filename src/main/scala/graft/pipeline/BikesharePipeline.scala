@@ -177,4 +177,38 @@ object BikesharePipeline {
       .groupBy("rider_id", "minutes", "month")
       .agg(avg("amount").as("avg_amount"), avg("duration").as("avg_duration"))
       .orderBy(col("avg_duration").desc)
+
+  // ---- Geo extensions (beyond the reference's 24 queries) -----------------
+  // The stations dimension carries (latitude, longitude) the notebook never
+  // computes with (nb:991); these are the distance queries that schema
+  // implies.
+
+  /** Station pairs within `maxKm` — the docking-network density /
+    * rebalancing-radius report, via the grid-blocked proximity join (no
+    * stations² cross product even at city scale).
+    */
+  def stationNeighbors(w: Warehouse, maxKm: Double): DataFrame =
+    graft.functions.Geo.neighborPairs(
+      w.stations.select(col("station_id").as("id"),
+        col("latitude"), col("longitude")),
+      "id", "latitude", "longitude", maxKm)
+
+  /** Per-trip great-circle distance and straight-line speed: trips join
+    * the stations dim twice (both broadcast — the dim is tiny), then one
+    * scan-side haversine. Round trips (same start/end) report 0 km.
+    */
+  def tripDistances(w: Warehouse): DataFrame = {
+    val start = w.stations.select(col("station_id").as("start_station_id"),
+      col("latitude").as("__lat_s"), col("longitude").as("__lon_s"))
+    val end = w.stations.select(col("station_id").as("end_station_id"),
+      col("latitude").as("__lat_e"), col("longitude").as("__lon_e"))
+    w.trips
+      .join(broadcast(start), Seq("start_station_id"))
+      .join(broadcast(end), Seq("end_station_id"))
+      .withColumn("km", graft.functions.Geo.haversineKm(
+        col("__lat_s"), col("__lon_s"), col("__lat_e"), col("__lon_e")))
+      .withColumn("kmh",
+        when(col("duration") > 0, col("km") / (col("duration") / 3600.0)))
+      .drop("__lat_s", "__lon_s", "__lat_e", "__lon_e")
+  }
 }

@@ -143,6 +143,25 @@ class BikesharePipelineSpec extends AnyFunSuite {
     assert(durs.sorted.reverse === durs)
   }
 
+  test("geo extensions: station proximity and per-trip distances") {
+    // S1 (41.0, -87.6) ↔ S2 (42.0, -87.7): ~111.5 km apart
+    val pairs = BikesharePipeline.stationNeighbors(wh, maxKm = 120.0)
+      .collect()
+    assert(pairs.length === 1)
+    assert(math.abs(pairs.head.getAs[Double]("km") - 111.5) < 1.0)
+    assert(BikesharePipeline.stationNeighbors(wh, maxKm = 100.0)
+      .count() === 0)
+    val d = BikesharePipeline.tripDistances(wh)
+      .select("trip_id", "km", "kmh").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // S1↔S2 trips carry the station distance; same-station trips are 0
+    assert(math.abs(d("T1")._1 - 111.5) < 1.0)
+    assert(math.abs(d("T3")._1 - 111.5) < 1.0)
+    assert(d("T4")._1 === 0.0 && d("T5")._1 === 0.0)
+    // T1: 1800 s over ~111.5 km → ~223 "km/h" straight-line
+    assert(math.abs(d("T1")._2 - d("T1")._1 * 2) < 1e-9)
+  }
+
   test("pipeline writes/reads managed tables (S2-S5 round trip)") {
     import graft.sources.Tables
     Tables.dropTable(spark, "graft_test_riders")

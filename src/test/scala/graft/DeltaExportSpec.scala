@@ -109,10 +109,15 @@ class DeltaExportSpec extends AnyFunSuite {
     val dir = tmp()
     DeltaExport.overwrite(Seq((1L, "a")).toDF("k", "v"), dir)
     val log = new java.io.File(s"$dir/_delta_log")
-    // pin distinct mtimes so the ordering is deterministic
-    log.listFiles().find(_.getName.endsWith("0.json")).get.setLastModified(1000000L)
+    // pin distinct mtimes so the ordering is deterministic — match the
+    // commit file NAME exactly: a contains/endsWith probe can land on the
+    // Hadoop .crc sidecar depending on directory listing order, leaving
+    // the real commit at wall-clock time (the full-suite flake)
+    def commitFile(v: Long) =
+      new java.io.File(log, f"$v%020d.json")
+    assert(commitFile(0).setLastModified(1000000L))
     DeltaExport.append(Seq((2L, "b")).toDF("k", "v"), dir)
-    log.listFiles().find(_.getName.contains("0000001.json")).get.setLastModified(2000000L)
+    assert(commitFile(1).setLastModified(2000000L))
     assert(DeltaRead.versionAsOfTimestamp(spark, dir, 1500000L) === 0L)
     assert(DeltaRead.readAsOfTimestamp(spark, dir, 1500000L).count() === 1L)
     assert(DeltaRead.versionAsOfTimestamp(spark, dir, 2000000L) === 1L)
