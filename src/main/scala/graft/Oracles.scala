@@ -2441,6 +2441,48 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // Spearman: tied-average ranks via value-domain collapse, Pearson
+    // of ranks.
+    "q197_spearman" ->
+      ("WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+        "CAST(l_discount AS DOUBLE) AS y FROM lineitem), " +
+        "rx AS (SELECT x AS v, count(*) AS t FROM d GROUP BY 1), " +
+        "rxx AS (SELECT v, (sum(t) OVER (ORDER BY v) - t) + (t + 1) / 2.0 " +
+        "AS r FROM rx), " +
+        "ry AS (SELECT y AS v, count(*) AS t FROM d GROUP BY 1), " +
+        "ryy AS (SELECT v, (sum(t) OVER (ORDER BY v) - t) + (t + 1) / 2.0 " +
+        "AS r FROM ry) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "round(corr(rxx.r, ryy.r), 6) AS rho " +
+        "FROM d JOIN rxx ON d.x = rxx.v JOIN ryy ON d.y = ryy.v"),
+
+    // Kaplan-Meier over inter-event gaps (10-min grain, final gap to the
+    // horizon censored): risk-set running sums, survival product with
+    // the explicit zero-factor pin.
+    "q198_kaplan_meier" ->
+      ("WITH e AS (SELECT user_id, event_id, floor(epoch(ts)) AS t " +
+        "FROM events), " +
+        "h AS (SELECT floor(epoch(max(ts))) AS hmax FROM events), " +
+        "g AS (SELECT t, lead(t) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id) AS nxt FROM e), " +
+        "s AS (SELECT floor((COALESCE(nxt, hmax) - t) / 600) AS d, " +
+        "CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev FROM g, h), " +
+        "per AS (SELECT d AS t, CAST(sum(ev) AS BIGINT) AS n_events, " +
+        "CAST(sum(1 - ev) AS BIGINT) AS n_censored FROM s GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) " +
+        "AS total FROM per), " +
+        "rk AS (SELECT t, n_events, n_censored, " +
+        "CAST(total - sum(n_events + n_censored) OVER (ORDER BY t) " +
+        "+ n_events + n_censored AS BIGINT) AS n_at_risk FROM per, tot), " +
+        "sv AS (SELECT *, sum(CASE WHEN n_events >= n_at_risk THEN 1 " +
+        "ELSE 0 END) OVER (ORDER BY t) AS hz, " +
+        "exp(sum(CASE WHEN n_events > 0 AND n_events < n_at_risk THEN " +
+        "ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE)) ELSE 0.0 END) " +
+        "OVER (ORDER BY t)) AS sraw FROM rk) " +
+        "SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_events, n_censored, " +
+        "round(CASE WHEN hz > 0 THEN 0.0 ELSE sraw END, 6) AS survival " +
+        "FROM sv WHERE n_events > 0 ORDER BY t"),
+
     // Geo proximity: the oracle is the PLAIN all-pairs cross join with
     // the identical haversine grouping — hash match proves the grid
     // blocking loses no pair.

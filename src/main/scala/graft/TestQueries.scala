@@ -2822,6 +2822,43 @@ object TestQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Spearman rank correlation ([[operators.Stats.spearman]]) between
+    * quantity and discount — monotone association over two bounded value
+    * domains (50 × 11 distinct values). DuckDB replays the tied-rank
+    * collapse and Pearson-of-ranks exactly.
+    */
+  def q197Spearman(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_discount")
+      .select(col("n"), round(col("rho"), 6).as("rho"))
+
+  /** Kaplan-Meier survival ([[operators.Stats.kaplanMeier]]) of
+    * inter-event waiting times: each event's gap to the user's next
+    * event is a subject (10-minute grain); a user's final gap runs to
+    * the stream horizon and is right-censored. DuckDB replays the
+    * truncated-epoch lead gaps, the risk-set running sums and the
+    * survival product.
+    */
+  def q198KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    val horizon = ev.agg(max(col("ts").cast("long")).as("__hmax"))
+    val subjects = ev
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("__t"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("__next"), col("__hmax")) - col("__t")) / 600)
+          .as("d"),
+        col("__next").isNotNull.cast("int").as("ev"))
+    operators.Stats.kaplanMeier(subjects, "d", "ev")
+      .select(col("t").cast("long").as("t"), col("n_at_risk"),
+        col("n_events"), col("n_censored"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy("t")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -2976,6 +3013,8 @@ object TestQueries {
     "q194_observe" -> (q194Observe _),
     "q195_mv_rewrite" -> (q195MvRewrite _),
     "q196_geo_pairs" -> (q196GeoPairs _),
+    "q197_spearman" -> (q197Spearman _),
+    "q198_kaplan_meier" -> (q198KaplanMeier _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -300,6 +300,81 @@ object Stats {
       .drop((0 until p).map(i => s"__d$i"): _*)
   }
 
+  /** Spearman rank correlation: Pearson correlation of the two columns'
+    * tied-average ranks — the monotone-association measure that survives
+    * outliers and nonlinearity (does quality score rise with document
+    * length AT ALL, not just linearly). Returns ONE row: (n, rho).
+    *
+    * Ranks come from the SAME value-domain collapse as [[mannWhitney]]:
+    * per-distinct-value counts, a running sum over the value domain,
+    * then each row joins its value's average rank — two domain-keyed
+    * joins, windows only over distinct values (bounded-domain contract;
+    * quantize continuous measures first).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks(c: String): DataFrame = {
+      val per = df.groupBy(col(c).cast("double").as("__v"))
+        .agg(count(lit(1)).as("__t"))
+      val w = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("__cum", sum("__t").over(w))
+        .select(col("__v"),
+          ((col("__cum") - col("__t")) + (col("__t") + 1) / lit(2.0))
+            .as(s"__rank_$c"))
+    }
+    df.select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .join(ranks(xCol).withColumnRenamed("__v", "__x"), Seq("__x"))
+      .join(ranks(yCol).withColumnRenamed("__v", "__y"), Seq("__y"))
+      .agg(count(lit(1)).as("n"),
+        corr(col(s"__rank_$xCol"), col(s"__rank_$yCol")).as("rho"))
+  }
+
+  /** Kaplan-Meier survival curve with right-censoring — time-to-event
+    * analysis for retention/churn: at each distinct duration with ≥ 1
+    * event, survival multiplies by (1 − deaths/at-risk); censored
+    * subjects leave the risk set without an event. Input: one row per
+    * subject with its observed `durationCol` (a bounded grain — days,
+    * weeks) and `eventCol` 1 = event observed, 0 = censored. Returns one
+    * row per event time: (t, n_at_risk, n_events, n_censored, survival).
+    *
+    * Subjects collapse to per-duration (events, censored) counts first;
+    * the risk set and the product both come from running sums over the
+    * DURATION DOMAIN (the bounded-domain window contract), the product
+    * as exp(Σ ln(1 − d/n)). A zero factor (everyone at risk dies) pins
+    * survival to exactly 0 from that time on via an explicit running
+    * flag — Spark's `log` yields NULL (not −∞) at 0 and window sums
+    * skip NULLs, so the naive formulation would silently resurrect the
+    * curve.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val per = df.groupBy(col(durationCol).cast("double").as("t"))
+      .agg(sum(col(eventCol).cast("long")).as("n_events"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("n_censored"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__gone",
+        sum(col("n_events") + col("n_censored")).over(w))
+      .crossJoin(broadcast(per.agg(
+        sum(col("n_events") + col("n_censored")).as("__total"))))
+      .withColumn("n_at_risk",
+        col("__total") - col("__gone") + col("n_events") + col("n_censored"))
+      .withColumn("__hit_zero",
+        sum(when(col("n_events") >= col("n_at_risk"), 1L).otherwise(0L))
+          .over(w))
+      .withColumn("survival",
+        when(col("__hit_zero") > 0, lit(0.0)).otherwise(
+          exp(sum(when(col("n_events") > 0 &&
+              col("n_events") < col("n_at_risk"),
+            log(lit(1.0) - col("n_events") / col("n_at_risk")))
+            .otherwise(0.0)).over(w))))
+      .where(col("n_events") > 0)
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
   /** k-anonymity audit over a set of quasi-identifier columns: how many
     * equivalence classes (distinct quasi-identifier combinations) fall
     * below size `k`, and what share of rows they carry — the release gate

@@ -814,6 +814,19 @@ object ScaleCheck {
             emb(dir).where(col("vec_id") % 2 === 1),
             "vec_id", "embedding", gamma = 0.02, blockWidth = 8).count()
       },
+      "geo_pairs" -> { dir =>
+        // grid-cell candidate join: pairs scale with local density ×
+        // points, never points²
+        // lon wraps at 720k keys so the replica key shift (+1e8 per
+        // replica) still yields valid longitudes; identical to the gate
+        // derivation for every real sf key range
+        val pts = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("id"),
+            (col("c_custkey") % 1000 * 0.01).as("lat"),
+            (floor((col("c_custkey") % 720000) / 1000.0) * 0.5).as("lon"))
+        graft.functions.Geo.neighborPairs(pts, "id", "lat", "lon",
+          maxKm = 5.0).count()
+      },
       "cms_bootstrap_profile" -> { dir =>
         // two sketch aggregates + B·N bootstrap partials + one profile agg
         val (est, _, _) = graft.operators.Sketches.cmsJoinSizeEstimate(

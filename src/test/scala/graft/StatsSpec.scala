@@ -166,6 +166,30 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("trimmed_mean") < 20.0)
   }
 
+  test("spearman: monotone = 1 regardless of curvature; reversal = -1") {
+    val mono = (1 to 30).map(i => (i.toDouble, (i * i).toDouble))
+      .toDF("x", "y")
+    val r1 = Stats.spearman(mono, "x", "y").head()
+    assert(r1.getAs[Long]("n") === 30L)
+    assert(d(r1.getAs[Double]("rho"), 1.0, 1e-9))
+    val anti = (1 to 30).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(d(Stats.spearman(anti, "x", "y").head()
+      .getAs[Double]("rho"), -1.0, 1e-9))
+  }
+
+  test("kaplanMeier: textbook cohort with a censored subject") {
+    // (t=1 event), (t=2 event), (t=2 censored), (t=3 event)
+    val subjects = Seq((1.0, 1), (2.0, 1), (2.0, 0), (3.0, 1))
+      .toDF("dur", "ev")
+    val km = Stats.kaplanMeier(subjects, "dur", "ev")
+      .orderBy("t").collect()
+    assert(km.map(_.getAs[Double]("t")).toSeq === Seq(1.0, 2.0, 3.0))
+    assert(km.map(_.getAs[Long]("n_at_risk")).toSeq === Seq(4L, 3L, 1L))
+    assert(d(km(0).getAs[Double]("survival"), 0.75))
+    assert(d(km(1).getAs[Double]("survival"), 0.5))
+    assert(d(km(2).getAs[Double]("survival"), 0.0))
+  }
+
   test("kAnonymity: class-size audit") {
     val rows = (Seq.fill(1)(("n1", "s1")) ++ Seq.fill(2)(("n1", "s2")) ++
       Seq.fill(5)(("n2", "s1"))).zipWithIndex
