@@ -2441,6 +2441,44 @@ object Oracles {
         "SELECT node, dist FROM d4 ORDER BY node"
     },
 
+    // ROC-AUC via the rank-sum identity: tied-rank U of positives over
+    // negatives divided by n+·n−.
+    "q199_auc" ->
+      ("WITH d AS (SELECT ((l_orderkey * 7 + l_linenumber) % 100) / 100.0 " +
+        "AS v, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS ia, " +
+        "CASE WHEN l_quantity > 25 THEN 0 ELSE 1 END AS ib " +
+        "FROM lineitem), " +
+        "p AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb, count(*) AS t " +
+        "FROM d GROUP BY 1), " +
+        "r AS (SELECT *, sum(t) OVER (ORDER BY v) AS cum FROM p), " +
+        "a AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
+        "sum(ca * ((cum - t) + (t + 1) / 2.0)) AS rsa FROM r) " +
+        "SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg, " +
+        "round((rsa - na * (na + 1) / 2.0) / " +
+        "(CAST(na AS DOUBLE) * nb), 6) AS auc FROM a"),
+
+    // PR curve: per-threshold descending cumulative TP/FP, precision /
+    // recall / F1.
+    "q200_pr_curve" ->
+      ("WITH d AS (SELECT ((l_orderkey * 7 + l_linenumber) % 100) / 100.0 " +
+        "AS threshold, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y " +
+        "FROM lineitem), " +
+        "p AS (SELECT threshold, CAST(sum(y) AS BIGINT) AS pos, " +
+        "CAST(sum(1 - y) AS BIGINT) AS neg FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(pos) AS DOUBLE) AS ptot FROM p), " +
+        "c AS (SELECT threshold, " +
+        "CAST(sum(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp, " +
+        "CAST(sum(neg) OVER (ORDER BY threshold DESC) AS BIGINT) AS fp " +
+        "FROM p), " +
+        "f AS (SELECT threshold, tp, fp, " +
+        "tp / CAST(tp + fp AS DOUBLE) AS prec, tp / ptot AS rec " +
+        "FROM c, t) " +
+        "SELECT round(threshold, 2) AS threshold, tp, fp, " +
+        "round(prec, 6) AS precision, round(rec, 6) AS recall, " +
+        "round(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / " +
+        "(prec + rec) ELSE 0.0 END, 6) AS f1 " +
+        "FROM f ORDER BY threshold"),
+
     // Spearman: tied-average ranks via value-domain collapse, Pearson
     // of ranks.
     "q197_spearman" ->

@@ -2859,6 +2859,36 @@ object TestQueries {
       .orderBy("t")
   }
 
+  /** ROC-AUC ([[operators.Stats.auc]]) of the q170 pseudo-score against
+    * the quantity label — the rank-sum identity, no curve materialized.
+    * DuckDB replays the tied-rank U and the n⁺·n⁻ normalization.
+    */
+  def q199Auc(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.auc(
+        t(s, dir, "lineitem").select(
+          (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) /
+            lit(100.0)).as("score"),
+          (col("l_quantity") > 25).cast("int").as("label")),
+        "score", "label")
+      .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+
+  /** Precision/recall curve ([[operators.Stats.prCurve]]) over the same
+    * scored frame: one row per threshold with cumulative TP/FP,
+    * precision, recall, F1. DuckDB replays the descending running sums.
+    */
+  def q200PrCurve(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.prCurve(
+        t(s, dir, "lineitem").select(
+          (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) /
+            lit(100.0)).as("score"),
+          (col("l_quantity") > 25).cast("int").as("label")),
+        "score", "label")
+      .select(round(col("threshold"), 2).as("threshold"), col("tp"),
+        col("fp"), round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"))
+      .orderBy("threshold")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3015,6 +3045,8 @@ object TestQueries {
     "q196_geo_pairs" -> (q196GeoPairs _),
     "q197_spearman" -> (q197Spearman _),
     "q198_kaplan_meier" -> (q198KaplanMeier _),
+    "q199_auc" -> (q199Auc _),
+    "q200_pr_curve" -> (q200PrCurve _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -300,6 +300,48 @@ object Stats {
       .drop((0 until p).map(i => s"__d$i"): _*)
   }
 
+  /** ROC-AUC from scores and binary labels — P(score⁺ > score⁻) + ½·ties,
+    * computed as the Mann-Whitney U of the positive class over the
+    * negative divided by n⁺·n⁻ (the rank-sum identity, so no curve is
+    * ever materialized). Same value-domain contract as [[mannWhitney]]:
+    * scores collapse per distinct value (quantize continuous scores).
+    * Returns ONE row: (n_pos, n_neg, auc).
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    mannWhitney(df.withColumn("__lbl",
+        (col(labelCol).cast("double") > 0).cast("string")),
+      scoreCol, "__lbl", groupA = "true", groupB = "false")
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("u") / (col("n_a").cast("double") * col("n_b"))).as("auc"))
+
+  /** Precision/recall curve over the score domain: one row per distinct
+    * score threshold s — predicting positive where score ≥ s — with
+    * cumulative TP/FP from a descending running sum, precision, recall
+    * and F1. The classifier-threshold picker (choose the point, then
+    * hard-code the cut in the curation filter). Bounded score domain,
+    * as all the rank family assumes.
+    */
+  def prCurve(df: DataFrame, scoreCol: String,
+              labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("double") > 0
+    val per = df.groupBy(col(scoreCol).cast("double").as("threshold"))
+      .agg(sum(when(lbl, 1L).otherwise(0L)).as("__pos"),
+        sum(when(lbl, 0L).otherwise(1L)).as("__neg"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("tp", sum("__pos").over(w))
+      .withColumn("fp", sum("__neg").over(w))
+      .crossJoin(broadcast(per.agg(sum("__pos").as("__p"))))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp") / col("__p"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+      .select("threshold", "tp", "fp", "precision", "recall", "f1")
+  }
+
   /** Spearman rank correlation: Pearson correlation of the two columns'
     * tied-average ranks — the monotone-association measure that survives
     * outliers and nonlinearity (does quality score rise with document

@@ -166,6 +166,29 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("trimmed_mean") < 20.0)
   }
 
+  test("auc: separation, reversal, and tie credit") {
+    def a(rows: Seq[(Double, Int)]): Double =
+      Stats.auc(rows.toDF("score", "label"), "score", "label")
+        .head().getAs[Double]("auc")
+    assert(d(a(Seq((3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0))), 1.0))
+    assert(d(a(Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0))), 0.0))
+    // pos {1,2} vs neg {2,3}: only the (2,2) tie scores, at half credit
+    assert(d(a(Seq((1.0, 1), (2.0, 1), (2.0, 0), (3.0, 0))), 0.125))
+  }
+
+  test("prCurve: thresholds sweep the cumulative confusion counts") {
+    val rows = Seq((0.9, 1), (0.8, 0), (0.7, 1)).toDF("score", "label")
+    val got = Stats.prCurve(rows, "score", "label")
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Double]("precision"),
+        r.getAs[Double]("recall")))
+    assert(got(0) === ((0.9, 1L, 0L, 1.0, 0.5)))
+    assert(got(1) === ((0.8, 1L, 1L, 0.5, 0.5)))
+    assert(got(2)._2 === 2L && got(2)._3 === 1L)
+    assert(d(got(2)._4, 2.0 / 3) && d(got(2)._5, 1.0))
+  }
+
   test("spearman: monotone = 1 regardless of curvature; reversal = -1") {
     val mono = (1 to 30).map(i => (i.toDouble, (i * i).toDouble))
       .toDF("x", "y")
