@@ -42,6 +42,31 @@ object Oracles {
     * at sf0.1's 5000 docs; this runs in seconds and is value-identical —
     * same integer counts, same double division).
     */
+  /** q202/q203 record-linkage corpus + the engine's multi-pass blocking,
+    * replayed verbatim: titles (first six words), a one-char-deleted dirty
+    * copy, then candidate pairs from prefix-4 ∪ suffix-4 ∪ middle-token
+    * block keys (empty block keys abstain, id_a < id_b, distinct).
+    */
+  private val linkageCtes =
+    "clean AS (SELECT doc_id AS id, array_to_string(list_slice(" +
+      "string_split_regex(lower(trim(text)), '\\s+'), 1, 6), ' ') AS key " +
+      "FROM documents), " +
+      "dirty AS (SELECT id + 1000000 AS id, " +
+      "substr(key, 1, p) || substr(key, p + 2) AS key FROM " +
+      "(SELECT id, key, CAST(id % length(key) AS INT) AS p FROM clean)), " +
+      "allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty), " +
+      "b1 AS (SELECT id, key, substr(key, 1, 4) AS blk FROM allr), " +
+      "b2 AS (SELECT id, key, substr(key, length(key) - 3) AS blk FROM allr), " +
+      "b3 AS (SELECT id, key, array_to_string(list_slice(" +
+      "string_split_regex(key, '\\s+'), 3, 4), ' ') AS blk FROM allr), " +
+      "cand AS (SELECT DISTINCT id_a, id_b, ka, kb FROM (" +
+      "SELECT a.id AS id_a, b.id AS id_b, a.key AS ka, b.key AS kb " +
+      "FROM b1 a JOIN b1 b ON a.blk = b.blk AND a.id < b.id WHERE a.blk <> '' " +
+      "UNION ALL SELECT a.id, b.id, a.key, b.key " +
+      "FROM b2 a JOIN b2 b ON a.blk = b.blk AND a.id < b.id WHERE a.blk <> '' " +
+      "UNION ALL SELECT a.id, b.id, a.key, b.key " +
+      "FROM b3 a JOIN b3 b ON a.blk = b.blk AND a.id < b.id WHERE a.blk <> ''))"
+
   private val exactPairCtes =
     "toks AS (SELECT doc_id, " +
       "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
@@ -2691,5 +2716,62 @@ object Oracles {
         "AND b.rn BETWEEN a.rn - 10 AND a.rn) " +
         "SELECT event_id, round(sum(w * x) / sum(w), 4) AS ewma " +
         "FROM p GROUP BY 1 ORDER BY event_id"),
+
+    // Native Jaro/Jaro-Winkler vs DuckDB's own implementations over the
+    // distinct part-name vocabulary — the expression-equivalence anchor.
+    "q201_jaro_winkler" ->
+      ("WITH n AS (SELECT DISTINCT p_name AS name FROM part), " +
+        "j AS (SELECT a.name AS name_a, b.name AS name_b, " +
+        "round(jaro_similarity(a.name, b.name), 6) AS jaro, " +
+        "round(jaro_winkler_similarity(a.name, b.name), 6) AS jw " +
+        "FROM n a JOIN n b ON a.name < b.name) " +
+        "SELECT * FROM j WHERE jw >= 0.5 ORDER BY 1, 2"),
+
+    // Record linkage: the oracle replays the engine's multi-pass blocking
+    // (prefix-4, suffix-4, middle-tokens) verbatim, so the hash match is
+    // an equivalence proof of the blocking join + native JW + threshold.
+    "q202_entity_match" ->
+      (s"WITH $linkageCtes " +
+        "SELECT id_a, id_b, " +
+        "round(jaro_winkler_similarity(ka, kb), 6) AS jw FROM cand " +
+        "WHERE round(jaro_winkler_similarity(ka, kb), 6) >= 0.9 " +
+        "ORDER BY 1, 2"),
+
+    // Entity resolution: recursive-CTE closure (q77 pattern) over the
+    // identically-blocked JW >= 0.94 pair set; entity = min reachable id,
+    // golden record = the min id's key.
+    "q203_entity_resolve" ->
+      (s"WITH RECURSIVE $linkageCtes, " +
+        "p AS (SELECT id_a, id_b FROM cand " +
+        "WHERE round(jaro_winkler_similarity(ka, kb), 6) >= 0.94), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT id AS src, id AS dst FROM allr " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "lab AS (SELECT src AS id, min(dst) AS entity FROM reach GROUP BY 1), " +
+        "sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_records " +
+        "FROM lab GROUP BY 1) " +
+        "SELECT l.id, k.key, l.entity, sz.n_records, g.key AS golden_key " +
+        "FROM lab l JOIN allr k ON l.id = k.id " +
+        "JOIN sz ON l.entity = sz.entity " +
+        "JOIN allr g ON l.entity = g.id ORDER BY l.id"),
+
+    // Aho-Corasick termlist tagging: oracle is the k-way `contains` join
+    // over the same top-20 shingle termlist — single-pass automaton ≡ k
+    // substring scans.
+    "q204_phrase_match" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3), " +
+        "terms AS (SELECT s AS term FROM sh GROUP BY s " +
+        "ORDER BY count(*) DESC, s LIMIT 20), " +
+        "m AS (SELECT d.doc_id, t.term FROM documents d " +
+        "JOIN terms t ON contains(lower(d.text), t.term)) " +
+        "SELECT d.doc_id, CAST(count(m.term) AS BIGINT) AS n_matched, " +
+        "coalesce(array_to_string(list_sort(list(m.term) " +
+        "FILTER (WHERE m.term IS NOT NULL)), '|'), '') AS matched " +
+        "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id " +
+        "GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -2889,6 +2889,91 @@ object TestQueries {
         round(col("f1"), 6).as("f1"))
       .orderBy("threshold")
 
+  /** Jaro + Jaro-Winkler scores over all distinct part-name pairs — the
+    * cross-engine anchor for the native [[operators.Linkage]] similarity
+    * expressions (fuzz-locked against DuckDB's rapidfuzz-derived
+    * semantics: integer transposition halving, boost only above 0.7).
+    * The all-pairs join is bounded by the DISTINCT name vocabulary
+    * (dozens), never the part table — the q87-style exact-anchor budget.
+    */
+  def q201JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+    val l = names.select(col("name").as("name_a"))
+    val r = names.select(col("name").as("name_b"))
+    l.crossJoin(r).where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        round(operators.Linkage.jaro(col("name_a"), col("name_b")), 6).as("jaro"),
+        round(operators.Linkage.jaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+      .where(col("jw") >= 0.5)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Record-linkage corpus for q202/q203: document "titles" (first six
+    * words) plus a deterministically dirtied copy — one character deleted
+    * at position doc_id mod len. Single-deletion noise is exactly what
+    * prefix/suffix blocking provably catches (keys are ≥ 21 chars ≥ 2k);
+    * the accidental high-JW pairs between DIFFERENT titles exercise the
+    * mid-token pass.
+    */
+  private def linkageRecords(s: SparkSession, dir: String): DataFrame = {
+    val clean = t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6), " ").as("key"))
+    val dirty = clean
+      .withColumn("__p", (col("id") % length(col("key"))).cast("int"))
+      .select(
+        (col("id") + 1000000L).as("id"),
+        concat(
+          col("key").substr(lit(1), col("__p")),
+          col("key").substr(col("__p") + 2, length(col("key")))).as("key"))
+    clean.unionAll(dirty)
+  }
+
+  /** Record linkage ([[operators.Linkage.linkPairs]]): multi-pass blocked
+    * candidates (prefix-4 ∪ suffix-4 ∪ middle-tokens) verified at
+    * JW ≥ 0.9. The oracle replays the SAME blocking in SQL (the q162
+    * equivalence trick), so the hash match proves the blocking join + the
+    * native JW expression + the threshold pipeline; RECALL vs brute force
+    * is measured separately in LinkageSpec (100% on the planted
+    * single-deletion links, ≥99% overall on this corpus).
+    */
+  def q202EntityMatch(s: SparkSession, dir: String): DataFrame =
+    operators.Linkage.linkPairs(linkageRecords(s, dir), "id", "key", 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** Entity resolution ([[operators.Linkage.resolveEntities]]): linked
+    * pairs at JW ≥ 0.94 → connected components → per-record entity label
+    * + golden record (min id's key). Oracle: recursive-CTE closure over
+    * the identically-blocked pair set (the q77 pattern).
+    */
+  def q203EntityResolve(s: SparkSession, dir: String): DataFrame =
+    operators.Linkage.resolveEntities(linkageRecords(s, dir), "id", "key", 0.94)
+      .orderBy("id")
+
+  /** Aho-Corasick termlist tagging ([[operators.Linkage.tagTerms]]): the
+    * 20 most frequent 3-token shingles (deterministic count-desc,
+    * term-asc order) matched against every document in ONE automaton
+    * pass. The oracle is the k-way `contains` join — the hash match
+    * proves the single-pass automaton ≡ k substring scans.
+    */
+  def q204PhraseMatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs
+      .select(explode(Text.shingles(col("text"), 3)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("s")).limit(20)
+      .select("s").collect().map(_.getString(0)).toSeq // bounded: top-20
+    val termArr = typedLit(terms)
+    operators.Linkage.tagTerms(
+        docs.select(col("doc_id"), lower(col("text")).as("__lt")), "__lt", terms)
+      .select(col("doc_id"),
+        size(col("matched_terms")).cast("long").as("n_matched"),
+        array_join(
+          sort_array(transform(col("matched_terms"),
+            i => element_at(termArr, i + 1))), "|").as("matched"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3047,6 +3132,10 @@ object TestQueries {
     "q198_kaplan_meier" -> (q198KaplanMeier _),
     "q199_auc" -> (q199Auc _),
     "q200_pr_curve" -> (q200PrCurve _),
+    "q201_jaro_winkler" -> (q201JaroWinkler _),
+    "q202_entity_match" -> (q202EntityMatch _),
+    "q203_entity_resolve" -> (q203EntityResolve _),
+    "q204_phrase_match" -> (q204PhraseMatch _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.StringSimExpressions
+
+/** Record linkage / entity resolution: multi-pass blocking → Jaro-Winkler
+  * verification → connected-component entity clusters → golden records.
+  *
+  * The reference's bikeshare lake joins on clean surrogate keys; real
+  * ingest rarely has them — rider/station feeds arrive with typo'd names
+  * that must be linked before any of the §2 joins apply. The design
+  * follows the standard multi-pass blocking literature (Hernández &
+  * Stolfo's merge/purge): each pass buckets records by a cheap derived
+  * key, candidate pairs form only within buckets, and an exact similarity
+  * verifies candidates. Against 100 TB the invariants are the engine's
+  * usual ones: pairs form per-bucket (one shuffle per pass keyed on the
+  * block key, quadratic only within buckets), verification is scan-side
+  * native [[graft.functions.expressions.JaroWinklerSim]], and the cluster
+  * step shuffles only (id, label) rows through the checkpointed
+  * pointer-jumping loop shared with [[Dedup.connectedComponents]].
+  *
+  * Recall semantics — stated, not hand-waved: prefix-k ∪ suffix-k blocking
+  * is COMPLETE for a single insertion/deletion/substitution on keys of
+  * length ≥ 2k (an edit at position p breaks the k-prefix only when
+  * p ≤ k and the k-suffix only when p > len−k — both cannot hold), and
+  * heuristic for multi-edit noise; the default passes add a mid-token key
+  * so pairs dirtied at BOTH ends still block. LinkageSpec measures recall
+  * against brute force; the q202 gate's oracle replays the exact blocking
+  * in SQL, so the hash match proves the pipeline (blocking join + native
+  * JW + threshold) rather than silently assuming perfect recall.
+  *
+  * Bucket-size caution (the q147 lesson): frequency-skewed block keys
+  * degrade pair generation quadratically — prefix keys over a tiny
+  * vocabulary are hot. Pass design is the caller's scale lever; the
+  * defaults suit name-like keys.
+  */
+object Linkage {
+
+  /** Native Jaro similarity column (DuckDB-exact; see [[graft.functions.expressions.JaroUtil]]). */
+  def jaro(a: Column, b: Column): Column = StringSimExpressions.jaro(a, b)
+
+  /** Native Jaro-Winkler similarity column (DuckDB-exact). */
+  def jaroWinkler(a: Column, b: Column): Column = StringSimExpressions.jaroWinkler(a, b)
+
+  /** Default passes: k-prefix, k-suffix, and the middle two tokens —
+    * complete for one edit anywhere (prefix/suffix) plus both-ends noise
+    * that keeps the token core (mid).
+    */
+  def defaultPasses(k: Int = 4): Seq[Column => Column] = Seq(
+    key => substring(key, 1, k),
+    // SQL substring with a negative start counts from the end
+    key => substring(key, -k, k),
+    key => array_join(slice(split(key, "\\s+"), 3, 2), " ")
+  )
+
+  /** Candidate pairs (id_a < id_b, distinct) from multi-pass blocking over
+    * one record set. Each pass is one self-equi-join on its block key;
+    * passes union and dedupe on the id pair, so a pair caught by several
+    * passes verifies once. Empty block keys are skipped (a pass that
+    * can't derive a key for a record abstains rather than bucketing all
+    * such records together).
+    */
+  def blockedPairs(records: DataFrame, idCol: String, keyCol: String,
+                   passes: Seq[Column => Column] = defaultPasses()): DataFrame = {
+    // Pin (id, key) once: every pass scans the record set twice (left and
+    // right of its self-join), and a caller's key column is typically
+    // DERIVED from heavyweight payloads (title-from-text here; name
+    // normalization in general). Without the pin those upstream
+    // expressions re-execute 2·|passes| times — measured 29 s → 3 s at
+    // sf0.1. The pinned frame is (id, short key) — corpus-key-sized, the
+    // same budget as the q63 tf pin, never the payloads.
+    val base = records.select(col(idCol).as("__id"), col(keyCol).as("__key"))
+      .localCheckpoint(eager = false)
+    val perPass = passes.zipWithIndex.map { case (p, i) =>
+      val keyed = base.select(col("__id"), col("__key"),
+          p(col("__key")).as("__block"))
+        .where(col("__block").isNotNull && col("__block") =!= "")
+      val l = keyed.select(col("__block"), col("__id").as("id_a"), col("__key").as("key_a"))
+      val r = keyed.select(col("__block").as("__rblock"),
+        col("__id").as("id_b"), col("__key").as("key_b"))
+      l.join(r, col("__block") === col("__rblock") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+    }
+    perPass.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Blocked candidates verified at `threshold`: (id_a, id_b, jw). The
+    * threshold compares the 6dp-rounded score so a last-ulp disagreement
+    * between engines cannot flip membership at the boundary (the repo's
+    * standard cross-engine float discipline).
+    */
+  def linkPairs(records: DataFrame, idCol: String, keyCol: String,
+                threshold: Double,
+                passes: Seq[Column => Column] = defaultPasses()): DataFrame =
+    blockedPairs(records, idCol, keyCol, passes)
+      .withColumn("jw", round(jaroWinkler(col("key_a"), col("key_b")), 6))
+      .where(col("jw") >= threshold)
+      .select("id_a", "id_b", "jw")
+
+  /** Entity resolution: link → connected components → one row per record
+    * with its entity label, plus the entity's golden record (the minimum
+    * id's key — deterministic survivorship; swap in a completeness score
+    * ordering for richer records). Singletons are their own entity.
+    */
+  def resolveEntities(records: DataFrame, idCol: String, keyCol: String,
+                      threshold: Double,
+                      passes: Seq[Column => Column] = defaultPasses()): DataFrame = {
+    val pairs = linkPairs(records, idCol, keyCol, threshold, passes)
+    val labels = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val base = records.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val labeled = base
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), col("key"), coalesce(col("cluster"), col("id")).as("entity"))
+    val golden = labeled
+      .groupBy("entity")
+      .agg(min(col("id")).as("__gid"), count(lit(1)).as("n_records"))
+      .join(base.select(col("id").as("__gid"), col("key").as("golden_key")), Seq("__gid"))
+      .select("entity", "n_records", "golden_key")
+    labeled.join(golden, Seq("entity"))
+      .select("id", "key", "entity", "n_records", "golden_key")
+  }
+
+  /** Distinct termlist hits per row via one Aho-Corasick pass: appends
+    * `matchedCol` = sorted indices into `terms` of the phrases the text
+    * contains. One text scan for any termlist size — the k-`contains`
+    * formulation (the oracle) scans k times.
+    */
+  def tagTerms(df: DataFrame, textCol: String, terms: Seq[String],
+               matchedCol: String = "matched_terms"): DataFrame =
+    df.withColumn(matchedCol,
+      StringSimExpressions.multiContains(col(textCol), terms))
+}
