@@ -2773,5 +2773,50 @@ object Oracles {
         "FILTER (WHERE m.term IS NOT NULL)), '|'), '') AS matched " +
         "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id " +
         "GROUP BY 1 ORDER BY 1"),
+
+    // Seasonal decomposition: hourly grid aggregate + period-partitioned
+    // window mean (bin % 24), residual from the unrounded parts.
+    "q205_seasonal" ->
+      ("WITH s AS (SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) " +
+        "AS bin, avg(value) AS observed FROM events GROUP BY 1), " +
+        "p AS (SELECT bin, CAST(bin % 24 AS INT) AS pos, observed, " +
+        "avg(observed) OVER (PARTITION BY bin % 24) AS seasonal FROM s) " +
+        "SELECT bin, pos, round(observed, 6) AS observed, " +
+        "round(seasonal, 6) AS seasonal, " +
+        "round(observed - seasonal, 6) AS residual FROM p ORDER BY bin"),
+
+    // Seasonally-adjusted anomalies: z vs the hour-of-day baseline
+    // (mean/σ_pop per period position), membership on the 6dp-rounded z.
+    "q206_seasonal_anomaly" ->
+      ("WITH s AS (SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) " +
+        "AS bin, avg(value) AS observed FROM events GROUP BY 1), " +
+        "p AS (SELECT bin, CAST(bin % 24 AS INT) AS pos, observed, " +
+        "avg(observed) OVER (PARTITION BY bin % 24) AS mu, " +
+        "stddev_pop(observed) OVER (PARTITION BY bin % 24) AS sd FROM s) " +
+        "SELECT bin, pos, round(observed, 6) AS observed, " +
+        "round((observed - mu) / sd, 6) AS z FROM p " +
+        "WHERE sd > 0 AND abs(round((observed - mu) / sd, 6)) >= 1.5 " +
+        "ORDER BY bin"),
+
+    // CUSUM closed form: S_i = P_i − min(0, running-min P) per direction
+    // over per-type daily standardized means.
+    "q207_cusum" ->
+      ("WITH s AS (SELECT event_type AS key, " +
+        "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS bin, " +
+        "avg(value) AS x FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT *, avg(x) OVER (PARTITION BY key) AS mu, " +
+        "stddev_pop(x) OVER (PARTITION BY key) AS sd FROM s), " +
+        "d AS (SELECT key, bin, x, (x - mu) / sd - 0.5 AS dp, " +
+        "-((x - mu) / sd) - 0.5 AS dn FROM m WHERE sd > 0), " +
+        "r AS (SELECT key, bin, x, " +
+        "sum(dp) OVER (PARTITION BY key ORDER BY bin) AS pp, " +
+        "sum(dn) OVER (PARTITION BY key ORDER BY bin) AS pn FROM d), " +
+        "f AS (SELECT key, bin, x, " +
+        "round(pp - least(0.0, min(pp) OVER (PARTITION BY key ORDER BY bin)), 6) AS s_pos, " +
+        "round(pn - least(0.0, min(pn) OVER (PARTITION BY key ORDER BY bin)), 6) AS s_neg " +
+        "FROM r) " +
+        "SELECT key, bin, round(x, 6) AS x, s_pos, s_neg, " +
+        "CAST(s_pos > 4.0 OR s_neg > 4.0 AS INT) AS change " +
+        "FROM f ORDER BY 1, 2"),
   )
 }

@@ -2974,6 +2974,43 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Additive seasonal decomposition ([[operators.Timeseries.seasonalDecompose]]):
+    * hourly bins against a 24-bin (daily) period over event values —
+    * observed = seasonal + residual per bin. DuckDB replays the grid
+    * aggregate and the period-partitioned window mean.
+    */
+  def q205Seasonal(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.seasonalDecompose(t(s, dir, "events"), "ts", "value",
+        binSeconds = 3600L, periodBins = 24)
+      .select(col("bin"), col("pos"), round(col("observed"), 6).as("observed"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("residual"), 6).as("residual"))
+      .orderBy("bin")
+
+  /** Seasonally-adjusted anomalies ([[operators.Timeseries.seasonalAnomalies]]):
+    * bins whose value deviates ≥ 1.5σ from their hour-of-day baseline —
+    * the deseasonalized screen (a nightly lull is not an anomaly; a
+    * nightly spike is).
+    */
+  def q206SeasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.seasonalAnomalies(t(s, dir, "events"), "ts", "value",
+        binSeconds = 3600L, periodBins = 24, zThreshold = 1.5)
+      .select(col("bin"), col("pos"), round(col("observed"), 6).as("observed"),
+        col("z"))
+      .orderBy("bin")
+
+  /** Two-sided CUSUM ([[operators.Timeseries.cusum]]) over per-type daily
+    * value means (slack 0.5σ, decision interval 4σ). The oracle replays
+    * the closed form — prefix sum minus running min — proving the
+    * recursion identity cross-engine.
+    */
+  def q207Cusum(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.cusum(t(s, dir, "events"), "event_type", "ts",
+        "value", binSeconds = 86400L, kSigma = 0.5, hSigma = 4.0)
+      .select(col("key"), col("bin"), round(col("x"), 6).as("x"),
+        col("s_pos"), col("s_neg"), col("change"))
+      .orderBy("key", "bin")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3136,6 +3173,9 @@ object TestQueries {
     "q202_entity_match" -> (q202EntityMatch _),
     "q203_entity_resolve" -> (q203EntityResolve _),
     "q204_phrase_match" -> (q204PhraseMatch _),
+    "q205_seasonal" -> (q205Seasonal _),
+    "q206_seasonal_anomaly" -> (q206SeasonalAnomaly _),
+    "q207_cusum" -> (q207Cusum _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -175,4 +175,95 @@ object Timeseries {
         when(col("__den") > 0, col("__num") / col("__den")).otherwise(0.0))
       .select(col("lag"), col("n_pairs"), col("acf"))
   }
+
+  /** Additive seasonal decomposition on a `binSeconds` grid with a period
+    * of `periodBins` bins: observed (per-bin mean) = seasonal (mean of the
+    * bin's period position) + residual. The classical
+    * seasonal-subseries estimate — the prep step behind deseasonalized
+    * drift monitors and the q206 anomaly screen.
+    *
+    * Scale shape: raw rows collapse to the bin grid in ONE shuffle; the
+    * seasonal component is a window mean PARTITIONED by period position
+    * (≤ periodBins partitions of grid-sized rows — the grid, not the
+    * corpus, pays the window). Returns (bin, pos, observed, seasonal,
+    * residual).
+    */
+  def seasonalDecompose(df: DataFrame, tsCol: String, valueCol: String,
+                        binSeconds: Long, periodBins: Int): DataFrame = {
+    require(binSeconds > 0 && periodBins > 1)
+    val bin = (col(tsCol).cast("long") / binSeconds).cast("long")
+    val series = df.groupBy(bin.as("bin"))
+      .agg(avg(col(valueCol)).as("observed"))
+      .withColumn("pos", (col("bin") % periodBins).cast("int"))
+    val w = Window.partitionBy("pos")
+    series
+      .withColumn("seasonal", avg(col("observed")).over(w))
+      .withColumn("residual", col("observed") - col("seasonal"))
+      .select("bin", "pos", "observed", "seasonal", "residual")
+  }
+
+  /** Seasonally-adjusted anomaly screen: z-score each bin against the
+    * mean/σ_pop of ITS period position (hour-of-day bins compare to the
+    * same hour, so a nightly lull is not an anomaly and a nightly spike
+    * is). Rows with |z| ≥ `zThreshold` flag; z compares 6dp-rounded so an
+    * engine-boundary ulp can't flip membership. Same grid shape as
+    * [[seasonalDecompose]]. Returns flagged bins only: (bin, pos,
+    * observed, z).
+    */
+  def seasonalAnomalies(df: DataFrame, tsCol: String, valueCol: String,
+                        binSeconds: Long, periodBins: Int,
+                        zThreshold: Double): DataFrame = {
+    require(binSeconds > 0 && periodBins > 1)
+    val bin = (col(tsCol).cast("long") / binSeconds).cast("long")
+    val series = df.groupBy(bin.as("bin"))
+      .agg(avg(col(valueCol)).as("observed"))
+      .withColumn("pos", (col("bin") % periodBins).cast("int"))
+    val w = Window.partitionBy("pos")
+    series
+      .withColumn("__mu", avg(col("observed")).over(w))
+      .withColumn("__sd", stddev_pop(col("observed")).over(w))
+      .where(col("__sd") > 0)
+      .withColumn("z", round((col("observed") - col("__mu")) / col("__sd"), 6))
+      .where(abs(col("z")) >= zThreshold)
+      .select("bin", "pos", "observed", "z")
+  }
+
+  /** Two-sided CUSUM change-point statistic per key over a `binSeconds`
+    * grid: the standardized per-bin mean is drifted by `kSigma` (the
+    * slack) and accumulated through S_i = max(0, S_{i-1} + d_i) in both
+    * directions; bins where either side exceeds `hSigma` flag a level
+    * shift.
+    *
+    * The recursion is NOT window-expressible directly, but its closed
+    * form is: S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of
+    * the drifted deviations — one running sum + one running min per
+    * direction, both over the key-partitioned bin grid (the q174
+    * grid-bound window budget; a per-row formulation would sort the
+    * corpus). μ/σ_pop are per-key window scalars over the same grid.
+    * Returns (key, bin, x, s_pos, s_neg, change) for every bin.
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+            binSeconds: Long, kSigma: Double, hSigma: Double): DataFrame = {
+    require(binSeconds > 0 && kSigma >= 0 && hSigma > 0)
+    val bin = (col(tsCol).cast("long") / binSeconds).cast("long")
+    val series = df.groupBy(col(keyCol).as("key"), bin.as("bin"))
+      .agg(avg(col(valueCol)).as("x"))
+    val wAll = Window.partitionBy("key")
+    val wRun = Window.partitionBy("key").orderBy("bin")
+    series
+      .withColumn("__mu", avg(col("x")).over(wAll))
+      .withColumn("__sd", stddev_pop(col("x")).over(wAll))
+      .where(col("__sd") > 0)
+      .withColumn("__dp", (col("x") - col("__mu")) / col("__sd") - kSigma)
+      .withColumn("__dn", -(col("x") - col("__mu")) / col("__sd") - kSigma)
+      .withColumn("__pp", sum(col("__dp")).over(wRun))
+      .withColumn("__pn", sum(col("__dn")).over(wRun))
+      .withColumn("s_pos",
+        round(col("__pp") - least(lit(0.0), min(col("__pp")).over(wRun)), 6))
+      .withColumn("s_neg",
+        round(col("__pn") - least(lit(0.0), min(col("__pn")).over(wRun)), 6))
+      .withColumn("change",
+        (col("s_pos") > hSigma || col("s_neg") > hSigma).cast("int"))
+      .select("key", "bin", "x", "s_pos", "s_neg", "change")
+  }
 }

@@ -151,4 +151,74 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(a.getAs[Long]("n_pairs") === b.getAs[Long]("n_pairs"))
     assert(math.abs(a.getAs[Double]("acf") - b.getAs[Double]("acf")) < 1e-12)
   }
+
+  test("seasonalDecompose: recovers a planted period, identity holds") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // 4 days of hourly values: value = pos (pure seasonality, zero residual)
+    val rows = (0 until 96).map(i => (i * 3600L, (i % 24).toDouble))
+      .toDF("sec", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"value")
+    val got = Timeseries.seasonalDecompose(rows, "ts", "value", 3600L, 24)
+      .collect()
+    assert(got.length === 96)
+    assert(got.forall(r => math.abs(r.getAs[Double]("residual")) < 1e-12))
+    assert(got.forall(r =>
+      math.abs(r.getAs[Double]("seasonal") - r.getAs[Int]("pos")) < 1e-12))
+    // identity: observed = seasonal + residual, exactly as computed
+    assert(got.forall(r => r.getAs[Double]("observed") ===
+      r.getAs[Double]("seasonal") + r.getAs[Double]("residual")))
+  }
+
+  test("seasonalAnomalies: spike vs own-hour baseline flags; lull hour doesn't") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // hour 3 is a quiet hour (value 1) except day 9 spikes to 2;
+    // hour 5 is always loud (value 100) — loud-but-normal must NOT flag
+    val rows = (0 until 240).map { i =>
+      val pos = i % 24
+      val v = if (pos == 3 && i / 24 == 9) 2.0
+              else if (pos == 3) 1.0
+              else if (pos == 5) 100.0
+              else 10.0
+      (i * 3600L, v)
+    }.toDF("sec", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"value")
+    val got = Timeseries.seasonalAnomalies(rows, "ts", "value", 3600L, 24, 2.0)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Int]("pos") === 3)
+    assert(got.head.getAs[Long]("bin") === 9L * 24 + 3)
+  }
+
+  test("cusum: closed form equals the recursion; shift detected, stationary not") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // key "a": level shift at day 20 (0 → 3); key "b": alternating (stationary)
+    val rows = (0 until 40).flatMap { d =>
+      Seq(("a", d * 86400L, if (d >= 20) 3.0 else 0.0),
+        ("b", d * 86400L, if (d % 2 == 0) 1.0 else -1.0))
+    }.toDF("k", "sec", "value")
+      .select($"k", timestamp_seconds($"sec").as("ts"), $"value")
+    val got = Timeseries.cusum(rows, "k", "ts", "value", 86400L, 0.5, 4.0)
+      .orderBy("key", "bin").collect()
+    val a = got.filter(_.getAs[String]("key") == "a")
+    val b = got.filter(_.getAs[String]("key") == "b")
+    // global μ=1.5 splits the shifted series: the EARLY regime is 1σ below
+    // the mean, so the downward side accumulates from bin 0 and fires
+    // first (two-sided CUSUM semantics); the upward side fires after the
+    // shift. Both flag `change`, on opposite sides.
+    assert(a.take(4).forall(_.getAs[Int]("change") === 0))
+    assert(a.take(20).exists(_.getAs[Double]("s_neg") > 4.0))
+    assert(a.take(20).forall(_.getAs[Double]("s_pos") <= 4.0))
+    assert(a.drop(25).exists(_.getAs[Double]("s_pos") > 4.0))
+    assert(b.forall(_.getAs[Int]("change") === 0))
+    // replay the recursion S_i = max(0, S_{i-1} + d_i) on the driver
+    val xs = a.map(_.getAs[Double]("x"))
+    val mu = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.length)
+    var s = 0.0
+    a.zipWithIndex.foreach { case (r, i) =>
+      s = math.max(0.0, s + (xs(i) - mu) / sd - 0.5)
+      assert(math.abs(r.getAs[Double]("s_pos") - s) < 1e-6,
+        s"bin $i: ${r.getAs[Double]("s_pos")} vs $s")
+    }
+  }
 }
