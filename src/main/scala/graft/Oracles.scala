@@ -2818,5 +2818,152 @@ object Oracles {
         "SELECT key, bin, round(x, 6) AS x, s_pos, s_neg, " +
         "CAST(s_pos > 4.0 OR s_neg > 4.0 AS INT) AS change " +
         "FROM f ORDER BY 1, 2"),
+
+    // Two-sample KS: per-value counts → ECDF running sums → sup gap →
+    // the 50-term Kolmogorov series. Every stage mirrors Stats.ksTest;
+    // the series terms are exact ±1 powers times exp() of identical
+    // doubles, so round-4 on p is far outside any libm ulp drift.
+    "q208_ks_test" ->
+      ("WITH f AS (SELECT floor(value) AS v, event_type FROM events " +
+        "WHERE event_type IN ('purchase', 'view')), " +
+        "p AS (SELECT v, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb " +
+        "FROM f GROUP BY 1), " +
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS fa, " +
+        "sum(cb) OVER (ORDER BY v) AS fb FROM p), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM p), " +
+        "d AS (SELECT max(na) AS na, max(nb) AS nb, " +
+        "max(abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)) " +
+        "AS dstat FROM c, t), " +
+        "m AS (SELECT *, (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * dstat " +
+        "AS lam FROM (SELECT *, " +
+        "na * CAST(nb AS DOUBLE) / (na + nb) AS ne FROM d)), " +
+        "s AS (SELECT na, nb, dstat, " +
+        "2 * sum(power(-1.0, k - 1) * exp(-2.0 * k * k * lam * lam)) " +
+        "AS ser FROM m, range(1, 51) r(k) GROUP BY 1, 2, 3) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "round(dstat, 6) AS d_stat, " +
+        "round(least(1.0, greatest(0.0, ser)), 4) AS p_value FROM s"),
+
+    // Kendall τ-b from the joint contingency table — the oracle is the
+    // SAME domain²-cell-pair join the engine runs (never O(N²) rows);
+    // all pair products are integer-valued doubles < 2^53 at oracle
+    // scale, so the sums are exact in any order.
+    "q209_kendall_tau" ->
+      ("WITH j AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+        "CAST(l_discount AS DOUBLE) AS y, count(*) AS n " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "p AS (SELECT " +
+        "sum(CASE WHEN b.y > a.y THEN CAST(a.n AS DOUBLE) * b.n " +
+        "ELSE 0 END) AS c, " +
+        "sum(CASE WHEN b.y < a.y THEN CAST(a.n AS DOUBLE) * b.n " +
+        "ELSE 0 END) AS d " +
+        "FROM j a JOIN j b ON b.x > a.x AND b.y <> a.y), " +
+        "tx AS (SELECT sum(CAST(m AS DOUBLE) * (m - 1) / 2) AS t FROM " +
+        "(SELECT x, sum(n) AS m FROM j GROUP BY 1)), " +
+        "ty AS (SELECT sum(CAST(m AS DOUBLE) * (m - 1) / 2) AS t FROM " +
+        "(SELECT y, sum(n) AS m FROM j GROUP BY 1)), " +
+        "tot AS (SELECT sum(n) AS n FROM j) " +
+        "SELECT CAST(tot.n AS BIGINT) AS n, " +
+        "round((p.c - p.d) / sqrt(" +
+        "(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - tx.t) * " +
+        "(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ty.t)), 6) AS tau_b " +
+        "FROM p, tx, ty, tot"),
+
+    // Decile lift/gain: same deterministic score/label as q170/q199,
+    // descending-threshold running sums, each decile picks the first
+    // threshold whose cumulative rows reach k·N/10 (cum_rows is strictly
+    // increasing across thresholds, so the join-back is unique).
+    "q210_lift_gain" ->
+      ("WITH s AS (SELECT ((l_orderkey * 7 + l_linenumber) % 100) / 100.0 " +
+        "AS v, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS lbl " +
+        "FROM lineitem), " +
+        "p AS (SELECT v, count(*) AS t, sum(lbl) AS pos FROM s GROUP BY 1), " +
+        "c AS (SELECT v, sum(t) OVER (ORDER BY v DESC) AS cum_rows, " +
+        "sum(pos) OVER (ORDER BY v DESC) AS cum_pos FROM p), " +
+        "tot AS (SELECT max(cum_rows) AS n, max(cum_pos) AS np FROM c), " +
+        "pick AS (SELECT CAST(k AS INT) AS decile, " +
+        "min(cum_rows) AS cr FROM range(1, 11) r(k), tot, c " +
+        "WHERE cum_rows * 10 >= k * tot.n GROUP BY 1) " +
+        "SELECT decile, CAST(pick.cr AS BIGINT) AS cum_rows, " +
+        "CAST(c.cum_pos AS BIGINT) AS cum_pos, " +
+        "round(CAST(c.cum_pos AS DOUBLE) / tot.np, 6) AS gain, " +
+        "round((CAST(c.cum_pos AS DOUBLE) / pick.cr) / " +
+        "(CAST(tot.np AS DOUBLE) / tot.n), 6) AS lift " +
+        "FROM pick, tot, c WHERE c.cum_rows = pick.cr ORDER BY decile"),
+
+    // URL curation: the oracle replays EVERY regexp of Urls.canonicalize
+    // / registeredDomain plus the q100 md5 cap — a per-row equivalence
+    // proof of the whole canonicalization chain. DuckDB regexp_replace
+    // needs the explicit 'g' flag where Spark replaces all matches (the
+    // tracking-param strip is the only multi-match pattern here).
+    "q211_url_curation" ->
+      ("WITH raw AS (SELECT doc_id, 'HTTPS://WWW.' || source || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443' " +
+        "WHEN doc_id % 3 = 1 THEN '.sample.CO.UK:443' " +
+        "ELSE '.test.ORG' END || " +
+        "'/Docs/' || CAST(doc_id AS VARCHAR) || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=feed&utm_campaign=c' " +
+        "|| CAST(doc_id % 5 AS VARCHAR) " +
+        "WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) " +
+        "|| '&utm_medium=email' " +
+        "WHEN doc_id % 4 = 2 THEN '/' ELSE '?a=1&b=2' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END AS u0 " +
+        "FROM documents), " +
+        "s1 AS (SELECT doc_id, regexp_replace(u0, '#.*$', '') AS u " +
+        "FROM raw), " +
+        "parsed AS (SELECT doc_id, " +
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) " +
+        "AS sch, " +
+        "lower(regexp_extract(u, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp, " +
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) " +
+        "AS rest FROM s1), " +
+        "parts AS (SELECT doc_id, sch, " +
+        "regexp_replace(regexp_replace(hp, ':[0-9]+$', ''), " +
+        "'^www\\.', '') AS host, " +
+        "regexp_extract(hp, ':([0-9]+)$', 1) AS prt, " +
+        "regexp_extract(rest, '^([^?]*)', 1) AS path, " +
+        "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM parsed), " +
+        "clean AS (SELECT doc_id, sch, host, prt, " +
+        "CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/' " +
+        "ELSE regexp_replace(path, '/$', '') END AS cpath, " +
+        "regexp_replace(regexp_replace(query, " +
+        "'(?:^|&)(?:utm_[A-Za-z]+|fbclid|gclid|msclkid|mc_eid|igshid)" +
+        "=[^&]*', '', 'g'), '^&', '') AS cq FROM parts), " +
+        "canon AS (SELECT doc_id, sch || '://' || host || " +
+        "CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443') " +
+        "OR (sch = 'http' AND prt = '80')) THEN ':' || prt ELSE '' END " +
+        "|| cpath || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END " +
+        "AS url, " +
+        "CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN " +
+        "('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au', " +
+        "'org.au', 'co.jp', 'or.jp', 'ne.jp', 'com.br', 'com.cn', " +
+        "'com.mx', 'co.in', 'co.kr', 'co.za', 'com.tr', 'com.ar') " +
+        "AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> '' " +
+        "THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) " +
+        "WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> '' " +
+        "THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) " +
+        "ELSE host END AS domain FROM clean), " +
+        "capped AS (SELECT doc_id, url, domain, row_number() OVER " +
+        "(PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), " +
+        "doc_id) AS rn FROM canon) " +
+        "SELECT doc_id, url, domain FROM capped WHERE rn <= 60 " +
+        "ORDER BY doc_id"),
+
+    // Top 3-step paths: one user-keyed window, two leads, support by
+    // distinct users; (n_users DESC, path) is a total order so the
+    // top-20 cut is deterministic in both engines.
+    "q212_top_paths" ->
+      ("WITH o AS (SELECT user_id, event_type AS s1, " +
+        "lead(event_type, 1) OVER w AS s2, " +
+        "lead(event_type, 2) OVER w AS s3 FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT user_id, s1 || '>' || s2 || '>' || s3 AS path " +
+        "FROM o WHERE s2 IS NOT NULL AND s3 IS NOT NULL) " +
+        "SELECT path, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_occurrences FROM p GROUP BY 1 " +
+        "ORDER BY n_users DESC, path LIMIT 20"),
   )
 }

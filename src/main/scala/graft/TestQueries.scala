@@ -3011,6 +3011,88 @@ object TestQueries {
         col("s_pos"), col("s_neg"), col("change"))
       .orderBy("key", "bin")
 
+  /** Two-sample Kolmogorov–Smirnov ([[operators.Stats.ksTest]]): did the
+    * purchase-event value DISTRIBUTION differ from the view-event one —
+    * values quantized to integers (the rank family's bounded-domain
+    * contract). DuckDB replays the per-value counts, the ECDF running
+    * sums, the sup-gap and the 50-term Kolmogorov p-value series exactly.
+    */
+  def q208KsTest(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.ksTest(
+        t(s, dir, "events").withColumn("v", floor(col("value"))),
+        "v", "event_type", groupA = "purchase", groupB = "view")
+      .select(col("n_a"), col("n_b"), round(col("d_stat"), 6).as("d_stat"),
+        round(col("p_value"), 4).as("p_value"))
+
+  /** Kendall τ-b ([[operators.Stats.kendallTau]]) between l_quantity
+    * (50-value domain) and l_discount (11-value domain) — the
+    * contingency-table formulation, so DuckDB's oracle is the same
+    * cell-pair double-sum join, never an O(N²) row self-join.
+    */
+  def q209KendallTau(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.kendallTau(t(s, dir, "lineitem"),
+        "l_quantity", "l_discount")
+      .select(col("n"), round(col("tau_b"), 6).as("tau_b"))
+
+  /** Decile lift/gain ([[operators.Stats.liftGain]]) on the same
+    * deterministic score/label pair the calibration and ROC queries use
+    * (score = hash-ish of the order key, label = quantity > 25), so the
+    * whole classifier-eval family reads off one corpus.
+    */
+  def q210LiftGain(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.liftGain(
+        t(s, dir, "lineitem")
+          .withColumn("score",
+            ((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / 100.0)
+          .withColumn("label", (col("l_quantity") > 25).cast("int")),
+        "score", "label")
+      .select(col("decile"), col("cum_rows"), col("cum_pos"),
+        round(col("gain"), 6).as("gain"), round(col("lift"), 6).as("lift"))
+
+  /** URL curation ([[functions.Urls]]): messy crawl URLs are synthesized
+    * DETERMINISTICALLY from document fields (mixed-case scheme/host,
+    * default ports, `www.`, tracking params, fragments, trailing slashes,
+    * three TLD shapes incl. a two-level public suffix), canonicalized,
+    * grouped to registered domains, and capped per domain with the same
+    * md5-order recipe as q100. Per-ROW hash compare: the oracle replays
+    * every regexp of the canonicalizer, so a match is an equivalence
+    * proof of the whole chain, not just of an aggregate.
+    */
+  def q211UrlCuration(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val messy = concat(
+      lit("HTTPS://WWW."), col("source"),
+      when(d % 3 === 0, lit(".Example.COM:443"))
+        .when(d % 3 === 1, lit(".sample.CO.UK:443"))
+        .otherwise(lit(".test.ORG")),
+      lit("/Docs/"), d.cast("string"),
+      when(d % 4 === 0,
+        concat(lit("/?utm_source=feed&utm_campaign=c"),
+          (d % 5).cast("string")))
+        .when(d % 4 === 1,
+          concat(lit("?id="), (d % 7).cast("string"),
+            lit("&utm_medium=email")))
+        .when(d % 4 === 2, lit("/"))
+        .otherwise(lit("?a=1&b=2")),
+      when(d % 3 === 0, lit("#sec")).otherwise(lit("")))
+    val canon = t(s, dir, "documents")
+      .withColumn("url", functions.Urls.canonicalize(messy))
+      .withColumn("domain",
+        functions.Urls.registeredDomain(functions.Urls.host(messy)))
+    operators.Splits.balancedDownsample(canon, Seq("domain"), 60L, "doc_id")
+      .select(col("doc_id"), col("url"), col("domain"))
+      .orderBy("doc_id")
+  }
+
+  /** Top consecutive 3-step event paths
+    * ([[operators.EventAnalytics.topPaths]]): one user-keyed window feeds
+    * both leads; DuckDB replays the window, the path concat and the
+    * support ordering (total order: support desc, then path).
+    */
+  def q212TopPaths(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.topPaths(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", steps = 3, topK = 20)
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3176,6 +3258,11 @@ object TestQueries {
     "q205_seasonal" -> (q205Seasonal _),
     "q206_seasonal_anomaly" -> (q206SeasonalAnomaly _),
     "q207_cusum" -> (q207Cusum _),
+    "q208_ks_test" -> (q208KsTest _),
+    "q209_kendall_tau" -> (q209KendallTau _),
+    "q210_lift_gain" -> (q210LiftGain _),
+    "q211_url_curation" -> (q211UrlCuration _),
+    "q212_top_paths" -> (q212TopPaths _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -236,4 +236,49 @@ object EventAnalytics {
         (col("n_both") / col("n_ante")).as("confidence"),
         (col("n_both") * n / (col("n_ante") * col("n_cons"))).as("lift"))
   }
+
+  /** Top-k CONSECUTIVE event paths of length `steps`: the sequential
+    * sibling of [[transitionCounts]] (which only sees 2-grams) — every
+    * run of `steps` back-to-back events inside a user's timeline becomes
+    * one path string, counted by distinct users (support) and total
+    * occurrences. The "what do users actually do in order" query that
+    * association rules (basket, orderless) cannot answer.
+    *
+    * Shape for scale: ONE shuffle on the user key feeds all `steps−1`
+    * `lead`s (a single per-user sort window — no self-joins, where the
+    * textbook k-way sequence join shuffles the log k times), then a
+    * path-keyed count aggregate; the bounded path domain (|event types|^
+    * steps) makes the final top-k a TakeOrderedAndProject. Ordering ties
+    * on `tsCol` break by `tieCol` so paths are a pure function of the
+    * data. Returns `topK` rows: (path, n_users, n_occurrences), ordered
+    * by support then path (a total order — the cut is deterministic).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, typeCol: String, steps: Int,
+               topK: Int, sep: String = ">"): DataFrame = {
+    require(steps >= 2, s"a path needs at least 2 steps: $steps")
+    require(topK >= 1, s"topK must be positive: $topK")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val stepCols = (0 until steps).map { i =>
+      if (i == 0) col(typeCol).as("__s0")
+      else lead(col(typeCol), i).over(w).as(s"__s$i")
+    }
+    events
+      .select(col(userCol).as("__u") +: stepCols: _*)
+      .where((1 until steps).map(i => col(s"__s$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("__u"),
+        concat_ws(sep, (0 until steps).map(i => col(s"__s$i")): _*)
+          .as("path"))
+      // two-level aggregate instead of countDistinct: the per-(path,user)
+      // partial collapses map-side, where a distinct-agg would expand
+      // every row 2× before the shuffle
+      .groupBy("path", "__u")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"), sum("__c").as("n_occurrences"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
 }

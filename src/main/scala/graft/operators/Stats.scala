@@ -443,4 +443,145 @@ object Stats {
       .withColumn("at_risk_share",
         col("rows_below_k") / col("n_rows").cast("double"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test: D = sup |F_A(v) − F_B(v)| over
+    * the merged value domain, plus the asymptotic two-sided p-value from
+    * the Kolmogorov distribution (2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²},
+    * truncated at 50 terms — far below double precision already at λ>0.3)
+    * with the usual finite-sample correction
+    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_a·n_b/(n_a+n_b).
+    *
+    * The distribution-shape sibling of [[mannWhitney]] (which only sees
+    * location): did this vintage's quality-score DISTRIBUTION change, not
+    * just its median. Same bounded-value-domain contract as the whole
+    * rank family — counts collapse per distinct value (quantize continuous
+    * measures first), the window runs over distinct values only, and the
+    * final p-value series is a single one-row HOF over a 50-element
+    * literal sequence. Returns ONE row: (n_a, n_b, d_stat, p_value).
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val per = df.where(g.isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint() // feeds both the ECDF pass and the totals
+    val tot = per.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__fa", sum("__ca").over(w))
+      .withColumn("__fb", sum("__cb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max(abs(col("__fa").cast("double") / col("__na") -
+          col("__fb").cast("double") / col("__nb"))).as("d_stat"))
+      .withColumn("__ne",
+        col("n_a").cast("double") * col("n_b") / (col("n_a") + col("n_b")))
+      .withColumn("__lam",
+        (sqrt(col("__ne")) + lit(0.12) + lit(0.11) / sqrt(col("__ne"))) *
+          col("d_stat"))
+      .withColumn("p_value",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(2.0) * aggregate(sequence(lit(1), lit(50)), lit(0.0),
+            (acc, k) => acc +
+              pow(lit(-1.0), k.cast("double") - 1) *
+                exp(lit(-2.0) * k.cast("double") * k.cast("double") *
+                  col("__lam") * col("__lam"))))))
+      .select(col("n_a"), col("n_b"), col("d_stat"), col("p_value"))
+  }
+
+  /** Kendall rank correlation τ-b between two BOUNDED-domain columns,
+    * computed from the joint contingency table, never from row pairs:
+    * concordant/discordant counts are Σ n_xy·n_x'y' over cell pairs with
+    * x'>x and y'>y (resp. y'<y), and the tie terms come from the
+    * marginals — so the work is |domain(x)|·|domain(y)| squared (a few
+    * hundred thousand cell pairs for 50×11 domains) regardless of row
+    * count, where the textbook all-pairs formulation is O(N²).
+    *
+    * Pair products are summed in DOUBLE: at 100 TB, N² concordant pairs
+    * (~10²⁴) overflows int64 long before it troubles a double's range,
+    * and τ only ever consumes the ratio. Quantize continuous columns
+    * first (same contract as [[spearman]], which this complements: ρ
+    * weights by rank distance, τ counts inversions). Returns ONE row:
+    * (n, tau_b).
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .groupBy(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds the self-join twice plus both marginals
+    val a = joint.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__n").cast("double").as("__na"))
+    val b = joint.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__n").cast("double").as("__nb"))
+    // one broadcast-nested-loop pass over cell pairs; the grid is tiny
+    val pairs = a.join(broadcast(b),
+        col("__xb") > col("__xa") && col("__yb") =!= col("__ya"))
+      .agg(
+        sum(when(col("__yb") > col("__ya"),
+          col("__na") * col("__nb")).otherwise(0.0)).as("__c"),
+        sum(when(col("__yb") < col("__ya"),
+          col("__na") * col("__nb")).otherwise(0.0)).as("__d"))
+    def tiePairs(c: String): DataFrame = joint.groupBy(col(c))
+      .agg(sum("__n").as("__m"))
+      .agg(sum(col("__m").cast("double") * (col("__m") - 1) / 2).as("__t"))
+    val n = joint.agg(sum("__n").as("n"))
+    n.crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(tiePairs("__x").withColumnRenamed("__t", "__tx")))
+      .crossJoin(broadcast(tiePairs("__y").withColumnRenamed("__t", "__ty")))
+      .withColumn("__n0", col("n").cast("double") * (col("n") - 1) / 2)
+      .withColumn("tau_b",
+        (col("__c") - col("__d")) /
+          sqrt((col("__n0") - col("__tx")) * (col("__n0") - col("__ty"))))
+      .select(col("n"), col("tau_b"))
+  }
+
+  /** Decile lift-and-gain table for a scored binary classifier: rank the
+    * population by score descending, cut it into tenths, and report per
+    * decile the cumulative capture of positives (gain) and the
+    * concentration vs the base rate (lift) — the "how deep do I have to
+    * dip into model-ranked documents to harvest 80 % of the good ones"
+    * curve that sizes a curation budget.
+    *
+    * No ntile, no global row sort: scores collapse per distinct value
+    * (bounded-domain contract), a descending running sum over the value
+    * domain yields cumulative rows/positives per threshold, and each
+    * decile boundary then picks the FIRST threshold whose cumulative row
+    * count reaches k·N/10 — a 10-row broadcast joined against the
+    * threshold table. Matches exact descending-score deciles up to ties
+    * (a tied block lands wholly in the decile its last row reaches).
+    * Returns 10 rows: (decile, cum_rows, cum_pos, gain, lift).
+    */
+  def liftGain(df: DataFrame, scoreCol: String, labelCol: String)
+  : DataFrame = {
+    val lbl = col(labelCol).cast("double") > 0
+    val per = df.groupBy(col(scoreCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(lbl, 1L).otherwise(0L)).as("__pos"))
+    val w = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("__cum_rows", sum("__t").over(w))
+      .withColumn("__cum_pos", sum("__pos").over(w))
+      .localCheckpoint() // consumed once per decile probe + the totals
+    val tot = cum.agg(max("__cum_rows").as("__n"),
+      max("__cum_pos").as("__p"))
+    val deciles = cum.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+    deciles.crossJoin(broadcast(tot))
+      .join(broadcast(cum),
+        col("__cum_rows") * 10 >= col("decile") * col("__n"))
+      .groupBy(col("decile"), col("__n"), col("__p"))
+      .agg(min(struct(col("__cum_rows"), col("__cum_pos"))).as("__fst"))
+      .select(col("decile"),
+        col("__fst.__cum_rows").as("cum_rows"),
+        col("__fst.__cum_pos").as("cum_pos"),
+        (col("__fst.__cum_pos").cast("double") / col("__p")).as("gain"),
+        ((col("__fst.__cum_pos").cast("double") / col("__fst.__cum_rows")) /
+          (col("__p").cast("double") / col("__n"))).as("lift"))
+      .orderBy("decile")
+  }
 }

@@ -187,4 +187,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // four items; with distinct baskets y and z never share a basket
     assert(got === Set(("x", "y"), ("y", "x"), ("x", "z"), ("z", "x")))
   }
+
+  test("topPaths: consecutive 3-step runs with per-user support") {
+    val rows = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "C"))
+      .toDF("user_id", "seq", "event_type")
+      .withColumn("ts", col("seq").cast("timestamp"))
+    val got = EventAnalytics.topPaths(rows, "user_id", "ts", "seq",
+        "event_type", steps = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A>B>C", 2L, 2L), ("B>C>D", 1L, 1L)))
+  }
+
+  test("topPaths: equal timestamps break by the tie column") {
+    // both events at ts=1: order must follow seq, giving X>Y>Z not X>Z>Y
+    val rows = Seq(
+      (1L, 1L, 1L, "X"), (1L, 1L, 2L, "Y"), (1L, 2L, 3L, "Z"))
+      .toDF("user_id", "t", "seq", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = EventAnalytics.topPaths(rows, "user_id", "ts", "seq",
+        "event_type", steps = 3, topK = 5)
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("X>Y>Z"))
+  }
 }

@@ -225,4 +225,81 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("rows_below_k") === 3L)
     assert(d(r.getAs[Double]("at_risk_share"), 3.0 / 8))
   }
+
+  test("ksTest: sup ECDF gap and Kolmogorov p against the closed form") {
+    val rows = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (3.0, "b"), (4.0, "b"), (5.0, "b")).toDF("v", "g")
+    val r = Stats.ksTest(rows, "v", "g", "a", "b").head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    // F_a = (1/3, 2/3, 1, 1, 1), F_b = (0, 0, 1/3, 2/3, 1) → D = 2/3
+    assert(d(r.getAs[Double]("d_stat"), 2.0 / 3.0))
+    val ne = 3.0 * 3 / 6
+    val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * (2.0 / 3.0)
+    val p = 2.0 * (1 to 50).map(k =>
+      math.pow(-1.0, k - 1) * math.exp(-2.0 * k * k * lam * lam)).sum
+    assert(d(r.getAs[Double]("p_value"), p, 1e-9))
+  }
+
+  test("ksTest: identical samples give D = 0, p clamps to 1") {
+    val rows = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("v", "g")
+    val r = Stats.ksTest(rows, "v", "g", "a", "b").head()
+    assert(d(r.getAs[Double]("d_stat"), 0.0))
+    // λ = 0 → every series term is 1 and the raw sum diverges from the
+    // true limit; the [0, 1] clamp pins the degenerate case
+    assert(r.getAs[Double]("p_value") <= 1.0)
+    assert(r.getAs[Double]("p_value") >= 0.0)
+  }
+
+  test("kendallTau: hand-counted concordant/discordant/tie fixture") {
+    // pairs: C=5, D=1, x-ties n1=2, y-ties n2=2, n0=10 → τb = 4/8
+    val rows = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 3)).toDF("x", "y")
+    val r = Stats.kendallTau(rows, "x", "y").head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(d(r.getAs[Double]("tau_b"), 0.5))
+  }
+
+  test("kendallTau: perfect monotone and perfect inverse") {
+    val up = Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y")
+    assert(d(Stats.kendallTau(up, "x", "y").head().getAs[Double]("tau_b"),
+      1.0))
+    val down = Seq((1, 30), (2, 20), (3, 10)).toDF("x", "y")
+    assert(d(Stats.kendallTau(down, "x", "y").head().getAs[Double]("tau_b"),
+      -1.0))
+  }
+
+  test("liftGain: distinct-score deciles from first principles") {
+    // 10 rows, scores 1.0 down to 0.1; the top 3 scores are the positives
+    val rows = (1 to 10).map(i => (i / 10.0, if (i >= 8) 1 else 0))
+      .toDF("score", "label")
+    val lg = Stats.liftGain(rows, "score", "label").collect()
+    assert(lg.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    assert(lg.map(_.getAs[Long]("cum_rows")).toSeq ===
+      (1L to 10L))
+    val r1 = lg(0)
+    assert(r1.getAs[Long]("cum_pos") === 1L)
+    assert(d(r1.getAs[Double]("gain"), 1.0 / 3))
+    assert(d(r1.getAs[Double]("lift"), (1.0 / 1) / 0.3))
+    val r3 = lg(2)
+    assert(r3.getAs[Long]("cum_pos") === 3L)
+    assert(d(r3.getAs[Double]("gain"), 1.0))
+    assert(d(r3.getAs[Double]("lift"), 10.0 / 3))
+    val r10 = lg(9)
+    assert(d(r10.getAs[Double]("gain"), 1.0))
+    assert(d(r10.getAs[Double]("lift"), 1.0))
+  }
+
+  test("liftGain: a tied block lands in the decile its last row reaches") {
+    // 4 rows of score 0.9 then 6 of 0.1: decile 1 target is 1 row, but
+    // the first threshold already carries 4 rows — deciles 1..4 all pick
+    // the 4-row threshold
+    val rows = (Seq.fill(4)((0.9, 1)) ++ Seq.fill(6)((0.1, 0)))
+      .toDF("score", "label")
+    val lg = Stats.liftGain(rows, "score", "label").collect()
+    assert(lg.take(4).map(_.getAs[Long]("cum_rows")).toSeq ===
+      Seq(4L, 4L, 4L, 4L))
+    assert(lg.map(_.getAs[Long]("cum_rows")).last === 10L)
+    assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
+  }
 }
