@@ -2965,5 +2965,74 @@ object Oracles {
         "SELECT path, count(DISTINCT user_id) AS n_users, " +
         "count(*) AS n_occurrences FROM p GROUP BY 1 " +
         "ORDER BY n_users DESC, path LIMIT 20"),
+
+    // Signed random projection: DuckDB rebuilds the quadratic-
+    // congruential ±1 matrix with integer mod arithmetic and replays the
+    // dot product as an in-order list_transform/list_sum — same ascending
+    // element order as Spark's aggregate() fold, so the double sums are
+    // bit-compatible well inside round-6.
+    "q213_random_projection" ->
+      ("SELECT vec_id, CAST(j AS INT) AS dim, " +
+        "round(list_sum(list_transform(range(1, 65), i -> " +
+        "(CASE WHEN ((i-1)*(i-1)*7919 + (i-1+42)*(j+13)*104729 " +
+        "+ j*j*131) % 10007 < 5004 THEN 1.0 ELSE -1.0 END) * " +
+        "CAST(embedding[i] AS DOUBLE))), 6) AS proj " +
+        "FROM embeddings, range(0, 16) r(j) ORDER BY vec_id, dim"),
+
+    // Interpolated Kneser–Ney: q110's n-gram CTEs plus the two fertility
+    // tables (distinct continuations per context, distinct contexts per
+    // word); the +1/(B+V)-smoothed continuation term matches the engine's
+    // documented deviation from the textbook formula.
+    "q214_kneser_ney" ->
+      ("WITH rt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') " +
+        "AS t FROM documents WHERE source IN " +
+        "('src0','src1','src2','src3','src4') " +
+        "AND length(trim(text)) > 0), " +
+        "c1 AS (SELECT tok, count(*) AS c FROM " +
+        "(SELECT unnest(t) AS tok FROM rt) GROUP BY 1), " +
+        "c2 AS (SELECT bg, count(*) AS c FROM " +
+        "(SELECT unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS bg FROM rt WHERE len(t) >= 2) " +
+        "GROUP BY 1), " +
+        "fert AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS f " +
+        "FROM c2 GROUP BY 1), " +
+        "cont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS f " +
+        "FROM c2 GROUP BY 1), " +
+        "s AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM c2) AS b, " +
+        "(SELECT CAST(count(*) AS DOUBLE) FROM c1) AS v), " +
+        "dt AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "db AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+        "for i in range(1, len(t))]) AS bg FROM dt WHERE len(t) >= 2) " +
+        "SELECT db.doc_id, round(avg(-ln(" +
+        "CASE WHEN c1a.c IS NULL OR fert.f IS NULL " +
+        "THEN (coalesce(cont.f, 0) + 1.0) / (s.b + s.v) " +
+        "ELSE greatest(coalesce(c2.c, 0) - 0.75, 0) / c1a.c " +
+        "+ 0.75 * fert.f / c1a.c * " +
+        "((coalesce(cont.f, 0) + 1.0) / (s.b + s.v)) END)), 4) AS nll_kn, " +
+        "CAST(count(*) AS BIGINT) AS n_bigrams " +
+        "FROM db LEFT JOIN c2 ON db.bg = c2.bg " +
+        "LEFT JOIN c1 c1a ON split_part(db.bg, ' ', 1) = c1a.tok " +
+        "LEFT JOIN fert ON split_part(db.bg, ' ', 1) = fert.w1 " +
+        "LEFT JOIN cont ON split_part(db.bg, ' ', 2) = cont.w2 " +
+        "CROSS JOIN s GROUP BY 1 ORDER BY 1"),
+
+    // Quantile normalization: per-group midpoint ECDF, global ECDF over
+    // the same distinct-value table, inverse CDF via min-over-inequality
+    // — every division is the same exact-integer-over-double quotient in
+    // both engines, so the >= boundary decisions agree bitwise.
+    "q215_quantile_norm" ->
+      ("WITH per AS (SELECT event_type AS g, floor(value) AS v, " +
+        "count(*) AS t FROM events GROUP BY 1, 2), " +
+        "grp AS (SELECT g, v, t, " +
+        "sum(t) OVER (PARTITION BY g ORDER BY v) AS cum, " +
+        "sum(t) OVER (PARTITION BY g) AS n FROM per), " +
+        "gp AS (SELECT g, v, (cum - t / 2.0) / n AS p FROM grp), " +
+        "gl AS (SELECT v AS gv, sum(t) AS gt FROM per GROUP BY 1), " +
+        "ge AS (SELECT gv, CAST(sum(gt) OVER (ORDER BY gv) AS DOUBLE) / " +
+        "(SELECT sum(gt) FROM gl) AS gecdf FROM gl) " +
+        "SELECT g AS event_type, v, round(p, 6) AS p, min(gv) AS mapped " +
+        "FROM gp JOIN ge ON gecdf >= p GROUP BY 1, 2, 3 ORDER BY 1, 2"),
   )
 }

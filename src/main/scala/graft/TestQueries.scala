@@ -3093,6 +3093,51 @@ object TestQueries {
     operators.EventAnalytics.topPaths(t(s, dir, "events"),
       "user_id", "ts", "event_id", "event_type", steps = 3, topK = 20)
 
+  /** Signed random projection 64→16
+    * ([[operators.EmbeddingStats.signedRandomProjection]]): the
+    * quadratic-congruential sign matrix lets DuckDB rebuild the exact
+    * projection with integer mod arithmetic and a list_transform dot
+    * product — a per-(vector, output-dim) hash-equivalence proof of the
+    * whole JL reducer.
+    */
+  def q213RandomProjection(s: SparkSession, dir: String): DataFrame =
+    operators.EmbeddingStats.signedRandomProjection(
+        t(s, dir, "embeddings"), "embedding", inDim = 64, outDim = 16)
+      .select(col("vec_id"), posexplode(col("rp")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        round(col("col"), 6).as("proj"))
+      .orderBy("vec_id", "dim")
+
+  /** Interpolated Kneser–Ney scoring
+    * ([[operators.Quality.kneserNeyLogProb]]) against the same trusted
+    * src0–src4 reference corpus as q110 — the oracle extends q110's
+    * n-gram CTEs with both fertility tables and replays the discounted
+    * interpolation exactly.
+    */
+  def q214KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = docs.where(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"))
+    operators.Quality.kneserNeyLogProb(docs, ref, "doc_id", "text")
+      .select(col("doc_id"), round(col("nll_kn"), 4).as("nll_kn"),
+        col("n_bigrams").cast("long").as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source quantile normalization
+    * ([[operators.Analytics.quantileNormalize]]): event values quantized
+    * to integers, each event type's distribution mapped onto the global
+    * one — DuckDB replays the per-group midpoint ECDF, the global ECDF
+    * and the inverse-CDF inequality join.
+    */
+  def q215QuantileNorm(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.quantileNormalize(
+        t(s, dir, "events").withColumn("v", floor(col("value"))),
+        "event_type", "v")
+      .select(col("event_type"), col("v"), round(col("p"), 6).as("p"),
+        col("mapped"))
+      .orderBy("event_type", "v")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3263,6 +3308,9 @@ object TestQueries {
     "q210_lift_gain" -> (q210LiftGain _),
     "q211_url_curation" -> (q211UrlCuration _),
     "q212_top_paths" -> (q212TopPaths _),
+    "q213_random_projection" -> (q213RandomProjection _),
+    "q214_kneser_ney" -> (q214KneserNey _),
+    "q215_quantile_norm" -> (q215QuantileNorm _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

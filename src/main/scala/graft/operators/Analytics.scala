@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Typed query-template API — the Scala embodiment of the reference's five
@@ -306,5 +307,51 @@ object Analytics {
           .otherwise(greatest(lit(-clip), least(lit(clip),
             (v - col("__med")) / (col("__q75") - col("__q25"))))))
       .drop("__q25", "__med", "__q75")
+  }
+
+  /** Cross-group quantile normalization: map every group's value
+    * distribution onto the GLOBAL distribution, so a score of "p-th
+    * percentile within source X" becomes the value the WHOLE corpus has
+    * at percentile p — the cross-source score harmonizer (one source's
+    * quality scorer runs hot, another cold; after this, "keep score ≥ t"
+    * cuts every source at the same population depth).
+    *
+    * Value-domain formulation end to end (quantize continuous scores
+    * first): per-(group, value) counts with a running sum give each
+    * value its midpoint ECDF p = (cum − t/2)/n INSIDE its group; the
+    * global distinct-value table gets its own ECDF; the mapped value is
+    * the smallest global value whose ECDF reaches p (the inverse-CDF
+    * convention). Work is |group domain| × |global domain| through one
+    * broadcast inequality join — never row-scale pairs — and windows run
+    * over distinct values only. Returns one row per (group, value):
+    * (groupCol, valueCol, p, mapped).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.groupBy(col(groupCol).as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .localCheckpoint() // group ECDF + the global table share it
+    val wg = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = per
+      .withColumn("__cum", sum("__t").over(wg))
+      .withColumn("__n", sum("__t").over(Window.partitionBy("__g")))
+      .withColumn("p",
+        (col("__cum") - col("__t") / 2.0) / col("__n"))
+    val wAll = Window.orderBy("__gv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = per.groupBy(col("__v").as("__gv"))
+      .agg(sum("__t").as("__gt"))
+      .withColumn("__gcum", sum("__gt").over(wAll))
+      .withColumn("__gn", sum("__gt").over(
+        Window.partitionBy(lit(1))))
+      .withColumn("__gecdf", col("__gcum").cast("double") / col("__gn"))
+      .select("__gv", "__gecdf")
+    grp.join(broadcast(glob), col("__gecdf") >= col("p"))
+      .groupBy(col("__g"), col("__v"), col("p"))
+      .agg(min("__gv").as("mapped"))
+      .select(col("__g").as(groupCol), col("__v").as(valueCol),
+        col("p"), col("mapped"))
   }
 }

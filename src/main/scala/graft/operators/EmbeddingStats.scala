@@ -211,4 +211,41 @@ object EmbeddingStats {
     })
     (df.select(col(idCol), codes.as("codes")), stats)
   }
+
+  /** Signed (±1) random projection — the Johnson–Lindenstrauss dimension
+    * reducer in Achlioptas's database-friendly form (Achlioptas 2003:
+    * ±1 entries preserve pairwise distances as well as Gaussians):
+    * `rp[j] = Σᵢ s(i,j)·v[i]`, shrinking `inDim`-d embeddings to
+    * `outDim`-d at scan speed. The cheap prefilter in front of exact
+    * cosine: at 100 TB, fetching 64→16 dims per candidate quarters the
+    * shuffle and cache volume of every downstream ANN/dedup pass, and
+    * cosine is scale-invariant so the projection needs no 1/√outDim
+    * rescale for ranking use.
+    *
+    * The sign matrix is DETERMINISTIC from a quadratic congruential mix
+    * of (i, j, seed) — chosen over xxhash64 deliberately: a plain-SQL
+    * oracle can replay integer multiply/mod exactly, making the whole
+    * projection hash-checkable (production callers can swap any hash; the
+    * JL bound only needs near-independent signs). All work is scan-side
+    * HOFs over a literal matrix: no shuffle, no join, no UDF.
+    */
+  def signedRandomProjection(df: DataFrame, vecCol: String, inDim: Int,
+                             outDim: Int, seed: Long = 42L,
+                             outCol: String = "rp"): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim ≤ inDim: $outDim/$inDim")
+    def sign(i: Int, j: Int): Double = {
+      val h = (i.toLong * i * 7919 + (i + seed) * (j + 13) * 104729 +
+        j.toLong * j * 131) % 10007
+      if (h < 5004) 1.0 else -1.0
+    }
+    val dirs = (0 until outDim).map(j => Array.tabulate(inDim)(sign(_, j)))
+    // bind the cast ONCE as a projected column before the HOF lambdas
+    // (interpreted lambdas re-evaluate captured expressions per element)
+    val bound = df.withColumn("__v", col(vecCol).cast("array<double>"))
+    bound.withColumn(outCol, array(dirs.map { dir =>
+      aggregate(zip_with(col("__v"), lit(dir), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)).drop("__v")
+  }
 }

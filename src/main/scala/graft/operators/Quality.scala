@@ -287,6 +287,75 @@ object Quality {
         avg(-log(col("__s"))).as("nll_bg"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form) — the stronger sibling of
+    * [[bigramLogProb]]'s stupid backoff, and the model CCNet-style
+    * perplexity filtering actually wants: continuation probability ranks
+    * words by how many CONTEXTS they follow, so "francisco" (frequent but
+    * only after "san") stops looking like a plausible continuation
+    * everywhere.
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − d, 0)/c(w₁)
+    *            + d·N₁₊(w₁,·)/c(w₁) · P_cont(w₂)
+    *   P_cont(w₂) = (N₁₊(·,w₂) + 1) / (B + V)
+    *
+    * with d the absolute discount, N₁₊(w₁,·) the distinct continuations
+    * of w₁, N₁₊(·,w₂) the distinct contexts of w₂, B the distinct-bigram
+    * count and V the vocabulary size. The continuation term carries +1/+V
+    * smoothing (a deviation from the textbook, documented here) so
+    * out-of-reference words score finitely instead of −ln 0; contexts the
+    * reference never saw fall straight through to P_cont.
+    *
+    * Shape for scale: identical to [[bigramLogProb]] — reference n-gram
+    * counts and the two fertility tables are vocabulary-sized aggregates,
+    * scoring joins run over DISTINCT doc bigrams only, and the per-doc
+    * NLL is one partial-aggregable avg. Returns (idCol, nll_kn,
+    * n_bigrams).
+    */
+  def kneserNeyLogProb(df: DataFrame, reference: DataFrame, idCol: String,
+                       textCol: String, discount: Double = 0.75)
+  : DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    def grams(d: DataFrame, n: Int, ids: Seq[Column]) =
+      d.where(graft.functions.Text.tokenCount(col(textCol)) >= n)
+        .select(ids :+
+          explode(graft.functions.Text.shingles(col(textCol), n)).as("__g"): _*)
+    val c1 = grams(reference, 1, Nil).groupBy("__g")
+      .agg(count(lit(1)).as("__c1"))
+    val c2 = grams(reference, 2, Nil).groupBy("__g")
+      .agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", substring_index(col("__g"), " ", 1))
+      .withColumn("__w2", substring_index(col("__g"), " ", -1))
+      .withColumnRenamed("__g", "__bg")
+      .localCheckpoint() // feeds both fertility aggregates + the scorer
+    // N1+(w1,·) / N1+(·,w2): row counts of the bigram table, per side
+    val fert = c2.groupBy("__w1").agg(count(lit(1)).as("__fert"))
+    val cont = c2.groupBy("__w2").agg(count(lit(1)).as("__cont"))
+    val scal = c2.agg(count(lit(1)).cast("double").as("__b"))
+      .crossJoin(c1.agg(count(lit(1)).cast("double").as("__v")))
+    val docBg = grams(df, 2, Seq(col(idCol))).withColumnRenamed("__g", "__bg")
+    val scoredBg = docBg.select("__bg").distinct()
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .withColumn("__w2", substring_index(col("__bg"), " ", -1))
+      .join(c2.select("__bg", "__c2"), Seq("__bg"), "left")
+      .join(c1.withColumnRenamed("__g", "__w1"), Seq("__w1"), "left")
+      .join(fert, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("__pc",
+        (coalesce(col("__cont"), lit(0L)) + 1.0) / (col("__b") + col("__v")))
+      .select(col("__bg"),
+        when(col("__c1").isNull || col("__fert").isNull, col("__pc"))
+          .otherwise(
+            greatest(coalesce(col("__c2"), lit(0L)) - discount, lit(0.0)) /
+              col("__c1") +
+              lit(discount) * col("__fert") / col("__c1") * col("__pc"))
+          .as("__s"))
+    docBg.join(scoredBg, Seq("__bg"))
+      .groupBy(col(idCol)).agg(
+        avg(-log(col("__s"))).as("nll_kn"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** CCNet-style perplexity tiers (Wenzek et al. 2020): score every doc's
     * [[bigramLogProb]] NLL against a trusted `reference` corpus, then cut
     * the corpus into `numTiers` equal-population tiers by NLL quantile —

@@ -124,4 +124,49 @@ class EmbeddingStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("signedRandomProjection: matches the sign matrix recomputed by hand") {
+    import org.apache.spark.sql.functions.col
+    val seed = 42L
+    def sign(i: Int, j: Int): Double = {
+      val h = (i.toLong * i * 7919 + (i + seed) * (j + 13) * 104729 +
+        j.toLong * j * 131) % 10007
+      if (h < 5004) 1.0 else -1.0
+    }
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Array(0.0f, -1.0f, 4.0f, 2.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = EmbeddingStats.signedRandomProjection(df, "embedding",
+        inDim = 4, outDim = 3, seed = seed)
+      .select(col("vec_id"), col("rp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, xs) =>
+      (0 until 3).foreach { j =>
+        val want = xs.zipWithIndex
+          .map { case (x, i) => x.toDouble * sign(i, j) }.sum
+        assert(math.abs(got(id)(j) - want) < 1e-9, s"id $id dim $j")
+      }
+    }
+  }
+
+  test("signedRandomProjection: signs are balanced and rows differ") {
+    // JL usefulness needs a near-balanced, non-degenerate sign matrix:
+    // check the generator directly over the 64×16 production shape
+    val seed = 42L
+    def sign(i: Int, j: Int): Double = {
+      val h = (i.toLong * i * 7919 + (i + seed) * (j + 13) * 104729 +
+        j.toLong * j * 131) % 10007
+      if (h < 5004) 1.0 else -1.0
+    }
+    val m = Array.tabulate(16, 64)((j, i) => sign(i, j))
+    val balance = m.map(_.sum.abs / 64.0)
+    assert(balance.forall(_ <= 0.35),
+      s"a sign row is badly unbalanced: ${balance.mkString(",")}")
+    // pairwise row agreement should hover near half, far from 0/64
+    for (a <- 0 until 16; b <- a + 1 until 16) {
+      val agree = (0 until 64).count(i => m(a)(i) == m(b)(i))
+      assert(agree >= 16 && agree <= 48, s"rows $a/$b agree on $agree/64")
+    }
+  }
 }

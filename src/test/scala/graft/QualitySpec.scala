@@ -577,4 +577,42 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(exp - 1.0) < 1e-9)
     assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
+
+  test("kneserNeyLogProb: hand-computed discount/fertility/continuation") {
+    // reference: "a b a c", "a b" → c1(a)=3 c1(b)=2 c1(c)=1, V=3;
+    // bigrams "a b":2 "b a":1 "a c":1, B=3; fert(a)=2 fert(b)=1;
+    // cont(a)=cont(b)=cont(c)=1 → pc(w) = 2/6 seen, 1/6 unseen
+    val ref = Seq((10L, "a b a c"), (11L, "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),  // seen bigram:     1.25/3 + 0.75·(2/3)·(1/3)
+      (2L, "z b"),  // unseen context:  pc(b) = 1/3
+      (3L, "b c")   // unseen bigram:   0 + 0.75·(1/2)·(1/3)
+    ).toDF("doc_id", "text")
+    val got = Quality.kneserNeyLogProb(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("n_bigrams")).toSeq === Seq(1L, 1L, 1L))
+    val want = Seq(
+      -math.log(1.25 / 3 + 0.75 * (2.0 / 3) * (1.0 / 3)),
+      -math.log(1.0 / 3),
+      -math.log(0.375 * (1.0 / 3)))
+    got.map(_.getAs[Double]("nll_kn")).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"$g vs $w")
+    }
+  }
+
+  test("kneserNeyLogProb: lower NLL than stupid backoff on in-domain text") {
+    // both models score the reference's own text; KN's discounted mass
+    // still leaves seen bigrams near their MLE, so in-domain NLL stays
+    // finite and the doc count plumbing matches bigramLogProb's
+    val ref = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val kn = Quality.kneserNeyLogProb(ref, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val bo = Quality.bigramLogProb(ref, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(kn.map(_.getAs[Long]("n_bigrams")).toSeq ===
+      bo.map(_.getAs[Long]("n_bigrams")).toSeq)
+    kn.foreach(r => assert(r.getAs[Double]("nll_kn") > 0 &&
+      !r.getAs[Double]("nll_kn").isInfinite))
+  }
 }

@@ -290,6 +290,23 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r10.getAs[Double]("lift"), 1.0))
   }
 
+  test("quantileNormalize: midpoint ECDF onto the global inverse CDF") {
+    import graft.operators.Analytics
+    val rows = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 20).map(("B", _)))
+      .toDF("g", "v")
+    val got = Analytics.quantileNormalize(rows, "g", "v")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Double]("p"), r.getAs[Double]("mapped")))
+    // global domain 1,2,3,4,10,20 (ECDF k/6); A mids .125/.375/.625/.875,
+    // B mids .25/.75 → inverse CDF picks 1,3,4,20 and 2,10
+    assert(got.map(_._4).toSeq === Seq(1.0, 3.0, 4.0, 20.0, 2.0, 10.0))
+    assert(math.abs(got(0)._3 - 0.125) < 1e-9)
+    assert(math.abs(got(4)._3 - 0.25) < 1e-9)
+    // within a group the mapping is monotone
+    assert(got.take(4).map(_._4).toSeq.sorted === got.take(4).map(_._4).toSeq)
+  }
+
   test("liftGain: a tied block lands in the decile its last row reaches") {
     // 4 rows of score 0.9 then 6 of 0.1: decile 1 target is 1 row, but
     // the first threshold already carries 4 rows — deciles 1..4 all pick
