@@ -3034,5 +3034,79 @@ object Oracles {
         "(SELECT sum(gt) FROM gl) AS gecdf FROM gl) " +
         "SELECT g AS event_type, v, round(p, 6) AS p, min(gv) AS mapped " +
         "FROM gp JOIN ge ON gecdf >= p GROUP BY 1, 2, 3 ORDER BY 1, 2"),
+
+    // Mutual kNN: q39's cosine ranking on the vec_id%10 subset, then the
+    // reciprocity self-join — pairs emit once with both ranks.
+    "q216_mutual_knn" ->
+      ("WITH c AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id % 10 = 0), " +
+        "s AS (SELECT a.vec_id AS qid, b.vec_id AS nid, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(a.embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(b.embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM c a, c b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT qid, nid, cos, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s), " +
+        "k AS (SELECT * FROM r WHERE rnk <= 5) " +
+        "SELECT x.qid AS id_a, x.nid AS id_b, round(x.cos, 6) AS cos, " +
+        "CAST(x.rnk AS BIGINT) AS rank_ab, " +
+        "CAST(y.rnk AS BIGINT) AS rank_ba " +
+        "FROM k x JOIN k y ON x.qid = y.nid AND x.nid = y.qid " +
+        "WHERE x.qid < x.nid ORDER BY 1, 2"),
+
+    // Welch's t + Cohen's d from one conditional-moment aggregate.
+    "q217_welch_t" ->
+      ("WITH m AS (SELECT " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb, " +
+        "avg(CASE WHEN event_type = 'purchase' THEN value END) AS ma, " +
+        "avg(CASE WHEN event_type = 'view' THEN value END) AS mb, " +
+        "var_samp(CASE WHEN event_type = 'purchase' THEN value END) " +
+        "AS va, " +
+        "var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb " +
+        "FROM events WHERE event_type IN ('purchase', 'view')), " +
+        "d AS (SELECT *, va / na AS sa, vb / nb AS sb FROM m) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, " +
+        "round((ma - mb) / sqrt(sa + sb), 6) AS t, " +
+        "round(power(sa + sb, 2) / (power(sa, 2) / (na - 1) + " +
+        "power(sb, 2) / (nb - 1)), 4) AS df_welch, " +
+        "round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / " +
+        "(na + nb - 2)), 6) AS cohen_d FROM d"),
+
+    // DP noisy counts: md5 of the \x01-joined (group, salt) key — the
+    // same separator the engine uses so multi-column group keys cannot
+    // collide on concat — hex digits parsed by ascii code rebuild the
+    // identical uniform, then the inverse-CDF Laplace.
+    "q218_dp_counts" ->
+      ("WITH g AS (SELECT event_type, count(*) AS n_true, " +
+        "md5(event_type || chr(1) || 'r0') AS h FROM events GROUP BY 1), " +
+        "d AS (SELECT event_type, n_true, " +
+        "(CASE WHEN ascii(substr(h, 1, 1)) >= 97 " +
+        "THEN ascii(substr(h, 1, 1)) - 87 " +
+        "ELSE ascii(substr(h, 1, 1)) - 48 END) * 1048576.0 + " +
+        "(CASE WHEN ascii(substr(h, 2, 1)) >= 97 " +
+        "THEN ascii(substr(h, 2, 1)) - 87 " +
+        "ELSE ascii(substr(h, 2, 1)) - 48 END) * 65536.0 + " +
+        "(CASE WHEN ascii(substr(h, 3, 1)) >= 97 " +
+        "THEN ascii(substr(h, 3, 1)) - 87 " +
+        "ELSE ascii(substr(h, 3, 1)) - 48 END) * 4096.0 + " +
+        "(CASE WHEN ascii(substr(h, 4, 1)) >= 97 " +
+        "THEN ascii(substr(h, 4, 1)) - 87 " +
+        "ELSE ascii(substr(h, 4, 1)) - 48 END) * 256.0 + " +
+        "(CASE WHEN ascii(substr(h, 5, 1)) >= 97 " +
+        "THEN ascii(substr(h, 5, 1)) - 87 " +
+        "ELSE ascii(substr(h, 5, 1)) - 48 END) * 16.0 + " +
+        "(CASE WHEN ascii(substr(h, 6, 1)) >= 97 " +
+        "THEN ascii(substr(h, 6, 1)) - 87 " +
+        "ELSE ascii(substr(h, 6, 1)) - 48 END) * 1.0 AS poly FROM g), " +
+        "u AS (SELECT event_type, n_true, " +
+        "(poly + 0.5) / 16777216.0 - 0.5 AS uu FROM d) " +
+        "SELECT event_type, CAST(n_true AS BIGINT) AS n_true, " +
+        "round(n_true - 1.0 * sign(uu) * ln(1 - 2 * abs(uu)), 4) " +
+        "AS n_noisy FROM u ORDER BY 1"),
   )
 }

@@ -3138,6 +3138,47 @@ object TestQueries {
         col("mapped"))
       .orderBy("event_type", "v")
 
+  /** Mutual kNN ([[operators.Similarity.mutualKnn]]) over a brute-force
+    * top-5 on a scale-coupled corpus tenth — the all-pairs anchor shape
+    * of the ANN family; DuckDB replays the cosine ranking and the
+    * reciprocity join exactly.
+    */
+  def q216MutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
+    operators.Similarity.mutualKnn(
+        operators.Similarity.bruteForceTopK(sub, sub, "vec_id",
+          "embedding", k = 5))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        col("rank_ab").cast("long").as("rank_ab"),
+        col("rank_ba").cast("long").as("rank_ba"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Welch's t ([[operators.Stats.welchT]]) between purchase and view
+    * event values — same two groups as the KS and Mann-Whitney gates, so
+    * the three test families read off one comparison.
+    */
+  def q217WelchT(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.welchT(t(s, dir, "events"), "value", "event_type",
+        groupA = "purchase", groupB = "view")
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("t"), 6).as("t"),
+        round(col("df_welch"), 4).as("df_welch"),
+        round(col("cohen_d"), 6).as("cohen_d"))
+
+  /** DP noisy counts ([[operators.Stats.dpNoisyCounts]]): the md5-seeded
+    * Laplace draw is parsed hex-digit-by-digit in BOTH engines, so the
+    * noise itself — not just the true counts — hash-matches.
+    */
+  def q218DpCounts(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.dpNoisyCounts(t(s, dir, "events"), Seq("event_type"),
+        epsilon = 1.0, salt = "r0")
+      .select(col("event_type"), col("n_true"),
+        round(col("n_noisy"), 4).as("n_noisy"))
+      .orderBy("event_type")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3311,6 +3352,9 @@ object TestQueries {
     "q213_random_projection" -> (q213RandomProjection _),
     "q214_kneser_ney" -> (q214KneserNey _),
     "q215_quantile_norm" -> (q215QuantileNorm _),
+    "q216_mutual_knn" -> (q216MutualKnn _),
+    "q217_welch_t" -> (q217WelchT _),
+    "q218_dp_counts" -> (q218DpCounts _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

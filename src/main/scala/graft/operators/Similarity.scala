@@ -106,6 +106,30 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /** Mutual (reciprocal) k-nearest-neighbor filter over ANY neighbor table
+    * shaped (query_id, nbr_id, cos, rank) — keep only pairs where EACH
+    * side ranks the other in its own top-k. Mutuality is the classic
+    * precision filter for embedding dedup and re-ranking (Qin et al.
+    * 2011's k-reciprocal neighbors): hub vectors that appear in
+    * everyone's top-k but reciprocate almost nobody fall out.
+    *
+    * Deliberately a POST-FILTER, not a new search: feed it
+    * [[bruteForceTopK]] at gate scale or [[ivfTopK]]/[[lshTopK]] output
+    * at corpus scale — one equi-join on the (query, neighbor) pair keys,
+    * so the cost is the neighbor table, never the corpus. Pairs emit once
+    * (id_a < id_b) with both ranks. Returns (id_a, id_b, cos, rank_ab,
+    * rank_ba).
+    */
+  def mutualKnn(neighbors: DataFrame): DataFrame = {
+    val a = neighbors.select(col("query_id").as("id_a"),
+      col("nbr_id").as("id_b"), col("cos"), col("rank").as("rank_ab"))
+    val b = neighbors.select(col("query_id").as("id_b"),
+      col("nbr_id").as("id_a"), col("rank").as("rank_ba"))
+    a.join(b, Seq("id_a", "id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "cos", "rank_ab", "rank_ba")
+  }
+
   /** Multi-table cosine-LSH top-k: `numTables` independent hyperplane sets
     * (seeds seed..seed+L-1); a corpus vector is a candidate for a query if
     * they share a bucket in ANY table. Per-pair candidate probability is

@@ -444,6 +444,86 @@ object Stats {
         col("rows_below_k") / col("n_rows").cast("double"))
   }
 
+  /** Welch's unequal-variance t-test plus Cohen's d effect size between
+    * two groups — the parametric sibling of [[mannWhitney]] (use this
+    * when means are the question and outliers are already handled;
+    * Welch's correction means the two groups' sizes and variances may
+    * differ freely). One grouped aggregate over the fact (count, mean,
+    * sample variance per side) and pure scalar arithmetic after:
+    *
+    *   t  = (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂)
+    *   df = (s₁²/n₁ + s₂²/n₂)² / [ (s₁²/n₁)²/(n₁−1) + (s₂²/n₂)²/(n₂−1) ]
+    *   d  = (m₁ − m₂) / s_pooled
+    *
+    * Returns ONE row: (n_a, n_b, mean_a, mean_b, t, df_welch, cohen_d).
+    */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val v = col(valueCol).cast("double")
+    def side(grp: String, tag: String) = Seq(
+      sum(when(g === grp, 1L).otherwise(0L)).as(s"n_$tag"),
+      avg(when(g === grp, v)).as(s"mean_$tag"),
+      var_samp(when(g === grp, v)).as(s"var_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    df.where(g.isin(groupA, groupB))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__sa", col("var_a") / col("n_a"))
+      .withColumn("__sb", col("var_b") / col("n_b"))
+      .withColumn("t",
+        (col("mean_a") - col("mean_b")) / sqrt(col("__sa") + col("__sb")))
+      .withColumn("df_welch",
+        pow(col("__sa") + col("__sb"), 2) /
+          (pow(col("__sa"), 2) / (col("n_a") - 1) +
+            pow(col("__sb"), 2) / (col("n_b") - 1)))
+      .withColumn("cohen_d",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(((col("n_a") - 1) * col("var_a") +
+            (col("n_b") - 1) * col("var_b")) /
+            (col("n_a") + col("n_b") - 2)))
+      .select("n_a", "n_b", "mean_a", "mean_b", "t", "df_welch", "cohen_d")
+  }
+
+  /** Differentially-private noisy group counts: each group's count plus
+    * Laplace(sensitivity/ε) noise — the release mechanism that pairs
+    * with [[kAnonymity]]'s audit (publish noisy marginals instead of
+    * suppressing small cells). Count queries have sensitivity 1.
+    *
+    * The Laplace draw is DETERMINISTIC: a uniform in (−½, ½) comes from
+    * the group key's md5 (first `HexChars` hex digits, parsed by digit so
+    * a plain-SQL oracle replays it — no platform hash), then the standard
+    * inverse-CDF `−b·sgn(u)·ln(1−2|u|)`. Determinism trades the formal
+    * DP guarantee for replayability HERE (a fixed seed per release is the
+    * operational compromise; pass a fresh `salt` per release to re-draw).
+    * One groupBy over the fact; noise is scalar arithmetic per GROUP row.
+    * Returns (groupCols..., n_true, n_noisy) — production releases drop
+    * `n_true`; the gate keeps it to pin the noise itself.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                    salt: String = "r0"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val hexChars = 6
+    val key = md5(concat_ws("\u0001", // separator: group values must not collide on concat
+      groupCols.map(c => col(c).cast("string")) :+ lit(salt): _*))
+    // hex → uniform by explicit digit parsing via ascii codes ('0'-'9' →
+    // 48-57, 'a'-'f' → 97-102) — identical in any SQL engine, no
+    // platform-specific hex-to-int cast
+    def digit(i: Int): Column = {
+      val a = ascii(substring(key, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("double")
+    }
+    val poly = (1 to hexChars)
+      .map(i => digit(i) * math.pow(16.0, hexChars - i))
+      .reduce(_ + _)
+    val u = (poly + 0.5) / math.pow(16.0, hexChars) - 0.5 // never ±0.5
+    val b = 1.0 / epsilon
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy",
+        col("n_true") - lit(b) * signum(u) * log(lit(1.0) - abs(u) * 2.0))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test: D = sup |F_A(v) − F_B(v)| over
     * the merged value domain, plus the asymptotic two-sided p-value from
     * the Kolmogorov distribution (2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²},

@@ -433,4 +433,16 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.marginMining(big, b, "vec_id", "embedding")
     }
   }
+
+  test("mutualKnn: only reciprocated pairs survive, emitted once with both ranks") {
+    val nbrs = Seq(
+      (1L, 2L, 0.9, 1), (2L, 1L, 0.9, 2),  // mutual
+      (1L, 3L, 0.8, 2),                    // 3 never ranks 1 → dropped
+      (3L, 4L, 0.7, 1), (4L, 3L, 0.7, 1),  // mutual
+      (2L, 3L, 0.6, 1)                     // no 3→2 → dropped
+    ).toDF("query_id", "nbr_id", "cos", "rank")
+    val got = Similarity.mutualKnn(nbrs).orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq((1L, 2L, 1, 2), (3L, 4L, 1, 1)))
+  }
 }

@@ -290,6 +290,61 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r10.getAs[Double]("lift"), 1.0))
   }
 
+  test("welchT: hand-computed unequal-variance fixture") {
+    // A = 1,2,3 (mean 2, var 1); B = 2,4,6,8 (mean 5, var 20/3)
+    val rows = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 4, 6, 8).map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.welchT(rows, "v", "g", "a", "b").head()
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(d(r.getAs[Double]("mean_a"), 2.0))
+    assert(d(r.getAs[Double]("mean_b"), 5.0))
+    val sa = (1.0 / 3); val sb = (20.0 / 3) / 4
+    assert(d(r.getAs[Double]("t"), -3.0 / math.sqrt(sa + sb), 1e-9))
+    val dfw = math.pow(sa + sb, 2) /
+      (math.pow(sa, 2) / 2 + math.pow(sb, 2) / 3)
+    assert(d(r.getAs[Double]("df_welch"), dfw, 1e-9))
+    // pooled var = (2·1 + 3·20/3) / 5 = 4.4
+    assert(d(r.getAs[Double]("cohen_d"), -3.0 / math.sqrt(4.4), 1e-9))
+  }
+
+  test("dpNoisyCounts: deterministic, replayable, salt re-draws") {
+    val rows = (Seq.fill(7)("x") ++ Seq.fill(3)("y")).toDF("g")
+    val a = Stats.dpNoisyCounts(rows, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect()
+    val b = Stats.dpNoisyCounts(rows, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect()
+    assert(a.map(_.getDouble(2)).toSeq === b.map(_.getDouble(2)).toSeq)
+    assert(a.map(_.getAs[Long]("n_true")).toSeq === Seq(7L, 3L))
+    // replay the draw: md5 of g + \u0001 + salt, 6 hex digits → uniform
+    def expected(g: String, nTrue: Long, eps: Double, salt: String)
+    : Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + "\u0001" + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val poly = h.map(c => Integer.parseInt(c.toString, 16).toDouble)
+        .foldLeft(0.0)(_ * 16 + _)
+      val u = (poly + 0.5) / math.pow(16.0, 6) - 0.5
+      nTrue - (1.0 / eps) * math.signum(u) * math.log(1 - 2 * math.abs(u))
+    }
+    a.foreach { r =>
+      assert(d(r.getDouble(2),
+        expected(r.getString(0), r.getLong(1), 1.0, "r0"), 1e-9))
+    }
+    // a different salt re-draws the noise
+    val c = Stats.dpNoisyCounts(rows, Seq("g"), epsilon = 1.0, salt = "r1")
+      .orderBy("g").collect()
+    assert(c.map(_.getDouble(2)).toSeq !== a.map(_.getDouble(2)).toSeq)
+    // tighter epsilon → more noise on the same draw (same |u|, b scales)
+    val e5 = Stats.dpNoisyCounts(rows, Seq("g"), epsilon = 0.2)
+      .orderBy("g").collect()
+    a.zip(e5).foreach { case (x, y) =>
+      val nx = x.getDouble(2) - x.getLong(1)
+      val ny = y.getDouble(2) - y.getLong(1)
+      assert(d(ny, nx * 5.0, 1e-9))
+    }
+  }
+
   test("quantileNormalize: midpoint ECDF onto the global inverse CDF") {
     import graft.operators.Analytics
     val rows = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 20).map(("B", _)))
