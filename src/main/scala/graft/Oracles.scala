@@ -3108,5 +3108,86 @@ object Oracles {
         "SELECT event_type, CAST(n_true AS BIGINT) AS n_true, " +
         "round(n_true - 1.0 * sign(uu) * ln(1 - 2 * abs(uu)), 4) " +
         "AS n_noisy FROM u ORDER BY 1"),
+
+    // CUPED: per-user pre/post sums split at the corpus midpoint epoch,
+    // then the raw-moment algebra replayed division-for-division.
+    "q219_cuped" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) " +
+        "AS ep, value FROM events), " +
+        "md AS (SELECT CAST(floor((min(ep) + max(ep)) / 2.0) AS BIGINT) " +
+        "AS mid FROM e), " +
+        "pu AS (SELECT user_id, " +
+        "sum(CASE WHEN ep <= mid THEN value ELSE 0.0 END) AS x, " +
+        "sum(CASE WHEN ep > mid THEN value ELSE 0.0 END) AS y " +
+        "FROM e, md GROUP BY 1), " +
+        "m AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na, " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS nb, " +
+        "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, " +
+        "sum(x * x) AS sxx, sum(y * y) AS syy, " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0.0 END) AS sya, " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0.0 END) AS sxa " +
+        "FROM pu), " +
+        "t AS (SELECT *, sxx / n - (sx / n) * (sx / n) AS varx FROM m), " +
+        "t2 AS (SELECT *, CASE WHEN varx > 0 THEN " +
+        "(sxy / n - (sx / n) * (sy / n)) / varx ELSE 0.0 END AS theta " +
+        "FROM t), " +
+        "f AS (SELECT *, sya / na AS mean_a, (sy - sya) / nb AS mean_b, " +
+        "(sya - theta * sxa) / na + theta * (sx / n) AS ama, " +
+        "((sy - sya) - theta * (sx - sxa)) / nb + theta * (sx / n) " +
+        "AS amb, syy / n - (sy / n) * (sy / n) AS vary FROM t2) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "round(theta, 4) AS theta, round(mean_a, 4) AS mean_a, " +
+        "round(mean_b, 4) AS mean_b, " +
+        "round(mean_a - mean_b, 4) AS diff, " +
+        "round(ama - amb, 4) AS adj_diff, " +
+        "round(CASE WHEN vary > 0 THEN " +
+        "1.0 - (vary - theta * theta * varx) / vary ELSE 0.0 END, 4) " +
+        "AS var_reduction FROM f"),
+
+    // Theil–Sen: daily bins, all bin-pair slopes, interpolated medians
+    // (quantile_cont matches Spark's exact percentile convention).
+    "q220_theil_sen" ->
+      ("WITH b AS (SELECT event_type AS k, " +
+        "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS bin, " +
+        "avg(value) AS v FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT a.k, (b2.v - a.v) / (b2.bin - a.bin) AS sl " +
+        "FROM b a JOIN b b2 ON a.k = b2.k AND b2.bin > a.bin), " +
+        "m AS (SELECT k, quantile_cont(sl, 0.5) AS slope " +
+        "FROM s GROUP BY 1), " +
+        "i AS (SELECT b.k, count(*) AS n_bins, " +
+        "quantile_cont(b.v - m.slope * b.bin, 0.5) AS intercept " +
+        "FROM b JOIN m ON b.k = m.k GROUP BY 1) " +
+        "SELECT i.k AS event_type, CAST(n_bins AS BIGINT) AS n_bins, " +
+        "round(m.slope, 6) AS slope, round(intercept, 6) AS intercept " +
+        "FROM i JOIN m ON i.k = m.k ORDER BY 1"),
+
+    // Sparse TF-IDF cosine join: tf/idf/norms/pair-dots rebuilt from the
+    // standard tokenization CTE; the 30% df stopword cap mirrors the
+    // engine's maxDfRatio prune exactly.
+    "q221_tfidf_cosine" ->
+      ("WITH dt AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS tok FROM dt) GROUP BY 1, 2), " +
+        "nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n " +
+        "FROM tf), " +
+        "idf AS (SELECT tok, ln(nn.n / count(*)) AS idf FROM tf, nn " +
+        "GROUP BY tok, nn.n HAVING count(*) <= nn.n * 0.3), " +
+        "w AS (SELECT tf.doc_id, tf.tok, tf.tf * idf.idf AS w " +
+        "FROM tf JOIN idf USING (tok)), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm " +
+        "FROM w GROUP BY 1), " +
+        "d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "count(*) AS n_shared_terms, sum(a.w * b.w) AS dot " +
+        "FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, " +
+        "CAST(n_shared_terms AS BIGINT) AS n_shared_terms, " +
+        "round(dot / (x.nm * y.nm), 6) AS cos " +
+        "FROM d JOIN nrm x ON d.doc_a = x.doc_id " +
+        "JOIN nrm y ON d.doc_b = y.doc_id " +
+        "WHERE dot / (x.nm * y.nm) >= 0.3 ORDER BY 1, 2"),
   )
 }

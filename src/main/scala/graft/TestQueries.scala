@@ -3179,6 +3179,56 @@ object TestQueries {
         round(col("n_noisy"), 4).as("n_noisy"))
       .orderBy("event_type")
 
+  /** CUPED ([[operators.EventAnalytics.cuped]]): per-user pre/post value
+    * sums split at the corpus's midpoint timestamp (a scalar aggregate —
+    * the A5 pattern), variant = user parity; DuckDB replays the moment
+    * sums and the θ-adjustment algebra.
+    */
+  def q219Cuped(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"),
+      unix_timestamp(col("ts")).as("ep"), col("value"))
+    val mid = e.agg(
+      floor((min("ep") + max("ep")) / 2.0).cast("long").as("__mid"))
+    val perUser = e.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("ep") <= col("__mid"), col("value"))
+          .otherwise(0.0)).as("x"),
+        sum(when(col("ep") > col("__mid"), col("value"))
+          .otherwise(0.0)).as("y"))
+    operators.EventAnalytics.cuped(perUser, col("user_id") % 2, "x", "y")
+      .select(col("n_a"), col("n_b"),
+        round(col("theta"), 4).as("theta"),
+        round(col("mean_a"), 4).as("mean_a"),
+        round(col("mean_b"), 4).as("mean_b"),
+        round(col("diff"), 4).as("diff"),
+        round(col("adj_diff"), 4).as("adj_diff"),
+        round(col("var_reduction"), 4).as("var_reduction"))
+  }
+
+  /** Theil–Sen trend ([[operators.Timeseries.theilSenTrend]]) over daily
+    * event-value bins per type — bounded bin-pair slopes, interpolated
+    * medians; DuckDB replays with quantile_cont.
+    */
+  def q220TheilSen(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.theilSenTrend(t(s, dir, "events"), "event_type",
+        "ts", "value", binSeconds = 86400L)
+      .select(col("event_type"), col("n_bins"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+      .orderBy("event_type")
+
+  /** Sparse TF-IDF cosine join
+    * ([[operators.Retrieval.tfidfCosineJoin]]): term-partitioned partial
+    * products, stopword cap at 30 % df; the oracle rebuilds tf, idf,
+    * norms and the pair dots from the same tokenization CTE.
+    */
+  def q221TfidfCosine(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.tfidfCosineJoin(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.3, maxDfRatio = 0.3)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_terms"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3355,6 +3405,9 @@ object TestQueries {
     "q216_mutual_knn" -> (q216MutualKnn _),
     "q217_welch_t" -> (q217WelchT _),
     "q218_dp_counts" -> (q218DpCounts _),
+    "q219_cuped" -> (q219Cuped _),
+    "q220_theil_sen" -> (q220TheilSen _),
+    "q221_tfidf_cosine" -> (q221TfidfCosine _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -237,6 +237,75 @@ object EventAnalytics {
         (col("n_both") * n / (col("n_ante") * col("n_cons"))).as("lift"))
   }
 
+  /** CUPED variance reduction for an A/B metric (Deng et al., WSDM 2013):
+    * regress the experiment-period metric `y` on a pre-period covariate
+    * `x` that the treatment cannot have affected, and analyze the
+    * adjusted metric y′ = y − θ·(x − x̄) with θ = cov(x,y)/var(x) — same
+    * expected lift, variance shrunk by the covariate's explanatory power
+    * (often 40-60 % for "same metric last week"), i.e. the experiment
+    * reads significant in half the runtime.
+    *
+    * Input is one row per unit (user) with its variant, covariate and
+    * metric. One pass of raw moments (Σx, Σy, Σxy, Σx², per-variant
+    * conditional sums) computes θ, both variants' raw and adjusted means
+    * and both variances — nothing ever shuffles twice. Degenerate
+    * var(x) = 0 reports θ = 0 (adjustment is a no-op, never a NaN).
+    * Returns ONE row: (n_a, n_b, theta, mean_a, mean_b, diff, adj_diff,
+    * var_y, var_adj, var_reduction).
+    */
+  def cuped(df: DataFrame, variantCol: Column, xCol: String,
+            yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val va = variantCol.cast("int") === 0
+    val base = df.agg(
+      count(lit(1)).as("__n"),
+      sum(when(va, 1L).otherwise(0L)).as("n_a"),
+      sum(when(va, 0L).otherwise(1L)).as("n_b"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"),
+      sum(when(va, y).otherwise(0.0)).as("__sya"),
+      sum(when(va, x).otherwise(0.0)).as("__sxa"))
+      .withColumn("__varx",
+        col("__sxx") / col("__n") -
+          (col("__sx") / col("__n")) * (col("__sx") / col("__n")))
+      .withColumn("theta",
+        when(col("__varx") > 0,
+          (col("__sxy") / col("__n") -
+            (col("__sx") / col("__n")) * (col("__sy") / col("__n"))) /
+            col("__varx")).otherwise(0.0))
+    // adjusted means need only θ and the conditional sums already held:
+    // mean(y′ | A) = (Σy_A − θ·Σx_A)/n_A + θ·x̄  (the +θx̄ cancels in the
+    // A−B difference but keeps per-variant means interpretable)
+    base
+      .withColumn("__mx", col("__sx") / col("__n"))
+      .withColumn("mean_a", col("__sya") / col("n_a"))
+      .withColumn("mean_b",
+        (col("__sy") - col("__sya")) / col("n_b"))
+      .withColumn("adj_mean_a",
+        (col("__sya") - col("theta") * col("__sxa")) / col("n_a") +
+          col("theta") * col("__mx"))
+      .withColumn("adj_mean_b",
+        ((col("__sy") - col("__sya")) -
+          col("theta") * (col("__sx") - col("__sxa"))) / col("n_b") +
+          col("theta") * col("__mx"))
+      .withColumn("var_y",
+        col("__syy") / col("__n") -
+          (col("__sy") / col("__n")) * (col("__sy") / col("__n")))
+      // var(y − θx) = var(y) − 2θ·cov + θ²·var(x) = var(y) − θ²·var(x)
+      .withColumn("var_adj",
+        col("var_y") - col("theta") * col("theta") * col("__varx"))
+      .withColumn("var_reduction",
+        when(col("var_y") > 0,
+          lit(1.0) - col("var_adj") / col("var_y")).otherwise(0.0))
+      .select(col("n_a"), col("n_b"), col("theta"),
+        col("mean_a"), col("mean_b"),
+        (col("mean_a") - col("mean_b")).as("diff"),
+        (col("adj_mean_a") - col("adj_mean_b")).as("adj_diff"),
+        col("var_y"), col("var_adj"), col("var_reduction"))
+  }
+
   /** Top-k CONSECUTIVE event paths of length `steps`: the sequential
     * sibling of [[transitionCounts]] (which only sees 2-grams) — every
     * run of `steps` back-to-back events inside a user's timeline becomes

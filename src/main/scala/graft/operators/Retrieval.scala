@@ -168,4 +168,63 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Sparse TF-IDF cosine self-join: every document pair whose tf-idf
+    * cosine reaches `threshold` — the LEXICAL near-duplicate / related-
+    * document detector that complements the embedding-space joins
+    * ([[graft.operators.Similarity]]) when no embeddings exist or when
+    * "same words" matters more than "same meaning".
+    *
+    * The join is TERM-PARTITIONED, the sparse-vector trick that makes
+    * document cosine feasible at corpus scale: weights join on the term
+    * key, each shared term contributes one partial product, and a
+    * (doc_a, doc_b)-keyed sum assembles the dots — only pairs that SHARE
+    * a term ever materialize, vs the dense all-pairs cross join. The
+    * quadratic hot-term risk is capped by `maxDfRatio`: terms in more
+    * than that share of docs are dropped BEFORE the join (stopwords
+    * carry ~zero idf weight anyway — the cap changes cost, not meaning,
+    * and mirrors the prefix-filter discipline of the exact Jaccard
+    * join). Pairs emit once (doc_a < doc_b). Returns (doc_a, doc_b,
+    * n_shared_terms, cos).
+    */
+  def tfidfCosineJoin(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, maxDfRatio: Double = 0.5)
+  : DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(maxDfRatio > 0 && maxDfRatio <= 1,
+      s"maxDfRatio in (0,1]: $maxDfRatio")
+    val tf = docs
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.Text.shingles(col(textCol), 1)).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // df counts + weights + norms all read it
+    val n = tf.select(col("__id")).distinct().count().toDouble
+    val idf = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= n * maxDfRatio)
+      .withColumn("__idf", log(lit(n) / col("__df")))
+    val w = tf.join(idf.select("__t", "__idf"), "__t")
+      .select(col("__id"), col("__t"),
+        (col("__tf") * col("__idf")).as("__w"))
+      .localCheckpoint() // norm pass + pair join share it
+    val norms = w.groupBy("__id")
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
+    val dots = w.select(col("__id").as("doc_a"), col("__t"),
+        col("__w").as("__wa"))
+      .join(w.select(col("__id").as("doc_b"), col("__t"),
+        col("__w").as("__wb")), "__t")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("__wa") * col("__wb")).as("__dot"))
+    // norms are doc-count-sized: plain keyed joins (AQE broadcasts them
+    // when small; at corpus scale they must shuffle, not broadcast)
+    dots
+      .join(norms.select(col("__id").as("doc_a"),
+        col("__norm").as("__na")), "doc_a")
+      .join(norms.select(col("__id").as("doc_b"),
+        col("__norm").as("__nb")), "doc_b")
+      .withColumn("cos", col("__dot") / (col("__na") * col("__nb")))
+      .where(col("cos") >= threshold)
+      .select("doc_a", "doc_b", "n_shared_terms", "cos")
+  }
 }

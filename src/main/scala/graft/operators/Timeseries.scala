@@ -266,4 +266,42 @@ object Timeseries {
         (col("s_pos") > hSigma || col("s_neg") > hSigma).cast("int"))
       .select("key", "bin", "x", "s_pos", "s_neg", "change")
   }
+
+  /** Theil–Sen robust trend per key: bin the series to a declared grain,
+    * then slope = median over ALL bin-pair slopes (vⱼ−vᵢ)/(binⱼ−binᵢ)
+    * and intercept = median of (vᵢ − slope·binᵢ) — the trend estimator a
+    * single corrupted day cannot move (OLS's breakdown point is one
+    * outlier; Theil–Sen tolerates ~29 %). The metric-drift slope to put
+    * on a dashboard fed by flaky telemetry.
+    *
+    * The pair set is BINS², not rows² — the declared grain bounds it
+    * (a year of dailies = 66k pairs per key) — via one per-key bin
+    * aggregate and a key-local self-join; medians are exact interpolated
+    * percentiles over the bounded pair set. Returns one row per key:
+    * (key, n_bins, slope, intercept).
+    */
+  def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val bins = df
+      .groupBy(col(keyCol).as("__k"),
+        floor(unix_timestamp(col(tsCol)) / binSeconds).as("__b"))
+      .agg(avg(col(valueCol).cast("double")).as("__v"))
+      .localCheckpoint() // pair join + the intercept pass share it
+    val slopes = bins.alias("a")
+      .join(bins.alias("b"),
+        col("a.__k") === col("b.__k") && col("b.__b") > col("a.__b"))
+      .select(col("a.__k").as("__k"),
+        ((col("b.__v") - col("a.__v")) /
+          (col("b.__b") - col("a.__b")).cast("double")).as("__s"))
+      .groupBy("__k")
+      .agg(percentile(col("__s"), lit(0.5)).as("slope"))
+    bins.join(broadcast(slopes), Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_bins"), first(col("slope")).as("slope"),
+        percentile(col("__v") - col("slope") * col("__b"), lit(0.5))
+          .as("intercept"))
+      .select(col("__k").as(keyCol), col("n_bins"), col("slope"),
+        col("intercept"))
+  }
 }

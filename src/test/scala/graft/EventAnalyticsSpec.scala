@@ -188,6 +188,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got === Set(("x", "y"), ("y", "x"), ("x", "z"), ("z", "x")))
   }
 
+  test("cuped: a fully-explanatory covariate removes all variance and bias") {
+    // y = 2x exactly; variants got different x draws, so the RAW diff is
+    // pure covariate imbalance: A = (1,2),(3,6); B = (2,4),(4,8)
+    // θ = cov/var = 2, every adjusted y′ = ȳ, adj_diff = 0, reduction = 1
+    val rows = Seq((0, 1.0, 2.0), (0, 3.0, 6.0),
+      (1, 2.0, 4.0), (1, 4.0, 8.0)).toDF("variant", "x", "y")
+    val r = EventAnalytics.cuped(rows, col("variant"), "x", "y").head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(math.abs(r.getAs[Double]("theta") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("diff") - (-2.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("adj_diff")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_reduction") - 1.0) < 1e-9)
+  }
+
+  test("cuped: a constant covariate is a guarded no-op (θ = 0)") {
+    val rows = Seq((0, 5.0, 1.0), (0, 5.0, 3.0),
+      (1, 5.0, 2.0), (1, 5.0, 6.0)).toDF("variant", "x", "y")
+    val r = EventAnalytics.cuped(rows, col("variant"), "x", "y").head()
+    assert(r.getAs[Double]("theta") === 0.0)
+    assert(math.abs(r.getAs[Double]("adj_diff") -
+      r.getAs[Double]("diff")) < 1e-9)
+    assert(r.getAs[Double]("var_reduction") === 0.0)
+  }
+
   test("topPaths: consecutive 3-step runs with per-user support") {
     val rows = Seq(
       (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),

@@ -122,4 +122,33 @@ class RetrievalSpec extends AnyFunSuite {
         topK = 1).collect()
     assert(got.length === 1 && got.head.getLong(0) === 1L)
   }
+
+  test("tfidfCosineJoin: identical docs reach cos 1, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple banana"), (3L, "cherry durian"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfCosineJoin(docs, "doc_id", "text",
+        threshold = 0.5, maxDfRatio = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.length === 1)
+    val (a, b, shared, cos) = got.head
+    assert((a, b) === (1L, 2L) && shared === 2L)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
+  test("tfidfCosineJoin: the df cap prunes stopwords before the join") {
+    // 'the' appears in every doc; with maxDfRatio 0.5 it is dropped, so
+    // no pair shares a surviving term and the join is empty
+    val docs = Seq(
+      (1L, "the apple"), (2L, "the banana"), (3L, "the cherry"))
+      .toDF("doc_id", "text")
+    assert(Retrieval.tfidfCosineJoin(docs, "doc_id", "text",
+      threshold = 0.01, maxDfRatio = 0.5).count() === 0)
+    // without the cap, 'the' pairs every doc (idf ln(1) = 0 → cos NaN
+    // guarded out by threshold? no: weights all-zero docs drop via norm 0)
+    val all = Retrieval.tfidfCosineJoin(docs, "doc_id", "text",
+      threshold = 0.01, maxDfRatio = 1.0)
+    assert(all.count() === 0) // zero-weight dots never reach a threshold
+  }
 }

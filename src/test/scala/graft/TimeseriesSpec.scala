@@ -221,4 +221,35 @@ class TimeseriesSpec extends AnyFunSuite {
         s"bin $i: ${r.getAs[Double]("s_pos")} vs $s")
     }
   }
+
+  test("theilSenTrend: exact line recovered; one corrupted bin cannot move it") {
+    import org.apache.spark.sql.functions.col
+    // v = 3·bin + 1 on bins 0..4, except bin 4 is poisoned to 1000:
+    // 6 of 10 pair slopes are exactly 3 → median 3; intercept median
+    // over (v − 3·bin) = (1,1,1,1,988) → 1
+    val rows = Seq((0L, 1.0), (1L, 4.0), (2L, 7.0), (3L, 10.0),
+      (4L, 1000.0))
+      .map { case (b, v) => ("k", b * 86400L, v) }
+      .toDF("key", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val r = Timeseries.theilSenTrend(rows, "key", "ts", "v", 86400L)
+      .head()
+    assert(r.getAs[Long]("n_bins") === 5L)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-9)
+  }
+
+  test("theilSenTrend: even pair count interpolates the median slope") {
+    import org.apache.spark.sql.functions.col
+    // bins 0,1,2 with v = 0, 1, 4: slopes 1, 2, 3 → median 2; intercept
+    // median(0, -1, 0) = interpolated median of (-1, 0, 0) = 0
+    val rows = Seq((0L, 0.0), (1L, 1.0), (2L, 4.0))
+      .map { case (b, v) => ("k", b * 86400L, v) }
+      .toDF("key", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val r = Timeseries.theilSenTrend(rows, "key", "ts", "v", 86400L)
+      .head()
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 0.0) < 1e-9)
+  }
 }
