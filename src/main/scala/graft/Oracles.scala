@@ -3189,5 +3189,68 @@ object Oracles {
         "FROM d JOIN nrm x ON d.doc_a = x.doc_id " +
         "JOIN nrm y ON d.doc_b = y.doc_id " +
         "WHERE dot / (x.nm * y.nm) >= 0.3 ORDER BY 1, 2"),
+
+    // Split conformal: midrange predictor (exact selections), quantized
+    // residual value-domain, order-statistic rank k = ceil((n+1)(1-α)),
+    // eval-side coverage.
+    "q222_conformal" ->
+      ("WITH mn AS (SELECT event_type, (min(value) + max(value)) / 2 " +
+        "AS pred FROM events GROUP BY 1), " +
+        "b AS (SELECT e.event_id, round(abs(e.value - mn.pred), 6) " +
+        "AS res, e.event_id % 2 = 0 AS calib " +
+        "FROM events e JOIN mn USING (event_type)), " +
+        "p AS (SELECT res, count(*) AS t FROM b WHERE calib GROUP BY 1), " +
+        "tt AS (SELECT sum(t) AS n, " +
+        "CAST(least(ceil((sum(t) + 1) * 0.9), sum(t)) AS BIGINT) AS k " +
+        "FROM p), " +
+        "c AS (SELECT res, sum(t) OVER (ORDER BY res) AS cum FROM p), " +
+        "q AS (SELECT max(tt.n) AS n_calib, max(tt.k) AS k, " +
+        "min(c.res) AS q_hat FROM c, tt WHERE c.cum >= tt.k) " +
+        "SELECT CAST(q.n_calib AS BIGINT) AS n_calib, " +
+        "CAST(q.k AS BIGINT) AS k, round(q.q_hat, 6) AS q_hat, " +
+        "CAST(count(*) AS BIGINT) AS n_eval, " +
+        "round(avg(CASE WHEN b.res <= q.q_hat THEN 1.0 ELSE 0.0 END), 6) " +
+        "AS coverage FROM b, q WHERE NOT b.calib GROUP BY 1, 2, 3"),
+
+    // Seasonal-naive backtest: bin-keyed season join (never a positional
+    // lag — gaps must not shift the season), arithmetic fold edges from
+    // per-key min/max bins, sMAPE with the zero-denominator guard.
+    "q223_backtest" ->
+      ("WITH b AS (SELECT event_type AS k, " +
+        "CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bin, " +
+        "avg(value) AS o FROM events GROUP BY 1, 2), " +
+        "j AS (SELECT a.k, a.bin, a.o, s.f FROM b a LEFT JOIN " +
+        "(SELECT k, bin + 24 AS bin2, o AS f FROM b) s " +
+        "ON a.k = s.k AND a.bin = s.bin2), " +
+        "e AS (SELECT k, bin, o, f, " +
+        "min(bin) OVER (PARTITION BY k) AS lo, " +
+        "max(bin) OVER (PARTITION BY k) AS hi FROM j), " +
+        "g AS (SELECT k, CAST(least(2, floor((bin - lo) * 3 / " +
+        "(hi - lo + 1))) AS INT) AS fold, o, f FROM e " +
+        "WHERE f IS NOT NULL AND abs(f) + abs(o) > 0) " +
+        "SELECT k AS event_type, fold, " +
+        "CAST(count(*) AS BIGINT) AS n_scored, " +
+        "round(avg(2.0 * abs(f - o) / (abs(f) + abs(o))), 6) AS smape " +
+        "FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Murphy decomposition over the q170/q199 score/label convention;
+    // the within-bin gap is reported, not absorbed.
+    "q224_brier" ->
+      ("WITH s AS (SELECT ((l_orderkey * 7 + l_linenumber) % 100) / 100.0 " +
+        "AS sc, CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y " +
+        "FROM lineitem), " +
+        "p AS (SELECT least(CAST(floor(sc * 10) AS INT), 9) AS bin, " +
+        "count(*) AS n, avg(sc) AS conf, avg(y) AS acc, " +
+        "sum((sc - y) * (sc - y)) AS se FROM s GROUP BY 1), " +
+        "a AS (SELECT sum(n) AS n, sum(se) / sum(n) AS brier, " +
+        "sum(n * (conf - acc) * (conf - acc)) / sum(n) AS rel, " +
+        "sum(n * acc) / sum(n) AS ybar, " +
+        "sum(n * acc * acc) AS nacc2 FROM p), " +
+        "f AS (SELECT *, nacc2 / n - ybar * ybar AS res, " +
+        "ybar * (1.0 - ybar) AS unc FROM a) " +
+        "SELECT CAST(n AS BIGINT) AS n, round(brier, 6) AS brier, " +
+        "round(rel, 6) AS reliability, round(res, 6) AS resolution, " +
+        "round(unc, 6) AS uncertainty, " +
+        "round(brier - rel + res - unc, 6) AS decomposition_gap FROM f"),
   )
 }

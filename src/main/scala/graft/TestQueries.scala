@@ -3229,6 +3229,57 @@ object TestQueries {
         round(col("cos"), 6).as("cos"))
       .orderBy("doc_a", "doc_b")
 
+  /** Split-conformal interval ([[operators.Stats.conformalInterval]]):
+    * the "model" is the per-type mean event value (a deterministic
+    * group-mean join), calibration = even event ids; DuckDB replays the
+    * residual quantization, the order-statistic rank k and the eval
+    * coverage.
+    */
+  def q222Conformal(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // midrange predictor: min/max are exact selections, so the residuals
+    // are bit-identical across engines (an avg-based predictor would put
+    // order-dependent ulps under the round-6 quantization boundary)
+    val means = ev.groupBy("event_type")
+      .agg(((min("value") + max("value")) / 2).as("pred"))
+    operators.Stats.conformalInterval(
+        ev.join(broadcast(means), "event_type"), "pred", "value",
+        calibFlag = col("event_id") % 2 === 0, alpha = 0.1)
+      .select(col("n_calib"), col("k"), round(col("q_hat"), 6).as("q_hat"),
+        col("n_eval"), round(col("coverage"), 6).as("coverage"))
+  }
+
+  /** Seasonal-naive backtest
+    * ([[operators.Timeseries.backtestSeasonalNaive]]): hourly bins,
+    * 24-bin season, 3 expanding folds per event type; the bin-keyed
+    * season join (not a positional lag) and the arithmetic fold edges
+    * replay exactly.
+    */
+  def q223Backtest(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.backtestSeasonalNaive(t(s, dir, "events"),
+        "event_type", "ts", "value", binSeconds = 3600L,
+        periodBins = 24, folds = 3)
+      .select(col("event_type"), col("fold"), col("n_scored"),
+        round(col("smape"), 6).as("smape"))
+      .orderBy("event_type", "fold")
+
+  /** Brier decomposition ([[operators.Stats.brierDecomposition]]) on the
+    * classifier-eval family's standard score/label pair — reliability,
+    * resolution, uncertainty and the explicit within-bin gap.
+    */
+  def q224Brier(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.brierDecomposition(
+        t(s, dir, "lineitem")
+          .withColumn("score",
+            ((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / 100.0)
+          .withColumn("label", (col("l_quantity") > 25).cast("int")),
+        "score", "label")
+      .select(col("n"), round(col("brier"), 6).as("brier"),
+        round(col("reliability"), 6).as("reliability"),
+        round(col("resolution"), 6).as("resolution"),
+        round(col("uncertainty"), 6).as("uncertainty"),
+        round(col("decomposition_gap"), 6).as("decomposition_gap"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3408,6 +3459,9 @@ object TestQueries {
     "q219_cuped" -> (q219Cuped _),
     "q220_theil_sen" -> (q220TheilSen _),
     "q221_tfidf_cosine" -> (q221TfidfCosine _),
+    "q222_conformal" -> (q222Conformal _),
+    "q223_backtest" -> (q223Backtest _),
+    "q224_brier" -> (q224Brier _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -444,6 +444,92 @@ object Stats {
         col("rows_below_k") / col("n_rows").cast("double"))
   }
 
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018):
+    * from a CALIBRATION slice's absolute residuals |y − ŷ|, the
+    * order-statistic quantile q̂ at rank k = ⌈(n+1)(1−α)⌉ gives the
+    * distribution-free guarantee P(|y − ŷ| ≤ q̂) ≥ 1−α on exchangeable
+    * data — the uncertainty band to attach to ANY regression scorer
+    * before its predictions gate a pipeline. The eval slice reports
+    * observed coverage (the honesty check).
+    *
+    * The k-th order statistic comes from the rank family's value-domain
+    * shape — residuals quantize to `roundTo` decimals, per-value counts,
+    * a running sum over the bounded domain, first value reaching k — so
+    * there is no row-scale sort and no TakeOrdered of O(N) rows; k and n
+    * ride as broadcast scalars. Returns ONE row:
+    * (n_calib, k, q_hat, n_eval, coverage).
+    */
+  def conformalInterval(df: DataFrame, predCol: String, labelCol: String,
+                        calibFlag: Column, alpha: Double,
+                        roundTo: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    val res = round(abs(col(labelCol).cast("double") -
+      col(predCol).cast("double")), roundTo)
+    val base = df.withColumn("__res", res)
+      .withColumn("__calib", calibFlag)
+      .localCheckpoint() // calibration quantile + eval coverage share it
+    val per = base.where(col("__calib"))
+      .groupBy(col("__res")).agg(count(lit(1)).as("__t"))
+    val tot = per.agg(sum("__t").as("__n"))
+      .withColumn("__k",
+        least(ceil((col("__n") + 1) * lit(1.0 - alpha)), col("__n"))
+          .cast("long"))
+    val w = Window.orderBy("__res")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = per
+      .withColumn("__cum", sum("__t").over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("__cum") >= col("__k"))
+      .agg(max("__n").as("n_calib"), max("__k").as("k"),
+        min("__res").as("q_hat"))
+    base.where(!col("__calib"))
+      .crossJoin(broadcast(qhat))
+      .agg(max("n_calib").as("n_calib"), max("k").as("k"),
+        max("q_hat").as("q_hat"), count(lit(1)).as("n_eval"),
+        avg((col("__res") <= col("q_hat")).cast("double")).as("coverage"))
+  }
+
+  /** Murphy decomposition of the Brier score over reliability bins:
+    * Brier = reliability − resolution + uncertainty, with
+    * REL = Σ nₖ(conf̄ₖ − acc̄ₖ)²/N (calibration error, want 0),
+    * RES = Σ nₖ(acc̄ₖ − ȳ)²/N (discrimination, want large),
+    * UNC = ȳ(1 − ȳ) (the data's irreducible noise). The identity is
+    * exact only when forecasts are constant within a bin, so the
+    * within-bin score variance it omits is reported as
+    * `decomposition_gap` (= brier − rel + res − unc) instead of being
+    * silently absorbed. Same binning as [[calibrationBins]]; one binned
+    * aggregate plus scalar algebra. Returns ONE row.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bin = least(floor(s * bins).cast("int"), lit(bins - 1))
+    val per = df
+      .select(bin.as("__bin"), s.as("__s"), y.as("__y"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__n"), avg("__s").as("__conf"),
+        avg("__y").as("__acc"),
+        sum((col("__s") - col("__y")) * (col("__s") - col("__y")))
+          .as("__se"))
+    per
+      .agg(sum("__n").as("n"),
+        (sum(col("__se")) / sum("__n")).as("brier"),
+        (sum(col("__n") * (col("__conf") - col("__acc")) *
+          (col("__conf") - col("__acc"))) / sum("__n")).as("reliability"),
+        (sum(col("__n") * col("__acc")) / sum("__n")).as("__ybar"),
+        sum(col("__n") * col("__acc") * col("__acc")).as("__nacc2"))
+      .withColumn("resolution",
+        col("__nacc2") / col("n") - col("__ybar") * col("__ybar"))
+      .withColumn("uncertainty", col("__ybar") * (lit(1.0) - col("__ybar")))
+      .withColumn("decomposition_gap",
+        col("brier") - col("reliability") + col("resolution") -
+          col("uncertainty"))
+      .select("n", "brier", "reliability", "resolution", "uncertainty",
+        "decomposition_gap")
+  }
+
   /** Welch's unequal-variance t-test plus Cohen's d effect size between
     * two groups — the parametric sibling of [[mannWhitney]] (use this
     * when means are the question and outliers are already handled;

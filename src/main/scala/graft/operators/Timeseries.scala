@@ -267,6 +267,48 @@ object Timeseries {
       .select("key", "bin", "x", "s_pos", "s_neg", "change")
   }
 
+  /** Seasonal-naive forecast backtest: forecast each bin as the observed
+    * value one season earlier (f(b) = o(b − period)), score with sMAPE
+    * per expanding fold — the baseline every fancier forecaster must
+    * beat, and the backtest harness that says WHERE (which fold, i.e.
+    * which regime) it wins or loses. Folds split the bin timeline into
+    * `folds` equal spans; the first season (no prior season to forecast
+    * from) is excluded by construction, not scored as a miss.
+    *
+    * All work is on the bounded bin grid: one (key, bin) aggregate over
+    * the fact, a per-key LAG over bins for the forecast, fold assignment
+    * by pure arithmetic on the bin index (no ntile — fold edges derive
+    * from the key's min/max bin, a per-key scalar), and one (key, fold)
+    * aggregate for the score. Returns (key, fold, n_scored, smape).
+    */
+  def backtestSeasonalNaive(df: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, binSeconds: Long,
+                            periodBins: Int, folds: Int): DataFrame = {
+    require(binSeconds > 0 && periodBins >= 1 && folds >= 1)
+    val bins = df
+      .groupBy(col(keyCol).as("__k"),
+        floor(unix_timestamp(col(tsCol)) / binSeconds).as("__b"))
+      .agg(avg(col(valueCol).cast("double")).as("__o"))
+    val ext = Window.partitionBy("__k")
+    bins
+      // lag(period) is positional; seasonal-naive needs the bin EXACTLY
+      // one period back, so gaps must not shift the season — join on the
+      // bin key instead of a positional lag
+      .join(bins.select(col("__k"), (col("__b") + periodBins).as("__b"),
+        col("__o").as("__f")), Seq("__k", "__b"), "left")
+      .withColumn("__lo", min("__b").over(ext))
+      .withColumn("__hi", max("__b").over(ext))
+      .withColumn("fold",
+        least(lit(folds - 1), floor((col("__b") - col("__lo")) * folds /
+          (col("__hi") - col("__lo") + 1))).cast("int"))
+      .where(col("__f").isNotNull &&
+        (abs(col("__f")) + abs(col("__o"))) > 0)
+      .groupBy(col("__k").as(keyCol), col("fold"))
+      .agg(count(lit(1)).as("n_scored"),
+        avg(lit(2.0) * abs(col("__f") - col("__o")) /
+          (abs(col("__f")) + abs(col("__o")))).as("smape"))
+  }
+
   /** Theil–Sen robust trend per key: bin the series to a declared grain,
     * then slope = median over ALL bin-pair slopes (vⱼ−vᵢ)/(binⱼ−binᵢ)
     * and intercept = median of (vᵢ − slope·binᵢ) — the trend estimator a

@@ -839,6 +839,111 @@ object ScaleCheck {
             spark.read.parquet(s"$dir/customer.parquet"),
             Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
             .count() + (est & 0L)
+      },
+      "rank_tests" -> { dir =>
+        // KS + Welch + lift/gain: value-domain collapses, bounded-domain
+        // windows, one-row outputs — the whole two-sample family
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+          .withColumn("v", floor(col("value")))
+        graft.operators.Stats.ksTest(ev, "v", "event_type",
+          "purchase", "view").count() +
+          graft.operators.Stats.welchT(ev, "value", "event_type",
+            "purchase", "view").count() +
+          graft.operators.Stats.liftGain(
+            spark.read.parquet(s"$dir/lineitem.parquet")
+              .withColumn("score",
+                ((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / 100.0)
+              .withColumn("label", (col("l_quantity") > 25).cast("int")),
+            "score", "label").count()
+      },
+      "kendall_tau" -> { dir =>
+        // contingency self-join: domain² cell pairs regardless of rows
+        graft.operators.Stats.kendallTau(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_quantity", "l_discount").count()
+      },
+      "url_curation" -> { dir =>
+        // codegen regexp chain + domain grouping + md5 cap windows
+        val d = col("doc_id")
+        val messy = concat(lit("HTTPS://WWW."), col("source"),
+          when(d % 3 === 0, lit(".Example.COM:443"))
+            .when(d % 3 === 1, lit(".sample.CO.UK:443"))
+            .otherwise(lit(".test.ORG")),
+          lit("/Docs/"), d.cast("string"),
+          when(d % 4 === 0, lit("/?utm_source=feed"))
+            .when(d % 4 === 1, lit("?id=1&utm_campaign=x"))
+            .when(d % 4 === 2, lit("/")).otherwise(lit("?a=1&b=2")))
+        val canon = docs(dir)
+          .withColumn("url", graft.functions.Urls.canonicalize(messy))
+          .withColumn("domain", graft.functions.Urls.registeredDomain(
+            graft.functions.Urls.host(messy)))
+        graft.operators.Splits.balancedDownsample(
+          canon, Seq("domain"), 60L, "doc_id").count() +
+          canon.where(length(col("url")) > 0).count()
+      },
+      "top_paths" -> { dir =>
+        // one user-keyed window + two-level path aggregate
+        graft.operators.EventAnalytics.topPaths(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_id", "event_type",
+          steps = 3, topK = 20).count()
+      },
+      "random_projection" -> { dir =>
+        // pure scan-side HOF dot products — no shuffle at all
+        graft.operators.EmbeddingStats.signedRandomProjection(
+          emb(dir), "embedding", inDim = 64, outDim = 16).count()
+      },
+      "kneser_ney" -> { dir =>
+        // vocabulary-sized n-gram + fertility joins, distinct-bigram scoring
+        val d = docs(dir)
+        graft.operators.Quality.kneserNeyLogProb(d,
+          d.where(col("source")
+            .isin("src0", "src1", "src2", "src3", "src4")),
+          "doc_id", "text").count()
+      },
+      "quantile_norm" -> { dir =>
+        // per-group + global value-domain ECDFs, inverse-CDF join
+        graft.operators.Analytics.quantileNormalize(
+          graft.sources.Tables.loadEvents(spark, dir)
+            .withColumn("v", floor(col("value"))), "event_type", "v")
+          .count()
+      },
+      "mutual_knn_filter" -> { dir =>
+        // the operator is a POST-filter: cost is the neighbor-table join,
+        // linear in N·k — build a synthetic N·k neighbor table scan-side
+        // (the search itself is swept under ann_* / bounded gate anchors)
+        val nb = emb(dir).select(col("vec_id").as("query_id"))
+          .select(col("query_id"),
+            explode(sequence(lit(1), lit(5))).as("rank"))
+          .withColumn("nbr_id",
+            col("query_id") + when(col("query_id") % 2 === 0,
+              col("rank")).otherwise(-col("rank")))
+          .withColumn("cos", lit(0.9) - col("rank") * 0.01)
+        graft.operators.Similarity.mutualKnn(nb).count()
+      },
+      "dp_cuped" -> { dir =>
+        // two cheap aggregate shapes: noisy group counts + raw moments
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.dpNoisyCounts(ev, Seq("event_type"),
+          epsilon = 1.0).count() +
+          graft.operators.EventAnalytics.cuped(
+            ev.groupBy("user_id").agg(
+              sum(when(col("event_id") % 2 === 0, col("value"))
+                .otherwise(0.0)).as("x"),
+              sum(when(col("event_id") % 2 === 1, col("value"))
+                .otherwise(0.0)).as("y")),
+            col("user_id") % 2, "x", "y").count()
+      },
+      "theil_sen" -> { dir =>
+        // bounded daily bins per key → bin-pair slopes → exact medians
+        graft.operators.Timeseries.theilSenTrend(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "event_type", "ts", "value", binSeconds = 86400L).count()
+      },
+      "tfidf_cosine_join" -> { dir =>
+        // term-partitioned sparse dots; df cap bounds hot terms
+        graft.operators.Retrieval.tfidfCosineJoin(docs(dir), "doc_id",
+          "text", threshold = 0.3, maxDfRatio = 0.3).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /

@@ -345,6 +345,55 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("conformalInterval: order-statistic rank and eval coverage") {
+    // calib residuals 1..10 (pred 0), α = 0.2 → k = ⌈11·0.8⌉ = 9 →
+    // q̂ = 9; eval residuals 5, 8.5, 12 → coverage 2/3
+    val rows = ((1 to 10).map(i => (i, 0.0, i.toDouble, true)) ++
+      Seq((11, 0.0, 5.0, false), (12, 0.0, 8.5, false),
+        (13, 0.0, 12.0, false)))
+      .toDF("id", "pred", "label", "calib")
+    val r = Stats.conformalInterval(rows, "pred", "label",
+      col("calib"), alpha = 0.2).head()
+    assert(r.getAs[Long]("n_calib") === 10L)
+    assert(r.getAs[Long]("k") === 9L)
+    assert(d(r.getAs[Double]("q_hat"), 9.0))
+    assert(r.getAs[Long]("n_eval") === 3L)
+    assert(d(r.getAs[Double]("coverage"), 2.0 / 3.0))
+  }
+
+  test("conformalInterval: k clamps to n when alpha is tiny") {
+    val rows = ((1 to 4).map(i => (i, 0.0, i.toDouble, true)) :+
+      ((5, 0.0, 99.0, false))).toDF("id", "pred", "label", "calib")
+    val r = Stats.conformalInterval(rows, "pred", "label",
+      col("calib"), alpha = 0.01).head()
+    assert(r.getAs[Long]("k") === 4L) // ⌈5·0.99⌉ = 5 clamps to n = 4
+    assert(d(r.getAs[Double]("q_hat"), 4.0))
+    assert(d(r.getAs[Double]("coverage"), 0.0))
+  }
+
+  test("brierDecomposition: identity exact for constant-score bins") {
+    val rows = Seq((0.05, 0), (0.05, 0), (0.95, 1), (0.95, 1))
+      .toDF("score", "label")
+    val r = Stats.brierDecomposition(rows, "score", "label").head()
+    assert(d(r.getAs[Double]("brier"), 0.0025))
+    assert(d(r.getAs[Double]("reliability"), 0.0025))
+    assert(d(r.getAs[Double]("resolution"), 0.25))
+    assert(d(r.getAs[Double]("uncertainty"), 0.25))
+    assert(d(r.getAs[Double]("decomposition_gap"), 0.0))
+  }
+
+  test("brierDecomposition: within-bin score variance lands in the gap") {
+    // one bin, scores 0.01/0.09 (conf 0.05), all-negative labels:
+    // brier 0.0041, rel 0.0025, res = unc = 0 → gap = score variance
+    val rows = Seq((0.01, 0), (0.09, 0)).toDF("score", "label")
+    val r = Stats.brierDecomposition(rows, "score", "label").head()
+    assert(d(r.getAs[Double]("brier"), 0.0041))
+    assert(d(r.getAs[Double]("reliability"), 0.0025))
+    assert(d(r.getAs[Double]("resolution"), 0.0))
+    assert(d(r.getAs[Double]("uncertainty"), 0.0))
+    assert(d(r.getAs[Double]("decomposition_gap"), 0.0016))
+  }
+
   test("quantileNormalize: midpoint ECDF onto the global inverse CDF") {
     import graft.operators.Analytics
     val rows = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 20).map(("B", _)))

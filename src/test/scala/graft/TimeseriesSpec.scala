@@ -252,4 +252,33 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("intercept") - 0.0) < 1e-9)
   }
+
+  test("backtestSeasonalNaive: aligned season scores zero; folds span the grid") {
+    import org.apache.spark.sql.functions.col
+    // bins 0..5 alternate 10/20 with period 2 → every forecast is exact
+    val rows = (0 to 5).map(b => ("k", b * 3600L,
+      if (b % 2 == 0) 10.0 else 20.0)).toDF("key", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val got = Timeseries.backtestSeasonalNaive(rows, "key", "ts", "v",
+        binSeconds = 3600L, periodBins = 2, folds = 2)
+      .orderBy("fold").collect()
+    assert(got.map(_.getAs[Int]("fold")).toSeq === Seq(0, 1))
+    assert(got.map(_.getAs[Long]("n_scored")).toSeq === Seq(1L, 3L))
+    assert(got.forall(r => math.abs(r.getAs[Double]("smape")) < 1e-9))
+  }
+
+  test("backtestSeasonalNaive: a gap must not shift the season") {
+    import org.apache.spark.sql.functions.col
+    // bins 0,1,3 (bin 2 missing), period 2: bin 3's forecast is bin 1's
+    // 20 (bin-keyed join); a positional lag would wrongly use bin 0's 10
+    val rows = Seq((0L, 10.0), (1L, 20.0), (3L, 40.0))
+      .map { case (b, v) => ("k", b * 3600L, v) }
+      .toDF("key", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val got = Timeseries.backtestSeasonalNaive(rows, "key", "ts", "v",
+        binSeconds = 3600L, periodBins = 2, folds = 1).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("n_scored") === 1L)
+    // sMAPE = 2·|20 − 40| / (20 + 40) = 2/3
+    assert(math.abs(got.head.getAs[Double]("smape") - 2.0 / 3) < 1e-9)
+  }
 }
