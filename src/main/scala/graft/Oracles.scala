@@ -3252,5 +3252,82 @@ object Oracles {
         "round(rel, 6) AS reliability, round(res, 6) AS resolution, " +
         "round(unc, 6) AS uncertainty, " +
         "round(brier - rel + res - unc, 6) AS decomposition_gap FROM f"),
+
+    // Interval overlap: the grid join's contract IS the plain inequality
+    // join — DuckDB runs it directly (IEJoin); half-open [s, e).
+    "q225_interval_overlap" ->
+      ("WITH iv AS (SELECT event_id AS id, user_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS s, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) + 60 + " +
+        "CAST(floor(value * 10) AS BIGINT) AS e FROM events) " +
+        "SELECT a.id AS a_id, b.id AS b_id, " +
+        "least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec " +
+        "FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.id < b.id " +
+        "AND a.s < b.e AND b.s < a.e ORDER BY 1, 2"),
+
+    // MAD outliers: both LOWER medians (smallest value whose doubled
+    // cumulative count reaches n) replayed over the quantized domain.
+    "q226_mad_outliers" ->
+      ("WITH e AS (SELECT event_id, event_type, value FROM events), " +
+        "m1 AS (SELECT event_type, round(value, 6) AS v, count(*) AS c " +
+        "FROM e GROUP BY 1, 2), " +
+        "m2 AS (SELECT event_type, v, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type) AS n FROM m1), " +
+        "med AS (SELECT event_type, min(v) AS med FROM m2 " +
+        "WHERE cum * 2 >= n GROUP BY 1), " +
+        "r1 AS (SELECT e.event_type, " +
+        "round(abs(e.value - med.med), 6) AS v, count(*) AS c " +
+        "FROM e JOIN med USING (event_type) GROUP BY 1, 2), " +
+        "r2 AS (SELECT event_type, v, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type) AS n FROM r1), " +
+        "mad AS (SELECT event_type, min(v) AS mad FROM r2 " +
+        "WHERE cum * 2 >= n GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, round(e.value, 6) AS value, " +
+        "round(med.med, 6) AS med, round(mad.mad, 6) AS mad, " +
+        "round(CASE WHEN mad.mad > 0 THEN (e.value - med.med) / " +
+        "(1.4826 * mad.mad) END, 6) AS robust_z, " +
+        "CASE WHEN mad.mad > 0 THEN abs((e.value - med.med) / " +
+        "(1.4826 * mad.mad)) > 2.5 " +
+        "ELSE round(abs(e.value - med.med), 6) > 0 END AS is_outlier " +
+        "FROM e JOIN med USING (event_type) JOIN mad USING (event_type) " +
+        "ORDER BY e.event_id"),
+
+    // Padding waste: one bucket-domain aggregate; waste vs bucket max.
+    "q227_padding_waste" ->
+      ("WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "b AS (SELECT CAST(floor(n_tokens / 32) AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_seqs, sum(n_tokens) AS sum_tokens, " +
+        "max(n_tokens) AS max_tokens FROM d GROUP BY 1) " +
+        "SELECT bucket, bucket * 32 AS bucket_lo, n_seqs, " +
+        "CAST(sum_tokens AS BIGINT) AS sum_tokens, max_tokens, " +
+        "CAST(n_seqs * max_tokens - sum_tokens AS BIGINT) " +
+        "AS padded_tokens, " +
+        "round(CAST(n_seqs * max_tokens - sum_tokens AS DOUBLE) / " +
+        "(n_seqs * max_tokens), 6) AS waste_ratio " +
+        "FROM b ORDER BY bucket"),
+
+    // Linear attribution: same-ts conversions pre-merge, equal split
+    // across in-window touches, per-channel fold.
+    "q228_linear_attribution" ->
+      ("WITH c AS (SELECT user_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS cts, " +
+        "count(*) AS nconv, sum(value) AS v FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "t AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tts, " +
+        "event_type AS touch_type FROM events " +
+        "WHERE event_type IN ('view', 'click', 'signup')), " +
+        "p AS (SELECT c.user_id, c.cts, c.nconv, c.v, t.touch_type " +
+        "FROM c JOIN t ON c.user_id = t.user_id " +
+        "AND t.tts <= c.cts AND t.tts >= c.cts - 604800), " +
+        "s AS (SELECT user_id, cts, count(*) AS n FROM p GROUP BY 1, 2) " +
+        "SELECT p.touch_type, " +
+        "round(sum(CAST(p.nconv AS DOUBLE) / s.n), 6) " +
+        "AS credited_conversions, " +
+        "round(sum(p.v / s.n), 6) AS credited_value " +
+        "FROM p JOIN s ON p.user_id = s.user_id AND p.cts = s.cts " +
+        "GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -3280,6 +3280,76 @@ object TestQueries {
         round(col("uncertainty"), 6).as("uncertainty"),
         round(col("decomposition_gap"), 6).as("decomposition_gap"))
 
+  /** Interval-overlap self-join ([[operators.Joins.intervalOverlapJoin]]):
+    * events become [start, start + 60 + 10·value) activity intervals;
+    * pairs of overlapping intervals for the SAME user, emitted once via
+    * the grid's later-start cell. DuckDB replays with the plain
+    * inequality join (exact at sf0.01; the grid is the scale path).
+    */
+  def q225IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = sources.Tables.loadEvents(s, dir)
+      .withColumn("__s", unix_timestamp(col("ts")))
+      .withColumn("__e",
+        col("__s") + 60L + floor(col("value") * 10).cast("long"))
+    val left = iv.select(col("user_id"), col("event_id").as("a_id"),
+      col("__s").as("a_s"), col("__e").as("a_e"))
+    val right = iv.select(col("user_id"), col("event_id").as("b_id"),
+      col("__s").as("b_s"), col("__e").as("b_e"))
+    operators.Joins.intervalOverlapJoin(left, right, "a_s", "a_e",
+        "b_s", "b_e", binWidth = 3600.0, keys = Seq("user_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_sec"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MAD robust outliers ([[operators.Stats.madOutliers]]) on event
+    * values per type; DuckDB replays the lower-median running-sum
+    * convention for both medians.
+    */
+  def q226MadOutliers(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.madOutliers(
+        sources.Tables.loadEvents(s, dir)
+          .select("event_id", "event_type", "value"),
+        "event_type", "value", k = 2.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        round(col("robust_z"), 6).as("robust_z"), col("is_outlier"))
+      .orderBy("event_id")
+
+  /** Padding-waste profile ([[operators.Splits.paddingWaste]]) over
+    * whitespace token counts at bucket width 32 — the batching-config
+    * review table.
+    */
+  def q227PaddingWaste(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.paddingWaste(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " "))),
+        "n_tokens", bucketWidth = 32L)
+      .select(col("bucket"), col("bucket_lo"), col("n_seqs"),
+        col("sum_tokens"), col("max_tokens"), col("padded_tokens"),
+        round(col("waste_ratio"), 6).as("waste_ratio"))
+      .orderBy("bucket")
+
+  /** Linear multi-touch attribution
+    * ([[operators.EventAnalytics.linearAttribution]]): purchases split
+    * credit equally across the user's view/click/signup touches in the
+    * trailing 7 days; the fractional-credit join replays as the same
+    * inequality pairing in SQL.
+    */
+  def q228LinearAttribution(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.linearAttribution(
+        sources.Tables.loadEvents(s, dir), "user_id", "ts", "event_type",
+        "value", conversionType = "purchase",
+        touchTypes = Seq("view", "click", "signup"),
+        lookbackSeconds = 7L * 86400L)
+      .select(col("touch_type"),
+        round(col("credited_conversions"), 6).as("credited_conversions"),
+        round(col("credited_value"), 6).as("credited_value"))
+      .orderBy("touch_type")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3462,6 +3532,10 @@ object TestQueries {
     "q222_conformal" -> (q222Conformal _),
     "q223_backtest" -> (q223Backtest _),
     "q224_brier" -> (q224Brier _),
+    "q225_interval_overlap" -> (q225IntervalOverlap _),
+    "q226_mad_outliers" -> (q226MadOutliers _),
+    "q227_padding_waste" -> (q227PaddingWaste _),
+    "q228_linear_attribution" -> (q228LinearAttribution _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -127,6 +127,54 @@ object EventAnalytics {
         sum("value").as("total_value"))
   }
 
+  /** Linear multi-touch attribution — the fractional-credit sibling of
+    * [[lastTouchAttribution]]: each conversion splits its count and value
+    * EQUALLY across every touch event (`touchTypes`) the same user had in
+    * the `lookbackSeconds` window at-or-before it; a channel that showed
+    * up anywhere on the path earns credit, not just the final click.
+    * Conversions with no in-window touch are dropped (same inner
+    * semantics as last-touch).
+    *
+    * Shape: touches and conversions are filtered scan-side, then ONE
+    * user-keyed range join bounded by the lookback pairs each conversion
+    * with its touches — per-user work is touches×conversions inside the
+    * window, the price of multi-touch semantics (document the lookback;
+    * it is the fan-out cap). A per-conversion count sets the 1/n share,
+    * and a final touch-type aggregate folds the credit. No windows over
+    * raw rows, no collect.
+    */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, valueCol: String,
+                        conversionType: String, touchTypes: Seq[String],
+                        lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touchTypes must be non-empty and exclude the conversion type")
+    require(lookbackSeconds > 0, "lookbackSeconds must be positive")
+    // conversions colliding on (user, ts) pre-merge (count + value sum):
+    // the pair join identifies a conversion by its timestamp, so the
+    // merge must happen BEFORE pairing or same-ts conversions would
+    // double-join and nondeterministically share a value
+    val conv = df.where(col(typeCol) === conversionType)
+      .groupBy(col(userCol).as("user"),
+        unix_timestamp(col(tsCol)).as("cts"))
+      .agg(count(lit(1)).as("__nconv"), sum(col(valueCol)).as("__v"))
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user"),
+        unix_timestamp(col(tsCol)).as("tts"),
+        col(typeCol).as("touch_type"))
+    val paired = conv.join(touches, Seq("user"))
+      .where(col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - lookbackSeconds)
+    // 1/n share per conversion slot: n in-window touches
+    val shares = paired.groupBy("user", "cts")
+      .agg(count(lit(1)).as("__n"))
+    paired.join(shares, Seq("user", "cts"))
+      .groupBy("touch_type")
+      .agg(sum(col("__nconv").cast("double") / col("__n"))
+        .as("credited_conversions"),
+        sum(col("__v") / col("__n")).as("credited_value"))
+  }
+
   /** Two-proportion A/B conversion test: users are split by `variantCol`
     * (a deterministic 0/1 assignment, e.g. `user_id % 2` — hash-stable so
     * re-runs and late events land in the same arm); a user converts if

@@ -164,4 +164,48 @@ object Joins {
       explode(array((0 until salt).map(lit): _*)))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose HALF-OPEN
+    * intervals [start, end) intersect — concurrency analysis, meeting/
+    * session collision, downtime attribution. The inequality predicate
+    * `ls < re AND rs < le` is a cross join to a hash-join engine, so the
+    * scale shape is GRID BINNING: each interval explodes onto the
+    * `binWidth`-sized cells it touches, the join runs as an EQUI-join on
+    * (keys, cell), and the exact overlap predicate filters inside the
+    * matched cell. A pair sharing several cells would emit once per
+    * cell; the standard dedup-free trick keeps only the FIRST shared
+    * cell — the cell holding the later of the two starts — so no
+    * distinct pass is needed. Work = Σ cells-per-interval fan-out +
+    * per-cell equi-join: pick binWidth near the median interval length
+    * (too small → fan-out, too large → many intervals per cell).
+    *
+    * `keys` are extra equi-join columns (same name both sides, e.g. a
+    * user or resource id) that partition the grid; all other column
+    * names must be disjoint across the inputs. Returns left ++ right
+    * columns with the key columns once.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          binWidth: Double,
+                          keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(clash.isEmpty, s"non-key columns must be disjoint: $clash")
+    def cellsOf(df: DataFrame, s: String, e: String): DataFrame = df
+      // half-open: an interval ending exactly on a cell edge does not
+      // touch that cell — hence the tiny epsilon off the end
+      .withColumn("__cell", explode(sequence(
+        floor(col(s) / binWidth).cast("long"),
+        greatest(floor(col(s) / binWidth),
+          ceil(col(e) / binWidth) - 1).cast("long"))))
+    cellsOf(left, lStart, lEnd)
+      .join(cellsOf(right, rStart, rEnd), keys :+ "__cell")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        // emit in ONE cell only: the one containing the later start
+        col("__cell") === floor(greatest(col(lStart), col(rStart)) /
+          binWidth).cast("long"))
+      .drop("__cell")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked retrieval over a documents table — BM25, the lexical scoring
@@ -184,8 +185,24 @@ object Retrieval {
     * than that share of docs are dropped BEFORE the join (stopwords
     * carry ~zero idf weight anyway — the cap changes cost, not meaning,
     * and mirrors the prefix-filter discipline of the exact Jaccard
-    * join). Pairs emit once (doc_a < doc_b). Returns (doc_a, doc_b,
-    * n_shared_terms, cos).
+    * join).
+    *
+    * Candidate generation is PREFIX-FILTERED (Bayardo et al., "Scaling
+    * Up All Pairs Similarity Search", WWW'07): order terms globally by
+    * descending df (most common first); for each doc the running bound
+    * B(t) = Σ_{t' ⪯ t} ŵ(t')·maxŵ(t') — normalized weight times the
+    * corpus-max normalized weight of the term — overestimates the cosine
+    * any other doc can reach through terms up to t, so only terms with
+    * B(t) ≥ threshold (the doc's rare, discriminative "prefix" under the
+    * reversed order) need to be indexed. For any pair with cos ≥ t, its
+    * ⪰-minimal shared term is provably in BOTH prefixes, so joining
+    * prefix-to-prefix finds every qualifying pair (exact, not
+    * approximate); a second, candidate-scoped join over the FULL vectors
+    * computes the true dot. High-df terms carry tiny ŵ·maxŵ, so they
+    * fall out of every prefix and the hot-term df² blowup never runs —
+    * candidate work tracks the number of TRUE near-pairs, not the number
+    * of docs sharing a mid-frequency term. Pairs emit once
+    * (doc_a < doc_b). Returns (doc_a, doc_b, n_shared_terms, cos).
     */
   def tfidfCosineJoin(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, maxDfRatio: Double = 0.5)
@@ -202,17 +219,41 @@ object Retrieval {
     val idf = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= n * maxDfRatio)
       .withColumn("__idf", log(lit(n) / col("__df")))
-    val w = tf.join(idf.select("__t", "__idf"), "__t")
-      .select(col("__id"), col("__t"),
+    val w = tf.join(idf.select("__t", "__df", "__idf"), "__t")
+      .select(col("__id"), col("__t"), col("__df"),
         (col("__tf") * col("__idf")).as("__w"))
-      .localCheckpoint() // norm pass + pair join share it
+      .localCheckpoint() // norm pass, prefix index + verify join share it
     val norms = w.groupBy("__id")
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
-    val dots = w.select(col("__id").as("doc_a"), col("__t"),
-        col("__w").as("__wa"))
-      .join(w.select(col("__id").as("doc_b"), col("__t"),
-        col("__w").as("__wb")), "__t")
+    // ---- prefix index (normalized weights used ONLY to bound; the
+    // emitted cos below keeps the original dot/(na·nb) float path) ----
+    val wn = w.join(norms, "__id")
+      .withColumn("__nw", col("__w") / col("__norm"))
+    val maxw = wn.groupBy("__t").agg(max("__nw").as("__maxw"))
+    // suffix-bound window: df desc puts common terms first, so the
+    // running sum at term t covers t and everything RARER than it —
+    // the most a shared-at-or-after-t pair can score
+    val pfx = Window.partitionBy("__id")
+      .orderBy(col("__df").desc, col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val index = wn.join(maxw, "__t")
+      .withColumn("__bnd", sum(col("__nw") * col("__maxw")).over(pfx))
+      // 1e-9 slack: the bound is float arithmetic; a pair at exactly the
+      // threshold must not lose its witness term to an ulp
+      .where(col("__bnd") >= threshold - 1e-9)
+      .select(col("__id"), col("__t"))
+      .localCheckpoint() // both sides of the candidate self-join
+    val cand = index.select(col("__id").as("doc_a"), col("__t"))
+      .join(index.select(col("__id").as("doc_b"), col("__t")), "__t")
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // candidate-scoped verify over the FULL capped vectors: fan each
+    // pair by doc_a's terms, keep doc_b's matching terms, sum the dot
+    val dots = cand
+      .join(w.select(col("__id").as("doc_a"), col("__t"),
+        col("__w").as("__wa")), "doc_a")
+      .join(w.select(col("__id").as("doc_b"), col("__t"),
+        col("__w").as("__wb")), Seq("doc_b", "__t"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_terms"),
         sum(col("__wa") * col("__wb")).as("__dot"))

@@ -465,4 +465,38 @@ object Splits {
         size(col("__chunk")).cast("long").as("n_tokens"),
         md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
   }
+
+  /** Padding-waste profile for length-bucketed training batches: when
+    * sequences are batched, every row in a batch pads to the batch max,
+    * so tokens burned = Σ(batch_max − len). Length-bucketed batching
+    * (bucket by `floor(len / bucketWidth)`, batch within the bucket)
+    * bounds that waste by the BUCKET max — this profile reports, per
+    * bucket, the worst-case padded waste against the bucket max, plus
+    * each bucket's share of the corpus, which is exactly the table a
+    * batching config review needs ("width 128 wastes 4%; width 512
+    * wastes 19%; the tail bucket holds 0.1% of docs").
+    *
+    * One hash aggregate over the (bounded) bucket domain — no sort, no
+    * window, no simulation; at 100 TB this is a scan. Returns one row
+    * per non-empty bucket: (bucket, bucket_lo, n_seqs, sum_tokens,
+    * max_tokens, padded_tokens, waste_ratio), waste_ratio =
+    * padded / (sum + padded) — the fraction of batch compute burned.
+    */
+  def paddingWaste(df: DataFrame, tokensCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val len = col(tokensCol).cast("long")
+    df
+      .groupBy(floor(len / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_seqs"), sum(len).as("sum_tokens"),
+        max(len).as("max_tokens"))
+      .withColumn("bucket_lo", col("bucket") * bucketWidth)
+      .withColumn("padded_tokens",
+        col("n_seqs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("waste_ratio",
+        col("padded_tokens").cast("double") /
+          (col("sum_tokens") + col("padded_tokens")))
+      .select("bucket", "bucket_lo", "n_seqs", "sum_tokens", "max_tokens",
+        "padded_tokens", "waste_ratio")
+  }
 }

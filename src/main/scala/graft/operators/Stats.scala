@@ -530,6 +530,54 @@ object Stats {
         "decomposition_gap")
   }
 
+  /** Per-group robust outlier flags via MAD (median absolute deviation):
+    * robust_z = (x − median) / (1.4826·MAD), flagged when |robust_z| > k
+    * — the outlier screen that, unlike mean/stddev z-scores, cannot be
+    * dragged by the outliers it is hunting (breakdown point 50%). The
+    * 1.4826 factor makes MAD consistent for the normal σ.
+    *
+    * Both medians are LOWER medians over the `roundTo`-quantized value
+    * domain (smallest value whose cumulative count reaches ⌈n/2⌉),
+    * computed rank-family style: per-(group, value) counts, a running
+    * sum over the group's bounded value domain, first value reaching the
+    * rank — no per-group row sort and no object-hash percentile buffer,
+    * and the convention replays exactly in SQL. Two group-keyed
+    * broadcast-or-shuffle joins hang the scalars back on the rows.
+    * Returns every input row + (med, mad, robust_z, is_outlier);
+    * zero-MAD groups (over half the values identical) flag any
+    * deviation from the median.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.5, roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def lowerMedian(d: DataFrame, vCol: Column, out: String): DataFrame = {
+      val per = d.groupBy(col(groupCol), round(vCol, roundTo).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(groupCol).orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(groupCol)
+      per
+        .withColumn("__cum", sum("__c").over(w))
+        .withColumn("__n", sum("__c").over(tot))
+        .where(col("__cum") * 2 >= col("__n"))
+        .groupBy(groupCol).agg(min("__v").as(out))
+    }
+    val base = df.localCheckpoint() // med pass + residual pass + output
+    val med = lowerMedian(base, col(valueCol).cast("double"), "med")
+    val withMed = base.join(med, groupCol)
+    val mad = lowerMedian(withMed,
+      abs(col(valueCol).cast("double") - col("med")), "mad")
+    withMed.join(mad, groupCol)
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          (col(valueCol).cast("double") - col("med")) /
+            (lit(1.4826) * col("mad"))))
+      .withColumn("is_outlier",
+        when(col("mad") > 0, abs(col("robust_z")) > k)
+          .otherwise(round(abs(col(valueCol).cast("double") - col("med")),
+            roundTo) > 0))
+  }
+
   /** Welch's unequal-variance t-test plus Cohen's d effect size between
     * two groups — the parametric sibling of [[mannWhitney]] (use this
     * when means are the question and outliers are already handled;

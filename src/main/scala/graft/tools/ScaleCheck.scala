@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * candidate pairs, measuring data pathology instead of operator scaling.
   * Within-replica duplicate structure is preserved (dups transform alike).
   *
-  * Usage: runMain graft.tools.ScaleCheck [replication]
+  * Usage: runMain graft.tools.ScaleCheck [replication] [op1,op2,...]
+  * With an op filter only those anchors run and SCALING.md is NOT
+  * rewritten (iteration mode); the full sweep regenerates the file.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(10)
+    val opFilter = args.drop(1).headOption.map(_.split(",").toSet)
     // text replicas are distinguished by vowel permutation; 5! bounds rep
     require(rep >= 2 && rep <= 120, s"replication must be in [2, 120], got $rep")
     val base = "/root/testdata/sf0.1"
@@ -941,9 +944,13 @@ object ScaleCheck {
           "event_type", "ts", "value", binSeconds = 86400L).count()
       },
       "tfidf_cosine_join" -> { dir =>
-        // term-partitioned sparse dots; df cap bounds hot terms
+        // prefix-filtered candidates + candidate-scoped verify, at the
+        // near-dup threshold the operator exists for; 0.3 on THIS corpus
+        // has quadratic OUTPUT (replicas share every vowel-free token,
+        // so each doc stays cos≈0.3-similar to all its clones — clone
+        // pathology per the header, not operator scaling)
         graft.operators.Retrieval.tfidfCosineJoin(docs(dir), "doc_id",
-          "text", threshold = 0.3, maxDfRatio = 0.3).count()
+          "text", threshold = 0.8, maxDfRatio = 0.3).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /
@@ -961,9 +968,11 @@ object ScaleCheck {
       (math.min(ta, tb), na)
     }
 
+    val picked = opFilter.fold(ops)(fs => ops.filter(o => fs(o._1)))
+    require(picked.nonEmpty, s"no anchors match filter $opFilter")
     // warm every op once at 1× (janino + scan infra), then measure both
-    ops.foreach { case (_, f) => f(base) }
-    val results = ops.map { case (name, f) =>
+    picked.foreach { case (_, f) => f(base) }
+    val results = picked.map { case (name, f) =>
       val (t1, n1) = timeOf(f(base))
       val (tN, nN) = timeOf(f(out))
       val exp = math.log(tN / t1) / math.log(rep.toDouble)
@@ -991,9 +1000,11 @@ object ScaleCheck {
     md ++= "\nSub-linear exponents mean the 1× run is dominated by fixed\n" +
       "per-job overhead (task launch, planning) rather than data volume —\n" +
       "the signal that matters is the absence of super-linear outliers.\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
-      md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println("wrote SCALING.md")
+    if (opFilter.isEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
+        md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println("wrote SCALING.md")
+    } else println("op filter active: SCALING.md not rewritten")
     spark.stop()
   }
 }

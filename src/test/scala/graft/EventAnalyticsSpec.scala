@@ -235,4 +235,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(got.toSeq === Seq("X>Y>Z"))
   }
+
+  test("linearAttribution: equal split in-window, lookback excludes, no-touch drops") {
+    import spark.implicits._
+    // user 1: touches view@10, click@20, then buy@30 v=60 → 0.5 each, 30 each;
+    //   a view@1 is OUTSIDE the 25s lookback (30−25=5 ≤ tts — 1 < 5 excluded)
+    // user 2: buy@50 with no touches → dropped entirely
+    val rows = Seq(
+      (1L, 1L, "view", 0.0), (1L, 10L, "view", 0.0),
+      (1L, 20L, "click", 0.0), (1L, 30L, "buy", 60.0),
+      (2L, 50L, "buy", 99.0))
+      .toDF("user_id", "t", "event_type", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = EventAnalytics.linearAttribution(rows, "user_id", "ts",
+        "event_type", "value", "buy", Seq("view", "click"),
+        lookbackSeconds = 25L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(("view", 0.5, 30.0), ("click", 0.5, 30.0)))
+  }
+
+  test("linearAttribution: same-second conversions pre-merge their credit") {
+    import spark.implicits._
+    // two buys in the same second (v=10, v=20) share the single view:
+    // view gets 2 conversions and value 30 — not a nondeterministic one
+    val rows = Seq(
+      (1L, 5L, "view", 0.0), (1L, 9L, "buy", 10.0), (1L, 9L, "buy", 20.0))
+      .toDF("user_id", "t", "event_type", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = EventAnalytics.linearAttribution(rows, "user_id", "ts",
+        "event_type", "value", "buy", Seq("view"), lookbackSeconds = 60L)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(1) === 2.0 && got.head.getDouble(2) === 30.0)
+  }
 }

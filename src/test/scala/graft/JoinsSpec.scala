@@ -118,4 +118,28 @@ class JoinsSpec extends AnyFunSuite {
         "key", 8, uniformScatter = true)
     assert(spread.count() === 900)
   }
+
+  test("intervalOverlapJoin: half-open overlap, once per pair, key-scoped") {
+    val left = Seq((1L, "u", 0L, 100L), (2L, "u", 250L, 260L),
+      (3L, "v", 0L, 100L)).toDF("a_id", "k", "a_s", "a_e")
+    val right = Seq((10L, "u", 50L, 300L), (11L, "u", 100L, 120L),
+      (12L, "v", 99L, 200L)).toDF("b_id", "k", "b_s", "b_e")
+    val got = Joins.intervalOverlapJoin(left, right, "a_s", "a_e",
+        "b_s", "b_e", binWidth = 64.0, keys = Seq("k"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // (1,10): overlap spanning several 64-cells → exactly once
+    // (1,11): touch at the boundary — [0,100) vs [100,120) → NO overlap
+    // (2,10): [250,260) inside [50,300) ✓;  (3,12): other key, [0,100)∩[99,200) ✓
+    // (3,10)/(3,11): key v vs key u → never joined
+    assert(got === Set((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
+
+  test("intervalOverlapJoin: duplicate emission impossible across shared cells") {
+    // both intervals span 5+ cells together; count must still be 1
+    val l = Seq((1L, 0L, 500L)).toDF("a_id", "a_s", "a_e")
+    val r = Seq((2L, 10L, 490L)).toDF("b_id", "b_s", "b_e")
+    assert(Joins.intervalOverlapJoin(l, r, "a_s", "a_e", "b_s", "b_e",
+      binWidth = 100.0).count() === 1)
+  }
 }

@@ -354,4 +354,17 @@ class SplitsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(got === Map("A" -> 0.0, "B" -> 0.0))
   }
+
+  test("paddingWaste: per-bucket waste against the bucket max") {
+    import spark.implicits._
+    // bucket 0 (w=10): lens 3, 7, 9 → max 9, padded 27−19 = 8
+    // bucket 1: len 10 alone → zero waste
+    val df = Seq(3L, 7L, 9L, 10L).toDF("n")
+    val got = Splits.paddingWaste(df, "n", bucketWidth = 10L)
+      .orderBy("bucket").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(5))).toSeq === Seq((0L, 0L, 3L, 8L), (1L, 10L, 1L, 0L)))
+    assert(math.abs(got(0).getAs[Double]("waste_ratio") - 8.0 / 27) < 1e-9)
+    assert(got(1).getAs[Double]("waste_ratio") === 0.0)
+  }
 }

@@ -394,6 +394,27 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("decomposition_gap"), 0.0016))
   }
 
+  test("madOutliers: lower medians, consistency factor, zero-MAD fallback") {
+    // group A: values 1..9 plus a 100 outlier → med 5 (lower, n=10),
+    // residuals {4,3,2,1,0,1,2,3,4,95} → mad 2 (lower median, cum 5≥5);
+    // robust_z(100) = 95/(1.4826·2) ≈ 32 → flagged; z(9) ≈ 1.35 → not
+    val a = ((1 to 9).map(i => ("A", i.toDouble)) :+ (("A", 100.0)))
+    // group B: constant 7s → mad 0 → any deviation flags, 7 itself never
+    val b = Seq(("B", 7.0), ("B", 7.0), ("B", 7.0), ("B", 7.1))
+    val got = Stats.madOutliers((a ++ b).toDF("g", "v"), "g", "v", k = 3.5)
+      .collect()
+    val ga = got.filter(_.getAs[String]("g") == "A")
+    assert(ga.forall(r => r.getAs[Double]("med") == 5.0 &&
+      r.getAs[Double]("mad") == 2.0))
+    assert(ga.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Double]("v")).toSeq === Seq(100.0))
+    val gb = got.filter(_.getAs[String]("g") == "B")
+    assert(gb.forall(r => r.getAs[Double]("mad") == 0.0 &&
+      r.isNullAt(r.fieldIndex("robust_z"))))
+    assert(gb.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Double]("v")).toSeq === Seq(7.1))
+  }
+
   test("quantileNormalize: midpoint ECDF onto the global inverse CDF") {
     import graft.operators.Analytics
     val rows = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 20).map(("B", _)))
