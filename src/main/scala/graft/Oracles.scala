@@ -3329,5 +3329,78 @@ object Oracles {
         "round(sum(p.v / s.n), 6) AS credited_value " +
         "FROM p JOIN s ON p.user_id = s.user_id AND p.cts = s.cts " +
         "GROUP BY 1 ORDER BY 1"),
+
+    // Prefix groups: every md5 at every geometric level replayed; the
+    // per-doc max level via arg_max.
+    "q229_prefix_groups" ->
+      ("WITH d AS (SELECT doc_id, '[' || source || " +
+        "'] corpus preamble: license cc-by-4.0, schema v2, " +
+        "generator graft, shard 0; ' || text AS t FROM documents), " +
+        "l AS (SELECT * FROM (VALUES (32), (64), (128), (256)) " +
+        "AS v(len)), " +
+        "f AS (SELECT doc_id, len, md5(substr(t, 1, len)) AS fp " +
+        "FROM d JOIN l ON length(t) >= len), " +
+        "g AS (SELECT len, fp, count(*) AS n FROM f GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2), " +
+        "j AS (SELECT f.doc_id, f.len, f.fp, g.n " +
+        "FROM f JOIN g USING (len, fp)) " +
+        "SELECT doc_id, CAST(max(len) AS INT) AS prefix_len, " +
+        "arg_max(fp, len) AS group_id, " +
+        "CAST(arg_max(n, len) AS BIGINT) AS group_size " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+
+    // Out-of-order audit on the jittered feed: lag + running max over
+    // the arrival order, then per-user fold.
+    "q230_out_of_order" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) + " +
+        "(event_id % 5 - 2) * 90 AS ts FROM events), " +
+        "x AS (SELECT user_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev, " +
+        "max(ts) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS hwm FROM e) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_inversions, " +
+        "round(CAST(sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / greatest(count(prev), 1), 6) AS inversion_rate, " +
+        "CAST(max(CASE WHEN ts < prev THEN prev - ts ELSE 0 END) " +
+        "AS BIGINT) AS max_backstep_sec, " +
+        "CAST(max(hwm - ts) AS BIGINT) AS max_watermark_lag_sec " +
+        "FROM x GROUP BY 1 ORDER BY 1"),
+
+    // Winsorize: lower-value-at-rank cuts at ceil(p*n), clamp.
+    "q231_winsorize" ->
+      ("WITH e AS (SELECT event_id, event_type, value FROM events), " +
+        "p AS (SELECT event_type, round(value, 6) AS v, count(*) AS c " +
+        "FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, v, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type) AS n FROM p), " +
+        "cuts AS (SELECT event_type, " +
+        "min(CASE WHEN cum >= greatest(ceil(0.05 * n), 1) THEN v END) " +
+        "AS lo_cut, " +
+        "min(CASE WHEN cum >= greatest(ceil(0.95 * n), 1) THEN v END) " +
+        "AS hi_cut FROM r GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, round(e.value, 6) AS value, " +
+        "round(c.lo_cut, 6) AS lo_cut, round(c.hi_cut, 6) AS hi_cut, " +
+        "round(least(greatest(round(e.value, 6), c.lo_cut), c.hi_cut), 6) " +
+        "AS winsorized " +
+        "FROM e JOIN cuts c USING (event_type) ORDER BY e.event_id"),
+
+    // Percentile bands: the same rank selection per (type, day bin).
+    "q232_percentile_bands" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(floor(epoch(ts)) / " +
+        "86400) AS BIGINT) AS bin, round(value, 6) AS v FROM events), " +
+        "p AS (SELECT event_type, bin, v, count(*) AS c " +
+        "FROM e GROUP BY 1, 2, 3), " +
+        "r AS (SELECT event_type, bin, v, " +
+        "sum(c) OVER (PARTITION BY event_type, bin ORDER BY v) AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type, bin) AS n FROM p) " +
+        "SELECT event_type, bin, CAST(max(n) AS BIGINT) AS n, " +
+        "round(min(CASE WHEN cum >= ceil(0.5 * n) THEN v END), 6) AS p50, " +
+        "round(min(CASE WHEN cum >= ceil(0.9 * n) THEN v END), 6) AS p90, " +
+        "round(min(CASE WHEN cum >= ceil(0.99 * n) THEN v END), 6) " +
+        "AS p99 FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

@@ -3350,6 +3350,70 @@ object TestQueries {
         round(col("credited_value"), 6).as("credited_value"))
       .orderBy("touch_type")
 
+  /** Shared-prefix grouping ([[operators.Dedup.commonPrefixGroups]]): a
+    * per-source boilerplate header is stamped onto every doc (the
+    * template-generation shape the operator exists to catch); levels 32
+    * and 64 land inside the header (grouping by source), 128 reaches
+    * into each doc's own text (splitting to near-singletons), 256 only
+    * exists for long docs. DuckDB replays every md5 fingerprint.
+    */
+  def q229PrefixGroups(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.commonPrefixGroups(
+        t(s, dir, "documents").withColumn("stamped",
+          concat(lit("["), col("source"),
+            lit("] corpus preamble: license cc-by-4.0, schema v2, " +
+              "generator graft, shard 0; "), col("text"))),
+        "doc_id", "stamped", minPrefix = 32, maxPrefix = 256)
+      .orderBy("doc_id")
+
+  /** Event-time disorder audit ([[operators.EventAnalytics
+    * .outOfOrderStats]]): arrival order is the ingest-monotone event_id;
+    * event time is deterministically jittered ±(event_id % 5 − 2)·90 s
+    * so real inversions exist to measure (the raw feed is perfectly
+    * ordered — nothing to audit).
+    */
+  def q230OutOfOrder(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.outOfOrderStats(
+        sources.Tables.loadEvents(s, dir)
+          .withColumn("ts_jit",
+            (unix_timestamp(col("ts")) +
+              (col("event_id") % 5 - 2) * 90L).cast("timestamp")),
+        "user_id", "event_id", "ts_jit")
+      .select(col("user_id"), col("n_events"), col("n_inversions"),
+        round(col("inversion_rate"), 6).as("inversion_rate"),
+        col("max_backstep_sec"), col("max_watermark_lag_sec"))
+      .orderBy("user_id")
+
+  /** Per-type winsorization ([[operators.Stats.winsorize]]) of event
+    * values at the 5th/95th percentile cut points; the lower-value-at-
+    * rank convention replays exactly.
+    */
+  def q231Winsorize(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.winsorize(
+        sources.Tables.loadEvents(s, dir)
+          .select("event_id", "event_type", "value"),
+        "event_type", "value", loPct = 0.05, hiPct = 0.95)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"),
+        round(col("lo_cut"), 6).as("lo_cut"),
+        round(col("hi_cut"), 6).as("hi_cut"),
+        round(col("winsorized"), 6).as("winsorized"))
+      .orderBy("event_id")
+
+  /** Daily p50/p90/p99 latency-style bands
+    * ([[operators.Timeseries.percentileBands]]) of event values per
+    * type — exact lower-value-at-rank percentiles over the bin's value
+    * domain.
+    */
+  def q232PercentileBands(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.percentileBands(
+        sources.Tables.loadEvents(s, dir), "event_type", "ts", "value",
+        binSeconds = 86400L, percentiles = Seq(50, 90, 99))
+      .select(col("event_type"), col("bin"), col("n"),
+        round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+        round(col("p99"), 6).as("p99"))
+      .orderBy("event_type", "bin")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3536,6 +3600,10 @@ object TestQueries {
     "q226_mad_outliers" -> (q226MadOutliers _),
     "q227_padding_waste" -> (q227PaddingWaste _),
     "q228_linear_attribution" -> (q228LinearAttribution _),
+    "q229_prefix_groups" -> (q229PrefixGroups _),
+    "q230_out_of_order" -> (q230OutOfOrder _),
+    "q231_winsorize" -> (q231Winsorize _),
+    "q232_percentile_bands" -> (q232PercentileBands _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

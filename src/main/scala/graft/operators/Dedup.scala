@@ -877,4 +877,49 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Shared-prefix grouping — the template/boilerplate-generation
+    * detector: documents produced by stamping a template share a LONG
+    * COMMON PREFIX (same header, same preamble) even when their tails
+    * diverge enough to defeat whole-document fingerprints. Each doc is
+    * fingerprinted at geometric prefix lengths (`minPrefix`, 2×, 4×, …
+    * ≤ `maxPrefix` — ~log₂ levels, so the fan-out is a constant ≤ 6, not
+    * a per-character explode), docs sharing an md5 at a level form a
+    * group, and each doc reports its LONGEST shared level. Returns
+    * (id, prefix_len, group_id, group_size) for docs in a group of ≥ 2;
+    * unique-prefix docs drop out.
+    *
+    * Scale: one bounded explode, one (len, md5)-keyed aggregate for
+    * group sizes, one max_by per doc — compact 16-byte-ish keys
+    * throughout, no pair join at all (group identity replaces pairwise
+    * comparison, the same move as exact dedup).
+    */
+  def commonPrefixGroups(df: DataFrame, idCol: String, textCol: String,
+                         minPrefix: Int = 64,
+                         maxPrefix: Int = 1024): DataFrame = {
+    require(minPrefix > 0 && maxPrefix >= minPrefix,
+      s"need 0 < minPrefix <= maxPrefix: $minPrefix/$maxPrefix")
+    val levels = Iterator.iterate(minPrefix)(_ * 2)
+      .takeWhile(_ <= maxPrefix).toSeq
+    val fps = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__len", explode(array(levels.map(lit): _*)))
+      // a doc shorter than the level has no such prefix — no fingerprint
+      // (padding instead would alias "short doc" with "prefix of a long
+      // doc", a false group)
+      .where(length(col("__text")) >= col("__len"))
+      .select(col("__id"), col("__len"),
+        md5(col("__text").substr(lit(1), col("__len"))).as("__fp"))
+    val groups = fps.groupBy("__len", "__fp")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+    fps.join(groups, Seq("__len", "__fp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(max_by(
+        struct(col("__len"), col("__fp"), col("__n")), col("__len"))
+        .as("__best"))
+      .select(col(idCol), col("__best.__len").as("prefix_len"),
+        col("__best.__fp").as("group_id"),
+        col("__best.__n").as("group_size"))
+  }
 }

@@ -175,6 +175,38 @@ object EventAnalytics {
         sum(col("__v") / col("__n")).as("credited_value"))
   }
 
+  /** Event-time disorder audit — the measurement a streaming watermark
+    * is chosen FROM: per key, order events by arrival (`seqCol`, e.g. an
+    * ingest-monotone id) and measure how badly event time (`tsCol`) runs
+    * backwards: adjacent inversions, their rate, the worst single
+    * backward jump, and the max lag of any event behind the running
+    * event-time high-water mark (the number a `withWatermark` delay must
+    * exceed to not drop that event). ONE key-partitioned window pass
+    * (lag + running max), then a per-key aggregate. Returns
+    * (key, n_events, n_inversions, inversion_rate, max_backstep_sec,
+    * max_watermark_lag_sec).
+    */
+  def outOfOrderStats(df: DataFrame, keyCol: String, seqCol: String,
+                      tsCol: String): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy("__seq")
+    val hwm = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .select(col(keyCol).as("__k"), col(seqCol).as("__seq"),
+        unix_timestamp(col(tsCol)).as("__ts"))
+      .withColumn("__prev", lag("__ts", 1).over(w))
+      .withColumn("__hwm", max("__ts").over(hwm))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__ts") < col("__prev"), 1L).otherwise(0L))
+          .as("n_inversions"),
+        (sum(when(col("__ts") < col("__prev"), 1L).otherwise(0L))
+          .cast("double") /
+          greatest(count(col("__prev")), lit(1L))).as("inversion_rate"),
+        max(when(col("__ts") < col("__prev"), col("__prev") - col("__ts"))
+          .otherwise(0L)).as("max_backstep_sec"),
+        max(col("__hwm") - col("__ts")).as("max_watermark_lag_sec"))
+  }
+
   /** Two-proportion A/B conversion test: users are split by `variantCol`
     * (a deterministic 0/1 assignment, e.g. `user_id % 2` — hash-stable so
     * re-runs and late events land in the same arm); a user converts if

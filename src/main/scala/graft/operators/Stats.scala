@@ -578,6 +578,43 @@ object Stats {
             roundTo) > 0))
   }
 
+  /** Per-group winsorization: clamp values to the [loPct, hiPct]
+    * percentile cut points — the tail-taming transform that keeps every
+    * row (unlike trimming) while bounding the influence any single
+    * value can exert on downstream means/regressions. Cut points use
+    * the LOWER-value-at-rank convention (smallest quantized value whose
+    * cumulative count reaches ⌈p·n⌉, the same rank-family shape as
+    * [[madOutliers]]), computed per group over the bounded value domain
+    * — no per-group sort — then joined back and clamped with
+    * least/greatest. Returns every input row + (lo_cut, hi_cut,
+    * winsorized).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loPct: Double, hiPct: Double,
+                roundTo: Int = 6): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1: $loPct/$hiPct")
+    val per = df
+      .groupBy(col(groupCol),
+        round(col(valueCol).cast("double"), roundTo).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = per
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(
+        min(when(col("__cum") >= greatest(ceil(lit(loPct) * col("__n")),
+          lit(1L)), col("__v"))).as("lo_cut"),
+        min(when(col("__cum") >= greatest(ceil(lit(hiPct) * col("__n")),
+          lit(1L)), col("__v"))).as("hi_cut"))
+    df.join(cuts, groupCol)
+      .withColumn("winsorized",
+        least(greatest(round(col(valueCol).cast("double"), roundTo),
+          col("lo_cut")), col("hi_cut")))
+  }
+
   /** Welch's unequal-variance t-test plus Cohen's d effect size between
     * two groups — the parametric sibling of [[mannWhitney]] (use this
     * when means are the question and outliers are already handled;

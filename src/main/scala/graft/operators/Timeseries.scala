@@ -322,6 +322,41 @@ object Timeseries {
     * percentiles over the bounded pair set. Returns one row per key:
     * (key, n_bins, slope, intercept).
     */
+  /** Exact percentile bands per (key, time bin) — the p50/p90/p99
+    * latency chart. Percentiles use the LOWER-value-at-rank convention
+    * (smallest quantized value whose cumulative count reaches ⌈p·n⌉),
+    * computed rank-family style over each bin's bounded value domain:
+    * per-(key, bin, value) counts, a running-sum window, then ONE
+    * conditional-min aggregate emits every requested band — no sort of
+    * raw rows, no percentile buffer, and the convention replays exactly
+    * in SQL. `percentiles` are integer percents (50, 90, 99 → columns
+    * p50, p90, p99). Returns (key, bin, n, p<…>...).
+    */
+  def percentileBands(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, binSeconds: Long,
+                      percentiles: Seq[Int] = Seq(50, 90, 99),
+                      roundTo: Int = 6): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100), s"percents in [1,100]")
+    val per = df
+      .groupBy(col(keyCol).as("__k"),
+        floor(unix_timestamp(col(tsCol)) / binSeconds).as("__b"),
+        round(col(valueCol).cast("double"), roundTo).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__k", "__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("__k", "__b")
+    val ranked = per
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(tot))
+    val bands = percentiles.map(p =>
+      min(when(col("__cum") >= ceil(lit(p / 100.0) * col("__n")),
+        col("__v"))).as(s"p$p"))
+    ranked.groupBy(col("__k").as(keyCol), col("__b").as("bin"))
+      .agg(max("__n").as("n"), bands: _*)
+  }
+
   def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")

@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * quadratic step, driver bottleneck, or broadcast threshold crossed).
   * Writes the table to SCALING.md.
   *
-  * Replication is content-aware, not just key-shifted: document TEXT is
-  * vowel-permuted per replica (`translate`) so replicas are genuinely
-  * different corpora — naive copies make every doc a near-dup of its 9
-  * clones, and the dedup operators would then (correctly!) emit ~100× the
-  * candidate pairs, measuring data pathology instead of operator scaling.
-  * Within-replica duplicate structure is preserved (dups transform alike).
+  * Replication is content-aware, not just key-shifted: document TEXT goes
+  * through a per-replica character BIJECTION (vowel permutation + consonant
+  * rotation via `translate`) so replicas are genuinely different corpora —
+  * naive copies make every doc a near-dup of its 9 clones, and the dedup
+  * operators would then (correctly!) emit ~100× the candidate pairs,
+  * measuring data pathology instead of operator scaling. Vowels alone are
+  * NOT enough: the first permutations fix 'a'/'e', and the synthetic vocab
+  * is a/e-heavy, so vowel-only replicas shared half their tokens and
+  * tf-idf cosine still saw every doc's clones as ≥0.8-similar (15M
+  * cross-replica pairs at ×10 — the r10 lesson). Rotating the consonants
+  * as well makes replica token sets fully disjoint while preserving
+  * within-replica duplicate structure (dups transform alike).
   *
   * Usage: runMain graft.tools.ScaleCheck [replication] [op1,op2,...]
   * With an op filter only those anchors run and SCALING.md is NOT
@@ -35,6 +41,12 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     val vowelPerms = "aeiou".permutations.take(rep).toIndexedSeq
+    val cons = "bcdfghjklmnpqrstvwxz"
+    // replica 0 is the identity (vowelPerms(0) = "aeiou", rotation 0);
+    // the (perm, rotation) pair is distinct for every i < 120
+    def consRot(i: Int): String = {
+      val r = i % cons.length; cons.drop(r) + cons.take(r)
+    }
 
     def replicate(name: String, keyCols: Seq[String],
                   textCols: Seq[String] = Nil): Unit = {
@@ -43,7 +55,8 @@ object ScaleCheck {
         val keyed = keyCols.foldLeft(src)((d, k) =>
           d.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
         textCols.foldLeft(keyed)((d, t) =>
-          d.withColumn(t, translate(col(t), "aeiou", vowelPerms(i))))
+          d.withColumn(t, translate(col(t), "aeiou" + cons,
+            vowelPerms(i) + consRot(i))))
       }.reduce(_ union _)
       shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }

@@ -538,4 +538,26 @@ class DedupSpec extends AnyFunSuite {
       assert(edPairs(strs, d) === brute, s"maxDist $d")
     }
   }
+
+  test("commonPrefixGroups: longest shared level wins; singletons drop") {
+    import spark.implicits._
+    val h = "HEADER-" * 10 // 70 chars shared by docs 1-3
+    val docs = Seq(
+      (1L, h + "alpha tail one" * 15),  // shares 64 with 2,3; 128+ with 2
+      (2L, h + "alpha tail one" * 15),  // identical to 1 → groups at 256
+      (3L, h + "omega different tail" * 12),
+      (4L, "short unique"),             // shorter than minPrefix → absent
+      (5L, "totally different text that is long enough for level 32 ok"))
+      .toDF("id", "text")
+    val got = Dedup.commonPrefixGroups(docs, "id", "text",
+        minPrefix = 32, maxPrefix = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(3))).toMap
+    // docs 1,2: full texts equal and ≥256 chars → level 256, size 2
+    assert(got(1L) === ((256, 2L)) && got(2L) === ((256, 2L)))
+    // doc 3 shares only the 70-char header → level 64 with both 1 and 2
+    assert(got(3L) === ((64, 3L)))
+    // 4 (too short) and 5 (unique prefix at every level) never appear
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
 }

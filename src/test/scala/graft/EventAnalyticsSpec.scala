@@ -269,4 +269,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.length === 1)
     assert(got.head.getDouble(1) === 2.0 && got.head.getDouble(2) === 30.0)
   }
+
+  test("outOfOrderStats: inversions, worst backstep, watermark lag") {
+    import spark.implicits._
+    // arrival 1..5, event times 100, 90, 200, 180, 210:
+    // inversions at #2 (100→90) and #4 (200→180); worst backstep 20;
+    // watermark lag: hwm after #3 is 200, #4 lags 20; #2 lags 10
+    val rows = Seq((1L, 100L), (2L, 90L), (3L, 200L), (4L, 180L),
+      (5L, 210L)).map { case (s, t) => ("u", s, t) }
+      .toDF("k", "seq", "t")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val r = EventAnalytics.outOfOrderStats(rows, "k", "seq", "ts").head()
+    assert(r.getAs[Long]("n_events") === 5L)
+    assert(r.getAs[Long]("n_inversions") === 2L)
+    assert(math.abs(r.getAs[Double]("inversion_rate") - 0.5) < 1e-9)
+    assert(r.getAs[Long]("max_backstep_sec") === 20L)
+    assert(r.getAs[Long]("max_watermark_lag_sec") === 20L)
+  }
+
+  test("outOfOrderStats: ordered feed reports zeros") {
+    import spark.implicits._
+    val rows = Seq(("u", 1L, 10L), ("u", 2L, 20L), ("v", 1L, 5L))
+      .toDF("k", "seq", "t")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = EventAnalytics.outOfOrderStats(rows, "k", "seq", "ts")
+      .collect()
+    assert(got.forall(r => r.getAs[Long]("n_inversions") == 0L &&
+      r.getAs[Long]("max_watermark_lag_sec") == 0L))
+  }
 }

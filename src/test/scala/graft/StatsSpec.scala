@@ -415,6 +415,17 @@ class StatsSpec extends AnyFunSuite {
       .map(_.getAs[Double]("v")).toSeq === Seq(7.1))
   }
 
+  test("winsorize: lower-value-at-rank cuts clamp the tails only") {
+    // values 1..20: lo rank ⌈0.05·20⌉=1 → lo_cut 1; hi rank ⌈0.95·20⌉=19
+    // → hi_cut 19; so only 20 moves (to 19)
+    val rows = (1 to 20).map(i => ("A", i.toDouble)).toDF("g", "v")
+    val got = Stats.winsorize(rows, "g", "v", 0.05, 0.95)
+      .collect().map(r => r.getAs[Double]("v") ->
+        r.getAs[Double]("winsorized")).toMap
+    assert(got(1.0) === 1.0 && got(19.0) === 19.0 && got(20.0) === 19.0)
+    assert((2 to 18).forall(i => got(i.toDouble) === i.toDouble))
+  }
+
   test("quantileNormalize: midpoint ECDF onto the global inverse CDF") {
     import graft.operators.Analytics
     val rows = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 20).map(("B", _)))

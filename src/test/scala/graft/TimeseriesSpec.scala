@@ -281,4 +281,18 @@ class TimeseriesSpec extends AnyFunSuite {
     // sMAPE = 2·|20 − 40| / (20 + 40) = 2/3
     assert(math.abs(got.head.getAs[Double]("smape") - 2.0 / 3) < 1e-9)
   }
+
+  test("percentileBands: lower-value-at-rank per bin") {
+    import org.apache.spark.sql.functions.col
+    // one bin, values 1..10: p50 → rank ⌈5⌉ = 5; p90 → 9; p99 → ⌈9.9⌉ = 10
+    val rows = (1 to 10).map(i => ("k", 30L, i.toDouble))
+      .toDF("key", "sec", "v")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val r = Timeseries.percentileBands(rows, "key", "ts", "v",
+      binSeconds = 3600L, percentiles = Seq(50, 90, 99)).head()
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("p50") === 5.0)
+    assert(r.getAs[Double]("p90") === 9.0)
+    assert(r.getAs[Double]("p99") === 10.0)
+  }
 }
