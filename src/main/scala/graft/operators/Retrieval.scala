@@ -205,19 +205,25 @@ object Retrieval {
     * (doc_a < doc_b). Returns (doc_a, doc_b, n_shared_terms, cos).
     */
   def tfidfCosineJoin(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, maxDfRatio: Double = 0.5)
-  : DataFrame = {
+                      threshold: Double, maxDfRatio: Double = 0.5,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(maxDfRatio > 0 && maxDfRatio <= 1,
       s"maxDfRatio in (0,1]: $maxDfRatio")
+    require(maxDf > 0, s"maxDf must be positive: $maxDf")
     val tf = docs
       .select(col(idCol).as("__id"),
         explode(graft.functions.Text.shingles(col(textCol), 1)).as("__t"))
       .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
       .localCheckpoint() // df counts + weights + norms all read it
     val n = tf.select(col("__id")).distinct().count().toDouble
+    // maxDf is the ABSOLUTE stopword cap — the knob that stays put as
+    // the corpus grows: a ratio cap admits ever-more-common terms at
+    // ever-larger N (0.3 of 50k docs readmits terms the same ratio
+    // dropped at 5k), silently re-weighting the whole similarity space
+    // between a pilot run and the full corpus
     val idf = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= n * maxDfRatio)
+      .where(col("__df") <= least(lit(n * maxDfRatio), lit(maxDf)))
       .withColumn("__idf", log(lit(n) / col("__df")))
     val w = tf.join(idf.select("__t", "__df", "__idf"), "__t")
       .select(col("__id"), col("__t"), col("__df"),

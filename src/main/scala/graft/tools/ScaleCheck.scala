@@ -956,14 +956,99 @@ object ScaleCheck {
           graft.sources.Tables.loadEvents(spark, dir),
           "event_type", "ts", "value", binSeconds = 86400L).count()
       },
+      "conformal_brier" -> { dir =>
+        // value-domain rank quantile + one binned aggregate
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val means = ev.groupBy("event_type")
+          .agg(((min("value") + max("value")) / 2).as("pred"))
+        graft.operators.Stats.conformalInterval(
+          ev.join(broadcast(means), "event_type"), "pred", "value",
+          col("event_id") % 2 === 0, alpha = 0.1).count() +
+          graft.operators.Stats.brierDecomposition(
+            spark.read.parquet(s"$dir/lineitem.parquet")
+              .withColumn("score",
+                ((col("l_orderkey") * 7 + col("l_linenumber")) % 100) /
+                  100.0)
+              .withColumn("label", (col("l_quantity") > 25).cast("int")),
+            "score", "label").count()
+      },
+      "seasonal_backtest" -> { dir =>
+        // bounded bin grid: bin agg + bin-keyed season join + fold agg
+        graft.operators.Timeseries.backtestSeasonalNaive(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "event_type", "ts", "value", 3600L, 24, 3).count()
+      },
+      "interval_overlap" -> { dir =>
+        // grid-binned equi-join, user-scoped cells
+        val iv = graft.sources.Tables.loadEvents(spark, dir)
+          .withColumn("__s", unix_timestamp(col("ts")))
+          .withColumn("__e",
+            col("__s") + 60L + floor(col("value") * 10).cast("long"))
+        graft.operators.Joins.intervalOverlapJoin(
+          iv.select(col("user_id"), col("event_id").as("a_id"),
+            col("__s").as("a_s"), col("__e").as("a_e")),
+          iv.select(col("user_id"), col("event_id").as("b_id"),
+            col("__s").as("b_s"), col("__e").as("b_e")),
+          "a_s", "a_e", "b_s", "b_e", 3600.0, Seq("user_id"))
+          .where(col("a_id") < col("b_id")).count()
+      },
+      "mad_winsorize" -> { dir =>
+        // two rank-family value-domain passes + row-join-back each
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+          .select("event_id", "event_type", "value")
+        graft.operators.Stats.madOutliers(ev, "event_type", "value",
+          k = 2.5).count() +
+          graft.operators.Stats.winsorize(ev, "event_type", "value",
+            0.05, 0.95).count()
+      },
+      "padding_waste" -> { dir =>
+        // one bucket-domain hash aggregate
+        graft.operators.Splits.paddingWaste(
+          docs(dir).withColumn("n", size(split(col("text"), " "))),
+          "n", 32L).count()
+      },
+      "linear_attribution" -> { dir =>
+        // user-keyed lookback pairing + per-conversion share
+        graft.operators.EventAnalytics.linearAttribution(
+          graft.sources.Tables.loadEvents(spark, dir), "user_id", "ts",
+          "event_type", "value", "purchase",
+          Seq("view", "click", "signup"), 7L * 86400L).count()
+      },
+      "prefix_groups" -> { dir =>
+        // bounded level explode + (len, md5)-keyed group sizes
+        graft.operators.Dedup.commonPrefixGroups(
+          docs(dir).withColumn("stamped",
+            concat(lit("["), col("source"), lit("] preamble; "),
+              col("text"))),
+          "doc_id", "stamped", 32, 256).count()
+      },
+      "out_of_order" -> { dir =>
+        // one key-partitioned window pass + per-key fold
+        graft.operators.EventAnalytics.outOfOrderStats(
+          graft.sources.Tables.loadEvents(spark, dir)
+            .withColumn("ts_jit",
+              (unix_timestamp(col("ts")) +
+                (col("event_id") % 5 - 2) * 90L).cast("timestamp")),
+          "user_id", "event_id", "ts_jit").count()
+      },
+      "percentile_bands" -> { dir =>
+        // per-(key, bin) bounded value-domain windows
+        graft.operators.Timeseries.percentileBands(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "event_type", "ts", "value", 86400L).count()
+      },
       "tfidf_cosine_join" -> { dir =>
         // prefix-filtered candidates + candidate-scoped verify, at the
-        // near-dup threshold the operator exists for; 0.3 on THIS corpus
-        // has quadratic OUTPUT (replicas share every vowel-free token,
-        // so each doc stays cos≈0.3-similar to all its clones — clone
-        // pathology per the header, not operator scaling)
+        // near-dup threshold the operator exists for. The df cap is the
+        // ABSOLUTE one (1500 = what the 0.3 ratio means at 1×): a ratio
+        // cap readmits the corpus's common template terms at ×10
+        // (0.3·50k ≫ their df), re-weighting the similarity space and
+        // quadratically inflating qualifying pairs — a semantics change,
+        // not operator scaling. θ=0.3 has quadratic OUTPUT on this
+        // self-similar corpus for the same reason (measured: 128M pairs).
         graft.operators.Retrieval.tfidfCosineJoin(docs(dir), "doc_id",
-          "text", threshold = 0.8, maxDfRatio = 0.3).count()
+          "text", threshold = 0.8, maxDfRatio = 0.3,
+          maxDf = 1500L).count()
       })
 
     // best-of-2 per point: a single-shot timing is at the mercy of GC /
