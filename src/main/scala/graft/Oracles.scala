@@ -3402,5 +3402,60 @@ object Oracles {
         "round(min(CASE WHEN cum >= ceil(0.9 * n) THEN v END), 6) AS p90, " +
         "round(min(CASE WHEN cum >= ceil(0.99 * n) THEN v END), 6) " +
         "AS p99 FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // OLS trend: quantized bin means, one moment pass, the same
+    // slope/intercept/r2 algebra division-for-division.
+    "q233_ols_trend" ->
+      ("WITH b0 AS (SELECT event_type AS k, " +
+        "CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS bin, " +
+        "round(avg(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, bin, v, min(bin) OVER (PARTITION BY k) AS bin0 " +
+        "FROM b0), " +
+        "m AS (SELECT k, count(*) AS nb, min(bin0) AS bin0, " +
+        "sum(CAST(bin - bin0 AS DOUBLE)) AS sx, sum(v) AS sy, " +
+        "sum(CAST(bin - bin0 AS DOUBLE) * CAST(bin - bin0 AS DOUBLE)) " +
+        "AS sxx, sum(v * v) AS syy, " +
+        "sum(CAST(bin - bin0 AS DOUBLE) * v) AS sxy FROM b GROUP BY 1), " +
+        "f AS (SELECT k, nb, bin0, " +
+        "CAST(nb AS DOUBLE) * sxx - sx * sx AS dxx, " +
+        "CAST(nb AS DOUBLE) * syy - sy * sy AS dyy, " +
+        "CAST(nb AS DOUBLE) * sxy - sx * sy AS dxy, sx, sy FROM m) " +
+        "SELECT k AS event_type, CAST(nb AS BIGINT) AS n_bins, bin0, " +
+        "round(CASE WHEN dxx > 0 THEN dxy / dxx END, 6) AS slope, " +
+        "round(CASE WHEN dxx > 0 THEN " +
+        "(sy - (dxy / dxx) * sx) / CAST(nb AS DOUBLE) END, 6) " +
+        "AS intercept, " +
+        "round(CASE WHEN dxx > 0 AND dyy > 0 THEN " +
+        "dxy * dxy / (dxx * dyy) END, 6) AS r2 FROM f ORDER BY 1"),
+
+    // Binned MI: equi-width cells over observed ranges, joint and
+    // marginal histograms, entropies — all double-for-double.
+    "q234_binned_mi" ->
+      ("WITH r AS (SELECT min(CAST(l_quantity AS DOUBLE)) AS xlo, " +
+        "max(CAST(l_quantity AS DOUBLE)) AS xhi, " +
+        "min(CAST(l_extendedprice AS DOUBLE)) AS ylo, " +
+        "max(CAST(l_extendedprice AS DOUBLE)) AS yhi FROM lineitem), " +
+        "j AS (SELECT least(CAST(floor((CAST(l_quantity AS DOUBLE) - " +
+        "r.xlo) / ((r.xhi - r.xlo) / 16)) AS INT), 15) AS bx, " +
+        "least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - r.ylo) / " +
+        "((r.yhi - r.ylo) / 16)) AS INT), 15) AS by2, " +
+        "count(*) AS c FROM lineitem, r GROUP BY 1, 2), " +
+        "mx AS (SELECT bx, sum(c) AS cx FROM j GROUP BY 1), " +
+        "my AS (SELECT by2, sum(c) AS cy FROM j GROUP BY 1), " +
+        "t AS (SELECT sum(c) AS n FROM j), " +
+        "mi AS (SELECT max(t.n) AS n, " +
+        "sum((CAST(c AS DOUBLE) / t.n) * " +
+        "ln((CAST(c AS DOUBLE) * CAST(t.n AS DOUBLE)) / " +
+        "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) AS mi " +
+        "FROM j JOIN mx USING (bx) JOIN my USING (by2), t), " +
+        "hx AS (SELECT sum((CAST(cx AS DOUBLE) / t.n) * " +
+        "-ln(CAST(cx AS DOUBLE) / t.n)) AS h_x FROM mx, t), " +
+        "hy AS (SELECT sum((CAST(cy AS DOUBLE) / t.n) * " +
+        "-ln(CAST(cy AS DOUBLE) / t.n)) AS h_y FROM my, t) " +
+        "SELECT CAST(mi.n AS BIGINT) AS n, round(mi.mi, 6) AS mi, " +
+        "round(hx.h_x, 6) AS h_x, round(hy.h_y, 6) AS h_y, " +
+        "round(CASE WHEN hx.h_x > 0 AND hy.h_y > 0 THEN " +
+        "mi.mi / sqrt(hx.h_x * hy.h_y) END, 6) AS nmi " +
+        "FROM mi, hx, hy"),
   )
 }

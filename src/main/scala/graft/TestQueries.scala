@@ -3414,6 +3414,30 @@ object TestQueries {
         round(col("p99"), 6).as("p99"))
       .orderBy("event_type", "bin")
 
+  /** Per-type daily OLS trend ([[operators.Timeseries.olsTrend]]) with
+    * R² — five sums over the quantized bin set per key; the moment
+    * algebra replays division-for-division.
+    */
+  def q233OlsTrend(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.olsTrend(sources.Tables.loadEvents(s, dir),
+        "event_type", "ts", "value", binSeconds = 86400L)
+      .select(col("event_type"), col("n_bins"), col("bin0"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+      .orderBy("event_type")
+
+  /** Binned mutual information ([[operators.Stats.binnedMI]]) between
+    * lineitem quantity and extended price — joint/marginal histograms
+    * and entropies replayed cell-for-cell.
+    */
+  def q234BinnedMi(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.binnedMI(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")
+      .select(col("n"), round(col("mi"), 6).as("mi"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        round(col("nmi"), 6).as("nmi"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3604,6 +3628,8 @@ object TestQueries {
     "q230_out_of_order" -> (q230OutOfOrder _),
     "q231_winsorize" -> (q231Winsorize _),
     "q232_percentile_bands" -> (q232PercentileBands _),
+    "q233_ols_trend" -> (q233OlsTrend _),
+    "q234_binned_mi" -> (q234BinnedMi _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -615,6 +615,61 @@ object Stats {
           col("lo_cut")), col("hi_cut")))
   }
 
+  /** Binned mutual information between two numeric columns: equi-width
+    * bins over each column's observed [min, max], joint histogram, then
+    * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) with the normalized variant
+    * NMI = MI/√(H(x)·H(y)) — the dependence screen that, unlike Pearson
+    * or Spearman, sees NON-MONOTONE structure (a parabola scores ~0 on
+    * both correlations but high MI). Complements the categorical
+    * [[Quality.columnDependencies]].
+    *
+    * Shape: one scalar min/max aggregate broadcast to the scan, one
+    * (bx, by)-keyed aggregate over the ≤ xBins·yBins grid, marginals as
+    * grid-local window sums — row-scale work is a single scan + one
+    * bounded-key shuffle. Returns ONE row
+    * (n, mi, h_x, h_y, nmi); a constant column collapses to one bin and
+    * scores mi = 0, nmi null.
+    */
+  def binnedMI(df: DataFrame, xCol: String, yCol: String,
+               xBins: Int = 16, yBins: Int = 16): DataFrame = {
+    require(xBins >= 2 && yBins >= 2, "need at least 2 bins per side")
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val ranges = df.agg(min(x).as("__xlo"), max(x).as("__xhi"),
+      min(y).as("__ylo"), max(y).as("__yhi"))
+    def binned(c: Column, lo: Column, hi: Column, k: Int): Column =
+      when(hi > lo,
+        least(floor((c - lo) / ((hi - lo) / k)).cast("int"), lit(k - 1)))
+        .otherwise(0)
+    val joint = df.crossJoin(broadcast(ranges))
+      .groupBy(
+        binned(x, col("__xlo"), col("__xhi"), xBins).as("__bx"),
+        binned(y, col("__ylo"), col("__yhi"), yBins).as("__by"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // marginals + total + MI all read it
+    val mx = joint.groupBy("__bx").agg(sum("__c").as("__cx"))
+    val my = joint.groupBy("__by").agg(sum("__c").as("__cy"))
+    val tot = joint.agg(sum("__c").as("__n"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .agg(sum((col(cnt) / col("__n")) *
+        -log(col(cnt).cast("double") / col("__n"))).as(out))
+    val mi = joint
+      .join(broadcast(mx), "__bx").join(broadcast(my), "__by")
+      .crossJoin(broadcast(tot))
+      .agg(max("__n").as("n"),
+        // counts cast to double BEFORE multiplying: c·n in long overflows
+        // once n is in the trillions (100 TB row counts)
+        sum((col("__c") / col("__n")) *
+          log((col("__c").cast("double") * col("__n").cast("double")) /
+            (col("__cx").cast("double") * col("__cy").cast("double"))))
+          .as("mi"))
+    mi.crossJoin(broadcast(entropy(mx, "__cx", "h_x")))
+      .crossJoin(broadcast(entropy(my, "__cy", "h_y")))
+      .withColumn("nmi", when(col("h_x") > 0 && col("h_y") > 0,
+        col("mi") / sqrt(col("h_x") * col("h_y"))))
+      .select("n", "mi", "h_x", "h_y", "nmi")
+  }
+
   /** Welch's unequal-variance t-test plus Cohen's d effect size between
     * two groups — the parametric sibling of [[mannWhitney]] (use this
     * when means are the question and outliers are already handled;

@@ -357,6 +357,50 @@ object Timeseries {
       .agg(max("__n").as("n"), bands: _*)
   }
 
+  /** Per-key OLS trend over a declared grain — the least-squares sibling
+    * of [[theilSenTrend]] (use OLS when the bins are trusted and you
+    * also want fit quality; Theil–Sen when a corrupted bin must not move
+    * the slope). Series are binned like every operator in this family
+    * (per-bin avg, quantized to `roundTo` so the moment algebra replays
+    * bit-for-bit in SQL), then slope/intercept/R² come from ONE moment
+    * aggregate per key — five sums over the bounded bin set, no window
+    * over raw rows, no matrix. x is the bin offset from the key's FIRST
+    * bin, which is both the interpretable origin (intercept = fitted
+    * value at the series start, slope = change per bin) and the
+    * numerically necessary one: raw epoch-grain indices (~2×10⁴ for
+    * days) put n·Σx² and (Σx)² at ~10¹¹ and their cancellation eats six
+    * significant digits of the intercept. Keys with a single bin (or
+    * zero x-variance) return null slope/intercept; constant-y keys
+    * return null r2 (0/0 — fit quality of a flat line is undefined, not
+    * perfect). Returns (key, n_bins, bin0, slope, intercept, r2).
+    */
+  def olsTrend(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, binSeconds: Long,
+               roundTo: Int = 6): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val bins = df
+      .groupBy(col(keyCol).as("__k"),
+        floor(unix_timestamp(col(tsCol)) / binSeconds).as("__b"))
+      .agg(round(avg(col(valueCol).cast("double")), roundTo).as("__v"))
+      .withColumn("__b0", min("__b").over(Window.partitionBy("__k")))
+    val x = (col("__b") - col("__b0")).cast("double")
+    val m = bins.groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_bins"), min("__b0").as("bin0"),
+        sum(x).as("__sx"), sum(col("__v")).as("__sy"),
+        sum(x * x).as("__sxx"),
+        sum(col("__v") * col("__v")).as("__syy"),
+        sum(x * col("__v")).as("__sxy"))
+    val n = col("n_bins").cast("double")
+    val dxx = n * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = n * col("__syy") - col("__sy") * col("__sy")
+    val dxy = n * col("__sxy") - col("__sx") * col("__sy")
+    m.withColumn("slope", when(dxx > 0, dxy / dxx))
+      .withColumn("intercept",
+        when(dxx > 0, (col("__sy") - col("slope") * col("__sx")) / n))
+      .withColumn("r2", when(dxx > 0 && dyy > 0, dxy * dxy / (dxx * dyy)))
+      .select(keyCol, "n_bins", "bin0", "slope", "intercept", "r2")
+  }
+
   def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")

@@ -311,15 +311,32 @@ object DeltaExport {
     * rows, so change-feed/streaming readers skip it. The streaming sink's
     * one-file-per-micro-batch accumulation is the intended customer.
     * Old files stay on disk for time travel until [[vacuum]].
+    *
+    * `zorderBy` (OPTIMIZE ... ZORDER BY): cluster the rewrite on the
+    * Morton curve over the named columns ([[Layout.zorderKey]]) —
+    * range-partitioned into `numFiles` so the curve is contiguous per
+    * file and parquet min/max stats prune on EVERY z-ordered column, not
+    * just a lead sort key. Unpartitioned tables only (a hive-partitioned
+    * table already clusters on its partition values; z-ordering within
+    * one-file-per-partition rewrites would reorder rows invisibly).
     */
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Long = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
+              zorderBy: Seq[String] = Nil): Long = {
     require(numFiles >= 1)
     val table = new Path(dir)
     val fs = fsOf(spark, table)
     val snap = DeltaRead.snapshot(spark, dir)
+    require(zorderBy.isEmpty || snap.partitionColumns.isEmpty,
+      "zorderBy requires an unpartitioned table")
     val df = DeltaRead.read(spark, dir)
     val compacted =
-      if (snap.partitionColumns.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        df.withColumn("__z", Layout.zorderKey(df, zorderBy))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else if (snap.partitionColumns.nonEmpty)
         // all rows of a hive partition land in one task → one file each
         df.repartition(snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(numFiles)

@@ -181,6 +181,35 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, pdir).where(col("lang") === "en").count() === 2L)
   }
 
+  test("compact zorderBy: Morton-clustered rewrite, refused when partitioned") {
+    import spark.implicits._
+    val dir = tmp()
+    // rows scattered so a single-column sort can't make both columns tight
+    val rows = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    DeltaExport.append(scala.util.Random.shuffle(rows).toDF("x", "y"), dir)
+    DeltaExport.compact(spark, dir, numFiles = 4, zorderBy = Seq("x", "y"))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.files.size === 4)
+    assert(DeltaRead.read(spark, dir).count() === 256L)
+    // z-clustering bounds BOTH columns per file: every file's x-range and
+    // y-range must be a strict subset of the full 0..15 domain
+    val spans = DeltaRead.read(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect()
+    assert(spans.length === 4)
+    assert(spans.forall(r => r.getAs[Long]("dx") < 15L ||
+      r.getAs[Long]("dy") < 15L))
+    // hive-partitioned tables refuse z-ordering loudly
+    val pdir = tmp()
+    DeltaExport.append(Seq((1L, "en")).toDF("k", "lang"), pdir,
+      partitionColumns = Seq("lang"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.compact(spark, pdir, zorderBy = Seq("k"))
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("readAppendsBetween: cursor-style tail of an append-only log") {
     import spark.implicits._
     val dir = tmp()

@@ -455,4 +455,44 @@ class StatsSpec extends AnyFunSuite {
     assert(lg.map(_.getAs[Long]("cum_rows")).last === 10L)
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
+
+  test("binnedMI: perfect dependence scores MI = H = ln 2, nmi = 1") {
+    // x = y ∈ {0, 1}: with 2 bins per side both marginals are (½, ½) and
+    // the joint sits on the diagonal → MI = ln 2 nats, NMI = 1
+    val rows = Seq((0.0, 0.0), (0.0, 0.0), (1.0, 1.0), (1.0, 1.0))
+      .toDF("x", "y")
+    val r = Stats.binnedMI(rows, "x", "y", xBins = 2, yBins = 2).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(d(r.getAs[Double]("mi"), math.log(2)))
+    assert(d(r.getAs[Double]("h_x"), math.log(2)))
+    assert(d(r.getAs[Double]("h_y"), math.log(2)))
+    assert(d(r.getAs[Double]("nmi"), 1.0))
+  }
+
+  test("binnedMI: independent uniform cells score MI = 0") {
+    val rows = (for (x <- Seq(0.0, 1.0); y <- Seq(0.0, 1.0)) yield (x, y))
+      .toDF("x", "y")
+    val r = Stats.binnedMI(rows, "x", "y", xBins = 2, yBins = 2).head()
+    assert(d(r.getAs[Double]("mi"), 0.0))
+    assert(d(r.getAs[Double]("nmi"), 0.0))
+  }
+
+  test("binnedMI: a constant column collapses to one bin — mi 0, nmi null") {
+    val rows = Seq((5.0, 0.0), (5.0, 1.0), (5.0, 0.0)).toDF("x", "y")
+    val r = Stats.binnedMI(rows, "x", "y").head()
+    assert(d(r.getAs[Double]("mi"), 0.0))
+    assert(d(r.getAs[Double]("h_x"), 0.0)) // single cell: zero entropy
+    assert(r.isNullAt(r.fieldIndex("nmi")))
+  }
+
+  test("binnedMI: a parabola invisible to correlation has high NMI") {
+    // y = (x − 8)² on x = 0..16: Pearson ≈ 0 by symmetry, but the binned
+    // MI sees the deterministic relationship
+    val rows = (0 to 16).map(i => (i.toDouble, (i - 8.0) * (i - 8.0)))
+      .toDF("x", "y")
+    val r = Stats.binnedMI(rows, "x", "y", xBins = 8, yBins = 8).head()
+    val pearson = rows.stat.corr("x", "y")
+    assert(math.abs(pearson) < 0.05)
+    assert(r.getAs[Double]("nmi") > 0.5)
+  }
 }

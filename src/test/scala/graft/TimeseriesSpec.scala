@@ -295,4 +295,45 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p90") === 9.0)
     assert(r.getAs[Double]("p99") === 10.0)
   }
+
+  test("olsTrend: exact fit on a noiseless line, x centered at bin0") {
+    // key a: daily bins with v = 3 + 2·offset (perfect line starting at
+    // an epoch-day ~19700 — the shape that exposed the cancellation bug:
+    // uncentered x puts n·Σx² at ~1e11 and the intercept extrapolates to
+    // 1970); key b: one bin (no slope); key c: constant y (r2 undefined)
+    val day0 = 19700L
+    val rows =
+      (0 to 4).map(o => ("a", (day0 + o) * 86400L, 3.0 + 2.0 * o)) ++
+        Seq(("b", day0 * 86400L, 7.0)) ++
+        (0 to 2).map(o => ("c", (day0 + o) * 86400L, 5.0))
+    val df = rows.toDF("k", "sec", "v")
+      .withColumn("ts", $"sec".cast("timestamp"))
+    val got = Timeseries.olsTrend(df, "k", "ts", "v", binSeconds = 86400L)
+      .orderBy("k").collect()
+    val a = got(0)
+    assert(a.getAs[Long]("n_bins") === 5L)
+    assert(a.getAs[Long]("bin0") === day0)
+    assert(math.abs(a.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(a.getAs[Double]("intercept") - 3.0) < 1e-9)
+    assert(math.abs(a.getAs[Double]("r2") - 1.0) < 1e-9)
+    val b = got(1)
+    assert(b.getAs[Long]("n_bins") === 1L)
+    assert(b.isNullAt(b.fieldIndex("slope")) &&
+      b.isNullAt(b.fieldIndex("intercept")))
+    val c = got(2)
+    assert(math.abs(c.getAs[Double]("slope")) < 1e-9)
+    assert(math.abs(c.getAs[Double]("intercept") - 5.0) < 1e-9)
+    assert(c.isNullAt(c.fieldIndex("r2"))) // flat line: fit quality is 0/0
+  }
+
+  test("olsTrend: multiple rows per bin average before the fit") {
+    // bin 0 holds 10 and 20 (mean 15), bin 1 holds 25 → slope 10
+    val rows = Seq(("a", 0L, 10.0), ("a", 30L, 20.0), ("a", 86400L, 25.0))
+    val df = rows.toDF("k", "sec", "v")
+      .withColumn("ts", $"sec".cast("timestamp"))
+    val r = Timeseries.olsTrend(df, "k", "ts", "v", binSeconds = 86400L)
+      .head()
+    assert(math.abs(r.getAs[Double]("slope") - 10.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 15.0) < 1e-9)
+  }
 }
