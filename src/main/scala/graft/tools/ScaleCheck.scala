@@ -1037,6 +1037,18 @@ object ScaleCheck {
           graft.sources.Tables.loadEvents(spark, dir),
           "event_type", "ts", "value", 86400L).count()
       },
+      "ols_trend" -> { dir =>
+        // one moment aggregate per key over the bounded bin domain
+        graft.operators.Timeseries.olsTrend(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "event_type", "ts", "value", 86400L).count()
+      },
+      "binned_mi" -> { dir =>
+        // scalar range broadcast + one bounded-grid aggregate
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        graft.operators.Stats.binnedMI(
+          li, "l_quantity", "l_extendedprice").count()
+      },
       "tfidf_cosine_join" -> { dir =>
         // prefix-filtered candidates + candidate-scoped verify, at the
         // near-dup threshold the operator exists for. The df cap is the
