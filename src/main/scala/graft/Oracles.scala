@@ -3457,5 +3457,48 @@ object Oracles {
         "round(CASE WHEN hx.h_x > 0 AND hy.h_y > 0 THEN " +
         "mi.mi / sqrt(hx.h_x * hy.h_y) END, 6) AS nmi " +
         "FROM mi, hx, hy"),
+
+    // Isotonic calibration: the PAV fit via its minimax characterization
+    // fit(k) = max_{i<=k} min_{j>=k} wmean(label, bins i..j) — segment
+    // means from cumulative differences, replayed join-for-join.
+    "q235_isotonic" ->
+      ("WITH s AS (SELECT ((l_orderkey * 7 + l_linenumber) % 100) / 100.0 " +
+        "AS score, CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS label " +
+        "FROM lineitem), " +
+        "b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, " +
+        "count(*) AS n, avg(score) AS score_mean, " +
+        "sum(CAST(label AS DOUBLE)) AS sy FROM s GROUP BY 1), " +
+        "c AS (SELECT bin, n, sy, sum(n) OVER (ORDER BY bin) AS cw, " +
+        "sum(sy) OVER (ORDER BY bin) AS cs FROM b), " +
+        "seg AS (SELECT lo.bin AS i, hi.bin AS j, " +
+        "(hi.cs - (lo.cs - lo.sy)) / (hi.cw - (lo.cw - lo.n)) AS a " +
+        "FROM c lo JOIN c hi ON lo.bin <= hi.bin), " +
+        "mn AS (SELECT k.bin AS k, seg.i, min(seg.a) AS mn FROM c k " +
+        "JOIN seg ON seg.i <= k.bin AND k.bin <= seg.j GROUP BY 1, 2), " +
+        "f AS (SELECT k AS bin, max(mn) AS fit FROM mn GROUP BY 1) " +
+        "SELECT b.bin, CAST(b.n AS BIGINT) AS n, " +
+        "round(b.score_mean, 6) AS score_mean, " +
+        "round(b.sy / b.n, 6) AS label_mean, round(f.fit, 6) AS fit " +
+        "FROM b JOIN f USING (bin) ORDER BY bin"),
+
+    // WOE/IV: exact per-category counts, the identical smoothing algebra.
+    "q236_woe_iv" ->
+      ("WITH d AS (SELECT source, CASE WHEN n_chars > 306 THEN 1 ELSE 0 " +
+        "END AS y FROM documents), " +
+        "per AS (SELECT source, count(*) AS n, " +
+        "CAST(sum(CAST(y AS DOUBLE)) AS BIGINT) AS events FROM d " +
+        "GROUP BY 1), " +
+        "p2 AS (SELECT source, n, events, n - events AS nonevents " +
+        "FROM per), " +
+        "t AS (SELECT CAST(sum(events) AS BIGINT) AS tev, " +
+        "CAST(sum(nonevents) AS BIGINT) AS tne FROM p2) " +
+        "SELECT source, CAST(n AS BIGINT) AS n, events, nonevents, " +
+        "round(CASE WHEN tev > 0 AND tne > 0 THEN " +
+        "ln(((events + 0.5) / tev) / ((nonevents + 0.5) / tne)) END, 6) " +
+        "AS woe, " +
+        "round(CASE WHEN tev > 0 AND tne > 0 THEN " +
+        "((events + 0.5) / tev - (nonevents + 0.5) / tne) * " +
+        "ln(((events + 0.5) / tev) / ((nonevents + 0.5) / tne)) END, 6) " +
+        "AS iv_term FROM p2, t ORDER BY source"),
   )
 }

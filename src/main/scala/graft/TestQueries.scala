@@ -3438,6 +3438,37 @@ object TestQueries {
         round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
         round(col("nmi"), 6).as("nmi"))
 
+  /** Isotonic (PAV) calibration ([[operators.Stats.isotonicCalibration]])
+    * over the q170 scored fixture — the minimax over bounded bin segments
+    * replays join-for-join in SQL.
+    */
+  def q235Isotonic(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "lineitem").select(
+      (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / lit(100.0))
+        .as("score"),
+      (col("l_quantity") > 25).cast("int").as("label"))
+    operators.Stats.isotonicCalibration(scored, "score", "label", bins = 10)
+      .select(col("bin"), col("n"),
+        round(col("score_mean"), 6).as("score_mean"),
+        round(col("label_mean"), 6).as("label_mean"),
+        round(col("fit"), 6).as("fit"))
+      .orderBy("bin")
+  }
+
+  /** Weight-of-evidence / information value ([[operators.Classify.woeIv]])
+    * of `source` against a median-length quality label — exact counts,
+    * the same smoothing algebra division-for-division.
+    */
+  def q236WoeIv(s: SparkSession, dir: String): DataFrame =
+    operators.Classify.woeIv(
+      t(s, dir, "documents")
+        .select(col("source"), (col("n_chars") > 306).cast("int").as("y")),
+      "source", "y")
+      .select(col("source"), col("n"), col("events"), col("nonevents"),
+        round(col("woe"), 6).as("woe"),
+        round(col("iv_term"), 6).as("iv_term"))
+      .orderBy("source")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3630,6 +3661,8 @@ object TestQueries {
     "q232_percentile_bands" -> (q232PercentileBands _),
     "q233_ols_trend" -> (q233OlsTrend _),
     "q234_binned_mi" -> (q234BinnedMi _),
+    "q235_isotonic" -> (q235Isotonic _),
+    "q236_woe_iv" -> (q236WoeIv _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -190,6 +190,47 @@ object Classify {
       .drop("__sum", "__n", "__gm")
   }
 
+  /** Weight-of-evidence encoding with information value — the credit-scoring
+    * screen for "how much does this categorical column separate a binary
+    * target", here the feature-triage tool for curation labels (does
+    * `source` predict `is_high_quality` enough to be worth a model input,
+    * or is it leakage?). Per category c:
+    *
+    *   woe(c) = ln( ((events_c + s) / total_events) /
+    *                ((nonevents_c + s) / total_nonevents) )
+    *   iv_term(c) = ((events_c + s)/total_events −
+    *                 (nonevents_c + s)/total_nonevents) · woe(c)
+    *
+    * with the standard ±`smooth` (default 0.5) cell adjustment so a pure
+    * category (all-event or all-nonevent) scores finite instead of ±∞.
+    * Σ iv_term is the column's IV (rule of thumb: <0.02 useless, >0.5
+    * suspicious/leaky). A single-class corpus (no events or no nonevents)
+    * returns null woe/iv_term rather than inventing separation.
+    *
+    * ONE category-keyed aggregate plus a two-scalar broadcast — partial
+    * aggs do all row-scale work, category cardinality is the only state.
+    * Counts are exact longs; the only float ops are the final divides and
+    * ln, so results replay bit-for-bit in SQL. Returns
+    * (catCol, n, events, nonevents, woe, iv_term).
+    */
+  def woeIv(df: DataFrame, catCol: String, targetCol: String,
+            smooth: Double = 0.5): DataFrame = {
+    require(smooth >= 0, s"smoothing must be non-negative: $smooth")
+    val y = col(targetCol).cast("double")
+    val per = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(y).cast("long").as("events"))
+      .withColumn("nonevents", col("n") - col("events"))
+    val tot = per.agg(sum("events").as("__tev"), sum("nonevents").as("__tne"))
+    val pe = (col("events") + lit(smooth)) / col("__tev")
+    val pn = (col("nonevents") + lit(smooth)) / col("__tne")
+    per.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        when(col("__tev") > 0 && col("__tne") > 0, log(pe / pn)))
+      .withColumn("iv_term",
+        when(col("__tev") > 0 && col("__tne") > 0, (pe - pn) * col("woe")))
+      .select(catCol, "n", "events", "nonevents", "woe", "iv_term")
+  }
+
   /** Lloyd's k-means with a FIXED iteration count and deterministic
     * seeding (the k rows with the smallest `idCol` become the initial
     * centroids) — the embedding-space partitioner behind IVF cells,

@@ -94,6 +94,56 @@ object Stats {
       .drop("__total")
   }
 
+  /** Isotonic (PAV) calibration over score bins — the monotone recalibration
+    * map a scored corpus filter actually deploys (Platt scaling assumes a
+    * sigmoid shape; isotonic assumes only "higher score → no lower
+    * probability"). Scores bin equi-width like [[calibrationBins]]; the
+    * pool-adjacent-violators solution over the bin sequence comes from its
+    * minimax characterization
+    *
+    *   fit(k) = max,,i≤k,, min,,j≥k,, weightedMean(label, bins i..j)
+    *
+    * — not the sequential pooling loop, which doesn't distribute. All
+    * post-bin work runs on the ≤`bins`-row aggregate: cumulative
+    * (weight, label-sum) via a bounded-domain window, segment means from
+    * cumulative differences (≤ B² segment rows), and the minimax as two
+    * bounded groupBys (≤ B³ intermediate rows — 32 bins ⇒ ≤ 33k rows of
+    * driver-free broadcast-join work, invariant in corpus size). Label
+    * sums are exact (0/1 counts in doubles), so segment means — and hence
+    * the fit — replay bit-for-bit in SQL. Returns one row per non-empty
+    * bin: (bin, n, score_mean, label_mean, fit), fit nondecreasing in bin.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+                          bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2, 64]: $bins")
+    val s = col(scoreCol).cast("double")
+    val bin = least(floor(s * bins).cast("int"), lit(bins - 1))
+    val per = df
+      .select(bin.as("bin"), s.as("__s"),
+        col(labelCol).cast("double").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg("__s").as("score_mean"),
+        sum("__y").as("__sy"))
+    // everything below runs on ≤ bins rows — the window is bounded-domain
+    val cum = per
+      .withColumn("__cw", sum("n").over(Window.orderBy("bin")))
+      .withColumn("__cs", sum("__sy").over(Window.orderBy("bin")))
+    val lo = cum.select(col("bin").as("__i"),
+      (col("__cw") - col("n")).as("__wi"), (col("__cs") - col("__sy")).as("__si"))
+    val hi = cum.select(col("bin").as("__j"),
+      col("__cw").as("__wj"), col("__cs").as("__sj"))
+    val seg = lo.join(broadcast(hi), col("__i") <= col("__j"))
+      .select(col("__i"), col("__j"),
+        ((col("__sj") - col("__si")) / (col("__wj") - col("__wi"))).as("__a"))
+    val fit = per.select(col("bin").as("__k"))
+      .join(broadcast(seg), col("__i") <= col("__k") && col("__k") <= col("__j"))
+      .groupBy("__k", "__i").agg(min("__a").as("__mn"))
+      .groupBy(col("__k").as("bin")).agg(max("__mn").as("fit"))
+    per.join(broadcast(fit), Seq("bin"))
+      .select(col("bin"), col("n"), col("score_mean"),
+        (col("__sy") / col("n")).as("label_mean"), col("fit"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * the inter-annotator (or model-vs-model) agreement test that tells a
     * labeling pipeline whether its two passes agree beyond chance:

@@ -1049,6 +1049,21 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "isotonic_woe" -> { dir =>
+        // row-scale work is two aggregates; minimax runs on bin-bounded rows
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val iso = graft.operators.Stats.isotonicCalibration(
+          li.select(
+            (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / lit(100.0))
+              .as("score"),
+            (col("l_quantity") > 25).cast("int").as("label")),
+          "score", "label").count()
+        val woe = graft.operators.Classify.woeIv(
+          docs(dir).select(col("source"),
+            (col("n_chars") > 306).cast("int").as("y")),
+          "source", "y").count()
+        iso + woe
+      },
       "tfidf_cosine_join" -> { dir =>
         // prefix-filtered candidates + candidate-scoped verify, at the
         // near-dup threshold the operator exists for. The df cap is the

@@ -133,4 +133,31 @@ class ClassifySpec extends AnyFunSuite {
       Classify.olsFit(rows.toDF("x1", "x2", "y"), "y", Seq("x1", "x2"))
     }
   }
+
+  test("woeIv: hand-computed smoothing algebra, IV sums over terms") {
+    // a: 3 events / 1 nonevent; b: 1 / 3 — totals 4 / 4
+    val rows = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("cat", "y")
+    val got = Classify.woeIv(rows, "cat", "y").orderBy("cat").collect()
+    val a = got(0)
+    assert(a.getAs[Long]("n") === 4L && a.getAs[Long]("events") === 3L)
+    val pe = 3.5 / 4.0; val pn = 1.5 / 4.0
+    assert(math.abs(a.getAs[Double]("woe") - math.log(pe / pn)) < 1e-12)
+    assert(math.abs(a.getAs[Double]("iv_term") -
+      (pe - pn) * math.log(pe / pn)) < 1e-12)
+    // symmetric fixture: b mirrors a, so IV terms are equal
+    val b = got(1)
+    assert(math.abs(b.getAs[Double]("iv_term") -
+      a.getAs[Double]("iv_term")) < 1e-12)
+  }
+
+  test("woeIv: pure category stays finite; single-class corpus nulls out") {
+    val pure = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("cat", "y")
+    val got = Classify.woeIv(pure, "cat", "y").orderBy("cat").collect()
+    assert(!got(0).getAs[Double]("woe").isInfinite)
+    assert(got(0).getAs[Double]("woe") > 0 && got(1).getAs[Double]("woe") < 0)
+    val oneClass = Seq(("a", 1), ("b", 1)).toDF("cat", "y")
+    val r = Classify.woeIv(oneClass, "cat", "y").head()
+    assert(r.isNullAt(r.fieldIndex("woe")) && r.isNullAt(r.fieldIndex("iv_term")))
+  }
 }

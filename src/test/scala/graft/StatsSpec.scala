@@ -456,6 +456,40 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("isotonicCalibration: PAV pools the violator, endpoints untouched") {
+    // bin means [0, 1, 0.5] equal-weight → isotonic fit [0, 0.75, 0.75]
+    val rows = Seq((0.05, 0), (0.05, 0), (0.15, 1), (0.15, 1),
+      (0.25, 1), (0.25, 0)).toDF("score", "label")
+    val got = Stats.isotonicCalibration(rows, "score", "label")
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Int]("bin")).toSeq === Seq(0, 1, 2))
+    assert(got.map(_.getAs[Double]("label_mean")).toSeq === Seq(0.0, 1.0, 0.5))
+    assert(got.map(_.getAs[Double]("fit")).toSeq === Seq(0.0, 0.75, 0.75))
+  }
+
+  test("isotonicCalibration: pooling is weighted, not bin-count averaged") {
+    // bin0 (n=1, mean 1) vs bin1 (n=3, mean 0) → pooled 1/4, not 1/2
+    val rows = Seq((0.05, 1), (0.15, 0), (0.15, 0), (0.15, 0))
+      .toDF("score", "label")
+    val got = Stats.isotonicCalibration(rows, "score", "label")
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Double]("fit")).toSeq === Seq(0.25, 0.25))
+  }
+
+  test("isotonicCalibration: already-monotone input is a fixed point") {
+    val rows = (Seq.fill(1)((0.05, 1)) ++ Seq.fill(4)((0.05, 0)) ++
+      Seq((0.15, 1), (0.15, 0)) ++
+      Seq.fill(9)((0.25, 1)) ++ Seq((0.25, 0))).toDF("score", "label")
+    val got = Stats.isotonicCalibration(rows, "score", "label")
+      .orderBy("bin").collect()
+    got.foreach { r =>
+      assert(d(r.getAs[Double]("fit"), r.getAs[Double]("label_mean")))
+    }
+    // and the fit is nondecreasing in bin
+    val fits = got.map(_.getAs[Double]("fit")).toSeq
+    assert(fits === fits.sorted)
+  }
+
   test("binnedMI: perfect dependence scores MI = H = ln 2, nmi = 1") {
     // x = y ∈ {0, 1}: with 2 bins per side both marginals are (½, ½) and
     // the joint sits on the diagonal → MI = ln 2 nats, NMI = 1
