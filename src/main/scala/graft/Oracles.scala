@@ -146,6 +146,79 @@ object Oracles {
     * recursive term), mirroring `Graphs.pageRank`'s float recipe exactly:
     * contribution = pr * (1.0/outdeg), new pr = (1.0-d)/N + d * Σ.
     */
+  /** Markov-attribution replay: journey transitions (touches strictly
+    * before the first conversion), transition probabilities, then `iters`
+    * power steps as ONE recursive CTE keyed by (blocked-state, state) —
+    * blk '' is the base chain, each touch type's chain pins its own state
+    * to 0. Mirrors `EventAnalytics.markovAttribution` exactly.
+    *
+    * Recursive, not unrolled: DuckDB plans a 40-deep unrolled chain
+    * super-linearly (measured ~×2 per 2 rounds), while the recursive form
+    * runs the whole thing in ~4 s. The anchor's v MUST be cast to DOUBLE —
+    * a bare `0.0` literal types the recursion's union as DECIMAL(2,1) and
+    * silently rounds every generation to one decimal. Every (blk, state)
+    * row joins the previous generation on blk alone (then filters via the
+    * transition join) so absorbing states — which have no outgoing
+    * transitions — still carry a non-null iteration counter.
+    */
+  private def markovSql(iters: Int): String = {
+    "WITH RECURSIVE scoped AS (SELECT user_id AS u, ts, event_id AS o, " +
+      "event_type AS t FROM events WHERE event_type IN " +
+      "('click', 'signup', 'view', 'purchase')), " +
+      "fc AS (SELECT u, ts AS fts, o AS fo FROM (SELECT u, ts, o, " +
+      "row_number() OVER (PARTITION BY u ORDER BY ts, o) AS rn " +
+      "FROM scoped WHERE t = 'purchase') WHERE rn = 1), " +
+      "tch AS (SELECT s.u, s.ts, s.o, s.t FROM scoped s LEFT JOIN fc " +
+      "ON s.u = fc.u WHERE s.t <> 'purchase' AND (fc.u IS NULL OR " +
+      "s.ts < fc.fts OR (s.ts = fc.fts AND s.o < fc.fo))), " +
+      "sq AS (SELECT u, t, lag(t) OVER (PARTITION BY u ORDER BY ts, o) " +
+      "AS prev FROM tch), " +
+      "tt AS (SELECT COALESCE(prev, '__START__') AS frm, t AS dst " +
+      "FROM sq), " +
+      "lt AS (SELECT u, t AS lastt FROM (SELECT u, t, row_number() " +
+      "OVER (PARTITION BY u ORDER BY ts DESC, o DESC) AS rn FROM tch) " +
+      "WHERE rn = 1), " +
+      "cv AS (SELECT DISTINCT u FROM scoped WHERE t = 'purchase'), " +
+      "term AS (SELECT COALESCE(lt.lastt, '__START__') AS frm, " +
+      "CASE WHEN cv.u IS NOT NULL THEN '__CONV__' ELSE '__NULL__' END " +
+      "AS dst FROM cv FULL JOIN lt ON cv.u = lt.u), " +
+      "tr AS (SELECT frm, dst, count(*) AS c FROM " +
+      "(SELECT * FROM tt UNION ALL SELECT * FROM term) GROUP BY 1, 2), " +
+      "ot AS (SELECT frm, sum(c) AS oc FROM tr GROUP BY 1), " +
+      "p AS (SELECT tr.frm, tr.dst, CAST(tr.c AS DOUBLE) / ot.oc AS p " +
+      "FROM tr JOIN ot USING (frm)), " +
+      "blk AS (SELECT unnest(['', 'click', 'signup', 'view']) AS b), " +
+      "sball AS (SELECT b, unnest(['__START__', 'click', 'signup', " +
+      "'view', '__CONV__', '__NULL__']) AS s FROM blk), " +
+      "it AS (" +
+      "SELECT 0 AS k, b, s, CAST(CASE WHEN s = '__CONV__' THEN 1.0 " +
+      "ELSE 0.0 END AS DOUBLE) AS v FROM sball " +
+      "UNION ALL " +
+      "SELECT ni.k, ni.b, ni.s, ni.v FROM (" +
+      "SELECT any_value(prev.k) + 1 AS k, sball.b, sball.s, " +
+      "CASE WHEN sball.s = '__CONV__' THEN CAST(1.0 AS DOUBLE) " +
+      "WHEN sball.s = '__NULL__' THEN 0.0 " +
+      "WHEN sball.s = sball.b THEN 0.0 " +
+      "ELSE COALESCE(sum(p.p * prev.v), 0.0) END AS v " +
+      "FROM sball JOIN it prev ON prev.b = sball.b " +
+      "LEFT JOIN p ON p.frm = sball.s AND p.dst = prev.s " +
+      "GROUP BY sball.b, sball.s) ni " +
+      s"WHERE ni.k <= $iters), " +
+      s"bs AS (SELECT v AS b FROM it WHERE k = $iters AND b = '' AND " +
+      "s = '__START__'), " +
+      s"rm AS (SELECT b AS touch_type, v FROM it WHERE k = $iters AND " +
+      "b <> '' AND s = '__START__'), " +
+      "re AS (SELECT touch_type, CASE WHEN bs.b > 0 THEN " +
+      "1.0 - rm.v / bs.b ELSE 0.0 END AS r FROM rm, bs), " +
+      "rs AS (SELECT sum(r) AS sr FROM re), " +
+      "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cv) " +
+      "SELECT touch_type, round(bs.b, 6) AS base_p, " +
+      "round(re.r, 6) AS removal_effect, " +
+      "round(CASE WHEN rs.sr > 0 THEN re.r / rs.sr END, 6) AS share, " +
+      "round(CASE WHEN rs.sr > 0 THEN re.r / rs.sr * nc.n END, 6) " +
+      "AS credited_conversions FROM re, bs, rs, nc ORDER BY touch_type"
+  }
+
   private def pageRankSql(iters: Int): String = {
     val head =
       "WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
@@ -3500,5 +3573,9 @@ object Oracles {
         "((events + 0.5) / tev - (nonevents + 0.5) / tne) * " +
         "ln(((events + 0.5) / tev) / ((nonevents + 0.5) / tne)) END, 6) " +
         "AS iv_term FROM p2, t ORDER BY source"),
+
+    // Markov removal-effect attribution: unrolled 40-step absorption
+    // chains, one per blocked channel (see markovSql above).
+    "q237_markov_attribution" -> markovSql(40),
   )
 }

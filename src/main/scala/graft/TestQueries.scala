@@ -3469,6 +3469,22 @@ object TestQueries {
         round(col("iv_term"), 6).as("iv_term"))
       .orderBy("source")
 
+  /** Markov removal-effect attribution
+    * ([[operators.EventAnalytics.markovAttribution]]) over the events
+    * journey chain — the oracle unrolls the identical 40 power steps as
+    * blocked-state-keyed CTE rounds.
+    */
+  def q237MarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.markovAttribution(
+        sources.Tables.loadEvents(s, dir), "user_id", "ts", "event_type",
+        "event_id", conversionType = "purchase",
+        touchTypes = Seq("click", "signup", "view"), iters = 40)
+      .select(col("touch_type"), round(col("base_p"), 6).as("base_p"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("share"), 6).as("share"),
+        round(col("credited_conversions"), 6).as("credited_conversions"))
+      .orderBy("touch_type")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3663,6 +3679,7 @@ object TestQueries {
     "q234_binned_mi" -> (q234BinnedMi _),
     "q235_isotonic" -> (q235Isotonic _),
     "q236_woe_iv" -> (q236WoeIv _),
+    "q237_markov_attribution" -> (q237MarkovAttribution _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

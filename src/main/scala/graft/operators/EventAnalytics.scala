@@ -430,4 +430,97 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
       .limit(topK)
   }
+
+  /** Markov removal-effect attribution — the principled sibling of
+    * [[lastTouchAttribution]] and [[linearAttribution]]: build the
+    * first-order Markov chain over user journeys (START → touches… →
+    * CONV/NULL), estimate each channel's removal effect
+    * `1 − P(conv | channel's state deleted) / P(conv)`, and credit
+    * conversions proportionally. Position heuristics over- or
+    * under-credit assist channels; the chain counts every path a channel
+    * actually participates in.
+    *
+    * Journey semantics: touches strictly BEFORE the user's first
+    * conversion (by `(tsCol, orderCol)`), in that order; converters with
+    * no prior touch transition START → CONV directly; non-converters end
+    * at NULL. Absorption probabilities use FIXED-ITERATION power steps
+    * (`iters`, like pageRank/kmeans here) so results are deterministic
+    * and SQL-replayable — the chain's defined output is the K-step value,
+    * not the unconverged limit.
+    *
+    * Shape for scale: transition extraction is one user-keyed window over
+    * pre-conversion touches plus user-keyed aggregates — the same budget
+    * as sessionization. The chain itself is bounded by
+    * (|touchTypes| + 3)² transition rows, a codebook-sized collect (the
+    * kmeans-centroid budget); iteration runs on the driver over that
+    * bounded matrix in sorted-state order, so replays are bit-stable.
+    * Returns one row per touch type:
+    * (touch_type, base_p, removal_effect, share, credited_conversions);
+    * share/credits null when no channel has any effect.
+    */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, orderCol: String,
+                        conversionType: String, touchTypes: Seq[String],
+                        iters: Int = 40): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    require(iters >= 1 && iters <= 500, s"iters out of range: $iters")
+    val START = "__START__"; val CONV = "__CONV__"; val NUL = "__NULL__"
+    val scoped = events
+      .where(col(typeCol).isin((touchTypes :+ conversionType): _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(orderCol).as("__o"), col(typeCol).as("__t"))
+    val firstConv = scoped.where(col("__t") === conversionType)
+      .groupBy("__u")
+      .agg(min(struct(col("__ts"), col("__o"))).as("__fc"))
+    val touches = scoped.where(col("__t") =!= conversionType)
+      .join(firstConv, Seq("__u"), "left")
+      .where(col("__fc").isNull ||
+        struct(col("__ts"), col("__o")) < col("__fc"))
+    val w = Window.partitionBy("__u").orderBy("__ts", "__o")
+    val touchTrans = touches
+      .withColumn("__prev", lag("__t", 1).over(w))
+      .select(coalesce(col("__prev"), lit(START)).as("__from"),
+        col("__t").as("__to"))
+    val lastTouch = touches.groupBy("__u")
+      .agg(max(struct(col("__ts"), col("__o"), col("__t"))).as("__lt"))
+      .select(col("__u"), col("__lt.__t").as("__last"))
+    val terminal = firstConv.select(col("__u"), lit(true).as("__conv"))
+      .join(lastTouch, Seq("__u"), "full")
+      .select(coalesce(col("__last"), lit(START)).as("__from"),
+        when(coalesce(col("__conv"), lit(false)), lit(CONV))
+          .otherwise(lit(NUL)).as("__to"))
+    val trans = touchTrans.unionByName(terminal)
+      .groupBy("__from", "__to").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val prob: Map[String, Seq[(String, Double)]] = trans.groupBy(_._1)
+      .map { case (f, rs) =>
+        val tot = rs.map(_._3).sum.toDouble
+        f -> rs.sortBy(_._2).map { case (_, t, c) => (t, c / tot) }.toSeq
+      }
+    val transient = START +: touchTypes
+    def absorbP(blocked: Option[String]): Double = {
+      var v = Map(CONV -> 1.0).withDefaultValue(0.0)
+      for (_ <- 1 to iters) {
+        v = (transient.map { s =>
+          s -> (if (blocked.contains(s)) 0.0
+          else prob.getOrElse(s, Nil)
+            .foldLeft(0.0) { case (a, (t, p)) => a + p * v(t) })
+        }.toMap + (CONV -> 1.0) + (NUL -> 0.0)).withDefaultValue(0.0)
+      }
+      v(START)
+    }
+    val base = absorbP(None)
+    val nConv = trans.filter(_._2 == CONV).map(_._3).sum.toDouble
+    val re = touchTypes.map(t =>
+      t -> (if (base > 0) 1.0 - absorbP(Some(t)) / base else 0.0))
+    val reSum = re.map(_._2).sum
+    val s = events.sparkSession
+    import s.implicits._
+    re.map { case (t, r) =>
+      val share = if (reSum > 0) Some(r / reSum) else None
+      (t, base, r, share, share.map(_ * nConv))
+    }.toDF("touch_type", "base_p", "removal_effect", "share",
+      "credited_conversions")
+  }
 }

@@ -1049,6 +1049,14 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "markov_attribution" -> { dir =>
+        // journey extraction is user-keyed; the chain itself is bounded
+        graft.operators.EventAnalytics.markovAttribution(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_type", "event_id",
+          conversionType = "purchase",
+          touchTypes = Seq("click", "signup", "view")).count()
+      },
       "isotonic_woe" -> { dir =>
         // row-scale work is two aggregates; minimax runs on bin-bounded rows
         val li = spark.read.parquet(s"$dir/lineitem.parquet")

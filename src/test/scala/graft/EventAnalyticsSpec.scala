@@ -297,4 +297,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[Long]("n_inversions") == 0L &&
       r.getAs[Long]("max_watermark_lag_sec") == 0L))
   }
+
+  test("markovAttribution: hand-solved 2-channel chain") {
+    // u1 view→click→buy, u2 view (no conv), u3 click→buy:
+    //   p(START→view)=2/3  p(START→click)=1/3
+    //   p(view→click)=1/2  p(view→NULL)=1/2  p(click→CONV)=1
+    // base = 2/3·(1/2·1) + 1/3·1 = 2/3;
+    // drop view → 1/3 (RE 1/2); drop click → 0 (RE 1)
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"), (1L, 3L, 12L, "buy"),
+      (2L, 1L, 20L, "view"),
+      (3L, 1L, 30L, "click"), (3L, 2L, 31L, "buy"))
+      .toDF("u", "t", "id", "typ")
+    val got = EventAnalytics.markovAttribution(ev, "u", "t", "typ", "id",
+        conversionType = "buy", touchTypes = Seq("click", "view"))
+      .orderBy("touch_type").collect()
+    val Array(c, v) = got
+    assert(math.abs(c.getAs[Double]("base_p") - 2.0 / 3) < 1e-12)
+    assert(math.abs(c.getAs[Double]("removal_effect") - 1.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("removal_effect") - 0.5) < 1e-12)
+    assert(math.abs(c.getAs[Double]("share") - 2.0 / 3) < 1e-12)
+    // 2 conversions credited 4/3 to click, 2/3 to view
+    assert(math.abs(c.getAs[Double]("credited_conversions") - 4.0 / 3) < 1e-12)
+    assert(math.abs(v.getAs[Double]("credited_conversions") - 2.0 / 3) < 1e-12)
+  }
+
+  test("markovAttribution: post-conversion touches ignored; no-effect " +
+    "channels yield null shares") {
+    // u1 converts with NO prior touch (its view is after the buy) →
+    // START→CONV; u2's view dead-ends → removing view changes nothing
+    val ev = Seq(
+      (1L, 1L, 10L, "buy"), (1L, 2L, 11L, "view"),
+      (2L, 1L, 20L, "view"))
+      .toDF("u", "t", "id", "typ")
+    val got = EventAnalytics.markovAttribution(ev, "u", "t", "typ", "id",
+      conversionType = "buy", touchTypes = Seq("view")).head()
+    assert(math.abs(got.getAs[Double]("base_p") - 0.5) < 1e-12)
+    assert(got.getAs[Double]("removal_effect") === 0.0)
+    assert(got.isNullAt(got.fieldIndex("share")))
+    assert(got.isNullAt(got.fieldIndex("credited_conversions")))
+  }
 }
