@@ -3577,5 +3577,38 @@ object Oracles {
     // Markov removal-effect attribution: unrolled 40-step absorption
     // chains, one per blocked channel (see markovSql above).
     "q237_markov_attribution" -> markovSql(40),
+
+    // Confident joint: per-class self-confidence thresholds, argmax over
+    // qualifying classes (ties to the lower index), K²-bounded cells.
+    "q238_confident_joint" ->
+      ("WITH s AS (SELECT CASE WHEN l_returnflag = 'A' THEN 0 " +
+        "WHEN l_returnflag = 'N' THEN 1 ELSE 2 END AS lab, " +
+        "((l_orderkey * 7 + l_linenumber) % 100) / 100.0 AS s0, " +
+        "((l_orderkey * 13 + l_linenumber) % 100) / 100.0 AS s1, " +
+        "((l_orderkey * 29 + l_linenumber) % 100) / 100.0 AS s2 " +
+        "FROM lineitem), " +
+        "t AS (SELECT avg(CASE WHEN lab = 0 THEN s0 END) AS t0, " +
+        "avg(CASE WHEN lab = 1 THEN s1 END) AS t1, " +
+        "avg(CASE WHEN lab = 2 THEN s2 END) AS t2 FROM s), " +
+        "q AS (SELECT lab, s0, s1, s2, " +
+        "COALESCE(s0 >= t.t0, FALSE) AS q0, " +
+        "COALESCE(s1 >= t.t1, FALSE) AS q1, " +
+        "COALESCE(s2 >= t.t2, FALSE) AS q2 FROM s, t), " +
+        "c AS (SELECT lab AS given_label, CASE " +
+        "WHEN q0 AND (NOT q1 OR s0 >= s1) AND (NOT q2 OR s0 >= s2) " +
+        "THEN 0 " +
+        "WHEN q1 AND (NOT q2 OR s1 >= s2) THEN 1 " +
+        "WHEN q2 THEN 2 END AS latent FROM q), " +
+        "conf AS (SELECT given_label, latent AS latent_label, " +
+        "count(*) AS n FROM c WHERE latent IS NOT NULL GROUP BY 1, 2), " +
+        "unc AS (SELECT CAST(sum(CASE WHEN latent IS NULL THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS nu FROM c), " +
+        "gt AS (SELECT given_label, CAST(sum(n) AS BIGINT) AS n_given " +
+        "FROM conf GROUP BY 1) " +
+        "SELECT conf.given_label, conf.latent_label, " +
+        "CAST(conf.n AS BIGINT) AS n, gt.n_given, " +
+        "round(CAST(conf.n AS DOUBLE) / gt.n_given, 6) AS frac_of_given, " +
+        "unc.nu AS n_unconfident FROM conf " +
+        "JOIN gt USING (given_label), unc ORDER BY 1, 2"),
   )
 }

@@ -3485,6 +3485,27 @@ object TestQueries {
         round(col("credited_conversions"), 6).as("credited_conversions"))
       .orderBy("touch_type")
 
+  /** Confident-learning joint ([[operators.Classify.confidentJoint]]) over
+    * returnflag classes with deterministic pseudo-scores — thresholds,
+    * argmax tie-breaks and the unconfident bucket replayed cell-for-cell.
+    */
+  def q238ConfidentJoint(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "lineitem").select(
+      when(col("l_returnflag") === "A", 0)
+        .when(col("l_returnflag") === "N", 1).otherwise(2).as("lab"),
+      (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / lit(100.0))
+        .as("s0"),
+      (((col("l_orderkey") * 13 + col("l_linenumber")) % 100) / lit(100.0))
+        .as("s1"),
+      (((col("l_orderkey") * 29 + col("l_linenumber")) % 100) / lit(100.0))
+        .as("s2"))
+    operators.Classify.confidentJoint(scored, "lab", Seq("s0", "s1", "s2"))
+      .select(col("given_label"), col("latent_label"), col("n"),
+        col("n_given"), round(col("frac_of_given"), 6).as("frac_of_given"),
+        col("n_unconfident"))
+      .orderBy("given_label", "latent_label")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3680,6 +3701,7 @@ object TestQueries {
     "q235_isotonic" -> (q235Isotonic _),
     "q236_woe_iv" -> (q236WoeIv _),
     "q237_markov_attribution" -> (q237MarkovAttribution _),
+    "q238_confident_joint" -> (q238ConfidentJoint _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

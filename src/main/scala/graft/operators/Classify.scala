@@ -231,6 +231,58 @@ object Classify {
       .select(catCol, "n", "events", "nonevents", "woe", "iv_term")
   }
 
+  /** Confident-learning joint counts (Northcutt's confident joint) — the
+    * label-noise census that [[Similarity.centroidMarginMislabels]] ranks
+    * candidates for: given per-class scores and a noisy label, estimate
+    * HOW MUCH of each (given → latent) confusion exists. Per class j the
+    * self-confidence threshold t_j = mean score_j over rows LABELED j;
+    * a row counts toward cell (given = its label, latent = ĵ) where
+    * ĵ = argmax over classes with score_j ≥ t_j (ties → lower class
+    * index); rows clearing no threshold are set aside (reported in
+    * `n_unconfident` on every row so totals reconcile). Off-diagonal
+    * mass is the estimated mislabel volume per direction.
+    *
+    * Scale shape: thresholds are ONE conditional aggregate broadcast back
+    * scan-side; the argmax is a K-literal array expression (no UDF, no
+    * per-class pass); counting is one (given, latent)-keyed aggregate on
+    * a K²-bounded key space. Returns
+    * (given_label, latent_label, n, n_given, frac_of_given,
+    * n_unconfident).
+    */
+  def confidentJoint(df: DataFrame, labelCol: String,
+                     scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.size >= 2, "need at least 2 classes")
+    val k = scoreCols.size
+    val lbl = col(labelCol).cast("int")
+    val thrCols = scoreCols.zipWithIndex.map { case (c, j) =>
+      avg(when(lbl === j, col(c).cast("double"))).as(s"__t$j")
+    }
+    val thr = df.groupBy().agg(thrCols.head, thrCols.tail: _*)
+    // candidates: (score_j, -j) structs for classes clearing t_j; the
+    // struct max picks highest score, ties to the LOWER class index
+    val cand = array(scoreCols.zipWithIndex.map { case (c, j) =>
+      when(col(c).cast("double") >= col(s"__t$j"),
+        struct(col(c).cast("double").as("s"), lit(-j).as("nj")))
+    }: _*)
+    val winner = array_max(filter(cand, x => x.isNotNull))
+    val cells = df.crossJoin(broadcast(thr))
+      .select(lbl.as("given_label"),
+        (-winner.getField("nj")).as("latent_label"))
+    val confident = cells.where(col("latent_label").isNotNull)
+      .groupBy("given_label", "latent_label")
+      .agg(count(lit(1)).as("n"))
+    val unconfident = cells.agg(
+      sum(when(col("latent_label").isNull, 1L).otherwise(0L))
+        .as("n_unconfident"))
+    val givenTot = confident.groupBy("given_label")
+      .agg(sum("n").as("n_given"))
+    confident.join(broadcast(givenTot), Seq("given_label"))
+      .crossJoin(broadcast(unconfident))
+      .select(col("given_label"), col("latent_label"), col("n"),
+        col("n_given"), (col("n") / col("n_given")).as("frac_of_given"),
+        coalesce(col("n_unconfident"), lit(0L)).as("n_unconfident"))
+  }
+
   /** Lloyd's k-means with a FIXED iteration count and deterministic
     * seeding (the k rows with the smallest `idCol` become the initial
     * centroids) — the embedding-space partitioner behind IVF cells,

@@ -1049,6 +1049,18 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "confident_joint" -> { dir =>
+        // one threshold broadcast + one K²-bounded-key aggregate
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        graft.operators.Classify.confidentJoint(
+          li.select(
+            when(col("l_returnflag") === "A", 0)
+              .when(col("l_returnflag") === "N", 1).otherwise(2).as("lab"),
+            (((col("l_orderkey") * 7 + col("l_linenumber")) % 100) / lit(100.0)).as("s0"),
+            (((col("l_orderkey") * 13 + col("l_linenumber")) % 100) / lit(100.0)).as("s1"),
+            (((col("l_orderkey") * 29 + col("l_linenumber")) % 100) / lit(100.0)).as("s2")),
+          "lab", Seq("s0", "s1", "s2")).count()
+      },
       "markov_attribution" -> { dir =>
         // journey extraction is user-keyed; the chain itself is bounded
         graft.operators.EventAnalytics.markovAttribution(

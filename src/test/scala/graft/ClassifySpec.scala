@@ -134,6 +134,31 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("confidentJoint: thresholds, off-diagonal catch, unconfident bucket") {
+    // t0 = mean s0 over label 0 = 0.6; t1 = mean s1 over label 1 = 0.75
+    val rows = Seq(
+      (0, 0.9, 0.1), (0, 0.7, 0.3),
+      (0, 0.2, 0.8),               // clears only t1 → latent 1 (mislabel)
+      (1, 0.1, 0.9),
+      (1, 0.4, 0.6))               // clears neither → unconfident
+      .toDF("lab", "s0", "s1")
+    val got = Classify.confidentJoint(rows, "lab", Seq("s0", "s1"))
+      .orderBy("given_label", "latent_label").collect()
+    assert(got.map(r => (r.getAs[Int]("given_label"),
+      r.getAs[Int]("latent_label"), r.getAs[Long]("n"))).toSeq ===
+      Seq((0, 0, 2L), (0, 1, 1L), (1, 1, 1L)))
+    assert(got.forall(_.getAs[Long]("n_unconfident") === 1L))
+    assert(got.head.getAs[Long]("n_given") === 3L)
+    assert(math.abs(got.head.getAs[Double]("frac_of_given") - 2.0 / 3) < 1e-12)
+  }
+
+  test("confidentJoint: score ties resolve to the lower class index") {
+    val rows = Seq((0, 0.5, 0.5), (1, 0.5, 0.5)).toDF("lab", "s0", "s1")
+    val got = Classify.confidentJoint(rows, "lab", Seq("s0", "s1"))
+      .orderBy("given_label").collect()
+    assert(got.map(_.getAs[Int]("latent_label")).toSeq === Seq(0, 0))
+  }
+
   test("woeIv: hand-computed smoothing algebra, IV sums over terms") {
     // a: 3 events / 1 nonevent; b: 1 / 3 — totals 4 / 4
     val rows = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
