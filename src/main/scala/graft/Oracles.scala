@@ -3610,5 +3610,23 @@ object Oracles {
         "round(CAST(conf.n AS DOUBLE) / gt.n_given, 6) AS frac_of_given, " +
         "unc.nu AS n_unconfident FROM conf " +
         "JOIN gt USING (given_label), unc ORDER BY 1, 2"),
+
+    // Duplication spectrum: md5-keyed cluster sizes bucketed 1/2/3-5/...
+    "q239_dup_spectrum" ->
+      ("WITH d AS (SELECT text FROM documents " +
+        "UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0 " +
+        "UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0), " +
+        "sz AS (SELECT md5(CAST(text AS VARCHAR)) AS k, count(*) AS n " +
+        "FROM d GROUP BY 1), " +
+        "b AS (SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2' " +
+        "WHEN n <= 5 THEN '3-5' WHEN n <= 10 THEN '6-10' ELSE '11+' END " +
+        "AS bucket, count(*) AS n_clusters, sum(n) AS n_docs FROM sz " +
+        "GROUP BY 1), " +
+        "t AS (SELECT sum(n_docs) AS tot FROM b) " +
+        "SELECT bucket, CAST(n_clusters AS BIGINT) AS n_clusters, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, " +
+        "round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6) " +
+        "AS docs_share, CAST(n_docs - n_clusters AS BIGINT) AS n_excess " +
+        "FROM b, t ORDER BY bucket"),
   )
 }

@@ -3506,6 +3506,21 @@ object TestQueries {
       .orderBy("given_label", "latent_label")
   }
 
+  /** Duplication spectrum ([[operators.Dedup.duplicationSpectrum]]) over
+    * doc text with a manufactured clone layer (docs with doc_id % 10 == 0
+    * re-appear twice more) so every bucket populates — cluster sizes,
+    * shares and excess replayed bucket-for-bucket.
+    */
+  def q239DupSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val clones = d.where(col("doc_id") % 10 === 0)
+    operators.Dedup.duplicationSpectrum(
+        d.unionByName(clones).unionByName(clones), Seq("text"))
+      .select(col("bucket"), col("n_clusters"), col("n_docs"),
+        round(col("docs_share"), 6).as("docs_share"), col("n_excess"))
+      .orderBy("bucket")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3702,6 +3717,7 @@ object TestQueries {
     "q236_woe_iv" -> (q236WoeIv _),
     "q237_markov_attribution" -> (q237MarkovAttribution _),
     "q238_confident_joint" -> (q238ConfidentJoint _),
+    "q239_dup_spectrum" -> (q239DupSpectrum _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -22,6 +22,33 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "n_dups")
 
+  /** Corpus duplication spectrum — the one-table corpus-health readout the
+    * curation papers lead with (how much of the corpus is unique, doubled,
+    * lightly cloned, flood-duplicated): exact-duplicate clusters over
+    * `keyCols`, bucketed by cluster size into 1 / 2 / 3-5 / 6-10 / 11+.
+    * Per bucket: cluster count, doc count, share of the corpus, and
+    * `n_excess` — the docs an exact-dedup pass would delete. Feed it
+    * normalized text (or a fingerprint) to measure near-exact pressure.
+    *
+    * Two bounded-key aggregates: (key → size) shuffles the digest, then
+    * (bucket) reduces the cluster table; nothing row-scale ever joins.
+    */
+  def duplicationSpectrum(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val sizes = df.groupBy(keyCols.map(c => md5(col(c).cast("string")))
+        .reduce((a, b) => md5(concat(a, b))).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val bucket = when(col("__n") === 1, "1").when(col("__n") === 2, "2")
+      .when(col("__n") <= 5, "3-5").when(col("__n") <= 10, "6-10")
+      .otherwise("11+")
+    val per = sizes.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum("__n").as("n_docs"))
+    per.crossJoin(broadcast(per.agg(sum("n_docs").as("__tot"))))
+      .select(col("bucket"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") / col("__tot")).as("docs_share"),
+        (col("n_docs") - col("n_clusters")).as("n_excess"))
+  }
+
   /** Exact dedup returning the surviving rows (dropDuplicates semantics but
     * with deterministic min-id victim selection, unlike `dropDuplicates`
     * which keeps an arbitrary row per key).

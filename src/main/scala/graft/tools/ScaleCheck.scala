@@ -1049,6 +1049,11 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "dup_spectrum" -> { dir =>
+        // digest-keyed cluster sizes; the second aggregate is 5 buckets
+        graft.operators.Dedup.duplicationSpectrum(
+          docs(dir).select("text"), Seq("text")).count()
+      },
       "confident_joint" -> { dir =>
         // one threshold broadcast + one K²-bounded-key aggregate
         val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -560,4 +560,25 @@ class DedupSpec extends AnyFunSuite {
     // 4 (too short) and 5 (unique prefix at every level) never appear
     assert(!got.contains(4L) && !got.contains(5L))
   }
+
+  test("duplicationSpectrum: cluster sizes bucket with shares and excess") {
+    // texts: a ×1, b ×2, c ×4, d ×12 → buckets 1, 2, 3-5, 11+
+    val rows = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(12)("d")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicationSpectrum(rows, Seq("text"))
+      .orderBy("bucket").collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_excess"))).toMap
+    assert(got("1") === ((1L, 1L, 0L)))
+    assert(got("2") === ((1L, 2L, 1L)))
+    assert(got("3-5") === ((1L, 4L, 3L)))
+    assert(got("11+") === ((1L, 12L, 11L)))
+    assert(!got.contains("6-10"))
+    // shares sum to 1 over 19 docs
+    val shares = Dedup.duplicationSpectrum(rows, Seq("text"))
+      .agg(sum("docs_share")).head().getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
 }
