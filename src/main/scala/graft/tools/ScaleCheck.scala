@@ -1049,6 +1049,20 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "entity_resolve" -> { dir =>
+        // q203's shape: blocked pairs → JW verify → CC → golden records
+        val clean = docs(dir).select(col("doc_id").as("id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6),
+            " ").as("key"))
+        val dirty = clean
+          .withColumn("__p", (col("id") % length(col("key"))).cast("int"))
+          .select((col("id") + 1000000000L).as("id"),
+            concat(col("key").substr(lit(1), col("__p")),
+              col("key").substr(col("__p") + 2, length(col("key"))))
+              .as("key"))
+        graft.operators.Linkage.resolveEntities(
+          clean.unionAll(dirty), "id", "key", 0.94).count()
+      },
       "dup_spectrum" -> { dir =>
         // digest-keyed cluster sizes; the second aggregate is 5 buckets
         graft.operators.Dedup.duplicationSpectrum(
