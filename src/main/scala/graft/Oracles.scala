@@ -3628,5 +3628,43 @@ object Oracles {
         "round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6) " +
         "AS docs_share, CAST(n_docs - n_clusters AS BIGINT) AS n_excess " +
         "FROM b, t ORDER BY bucket"),
+
+    // Component strengths: OLS detrend over the hourly grid, period-24
+    // subseries seasonal means, variance-ratio F_T/F_S — the identical
+    // centered-moment algebra.
+    "q240_component_strengths" ->
+      ("WITH g0 AS (SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) " +
+        "AS bin, avg(value) AS obs FROM events GROUP BY 1), " +
+        "b0 AS (SELECT min(bin) AS b0 FROM g0), " +
+        "gx AS (SELECT bin, obs, CAST(bin % 24 AS INT) AS pos, " +
+        "CAST(bin - b0.b0 AS DOUBLE) AS x FROM g0, b0), " +
+        "fit AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, " +
+        "sum(obs) AS sy, sum(x * x) AS sxx, sum(x * obs) AS sxy FROM gx), " +
+        "f2 AS (SELECT n, sx, sy, CASE WHEN n * sxx - sx * sx > 0 THEN " +
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END AS slope " +
+        "FROM fit), " +
+        "f3 AS (SELECT slope, (sy - slope * sx) / n AS icept FROM f2), " +
+        "c AS (SELECT gx.bin, gx.pos, gx.obs, " +
+        "gx.obs - (f3.icept + f3.slope * gx.x) AS det FROM gx, f3), " +
+        "c2 AS (SELECT bin, pos, obs, det, " +
+        "avg(det) OVER (PARTITION BY pos) AS seasonal FROM c), " +
+        "c3 AS (SELECT obs, det, det - seasonal AS rem, " +
+        "obs - seasonal AS deseas FROM c2), " +
+        "a AS (SELECT count(*) AS n_bins, " +
+        "avg(obs * obs) - avg(obs) * avg(obs) AS var_obs, " +
+        "avg(det * det) - avg(det) * avg(det) AS var_det, " +
+        "avg(rem * rem) - avg(rem) * avg(rem) AS var_rem, " +
+        "avg(deseas * deseas) - avg(deseas) * avg(deseas) AS var_deseas " +
+        "FROM c3) " +
+        "SELECT CAST(n_bins AS BIGINT) AS n_bins, " +
+        "round(var_obs, 6) AS var_obs, " +
+        "round(var_det, 6) AS var_detrended, " +
+        "round(var_rem, 6) AS var_remainder, " +
+        "round(CASE WHEN var_deseas > 0 THEN " +
+        "greatest(0.0, 1.0 - var_rem / var_deseas) END, 6) " +
+        "AS trend_strength, " +
+        "round(CASE WHEN var_det > 0 THEN " +
+        "greatest(0.0, 1.0 - var_rem / var_det) END, 6) " +
+        "AS seasonal_strength FROM a"),
   )
 }

@@ -3521,6 +3521,21 @@ object TestQueries {
       .orderBy("bucket")
   }
 
+  /** Trend/seasonal strength ([[operators.Timeseries.componentStrengths]])
+    * of the hourly event-value series under a daily (24-bin) lens — OLS
+    * detrend, subseries seasonal means and the variance-ratio strengths
+    * replayed division-for-division.
+    */
+  def q240ComponentStrengths(s: SparkSession, dir: String): DataFrame =
+    operators.Timeseries.componentStrengths(
+        sources.Tables.loadEvents(s, dir), "ts", "value",
+        binSeconds = 3600L, periodBins = 24)
+      .select(col("n_bins"), round(col("var_obs"), 6).as("var_obs"),
+        round(col("var_detrended"), 6).as("var_detrended"),
+        round(col("var_remainder"), 6).as("var_remainder"),
+        round(col("trend_strength"), 6).as("trend_strength"),
+        round(col("seasonal_strength"), 6).as("seasonal_strength"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3718,6 +3733,7 @@ object TestQueries {
     "q237_markov_attribution" -> (q237MarkovAttribution _),
     "q238_confident_joint" -> (q238ConfidentJoint _),
     "q239_dup_spectrum" -> (q239DupSpectrum _),
+    "q240_component_strengths" -> (q240ComponentStrengths _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,66 @@ object Timeseries {
       .withColumn("seasonal", avg(col("observed")).over(w))
       .withColumn("residual", col("observed") - col("seasonal"))
       .select("bin", "pos", "observed", "seasonal", "residual")
+  }
+
+  /** Trend / seasonal strength (Hyndman's F_T, F_S) — the one-row triage
+    * that says whether a series is worth decomposing at all:
+    * F_T = max(0, 1 − var(R)/var(observed − S)) and
+    * F_S = max(0, 1 − var(R)/var(detrended)), with the trend a centered
+    * OLS line over the bin grid ([[olsTrend]]'s algebra), the seasonal
+    * component the period-position means of the DETRENDED series
+    * ([[seasonalDecompose]]'s estimate), and R the remainder. A strength
+    * near 1 means the component explains almost all of its layer's
+    * variance; a zero-variance denominator (e.g. no trend AND no noise)
+    * reports null rather than inventing a strength.
+    *
+    * Scale shape: raw rows collapse to the bin grid in one shuffle; every
+    * later step is grid-sized (scalar moment broadcasts, a ≤periodBins-
+    * partition window, one final aggregate). Variances are explicit
+    * avg(x²) − avg(x)² so the algebra replays in SQL. Returns ONE row:
+    * (n_bins, var_obs, var_detrended, var_remainder, trend_strength,
+    * seasonal_strength).
+    */
+  def componentStrengths(df: DataFrame, tsCol: String, valueCol: String,
+                         binSeconds: Long, periodBins: Int): DataFrame = {
+    require(binSeconds > 0 && periodBins > 1)
+    val bin = (col(tsCol).cast("long") / binSeconds).cast("long")
+    val grid = df.groupBy(bin.as("bin"))
+      .agg(avg(col(valueCol).cast("double")).as("obs"))
+      .withColumn("pos", (col("bin") % periodBins).cast("int"))
+    val g = grid.crossJoin(broadcast(grid.agg(min("bin").as("__b0"))))
+      .withColumn("__x", (col("bin") - col("__b0")).cast("double"))
+    val fit = g.agg(count(lit(1)).cast("double").as("__n"),
+        sum("__x").as("__sx"), sum("obs").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("obs")).as("__sxy"))
+      .withColumn("__dxx",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope", when(col("__dxx") > 0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          col("__dxx")).otherwise(0.0))
+      .withColumn("icept",
+        (col("__sy") - col("slope") * col("__sx")) / col("__n"))
+      .select("slope", "icept")
+    val comp = g.crossJoin(broadcast(fit))
+      .withColumn("det",
+        col("obs") - (col("icept") + col("slope") * col("__x")))
+      .withColumn("seasonal",
+        avg(col("det")).over(Window.partitionBy("pos")))
+      .withColumn("rem", col("det") - col("seasonal"))
+      .withColumn("deseas", col("obs") - col("seasonal"))
+    def varOf(c: String): Column =
+      (avg(col(c) * col(c)) - avg(col(c)) * avg(col(c))).as(s"var_$c")
+    comp.agg(count(lit(1)).as("n_bins"), varOf("obs"), varOf("det"),
+        varOf("rem"), varOf("deseas"))
+      .withColumn("trend_strength", when(col("var_deseas") > 0,
+        greatest(lit(0.0), lit(1.0) - col("var_rem") / col("var_deseas"))))
+      .withColumn("seasonal_strength", when(col("var_det") > 0,
+        greatest(lit(0.0), lit(1.0) - col("var_rem") / col("var_det"))))
+      .select(col("n_bins"), col("var_obs").as("var_obs"),
+        col("var_det").as("var_detrended"),
+        col("var_rem").as("var_remainder"),
+        col("trend_strength"), col("seasonal_strength"))
   }
 
   /** Seasonally-adjusted anomaly screen: z-score each bin against the

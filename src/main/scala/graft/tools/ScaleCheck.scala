@@ -1049,6 +1049,12 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "component_strengths" -> { dir =>
+        // one grid shuffle; everything after is grid-sized
+        graft.operators.Timeseries.componentStrengths(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "ts", "value", 3600L, 24).count()
+      },
       "entity_resolve" -> { dir =>
         // q203's shape: blocked pairs → JW verify → CC → golden records
         val clean = docs(dir).select(col("doc_id").as("id"),

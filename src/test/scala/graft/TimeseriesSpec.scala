@@ -296,6 +296,44 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p99") === 10.0)
   }
 
+  test("componentStrengths: exact line + trend-orthogonal pattern → both 1") {
+    // period-4 pattern (+2,−2,−2,+2) is orthogonal to a linear trend over
+    // complete periods (an alternating ±2 is NOT — it correlates with x
+    // and biases the OLS slope): detrended is exactly the pattern,
+    // seasonal means absorb it fully, remainder 0
+    val pat = Array(2.0, -2.0, -2.0, 2.0)
+    val rows = (0 to 7).map(b => (b * 3600L, 10.0 + 3.0 * b + pat(b % 4)))
+    val df = rows.toDF("sec", "v")
+    val r = Timeseries.componentStrengths(df, "sec", "v", 3600L, 4).head()
+    assert(r.getAs[Long]("n_bins") === 8L)
+    assert(math.abs(r.getAs[Double]("trend_strength") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("seasonal_strength") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_remainder")) < 1e-9)
+  }
+
+  test("componentStrengths: zero-variance layers report null, not 1") {
+    // pure period-4 pattern, no trend: deseasonalized is constant → F_T null
+    val pat = Array(2.0, -2.0, -2.0, 2.0)
+    val seasonal = (0 to 7).map(b => (b * 3600L, pat(b % 4))).toDF("sec", "v")
+    val rs = Timeseries.componentStrengths(seasonal, "sec", "v", 3600L, 4)
+      .head()
+    assert(rs.isNullAt(rs.fieldIndex("trend_strength")))
+    assert(math.abs(rs.getAs[Double]("seasonal_strength") - 1.0) < 1e-9)
+    // pure line, no seasonality or noise: detrended is constant → F_S null
+    val line = (0 to 7).map(b => (b * 3600L, 3.0 * b)).toDF("sec", "v")
+    val rl = Timeseries.componentStrengths(line, "sec", "v", 3600L, 2).head()
+    assert(math.abs(rl.getAs[Double]("trend_strength") - 1.0) < 1e-9)
+    assert(rl.isNullAt(rl.fieldIndex("seasonal_strength")))
+  }
+
+  test("componentStrengths: period-3 wiggle under period-2 lens scores low") {
+    val rows = (0 to 11).map(b => (b * 3600L, 3.0 * b + (b % 3).toDouble))
+    val r = Timeseries.componentStrengths(rows.toDF("sec", "v"),
+      "sec", "v", 3600L, 2).head()
+    assert(r.getAs[Double]("trend_strength") > 0.9)
+    assert(r.getAs[Double]("seasonal_strength") < 0.5)
+  }
+
   test("olsTrend: exact fit on a noiseless line, x centered at bin0") {
     // key a: daily bins with v = 3 + 2·offset (perfect line starting at
     // an epoch-day ~19700 — the shape that exposed the cancellation bug:
