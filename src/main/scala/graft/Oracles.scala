@@ -161,7 +161,10 @@ object Oracles {
     * transition join) so absorbing states — which have no outgoing
     * transitions — still carry a non-null iteration counter.
     */
-  private def markovSql(iters: Int): String = {
+  /** Shared journey-extraction + transition-probability CTEs for the
+    * Markov-chain oracles (q237/q241).
+    */
+  private val markovHeadSql: String =
     "WITH RECURSIVE scoped AS (SELECT user_id AS u, ts, event_id AS o, " +
       "event_type AS t FROM events WHERE event_type IN " +
       "('click', 'signup', 'view', 'purchase')), " +
@@ -186,7 +189,60 @@ object Oracles {
       "(SELECT * FROM tt UNION ALL SELECT * FROM term) GROUP BY 1, 2), " +
       "ot AS (SELECT frm, sum(c) AS oc FROM tr GROUP BY 1), " +
       "p AS (SELECT tr.frm, tr.dst, CAST(tr.c AS DOUBLE) / ot.oc AS p " +
-      "FROM tr JOIN ot USING (frm)), " +
+      "FROM tr JOIN ot USING (frm)), "
+
+  /** Exact Shapley over subset-bitmask chains: blk m ∈ 0..7, bit 1 =
+    * click, 2 = signup, 4 = view; a state is blocked when its bit is NOT
+    * set. Mirrors `EventAnalytics.markovShapley` (same fixed-iteration
+    * recursion as markovSql, bitmask-keyed).
+    */
+  private def markovShapleySql(iters: Int): String = {
+    markovHeadSql +
+      "masks AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m), " +
+      "sball AS (SELECT m AS b, x.s, " +
+      "CASE WHEN x.s = 'click' THEN (m & 1) = 0 " +
+      "WHEN x.s = 'signup' THEN (m & 2) = 0 " +
+      "WHEN x.s = 'view' THEN (m & 4) = 0 ELSE FALSE END AS blocked " +
+      "FROM masks, (SELECT unnest(['__START__', 'click', 'signup', " +
+      "'view', '__CONV__', '__NULL__']) AS s) x), " +
+      "it AS (" +
+      "SELECT 0 AS k, b, s, CAST(CASE WHEN s = '__CONV__' THEN 1.0 " +
+      "ELSE 0.0 END AS DOUBLE) AS v FROM sball " +
+      "UNION ALL " +
+      "SELECT ni.k, ni.b, ni.s, ni.v FROM (" +
+      "SELECT any_value(prev.k) + 1 AS k, sball.b, sball.s, " +
+      "CASE WHEN sball.s = '__CONV__' THEN CAST(1.0 AS DOUBLE) " +
+      "WHEN sball.s = '__NULL__' THEN 0.0 " +
+      "WHEN sball.blocked THEN 0.0 " +
+      "ELSE COALESCE(sum(p.p * prev.v), 0.0) END AS v " +
+      "FROM sball JOIN it prev ON prev.b = sball.b " +
+      "LEFT JOIN p ON p.frm = sball.s AND p.dst = prev.s " +
+      "GROUP BY sball.b, sball.s, sball.blocked) ni " +
+      s"WHERE ni.k <= $iters), " +
+      s"vv AS (SELECT b, v FROM it WHERE k = $iters AND " +
+      "s = '__START__'), " +
+      "ch AS (SELECT unnest(['click', 'signup', 'view']) AS t, " +
+      "unnest([1, 2, 4]) AS bit), " +
+      "shap AS (SELECT ch.t AS touch_type, sum(" +
+      "CASE ((m.m & 1) + ((m.m >> 1) & 1) + ((m.m >> 2) & 1)) " +
+      "WHEN 0 THEN 1.0 / 3 WHEN 1 THEN 1.0 / 6 ELSE 1.0 / 3 END * " +
+      "(v1.v - v0.v)) AS phi FROM ch JOIN masks m ON (m.m & ch.bit) = 0 " +
+      "JOIN vv v0 ON v0.b = m.m " +
+      "JOIN vv v1 ON v1.b = (m.m | ch.bit) GROUP BY 1), " +
+      "ps AS (SELECT sum(phi) AS sp FROM shap), " +
+      "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cv), " +
+      "va AS (SELECT v FROM vv WHERE b = 7), " +
+      "vn AS (SELECT v FROM vv WHERE b = 0) " +
+      "SELECT touch_type, round(phi, 6) AS shapley, " +
+      "round(CASE WHEN ps.sp > 0 THEN phi / ps.sp END, 6) AS share, " +
+      "round(CASE WHEN ps.sp > 0 THEN phi / ps.sp * nc.n END, 6) " +
+      "AS credited_conversions, round(va.v, 6) AS v_all, " +
+      "round(vn.v, 6) AS v_none " +
+      "FROM shap, ps, nc, va, vn ORDER BY touch_type"
+  }
+
+  private def markovSql(iters: Int): String = {
+    markovHeadSql +
       "blk AS (SELECT unnest(['', 'click', 'signup', 'view']) AS b), " +
       "sball AS (SELECT b, unnest(['__START__', 'click', 'signup', " +
       "'view', '__CONV__', '__NULL__']) AS s FROM blk), " +
@@ -3666,5 +3722,9 @@ object Oracles {
         "round(CASE WHEN var_det > 0 THEN " +
         "greatest(0.0, 1.0 - var_rem / var_det) END, 6) " +
         "AS seasonal_strength FROM a"),
+
+    // Exact Shapley over the Markov chain: 2³ subset chains in one
+    // bitmask-keyed recursion (see markovShapleySql above).
+    "q241_markov_shapley" -> markovShapleySql(40),
   )
 }

@@ -3536,6 +3536,22 @@ object TestQueries {
         round(col("trend_strength"), 6).as("trend_strength"),
         round(col("seasonal_strength"), 6).as("seasonal_strength"))
 
+  /** Exact Shapley attribution ([[operators.EventAnalytics.markovShapley]])
+    * over the q237 chain — all 8 blocked-subset absorptions replayed in
+    * one bitmask-keyed recursive CTE.
+    */
+  def q241MarkovShapley(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.markovShapley(
+        sources.Tables.loadEvents(s, dir), "user_id", "ts", "event_type",
+        "event_id", conversionType = "purchase",
+        touchTypes = Seq("click", "signup", "view"), iters = 40)
+      .select(col("touch_type"), round(col("shapley"), 6).as("shapley"),
+        round(col("share"), 6).as("share"),
+        round(col("credited_conversions"), 6).as("credited_conversions"),
+        round(col("v_all"), 6).as("v_all"),
+        round(col("v_none"), 6).as("v_none"))
+      .orderBy("touch_type")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3734,6 +3750,7 @@ object TestQueries {
     "q238_confident_joint" -> (q238ConfidentJoint _),
     "q239_dup_spectrum" -> (q239DupSpectrum _),
     "q240_component_strengths" -> (q240ComponentStrengths _),
+    "q241_markov_shapley" -> (q241MarkovShapley _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

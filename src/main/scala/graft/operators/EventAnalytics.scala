@@ -462,10 +462,85 @@ object EventAnalytics {
                         typeCol: String, orderCol: String,
                         conversionType: String, touchTypes: Seq[String],
                         iters: Int = 40): DataFrame = {
+    val (prob, nConv) = journeyChain(events, userCol, tsCol, typeCol,
+      orderCol, conversionType, touchTypes)
+    val base = absorbP(prob, touchTypes, Set.empty, iters)
+    val re = touchTypes.map(t =>
+      t -> (if (base > 0)
+        1.0 - absorbP(prob, touchTypes, Set(t), iters) / base
+      else 0.0))
+    val reSum = re.map(_._2).sum
+    val s = events.sparkSession
+    import s.implicits._
+    re.map { case (t, r) =>
+      val share = if (reSum > 0) Some(r / reSum) else None
+      (t, base, r, share, share.map(_ * nConv))
+    }.toDF("touch_type", "base_p", "removal_effect", "share",
+      "credited_conversions")
+  }
+
+  /** Exact Shapley-value attribution over the [[markovAttribution]] chain:
+    * each channel's credit is its average marginal contribution to the
+    * chain's conversion probability across ALL 2^K channel subsets
+    * (v(S) = absorption at CONV with every channel outside S blocked) —
+    * the axiomatic answer to "who gets the conversion" where removal
+    * effects are a heuristic normalization. Satisfies efficiency:
+    * Σ shapley = v(all) − v(none) (asserted in spec), so credits are in
+    * probability units; credited conversions scale by total conversions
+    * over that same span.
+    *
+    * Cost: 2^K fixed-iteration absorptions over the collected bounded
+    * transition matrix — driver-side arithmetic, invariant in corpus
+    * size (K ≤ 8 enforced; the row-scale work is the same single
+    * journey-extraction pass markovAttribution does). Returns one row
+    * per channel: (touch_type, shapley, share, credited_conversions,
+    * v_all, v_none).
+    */
+  def markovShapley(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, orderCol: String,
+                    conversionType: String, touchTypes: Seq[String],
+                    iters: Int = 40): DataFrame = {
+    require(touchTypes.size <= 8, "Shapley is exact over 2^K chains; K ≤ 8")
+    val (prob, nConv) = journeyChain(events, userCol, tsCol, typeCol,
+      orderCol, conversionType, touchTypes)
+    val k = touchTypes.size
+    // v over subsets, memoized by bitmask (bit i = touchTypes(i) active)
+    val v: Map[Int, Double] = (0 until (1 << k)).map { m =>
+      val blocked = touchTypes.zipWithIndex
+        .collect { case (t, i) if (m & (1 << i)) == 0 => t }.toSet
+      m -> absorbP(prob, touchTypes, blocked, iters)
+    }.toMap
+    val fact = (1 to 8).scanLeft(1L)(_ * _) // fact(n) = n!, n ∈ 0..8
+    val phi = touchTypes.zipWithIndex.map { case (t, i) =>
+      val bit = 1 << i
+      val contrib = (0 until (1 << k)).filter(m => (m & bit) == 0)
+        .sortBy(identity).foldLeft(0.0) { (acc, m) =>
+          val s = Integer.bitCount(m)
+          val w = fact(s).toDouble * fact(k - 1 - s).toDouble / fact(k)
+          acc + w * (v(m | bit) - v(m))
+        }
+      t -> contrib
+    }
+    val phiSum = phi.map(_._2).sum
+    val s = events.sparkSession
+    import s.implicits._
+    phi.map { case (t, p) =>
+      val share = if (phiSum > 0) Some(p / phiSum) else None
+      (t, p, share, share.map(_ * nConv), v((1 << k) - 1), v(0))
+    }.toDF("touch_type", "shapley", "share", "credited_conversions",
+      "v_all", "v_none")
+  }
+
+  /** Journey transitions → (sorted transition probabilities, conversion
+    * count). The collect is bounded by (|touchTypes| + 3)² transition
+    * rows — the kmeans-centroid budget; see [[markovAttribution]].
+    */
+  private def journeyChain(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String, orderCol: String,
+                           conversionType: String, touchTypes: Seq[String])
+    : (Map[String, Seq[(String, Double)]], Double) = {
     require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
       "touchTypes must be non-empty and exclude the conversion type")
-    require(iters >= 1 && iters <= 500, s"iters out of range: $iters")
-    val START = "__START__"; val CONV = "__CONV__"; val NUL = "__NULL__"
     val scoped = events
       .where(col(typeCol).isin((touchTypes :+ conversionType): _*))
       .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
@@ -480,47 +555,47 @@ object EventAnalytics {
     val w = Window.partitionBy("__u").orderBy("__ts", "__o")
     val touchTrans = touches
       .withColumn("__prev", lag("__t", 1).over(w))
-      .select(coalesce(col("__prev"), lit(START)).as("__from"),
+      .select(coalesce(col("__prev"), lit(MkStart)).as("__from"),
         col("__t").as("__to"))
     val lastTouch = touches.groupBy("__u")
       .agg(max(struct(col("__ts"), col("__o"), col("__t"))).as("__lt"))
       .select(col("__u"), col("__lt.__t").as("__last"))
     val terminal = firstConv.select(col("__u"), lit(true).as("__conv"))
       .join(lastTouch, Seq("__u"), "full")
-      .select(coalesce(col("__last"), lit(START)).as("__from"),
-        when(coalesce(col("__conv"), lit(false)), lit(CONV))
-          .otherwise(lit(NUL)).as("__to"))
+      .select(coalesce(col("__last"), lit(MkStart)).as("__from"),
+        when(coalesce(col("__conv"), lit(false)), lit(MkConv))
+          .otherwise(lit(MkNull)).as("__to"))
     val trans = touchTrans.unionByName(terminal)
       .groupBy("__from", "__to").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val prob: Map[String, Seq[(String, Double)]] = trans.groupBy(_._1)
-      .map { case (f, rs) =>
-        val tot = rs.map(_._3).sum.toDouble
-        f -> rs.sortBy(_._2).map { case (_, t, c) => (t, c / tot) }.toSeq
-      }
-    val transient = START +: touchTypes
-    def absorbP(blocked: Option[String]): Double = {
-      var v = Map(CONV -> 1.0).withDefaultValue(0.0)
-      for (_ <- 1 to iters) {
-        v = (transient.map { s =>
-          s -> (if (blocked.contains(s)) 0.0
-          else prob.getOrElse(s, Nil)
-            .foldLeft(0.0) { case (a, (t, p)) => a + p * v(t) })
-        }.toMap + (CONV -> 1.0) + (NUL -> 0.0)).withDefaultValue(0.0)
-      }
-      v(START)
+    val prob = trans.groupBy(_._1).map { case (f, rs) =>
+      val tot = rs.map(_._3).sum.toDouble
+      f -> rs.sortBy(_._2).map { case (_, t, c) => (t, c / tot) }.toSeq
     }
-    val base = absorbP(None)
-    val nConv = trans.filter(_._2 == CONV).map(_._3).sum.toDouble
-    val re = touchTypes.map(t =>
-      t -> (if (base > 0) 1.0 - absorbP(Some(t)) / base else 0.0))
-    val reSum = re.map(_._2).sum
-    val s = events.sparkSession
-    import s.implicits._
-    re.map { case (t, r) =>
-      val share = if (reSum > 0) Some(r / reSum) else None
-      (t, base, r, share, share.map(_ * nConv))
-    }.toDF("touch_type", "base_p", "removal_effect", "share",
-      "credited_conversions")
+    (prob, trans.filter(_._2 == MkConv).map(_._3).sum.toDouble)
+  }
+
+  private val MkStart = "__START__"
+  private val MkConv = "__CONV__"
+  private val MkNull = "__NULL__"
+
+  /** Fixed-iteration absorption probability from START with `blocked`
+    * states pinned to 0 — deterministic sorted-order folds, so replays
+    * are bit-stable (see [[markovAttribution]]).
+    */
+  private def absorbP(prob: Map[String, Seq[(String, Double)]],
+                      touchTypes: Seq[String], blocked: Set[String],
+                      iters: Int): Double = {
+    require(iters >= 1 && iters <= 500, s"iters out of range: $iters")
+    val transient = MkStart +: touchTypes
+    var v = Map(MkConv -> 1.0).withDefaultValue(0.0)
+    for (_ <- 1 to iters) {
+      v = (transient.map { s =>
+        s -> (if (blocked.contains(s)) 0.0
+        else prob.getOrElse(s, Nil)
+          .foldLeft(0.0) { case (a, (t, p)) => a + p * v(t) })
+      }.toMap + (MkConv -> 1.0) + (MkNull -> 0.0)).withDefaultValue(0.0)
+    }
+    v(MkStart)
   }
 }

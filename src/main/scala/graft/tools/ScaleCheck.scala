@@ -1049,6 +1049,14 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "markov_shapley" -> { dir =>
+        // same journey pass as markov_attribution + 2^K driver chains
+        graft.operators.EventAnalytics.markovShapley(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_type", "event_id",
+          conversionType = "purchase",
+          touchTypes = Seq("click", "signup", "view")).count()
+      },
       "component_strengths" -> { dir =>
         // one grid shuffle; everything after is grid-sized
         graft.operators.Timeseries.componentStrengths(

@@ -322,6 +322,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(v.getAs[Double]("credited_conversions") - 2.0 / 3) < 1e-12)
   }
 
+  test("markovShapley: hand-solved values, efficiency axiom holds") {
+    // same chain as the removal-effect test: v(∅)=0, v({view})=0,
+    // v({click})=1/3, v(all)=2/3 → φ_click = ½·⅓ + ½·⅔ = ½,
+    // φ_view = 0 + ½·(2/3 − 1/3) = 1/6; Σφ = v(all) − v(∅)
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"), (1L, 3L, 12L, "buy"),
+      (2L, 1L, 20L, "view"),
+      (3L, 1L, 30L, "click"), (3L, 2L, 31L, "buy"))
+      .toDF("u", "t", "id", "typ")
+    val got = EventAnalytics.markovShapley(ev, "u", "t", "typ", "id",
+        conversionType = "buy", touchTypes = Seq("click", "view"))
+      .orderBy("touch_type").collect()
+    val Array(c, v) = got
+    assert(math.abs(c.getAs[Double]("shapley") - 0.5) < 1e-12)
+    assert(math.abs(v.getAs[Double]("shapley") - 1.0 / 6) < 1e-12)
+    assert(math.abs(c.getAs[Double]("v_all") - 2.0 / 3) < 1e-12)
+    assert(c.getAs[Double]("v_none") === 0.0)
+    val phiSum = got.map(_.getAs[Double]("shapley")).sum
+    assert(math.abs(phiSum -
+      (c.getAs[Double]("v_all") - c.getAs[Double]("v_none"))) < 1e-12)
+    // shares 3/4 and 1/4 of the 2 conversions
+    assert(math.abs(c.getAs[Double]("credited_conversions") - 1.5) < 1e-12)
+    assert(math.abs(v.getAs[Double]("credited_conversions") - 0.5) < 1e-12)
+  }
+
   test("markovAttribution: post-conversion touches ignored; no-effect " +
     "channels yield null shares") {
     // u1 converts with NO prior touch (its view is after the buy) →
