@@ -3726,5 +3726,42 @@ object Oracles {
     // Exact Shapley over the Markov chain: 2³ subset chains in one
     // bitmask-keyed recursion (see markovShapleySql above).
     "q241_markov_shapley" -> markovShapleySql(40),
+
+    // Mixed-language screen: 40-token windows, the q35 stopword scorer
+    // per window, majority vote with (count desc, lang asc) ties.
+    "q242_lang_consistency" ->
+      ("WITH s AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "lower(trim(text)), '\\s+'), t -> len(t) > 0) AS toks " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, toks, unnest(range(1, " +
+        "greatest(len(toks), 1) + 1, 40)) AS st FROM s), " +
+        "sc AS (SELECT doc_id, list_slice(toks, st, st + 39) AS wt " +
+        "FROM w), " +
+        "lg AS (SELECT doc_id, " +
+        "len(list_filter(wt, t -> t IN ('the','and','of','to','in'," +
+        "'is','that','for','with'))) AS s_en, " +
+        "len(list_filter(wt, t -> t IN ('der','die','und','das','ist'," +
+        "'nicht','ein','mit','für'))) AS s_de, " +
+        "len(list_filter(wt, t -> t IN ('le','la','et','les','des'," +
+        "'est','pas','pour','que'))) AS s_fr, " +
+        "len(list_filter(wt, t -> t IN ('el','la','que','de','los'," +
+        "'es','por','con','para'))) AS s_es FROM sc), " +
+        "lang AS (SELECT doc_id, " +
+        "CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und' " +
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' " +
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang FROM lg), " +
+        "pl AS (SELECT doc_id, lang, count(*) AS c FROM lang " +
+        "GROUP BY 1, 2), " +
+        "rn AS (SELECT doc_id, lang, c, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM pl), " +
+        "agg AS (SELECT doc_id, sum(c) AS n_windows, " +
+        "max(CASE WHEN rn = 1 THEN lang END) AS top_lang, " +
+        "max(CASE WHEN rn = 1 THEN c END) AS topc, " +
+        "count(*) AS n_langs FROM rn GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, " +
+        "top_lang, round(CAST(topc AS DOUBLE) / n_windows, 6) " +
+        "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
+        "ORDER BY doc_id"),
   )
 }

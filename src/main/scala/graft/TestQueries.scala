@@ -3552,6 +3552,17 @@ object TestQueries {
         round(col("v_none"), 6).as("v_none"))
       .orderBy("touch_type")
 
+  /** Mixed-language screen ([[operators.Quality.langConsistency]]):
+    * 40-token-window language votes per doc — window slicing, the q35
+    * stopword scorer and the majority tie-break replayed per window.
+    */
+  def q242LangConsistency(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.langConsistency(t(s, dir, "documents"),
+        "doc_id", "text", windowTokens = 40)
+      .select(col("doc_id"), col("n_windows"), col("top_lang"),
+        round(col("top_share"), 6).as("top_share"), col("n_langs"))
+      .orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3751,6 +3762,7 @@ object TestQueries {
     "q239_dup_spectrum" -> (q239DupSpectrum _),
     "q240_component_strengths" -> (q240ComponentStrengths _),
     "q241_markov_shapley" -> (q241MarkovShapley _),
+    "q242_lang_consistency" -> (q242LangConsistency _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audits over a table — the dbt-test /
@@ -910,6 +911,51 @@ object Quality {
   }
 
   // ---- common predicate builders ------------------------------------------
+
+  /** Mixed-language screen: language-ID per `windowTokens`-token window
+    * (same stopword scorer as the q35 doc-level [[functions.Text.languageId]]),
+    * then per doc the majority window language, its share, and how many
+    * distinct languages the windows carry — code-switched or
+    * concatenation-corrupted docs poison monolingual training even when
+    * their DOC-level majority vote looks clean, and this is the screen
+    * that catches them. Majority ties break (count desc, lang asc) so
+    * replays are exact. Returns
+    * (idCol, n_windows, top_lang, top_share, n_langs).
+    *
+    * Scale shape: windows come from one scan-side HOF slice (tokens bound
+    * as a projected column FIRST — the q50b lesson), language scores are
+    * the native codegen expression per window, and both aggregates key on
+    * the doc id; the majority window is bounded by ≤5 language rows per
+    * doc. No corpus-wide key anywhere.
+    */
+  def langConsistency(df: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    val toks = df.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("__toks"))
+    val starts = sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+      lit(windowTokens))
+    val wins = toks.select(col(idCol),
+        explode(transform(starts,
+          i => array_join(slice(col("__toks"), i, lit(windowTokens)), " ")))
+          .as("__wtext"))
+      .select(col(idCol),
+        graft.functions.Text.languageId(col("__wtext")).as("__lang"))
+    val perLang = wins.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__c").desc, col("__lang"))
+    perLang
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_windows"),
+        max(when(col("__rn") === 1, col("__lang"))).as("top_lang"),
+        max(when(col("__rn") === 1, col("__c"))).as("__topc"),
+        count(lit(1)).as("n_langs"))
+      .withColumn("top_share", col("__topc") / col("n_windows"))
+      .select(idCol, "n_windows", "top_lang", "top_share", "n_langs")
+  }
 
   def notNull(c: String): (String, Column) =
     (s"${c}_not_null", col(c).isNotNull)

@@ -1049,6 +1049,11 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "lang_consistency" -> { dir =>
+        // scan-side window slices + two doc-keyed aggregates
+        graft.operators.Quality.langConsistency(
+          docs(dir), "doc_id", "text", windowTokens = 40).count()
+      },
       "markov_shapley" -> { dir =>
         // same journey pass as markov_attribution + 2^K driver chains
         graft.operators.EventAnalytics.markovShapley(

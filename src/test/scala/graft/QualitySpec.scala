@@ -615,4 +615,25 @@ class QualitySpec extends AnyFunSuite {
     kn.foreach(r => assert(r.getAs[Double]("nll_kn") > 0 &&
       !r.getAs[Double]("nll_kn").isInfinite))
   }
+
+  test("langConsistency: window majority, tie to lang asc, und windows") {
+    val docs = Seq(
+      (1L, "the and of le la et"),   // en window + fr window → tie → 'en'
+      (2L, "the and of to in is"),   // two en windows
+      (3L, "xxx yyy zzz"))           // no stopwords → 'und'
+      .toDF("doc_id", "text")
+    val got = Quality.langConsistency(docs, "doc_id", "text",
+        windowTokens = 3)
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getAs[Long]("n_windows") === 2L)
+    assert(d1.getAs[String]("top_lang") === "en")
+    assert(d1.getAs[Double]("top_share") === 0.5)
+    assert(d1.getAs[Long]("n_langs") === 2L)
+    val d2 = got(1)
+    assert(d2.getAs[String]("top_lang") === "en" &&
+      d2.getAs[Double]("top_share") === 1.0 &&
+      d2.getAs[Long]("n_langs") === 1L)
+    assert(got(2).getAs[String]("top_lang") === "und")
+  }
 }
