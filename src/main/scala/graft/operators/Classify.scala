@@ -231,6 +231,63 @@ object Classify {
       .select(catCol, "n", "events", "nonevents", "woe", "iv_term")
   }
 
+  /** ChiMerge supervised binning (Kerber, AAAI'92) — the scorecard step
+    * between a raw numeric feature and [[woeIv]]: start from
+    * `initialBins` equal-population quantile prebins
+    * ([[Splits.quantileBuckets]]'s exact-percentile assignment), then
+    * repeatedly merge the adjacent pair whose 2×2 chi² statistic against
+    * the binary target is smallest (ties → lower bin) until `targetBins`
+    * remain — adjacent bins that don't differ in event rate don't deserve
+    * separate WOE points. Zero-expected cells contribute 0 (the standard
+    * convention, so all-event/all-nonevent neighbours merge first).
+    *
+    * Scale shape: one percentile aggregate + one prebin-keyed aggregate
+    * do all row-scale work; the merge loop runs on the ≤`initialBins`-row
+    * collected histogram (codebook budget) with exact-long cell counts,
+    * so chi² doubles — and therefore the merge SEQUENCE — replay
+    * bit-for-bit in SQL. Returns one row per final bin:
+    * (bin, lo_prebin, hi_prebin, n, events, event_rate).
+    */
+  def chiMergeBins(df: DataFrame, valueCol: String, targetCol: String,
+                   initialBins: Int = 16, targetBins: Int = 6): DataFrame = {
+    require(targetBins >= 2 && targetBins < initialBins && initialBins <= 64,
+      s"need 2 <= targetBins < initialBins <= 64: $targetBins/$initialBins")
+    val pre = Splits.quantileBuckets(
+      df.select(col(valueCol), col(targetCol)), valueCol, initialBins)
+    var bins = pre
+      .groupBy(col("bucket").cast("int").as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(targetCol).cast("double")).cast("long").as("__e"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toVector // (lo, hi, n, events)
+    def chi2(a: (Int, Int, Long, Long), b: (Int, Int, Long, Long)): Double = {
+      val tot = (a._3 + b._3).toDouble
+      val ev = (a._4 + b._4).toDouble; val nev = tot - ev
+      def cell(obs: Double, rowTot: Double, colTot: Double): Double = {
+        val exp = (rowTot * colTot) / tot
+        if (exp > 0) (obs - exp) * (obs - exp) / exp else 0.0
+      }
+      cell(a._4.toDouble, a._3.toDouble, ev) +
+        cell((a._3 - a._4).toDouble, a._3.toDouble, nev) +
+        cell(b._4.toDouble, b._3.toDouble, ev) +
+        cell((b._3 - b._4).toDouble, b._3.toDouble, nev)
+    }
+    while (bins.size > targetBins) {
+      val chis = bins.indices.dropRight(1)
+        .map(i => i -> chi2(bins(i), bins(i + 1)))
+      val (m, _) = chis.minBy { case (i, c) => (c, i) }
+      val (alo, _, an, ae) = bins(m); val (_, bhi, bn, be) = bins(m + 1)
+      bins = (bins.take(m) :+ ((alo, bhi, an + bn, ae + be))) ++
+        bins.drop(m + 2)
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    bins.zipWithIndex.map { case ((lo, hi, n, e), i) =>
+      (i, lo, hi, n, e, e.toDouble / n)
+    }.toDF("bin", "lo_prebin", "hi_prebin", "n", "events", "event_rate")
+  }
+
   /** Confident-learning joint counts (Northcutt's confident joint) — the
     * label-noise census that [[Similarity.centroidMarginMislabels]] ranks
     * candidates for: given per-class scores and a noisy label, estimate

@@ -134,6 +134,45 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("chiMergeBins: zero-chi neighbours merge first, ties to lower bin") {
+    // values 1..16 → 4 quantile prebins of 4; target = v ≥ 9: prebins
+    // carry events [0,0,4,4]. chi(0,1)=0 and chi(2,3)=0 tie → merge
+    // (0,1) first, then (2,3) → final [0-1: 8/0, 2-3: 8/8]
+    val rows = (1 to 16).map(v => (v.toDouble, if (v >= 9) 1 else 0))
+      .toDF("v", "y")
+    val got = Classify.chiMergeBins(rows, "v", "y",
+        initialBins = 4, targetBins = 2)
+      .orderBy("bin").collect()
+    assert(got.length === 2)
+    assert((got(0).getAs[Int]("lo_prebin"), got(0).getAs[Int]("hi_prebin"),
+      got(0).getAs[Long]("n"), got(0).getAs[Long]("events")) ===
+      ((0, 1, 8L, 0L)))
+    assert((got(1).getAs[Int]("lo_prebin"), got(1).getAs[Int]("hi_prebin"),
+      got(1).getAs[Long]("n"), got(1).getAs[Long]("events")) ===
+      ((2, 3, 8L, 8L)))
+    assert(got(1).getAs[Double]("event_rate") === 1.0)
+  }
+
+  test("chiMergeBins: a rate step survives while flat neighbours merge") {
+    // prebins events [0, 0, 0, 2, 4, 4, 4, 4]/4 → with targetBins 3 the
+    // boundary around the transition prebin is what remains
+    val rows = (0 until 32).map { i =>
+      val pre = i / 4
+      val e = pre match {
+        case p if p <= 2 => 0; case 3 => if (i % 4 < 2) 1 else 0
+        case _ => 1
+      }
+      (i.toDouble, e)
+    }.toDF("v", "y")
+    val got = Classify.chiMergeBins(rows, "v", "y",
+        initialBins = 8, targetBins = 3)
+      .orderBy("bin").collect()
+    assert(got.length === 3)
+    // rates are the flat-low block, the transition, the flat-high block
+    val rates = got.map(_.getAs[Double]("event_rate")).toSeq
+    assert(rates === Seq(0.0, 0.5, 1.0))
+  }
+
   test("confidentJoint: thresholds, off-diagonal catch, unconfident bucket") {
     // t0 = mean s0 over label 0 = 0.6; t1 = mean s1 over label 1 = 0.75
     val rows = Seq(
