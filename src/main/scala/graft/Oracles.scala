@@ -3763,5 +3763,68 @@ object Oracles {
         "top_lang, round(CAST(topc AS DOUBLE) / n_windows, 6) " +
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
+
+    // ChiMerge: quantile prebins, then a recursive CTE that replays the
+    // exact merge sequence — per generation, lead() windows pair each bin
+    // with its right neighbour, the min-chi² pair (ties to lower rn)
+    // merges, and recursion stops when targetBins remain.
+    "q243_chi_merge" ->
+      ("WITH RECURSIVE th AS (SELECT quantile_cont(" +
+        "CAST(l_extendedprice AS DOUBLE), [" +
+        (1 until 12).map(i => s"$i/12.0").mkString(", ") + "]) AS ths " +
+        "FROM lineitem), " +
+        "pre AS (SELECT CAST(len(list_filter(th.ths, x -> " +
+        "CAST(l_extendedprice AS DOUBLE) > x)) AS INTEGER) AS b, " +
+        "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y " +
+        "FROM lineitem, th), " +
+        "h AS (SELECT b, count(*) AS n, " +
+        "CAST(sum(CAST(y AS DOUBLE)) AS BIGINT) AS e FROM pre " +
+        "GROUP BY 1), " +
+        "it AS (" +
+        "SELECT 0 AS step, b AS lo, b AS hi, n, e FROM h " +
+        "UNION ALL " +
+        "SELECT d.step, " +
+        "CASE WHEN d.rn = d.mrn THEN d.lo ELSE d.lo END AS lo, " +
+        "CASE WHEN d.rn = d.mrn THEN d.nhi ELSE d.hi END AS hi, " +
+        "CASE WHEN d.rn = d.mrn THEN d.n + d.nn ELSE d.n END AS n, " +
+        "CASE WHEN d.rn = d.mrn THEN d.e + d.ne ELSE d.e END AS e " +
+        "FROM (SELECT *, min(CASE WHEN chi = mchi THEN rn END) OVER () " +
+        "AS mrn FROM (SELECT *, min(chi) OVER () AS mchi FROM (" +
+        "SELECT step + 1 AS step, lo, hi, n, e, rn, cnt, nhi, nn, ne, " +
+        "CASE WHEN nn IS NULL THEN NULL ELSE " +
+        "(CASE WHEN (CAST(n AS DOUBLE) * (e + ne)) / (n + nn) > 0 THEN " +
+        "(e - (CAST(n AS DOUBLE) * (e + ne)) / (n + nn)) * " +
+        "(e - (CAST(n AS DOUBLE) * (e + ne)) / (n + nn)) / " +
+        "((CAST(n AS DOUBLE) * (e + ne)) / (n + nn)) ELSE 0.0 END + " +
+        "CASE WHEN (CAST(n AS DOUBLE) * ((n + nn) - (e + ne))) / " +
+        "(n + nn) > 0 THEN " +
+        "((n - e) - (CAST(n AS DOUBLE) * ((n + nn) - (e + ne))) / " +
+        "(n + nn)) * ((n - e) - (CAST(n AS DOUBLE) * ((n + nn) - " +
+        "(e + ne))) / (n + nn)) / ((CAST(n AS DOUBLE) * ((n + nn) - " +
+        "(e + ne))) / (n + nn)) ELSE 0.0 END + " +
+        "CASE WHEN (CAST(nn AS DOUBLE) * (e + ne)) / (n + nn) > 0 THEN " +
+        "(ne - (CAST(nn AS DOUBLE) * (e + ne)) / (n + nn)) * " +
+        "(ne - (CAST(nn AS DOUBLE) * (e + ne)) / (n + nn)) / " +
+        "((CAST(nn AS DOUBLE) * (e + ne)) / (n + nn)) ELSE 0.0 END + " +
+        "CASE WHEN (CAST(nn AS DOUBLE) * ((n + nn) - (e + ne))) / " +
+        "(n + nn) > 0 THEN " +
+        "((nn - ne) - (CAST(nn AS DOUBLE) * ((n + nn) - (e + ne))) / " +
+        "(n + nn)) * ((nn - ne) - (CAST(nn AS DOUBLE) * ((n + nn) - " +
+        "(e + ne))) / (n + nn)) / ((CAST(nn AS DOUBLE) * ((n + nn) - " +
+        "(e + ne))) / (n + nn)) ELSE 0.0 END) END AS chi " +
+        "FROM (SELECT prev.step, lo, hi, n, e, " +
+        "row_number() OVER (ORDER BY lo) AS rn, " +
+        "count(*) OVER () AS cnt, " +
+        "lead(hi) OVER (ORDER BY lo) AS nhi, " +
+        "lead(n) OVER (ORDER BY lo) AS nn, " +
+        "lead(e) OVER (ORDER BY lo) AS ne FROM it prev) a) b) c) d " +
+        "WHERE d.cnt > 5 AND d.rn <> d.mrn + 1), " +
+        "fin AS (SELECT * FROM it WHERE step = " +
+        "(SELECT max(step) FROM it)) " +
+        "SELECT CAST(row_number() OVER (ORDER BY lo) - 1 AS INTEGER) " +
+        "AS bin, lo AS lo_prebin, hi AS hi_prebin, " +
+        "CAST(n AS BIGINT) AS n, CAST(e AS BIGINT) AS events, " +
+        "round(CAST(e AS DOUBLE) / n, 6) AS event_rate FROM fin " +
+        "ORDER BY bin"),
   )
 }

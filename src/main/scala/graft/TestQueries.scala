@@ -3563,6 +3563,19 @@ object TestQueries {
         round(col("top_share"), 6).as("top_share"), col("n_langs"))
       .orderBy("doc_id")
 
+  /** ChiMerge binning ([[operators.Classify.chiMergeBins]]) of extended
+    * price against a quantity label — the oracle replays the exact merge
+    * SEQUENCE as a recursive CTE (one argmin merge per generation).
+    */
+  def q243ChiMerge(s: SparkSession, dir: String): DataFrame =
+    operators.Classify.chiMergeBins(
+        t(s, dir, "lineitem").select(col("l_extendedprice"),
+          (col("l_quantity") > 25).cast("int").as("y")),
+        "l_extendedprice", "y", initialBins = 12, targetBins = 5)
+      .select(col("bin"), col("lo_prebin"), col("hi_prebin"), col("n"),
+        col("events"), round(col("event_rate"), 6).as("event_rate"))
+      .orderBy("bin")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3763,6 +3776,7 @@ object TestQueries {
     "q240_component_strengths" -> (q240ComponentStrengths _),
     "q241_markov_shapley" -> (q241MarkovShapley _),
     "q242_lang_consistency" -> (q242LangConsistency _),
+    "q243_chi_merge" -> (q243ChiMerge _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

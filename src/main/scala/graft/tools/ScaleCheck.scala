@@ -1049,6 +1049,14 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "chi_merge" -> { dir =>
+        // one percentile pass + one prebin aggregate; merges are driver-side
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        graft.operators.Classify.chiMergeBins(
+          li.select(col("l_extendedprice"),
+            (col("l_quantity") > 25).cast("int").as("y")),
+          "l_extendedprice", "y", initialBins = 12, targetBins = 5).count()
+      },
       "lang_consistency" -> { dir =>
         // scan-side window slices + two doc-keyed aggregates
         graft.operators.Quality.langConsistency(
