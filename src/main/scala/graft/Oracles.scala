@@ -3764,6 +3764,27 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // 1-D Wasserstein: ECDF running sums over the floored value domain,
+    // per-step |F_a − F_b|·Δv, normalized by the merged range.
+    "q244_wasserstein" ->
+      ("WITH s AS (SELECT CAST(floor(value) AS DOUBLE) AS v, event_type " +
+        "FROM events WHERE event_type IN ('purchase', 'view')), " +
+        "per AS (SELECT v, sum(CASE WHEN event_type = 'purchase' THEN 1 " +
+        "ELSE 0 END) AS ca, sum(CASE WHEN event_type = 'view' THEN 1 " +
+        "ELSE 0 END) AS cb FROM s GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+        "CAST(sum(cb) AS BIGINT) AS nb, max(v) - min(v) AS r FROM per), " +
+        "e AS (SELECT v, sum(ca) OVER (ORDER BY v) AS fa, " +
+        "sum(cb) OVER (ORDER BY v) AS fb, " +
+        "lead(v) OVER (ORDER BY v) - v AS dv FROM per), " +
+        "a AS (SELECT max(t.na) AS na, max(t.nb) AS nb, " +
+        "sum(CASE WHEN dv IS NOT NULL THEN " +
+        "abs(CAST(fa AS DOUBLE) / t.na - CAST(fb AS DOUBLE) / t.nb) * dv " +
+        "ELSE 0.0 END) AS w1, max(t.r) AS r FROM e, t) " +
+        "SELECT na AS n_a, nb AS n_b, round(w1, 6) AS w1, " +
+        "round(CASE WHEN r > 0 THEN w1 / r ELSE 0.0 END, 6) " +
+        "AS w1_normalized FROM a"),
+
     // ChiMerge: quantile prebins, then a recursive CTE that replays the
     // exact merge sequence — per generation, lead() windows pair each bin
     // with its right neighbour, the min-chi² pair (ties to lower rn)

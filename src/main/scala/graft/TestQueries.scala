@@ -3576,6 +3576,17 @@ object TestQueries {
         col("events"), round(col("event_rate"), 6).as("event_rate"))
       .orderBy("bin")
 
+  /** 1-D Wasserstein drift ([[operators.Stats.wasserstein1]]) between
+    * purchase and view event values on the floored domain — ECDF running
+    * sums and per-step |ΔF|·Δv replayed exactly.
+    */
+  def q244Wasserstein(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.wasserstein1(
+        t(s, dir, "events").withColumn("v", floor(col("value"))),
+        "v", "event_type", groupA = "purchase", groupB = "view")
+      .select(col("n_a"), col("n_b"), round(col("w1"), 6).as("w1"),
+        round(col("w1_normalized"), 6).as("w1_normalized"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3777,6 +3788,7 @@ object TestQueries {
     "q241_markov_shapley" -> (q241MarkovShapley _),
     "q242_lang_consistency" -> (q242LangConsistency _),
     "q243_chi_merge" -> (q243ChiMerge _),
+    "q244_wasserstein" -> (q244Wasserstein _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -815,6 +815,50 @@ object Stats {
     * final p-value series is a single one-row HOF over a 50-element
     * literal sequence. Returns ONE row: (n_a, n_b, d_stat, p_value).
     */
+  /** Two-sample 1-D Wasserstein (earth-mover) distance — the INTEGRAL
+    * sibling of [[ksTest]]'s sup gap: W₁ = ∫|F_A(v) − F_B(v)| dv over the
+    * merged value domain, i.e. how much probability mass must move how
+    * FAR, in value units. KS flags any shape change equally; W₁ ranks a
+    * small shift of the whole distribution above a spike in one bucket —
+    * the right drift metric when the column's magnitude means something
+    * (token counts, prices, scores).
+    *
+    * Same bounded-value-domain contract as the rank family: counts
+    * collapse per distinct value (quantize continuous measures first),
+    * ECDFs are running sums over distinct values, and each domain step
+    * contributes |F_A − F_B|·Δv. Returns ONE row:
+    * (n_a, n_b, w1, w1_normalized) — the normalized form divides by the
+    * merged value range (scale-free, comparable across columns); a
+    * single-point domain reports 0.
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val per = df.where(g.isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint() // feeds the ECDF pass and the totals
+    val tot = per.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
+      (max("__v") - min("__v")).as("__range"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__fa", sum("__ca").over(w))
+      .withColumn("__fb", sum("__cb").over(w))
+      .withColumn("__dv", lead("__v", 1).over(Window.orderBy("__v")) -
+        col("__v"))
+      .crossJoin(broadcast(tot))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum(when(col("__dv").isNotNull,
+          abs(col("__fa") / col("__na") - col("__fb") / col("__nb")) *
+            col("__dv")).otherwise(0.0)).as("w1"),
+        max("__range").as("__r"))
+      .withColumn("w1_normalized",
+        when(col("__r") > 0, col("w1") / col("__r")).otherwise(0.0))
+      .select("n_a", "n_b", "w1", "w1_normalized")
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")

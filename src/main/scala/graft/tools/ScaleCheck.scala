@@ -1049,6 +1049,13 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "wasserstein" -> { dir =>
+        // value-domain running sums (the ksTest shape)
+        graft.operators.Stats.wasserstein1(
+          graft.sources.Tables.loadEvents(spark, dir)
+            .withColumn("v", floor(col("value"))),
+          "v", "event_type", "purchase", "view").count()
+      },
       "chi_merge" -> { dir =>
         // one percentile pass + one prebin aggregate; merges are driver-side
         val li = spark.read.parquet(s"$dir/lineitem.parquet")

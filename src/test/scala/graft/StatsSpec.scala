@@ -456,6 +456,34 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("wasserstein1: point masses a unit apart move unit mass unit far") {
+    val rows = Seq(("a", 0.0), ("a", 0.0), ("b", 1.0), ("b", 1.0))
+      .toDF("g", "v")
+    val r = Stats.wasserstein1(rows, "v", "g", "a", "b").head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(d(r.getAs[Double]("w1"), 1.0))
+    assert(d(r.getAs[Double]("w1_normalized"), 1.0))
+  }
+
+  test("wasserstein1: identical samples score 0; half mass moves 0.5") {
+    val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0))
+      .toDF("g", "v")
+    assert(d(Stats.wasserstein1(same, "v", "g", "a", "b")
+      .head().getAs[Double]("w1"), 0.0))
+    // a uniform on {0,1}, b all at 1: only half of a's mass moves by 1
+    val half = Seq(("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 1.0))
+      .toDF("g", "v")
+    assert(d(Stats.wasserstein1(half, "v", "g", "a", "b")
+      .head().getAs[Double]("w1"), 0.5))
+  }
+
+  test("wasserstein1: value units carry — a 10× wider gap costs 10×") {
+    val rows = Seq(("a", 0.0), ("b", 10.0)).toDF("g", "v")
+    val r = Stats.wasserstein1(rows, "v", "g", "a", "b").head()
+    assert(d(r.getAs[Double]("w1"), 10.0))
+    assert(d(r.getAs[Double]("w1_normalized"), 1.0)) // scale-free form
+  }
+
   test("isotonicCalibration: PAV pools the violator, endpoints untouched") {
     // bin means [0, 1, 0.5] equal-weight → isotonic fit [0, 0.75, 0.75]
     val rows = Seq((0.05, 0), (0.05, 0), (0.15, 1), (0.15, 1),
