@@ -3764,6 +3764,34 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // SRM: declared-allocation join, per-arm deviation z, chi² GOF.
+    "q245_srm" ->
+      ("WITH v AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant " +
+        "FROM events), " +
+        "exp AS (SELECT unnest(['0', '1']) AS variant, " +
+        "unnest([0.5, 0.5]) AS expected_share), " +
+        "c AS (SELECT variant, count(*) AS n_obs FROM v GROUP BY 1), " +
+        "j AS (SELECT exp.variant, exp.expected_share, " +
+        "COALESCE(c.n_obs, 0) AS n_obs FROM exp LEFT JOIN c " +
+        "USING (variant)), " +
+        "u AS (SELECT COALESCE(CAST(sum(n_obs) AS BIGINT), 0) " +
+        "AS n_unexpected FROM c WHERE variant IS NULL OR " +
+        "variant NOT IN ('0', '1')), " +
+        "t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM j), " +
+        "a AS (SELECT j.variant, j.n_obs, j.expected_share, " +
+        "t.n * j.expected_share AS n_expected FROM j, t), " +
+        "b AS (SELECT *, (n_obs - n_expected) / " +
+        "sqrt(n_expected * (1.0 - expected_share)) AS dev_z, " +
+        "(n_obs - n_expected) * (n_obs - n_expected) / n_expected " +
+        "AS ct FROM a), " +
+        "x AS (SELECT sum(ct) AS chi2 FROM b) " +
+        "SELECT b.variant, CAST(b.n_obs AS BIGINT) AS n_obs, " +
+        "round(b.expected_share, 6) AS expected_share, " +
+        "round(b.n_expected, 6) AS n_expected, " +
+        "round(b.dev_z, 6) AS dev_z, round(x.chi2, 6) AS chi2, " +
+        "CAST(1 AS BIGINT) AS dof, u.n_unexpected FROM b, x, u " +
+        "ORDER BY variant"),
+
     // 1-D Wasserstein: ECDF running sums over the floored value domain,
     // per-step |F_a − F_b|·Δv, normalized by the merged range.
     "q244_wasserstein" ->

@@ -3587,6 +3587,23 @@ object TestQueries {
       .select(col("n_a"), col("n_b"), round(col("w1"), 6).as("w1"),
         round(col("w1_normalized"), 6).as("w1_normalized"))
 
+  /** SRM check ([[operators.Stats.sampleRatioMismatch]]) of the q138
+    * user-mod split against its declared 50/50 allocation — counts,
+    * deviations and the chi² total replayed arm-for-arm.
+    */
+  def q245Srm(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.sampleRatioMismatch(
+        sources.Tables.loadEvents(s, dir)
+          .select((col("user_id") % 2).cast("string").as("variant")),
+        "variant", Seq("0" -> 0.5, "1" -> 0.5))
+      .select(col("variant"), col("n_obs"),
+        round(col("expected_share"), 6).as("expected_share"),
+        round(col("n_expected"), 6).as("n_expected"),
+        round(col("dev_z"), 6).as("dev_z"),
+        round(col("chi2"), 6).as("chi2"),
+        col("dof").cast("long").as("dof"), col("n_unexpected"))
+      .orderBy("variant")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3789,6 +3806,7 @@ object TestQueries {
     "q242_lang_consistency" -> (q242LangConsistency _),
     "q243_chi_merge" -> (q243ChiMerge _),
     "q244_wasserstein" -> (q244Wasserstein _),
+    "q245_srm" -> (q245Srm _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -859,6 +859,56 @@ object Stats {
       .select("n_a", "n_b", "w1", "w1_normalized")
   }
 
+  /** Sample-ratio-mismatch check — the experiment-hygiene gate that runs
+    * BEFORE any lift is read ([[EventAnalytics.abLift]]'s precondition):
+    * does the realized arm split match the declared allocation? A biased
+    * splitter invalidates every downstream metric silently. Per declared
+    * arm: observed count, expected count n·p, the per-arm deviation
+    * z = (obs − n·p)/√(n·p·(1−p)), plus the chi² goodness-of-fit total
+    * and its df (arms − 1) repeated on every row (compare to the critical
+    * value; |z| > 3 on any arm is the usual page). Rows whose variant is
+    * NOT in the declared allocation are excluded from n and reported in
+    * `n_unexpected` — a mystery arm is itself an SRM finding.
+    *
+    * ONE variant-keyed aggregate joined to the broadcast allocation
+    * literal; all arithmetic is exact-count scalar work. Returns one row
+    * per declared arm: (variant, n_obs, expected_share, n_expected,
+    * dev_z, chi2, dof, n_unexpected).
+    */
+  def sampleRatioMismatch(df: DataFrame, variantCol: String,
+                          expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.size >= 2, "need at least 2 declared arms")
+    require(expected.forall(_._2 > 0), "shares must be positive")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"shares must sum to 1: ${expected.map(_._2).sum}")
+    val s = df.sparkSession
+    import s.implicits._
+    val exp = broadcast(expected.toDF("variant", "expected_share"))
+    val counts = df.groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n_obs"))
+    val joined = exp.join(counts, Seq("variant"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val unexpected = counts.join(exp.select("variant"), Seq("variant"),
+        "left_anti")
+      .agg(coalesce(sum("n_obs"), lit(0L)).as("n_unexpected"))
+    val tot = joined.agg(sum("n_obs").as("__n"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("n_expected", col("__n") * col("expected_share"))
+      .withColumn("dev_z",
+        (col("n_obs") - col("n_expected")) /
+          sqrt(col("n_expected") * (lit(1.0) - col("expected_share"))))
+      .withColumn("__chiterm",
+        (col("n_obs") - col("n_expected")) *
+          (col("n_obs") - col("n_expected")) / col("n_expected"))
+      .withColumn("chi2", sum("__chiterm").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("dof", lit(expected.size - 1))
+      .crossJoin(broadcast(unexpected))
+      .select("variant", "n_obs", "expected_share", "n_expected",
+        "dev_z", "chi2", "dof", "n_unexpected")
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")

@@ -1049,6 +1049,13 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "srm" -> { dir =>
+        // one variant-keyed aggregate + broadcast allocation literal
+        graft.operators.Stats.sampleRatioMismatch(
+          graft.sources.Tables.loadEvents(spark, dir)
+            .select((col("user_id") % 2).cast("string").as("variant")),
+          "variant", Seq("0" -> 0.5, "1" -> 0.5)).count()
+      },
       "wasserstein" -> { dir =>
         // value-domain running sums (the ksTest shape)
         graft.operators.Stats.wasserstein1(

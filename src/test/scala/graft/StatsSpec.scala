@@ -456,6 +456,34 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("sampleRatioMismatch: deviations, chi2, mystery arm quarantined") {
+    // a×6, b×4 declared 50/50, plus 3 rows in an undeclared arm c
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c"))
+      .toDF("variant")
+    val got = Stats.sampleRatioMismatch(rows, "variant",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .orderBy("variant").collect()
+    assert(got.length === 2)
+    val a = got(0)
+    assert(a.getAs[Long]("n_obs") === 6L)
+    assert(d(a.getAs[Double]("n_expected"), 5.0)) // c excluded from n
+    assert(d(a.getAs[Double]("dev_z"), 1.0 / math.sqrt(2.5)))
+    assert(d(a.getAs[Double]("chi2"), 0.4))
+    assert(a.getAs[Int]("dof") === 1)
+    assert(a.getAs[Long]("n_unexpected") === 3L)
+  }
+
+  test("sampleRatioMismatch: an absent declared arm reads 0, not missing") {
+    val rows = Seq.fill(8)("a").toDF("variant")
+    val got = Stats.sampleRatioMismatch(rows, "variant",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .orderBy("variant").collect()
+    assert(got.length === 2)
+    assert(got(1).getAs[Long]("n_obs") === 0L)
+    // the whole sample sits in one arm of a 50/50 split: chi2 = n
+    assert(d(got(1).getAs[Double]("chi2"), 8.0))
+  }
+
   test("wasserstein1: point masses a unit apart move unit mass unit far") {
     val rows = Seq(("a", 0.0), ("a", 0.0), ("b", 1.0), ("b", 1.0))
       .toDF("g", "v")
