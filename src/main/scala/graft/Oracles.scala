@@ -3764,6 +3764,28 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // QTE: per-arm lower-value-at-rank deciles over the floored domain.
+    "q246_qte" ->
+      ("WITH s AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g, " +
+        "CAST(floor(value) AS DOUBLE) AS v FROM events " +
+        "WHERE CAST(user_id % 2 AS VARCHAR) IN ('0', '1')), " +
+        "per AS (SELECT g, v, count(*) AS c FROM s GROUP BY 1, 2), " +
+        "t AS (SELECT g, sum(c) AS n FROM per GROUP BY 1), " +
+        "cum AS (SELECT per.g, per.v, sum(per.c) OVER (PARTITION BY " +
+        "per.g ORDER BY per.v) AS cum, t.n FROM per JOIN t USING (g)), " +
+        "q AS (SELECT g, " +
+        (1 to 9).map(d => "min(CASE WHEN cum >= ceil(n * " + d +
+          s" / 10.0) THEN v END) AS q$d").mkString(", ") +
+        " FROM cum GROUP BY 1), " +
+        "u AS (SELECT g, unnest([" +
+        (1 to 9).map(_ * 10).mkString(", ") + "]) AS pct, unnest([" +
+        (1 to 9).map(d => s"q$d").mkString(", ") + "]) AS q FROM q) " +
+        "SELECT pct, round(max(CASE WHEN g = '0' THEN q END), 6) " +
+        "AS q_a, round(max(CASE WHEN g = '1' THEN q END), 6) AS q_b, " +
+        "round(max(CASE WHEN g = '1' THEN q END) - " +
+        "max(CASE WHEN g = '0' THEN q END), 6) AS qte FROM u " +
+        "GROUP BY 1 ORDER BY 1"),
+
     // SRM: declared-allocation join, per-arm deviation z, chi² GOF.
     "q245_srm" ->
       ("WITH v AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant " +

@@ -3604,6 +3604,21 @@ object TestQueries {
         col("dof").cast("long").as("dof"), col("n_unexpected"))
       .orderBy("variant")
 
+  /** Quantile treatment effects
+    * ([[operators.Stats.quantileTreatmentEffects]]) between the q138
+    * user-mod arms over floored event values — per-arm
+    * lower-value-at-rank deciles and their gaps replayed exactly.
+    */
+  def q246Qte(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.quantileTreatmentEffects(
+        sources.Tables.loadEvents(s, dir).select(
+          floor(col("value")).as("v"),
+          (col("user_id") % 2).cast("string").as("g")),
+        "v", "g", groupA = "0", groupB = "1")
+      .select(col("pct"), round(col("q_a"), 6).as("q_a"),
+        round(col("q_b"), 6).as("q_b"), round(col("qte"), 6).as("qte"))
+      .orderBy("pct")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3807,6 +3822,7 @@ object TestQueries {
     "q243_chi_merge" -> (q243ChiMerge _),
     "q244_wasserstein" -> (q244Wasserstein _),
     "q245_srm" -> (q245Srm _),
+    "q246_qte" -> (q246Qte _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -909,6 +909,48 @@ object Stats {
         "dev_z", "chi2", "dof", "n_unexpected")
   }
 
+  /** Quantile treatment effects — the distributional A/B readout that a
+    * mean lift ([[EventAnalytics.abLift]] / [[welchT]]) hides: at each
+    * decile, how far apart are the two arms' value distributions? A
+    * treatment that helps the p90 while hurting the p10 nets to zero in
+    * the mean; the QTE curve shows it. Quantiles use the rank family's
+    * lower-value-at-rank convention (rank ⌈p·n⌉ over the bounded,
+    * pre-quantized value domain — exact and engine-replayable, no
+    * interpolation dialects). Returns one row per decile:
+    * (pct, q_a, q_b, qte = q_b − q_a).
+    *
+    * Shape: one (group, value)-keyed aggregate, running sums over the
+    * group-partitioned value domain, then ONE conditional-min aggregate
+    * per arm — the [[Timeseries.percentileBands]] budget with a 2-arm
+    * pivot on top.
+    */
+  def quantileTreatmentEffects(df: DataFrame, valueCol: String,
+                               groupCol: String, groupA: String,
+                               groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val per = df.where(g.isin(groupA, groupB))
+      .groupBy(g.as("__g"), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = per.groupBy("__g").agg(sum("__c").as("__n"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("__cum", sum("__c").over(w))
+      .join(broadcast(tot), Seq("__g"))
+    val qCols = (1 to 9).map { d =>
+      min(when(col("__cum") >= ceil(col("__n") * lit(d) / 10.0),
+        col("__v"))).as(s"__q$d")
+    }
+    val qs = cum.groupBy("__g").agg(qCols.head, qCols.tail: _*)
+    val unpivoted = qs.select(col("__g"), explode(array((1 to 9).map { d =>
+      struct(lit(d * 10).as("pct"), col(s"__q$d").as("q"))
+    }: _*)).as("__pq"))
+      .select(col("__g"), col("__pq.pct").as("pct"), col("__pq.q").as("q"))
+    unpivoted.groupBy("pct")
+      .agg(max(when(col("__g") === groupA, col("q"))).as("q_a"),
+        max(when(col("__g") === groupB, col("q"))).as("q_b"))
+      .withColumn("qte", col("q_b") - col("q_a"))
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")

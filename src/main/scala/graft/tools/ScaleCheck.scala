@@ -1049,6 +1049,14 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "qte" -> { dir =>
+        // percentileBands budget + a 2-arm pivot
+        graft.operators.Stats.quantileTreatmentEffects(
+          graft.sources.Tables.loadEvents(spark, dir).select(
+            floor(col("value")).as("v"),
+            (col("user_id") % 2).cast("string").as("g")),
+          "v", "g", "0", "1").count()
+      },
       "srm" -> { dir =>
         // one variant-keyed aggregate + broadcast allocation literal
         graft.operators.Stats.sampleRatioMismatch(

@@ -456,6 +456,32 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("quantileTreatmentEffects: constant shift shows at every decile") {
+    // b = a + 5 pointwise over 1..10 → every decile's qte is exactly 5
+    val rows = (1 to 10).flatMap(v =>
+      Seq(("a", v.toDouble), ("b", v + 5.0))).toDF("g", "v")
+    val got = Stats.quantileTreatmentEffects(rows, "v", "g", "a", "b")
+      .orderBy("pct").collect()
+    assert(got.length === 9)
+    assert(got.forall(r => r.getAs[Double]("qte") === 5.0))
+    // lower-value-at-rank: p50 of 1..10 is the 5th value
+    val p50 = got.find(_.getAs[Int]("pct") === 50).get
+    assert(p50.getAs[Double]("q_a") === 5.0)
+  }
+
+  test("quantileTreatmentEffects: tail-only treatment nets zero below p50") {
+    // b equals a except the top two values explode — only p90 moves
+    // (rank ⌈0.9·10⌉ = 9: a's 9th value is 9, b's is 50)
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0)
+    val b = a.take(8) ++ Seq(50.0, 100.0)
+    val rows = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val got = Stats.quantileTreatmentEffects(rows, "v", "g", "a", "b")
+      .orderBy("pct").collect()
+    assert(got.takeWhile(_.getAs[Int]("pct") <= 80)
+      .forall(_.getAs[Double]("qte") === 0.0))
+    assert(got.last.getAs[Double]("qte") === 41.0)
+  }
+
   test("sampleRatioMismatch: deviations, chi2, mystery arm quarantined") {
     // a×6, b×4 declared 50/50, plus 3 rows in an undeclared arm c
     val rows = (Seq.fill(6)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c"))
