@@ -3764,6 +3764,40 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // Funnel latency: q134's strictly-advancing first-touch times, gap
+    // buckets (floor(epoch) both sides — Spark unix_timestamp truncates),
+    // rank percentiles per transition.
+    "q247_funnel_latency" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS t_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e " +
+        "JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e " +
+        "JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_click " +
+        "GROUP BY 1), " +
+        "g AS (SELECT 1 AS i, CAST(floor((floor(epoch(c.t_click)) - " +
+        "floor(epoch(v.t_view))) / 3600) * 3600 AS BIGINT) AS gap " +
+        "FROM v JOIN c USING (user_id) " +
+        "UNION ALL SELECT 2, CAST(floor((floor(epoch(p.t_purchase)) - " +
+        "floor(epoch(c.t_click))) / 3600) * 3600 AS BIGINT) " +
+        "FROM c JOIN p USING (user_id)), " +
+        "per AS (SELECT i, gap, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "t AS (SELECT i, sum(c) AS n FROM per GROUP BY 1), " +
+        "cum AS (SELECT per.i, per.gap, sum(per.c) OVER (PARTITION BY " +
+        "per.i ORDER BY per.gap) AS cum, t.n FROM per JOIN t " +
+        "USING (i)), " +
+        "a AS (SELECT i, CAST(max(n) AS BIGINT) AS n_advanced, " +
+        "min(CASE WHEN cum >= ceil(n * 5 / 10.0) THEN gap END) " +
+        "AS p50_sec, " +
+        "min(CASE WHEN cum >= ceil(n * 9 / 10.0) THEN gap END) " +
+        "AS p90_sec FROM cum GROUP BY 1) " +
+        "SELECT CASE i WHEN 1 THEN 'view' ELSE 'click' END " +
+        "AS stage_from, CASE i WHEN 1 THEN 'click' ELSE 'purchase' END " +
+        "AS stage_to, n_advanced, p50_sec, p90_sec FROM a " +
+        "ORDER BY stage_from"),
+
     // QTE: per-arm lower-value-at-rank deciles over the floored domain.
     "q246_qte" ->
       ("WITH s AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g, " +

@@ -3619,6 +3619,17 @@ object TestQueries {
         round(col("q_b"), 6).as("q_b"), round(col("qte"), 6).as("qte"))
       .orderBy("pct")
 
+  /** Funnel latency ([[operators.EventAnalytics.funnelLatency]]) over the
+    * q134 stages at hourly buckets — gap quantization and the rank
+    * percentiles replayed per transition.
+    */
+  def q247FunnelLatency(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.funnelLatency(
+        sources.Tables.loadEvents(s, dir), "user_id", "ts", "event_type",
+        stages = Seq("view", "click", "purchase"),
+        quantizeSeconds = 3600L)
+      .orderBy("stage_from")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3823,6 +3834,7 @@ object TestQueries {
     "q244_wasserstein" -> (q244Wasserstein _),
     "q245_srm" -> (q245Srm _),
     "q246_qte" -> (q246Qte _),
+    "q247_funnel_latency" -> (q247FunnelLatency _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -59,6 +59,57 @@ object EventAnalytics {
       .select(col("user") +: stages.indices.map(i =>
         col(s"__t$i").as(s"t_${stages(i)}")): _*)
 
+  /** Funnel stage latency: for each consecutive stage pair, the
+    * distribution of time-to-advance among users who DID advance —
+    * conversion counts say how many drop; this says where the remaining
+    * users stall (the p90 of view→cart is the page to fix). Gaps come
+    * from [[funnel]]'s resolved first-touch times, quantize to
+    * `quantizeSeconds` buckets (the rank family's bounded-domain
+    * contract), and p50/p90 are lower-value-at-rank over the bucket
+    * domain — exact, engine-replayable. Returns one row per transition:
+    * (stage_from, stage_to, n_advanced, p50_sec, p90_sec) with
+    * percentiles in seconds at bucket granularity.
+    *
+    * Shape: the funnel's user-keyed aggregates, then per-transition
+    * bucket counts + running sums over the bounded gap domain — the
+    * [[Stats.quantileTreatmentEffects]] budget per stage pair.
+    */
+  def funnelLatency(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, stages: Seq[String],
+                    quantizeSeconds: Long = 60L): DataFrame = {
+    require(stages.size >= 2, "need at least 2 stages")
+    require(quantizeSeconds >= 1, "quantizeSeconds must be positive")
+    val f = funnelIdx(df, userCol, tsCol, typeCol, stages)
+    val gaps = stages.indices.drop(1).map { i =>
+      f.where(col(s"__t$i").isNotNull)
+        .select(lit(i).as("__i"),
+          (floor((unix_timestamp(col(s"__t$i")) -
+            unix_timestamp(col(s"__t${i - 1}"))) / quantizeSeconds) *
+            quantizeSeconds).as("__gap"))
+    }.reduce(_ unionByName _)
+    val per = gaps.groupBy("__i", "__gap").agg(count(lit(1)).as("__c"))
+    val tot = per.groupBy("__i").agg(sum("__c").as("__n"))
+    val w = Window.partitionBy("__i").orderBy("__gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val names = stages.indices.drop(1).map(i =>
+      struct(lit(i).as("i"), lit(stages(i - 1)).as("f"),
+        lit(stages(i)).as("t")))
+    val nameDf = df.sparkSession.range(1).select(
+      explode(array(names: _*)).as("__s"))
+      .select(col("__s.i").as("__i"), col("__s.f").as("stage_from"),
+        col("__s.t").as("stage_to"))
+    per.withColumn("__cum", sum("__c").over(w))
+      .join(broadcast(tot), Seq("__i"))
+      .groupBy("__i")
+      .agg(max("__n").as("n_advanced"),
+        min(when(col("__cum") >= ceil(col("__n") * 5 / 10.0),
+          col("__gap"))).as("p50_sec"),
+        min(when(col("__cum") >= ceil(col("__n") * 9 / 10.0),
+          col("__gap"))).as("p90_sec"))
+      .join(broadcast(nameDf), Seq("__i"))
+      .select("stage_from", "stage_to", "n_advanced", "p50_sec", "p90_sec")
+  }
+
   /** Funnel rollup: how many users reached each stage (reached = non-null
     * resolved time), in declared stage order.
     */

@@ -1049,6 +1049,13 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "funnel_latency" -> { dir =>
+        // funnel's user-keyed aggregates + bounded gap-domain percentiles
+        graft.operators.EventAnalytics.funnelLatency(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), 3600L).count()
+      },
       "qte" -> { dir =>
         // percentileBands budget + a 2-arm pivot
         graft.operators.Stats.quantileTreatmentEffects(

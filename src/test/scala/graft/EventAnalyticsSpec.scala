@@ -298,6 +298,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       r.getAs[Long]("max_watermark_lag_sec") == 0L))
   }
 
+  test("funnelLatency: lower-value-at-rank gap percentiles per transition") {
+    // advance gaps 120 s / 60 s / 600 s; u4 never advances → excluded
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:02:00"), "cart"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:01:00"), "cart"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:10:00"), "cart"),
+      (4L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("u", "t", "typ")
+    val got = EventAnalytics.funnelLatency(ev, "u", "t", "typ",
+      Seq("view", "cart"), quantizeSeconds = 60L).head()
+    assert(got.getAs[String]("stage_from") === "view")
+    assert(got.getAs[String]("stage_to") === "cart")
+    assert(got.getAs[Long]("n_advanced") === 3L)
+    assert(got.getAs[Long]("p50_sec") === 120L) // rank ⌈1.5⌉ = 2nd of 3
+    assert(got.getAs[Long]("p90_sec") === 600L)
+  }
+
   test("markovAttribution: hand-solved 2-channel chain") {
     // u1 view→click→buy, u2 view (no conv), u3 click→buy:
     //   p(START→view)=2/3  p(START→click)=1/3
