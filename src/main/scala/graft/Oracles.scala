@@ -3764,6 +3764,20 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // BH-FDR: p-sorted ranks, reverse running min of p·n/rank, clamp 1.
+    "q248_bh_adjust" ->
+      ("WITH t AS (SELECT doc_id, ((doc_id * 7919) % 1000) / 1000.0 " +
+        "AS p FROM documents), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t), " +
+        "r AS (SELECT doc_id, p, row_number() OVER (ORDER BY p, doc_id) " +
+        "AS rank FROM t), " +
+        "q AS (SELECT doc_id, p, rank, least(1.0, " +
+        "min(p * n.n / rank) OVER (ORDER BY p, doc_id ROWS BETWEEN " +
+        "CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q_value FROM r, n) " +
+        "SELECT doc_id, round(p, 6) AS p_value, " +
+        "CAST(rank AS BIGINT) AS rank, round(q_value, 6) AS q_value, " +
+        "q_value <= 0.05 AS significant FROM q ORDER BY doc_id"),
+
     // Funnel latency: q134's strictly-advancing first-touch times, gap
     // buckets (floor(epoch) both sides — Spark unix_timestamp truncates),
     // rank percentiles per transition.

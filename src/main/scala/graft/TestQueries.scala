@@ -3630,6 +3630,19 @@ object TestQueries {
         quantizeSeconds = 3600L)
       .orderBy("stage_from")
 
+  /** Benjamini–Hochberg adjustment ([[operators.Stats.bhAdjust]]) over a
+    * deterministic per-doc p-value table — ranks, the reverse running
+    * min and the clamp replayed row-for-row.
+    */
+  def q248BhAdjust(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.bhAdjust(
+        t(s, dir, "documents").select(col("doc_id"),
+          (((col("doc_id") * 7919) % 1000) / lit(1000.0)).as("p")),
+        "doc_id", "p")
+      .select(col("doc_id"), round(col("p"), 6).as("p_value"), col("rank"),
+        round(col("q_value"), 6).as("q_value"), col("significant"))
+      .orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3835,6 +3848,7 @@ object TestQueries {
     "q245_srm" -> (q245Srm _),
     "q246_qte" -> (q246Qte _),
     "q247_funnel_latency" -> (q247FunnelLatency _),
+    "q248_bh_adjust" -> (q248BhAdjust _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

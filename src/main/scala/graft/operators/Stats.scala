@@ -951,6 +951,36 @@ object Stats {
       .withColumn("qte", col("q_b") - col("q_a"))
   }
 
+  /** Benjamini–Hochberg FDR adjustment — the multiple-testing companion
+    * every per-segment sweep of [[welchT]]/[[ksTest]]/[[chiSquareIndependence]]
+    * needs: run one test per segment, then control the EXPECTED false
+    * discovery rate instead of eyeballing raw p's (at 100 segments, five
+    * p < 0.05 are expected under pure noise). q_i = min over j ≥ i of
+    * p₍ⱼ₎·n/j over the p-sorted tests (ties rank by `idCol` so replays
+    * are exact), clamped to 1. Returns every input row plus
+    * (rank, q_value, significant = q ≤ alpha).
+    *
+    * Contract: the input is a TEST table (one row per hypothesis —
+    * segments, features, arms), bounded by design, so the two
+    * unpartitioned windows (rank + reverse running min) are
+    * test-count-sized, never corpus-sized.
+    */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val p = col(pCol).cast("double")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val wRank = Window.orderBy(p, col(idCol))
+    val wRevMin = Window.orderBy(p, col(idCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("q_value", least(lit(1.0),
+        min(p * col("__n") / col("rank")).over(wRevMin)))
+      .withColumn("significant", col("q_value") <= alpha)
+      .drop("__n")
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")

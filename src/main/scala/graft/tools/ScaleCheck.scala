@@ -1049,6 +1049,13 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "bh_adjust" -> { dir =>
+        // test-table contract: windows are test-count-sized by design
+        graft.operators.Stats.bhAdjust(
+          docs(dir).select(col("doc_id"),
+            (((col("doc_id") * 7919) % 1000) / lit(1000.0)).as("p")),
+          "doc_id", "p").count()
+      },
       "funnel_latency" -> { dir =>
         // funnel's user-keyed aggregates + bounded gap-domain percentiles
         graft.operators.EventAnalytics.funnelLatency(
