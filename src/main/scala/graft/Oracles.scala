@@ -3764,6 +3764,42 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // CMH: per-stratum 2×2 cells, pooled E/Var, MH + crude odds ratios.
+    "q249_cmh" ->
+      ("WITH s AS (SELECT event_type AS st, " +
+        "CAST(user_id % 2 AS VARCHAR) AS arm, " +
+        "CASE WHEN value > 50 THEN 1 ELSE 0 END AS y FROM events " +
+        "WHERE CAST(user_id % 2 AS VARCHAR) IN ('0', '1')), " +
+        "per AS (SELECT st, " +
+        "sum(CASE WHEN arm = '0' AND y = 1 THEN 1 ELSE 0 END) AS a, " +
+        "sum(CASE WHEN arm = '0' AND y = 0 THEN 1 ELSE 0 END) AS b, " +
+        "sum(CASE WHEN arm = '1' AND y = 1 THEN 1 ELSE 0 END) AS c, " +
+        "sum(CASE WHEN arm = '1' AND y = 0 THEN 1 ELSE 0 END) AS d " +
+        "FROM s GROUP BY 1), " +
+        "p2 AS (SELECT *, a + b + c + d AS nn FROM per), " +
+        "k AS (SELECT * FROM p2 WHERE nn >= 2), " +
+        "sk AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_skipped " +
+        "FROM p2 WHERE nn < 2), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(nn) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS sum_a, " +
+        "sum(CAST((a + b) * (a + c) AS DOUBLE) / nn) AS sum_e, " +
+        "sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) / " +
+        "(CAST(nn AS DOUBLE) * nn * (nn - 1.0))) AS sum_var, " +
+        "sum(CAST(a AS DOUBLE) * d / nn) AS mh_num, " +
+        "sum(CAST(b AS DOUBLE) * c / nn) AS mh_den, " +
+        "CAST(sum(a) AS DOUBLE) AS ta, CAST(sum(b) AS DOUBLE) AS tb, " +
+        "CAST(sum(c) AS DOUBLE) AS tc, CAST(sum(d) AS DOUBLE) AS td " +
+        "FROM k) " +
+        "SELECT n_strata, sk.n_strata_skipped, n, sum_a, " +
+        "round(sum_e, 6) AS sum_e, " +
+        "round(CASE WHEN sum_var > 0 THEN " +
+        "(sum_a - sum_e) * (sum_a - sum_e) / sum_var END, 6) " +
+        "AS cmh_chi2, " +
+        "round(CASE WHEN tb * tc > 0 THEN ta * td / (tb * tc) END, 6) " +
+        "AS or_crude, " +
+        "round(CASE WHEN mh_den > 0 THEN mh_num / mh_den END, 6) " +
+        "AS or_mh FROM agg, sk"),
+
     // BH-FDR: p-sorted ranks, reverse running min of p·n/rank, clamp 1.
     "q248_bh_adjust" ->
       ("WITH t AS (SELECT doc_id, ((doc_id * 7919) % 1000) / 1000.0 " +

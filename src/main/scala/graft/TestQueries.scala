@@ -3643,6 +3643,23 @@ object TestQueries {
         round(col("q_value"), 6).as("q_value"), col("significant"))
       .orderBy("doc_id")
 
+  /** CMH stratified test ([[operators.Stats.cmhTest]]) of the user-mod
+    * arms on a value outcome, stratified by event type — per-stratum 2×2
+    * cells and the pooled algebra replayed exactly.
+    */
+  def q249Cmh(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.cmhTest(
+        sources.Tables.loadEvents(s, dir).select(
+          col("event_type").as("stratum"),
+          (col("user_id") % 2).cast("string").as("arm"),
+          (col("value") > 50).cast("int").as("y")),
+        "stratum", "arm", groupA = "0", groupB = "1", outcomeCol = "y")
+      .select(col("n_strata"), col("n_strata_skipped"), col("n"),
+        col("sum_a"), round(col("sum_e"), 6).as("sum_e"),
+        round(col("cmh_chi2"), 6).as("cmh_chi2"),
+        round(col("or_crude"), 6).as("or_crude"),
+        round(col("or_mh"), 6).as("or_mh"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3849,6 +3866,7 @@ object TestQueries {
     "q246_qte" -> (q246Qte _),
     "q247_funnel_latency" -> (q247FunnelLatency _),
     "q248_bh_adjust" -> (q248BhAdjust _),
+    "q249_cmh" -> (q249Cmh _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -981,6 +981,68 @@ object Stats {
       .drop("__n")
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel-Haenszel pooled
+    * odds ratio — the Simpson's-paradox guard: when arm assignment is
+    * confounded with a stratum (source, country, device), the CRUDE
+    * pooled odds ratio can point the wrong way; CMH tests association
+    * WITHIN strata and pools the per-stratum effects. Reporting both
+    * `or_crude` and `or_mh` makes the paradox visible (they disagree →
+    * the confounder matters). Per stratum k with cells
+    * a (A∧event), b (A∧¬event), c (B∧event), d (B∧¬event):
+    * E_k = n1·m1/N, Var_k = n1·n0·m1·m0/(N²(N−1)),
+    * CMH χ² = (Σa − ΣE)²/ΣVar (1 df, no continuity correction),
+    * OR_MH = Σ(a·d/N)/Σ(b·c/N). Strata with N < 2 carry no variance and
+    * are excluded (reported in n_strata_skipped).
+    *
+    * ONE stratum-keyed conditional-count aggregate, then scalar algebra —
+    * the stratum table is the only state. Returns ONE row: (n_strata,
+    * n_strata_skipped, n, sum_a, sum_e, cmh_chi2, or_crude, or_mh).
+    */
+  def cmhTest(df: DataFrame, stratumCol: String, groupCol: String,
+              groupA: String, groupB: String,
+              outcomeCol: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val y = col(outcomeCol).cast("int")
+    val per = df.where(g.isin(groupA, groupB))
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(sum(when(g === groupA && y === 1, 1L).otherwise(0L)).as("__a"),
+        sum(when(g === groupA && y === 0, 1L).otherwise(0L)).as("__b"),
+        sum(when(g === groupB && y === 1, 1L).otherwise(0L)).as("__c"),
+        sum(when(g === groupB && y === 0, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__nn",
+        col("__a") + col("__b") + col("__c") + col("__d"))
+    val kept = per.where(col("__nn") >= 2)
+    val nDouble = col("__nn").cast("double")
+    val agg = kept.agg(
+      count(lit(1)).as("n_strata"),
+      sum("__nn").as("n"),
+      sum("__a").as("sum_a"),
+      sum(((col("__a") + col("__b")) * (col("__a") + col("__c"))).cast("double") / nDouble)
+        .as("__sum_e"),
+      sum((col("__a") + col("__b")).cast("double") *
+        (col("__c") + col("__d")) * (col("__a") + col("__c")) *
+        (col("__b") + col("__d")) /
+        (nDouble * nDouble * (nDouble - 1.0))).as("__sum_var"),
+      sum(col("__a").cast("double") * col("__d") / nDouble).as("__mh_num"),
+      sum(col("__b").cast("double") * col("__c") / nDouble).as("__mh_den"),
+      sum("__a").cast("double").as("__ta"), sum("__b").cast("double").as("__tb"),
+      sum("__c").cast("double").as("__tc"), sum("__d").cast("double").as("__td"))
+    val skipped = per.where(col("__nn") < 2)
+      .agg(count(lit(1)).as("n_strata_skipped"))
+    agg.crossJoin(broadcast(skipped))
+      .withColumn("cmh_chi2", when(col("__sum_var") > 0,
+        (col("sum_a") - col("__sum_e")) * (col("sum_a") - col("__sum_e")) /
+          col("__sum_var")))
+      .withColumn("or_crude",
+        when(col("__tb") * col("__tc") > 0,
+          col("__ta") * col("__td") / (col("__tb") * col("__tc"))))
+      .withColumn("or_mh",
+        when(col("__mh_den") > 0, col("__mh_num") / col("__mh_den")))
+      .select(col("n_strata"), col("n_strata_skipped"), col("n"),
+        col("sum_a"), col("__sum_e").as("sum_e"), col("cmh_chi2"),
+        col("or_crude"), col("or_mh"))
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")

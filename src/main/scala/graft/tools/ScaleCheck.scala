@@ -1049,6 +1049,15 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "cmh" -> { dir =>
+        // one stratum-keyed conditional-count aggregate + scalar algebra
+        graft.operators.Stats.cmhTest(
+          graft.sources.Tables.loadEvents(spark, dir).select(
+            col("event_type").as("stratum"),
+            (col("user_id") % 2).cast("string").as("arm"),
+            (col("value") > 50).cast("int").as("y")),
+          "stratum", "arm", "0", "1", "y").count()
+      },
       "bh_adjust" -> { dir =>
         // test-table contract: windows are test-count-sized by design
         graft.operators.Stats.bhAdjust(

@@ -456,6 +456,39 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("cmhTest: kidney-stone Simpson's paradox — crude flips, MH doesn't") {
+    // classic table: within BOTH strata arm A beats B, crude pooled flips
+    val cells = Seq(
+      ("small", "A", 1, 81), ("small", "A", 0, 6),
+      ("small", "B", 1, 234), ("small", "B", 0, 36),
+      ("large", "A", 1, 192), ("large", "A", 0, 71),
+      ("large", "B", 1, 55), ("large", "B", 0, 25))
+    val rows = cells.flatMap { case (s, g, y, k) =>
+      Seq.fill(k)((s, g, y)) }.toDF("stratum", "arm", "y")
+    val r = Stats.cmhTest(rows, "stratum", "arm", "A", "B", "y").head()
+    assert(r.getAs[Long]("n") === 700L)
+    assert(r.getAs[Long]("sum_a") === 273L)
+    assert(r.getAs[Double]("or_crude") < 1.0)   // crude says B wins…
+    assert(r.getAs[Double]("or_mh") > 1.0)      // …stratified says A does
+    assert(math.abs(r.getAs[Double]("or_mh") -
+      (81.0 * 36 / 357 + 192.0 * 25 / 343) /
+        (6.0 * 234 / 357 + 71.0 * 55 / 343)) < 1e-12)
+    assert(r.getAs[Double]("cmh_chi2") > 0)
+  }
+
+  test("cmhTest: single-row strata carry no variance and are skipped") {
+    val rows = (Seq.fill(5)(("s1", "A", 1)) ++ Seq.fill(5)(("s1", "A", 0)) ++
+      Seq.fill(5)(("s1", "B", 1)) ++ Seq.fill(5)(("s1", "B", 0)) ++
+      Seq(("lonely", "A", 1))).toDF("stratum", "arm", "y")
+    val r = Stats.cmhTest(rows, "stratum", "arm", "A", "B", "y").head()
+    assert(r.getAs[Long]("n_strata") === 1L)
+    assert(r.getAs[Long]("n_strata_skipped") === 1L)
+    assert(r.getAs[Long]("n") === 20L)
+    // balanced 2×2: no association, chi2 exactly 0, ORs 1
+    assert(d(r.getAs[Double]("cmh_chi2"), 0.0))
+    assert(d(r.getAs[Double]("or_mh"), 1.0))
+  }
+
   test("bhAdjust: textbook example, reverse running min + clamp") {
     // p = [.005, .01, .03, .04], n = 4 → raw p·n/rank = [.02, .02, .04, .04]
     val rows = Seq((1L, 0.01), (2L, 0.04), (3L, 0.03), (4L, 0.005))
