@@ -3764,6 +3764,28 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // Dispersion index: per-key bin-count moments over the full span
+    // (empty bins as zeros, algebraically).
+    "q250_dispersion" ->
+      ("WITH b AS (SELECT event_type AS key, " +
+        "CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bin, " +
+        "count(*) AS c FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT key, max(bin) - min(bin) + 1 AS n_bins, " +
+        "CAST(sum(c) AS BIGINT) AS n_events, " +
+        "sum(CAST(c AS DOUBLE) * c) AS s2 FROM b GROUP BY 1), " +
+        "m AS (SELECT key, n_bins, n_events, " +
+        "n_events / CAST(n_bins AS DOUBLE) AS mean_count, " +
+        "s2 / n_bins - (n_events / CAST(n_bins AS DOUBLE)) * " +
+        "(n_events / CAST(n_bins AS DOUBLE)) AS var_count FROM a) " +
+        "SELECT key, CAST(n_bins AS BIGINT) AS n_bins, n_events, " +
+        "round(mean_count, 6) AS mean_count, " +
+        "round(var_count, 6) AS var_count, " +
+        "round(CASE WHEN n_bins > 1 AND mean_count > 0 THEN " +
+        "var_count / mean_count END, 6) AS vmr, " +
+        "round(CASE WHEN n_bins > 1 AND mean_count > 0 THEN " +
+        "n_bins * var_count / mean_count END, 6) AS d_stat FROM m " +
+        "ORDER BY key"),
+
     // CMH: per-stratum 2×2 cells, pooled E/Var, MH + crude odds ratios.
     "q249_cmh" ->
       ("WITH s AS (SELECT event_type AS st, " +

@@ -3660,6 +3660,20 @@ object TestQueries {
         round(col("or_crude"), 6).as("or_crude"),
         round(col("or_mh"), 6).as("or_mh"))
 
+  /** Overdispersion ([[operators.Stats.dispersionIndex]]) of each event
+    * type's hourly arrival counts — span-with-zeros moments replayed
+    * division-for-division.
+    */
+  def q250Dispersion(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.dispersionIndex(
+        sources.Tables.loadEvents(s, dir), "event_type", "ts", 3600L)
+      .select(col("key"), col("n_bins"), col("n_events"),
+        round(col("mean_count"), 6).as("mean_count"),
+        round(col("var_count"), 6).as("var_count"),
+        round(col("vmr"), 6).as("vmr"),
+        round(col("d_stat"), 6).as("d_stat"))
+      .orderBy("key")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3867,6 +3881,7 @@ object TestQueries {
     "q247_funnel_latency" -> (q247FunnelLatency _),
     "q248_bh_adjust" -> (q248BhAdjust _),
     "q249_cmh" -> (q249Cmh _),
+    "q250_dispersion" -> (q250Dispersion _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1043,6 +1043,42 @@ object Stats {
         col("or_crude"), col("or_mh"))
   }
 
+  /** Per-key overdispersion (burstiness) of an event stream: bin events
+    * on a `binSeconds` grid, then the variance-to-mean ratio of per-bin
+    * counts OVER THE KEY'S FULL BIN SPAN — empty bins count as zeros
+    * (occupied-bins-only is the classic bias that hides burstiness).
+    * A Poisson process scores vmr ≈ 1; vmr ≫ 1 is bursty (bots, incident
+    * storms, batch replays), vmr ≪ 1 is rate-limited/regular. `d_stat` is
+    * the dispersion statistic n_bins·var/mean (≈ χ² with n_bins−1 df
+    * under Poisson). Returns per key: (key, n_bins, n_events, mean_count,
+    * var_count, vmr, d_stat); single-bin keys report null vmr/d_stat.
+    *
+    * One (key, bin) aggregate then one key aggregate — the zero bins are
+    * ALGEBRA (span vs occupied moments), never materialized rows.
+    */
+  def dispersionIndex(df: DataFrame, keyCol: String, tsCol: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val per = df
+      .groupBy(col(keyCol).as("key"),
+        floor(unix_timestamp(col(tsCol)) / binSeconds).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    per.groupBy("key")
+      .agg((max("__b") - min("__b") + 1).as("n_bins"),
+        sum("__c").as("n_events"),
+        sum(col("__c").cast("double") * col("__c")).as("__s2"))
+      .withColumn("mean_count",
+        col("n_events") / col("n_bins"))
+      .withColumn("var_count",
+        col("__s2") / col("n_bins") - col("mean_count") * col("mean_count"))
+      .withColumn("vmr", when(col("n_bins") > 1 && col("mean_count") > 0,
+        col("var_count") / col("mean_count")))
+      .withColumn("d_stat", when(col("vmr").isNotNull,
+        col("n_bins") * col("var_count") / col("mean_count")))
+      .select("key", "n_bins", "n_events", "mean_count", "var_count",
+        "vmr", "d_stat")
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")

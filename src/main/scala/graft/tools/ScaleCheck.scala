@@ -1049,6 +1049,12 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "dispersion" -> { dir =>
+        // two keyed aggregates; zeros are algebra, not rows
+        graft.operators.Stats.dispersionIndex(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "event_type", "ts", 3600L).count()
+      },
       "cmh" -> { dir =>
         // one stratum-keyed conditional-count aggregate + scalar algebra
         graft.operators.Stats.cmhTest(

@@ -456,6 +456,32 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("dispersionIndex: empty bins count as zeros; regular stream ≈ 0") {
+    // bursty: 6 events in bin 0, 1 in bin 3 → span 4, mean 1.75,
+    // var = 37/4 − 1.75² = 6.1875; regular: one event per bin → var 0
+    val rows = (Seq.fill(6)(("bursty", 10L)) ++ Seq(("bursty", 3 * 60L)) ++
+      (0 to 3).map(b => ("regular", b * 60L + 5L)))
+      .toDF("k", "sec").withColumn("ts", col("sec").cast("timestamp"))
+    val got = Stats.dispersionIndex(rows, "k", "ts", 60L)
+      .orderBy("key").collect()
+    val bursty = got(0)
+    assert(bursty.getAs[Long]("n_bins") === 4L)
+    assert(bursty.getAs[Long]("n_events") === 7L)
+    assert(d(bursty.getAs[Double]("var_count"), 6.1875))
+    assert(d(bursty.getAs[Double]("vmr"), 6.1875 / 1.75))
+    val regular = got(1)
+    assert(d(regular.getAs[Double]("vmr"), 0.0))
+  }
+
+  test("dispersionIndex: a single-bin key has no dispersion to report") {
+    val rows = Seq(("k", 1L), ("k", 2L)).toDF("k", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val r = Stats.dispersionIndex(rows, "k", "ts", 60L).head()
+    assert(r.getAs[Long]("n_bins") === 1L)
+    assert(r.isNullAt(r.fieldIndex("vmr")))
+    assert(r.isNullAt(r.fieldIndex("d_stat")))
+  }
+
   test("cmhTest: kidney-stone Simpson's paradox — crude flips, MH doesn't") {
     // classic table: within BOTH strata arm A beats B, crude pooled flips
     val cells = Seq(
