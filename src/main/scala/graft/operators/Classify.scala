@@ -249,11 +249,16 @@ object Classify {
     * (bin, lo_prebin, hi_prebin, n, events, event_rate).
     */
   def chiMergeBins(df: DataFrame, valueCol: String, targetCol: String,
-                   initialBins: Int = 16, targetBins: Int = 6): DataFrame = {
+                   initialBins: Int = 16, targetBins: Int = 6,
+                   approxAccuracy: Option[Int] = None): DataFrame = {
     require(targetBins >= 2 && targetBins < initialBins && initialBins <= 64,
       s"need 2 <= targetBins < initialBins <= 64: $targetBins/$initialBins")
+    // approxAccuracy: at corpus scale switch the prebin thresholds to the
+    // GK sketch (quantileBuckets' documented trade) — the merge algebra
+    // downstream is unchanged
     val pre = Splits.quantileBuckets(
-      df.select(col(valueCol), col(targetCol)), valueCol, initialBins)
+      df.select(col(valueCol), col(targetCol)), valueCol, initialBins,
+      approxAccuracy)
     var bins = pre
       .groupBy(col("bucket").cast("int").as("__b"))
       .agg(count(lit(1)).as("__n"),
