@@ -3764,6 +3764,27 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // Leakage-free split: q77's verified-pair closure → min-reachable
+    // cluster label → label-keyed split buckets.
+    "q251_leak_free_split" ->
+      (s"WITH RECURSIVE $exactPairCtes, " +
+        "p AS (SELECT id_a, id_b FROM jp WHERE j >= 0.5), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p " +
+        "UNION ALL SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b FROM reach r JOIN edges e " +
+        "ON r.dst = e.a), " +
+        "lab AS (SELECT d.doc_id, " +
+        "LEAST(d.doc_id, COALESCE(r.mn, d.doc_id)) AS grp " +
+        "FROM documents d LEFT JOIN (SELECT src, min(dst) AS mn " +
+        "FROM reach GROUP BY 1) r ON d.doc_id = r.src), " +
+        "sp AS (SELECT CASE WHEN grp % 100 < 80 THEN 'train' " +
+        "WHEN grp % 100 < 90 THEN 'val' ELSE 'test' END AS split, grp " +
+        "FROM lab) " +
+        "SELECT split, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups, " +
+        "CAST(count(*) AS BIGINT) AS n_docs FROM sp GROUP BY 1 " +
+        "ORDER BY 1"),
+
     // Dispersion index: per-key bin-count moments over the full span
     // (empty bins as zeros, algebraically).
     "q250_dispersion" ->

@@ -3674,6 +3674,26 @@ object TestQueries {
         round(col("d_stat"), 6).as("d_stat"))
       .orderBy("key")
 
+  /** Leakage-free split ([[operators.Splits.leakFreeSplit]]): verified
+    * near-dup clusters (the q77 pair set) are the split unit — the oracle
+    * replays the recursive closure, labels each doc by min reachable id
+    * and buckets the LABEL, so a cluster cannot straddle.
+    */
+  def q251LeakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardVerify(docs,
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    operators.Splits.leakFreeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 80, "val" -> 90, "test" -> 100),
+        bucket = k => pmod(k.cast("long"), lit(100)))
+      .groupBy("split")
+      .agg(countDistinct("group_id").as("n_groups"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3882,6 +3902,7 @@ object TestQueries {
     "q248_bh_adjust" -> (q248BhAdjust _),
     "q249_cmh" -> (q249Cmh _),
     "q250_dispersion" -> (q250Dispersion _),
+    "q251_leak_free_split" -> (q251LeakFreeSplit _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -327,6 +327,33 @@ object Splits {
       .drop("__w", "__tw")
   }
 
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS are the
+    * split unit, not documents — a random doc-level split puts one copy
+    * of a near-dup pair in train and its twin in test, and the eval set
+    * silently measures memorization (the classic contaminated-benchmark
+    * failure). Verified duplicate pairs (e.g.
+    * [[Dedup.minhashCandidatePairs]] → [[Dedup.jaccardVerify]]) collapse
+    * to connected components; each doc splits by its CLUSTER label
+    * (singletons by their own id), so a cluster can never straddle
+    * splits — by construction, not by audit. Returns every input row
+    * plus (group_id, split).
+    *
+    * Shape for scale: CC runs on the verified PAIRS (candidate-sized);
+    * the corpus is touched by one left join against the label set and the
+    * scan-side bucket hash — [[Dedup.keepBestTransitiveVerified]]'s
+    * budget with a split label instead of a survivor rank.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String, dupPairs: DataFrame,
+                    boundaries: Seq[(String, Int)],
+                    bucket: Column => Column = hashBucket): DataFrame = {
+    val labels = Dedup.connectedComponents(dupPairs)
+      .select(col("id").as("__lid"), col("cluster").as("__lcl"))
+    docs.join(labels, col(idCol) === col("__lid"), "left")
+      .withColumn("group_id", coalesce(col("__lcl"), col(idCol)))
+      .drop("__lid", "__lcl")
+      .transform(d => hashSplit(d, "group_id", boundaries, bucket))
+  }
+
   /** Quantile-bucketed curriculum assignment: split the corpus into
     * `numBuckets` equal-population difficulty tiers by `valueCol` (length,
     * perplexity, quality score …) — the curriculum-learning ordering key,

@@ -1049,6 +1049,15 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "leak_free_split" -> { dir =>
+        // CC on candidate-sized pairs + one corpus left join
+        val d = docs(dir)
+        val pairs = graft.operators.Dedup.jaccardVerify(d,
+          graft.operators.Dedup.minhashCandidatePairs(d, "doc_id", "text"),
+          "doc_id", "text", 3, 0.5).select("id_a", "id_b")
+        graft.operators.Splits.leakFreeSplit(d, "doc_id", pairs,
+          Seq("train" -> 80, "val" -> 90, "test" -> 100)).count()
+      },
       "dispersion" -> { dir =>
         // two keyed aggregates; zeros are algebra, not rows
         graft.operators.Stats.dispersionIndex(

@@ -367,4 +367,21 @@ class SplitsSpec extends AnyFunSuite {
     assert(math.abs(got(0).getAs[Double]("waste_ratio") - 8.0 / 27) < 1e-9)
     assert(got(1).getAs[Double]("waste_ratio") === 0.0)
   }
+
+  test("leakFreeSplit: a dup cluster can never straddle splits") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1-2-3 chain through transitive pairs → one cluster labeled 1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Splits.leakFreeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 50, "test" -> 100),
+        bucket = k => pmod(k * 37, lit(100)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[String]("split"))).toMap
+    // the whole cluster shares group 1 and therefore one split
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct.size === 1)
+    assert(got(1L)._1 === 1L)
+    // singletons group by their own id and spread across splits
+    assert((4L to 10L).forall(i => got(i)._1 === i))
+    assert((4L to 10L).map(got(_)._2).distinct.size === 2)
+  }
 }
