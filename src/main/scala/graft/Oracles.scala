@@ -2519,6 +2519,42 @@ object Oracles {
         "round(avg(y), 6) AS mean_nation FROM fin GROUP BY 1 ORDER BY cluster"
     },
 
+    // Simplified silhouette on the q177 chain: a = distance to the own
+    // FINAL centroid, b = min distance to the others, cluster roll-up.
+    "q252_silhouette" -> {
+      def assign(cents: String) =
+        s"(SELECT id, x, y, cid FROM (SELECT p.id, p.x, p.y, c.cid, " +
+          "row_number() OVER (PARTITION BY p.id ORDER BY " +
+          "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), " +
+          s"c.cid) AS rn FROM pts p CROSS JOIN $cents c) WHERE rn = 1)"
+      "WITH pts AS (SELECT c_custkey AS id, " +
+        "CAST(c_acctbal AS DOUBLE) AS x, " +
+        "CAST(c_nationkey AS DOUBLE) AS y FROM customer), " +
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) " +
+        "AS cid, x AS cx, y AS cy FROM " +
+        "(SELECT * FROM pts ORDER BY id LIMIT 3)), " +
+        s"a1 AS ${assign("c0")}, " +
+        "c1 AS (SELECT cid, avg(x) AS cx, avg(y) AS cy FROM a1 GROUP BY 1), " +
+        s"a2 AS ${assign("c1")}, " +
+        "c2 AS (SELECT cid, avg(x) AS cx, avg(y) AS cy FROM a2 GROUP BY 1), " +
+        s"fin AS ${assign("c2")}, " +
+        "c3 AS (SELECT cid, avg(x) AS cx, avg(y) AS cy FROM fin " +
+        "GROUP BY 1), " +
+        "da AS (SELECT f.id, f.cid, sqrt((f.x - o.cx) * (f.x - o.cx) + " +
+        "(f.y - o.cy) * (f.y - o.cy)) AS a FROM fin f JOIN c3 o " +
+        "ON f.cid = o.cid), " +
+        "db AS (SELECT f.id, min(sqrt((f.x - o.cx) * (f.x - o.cx) + " +
+        "(f.y - o.cy) * (f.y - o.cy))) AS b FROM fin f JOIN c3 o " +
+        "ON f.cid <> o.cid GROUP BY 1), " +
+        "sil AS (SELECT da.cid, CASE WHEN greatest(a, b) > 0 THEN " +
+        "(b - a) / greatest(a, b) ELSE 0.0 END AS s FROM da JOIN db " +
+        "USING (id)) " +
+        "SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_points, " +
+        "round(avg(s), 6) AS mean_silhouette, " +
+        "round(min(s), 6) AS min_silhouette FROM sil GROUP BY 1 " +
+        "ORDER BY cluster"
+    },
+
     // Two-predictor OLS closed form from population moments; r2 from
     // explained covariance over var_pop.
     "q178_ols" ->

@@ -3694,6 +3694,23 @@ object TestQueries {
       .orderBy("split")
   }
 
+  /** Cluster quality ([[operators.Classify.silhouetteSimplified]]) of the
+    * q177 k-means run — per-point centroid silhouettes and the cluster
+    * roll-up replayed on the same unrolled assignment chain.
+    */
+  def q252Silhouette(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nat"))
+    val (assigned, cents) = Classify.kMeansFixed(cust, "c_custkey",
+      Seq("c_acctbal", "c_nat"), k = 3, iterations = 2)
+    Classify.silhouetteSimplified(assigned, cents, Seq("c_acctbal", "c_nat"))
+      .select(col("cluster"), col("n_points").cast("long").as("n_points"),
+        round(col("mean_silhouette"), 6).as("mean_silhouette"),
+        round(col("min_silhouette"), 6).as("min_silhouette"))
+      .orderBy("cluster")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3903,6 +3920,7 @@ object TestQueries {
     "q249_cmh" -> (q249Cmh _),
     "q250_dispersion" -> (q250Dispersion _),
     "q251_leak_free_split" -> (q251LeakFreeSplit _),
+    "q252_silhouette" -> (q252Silhouette _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -398,6 +398,46 @@ object Classify {
     (assigned, cents)
   }
 
+  /** Simplified (centroid-based) silhouette per cluster — the cluster-
+    * quality readout for [[kMeansFixed]] (and the IVF/SemDeDup cells
+    * built on it): s = (b − a)/max(a, b) with a = distance to the OWN
+    * centroid and b = distance to the nearest OTHER centroid. The full
+    * silhouette's pairwise-distance a/b is O(N²); the centroid form is
+    * the standard scalable surrogate (exact for spherical clusters) and
+    * needs only the k broadcast centroids. Mean s near 1 = tight and
+    * separated; near 0 = touching; negative = points closer to another
+    * centroid than their own (over-clustered). Zero-distance degenerate
+    * points score 0. Returns per cluster:
+    * (cluster, n_points, mean_silhouette, min_silhouette).
+    *
+    * Scan-side arithmetic against k centroid literals + one cluster-keyed
+    * aggregate — no joins touch the point set.
+    */
+  def silhouetteSimplified(assigned: DataFrame, centroids: DataFrame,
+                           featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty)
+    val cents = centroids
+      .select(col("cluster") +: featureCols.map(col): _*)
+      .collect()
+      .map(r => (r.getInt(0),
+        featureCols.indices.map(j => r.getDouble(j + 1)).toArray))
+    require(cents.length >= 2, "need at least 2 non-empty clusters")
+    def distTo(c: Array[Double]): Column =
+      sqrt(featureCols.zipWithIndex.map { case (f, j) =>
+        (col(f) - lit(c(j))) * (col(f) - lit(c(j))) }.reduce(_ + _))
+    val a = cents.map { case (cid, c) =>
+      when(col("cluster") === cid, distTo(c)) }.reduce(coalesce(_, _))
+    val b = least(cents.map { case (cid, c) =>
+      when(col("cluster") =!= cid, distTo(c)) }: _*)
+    assigned
+      .withColumn("__s", when(greatest(a, b) > 0,
+        (b - a) / greatest(a, b)).otherwise(0.0))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        avg("__s").as("mean_silhouette"),
+        min("__s").as("min_silhouette"))
+  }
+
   /** Ordinary-least-squares fit via the normal equations — closed-form
     * multiple regression (the quality-signal vs downstream-metric probe)
     * computed from ONE aggregate pass of second moments: means, the

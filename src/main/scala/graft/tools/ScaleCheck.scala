@@ -1049,6 +1049,16 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "silhouette" -> { dir =>
+        // scan-side distances to k broadcast centroids + one keyed agg
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double").as("c_nat"))
+        val (assigned, cents) = graft.operators.Classify.kMeansFixed(
+          cust, "c_custkey", Seq("c_acctbal", "c_nat"), 3, 2)
+        graft.operators.Classify.silhouetteSimplified(
+          assigned, cents, Seq("c_acctbal", "c_nat")).count()
+      },
       "leak_free_split" -> { dir =>
         // CC on candidate-sized pairs + one corpus left join
         val d = docs(dir)

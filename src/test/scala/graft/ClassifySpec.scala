@@ -134,6 +134,29 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("silhouetteSimplified: tight separated clusters ≈ 1, merged < 0.5") {
+    // two tight clusters far apart: a ≈ 0.5, b ≈ 10 → s ≈ 0.95
+    val assigned = Seq(
+      (0.0, 0), (1.0, 0), (10.0, 1), (11.0, 1))
+      .toDF("x", "cluster")
+    val cents = Seq((0, 0.5), (1, 10.5)).toDF("cluster", "x")
+    val got = Classify.silhouetteSimplified(assigned, cents, Seq("x"))
+      .orderBy("cluster").collect()
+    // per cluster: a = 0.5 for both points, b = 10.5 and 9.5 → hand mean
+    val expected = (10.0 / 10.5 + 9.0 / 9.5) / 2
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_points") === 2L)
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - expected) < 1e-12)
+    }
+    // a point sitting ON another centroid scores negative
+    val stray = Seq((0.0, 0), (10.5, 0), (10.0, 1), (11.0, 1))
+      .toDF("x", "cluster")
+    val cents2 = Seq((0, 0.0), (1, 10.5)).toDF("cluster", "x")
+    val s2 = Classify.silhouetteSimplified(stray, cents2, Seq("x"))
+      .orderBy("cluster").collect()
+    assert(s2.head.getAs[Double]("min_silhouette") < 0)
+  }
+
   test("chiMergeBins: zero-chi neighbours merge first, ties to lower bin") {
     // values 1..16 → 4 quantile prebins of 4; target = v ≥ 9: prebins
     // carry events [0,0,4,4]. chi(0,1)=0 and chi(2,3)=0 tie → merge
