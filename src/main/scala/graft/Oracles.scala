@@ -3800,6 +3800,28 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // FK audit: child key counts, anti-join orphans, null FKs separate.
+    "q253_fk_audit" ->
+      ("WITH pk AS (SELECT o_orderkey AS k FROM orders " +
+        "WHERE o_orderkey % 7 <> 0 GROUP BY 1), " +
+        "ck AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem " +
+        "GROUP BY 1), " +
+        "t AS (SELECT COALESCE(CAST(sum(CASE WHEN k IS NOT NULL THEN c " +
+        "END) AS BIGINT), 0) AS n_child_rows, " +
+        "CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_child_keys, " +
+        "COALESCE(CAST(sum(CASE WHEN k IS NULL THEN c END) AS BIGINT), " +
+        "0) AS n_null_rows FROM ck), " +
+        "o AS (SELECT COALESCE(CAST(sum(ck.c) AS BIGINT), 0) " +
+        "AS n_orphan_rows, CAST(count(*) AS BIGINT) AS n_orphan_keys " +
+        "FROM ck LEFT JOIN pk ON ck.k = pk.k " +
+        "WHERE ck.k IS NOT NULL AND pk.k IS NULL) " +
+        "SELECT t.n_child_rows, t.n_child_keys, o.n_orphan_rows, " +
+        "o.n_orphan_keys, t.n_null_rows, " +
+        "round(CASE WHEN t.n_child_rows > 0 THEN " +
+        "CAST(o.n_orphan_rows AS DOUBLE) / t.n_child_rows ELSE 0.0 END, " +
+        "6) AS orphan_row_rate FROM t, o"),
+
     // Leakage-free split: q77's verified-pair closure → min-reachable
     // cluster label → label-keyed split buckets.
     "q251_leak_free_split" ->

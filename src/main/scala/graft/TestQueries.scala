@@ -3711,6 +3711,19 @@ object TestQueries {
       .orderBy("cluster")
   }
 
+  /** FK integrity audit ([[operators.Quality.fkAudit]]): lineitem →
+    * orders with every 7th order REMOVED from the parent, so orphans
+    * exist — key/row counts and the rate replayed exactly.
+    */
+  def q253FkAudit(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.fkAudit(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").where(col("o_orderkey") % 7 =!= 0),
+        "o_orderkey")
+      .select(col("n_child_rows"), col("n_child_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"), col("n_null_rows"),
+        round(col("orphan_row_rate"), 6).as("orphan_row_rate"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3921,6 +3934,7 @@ object TestQueries {
     "q250_dispersion" -> (q250Dispersion _),
     "q251_leak_free_split" -> (q251LeakFreeSplit _),
     "q252_silhouette" -> (q252Silhouette _),
+    "q253_fk_audit" -> (q253FkAudit _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -957,6 +957,44 @@ object Quality {
       .select(idCol, "n_windows", "top_lang", "top_share", "n_langs")
   }
 
+  /** Referential-integrity audit for a declared FK: how many child rows
+    * (and distinct keys) point at a parent that does not exist — the
+    * between-zones lake contract [[checks]] can't express (it is
+    * single-table; this is the join-shaped sibling). Null FKs are counted
+    * separately (`n_null_rows`): a missing reference and a dangling one
+    * are different bugs. Returns ONE row: (n_child_rows, n_child_keys,
+    * n_orphan_rows, n_orphan_keys, n_null_rows, orphan_row_rate).
+    *
+    * Shape for scale: the child collapses to (key, count) in one partial
+    * agg — the only row-scale pass; the key-level anti-join against the
+    * parent's distinct keys is strategy-free (AQE picks broadcast when
+    * the parent key set fits, shuffle join when it doesn't).
+    */
+  def fkAudit(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val perKey = child
+      .groupBy(col(childKey).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals + orphan side both read it
+    val totals = perKey.agg(
+      coalesce(sum(when(col("__k").isNotNull, col("__c"))), lit(0L))
+        .as("n_child_rows"),
+      sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_child_keys"),
+      coalesce(sum(when(col("__k").isNull, col("__c"))), lit(0L))
+        .as("n_null_rows"))
+    val orphans = perKey.where(col("__k").isNotNull)
+      .join(parent.select(col(parentKey).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(coalesce(sum("__c"), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    totals.crossJoin(broadcast(orphans))
+      .withColumn("orphan_row_rate",
+        when(col("n_child_rows") > 0,
+          col("n_orphan_rows") / col("n_child_rows")).otherwise(0.0))
+      .select("n_child_rows", "n_child_keys", "n_orphan_rows",
+        "n_orphan_keys", "n_null_rows", "orphan_row_rate")
+  }
+
   def notNull(c: String): (String, Column) =
     (s"${c}_not_null", col(c).isNotNull)
 

@@ -1049,6 +1049,13 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "fk_audit" -> { dir =>
+        // one child partial-agg pass + a key-level anti-join
+        graft.operators.Quality.fkAudit(
+          spark.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+          spark.read.parquet(s"$dir/orders.parquet")
+            .where(col("o_orderkey") % 7 =!= 0), "o_orderkey").count()
+      },
       "silhouette" -> { dir =>
         // scan-side distances to k broadcast centroids + one keyed agg
         val cust = spark.read.parquet(s"$dir/customer.parquet")

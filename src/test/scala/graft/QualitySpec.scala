@@ -616,6 +616,33 @@ class QualitySpec extends AnyFunSuite {
       !r.getAs[Double]("nll_kn").isInfinite))
   }
 
+  test("fkAudit: orphan rows/keys counted, null FKs reported separately") {
+    val child = Seq(
+      (1L, "a"), (1L, "b"),         // valid, 2 rows on key 1
+      (2L, "c"),                    // valid
+      (9L, "d"), (9L, "e"), (9L, "f"), // orphan key, 3 rows
+      (7L, "g"))                    // orphan key, 1 row
+      .toDF("fk", "payload")
+      .unionByName(Seq((Option.empty[Long], "h")).toDF("fk", "payload"))
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.fkAudit(child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("n_child_rows") === 7L)
+    assert(r.getAs[Long]("n_child_keys") === 4L)
+    assert(r.getAs[Long]("n_orphan_rows") === 4L)
+    assert(r.getAs[Long]("n_orphan_keys") === 2L)
+    assert(r.getAs[Long]("n_null_rows") === 1L)
+    assert(math.abs(r.getAs[Double]("orphan_row_rate") - 4.0 / 7) < 1e-12)
+  }
+
+  test("fkAudit: clean FK reports zeros, not nulls") {
+    val child = Seq((1L, "a"), (2L, "b")).toDF("fk", "payload")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Quality.fkAudit(child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("n_orphan_rows") === 0L)
+    assert(r.getAs[Long]("n_orphan_keys") === 0L)
+    assert(r.getAs[Double]("orphan_row_rate") === 0.0)
+  }
+
   test("langConsistency: window majority, tie to lang asc, und windows") {
     val docs = Seq(
       (1L, "the and of le la et"),   // en window + fr window → tie → 'en'
