@@ -3800,6 +3800,35 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // SCD2 validity audit on the poisoned q58 dim: lead() over
+    // (vf, vt NULLS FIRST) — Spark sorts nulls first ascending.
+    "q254_scd_audit" ->
+      ("WITH o AS (SELECT user_id, event_id, ts, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, " +
+        "event_id) AS prev FROM events), " +
+        "c AS (SELECT user_id, event_id, ts, event_type FROM o " +
+        "WHERE prev IS NULL OR prev <> event_type), " +
+        "dim AS (SELECT user_id, ts AS vf, lead(ts) OVER (PARTITION BY " +
+        "user_id ORDER BY ts, event_id) AS vt FROM c), " +
+        "p AS (SELECT user_id, vf, CASE WHEN user_id % 10 = 0 THEN vf " +
+        "ELSE vt END AS vt FROM dim), " +
+        "x AS (SELECT user_id, vf, vt, lead(vf) OVER (PARTITION BY " +
+        "user_id ORDER BY vf, vt NULLS FIRST) AS nf FROM p), " +
+        "a AS (SELECT user_id, count(*) AS n_versions, " +
+        "sum(CASE WHEN nf IS NOT NULL AND (vt IS NULL OR nf < vt) " +
+        "THEN 1 ELSE 0 END) AS n_overlaps, " +
+        "sum(CASE WHEN nf IS NOT NULL AND vt IS NOT NULL AND nf > vt " +
+        "THEN 1 ELSE 0 END) AS n_gaps, " +
+        "sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS n_current " +
+        "FROM x GROUP BY 1) " +
+        "SELECT user_id % 10 = 0 AS poisoned, " +
+        "CAST(count(*) AS BIGINT) AS n_keys, " +
+        "CAST(sum(n_overlaps) AS BIGINT) AS n_overlaps, " +
+        "CAST(sum(n_gaps) AS BIGINT) AS n_gaps, " +
+        "CAST(sum(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_bad_current FROM a GROUP BY 1 " +
+        "ORDER BY poisoned"),
+
     // FK audit: child key counts, anti-join orphans, null FKs separate.
     "q253_fk_audit" ->
       ("WITH pk AS (SELECT o_orderkey AS k FROM orders " +

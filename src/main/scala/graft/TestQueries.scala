@@ -3724,6 +3724,29 @@ object TestQueries {
         col("n_orphan_rows"), col("n_orphan_keys"), col("n_null_rows"),
         round(col("orphan_row_rate"), 6).as("orphan_row_rate"))
 
+  /** SCD2 validity audit ([[operators.Scd.validityAudit]]): the q58 dim
+    * with every 10th user's intervals zero-widthed — the poisoned cohort
+    * shows gaps and lost currents, the clean cohort audits to zeros.
+    */
+  def q254ScdAudit(s: SparkSession, dir: String): DataFrame = {
+    val dim = operators.Scd.scd2(
+      sources.Tables.loadEvents(s, dir)
+        .select("user_id", "ts", "event_id", "event_type"),
+      key = "user_id", ts = "ts", attrs = Seq("event_type"),
+      tiebreaker = Some("event_id"))
+    val poisoned = dim.withColumn("valid_to",
+      when(col("user_id") % 10 === 0, col("valid_from"))
+        .otherwise(col("valid_to")))
+    operators.Scd.validityAudit(poisoned, "user_id", "valid_from",
+        "valid_to")
+      .groupBy((col("user_id") % 10 === 0).as("poisoned"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("n_overlaps").as("n_overlaps"), sum("n_gaps").as("n_gaps"),
+        sum(when(col("n_current") =!= 1, 1L).otherwise(0L))
+          .as("n_bad_current"))
+      .orderBy("poisoned")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3935,6 +3958,7 @@ object TestQueries {
     "q251_leak_free_split" -> (q251LeakFreeSplit _),
     "q252_silhouette" -> (q252Silhouette _),
     "q253_fk_audit" -> (q253FkAudit _),
+    "q254_scd_audit" -> (q254ScdAudit _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -44,4 +44,37 @@ object Scd {
       .select(col(key) +: attrs.map(col) :+ col("valid_from") :+
         col("valid_to") :+ col("is_current"): _*)
   }
+
+  /** Validity-chain audit for an SCD2 dimension — the contract check a
+    * lake runs on dims it did NOT build with [[scd2]] (hand-maintained or
+    * externally loaded): per business key, do the `[valid_from, valid_to)`
+    * intervals chain cleanly? Counts, per key ordered by
+    * (valid_from, valid_to):
+    *
+    *  - `n_overlaps`: next.valid_from < this.valid_to — two versions
+    *    claim the same instant (point-in-time joins become ambiguous);
+    *  - `n_gaps`: next.valid_from > this.valid_to — instants where the
+    *    key has NO version (as-of lookups silently miss);
+    *  - `n_current`: open intervals (null valid_to) — anything but 1 is
+    *    wrong (0 = key expired entirely, ≥2 = dueling currents);
+    *  - a non-final null valid_to also counts as an overlap (an open
+    *    interval before the last version swallows its successors).
+    *
+    * One key-partitioned window pass; returns one row per key:
+    * (key, n_versions, n_overlaps, n_gaps, n_current).
+    */
+  def validityAudit(dim: DataFrame, key: String, fromCol: String,
+                    toCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(fromCol), col(toCol))
+    dim
+      .withColumn("__nf", lead(col(fromCol), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("__nf").isNotNull &&
+          (col(toCol).isNull || col("__nf") < col(toCol)), 1L)
+          .otherwise(0L)).as("n_overlaps"),
+        sum(when(col("__nf").isNotNull && col(toCol).isNotNull &&
+          col("__nf") > col(toCol), 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col(toCol).isNull, 1L).otherwise(0L)).as("n_current"))
+  }
 }

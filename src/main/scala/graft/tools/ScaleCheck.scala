@@ -1049,6 +1049,15 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "scd_audit" -> { dir =>
+        // the scd2 build + one more key-partitioned window pass
+        val dim = Scd.scd2(
+          graft.sources.Tables.loadEvents(spark, dir)
+            .select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", Seq("event_type"), Some("event_id"))
+        graft.operators.Scd.validityAudit(dim, "user_id",
+          "valid_from", "valid_to").count()
+      },
       "fk_audit" -> { dir =>
         // one child partial-agg pass + a key-level anti-join
         graft.operators.Quality.fkAudit(

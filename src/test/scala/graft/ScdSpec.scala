@@ -50,4 +50,39 @@ class ScdSpec extends AnyFunSuite {
     val current = dim.filter(_.getBoolean(4))
     assert(current.map(_.getString(1)).toSeq === Seq("late"))
   }
+
+  test("validityAudit: overlaps, gaps, dueling currents, clean chains") {
+    val dim = Seq(
+      // k1: clean chain, one current
+      ("k1", Some(1L), Some(5L)), ("k1", Some(5L), Some(9L)),
+      ("k1", Some(9L), None),
+      // k2: overlap (4 < 5) and a gap (12 > 9)
+      ("k2", Some(1L), Some(5L)), ("k2", Some(4L), Some(9L)),
+      ("k2", Some(12L), None),
+      // k3: a NON-final open interval swallows its successor → overlap,
+      // and two currents
+      ("k3", Some(1L), None), ("k3", Some(5L), None))
+      .map { case (k, f, t) => (k, f.get, t) }.toDF("k", "vf", "vt")
+    val got = Scd.validityAudit(dim, "k", "vf", "vt")
+      .orderBy("k").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_versions"), r.getAs[Long]("n_overlaps"),
+          r.getAs[Long]("n_gaps"), r.getAs[Long]("n_current"))).toMap
+    assert(got("k1") === ((3L, 0L, 0L, 1L)))
+    assert(got("k2") === ((3L, 1L, 1L, 1L)))
+    assert(got("k3") === ((2L, 1L, 0L, 2L)))
+  }
+
+  test("validityAudit: the scd2 builder's own output always audits clean") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-02-01 00:00:00"), "b"),
+      (2L, ts("2024-01-15 00:00:00"), "x"))
+      .toDF("id", "changed_at", "attr")
+    val dim = Scd.scd2(changes, "id", "changed_at", Seq("attr"))
+    val audit = Scd.validityAudit(dim, "id", "valid_from", "valid_to")
+      .collect()
+    assert(audit.forall(r => r.getAs[Long]("n_overlaps") == 0L &&
+      r.getAs[Long]("n_gaps") == 0L && r.getAs[Long]("n_current") == 1L))
+  }
 }
