@@ -3800,6 +3800,30 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // Mix-shift decomposition: per-(segment, period) weights/means, the
+    // within/mix identity term-for-term.
+    "q255_mix_shift" ->
+      ("WITH s AS (SELECT event_type AS seg, " +
+        "CAST(event_id % 2 AS VARCHAR) AS period, value AS v FROM events " +
+        "WHERE CAST(event_id % 2 AS VARCHAR) IN ('0', '1')), " +
+        "per AS (SELECT seg AS segment, " +
+        "sum(CASE WHEN period = '0' THEN 1 ELSE 0 END) AS na, " +
+        "sum(CASE WHEN period = '1' THEN 1 ELSE 0 END) AS nb, " +
+        "sum(CASE WHEN period = '0' THEN v ELSE 0.0 END) AS sa, " +
+        "sum(CASE WHEN period = '1' THEN v ELSE 0.0 END) AS sb " +
+        "FROM s GROUP BY 1), " +
+        "t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per), " +
+        "m AS (SELECT segment, na / CAST(t.ta AS DOUBLE) AS w_a, " +
+        "nb / CAST(t.tb AS DOUBLE) AS w_b, " +
+        "CASE WHEN na > 0 THEN sa / na ELSE 0.0 END AS r_a, " +
+        "CASE WHEN nb > 0 THEN sb / nb ELSE 0.0 END AS r_b " +
+        "FROM per, t) " +
+        "SELECT segment, round(w_a, 6) AS w_a, round(w_b, 6) AS w_b, " +
+        "round(r_a, 6) AS r_a, round(r_b, 6) AS r_b, " +
+        "round(w_a * (r_b - r_a), 6) AS within_effect, " +
+        "round((w_b - w_a) * r_b, 6) AS mix_effect FROM m " +
+        "ORDER BY segment"),
+
     // SCD2 validity audit on the poisoned q58 dim: lead() over
     // (vf, vt NULLS FIRST) — Spark sorts nulls first ascending.
     "q254_scd_audit" ->

@@ -3747,6 +3747,25 @@ object TestQueries {
       .orderBy("poisoned")
   }
 
+  /** Mix-shift decomposition
+    * ([[operators.Analytics.mixShiftDecomposition]]) of the event-value
+    * topline between the two event-id parities, segmented by type — the
+    * within/mix identity replayed term-for-term.
+    */
+  def q255MixShift(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.mixShiftDecomposition(
+        sources.Tables.loadEvents(s, dir).select(
+          col("event_type").as("seg"),
+          (col("event_id") % 2).cast("string").as("period"),
+          col("value")),
+        "seg", "period", periodA = "0", periodB = "1", valueCol = "value")
+      .select(col("segment"), round(col("w_a"), 6).as("w_a"),
+        round(col("w_b"), 6).as("w_b"), round(col("r_a"), 6).as("r_a"),
+        round(col("r_b"), 6).as("r_b"),
+        round(col("within_effect"), 6).as("within_effect"),
+        round(col("mix_effect"), 6).as("mix_effect"))
+      .orderBy("segment")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3959,6 +3978,7 @@ object TestQueries {
     "q252_silhouette" -> (q252Silhouette _),
     "q253_fk_audit" -> (q253FkAudit _),
     "q254_scd_audit" -> (q254ScdAudit _),
+    "q255_mix_shift" -> (q255MixShift _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -354,4 +354,47 @@ object Analytics {
       .select(col("__g").as(groupCol), col("__v").as(valueCol),
         col("p"), col("mapped"))
   }
+
+  /** Mix-shift decomposition of a topline metric move between two periods
+    * — the root-cause question every "why did the average drop" thread
+    * asks: did SEGMENTS get worse (within effect), or did traffic SHIFT
+    * toward worse segments (mix effect)? With per-segment weight w
+    * (row share) and mean r,
+    *
+    *   M_b − M_a = Σ w_a·(r_b − r_a)   (within: same mix, new rates)
+    *             + Σ (w_b − w_a)·r_b   (mix: new rates, shifted weights)
+    *
+    * — an exact identity, segment by segment (a segment absent from a
+    * period enters with w = 0, r = 0, and the identity still holds;
+    * asserted in spec). Returns one row per segment:
+    * (segment, w_a, w_b, r_a, r_b, within_effect, mix_effect) — the two
+    * effect columns sum to the topline delta.
+    *
+    * One (segment, period)-keyed aggregate + two scalar totals broadcast;
+    * segment cardinality is the only state.
+    */
+  def mixShiftDecomposition(df: DataFrame, segmentCol: String,
+                            periodCol: String, periodA: String,
+                            periodB: String, valueCol: String): DataFrame = {
+    val p = col(periodCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val per = df.where(p.isin(periodA, periodB))
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(sum(when(p === periodA, 1L).otherwise(0L)).as("__na"),
+        sum(when(p === periodB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(p === periodA, v).otherwise(0.0)).as("__sa"),
+        sum(when(p === periodB, v).otherwise(0.0)).as("__sb"))
+    val tot = per.agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("w_a", col("__na") / col("__ta"))
+      .withColumn("w_b", col("__nb") / col("__tb"))
+      .withColumn("r_a", when(col("__na") > 0, col("__sa") / col("__na"))
+        .otherwise(0.0))
+      .withColumn("r_b", when(col("__nb") > 0, col("__sb") / col("__nb"))
+        .otherwise(0.0))
+      .withColumn("within_effect", col("w_a") * (col("r_b") - col("r_a")))
+      .withColumn("mix_effect", (col("w_b") - col("w_a")) * col("r_b"))
+      .select("segment", "w_a", "w_b", "r_a", "r_b", "within_effect",
+        "mix_effect")
+  }
 }

@@ -1049,6 +1049,15 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "mix_shift" -> { dir =>
+        // one (segment, period) aggregate + scalar totals broadcast
+        graft.operators.Analytics.mixShiftDecomposition(
+          graft.sources.Tables.loadEvents(spark, dir).select(
+            col("event_type").as("seg"),
+            (col("event_id") % 2).cast("string").as("period"),
+            col("value")),
+          "seg", "period", "0", "1", "value").count()
+      },
       "scd_audit" -> { dir =>
         // the scd2 build + one more key-partitioned window pass
         val dim = Scd.scd2(

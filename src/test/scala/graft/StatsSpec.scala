@@ -456,6 +456,37 @@ class StatsSpec extends AnyFunSuite {
     assert(d(lg.head.getAs[Double]("lift"), (4.0 / 4) / 0.4))
   }
 
+  test("mixShiftDecomposition: effects sum exactly to the topline delta") {
+    import graft.operators.Analytics
+    val rows = Seq(
+      ("X", "a", 10.0), ("X", "a", 20.0), ("Y", "a", 30.0), ("Y", "a", 40.0),
+      ("X", "b", 18.0), ("Y", "b", 30.0), ("Y", "b", 40.0), ("Y", "b", 50.0))
+      .toDF("seg", "period", "v")
+    val got = Analytics.mixShiftDecomposition(rows, "seg", "period",
+      "a", "b", "v").orderBy("segment").collect()
+    val x = got(0); val y = got(1)
+    assert(d(x.getAs[Double]("within_effect"), 1.5))
+    assert(d(x.getAs[Double]("mix_effect"), -4.5))
+    assert(d(y.getAs[Double]("within_effect"), 2.5))
+    assert(d(y.getAs[Double]("mix_effect"), 10.0))
+    val total = got.map(r => r.getAs[Double]("within_effect") +
+      r.getAs[Double]("mix_effect")).sum
+    assert(d(total, 34.5 - 25.0)) // M_b − M_a
+  }
+
+  test("mixShiftDecomposition: a vanished segment keeps the identity") {
+    import graft.operators.Analytics
+    val rows = Seq(("X", "a", 10.0), ("Z", "a", 100.0),
+      ("X", "b", 20.0), ("X", "b", 20.0)).toDF("seg", "period", "v")
+    val got = Analytics.mixShiftDecomposition(rows, "seg", "period",
+      "a", "b", "v").orderBy("segment").collect()
+    val z = got(1)
+    assert(z.getAs[Double]("w_b") === 0.0 && z.getAs[Double]("r_b") === 0.0)
+    val total = got.map(r => r.getAs[Double]("within_effect") +
+      r.getAs[Double]("mix_effect")).sum
+    assert(d(total, 20.0 - 55.0))
+  }
+
   test("dispersionIndex: empty bins count as zeros; regular stream ≈ 0") {
     // bursty: 6 events in bin 0, 1 in bin 3 → span 4, mean 1.75,
     // var = 37/4 − 1.75² = 6.1875; regular: one event per bin → var 0
