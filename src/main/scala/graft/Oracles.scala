@@ -3800,6 +3800,35 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // N-gram novelty: per-doc distinct shingles vs the reference set.
+    "q256_ngram_novelty" ->
+      ("WITH ctoks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE doc_id >= 100), " +
+        "csh AS (SELECT doc_id, unnest(list_distinct(" +
+        "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]" +
+        ")) AS sh FROM ctoks WHERE len(t) >= 3), " +
+        "rtoks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE doc_id < 100), " +
+        "rsh AS (SELECT DISTINCT unnest(list_distinct(" +
+        "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]" +
+        ")) AS sh FROM rtoks WHERE len(t) >= 3), " +
+        "tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh " +
+        "GROUP BY 1), " +
+        "seen AS (SELECT doc_id, count(*) AS s FROM csh " +
+        "WHERE sh IN (SELECT sh FROM rsh) GROUP BY 1) " +
+        "SELECT d.doc_id, " +
+        "CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles, " +
+        "CAST(COALESCE(t.n_shingles, 0) - COALESCE(seen.s, 0) AS BIGINT) " +
+        "AS n_novel, " +
+        "round(CASE WHEN COALESCE(t.n_shingles, 0) > 0 THEN " +
+        "CAST(COALESCE(t.n_shingles, 0) - COALESCE(seen.s, 0) AS DOUBLE) " +
+        "/ t.n_shingles END, 6) AS novelty " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d " +
+        "LEFT JOIN tot t ON d.doc_id = t.doc_id " +
+        "LEFT JOIN seen ON d.doc_id = seen.doc_id ORDER BY d.doc_id"),
+
     // Mix-shift decomposition: per-(segment, period) weights/means, the
     // within/mix identity term-for-term.
     "q255_mix_shift" ->

@@ -3766,6 +3766,19 @@ object TestQueries {
         round(col("mix_effect"), 6).as("mix_effect"))
       .orderBy("segment")
 
+  /** N-gram novelty ([[operators.Dedup.ngramNovelty]]) of docs 100+
+    * against the doc<100 reference slice — per-doc distinct-shingle
+    * totals and the unseen fraction replayed exactly.
+    */
+  def q256NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramNovelty(docs.where(col("doc_id") >= 100),
+        docs.where(col("doc_id") < 100), "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("novelty"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3979,6 +3992,7 @@ object TestQueries {
     "q253_fk_audit" -> (q253FkAudit _),
     "q254_scd_audit" -> (q254ScdAudit _),
     "q255_mix_shift" -> (q255MixShift _),
+    "q256_ngram_novelty" -> (q256NgramNovelty _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

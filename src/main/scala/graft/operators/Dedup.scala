@@ -638,6 +638,43 @@ object Dedup {
       .select(col("id").as(idCol), col("n_shared"))
   }
 
+  /** N-gram novelty scoring — [[contamination]]'s inverse: instead of
+    * flagging overlap with an eval set, SCORE every corpus doc by the
+    * fraction of its distinct n-grams absent from a reference corpus
+    * (yesterday's crawl, the already-trained data, a competitor snapshot).
+    * Novelty-weighted sampling upranks genuinely new content; a near-zero
+    * tail is re-crawl/duplication pressure the dedup stage should absorb.
+    * Returns every corpus doc: (idCol, n_shingles, n_novel, novelty) —
+    * docs too short to shingle report 0 shingles and null novelty.
+    *
+    * Shape for scale: unlike contamination's broadcast-eval shape, the
+    * reference here can be corpus-sized, so the distinct reference
+    * shingle set joins as a plain LEFT SEMI on the shingle key (AQE picks
+    * broadcast only when it fits); the per-doc roll-up is one id-keyed
+    * partial aggregate. Swap the join key for `xxhash64(shingle)` at
+    * petabyte scale — same plan.
+    */
+  def ngramNovelty(corpus: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
+    val refShingles = shingled(reference).select("sh").distinct()
+    val seen = shingled(corpus)
+      .join(refShingles, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("__seen"))
+    val totals = shingled(corpus).groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"))
+    corpus.select(col(idCol))
+      .join(totals.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(seen.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_novel",
+        col("n_shingles") - coalesce(col("__seen"), lit(0L)))
+      .withColumn("novelty", when(col("n_shingles") > 0,
+        col("n_novel") / col("n_shingles")))
+      .select(idCol, "n_shingles", "n_novel", "novelty")
+  }
+
   // ---- Group-level sketches ------------------------------------------------
 
   /** Per-group MinHash union sketch ([[graft.functions.expressions.MinHashUnionAgg]]):

@@ -1049,6 +1049,13 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "ngram_novelty" -> { dir =>
+        // shingle semi-join (strategy to AQE) + id-keyed roll-ups
+        val d = docs(dir)
+        graft.operators.Dedup.ngramNovelty(
+          d.where(col("doc_id") % 2 === 0),
+          d.where(col("doc_id") % 2 === 1), "doc_id", "text").count()
+      },
       "mix_shift" -> { dir =>
         // one (segment, period) aggregate + scalar totals broadcast
         graft.operators.Analytics.mixShiftDecomposition(

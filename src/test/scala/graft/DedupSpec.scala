@@ -561,6 +561,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("ngramNovelty: fraction of shingles absent from the reference") {
+    // doc 1: 4 tokens → 2 distinct 3-shingles, one shared with ref;
+    // doc 2: all shingles in ref → novelty 0; doc 3: too short → null
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "x y z"), (3L, "hi"))
+      .toDF("doc_id", "text")
+    val ref = Seq((100L, "a b c"), (101L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(corpus, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getAs[Long]("n_shingles") === 2L) // "a b c", "b c d"
+    assert(d1.getAs[Long]("n_novel") === 1L)    // "b c d" unseen
+    assert(d1.getAs[Double]("novelty") === 0.5)
+    assert(got(1).getAs[Double]("novelty") === 0.0)
+    val d3 = got(2)
+    assert(d3.getAs[Long]("n_shingles") === 0L)
+    assert(d3.isNullAt(d3.fieldIndex("novelty")))
+  }
+
   test("duplicationSpectrum: cluster sizes bucket with shares and excess") {
     // texts: a ×1, b ×2, c ×4, d ×12 → buckets 1, 2, 3-5, 11+
     val rows = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c") ++
