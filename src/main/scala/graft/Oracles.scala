@@ -3800,6 +3800,25 @@ object Oracles {
         "AS top_share, CAST(n_langs AS BIGINT) AS n_langs FROM agg " +
         "ORDER BY doc_id"),
 
+    // Source affinity: per-(source, dim) centroid means → pair dots.
+    "q257_source_affinity" ->
+      ("WITH e AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) " +
+        "AS idx, embedding FROM embeddings), " +
+        "x AS (SELECT e.vec_id, CAST(idx - 1 AS INTEGER) AS d, " +
+        "CAST(embedding[idx] AS DOUBLE) AS v FROM e), " +
+        "j AS (SELECT doc.source, x.d, x.v FROM x JOIN documents doc " +
+        "ON x.vec_id = doc.doc_id), " +
+        "c AS (SELECT source, d, avg(v) AS m FROM j GROUP BY 1, 2), " +
+        "n AS (SELECT source, sqrt(sum(m * m)) AS nn FROM c GROUP BY 1), " +
+        "p AS (SELECT a.source AS group_a, b.source AS group_b, " +
+        "sum(a.m * b.m) AS dot FROM c a JOIN c b ON a.d = b.d " +
+        "AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT group_a, group_b, " +
+        "round(CASE WHEN na.nn > 0 AND nb.nn > 0 THEN " +
+        "dot / (na.nn * nb.nn) END, 6) AS cosine FROM p " +
+        "JOIN n na ON p.group_a = na.source " +
+        "JOIN n nb ON p.group_b = nb.source ORDER BY 1, 2"),
+
     // N-gram novelty: per-doc distinct shingles vs the reference set.
     "q256_ngram_novelty" ->
       ("WITH ctoks AS (SELECT doc_id, " +

@@ -3779,6 +3779,22 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Source affinity matrix
+    * ([[operators.EmbeddingStats.groupCentroidSimilarity]]): cosine
+    * between per-source embedding centroids — per-dimension means, dots
+    * and norms replayed from the q143 unnest.
+    */
+  def q257SourceAffinity(s: SparkSession, dir: String): DataFrame = {
+    val emb = sources.Tables.loadEmbeddings(s, dir)
+    val src = t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    operators.EmbeddingStats.groupCentroidSimilarity(
+        emb.join(src, "vec_id"), "source", "embedding")
+      .select(col("group_a"), col("group_b"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("group_a", "group_b")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -3993,6 +4009,7 @@ object TestQueries {
     "q254_scd_audit" -> (q254ScdAudit _),
     "q255_mix_shift" -> (q255MixShift _),
     "q256_ngram_novelty" -> (q256NgramNovelty _),
+    "q257_source_affinity" -> (q257SourceAffinity _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

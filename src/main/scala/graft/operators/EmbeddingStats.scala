@@ -248,4 +248,44 @@ object EmbeddingStats {
         lit(0.0), (acc, x) => acc + x)
     }: _*)).drop("__v")
   }
+
+  /** Pairwise cosine similarity between GROUP CENTROIDS in embedding
+    * space — the source-affinity matrix ("which crawls cover the same
+    * semantic territory") that drives mixture design: near-1 pairs are
+    * redundant sources a token budget shouldn't double-pay for, low pairs
+    * are complementary coverage. The token-level sibling is
+    * [[Dedup.groupJaccardExact]]; this sees PARAPHRASE-level overlap that
+    * token sets miss. Returns one row per unordered pair (a < b):
+    * (group_a, group_b, cosine); zero-norm centroids yield null.
+    *
+    * Shape for scale: the corpus collapses to (group, dim, mean) in one
+    * explode + aggregate — groups×dims rows; the pair join runs entirely
+    * on that bounded centroid table (dim-keyed partial dot products, the
+    * q143 budget), never on vectors.
+    */
+  def groupCentroidSimilarity(df: DataFrame, groupCol: String,
+                              vecCol: String): DataFrame = {
+    val cent = df
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+      .groupBy("__g", "__d").agg(avg("__x").as("__m"))
+      .localCheckpoint() // both join sides + norms read it
+    val norms = cent.groupBy("__g")
+      .agg(sqrt(sum(col("__m") * col("__m"))).as("__n"))
+    val dots = cent.select(col("__g").as("group_a"), col("__d"),
+        col("__m").as("__ma"))
+      .join(cent.select(col("__g").as("group_b"), col("__d"),
+        col("__m").as("__mb")), Seq("__d"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("__ma") * col("__mb")).as("__dot"))
+    dots
+      .join(broadcast(norms.select(col("__g").as("group_a"),
+        col("__n").as("__na"))), Seq("group_a"))
+      .join(broadcast(norms.select(col("__g").as("group_b"),
+        col("__n").as("__nb"))), Seq("group_b"))
+      .withColumn("cosine", when(col("__na") > 0 && col("__nb") > 0,
+        col("__dot") / (col("__na") * col("__nb"))))
+      .select("group_a", "group_b", "cosine")
+  }
 }

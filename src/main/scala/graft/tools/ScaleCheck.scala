@@ -1049,6 +1049,15 @@ object ScaleCheck {
         graft.operators.Stats.binnedMI(
           li, "l_quantity", "l_extendedprice").count()
       },
+      "source_affinity" -> { dir =>
+        // corpus collapses to (group, dim) means; pairs join the bounded
+        // centroid table only
+        val e = emb(dir)
+        val src = docs(dir).select(col("doc_id").as("vec_id"),
+          col("source"))
+        graft.operators.EmbeddingStats.groupCentroidSimilarity(
+          e.join(src, "vec_id"), "source", "embedding").count()
+      },
       "ngram_novelty" -> { dir =>
         // shingle semi-join (strategy to AQE) + id-keyed roll-ups
         val d = docs(dir)

@@ -169,4 +169,24 @@ class EmbeddingStatsSpec extends AnyFunSuite {
       assert(agree >= 16 && agree <= 48, s"rows $a/$b agree on $agree/64")
     }
   }
+
+  test("groupCentroidSimilarity: hand-computed centroid cosines") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", Array(1.0f, 0.0f)), ("A", Array(1.0f, 0.0f)),
+      ("B", Array(0.0f, 1.0f)),
+      ("C", Array(1.0f, 1.0f)), ("C", Array(1.0f, 1.0f)),
+      ("D", Array(0.0f, 0.0f)))
+      .toDF("src", "embedding")
+    val got = EmbeddingStats.groupCentroidSimilarity(rows, "src", "embedding")
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) ->
+        Option(r.getAs[java.lang.Double]("cosine"))).toMap
+    assert(got.size === 6)
+    assert(math.abs(got(("A", "B")).get) < 1e-12)
+    assert(math.abs(got(("A", "C")).get - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(got(("B", "C")).get - 1.0 / math.sqrt(2)) < 1e-12)
+    // the zero-centroid group pairs are null, not NaN
+    assert(got(("A", "D")).isEmpty && got(("C", "D")).isEmpty)
+  }
 }
