@@ -2860,16 +2860,18 @@ object Oracles {
 
     // Int8 min-max quantization: per-dim extents from unnest +
     // generate_subscripts (DuckDB 1.0 lacks WITH ORDINALITY), identical
-    // floor(+0.5) code rule, subscript-ordered code lists.
+    // floor(+0.5) code rule, exploded to scalar (vec_id, dim, code) rows
+    // — the driver comparator cannot sort array cells (r10 q186 err).
+    // Spark dims are 0-based posexplode, so subtract 1 from the subscript.
     "q186_quantize_int8" ->
       ("WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, " +
         "generate_subscripts(embedding, 1) AS i FROM embeddings), " +
-        "st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1), " +
-        "q AS (SELECT vec_id, e.i, CASE WHEN mx - mn > 0 THEN " +
+        "st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1) " +
+        "SELECT vec_id, CAST(e.i - 1 AS INT) AS dim, " +
+        "CASE WHEN mx - mn > 0 THEN " +
         "CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT) " +
-        "ELSE 0 END AS code FROM e JOIN st USING (i)) " +
-        "SELECT vec_id, list(code ORDER BY i) AS codes FROM q " +
-        "GROUP BY 1 ORDER BY vec_id"),
+        "ELSE 0 END AS code FROM e JOIN st USING (i) " +
+        "ORDER BY vec_id, dim"),
 
     // Finite-window normalized EWMA via the offset self-join formulation
     // (weights power(0.7, offset) over the trailing 10 rows per user).

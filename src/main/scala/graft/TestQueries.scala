@@ -2632,12 +2632,17 @@ object TestQueries {
   /** Int8 embedding quantization ([[operators.EmbeddingStats.quantizeInt8]]):
     * per-dimension min-max codes for the whole embeddings table. DuckDB
     * replays the per-dim extents and the floor(+½) code rule digit for
-    * digit — the code arrays hash-compare exactly.
+    * digit. Codes are EXPLODED to scalar `(vec_id, dim, code)` rows (the
+    * q143 embed-cov pattern) so the driver comparator — which sorts
+    * columns in pandas and cannot hash array cells — can triple-check
+    * every code.
     */
   def q186QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
     val (codes, _) = operators.EmbeddingStats.quantizeInt8(
       Tables.loadEmbeddings(s, dir), "vec_id", "embedding")
-    codes.orderBy("vec_id")
+    codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .orderBy("vec_id", "dim")
   }
 
   /** Perceptual near-duplicate images

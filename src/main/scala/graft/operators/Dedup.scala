@@ -32,10 +32,17 @@ object Dedup {
     *
     * Two bounded-key aggregates: (key → size) shuffles the digest, then
     * (bucket) reduces the cluster table; nothing row-scale ever joins.
+    *
+    * Nulls are first-class key values: each column is coalesced to a
+    * `\u0000NULL` sentinel BEFORE hashing (md5(null) = null, and one null
+    * link would otherwise collapse every null-keyed row into a single
+    * phantom flood-duplicate cluster — groupBy-per-column semantics,
+    * matching [[exactKeepIds]]).
     */
   def duplicationSpectrum(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val sizes = df.groupBy(keyCols.map(c => md5(col(c).cast("string")))
+    val sizes = df.groupBy(keyCols
+        .map(c => md5(coalesce(col(c).cast("string"), lit("\u0000NULL"))))
         .reduce((a, b) => md5(concat(a, b))).as("__k"))
       .agg(count(lit(1)).as("__n"))
     val bucket = when(col("__n") === 1, "1").when(col("__n") === 2, "2")
@@ -318,9 +325,14 @@ object Dedup {
       // coalesce: max over an empty label set (no pairs at all) is null
       converged = next.agg(coalesce(max(col("__changed")), lit(0)).as("c"))
         .head.getAs[Int]("c") == 0
+      // the old round's pinned blocks are dead once `next` is materialized
+      // — release them so a 20-round run holds O(1) rounds resident, not 20
+      // (the r10 bench's late-run q77 blowup was exactly this pressure)
+      Pinning.unpin(labels)
       labels = next.select("id", "cluster")
       i += 1
     }
+    Pinning.unpin(edges)
     labels
   }
 

@@ -235,8 +235,12 @@ object EmbeddingStats {
     require(inDim > 0 && outDim > 0 && outDim <= inDim,
       s"need 0 < outDim ≤ inDim: $outDim/$inDim")
     def sign(i: Int, j: Int): Double = {
-      val h = (i.toLong * i * 7919 + (i + seed) * (j + 13) * 104729 +
-        j.toLong * j * 131) % 10007
+      // floorMod, not %: the mix can overflow Long for large |seed| and
+      // Scala % keeps the dividend's sign — a negative h would make
+      // `h < 5004` always true and bias signs ~75/25 toward +1,
+      // degrading the JL distance preservation for non-default seeds.
+      val h = Math.floorMod(i.toLong * i * 7919 +
+        (i + seed) * (j + 13) * 104729 + j.toLong * j * 131, 10007L)
       if (h < 5004) 1.0 else -1.0
     }
     val dirs = (0 until outDim).map(j => Array.tabulate(inDim)(sign(_, j)))

@@ -165,14 +165,17 @@ object Graphs {
         .groupBy(col("dst")).agg(sum(col("pr") * col("__w")).as("__m"))
       val dMass = dangling.join(ranks, "node")
         .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
-      ranks = pin(nodes
+      val next = pin(nodes
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dMass))
         .select(col("node"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("__m"), lit(0.0)) + col("__dm") / n)).as("pr")))
+      Pinning.unpin(ranks) // superseded round — release its pinned blocks
+      ranks = next
       i += 1
     }
+    Seq(nodes, ew, dangling).foreach(Pinning.unpin)
     ranks
   }
 
@@ -216,9 +219,12 @@ object Graphs {
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("src").as("node"), col("lbl"))
-      labels = pin(next)
+      val pinned = pin(next)
+      Pinning.unpin(labels) // superseded round — release its pinned blocks
+      labels = pinned
       i += 1
     }
+    if (iterations > 0) Pinning.unpin(und)
     labels.withColumnRenamed("lbl", "community")
   }
 
@@ -253,9 +259,12 @@ object Graphs {
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
         .union(dist)
         .groupBy("node").agg(min("dist").as("dist"))
-      dist = pin(relaxed)
+      val pinned = pin(relaxed)
+      Pinning.unpin(dist) // superseded round — release its pinned blocks
+      dist = pinned
       i += 1
     }
+    Pinning.unpin(und)
     dist
   }
 
@@ -290,10 +299,13 @@ object Graphs {
       if (n == survivors) done = true
       else {
         survivors = n
-        e = pin(e
+        val next = pin(e
           .join(keep, Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+        Pinning.unpin(e) // superseded peel round — release its blocks
+        e = next
       }
+      Pinning.unpin(keep) // consumed by this round's (eager) peel only
       i += 1
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact running aggregates over a globally-ordered frame —
+  * the rank family's replacement for `agg.over(Window.orderBy(v))`.
+  *
+  * An unpartitioned window funnels EVERY row through one task: fine when
+  * the frame is a bounded value-domain table (quantized scores, grades,
+  * ≤64-bin histograms — the rank family's documented contract), a silent
+  * single-node sort of the corpus when a caller feeds a continuous
+  * unique-valued column and distinct ≈ N. This helper removes the cliff
+  * instead of documenting it, using the closed form proven in
+  * [[Splits.expandingTimeFolds]]:
+  *
+  *  1. range-partition the frame on the order columns (partition i's keys
+  *     all precede partition i+1's under the given ordering);
+  *  2. aggregate each partition once — count, per-column sums, per-column
+  *     mins — into a ≤`spark.sql.shuffle.partitions`-row table;
+  *  3. one window over THAT tiny table turns partition totals into
+  *     exclusive prefix offsets (and exclusive suffix minima);
+  *  4. broadcast the offsets back: global running sum = partition offset +
+  *     within-partition running sum, global rank = offset + row_number,
+  *     global suffix min = least(within-partition suffix min, later
+  *     partitions' min).
+  *
+  * Every per-row window is now partition-local (~n/P rows) and the only
+  * global window runs over P rows — a frame with per-row-unique values
+  * scales like any other shuffle instead of collapsing to one task.
+  *
+  * CONTRACT: the order columns must be UNIQUE per row (the callers all
+  * order a post-groupBy distinct-value table, or break ties with an id
+  * column). With duplicate keys the within-partition frame order among
+  * ties — and hence every inclusive running value on tied rows — is
+  * nondeterministic, exactly as it is under a plain unpartitioned window.
+  */
+object Ranks {
+
+  private val PID = "__rk_pid"
+
+  /** Adds inclusive running sums, inclusive reverse (suffix) running
+    * minima, and/or an exact 1-based global rank to `df`, all under the
+    * total order given by `order` (use `col(...).desc` for descending).
+    *
+    * @param sums       (inputCol, outputCol): outputCol = Σ inputCol over
+    *                   rows at-or-before this row in the global order —
+    *                   identical to `sum(in).over(orderBy(order).rows-
+    *                   Between(unboundedPreceding, currentRow))`.
+    * @param suffixMins (inputCol, outputCol): outputCol = min inputCol
+    *                   over rows at-or-after this row — identical to
+    *                   `min(in).over(...rowsBetween(currentRow,
+    *                   unboundedFollowing))`.
+    * @param rankCol    if set, adds the exact global row_number under
+    *                   `order` (requires unique order keys, as above).
+    * @param leadOrder  if set, adds the NEXT row's value of the first
+    *                   order column (null on the global last row) —
+    *                   `lead(v, 1).over(orderBy(v))` distributed. Valid
+    *                   only when the first order column is a bare
+    *                   ASCENDING column name (the boundary row's
+    *                   successor is then the next partition's minimum).
+    */
+  def running(df: DataFrame, order: Seq[Column],
+              sums: Seq[(String, String)] = Nil,
+              suffixMins: Seq[(String, String)] = Nil,
+              rankCol: Option[String] = None,
+              leadOrder: Option[(String, String)] = None): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(PID, spark_partition_id())
+    val sumAggs = sums.zipWithIndex.map { case ((in, _), k) =>
+      sum(col(in)).as(s"__rk_s$k")
+    }
+    val minAggs = suffixMins.zipWithIndex.map { case ((in, _), k) =>
+      min(col(in)).as(s"__rk_m$k")
+    }
+    val leadAggs = leadOrder.map { case (in, _) =>
+      min(col(in)).as("__rk_lo")
+    }.toSeq
+    val aggs = (count(lit(1)).as("__rk_pc") +: (sumAggs ++ minAggs ++ leadAggs))
+    val per = ranged.groupBy(PID).agg(aggs.head, aggs.tail: _*)
+    // exclusive prefix/suffix over the ≤P-row partition-totals table —
+    // the ONLY unpartitioned windows, bounded by shuffle.partitions
+    val wBefore = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    val wAfter = Window.orderBy(PID).rowsBetween(1, Window.unboundedFollowing)
+    val offCols =
+      col(PID) +:
+        (sums.indices.map(k =>
+          coalesce(sum(col(s"__rk_s$k")).over(wBefore), lit(0))
+            .as(s"__rk_off$k")) ++
+          suffixMins.indices.map(k =>
+            min(col(s"__rk_m$k")).over(wAfter).as(s"__rk_sfx$k")) ++
+          rankCol.map(_ =>
+            coalesce(sum(col("__rk_pc")).over(wBefore), lit(0L))
+              .as("__rk_roff")).toSeq ++
+          leadOrder.map(_ =>
+            min(col("__rk_lo")).over(wAfter).as("__rk_nxt")).toSeq)
+    val offsets = per.select(offCols: _*)
+    val wIn = Window.partitionBy(PID).orderBy(order: _*)
+    val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wInSfx = wIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    var out = ranged.join(broadcast(offsets), PID)
+    sums.zipWithIndex.foreach { case ((in, dst), k) =>
+      out = out.withColumn(dst,
+        col(s"__rk_off$k") + sum(col(in)).over(wInCum))
+    }
+    suffixMins.zipWithIndex.foreach { case ((in, dst), k) =>
+      // least skips nulls: a last partition has no later-partition min
+      out = out.withColumn(dst,
+        least(min(col(in)).over(wInSfx), col(s"__rk_sfx$k")))
+    }
+    rankCol.foreach { dst =>
+      out = out.withColumn(dst, col("__rk_roff") + row_number().over(wIn))
+    }
+    leadOrder.foreach { case (in, dst) =>
+      // within-partition successor, or — on each partition's last row —
+      // the next partition's minimum (asc order ⇒ its first value);
+      // null on the global maximum, matching lead()
+      out = out.withColumn(dst,
+        coalesce(lead(col(in), 1).over(wIn), col("__rk_nxt")))
+    }
+    out.drop(PID +: (sums.indices.map(k => s"__rk_off$k") ++
+      suffixMins.indices.map(k => s"__rk_sfx$k") ++
+      rankCol.map(_ => "__rk_roff").toSeq ++
+      leadOrder.map(_ => "__rk_nxt").toSeq): _*)
+  }
+
+  /** Running-sum convenience: one inclusive sum, no rank. */
+  def runningSum(df: DataFrame, order: Seq[Column],
+                 inputCol: String, outputCol: String): DataFrame =
+    running(df, order, sums = Seq(inputCol -> outputCol))
+}

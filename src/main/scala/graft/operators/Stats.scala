@@ -220,11 +220,11 @@ object Stats {
     *
     * Ranks are never materialized per row: the scan collapses to
     * per-DISTINCT-VALUE counts first (one shuffle), and average ranks come
-    * from a running sum over that value-level aggregate. SCALE: the window
-    * is over distinct values, so the operator assumes a bounded value
-    * domain (grades, quantized scores, star ratings — the test's natural
-    * inputs); for continuous measures quantize first (the ranks, and hence
-    * U, are exactly the tied-rank statistics of the quantized data).
+    * from a running sum over that value-level aggregate. The running sum
+    * is DISTRIBUTED ([[Ranks.running]] — range-partition + per-partition
+    * offsets), so a continuous unique-valued column (distinct ≈ N) costs
+    * one extra compact-key shuffle instead of a single-task sort of the
+    * corpus; quantized bounded domains stay as cheap as before.
     */
   def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
                   groupA: String, groupB: String): DataFrame = {
@@ -234,10 +234,8 @@ object Stats {
       .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
       .withColumn("__t", col("__ca") + col("__cb"))
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = per
-      .withColumn("__cum", sum("__t").over(w))
+    val ranked = Ranks
+      .running(per, Seq(col("__v")), sums = Seq("__t" -> "__cum"))
       .withColumn("__avg_rank",
         (col("__cum") - col("__t")) + (col("__t") + 1) / lit(2.0))
     ranked.agg(
@@ -368,8 +366,10 @@ object Stats {
     * score threshold s — predicting positive where score ≥ s — with
     * cumulative TP/FP from a descending running sum, precision, recall
     * and F1. The classifier-threshold picker (choose the point, then
-    * hard-code the cut in the curation filter). Bounded score domain,
-    * as all the rank family assumes.
+    * hard-code the cut in the curation filter). Running sums are
+    * distributed ([[Ranks.running]]) so a continuous score column is a
+    * shuffle, not a single-task sort — though the OUTPUT is one row per
+    * distinct score, so quantizing first still keeps the curve readable.
     */
   def prCurve(df: DataFrame, scoreCol: String,
               labelCol: String): DataFrame = {
@@ -377,11 +377,8 @@ object Stats {
     val per = df.groupBy(col(scoreCol).cast("double").as("threshold"))
       .agg(sum(when(lbl, 1L).otherwise(0L)).as("__pos"),
         sum(when(lbl, 0L).otherwise(1L)).as("__neg"))
-    val w = Window.orderBy(col("threshold").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("tp", sum("__pos").over(w))
-      .withColumn("fp", sum("__neg").over(w))
+    Ranks.running(per, Seq(col("threshold").desc),
+        sums = Seq("__pos" -> "tp", "__neg" -> "fp"))
       .crossJoin(broadcast(per.agg(sum("__pos").as("__p"))))
       .withColumn("precision", col("tp") / (col("tp") + col("fp")))
       .withColumn("recall", col("tp") / col("__p"))
@@ -398,18 +395,16 @@ object Stats {
     * length AT ALL, not just linearly). Returns ONE row: (n, rho).
     *
     * Ranks come from the SAME value-domain collapse as [[mannWhitney]]:
-    * per-distinct-value counts, a running sum over the value domain,
-    * then each row joins its value's average rank — two domain-keyed
-    * joins, windows only over distinct values (bounded-domain contract;
-    * quantize continuous measures first).
+    * per-distinct-value counts, a DISTRIBUTED running sum over the value
+    * domain ([[Ranks.running]] — no single-task sort even when distinct
+    * ≈ N), then each row joins its value's average rank — two
+    * domain-keyed joins.
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def ranks(c: String): DataFrame = {
       val per = df.groupBy(col(c).cast("double").as("__v"))
         .agg(count(lit(1)).as("__t"))
-      val w = Window.orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per.withColumn("__cum", sum("__t").over(w))
+      Ranks.running(per, Seq(col("__v")), sums = Seq("__t" -> "__cum"))
         .select(col("__v"),
           ((col("__cum") - col("__t")) + (col("__t") + 1) / lit(2.0))
             .as(s"__rank_$c"))
@@ -431,8 +426,9 @@ object Stats {
     * row per event time: (t, n_at_risk, n_events, n_censored, survival).
     *
     * Subjects collapse to per-duration (events, censored) counts first;
-    * the risk set and the product both come from running sums over the
-    * DURATION DOMAIN (the bounded-domain window contract), the product
+    * the risk set and the product both come from DISTRIBUTED running
+    * sums over the duration domain ([[Ranks.running]] — per-row-unique
+    * durations shuffle instead of single-task sorting), the product
     * as exp(Σ ln(1 − d/n)). A zero factor (everyone at risk dies) pins
     * survival to exactly 0 from that time on via an explicit running
     * flag — Spark's `log` yields NULL (not −∞) at 0 and window sums
@@ -444,24 +440,24 @@ object Stats {
     val per = df.groupBy(col(durationCol).cast("double").as("t"))
       .agg(sum(col(eventCol).cast("long")).as("n_events"),
         sum(lit(1L) - col(eventCol).cast("long")).as("n_censored"))
-    val w = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("__gone",
-        sum(col("n_events") + col("n_censored")).over(w))
-      .crossJoin(broadcast(per.agg(
-        sum(col("n_events") + col("n_censored")).as("__total"))))
-      .withColumn("n_at_risk",
-        col("__total") - col("__gone") + col("n_events") + col("n_censored"))
-      .withColumn("__hit_zero",
-        sum(when(col("n_events") >= col("n_at_risk"), 1L).otherwise(0L))
-          .over(w))
+      .withColumn("__tt", col("n_events") + col("n_censored"))
+    // two distributed running passes ([[Ranks.running]]): the risk set
+    // needs the cumulative departures FIRST, and the zero-pin flag and
+    // log-product both read n_at_risk — so they ride a second pass
+    val atRisk = Ranks
+      .running(per, Seq(col("t")), sums = Seq("__tt" -> "__gone"))
+      .crossJoin(broadcast(per.agg(sum("__tt").as("__total"))))
+      .withColumn("n_at_risk", col("__total") - col("__gone") + col("__tt"))
+      .withColumn("__zin",
+        when(col("n_events") >= col("n_at_risk"), 1L).otherwise(0L))
+      .withColumn("__lg",
+        when(col("n_events") > 0 && col("n_events") < col("n_at_risk"),
+          log(lit(1.0) - col("n_events") / col("n_at_risk")))
+          .otherwise(0.0))
+    Ranks.running(atRisk, Seq(col("t")),
+        sums = Seq("__zin" -> "__hit_zero", "__lg" -> "__cumlog"))
       .withColumn("survival",
-        when(col("__hit_zero") > 0, lit(0.0)).otherwise(
-          exp(sum(when(col("n_events") > 0 &&
-              col("n_events") < col("n_at_risk"),
-            log(lit(1.0) - col("n_events") / col("n_at_risk")))
-            .otherwise(0.0)).over(w))))
+        when(col("__hit_zero") > 0, lit(0.0)).otherwise(exp(col("__cumlog"))))
       .where(col("n_events") > 0)
       .select(col("t"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("survival"))
@@ -515,8 +511,11 @@ object Stats {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
     val res = round(abs(col(labelCol).cast("double") -
       col(predCol).cast("double")), roundTo)
+    // null-safe flag: a null calibFlag row would fail BOTH `__calib` and
+    // `!__calib` and silently vanish from the two slices (n_calib + n_eval
+    // would stop reconciling to the input count) — null means eval
     val base = df.withColumn("__res", res)
-      .withColumn("__calib", calibFlag)
+      .withColumn("__calib", coalesce(calibFlag, lit(false)))
       .localCheckpoint() // calibration quantile + eval coverage share it
     val per = base.where(col("__calib"))
       .groupBy(col("__res")).agg(count(lit(1)).as("__t"))
@@ -524,10 +523,8 @@ object Stats {
       .withColumn("__k",
         least(ceil((col("__n") + 1) * lit(1.0 - alpha)), col("__n"))
           .cast("long"))
-    val w = Window.orderBy("__res")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val qhat = per
-      .withColumn("__cum", sum("__t").over(w))
+    val qhat = Ranks
+      .running(per, Seq(col("__res")), sums = Seq("__t" -> "__cum"))
       .crossJoin(broadcast(tot))
       .where(col("__cum") >= col("__k"))
       .agg(max("__n").as("n_calib"), max("__k").as("k"),
@@ -800,21 +797,6 @@ object Stats {
         col("n_true") - lit(b) * signum(u) * log(lit(1.0) - abs(u) * 2.0))
   }
 
-  /** Two-sample Kolmogorov–Smirnov test: D = sup |F_A(v) − F_B(v)| over
-    * the merged value domain, plus the asymptotic two-sided p-value from
-    * the Kolmogorov distribution (2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²},
-    * truncated at 50 terms — far below double precision already at λ>0.3)
-    * with the usual finite-sample correction
-    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_a·n_b/(n_a+n_b).
-    *
-    * The distribution-shape sibling of [[mannWhitney]] (which only sees
-    * location): did this vintage's quality-score DISTRIBUTION change, not
-    * just its median. Same bounded-value-domain contract as the whole
-    * rank family — counts collapse per distinct value (quantize continuous
-    * measures first), the window runs over distinct values only, and the
-    * final p-value series is a single one-row HOF over a 50-element
-    * literal sequence. Returns ONE row: (n_a, n_b, d_stat, p_value).
-    */
   /** Two-sample 1-D Wasserstein (earth-mover) distance — the INTEGRAL
     * sibling of [[ksTest]]'s sup gap: W₁ = ∫|F_A(v) − F_B(v)| dv over the
     * merged value domain, i.e. how much probability mass must move how
@@ -841,13 +823,10 @@ object Stats {
       .localCheckpoint() // feeds the ECDF pass and the totals
     val tot = per.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
       (max("__v") - min("__v")).as("__range"))
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("__fa", sum("__ca").over(w))
-      .withColumn("__fb", sum("__cb").over(w))
-      .withColumn("__dv", lead("__v", 1).over(Window.orderBy("__v")) -
-        col("__v"))
+    Ranks.running(per, Seq(col("__v")),
+        sums = Seq("__ca" -> "__fa", "__cb" -> "__fb"),
+        leadOrder = Some("__v" -> "__nv"))
+      .withColumn("__dv", col("__nv") - col("__v"))
       .crossJoin(broadcast(tot))
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         sum(when(col("__dv").isNotNull,
@@ -960,25 +939,25 @@ object Stats {
     * are exact), clamped to 1. Returns every input row plus
     * (rank, q_value, significant = q ≤ alpha).
     *
-    * Contract: the input is a TEST table (one row per hypothesis —
-    * segments, features, arms), bounded by design, so the two
-    * unpartitioned windows (rank + reverse running min) are
-    * test-count-sized, never corpus-sized.
+    * The input is usually a TEST table (one row per hypothesis —
+    * segments, features, arms), bounded by design; both the rank and the
+    * reverse running min are nonetheless DISTRIBUTED ([[Ranks.running]]),
+    * so a million-hypothesis sweep (per-token tests, per-n-gram
+    * contamination probes) never funnels through one task either.
     */
   def bhAdjust(df: DataFrame, idCol: String, pCol: String,
                alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     val p = col(pCol).cast("double")
     val n = df.agg(count(lit(1)).as("__n"))
-    val wRank = Window.orderBy(p, col(idCol))
-    val wRevMin = Window.orderBy(p, col(idCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    df.crossJoin(broadcast(n))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .withColumn("q_value", least(lit(1.0),
-        min(p * col("__n") / col("rank")).over(wRevMin)))
+    val order = Seq(p, col(idCol))
+    val ranked = Ranks.running(df.crossJoin(broadcast(n)), order,
+        rankCol = Some("rank"))
+      .withColumn("__q0", p * col("__n") / col("rank"))
+    Ranks.running(ranked, order, suffixMins = Seq("__q0" -> "__qm"))
+      .withColumn("q_value", least(lit(1.0), col("__qm")))
       .withColumn("significant", col("q_value") <= alpha)
-      .drop("__n")
+      .drop("__n", "__q0", "__qm")
   }
 
   /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel-Haenszel pooled
@@ -1079,6 +1058,21 @@ object Stats {
         "vmr", "d_stat")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test: D = sup |F_A(v) − F_B(v)| over
+    * the merged value domain, plus the asymptotic two-sided p-value from
+    * the Kolmogorov distribution (2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²},
+    * truncated at 50 terms — far below double precision already at λ>0.3)
+    * with the usual finite-sample correction
+    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_a·n_b/(n_a+n_b).
+    *
+    * The distribution-shape sibling of [[mannWhitney]] (which only sees
+    * location): did this vintage's quality-score DISTRIBUTION change, not
+    * just its median. Same bounded-value-domain contract as the whole
+    * rank family — counts collapse per distinct value (quantize continuous
+    * measures first), the window runs over distinct values only, and the
+    * final p-value series is a single one-row HOF over a 50-element
+    * literal sequence. Returns ONE row: (n_a, n_b, d_stat, p_value).
+    */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol).cast("string")
@@ -1088,11 +1082,8 @@ object Stats {
         sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
       .localCheckpoint() // feeds both the ECDF pass and the totals
     val tot = per.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("__fa", sum("__ca").over(w))
-      .withColumn("__fb", sum("__cb").over(w))
+    Ranks.running(per, Seq(col("__v")),
+        sums = Seq("__ca" -> "__fa", "__cb" -> "__fb"))
       .crossJoin(broadcast(tot))
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         max(abs(col("__fa").cast("double") / col("__na") -
@@ -1166,13 +1157,15 @@ object Stats {
     * dip into model-ranked documents to harvest 80 % of the good ones"
     * curve that sizes a curation budget.
     *
-    * No ntile, no global row sort: scores collapse per distinct value
-    * (bounded-domain contract), a descending running sum over the value
-    * domain yields cumulative rows/positives per threshold, and each
-    * decile boundary then picks the FIRST threshold whose cumulative row
-    * count reaches k·N/10 — a 10-row broadcast joined against the
-    * threshold table. Matches exact descending-score deciles up to ties
-    * (a tied block lands wholly in the decile its last row reaches).
+    * No ntile, no global row sort: scores collapse per distinct value, a
+    * descending DISTRIBUTED running sum ([[Ranks.running]]) yields
+    * cumulative rows/positives per threshold, and each threshold row then
+    * emits — in closed form, no join against the threshold table — the
+    * deciles it is the FIRST to reach: exactly the k with
+    * 10·(cum − t) < k·N ≤ 10·cum. Matches exact descending-score deciles
+    * up to ties (a tied block lands wholly in the decile its last row
+    * reaches); a continuous unique-valued score column costs two
+    * compact-key shuffles, never a broadcast or sort of the domain.
     * Returns 10 rows: (decile, cum_rows, cum_pos, gain, lift).
     */
   def liftGain(df: DataFrame, scoreCol: String, labelCol: String)
@@ -1181,26 +1174,25 @@ object Stats {
     val per = df.groupBy(col(scoreCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__t"),
         sum(when(lbl, 1L).otherwise(0L)).as("__pos"))
-    val w = Window.orderBy(col("__v").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = per
-      .withColumn("__cum_rows", sum("__t").over(w))
-      .withColumn("__cum_pos", sum("__pos").over(w))
-      .localCheckpoint() // consumed once per decile probe + the totals
+    val cum = Ranks.running(per, Seq(col("__v").desc),
+        sums = Seq("__t" -> "__cum_rows", "__pos" -> "__cum_pos"))
+      .localCheckpoint() // feeds the decile emit + the totals
     val tot = cum.agg(max("__cum_rows").as("__n"),
       max("__cum_pos").as("__p"))
-    val deciles = cum.sparkSession.range(1, 11)
-      .select(col("id").cast("int").as("decile"))
-    deciles.crossJoin(broadcast(tot))
-      .join(broadcast(cum),
-        col("__cum_rows") * 10 >= col("decile") * col("__n"))
-      .groupBy(col("decile"), col("__n"), col("__p"))
-      .agg(min(struct(col("__cum_rows"), col("__cum_pos"))).as("__fst"))
-      .select(col("decile"),
-        col("__fst.__cum_rows").as("cum_rows"),
-        col("__fst.__cum_pos").as("cum_pos"),
-        (col("__fst.__cum_pos").cast("double") / col("__p")).as("gain"),
-        ((col("__fst.__cum_pos").cast("double") / col("__fst.__cum_rows")) /
+    // long/long division is double in Spark; floor-of-double is exact to
+    // 2^53 rows — the usual closed-form-rank argument
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__kmin", greatest(lit(1L),
+        (floor((col("__cum_rows") - col("__t")) * 10 / col("__n")) + 1)
+          .cast("long")))
+      .withColumn("__kmax", least(lit(10L),
+        floor(col("__cum_rows") * 10 / col("__n")).cast("long")))
+      .where(col("__kmax") >= col("__kmin"))
+      .select(explode(sequence(col("__kmin").cast("int"),
+          col("__kmax").cast("int"))).as("decile"),
+        col("__cum_rows").as("cum_rows"), col("__cum_pos").as("cum_pos"),
+        (col("__cum_pos").cast("double") / col("__p")).as("gain"),
+        ((col("__cum_pos").cast("double") / col("__cum_rows")) /
           (col("__p").cast("double") / col("__n"))).as("lift"))
       .orderBy("decile")
   }

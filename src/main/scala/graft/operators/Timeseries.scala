@@ -369,19 +369,6 @@ object Timeseries {
           (abs(col("__f")) + abs(col("__o")))).as("smape"))
   }
 
-  /** Theil–Sen robust trend per key: bin the series to a declared grain,
-    * then slope = median over ALL bin-pair slopes (vⱼ−vᵢ)/(binⱼ−binᵢ)
-    * and intercept = median of (vᵢ − slope·binᵢ) — the trend estimator a
-    * single corrupted day cannot move (OLS's breakdown point is one
-    * outlier; Theil–Sen tolerates ~29 %). The metric-drift slope to put
-    * on a dashboard fed by flaky telemetry.
-    *
-    * The pair set is BINS², not rows² — the declared grain bounds it
-    * (a year of dailies = 66k pairs per key) — via one per-key bin
-    * aggregate and a key-local self-join; medians are exact interpolated
-    * percentiles over the bounded pair set. Returns one row per key:
-    * (key, n_bins, slope, intercept).
-    */
   /** Exact percentile bands per (key, time bin) — the p50/p90/p99
     * latency chart. Percentiles use the LOWER-value-at-rank convention
     * (smallest quantized value whose cumulative count reaches ⌈p·n⌉),
@@ -461,6 +448,19 @@ object Timeseries {
       .select(keyCol, "n_bins", "bin0", "slope", "intercept", "r2")
   }
 
+  /** Theil–Sen robust trend per key: bin the series to a declared grain,
+    * then slope = median over ALL bin-pair slopes (vⱼ−vᵢ)/(binⱼ−binᵢ)
+    * and intercept = median of (vᵢ − slope·binᵢ) — the trend estimator a
+    * single corrupted day cannot move (OLS's breakdown point is one
+    * outlier; Theil–Sen tolerates ~29 %). The metric-drift slope to put
+    * on a dashboard fed by flaky telemetry.
+    *
+    * The pair set is BINS², not rows² — the declared grain bounds it
+    * (a year of dailies = 66k pairs per key) — via one per-key bin
+    * aggregate and a key-local self-join; medians are exact interpolated
+    * percentiles over the bounded pair set. Returns one row per key:
+    * (key, n_bins, slope, intercept).
+    */
   def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")

@@ -696,6 +696,21 @@ object ScaleCheck {
           spark.read.parquet(s"$dir/lineitem.parquet"),
           "l_quantity", "l_linestatus", "O", "F").count()
       },
+      "rank_tests_unique_values" -> { dir =>
+        // the old bounded-domain contract's forbidden shape: a value
+        // column UNIQUE per row (distinct ≈ N), where the pre-r11
+        // unpartitioned windows would single-task-sort the corpus.
+        // Ranks.running must keep this linear: mannWhitney (2 sums) +
+        // liftGain (desc sums + closed-form decile emit) back to back.
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select((col("l_orderkey") * 100 + col("l_linenumber") +
+            col("l_extendedprice") / lit(1e9)).as("v"),
+            col("l_linestatus"),
+            (col("l_quantity") > 25).cast("int").as("label"))
+        graft.operators.Stats.mannWhitney(
+          li, "v", "l_linestatus", "O", "F").count()
+        graft.operators.Stats.liftGain(li, "v", "label").count()
+      },
       "chi_square" -> { dir =>
         // contingency counts + category-sized margins
         graft.operators.Stats.chiSquareIndependence(

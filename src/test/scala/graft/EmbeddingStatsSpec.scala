@@ -129,8 +129,8 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val seed = 42L
     def sign(i: Int, j: Int): Double = {
-      val h = (i.toLong * i * 7919 + (i + seed) * (j + 13) * 104729 +
-        j.toLong * j * 131) % 10007
+      val h = Math.floorMod(i.toLong * i * 7919 +
+        (i + seed) * (j + 13) * 104729 + j.toLong * j * 131, 10007L)
       if (h < 5004) 1.0 else -1.0
     }
     val vecs = Seq(
@@ -155,8 +155,8 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     // check the generator directly over the 64×16 production shape
     val seed = 42L
     def sign(i: Int, j: Int): Double = {
-      val h = (i.toLong * i * 7919 + (i + seed) * (j + 13) * 104729 +
-        j.toLong * j * 131) % 10007
+      val h = Math.floorMod(i.toLong * i * 7919 +
+        (i + seed) * (j + 13) * 104729 + j.toLong * j * 131, 10007L)
       if (h < 5004) 1.0 else -1.0
     }
     val m = Array.tabulate(16, 64)((j, i) => sign(i, j))
@@ -167,6 +167,23 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     for (a <- 0 until 16; b <- a + 1 until 16) {
       val agree = (0 until 64).count(i => m(a)(i) == m(b)(i))
       assert(agree >= 16 && agree <= 48, s"rows $a/$b agree on $agree/64")
+    }
+  }
+
+  test("signedRandomProjection: signs stay balanced at overflow-inducing seeds") {
+    // the (i+seed)*(j+13)*104729 mix overflows Long for large |seed|;
+    // floorMod (not %) keeps the residue in [0, 10007) so the 5004 cut
+    // stays ~50/50 — a plain % would send negative h always-+1 (~75/25)
+    for (seed <- Seq(Long.MinValue / 3, -987654321987654321L, Long.MaxValue / 2)) {
+      def sign(i: Int, j: Int): Double = {
+        val h = Math.floorMod(i.toLong * i * 7919 +
+          (i + seed) * (j + 13) * 104729 + j.toLong * j * 131, 10007L)
+        if (h < 5004) 1.0 else -1.0
+      }
+      val m = Array.tabulate(16, 64)((j, i) => sign(i, j))
+      val balance = m.map(_.sum.abs / 64.0)
+      assert(balance.forall(_ <= 0.4),
+        s"seed $seed produced an unbalanced sign row: ${balance.mkString(",")}")
     }
   }
 
