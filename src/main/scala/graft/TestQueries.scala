@@ -3581,6 +3581,22 @@ object TestQueries {
         col("events"), round(col("event_rate"), 6).as("event_rate"))
       .orderBy("bin")
 
+  /** ChiMerge on the GK-sketch prebin path
+    * ([[operators.Classify.chiMergeBins]] with `approxAccuracy`) — the
+    * corpus-scale configuration the q243 exact path trades against.
+    * Rows-only (GK thresholds carry a rank-error the SQL oracle can't
+    * replay); ClassifySpec bounds the per-bin drift vs the exact path.
+    */
+  def q243bChiMergeApprox(s: SparkSession, dir: String): DataFrame =
+    operators.Classify.chiMergeBins(
+        t(s, dir, "lineitem").select(col("l_extendedprice"),
+          (col("l_quantity") > 25).cast("int").as("y")),
+        "l_extendedprice", "y", initialBins = 12, targetBins = 5,
+        approxAccuracy = Some(10000))
+      .select(col("bin"), col("lo_prebin"), col("hi_prebin"), col("n"),
+        col("events"), round(col("event_rate"), 6).as("event_rate"))
+      .orderBy("bin")
+
   /** 1-D Wasserstein drift ([[operators.Stats.wasserstein1]]) between
     * purchase and view event values on the floored domain — ECDF running
     * sums and per-step |ΔF|·Δv replayed exactly.
@@ -3800,6 +3816,66 @@ object TestQueries {
       .orderBy("group_a", "group_b")
   }
 
+  /** ANN recall telemetry AT the gate: measured recall@k of each
+    * approximate index configuration against the exact brute-force
+    * top-k, one row per method — so the round artifact itself carries
+    * the tolerance evidence the SimilaritySpec recall floors assert
+    * (q39c/q95b's rows-only status otherwise hides the number). Same
+    * configurations as the production gate queries: the q39c
+    * recall-solved LSH, q95b's refine-8 PQ, and IVF probing 2 of 8
+    * cells. Rows-only by nature — the recall VALUE is the evidence.
+    */
+  def q258AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadEmbeddings(s, dir)
+    val queries = emb.where(col("vec_id") <= 20)
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 3)
+      .select(col("query_id"), col("nbr_id"))
+      .localCheckpoint() // joined by every method row
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("nbr_id"))
+        .join(truth, Seq("query_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(nTruth)
+        .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
+          round(col("n_hits") / col("n_truth"), 4).as("recall"))
+    val lsh = Similarity.lshTopKForRecall(emb, queries, "vec_id",
+      "embedding", dim = 64, k = 3, targetRecall = 0.85,
+      cosineThreshold = 0.2)
+    val pq = Similarity.pqSearch(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 3,
+      codebooks = annModel[DataFrame](s, dir, "pq:16:16:i3")(
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+          numSub = 16, ksub = 16)),
+      refine = 8)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 3, numCells = 8, nprobe = 2)
+    recallOf("lsh_recall_solved", lsh)
+      .unionByName(recallOf("pq_refine8", pq))
+      .unionByName(recallOf("ivf_nprobe2of8", ivf))
+      .orderBy("method")
+  }
+
+  /** Sketch-error telemetry AT the gate: the per-source MinHash union
+    * sketch's estimated Jaccard (q49) joined against the EXACT
+    * shingle-set Jaccard, reporting per-pair absolute error plus the
+    * corpus max/mean — the artifact-side companion of DedupSpec's
+    * sketch-tolerance assertions. One row per source pair.
+    */
+  def q259SketchError(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val est = Dedup.groupMinhashSimilarity(docs, "source", "text")
+    val exact = Dedup.groupJaccardExact(docs, "source", "text")
+    est.join(exact, Seq("group_a", "group_b"), "full")
+      .select(col("group_a"), col("group_b"),
+        round(coalesce(col("est_jaccard"), lit(0.0)), 4).as("est_jaccard"),
+        round(coalesce(col("jaccard"), lit(0.0)), 4).as("exact_jaccard"),
+        round(abs(coalesce(col("est_jaccard"), lit(0.0)) -
+          coalesce(col("jaccard"), lit(0.0))), 4).as("abs_err"))
+      .orderBy("group_a", "group_b")
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -4001,6 +4077,7 @@ object TestQueries {
     "q241_markov_shapley" -> (q241MarkovShapley _),
     "q242_lang_consistency" -> (q242LangConsistency _),
     "q243_chi_merge" -> (q243ChiMerge _),
+    "q243b_chi_merge_approx" -> (q243bChiMergeApprox _),
     "q244_wasserstein" -> (q244Wasserstein _),
     "q245_srm" -> (q245Srm _),
     "q246_qte" -> (q246Qte _),
@@ -4015,6 +4092,8 @@ object TestQueries {
     "q255_mix_shift" -> (q255MixShift _),
     "q256_ngram_novelty" -> (q256NgramNovelty _),
     "q257_source_affinity" -> (q257SourceAffinity _),
+    "q258_ann_recall" -> (q258AnnRecall _),
+    "q259_sketch_error" -> (q259SketchError _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -196,6 +196,37 @@ class ClassifySpec extends AnyFunSuite {
     assert(rates === Seq(0.0, 0.5, 1.0))
   }
 
+  test("chiMergeBins: GK-sketch prebin path tracks the exact path within " +
+    "rank-error tolerance") {
+    // 20k rows, smooth value spread: accuracy 10000 bounds each GK
+    // threshold's rank error to N/10000 = 2 rows, so per-bin counts can
+    // drift only by a few rows per boundary and the merge sequence —
+    // driven by whole-bin chi² — stays the exact path's
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val v = (i * 2654435761L % 1000003L).toDouble
+      (v, if (v > 500000) 1 else 0)
+    }.toDF("v", "y")
+    val exact = Classify.chiMergeBins(rows, "v", "y",
+        initialBins = 12, targetBins = 5)
+      .orderBy("bin").collect()
+    val approx = Classify.chiMergeBins(rows, "v", "y",
+        initialBins = 12, targetBins = 5, approxAccuracy = Some(10000))
+      .orderBy("bin").collect()
+    assert(approx.length === exact.length)
+    assert(approx.map(_.getAs[Long]("n")).sum === n.toLong)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(a.getAs[Int]("lo_prebin") === e.getAs[Int]("lo_prebin"))
+      assert(a.getAs[Int]("hi_prebin") === e.getAs[Int]("hi_prebin"))
+      // ≤ 2 boundaries per bin × 2-row rank error, with slack
+      assert(math.abs(a.getAs[Long]("n") - e.getAs[Long]("n")) <= 16L,
+        s"bin ${e.getAs[Int]("bin")}: ${a.getAs[Long]("n")} vs " +
+          s"${e.getAs[Long]("n")}")
+      assert(math.abs(a.getAs[Double]("event_rate") -
+        e.getAs[Double]("event_rate")) <= 0.01)
+    }
+  }
+
   test("confidentJoint: thresholds, off-diagonal catch, unconfident bucket") {
     // t0 = mean s0 over label 0 = 0.6; t1 = mean s1 over label 1 = 0.75
     val rows = Seq(
