@@ -76,6 +76,31 @@ object DeltaExport {
     s"""{"remove":{"path":"${encPath(rel)}","deletionTimestamp":$ts,""" +
       s""""dataChange":$dataChange}}"""
 
+  /** add action re-adding an existing file with a deletion vector (DV
+    * DML: same path/partitionValues/size/modificationTime as the live
+    * add, plus the descriptor).
+    */
+  private def addDvLine(rel: String, pv: Map[String, String], size: Long,
+                        ts: Long, d: DeltaDv.Descriptor): String =
+    s"""{"add":{"path":"${encPath(rel)}","partitionValues":{${
+      pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    }},"size":$size,"modificationTime":$ts,"dataChange":true,""" +
+      s""""deletionVector":{"storageType":"${esc(d.storageType)}",""" +
+      s""""pathOrInlineDv":"${esc(d.pathOrInlineDv)}",""" +
+      s""""offset":${d.offset.getOrElse(1)},""" +
+      s""""sizeInBytes":${d.sizeInBytes},""" +
+      s""""cardinality":${d.cardinality}}}}"""
+
+  /** Tables whose live adds carry deletion vectors need the table-features
+    * protocol (reader 3 / writer 7 with deletionVectors listed) — emitted
+    * by [[delete]]'s commit, upgrading the v1/v2 protocol in place.
+    */
+  private def dvProtoLine =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],""" +
+      """"writerFeatures":["deletionVectors"]}}"""
+
   /** Another writer committed this version first — the optimistic-
     * concurrency signal callers react to (retry or abort).
     */
@@ -302,6 +327,94 @@ object DeltaExport {
       }
     }
     -1L // unreachable
+  }
+
+  /** Sparse DELETE via deletion vectors — the protocol's DML path for
+    * "remove 0.01 % of rows from a 100 TB table" where a rewrite would
+    * copy every surviving byte: rows matching `predicate` are marked
+    * deleted by writing a RoaringBitmapArray `.bin` sidecar per affected
+    * file ([[DeltaDv.writeDvFile]]) and committing remove+re-add actions
+    * carrying the `deletionVector` descriptor, upgrading the protocol to
+    * table features (reader 3 / writer 7, `deletionVectors`). No data
+    * file is rewritten or touched.
+    *
+    * Matching runs over the PHYSICAL file contents (`_metadata.row_index`
+    * — the DV's row-position domain), so rows already deleted by a prior
+    * DV may re-match; the per-file bitmap is the UNION of the old DV and
+    * the new matches, which makes repeated deletes idempotent. The
+    * per-file index lists collect to the driver — that is the sparse-DML
+    * contract (a DV is small by design), enforced by `maxDeletedRows`;
+    * a mass delete should be an `overwrite` of the filtered table
+    * instead (and [[compact]] purges accumulated DVs by rewrite).
+    *
+    * Returns the committed version (the current version unchanged if
+    * nothing matched). Conflict posture = overwrite's: the computed
+    * per-file state is stale after a lost race, so abort and re-run.
+    */
+  def delete(spark: SparkSession, dir: String,
+             predicate: org.apache.spark.sql.Column,
+             maxDeletedRows: Long = 1000000L): Long = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    require(maxDeletedRows > 0, "maxDeletedRows must be positive")
+    val table = new Path(dir)
+    val fs = fsOf(spark, table)
+    val snap = DeltaRead.snapshot(spark, dir)
+    if (snap.files.isEmpty) return snap.version
+    val qualToRel = snap.files.map { case (rel, _, _) =>
+      fs.makeQualified(new Path(table, rel)).toUri.getPath -> rel
+    }.toMap
+    val paths = snap.files.map { case (rel, _, _) =>
+      new Path(table, rel).toString }
+    val matched = spark.read.option("basePath", table.toString)
+      .parquet(paths: _*)
+      .select(col("*"), col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__ri"))
+      .where(predicate)
+      .select("__fp", "__ri")
+      .localCheckpoint() // guard count + per-file collect share it
+    val n = matched.count()
+    require(n <= maxDeletedRows,
+      s"delete matched $n rows > maxDeletedRows=$maxDeletedRows — DVs are " +
+        "the SPARSE delete path; overwrite with the filtered table instead")
+    if (n == 0) return snap.version
+    val perFile = matched.groupBy("__fp")
+      .agg(sort_array(collect_list("__ri")).as("ris"))
+      .collect()
+    val ts = System.currentTimeMillis()
+    val byRel = snap.files.map { case t3 @ (rel, _, _) => rel -> t3 }.toMap
+    val actions = perFile.flatMap { r =>
+      val fp = r.getString(0)
+      val key = try new java.net.URI(fp).getPath catch {
+        case _: java.net.URISyntaxException => fp
+      }
+      val rel = qualToRel.getOrElse(key,
+        throw new IllegalStateException(s"matched file $fp not in snapshot"))
+      val fresh = r.getSeq[Long](1)
+      // union with the file's existing DV: previously-deleted rows stay
+      // deleted, re-matches collapse
+      val old = snap.dvs.get(rel).toSeq.flatMap { d =>
+        DeltaDv.parseBitmapArray(
+            DeltaDv.loadBitmapBytes(fs, table, d))
+          .zipWithIndex.flatMap { case (m, h) =>
+            val vs: Array[Int] = m.toArray
+            vs.map(v => (h.toLong << 32) | (v & 0xffffffffL)).toSeq
+          }.toSeq
+      }
+      val all = (old ++ fresh).distinct.sorted
+      val d = DeltaDv.writeDvFile(fs, table, all)
+      val (_, pv, size) = byRel(rel)
+      Seq(removeLine(rel, ts),
+        addDvLine(rel, pv, size, snap.modTimes.getOrElse(rel, ts), d))
+    }
+    val v = snap.version + 1
+    try commit(spark, table, v, dvProtoLine +: actions.toSeq)
+    catch {
+      case c: CommitConflict =>
+        throw new java.util.ConcurrentModificationException(
+          s"delete on $dir lost the commit race at version ${c.version}" +
+            " — the per-file DV state is stale; re-run against fresh state")
+    }
+    v
   }
 
   /** OPTIMIZE-style compaction: rewrite the current state into one file

@@ -341,4 +341,72 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(snap.version === 6L, "7 appends → versions 0..6")
     assert(DeltaRead.read(spark, dir2).count() === 7L)
   }
+
+  test("delete: sparse DV DML — sidecar written, no data file rewritten, " +
+    "repeat deletes union, time travel intact") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.overwrite(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    DeltaExport.append(
+      (100L until 120L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    val dataBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    // v2: delete two sparse slices across files
+    val v2 = DeltaExport.delete(spark, dir, col("k") % 10 === 3)
+    assert(v2 === 2L)
+    // no parquet rewritten — DV sidecars only
+    val dataAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    assert(dataAfter === dataBefore)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.map(_.cardinality).sum === 12L)
+    def keys(v: Option[Long] = None) = DeltaRead.read(spark, dir, v)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys() === (0L until 120L).filterNot(_ % 10 == 3))
+    // time travel to the pre-delete version still sees every row
+    assert(keys(Some(1L)) === (0L until 120L))
+    // v3: second delete UNIONS with the first file-level DVs (and a
+    // re-matching predicate stays idempotent)
+    val v3 = DeltaExport.delete(spark, dir,
+      col("k") % 10 === 3 || col("k") === 50L)
+    assert(v3 === 3L)
+    assert(keys() ===
+      (0L until 120L).filterNot(i => i % 10 == 3 || i == 50L))
+    // nothing-matched delete commits nothing
+    assert(DeltaExport.delete(spark, dir, col("k") === -1L) === 3L)
+    assert(DeltaRead.snapshot(spark, dir).version === 3L)
+    // checkpoint refuses a DV-carrying table; compact purges the DVs
+    intercept[IllegalArgumentException](DeltaExport.checkpoint(spark, dir))
+    DeltaExport.compact(spark, dir)
+    assert(DeltaRead.snapshot(spark, dir).dvs.isEmpty)
+    assert(keys() ===
+      (0L until 120L).filterNot(i => i % 10 == 3 || i == 50L))
+    // mass-delete guard names the rewrite path
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.delete(spark, dir, lit(true), maxDeletedRows = 5))
+    assert(e.getMessage.contains("SPARSE"))
+  }
+
+  test("delete: partitioned table, predicate on the partition column") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.overwrite(
+      (0L until 30L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+        .toDF("k", "lang"),
+      dir, partitionColumns = Seq("lang"))
+    DeltaExport.delete(spark, dir,
+      col("lang") === "en" && col("k") < 15L)
+    val got = DeltaRead.read(spark, dir).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 30L).filterNot(i => i % 3 == 0 && i < 15))
+    // partition values survive the remove+re-add round trip
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.files.forall(_._2.keySet === Set("lang")))
+  }
 }
