@@ -47,6 +47,35 @@ object Oracles {
     * copy, then candidate pairs from prefix-4 ∪ suffix-4 ∪ middle-token
     * block keys (empty block keys abstain, id_a < id_b, distinct).
     */
+  /** q260/q261's planted-span corpus (mirrors TestQueries.spanCorpus):
+    * documents ∪ clones (doc_id+10000) carrying a 3-token marker + the
+    * original's first 40 tokens.
+    */
+  private val spanCorpusCtes =
+    "base AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 10000 AS doc_id, " +
+      "'inj' || CAST(doc_id AS VARCHAR) || ' marker0 marker1 ' || " +
+      "array_to_string(list_slice(list_filter(string_split(text, ' '), " +
+      "x -> len(x) > 0), 1, 40), ' ') AS text " +
+      "FROM documents WHERE doc_id % 7 = 0), " +
+      "docs AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> len(x) > 0) AS ts FROM base)"
+
+  /** 20-token window table + duplicated-occurrence covered positions —
+    * shared by the q260 span merge and the q261 scrub.
+    */
+  private val spanWindowCtes =
+    "win AS (SELECT doc_id, i - 1 AS s, " +
+      "array_to_string(list_slice(ts, i, i + 19), chr(1)) AS w FROM " +
+      "(SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 19)) AS i " +
+      "FROM docs WHERE len(ts) >= 20)), " +
+      "marked AS (SELECT doc_id, s, count(*) OVER (PARTITION BY w) AS c, " +
+      "row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn " +
+      "FROM win), " +
+      "pos AS (SELECT DISTINCT doc_id, s + o AS p FROM " +
+      "(SELECT doc_id, s, unnest(generate_series(0, 19)) AS o " +
+      "FROM marked WHERE c > 1 AND rn > 1)), "
+
   private val linkageCtes =
     "clean AS (SELECT doc_id AS id, array_to_string(list_slice(" +
       "string_split_regex(lower(trim(text)), '\\s+'), 1, 6), ' ') AS key " +
@@ -4185,5 +4214,38 @@ object Oracles {
         "CAST(n AS BIGINT) AS n, CAST(e AS BIGINT) AS events, " +
         "round(CAST(e AS DOUBLE) / n, 6) AS event_rate FROM fin " +
         "ORDER BY bin"),
+
+    // Exact-substring span dedup: DuckDB groups the 20-token windows by
+    // their CONTENT (chr(1)-joined — doubles as the collision check on
+    // the engine's xxhash64 buckets), ranks occurrences by (doc_id,
+    // start), and merges non-first duplicated windows' positions into
+    // maximal spans via gaps-and-islands.
+    "q260_repeated_spans" ->
+      (s"WITH $spanCorpusCtes, " +
+        spanWindowCtes +
+        "isl AS (SELECT doc_id, p, p - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY p) AS g FROM pos) " +
+        "SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, " +
+        "CAST(max(p) + 1 AS BIGINT) AS span_end, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens " +
+        "FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+
+    // Span scrubbing: tokens at covered positions drop, the rest
+    // reassemble in order (string_agg ORDER BY position).
+    "q261_scrub_spans" ->
+      (s"WITH $spanCorpusCtes, " +
+        spanWindowCtes +
+        "toksp AS (SELECT doc_id, i - 1 AS p, ts[i] AS tok FROM " +
+        "(SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i " +
+        "FROM docs)), " +
+        "kept AS (SELECT t.doc_id, count(*) AS n_kept, " +
+        "string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text " +
+        "FROM toksp t ANTI JOIN pos q " +
+        "ON t.doc_id = q.doc_id AND t.p = q.p GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens, " +
+        "CAST(len(d.ts) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "coalesce(k.clean_text, '') AS clean_text " +
+        "FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
+        "ORDER BY d.doc_id"),
   )
 }

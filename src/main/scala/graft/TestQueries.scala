@@ -3876,6 +3876,43 @@ object TestQueries {
       .orderBy("group_a", "group_b")
   }
 
+  /** The q260/q261 corpus: documents plus, for every doc_id % 7 == 0, a
+    * clone (doc_id + 10000) whose text is a 3-token unique marker
+    * followed by the original's first 40 tokens — planted ≥20-token
+    * duplicated spans with the original as the global first occurrence.
+    */
+  private def spanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+    val clones = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("inj"), col("doc_id").cast("string"),
+          lit(" marker0 marker1 "),
+          array_join(slice(toks, 1, 40), " ")).as("text"))
+    docs.unionByName(clones)
+  }
+
+  /** Exact-substring span dedup ([[operators.Dedup.repeatedSpans]], the
+    * Lee et al. 2022 ExactSubstr pass): every maximal ≥20-token span
+    * that appears verbatim elsewhere, keep-first semantics. DuckDB
+    * replays window hashing (grouping by window CONTENT — also the
+    * collision cross-check on the engine's xxhash64 buckets),
+    * first-occurrence ranking, and the gaps-and-islands span merge.
+    */
+  def q260RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.repeatedSpans(spanCorpus(s, dir), "doc_id", "text",
+        windowTokens = 20)
+      .orderBy("doc_id", "span_start")
+
+  /** Span scrubbing ([[operators.Dedup.scrubRepeatedSpans]]): the q260
+    * spans removed from the text, docs reassembled in token order —
+    * clean_text hash-compares character-for-character.
+    */
+  def q261ScrubSpans(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.scrubRepeatedSpans(spanCorpus(s, dir), "doc_id",
+        "text", windowTokens = 20)
+      .orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -4094,6 +4131,8 @@ object TestQueries {
     "q257_source_affinity" -> (q257SourceAffinity _),
     "q258_ann_recall" -> (q258AnnRecall _),
     "q259_sketch_error" -> (q259SketchError _),
+    "q260_repeated_spans" -> (q260RepeatedSpans _),
+    "q261_scrub_spans" -> (q261ScrubSpans _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

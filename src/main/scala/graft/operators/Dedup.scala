@@ -998,4 +998,107 @@ object Dedup {
         col("__best.__fp").as("group_id"),
         col("__best.__n").as("group_size"))
   }
+
+  // ---- exact-substring span dedup (ExactSubstr) ----------------------------
+
+  /** Duplicated-SPAN detection — the sub-document half of dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr pass): find every maximal token span that
+    * also appears verbatim elsewhere in the corpus, so the span (not the
+    * whole document) can be scrubbed. Whole-doc MinHash misses a license
+    * block pasted into 10k otherwise-distinct files; this is the operator
+    * that catches it.
+    *
+    * Algorithm, Spark-shaped (the paper uses a suffix array — a global
+    * sorted structure that doesn't distribute; sliding-window hashing
+    * finds the same ≥`windowTokens` duplications): every `windowTokens`-
+    * token window hashes scan-side (ONE xxhash64 per window over a
+    * pre-split token array — no UDF); windows bucket by hash (the only
+    * row-scale shuffle carries (hash, doc, start) — 24 bytes/window,
+    * never text); a window occurrence is DUPLICATED iff its hash bucket
+    * holds > 1 occurrence and it is not the bucket's (doc, start)-least
+    * occurrence (the global FIRST copy stays, so scrubbing never deletes
+    * the last copy of anything — the paper's keep-one convention);
+    * duplicated windows explode to their ≤`windowTokens` covered
+    * positions and gaps-and-islands (per-DOC window, partitioned) merges
+    * them into maximal spans. A span of J duplicated tokens costs
+    * J·windowTokens position rows before the distinct — bounded by the
+    * corpus's duplication mass, the thing this operator exists to be
+    * proportional to.
+    *
+    * Returns one row per maximal duplicated span:
+    * (idCol, span_start, span_end, n_tokens) — token positions, end
+    * exclusive. Windows group by 64-bit hash; at 2⁶⁴ a same-hash
+    * distinct-content collision is negligible and the gate's oracle
+    * (which groups by the window CONTENT) would catch one.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be ≥ 2: $windowTokens")
+    val L = windowTokens
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    // bind the array ONCE (HOF lambdas re-evaluate captured expressions)
+    val bound = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= L)
+    val wins = bound.select(col("__id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - L),
+        i => xxhash64(concat_ws("\u0001",
+          slice(col("__toks"), i + 1, lit(L)))))).as(Seq("__start", "__wh")))
+    val dupWins = wins
+      .withColumn("__occ", struct(col("__id"), col("__start")))
+      .groupBy("__wh")
+      .agg(count(lit(1)).as("__n"), min("__occ").as("__first"),
+        collect_list("__occ").as("__occs"))
+      .where(col("__n") > 1)
+      .select(explode(col("__occs")).as("__occ"), col("__first"))
+      .where(col("__occ") =!= col("__first"))
+      .select(col("__occ.__id").as("__id"), col("__occ.__start").as("__start"))
+    val covered = dupWins
+      .select(col("__id"),
+        explode(sequence(col("__start"), col("__start") + (L - 1))).as("__p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__p")
+    covered
+      .withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy(col("__id").as(idCol), col("__isl"))
+      .agg(min("__p").cast("long").as("span_start"),
+        (max("__p") + 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_tokens"))
+      .drop("__isl")
+  }
+
+  /** Scrub duplicated spans out of the text ([[repeatedSpans]]'s writer
+    * half): tokens covered by a duplicated span are dropped, the global
+    * first occurrence survives, and the document is reassembled in token
+    * order. Returns every input row:
+    * (idCol, n_tokens, n_removed, clean_text) — docs shorter than one
+    * window pass through untouched (they can't contain a window).
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 20): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, windowTokens)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val positions = df
+      .select(col(idCol).as("__id"),
+        posexplode(toks).as(Seq("__p", "__tok")))
+    // covered positions re-explode from the MERGED spans (span count ≪
+    // window count), anti-joined per (doc, pos)
+    val cov = spans.select(col("__sid").as("__id"),
+      explode(sequence(col("span_start"), col("span_end") - 1)).as("__p"))
+    positions.join(cov, Seq("__id", "__p"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"))
+      .join(df.select(col(idCol).as("__id"),
+        size(toks).cast("long").as("n_tokens")), Seq("__id"), "right")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -696,6 +696,12 @@ object ScaleCheck {
           spark.read.parquet(s"$dir/lineitem.parquet"),
           "l_quantity", "l_linestatus", "O", "F").count()
       },
+      "repeated_spans" -> { dir =>
+        // window hashes scan-side, ONE compact-key shuffle on (hash,
+        // doc, start), positions explode ∝ duplication mass only
+        graft.operators.Dedup.repeatedSpans(docs(dir), "doc_id", "text",
+          windowTokens = 20).count()
+      },
       "rank_tests_unique_values" -> { dir =>
         // the old bounded-domain contract's forbidden shape: a value
         // column UNIQUE per row (distinct ≈ N), where the pre-r11

@@ -600,4 +600,54 @@ class DedupSpec extends AnyFunSuite {
       .agg(sum("docs_share")).head().getDouble(0)
     assert(math.abs(shares - 1.0) < 1e-12)
   }
+
+  test("repeatedSpans: keep-first spans, merged islands, same-doc repeats") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = toks("s", 25) // one 25-token block pasted around
+    val rows = Seq(
+      (1L, toks("a", 10) + " " + shared + " " + toks("z", 7)),
+      (2L, toks("b", 5) + " " + shared),
+      (3L, toks("u", 40)),
+      (4L, shared + " " + toks("f", 5) + " " + shared))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(rows, "doc_id", "text", windowTokens = 20)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 is the global first occurrence -> untouched; doc 3 unique;
+    // doc 2's copy covers positions [5, 30); doc 4 has TWO scrubbed
+    // copies, [0,25) and [30,55) (straddling windows are unique)
+    assert(spans.toSeq === Seq(
+      (2L, 5L, 30L, 25L),
+      (4L, 0L, 25L, 25L), (4L, 30L, 55L, 25L)))
+
+    val clean = Dedup.scrubRepeatedSpans(rows, "doc_id", "text",
+        windowTokens = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+    assert(clean(0) === ((1L, 42L, 0L, rows.where($"doc_id" === 1L)
+      .head().getString(1))))
+    assert(clean(1) === ((2L, 30L, 25L, toks("b", 5))))
+    assert(clean(2) === ((3L, 40L, 0L, toks("u", 40))))
+    assert(clean(3) === ((4L, 55L, 50L, toks("f", 5))))
+  }
+
+  test("repeatedSpans: sub-window duplication and short docs stay clean") {
+    import spark.implicits._
+    // a 19-token shared block under a 20-token window -> no span; a doc
+    // shorter than the window can never be scrubbed
+    val block = (0 until 19).map(i => s"c$i").mkString(" ")
+    val rows = Seq(
+      (1L, block + " x0 x1"),
+      (2L, block + " y0 y1"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(rows, "doc_id", "text", 20).count() === 0L)
+    val clean = Dedup.scrubRepeatedSpans(rows, "doc_id", "text", 20)
+      .orderBy("doc_id").collect()
+    assert(clean.map(_.getAs[Long]("n_removed")).toSeq === Seq(0L, 0L, 0L))
+    assert(clean(2).getAs[String]("clean_text") === "tiny doc")
+  }
 }
