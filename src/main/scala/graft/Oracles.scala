@@ -47,6 +47,23 @@ object Oracles {
     * copy, then candidate pairs from prefix-4 ∪ suffix-4 ∪ middle-token
     * block keys (empty block keys abstain, id_a < id_b, distinct).
     */
+  /** q262/q263's token-slice transcript shape (mirrors
+    * TestQueries.chatCorpus): per-turn token counts c1..c4 and the
+    * joined slice strings s1..s4.
+    */
+  private val chatSliceCtes =
+    "docs AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> len(x) > 0) AS ts FROM documents), " +
+      "m AS (SELECT doc_id, " +
+      "least(len(ts), 8) AS c1, " +
+      "greatest(least(len(ts), 16) - 8, 0) AS c2, " +
+      "greatest(least(len(ts), 24) - 16, 0) AS c3, " +
+      "greatest(least(len(ts), 32) - 24, 0) AS c4, " +
+      "coalesce(array_to_string(list_slice(ts, 1, 8), ' '), '') AS s1, " +
+      "coalesce(array_to_string(list_slice(ts, 9, 16), ' '), '') AS s2, " +
+      "coalesce(array_to_string(list_slice(ts, 17, 24), ' '), '') AS s3, " +
+      "coalesce(array_to_string(list_slice(ts, 25, 32), ' '), '') AS s4 FROM docs)"
+
   /** q260/q261's planted-span corpus (mirrors TestQueries.spanCorpus):
     * documents ∪ clones (doc_id+10000) carrying a 3-token marker + the
     * original's first 40 tokens.
@@ -4247,5 +4264,45 @@ object Oracles {
         "coalesce(k.clean_text, '') AS clean_text " +
         "FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
         "ORDER BY d.doc_id"),
+
+    // Chat transcript stats: the closed-form replay of the planted
+    // 4-turn (3-turn broken) token-slice transcripts — every tally
+    // derives from min/max arithmetic on the doc's token count.
+    "q262_chat_stats" ->
+      (s"WITH $chatSliceCtes " +
+        "SELECT doc_id, true AS parse_ok, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 4 END AS BIGINT) " +
+        "AS n_turns, CAST(2 AS BIGINT) AS n_user, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS BIGINT) " +
+        "AS n_assistant, CAST(0 AS BIGINT) AS n_system, " +
+        "CAST(0 AS BIGINT) AS n_other, true AS starts_user, " +
+        "doc_id % 5 <> 0 AS alternates, " +
+        "CASE WHEN doc_id % 5 = 0 THEN (c1 = 0 OR c2 = 0 OR c3 = 0) " +
+        "ELSE (c1 = 0 OR c2 = 0 OR c3 = 0 OR c4 = 0) END " +
+        "AS has_empty_content, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN c1 + c2 + c3 " +
+        "ELSE c1 + c2 + c3 + c4 END AS BIGINT) AS n_tokens, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN c3 ELSE c2 + c4 END " +
+        "AS BIGINT) AS assistant_tokens " +
+        "FROM m ORDER BY doc_id"),
+
+    // Transcript flattening: the role-sentinel string rebuilt from the
+    // same token slices, newline-joined.
+    "q263_chat_flatten" ->
+      (s"WITH $chatSliceCtes " +
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+        "'<|user|>' || s1 || chr(10) || '<|user|>' || s2 || chr(10) || " +
+        "'<|assistant|>' || s3 ELSE " +
+        "'<|user|>' || s1 || chr(10) || '<|assistant|>' || s2 || " +
+        "chr(10) || '<|user|>' || s3 || chr(10) || '<|assistant|>' || " +
+        "s4 END AS training_text FROM m ORDER BY doc_id"),
+
+    // Transcript validation: survivors = non-broken transcripts whose
+    // every turn is non-empty (>= 25 tokens fills the 4th slice).
+    "q264_valid_chats" ->
+      ("SELECT doc_id FROM (SELECT doc_id, " +
+        "len(list_filter(string_split(text, ' '), x -> len(x) > 0)) " +
+        "AS l FROM documents) WHERE doc_id % 5 <> 0 AND l >= 25 " +
+        "ORDER BY doc_id"),
   )
 }

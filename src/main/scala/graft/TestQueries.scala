@@ -3913,6 +3913,52 @@ object TestQueries {
         "text", windowTokens = 20)
       .orderBy("doc_id")
 
+  /** The q262-q264 transcript corpus: each document's tokens become a
+    * chat JSON — 4 alternating user/assistant turns of 8 tokens each, or
+    * (doc_id % 5 == 0) a BROKEN 3-turn transcript with two consecutive
+    * user turns. Built with to_json so the gate exercises the full
+    * build → from_json round trip; the oracle replays the token slices
+    * closed-form.
+    */
+  private def chatCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+    def seg(a: Int) = array_join(slice(toks, a, 8), " ")
+    def turn(r: String, c: org.apache.spark.sql.Column) =
+      struct(lit(r).as("role"), c.as("content"))
+    val normal = to_json(array(turn("user", seg(1)),
+      turn("assistant", seg(9)), turn("user", seg(17)),
+      turn("assistant", seg(25))))
+    val broken = to_json(array(turn("user", seg(1)),
+      turn("user", seg(9)), turn("assistant", seg(17))))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, broken).otherwise(normal).as("conv"))
+  }
+
+  /** Chat transcript stats ([[operators.Chats.conversationStats]]):
+    * role counts, alternation, empty-content and token tallies per
+    * transcript — every column replayed closed-form from the token
+    * slices by DuckDB.
+    */
+  def q262ChatStats(s: SparkSession, dir: String): DataFrame =
+    operators.Chats.conversationStats(chatCorpus(s, dir), "doc_id", "conv")
+      .orderBy("doc_id")
+
+  /** Transcript flattening ([[operators.Chats.flatten]]): role-sentinel
+    * training text, hash-compared character-for-character.
+    */
+  def q263ChatFlatten(s: SparkSession, dir: String): DataFrame =
+    operators.Chats.flatten(chatCorpus(s, dir), "doc_id", "conv")
+      .orderBy("doc_id")
+
+  /** Transcript validation ([[operators.Chats.validChats]]): the
+    * surviving doc_ids equal the closed-form rule (non-broken AND ≥ 25
+    * tokens so every turn is non-empty).
+    */
+  def q264ValidChats(s: SparkSession, dir: String): DataFrame =
+    operators.Chats.validChats(chatCorpus(s, dir), "doc_id", "conv")
+      .select("doc_id").orderBy("doc_id")
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -4133,6 +4179,9 @@ object TestQueries {
     "q259_sketch_error" -> (q259SketchError _),
     "q260_repeated_spans" -> (q260RepeatedSpans _),
     "q261_scrub_spans" -> (q261ScrubSpans _),
+    "q262_chat_stats" -> (q262ChatStats _),
+    "q263_chat_flatten" -> (q263ChatFlatten _),
+    "q264_valid_chats" -> (q264ValidChats _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conversation (chat/SFT) transcript operators — the instruction-tuning
+  * half of a training-data pipeline: transcripts arrive as JSON arrays of
+  * `{role, content}` turns (the de-facto interchange shape), and the
+  * pipeline must parse them, VALIDATE structure (role whitelist,
+  * alternation, non-empty content — a malformed transcript silently
+  * teaches the model the wrong turn boundaries), measure them, and
+  * flatten them into trainable text with explicit role sentinels.
+  *
+  * Scale shape: everything here is scan-side expression work on the
+  * parsed turn array — `from_json` once, then HOFs (`filter`, `exists`,
+  * `zip_with`, `aggregate`, `transform`) over it. ZERO shuffles, zero
+  * UDFs, no explode unless the caller asks for the turn-level table —
+  * a 100 TB transcript dump streams through at parquet-scan speed.
+  */
+object Chats {
+
+  /** The interchange schema: `[{"role": "...", "content": "..."}]`. */
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType),
+    StructField("content", StringType))))
+
+  /** Parsed turn array (null for unparseable JSON — surfaced, not
+    * swallowed, by [[conversationStats]]' `parse_ok`).
+    */
+  def turns(jsonCol: Column): Column = from_json(jsonCol, turnSchema)
+
+  /** Turn-level long table: one row per (conversation, turn). Explodes —
+    * use for per-turn analytics; the per-conversation operators below
+    * stay un-exploded on purpose.
+    */
+  def parseTurns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(turns(col(jsonCol))).as(Seq("turn_idx", "__t")))
+      .select(col(idCol), col("turn_idx"),
+        col("__t.role").as("role"), col("__t.content").as("content"))
+
+  private def tokCount(c: Column): Column =
+    size(filter(split(coalesce(c, lit("")), " "), w => length(w) > 0))
+
+  /** Per-conversation structural stats — the validation dashboard row:
+    * (idCol, parse_ok, n_turns, n_user, n_assistant, n_system, n_other,
+    * starts_user, alternates, has_empty_content, n_tokens,
+    * assistant_tokens). `alternates` = no two CONSECUTIVE turns share a
+    * role (system prompts excluded from the check would be a policy —
+    * this measures the raw transcript; filter with [[validChats]]).
+    * All HOF scan work, one row in → one row out.
+    */
+  def conversationStats(df: DataFrame, idCol: String,
+                        jsonCol: String): DataFrame = {
+    val bound = df.select(col(idCol), turns(col(jsonCol)).as("__turns"))
+    val ts = col("__turns")
+    val roleN = (r: String) =>
+      size(filter(ts, t => t.getField("role") === r)).cast("long")
+    bound.select(
+      col(idCol),
+      ts.isNotNull.as("parse_ok"),
+      coalesce(size(ts), lit(-1)).cast("long").as("n_turns"),
+      roleN("user").as("n_user"),
+      roleN("assistant").as("n_assistant"),
+      roleN("system").as("n_system"),
+      (coalesce(size(ts), lit(0)) - roleN("user") - roleN("assistant") -
+        roleN("system")).cast("long").as("n_other"),
+      coalesce(element_at(ts, 1).getField("role") === "user", lit(false))
+        .as("starts_user"),
+      // adjacent-pair scan: zip turn i with turn i+1, no same-role pair
+      coalesce(size(filter(
+        zip_with(slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+          (a, b) => a.getField("role") === b.getField("role")),
+        x => x)) === 0, lit(false)).as("alternates"),
+      coalesce(exists(ts, t =>
+        t.getField("content").isNull ||
+          length(trim(t.getField("content"))) === 0), lit(false))
+        .as("has_empty_content"),
+      coalesce(aggregate(ts, lit(0L),
+        (acc, t) => acc + tokCount(t.getField("content"))), lit(0L))
+        .as("n_tokens"),
+      coalesce(aggregate(ts, lit(0L), (acc, t) =>
+        acc + when(t.getField("role") === "assistant",
+          tokCount(t.getField("content"))).otherwise(0L)), lit(0L))
+        .as("assistant_tokens"))
+  }
+
+  /** Keep only trainable transcripts: parseable, ≥ `minTurns`, every
+    * role in `allowedRoles`, strict alternation after an optional
+    * leading system turn, non-empty content, and ending on an assistant
+    * turn (a trailing user turn has no training signal). Returns the
+    * input rows that pass.
+    */
+  def validChats(df: DataFrame, idCol: String, jsonCol: String,
+                 allowedRoles: Seq[String] =
+                   Seq("system", "user", "assistant"),
+                 minTurns: Int = 2): DataFrame = {
+    require(minTurns >= 1, s"minTurns must be ≥ 1: $minTurns")
+    val ts = turns(col(jsonCol))
+    // the alternation body: drop one leading system turn, then adjacent
+    // roles must differ and the first body turn must be the user's
+    val body = when(
+      coalesce(element_at(ts, 1).getField("role"), lit("")) === "system",
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0)))).otherwise(ts)
+    df.where(
+      ts.isNotNull && size(ts) >= minTurns &&
+        !exists(ts, t => !t.getField("role").isin(allowedRoles: _*)) &&
+        !exists(ts, t => t.getField("content").isNull ||
+          length(trim(t.getField("content"))) === 0) &&
+        coalesce(element_at(body, 1).getField("role") === "user",
+          lit(false)) &&
+        size(filter(
+          zip_with(slice(body, lit(1), greatest(size(body) - 1, lit(0))),
+            slice(body, lit(2), greatest(size(body) - 1, lit(0))),
+            (a, b) => a.getField("role") === b.getField("role")),
+          x => x)) === 0 &&
+        element_at(ts, size(ts)).getField("role") === "assistant")
+  }
+
+  /** Flatten a transcript into one training string with explicit role
+    * sentinels — `<|role|>content` turns joined by `sep` (default
+    * newline). One transform + array_join per row; the content never
+    * leaves the scan.
+    */
+  def flatten(df: DataFrame, idCol: String, jsonCol: String,
+              sep: String = "\n",
+              outCol: String = "training_text"): DataFrame =
+    df.select(col(idCol),
+      array_join(transform(turns(col(jsonCol)),
+        t => concat(lit("<|"), t.getField("role"), lit("|>"),
+          coalesce(t.getField("content"), lit("")))), sep).as(outCol))
+}
