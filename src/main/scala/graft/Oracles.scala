@@ -64,6 +64,27 @@ object Oracles {
       "coalesce(array_to_string(list_slice(ts, 17, 24), ' '), '') AS s3, " +
       "coalesce(array_to_string(list_slice(ts, 25, 32), ' '), '') AS s4 FROM docs)"
 
+  /** q265/q266's preference corpus (mirrors TestQueries.prefCorpus):
+    * chosen = first 16 + (doc_id % 5)·4 tokens, rejected = tokens 9..28,
+    * identical pairs planted at doc_id % 11 == 0; ct/rt are the pair's
+    * token lists re-split from the assembled strings (the round trip the
+    * engine also takes).
+    */
+  private val prefCtes =
+    "docs AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> len(x) > 0) AS ts FROM documents), " +
+      "p0 AS (SELECT doc_id, " +
+      "coalesce(array_to_string(list_slice(ts, 1, " +
+      "16 + CAST(doc_id % 5 AS INT) * 4), ' '), '') AS chosen, " +
+      "coalesce(array_to_string(list_slice(ts, 9, 28), ' '), '') " +
+      "AS rejected0 FROM docs), " +
+      "pairs AS (SELECT doc_id, chosen, " +
+      "CASE WHEN doc_id % 11 = 0 THEN chosen ELSE rejected0 END " +
+      "AS rejected, " +
+      "list_filter(string_split(chosen, ' '), x -> len(x) > 0) AS ct, " +
+      "list_filter(string_split(CASE WHEN doc_id % 11 = 0 THEN chosen " +
+      "ELSE rejected0 END, ' '), x -> len(x) > 0) AS rt FROM p0)"
+
   /** q260/q261's planted-span corpus (mirrors TestQueries.spanCorpus):
     * documents ∪ clones (doc_id+10000) carrying a 3-token marker + the
     * original's first 40 tokens.
@@ -4296,6 +4317,47 @@ object Oracles {
         "'<|user|>' || s1 || chr(10) || '<|assistant|>' || s2 || " +
         "chr(10) || '<|user|>' || s3 || chr(10) || '<|assistant|>' || " +
         "s4 END AS training_text FROM m ORDER BY doc_id"),
+
+    // Preference-pair structure: slices, lengths and distinct-token
+    // Jaccard replayed with DuckDB list algebra.
+    "q265_pref_stats" ->
+      (s"WITH $prefCtes " +
+        "SELECT doc_id, CAST(len(ct) AS BIGINT) AS len_chosen, " +
+        "CAST(len(rt) AS BIGINT) AS len_rejected, " +
+        "len(ct) > len(rt) AS chosen_longer, " +
+        "round(CASE WHEN len(rt) > 0 THEN " +
+        "CAST(len(ct) AS DOUBLE) / len(rt) END, 6) AS len_ratio, " +
+        "round(CASE WHEN len(list_distinct(ct)) + len(list_distinct(rt)) " +
+        "- len(list_intersect(list_distinct(ct), list_distinct(rt))) > 0 " +
+        "THEN CAST(len(list_intersect(list_distinct(ct), " +
+        "list_distinct(rt))) AS DOUBLE) / (len(list_distinct(ct)) + " +
+        "len(list_distinct(rt)) - len(list_intersect(list_distinct(ct), " +
+        "list_distinct(rt)))) END, 6) AS jaccard, " +
+        "chosen = rejected AS identical " +
+        "FROM pairs ORDER BY doc_id"),
+
+    // Preference length-bias audit: the same per-pair terms rolled into
+    // one row (avg skips null ratios/jaccards in both engines).
+    "q266_pref_audit" ->
+      (s"WITH $prefCtes, " +
+        "st AS (SELECT doc_id, len(ct) AS lc, len(rt) AS lr, " +
+        "CASE WHEN len(list_distinct(ct)) + len(list_distinct(rt)) - " +
+        "len(list_intersect(list_distinct(ct), list_distinct(rt))) > 0 " +
+        "THEN CAST(len(list_intersect(list_distinct(ct), " +
+        "list_distinct(rt))) AS DOUBLE) / (len(list_distinct(ct)) + " +
+        "len(list_distinct(rt)) - len(list_intersect(list_distinct(ct), " +
+        "list_distinct(rt)))) END AS j, " +
+        "chosen = rejected AS idp FROM pairs) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(avg(CASE WHEN lc > lr THEN 1.0 ELSE 0.0 END), 6) " +
+        "AS frac_chosen_longer, " +
+        "round(avg(CASE WHEN lr > 0 THEN CAST(lc AS DOUBLE) / lr END), 6) " +
+        "AS mean_len_ratio, " +
+        "round(avg(CASE WHEN idp THEN 1.0 ELSE 0.0 END), 6) " +
+        "AS frac_identical, " +
+        "round(avg(CASE WHEN j IS NULL THEN NULL " +
+        "WHEN j >= 0.8 THEN 1.0 ELSE 0.0 END), 6) AS frac_high_overlap, " +
+        "round(avg(j), 6) AS mean_jaccard FROM st"),
 
     // Transcript validation: survivors = non-broken transcripts whose
     // every turn is non-empty (>= 25 tokens fills the 4th slice).

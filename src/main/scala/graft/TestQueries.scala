@@ -3959,6 +3959,50 @@ object TestQueries {
     operators.Chats.validChats(chatCorpus(s, dir), "doc_id", "conv")
       .select("doc_id").orderBy("doc_id")
 
+  /** The q265/q266 preference corpus: per doc, chosen = the first
+    * 16 + (doc_id % 5)·4 tokens, rejected = tokens 9..28 — overlapping
+    * slices with doc-dependent length skew; doc_id % 11 == 0 pairs are
+    * IDENTICAL (planted no-signal pairs).
+    */
+  private def prefCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+    val chosen = array_join(
+      slice(toks, lit(1), (lit(16) + (col("doc_id") % 5) * 4).cast("int")),
+      " ")
+    docs.select(col("doc_id"), chosen.as("chosen"),
+      when(col("doc_id") % 11 === 0, chosen)
+        .otherwise(array_join(slice(toks, lit(9), lit(20)), " "))
+        .as("rejected"))
+  }
+
+  /** Preference-pair structure ([[operators.Preferences.pairStats]]):
+    * per-pair token lengths, length flag/ratio, distinct-token Jaccard
+    * and exact-duplicate flag — DuckDB replays the slices and the set
+    * algebra.
+    */
+  def q265PrefStats(s: SparkSession, dir: String): DataFrame =
+    operators.Preferences.pairStats(prefCorpus(s, dir), "doc_id",
+        "chosen", "rejected")
+      .select(col("doc_id"), col("len_chosen"), col("len_rejected"),
+        col("chosen_longer"), round(col("len_ratio"), 6).as("len_ratio"),
+        round(col("jaccard"), 6).as("jaccard"), col("identical"))
+      .orderBy("doc_id")
+
+  /** Length-bias audit ([[operators.Preferences.lengthBiasAudit]]): the
+    * one-row reward-data health readout (chosen-longer fraction,
+    * identical and high-overlap mass) replayed aggregate-for-aggregate.
+    */
+  def q266PrefAudit(s: SparkSession, dir: String): DataFrame =
+    operators.Preferences.lengthBiasAudit(prefCorpus(s, dir), "doc_id",
+        "chosen", "rejected")
+      .select(col("n_pairs"),
+        round(col("frac_chosen_longer"), 6).as("frac_chosen_longer"),
+        round(col("mean_len_ratio"), 6).as("mean_len_ratio"),
+        round(col("frac_identical"), 6).as("frac_identical"),
+        round(col("frac_high_overlap"), 6).as("frac_high_overlap"),
+        round(col("mean_jaccard"), 6).as("mean_jaccard"))
+
   // ---- registry ------------------------------------------------------------
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -4182,6 +4226,8 @@ object TestQueries {
     "q262_chat_stats" -> (q262ChatStats _),
     "q263_chat_flatten" -> (q263ChatFlatten _),
     "q264_valid_chats" -> (q264ValidChats _),
+    "q265_pref_stats" -> (q265PrefStats _),
+    "q266_pref_audit" -> (q266PrefAudit _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

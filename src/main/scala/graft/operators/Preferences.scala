@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-pair (RLHF / reward-model training data) audits. A
+  * preference dataset is (prompt, chosen, rejected) triples; its known
+  * failure modes are STRUCTURAL, not semantic, and therefore measurable
+  * at corpus scale before any model sees the data:
+  *
+  *  - LENGTH BIAS: if `chosen` is longer than `rejected` in ≫ 50 % of
+  *    pairs, a reward model trained on it learns "longer is better"
+  *    (the classic verbosity reward hack) — the single most reported
+  *    preference-data pathology.
+  *  - DEGENERATE PAIRS: identical or near-identical chosen/rejected
+  *    (high token overlap) carry no preference signal but still spend
+  *    gradient steps; exact duplicates are labeling-pipeline bugs.
+  *
+  * Scale shape: [[pairStats]] is pure scan-side HOF work (token splits,
+  * array_distinct/array_intersect per row — no shuffle, no UDF);
+  * [[lengthBiasAudit]] adds ONE global aggregate. A billion-pair dump
+  * audits in a single pass.
+  */
+object Preferences {
+
+  private def toks(c: Column): Column =
+    filter(split(coalesce(c, lit("")), " "), w => length(w) > 0)
+
+  /** Per-pair structural row: (…, len_chosen, len_rejected,
+    * chosen_longer, len_ratio, jaccard, identical). `len_ratio` =
+    * chosen/rejected token counts (null when rejected is empty);
+    * `jaccard` over DISTINCT tokens (null when both are empty);
+    * `identical` = exact string equality.
+    */
+  def pairStats(df: DataFrame, idCol: String, chosenCol: String,
+                rejectedCol: String): DataFrame = {
+    val bound = df.withColumn("__ct", toks(col(chosenCol)))
+      .withColumn("__rt", toks(col(rejectedCol)))
+    val lc = size(col("__ct")).cast("long")
+    val lr = size(col("__rt")).cast("long")
+    val cd = array_distinct(col("__ct"))
+    val rd = array_distinct(col("__rt"))
+    val inter = size(array_intersect(cd, rd))
+    val union = size(cd) + size(rd) - inter
+    bound.select(
+      col(idCol),
+      lc.as("len_chosen"),
+      lr.as("len_rejected"),
+      (lc > lr).as("chosen_longer"),
+      when(lr > 0, lc.cast("double") / lr).as("len_ratio"),
+      when(union > 0, inter.cast("double") / union).as("jaccard"),
+      (col(chosenCol) === col(rejectedCol)).as("identical"))
+  }
+
+  /** The one-row corpus audit: (n_pairs, frac_chosen_longer,
+    * mean_len_ratio, frac_identical, frac_high_overlap, mean_jaccard).
+    * `frac_chosen_longer` near 0.5 = length-neutral labels; ≫ 0.5 =
+    * the reward model will learn verbosity. `frac_high_overlap` counts
+    * pairs with jaccard ≥ `overlapThreshold` (default 0.8) — the
+    * no-signal mass.
+    */
+  def lengthBiasAudit(df: DataFrame, idCol: String, chosenCol: String,
+                      rejectedCol: String,
+                      overlapThreshold: Double = 0.8): DataFrame = {
+    require(overlapThreshold > 0 && overlapThreshold <= 1,
+      s"overlapThreshold in (0,1]: $overlapThreshold")
+    pairStats(df, idCol, chosenCol, rejectedCol).agg(
+      count(lit(1)).as("n_pairs"),
+      avg(col("chosen_longer").cast("double")).as("frac_chosen_longer"),
+      avg("len_ratio").as("mean_len_ratio"),
+      avg(col("identical").cast("double")).as("frac_identical"),
+      avg((col("jaccard") >= overlapThreshold).cast("double"))
+        .as("frac_high_overlap"),
+      avg("jaccard").as("mean_jaccard"))
+  }
+}
