@@ -4286,6 +4286,66 @@ object Oracles {
         "FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
         "ORDER BY d.doc_id"),
 
+    // Span decontamination: clone windows (doc_id >= 10000) semi-joined
+    // against the originals' DISTINCT window contents, island-merged.
+    "q267_contaminated_spans" ->
+      (s"WITH $spanCorpusCtes, " +
+        "win AS (SELECT doc_id, i - 1 AS s, " +
+        "array_to_string(list_slice(ts, i, i + 19), chr(1)) AS w FROM " +
+        "(SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 19)) " +
+        "AS i FROM docs WHERE len(ts) >= 20)), " +
+        "flagged AS (SELECT c.doc_id, c.s FROM " +
+        "(SELECT * FROM win WHERE doc_id >= 10000) c SEMI JOIN " +
+        "(SELECT DISTINCT w FROM win WHERE doc_id < 10000) r " +
+        "ON c.w = r.w), " +
+        "pos AS (SELECT DISTINCT doc_id, s + o AS p FROM " +
+        "(SELECT doc_id, s, unnest(generate_series(0, 19)) AS o " +
+        "FROM flagged)), " +
+        "isl AS (SELECT doc_id, p, p - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY p) AS g FROM pos) " +
+        "SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, " +
+        "CAST(max(p) + 1 AS BIGINT) AS span_end, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens " +
+        "FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+
+    // PII census: the same RE2-safe pattern families (identical regex
+    // text) plus the Luhn mod-10 checksum replayed with list algebra.
+    "q268_pii_scan" ->
+      ("WITH planted AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' contact 4111 1111 1111 1111 " +
+        "now' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 1 THEN ' ref 4111-1111-1111-1112 x' " +
+        "ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' mail bob' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END " +
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' call (555) 867-5309 now' " +
+        "ELSE '' END AS text FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "regexp_extract_all(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS em, " +
+        "regexp_extract_all(text, '\\b\\d(?:[ -]?\\d){12,15}\\b') " +
+        "AS cards, " +
+        "regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b') AS ssn, " +
+        "regexp_extract_all(text, '(?:\\+?1[ .-]?)?(?:\\(\\d{3}\\)|" +
+        "\\d{3})[ .-]?\\d{3}[ .-]?\\d{4}\\b') AS ph FROM planted), " +
+        "v AS (SELECT doc_id, em, cards, ssn, ph, " +
+        "list_filter(list_transform(cards, x -> " +
+        "regexp_replace(x, '[ -]', '', 'g')), d -> " +
+        "len(d) BETWEEN 13 AND 19 AND " +
+        "list_sum(list_transform(generate_series(1, len(d)), i -> " +
+        "CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(d), i, 1) AS INT) " +
+        "WHEN CAST(substr(reverse(d), i, 1) AS INT) * 2 > 9 THEN " +
+        "CAST(substr(reverse(d), i, 1) AS INT) * 2 - 9 " +
+        "ELSE CAST(substr(reverse(d), i, 1) AS INT) * 2 END)) % 10 = 0) " +
+        "AS valid FROM c) " +
+        "SELECT doc_id, CAST(len(em) AS BIGINT) AS n_emails, " +
+        "CAST(len(ssn) AS BIGINT) AS n_ssns, " +
+        "CAST(len(ph) AS BIGINT) AS n_phones, " +
+        "CAST(len(cards) AS BIGINT) AS n_card_candidates, " +
+        "CAST(len(valid) AS BIGINT) AS n_cards_valid " +
+        "FROM v ORDER BY doc_id"),
+
     // Chat transcript stats: the closed-form replay of the planted
     // 4-turn (3-turn broken) token-slice transcripts — every tally
     // derives from min/max arithmetic on the doc's token count.

@@ -3913,6 +3913,47 @@ object TestQueries {
         "text", windowTokens = 20)
       .orderBy("doc_id")
 
+  /** Span-level eval decontamination
+    * ([[operators.Dedup.contaminatedSpans]]): the q260 planted clones as
+    * the training corpus, the original documents as the eval reference —
+    * each clone's copied 40-token slice surfaces as a contaminated span.
+    * DuckDB replays the cross-corpus window semi-join and the island
+    * merge.
+    */
+  def q267ContaminatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = spanCorpus(s, dir).where(col("doc_id") >= 10000)
+    val reference = t(s, dir, "documents").select("doc_id", "text")
+    operators.Dedup.contaminatedSpans(corpus, reference, "doc_id", "text",
+        "doc_id", "text", windowTokens = 20)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** PII census ([[operators.Quality.piiScan]]) over documents with
+    * planted PII — a Luhn-VALID card (doc_id % 4 == 0), a Luhn-invalid
+    * 16-digit run (% 4 == 1), emails (% 3 == 0), SSNs (% 5 == 0), phones
+    * (% 7 == 0). DuckDB replays the regex families and the mod-10
+    * checksum digit-for-digit, so n_cards_valid < n_card_candidates is
+    * hash-proven, not asserted.
+    */
+  def q268PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" contact 4111 1111 1111 1111 now")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          lit(" ref 4111-1111-1111-1112 x")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" mail bob"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" call (555) 867-5309 now")).otherwise(lit("")))
+        .as("text"))
+    operators.Quality.piiScan(planted, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** The q262-q264 transcript corpus: each document's tokens become a
     * chat JSON — 4 alternating user/assistant turns of 8 tokens each, or
     * (doc_id % 5 == 0) a BROKEN 3-turn transcript with two consecutive
@@ -4228,6 +4269,8 @@ object TestQueries {
     "q264_valid_chats" -> (q264ValidChats _),
     "q265_pref_stats" -> (q265PrefStats _),
     "q266_pref_audit" -> (q266PrefAudit _),
+    "q267_contaminated_spans" -> (q267ContaminatedSpans _),
+    "q268_pii_scan" -> (q268PiiScan _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -154,6 +154,27 @@ object Text {
       regexp_replace(c, re, tok)
     }
 
+  /** Luhn checksum over a digits-only string — TRUE iff the digit count
+    * is a plausible card length (13–19) and the mod-10 checksum holds.
+    * The false-positive killer for the card regex: a random 16-digit run
+    * passes Luhn only 10 % of the time, so checksum-gating the pattern
+    * turns "redact every long number" into "redact actual card numbers".
+    * Pure expression work (one aggregate HOF over ≤ 19 positions of the
+    * reversed string) — and the same algebra replays in SQL, so the
+    * validation is oracle-checkable.
+    */
+  def luhnValid(digits: Column): Column = {
+    val r = reverse(digits)
+    val checksum = aggregate(
+      sequence(lit(1), length(digits)), lit(0),
+      (acc, i) => {
+        val dg = r.substr(i, lit(1)).cast("int")
+        acc + when(i % 2 === 1, dg)
+          .otherwise(when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2))
+      })
+    length(digits).between(13, 19) && checksum % 10 === 0
+  }
+
   /** HTML boilerplate strip — the first pass of a web-crawl → training-text
     * pipeline: drop `<script>`/`<style>` blocks wholesale (their CONTENT is
     * code, not prose), flatten the remaining tags to spaces, unescape the

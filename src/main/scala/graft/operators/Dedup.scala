@@ -1032,32 +1032,34 @@ object Dedup {
     * distinct-content collision is negligible and the gate's oracle
     * (which groups by the window CONTENT) would catch one.
     */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    windowTokens: Int = 20): DataFrame = {
-    require(windowTokens >= 2, s"windowTokens must be ≥ 2: $windowTokens")
+  /** (__id, __start, __wh) for every `windowTokens`-token window — the
+    * shared scan front of [[repeatedSpans]] / [[contaminatedSpans]].
+    */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int): DataFrame = {
     val L = windowTokens
     val toks = filter(split(col(textCol), " "), t => length(t) > 0)
     // bind the array ONCE (HOF lambdas re-evaluate captured expressions)
-    val bound = df
-      .select(col(idCol).as("__id"), toks.as("__toks"))
+    df.select(col(idCol).as("__id"), toks.as("__toks"))
       .where(size(col("__toks")) >= L)
-    val wins = bound.select(col("__id"),
-      posexplode(transform(
-        sequence(lit(0), size(col("__toks")) - L),
-        i => xxhash64(concat_ws("\u0001",
-          slice(col("__toks"), i + 1, lit(L)))))).as(Seq("__start", "__wh")))
-    val dupWins = wins
-      .withColumn("__occ", struct(col("__id"), col("__start")))
-      .groupBy("__wh")
-      .agg(count(lit(1)).as("__n"), min("__occ").as("__first"),
-        collect_list("__occ").as("__occs"))
-      .where(col("__n") > 1)
-      .select(explode(col("__occs")).as("__occ"), col("__first"))
-      .where(col("__occ") =!= col("__first"))
-      .select(col("__occ.__id").as("__id"), col("__occ.__start").as("__start"))
-    val covered = dupWins
       .select(col("__id"),
-        explode(sequence(col("__start"), col("__start") + (L - 1))).as("__p"))
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - L),
+          // \u0001 separator: tokens never contain it (split on space),
+          // so ["ab","c"] and ["a","bc"] can't alias to one window
+          i => xxhash64(concat_ws("\u0001",
+            slice(col("__toks"), i + 1, lit(L)))))).as(Seq("__start", "__wh")))
+  }
+
+  /** Merge flagged window starts into maximal spans — positions explode
+    * (∝ flagged mass only), then per-doc gaps-and-islands.
+    */
+  private def spansFromWindows(flagged: DataFrame, idCol: String,
+                               windowTokens: Int): DataFrame = {
+    val covered = flagged
+      .select(col("__id"),
+        explode(sequence(col("__start"),
+          col("__start") + (windowTokens - 1))).as("__p"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy("__p")
@@ -1068,6 +1070,45 @@ object Dedup {
         (max("__p") + 1).cast("long").as("span_end"),
         count(lit(1)).as("n_tokens"))
       .drop("__isl")
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be ≥ 2: $windowTokens")
+    val dupWins = windowHashes(df, idCol, textCol, windowTokens)
+      .withColumn("__occ", struct(col("__id"), col("__start")))
+      .groupBy("__wh")
+      .agg(count(lit(1)).as("__n"), min("__occ").as("__first"),
+        collect_list("__occ").as("__occs"))
+      .where(col("__n") > 1)
+      .select(explode(col("__occs")).as("__occ"), col("__first"))
+      .where(col("__occ") =!= col("__first"))
+      .select(col("__occ.__id").as("__id"), col("__occ.__start").as("__start"))
+    spansFromWindows(dupWins, idCol, windowTokens)
+  }
+
+  /** Span-level eval DECONTAMINATION — [[repeatedSpans]]' cross-corpus
+    * sibling: every maximal ≥`windowTokens`-token span of `df` that
+    * appears verbatim ANYWHERE in `reference` (the eval/benchmark set).
+    * n-gram contamination scoring says "this doc overlaps the eval set";
+    * this says WHERE, so the span can be scrubbed instead of dropping
+    * the whole document. Same scan/shuffle shape: windows hash on both
+    * sides, the reference side reduces to DISTINCT hashes (compact —
+    * eval sets are small next to the corpus), and the flag join is a
+    * left-semi on the 8-byte hash.
+    *
+    * Returns (idCol, span_start, span_end, n_tokens) over `df`.
+    */
+  def contaminatedSpans(df: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String,
+                        refIdCol: String, refTextCol: String,
+                        windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be ≥ 2: $windowTokens")
+    val refHashes = windowHashes(reference, refIdCol, refTextCol,
+      windowTokens).select("__wh").distinct()
+    val flagged = windowHashes(df, idCol, textCol, windowTokens)
+      .join(refHashes, Seq("__wh"), "left_semi")
+    spansFromWindows(flagged, idCol, windowTokens)
   }
 
   /** Scrub duplicated spans out of the text ([[repeatedSpans]]'s writer

@@ -1010,4 +1010,30 @@ object Quality {
     import org.apache.spark.sql.expressions.Window
     (s"${c}_unique", count(lit(1)).over(Window.partitionBy(c)) === 1)
   }
+
+  /** Per-document PII census — the release/scrub-planning scan that runs
+    * BEFORE [[graft.functions.Text.redactPii]] rewrites anything: counts
+    * per pattern family, with card candidates additionally gated by the
+    * Luhn checksum ([[graft.functions.Text.luhnValid]]) so the number a
+    * compliance review sees is "actual card numbers", not "16-digit
+    * strings". One scan-side pass (regexp_extract_all + HOFs), zero
+    * shuffles. Returns (idCol, n_emails, n_ssns, n_phones,
+    * n_card_candidates, n_cards_valid).
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.Text
+    val t = coalesce(col(textCol), lit(""))
+    val pat = Text.piiPatterns.map { case (re, tok) => tok -> re }.toMap
+    def hits(tok: String) =
+      regexp_extract_all(t, lit(pat(tok)), lit(0))
+    val cards = hits("<CARD>")
+    df.select(col(idCol),
+      size(hits("<EMAIL>")).cast("long").as("n_emails"),
+      size(hits("<SSN>")).cast("long").as("n_ssns"),
+      size(hits("<PHONE>")).cast("long").as("n_phones"),
+      size(cards).cast("long").as("n_card_candidates"),
+      size(filter(cards, c =>
+        Text.luhnValid(regexp_replace(c, "[ -]", ""))))
+        .cast("long").as("n_cards_valid"))
+  }
 }

@@ -650,4 +650,26 @@ class DedupSpec extends AnyFunSuite {
     assert(clean.map(_.getAs[Long]("n_removed")).toSeq === Seq(0L, 0L, 0L))
     assert(clean(2).getAs[String]("clean_text") === "tiny doc")
   }
+
+  test("contaminatedSpans: corpus spans flagged only where the reference " +
+    "has them, reference-internal dups irrelevant") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val evalBlock = toks("e", 22)
+    val reference = Seq(
+      (100L, toks("r", 5) + " " + evalBlock),
+      (101L, evalBlock + " " + toks("q", 3))) // the block twice in ref
+      .toDF("ref_id", "text")
+    val corpus = Seq(
+      (1L, toks("a", 6) + " " + evalBlock + " " + toks("z", 4)),
+      (2L, toks("b", 30)),                     // clean
+      (3L, evalBlock))                         // the whole doc is eval text
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminatedSpans(corpus, reference, "doc_id", "text",
+        "ref_id", "text", windowTokens = 20)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 6L, 28L, 22L), (3L, 0L, 22L, 22L)))
+  }
 }

@@ -194,6 +194,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(4) === "clean text stays untouched")
   }
 
+  test("luhnValid: known-good cards pass, off-by-one digits and bad lengths fail") {
+    import graft.functions.Text
+    val cases = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // checksum off by one
+      ("378282246310005", true),    // 15-digit Amex test number
+      ("6011111111111117", true),   // Discover test number
+      ("123456789012", false),      // 12 digits: below card length
+      ("12345678901234567890", false)) // 20 digits: above
+    val got = cases.map(_._1).toDF("d")
+      .select(col("d"), Text.luhnValid(col("d")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (d, want) => assert(got(d) === want, d) }
+  }
+
+  test("piiScan: per-family counts with Luhn-gated card validity") {
+    import graft.operators.Quality
+    val rows = Seq(
+      (1L, "mail a@b.co and c@d.org, card 4111 1111 1111 1111 ok"),
+      (2L, "fake card 4111 1111 1111 1112 fails luhn"),
+      (3L, "ssn 123-45-6789 call (312) 555-0199"),
+      (4L, "nothing here")).toDF("id", "text")
+    val got = Quality.piiScan(rows, "id", "text").orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_emails") === 2L)
+    assert(got(0).getAs[Long]("n_card_candidates") === 1L)
+    assert(got(0).getAs[Long]("n_cards_valid") === 1L)
+    assert(got(1).getAs[Long]("n_card_candidates") === 1L)
+    assert(got(1).getAs[Long]("n_cards_valid") === 0L)
+    assert(got(2).getAs[Long]("n_ssns") === 1L)
+    assert(got(2).getAs[Long]("n_phones") === 1L)
+    assert(got(3).toSeq.drop(1).forall(_ == 0L))
+  }
+
   test("stripHtml drops script/style content, flattens tags, unescapes once") {
     import graft.functions.Text
     val pages = Seq(
