@@ -4378,6 +4378,25 @@ object Oracles {
         "chr(10) || '<|user|>' || s3 || chr(10) || '<|assistant|>' || " +
         "s4 END AS training_text FROM m ORDER BY doc_id"),
 
+    // SFT mask spans: assistant token ranges from the closed-form
+    // per-turn counts (each turn occupies max(count, 1) tokens).
+    "q269_mask_spans" ->
+      (s"WITH $chatSliceCtes, " +
+        "g AS (SELECT doc_id, greatest(c1, 1) AS g1, " +
+        "greatest(c2, 1) AS g2, greatest(c3, 1) AS g3, " +
+        "greatest(c4, 1) AS g4 FROM m) " +
+        "SELECT doc_id, CAST(0 AS INT) AS seg_idx, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN g1 + g2 ELSE g1 END " +
+        "AS BIGINT) AS tok_start, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN g1 + g2 + g3 " +
+        "ELSE g1 + g2 END AS BIGINT) AS tok_end FROM g " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(1 AS INT) AS seg_idx, " +
+        "CAST(g1 + g2 + g3 AS BIGINT) AS tok_start, " +
+        "CAST(g1 + g2 + g3 + g4 AS BIGINT) AS tok_end FROM g " +
+        "WHERE doc_id % 5 <> 0 " +
+        "ORDER BY doc_id, seg_idx"),
+
     // Preference-pair structure: slices, lengths and distinct-token
     // Jaccard replayed with DuckDB list algebra.
     "q265_pref_stats" ->

@@ -4017,6 +4017,14 @@ object TestQueries {
         .as("rejected"))
   }
 
+  /** SFT loss-mask spans ([[operators.Chats.assistantMaskSpans]]): the
+    * assistant-turn token ranges of each q262 transcript — offsets
+    * replayed closed-form from the per-turn token counts.
+    */
+  def q269MaskSpans(s: SparkSession, dir: String): DataFrame =
+    operators.Chats.assistantMaskSpans(chatCorpus(s, dir), "doc_id", "conv")
+      .orderBy("doc_id", "seg_idx")
+
   /** Preference-pair structure ([[operators.Preferences.pairStats]]):
     * per-pair token lengths, length flag/ratio, distinct-token Jaccard
     * and exact-duplicate flag — DuckDB replays the slices and the set
@@ -4271,6 +4279,7 @@ object TestQueries {
     "q266_pref_audit" -> (q266PrefAudit _),
     "q267_contaminated_spans" -> (q267ContaminatedSpans _),
     "q268_pii_scan" -> (q268PiiScan _),
+    "q269_mask_spans" -> (q269MaskSpans _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -119,6 +119,42 @@ object Chats {
         element_at(ts, size(ts)).getField("role") === "assistant")
   }
 
+  /** Token-level LOSS-MASK spans for SFT: which whitespace-token ranges
+    * of the [[flatten]]ed text are assistant turns (the only tokens the
+    * loss should see — training on user text teaches the model to
+    * imitate users). Token accounting matches [[flatten]] with a
+    * single-space separator: each turn contributes max(1, |content
+    * tokens|) tokens (the `<|role|>` sentinel glues to the first content
+    * token; an empty turn is the bare sentinel).
+    *
+    * The cumulative offsets come from ONE `aggregate` HOF carrying a
+    * (offset, spans) struct accumulator across the turn array — a
+    * per-row state machine, still zero shuffles. Returns one row per
+    * assistant segment: (idCol, seg_idx, tok_start, tok_end), end
+    * exclusive.
+    */
+  def assistantMaskSpans(df: DataFrame, idCol: String,
+                         jsonCol: String): DataFrame = {
+    val ts = turns(col(jsonCol))
+    val nToks = (t: Column) =>
+      greatest(tokCount(t.getField("content")).cast("long"), lit(1L))
+    val acc0 = struct(lit(0L).as("off"),
+      array().cast("array<struct<s:bigint,e:bigint>>").as("spans"))
+    val folded = aggregate(ts, acc0,
+      (acc, t) => struct(
+        (acc.getField("off") + nToks(t)).as("off"),
+        when(t.getField("role") === "assistant",
+          concat(acc.getField("spans"),
+            array(struct(acc.getField("off").as("s"),
+              (acc.getField("off") + nToks(t)).as("e")))))
+          .otherwise(acc.getField("spans")).as("spans")))
+    df.select(col(idCol), folded.getField("spans").as("__spans"))
+      .select(col(idCol),
+        posexplode(col("__spans")).as(Seq("seg_idx", "__sp")))
+      .select(col(idCol), col("seg_idx"),
+        col("__sp.s").as("tok_start"), col("__sp.e").as("tok_end"))
+  }
+
   /** Flatten a transcript into one training string with explicit role
     * sentinels — `<|role|>content` turns joined by `sep` (default
     * newline). One transform + array_join per row; the content never

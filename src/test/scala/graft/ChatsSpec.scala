@@ -87,4 +87,23 @@ class ChatsSpec extends AnyFunSuite {
     assert(t === Seq((0, "user", "hi there"), (1, "assistant", "hello friend"),
       (2, "user", "bye"), (3, "assistant", "see you")))
   }
+
+  test("assistantMaskSpans: offsets follow flatten's token accounting") {
+    // good = [user "hi there"(2), assistant "hello friend"(2),
+    //         user "bye"(1), assistant "see you"(2)]
+    // offsets: 0,2,4,5 -> assistant segments [2,4) and [5,7)
+    val m = Chats.assistantMaskSpans(rows.where($"conv_id" === 1L),
+        "conv_id", "conv")
+      .orderBy("seg_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(m === Seq((0, 2L, 4L), (1, 5L, 7L)))
+    // empty assistant content still occupies its sentinel token
+    val one = Seq((9L,
+      """[{"role":"user","content":"a b c"},""" +
+        """{"role":"assistant","content":""}]"""))
+      .toDF("conv_id", "conv")
+    val m2 = Chats.assistantMaskSpans(one, "conv_id", "conv")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(m2 === Seq((3L, 4L)))
+  }
 }
