@@ -696,6 +696,20 @@ object ScaleCheck {
           spark.read.parquet(s"$dir/lineitem.parquet"),
           "l_quantity", "l_linestatus", "O", "F").count()
       },
+      "chat_stats" -> { dir =>
+        // pure scan-side HOF work over a from_json parse — linearity is
+        // the absence of any shuffle at all
+        val d = docs(dir)
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        def seg(a: Int) = array_join(slice(toks, a, 8), " ")
+        def turn(r: String, c: org.apache.spark.sql.Column) =
+          struct(lit(r).as("role"), c.as("content"))
+        val conv = d.select(col("doc_id"), to_json(array(
+          turn("user", seg(1)), turn("assistant", seg(9)),
+          turn("user", seg(17)), turn("assistant", seg(25)))).as("conv"))
+        graft.operators.Chats.conversationStats(conv, "doc_id", "conv")
+          .count()
+      },
       "repeated_spans" -> { dir =>
         // window hashes scan-side, ONE compact-key shuffle on (hash,
         // doc, start), positions explode ∝ duplication mass only

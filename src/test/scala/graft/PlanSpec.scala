@@ -172,4 +172,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "category-stats join must not sort the fact at this scale")
   }
+
+  test("q262/q263/q265 transcript + preference ops are pure scan work") {
+    // the whole value proposition: chat stats, flattening and pair
+    // audits are HOF expressions over one parse — a shuffle appearing
+    // here means someone exploded or joined what should stay row-local
+    for (q <- Seq("q262_chat_stats", "q263_chat_flatten",
+        "q265_pref_stats")) {
+      val p = planOf(q)
+      // the gate wrapper adds an orderBy (one final exchange for the
+      // dump); no OTHER exchange may exist
+      assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+        s"$q grew a mid-pipeline shuffle:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate")
+        || q != "q263_chat_flatten", s"$q should not aggregate")
+    }
+  }
+
+  test("q260 repeated spans: one compact-key aggregate, no text shuffle") {
+    val p = planOf("q260_repeated_spans")
+    assert(!p.contains("SortMergeJoin"),
+      "span detection must bucket by window hash, never join text")
+    // the window-hash aggregate's partials must combine map-side
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "window bucketing should be a hash aggregate")
+  }
+
+  test("q268 pii scan keeps the regex families inside the scan stage") {
+    val p = planOf("q268_pii_scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the census is per-row; any join is a regression")
+  }
 }
