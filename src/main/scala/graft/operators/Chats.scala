@@ -98,14 +98,20 @@ object Chats {
                    Seq("system", "user", "assistant"),
                  minTurns: Int = 2): DataFrame = {
     require(minTurns >= 1, s"minTurns must be ≥ 1: $minTurns")
-    val ts = turns(col(jsonCol))
-    // the alternation body: drop one leading system turn, then adjacent
-    // roles must differ and the first body turn must be the user's
-    val body = when(
-      coalesce(element_at(ts, 1).getField("role"), lit("")) === "system",
-      slice(ts, lit(2), greatest(size(ts) - 1, lit(0)))).otherwise(ts)
-    df.where(
-      ts.isNotNull && size(ts) >= minTurns &&
+    // Bind the parse via a LAMBDA, not a projected column: the predicate
+    // references the turn array ~8 times; a projected binding gets
+    // collapsed back under the filter by CollapseProject/pushdown and a
+    // conjunctive filter's short-circuit codegen re-evaluates each
+    // conjunct's from_json (measured ~6× scan cost). HOF semantics
+    // guarantee the argument array — and so the parse — evaluates ONCE
+    // per row; every reference below is to the lambda variable.
+    def checks(ts: Column): Column = {
+      // the alternation body: drop one leading system turn, then
+      // adjacent roles must differ and the first body turn is the user's
+      val body = when(
+        coalesce(element_at(ts, 1).getField("role"), lit("")) === "system",
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0)))).otherwise(ts)
+      size(ts) >= minTurns &&
         !exists(ts, t => !t.getField("role").isin(allowedRoles: _*)) &&
         !exists(ts, t => t.getField("content").isNull ||
           length(trim(t.getField("content"))) === 0) &&
@@ -116,7 +122,10 @@ object Chats {
             slice(body, lit(2), greatest(size(body) - 1, lit(0))),
             (a, b) => a.getField("role") === b.getField("role")),
           x => x)) === 0 &&
-        element_at(ts, size(ts)).getField("role") === "assistant")
+        element_at(ts, size(ts)).getField("role") === "assistant"
+    }
+    df.where(exists(array(turns(col(jsonCol))),
+      ts => ts.isNotNull && checks(ts)))
   }
 
   /** Token-level LOSS-MASK spans for SFT: which whitespace-token ranges
