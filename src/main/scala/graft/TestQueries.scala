@@ -3928,6 +3928,24 @@ object TestQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Nearest join ([[operators.Joins.nearestJoin]]): each purchase
+    * matched to the user's temporally CLOSEST view within ±2 h — ties to
+    * the earlier view, equal-timestamp views reduced to min event_id.
+    * DuckDB replays as the inequality-join argmin (same tie order).
+    */
+  def q270NearestJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    operators.Joins.nearestJoin(purchases, views, "user_id", "ts", "ts",
+        Seq("view_id"), toleranceSec = Some(7200L))
+      .select(col("event_id"), col("user_id"), col("nearest_view_id"),
+        col("nearest_dt_sec"))
+      .orderBy("event_id")
+  }
+
   /** PII census ([[operators.Quality.piiScan]]) over documents with
     * planted PII — a Luhn-VALID card (doc_id % 4 == 0), a Luhn-invalid
     * 16-digit run (% 4 == 1), emails (% 3 == 0), SSNs (% 5 == 0), phones
@@ -4280,6 +4298,7 @@ object TestQueries {
     "q267_contaminated_spans" -> (q267ContaminatedSpans _),
     "q268_pii_scan" -> (q268PiiScan _),
     "q269_mask_spans" -> (q269MaskSpans _),
+    "q270_nearest_join" -> (q270NearestJoin _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -98,6 +98,77 @@ object Joins {
       rightValCols.map(c => col(s"__match.$c").as(s"$asOfPrefix$c")): _*)
   }
 
+  /** Nearest join: for each left row, the right row minimizing
+    * |rightTs − leftTs| within the same `key`, optionally bounded by
+    * `toleranceSec` — the "closest sensor reading to the order" direction
+    * [[asOfJoin]] (≤) and [[asOfJoinForward]] (≥) each cover half of.
+    * Ties (equal distance before and after) resolve to the EARLIER right
+    * row; right rows sharing one timestamp reduce to their struct-minimum
+    * first, so every choice is deterministic and SQL-replayable.
+    *
+    * Same scale shape as the as-of pair: union + ONE shuffle on the key +
+    * a single sorted window pass computing BOTH carries (backward `last`
+    * and forward `first` share the sort), then per-row arithmetic picks
+    * the closer side. No inequality join, no M:N blow-up. Inner
+    * semantics: left rows with no in-tolerance right row drop. Output:
+    * left columns + prefixed right values + `<prefix>dt_sec` (signed
+    * rightTs − leftTs seconds).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightValCols: Seq[String],
+                  prefix: String = "nearest_",
+                  toleranceSec: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rStruct = struct(col(rightTs).as("__rts") +: rightValCols.map(col): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
+    // one deterministic right row per (key, ts): the struct minimum —
+    // equal-timestamp ties otherwise make the window carry racy
+    val rightOne = right.groupBy(col(key), col(rightTs).as("__ts"))
+      .agg(min(rStruct).as("__r"))
+      .withColumn("__side", lit(0))
+    val tagged =
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+        .select(Seq(col("__ts"), col("__side"), col(key)) ++
+          leftCols.filterNot(_ == key).map(col) :+
+          lit(null).cast(rStructType).as("__r"): _*)
+        .unionByName(rightOne
+          .select(Seq(col("__ts"), col("__side"), col(key)) ++
+            leftCols.filterNot(_ == key)
+              .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+            col("__r"): _*))
+    // right sorts before an equal-ts left row, so the exact-match case
+    // lands in the BACKWARD carry (and wins every tie by the rule above)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val matched = tagged
+      .withColumn("__back", last(col("__r"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .where(col("__side") === 1)
+      .withColumn("__db",
+        col("__ts").cast("long") - col("__back.__rts").cast("long"))
+      .withColumn("__df",
+        col("__fwd.__rts").cast("long") - col("__ts").cast("long"))
+      .withColumn("__m",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(col("__df") < col("__db"), col("__fwd"))
+          .otherwise(col("__back")))
+      .where(col("__m").isNotNull)
+      .withColumn("__dt",
+        col("__m.__rts").cast("long") - col("__ts").cast("long"))
+    val bounded = toleranceSec match {
+      case Some(tol) =>
+        require(tol >= 0, s"toleranceSec must be ≥ 0: $tol")
+        matched.where(abs(col("__dt")) <= tol)
+      case None => matched
+    }
+    bounded.select(leftCols.map(col) ++
+      rightValCols.map(c => col(s"__m.$c").as(s"$prefix$c")) :+
+      col("__dt").as(s"${prefix}dt_sec"): _*)
+  }
+
   /** Range join (`lo ≤ leftVal < hi`) accelerated by binning: both sides map
     * to fixed-width bins (ranges explode to every bin they cover, values to
     * the one bin containing them), the join becomes an equi-join on the bin

@@ -142,4 +142,28 @@ class JoinsSpec extends AnyFunSuite {
     assert(Joins.intervalOverlapJoin(l, r, "a_s", "a_e", "b_s", "b_e",
       binWidth = 100.0).count() === 1)
   }
+
+  test("nearestJoin: closer side wins, ties go backward, tolerance drops") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, "u1", ts(100)),  // back at 90 (d 10), fwd at 130 (d 30) -> back
+      (2L, "u1", ts(120)),  // back at 90 (d 30), fwd at 130 (d 10) -> fwd
+      (3L, "u1", ts(110)),  // tie: 90 (d 20) vs 130 (d 20) -> EARLIER (90)
+      (4L, "u2", ts(500)),  // only match at 9000 -> out of tolerance
+      (5L, "u3", ts(50)))   // no right rows for u3 at all
+      .toDF("id", "k", "lts")
+    val right = Seq(
+      ("u1", ts(90), 901L), ("u1", ts(90), 900L), // equal-ts: min id wins
+      ("u1", ts(130), 913L),
+      ("u2", ts(9000), 990L))
+      .toDF("k", "rts", "rid")
+    val got = Joins.nearestJoin(left, right, "k", "lts", "rts",
+        Seq("rid"), toleranceSec = Some(1000L))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nearest_rid"),
+        r.getAs[Long]("nearest_dt_sec"))).toSeq
+    assert(got === Seq(
+      (1L, 900L, -10L), (2L, 913L, 10L), (3L, 900L, -20L)))
+  }
 }

@@ -341,4 +341,45 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("category").collect().map(_.toSeq)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming SFT ingest: validate -> flatten -> exactly-once Delta sink") {
+    import spark.implicits._
+    import graft.operators.Chats
+    import graft.sources.{DeltaExport, DeltaRead}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chat-stream")
+    val src = s"$tmp/src"
+    Seq(
+      (1L, """[{"role":"user","content":"hi"},""" +
+        """{"role":"assistant","content":"hello"}]"""),
+      (2L, """[{"role":"user","content":"a"},{"role":"user",""" +
+        """"content":"b"},{"role":"assistant","content":"c"}]"""),
+      (3L, """[{"role":"system","content":"s"},{"role":"user",""" +
+        """"content":"q"},{"role":"assistant","content":"a"}]"""),
+      (4L, "not json"))
+      .toDF("conv_id", "conv").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val table = s"$tmp/delta"
+    def run(chk: String): Unit = {
+      val stream = spark.readStream
+        .schema("conv_id LONG, conv STRING").parquet(src)
+      val cleaned = Chats.flatten(
+        Chats.validChats(stream, "conv_id", "conv"), "conv_id", "conv")
+      val q = cleaned.writeStream
+        .foreachBatch(DeltaExport.foreachBatchSink(table, appId = "chat-sft"))
+        .option("checkpointLocation", chk)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(s"$tmp/chk")
+    val got = DeltaRead.read(spark, table).orderBy("conv_id").collect()
+    // 2 fails alternation, 4 is unparseable
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(got(0).getString(1) === "<|user|>hi\n<|assistant|>hello")
+    assert(got(1).getString(1) ===
+      "<|system|>s\n<|user|>q\n<|assistant|>a")
+    // replay from a FRESH checkpoint, same appId: the txn action makes
+    // the re-delivered batch 0 a no-op — exactly-once without coordination
+    run(s"$tmp/chk2")
+    assert(DeltaRead.read(spark, table).count() === 2)
+  }
 }
