@@ -64,6 +64,15 @@ object Oracles {
       "coalesce(array_to_string(list_slice(ts, 17, 24), ' '), '') AS s3, " +
       "coalesce(array_to_string(list_slice(ts, 25, 32), ' '), '') AS s4 FROM docs)"
 
+  /** q271/q272's privacy frame (mirrors TestQueries.privacyFrame):
+    * (quasi=(event_type, user bucket), sensitive=floor(value) mod 7)
+    * collapsed to per-cell counts.
+    */
+  private val privacyCtes =
+    "cells AS (SELECT event_type, user_id % 20 AS ubucket, " +
+      "CAST(CAST(floor(value) AS BIGINT) % 7 AS INT) AS sv, " +
+      "count(*) AS n FROM events GROUP BY 1, 2, 3)"
+
   /** q265/q266's preference corpus (mirrors TestQueries.prefCorpus):
     * chosen = first 16 + (doc_id % 5)·4 tokens, rejected = tokens 9..28,
     * identical pairs planted at doc_id % 11 == 0; ct/rt are the pair's
@@ -4307,6 +4316,38 @@ object Oracles {
         "CAST(max(p) + 1 AS BIGINT) AS span_end, " +
         "CAST(count(*) AS BIGINT) AS n_tokens " +
         "FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+
+    // l-diversity: distinct sensitive values per quasi class, rollup.
+    "q271_l_diversity" ->
+      (s"WITH $privacyCtes, " +
+        "cl AS (SELECT event_type, ubucket, sum(n) AS sz, " +
+        "count(*) AS div FROM cells GROUP BY 1, 2) " +
+        "SELECT CAST(sum(sz) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST(min(div) AS BIGINT) AS min_diversity, " +
+        "CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS classes_below_l, " +
+        "CAST(sum(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT) " +
+        "AS rows_below_l, " +
+        "round(CAST(sum(CASE WHEN div < 3 THEN sz ELSE 0 END) AS DOUBLE) " +
+        "/ sum(sz), 6) AS at_risk_share FROM cl"),
+
+    // t-closeness: per-class TVD vs the corpus distribution, the absent
+    // -value mass in closed form ((1 - sum present p_g) / 2 term).
+    "q272_t_closeness" ->
+      (s"WITH $privacyCtes, " +
+        "tt AS (SELECT sum(n) AS t FROM cells), " +
+        "gd AS (SELECT sv, sum(n) AS gn FROM cells GROUP BY 1), " +
+        "cl AS (SELECT event_type, ubucket, sum(n) AS sz FROM cells " +
+        "GROUP BY 1, 2), " +
+        "term AS (SELECT c.event_type, c.ubucket, cl.sz, " +
+        "abs(CAST(c.n AS DOUBLE) / cl.sz - CAST(g.gn AS DOUBLE) / tt.t) " +
+        "AS ad, CAST(g.gn AS DOUBLE) / tt.t AS pg " +
+        "FROM cells c JOIN cl USING (event_type, ubucket) " +
+        "JOIN gd g USING (sv), tt) " +
+        "SELECT event_type, ubucket, CAST(max(sz) AS BIGINT) AS n, " +
+        "round((sum(ad) + (1 - sum(pg))) / 2, 6) AS t " +
+        "FROM term GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // Nearest join: the inequality-join argmin with the engine's exact
     // tie order (abs distance, then earlier rts; equal-ts views reduced

@@ -3928,6 +3928,36 @@ object TestQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The q271/q272 privacy frame: quasi-identifiers (event_type, user
+    * bucket), sensitive attribute = floor(value) mod 7.
+    */
+  private def privacyFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir).select(col("event_type"),
+      (col("user_id") % 20).as("ubucket"),
+      (floor(col("value")) % 7).cast("int").as("sv"))
+
+  /** l-diversity audit ([[operators.Stats.lDiversity]]): distinct
+    * sensitive values per quasi-identifier class, corpus rollup —
+    * replayed class-for-class by DuckDB.
+    */
+  def q271LDiversity(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.lDiversity(privacyFrame(s, dir),
+        Seq("event_type", "ubucket"), "sv", l = 3)
+      .select(col("n_rows"), col("n_classes"), col("min_diversity"),
+        col("classes_below_l"), col("rows_below_l"),
+        round(col("at_risk_share"), 6).as("at_risk_share"))
+
+  /** t-closeness audit ([[operators.Stats.tCloseness]]): per-class total
+    * variation against the corpus sensitive-value distribution, absent
+    * values handled closed-form — replayed term-for-term.
+    */
+  def q272TCloseness(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.tCloseness(privacyFrame(s, dir),
+        Seq("event_type", "ubucket"), "sv")
+      .select(col("event_type"), col("ubucket"), col("n"),
+        round(col("t"), 6).as("t"))
+      .orderBy("event_type", "ubucket")
+
   /** Nearest join ([[operators.Joins.nearestJoin]]): each purchase
     * matched to the user's temporally CLOSEST view within ±2 h — ties to
     * the earlier view, equal-timestamp views reduced to min event_id.
@@ -4299,6 +4329,8 @@ object TestQueries {
     "q268_pii_scan" -> (q268PiiScan _),
     "q269_mask_spans" -> (q269MaskSpans _),
     "q270_nearest_join" -> (q270NearestJoin _),
+    "q271_l_diversity" -> (q271LDiversity _),
+    "q272_t_closeness" -> (q272TCloseness _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

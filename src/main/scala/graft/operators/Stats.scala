@@ -490,6 +490,76 @@ object Stats {
         col("rows_below_k") / col("n_rows").cast("double"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — [[kAnonymity]]'s
+    * necessary companion: a class can be large (k-anonymous) yet carry
+    * ONE sensitive value, so membership alone discloses it (the
+    * homogeneity attack). Per equivalence class over `quasiCols`, count
+    * DISTINCT `sensitiveCol` values; report the corpus rollup. Returns
+    * ONE row: (n_rows, n_classes, min_diversity, classes_below_l,
+    * rows_below_l, at_risk_share).
+    *
+    * One (quasi, sensitive)-keyed aggregate collapses rows, a class-keyed
+    * aggregate counts values, a scalar rollup finishes — nothing
+    * row-scale moves twice.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be at least 2: $l")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__n").as("__sz"), count(lit(1)).as("__div"))
+      .agg(
+        sum("__sz").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("__div").as("min_diversity"),
+        sum(when(col("__div") < l, 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("__div") < l, col("__sz")).otherwise(0L))
+          .as("rows_below_l"))
+      .withColumn("at_risk_share",
+        col("rows_below_l") / col("n_rows").cast("double"))
+  }
+
+  /** t-closeness audit (Li et al. 2007) — the third of the disclosure
+    * trio: diversity can be high yet SKEWED (99 % of a class shares one
+    * sensitive value), so per class this measures the distance between
+    * the class's sensitive-value distribution and the corpus-wide one.
+    * For categorical sensitive attributes the distance is total
+    * variation, t = ½·Σ|p_class − p_global| (the standard categorical
+    * ground distance). Returns one row per equivalence class:
+    * (quasiCols…, n, t) — filter `t > threshold` for the violating
+    * classes, or aggregate max(t) for the release gate.
+    *
+    * Shape: one (quasi, sensitive) aggregate; global shares are a
+    * |domain(sensitive)|-row broadcast; the per-class Σ is class-keyed.
+    * The |ΔP| sum must include sensitive values ABSENT from a class
+    * (they contribute p_global each) — handled in closed form: over the
+    * present values Σ|p_c − p_g| plus (1 − Σ_present p_g) for the absent
+    * mass, never a class × domain cross join.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds global shares AND per-class terms
+    val tot = cells.agg(sum("__n").as("__tot"))
+    val glob = cells.groupBy(col(sensitiveCol))
+      .agg(sum("__n").as("__gn"))
+      .crossJoin(broadcast(tot))
+      .select(col(sensitiveCol), (col("__gn") / col("__tot")).as("__pg"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    cells
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .withColumn("__sz", sum("__n").over(w))
+      .withColumn("__pc", col("__n") / col("__sz"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max("__sz").cast("long").as("n"),
+        ((sum(abs(col("__pc") - col("__pg"))) +
+          (lit(1.0) - sum("__pg"))) / 2).as("t"))
+  }
+
   /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018):
     * from a CALIBRATION slice's absolute residuals |y − ŷ|, the
     * order-statistic quantile q̂ at rank k = ⌈(n+1)(1−α)⌉ gives the

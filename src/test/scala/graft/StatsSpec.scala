@@ -226,6 +226,40 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("at_risk_share"), 3.0 / 8))
   }
 
+  test("lDiversity: homogeneous classes flagged even when k-anonymous") {
+    // class A: 4 rows, ONE sensitive value (k-safe, l-unsafe);
+    // class B: 3 rows, 3 values; class C: 2 rows, 2 values
+    val rows = (Seq.fill(4)(("A", "x")) ++
+      Seq(("B", "x"), ("B", "y"), ("B", "z"), ("C", "x"), ("C", "y")))
+      .zipWithIndex.map { case ((q, sv), i) => (q, sv, i) }
+      .toDF("q", "sv", "id")
+    val r = Stats.lDiversity(rows, Seq("q"), "sv", l = 2).head()
+    assert(r.getAs[Long]("n_rows") === 9L)
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("min_diversity") === 1L)
+    assert(r.getAs[Long]("classes_below_l") === 1L)
+    assert(r.getAs[Long]("rows_below_l") === 4L)
+    assert(d(r.getAs[Double]("at_risk_share"), 4.0 / 9))
+  }
+
+  test("tCloseness: per-class TVD incl. values absent from the class") {
+    // global: x 6/9, y 2/9, z 1/9
+    val rows = (Seq.fill(4)(("A", "x")) ++
+      Seq(("B", "x"), ("B", "y"), ("B", "z"), ("C", "x"), ("C", "y")))
+      .zipWithIndex.map { case ((q, sv), i) => (q, sv, i) }
+      .toDF("q", "sv", "id")
+    val got = Stats.tCloseness(rows, Seq("q"), "sv")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("t"))).toMap
+    // A = all-x: ½(|1−6/9| + |0−2/9| + |0−1/9|) = ½(3/9+2/9+1/9) = 1/3
+    assert(got("A")._1 === 4L)
+    assert(d(got("A")._2, 1.0 / 3))
+    // B = (1/3,1/3,1/3): ½(|1/3−6/9| + |1/3−2/9| + |1/3−1/9|) = 1/3
+    assert(d(got("B")._2, 0.5 * (3.0 / 9 + 1.0 / 9 + 2.0 / 9)))
+    // C = (1/2,1/2,0): ½(|1/2−6/9| + |1/2−2/9| + 1/9)
+    assert(d(got("C")._2, 0.5 * (1.0 / 6 + 5.0 / 18 + 1.0 / 9)))
+  }
+
   test("ksTest: sup ECDF gap and Kolmogorov p against the closed form") {
     val rows = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
       (3.0, "b"), (4.0, "b"), (5.0, "b")).toDF("v", "g")
