@@ -64,6 +64,24 @@ object Oracles {
       "coalesce(array_to_string(list_slice(ts, 17, 24), ' '), '') AS s3, " +
       "coalesce(array_to_string(list_slice(ts, 25, 32), ' '), '') AS s4 FROM docs)"
 
+  /** Exact top-3 cosine pair CTE at a given embedding expression (the
+    * q39 formulation, parameterized for q273's truncation widths).
+    */
+  private def topkPairsCte(name: String, expr: String): String =
+    s"$name AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, " +
+      "nbr_id) AS rnk FROM (SELECT q.qid AS query_id, c.nid AS nbr_id, " +
+      "list_sum(list_transform(list_zip(qv, cv), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+      "(sqrt(list_sum(list_transform(qv, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      "sqrt(list_sum(list_transform(cv, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+      s"FROM (SELECT vec_id AS qid, $expr AS qv FROM embeddings " +
+      "WHERE vec_id <= 20) q, " +
+      s"(SELECT vec_id AS nid, $expr AS cv FROM embeddings) c " +
+      "WHERE q.qid <> c.nid)) WHERE rnk <= 3)"
+
   /** q271/q272's privacy frame (mirrors TestQueries.privacyFrame):
     * (quasi=(event_type, user bucket), sensitive=floor(value) mod 7)
     * collapsed to per-cell counts.
@@ -4348,6 +4366,23 @@ object Oracles {
         "SELECT event_type, ubucket, CAST(max(sz) AS BIGINT) AS n, " +
         "round((sum(ad) + (1 - sum(pg))) / 2, 6) AS t " +
         "FROM term GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Matryoshka truncation recall: full-width truth and each truncated
+    // top-3 replayed exactly (sliced-list cosine, q39 tie order).
+    "q273_truncation_recall" ->
+      ("WITH " + topkPairsCte("tr", "embedding") + ", " +
+        Seq(48, 32, 16).map(d =>
+          topkPairsCte(s"h$d", s"list_slice(embedding, 1, $d)"))
+          .mkString(", ") + " " +
+        "SELECT dim, n_truth, n_hits, " +
+        "round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall FROM (" +
+        Seq(48, 32, 16).map(d =>
+          s"SELECT CAST($d AS INT) AS dim, " +
+            "(SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth, " +
+            s"(SELECT CAST(count(*) AS BIGINT) FROM h$d x SEMI JOIN tr t " +
+            "ON x.query_id = t.query_id AND x.nbr_id = t.nbr_id) AS n_hits")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY dim"),
 
     // Nearest join: the inequality-join argmin with the engine's exact
     // tie order (abs distance, then earlier rts; equal-ts views reduced

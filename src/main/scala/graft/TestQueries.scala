@@ -3958,6 +3958,22 @@ object TestQueries {
         round(col("t"), 6).as("t"))
       .orderBy("event_type", "ubucket")
 
+  /** Matryoshka truncation audit
+    * ([[operators.Similarity.truncationRecall]]): top-3 recall of 48/32/
+    * 16-dim prefix truncations vs the full 64-dim truth — every top-k on
+    * both sides replayed exactly by DuckDB (sliced-list cosine + the q39
+    * tie order), so the recall numbers hash-match.
+    */
+  def q273TruncationRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadEmbeddings(s, dir)
+    operators.Similarity.truncationRecall(emb,
+        emb.where(col("vec_id") <= 20), "vec_id", "embedding",
+        dims = Seq(48, 32, 16), k = 3)
+      .select(col("dim"), col("n_truth"), col("n_hits"),
+        round(col("recall"), 6).as("recall"))
+      .orderBy("dim")
+  }
+
   /** Nearest join ([[operators.Joins.nearestJoin]]): each purchase
     * matched to the user's temporally CLOSEST view within ±2 h — ties to
     * the earlier view, equal-timestamp views reduced to min event_id.
@@ -4331,6 +4347,7 @@ object TestQueries {
     "q270_nearest_join" -> (q270NearestJoin _),
     "q271_l_diversity" -> (q271LDiversity _),
     "q272_t_closeness" -> (q272TCloseness _),
+    "q273_truncation_recall" -> (q273TruncationRecall _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -106,6 +106,38 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /** Matryoshka truncation audit: top-k recall of PREFIX-truncated
+    * embeddings against the full-dimension truth, one row per candidate
+    * width — the "can we store 16 of the 64 dims" sizing table. MRL-style
+    * models (Kusupati et al. 2022) front-load information into leading
+    * dimensions, so prefix truncation is the natural probe; for non-MRL
+    * embeddings the same audit quantifies what a blind truncation loses.
+    * Cost: one exact top-k per width over the given query set (bounded —
+    * audits run on a query sample, not the corpus). Returns
+    * (dim, n_truth, n_hits, recall).
+    */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation width")
+    require(dims.forall(_ >= 1), s"widths must be ≥ 1: $dims")
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nbr_id"))
+      .localCheckpoint() // joined once per width
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    dims.map { d =>
+      def trunc(df: DataFrame) =
+        df.withColumn(vecCol, slice(col(vecCol), 1, d))
+      bruteForceTopK(trunc(corpus), trunc(queries), idCol, vecCol, k)
+        .select(col("query_id"), col("nbr_id"))
+        .join(truth, Seq("query_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(nTruth)
+        .select(lit(d).as("dim"), col("n_truth"), col("n_hits"),
+          (col("n_hits") / col("n_truth")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Mutual (reciprocal) k-nearest-neighbor filter over ANY neighbor table
     * shaped (query_id, nbr_id, cos, rank) — keep only pairs where EACH
     * side ranks the other in its own top-k. Mutuality is the classic
