@@ -1075,15 +1075,21 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     windowTokens: Int = 20): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be ≥ 2: $windowTokens")
-    val dupWins = windowHashes(df, idCol, textCol, windowTokens)
+    val occ = windowHashes(df, idCol, textCol, windowTokens)
       .withColumn("__occ", struct(col("__id"), col("__start")))
-      .groupBy("__wh")
-      .agg(count(lit(1)).as("__n"), min("__occ").as("__first"),
-        collect_list("__occ").as("__occs"))
+    // join formulation, NOT collect_list-per-hash: a boilerplate window
+    // repeated in 10⁶ docs would otherwise build one 10⁶-element array
+    // on a single hot key. The firsts table is duplicated-hash-sized and
+    // min/count aggregate with map-side partials; the equi-join back
+    // shares the wh-shuffle with the aggregate (ReusedExchange), so the
+    // formulation costs one extra compact-row join, never a giant array.
+    val firsts = occ.groupBy("__wh")
+      .agg(count(lit(1)).as("__n"), min("__occ").as("__first"))
       .where(col("__n") > 1)
-      .select(explode(col("__occs")).as("__occ"), col("__first"))
+      .select("__wh", "__first")
+    val dupWins = occ.join(firsts, "__wh")
       .where(col("__occ") =!= col("__first"))
-      .select(col("__occ.__id").as("__id"), col("__occ.__start").as("__start"))
+      .select(col("__id"), col("__start"))
     spansFromWindows(dupWins, idCol, windowTokens)
   }
 

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   * column). With duplicate keys the within-partition frame order among
   * ties — and hence every inclusive running value on tied rows — is
   * nondeterministic, exactly as it is under a plain unpartitioned window.
+  *
+  * The per-partition-offsets side and the per-row side both read the one
+  * range exchange — ReusedExchange (on by default, AQE included) makes
+  * that literal: one shuffle, one set of partition boundaries. (Range
+  * boundaries come from sampling, so two INDEPENDENT exchanges of the
+  * same data need not agree — don't disable `spark.sql.exchange.reuse`
+  * around this helper.)
   */
 object Ranks {
 
