@@ -4367,6 +4367,48 @@ object Oracles {
         "round((sum(ad) + (1 - sum(pg))) / 2, 6) AS t " +
         "FROM term GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // Dataset card: token/char totals, exact median (quantile_cont ==
+    // Spark percentile), md5-distinct dup pressure — unpivoted tall.
+    "q275_corpus_card" ->
+      ("WITH layered AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 20000, text FROM documents " +
+        "WHERE doc_id % 9 = 0), " +
+        "per AS (SELECT len(list_filter(string_split(" +
+        "coalesce(text, ''), ' '), x -> len(x) > 0)) AS tk, " +
+        "len(coalesce(text, '')) AS ch, md5(coalesce(text, '')) AS h " +
+        "FROM layered), " +
+        "a AS (SELECT count(*) AS n_docs, " +
+        "sum(CASE WHEN tk = 0 THEN 1 ELSE 0 END) AS n_empty, " +
+        "sum(tk) AS total_tokens, avg(tk) AS mean_tokens, " +
+        "quantile_cont(tk, 0.5) AS p50_tokens, sum(ch) AS total_chars, " +
+        "count(DISTINCT h) AS dh FROM per) " +
+        "SELECT metric, round(value, 6) AS value FROM (" +
+        "SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a " +
+        "UNION ALL SELECT 'n_empty', CAST(n_empty AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'mean_tokens', mean_tokens FROM a " +
+        "UNION ALL SELECT 'p50_tokens', p50_tokens FROM a " +
+        "UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'exact_dup_excess', " +
+        "CAST(n_docs - dh AS DOUBLE) FROM a " +
+        "UNION ALL SELECT 'exact_dup_share', " +
+        "CAST(n_docs - dh AS DOUBLE) / n_docs FROM a) " +
+        "ORDER BY metric"),
+
+    // Hot-key diagnostic: per-key counts, top-10 cut, shares and the
+    // mean-normalized skew factor.
+    "q274_key_skew" ->
+      ("WITH per AS (SELECT user_id % 137 AS ubucket, count(*) AS n " +
+        "FROM events GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS rows_, count(*) AS n_keys FROM per), " +
+        "top AS (SELECT ubucket, n, row_number() OVER " +
+        "(ORDER BY n DESC, ubucket) AS rnk FROM per) " +
+        "SELECT ubucket, CAST(n AS BIGINT) AS n, " +
+        "round(CAST(n AS DOUBLE) / rows_, 6) AS share, " +
+        "CAST(rnk AS INT) AS \"rank\", CAST(n_keys AS BIGINT) AS n_keys, " +
+        "round(CAST(n AS DOUBLE) * n_keys / rows_, 6) AS skew_factor " +
+        "FROM top, t WHERE rnk <= 10 ORDER BY rnk"),
+
     // Matryoshka truncation recall: full-width truth and each truncated
     // top-3 replayed exactly (sliced-list cosine, q39 tie order).
     "q273_truncation_recall" ->

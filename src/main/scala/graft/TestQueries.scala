@@ -3958,6 +3958,34 @@ object TestQueries {
         round(col("t"), 6).as("t"))
       .orderBy("event_type", "ubucket")
 
+  /** Dataset card ([[operators.Quality.corpusCard]]) over documents plus
+    * a planted exact-dup layer (every doc_id % 9 == 0 text re-appears
+    * once) — every metric row replayed closed-form.
+    */
+  def q275CorpusCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val layered = docs.unionByName(
+      docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    operators.Quality.corpusCard(layered, "doc_id", "text")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy("metric")
+  }
+
+  /** Hot-key diagnostic ([[operators.Quality.keySkew]]): the 10 heaviest
+    * user buckets of the event stream with shares and skew factors —
+    * counts, ranks and the mean-normalized factor replayed exactly.
+    */
+  def q274KeySkew(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.keySkew(
+        Tables.loadEvents(s, dir)
+          .select((col("user_id") % 137).as("ubucket")),
+        Seq("ubucket"), topN = 10)
+      .select(col("ubucket"), col("n"), round(col("share"), 6).as("share"),
+        col("rank"), col("n_keys"),
+        round(col("skew_factor"), 6).as("skew_factor"))
+      .orderBy("rank")
+
   /** Matryoshka truncation audit
     * ([[operators.Similarity.truncationRecall]]): top-3 recall of 48/32/
     * 16-dim prefix truncations vs the full 64-dim truth — every top-k on
@@ -4348,6 +4376,8 @@ object TestQueries {
     "q271_l_diversity" -> (q271LDiversity _),
     "q272_t_closeness" -> (q272TCloseness _),
     "q273_truncation_recall" -> (q273TruncationRecall _),
+    "q274_key_skew" -> (q274KeySkew _),
+    "q275_corpus_card" -> (q275CorpusCard _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1011,6 +1011,75 @@ object Quality {
     (s"${c}_unique", count(lit(1)).over(Window.partitionBy(c)) === 1)
   }
 
+  /** Pre-join hot-key diagnostic — the measurement behind every
+    * salt-or-not decision ([[Joins.saltedJoin]]'s sizing input): per-key
+    * row counts for the heaviest `topN` keys, each with its corpus
+    * share, rank, and skew factor (count / mean-count — AQE handles
+    * skew factors in the tens, explicit salting is for the hundreds).
+    * ONE key aggregate (map-side partials) + TakeOrdered of N rows +
+    * two broadcast scalars; nothing row-scale moves twice. Returns
+    * (keyCols…, n, share, rank, n_keys, skew_factor).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String],
+              topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(topN >= 1, s"topN must be ≥ 1: $topN")
+    val per = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // totals + the top-N cut share it
+    val tot = per.agg(sum("n").as("__rows"), count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n").desc +: keyCols.map(col): _*)
+    per.orderBy(col("n").desc +: keyCols.map(col): _*).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        (col("n") / col("__rows").cast("double")).as("share"),
+        col("rank"), col("n_keys"),
+        (col("n") * col("n_keys") / col("__rows").cast("double"))
+          .as("skew_factor")): _*)
+  }
+
+  /** One-call dataset card — the tall (metric, value) summary a corpus
+    * release ships with: row/empty counts, token totals and central
+    * tendency (mean + exact median), character volume, and exact-
+    * duplicate pressure (md5-distinct texts vs rows). Two bounded jobs:
+    * one scan-side aggregate over per-doc token/char counts (the median
+    * via `percentile` — a corpus-card runs occasionally, exactness beats
+    * the sketch here) and one digest-keyed distinct count. Compose with
+    * [[duplicationSpectrum]] / [[piiScan]] / [[gopherRules]] for the
+    * full card; this row set is the header every card starts with.
+    */
+  def corpusCard(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = size(filter(split(t, " "), w => length(w) > 0)).cast("long")
+    val agg = df.select(toks.as("__tk"), length(t).cast("long").as("__ch"),
+        md5(t).as("__h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tk") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum("__tk").as("total_tokens"),
+        avg("__tk").as("mean_tokens"),
+        expr("percentile(__tk, 0.5)").as("p50_tokens"),
+        sum("__ch").as("total_chars"),
+        count_distinct(col("__h")).as("__distinct"))
+    agg.select(explode(array(
+      struct(lit("n_docs").as("metric"),
+        col("n_docs").cast("double").as("value")),
+      struct(lit("n_empty").as("metric"),
+        col("n_empty").cast("double").as("value")),
+      struct(lit("total_tokens").as("metric"),
+        col("total_tokens").cast("double").as("value")),
+      struct(lit("mean_tokens").as("metric"), col("mean_tokens").as("value")),
+      struct(lit("p50_tokens").as("metric"), col("p50_tokens").as("value")),
+      struct(lit("total_chars").as("metric"),
+        col("total_chars").cast("double").as("value")),
+      struct(lit("exact_dup_excess").as("metric"),
+        (col("n_docs") - col("__distinct")).cast("double").as("value")),
+      struct(lit("exact_dup_share").as("metric"),
+        ((col("n_docs") - col("__distinct")) /
+          col("n_docs").cast("double")).as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+
   /** Per-document PII census — the release/scrub-planning scan that runs
     * BEFORE [[graft.functions.Text.redactPii]] rewrites anything: counts
     * per pattern family, with card candidates additionally gated by the

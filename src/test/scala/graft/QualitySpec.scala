@@ -663,4 +663,36 @@ class QualitySpec extends AnyFunSuite {
       d2.getAs[Long]("n_langs") === 1L)
     assert(got(2).getAs[String]("top_lang") === "und")
   }
+
+  test("keySkew: top-N cut, shares, rank ties by key, skew factor") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 2, d: 1 (11 rows, 4 keys, mean 2.75)
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") :+
+      "d").zipWithIndex.toDF("k", "i")
+    val got = Quality.keySkew(rows, Seq("k"), topN = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[String]("k")).toSeq === Seq("a", "b", "c"))
+    assert(got(0).getAs[Long]("n") === 6L)
+    assert(math.abs(got(0).getAs[Double]("share") - 6.0 / 11) < 1e-12)
+    assert(got(0).getAs[Long]("n_keys") === 4L)
+    assert(math.abs(got(0).getAs[Double]("skew_factor") - 6.0 / 2.75) < 1e-12)
+    // tie between b and c resolves by key order
+    assert(got(1).getAs[Int]("rank") === 2 && got(2).getAs[Int]("rank") === 3)
+  }
+
+  test("corpusCard: hand-computed header metrics incl. dup pressure") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x"), (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Quality.corpusCard(rows, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") === 5.0)
+    assert(got("n_empty") === 2.0)          // "" and null
+    assert(got("total_tokens") === 7.0)
+    assert(got("p50_tokens") === 1.0)       // sorted 0,0,1,3,3
+    assert(got("total_chars") === 11.0)
+    assert(got("exact_dup_excess") === 2.0) // dup "a b c" + ""≡null digest
+    assert(math.abs(got("exact_dup_share") - 0.4) < 1e-12)
+  }
 }
