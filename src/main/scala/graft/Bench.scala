@@ -53,9 +53,14 @@ object Bench {
         val prevTimes = entry.findAllMatchIn(
           prev.substring(prev.indexOf("\"queries\""))).map(m =>
           m.group(1) -> m.group(2).toDouble).toMap
-        results.toSeq.collect {
-          case (k, v) if v > 0 && prevTimes.getOrElse(k, v) > 0 &&
-            v - prevTimes(k) >= 0.5 => (k, prevTimes(k), v)
+        // prevTimes.get, never getOrElse-then-apply: a query NEW this
+        // round has no prior entry, and one NoSuchElementException would
+        // blank the whole regressions block via the outer catch
+        results.toSeq.flatMap { case (k, v) =>
+          prevTimes.get(k) match {
+            case Some(p) if v > 0 && p > 0 && v - p >= 0.5 => Some((k, p, v))
+            case _ => None
+          }
         }.sortBy { case (_, p, v) => -(v / p) }.take(5)
       } catch { case _: Throwable => Nil }
     val regs = regressions.map { case (k, p, v) =>

@@ -4432,19 +4432,19 @@ object Oracles {
     // if the nearest is out of bounds, everything farther is too.
     "q270_nearest_join" ->
       ("WITH p AS (SELECT event_id, user_id, " +
-        "CAST(floor(epoch(ts)) AS BIGINT) AS lts FROM events " +
+        "epoch_us(ts) AS lts FROM events " +
         "WHERE event_type = 'purchase'), " +
-        "v0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS rts, " +
+        "v0 AS (SELECT user_id, epoch_us(ts) AS rts, " +
         "min(event_id) AS view_id FROM events WHERE event_type = 'view' " +
         "GROUP BY 1, 2), " +
         "j AS (SELECT p.event_id, p.user_id, v0.view_id, " +
         "v0.rts - p.lts AS dt, row_number() OVER (PARTITION BY p.event_id " +
         "ORDER BY abs(v0.rts - p.lts), v0.rts) AS rn " +
         "FROM p JOIN v0 USING (user_id) " +
-        "WHERE abs(v0.rts - p.lts) <= 7200) " +
+        "WHERE abs(v0.rts - p.lts) <= 7200 * CAST(1000000 AS BIGINT)) " +
         "SELECT event_id, user_id, view_id AS nearest_view_id, " +
-        "CAST(dt AS BIGINT) AS nearest_dt_sec FROM j WHERE rn = 1 " +
-        "ORDER BY event_id"),
+        "round(CAST(dt AS DOUBLE) / 1e6, 6) AS nearest_dt_sec " +
+        "FROM j WHERE rn = 1 ORDER BY event_id"),
 
     // PII census: the same RE2-safe pattern families (identical regex
     // text) plus the Luhn mod-10 checksum replayed with list algebra.

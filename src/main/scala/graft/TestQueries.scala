@@ -4016,7 +4016,7 @@ object TestQueries {
     operators.Joins.nearestJoin(purchases, views, "user_id", "ts", "ts",
         Seq("view_id"), toleranceSec = Some(7200L))
       .select(col("event_id"), col("user_id"), col("nearest_view_id"),
-        col("nearest_dt_sec"))
+        round(col("nearest_dt_sec"), 6).as("nearest_dt_sec"))
       .orderBy("event_id")
   }
 

@@ -55,16 +55,24 @@ object Chats {
                         jsonCol: String): DataFrame = {
     val bound = df.select(col(idCol), turns(col(jsonCol)).as("__turns"))
     val ts = col("__turns")
+    // legacy size(null) = -1 (ANSI off), so every null-array derivation
+    // must be guarded EXPLICITLY — unguarded roleN would report -1 users
+    // and the n_other algebra would invent 2 phantom other-role turns on
+    // every unparseable transcript
     val roleN = (r: String) =>
-      size(filter(ts, t => t.getField("role") === r)).cast("long")
+      when(ts.isNull, 0L)
+        .otherwise(size(filter(ts, t => t.getField("role") === r))
+          .cast("long"))
     bound.select(
       col(idCol),
       ts.isNotNull.as("parse_ok"),
-      coalesce(size(ts), lit(-1)).cast("long").as("n_turns"),
+      // -1 is the DOCUMENTED unparseable sentinel (vs 0 = empty array)
+      when(ts.isNull, -1L).otherwise(size(ts).cast("long")).as("n_turns"),
       roleN("user").as("n_user"),
       roleN("assistant").as("n_assistant"),
       roleN("system").as("n_system"),
-      (coalesce(size(ts), lit(0)) - roleN("user") - roleN("assistant") -
+      (when(ts.isNull, 0L).otherwise(size(ts).cast("long")) -
+        roleN("user") - roleN("assistant") -
         roleN("system")).cast("long").as("n_other"),
       coalesce(element_at(ts, 1).getField("role") === "user", lit(false))
         .as("starts_user"),

@@ -61,8 +61,8 @@ object Joins {
     * the carry running over the FOLLOWING frame; at equal timestamps the
     * left row sorts first so `ts ≤ ts` matches. `toleranceSec` drops
     * matches further than the bound (inner semantics, like kdb `wj`
-    * windows); it compares the two timestamp columns cast to epoch
-    * seconds.
+    * windows); it compares the two timestamp columns at microsecond
+    * precision.
     */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String,
@@ -90,8 +90,11 @@ object Joins {
       .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 0 && col("__match").isNotNull)
     val bounded = toleranceSec match {
+      // µs precision: epoch-second flooring would admit matches up to
+      // a second beyond the bound (same fix as nearestJoin)
       case Some(tol) => matched.where(
-        col("__match.__rts").cast("long") - col("__ts").cast("long") <= tol)
+        unix_micros(col("__match.__rts")) - unix_micros(col("__ts")) <=
+          tol * 1000000L)
       case None => matched
     }
     bounded.select(leftCols.map(col) ++
@@ -110,9 +113,11 @@ object Joins {
     * a single sorted window pass computing BOTH carries (backward `last`
     * and forward `first` share the sort), then per-row arithmetic picks
     * the closer side. No inequality join, no M:N blow-up. Inner
-    * semantics: left rows with no in-tolerance right row drop. Output:
-    * left columns + prefixed right values + `<prefix>dt_sec` (signed
-    * rightTs − leftTs seconds).
+    * semantics: left rows with no in-tolerance right row drop. All
+    * comparisons run at MICROSECOND precision (epoch-second flooring
+    * would invert closeness across second boundaries). Output: left
+    * columns + prefixed right values + `<prefix>dt_sec` (signed
+    * rightTs − leftTs in seconds, double, µs-exact).
     */
   def nearestJoin(left: DataFrame, right: DataFrame, key: String,
                   leftTs: String, rightTs: String,
@@ -146,10 +151,14 @@ object Joins {
       .withColumn("__fwd", first(col("__r"), ignoreNulls = true)
         .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .where(col("__side") === 1)
+      // microsecond precision, NOT cast("long"): epoch-second flooring
+      // can invert which side is closer when fractional seconds straddle
+      // a boundary (left 100.2s, back 99.9s, fwd 100.9s: floored dt 1 vs
+      // 0 picks the farther row) — and the testdata carries sub-second ts
       .withColumn("__db",
-        col("__ts").cast("long") - col("__back.__rts").cast("long"))
+        unix_micros(col("__ts")) - unix_micros(col("__back.__rts")))
       .withColumn("__df",
-        col("__fwd.__rts").cast("long") - col("__ts").cast("long"))
+        unix_micros(col("__fwd.__rts")) - unix_micros(col("__ts")))
       .withColumn("__m",
         when(col("__back").isNull, col("__fwd"))
           .when(col("__fwd").isNull, col("__back"))
@@ -157,16 +166,16 @@ object Joins {
           .otherwise(col("__back")))
       .where(col("__m").isNotNull)
       .withColumn("__dt",
-        col("__m.__rts").cast("long") - col("__ts").cast("long"))
+        unix_micros(col("__m.__rts")) - unix_micros(col("__ts")))
     val bounded = toleranceSec match {
       case Some(tol) =>
         require(tol >= 0, s"toleranceSec must be ≥ 0: $tol")
-        matched.where(abs(col("__dt")) <= tol)
+        matched.where(abs(col("__dt")) <= tol * 1000000L)
       case None => matched
     }
     bounded.select(leftCols.map(col) ++
       rightValCols.map(c => col(s"__m.$c").as(s"$prefix$c")) :+
-      col("__dt").as(s"${prefix}dt_sec"): _*)
+      (col("__dt") / 1e6).as(s"${prefix}dt_sec"): _*)
   }
 
   /** Range join (`lo ≤ leftVal < hi`) accelerated by binning: both sides map

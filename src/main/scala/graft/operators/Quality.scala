@@ -1024,9 +1024,11 @@ object Quality {
               topN: Int = 10): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(topN >= 1, s"topN must be ≥ 1: $topN")
+    // unpinned: totals + top-N share the aggregate exchange via
+    // ReusedExchange; a localCheckpoint would pin a key-cardinality-
+    // sized block (near row scale for join keys) until session death
     val per = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // totals + the top-N cut share it
     val tot = per.agg(sum("n").as("__rows"), count(lit(1)).as("n_keys"))
     val w = Window.orderBy(col("n").desc +: keyCols.map(col): _*)
     per.orderBy(col("n").desc +: keyCols.map(col): _*).limit(topN)

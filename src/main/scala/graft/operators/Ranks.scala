@@ -74,6 +74,14 @@ object Ranks {
               rankCol: Option[String] = None,
               leadOrder: Option[(String, String)] = None): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
+    // the offsets side and the per-row side MUST read one physical range
+    // exchange (independent exchanges sample boundaries independently) —
+    // enforce the reuse conf instead of trusting a comment; silently
+    // wrong statistics are the worst failure mode this helper can have
+    require(df.sparkSession.conf
+        .get("spark.sql.exchange.reuse", "true").toBoolean,
+      "Ranks.running requires spark.sql.exchange.reuse=true: its offsets " +
+        "and row sides must observe identical range-partition boundaries")
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(PID, spark_partition_id())
     val sumAggs = sums.zipWithIndex.map { case ((in, _), k) =>

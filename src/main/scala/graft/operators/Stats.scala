@@ -541,17 +541,21 @@ object Stats {
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
-    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+    // null IS a sensitive value (lDiversity counts it as one) — coalesce
+    // to a sentinel BEFORE the join key, or the inner equi-join would
+    // silently drop every null-sv cell and the trio would disagree on
+    // the same frame
+    val sv = coalesce(col(sensitiveCol).cast("string"), lit("\u0000NULL"))
+    val cells = df.groupBy((quasiCols.map(col) :+ sv.as("__sv")): _*)
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint() // feeds global shares AND per-class terms
     val tot = cells.agg(sum("__n").as("__tot"))
-    val glob = cells.groupBy(col(sensitiveCol))
+    val glob = cells.groupBy(col("__sv"))
       .agg(sum("__n").as("__gn"))
       .crossJoin(broadcast(tot))
-      .select(col(sensitiveCol), (col("__gn") / col("__tot")).as("__pg"))
+      .select(col("__sv"), (col("__gn") / col("__tot")).as("__pg"))
     val w = Window.partitionBy(quasiCols.map(col): _*)
     cells
-      .join(broadcast(glob), Seq(sensitiveCol))
+      .join(broadcast(glob), Seq("__sv"))
       .withColumn("__sz", sum("__n").over(w))
       .withColumn("__pc", col("__n") / col("__sz"))
       .groupBy(quasiCols.map(col): _*)
@@ -584,9 +588,11 @@ object Stats {
     // null-safe flag: a null calibFlag row would fail BOTH `__calib` and
     // `!__calib` and silently vanish from the two slices (n_calib + n_eval
     // would stop reconciling to the input count) — null means eval
+    // NOT pinned: base is the row-scale input — a localCheckpoint here
+    // would hold the whole corpus in executor storage; the calib and
+    // eval branches each rescan instead (two scans beat a pinned corpus)
     val base = df.withColumn("__res", res)
       .withColumn("__calib", coalesce(calibFlag, lit(false)))
-      .localCheckpoint() // calibration quantile + eval coverage share it
     val per = base.where(col("__calib"))
       .groupBy(col("__res")).agg(count(lit(1)).as("__t"))
     val tot = per.agg(sum("__t").as("__n"))
@@ -890,7 +896,7 @@ object Stats {
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
-      .localCheckpoint() // feeds the ECDF pass and the totals
+    // unpinned for the same reason as ksTest (exchange reuse)
     val tot = per.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
       (max("__v") - min("__v")).as("__range"))
     Ranks.running(per, Seq(col("__v")),
@@ -1137,9 +1143,9 @@ object Stats {
     *
     * The distribution-shape sibling of [[mannWhitney]] (which only sees
     * location): did this vintage's quality-score DISTRIBUTION change, not
-    * just its median. Same bounded-value-domain contract as the whole
-    * rank family — counts collapse per distinct value (quantize continuous
-    * measures first), the window runs over distinct values only, and the
+    * just its median. Counts collapse per distinct value and the ECDF
+    * running sums are DISTRIBUTED ([[Ranks.running]] — continuous
+    * unique-valued columns shuffle instead of single-task sorting); the
     * final p-value series is a single one-row HOF over a 50-element
     * literal sequence. Returns ONE row: (n_a, n_b, d_stat, p_value).
     */
@@ -1150,7 +1156,9 @@ object Stats {
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
-      .localCheckpoint() // feeds both the ECDF pass and the totals
+    // no localCheckpoint: the totals side and the ECDF side share the
+    // aggregate exchange (ReusedExchange) — a pin here would hold a
+    // value-domain-sized block for the session on continuous columns
     val tot = per.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
     Ranks.running(per, Seq(col("__v")),
         sums = Seq("__ca" -> "__fa", "__cb" -> "__fb"))
@@ -1244,9 +1252,9 @@ object Stats {
     val per = df.groupBy(col(scoreCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__t"),
         sum(when(lbl, 1L).otherwise(0L)).as("__pos"))
+    // unpinned: the totals and the decile emit share the Ranks exchange
     val cum = Ranks.running(per, Seq(col("__v").desc),
         sums = Seq("__t" -> "__cum_rows", "__pos" -> "__cum_pos"))
-      .localCheckpoint() // feeds the decile emit + the totals
     val tot = cum.agg(max("__cum_rows").as("__n"),
       max("__cum_pos").as("__p"))
     // long/long division is double in Spark; floor-of-double is exact to

@@ -63,6 +63,11 @@ class ChatsSpec extends AnyFunSuite {
     assert(!b.getAs[Boolean]("parse_ok"))
     assert(b.getAs[Long]("n_turns") === -1L)
     assert(b.getAs[Long]("n_tokens") === 0L)
+    // role counts must be 0 on parse failure, not legacy size(null) = -1
+    // artifacts (and n_other must not invent phantom turns)
+    assert(b.getAs[Long]("n_user") === 0L)
+    assert(b.getAs[Long]("n_assistant") === 0L)
+    assert(b.getAs[Long]("n_other") === 0L)
   }
 
   test("validChats: only the well-formed transcripts survive") {

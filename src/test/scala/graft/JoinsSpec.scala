@@ -162,8 +162,8 @@ class JoinsSpec extends AnyFunSuite {
         Seq("rid"), toleranceSec = Some(1000L))
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getAs[Long]("nearest_rid"),
-        r.getAs[Long]("nearest_dt_sec"))).toSeq
+        r.getAs[Double]("nearest_dt_sec"))).toSeq
     assert(got === Seq(
-      (1L, 900L, -10L), (2L, 913L, 10L), (3L, 900L, -20L)))
+      (1L, 900L, -10.0), (2L, 913L, 10.0), (3L, 900L, -20.0)))
   }
 }

@@ -260,6 +260,23 @@ class StatsSpec extends AnyFunSuite {
     assert(d(got("C")._2, 0.5 * (1.0 / 6 + 5.0 / 18 + 1.0 / 9)))
   }
 
+  test("tCloseness: null is a sensitive value, not a dropped row") {
+    // class A: 2 null + 1 "x"; class B: 3 "x". global: null 2/6, x 4/6
+    val rows = Seq(("A", null), ("A", null), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "x"))
+      .zipWithIndex.map { case ((q, sv), i) => (q, sv, i) }
+      .toDF("q", "sv", "id")
+    val got = Stats.tCloseness(rows, Seq("q"), "sv")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("t"))).toMap
+    // no rows vanish: both classes present with FULL sizes
+    assert(got("A")._1 === 3L && got("B")._1 === 3L)
+    // A = (null 2/3, x 1/3): ½(|2/3−1/3| + |1/3−2/3|) = 1/3
+    assert(d(got("A")._2, 1.0 / 3))
+    // B = (x 1): ½(|1−2/3| + 1/3 absent-null mass) = 1/3
+    assert(d(got("B")._2, 1.0 / 3))
+  }
+
   test("ksTest: sup ECDF gap and Kolmogorov p against the closed form") {
     val rows = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
       (3.0, "b"), (4.0, "b"), (5.0, "b")).toDF("v", "g")
