@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   * warranted.
   */
 object Joins {
+
+  /** Comparable time value at the column's native best precision:
+    * timestamps → epoch MICROSECONDS (second-flooring can invert
+    * closeness and over-admit tolerances); numeric time columns pass
+    * through unchanged (the caller's units are the contract).
+    */
+  private def timeKey(c: Column, isTimestamp: Boolean): Column =
+    if (isTimestamp) unix_micros(c) else c.cast("long")
+
+  private def isTsType(df: DataFrame, colName: String): Boolean =
+    df.schema(colName).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
 
   /** As-of join: for each left row, the single right row with the greatest
     * `rightTs` ≤ `leftTs` within the same `key` (inner: left rows with no
@@ -89,12 +101,15 @@ object Joins {
     val matched = tagged
       .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 0 && col("__match").isNotNull)
+    val isTs = isTsType(right, rightTs)
+    val tolScale = if (isTs) 1000000L else 1L
     val bounded = toleranceSec match {
-      // µs precision: epoch-second flooring would admit matches up to
-      // a second beyond the bound (same fix as nearestJoin)
+      // µs precision on timestamps: epoch-second flooring would admit
+      // matches up to a second beyond the bound; numeric time columns
+      // compare in their own units (same rule as nearestJoin)
       case Some(tol) => matched.where(
-        unix_micros(col("__match.__rts")) - unix_micros(col("__ts")) <=
-          tol * 1000000L)
+        timeKey(col("__match.__rts"), isTs) - timeKey(col("__ts"), isTs) <=
+          tol * tolScale)
       case None => matched
     }
     bounded.select(leftCols.map(col) ++
@@ -125,6 +140,8 @@ object Joins {
                   prefix: String = "nearest_",
                   toleranceSec: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val isTs = isTsType(right, rightTs)
+    val tolScale = if (isTs) 1000000L else 1L
     val rStruct = struct(col(rightTs).as("__rts") +: rightValCols.map(col): _*)
     val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
     // one deterministic right row per (key, ts): the struct minimum —
@@ -151,14 +168,16 @@ object Joins {
       .withColumn("__fwd", first(col("__r"), ignoreNulls = true)
         .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .where(col("__side") === 1)
-      // microsecond precision, NOT cast("long"): epoch-second flooring
-      // can invert which side is closer when fractional seconds straddle
-      // a boundary (left 100.2s, back 99.9s, fwd 100.9s: floored dt 1 vs
-      // 0 picks the farther row) — and the testdata carries sub-second ts
+      // microsecond precision on timestamps, NOT cast("long"):
+      // epoch-second flooring can invert which side is closer when
+      // fractional seconds straddle a boundary (left 100.2s, back 99.9s,
+      // fwd 100.9s: floored dt 1 vs 0 picks the farther row) — and the
+      // testdata carries sub-second ts. Numeric time columns compare in
+      // their own units.
       .withColumn("__db",
-        unix_micros(col("__ts")) - unix_micros(col("__back.__rts")))
+        timeKey(col("__ts"), isTs) - timeKey(col("__back.__rts"), isTs))
       .withColumn("__df",
-        unix_micros(col("__fwd.__rts")) - unix_micros(col("__ts")))
+        timeKey(col("__fwd.__rts"), isTs) - timeKey(col("__ts"), isTs))
       .withColumn("__m",
         when(col("__back").isNull, col("__fwd"))
           .when(col("__fwd").isNull, col("__back"))
@@ -166,16 +185,16 @@ object Joins {
           .otherwise(col("__back")))
       .where(col("__m").isNotNull)
       .withColumn("__dt",
-        unix_micros(col("__m.__rts")) - unix_micros(col("__ts")))
+        timeKey(col("__m.__rts"), isTs) - timeKey(col("__ts"), isTs))
     val bounded = toleranceSec match {
       case Some(tol) =>
         require(tol >= 0, s"toleranceSec must be ≥ 0: $tol")
-        matched.where(abs(col("__dt")) <= tol * 1000000L)
+        matched.where(abs(col("__dt")) <= tol * tolScale)
       case None => matched
     }
     bounded.select(leftCols.map(col) ++
       rightValCols.map(c => col(s"__m.$c").as(s"$prefix$c")) :+
-      (col("__dt") / 1e6).as(s"${prefix}dt_sec"): _*)
+      (col("__dt") / tolScale.toDouble).as(s"${prefix}dt_sec"): _*)
   }
 
   /** Range join (`lo ≤ leftVal < hi`) accelerated by binning: both sides map
