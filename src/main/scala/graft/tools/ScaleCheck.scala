@@ -696,6 +696,21 @@ object ScaleCheck {
           spark.read.parquet(s"$dir/lineitem.parquet"),
           "l_quantity", "l_linestatus", "O", "F").count()
       },
+      "nearest_join" -> { dir =>
+        // union + one key shuffle + one sorted window pass (both carries)
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val l = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val r = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+        graft.operators.Joins.nearestJoin(l, r, "user_id", "ts", "ts",
+          Seq("vid"), toleranceSec = Some(7200L)).count()
+      },
+      "pii_scan" -> { dir =>
+        // regexp families + Luhn HOF, all scan-side
+        graft.operators.Quality.piiScan(docs(dir), "doc_id", "text")
+          .count()
+      },
       "chat_stats" -> { dir =>
         // pure scan-side HOF work over a from_json parse — linearity is
         // the absence of any shuffle at all
