@@ -4335,6 +4335,33 @@ object Oracles {
         "CAST(count(*) AS BIGINT) AS n_tokens " +
         "FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"),
 
+    // Oracle-anchored Poisson bootstrap: md5-hex uniforms (digit-parsed
+    // polynomial), Poisson(1) CDF thresholds, per-replicate weighted
+    // means, quantile_cont bounds — the full resample replayed.
+    "q192b_bootstrap_exact" ->
+      ("WITH r AS (SELECT event_id, CAST(value AS DOUBLE) AS x, " +
+        "unnest(generate_series(0, 99)) AS b FROM events), " +
+        "h AS (SELECT x, b, md5(CAST(event_id AS VARCHAR) || ':' || " +
+        "CAST(b AS VARCHAR)) AS k FROM r), " +
+        "u AS (SELECT x, b, (" +
+        (1 to 6).map(i =>
+          s"(CASE WHEN ascii(substr(k, $i, 1)) >= 97 THEN " +
+            s"ascii(substr(k, $i, 1)) - 87 ELSE " +
+            s"ascii(substr(k, $i, 1)) - 48 END) * ${math.pow(16.0, 6 - i)}")
+          .mkString(" + ") +
+        s" + 0.5) / ${math.pow(16.0, 6)} AS uu FROM h), " +
+        "w AS (SELECT x, b, CASE WHEN uu < exp(-1) THEN 0 " +
+        "WHEN uu < 2 * exp(-1) THEN 1 WHEN uu < 2.5 * exp(-1) THEN 2 " +
+        "WHEN uu < exp(-1) * (2.5 + 1.0/6) THEN 3 ELSE 4 END AS wt " +
+        "FROM u), " +
+        "m AS (SELECT b, sum(wt * x) / sum(wt) AS mb FROM w GROUP BY 1), " +
+        "base AS (SELECT avg(CAST(value AS DOUBLE)) AS mean FROM events) " +
+        "SELECT round(base.mean, 6) AS mean, " +
+        "round(quantile_cont(mb, 0.025), 6) AS ci_lo, " +
+        "round(quantile_cont(mb, 0.975), 6) AS ci_hi, " +
+        "CAST(count(*) AS INT) AS replicates FROM m, base " +
+        "GROUP BY base.mean"),
+
     // l-diversity: distinct sensitive values per quasi class, rollup.
     "q271_l_diversity" ->
       (s"WITH $privacyCtes, " +

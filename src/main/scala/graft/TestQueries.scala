@@ -2737,6 +2737,20 @@ object TestQueries {
         round(col("ci_lo"), 6).as("ci_lo"),
         round(col("ci_hi"), 6).as("ci_hi"), col("replicates"))
 
+  /** Oracle-anchored Poisson bootstrap
+    * ([[operators.Stats.bootstrapMeanCIExact]]): md5-hex-digit uniforms
+    * make the whole resample — weights, replicate means, interpolated
+    * percentile bounds — replay digit-for-digit in DuckDB. The xxhash64
+    * production variant (q192) keeps its rows-only check; this anchors
+    * the machinery.
+    */
+  def q192bBootstrapExact(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.bootstrapMeanCIExact(t(s, dir, "events"), "event_id",
+        "value", replicates = 100)
+      .select(round(col("mean"), 6).as("mean"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"), col("replicates"))
+
   /** One-pass column profile ([[operators.Quality.profile]]) of customer:
     * row/null/distinct counts and native-type extremes per column —
     * the catalog profiling report. DuckDB replays per column (string
@@ -4294,6 +4308,7 @@ object TestQueries {
     "q190_mmd_drift" -> (q190MmdDrift _),
     "q191_cms_join_size" -> (q191CmsJoinSize _),
     "q192_bootstrap_ci" -> (q192BootstrapCi _),
+    "q192b_bootstrap_exact" -> (q192bBootstrapExact _),
     "q193_profile" -> (q193Profile _),
     "q194_observe" -> (q194Observe _),
     "q195_mv_rewrite" -> (q195MvRewrite _),

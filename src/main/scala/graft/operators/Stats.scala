@@ -295,6 +295,48 @@ object Stats {
       .select(col("mean"), col("ci_lo"), col("ci_hi"), col("replicates"))
   }
 
+  /** [[bootstrapMeanCI]]'s oracle-anchored sibling: identical Poisson
+    * bootstrap algebra, but the per-(row, replicate) uniform comes from
+    * md5 HEX DIGITS (the [[dpCounts]] idiom) instead of xxhash64, so a
+    * plain-SQL engine replays the entire resample — weights, replicate
+    * means, and the interpolated percentile bounds — digit for digit.
+    * Production callers keep the xxhash64 variant (cheaper); this one
+    * exists so the gate can hash-prove the bootstrap machinery.
+    */
+  def bootstrapMeanCIExact(df: DataFrame, idCol: String, valueCol: String,
+                           replicates: Int = 200,
+                           alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 20, s"too few replicates: $replicates")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    val hexChars = 6
+    val key = md5(concat_ws(":", col(idCol).cast("string"),
+      col("b").cast("string")))
+    def digit(i: Int): Column = {
+      val a = ascii(substring(key, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("double")
+    }
+    val poly = (1 to hexChars)
+      .map(i => digit(i) * math.pow(16.0, hexChars - i))
+      .reduce(_ + _)
+    val u = (poly + 0.5) / math.pow(16.0, hexChars)
+    val e = math.exp(-1.0)
+    val w = when(u < e, 0).when(u < 2 * e, 1).when(u < 2.5 * e, 2)
+      .when(u < e * (2.5 + 1.0 / 6), 3).otherwise(4)
+    val rep = df
+      .select(col(idCol), col(valueCol).cast("double").as("__x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .withColumn("__w", w)
+      .groupBy("b")
+      .agg((sum(col("__w") * col("__x")) / sum("__w")).as("__m"))
+    val base = df.agg(avg(col(valueCol).cast("double")).as("mean"))
+    rep.agg(
+        percentile(col("__m"), lit(alpha / 2)).as("ci_lo"),
+        percentile(col("__m"), lit(1 - alpha / 2)).as("ci_hi"),
+        count(lit(1)).cast("int").as("replicates"))
+      .crossJoin(broadcast(base))
+      .select(col("mean"), col("ci_lo"), col("ci_hi"), col("replicates"))
+  }
+
   /** Squared Mahalanobis distance over scalar feature columns — the
     * covariance-aware multivariate outlier score (a point 3σ out along a
     * tight axis scores high even when each marginal looks ordinary).
@@ -881,10 +923,11 @@ object Stats {
     * the right drift metric when the column's magnitude means something
     * (token counts, prices, scores).
     *
-    * Same bounded-value-domain contract as the rank family: counts
-    * collapse per distinct value (quantize continuous measures first),
-    * ECDFs are running sums over distinct values, and each domain step
-    * contributes |F_A − F_B|·Δv. Returns ONE row:
+    * Counts collapse per distinct value; ECDFs and the neighbouring
+    * domain step come from DISTRIBUTED running sums + lead
+    * ([[Ranks.running]] — continuous unique-valued columns shuffle
+    * instead of single-task sorting), and each domain step contributes
+    * |F_A − F_B|·Δv. Returns ONE row:
     * (n_a, n_b, w1, w1_normalized) — the normalized form divides by the
     * merged value range (scale-free, comparable across columns); a
     * single-point domain reports 0.
