@@ -176,7 +176,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   test("associationRules: multi-column baskets don't collide on concat") {
     // ("a","bc") and ("ab","c") would collide under plain concat — the
-    //  separator keeps them distinct baskets
+    // \u0001 separator keeps them distinct baskets
     val rows = Seq(
       ("a", "bc", "x"), ("a", "bc", "y"),
       ("ab", "c", "x"), ("ab", "c", "z"))
