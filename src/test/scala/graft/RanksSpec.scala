@@ -102,6 +102,23 @@ class RanksSpec extends AnyFunSuite {
     assert(Stats.prCurve(empty, "v", "id").count() === 0L)
   }
 
+  test("exchange-reuse guard: refuses to run with reuse disabled") {
+    // with spark.sql.exchange.reuse=false the offsets and row sides
+    // could observe DIFFERENT sampled range boundaries — the failure
+    // mode is silently wrong statistics, so the guard must fire
+    val key = "spark.sql.exchange.reuse"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      val e = intercept[IllegalArgumentException](
+        Ranks.running(frame, Seq(col("__v")), sums = Seq("t" -> "c")))
+      assert(e.getMessage.contains("exchange.reuse"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("liftGain on a continuous unique score matches exact deciles") {
     val n = 1000
     val rows = spark.range(n)
