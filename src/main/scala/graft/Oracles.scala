@@ -3044,7 +3044,8 @@ object Oracles {
         "avg(observed) OVER (PARTITION BY bin % 24) AS seasonal FROM s) " +
         "SELECT bin, pos, round(observed, 6) AS observed, " +
         "round(seasonal, 6) AS seasonal, " +
-        "round(observed - seasonal, 6) AS residual FROM p ORDER BY bin"),
+        "round(round(observed, 6) - round(seasonal, 6), 6) AS residual " +
+        "FROM p ORDER BY bin"),
 
     // Seasonally-adjusted anomalies: z vs the hour-of-day baseline
     // (mean/σ_pop per period position), membership on the 6dp-rounded z.

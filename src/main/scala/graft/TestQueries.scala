@@ -2999,11 +2999,17 @@ object TestQueries {
     * aggregate and the period-partitioned window mean.
     */
   def q205Seasonal(s: SparkSession, dir: String): DataFrame =
+    // residual is re-derived from the ROUNDED parents (not rounded from the
+    // raw residual): DuckDB's parallel avg drifts ~1 ulp run-to-run, and the
+    // raw observed−seasonal happened to sit on a 6dp rounding boundary, so
+    // round(residual, 6) flapped by exactly 1e-6 across oracle runs. The
+    // 6dp parents are boundary-stable; their difference is then exact.
     operators.Timeseries.seasonalDecompose(t(s, dir, "events"), "ts", "value",
         binSeconds = 3600L, periodBins = 24)
       .select(col("bin"), col("pos"), round(col("observed"), 6).as("observed"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("residual"), 6).as("residual"))
+        round(col("seasonal"), 6).as("seasonal"))
+      .withColumn("residual",
+        round(col("observed") - col("seasonal"), 6))
       .orderBy("bin")
 
   /** Seasonally-adjusted anomalies ([[operators.Timeseries.seasonalAnomalies]]):

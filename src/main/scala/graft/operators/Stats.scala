@@ -695,6 +695,41 @@ object Stats {
         "decomposition_gap")
   }
 
+  /** Per-group cumulative counts over a quantized value domain, computed
+    * with the distributed-rank pattern (same shape as
+    * `Splits.expandingTimeFolds`): range-partition the per-(group, value)
+    * count table on (group, value), take per-(partition, group) partial
+    * sums (≤ one row per partition a group touches — tiny), turn those
+    * into per-group running offsets with a window whose partitions are
+    * bounded by the partition count, join back, and add a
+    * within-partition running sum. No window ever holds a whole group's
+    * value domain, so a truly CONTINUOUS value column (distinct ≈ N) with
+    * a handful of groups still spreads across all range partitions
+    * instead of funnelling each group through one task.
+    *
+    * Input must be (groupCol, __v, __c); output is
+    * (groupCol, __v, __cum, __n) where __cum is the inclusive running
+    * count in __v order within the group and __n the group total.
+    */
+  private def groupedCumCounts(per: DataFrame, groupCol: String): DataFrame = {
+    val ranged = per.repartitionByRange(col(groupCol), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.partitionBy(groupCol).orderBy("__pid")
+    val offsets = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(sum("__c").as("__pc"))
+      .withColumn("__off", coalesce(sum("__pc").over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__pc").over(
+        wOff.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("__pid"), col(groupCol), col("__off"), col("__n"))
+    val wIn = Window.partitionBy(col("__pid"), col(groupCol)).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(offsets, Seq("__pid", groupCol))
+      .withColumn("__cum", col("__off") + sum("__c").over(wIn))
+      .select(col(groupCol), col("__v"), col("__cum"), col("__n"))
+  }
+
   /** Per-group robust outlier flags via MAD (median absolute deviation):
     * robust_z = (x − median) / (1.4826·MAD), flagged when |robust_z| > k
     * — the outlier screen that, unlike mean/stddev z-scores, cannot be
@@ -703,11 +738,14 @@ object Stats {
     *
     * Both medians are LOWER medians over the `roundTo`-quantized value
     * domain (smallest value whose cumulative count reaches ⌈n/2⌉),
-    * computed rank-family style: per-(group, value) counts, a running
-    * sum over the group's bounded value domain, first value reaching the
-    * rank — no per-group row sort and no object-hash percentile buffer,
-    * and the convention replays exactly in SQL. Two group-keyed
-    * broadcast-or-shuffle joins hang the scalars back on the rows.
+    * computed rank-family style: per-(group, value) counts, a
+    * DISTRIBUTED running sum over the value domain
+    * ([[groupedCumCounts]] — range-partitioned, so a continuous value
+    * column never funnels a group through one task), first value
+    * reaching the rank — no per-group row sort and no object-hash
+    * percentile buffer, and the convention replays exactly in SQL. Two
+    * group-keyed broadcast-or-shuffle joins hang the scalars back on the
+    * rows.
     * Returns every input row + (med, mad, robust_z, is_outlier);
     * zero-MAD groups (over half the values identical) flag any
     * deviation from the median.
@@ -718,12 +756,7 @@ object Stats {
     def lowerMedian(d: DataFrame, vCol: Column, out: String): DataFrame = {
       val per = d.groupBy(col(groupCol), round(vCol, roundTo).as("__v"))
         .agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(groupCol).orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy(groupCol)
-      per
-        .withColumn("__cum", sum("__c").over(w))
-        .withColumn("__n", sum("__c").over(tot))
+      groupedCumCounts(per, groupCol)
         .where(col("__cum") * 2 >= col("__n"))
         .groupBy(groupCol).agg(min("__v").as(out))
     }
@@ -749,8 +782,9 @@ object Stats {
     * value can exert on downstream means/regressions. Cut points use
     * the LOWER-value-at-rank convention (smallest quantized value whose
     * cumulative count reaches ⌈p·n⌉, the same rank-family shape as
-    * [[madOutliers]]), computed per group over the bounded value domain
-    * — no per-group sort — then joined back and clamped with
+    * [[madOutliers]]), computed via the distributed running sum of
+    * [[groupedCumCounts]] — no per-group sort, no single-task funnel on a
+    * continuous value domain — then joined back and clamped with
     * least/greatest. Returns every input row + (lo_cut, hi_cut,
     * winsorized).
     */
@@ -763,11 +797,7 @@ object Stats {
       .groupBy(col(groupCol),
         round(col(valueCol).cast("double"), roundTo).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(groupCol).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cuts = per
-      .withColumn("__cum", sum("__c").over(w))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val cuts = groupedCumCounts(per, groupCol)
       .groupBy(groupCol)
       .agg(
         min(when(col("__cum") >= greatest(ceil(lit(loPct) * col("__n")),

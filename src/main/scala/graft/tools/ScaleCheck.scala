@@ -1043,9 +1043,16 @@ object ScaleCheck {
           .where(col("a_id") < col("b_id")).count()
       },
       "mad_winsorize" -> { dir =>
-        // two rank-family value-domain passes + row-join-back each
+        // two distributed-rank value-domain passes + row-join-back each.
+        // value is made row-UNIQUE (event_id jitter survives roundTo=6) so
+        // each group's distinct-value domain is N/groups — the worst case
+        // the groupedCumCounts range-partitioning must spread; a windowed
+        // per-group cumsum would funnel each event_type through one task
+        // here and show a super-linear exponent.
         val ev = graft.sources.Tables.loadEvents(spark, dir)
-          .select("event_id", "event_type", "value")
+          .select(col("event_id"), col("event_type"),
+            (col("value") + col("event_id").cast("double") / 1e4)
+              .as("value"))
         graft.operators.Stats.madOutliers(ev, "event_type", "value",
           k = 2.5).count() +
           graft.operators.Stats.winsorize(ev, "event_type", "value",

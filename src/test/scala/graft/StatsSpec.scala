@@ -466,6 +466,35 @@ class StatsSpec extends AnyFunSuite {
       .map(_.getAs[Double]("v")).toSeq === Seq(7.1))
   }
 
+  test("madOutliers: unique-valued continuous domain (distinct = N) " +
+    "matches a driver-computed lower median per group") {
+    // Every value distinct: the worst case for the per-group cumulative
+    // pass — before the distributed-rank rewrite each group's whole
+    // domain funnelled through one window task. With many range
+    // partitions (shuffle.partitions from the suite session) groups span
+    // several partitions, exercising offset stitching across them.
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 4000).map(i =>
+      (s"g${i % 3}", i.toDouble + rng.nextDouble() * 0.5))
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(((s.size + 1) / 2) - 1)
+    }
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      val v = vs.map(t => math.rint(t._2 * 1e6) / 1e6)
+      val med = lowerMedian(v)
+      g -> (med, lowerMedian(v.map(x =>
+        math.rint(math.abs(x - med) * 1e6) / 1e6)))
+    }
+    val got = Stats.madOutliers(rows.toDF("g", "v"), "g", "v")
+      .select("g", "med", "mad").distinct().collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val (m, d) = expect(r.getAs[String]("g"))
+      assert(math.abs(r.getAs[Double]("med") - m) < 1e-9, s"med ${r}")
+      assert(math.abs(r.getAs[Double]("mad") - d) < 1e-9, s"mad ${r}")
+    }
+  }
+
   test("winsorize: lower-value-at-rank cuts clamp the tails only") {
     // values 1..20: lo rank ⌈0.05·20⌉=1 → lo_cut 1; hi rank ⌈0.95·20⌉=19
     // → hi_cut 19; so only 20 moves (to 19)
