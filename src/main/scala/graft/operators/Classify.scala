@@ -245,20 +245,39 @@ object Classify {
     * do all row-scale work; the merge loop runs on the ≤`initialBins`-row
     * collected histogram (codebook budget) with exact-long cell counts,
     * so chi² doubles — and therefore the merge SEQUENCE — replay
-    * bit-for-bit in SQL. Returns one row per final bin:
+    * bit-for-bit in SQL. The exact percentile is only the DEFAULT below
+    * `maxExactRows` (it buffers the column per partial aggregate); bigger
+    * inputs auto-route the prebin thresholds to the GK sketch — see the
+    * routing note in the body. Returns one row per final bin:
     * (bin, lo_prebin, hi_prebin, n, events, event_rate).
     */
   def chiMergeBins(df: DataFrame, valueCol: String, targetCol: String,
                    initialBins: Int = 16, targetBins: Int = 6,
-                   approxAccuracy: Option[Int] = None): DataFrame = {
+                   approxAccuracy: Option[Int] = None,
+                   maxExactRows: Long = 10000000L): DataFrame = {
     require(targetBins >= 2 && targetBins < initialBins && initialBins <= 64,
       s"need 2 <= targetBins < initialBins <= 64: $targetBins/$initialBins")
-    // approxAccuracy: at corpus scale switch the prebin thresholds to the
-    // GK sketch (quantileBuckets' documented trade) — the merge algebra
-    // downstream is unchanged
+    require(maxExactRows > 0, s"maxExactRows must be positive: $maxExactRows")
+    // Prebin-threshold routing: the exact percentile buffers the whole
+    // column per partial aggregate — deterministic and oracle-matchable,
+    // but lethal on a corpus-scale column. With approxAccuracy unset, the
+    // input is probed with an EARLY-STOPPING limit scan (never a full
+    // count) and above maxExactRows the thresholds auto-route to the GK
+    // sketch (quantileBuckets' documented trade; merge algebra downstream
+    // is unchanged). Callers wanting exact on big input must say so
+    // (maxExactRows = Long.MaxValue); callers at corpus scale can pin
+    // their own accuracy via approxAccuracy.
+    val acc = approxAccuracy.orElse {
+      val cap = (maxExactRows min (Int.MaxValue - 1).toLong).toInt
+      val probe =
+        if (maxExactRows >= Int.MaxValue.toLong) 0L // un-probe-able: exact
+        else df.select(col(valueCol)).limit(cap).count()
+      if (probe >= cap && maxExactRows < Int.MaxValue.toLong) Some(10000)
+      else None
+    }
     val pre = Splits.quantileBuckets(
       df.select(col(valueCol), col(targetCol)), valueCol, initialBins,
-      approxAccuracy)
+      acc)
     var bins = pre
       .groupBy(col("bucket").cast("int").as("__b"))
       .agg(count(lit(1)).as("__n"),

@@ -227,6 +227,38 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("chiMergeBins: big input auto-routes prebins to the GK sketch; " +
+    "small input and MaxValue opt-out stay exact") {
+    // Same 20k fixture; maxExactRows = 1000 forces the auto-route, whose
+    // result must be IDENTICAL to an explicit approxAccuracy = 10000 run
+    // (proof the sketch path was taken — the exact path differs on this
+    // fixture in per-bin counts at several boundaries).
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val v = (i * 2654435761L % 1000003L).toDouble
+      (v, if (v > 500000) 1 else 0)
+    }.toDF("v", "y")
+    def rendered(rs: Array[org.apache.spark.sql.Row]): Seq[(Int, Long)] =
+      rs.map(r => (r.getAs[Int]("lo_prebin"), r.getAs[Long]("n"))).toSeq
+    val routed = Classify.chiMergeBins(rows, "v", "y",
+      initialBins = 12, targetBins = 5, maxExactRows = 1000L)
+      .orderBy("bin").collect()
+    val sketch = Classify.chiMergeBins(rows, "v", "y",
+      initialBins = 12, targetBins = 5, approxAccuracy = Some(10000))
+      .orderBy("bin").collect()
+    val exact = Classify.chiMergeBins(rows, "v", "y",
+      initialBins = 12, targetBins = 5).orderBy("bin").collect()
+    val optOut = Classify.chiMergeBins(rows, "v", "y",
+      initialBins = 12, targetBins = 5, maxExactRows = Long.MaxValue)
+      .orderBy("bin").collect()
+    // the fixture separates the two paths (per-bin counts differ at GK
+    // rank-error boundaries), so routed === sketch proves the route
+    assert(rendered(exact) !== rendered(sketch))
+    assert(rendered(routed) === rendered(sketch))
+    assert(rendered(exact) === rendered(optOut))
+    assert(routed.map(_.getAs[Long]("n")).sum === n.toLong)
+  }
+
   test("confidentJoint: thresholds, off-diagonal catch, unconfident bucket") {
     // t0 = mean s0 over label 0 = 0.6; t1 = mean s1 over label 1 = 0.75
     val rows = Seq(
