@@ -521,42 +521,55 @@ object DeltaExport {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val snap = DeltaRead.snapshot(spark, dir)
-    // this checkpoint schema doesn't carry deletionVector structs — a
-    // checkpoint that drops them would resurrect deleted rows for readers
-    // seeding from it. Refuse; `compact` first (it purges DVs by rewrite).
-    require(snap.dvs.isEmpty,
-      s"refusing to checkpoint $dir: live files carry deletion vectors; " +
-        "run compact() to purge them first")
     val table = new Path(dir)
     val fs = fsOf(spark, table)
     // modificationTime carried from the log's add actions — the protocol
     // lists it required in add, and strict third-party readers seeding
-    // from this checkpoint (after cleanLog) may reject its absence
+    // from this checkpoint (after cleanLog) may reject its absence.
+    // deletionVector descriptors ride along when live files carry them
+    // (a checkpoint that dropped them would resurrect deleted rows for
+    // readers seeding from it); the protocol row then advertises the
+    // table-features protocol, matching [[delete]]'s commit.
+    val dvT = StructType(Seq(StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvT)))
     val metaT = StructType(Seq(StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType))))
     val protoT = StructType(Seq(StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val txnT = StructType(Seq(StructField("appId", StringType),
       StructField("version", LongType)))
     val ckptT = StructType(Seq(StructField("add", addT),
       StructField("metaData", metaT), StructField("protocol", protoT),
       StructField("txn", txnT)))
+    val protoRow =
+      if (snap.dvs.isEmpty) Row(1, 2, null, null)
+      else Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+    def dvRow(rel: String): Row = snap.dvs.get(rel).map { d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+        d.sizeInBytes, d.cardinality)
+    }.orNull
     val rows =
       Row(null, Row(java.util.UUID.randomUUID.toString, snap.schema.json,
         snap.partitionColumns, snap.configuration), null, null) +:
-      Row(null, null, Row(1, 2), null) +:
+      Row(null, null, protoRow, null) +:
       snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v)) } ++:
       snap.files.map { case (rel, pv, size) =>
-        Row(Row(rel, pv, size, snap.modTimes.getOrElse(rel, 0L), true),
-          null, null, null) }
+        Row(Row(rel, pv, size, snap.modTimes.getOrElse(rel, 0L), true,
+          dvRow(rel)), null, null, null) }
     val stage = new Path(table, s".ckpt-${java.util.UUID.randomUUID}")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), ckptT)

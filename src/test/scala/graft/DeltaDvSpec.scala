@@ -173,7 +173,7 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(DeltaRead.versionAsOfTimestamp(spark, dir, 1000L) === 0L)
   }
 
-  test("append-range cursor refuses DV-carrying adds; checkpoint refuses DV tables") {
+  test("append-range cursor refuses DV-carrying adds") {
     val dir = Files.createTempDirectory("delta_dv_refuse").toString
     dataFile(dir, "f0.parquet", Seq((1L, "a"), (2L, "b")))
     commit(dir, 0, Seq(dvProtocol, metaLine(abSchema),
@@ -191,15 +191,37 @@ class DeltaDvSpec extends AnyFunSuite {
     // the data-changing remove in the same commit already disqualifies the
     // range; the add-with-DV guard is defense in depth behind it
     assert(e1.getMessage.contains("not an append-only range"))
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaExport.checkpoint(spark, dir)
-    }
-    assert(e2.getMessage.contains("deletion vectors"))
-    // compact() purges the DVs; checkpoint then succeeds
+    // compact() purges the DVs; checkpoint then sees a DV-free snapshot
     DeltaExport.compact(spark, dir)
     assert(DeltaRead.snapshot(spark, dir).dvs.isEmpty)
     DeltaExport.checkpoint(spark, dir)
     assert(DeltaRead.read(spark, dir).collect().map(_.getLong(0)).toSeq ===
       Seq(2L))
+  }
+
+  test("DV-bearing checkpoint: delete -> checkpoint -> cleanLog round trip") {
+    val dir = Files.createTempDirectory("delta_dv_ckpt").toString
+    import spark.implicits._
+    DeltaExport.overwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("a", "b"), dir)
+    DeltaExport.append(Seq((5L, "e"), (6L, "f")).toDF("a", "b"), dir)
+    // sparse DELETE a IN (2, 5) → DV sidecars, protocol upgrade to (3, 7)
+    val removed = DeltaExport.delete(spark, dir,
+      org.apache.spark.sql.functions.col("a").isin(2L, 5L))
+    assert(removed === 2L)
+    assert(DeltaRead.snapshot(spark, dir).dvs.nonEmpty)
+    // checkpoint must carry the descriptors instead of refusing
+    val v = DeltaExport.checkpoint(spark, dir)
+    assert(DeltaExport.cleanLog(spark, dir) === v.toInt)
+    // reader now seeds from the checkpoint alone (older commits deleted):
+    // the deleted rows must stay deleted
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.dvs.nonEmpty, "checkpoint dropped the deletionVector structs")
+    assert(DeltaRead.read(spark, dir).orderBy("a")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 6L))
+    // a post-checkpoint append still composes with the DV state
+    DeltaExport.append(Seq((7L, "g")).toDF("a", "b"), dir)
+    assert(DeltaRead.read(spark, dir).orderBy("a")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 6L, 7L))
   }
 }

@@ -381,8 +381,9 @@ class DeltaExportSpec extends AnyFunSuite {
     // nothing-matched delete commits nothing
     assert(DeltaExport.delete(spark, dir, col("k") === -1L) === 3L)
     assert(DeltaRead.snapshot(spark, dir).version === 3L)
-    // checkpoint refuses a DV-carrying table; compact purges the DVs
-    intercept[IllegalArgumentException](DeltaExport.checkpoint(spark, dir))
+    // checkpoint carries the DV descriptors (DeltaDvSpec exercises the
+    // cleanLog round trip); compact purges the DVs by rewrite
+    assert(DeltaExport.checkpoint(spark, dir) === 3L)
     DeltaExport.compact(spark, dir)
     assert(DeltaRead.snapshot(spark, dir).dvs.isEmpty)
     assert(keys() ===
