@@ -33,8 +33,16 @@ import graft.functions.expressions.StringSimExpressions
   *
   * Bucket-size caution (the q147 lesson): frequency-skewed block keys
   * degrade pair generation quadratically — prefix keys over a tiny
-  * vocabulary are hot. Pass design is the caller's scale lever; the
-  * defaults suit name-like keys.
+  * vocabulary are hot. Pass design is the caller's first scale lever;
+  * `maxBlockSize` is the backstop: blocks above it split into hash
+  * sub-buckets with consecutive sub-bucket representatives chained in as
+  * extra candidates (the [[Similarity.semDedup]] skew cap), so one
+  * dominant block costs N·cap pair work instead of N², a true
+  * near-identical flood still closes into one entity through the
+  * verified chain, and — because every candidate passes the same
+  * verification — the cap can only LOSE cross-sub recall on
+  * merely-similar keys, never merge anything spurious. Blocks ≤ cap
+  * behave exactly as the uncapped operator.
   */
 object Linkage {
 
@@ -61,9 +69,19 @@ object Linkage {
     * passes verifies once. Empty block keys are skipped (a pass that
     * can't derive a key for a record abstains rather than bucketing all
     * such records together).
+    *
+    * Skew cap: a block larger than `maxBlockSize` splits into
+    * ⌈n/cap⌉ hash sub-buckets (pairing runs within (block, sub) — per-pass
+    * pair work N·cap, not N² on a hot block), with consecutive sub-bucket
+    * min-id representatives chained in as extra candidates so a flood of
+    * genuinely-matching keys still closes transitively downstream. The
+    * hot-block count table is ≤ N/cap rows (only split blocks join back);
+    * blocks ≤ cap are byte-identical to the uncapped operator.
     */
   def blockedPairs(records: DataFrame, idCol: String, keyCol: String,
-                   passes: Seq[Column => Column] = defaultPasses()): DataFrame = {
+                   passes: Seq[Column => Column] = defaultPasses(),
+                   maxBlockSize: Int = 4096): DataFrame = {
+    require(maxBlockSize > 1, s"maxBlockSize must exceed 1: $maxBlockSize")
     // Pin (id, key) once: every pass scans the record set twice (left and
     // right of its self-join), and a caller's key column is typically
     // DERIVED from heavyweight payloads (title-from-text here; name
@@ -77,11 +95,41 @@ object Linkage {
       val keyed = base.select(col("__id"), col("__key"),
           p(col("__key")).as("__block"))
         .where(col("__block").isNotNull && col("__block") =!= "")
-      val l = keyed.select(col("__block"), col("__id").as("id_a"), col("__key").as("key_a"))
-      val r = keyed.select(col("__block").as("__rblock"),
+      val hot = keyed.groupBy("__block")
+        .agg(ceil(count(lit(1)) / maxBlockSize.toDouble).cast("int").as("__m"))
+        .where(col("__m") > 1)
+      val sub = keyed.join(hot, Seq("__block"), "left")
+        .withColumn("__m", coalesce(col("__m"), lit(1)))
+        .withColumn("__sub",
+          pmod(xxhash64(col("__id")), col("__m").cast("long")).cast("int"))
+      val l = sub.select(col("__block"), col("__sub"),
+        col("__id").as("id_a"), col("__key").as("key_a"))
+      val r = sub.select(col("__block").as("__rblock"),
+        col("__sub").as("__rsub"),
         col("__id").as("id_b"), col("__key").as("key_b"))
-      l.join(r, col("__block") === col("__rblock") && col("id_a") < col("id_b"))
+      val within = l.join(r,
+          col("__block") === col("__rblock") && col("__sub") === col("__rsub")
+            && col("id_a") < col("id_b"))
         .select("id_a", "id_b", "key_a", "key_b")
+      // chain: min-id representative of sub k ↔ of sub k+1, split blocks
+      // only — linear in sub-bucket count, verified like any candidate
+      val reps = sub.where(col("__m") > 1)
+        .groupBy("__block", "__sub")
+        .agg(min_by(struct(col("__id").as("id"), col("__key").as("key")),
+          col("__id")).as("r"))
+      val chain = reps.alias("x")
+        .join(reps.alias("y"),
+          col("x.__block") === col("y.__block") &&
+            col("x.__sub") + 1 === col("y.__sub"))
+        .select(
+          least(col("x.r.id"), col("y.r.id")).as("id_a"),
+          greatest(col("x.r.id"), col("y.r.id")).as("id_b"),
+          when(col("x.r.id") <= col("y.r.id"), col("x.r.key"))
+            .otherwise(col("y.r.key")).as("key_a"),
+          when(col("x.r.id") <= col("y.r.id"), col("y.r.key"))
+            .otherwise(col("x.r.key")).as("key_b"))
+        .select("id_a", "id_b", "key_a", "key_b")
+      within.unionAll(chain)
     }
     perPass.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
   }
@@ -93,8 +141,9 @@ object Linkage {
     */
   def linkPairs(records: DataFrame, idCol: String, keyCol: String,
                 threshold: Double,
-                passes: Seq[Column => Column] = defaultPasses()): DataFrame =
-    blockedPairs(records, idCol, keyCol, passes)
+                passes: Seq[Column => Column] = defaultPasses(),
+                maxBlockSize: Int = 4096): DataFrame =
+    blockedPairs(records, idCol, keyCol, passes, maxBlockSize)
       .withColumn("jw", round(jaroWinkler(col("key_a"), col("key_b")), 6))
       .where(col("jw") >= threshold)
       .select("id_a", "id_b", "jw")
@@ -106,8 +155,10 @@ object Linkage {
     */
   def resolveEntities(records: DataFrame, idCol: String, keyCol: String,
                       threshold: Double,
-                      passes: Seq[Column => Column] = defaultPasses()): DataFrame = {
-    val pairs = linkPairs(records, idCol, keyCol, threshold, passes)
+                      passes: Seq[Column => Column] = defaultPasses(),
+                      maxBlockSize: Int = 4096): DataFrame = {
+    val pairs = linkPairs(records, idCol, keyCol, threshold, passes,
+      maxBlockSize)
     val labels = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
     val base = records.select(col(idCol).as("id"), col(keyCol).as("key"))
     val labeled = base

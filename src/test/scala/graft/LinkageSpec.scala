@@ -80,6 +80,38 @@ class LinkageSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("skew cap: a hot block sub-buckets, pair count collapses, a " +
+    "near-identical flood still resolves to one entity") {
+    // 600 near-identical keys (one trailing char varies among 3 letters —
+    // every pair JW >= 0.9) + 20 distinct controls. With the default
+    // passes the flood shares every block key; uncapped that is
+    // 600·599/2 ≈ 180k candidates per pass.
+    val flood = (0 until 600).map(i =>
+      (i.toLong, s"acme global holdings ltd ${('x' + i % 3).toChar}"))
+    val ctrl = (0 until 20).map(i =>
+      (1000L + i, s"unique entity number $i variant ${i * 37}"))
+    val recs = (flood ++ ctrl).toDF("id", "key")
+    val capped = Linkage.blockedPairs(recs, "id", "key",
+      maxBlockSize = 50)
+    val nCapped = capped.count()
+    // per pass: ~12 subs × C(50,2) ≈ 15k within + 11 chain; 3 passes,
+    // deduped — must land far under the ~180k uncapped flood
+    assert(nCapped < 60000L, s"cap ineffective: $nCapped candidate pairs")
+    // the flood must still resolve into ONE entity through the rep chain
+    val ents = Linkage.resolveEntities(recs, "id", "key", 0.9,
+        maxBlockSize = 50)
+      .where(col("id") < 1000L)
+      .select("entity").distinct().collect()
+    assert(ents.length === 1, s"flood split into ${ents.length} entities")
+    // and blocks <= cap are byte-identical to the uncapped operator
+    val small = recs.where(col("id") >= 1000L)
+    val a = Linkage.blockedPairs(small, "id", "key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Linkage.blockedPairs(small, "id", "key", maxBlockSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("resolveEntities: transitive chain closes, singleton survives") {
     // b is 1 edit from a, c is 1 edit from b but 2 from a: one entity
     val recs = Seq(
