@@ -146,6 +146,62 @@ object BikeshareGen {
         stations = c.stations.localCheckpoint())
     }
 
+  /** Disk-cached warehouse under `target/` keyed by scale: generated once
+    * ACROSS sessions (the session cache above dies with the JVM — every
+    * bench/verify/QTime run was paying a full regenerate, the round-11
+    * bench's single biggest contention amplifier), then read back as
+    * parquet with the declared schemas — which is also the highest-fidelity
+    * cost shape, since the reference's 22 queries read a stored warehouse,
+    * not a generator. A per-table `_SUCCESS` marker gates reuse; a partial
+    * write (killed run) regenerates.
+    */
+  def conformedWarehouse(spark: SparkSession,
+                         scale: Double): BikesharePipeline.Conformed = {
+    val root = s"target/bikeshare_wh/scale_$scale"
+    val names = Seq("payments", "trips", "riders", "stations")
+    val complete = names.forall(n =>
+      new java.io.File(s"$root/$n/_SUCCESS").exists())
+    if (!complete) {
+      val c = conformed(spark, scale)
+      c.payments.write.mode("overwrite").parquet(s"$root/payments")
+      c.trips.write.mode("overwrite").parquet(s"$root/trips")
+      c.riders.write.mode("overwrite").parquet(s"$root/riders")
+      c.stations.write.mode("overwrite").parquet(s"$root/stations")
+    }
+    // explicit declared schemas: a bare parquet read infers all-nullable
+    // and (for trips' interval-derived columns) would drift from the
+    // spec-asserted Bikeshare schemas
+    BikesharePipeline.Conformed(
+      payments = spark.read.schema(Bikeshare.payments)
+        .parquet(s"$root/payments"),
+      trips = spark.read.schema(Bikeshare.trips).parquet(s"$root/trips"),
+      riders = spark.read.schema(Bikeshare.riders).parquet(s"$root/riders"),
+      stations = spark.read.schema(Bikeshare.stations)
+        .parquet(s"$root/stations"))
+  }
+
+  /** Session-cached BUILT warehouse on top of the disk cache: the enrich
+    * join (trips ⋈ riders + age arithmetic over the full fact) and the two
+    * date spines are pinned once per (session, scale) — without this every
+    * one of the 22 analytical queries re-executed the enrichment (22 fact
+    * scans + joins) and each dates join re-derived its spine (two more
+    * fact scans per query) — exactly what a real warehouse's stored
+    * enriched table amortizes.
+    */
+  private val whCache = new graft.SessionCache[BikesharePipeline.Warehouse]
+  def warehouseCached(spark: SparkSession,
+                      scale: Double): BikesharePipeline.Warehouse =
+    whCache.getOrElseUpdate(spark, s"wh:$scale") {
+      val w = BikesharePipeline.build(spark, conformedWarehouse(spark, scale))
+      BikesharePipeline.Warehouse(
+        payments = w.payments,
+        trips = w.trips.localCheckpoint(),
+        riders = w.riders.localCheckpoint(),
+        stations = w.stations,
+        tripDates = w.tripDates.localCheckpoint(),
+        paymentDates = w.paymentDates.localCheckpoint())
+    }
+
   /** The full E2E at `scale`: conform → enrich → dims → all 22 analytical
     * queries, summarized one row per query (name, result cardinality, a
     * rounded control total over the result's numeric columns). `count()`
@@ -153,7 +209,7 @@ object BikeshareGen {
     * invariants live in BikeshareScaleSpec.
     */
   def runAll(spark: SparkSession, scale: Double): DataFrame = {
-    val w = BikesharePipeline.build(spark, conformedCached(spark, scale))
+    val w = warehouseCached(spark, scale)
     val qs: Seq[(String, DataFrame)] = Seq(
       "q1_avg_duration_dow" -> BikesharePipeline.q1AvgDurationByDayOfWeek(w),
       "q2_total_duration_dow" -> BikesharePipeline.q2TotalDurationByDayOfWeek(w),
