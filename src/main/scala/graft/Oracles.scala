@@ -1488,6 +1488,60 @@ object Oracles {
     // window has low 2 bits zero, or j ends the doc), fingerprints the
     // spans between cuts, and re-counts shared chunks per doc pair under
     // the same >1 / <=64 bucket bound.
+    // Group-level MD5 minhash union: coordinate i = lexicographic min of
+    // md5(i:shingle) over the UNION of a source's doc shingle sets (the
+    // q36b hash family lifted to groups — min over the exploded multiset
+    // equals min over the union), then pairwise agreement / numHashes.
+    "q49_source_similarity" ->
+      ("WITH toks AS (SELECT source, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sh2 AS (SELECT source, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3), " +
+        "e AS (SELECT source, unnest(s) AS sh FROM sh2), " +
+        "sg AS (SELECT source, [" +
+        (0 until 16).map(i => s"min(md5('$i:' || sh))").mkString(", ") +
+        "] AS g FROM e GROUP BY source) " +
+        "SELECT a.source AS group_a, b.source AS group_b, " +
+        "round(CAST(list_sum(list_transform(range(1, 17), i -> " +
+        "CASE WHEN a.g[CAST(i AS INTEGER)] = b.g[CAST(i AS INTEGER)] " +
+        "THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4) AS est_jaccard " +
+        "FROM sg a JOIN sg b ON a.source < b.source"),
+
+    // Byte-rolling CDC replay: the production chunker cuts where the low 6
+    // bits of a window-16 Rabin-Karp hash (base 1000003, Long wrap) are
+    // zero. 64 divides 2^64, so h mod 64 has the closed form
+    // sum(cu[j-k] * 3^k mod 64, k = 0..15) — the coefficient list below is
+    // 3^k mod 64 (base 1000003 ≡ 3, window power 3^15 ≡ 43). Chunks are
+    // the text slices between cuts (+ the tail), fingerprinted here by
+    // md5 (the engine uses xxhash64 — fingerprints never reach the
+    // output, only shared-chunk COUNTS, so any injective-on-corpus
+    // fingerprint replays them); bucket/pair counting replays q50b.
+    "q50_chunk_dedup" ->
+      ("WITH cs AS (SELECT doc_id, text, " +
+        "list_transform(split(text, ''), c -> unicode(c)) AS cu FROM documents), " +
+        "ct AS (SELECT doc_id, text, [CAST(j AS INTEGER) " +
+        "for j in range(16, len(cu) + 1) " +
+        "if list_sum(list_transform(range(0, 16), k -> " +
+        "cu[CAST(j - k AS INTEGER)] * " +
+        "[1,3,9,27,17,51,25,11,33,35,41,59,49,19,57,43][CAST(k + 1 AS INTEGER)]" +
+        ")) % 64 = 0] AS rc FROM cs), " +
+        "cc AS (SELECT doc_id, text, CASE WHEN len(rc) = 0 " +
+        "OR rc[len(rc)] < length(text) " +
+        "THEN list_append(rc, length(text)) ELSE rc END AS c FROM ct), " +
+        "ch AS (SELECT doc_id, list_distinct([md5(substr(text, " +
+        "CASE WHEN k = 1 THEN 1 ELSE c[CAST(k - 1 AS INTEGER)] + 1 END, " +
+        "c[CAST(k AS INTEGER)] - " +
+        "(CASE WHEN k = 1 THEN 0 ELSE c[CAST(k - 1 AS INTEGER)] END))) " +
+        "for k in range(1, len(c) + 1)]) AS chunks FROM cc), " +
+        "e AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch), " +
+        "sb AS (SELECT chunk FROM e GROUP BY 1 " +
+        "HAVING count(*) > 1 AND count(*) <= 64), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a " +
+        "JOIN e b ON a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+        "JOIN sb ON a.chunk = sb.chunk) " +
+        "SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_chunks " +
+        "FROM p GROUP BY 1, 2"),
+
     "q50b_chunk_dedup_exact" ->
       ("WITH tk AS (SELECT doc_id, " +
         "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +

@@ -1126,11 +1126,16 @@ object TestQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
 
-  /** Corpus-level content overlap: per-source MinHash union sketches
-    * (TypedImperativeAggregate), pairwise estimated Jaccard across sources.
+  /** Corpus-level content overlap via per-source MinHash union sketches,
+    * on the MD5 hash family ([[operators.Dedup.groupMinhashSimilarityMd5]])
+    * so DuckDB replays every coordinate (lexicographic min of
+    * `md5(i:shingle)` hex over the group's shingle union — the q36b trick
+    * lifted to groups) and the gate hash-checks
+    * shingle→min→union-agg→pairwise-agreement end to end. The xxhash
+    * production sketch keeps its exact-anchor telemetry at q259.
     */
   def q49SourceSimilarity(s: SparkSession, dir: String): DataFrame =
-    Dedup.groupMinhashSimilarity(t(s, dir, "documents"), "source", "text")
+    Dedup.groupMinhashSimilarityMd5(t(s, dir, "documents"), "source", "text")
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
       .orderBy("group_a", "group_b")
 

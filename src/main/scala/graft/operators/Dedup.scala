@@ -718,6 +718,46 @@ object Dedup {
       .select("group_a", "group_b", "est_jaccard")
   }
 
+  /** Cross-engine-reproducible variant of [[groupMinhashSimilarity]]:
+    * coordinate i of a group's union sketch is the LEXICOGRAPHIC min of
+    * `md5(i ++ ":" ++ shingle)` hex over the union of the group's doc
+    * shingle sets (fixed-width lowercase hex, so string min == numeric min
+    * of the 128-bit value in any engine — the [[minhashCandidatePairsMd5]]
+    * hash family lifted to the group level). Union-of-mins = min-of-mins,
+    * so each doc computes its signature scan-side and ONE group-keyed
+    * aggregate takes per-coordinate mins — the shuffle carries a
+    * numHashes-string array per doc, never shingles. The q49 gate
+    * hash-checks this against a DuckDB replay; production corpus scans
+    * stay on [[groupMinhashSimilarity]] (xxhash, 8-byte coords), whose
+    * error telemetry rides q259.
+    */
+  def groupMinhashSimilarityMd5(df: DataFrame, groupCol: String,
+                                textCol: String, shingleSize: Int = 3,
+                                numHashes: Int = 16): DataFrame = {
+    // bind the shingle array BEFORE the lambda references it: interpreted
+    // HOF lambdas do no CSE, so an unbound shingles() would re-split the
+    // text once per (coordinate, element)
+    val sig = df
+      .where(Text.tokenCount(col(textCol)) >= shingleSize)
+      .select(col(groupCol),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col(groupCol), array((0 until numHashes).map { i =>
+        array_min(transform(col("__sh"),
+          x => md5(concat_ws(":", lit(i.toString), x))))
+      }: _*).as("__sig"))
+    val gsig = sig.groupBy(groupCol)
+      .agg(array((0 until numHashes).map(i =>
+        min(element_at(col("__sig"), i + 1))): _*).as("gsig"))
+    val a = gsig.select(col(groupCol).as("group_a"), col("gsig").as("sig_a"))
+    val b = gsig.select(col(groupCol).as("group_b"), col("gsig").as("sig_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .select("group_a", "group_b", "est_jaccard")
+  }
+
   /** EXACT per-group-pair Jaccard over distinct word n-gram shingle sets —
     * the deterministic anchor for [[groupMinhashSimilarity]]'s sketch
     * estimates (the gate hash-checks this; the sketch's error is

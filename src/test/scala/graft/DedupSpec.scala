@@ -336,6 +336,39 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(est - got(("ga", "gb"))) <= 0.15)
   }
 
+  test("groupMinhashSimilarityMd5: union-of-mins equals a driver-computed " +
+    "md5 sketch; identical groups agree fully") {
+    val grouped = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("s1", "iota kappa lambda mu nu xi omicron pi"),
+      ("s2", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("s2", "iota kappa lambda mu nu xi omicron pi"),
+      ("s3", "alpha beta gamma delta epsilon zeta eta theta plus extra tail words here")
+    ).toDF("source", "text")
+    // driver replay: per group, coordinate i = min md5("i:" ++ shingle)
+    // over the union of the docs' distinct 3-shingle sets
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val sets = grouped.select(col("source"),
+        array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        g -> rs.flatMap(_.getSeq[String](1)).toSet }
+    def sig(g: String): Seq[String] =
+      (0 until 16).map(i => sets(g).map(s => md5hex(s"$i:$s")).min)
+    def estOf(a: String, b: String): Double =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y } / 16.0
+    val got = Dedup.groupMinhashSimilarityMd5(grouped, "source", "text")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("s1", "s2")) === 1.0)
+    got.foreach { case ((a, b), e) =>
+      assert(e === estOf(a, b), s"pair ($a,$b)") }
+  }
+
   test("embeddingNearDupExact: threshold cut and cosine values match brute force") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
