@@ -290,16 +290,76 @@ object Dedup {
     * current (partially-converged) labels are returned — raise `maxIter`
     * for adversarially deep graphs.
     *
+    * `driverEdgeCap`: edge sets at or under this size (counted on the
+    * pinned blocks, so no recomputation) run a driver union-find instead
+    * of the loop — identical labels, none of the per-round fixed cost.
+    * The collect is bounded by the cap (≈32 MB of boxed longs at the
+    * 1M default); bigger graphs stay fully distributed.
+    *
     * Returns (id, cluster) where cluster = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverEdgeCap: Long = 1000000L): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    val edges = pin(pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    // Pin the DIRECTED pair set once; the doubled edge view below mirrors
+    // the pinned blocks with a narrow projection. Referencing the raw
+    // `pairs` lineage on both sides of the union (the previous shape)
+    // materialized the whole candidate DAG — LSH banding, similarity
+    // verification — TWICE before the first round.
+    val p0 = pin(pairs.select(col("id_a"), col("id_b")))
+    // Small-graph fast path: when the edge set fits the driver cap, a
+    // union-find replaces ~log(diameter) checkpointed rounds whose
+    // per-round fixed cost (two joins + a materialization + a probe job)
+    // dwarfs the actual work at that size — the dominant case after
+    // LSH/verify pruning. The collect is BOUNDED by driverEdgeCap (the
+    // count reads already-pinned blocks); above the cap the distributed
+    // loop below runs unchanged, so corpus-scale edge sets never reach
+    // the driver. Semantics identical: cluster = min id of the component.
+    if (p0.count() * 2 <= driverEdgeCap) {
+      val rows = p0.collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val next = parent.get(c); parent.put(c, r); c = next
+        }
+        r
+      }
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val minOf = new java.util.HashMap[Any, Any]()
+      val ids = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+        .toArray.distinct
+      ids.foreach { id =>
+        val r = find(id)
+        val m = minOf.get(r)
+        if (m == null || lt(id, m)) minOf.put(r, id)
+      }
+      Pinning.unpin(p0)
+      val idType = pairs.schema("id_a").dataType
+      val outT = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      val spark = pairs.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ids.toSeq.map(id =>
+            org.apache.spark.sql.Row(id, minOf.get(find(id)))),
+          math.max(1, math.min(32, ids.length / 4096 + 1))),
+        outT)
+    }
+    val edges = p0.union(
+      p0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = pin(edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster", col("id")))
     var converged = false

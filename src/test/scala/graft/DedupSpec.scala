@@ -206,12 +206,32 @@ class DedupSpec extends AnyFunSuite {
   test("connectedComponents: 200-node chain converges within default maxIter (pointer jumping)") {
     // diameter 200 ≫ maxIter 20: plain min-propagation moves the label one
     // hop per round and would return partial labels; pointer jumping
-    // doubles reach per round (~log2(200)+slack ≈ 9 rounds)
+    // doubles reach per round (~log2(200)+slack ≈ 9 rounds).
+    // driverEdgeCap = 0 forces the DISTRIBUTED loop (the default would
+    // route this tiny graph to the driver union-find fast path).
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain).collect()
+    val cc = Dedup.connectedComponents(chain, driverEdgeCap = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length === 200)
     assert(cc.forall(_._2 === 1L))
+  }
+
+  test("connectedComponents: driver union-find fast path matches the " +
+    "distributed loop on a multi-component graph") {
+    // 3 components: a chain, a triangle with a dangling edge, a pair —
+    // plus duplicate and reversed edges to exercise normalization
+    val edges = Seq(
+      (5L, 6L), (6L, 7L), (7L, 8L),          // chain → min 5
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L), // triangle+tail → 20
+      (40L, 41L), (41L, 40L), (40L, 41L)     // pair, dup + reversed
+    ).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(edges, driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+    assert(fast(8L) === 5L && fast(23L) === 20L && fast(41L) === 40L)
+    assert(fast.size === 10)
   }
 
   test("connectedComponents: reliable-checkpoint mode yields identical labels") {
