@@ -316,41 +316,52 @@ object Analytics {
     * quality scorer runs hot, another cold; after this, "keep score ≥ t"
     * cuts every source at the same population depth).
     *
-    * Value-domain formulation end to end (quantize continuous scores
-    * first): per-(group, value) counts with a running sum give each
-    * value its midpoint ECDF p = (cum − t/2)/n INSIDE its group; the
-    * global distinct-value table gets its own ECDF; the mapped value is
-    * the smallest global value whose ECDF reaches p (the inverse-CDF
-    * convention). Work is |group domain| × |global domain| through one
-    * broadcast inequality join — never row-scale pairs — and windows run
-    * over distinct values only. Returns one row per (group, value):
+    * Value-domain formulation end to end: per-(group, value) counts with
+    * a DISTRIBUTED running sum ([[Stats.groupedCumCounts]] — no per-group
+    * full-domain window, so a continuous score column never funnels a
+    * group through one task) give each value its midpoint ECDF
+    * p = (cum − t/2)/n INSIDE its group; the global distinct-value table
+    * gets its ECDF from [[Ranks.runningSum]] (the only unpartitioned
+    * windows are over the ≤P-row partition-totals table). The inverse-CDF
+    * lookup — smallest global value whose ECDF reaches p — is a SORTED
+    * MERGE: probes (key = p) and refs (key = global ECDF) share one range
+    * partitioning and the suffix-min of the ref value at-or-after each
+    * probe is the answer (ECDF is strictly increasing over the distinct
+    * values), replacing the former |group domain| × |global domain|
+    * broadcast inequality join. Returns one row per (group, value):
     * (groupCol, valueCol, p, mapped).
     */
   def quantileNormalize(df: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
+    // pinned: the group-ECDF and global-ECDF paths aggregate it through
+    // DIFFERENT exchanges, so no ReusedExchange can share the fact scan
     val per = df.groupBy(col(groupCol).as("__g"), v.as("__v"))
-      .agg(count(lit(1)).as("__t"))
-      .localCheckpoint() // group ECDF + the global table share it
-    val wg = Window.partitionBy("__g").orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grp = per
-      .withColumn("__cum", sum("__t").over(wg))
-      .withColumn("__n", sum("__t").over(Window.partitionBy("__g")))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val grp = Stats.groupedCumCounts(per, "__g")
       .withColumn("p",
-        (col("__cum") - col("__t") / 2.0) / col("__n"))
-    val wAll = Window.orderBy("__gv")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val glob = per.groupBy(col("__v").as("__gv"))
-      .agg(sum("__t").as("__gt"))
-      .withColumn("__gcum", sum("__gt").over(wAll))
-      .withColumn("__gn", sum("__gt").over(
-        Window.partitionBy(lit(1))))
-      .withColumn("__gecdf", col("__gcum").cast("double") / col("__gn"))
-      .select("__gv", "__gecdf")
-    grp.join(broadcast(glob), col("__gecdf") >= col("p"))
-      .groupBy(col("__g"), col("__v"), col("p"))
-      .agg(min("__gv").as("mapped"))
+        (col("__cum") - col("__c") / 2.0) / col("__n"))
+    val globCounts = per.groupBy(col("__v").as("__gv"))
+      .agg(sum("__c").as("__gt"))
+    val gtot = globCounts.agg(sum("__gt").as("__gn"))
+    val refs = Ranks.runningSum(globCounts, Seq(col("__gv")), "__gt", "__gcum")
+      .crossJoin(broadcast(gtot))
+      .select(lit(null).cast(per.schema("__g").dataType).as("__g"),
+        lit(null).cast("double").as("__v"),
+        lit(null).cast("double").as("p"),
+        (col("__gcum").cast("double") / col("__gn")).as("__key"),
+        lit(1).as("__side"),
+        col("__gv").as("__refv"))
+    val probes = grp.select(col("__g"), col("__v"), col("p"),
+      col("p").as("__key"), lit(0).as("__side"),
+      lit(null).cast("double").as("__refv"))
+    // refs sort AFTER probes at an equal key, so a ref whose ECDF equals p
+    // is inside the probe's inclusive suffix — the >= convention exactly
+    Ranks.running(probes.unionByName(refs),
+        order = Seq(col("__key"), col("__side")),
+        suffixMins = Seq("__refv" -> "mapped"))
+      .where(col("__side") === 0)
       .select(col("__g").as(groupCol), col("__v").as(valueCol),
         col("p"), col("mapped"))
   }

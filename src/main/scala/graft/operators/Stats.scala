@@ -708,10 +708,12 @@ object Stats {
     * instead of funnelling each group through one task.
     *
     * Input must be (groupCol, __v, __c); output is
-    * (groupCol, __v, __cum, __n) where __cum is the inclusive running
-    * count in __v order within the group and __n the group total.
+    * (groupCol, __v, __c, __cum, __n) where __cum is the inclusive
+    * running count in __v order within the group and __n the group total.
+    * Shared with [[Analytics.quantileNormalize]]'s per-group ECDF.
     */
-  private def groupedCumCounts(per: DataFrame, groupCol: String): DataFrame = {
+  private[operators] def groupedCumCounts(per: DataFrame,
+                                          groupCol: String): DataFrame = {
     val ranged = per.repartitionByRange(col(groupCol), col("__v"))
       .withColumn("__pid", spark_partition_id())
     val wOff = Window.partitionBy(groupCol).orderBy("__pid")
@@ -727,7 +729,8 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(offsets, Seq("__pid", groupCol))
       .withColumn("__cum", col("__off") + sum("__c").over(wIn))
-      .select(col(groupCol), col("__v"), col("__cum"), col("__n"))
+      .select(col(groupCol), col("__v"), col("__c"), col("__cum"),
+        col("__n"))
   }
 
   /** Per-group robust outlier flags via MAD (median absolute deviation):

@@ -523,6 +523,37 @@ class StatsSpec extends AnyFunSuite {
     assert(got.take(4).map(_._4).toSeq.sorted === got.take(4).map(_._4).toSeq)
   }
 
+  test("quantileNormalize: continuous domain (distinct = N) matches a " +
+    "driver-computed inverse CDF") {
+    import graft.operators.Analytics
+    // every value unique: the shape whose per-group window used to funnel
+    // each group through one task, and whose |domain|x|domain| inequality
+    // join used to go quadratic — now distributed-rank + sorted merge
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 3000).map(i =>
+      (s"g${i % 2}", i.toDouble + rng.nextDouble() * 0.25))
+    val byG = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted }
+    val all = rows.map(_._2).sorted
+    def expected(g: String, v: Double): Double = {
+      val xs = byG(g)
+      val cum = xs.count(_ <= v) // values unique: cum index of v
+      val p = (cum - 0.5) / xs.size
+      // min global value whose ECDF >= p, with the SAME double comparison
+      // the operator makes (ceil-arithmetic re-derivations round
+      // differently at p*N boundaries)
+      val k = (1 to all.size)
+        .find(k => k.toDouble / all.size >= p).get
+      all(k - 1)
+    }
+    val got = Analytics.quantileNormalize(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("mapped")).toMap
+    assert(got.size === 3000)
+    rows.foreach { case (g, v) =>
+      assert(got((g, v)) === expected(g, v), s"($g, $v)") }
+  }
+
   test("liftGain: a tied block lands in the decile its last row reaches") {
     // 4 rows of score 0.9 then 6 of 0.1: decile 1 target is 1 row, but
     // the first threshold already carries 4 rows — deciles 1..4 all pick
