@@ -145,4 +145,56 @@ object Ranks {
   def runningSum(df: DataFrame, order: Seq[Column],
                  inputCol: String, outputCol: String): DataFrame =
     running(df, order, sums = Seq(inputCol -> outputCol))
+
+  /** Per-GROUP analogue of [[running]]: inclusive running sum of `input`
+    * within each group under `order`, distributed the same way —
+    * range-partition on (group, order), per-(partition, group) partial
+    * sums (≤ one row per partition a group touches), per-group exclusive
+    * offsets over that tiny table, join back, within-partition windows.
+    * `Window.partitionBy(group).orderBy(order)` puts a group's EVERY row
+    * through one task — fine when groups are plentiful (users, docs),
+    * fatal for the sampling family, where groups are sources/languages
+    * numbering in the dozens and each holds a corpus-scale slice.
+    *
+    * `totalCol`, if set, adds each group's total of `input` (free — the
+    * offsets table already holds it). The group match is NULL-SAFE (a
+    * null group key is a real group). Requires
+    * `spark.sql.exchange.reuse=true` like [[running]], and order keys
+    * unique within a group for a deterministic prefix (callers pass an
+    * (md5(key), key) pair).
+    */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+                        order: Seq[Column], input: Column,
+                        outputCol: String,
+                        totalCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(order.nonEmpty, "need at least one order column")
+    require(df.sparkSession.conf
+        .get("spark.sql.exchange.reuse", "true").toBoolean,
+      "Ranks.groupedRunningSum requires spark.sql.exchange.reuse=true: " +
+        "its offsets and row sides must observe identical range boundaries")
+    val gcols = groupCols.map(col)
+    val ranged = df.repartitionByRange((gcols ++ order): _*)
+      .withColumn(PID, spark_partition_id())
+    val wOff = Window.partitionBy(gcols: _*).orderBy(PID)
+    val offsets = ranged.groupBy((col(PID) +: gcols): _*)
+      .agg(sum(input).as("__rk_gpc"))
+      .withColumn("__rk_goff", coalesce(sum("__rk_gpc").over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .withColumn("__rk_gtot", sum("__rk_gpc").over(
+        wOff.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select((col(PID).as("__rk_gop") +:
+        groupCols.map(c => col(c).as(s"__rk_g_$c"))) ++
+        Seq(col("__rk_goff"), col("__rk_gtot")): _*)
+    val cond = (col(PID) === col("__rk_gop")) +:
+      groupCols.map(c => col(c) <=> col(s"__rk_g_$c"))
+    val wIn = Window.partitionBy((col(PID) +: gcols): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ranged.join(offsets, cond.reduce(_ && _))
+      .withColumn(outputCol, col("__rk_goff") + sum(input).over(wIn))
+    totalCol.foldLeft(joined)((d, t) => d.withColumn(t, col("__rk_gtot")))
+      .drop((PID +: "__rk_gop" +: "__rk_goff" +: "__rk_gtot" +:
+        groupCols.map(c => s"__rk_g_$c")): _*)
+  }
 }

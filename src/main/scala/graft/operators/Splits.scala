@@ -100,27 +100,26 @@ object Splits {
     * the hash ordering makes the chosen rows a pure function of the data
     * (stable across runs and partitioning, auditable like [[hashSplit]]).
     *
-    * Cost shape: one shuffle on the strata + a per-stratum sort (the
-    * row_number window). Strata here are bounded groups (sources,
-    * languages, shards) — for quotas over UNBOUNDED strata, first split
-    * each stratum into hash sub-shards and take per-shard quotas, or use
-    * [[hashSample]] when an approximate fraction suffices (no sort at
-    * all).
+    * Cost shape: one range shuffle on (strata, hash key) via
+    * [[Ranks.groupedRunningSum]] — a stratum's rows spread across range
+    * partitions instead of funnelling through one sort task, so a
+    * dominant source (the 100 TB norm: one crawl is half the corpus)
+    * costs its share of every executor, not one executor's everything.
+    * Use [[hashSample]] when an approximate fraction suffices (no rank
+    * at all).
     */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], fraction: Double,
                        keyCol: String): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     // temp names guaranteed absent from the input (a user column named
     // "__rn" would be silently clobbered and dropped otherwise)
     val rn = Iterator.from(0).map(i => s"__rn$i")
       .find(n => !df.columns.contains(n)).get
     val cnt = Iterator.from(0).map(i => s"__cnt$i")
       .find(n => !df.columns.contains(n)).get
-    val part = Window.partitionBy(strataCols.map(col): _*)
-    val w = part.orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn(rn, row_number().over(w))
-      .withColumn(cnt, count(lit(1)).over(part))
+    Ranks.groupedRunningSum(df, strataCols,
+        Seq(md5(col(keyCol).cast("string")), col(keyCol)), lit(1L),
+        rn, totalCol = Some(cnt))
       .where(col(rn) <= ceil(lit(fraction) * col(cnt)))
       .drop(rn, cnt)
   }
@@ -134,20 +133,18 @@ object Splits {
     * fraction, this equalizes absolute sizes — the common shape for "no
     * single crawl dominates the mixture".
     *
-    * Cost shape: one shuffle on the group columns + a per-group sort
-    * window. Groups here are bounded (sources, languages); for a cap over
-    * an unbounded group split it into hash sub-shards first, exactly as
-    * the [[stratifiedSample]] note prescribes.
+    * Cost shape: one range shuffle on (group, hash key) via
+    * [[Ranks.groupedRunningSum]] — the over-represented source this
+    * operator exists to tame is exactly the group a per-group sort window
+    * would funnel through one task.
     */
   def balancedDownsample(df: DataFrame, groupCols: Seq[String], cap: Long,
                          keyCol: String): DataFrame = {
     require(cap > 0, "cap must be positive")
-    import org.apache.spark.sql.expressions.Window
     val rn = Iterator.from(0).map(i => s"__rn$i")
       .find(n => !df.columns.contains(n)).get
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn(rn, row_number().over(w))
+    Ranks.groupedRunningSum(df, groupCols,
+        Seq(md5(col(keyCol).cast("string")), col(keyCol)), lit(1L), rn)
       .where(col(rn) <= cap)
       .drop(rn)
   }
@@ -271,13 +268,15 @@ object Splits {
     * positive target drop entirely.
     *
     * One aggregate for the group masses (group-count-sized), caps
-    * broadcast back, one group-keyed window for the running mass. A doc
-    * straddling its group's cap is excluded (mass never exceeds target).
+    * broadcast back, one DISTRIBUTED per-group running mass
+    * ([[Ranks.groupedRunningSum]] — the binding group is by construction
+    * the corpus's biggest slice, the worst case for a per-group sort
+    * window). A doc straddling its group's cap is excluded (mass never
+    * exceeds target).
     */
   def mixtureSample(df: DataFrame, groupCol: String, measureCol: Column,
                     targets: Map[String, Double], idCol: String): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0))
-    import org.apache.spark.sql.expressions.Window
     val tgt = targets.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       when(col(groupCol) === k, v).otherwise(acc)
     }
@@ -287,10 +286,10 @@ object Splits {
     val scale = masses.agg(min(col("__n") / col("__t")).as("__total"))
     val caps = masses.crossJoin(broadcast(scale))
       .select(col(groupCol), (col("__t") * col("__total")).as("__cap"))
-    val w = Window.partitionBy(groupCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.join(broadcast(caps), Seq(groupCol))
-      .withColumn("__run", sum(measureCol).over(w))
+    Ranks.groupedRunningSum(
+        df.join(broadcast(caps), Seq(groupCol)), Seq(groupCol),
+        Seq(md5(col(idCol).cast("string")), col(idCol)), measureCol,
+        "__run")
       .where(col("__run") <= col("__cap"))
       .drop("__run", "__cap")
   }

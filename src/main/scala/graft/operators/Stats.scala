@@ -714,6 +714,13 @@ object Stats {
     */
   private[operators] def groupedCumCounts(per: DataFrame,
                                           groupCol: String): DataFrame = {
+    // both sides below read ONE physical range exchange; independent
+    // exchanges would sample boundaries independently and misalign the
+    // per-partition ids (the Ranks.running contract)
+    require(per.sparkSession.conf
+        .get("spark.sql.exchange.reuse", "true").toBoolean,
+      "groupedCumCounts requires spark.sql.exchange.reuse=true: its " +
+        "offsets and row sides must observe identical range boundaries")
     val ranged = per.repartitionByRange(col(groupCol), col("__v"))
       .withColumn("__pid", spark_partition_id())
     val wOff = Window.partitionBy(groupCol).orderBy("__pid")
@@ -724,10 +731,14 @@ object Stats {
       .withColumn("__n", sum("__pc").over(
         wOff.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .select(col("__pid"), col(groupCol), col("__off"), col("__n"))
+      .select(col("__pid").as("__opid"), col(groupCol).as("__og"),
+        col("__off"), col("__n"))
     val wIn = Window.partitionBy(col("__pid"), col(groupCol)).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(offsets, Seq("__pid", groupCol))
+    // null-SAFE group match: a null group key is a real group to the
+    // window partitioner, and a plain equi-join would silently drop it
+    ranged.join(offsets,
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
       .withColumn("__cum", col("__off") + sum("__c").over(wIn))
       .select(col(groupCol), col("__v"), col("__c"), col("__cum"),
         col("__n"))

@@ -119,6 +119,32 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedRunningSum: matches the per-group window formulation on a " +
+    "large spread-out group, keeps a null group, exposes totals") {
+    // group sizes force multi-partition spans under 32 shuffle partitions;
+    // one group key is null (a real group — the equi-join regression trap)
+    val rows = (0 until 5000).map { i =>
+      val g = if (i % 10 == 0) null else s"g${i % 3}"
+      (g, i.toLong, (i % 7 + 1).toLong)
+    }.toDF("g", "id", "m")
+    val got = Ranks.groupedRunningSum(rows, Seq("g"),
+        Seq(md5(col("id").cast("string")), col("id")), col("m"),
+        "run", totalCol = Some("tot"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val w = Window.partitionBy("g")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows
+      .withColumn("run", sum("m").over(w))
+      .withColumn("tot", sum("m").over(Window.partitionBy("g")))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got.size === 5000)
+    assert(got === want)
+    assert(got.keys.exists(_._1.isEmpty), "null group rows were dropped")
+  }
+
   test("liftGain on a continuous unique score matches exact deciles") {
     val n = 1000
     val rows = spark.range(n)
