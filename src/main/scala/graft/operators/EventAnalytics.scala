@@ -88,9 +88,6 @@ object EventAnalytics {
             quantizeSeconds).as("__gap"))
     }.reduce(_ unionByName _)
     val per = gaps.groupBy("__i", "__gap").agg(count(lit(1)).as("__c"))
-    val tot = per.groupBy("__i").agg(sum("__c").as("__n"))
-    val w = Window.partitionBy("__i").orderBy("__gap")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val names = stages.indices.drop(1).map(i =>
       struct(lit(i).as("i"), lit(stages(i - 1)).as("f"),
         lit(stages(i)).as("t")))
@@ -98,8 +95,12 @@ object EventAnalytics {
       explode(array(names: _*)).as("__s"))
       .select(col("__s.i").as("__i"), col("__s.f").as("stage_from"),
         col("__s.t").as("stage_to"))
-    per.withColumn("__cum", sum("__c").over(w))
-      .join(broadcast(tot), Seq("__i"))
+    // distributed per-stage running count over the gap domain: the gap
+    // domain is time-range-sized (quantized, but unbounded for a wide
+    // log), and there are only |stages|-1 partitions — the exact shape a
+    // per-stage ordered window would funnel through one task
+    Ranks.groupedRunningSum(per, Seq("__i"), Seq(col("__gap")),
+        col("__c"), "__cum", totalCol = Some("__n"))
       .groupBy("__i")
       .agg(max("__n").as("n_advanced"),
         min(when(col("__cum") >= ceil(col("__n") * 5 / 10.0),
