@@ -2049,6 +2049,17 @@ object Oracles {
         "SELECT doc_id, n_chars, round(p, 9) AS priority FROM w " +
         "ORDER BY p DESC, doc_id LIMIT 20"),
 
+    // Per-group A-Res: same uniform as q144, rank within source by
+    // (priority DESC, doc_id), keep the top 5 per source.
+    "q274_group_weighted_sample" ->
+      ("WITH w AS (SELECT source, doc_id, n_chars, " +
+        "power(CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0, " +
+        "1.0 / n_chars) AS p FROM documents WHERE n_chars > 0), " +
+        "r AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY source ORDER BY p DESC, doc_id) AS rn FROM w) " +
+        "SELECT source, doc_id, n_chars, round(p, 9) AS priority " +
+        "FROM r WHERE rn <= 5 ORDER BY source, p DESC, doc_id"),
+
     // Triangle stats: degree-oriented closure replayed; wedge total is the
     // center-counted sum C(deg, 2).
     "q145_triangles" ->

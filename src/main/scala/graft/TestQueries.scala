@@ -4027,6 +4027,24 @@ object TestQueries {
       .orderBy("dim")
   }
 
+  /** Per-group weighted sampling
+    * ([[operators.Splits.weightedSamplePerGroup]]): per-SOURCE top-5
+    * documents by A-Res priority `u^(1/n_chars)` — the per-source
+    * quality-weighted quota, ranked through the distributed
+    * [[operators.Ranks.groupedRunningSum]]. Same multiplicative-modulo
+    * uniform as q144 so DuckDB replays priority and the per-group rank
+    * digit-for-digit.
+    */
+  def q274GroupWeightedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.weightedSamplePerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), "doc_id", "n_chars", k = 5,
+        uniform = c => ((c * 2654435761L) % 1000003L).cast("double")
+          / 1000003.0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("__priority"), 9).as("priority"))
+      .orderBy(col("source"), col("priority").desc, col("doc_id"))
+
   /** Nearest join ([[operators.Joins.nearestJoin]]): each purchase
     * matched to the user's temporally CLOSEST view within ±2 h — ties to
     * the earlier view, equal-timestamp views reduced to min event_id.
@@ -4402,6 +4420,7 @@ object TestQueries {
     "q271_l_diversity" -> (q271LDiversity _),
     "q272_t_closeness" -> (q272TCloseness _),
     "q273_truncation_recall" -> (q273TruncationRecall _),
+    "q274_group_weighted_sample" -> (q274GroupWeightedSample _),
     "q274_key_skew" -> (q274KeySkew _),
     "q275_corpus_card" -> (q275CorpusCard _),
     "q40_events_hourly" -> (q40EventsHourly _),

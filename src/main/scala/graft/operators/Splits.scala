@@ -92,6 +92,31 @@ object Splits {
       .limit(k)
   }
 
+  /** Per-GROUP weighted sampling without replacement: A-Res top-k WITHIN
+    * each group — the per-language / per-source quality-weighted quota
+    * (the grouped form of [[weightedSample]], where [[stratifiedSample]]
+    * is the grouped form of a uniform draw). Ranking is distributed via
+    * [[Ranks.groupedRunningSum]]: a per-group priority-sort window would
+    * funnel each group through one task, and the group a quota exists to
+    * tame is precisely the dominant one. Rows with non-positive weight
+    * never sample; membership is a pure function of the data.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             keyCol: String, weightCol: String, k: Int,
+                             uniform: Column => Column = hashUniform)
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    val scored = df.where(col(weightCol) > 0)
+      .withColumn("__priority",
+        pow(uniform(col(keyCol)), lit(1.0) / col(weightCol)))
+    Ranks.groupedRunningSum(scored, groupCols,
+        Seq(col("__priority").desc, col(keyCol)), lit(1L), rn)
+      .where(col(rn) <= k)
+      .drop(rn)
+  }
+
   /** Exact-quota stratified sample: from each stratum, keep the first
     * `ceil(fraction · stratum_size)` rows in a deterministic pseudo-random
     * order (default: md5 of the key, key as tiebreaker). This is the

@@ -332,6 +332,37 @@ class SplitsSpec extends AnyFunSuite {
     assert(math.abs(p - 0.5) < 1e-15)
   }
 
+  test("weightedSamplePerGroup: matches the per-group window formulation, " +
+    "quota per group, heavy row always survives its group") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups x 400 rows; one heavy row per group must always win
+    val rows = (0L until 1200L).map { i =>
+      (s"g${i % 3}", i, if (i < 3) 1.0e9 else 1.0 + (i % 5))
+    }
+    val df = rows.toDF("g", "id", "w")
+    val got = Splits.weightedSamplePerGroup(df, Seq("g"), "id", "w", k = 4)
+      .select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.size === 12)
+    assert(Seq(0L, 1L, 2L).forall(i => got.contains((s"g$i", i))),
+      "heavy rows missing from their groups")
+    // equality with the naive per-group window formulation
+    val w = Window.partitionBy("g")
+      .orderBy(col("__priority").desc, col("id"))
+    val want = df.where(col("w") > 0)
+      .withColumn("__priority",
+        org.apache.spark.sql.functions.pow(
+          Splits.hashUniform(col("id")),
+          org.apache.spark.sql.functions.lit(1.0) / col("w")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") <= 4)
+      .select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("neymanAllocation: budget follows N_h·S_h; constant strata get 0") {
     import spark.implicits._
     // A: {0,2} (sd √2), B: {0,6} (sd √18 = 3√2), C constant → sd 0
