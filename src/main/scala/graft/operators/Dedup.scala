@@ -90,9 +90,53 @@ object Dedup {
     flatten(transform(xs, (x, i) =>
       transform(slice(xs, i + 2, size(xs)), y => struct(x.as("a"), y.as("b")))))
 
+  /** All unordered pairs within each bucket, with the semDedup skew cap:
+    * a bucket larger than `maxBucket` splits into ⌈n/cap⌉ hash
+    * sub-buckets (pair work N·cap instead of N² — and the collect_list
+    * per bucket stays cap-bounded instead of flood-sized), with
+    * consecutive sub-bucket min-id representatives chained in as extra
+    * candidates so downstream verify→closure still unifies a genuine
+    * near-duplicate flood — the #1 real corpus shape LSH dedup meets.
+    * Only split buckets join the count table back (≤ N/cap rows);
+    * buckets ≤ cap are byte-identical to the uncapped formulation, which
+    * keeps the q36b/q37b oracle hashes intact at gate scale.
+    *
+    * `keyed` must carry `bucketCols` plus `x`, a struct whose FIRST field
+    * is the id; returns (a, b) struct pairs with a.id < b.id.
+    */
+  private def cappedBucketPairs(keyed: DataFrame, bucketCols: Seq[String],
+                                maxBucket: Int): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
+    val bcols = bucketCols.map(col)
+    val hot = keyed.groupBy(bcols: _*)
+      .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("__m"))
+      .where(col("__m") > 1)
+    val sub = keyed.join(hot, bucketCols, "left")
+      .withColumn("__m", coalesce(col("__m"), lit(1)))
+      .withColumn("__sub",
+        pmod(xxhash64(col("x.id")), col("__m").cast("long")).cast("int"))
+    val subCols = bcols :+ col("__sub")
+    val within = sub.groupBy(subCols: _*)
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(pairCombos(col("xs"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val reps = sub.where(col("__m") > 1)
+      .groupBy(subCols: _*)
+      .agg(min_by(col("x"), col("x.id")).as("r"))
+    val lt = col("l.r.id") <= col("r2.r.id")
+    val chain = reps.alias("l").join(reps.alias("r2"),
+        bucketCols.map(c => col(s"l.$c") === col(s"r2.$c")).reduce(_ && _)
+          && col("l.__sub") + 1 === col("r2.__sub"))
+      .select(when(lt, col("l.r")).otherwise(col("r2.r")).as("a"),
+        when(lt, col("r2.r")).otherwise(col("l.r")).as("b"))
+    within.unionAll(chain)
+  }
+
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), hash each band, bucket docs by (band, band-hash), emit
-    * within-bucket pairs via collect_list + combinations. Signatures are
+    * within-bucket pairs via collect_list + combinations — bucket sizes
+    * bounded by [[cappedBucketPairs]]. Signatures are
     * computed ONCE and the only shuffle carries (band, hash, id) — a
     * self-join formulation would recompute every signature on both sides
     * and shuffle twice (measured 12 s → <2 s at sf0.1). Pairs are
@@ -100,7 +144,8 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, numHashes: Int = 16,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4,
+                            maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
@@ -117,12 +162,10 @@ object Dedup {
             xxhash64(concat_ws(",",
               slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("bh"))
         }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    banded.groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        struct(col("id")).as("x"))
+    cappedBucketPairs(banded, Seq("band", "bh"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
@@ -156,7 +199,8 @@ object Dedup {
     */
   def minhashCandidatePairsMd5(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int = 3, numHashes: Int = 16,
-                               bands: Int = 4): DataFrame = {
+                               bands: Int = 4,
+                               maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
@@ -168,18 +212,16 @@ object Dedup {
         array_min(transform(col("__sh"),
           x => md5(concat_ws(":", lit(i.toString), x))))
       }: _*).as("sig"))
-    val banded = sig.select(col("id"),
+    val banded = sig.select(
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             concat_ws(",",
               slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bk"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    banded.groupBy("band", "bk")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+        }: _*)).as("bb"), col("id"))
+      .select(col("bb.band").as("band"), col("bb.bk").as("bk"),
+        struct(col("id")).as("x"))
+    cappedBucketPairs(banded, Seq("band", "bk"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
@@ -214,7 +256,8 @@ object Dedup {
       graft.functions.expressions.TextHashExpressions.simhashMd5(col(textCol), 2))
 
   private def simhashPairsWithSig(df: DataFrame, idCol: String,
-                                  textCol: String, sig: Column): DataFrame = {
+                                  textCol: String, sig: Column,
+                                  maxBucket: Int = 4096): DataFrame = {
     // Same degenerate-signature guard as minhashCandidatePairs (2-shingles).
     val sigs = df
       .where(Text.tokenCount(col(textCol)) >= 2)
@@ -225,12 +268,12 @@ object Dedup {
             shiftright(col("sh"), b * 16).bitwiseAND(0xFFFF).as("bv"))
         }: _*)).as("x"))
       .select(col("id"), col("sh"), col("x.blk").as("blk"), col("x.bv").as("bv"))
-    blocked.groupBy("blk", "bv")
-      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(pairCombos(col("xs"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
+    cappedBucketPairs(
+        blocked.select(col("blk"), col("bv"),
+          struct(col("id"), col("sh")).as("x")),
+        Seq("blk", "bv"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
   }
@@ -878,16 +921,15 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
-                            numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+                            numPlanes: Int = 8, seed: Long = 42L,
+                            maxBucket: Int = 4096): DataFrame = {
     val planes = Similarity.randomPlanes(numPlanes, dim, seed)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Vectors.lshSignature(col(vecCol), planes).as("sig"))
-    sigs.groupBy("sig")
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(pairCombos(col("xs"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        Vectors.cosine(col("p.a.v"), col("p.b.v")).as("cos"))
+    val keyed = df.select(
+      Vectors.lshSignature(col(vecCol), planes).as("sig"),
+      struct(col(idCol).as("id"), col(vecCol).as("v")).as("x"))
+    cappedBucketPairs(keyed, Seq("sig"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Vectors.cosine(col("a.v"), col("b.v")).as("cos"))
       .where(col("cos") >= threshold)
   }
 

@@ -356,6 +356,36 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(est - got(("ga", "gb"))) <= 0.15)
   }
 
+  test("LSH bucket cap: a duplicate flood stays sub-quadratic and still " +
+    "collapses transitively; small buckets are cap-invariant") {
+    // 400 identical docs + 50 distinct: every band bucket holds the whole
+    // flood — uncapped that is C(400,2) = 79800 pairs per band
+    val flood = (0L until 400L).map(i =>
+      (i, "the same exact duplicated text appears here again and again"))
+    val distinct = (1000L until 1050L).map(i =>
+      (i, s"unique document number $i with entirely fresh words ${i * 31}"))
+    val docs = (flood ++ distinct).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      maxBucket = 50)
+    val n = capped.count()
+    // ~8 subs x C(50,2) x 4 bands deduped + chains — far under 79800
+    assert(n < 40000L, s"cap ineffective: $n candidate pairs")
+    // the capped candidates still close the flood into ONE component —
+    // the sub-bucket rep chain is what carries closure across subs
+    val clusters = Dedup.connectedComponents(capped)
+      .where(col("id") < 400L).select("cluster").distinct().count()
+    assert(clusters === 1L, "flood did not close into one component")
+    // buckets <= cap: byte-identical to the uncapped operator (50 docs,
+    // so a cap of 60 splits nothing; short texts share bands freely)
+    val small = distinct.toDF("doc_id", "text")
+    val a = Dedup.minhashCandidatePairs(small, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minhashCandidatePairs(small, "doc_id", "text",
+        maxBucket = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("groupMinhashSimilarityMd5: union-of-mins equals a driver-computed " +
     "md5 sketch; identical groups agree fully") {
     val grouped = Seq(
