@@ -1244,6 +1244,23 @@ object ScaleCheck {
           graft.sources.Tables.loadEvents(spark, dir),
           "ts", "value", 3600L, 24).count()
       },
+      "lsh_dup_flood" -> { dir =>
+        // LSH dedup under a duplicate FLOOD: one text cloned onto 10% of
+        // the corpus — every clone agrees on every band, so the whole
+        // flood lands in ONE bucket per band. The cappedBucketPairs
+        // sub-bucketing (cap 256 here so both scales split) keeps pair
+        // work at N*cap; uncapped this anchor is exponent ~2.
+        val base = docs(dir).select(col("doc_id"), col("text"))
+        val one = broadcast(base.orderBy("doc_id").limit(1)
+          .select(col("text").as("__t")))
+        val n = base.count()
+        val clones = spark.range(n / 10).crossJoin(one)
+          .select((col("id") + 2000000000L).as("doc_id"),
+            col("__t").as("text"))
+        val pairs = graft.operators.Dedup.minhashCandidatePairs(
+          base.unionByName(clones), "doc_id", "text", maxBucket = 256)
+        graft.operators.Dedup.connectedComponents(pairs).count()
+      },
       "entity_resolve" -> { dir =>
         // q203's shape: blocked pairs → JW verify → CC → golden records
         val clean = docs(dir).select(col("doc_id").as("id"),
