@@ -104,9 +104,17 @@ object Dedup {
     * `keyed` must carry `bucketCols` plus `x`, a struct whose FIRST field
     * is the id; returns (a, b) struct pairs with a.id < b.id.
     */
-  private def cappedBucketPairs(keyed: DataFrame, bucketCols: Seq[String],
+  private def cappedBucketPairs(keyed0: DataFrame, bucketCols: Seq[String],
                                 maxBucket: Int): DataFrame = {
     require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
+    // Pin the bucketed frame once: the hot-bucket count pass and the
+    // pairing pass both read it, and without the pin the upstream
+    // signature work (16 md5 calls per shingle on the md5 path; xxhash
+    // banding on the production path) executes TWICE — measured 2x on
+    // q36/q36b/q38 when this helper first landed unpinned. Same budget
+    // discipline as blockedPairs' (id, key) pin: bucket keys + id (+ the
+    // simhash long / embedding vector), never raw text.
+    val keyed = keyed0.localCheckpoint(eager = false)
     val bcols = bucketCols.map(col)
     val hot = keyed.groupBy(bcols: _*)
       .agg(ceil(count(lit(1)) / maxBucket.toDouble).cast("int").as("__m"))
