@@ -23,13 +23,96 @@ object Joins {
     df.schema(colName).dataType
       .isInstanceOf[org.apache.spark.sql.types.TimestampType]
 
+  /** Distributed per-key carry over (__ts, __side) order: adds `__back`
+    * (last non-null `__r` at-or-before each row) and/or `__fwd` (first
+    * non-null at-or-after) WITHOUT a per-key window. A
+    * `Window.partitionBy(key)` carry funnels each key's entire timeline
+    * through one sort task — and as-of keys are often few (symbols,
+    * devices, rooms), so that's the whole feed on one executor. Shape:
+    * range-partition on (key, ts, side); per-(partition, key) boundary
+    * summaries (the latest / earliest non-null payload the partition
+    * holds — one tiny max/min aggregate); per-key carry-in/out over that
+    * ≤(P × keys-per-partition)-row table; partition-local windows with
+    * the carry as fallback. Equal (key, ts, side) rows land in one range
+    * partition, so tie behavior matches the single-window formulation.
+    * Both reads of the ranged frame must share one exchange
+    * (the [[graft.operators.Ranks.running]] contract).
+    */
+  private def carriedMatches(tagged: DataFrame, key: String,
+                             back: Boolean, fwd: Boolean): DataFrame = {
+    // The summary and row sides MUST observe identical range boundaries.
+    // Exchange/stage reuse is NOT reliable for that: under a busy AQE
+    // session the two subtrees can materialize as independent exchanges
+    // whose RangePartitioners sample with different seeds — measured as
+    // nondeterministic row LOSS through the (pid, key) join (q97 dumped
+    // 79k of 1.26M rows on some runs). The lazy localCheckpoint freezes
+    // ONE physical partitioning both sides read.
+    val ranged = tagged
+      .repartitionByRange(col(key), col("__ts"), col("__side"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val packed = struct(col("__ts").as("t"), col("__side").as("s"),
+      col("__r").as("r"))
+    val aggs =
+      (if (back) Seq(max(when(col("__r").isNotNull, packed)).as("__lastS"))
+       else Nil) ++
+      (if (fwd) Seq(min(when(col("__r").isNotNull, packed)).as("__firstS"))
+       else Nil)
+    val wPrev = Window.partitionBy(key).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(key).orderBy("__pid")
+      .rowsBetween(1, Window.unboundedFollowing)
+    var boundary = ranged.groupBy(col("__pid"), col(key))
+      .agg(aggs.head, aggs.tail: _*)
+    if (back) boundary = boundary.withColumn("__carryB",
+      last(col("__lastS"), ignoreNulls = true).over(wPrev).getField("r"))
+    if (fwd) boundary = boundary.withColumn("__carryF",
+      first(col("__firstS"), ignoreNulls = true).over(wNext).getField("r"))
+    val carryCols =
+      (if (back) Seq(col("__carryB")) else Nil) ++
+        (if (fwd) Seq(col("__carryF")) else Nil)
+    val bSel = boundary.select(
+      col("__pid").as("__bpid") +: col(key).as("__bkey") +: carryCols: _*)
+    val wIn = Window.partitionBy(col("__pid"), col(key))
+      .orderBy(col("__ts"), col("__side"))
+    var out = ranged.join(bSel,
+      col("__pid") === col("__bpid") && col(key) <=> col("__bkey"))
+    if (back) out = out.withColumn("__back",
+      coalesce(last(col("__r"), ignoreNulls = true)
+        .over(wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        col("__carryB")))
+    if (fwd) out = out.withColumn("__fwd",
+      coalesce(first(col("__r"), ignoreNulls = true)
+        .over(wIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+        col("__carryF")))
+    out.drop("__pid", "__bpid", "__bkey", "__carryB", "__carryF")
+  }
+
+  /** Distributed per-key backward carry, exposed for forward-fill
+    * consumers (e.g. [[Timeseries.resampleFfill]]): adds `outCol` = the
+    * last non-null `payload` at-or-before each row in `orderCol` order
+    * within `key`, through [[carriedMatches]] — no per-key window, so a
+    * few-key series never funnels through one sort task. All input
+    * columns pass through.
+    */
+  def carryBackward(df: DataFrame, key: String, orderCol: String,
+                    payload: Column, outCol: String): DataFrame = {
+    val tagged = df.withColumn("__ts", col(orderCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__r", payload)
+    carriedMatches(tagged, key, back = true, fwd = false)
+      .withColumnRenamed("__back", outCol)
+      .drop("__ts", "__side", "__r")
+  }
+
   /** As-of join: for each left row, the single right row with the greatest
     * `rightTs` ≤ `leftTs` within the same `key` (inner: left rows with no
     * prior right row are dropped) — DuckDB/kdb ASOF JOIN semantics.
     *
-    * Implemented as union + sorted carry-forward window rather than an
-    * inequality join: one shuffle on the key, a single sorted pass per
-    * partition, and no M:N intermediate blow-up — the inequality-join
+    * Implemented as union + sorted carry-forward rather than an
+    * inequality join: one shuffle, a sorted pass per (partition, key)
+    * with cross-partition carry ([[carriedMatches]] — no per-key funnel),
+    * and no M:N intermediate blow-up — the inequality-join
     * formulation explodes to (left × right-per-key) before picking the max.
     * At equal timestamps the right row sorts first, so `ts ≥ ts` matches.
     *
@@ -58,12 +141,10 @@ object Joins {
               leftCols.filterNot(_ == key)
                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
               rStruct.as("__r"): _*))
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged.withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1 && col("__match").isNotNull)
+    carriedMatches(tagged, key, back = true, fwd = false)
+      .where(col("__side") === 1 && col("__back").isNotNull)
       .select(leftCols.map(col) ++
-        rightValCols.map(c => col(s"__match.$c").as(s"$asOfPrefix$c")): _*)
+        rightValCols.map(c => col(s"__back.$c").as(s"$asOfPrefix$c")): _*)
   }
 
   /** Forward as-of join: for each left row, the single right row with the
@@ -96,10 +177,8 @@ object Joins {
               leftCols.filterNot(_ == key)
                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
               rStruct.as("__r"): _*))
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = tagged
-      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+    val matched = carriedMatches(tagged, key, back = false, fwd = true)
+      .withColumnRenamed("__fwd", "__match")
       .where(col("__side") === 0 && col("__match").isNotNull)
     val isTs = isTsType(right, rightTs)
     val tolScale = if (isTs) 1000000L else 1L
@@ -160,13 +239,9 @@ object Joins {
               .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
             col("__r"): _*))
     // right sorts before an equal-ts left row, so the exact-match case
-    // lands in the BACKWARD carry (and wins every tie by the rule above)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
-    val matched = tagged
-      .withColumn("__back", last(col("__r"), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__fwd", first(col("__r"), ignoreNulls = true)
-        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // lands in the BACKWARD carry (and wins every tie by the rule above);
+    // both carries share one distributed sorted pass
+    val matched = carriedMatches(tagged, key, back = true, fwd = true)
       .where(col("__side") === 1)
       // microsecond precision on timestamps, NOT cast("long"):
       // epoch-second flooring can invert which side is closer when

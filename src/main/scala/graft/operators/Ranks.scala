@@ -74,16 +74,18 @@ object Ranks {
               rankCol: Option[String] = None,
               leadOrder: Option[(String, String)] = None): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
-    // the offsets side and the per-row side MUST read one physical range
-    // exchange (independent exchanges sample boundaries independently) —
-    // enforce the reuse conf instead of trusting a comment; silently
-    // wrong statistics are the worst failure mode this helper can have
-    require(df.sparkSession.conf
-        .get("spark.sql.exchange.reuse", "true").toBoolean,
-      "Ranks.running requires spark.sql.exchange.reuse=true: its offsets " +
-        "and row sides must observe identical range-partition boundaries")
+    // pinned: the offsets side and the per-row side MUST read one
+    // PHYSICAL range partitioning. Exchange/stage reuse is not a reliable
+    // mechanism for that — under a busy AQE session the two subtrees can
+    // materialize as independent exchanges whose RangePartitioners sample
+    // boundaries with different seeds, and the failure mode is silently
+    // wrong statistics (measured on the sibling per-group helper as
+    // nondeterministic row loss through the pid join). The lazy
+    // localCheckpoint freezes the partitioning; both sides read the same
+    // blocks, with or without exchange reuse.
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(PID, spark_partition_id())
+      .localCheckpoint(eager = false)
     val sumAggs = sums.zipWithIndex.map { case ((in, _), k) =>
       sum(col(in)).as(s"__rk_s$k")
     }
@@ -169,13 +171,14 @@ object Ranks {
                         totalCol: Option[String] = None): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(order.nonEmpty, "need at least one order column")
-    require(df.sparkSession.conf
-        .get("spark.sql.exchange.reuse", "true").toBoolean,
-      "Ranks.groupedRunningSum requires spark.sql.exchange.reuse=true: " +
-        "its offsets and row sides must observe identical range boundaries")
     val gcols = groupCols.map(col)
+    // pinned: the offsets and row sides must observe ONE physical range
+    // partitioning — exchange/stage reuse is not reliable for that under
+    // a busy AQE session (independent exchanges sample boundaries with
+    // different seeds; measured as silent row loss through the pid join)
     val ranged = df.repartitionByRange((gcols ++ order): _*)
       .withColumn(PID, spark_partition_id())
+      .localCheckpoint(eager = false)
     val wOff = Window.partitionBy(gcols: _*).orderBy(PID)
     val offsets = ranged.groupBy((col(PID) +: gcols): _*)
       .agg(sum(input).as("__rk_gpc"))

@@ -443,8 +443,12 @@ object Splits {
     // Distributed exact rank of each distinct ts (ties impossible post
     // group-by). Range partitions are ordered by ts, so global rank =
     // (rows in earlier partitions) + (row_number within this partition).
+    // pinned: the offsets and row sides must read ONE physical range
+    // partitioning (the Ranks.running pin rationale — exchange reuse is
+    // not reliable under a busy AQE session)
     val ranged = perTs.repartitionByRange(col("__ts"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__pc"))
       .withColumn("__off", coalesce(sum("__pc").over(
         Window.orderBy("__pid")

@@ -714,15 +714,13 @@ object Stats {
     */
   private[operators] def groupedCumCounts(per: DataFrame,
                                           groupCol: String): DataFrame = {
-    // both sides below read ONE physical range exchange; independent
-    // exchanges would sample boundaries independently and misalign the
-    // per-partition ids (the Ranks.running contract)
-    require(per.sparkSession.conf
-        .get("spark.sql.exchange.reuse", "true").toBoolean,
-      "groupedCumCounts requires spark.sql.exchange.reuse=true: its " +
-        "offsets and row sides must observe identical range boundaries")
+    // pinned: both sides below must read ONE physical range partitioning
+    // — exchange/stage reuse is not reliable for that under a busy AQE
+    // session (independent exchanges sample boundaries with different
+    // seeds; measured as silent row loss through the pid join)
     val ranged = per.repartitionByRange(col(groupCol), col("__v"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val wOff = Window.partitionBy(groupCol).orderBy("__pid")
     val offsets = ranged.groupBy(col("__pid"), col(groupCol))
       .agg(sum("__c").as("__pc"))

@@ -19,14 +19,18 @@ object Timeseries {
     *  1. bucket rows to their bin (epoch-second floor division) and
     *     aggregate observed values — ONE shuffle on (key, bin) with
     *     map-side partials;
-    *  2. build each key's dense spine with `sequence(lo, hi, step)` from a
-    *     cheap per-key min/max aggregate — the spine never materializes
-    *     more than keys × bins rows, bounded by time-range/step, not by
-    *     input volume;
+    *  2. build each key's dense spine from a cheap per-key min/max
+    *     aggregate with a TWO-LEVEL explode (4096-bin chunks, then bins
+    *     within a chunk) — `sequence(lo, hi)` in one shot would build a
+    *     key's entire range as one in-memory array in one task (a 3-key
+    *     feed spanning years is tens of millions of elements); chunked,
+    *     no array exceeds 4096 and chunks spread across partitions;
     *  3. left-join observations onto the spine (same (key, bin) keys the
     *     aggregate already shuffled on) and forward-fill gaps with the
-    *     last observed value (`last(ignoreNulls)` over a keyed
-    *     running-rows window — no global sort anywhere).
+    *     last observed value through the distributed cross-partition
+    *     carry ([[Joins]]' as-of machinery) — a per-key
+    *     `last(ignoreNulls)` window would put each key's whole spine
+    *     through one sort task.
     *
     * Returns (key, bin timestamp, n observed rows, v mean-of-bin or NULL,
     * v_ffill gap-filled). Bins before a key's first observation cannot
@@ -41,16 +45,28 @@ object Timeseries {
     val binned = df
       .groupBy(col(keyCol), timestamp_seconds(binSec).as("bin"))
       .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("v"))
+    val chunkBins = 4096L
+    val chunkSec = stepSeconds * chunkBins
     val spine = binned
       .groupBy(col(keyCol))
-      .agg(min("bin").as("lo"), max("bin").as("hi"))
-      .select(col(keyCol), explode(sequence(col("lo"), col("hi"),
-        expr(s"interval $stepSeconds seconds"))).as("bin"))
+      .agg(unix_seconds(min("bin")).as("__lo"),
+        unix_seconds(max("bin")).as("__hi"))
+      .select(col(keyCol), col("__lo"), col("__hi"),
+        explode(sequence(lit(0L),
+          floor((col("__hi") - col("__lo")) / chunkSec).cast("long")))
+          .as("__ci"))
+      .select(col(keyCol),
+        (col("__lo") + col("__ci") * chunkSec).as("__cs"), col("__hi"))
+      .select(col(keyCol), explode(sequence(col("__cs"),
+        least(col("__hi"), col("__cs") + (chunkBins - 1) * stepSeconds),
+        step)).as("__bs"))
+      .select(col(keyCol), timestamp_seconds(col("__bs")).as("bin"))
     val joined = spine.join(binned, Seq(keyCol, "bin"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    val w = Window.partitionBy(keyCol).orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined.withColumn("v_ffill", last("v", ignoreNulls = true).over(w))
+    Joins.carryBackward(joined, keyCol, "bin",
+        when(col("v").isNotNull, struct(col("v").as("v"))), "__ff")
+      .withColumn("v_ffill", col("__ff.v"))
+      .drop("__ff")
   }
 
   /** Rolling z-score anomaly detection: flag rows whose value deviates

@@ -29,6 +29,34 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 10.0, 2L -> 11.0, 4L -> 20.0))
   }
 
+  test("asOfJoin: ONE hot key across many range partitions matches a " +
+    "driver-computed as-of (cross-partition carry)") {
+    // a single symbol with 8000 interleaved rows: under 32 shuffle
+    // partitions the timeline spans every range partition, so most left
+    // rows' match lives in an EARLIER partition and only the boundary
+    // carry can supply it (a per-key window would put all 8000 in one task)
+    val lefts = (0 until 4000).map(i => (i.toLong, "sym", i.toLong * 10 + 5))
+    val rights = (0 until 4000).map(i => ("sym", i.toLong * 10, i.toLong))
+    val got = Joins.asOfJoin(
+        lefts.toDF("lid", "k", "lts"), rights.toDF("k", "rts", "rid"),
+        "k", "lts", "rts", Seq("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 4000)
+    // left i sits at 10i+5: latest right at-or-before is right i (at 10i)
+    (0 until 4000).foreach(i => assert(got(i.toLong) === i.toLong, s"l$i"))
+    // sparse rights: most partitions hold NO right row, so the carry must
+    // look further back than the adjacent partition
+    val sparse = Joins.asOfJoin(
+        lefts.toDF("lid", "k", "lts"),
+        rights.filter(_._3 < 10L).toDF("k", "rts", "rid"),
+        "k", "lts", "rts", Seq("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparse.size === 4000 && sparse.values.forall(_ <= 9L))
+    assert(sparse(3999L) === 9L)
+  }
+
   test("asOfJoin carries right rows atomically when value columns hold NULLs") {
     val trades = Seq((1L, 100L, ts("2021-01-01 10:05:00"))).toDF("trade_id", "acct", "t_ts")
     val quotes = Seq(
