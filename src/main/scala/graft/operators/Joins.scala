@@ -88,23 +88,6 @@ object Joins {
     out.drop("__pid", "__bpid", "__bkey", "__carryB", "__carryF")
   }
 
-  /** Distributed per-key backward carry, exposed for forward-fill
-    * consumers (e.g. [[Timeseries.resampleFfill]]): adds `outCol` = the
-    * last non-null `payload` at-or-before each row in `orderCol` order
-    * within `key`, through [[carriedMatches]] — no per-key window, so a
-    * few-key series never funnels through one sort task. All input
-    * columns pass through.
-    */
-  def carryBackward(df: DataFrame, key: String, orderCol: String,
-                    payload: Column, outCol: String): DataFrame = {
-    val tagged = df.withColumn("__ts", col(orderCol))
-      .withColumn("__side", lit(0))
-      .withColumn("__r", payload)
-    carriedMatches(tagged, key, back = true, fwd = false)
-      .withColumnRenamed("__back", outCol)
-      .drop("__ts", "__side", "__r")
-  }
-
   /** As-of join: for each left row, the single right row with the greatest
     * `rightTs` ≤ `leftTs` within the same `key` (inner: left rows with no
     * prior right row are dropped) — DuckDB/kdb ASOF JOIN semantics.

@@ -26,11 +26,15 @@ object Timeseries {
     *     feed spanning years is tens of millions of elements); chunked,
     *     no array exceeds 4096 and chunks spread across partitions;
     *  3. left-join observations onto the spine (same (key, bin) keys the
-    *     aggregate already shuffled on) and forward-fill gaps with the
-    *     last observed value through the distributed cross-partition
-    *     carry ([[Joins]]' as-of machinery) — a per-key
-    *     `last(ignoreNulls)` window would put each key's whole spine
-    *     through one sort task.
+    *     aggregate already shuffled on) and forward-fill gaps with a
+    *     CHUNK-LEVEL carry: last(ignoreNulls) within each (key, chunk)
+    *     (≤ 4096 rows per window partition), plus each chunk's carry-in —
+    *     the last observed value of any earlier chunk — from a
+    *     per-(key, chunk) summary table (chunks-per-key rows, tiny).
+    *     The chunk id is DATA-derived (bin arithmetic), so both sides
+    *     agree by construction — no range-partitioner sampling, no
+    *     exchange-reuse dependency, and no per-key window putting a
+    *     key's whole spine through one sort task.
     *
     * Returns (key, bin timestamp, n observed rows, v mean-of-bin or NULL,
     * v_ffill gap-filled). Bins before a key's first observation cannot
@@ -42,31 +46,59 @@ object Timeseries {
     require(stepSeconds > 0, "stepSeconds must be positive")
     val step = lit(stepSeconds)
     val binSec = (col(tsCol).cast("long") / step).cast("long") * step
+    // pinned: the compact observed-bins table feeds the spine stats, the
+    // spine join, and the chunk summaries — without the pin the events
+    // scan + aggregate executes three times
     val binned = df
       .groupBy(col(keyCol), timestamp_seconds(binSec).as("bin"))
       .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("v"))
+      .localCheckpoint(eager = false)
     val chunkBins = 4096L
     val chunkSec = stepSeconds * chunkBins
-    val spine = binned
+    val stats = binned
       .groupBy(col(keyCol))
       .agg(unix_seconds(min("bin")).as("__lo"),
         unix_seconds(max("bin")).as("__hi"))
+    val chunkSpine = stats
       .select(col(keyCol), col("__lo"), col("__hi"),
         explode(sequence(lit(0L),
           floor((col("__hi") - col("__lo")) / chunkSec).cast("long")))
           .as("__ci"))
-      .select(col(keyCol),
+    val spine = chunkSpine
+      .select(col(keyCol), col("__ci"),
         (col("__lo") + col("__ci") * chunkSec).as("__cs"), col("__hi"))
-      .select(col(keyCol), explode(sequence(col("__cs"),
+      .select(col(keyCol), col("__ci"), explode(sequence(col("__cs"),
         least(col("__hi"), col("__cs") + (chunkBins - 1) * stepSeconds),
         step)).as("__bs"))
-      .select(col(keyCol), timestamp_seconds(col("__bs")).as("bin"))
+      .select(col(keyCol), col("__ci"),
+        timestamp_seconds(col("__bs")).as("bin"))
     val joined = spine.join(binned, Seq(keyCol, "bin"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    Joins.carryBackward(joined, keyCol, "bin",
-        when(col("v").isNotNull, struct(col("v").as("v"))), "__ff")
-      .withColumn("v_ffill", col("__ff.v"))
-      .drop("__ff")
+    // per-(key, chunk) carry-ins over the CHUNK spine (gap chunks with no
+    // observation still need the last earlier value), computed from the
+    // observed bins only — a chunks-per-key-sized table
+    val wPrev = Window.partitionBy(keyCol).orderBy("__ci")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val obs = binned.join(broadcast(stats), Seq(keyCol))
+      .withColumn("__ci",
+        floor((unix_seconds(col("bin")) - col("__lo")) / chunkSec)
+          .cast("long"))
+      .groupBy(col(keyCol), col("__ci"))
+      .agg(max(when(col("v").isNotNull,
+        struct(col("bin").as("b"), col("v").as("lv")))).as("__ls"))
+    val carries = chunkSpine.join(obs, Seq(keyCol, "__ci"), "left")
+      .withColumn("__cin",
+        last(col("__ls"), ignoreNulls = true).over(wPrev).getField("lv"))
+      .select(col(keyCol).as("__ck"), col("__ci").as("__cc"), col("__cin"))
+    // chunk-local fill with the carry-in as fallback: every window
+    // partition is (key, chunk) — at most 4096 rows, never a key's spine
+    val wIn = Window.partitionBy(col(keyCol), col("__ci")).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.join(broadcast(carries),
+        col(keyCol) <=> col("__ck") && col("__ci") === col("__cc"))
+      .withColumn("v_ffill",
+        coalesce(last("v", ignoreNulls = true).over(wIn), col("__cin")))
+      .drop("__ci", "__ck", "__cc", "__cin")
   }
 
   /** Rolling z-score anomaly detection: flag rows whose value deviates
