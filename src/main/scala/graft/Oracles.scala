@@ -698,7 +698,8 @@ object Oracles {
     // signature and that bucketing emits exactly the agreeing-band pairs.
     "q36b_minhash_exact" ->
       ("WITH toks AS (SELECT doc_id, " +
-        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE doc_id % 3 = 0), " +
         "sh2 AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
         "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3), " +
         "sg AS (SELECT doc_id, [list_min(list_transform(s, " +
@@ -1218,6 +1219,42 @@ object Oracles {
         "ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS run " +
         "FROM d JOIN caps USING (lang)) " +
         "SELECT doc_id, lang, n_tokens FROM r WHERE run <= cap ORDER BY doc_id"),
+
+    // Temperature mixture: pow(mass, tau) shares over per-lang token
+    // masses, caps = share x (budgetFraction x total mass), md5-ordered
+    // per-lang running-sum quota — q117's replay with tempered shares
+    "q277_temperature_sample" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "m AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n FROM d " +
+        "GROUP BY 1 HAVING sum(n_tokens) > 0), " +
+        "mw AS (SELECT lang, n, pow(n, 0.5) AS w FROM m), " +
+        "tt AS (SELECT sum(w) AS tw, sum(n) AS tn FROM mw), " +
+        "caps AS (SELECT lang, w / tw * 0.3 * tn AS cap FROM mw CROSS JOIN tt), " +
+        "r AS (SELECT d.doc_id, d.lang, d.n_tokens, caps.cap, " +
+        "sum(d.n_tokens) OVER (PARTITION BY d.lang " +
+        "ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS run " +
+        "FROM d JOIN caps USING (lang)) " +
+        "SELECT doc_id, lang, n_tokens FROM r WHERE run <= cap ORDER BY doc_id"),
+
+    // Ingest near-dup screen: the q36b md5-minhash signature replayed on
+    // both sides, batch (odd) x corpus (even) band agreement, batch docs
+    // with no hit survive; short docs never shingle and pass through
+    "q278_ingest_newdocs" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sh2 AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3), " +
+        "sg AS (SELECT doc_id, [list_min(list_transform(s, " +
+        "x -> md5(CAST(i AS VARCHAR) || ':' || x))) for i in range(0, 16)] AS g FROM sh2), " +
+        "hit AS (SELECT DISTINCT a.doc_id FROM sg a JOIN sg c " +
+        "ON a.doc_id % 2 = 1 AND c.doc_id % 2 = 0 AND " +
+        "(a.g[1:4] = c.g[1:4] OR a.g[5:8] = c.g[5:8] " +
+        "OR a.g[9:12] = c.g[9:12] OR a.g[13:16] = c.g[13:16])) " +
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
 
     // SemDeDup: q107's seed assignment + within-cell cosine pairs (q87's
     // cosine) + q77's transitive closure, min-id survivor
@@ -4490,7 +4527,7 @@ object Oracles {
 
     // Hot-key diagnostic: per-key counts, top-10 cut, shares and the
     // mean-normalized skew factor.
-    "q274_key_skew" ->
+    "q276_key_skew" ->
       ("WITH per AS (SELECT user_id % 137 AS ubucket, count(*) AS n " +
         "FROM events GROUP BY 1), " +
         "t AS (SELECT sum(n) AS rows_, count(*) AS n_keys FROM per), " +

@@ -299,7 +299,9 @@ object Dedup {
     // scale the candidate set is orders of magnitude smaller than the corpus.
     val candIds = pairs.select(col("id_a").as("cid"))
       .union(pairs.select(col("id_b").as("cid"))).distinct()
-    val sh = df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+    // no broadcast hint: the candidate-id set scales with the LSH output
+    // (billions of pairs at 100 TB); AQE broadcasts it when small
+    val sh = df.join(candIds, col(idCol) === col("cid"), "left_semi")
       .select(col(idCol),
         array_distinct(Text.shingles(col(textCol), n)).as("sh"))
     pairs
@@ -370,7 +372,21 @@ object Dedup {
     // count reads already-pinned blocks); above the cap the distributed
     // loop below runs unchanged, so corpus-scale edge sets never reach
     // the driver. Semantics identical: cluster = min id of the component.
-    if (p0.count() * 2 <= driverEdgeCap) {
+    // Guarded to id types whose EXTERNAL values are java Comparable — the
+    // min-of-component comparison casts to Comparable, which array/struct/
+    // binary ids don't satisfy; those (and any other orderable-but-not-
+    // Comparable Spark type) take the distributed loop, whose least()/min()
+    // handle every orderable type.
+    val idType = pairs.schema("id_a").dataType
+    val atomicIds = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    if (atomicIds && p0.count() * 2 <= driverEdgeCap) {
       val rows = p0.collect()
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
@@ -383,8 +399,13 @@ object Dedup {
         r
       }
       rows.foreach { r =>
-        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
-        if (ra != rb) parent.put(ra, rb)
+        // a null-sided edge never joins in the distributed loop (equi-join
+        // on null matches nothing), so it must not union here either —
+        // each endpoint stays a singleton, null included
+        if (r.get(0) != null && r.get(1) != null) {
+          val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+          if (ra != rb) parent.put(ra, rb)
+        }
       }
       def lt(a: Any, b: Any): Boolean =
         a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
@@ -397,7 +418,6 @@ object Dedup {
         if (m == null || lt(id, m)) minOf.put(r, id)
       }
       Pinning.unpin(p0)
-      val idType = pairs.schema("id_a").dataType
       val outT = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("cluster", idType)))
@@ -677,7 +697,8 @@ object Dedup {
     require(threshold > 0 && threshold <= 1)
     val candIds = pairs.select(col("id_a").as("cid"))
       .union(pairs.select(col("id_b").as("cid"))).distinct()
-    val sh = df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+    // candidate-id set scales with the pair list — no hint, AQE decides
+    val sh = df.join(candIds, col(idCol) === col("cid"), "left_semi")
       .select(col(idCol),
         array_distinct(Text.shingles(col(textCol), n)).as("sh"))
     pairs.select("id_a", "id_b")
@@ -755,7 +776,9 @@ object Dedup {
       explode(array_distinct(Text.shingles(col(textCol), n))).as("sh"))
     val evalShingles = shingled(eval).select("sh").distinct()
     shingled(train)
-      .join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      // eval-shingle set = |eval| × doc length — data-scale for a big
+      // eval suite, so no hint; AQE broadcasts it when small
+      .join(evalShingles, Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select(col("id").as(idCol), col("n_shared"))

@@ -284,10 +284,12 @@ object EmbeddingStats {
       .groupBy("group_a", "group_b")
       .agg(sum(col("__ma") * col("__mb")).as("__dot"))
     dots
-      .join(broadcast(norms.select(col("__g").as("group_a"),
-        col("__n").as("__na"))), Seq("group_a"))
-      .join(broadcast(norms.select(col("__g").as("group_b"),
-        col("__n").as("__nb"))), Seq("group_b"))
+      // norms is one row per group with no cardinality guard — no hint;
+      // AQE broadcasts it when the group count is actually small
+      .join(norms.select(col("__g").as("group_a"),
+        col("__n").as("__na")), Seq("group_a"))
+      .join(norms.select(col("__g").as("group_b"),
+        col("__n").as("__nb")), Seq("group_b"))
       .withColumn("cosine", when(col("__na") > 0 && col("__nb") > 0,
         col("__dot") / (col("__na") * col("__nb"))))
       .select("group_a", "group_b", "cosine")

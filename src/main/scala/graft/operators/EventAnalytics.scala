@@ -359,10 +359,12 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_both"))
       .where(col("n_both") >= minBasketCount)
     pairs
-      .join(broadcast(marg.select(col("item").as("ante"),
-        col("n_item").as("n_ante"))), "ante")
-      .join(broadcast(marg.select(col("item").as("cons"),
-        col("n_item").as("n_cons"))), "cons")
+      // marg is one row per distinct item — item-vocabulary scale, so no
+      // broadcast hint; AQE promotes it when the catalog is small
+      .join(marg.select(col("item").as("ante"),
+        col("n_item").as("n_ante")), "ante")
+      .join(marg.select(col("item").as("cons"),
+        col("n_item").as("n_cons")), "cons")
       .select(col("ante"), col("cons"), col("n_both"),
         (col("n_both") / n).as("support"),
         (col("n_both") / col("n_ante")).as("confidence"),

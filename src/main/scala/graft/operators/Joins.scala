@@ -31,12 +31,15 @@ object Joins {
     * devices, rooms), so that's the whole feed on one executor. Shape:
     * range-partition on (key, ts, side); per-(partition, key) boundary
     * summaries (the latest / earliest non-null payload the partition
-    * holds — one tiny max/min aggregate); per-key carry-in/out over that
+    * holds — one tiny max_by/min_by aggregate keyed on (ts, side, row id),
+    * so the payload itself never needs to be ORDERABLE and map-typed
+    * right values work); per-key carry-in/out over that
     * ≤(P × keys-per-partition)-row table; partition-local windows with
     * the carry as fallback. Equal (key, ts, side) rows land in one range
-    * partition, so tie behavior matches the single-window formulation.
-    * Both reads of the ranged frame must share one exchange
-    * (the [[graft.operators.Ranks.running]] contract).
+    * partition, so tie behavior matches the single-window formulation;
+    * exact (ts, side) ties inside a partition break by the pinned row id,
+    * which follows physical row order — the same row the window's
+    * last()/first() would pick.
     */
   private def carriedMatches(tagged: DataFrame, key: String,
                              back: Boolean, fwd: Boolean): DataFrame = {
@@ -47,17 +50,22 @@ object Joins {
     // nondeterministic row LOSS through the (pid, key) join (q97 dumped
     // 79k of 1.26M rows on some runs). The lazy localCheckpoint freezes
     // ONE physical partitioning both sides read.
+    // __mid is minted BEFORE the checkpoint so the pin freezes it with
+    // the partitioning — it is the deterministic within-partition tiebreak
     val ranged = tagged
       .repartitionByRange(col(key), col("__ts"), col("__side"))
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(eager = false)
-    val packed = struct(col("__ts").as("t"), col("__side").as("s"),
-      col("__r").as("r"))
+    // max_by/min_by key the pick on (ts, side, row id) — never on __r —
+    // so a MapType (or any unorderable) right payload is fine; a null
+    // ordering key makes the aggregate skip the row, which drops the
+    // null-__r left rows exactly like the old when() filter did
+    val ordKey = when(col("__r").isNotNull,
+      struct(col("__ts").as("t"), col("__side").as("s"), col("__mid").as("m")))
     val aggs =
-      (if (back) Seq(max(when(col("__r").isNotNull, packed)).as("__lastS"))
-       else Nil) ++
-      (if (fwd) Seq(min(when(col("__r").isNotNull, packed)).as("__firstS"))
-       else Nil)
+      (if (back) Seq(max_by(col("__r"), ordKey).as("__lastS")) else Nil) ++
+      (if (fwd) Seq(min_by(col("__r"), ordKey).as("__firstS")) else Nil)
     val wPrev = Window.partitionBy(key).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wNext = Window.partitionBy(key).orderBy("__pid")
@@ -65,9 +73,9 @@ object Joins {
     var boundary = ranged.groupBy(col("__pid"), col(key))
       .agg(aggs.head, aggs.tail: _*)
     if (back) boundary = boundary.withColumn("__carryB",
-      last(col("__lastS"), ignoreNulls = true).over(wPrev).getField("r"))
+      last(col("__lastS"), ignoreNulls = true).over(wPrev))
     if (fwd) boundary = boundary.withColumn("__carryF",
-      first(col("__firstS"), ignoreNulls = true).over(wNext).getField("r"))
+      first(col("__firstS"), ignoreNulls = true).over(wNext))
     val carryCols =
       (if (back) Seq(col("__carryB")) else Nil) ++
         (if (fwd) Seq(col("__carryF")) else Nil)
@@ -85,7 +93,7 @@ object Joins {
       coalesce(first(col("__r"), ignoreNulls = true)
         .over(wIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
         col("__carryF")))
-    out.drop("__pid", "__bpid", "__bkey", "__carryB", "__carryF")
+    out.drop("__pid", "__mid", "__bpid", "__bkey", "__carryB", "__carryF")
   }
 
   /** As-of join: for each left row, the single right row with the greatest

@@ -149,24 +149,38 @@ object Linkage {
       .select("id_a", "id_b", "jw")
 
   /** Entity resolution: link → connected components → one row per record
-    * with its entity label, plus the entity's golden record (the minimum
-    * id's key — deterministic survivorship; swap in a completeness score
-    * ordering for richer records). Singletons are their own entity.
+    * with its entity label, plus the entity's golden record. Survivorship:
+    * the record with the HIGHEST `completeness` score wins (ties and the
+    * default `None` fall back to minimum id — deterministic either way).
+    * Pass e.g. a count of non-null fields, a source-trust rank, or a
+    * recency epoch as the score; it is evaluated against `records`'
+    * columns. Singletons are their own entity.
+    *
+    * Scale shape: the score travels with the already-shuffled label join;
+    * the golden pick is ONE min_by aggregate per entity (keyed on
+    * (−score, id), so the richer record wins and the id breaks ties) —
+    * no extra shuffle over the no-survivorship formulation.
     */
   def resolveEntities(records: DataFrame, idCol: String, keyCol: String,
                       threshold: Double,
                       passes: Seq[Column => Column] = defaultPasses(),
-                      maxBlockSize: Int = 4096): DataFrame = {
+                      maxBlockSize: Int = 4096,
+                      completeness: Option[Column] = None): DataFrame = {
     val pairs = linkPairs(records, idCol, keyCol, threshold, passes,
       maxBlockSize)
     val labels = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-    val base = records.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val base = records.select(col(idCol).as("id"), col(keyCol).as("key"),
+      coalesce(completeness.getOrElse(lit(0.0)).cast("double"), lit(0.0))
+        .as("__comp"))
     val labeled = base
       .join(labels, Seq("id"), "left")
-      .select(col("id"), col("key"), coalesce(col("cluster"), col("id")).as("entity"))
+      .select(col("id"), col("key"), col("__comp"),
+        coalesce(col("cluster"), col("id")).as("entity"))
     val golden = labeled
       .groupBy("entity")
-      .agg(min(col("id")).as("__gid"), count(lit(1)).as("n_records"))
+      .agg(min_by(col("id"),
+          struct((-col("__comp")).as("c"), col("id").as("i"))).as("__gid"),
+        count(lit(1)).as("n_records"))
       .join(base.select(col("id").as("__gid"), col("key").as("golden_key")), Seq("__gid"))
       .select("entity", "n_records", "golden_key")
     labeled.join(golden, Seq("entity"))

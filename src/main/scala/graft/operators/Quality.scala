@@ -88,7 +88,10 @@ object Quality {
         explode(graft.functions.Text.shingles(col(textCol), 1)).as("__tok"))
     val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
     val total = freq.agg(sum("__c").cast("double").as("__t"))
-    toks.join(broadcast(freq), Seq("__tok"))
+    // freq is the corpus VOCABULARY — heaps-law data-scale (URLs, typos,
+    // unicode junk), so no unconditional broadcast hint; AQE promotes it
+    // when it is actually small
+    toks.join(freq, Seq("__tok"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol)).agg(
         avg(-log(col("__c").cast("double") / col("__t"))).as("nll"),
@@ -608,8 +611,10 @@ object Quality {
       val hB = margB.crossJoin(broadcast(total))
         .agg(sum(-(col("nb") / col("n")) * log(col("nb") / col("n")))
           .as("h_b"))
+      // margB is |domain(b)|-row — unbounded for a high-cardinality
+      // column, so no hint; AQE broadcasts when small
       val hAgivenB = joint
-        .join(broadcast(margB), "__b")
+        .join(margB, "__b")
         .crossJoin(broadcast(total))
         .agg(sum(-(col("nab") / col("n")) * log(col("nab") / col("nb")))
           .as("h_a_given_b"))

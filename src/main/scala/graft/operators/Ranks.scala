@@ -160,10 +160,10 @@ object Ranks {
     *
     * `totalCol`, if set, adds each group's total of `input` (free — the
     * offsets table already holds it). The group match is NULL-SAFE (a
-    * null group key is a real group). Requires
-    * `spark.sql.exchange.reuse=true` like [[running]], and order keys
-    * unique within a group for a deterministic prefix (callers pass an
-    * (md5(key), key) pair).
+    * null group key is a real group). The range partitioning is pinned
+    * with a lazy localCheckpoint, so correctness does not depend on
+    * exchange reuse; order keys must be unique within a group for a
+    * deterministic prefix (callers pass an (md5(key), key) pair).
     */
   def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
                         order: Seq[Column], input: Column,

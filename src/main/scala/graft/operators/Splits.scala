@@ -319,6 +319,50 @@ object Splits {
       .drop("__run", "__cap")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * rebalance of mT5 / XLM-R: target share of group g ∝ massᵍ^tau,
+    * tau ∈ (0, 1] (tau = 1 keeps natural proportions, tau → 0 approaches
+    * uniform — low-resource groups gain, head groups shrink), then a
+    * deterministic exact-quota materialization: the total kept measure is
+    * `budgetFraction` of the corpus measure, split across groups by the
+    * tempered shares, and each group fills its cap in (md5(id), id) order
+    * ([[mixtureSample]]'s rule — a straddling doc is excluded, so filled
+    * mass never exceeds the cap). A group whose cap exceeds its natural
+    * mass saturates at its mass (this engine samples, never repeats —
+    * upsampling beyond 1 epoch is the training loop's job), so the
+    * realized mixture can undershoot the tempered target; the caller
+    * reads the realized shares off the output.
+    *
+    * Scale shape: ONE aggregate for group masses (group-count-sized),
+    * share arithmetic on that tiny frame (scalar Σ mass^tau broadcast),
+    * caps joined back WITHOUT a broadcast hint (group cardinality is
+    * unguarded — AQE promotes it when small), and the per-group running
+    * mass on the distributed [[Ranks.groupedRunningSum]] — no per-group
+    * single-task window.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, measureCol: Column,
+                        idCol: String, tau: Double,
+                        budgetFraction: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0,1]: $budgetFraction")
+    val masses = df.groupBy(groupCol)
+      .agg(sum(measureCol).cast("double").as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__w", pow(col("__n"), lit(tau)))
+    val tot = masses.agg(sum("__w").as("__tw"), sum("__n").as("__tn"))
+    val caps = masses.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        (col("__w") / col("__tw") * lit(budgetFraction) * col("__tn"))
+          .as("__cap"))
+    Ranks.groupedRunningSum(
+        df.join(caps, Seq(groupCol)), Seq(groupCol),
+        Seq(md5(col(idCol).cast("string")), col(idCol)), measureCol,
+        "__run")
+      .where(col("__run") <= col("__cap"))
+      .drop("__run", "__cap")
+  }
+
   /** Neyman allocation of a sampling budget across strata: the optimal
     * (variance-minimizing) split of `totalBudget` sample rows gives each
     * stratum `budget · N_h·S_h / Σ(N_h·S_h)` — big AND internally varied

@@ -597,7 +597,9 @@ object Stats {
       .select(col("__sv"), (col("__gn") / col("__tot")).as("__pg"))
     val w = Window.partitionBy(quasiCols.map(col): _*)
     cells
-      .join(broadcast(glob), Seq("__sv"))
+      // glob is |domain(sensitive)|-row — unbounded for a continuous
+      // sensitive column, so no hint; AQE broadcasts when small
+      .join(glob, Seq("__sv"))
       .withColumn("__sz", sum("__n").over(w))
       .withColumn("__pc", col("__n") / col("__sz"))
       .groupBy(quasiCols.map(col): _*)

@@ -79,7 +79,10 @@ object Timeseries {
     // observed bins only — a chunks-per-key-sized table
     val wPrev = Window.partitionBy(keyCol).orderBy("__ci")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val obs = binned.join(broadcast(stats), Seq(keyCol))
+    // no broadcast hint: stats is one row PER KEY — it scales with the
+    // data (billions of keys at the 100 TB target would blow the
+    // broadcast ceiling). AQE broadcasts it by itself when it is small.
+    val obs = binned.join(stats, Seq(keyCol))
       .withColumn("__ci",
         floor((unix_seconds(col("bin")) - col("__lo")) / chunkSec)
           .cast("long"))
@@ -94,7 +97,10 @@ object Timeseries {
     // partition is (key, chunk) — at most 4096 rows, never a key's spine
     val wIn = Window.partitionBy(col(keyCol), col("__ci")).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined.join(broadcast(carries),
+    // same: carries is one row per (key, chunk) — keys-scale, never an
+    // unconditional broadcast; the join keys match the spine join's
+    // (key, chunk) so a shuffled join co-locates without extra exchanges
+    joined.join(carries,
         col(keyCol) <=> col("__ck") && col("__ci") === col("__cc"))
       .withColumn("v_ffill",
         coalesce(last("v", ignoreNulls = true).over(wIn), col("__cin")))
@@ -525,7 +531,9 @@ object Timeseries {
           (col("b.__b") - col("a.__b")).cast("double")).as("__s"))
       .groupBy("__k")
       .agg(percentile(col("__s"), lit(0.5)).as("slope"))
-    bins.join(broadcast(slopes), Seq("__k"))
+    // slopes is one row per key — keys-scale, so no broadcast hint;
+    // AQE promotes it to broadcast when the key count is actually small
+    bins.join(slopes, Seq("__k"))
       .groupBy(col("__k"))
       .agg(count(lit(1)).as("n_bins"), first(col("slope")).as("slope"),
         percentile(col("__v") - col("slope") * col("__b"), lit(0.5))

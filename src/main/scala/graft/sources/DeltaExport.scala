@@ -528,8 +528,8 @@ object DeltaExport {
     // from this checkpoint (after cleanLog) may reject its absence.
     // deletionVector descriptors ride along when live files carry them
     // (a checkpoint that dropped them would resurrect deleted rows for
-    // readers seeding from it); the protocol row then advertises the
-    // table-features protocol, matching [[delete]]'s commit.
+    // readers seeding from it); the protocol row carries the log's own
+    // latest protocol action (see below).
     val dvT = StructType(Seq(StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
       StructField("offset", IntegerType),
@@ -554,9 +554,25 @@ object DeltaExport {
     val ckptT = StructType(Seq(StructField("add", addT),
       StructField("metaData", metaT), StructField("protocol", protoT),
       StructField("txn", txnT)))
-    val protoRow =
-      if (snap.dvs.isEmpty) Row(1, 2, null, null)
-      else Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+    // carry the LOG's protocol verbatim — re-deriving it from live-DV
+    // presence would downgrade a reader-features table (columnMapping,
+    // timestampNtz) the moment its DVs compact away, and readers seeding
+    // from the checkpoint after cleanLog would misread it. Only UPGRADE,
+    // and only when live DV descriptors ride in this checkpoint on a
+    // (non-conforming) log that never advertised them.
+    val base = snap.protocol.getOrElse(DeltaRead.Protocol(1, 2, Nil, Nil))
+    val proto =
+      if (snap.dvs.isEmpty) base
+      else DeltaRead.Protocol(
+        math.max(3, base.minReaderVersion),
+        math.max(7, base.minWriterVersion),
+        (base.readerFeatures :+ "deletionVectors").distinct,
+        (base.writerFeatures :+ "deletionVectors").distinct)
+    // features arrays exist only at table-features versions (reader ≥ 3 /
+    // writer ≥ 7) — at legacy versions the fields must be absent
+    val protoRow = Row(proto.minReaderVersion, proto.minWriterVersion,
+      if (proto.minReaderVersion >= 3) proto.readerFeatures else null,
+      if (proto.minWriterVersion >= 7) proto.writerFeatures else null)
     def dvRow(rel: String): Row = snap.dvs.get(rel).map { d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
         d.sizeInBytes, d.cardinality)

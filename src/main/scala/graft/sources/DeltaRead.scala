@@ -94,7 +94,9 @@ object DeltaRead {
       StructField("configuration", MapType(StringType, StringType))))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType))))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
@@ -144,6 +146,15 @@ object DeltaRead {
     }: _*)
   }
 
+  /** The log's latest protocol action, carried VERBATIM so a re-emitted
+    * checkpoint never downgrades the table (a reader-features table —
+    * columnMapping, timestampNtz — must keep advertising them even after
+    * its DVs compact away).
+    */
+  final case class Protocol(minReaderVersion: Int, minWriterVersion: Int,
+                            readerFeatures: Seq[String],
+                            writerFeatures: Seq[String])
+
   final case class Snapshot(
       version: Long,
       schema: StructType,
@@ -163,7 +174,11 @@ object DeltaRead {
       /** add.modificationTime per live file — carried so a re-emitted
         * checkpoint add can include it (the protocol lists it required).
         */
-      modTimes: Map[String, Long] = Map.empty)
+      modTimes: Map[String, Long] = Map.empty,
+      /** The log's latest protocol action; None only for a log that never
+        * committed one (non-conforming writer) — treat as (1, 2).
+        */
+      protocol: Option[Protocol] = None)
 
   /** Reconstruct the table state at `asOf` (default: latest version). */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -264,9 +279,16 @@ object DeltaRead {
       .limit(1).collect()
     val config = Option(meta.getMap[String, String](4))
       .map(_.toMap).getOrElse(Map.empty)
-    protos.headOption.foreach { p =>
-      val mrv = p.getInt(1)
-      val feats = Option(p.getSeq[String](2)).getOrElse(Seq.empty).toSet
+    val protocolOpt = protos.headOption.map { p =>
+      Protocol(
+        if (p.isNullAt(1)) 1 else p.getInt(1),
+        if (p.isNullAt(2)) 2 else p.getInt(2),
+        Option(p.getSeq[String](3)).getOrElse(Seq.empty),
+        Option(p.getSeq[String](4)).getOrElse(Seq.empty))
+    }
+    protocolOpt.foreach { p =>
+      val mrv = p.minReaderVersion
+      val feats = p.readerFeatures.toSet
       val mapping = config.getOrElse("delta.columnMapping.mode", "none")
       // column mapping: 'name' mode reads via physical names from the
       // schemaString metadata; 'id' mode reads via parquet field-id
@@ -332,7 +354,8 @@ object DeltaRead {
       .agg(max(col("txn.version")).as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    Snapshot(target, schema, partCols, live, config, txns, dvs, modTimes)
+    Snapshot(target, schema, partCols, live, config, txns, dvs, modTimes,
+      protocolOpt)
   }
 
   /** Version visible as of a wall-clock instant: the newest commit whose

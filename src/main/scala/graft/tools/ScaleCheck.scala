@@ -213,6 +213,15 @@ object ScaleCheck {
           graft.sources.Tables.loadEvents(spark, dir),
           "user_id", "ts", "value", stepSeconds = 300L).count()
       },
+      "resample_ffill_manykey" -> { dir =>
+        // keys ≈ rows (event_id is unique): the per-key stats and
+        // per-(key, chunk) carry tables are DATA-sized here — the r12
+        // perf_weak was an unconditional broadcast of exactly these; this
+        // anchor holds the operator to linear with the planner choosing
+        graft.operators.Timeseries.resampleFfill(
+          graft.sources.Tables.loadEvents(spark, dir),
+          "event_id", "ts", "value", stepSeconds = 3600L).count()
+      },
       "dsir_weights" -> { dir =>
         // target histogram is a ≤B-row constant; the candidate side is the
         // data-sized stream — both must scale with corpus tokens, linearly

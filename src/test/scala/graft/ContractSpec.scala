@@ -38,6 +38,17 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("query numbers are unique (one qNNN per gate key)") {
+    // two gate keys sharing a number+letter id (the r12 q274 pair) make
+    // per-query diffing ambiguous — the qNNN[letter] prefix is the stable
+    // identity; lettered variants (q36 vs q36b) are distinct on purpose
+    val Pre = """^(q\d+[a-z]?)_.*$""".r
+    val byId = SparkEntry.queries.keys.toSeq
+      .groupBy { case Pre(id) => id; case other => other }
+    val dups = byId.filter(_._2.length > 1)
+    assert(dups.isEmpty, s"duplicate query numbers: $dups")
+  }
+
   test("queries have no duplicate output column names (parquet-writable)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val cols = fn(spark, sf).columns

@@ -71,6 +71,82 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.newRows(doubled, corpus, "key").count() === 100)
   }
 
+  // near-dup ingest fixtures: corpus docs + a batch holding (a) verbatim
+  // near-copies (one token appended), (b) genuinely new texts, (c) a doc
+  // too short to shingle
+  private lazy val nearCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "pack my box with five dozen liquor jugs before noon"),
+    (3L, "sphinx of black quartz judge my vow said the king"))
+    .toDF("doc_id", "text")
+  private lazy val nearBatch = Seq(
+    // verbatim copy: identical shingle set → identical signature →
+    // guaranteed band hit under either hash family (a near-copy's hit is
+    // probabilistic per-seed; determinism matters more in a spec)
+    (11L, "the quick brown fox jumps over the lazy dog tonight"),
+    (12L, "completely unrelated sentence about distributed query planning"),
+    (13L, "so short")).toDF("doc_id", "text")
+
+  test("minhashNewDocs: re-ingested copies drop, novel and short docs survive") {
+    for (ex <- Seq(true, false)) {
+      val got = Incremental.minhashNewDocs(nearBatch, nearCorpus,
+          "doc_id", "text", exact = ex)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === Set(12L, 13L), s"exact=$ex")
+    }
+  }
+
+  test("minhashNewDocs: precomputed corpusKeys give identical results") {
+    val keys = Incremental.bandedKeys(nearCorpus, "doc_id", "text")
+      .localCheckpoint()
+    val a = Incremental.minhashNewDocs(nearBatch, nearCorpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Incremental.minhashNewDocs(nearBatch, nearCorpus, "doc_id", "text",
+        corpusKeys = Some(keys))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("minhashNewDocs: saturated corpus bucket drops the batch doc without pairing") {
+    // 50 identical corpus docs flood one bucket; cap 10 → the batch copy
+    // must drop via the saturation branch (no 50-way pair fan-out), the
+    // novel doc must survive
+    val flood = (100L until 150L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "novel content entirely its own words here today"))
+      .toDF("doc_id", "text")
+    val matches = Incremental.minhashIngestMatches(b, flood, "doc_id", "text",
+      maxCorpusBucket = 10)
+    // saturation rows carry a null corpus id; no member-level pairs exist
+    assert(matches.where(col("id_corpus").isNotNull).count() === 0)
+    assert(matches.where(col("id_corpus").isNull)
+      .select("id_batch").as[Long].collect().toSet === Set(1L))
+    val got = Incremental.minhashNewDocs(b, flood, "doc_id", "text",
+        maxCorpusBucket = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(2L))
+  }
+
+  test("minhashNewDocs: verifyJaccard rescues banding false positives, keeps true dups dropped") {
+    // 11-token docs sharing a 3-token tail: banding may collide them, but
+    // exact 3-gram Jaccard is far below 0.5 → verification must rescue
+    val c = Seq((1L, "one two three four five six seven eight alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (21L, "nine ten eleven twelve thirteen fourteen fifteen xx alpha beta gamma"),
+      (22L, "one two three four five six seven eight alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val got = Incremental.minhashNewDocs(b, c, "doc_id", "text",
+        verifyJaccard = Some(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    // 22 is a verbatim dup (jaccard 1.0) → dropped; 21 survives whether or
+    // not banding collided it (verification gates the drop)
+    assert(got === Set(21L))
+  }
+
   test("deltaJoin: materialized ∪ delta equals the full refreshed join") {
     val a = (1L to 40L).map(i => (i % 7, i, s"a$i")).toDF("k", "ai", "av")
     val b = (1L to 30L).map(i => (i % 5, i, s"b$i")).toDF("k", "bi", "bv")

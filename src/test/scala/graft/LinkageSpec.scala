@@ -128,6 +128,29 @@ class LinkageSpec extends AnyFunSuite {
     assert(got.last._3 === 1L)
   }
 
+  test("resolveEntities: completeness survivorship — richer record wins") {
+    // same chain as above, but the LONGEST (most complete) key is id 3,
+    // which the min-id rule would never pick
+    val recs = Seq(
+      (1L, "spark merge batch windo", 23.0),
+      (2L, "spark merge batch window", 24.0),
+      (3L, "spark merge batch window x", 26.0),
+      (10L, "completely different title", 26.0)).toDF("id", "key", "score")
+    val got = Linkage.resolveEntities(recs, "id", "key", 0.9,
+        completeness = Some(length(col("key")).cast("double")))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(got.map(_._2).toSeq === Seq(1L, 1L, 1L, 10L))
+    // the richest record's key survives for the whole entity
+    assert(got.take(3).map(_._3).distinct.toSeq ===
+      Seq("spark merge batch window x"))
+    // equal scores fall back to min id: deterministic either way
+    val tied = Linkage.resolveEntities(recs, "id", "key", 0.9,
+        completeness = Some(lit(1.0)))
+      .orderBy("id").collect().map(_.getString(4))
+    assert(tied.head === "spark merge batch windo")
+  }
+
   test("tagTerms: automaton equals naive contains, overlaps and repeats once") {
     val terms = Seq("ab", "abc", "bc", "zzz", "hello world")
     val docs = Seq(

@@ -247,6 +247,49 @@ class SplitsSpec extends AnyFunSuite {
     assert(again === kept.map(_._1).toSet)
   }
 
+  test("temperatureSample: tempered caps, low-resource boost, determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // 'big' dominates 9:1 — tau < 1 must shift kept share toward 'small'
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i % 10 == 0) "small" else "big", 1L + rnd.nextInt(20)))
+    val df = rows.toDF("id", "g", "tok")
+    def keptShares(tau: Double): Map[String, Double] = {
+      val kept = Splits.temperatureSample(df, "g", col("tok"), "id",
+          tau, budgetFraction = 0.3)
+        .select("id", "g", "tok")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(kept.map(_._1).distinct.length === kept.length) // subset, no dup
+      assert(kept.toSet.subsetOf(rows.toSet))
+      val m = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+      val t = m.values.sum
+      m.view.mapValues(_ / t).toMap
+    }
+    val natural = keptShares(1.0)
+    val tempered = keptShares(0.5)
+    val massIn = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val inShare = massIn("small") / massIn.values.sum
+    // tau = 1 ≈ natural proportions (within straddling-doc slack)
+    assert(math.abs(natural("small") - inShare) < 0.05,
+      s"tau=1 drifted: ${natural("small")} vs $inShare")
+    // tau = 0.5 boosts the small group's share strictly
+    assert(tempered("small") > natural("small") + 0.05,
+      s"no boost: ${tempered("small")} vs ${natural("small")}")
+    // budget respected: kept mass <= fraction x total (+ slack impossible —
+    // straddlers are excluded, so the cut is one-sided)
+    val keptMass = Splits.temperatureSample(df, "g", col("tok"), "id",
+        0.5, budgetFraction = 0.3)
+      .agg(sum("tok")).head.getLong(0).toDouble
+    assert(keptMass <= 0.3 * massIn.values.sum + 1e-9)
+    // determinism under repartition
+    val a = Splits.temperatureSample(df, "g", col("tok"), "id", 0.5, 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Splits.temperatureSample(df.repartition(7), "g", col("tok"),
+        "id", 0.5, 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("quantileBuckets: equal-population tiers, monotone in the value") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
