@@ -1244,7 +1244,8 @@ object Oracles {
     // with no hit survive; short docs never shingle and pass through
     "q278_ingest_newdocs" ->
       ("WITH toks AS (SELECT doc_id, " +
-        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
+        "WHERE doc_id % 3 = 0), " +
         "sh2 AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
         "for i in range(1, len(t) - 1)]) AS s FROM toks WHERE len(t) >= 3), " +
         "sg AS (SELECT doc_id, [list_min(list_transform(s, " +
@@ -1253,7 +1254,8 @@ object Oracles {
         "ON a.doc_id % 2 = 1 AND c.doc_id % 2 = 0 AND " +
         "(a.g[1:4] = c.g[1:4] OR a.g[5:8] = c.g[5:8] " +
         "OR a.g[9:12] = c.g[9:12] OR a.g[13:16] = c.g[13:16])) " +
-        "SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1 " +
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0 " +
+        "AND doc_id % 2 = 1 " +
         "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
 
     // SemDeDup: q107's seed assignment + within-cell cosine pairs (q87's

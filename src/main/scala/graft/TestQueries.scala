@@ -4086,10 +4086,13 @@ object TestQueries {
     * signature → banding → batch×corpus band join → anti-join exactly.
     * Docs too short to shingle pass through as new; the saturation cap is
     * raised out of range here (IncrementalSpec covers that branch with a
-    * planted flood).
+    * planted flood). Runs on the q36b-style deterministic 1/3 slice —
+    * the md5 signature cost is per-doc and slice-invariant in semantics,
+    * and the production xxhash path is held to linear by the
+    * `ingest_newdocs` SCALING anchor.
     */
   def q278IngestNewdocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
     operators.Incremental.minhashNewDocs(
         docs.where(col("doc_id") % 2 === 1),
         docs.where(col("doc_id") % 2 === 0),

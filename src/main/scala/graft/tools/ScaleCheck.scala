@@ -213,6 +213,20 @@ object ScaleCheck {
           graft.sources.Tables.loadEvents(spark, dir),
           "user_id", "ts", "value", stepSeconds = 300L).count()
       },
+      "ingest_newdocs" -> { dir =>
+        // batch = 1/10 of docs vs corpus = 9/10: the ingest shape — the
+        // corpus side must stay one bandedKeys pass (no self-pairing),
+        // so the whole screen tracks corpus size linearly
+        val d = docs(dir)
+        graft.operators.Incremental.minhashNewDocs(
+          d.where(col("doc_id") % 10 === 0), d.where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text").count()
+      },
+      "temperature_sample" -> { dir =>
+        graft.operators.Splits.temperatureSample(docs(dir), "source",
+          graft.functions.Text.tokenCount(col("text")).cast("long"),
+          "doc_id", tau = 0.5, budgetFraction = 0.3).count()
+      },
       "resample_ffill_manykey" -> { dir =>
         // keys ≈ rows (event_id is unique): the per-key stats and
         // per-(key, chunk) carry tables are DATA-sized here — the r12
