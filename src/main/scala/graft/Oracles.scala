@@ -1258,6 +1258,46 @@ object Oracles {
         "AND doc_id % 2 = 1 " +
         "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
 
+    // Snapshot diff: null-safe full-outer reconciliation with the
+    // changed-column list in declaration order
+    "q279_snapshot_diff" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "b AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 " +
+        "ELSE o_totalprice END AS o_totalprice FROM o WHERE o_orderkey % 11 <> 3), " +
+        "a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o " +
+        "WHERE o_orderkey % 11 <> 5), " +
+        "j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey, " +
+        "b.o_orderkey IS NULL AS miss_b, a.o_orderkey IS NULL AS miss_a, " +
+        "list_filter([CASE WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus) " +
+        "THEN 'o_orderstatus' END, " +
+        "CASE WHEN NOT (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice) " +
+        "THEN 'o_totalprice' END], x -> x IS NOT NULL) AS cl " +
+        "FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey), " +
+        "st AS (SELECT o_orderkey, CASE WHEN miss_b THEN 'added' " +
+        "WHEN miss_a THEN 'removed' WHEN len(cl) > 0 THEN 'changed' " +
+        "ELSE 'unchanged' END AS status, " +
+        "CASE WHEN NOT miss_b AND NOT miss_a AND len(cl) > 0 " +
+        "THEN array_to_string(cl, ',') ELSE '' END AS changed_cols FROM j) " +
+        "SELECT o_orderkey, status, changed_cols FROM st " +
+        "WHERE status <> 'unchanged' ORDER BY o_orderkey"),
+
+    // Wilson interval: same closed-form double arithmetic, same op order
+    "q280_proportion_ci" ->
+      ("WITH g AS (SELECT event_type, count(*) AS n, " +
+        "sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS successes " +
+        "FROM events GROUP BY 1), " +
+        "w AS (SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(successes AS BIGINT) AS successes, " +
+        "CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p, " +
+        "CAST(n AS DOUBLE) AS nd FROM g) " +
+        "SELECT event_type, n, successes, round(p, 6) AS p_hat, " +
+        "round((p + (1.96*1.96) / (2*nd) - 1.96 * sqrt(p*(1-p)/nd + " +
+        "(1.96*1.96)/(4*nd*nd))) / (1 + (1.96*1.96)/nd), 6) AS ci_lo, " +
+        "round((p + (1.96*1.96) / (2*nd) + 1.96 * sqrt(p*(1-p)/nd + " +
+        "(1.96*1.96)/(4*nd*nd))) / (1 + (1.96*1.96)/nd), 6) AS ci_hi " +
+        "FROM w ORDER BY event_type"),
+
     // SemDeDup: q107's seed assignment + within-cell cosine pairs (q87's
     // cosine) + q77's transitive closure, min-id survivor
     "q118_semdedup" ->

@@ -4101,6 +4101,39 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Snapshot reconciliation ([[operators.Analytics.snapshotDiff]]):
+    * two deterministic variants of orders — before drops key % 11 = 3 and
+    * perturbs price where key % 13 = 0; after drops key % 11 = 5 — so
+    * every status (added / removed / changed / unchanged) appears. DuckDB
+    * replays the null-safe full-outer diff and the changed-column list.
+    */
+  def q279SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val before = o.where(col("o_orderkey") % 11 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val after = o.where(col("o_orderkey") % 11 =!= 5)
+    operators.Analytics.snapshotDiff(before, after, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      .where(col("status") =!= "unchanged") // the audit reads the deltas
+      .orderBy("o_orderkey")
+  }
+
+  /** Per-slice Wilson interval ([[operators.Stats.proportionCI]]): the
+    * rate of high-value events per event_type with z = 1.96 bounds —
+    * closed-form arithmetic, hash-matched against DuckDB's replay.
+    */
+  def q280ProportionCi(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.proportionCI(Tables.loadEvents(s, dir),
+        Seq("event_type"), col("value") > 100, z = 1.96)
+      .select(col("event_type"), col("n"), col("successes"),
+        round(col("p_hat"), 6).as("p_hat"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
+      .orderBy("event_type")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4525,6 +4558,8 @@ object TestQueries {
     "q275_corpus_card" -> (q275CorpusCard _),
     "q277_temperature_sample" -> (q277TemperatureSample _),
     "q278_ingest_newdocs" -> (q278IngestNewdocs _),
+    "q279_snapshot_diff" -> (q279SnapshotDiff _),
+    "q280_proportion_ci" -> (q280ProportionCi _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

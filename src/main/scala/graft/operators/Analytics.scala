@@ -408,4 +408,54 @@ object Analytics {
       .select("segment", "w_a", "w_b", "r_a", "r_b", "within_effect",
         "mix_effect")
   }
+
+  /** Snapshot reconciliation — the row-level diff between two versions of
+    * a table: per key, `added` (only in `after`), `removed` (only in
+    * `before`), `changed` (present in both, any compare column differs —
+    * null-safe, so NULL→value and value→NULL count as changes), or
+    * `unchanged`. `changed_cols` lists the differing compare columns in
+    * declaration order (comma-joined — replayable in plain SQL), empty
+    * for the other statuses. The audit that runs after every backfill,
+    * compaction, or migration: "what did this rewrite actually touch?"
+    *
+    * Scale shape: ONE full-outer shuffle join on the key columns
+    * (null-safe match — a null key is a real key), all comparisons
+    * scan-side projections; no window, no second pass. Aggregate the
+    * output by `status` for the one-row summary.
+    *
+    * Keys must be unique per side (it's a diff, not a bag compare) —
+    * duplicate keys fan out the join and double-count; pre-aggregate or
+    * fingerprint first if the table has no natural key.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val aSide = before.select((keyCols ++ compareCols).map(col): _*)
+      .select(keyCols.map(k => col(k).as(s"__ka_$k")) ++
+        compareCols.map(c => col(c).as(s"__ca_$c")) :+
+        lit(1).as("__pa"): _*)
+    val bSide = after.select((keyCols ++ compareCols).map(col): _*)
+      .select(keyCols.map(k => col(k).as(s"__kb_$k")) ++
+        compareCols.map(c => col(c).as(s"__cb_$c")) :+
+        lit(1).as("__pb"): _*)
+    val cond = keyCols.map(k => col(s"__ka_$k") <=> col(s"__kb_$k"))
+      .reduce(_ && _)
+    val diffs = compareCols.map(c =>
+      when(!(col(s"__ca_$c") <=> col(s"__cb_$c")), lit(c)))
+    aSide.join(bSide, cond, "full_outer")
+      .withColumn("__changed",
+        array_compact(array(diffs: _*)))
+      .withColumn("status",
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
+          .when(size(col("__changed")) > 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("changed_cols",
+        when(col("status") === "changed",
+          array_join(col("__changed"), ",")).otherwise(lit("")))
+      .select(keyCols.map(k =>
+        coalesce(col(s"__ka_$k"), col(s"__kb_$k")).as(k)) :+
+        col("status") :+ col("changed_cols"): _*)
+  }
 }

@@ -1361,4 +1361,41 @@ object Stats {
           (col("__p").cast("double") / col("__n"))).as("lift"))
       .orderBy("decile")
   }
+
+  /** Wilson score interval per slice — the error bar every per-segment
+    * rate report should carry (pass rate per source, dup rate per lang,
+    * conversion per variant): for each group, p̂ = s/n and the z-level
+    * Wilson bounds
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * — never escapes [0, 1] and stays honest at small n and extreme p̂,
+    * where the naive ± z·√(p̂(1−p̂)/n) Wald interval collapses to a point
+    * at p̂ ∈ {0, 1} (a 3-for-3 slice is NOT certainly perfect; Wilson says
+    * [0.44, 1] at z = 1.96, Wald says [1, 1]).
+    *
+    * ONE partial-aggregable group aggregate; the bounds are closed-form
+    * projections — replayable in any SQL engine. A null `successCol`
+    * counts as failure (it is a predicate, not a measurement). Returns
+    * (groups..., n, successes, p_hat, ci_lo, ci_hi).
+    */
+  def proportionCI(df: DataFrame, groupCols: Seq[String],
+                   successCol: Column, z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(z > 0, s"z must be positive: $z")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    agg
+      .withColumn("p_hat", p)
+      .withColumn("ci_lo", (center - half) / denom)
+      .withColumn("ci_hi", (center + half) / denom)
+  }
 }

@@ -825,6 +825,62 @@ class StatsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("nmi")))
   }
 
+  test("proportionCI: Wilson reference values, Wald-collapse honesty, null = failure") {
+    // 3-for-3: Wald says [1, 1]; Wilson at z = 1.96 says ~[0.4385, 1]
+    val rows = Seq(
+      ("a", Some(150.0)), ("a", Some(200.0)), ("a", Some(300.0)),
+      ("b", Some(150.0)), ("b", Some(50.0)), ("b", Some(50.0)),
+      ("b", Some(50.0)),
+      ("c", Some(50.0)), ("c", Option.empty[Double]))
+      .toDF("g", "value")
+    val got = Stats.proportionCI(rows, Seq("g"), col("value") > 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val (na, sa, pa, loA, hiA) = got("a")
+    assert((na, sa, pa) === ((3L, 3L, 1.0)))
+    assert(math.abs(loA - 0.43849) < 1e-4) // Wilson lower, z = 1.96
+    assert(math.abs(hiA - 1.0) < 1e-12)    // never escapes [0, 1]
+    val (nb, sb, pb, loB, hiB) = got("b")
+    assert((nb, sb, pb) === ((4L, 1L, 0.25)))
+    assert(loB > 0.0 && loB < 0.25 && hiB > 0.25 && hiB < 1.0)
+    // hand Wilson for n=4, s=1, z=1.96
+    val z2 = 1.96 * 1.96
+    val wantLo = (0.25 + z2 / 8 - 1.96 * math.sqrt(0.25 * 0.75 / 4 + z2 / 64)) / (1 + z2 / 4)
+    assert(math.abs(loB - wantLo) < 1e-12)
+    // null success predicate counts as failure, not as a dropped row
+    val (nc, sc, _, _, _) = got("c")
+    assert((nc, sc) === ((2L, 0L)))
+  }
+
+  test("snapshotDiff: added/removed/changed with null transitions and null keys") {
+    val before = Seq(
+      (Some(1L), Some("x"), Some(10.0)),  // unchanged
+      (Some(2L), Some("x"), Some(10.0)),  // value change
+      (Some(3L), None, Some(10.0)),       // null -> value
+      (Some(4L), Some("x"), Some(10.0)),  // removed
+      (None, Some("x"), Some(10.0)))      // null KEY, changed
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (Some(1L), Some("x"), Some(10.0)),
+      (Some(2L), Some("x"), Some(11.0)),
+      (Some(3L), Some("y"), Some(10.0)),
+      (Some(5L), Some("x"), Some(10.0)),  // added
+      (None, Some("x"), Some(99.0)))
+      .toDF("k", "s", "v")
+    val got = operators.Analytics.snapshotDiff(before, after, Seq("k"), Seq("s", "v"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(got.size === 6)
+    assert(got(1L) === (("unchanged", "")))
+    assert(got(2L) === (("changed", "v")))
+    assert(got(3L) === (("changed", "s"))) // null -> value IS a change
+    assert(got(4L) === (("removed", "")))
+    assert(got(5L) === (("added", "")))
+    assert(got(-1L) === (("changed", "v"))) // null key matched null-safely
+  }
+
   test("binnedMI: a parabola invisible to correlation has high NMI") {
     // y = (x − 8)² on x = 0..16: Pearson ≈ 0 by symmetry, but the binned
     // MI sees the deterministic relationship
