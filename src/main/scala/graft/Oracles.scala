@@ -1476,6 +1476,20 @@ object Oracles {
         "FROM clicks c ASOF JOIN views v " +
         "ON c.user_id = v.user_id AND c.ts >= v.vts"),
 
+    // Bounded backward as-of: native ASOF JOIN + a µs-exact INTERVAL
+    // bound (date_diff('second') would floor and over-admit sub-second
+    // overshoot — the operator compares at microsecond precision)
+    "q281_asof_tolerance" ->
+      ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click'), " +
+        "views AS (SELECT user_id, ts AS vts, max(event_id) AS view_id " +
+        "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.click_id, c.user_id, v.view_id, " +
+        "date_diff('second', v.vts, c.ts) AS lag_sec " +
+        "FROM clicks c ASOF JOIN views v " +
+        "ON c.user_id = v.user_id AND c.ts >= v.vts " +
+        "WHERE c.ts - v.vts <= INTERVAL 3600 SECOND ORDER BY click_id"),
+
     "q91_asof_forward" ->
       ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
         "WHERE event_type = 'click'), " +

@@ -4101,6 +4101,25 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Bounded as-of join ([[operators.Joins.asOfJoin]] with `toleranceSec`):
+    * q46's click→latest-view match, but a view more than an hour stale
+    * does not count — DuckDB replays with its native ASOF JOIN plus a
+    * µs-exact INTERVAL bound (matching the operator's microsecond rule).
+    */
+  def q281AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      .withColumnRenamed("ts", "vts")
+    operators.Joins.asOfJoin(clicks, views, "user_id", "ts", "vts",
+        Seq("view_id", "vts"), asOfPrefix = "", toleranceSec = Some(3600L))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (col("ts").cast("long") - col("vts").cast("long")).as("lag_sec"))
+      .orderBy("click_id")
+  }
+
   /** Snapshot reconciliation ([[operators.Analytics.snapshotDiff]]):
     * two deterministic variants of orders — before drops key % 11 = 3 and
     * perturbs price where key % 13 = 0; after drops key % 11 = 5 — so
@@ -4560,6 +4579,7 @@ object TestQueries {
     "q278_ingest_newdocs" -> (q278IngestNewdocs _),
     "q279_snapshot_diff" -> (q279SnapshotDiff _),
     "q280_proportion_ci" -> (q280ProportionCi _),
+    "q281_asof_tolerance" -> (q281AsofTolerance _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

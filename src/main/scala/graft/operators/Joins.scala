@@ -107,20 +107,25 @@ object Joins {
     * formulation explodes to (left × right-per-key) before picking the max.
     * At equal timestamps the right row sorts first, so `ts ≥ ts` matches.
     *
+    * `toleranceSec` drops matches whose right row is further in the past
+    * than the bound (pandas merge_asof `tolerance` semantics, symmetric
+    * with [[asOfJoinForward]]); it compares the two timestamp columns at
+    * microsecond precision.
+    *
     * Output: all left columns plus `rightValCols` (renamed via `asOfPrefix`).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightValCols: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
+               rightValCols: Seq[String], asOfPrefix: String = "asof_",
+               toleranceSec: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // Right values travel as ONE struct so the carry-forward picks entire
     // right rows atomically — per-column last(ignoreNulls) would stitch
     // fields from different right rows whenever a matched row holds a NULL.
-    val rStruct = struct(rightValCols.map(col): _*)
-    val rStructType = {
-      val tmp = right.select(rStruct.as("__r")).schema("__r").dataType
-      tmp
-    }
+    // The matched right row's own timestamp rides along (__rts) so the
+    // tolerance bound can compare it to the left timestamp.
+    val rStruct = struct(col(rightTs).as("__rts") +: rightValCols.map(col): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
     val tagged =
       left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
         .select(Seq(col("__ts"), col("__side"), col(key)) ++
@@ -132,10 +137,21 @@ object Joins {
               leftCols.filterNot(_ == key)
                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
               rStruct.as("__r"): _*))
-    carriedMatches(tagged, key, back = true, fwd = false)
+    val matched = carriedMatches(tagged, key, back = true, fwd = false)
       .where(col("__side") === 1 && col("__back").isNotNull)
-      .select(leftCols.map(col) ++
-        rightValCols.map(c => col(s"__back.$c").as(s"$asOfPrefix$c")): _*)
+    val isTs = isTsType(right, rightTs)
+    val tolScale = if (isTs) 1000000L else 1L
+    val bounded = toleranceSec match {
+      // µs precision on timestamps: epoch-second flooring would admit
+      // matches up to a second beyond the bound (same rule as the
+      // forward direction and nearestJoin)
+      case Some(tol) => matched.where(
+        timeKey(col("__ts"), isTs) - timeKey(col("__back.__rts"), isTs) <=
+          tol * tolScale)
+      case None => matched
+    }
+    bounded.select(leftCols.map(col) ++
+      rightValCols.map(c => col(s"__back.$c").as(s"$asOfPrefix$c")): _*)
   }
 
   /** Forward as-of join: for each left row, the single right row with the

@@ -29,6 +29,35 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 10.0, 2L -> 11.0, 4L -> 20.0))
   }
 
+  test("asOfJoin: toleranceSec bounds the look-back at microsecond precision") {
+    val trades = Seq(
+      (1L, 100L, ts("2021-01-01 10:00:05")),   // 5s after the quote → kept
+      (2L, 100L, ts("2021-01-01 10:01:00")),   // 30s after → dropped at 10s
+      (4L, 200L, ts("2021-01-01 10:00:00")))   // 0s → kept
+      .toDF("trade_id", "acct", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2021-01-01 10:00:00"), 10.0),
+      (100L, ts("2021-01-01 10:00:30"), 11.0),
+      (200L, ts("2021-01-01 10:00:00"), 20.0)).toDF("acct", "q_ts", "px")
+    val got = Joins.asOfJoin(trades, quotes, "acct", "t_ts", "q_ts",
+        Seq("px"), toleranceSec = Some(10L))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 10.0, 4L -> 20.0))
+    // sub-second precision: a match 1µs beyond the bound drops (second-
+    // flooring would keep it)
+    val l = Seq((1L, 9L, 10000000L + 1L), (2L, 9L, 10000000L))
+      .toDF("id", "k", "lts_us")
+      .select(col("id"), col("k"),
+        timestamp_micros(col("lts_us")).as("lts"))
+    val r2 = Seq((9L, 0L, 1.0)).toDF("k", "rts_us", "v")
+      .select(col("k"), timestamp_micros(col("rts_us")).as("rts"), col("v"))
+    val tight = Joins.asOfJoin(l, r2, "k", "lts", "rts", Seq("v"),
+        toleranceSec = Some(10L))
+      .select("id").as[Long].collect().toSet
+    assert(tight === Set(2L))
+  }
+
   test("asOfJoin: ONE hot key across many range partitions matches a " +
     "driver-computed as-of (cross-partition carry)") {
     // a single symbol with 8000 interleaved rows: under 32 shuffle
