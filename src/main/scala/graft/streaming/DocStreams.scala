@@ -65,4 +65,56 @@ object DocStreams {
         survivors.localCheckpoint().write.mode("append").parquet(p)
       }
       .start()
+
+  /** NEAR-dup curating ingest — [[curateToLake]]'s screen upgraded from
+    * exact fingerprints to banded MinHash against a PRECOMPUTED corpus-key
+    * artifact ([[graft.operators.Incremental.bandedKeys]], read from
+    * `corpusKeysPath`): the 100 TB ingest shape where the standing corpus
+    * is never re-shingled per batch. Per micro-batch:
+    *
+    *  1. batch docs screen against the stored corpus keys
+    *     ([[graft.operators.Incremental.minhashNewDocs]] — band collision
+    *     = dup, saturation semantics included);
+    *  2. survivors ALSO near-dup within the batch itself (one batch-local
+    *     LSH pass — a crawl drop repeating its own boilerplate must not
+    *     land twice);
+    *  3. survivors append to the lake AND their band keys append to the
+    *     corpus-key artifact, so the NEXT batch screens against them —
+    *     the artifact grows incrementally, no corpus rescan ever.
+    *
+    * Replay safety: a replayed batch's docs collide with their own stored
+    * keys and drop — key-idempotent without a marker, the
+    * [[curateToLake]] contract.
+    */
+  def nearDupCurateToLake(docs: DataFrame, lake: graft.sources.Lake,
+                          zone: String, table: String,
+                          corpusKeysPath: String, checkpoint: String,
+                          shingleSize: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4, maxCorpusBucket: Int = 4096):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val kp = new org.apache.hadoop.fs.Path(corpusKeysPath)
+        val exists =
+          kp.getFileSystem(spark.sessionState.newHadoopConf()).exists(kp)
+        val screened =
+          if (!exists) batch.toDF()
+          else graft.operators.Incremental.minhashNewDocs(
+            batch.toDF(), spark.emptyDataFrame, "doc_id", "text",
+            shingleSize, numHashes, bands, maxCorpusBucket,
+            corpusKeys = Some(spark.read.parquet(corpusKeysPath)))
+        // batch-local near-dup: keep each within-batch cluster's min id
+        val survivors = graft.operators.Dedup.minhashKeepIdsTransitive(
+            screened, "doc_id", "text", shingleSize, numHashes, bands)
+          .join(screened, Seq("doc_id"))
+          .localCheckpoint() // pinned: read before the writes land below
+        survivors.write.mode("append").parquet(lake.path(zone, table))
+        graft.operators.Incremental.bandedKeys(survivors, "doc_id", "text",
+            shingleSize, numHashes, bands)
+          .write.mode("append").parquet(corpusKeysPath)
+      }
+      .start()
 }

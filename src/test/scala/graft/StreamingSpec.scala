@@ -321,6 +321,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.select("fp").as[Long].collect().toSet === batchFps)
   }
 
+  test("nearDupCurateToLake: batch-local near-dups collapse, corpus keys grow, replay appends nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val lake = graft.sources.Lake(s"$tmp/lake")
+    val keysPath = s"$tmp/corpus_keys"
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+    // drop 1: doc 2 is a verbatim copy of doc 1 (identical signature →
+    // guaranteed within-batch collapse); doc 3 is its own content
+    write(s"$tmp/drop1", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "a perfectly ordinary second document about parquet files")))
+    val q = streaming.DocStreams.nearDupCurateToLake(
+      streaming.DocStreams.readStream(spark, s"$tmp/drop1"), lake,
+      "bronze", "docs", keysPath, s"$tmp/chk1")
+    q.processAllAvailable(); q.stop()
+    val got1 = lake.read(spark, "bronze", "docs")
+    assert(got1.count() === 2)
+    assert(got1.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    // the corpus-key artifact holds the survivors' band keys
+    val keys1 = spark.read.parquet(keysPath)
+    assert(keys1.select("id").distinct().as[Long].collect().toSet === Set(1L, 3L))
+    // drop 2 via a FRESH stream: a verbatim replay of doc 1 under a new id
+    // (drops against the stored keys) + genuinely new content (survives)
+    write(s"$tmp/drop2", Seq(
+      (5L, "the quick brown fox jumps over the lazy dog tonight"),
+      (6L, "genuinely new content that has never been seen before anywhere")))
+    val q2 = streaming.DocStreams.nearDupCurateToLake(
+      streaming.DocStreams.readStream(spark, s"$tmp/drop2"), lake,
+      "bronze", "docs", keysPath, s"$tmp/chk2")
+    q2.processAllAvailable(); q2.stop()
+    val got2 = lake.read(spark, "bronze", "docs")
+    assert(got2.count() === 3)
+    assert(got2.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 6L))
+    // stream == batch: static transitive minhash dedup over both drops
+    // keeps the same SET of texts (ids differ by arrival order — first
+    // writer wins in the stream, min id in the batch; content agrees)
+    val all = spark.read.parquet(s"$tmp/drop1")
+      .unionByName(spark.read.parquet(s"$tmp/drop2"))
+    val batchKept = graft.operators.Dedup.minhashKeepIdsTransitive(
+        all, "doc_id", "text")
+      .join(all, Seq("doc_id")).select("text").as[String].collect().toSet
+    assert(got2.select("text").as[String].collect().toSet === batchKept)
+  }
+
   test("driftMonitorSink: per-batch drift report equals the batch operator") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
