@@ -232,6 +232,23 @@ object Incremental {
     batch.join(dupIds, col(idCol) === col("__did"), "left_anti")
   }
 
+  /** [[minhashNewDocs]] against a STORED key artifact only — the steady-
+    * state ingest entry point when the corpus texts are not at hand (or
+    * deliberately not re-read): `keys` is a [[bandedKeys]] frame read back
+    * from wherever it was persisted. Jaccard verification needs corpus
+    * TEXTS, so it is not available on this path — screen by banding alone
+    * (use the full [[minhashNewDocs]] if verified drops are required).
+    */
+  def minhashNewDocsAgainstKeys(batch: DataFrame, keys: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleSize: Int = 3, numHashes: Int = 16,
+                                bands: Int = 4,
+                                maxCorpusBucket: Int = 4096,
+                                exact: Boolean = false): DataFrame =
+    minhashNewDocs(batch, batch.sparkSession.emptyDataFrame, idCol, textCol,
+      shingleSize, numHashes, bands, maxCorpusBucket, exact,
+      verifyJaccard = None, corpusKeys = Some(keys))
+
   /** Incremental join maintenance (the delta-join identity): the NEW rows
     * of `(A ∪ ΔA) ⋈ (B ∪ ΔB)` beyond the already-materialized `A ⋈ B` are
     * exactly

@@ -102,10 +102,9 @@ object DocStreams {
           kp.getFileSystem(spark.sessionState.newHadoopConf()).exists(kp)
         val screened =
           if (!exists) batch.toDF()
-          else graft.operators.Incremental.minhashNewDocs(
-            batch.toDF(), spark.emptyDataFrame, "doc_id", "text",
-            shingleSize, numHashes, bands, maxCorpusBucket,
-            corpusKeys = Some(spark.read.parquet(corpusKeysPath)))
+          else graft.operators.Incremental.minhashNewDocsAgainstKeys(
+            batch.toDF(), spark.read.parquet(corpusKeysPath), "doc_id",
+            "text", shingleSize, numHashes, bands, maxCorpusBucket)
         // batch-local near-dup: keep each within-batch cluster's min id
         val survivors = graft.operators.Dedup.minhashKeepIdsTransitive(
             screened, "doc_id", "text", shingleSize, numHashes, bands)

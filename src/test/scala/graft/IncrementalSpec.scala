@@ -105,6 +105,11 @@ class IncrementalSpec extends AnyFunSuite {
         corpusKeys = Some(keys))
       .select("doc_id").as[Long].collect().toSet
     assert(a === b)
+    // the keys-only entry point (no corpus texts at hand) agrees too
+    val c = Incremental.minhashNewDocsAgainstKeys(nearBatch, keys,
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === c)
   }
 
   test("minhashNewDocs: saturated corpus bucket drops the batch doc without pairing") {
