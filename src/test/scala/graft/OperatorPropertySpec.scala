@@ -66,6 +66,92 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin with tolerance == bounded quadratic reference") {
+    val rnd = new scala.util.Random(13)
+    val left = (1L to 120L).map(i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val right = (1L to 80L).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    for (tol <- Seq(0L, 50L, 500L)) {
+      val expected = left.flatMap { case (id, k, ts) =>
+        val eligible = right.filter(r => r._1 == k && r._2 <= ts)
+        if (eligible.isEmpty) None
+        else {
+          val m = eligible.maxBy(_._2)
+          // the as-of pick itself is unbounded; the bound then gates it
+          if (ts - m._2 <= tol) Some(id -> m._3) else None
+        }
+      }.toMap
+      val got = Joins.asOfJoin(
+          left.toDF("id", "k", "ts"), right.toDF("k", "rts", "px"),
+          "k", "ts", "rts", Seq("px"), toleranceSec = Some(tol))
+        .select("id", "asof_px").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expected, s"tol=$tol")
+    }
+  }
+
+  test("snapshotDiff properties: statuses partition the key union; self-diff is all-unchanged; swap flips added/removed") {
+    def snap(seed: Int): Seq[(Long, String, Double)] = {
+      val r = new scala.util.Random(seed)
+      (1L to 60L).filter(_ => r.nextDouble() > 0.2)
+        .map(k => (k, s"s${r.nextInt(3)}", r.nextInt(5).toDouble))
+    }
+    val a = snap(1); val b = snap(2)
+    val aDf = a.toDF("k", "s", "v"); val bDf = b.toDF("k", "s", "v")
+    val diff = operators.Analytics.snapshotDiff(aDf, bDf, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exactly one row per key in the union, statuses consistent with sets
+    val (ka, kb) = (a.map(_._1).toSet, b.map(_._1).toSet)
+    assert(diff.keySet === (ka ++ kb))
+    assert(diff.filter(_._2 == "added").keySet === (kb -- ka))
+    assert(diff.filter(_._2 == "removed").keySet === (ka -- kb))
+    // self-diff: everything unchanged
+    val self = operators.Analytics.snapshotDiff(aDf, aDf, Seq("k"), Seq("s", "v"))
+      .collect().map(_.getString(1)).toSet
+    assert(self === Set("unchanged"))
+    // swapping sides flips added <-> removed and keeps changed/unchanged
+    val rev = operators.Analytics.snapshotDiff(bDf, aDf, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    diff.foreach { case (k, st) =>
+      val want = st match {
+        case "added" => "removed"; case "removed" => "added"; case x => x
+      }
+      assert(rev(k) === want, s"k=$k")
+    }
+  }
+
+  test("temperatureSample properties: subset, one-sided caps, monotone low-resource share in tau") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, s"g${if (i % 20 == 0) 3 else i % 3}", 1L + rnd.nextInt(30)))
+    val df = rows.toDF("id", "g", "tok")
+    val massIn = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val totIn = massIn.values.sum
+    def shares(tau: Double): (Map[String, Double], Double) = {
+      val kept = Splits.temperatureSample(df, "g", col("tok"), "id", tau, 0.4)
+        .select("id", "g", "tok").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(kept.map(_._1).toSet.subsetOf(rows.map(_._1).toSet)) // subset
+      assert(kept.length === kept.map(_._1).distinct.length)      // no dup
+      val m = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+      // per-group kept mass never exceeds the tempered cap (one-sided)
+      val w = massIn.view.mapValues(math.pow(_, tau)).toMap
+      val tw = w.values.sum
+      m.foreach { case (g, kg) =>
+        assert(kg <= w(g) / tw * 0.4 * totIn + 1e-9, s"$g over cap at tau=$tau")
+      }
+      (m.view.mapValues(_ / m.values.sum).toMap, m.values.sum)
+    }
+    // the rare group's kept share grows monotonically as tau drops
+    val rare = "g3"
+    val s10 = shares(1.0)._1.getOrElse(rare, 0.0)
+    val s05 = shares(0.5)._1.getOrElse(rare, 0.0)
+    val s02 = shares(0.2)._1.getOrElse(rare, 0.0)
+    assert(s05 >= s10 && s02 >= s05, s"not monotone: $s10 / $s05 / $s02")
+  }
+
   test("rangeJoinBinned == inequality join on random values and ranges, many bin widths") {
     val vals = samples(Gen.choose(0.0, 400.0), 120).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
