@@ -149,6 +149,44 @@ class DeltaExportSpec extends AnyFunSuite {
     assert(DeltaRead.read(spark, dir).count() === 4L)
   }
 
+  test("checkpoint carries a reader-features protocol verbatim (no downgrade after DVs compact away)") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    // a third-party writer upgraded the table to reader features this
+    // reader accepts (timestampNtz) — append the protocol action to the
+    // next commit the way a real upgrade commit does
+    DeltaExport.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    val c1 = java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json")
+    val upgraded = new String(java.nio.file.Files.readAllBytes(c1), "UTF-8") +
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["timestampNtz"],""" +
+      """"writerFeatures":["timestampNtz","deletionVectors"]}}""" + "\n"
+    java.nio.file.Files.write(c1, upgraded.getBytes("UTF-8"))
+    // no live DVs anywhere (the compacted-away shape) — the old code
+    // re-derived (1, 2) from that absence and DOWNGRADED the table
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.dvs.isEmpty)
+    assert(snap.protocol ===
+      Some(DeltaRead.Protocol(3, 7, Seq("timestampNtz"),
+        Seq("timestampNtz", "deletionVectors"))))
+    // checkpoint ABOVE the upgrade commit, then clean the upgrade commit
+    // away — the seeded protocol can only come from the checkpoint itself
+    DeltaExport.append(Seq((4L, "d")).toDF("k", "v"), dir)
+    assert(DeltaExport.checkpoint(spark, dir) === 2L)
+    assert(DeltaExport.cleanLog(spark, dir) === 2) // commits 0 AND 1 gone
+    val seeded = DeltaRead.snapshot(spark, dir)
+    assert(seeded.protocol === snap.protocol)
+    assert(DeltaRead.read(spark, dir).count() === 4L)
+    // and a plain (1, 2) table still checkpoints as (1, 2) when DV-free
+    val dir2 = tmp()
+    DeltaExport.overwrite(Seq((1L, "x")).toDF("k", "v"), dir2)
+    DeltaExport.checkpoint(spark, dir2)
+    DeltaExport.cleanLog(spark, dir2)
+    assert(DeltaRead.snapshot(spark, dir2).protocol ===
+      Some(DeltaRead.Protocol(1, 2, Nil, Nil)))
+  }
+
   test("compact + vacuum: small files merge, tombstones age out, reads hold") {
     import spark.implicits._
     val dir = tmp()
