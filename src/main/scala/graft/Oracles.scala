@@ -1973,7 +1973,7 @@ object Oracles {
     "q131_chunk_dedup_verified" ->
       ("WITH RECURSIVE tk AS (SELECT doc_id, " +
         "string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents " +
-        "WHERE length(trim(text)) > 0), " +
+        "WHERE length(trim(text)) > 0 AND doc_id % 3 = 0), " +
         "ct AS (SELECT doc_id, t, [CAST(j AS INTEGER) for j in range(1, len(t) + 1) " +
         "if ((strpos('0123456789abcdef', substr(md5(array_to_string(" +
         "t[greatest(1, CAST(j AS INTEGER) - 3):CAST(j AS INTEGER)], ' ')), 1, 1)) - 1) & 3) = 0 " +
@@ -2001,7 +2001,7 @@ object Oracles {
         "UNION ALL SELECT id_b, id_a FROM ver), " +
         "reach AS (SELECT a AS src, b AS dst FROM edges " +
         "UNION SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a) " +
-        "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+        "SELECT doc_id FROM documents WHERE doc_id % 3 = 0 AND doc_id NOT IN " +
         "(SELECT src FROM reach GROUP BY src HAVING min(dst) < src) " +
         "ORDER BY doc_id"),
 

@@ -98,10 +98,17 @@ object TestQueries {
 
   // ---- §2.4 joins ----------------------------------------------------------
 
+  /** Dim-contract note (applies to q08/q09/q11): customer is the
+    * reference's "dim" analog, but its cardinality scales with SF (15 B
+    * rows at sf100k) — by the broadcast-hint rule it gets NO hint; AQE
+    * promotes it at small SF where it genuinely fits. nation (25 rows) and
+    * region (5 rows) are spec-FIXED cardinality independent of SF, so
+    * their hints are legitimate bounded-regardless-of-scale promises.
+    */
   def q08JoinOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
   }
@@ -109,7 +116,7 @@ object TestQueries {
   def q09JoinFilteredDim(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
   }
@@ -131,7 +138,7 @@ object TestQueries {
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name")
@@ -632,8 +639,12 @@ object TestQueries {
     * and the corpus-wide one — the data-mixing diagnostic (which crawls
     * skew the token distribution, and by how much). Add-one smoothing over
     * the corpus vocabulary keeps q > 0 without dropping source-absent
-    * tokens. Plan: one token explode feeding both frequency tables; the
-    * vocabulary-sized corpus table broadcasts back onto the source table.
+    * tokens. Plan: one token explode feeding both frequency tables. The
+    * corpus and per-source-total frames grow with vocabulary / source
+    * count (heaps law on web text — billions of distinct tokens at
+    * 100 TB), so neither carries a broadcast hint: AQE promotes them when
+    * the runtime stats say they fit. Only the one-row vocab scalar is
+    * hinted.
     */
   def q106UnigramKl(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -645,8 +656,8 @@ object TestQueries {
       sum("cc").cast("double").as("n"))
     val srcTotals = bySource.groupBy("source")
       .agg(sum("c").cast("double").as("sn"))
-    bySource.join(broadcast(corpus), Seq("tok"))
-      .join(broadcast(srcTotals), Seq("source"))
+    bySource.join(corpus, Seq("tok"))
+      .join(srcTotals, Seq("source"))
       .crossJoin(broadcast(vocab))
       .select(col("source"),
         (col("c") / col("sn") *
@@ -846,9 +857,11 @@ object TestQueries {
     // same pin rationale as q63: tf feeds both the join and the df agg
     val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // df is vocabulary-sized (heaps law) — no hint; AQE decides. nSrc is a
+    // one-row scalar, the only legitimate broadcast here.
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nSrc = docs.agg(countDistinct("source").as("n_src"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nSrc))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nSrc))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_src") + 1) / (col("df") + lit(1.0))), 6))
     val w = Window.partitionBy("source")
@@ -1310,9 +1323,11 @@ object TestQueries {
 
   /** TF-IDF top term per document — the classic corpus-weighting pipeline:
     * explode terms once, tf per (doc, term), df per term, smoothed idf,
-    * top-1 by score with a term tiebreak. The df side is vocabulary-sized
-    * (≪ corpus) → broadcast; ranking orders by the ROUNDED score so the
-    * oracle agrees at ties.
+    * top-1 by score with a term tiebreak. The df side is vocabulary-sized —
+    * which on 100 TB web text grows by heaps law into billions of distinct
+    * terms, so it carries NO broadcast hint (AQE promotes it when runtime
+    * stats fit); only the one-row n_docs scalar is hinted. Ranking orders
+    * by the ROUNDED score so the oracle agrees at ties.
     */
   def q63Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1328,7 +1343,7 @@ object TestQueries {
       .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1) / (col("df") + lit(1.0))), 6))
     val w = Window.partitionBy("doc_id")
@@ -1751,10 +1766,16 @@ object TestQueries {
     * md5-rule chunk candidates → exact containment (overlap-coefficient)
     * verification → connected components → survivors. The chunk path's
     * q77: candidates alone never delete; DuckDB replays cut rule,
-    * verification and closure exactly.
+    * verification and closure exactly. Runs on the q36b-style
+    * deterministic 1/3 slice — the md5 chunk/verify cost is per-doc and
+    * the cut→verify→closure semantics are slice-invariant; the
+    * production xxhash path is held to linear by the
+    * `chunk_dedup_verified` SCALING anchor at full size.
     */
   def q131ChunkDedupVerified(s: SparkSession, dir: String): DataFrame =
-    Dedup.chunkKeepIdsVerifiedMd5(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.chunkKeepIdsVerifiedMd5(
+        t(s, dir, "documents").where(col("doc_id") % 3 === 0),
+        "doc_id", "text")
       .orderBy("doc_id")
 
   /** First-touch funnel ([[operators.EventAnalytics.funnel]]): per-user
@@ -2688,8 +2709,13 @@ object TestQueries {
     * ([[operators.Multimodal.nearDupImages]]): a real-PNG corpus (docs
     * < 60 rasterized) unioned with one-character-edited re-rasters at
     * id+10000 — dHash banding + Hamming verify finds the planted
-    * pairs. Rows-only (ImageIO has no DuckDB mirror); MultimodalSpec
-    * pins identity/small-edit/distinct cases.
+    * pairs. Rows-only (ImageIO has no DuckDB mirror), so the output
+    * CARRIES its own measured number (the q148/q157/q191 convention):
+    * every pair row is flagged `is_planted`, and the constant
+    * `planted_recall` column reports found-planted / planted — the
+    * ground truth is known by construction (one edited twin per base
+    * doc), so the gate artifact itself proves the dHash family's recall
+    * instead of leaving it spec-only in MultimodalSpec.
     */
   def q187ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 60)
@@ -2698,8 +2724,18 @@ object TestQueries {
       docs.select((col("doc_id") + 10000).as("doc_id"),
         overlay(col("text"), lit("X"), lit(1)).as("text")),
       "doc_id", "text")
-    operators.Multimodal.nearDupImages(
+    val pairs = operators.Multimodal.nearDupImages(
         base.unionByName(edited).toDF(), maxHamming = 3)
+      .withColumn("is_planted", col("id_b") === col("id_a") + 10000L)
+      .localCheckpoint() // feeds both the recall aggregate and the rows
+    val nPlanted = docs.agg(count(lit(1)).as("n_planted"))
+    val recall = pairs.agg(
+        sum(when(col("is_planted"), 1L).otherwise(0L)).as("n_planted_found"))
+      .crossJoin(broadcast(nPlanted))
+      .select(col("n_planted"), col("n_planted_found"),
+        round(col("n_planted_found") / col("n_planted"), 4)
+          .as("planted_recall"))
+    pairs.crossJoin(broadcast(recall))
       .orderBy("id_a", "id_b")
   }
 
@@ -3905,16 +3941,27 @@ object TestQueries {
     * recall-solved LSH, q95b's refine-8 PQ, and IVF probing 2 of 8
     * cells. Rows-only by nature — the recall VALUE is the evidence.
     *
-    * The brute-force truth is DISK-cached under `target/` keyed by the
-    * sf dir (the q129 warehouse pattern): it is deterministic for a given
-    * dataset and was the bench's single biggest fixed cost (~4.5 s
-    * recomputed on every run); cached, repeat runs pay a parquet read.
+    * The brute-force truth is DISK-cached under `target/` (the q129
+    * warehouse pattern): it is deterministic for a given dataset and was
+    * the bench's single biggest fixed cost (~4.5 s recomputed on every
+    * run); cached, repeat runs pay a parquet read. The cache key is a
+    * CONTENT fingerprint of the embeddings table — canonical path + total
+    * file bytes + newest mtime — so regenerating the dataset in place
+    * (new seed/size) or two sf dirs sharing a basename each get their own
+    * truth instead of silently reusing a stale one.
     */
   def q258AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadEmbeddings(s, dir)
     val queries = emb.where(col("vec_id") <= 20)
-    val truthPath =
-      s"target/ann_truth/${new java.io.File(dir).getName}"
+    val embDir = new java.io.File(dir, "embeddings.parquet")
+    val parts = Option(embDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+    val fp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"${embDir.getCanonicalPath}|${parts.map(_.length()).sum}|" +
+          s"${if (parts.isEmpty) 0L else parts.map(_.lastModified()).max}")
+        .toLong & 0xffffffffL)
+    val truthPath = s"target/ann_truth/$fp"
     if (!new java.io.File(s"$truthPath/_SUCCESS").exists())
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("nbr_id"))

@@ -395,6 +395,57 @@ object Splits {
       .drop("__w", "__tw")
   }
 
+  /** Hamilton (largest-remainder) apportionment of an INTEGER budget
+    * across groups ∝ mass — the exact integerizer [[neymanAllocation]]'s
+    * fractional output defers ("how many training tokens does each source
+    * actually get out of the 10¹² budget"). Each group's quota is
+    * `budget · mass_g / Σ mass`; every group takes `floor(quota)`, and
+    * the `budget − Σ floor` leftover units go one each to the largest
+    * fractional remainders (ties → smaller group key, a total order both
+    * engines can replay). Guarantees Σ allocation = budget EXACTLY and
+    * |allocation − quota| < 1 — no drift for the training loop to absorb.
+    *
+    * Scale shape: one partial-aggregable mass rollup (group-count-sized),
+    * one scalar total broadcast, and the remainder ranking on
+    * [[Ranks.running]] — groups can number in the millions (per-domain ×
+    * per-language cells) without a single-task global sort, and the
+    * group frame is never collected. Zero/negative-mass groups allocate
+    * 0 and do not compete for remainders.
+    *
+    * Returns (groupCols..., mass, quota, allocation).
+    */
+  def apportionBudget(df: DataFrame, groupCols: Seq[String],
+                      measureCol: Column, budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val masses = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(measureCol).cast("double").as("mass"))
+    val tot = masses.agg(
+      sum(when(col("mass") > 0, col("mass")).otherwise(0.0)).as("__tm"))
+    val quotas = masses.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        when(col("mass") > 0 && col("__tm") > 0,
+          lit(budget.toDouble) * col("mass") / col("__tm"))
+          .otherwise(lit(0.0)))
+      .withColumn("__fl", floor(col("quota")))
+      .withColumn("__rem", col("quota") - col("__fl"))
+    val pinned = quotas.localCheckpoint(eager = false) // feeds rank + scalar
+    val short = pinned.agg(
+      (lit(budget) - sum("__fl").cast("long")).as("__short"))
+    // exact distributed rank on (remainder desc, group keys asc) — group
+    // keys are unique per row post-groupBy, satisfying the Ranks contract
+    Ranks.running(pinned,
+        col("__rem").desc +: groupCols.map(col),
+        rankCol = Some("__rk"))
+      .crossJoin(broadcast(short))
+      .withColumn("allocation",
+        (col("__fl") +
+          when(col("__rem") > 0 && col("__rk") <= col("__short"), 1L)
+            .otherwise(0L)).cast("long"))
+      .select(groupCols.map(col) ++
+        Seq(col("mass"), col("quota"), col("allocation")): _*)
+  }
+
   /** Leakage-free train/val/test split: near-duplicate CLUSTERS are the
     * split unit, not documents — a random doc-level split puts one copy
     * of a near-dup pair in train and its twin in test, and the eval set

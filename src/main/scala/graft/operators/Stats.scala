@@ -1282,13 +1282,31 @@ object Stats {
     * first (same contract as [[spearman]], which this complements: ρ
     * weights by rank distance, τ counts inversions). Returns ONE row:
     * (n, tau_b).
+    *
+    * The bounded-domain contract is GUARDED, not just documented: an
+    * unquantized continuous pair makes the cell grid row-scale and the
+    * self-join O(N²), so the operator fails fast above `maxCells`
+    * distinct (x, y) cells — same policy as the Dedup all-pairs anchors —
+    * with a message directing to quantization ([[Analytics.equiWidthBin]]
+    * / ntile) or an explicit maxCells raise. The check reads the already-
+    * checkpointed joint frame, so it costs one bounded count, no rescan.
     */
-  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCells: Int = 100000): DataFrame = {
+    require(maxCells > 0 && maxCells < Int.MaxValue,
+      s"kendallTau: bad maxCells $maxCells")
     val joint = df
       .groupBy(col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
       .agg(count(lit(1)).as("__n"))
       .localCheckpoint() // feeds the self-join twice plus both marginals
+    val cells = joint.limit(maxCells + 1).count()
+    require(cells <= maxCells,
+      s"kendallTau is a contingency-table formulation bounded at " +
+        s"maxCells=$maxCells distinct (x, y) cells, but the input has more " +
+        s"— the cell-pair pass would be O(cells²). Quantize the continuous " +
+        s"column(s) first (equi-width bins / ntile), or raise maxCells " +
+        s"explicitly if the grid is genuinely bounded.")
     val a = joint.select(col("__x").as("__xa"), col("__y").as("__ya"),
       col("__n").cast("double").as("__na"))
     val b = joint.select(col("__x").as("__xb"), col("__y").as("__yb"),
@@ -1313,6 +1331,59 @@ object Stats {
         (col("__c") - col("__d")) /
           sqrt((col("__n0") - col("__tx")) * (col("__n0") - col("__ty"))))
       .select(col("n"), col("tau_b"))
+  }
+
+  /** Adjusted Rand Index between two labelings of the same rows — the
+    * chance-corrected clustering-agreement score (how well do my LSH
+    * dedup clusters reproduce the exact clusters? does language track
+    * source?). Pair-counting via the CONTINGENCY table, never row pairs:
+    * with cell counts n_ij and marginals a_i, b_j over n rows,
+    *
+    *   index    = Σ_ij C(n_ij, 2)
+    *   expected = Σ_i C(a_i, 2) · Σ_j C(b_j, 2) / C(n, 2)
+    *   maximum  = ½ [Σ_i C(a_i, 2) + Σ_j C(b_j, 2)]
+    *   ARI      = (index − expected) / (maximum − expected)
+    *
+    * so the work is one (a, b) cell aggregate + two marginal rollups —
+    * all partial-aggregable shuffles on label keys. Pair counts are
+    * summed in DOUBLE ([[kendallTau]]'s rule: C(n, 2) at 100 TB row
+    * counts overflows int64 long before a double loses the ratio).
+    *
+    * The label-domain contract is GUARDED like [[kendallTau]]: more than
+    * `maxCells` distinct (a, b) cells fails fast — an ARI over two
+    * row-unique id columns is a degenerate question (every cell is a
+    * singleton) and the cell table would be row-scale. Returns ONE row:
+    * (n, ari); ARI is 1 on identical partitions, ~0 at chance, < 0 for
+    * worse-than-chance.
+    */
+  def adjustedRand(df: DataFrame, aCol: String, bCol: String,
+                   maxCells: Int = 1000000): DataFrame = {
+    require(maxCells > 0, s"adjustedRand: bad maxCells $maxCells")
+    val cells = df.groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds both marginals + the cell sum
+    val nCells = cells.limit(maxCells + 1).count()
+    require(nCells <= maxCells,
+      s"adjustedRand is a contingency-table formulation bounded at " +
+        s"maxCells=$maxCells distinct (a, b) label cells, but the input " +
+        s"has more — with (near-)row-unique labels the agreement question " +
+        s"is degenerate and the cell table row-scale. Coarsen the labels " +
+        s"or raise maxCells explicitly.")
+    def pairs(c: Column): Column = c.cast("double") * (c - 1) / 2.0
+    val idx = cells.agg(sum(pairs(col("__n"))).as("__idx"),
+      sum("__n").as("n"))
+    val ma = cells.groupBy("__a").agg(sum("__n").as("__m"))
+      .agg(sum(pairs(col("__m"))).as("__pa"))
+    val mb = cells.groupBy("__b").agg(sum("__n").as("__m"))
+      .agg(sum(pairs(col("__m"))).as("__pb"))
+    idx.crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+      .withColumn("__exp",
+        col("__pa") * col("__pb") / pairs(col("n")))
+      .withColumn("ari",
+        (col("__idx") - col("__exp")) /
+          ((col("__pa") + col("__pb")) / 2.0 - col("__exp")))
+      .select(col("n"), col("ari"))
   }
 
   /** Decile lift-and-gain table for a scored binary classifier: rank the

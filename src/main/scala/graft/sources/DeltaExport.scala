@@ -94,12 +94,17 @@ object DeltaExport {
 
   /** Tables whose live adds carry deletion vectors need the table-features
     * protocol (reader 3 / writer 7 with deletionVectors listed) — emitted
-    * by [[delete]]'s commit, upgrading the v1/v2 protocol in place.
+    * by [[delete]]'s commit, upgrading the v1/v2 protocol in place. A
+    * table-features protocol must enumerate EVERY feature in use, so the
+    * upgrade carries the legacy writer-v2 implied features (appendOnly,
+    * invariants) alongside deletionVectors — without them a writer
+    * honoring the upgraded protocol would stop enforcing invariants.
+    * Reader v1 implies no reader features.
     */
   private def dvProtoLine =
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],""" +
-      """"writerFeatures":["deletionVectors"]}}"""
+      """"writerFeatures":["appendOnly","invariants","deletionVectors"]}}"""
 
   /** Another writer committed this version first — the optimistic-
     * concurrency signal callers react to (retry or abort).
@@ -561,13 +566,36 @@ object DeltaExport {
     // and only when live DV descriptors ride in this checkpoint on a
     // (non-conforming) log that never advertised them.
     val base = snap.protocol.getOrElse(DeltaRead.Protocol(1, 2, Nil, Nil))
+    // A table-features protocol must enumerate EVERY feature in use,
+    // including those a legacy version only implied — an upgraded
+    // checkpoint listing nothing but deletionVectors would tell writers
+    // to stop enforcing e.g. invariants (implied by writer v2). Seed the
+    // lists from the legacy base per the spec's version→feature table;
+    // a base already at table-features versions is authoritative as-is.
+    def legacyWriterFeatures(w: Int): Seq[String] =
+      Seq(2 -> Seq("appendOnly", "invariants"),
+          3 -> Seq("checkConstraints"),
+          4 -> Seq("generatedColumns", "changeDataFeed"),
+          5 -> Seq("columnMapping"),
+          6 -> Seq("identityColumns"))
+        .filter(_._1 <= w).flatMap(_._2)
+    def legacyReaderFeatures(r: Int): Seq[String] =
+      if (r >= 2) Seq("columnMapping") else Nil
     val proto =
       if (snap.dvs.isEmpty) base
-      else DeltaRead.Protocol(
-        math.max(3, base.minReaderVersion),
-        math.max(7, base.minWriterVersion),
-        (base.readerFeatures :+ "deletionVectors").distinct,
-        (base.writerFeatures :+ "deletionVectors").distinct)
+      else {
+        val seededR =
+          if (base.minReaderVersion >= 3) base.readerFeatures
+          else legacyReaderFeatures(base.minReaderVersion)
+        val seededW =
+          if (base.minWriterVersion >= 7) base.writerFeatures
+          else legacyWriterFeatures(base.minWriterVersion)
+        DeltaRead.Protocol(
+          math.max(3, base.minReaderVersion),
+          math.max(7, base.minWriterVersion),
+          (seededR :+ "deletionVectors").distinct,
+          (seededW :+ "deletionVectors").distinct)
+      }
     // features arrays exist only at table-features versions (reader ≥ 3 /
     // writer ≥ 7) — at legacy versions the fields must be absent
     val protoRow = Row(proto.minReaderVersion, proto.minWriterVersion,

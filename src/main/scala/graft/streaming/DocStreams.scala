@@ -77,43 +77,122 @@ object DocStreams {
     *     = dup, saturation semantics included);
     *  2. survivors ALSO near-dup within the batch itself (one batch-local
     *     LSH pass — a crawl drop repeating its own boilerplate must not
-    *     land twice);
-    *  3. survivors append to the lake AND their band keys append to the
-    *     corpus-key artifact, so the NEXT batch screens against them —
-    *     the artifact grows incrementally, no corpus rescan ever.
+    *     land twice), then exact-collapse on the content fingerprint
+    *     (sub-shingle docs emit no band keys, so only the fingerprint can
+    *     catch their within-batch copies);
+    *  3. survivors run an exact-fingerprint RESCUE screen against the
+    *     lake's stored `fp` column ([[graft.operators.Incremental.newRows]]
+    *     — bloom prefilter + exact verify, never a text join): this is
+    *     what makes replay idempotent for docs the band keys cannot see;
+    *  4. the new docs append to the lake (with `fp` persisted), THEN the
+    *     near-dup survivors' band keys append to the corpus-key artifact,
+    *     so the NEXT batch screens against them — the artifact grows
+    *     incrementally, no corpus rescan ever.
     *
-    * Replay safety: a replayed batch's docs collide with their own stored
-    * keys and drop — key-idempotent without a marker, the
-    * [[curateToLake]] contract.
+    * Replay safety, case by case (the two appends are separate
+    * non-atomic writes, so every crash window must be idempotent):
+    *
+    *  - full replay (checkpoint lost): normal-length docs collide with
+    *    their own stored band keys and drop at step 1; sub-shingle docs
+    *    (no band keys — they pass every key screen) drop at the step-3
+    *    fingerprint pass against the lake. Nothing re-appends.
+    *  - crash AFTER the lake append, BEFORE the key append: the replay's
+    *    docs pass the key screen (keys never landed), the fingerprint
+    *    pass drops them from the lake append (already stored), and —
+    *    because the key append derives from the near-dup SURVIVORS, not
+    *    from the lake-append rows — their missing band keys land now.
+    *  - crash AFTER both writes, BEFORE the checkpoint commit: the replay
+    *    collides at the key screen (normal docs) or the fingerprint pass
+    *    (sub-shingle docs); neither write repeats.
     */
   def nearDupCurateToLake(docs: DataFrame, lake: graft.sources.Lake,
                           zone: String, table: String,
                           corpusKeysPath: String, checkpoint: String,
                           shingleSize: Int = 3, numHashes: Int = 16,
-                          bands: Int = 4, maxCorpusBucket: Int = 4096):
+                          bands: Int = 4, maxCorpusBucket: Int = 4096,
+                          expectedItems: Long = 1L << 20):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
         val kp = new org.apache.hadoop.fs.Path(corpusKeysPath)
-        val exists =
-          kp.getFileSystem(spark.sessionState.newHadoopConf()).exists(kp)
+        val keysExist = kp.getFileSystem(conf).exists(kp)
         val screened =
-          if (!exists) batch.toDF()
+          if (!keysExist) batch.toDF()
           else graft.operators.Incremental.minhashNewDocsAgainstKeys(
             batch.toDF(), spark.read.parquet(corpusKeysPath), "doc_id",
             "text", shingleSize, numHashes, bands, maxCorpusBucket)
-        // batch-local near-dup: keep each within-batch cluster's min id
-        val survivors = graft.operators.Dedup.minhashKeepIdsTransitive(
+        // batch-local near-dup (keep each cluster's min id), then exact
+        // fingerprint collapse — the only pass that sees sub-shingle copies
+        val nearKept = graft.operators.Dedup.minhashKeepIdsTransitive(
             screened, "doc_id", "text", shingleSize, numHashes, bands)
           .join(screened, Seq("doc_id"))
+          .withColumn("fp", Text.fingerprint(col("text")))
+        val survivors = nearKept.join(
+            graft.operators.Dedup.fingerprintKeepIds(nearKept, "doc_id",
+              "text").select("doc_id"),
+            Seq("doc_id"), "left_semi")
           .localCheckpoint() // pinned: read before the writes land below
-        survivors.write.mode("append").parquet(lake.path(zone, table))
+        val lakePath = lake.path(zone, table)
+        val lp = new org.apache.hadoop.fs.Path(lakePath)
+        val lakeExists = lp.getFileSystem(conf).exists(lp)
+        val newToLake =
+          if (!lakeExists) survivors
+          else graft.operators.Incremental.newRows(survivors,
+              lake.read(spark, zone, table).select("fp"), "fp",
+              expectedItems)
+            .localCheckpoint() // plan reads the directory it appends to
+        newToLake.write.mode("append").parquet(lakePath)
+        // keys derive from the near-dup SURVIVORS (not newToLake): in the
+        // crash-after-lake-append window the replayed docs are fp-dropped
+        // from the lake append but their band keys still have to land
         graft.operators.Incremental.bandedKeys(survivors, "doc_id", "text",
             shingleSize, numHashes, bands)
           .write.mode("append").parquet(corpusKeysPath)
       }
       .start()
+
+  /** Compact the corpus-key artifact a long-running
+    * [[nearDupCurateToLake]] stream grows: each micro-batch appends one
+    * small parquet file, and after 10⁴ batches the screen's scan pays
+    * 10⁴ file opens for a few MB of keys. Compaction is read → exact-row
+    * `distinct()` → coalesce(targetFiles) → write to a sibling temp dir →
+    * two-rename swap, old directory deleted last.
+    *
+    * Screen-identity argument: the artifact is a bag of (id, band, bk)
+    * rows and every consumer ([[graft.operators.Incremental
+    * .minhashNewDocsAgainstKeys]] → `minhashIngestMatches`) computes
+    * bucket counts and member joins from those rows — `distinct()` can
+    * only remove EXACT row duplicates (same doc, same band, same key),
+    * which are replay/crash artifacts, never two legitimate docs (their
+    * `id` differs). So results are identical pre/post compaction;
+    * StreamingSpec asserts it end to end.
+    *
+    * Run it while the stream is STOPPED (between restarts): the swap is
+    * two directory renames, not a transaction against a concurrent
+    * micro-batch's append. Returns the compacted row count.
+    */
+  def compactCorpusKeys(spark: SparkSession, corpusKeysPath: String,
+                        targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, s"targetFiles must be positive: $targetFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(corpusKeysPath)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"no corpus-key artifact at $corpusKeysPath")
+    val tmp = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    val compacted = spark.read.parquet(corpusKeysPath).distinct()
+      .coalesce(targetFiles)
+      .localCheckpoint() // count + write from one materialization
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"compaction swap failed moving $p aside")
+    require(fs.rename(tmp, p), s"compaction swap failed moving $tmp in place")
+    fs.delete(old, true)
+    compacted.count()
+  }
 }

@@ -129,8 +129,9 @@ object ScaleCheck {
         val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .localCheckpoint()
+        // df is vocab-scale (heaps law) — no hint, AQE decides
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfq), "term").count()
+        tf.join(dfq, "term").count()
       },
       "sessionize" -> { dir =>
         Sessionize.perUserStats(graft.sources.Tables.loadEvents(spark, dir),
@@ -204,8 +205,9 @@ object ScaleCheck {
             explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
           .where(length(col("tok")) > 0)
         val bySource = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        // corpus frame is vocab-scale (heaps law) — no hint, AQE decides
         val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
-        bySource.join(broadcast(corpus), Seq("tok"))
+        bySource.join(corpus, Seq("tok"))
           .groupBy("source").agg(count(lit(1)).as("n")).count()
       },
       "resample_ffill" -> { dir =>
@@ -728,6 +730,70 @@ object ScaleCheck {
           .select(col("user_id"), col("ts"), col("event_id").as("vid"))
         graft.operators.Joins.nearestJoin(l, r, "user_id", "ts", "ts",
           Seq("vid"), toleranceSec = Some(7200L)).count()
+      },
+      "asof_join" -> { dir =>
+        // union + ONE range shuffle + sorted carry; user_id is replica-
+        // shifted so the key count scales with rows — the per-key
+        // boundary-summary table must scale with it, linearly
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val l = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val r = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+        Joins.asOfJoin(l, r, "user_id", "ts", "ts", Seq("vid")).count()
+      },
+      "asof_forward" -> { dir =>
+        // the FOLLOWING-frame carry direction of the same single-shuffle
+        // shape — rewritten twice in r12/r13, anchored here
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val l = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val r = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+        Joins.asOfJoinForward(l, r, "user_id", "ts", "ts", Seq("vid"))
+          .count()
+      },
+      "asof_tolerance" -> { dir =>
+        // the µs-exact tolerance is a post-carry FILTER on the same plan;
+        // it must not change the exponent
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val l = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val r = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+        Joins.asOfJoin(l, r, "user_id", "ts", "ts", Seq("vid"),
+          toleranceSec = Some(3600L)).count()
+      },
+      "asof_manykey" -> { dir =>
+        // keys ≈ rows (event_id is unique): the per-(partition, key)
+        // boundary summary is DATA-sized — the resample_ffill_manykey
+        // pattern applied to the as-of carry; right rows sit 60 s before
+        // their left twin so every key matches
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val l = ev.select(col("event_id"),
+          unix_timestamp(col("ts")).as("lts"))
+        val r = ev.select(col("event_id"),
+          (unix_timestamp(col("ts")) - 60L).as("rts"), col("value"))
+        Joins.asOfJoin(l, r, "event_id", "lts", "rts", Seq("value"))
+          .count()
+      },
+      "snapshot_diff" -> { dir =>
+        // ONE null-safe full-outer shuffle on a row-scale key (doc_id);
+        // scan-side compare projections, no window, no second pass
+        val d = docs(dir)
+        val before = d.where(col("doc_id") % 10 =!= 0)
+        val after = d.where(col("doc_id") % 7 =!= 0)
+          .withColumn("lang", when(col("doc_id") % 5 === 0, lit("xx"))
+            .otherwise(col("lang")))
+        graft.operators.Analytics.snapshotDiff(before, after,
+          Seq("doc_id"), Seq("lang", "n_chars")).count()
+      },
+      "proportion_ci" -> { dir =>
+        // one partial-aggregable aggregate; the group key is doc_id/32 so
+        // group COUNT scales with rows (never a bounded-domain freebie)
+        graft.operators.Stats.proportionCI(
+          docs(dir).withColumn("g", floor(col("doc_id") / 32)),
+          Seq("g"), col("n_chars") > 200).count()
       },
       "pii_scan" -> { dir =>
         // regexp families + Luhn HOF, all scan-side

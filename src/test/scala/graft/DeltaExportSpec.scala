@@ -187,6 +187,36 @@ class DeltaExportSpec extends AnyFunSuite {
       Some(DeltaRead.Protocol(1, 2, Nil, Nil)))
   }
 
+  test("checkpoint's legacy-to-table-features upgrade seeds the implied legacy features") {
+    import spark.implicits._
+    val dir = tmp()
+    DeltaExport.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      dir)
+    DeltaExport.delete(spark, dir, col("k") === 2L)
+    // make the log NON-conforming: strip delete's protocol upgrade so the
+    // table still claims legacy (1, 2) while a live add carries a DV
+    val c1 = java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(c1), "UTF-8")
+      .linesIterator.filterNot(_.contains("\"protocol\"")).mkString("\n") + "\n"
+    java.nio.file.Files.write(c1, stripped.getBytes("UTF-8"))
+    val snap = DeltaRead.snapshot(spark, dir)
+    assert(snap.dvs.nonEmpty)
+    assert(snap.protocol === Some(DeltaRead.Protocol(1, 2, Nil, Nil)))
+    // the checkpoint must upgrade to (3, 7) AND enumerate the features the
+    // legacy writer v2 implied — a features list of deletionVectors alone
+    // would tell a conforming writer to stop enforcing invariants
+    DeltaExport.checkpoint(spark, dir)
+    DeltaExport.cleanLog(spark, dir)
+    val seeded = DeltaRead.snapshot(spark, dir).protocol.get
+    assert(seeded.minReaderVersion === 3 && seeded.minWriterVersion === 7)
+    assert(seeded.writerFeatures.toSet ===
+      Set("appendOnly", "invariants", "deletionVectors"))
+    assert(seeded.readerFeatures === Seq("deletionVectors")) // reader v1 implies none
+    // and the DV still masks row 2 for a reader seeding from the checkpoint
+    assert(DeltaRead.read(spark, dir).select("k").as[Long].collect()
+      .sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("compact + vacuum: small files merge, tombstones age out, reads hold") {
     import spark.implicits._
     val dir = tmp()

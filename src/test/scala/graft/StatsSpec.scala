@@ -320,6 +320,23 @@ class StatsSpec extends AnyFunSuite {
       -1.0))
   }
 
+  test("kendallTau: over-cap continuous input fails fast with quantize hint") {
+    // 30 unique (x, y) cells against maxCells = 10 → the guard must refuse
+    // BEFORE the O(cells²) pair pass, naming quantization as the way out
+    val continuous = (1 to 30).map(i => (i * 1.7, i * 0.3)).toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Stats.kendallTau(continuous, "x", "y", maxCells = 10)
+    }
+    assert(ex.getMessage.contains("Quantize"))
+    assert(ex.getMessage.contains("maxCells=10"))
+    // the same data quantized under the cap computes fine
+    val quantized = continuous.select(
+      floor(col("x") / 10).as("x"), floor(col("y") / 3).as("y"))
+    val r = Stats.kendallTau(quantized, "x", "y", maxCells = 10).head()
+    assert(r.getAs[Long]("n") === 30L)
+    assert(r.getAs[Double]("tau_b") > 0.5) // still strongly concordant
+  }
+
   test("liftGain: distinct-score deciles from first principles") {
     // 10 rows, scores 1.0 down to 0.1; the top 3 scores are the positives
     val rows = (1 to 10).map(i => (i / 10.0, if (i >= 8) 1 else 0))

@@ -369,6 +369,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.select("text").as[String].collect().toSet === batchKept)
   }
 
+  test("nearDupCurateToLake: sub-shingle docs replay-idempotent via the fingerprint rescue screen") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shortdoc").toString
+    val lake = graft.sources.Lake(s"$tmp/lake")
+    val keysPath = s"$tmp/corpus_keys"
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+    // "ok bye" has 2 tokens < shingleSize 3 → emits NO band keys; its
+    // twin (id 2) can only be caught by the batch-local fingerprint pass
+    write(s"$tmp/drop1", Seq(
+      (1L, "ok bye"),
+      (2L, "ok bye"),
+      (3L, "a perfectly ordinary long document about parquet row groups")))
+    val q = streaming.DocStreams.nearDupCurateToLake(
+      streaming.DocStreams.readStream(spark, s"$tmp/drop1"), lake,
+      "bronze", "docs", keysPath, s"$tmp/chk1")
+    q.processAllAvailable(); q.stop()
+    val got1 = lake.read(spark, "bronze", "docs")
+    assert(got1.count() === 2)
+    assert(got1.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    // replay the SAME drop through a FRESH checkpoint (the lost-checkpoint
+    // scenario): the short doc passes every key screen (it has no keys),
+    // so only the exact-fingerprint pass against the lake can drop it
+    val q2 = streaming.DocStreams.nearDupCurateToLake(
+      streaming.DocStreams.readStream(spark, s"$tmp/drop1"), lake,
+      "bronze", "docs", keysPath, s"$tmp/chk2")
+    q2.processAllAvailable(); q2.stop()
+    val got2 = lake.read(spark, "bronze", "docs")
+    assert(got2.count() === 2) // nothing re-appended — including "ok bye"
+    assert(got2.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("compactCorpusKeys: screen results identical pre/post, file count bounded") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val lake = graft.sources.Lake(s"$tmp/lake")
+    val keysPath = s"$tmp/corpus_keys"
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+    // three separate drops → three key-append micro-batches → ≥3 files
+    val texts = Seq(
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      5L -> "one two three four five six seven eight nine ten eleven",
+      6L -> "parquet files hold columnar row groups with statistics pages")
+    texts.zipWithIndex.foreach { case ((id, txt), i) =>
+      write(s"$tmp/drop$i", Seq(id -> txt))
+      val q = streaming.DocStreams.nearDupCurateToLake(
+        streaming.DocStreams.readStream(spark, s"$tmp/drop$i"), lake,
+        "bronze", "docs", keysPath, s"$tmp/chk$i")
+      q.processAllAvailable(); q.stop()
+    }
+    def parquetFiles(): Int =
+      new java.io.File(keysPath).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 3) // one append per micro-batch — the growth
+    // a probe batch: near-dup of doc 4 (must drop) + new content (must pass)
+    val probe = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (8L, "completely fresh content nothing upstream has ever mentioned"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def screen(): Set[Long] = graft.operators.Incremental
+      .minhashNewDocsAgainstKeys(probe, spark.read.parquet(keysPath),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val before = screen()
+    assert(before === Set(8L))
+    val n = streaming.DocStreams.compactCorpusKeys(spark, keysPath)
+    assert(n > 0)
+    assert(parquetFiles() === 1) // bounded: one file after compaction
+    assert(screen() === before) // identical screen pre/post compaction
+  }
+
   test("driftMonitorSink: per-batch drift report equals the batch operator") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
