@@ -1490,6 +1490,91 @@ object Oracles {
         "ON c.user_id = v.user_id AND c.ts >= v.vts " +
         "WHERE c.ts - v.vts <= INTERVAL 3600 SECOND ORDER BY click_id"),
 
+    // Adjusted Rand Index: contingency pair-counting — Σ C(n_ij,2) vs the
+    // marginal-product expectation; the same (double × (n−1)) / 2.0 op
+    // order the Spark operator uses, so the ratio hash-matches at 6dp.
+    "q282_adjusted_rand" ->
+      ("WITH c AS (SELECT CAST(lang AS VARCHAR) AS a, " +
+        "CAST(source AS VARCHAR) AS b, count(*) AS n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "i AS (SELECT sum(CAST(n AS DOUBLE) * (n - 1) / 2.0) AS idx, " +
+        "CAST(sum(n) AS BIGINT) AS nn FROM c), " +
+        "ma AS (SELECT sum(CAST(m AS DOUBLE) * (m - 1) / 2.0) AS pa " +
+        "FROM (SELECT sum(n) AS m FROM c GROUP BY a)), " +
+        "mb AS (SELECT sum(CAST(m AS DOUBLE) * (m - 1) / 2.0) AS pb " +
+        "FROM (SELECT sum(n) AS m FROM c GROUP BY b)) " +
+        "SELECT nn AS n, round((idx - pa * pb / " +
+        "(CAST(nn AS DOUBLE) * (nn - 1) / 2.0)) / ((pa + pb) / 2.0 - " +
+        "pa * pb / (CAST(nn AS DOUBLE) * (nn - 1) / 2.0)), 6) AS ari " +
+        "FROM i, ma, mb"),
+
+    // Hamilton apportionment: quotas (1000000.0 · mass / total), floors,
+    // largest-remainder ranking (desc, key-tiebroken), top-up cut — the
+    // integer allocations must match EXACTLY, not just at rounding.
+    "q283_apportion_budget" ->
+      ("WITH m AS (SELECT lang, source, " +
+        "CAST(sum(n_chars) AS DOUBLE) AS mass FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT sum(CASE WHEN mass > 0 THEN mass ELSE 0.0 END) AS tm " +
+        "FROM m), " +
+        "q AS (SELECT lang, source, mass, CASE WHEN mass > 0 AND tm > 0 " +
+        "THEN 1000000.0 * mass / tm ELSE 0.0 END AS quota FROM m, t), " +
+        "f AS (SELECT *, CAST(floor(quota) AS BIGINT) AS fl, " +
+        "quota - floor(quota) AS rem FROM q), " +
+        "s AS (SELECT CAST(1000000 - sum(fl) AS BIGINT) AS short FROM f), " +
+        "r AS (SELECT *, row_number() OVER " +
+        "(ORDER BY rem DESC, lang, source) AS rk FROM f) " +
+        "SELECT lang, source, CAST(mass AS BIGINT) AS mass, " +
+        "round(quota, 6) AS quota, " +
+        "CAST(fl + CASE WHEN rem > 0 AND rk <= short THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS allocation " +
+        "FROM r, s ORDER BY lang, source"),
+
+    // Rank-biased overlap: both rankings replayed (row_number over the
+    // same tie order), intersection entry depth = max(rank_a, rank_b),
+    // X_d running count over a 1..20 spine, the (1.0−0.9)·0.9^(d−1)·X_d/d
+    // series + the extrapolation tail — same literals, same op order.
+    "q284_rbo" ->
+      ("WITH ra AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r " +
+        "FROM documents), " +
+        "rb AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY " +
+        "len(string_split_regex(trim(text), '\\s+')) DESC, doc_id) AS r " +
+        "FROM documents), " +
+        "e AS (SELECT ra.source, greatest(ra.r, rb.r) AS d, count(*) AS c " +
+        "FROM ra JOIN rb ON ra.source = rb.source AND ra.doc_id = rb.doc_id " +
+        "WHERE ra.r <= 20 AND rb.r <= 20 GROUP BY 1, 2), " +
+        "g AS (SELECT DISTINCT source FROM documents), " +
+        "spine AS (SELECT g.source, t.d FROM g, " +
+        "(SELECT CAST(range AS INTEGER) AS d FROM range(1, 21)) t), " +
+        "x AS (SELECT spine.source, spine.d, " +
+        "sum(coalesce(e.c, 0)) OVER (PARTITION BY spine.source " +
+        "ORDER BY spine.d) AS x " +
+        "FROM spine LEFT JOIN e ON spine.source = e.source " +
+        "AND spine.d = e.d) " +
+        "SELECT source, " +
+        "CAST(max(CASE WHEN d = 20 THEN x END) AS BIGINT) AS overlap_at_k, " +
+        "round(sum((1.0 - 0.9) * power(0.9, d - 1) * x / d) + " +
+        "power(0.9, 20) * max(CASE WHEN d = 20 THEN x END) / 20, 6) AS rbo " +
+        "FROM x GROUP BY source ORDER BY source"),
+
+    // DoReMi reweighting: per-domain mean loss + token-share reference,
+    // log-sum-exp-stabilized exponentials, (1.0 − 0.1) smoothing — every
+    // literal and op order mirrors the Spark operator.
+    "q285_domain_reweight" ->
+      ("WITH p AS (SELECT source, count(*) AS n_rows, " +
+        "CAST(sum(n_chars) AS DOUBLE) AS mass, " +
+        "avg(n_chars / 100.0) AS avg_loss FROM documents GROUP BY 1), " +
+        "s AS (SELECT sum(mass) AS tm, max(avg_loss) AS lm, " +
+        "count(*) AS ng FROM p), " +
+        "r AS (SELECT *, mass / tm AS ref_share, " +
+        "(mass / tm) * exp(1.0 * (avg_loss - lm)) AS u FROM p, s), " +
+        "z AS (SELECT sum(u) AS zz FROM r) " +
+        "SELECT source, n_rows, CAST(mass AS BIGINT) AS mass, " +
+        "round(ref_share, 6) AS ref_share, round(avg_loss, 6) AS avg_loss, " +
+        "round((1.0 - 0.1) * u / zz + 0.1 / ng, 6) AS weight " +
+        "FROM r, z ORDER BY source"),
+
     "q91_asof_forward" ->
       ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
         "WHERE event_type = 'click'), " +

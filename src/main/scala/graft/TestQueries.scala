@@ -4200,6 +4200,69 @@ object TestQueries {
         round(col("ci_hi"), 6).as("ci_hi"))
       .orderBy("event_type")
 
+  /** Adjusted Rand Index ([[operators.Stats.adjustedRand]]) between the
+    * language and source labelings of the corpus — does language track
+    * crawl source, chance-corrected? DuckDB replays the contingency
+    * pair-counting (cells + marginals + expected index) exactly.
+    */
+  def q282AdjustedRand(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.adjustedRand(t(s, dir, "documents"), "lang", "source")
+      .select(col("n"), round(col("ari"), 6).as("ari"))
+
+  /** Hamilton apportionment ([[operators.Splits.apportionBudget]]): a
+    * 1 M-token budget split across (lang, source) cells ∝ character
+    * mass — floors + largest-remainder top-up, allocations summing to the
+    * budget EXACTLY. DuckDB replays quota arithmetic, remainder ranking
+    * (desc, key-tiebroken) and the top-up cut digit-for-digit.
+    */
+  def q283ApportionBudget(s: SparkSession, dir: String): DataFrame =
+    operators.Splits.apportionBudget(t(s, dir, "documents"),
+        Seq("lang", "source"), col("n_chars"), budget = 1000000L)
+      .select(col("lang"), col("source"), col("mass").cast("long").as("mass"),
+        round(col("quota"), 6).as("quota"), col("allocation"))
+      .orderBy("lang", "source")
+
+  /** Rank-biased overlap ([[operators.Retrieval.rankBiasedOverlap]]):
+    * per-source agreement between two top-20 document rankings — by
+    * character count vs by whitespace token count (deterministically
+    * doc_id-tiebroken). The ranker-swap audit: RBO is top-weighted and
+    * survives non-identical item sets, where Kendall/Spearman don't.
+    * DuckDB replays both rankings, the max-rank entry depths, and the
+    * ascending-depth weighted sum.
+    */
+  def q284Rbo(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val byChars = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val byToks = Window.partitionBy("source")
+      .orderBy(size(split(trim(col("text")), "\\s+")).desc, col("doc_id"))
+    val a = docs.select(col("source"), col("doc_id"),
+      row_number().over(byChars).as("rank"))
+    val b = docs.select(col("source"), col("doc_id"),
+      row_number().over(byToks).as("rank"))
+    operators.Retrieval.rankBiasedOverlap(a, b, "doc_id", "rank",
+        depth = 20, p = 0.9, groupCols = Seq("source"))
+      .select(col("source"), col("overlap_at_k"),
+        round(col("rbo"), 6).as("rbo"))
+      .orderBy("source")
+  }
+
+  /** DoReMi-style domain reweighting ([[operators.Quality.domainReweight]]):
+    * one multiplicative-weights step over per-source mean "losses"
+    * (n_chars/100 as the deterministic stand-in), token-share reference,
+    * η = 1, ε = 0.1 smoothing — hard domains gain mass, every domain
+    * keeps ≥ ε/G. DuckDB replays the per-domain aggregate, the
+    * log-sum-exp-stabilized exponentials and the smoothed normalization.
+    */
+  def q285DomainReweight(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.domainReweight(t(s, dir, "documents"), "source",
+        col("n_chars") / 100.0, col("n_chars"), eta = 1.0, epsilon = 0.1)
+      .select(col("source"), col("n_rows"), col("mass").cast("long").as("mass"),
+        round(col("ref_share"), 6).as("ref_share"),
+        round(col("avg_loss"), 6).as("avg_loss"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("source")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4627,6 +4690,10 @@ object TestQueries {
     "q279_snapshot_diff" -> (q279SnapshotDiff _),
     "q280_proportion_ci" -> (q280ProportionCi _),
     "q281_asof_tolerance" -> (q281AsofTolerance _),
+    "q282_adjusted_rand" -> (q282AdjustedRand _),
+    "q283_apportion_budget" -> (q283ApportionBudget _),
+    "q284_rbo" -> (q284Rbo _),
+    "q285_domain_reweight" -> (q285DomainReweight _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

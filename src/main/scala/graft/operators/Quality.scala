@@ -442,6 +442,53 @@ object Quality {
         sum("__llr").as("weight"), count(lit(1)).as("n_toks"))
   }
 
+  /** One multiplicative-weights step of DoReMi-style domain reweighting:
+    * given per-ROW losses tagged by domain, the next mixture weight of
+    * domain g is
+    *
+    *   w'_g ∝ ref_g · exp(η · (L̄_g − max_h L̄_h))
+    *
+    * normalized to sum 1, then smoothed toward uniform:
+    * w_g = (1−ε)·w'_g + ε/G — domains the current model finds HARD
+    * (high mean excess loss) gain mass, easy ones shrink, and ε keeps
+    * every domain sampled (the DoReMi paper's smoothing). The reference
+    * weight ref_g is the domain's share of `measureCol` mass (token
+    * share by default intent) — the natural-distribution anchor, so a
+    * hard-but-tiny domain cannot swallow the mixture in one step.
+    * Subtracting the max loss before exp is the standard log-sum-exp
+    * stabilizer: it cancels in the normalization and keeps exp() in
+    * range for any loss magnitude.
+    *
+    * Scale shape: ONE partial-aggregable per-domain aggregate (mean
+    * loss + mass), scalar max/total broadcasts back onto the
+    * domain-count-sized frame — corpus rows are touched exactly once.
+    * Returns (domainCol, n_rows, mass, ref_share, avg_loss, weight);
+    * weights sum to 1 exactly up to binary64 rounding.
+    */
+  def domainReweight(df: DataFrame, domainCol: String, lossCol: Column,
+                     measureCol: Column, eta: Double = 1.0,
+                     epsilon: Double = 0.0): DataFrame = {
+    require(eta > 0, s"eta must be positive: $eta")
+    require(epsilon >= 0 && epsilon < 1, s"epsilon must be in [0,1): $epsilon")
+    val per = df.groupBy(domainCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(measureCol).cast("double").as("mass"),
+        avg(lossCol).as("avg_loss"))
+    val scal = per.agg(sum("mass").as("__tm"), max("avg_loss").as("__lm"),
+      count(lit(1)).as("__ng"))
+    val raw = per.crossJoin(broadcast(scal))
+      .withColumn("ref_share", col("mass") / col("__tm"))
+      .withColumn("__u",
+        col("ref_share") * exp(lit(eta) * (col("avg_loss") - col("__lm"))))
+    val norm = raw.agg(sum("__u").as("__z"))
+    raw.crossJoin(broadcast(norm))
+      .withColumn("weight",
+        lit(1.0 - epsilon) * col("__u") / col("__z") +
+          lit(epsilon) / col("__ng"))
+      .select(col(domainCol), col("n_rows"), col("mass"), col("ref_share"),
+        col("avg_loss"), col("weight"))
+  }
+
   /** Gumbel-top-k importance RESAMPLE over [[importanceWeights]]: draw `k`
     * candidates without replacement with probability ∝ exp(weight) — the
     * paper's sampling step, which keeps diversity that a hard top-k cut

@@ -274,4 +274,71 @@ object Retrieval {
       .where(col("cos") >= threshold)
       .select("doc_a", "doc_b", "n_shared_terms", "cos")
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two top-`depth`
+    * rankings — the top-weighted agreement measure for comparing ranker
+    * outputs (did swapping BM25 for the new embedding ranker change what
+    * users actually see?), where Kendall/Spearman weight every position
+    * equally and demand identical item sets. An item in both rankings
+    * enters the overlap at d = max(rank_a, rank_b), so the agreement at
+    * depth d is X_d = |{items: max rank ≤ d}| — one running count. The
+    * extrapolated score at evaluation depth k:
+    *
+    *   RBO = (1−p) Σ_{d=1..k} p^{d−1} X_d/d  +  p^k X_k/k
+    *
+    * p ∈ (0, 1) sets top-weightedness (p = 0.9 ≈ the top 10 carry ~86 %
+    * of the mass). 1 on identical rankings, 0 on disjoint ones; defined
+    * even when the two rankings cover different item sets (the case that
+    * breaks the correlation coefficients).
+    *
+    * Both inputs are top-`depth` RANKING ARTIFACTS (rank ∈ 1..depth, the
+    * [[reciprocalRankFusion]] contract) — k-bounded per group by caller
+    * contract, so the per-group depth spine and its cumulative window are
+    * ≤ depth rows; corpus-scale work stays in the upstream rankers. The
+    * weighted sum folds in ASCENDING d order via a sorted-array
+    * `aggregate` (strict left-to-right binary64 — an oracle replaying the
+    * same order agrees bit-for-bit; a plain SUM would drift at the ulp).
+    *
+    * `groupCols` scopes the comparison (e.g. per query id); empty
+    * compares two global rankings → one row. Returns
+    * (groupCols..., overlap_at_k, rbo).
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                        rankCol: String, depth: Int, p: Double = 0.9,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1, s"depth must be positive: $depth")
+    require(p > 0 && p < 1, s"p must be in (0,1): $p")
+    val g = if (groupCols.isEmpty) Seq("__g") else groupCols
+    def side(df: DataFrame, out: String): DataFrame = {
+      val base = if (groupCols.isEmpty) df.withColumn("__g", lit(0)) else df
+      base.select(g.map(col) :+ col(idCol).as("__id") :+
+        col(rankCol).cast("int").as(out): _*)
+        .where(col(out) <= depth)
+    }
+    val entries = side(a, "__ra").join(side(b, "__rb"), g :+ "__id")
+      .select(g.map(col) :+ greatest(col("__ra"), col("__rb")).as("__d"): _*)
+      .groupBy((g :+ "__d").map(col): _*).agg(count(lit(1)).as("__c"))
+    // groups present in EITHER ranking emit a row (zero-overlap pairs
+    // score 0, they don't vanish); the spine is depth rows per group
+    val groups = side(a, "__ra").select(g.map(col): _*)
+      .unionByName(side(b, "__rb").select(g.map(col): _*)).distinct()
+    val spine = groups.select(g.map(col) :+
+      explode(sequence(lit(1), lit(depth))).as("__d"): _*)
+    val wCum = Window.partitionBy(g.map(col): _*).orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xd = spine.join(entries, g :+ "__d", "left")
+      .withColumn("__x", sum(coalesce(col("__c"), lit(0L))).over(wCum))
+      .withColumn("__term",
+        lit(1.0 - p) * pow(lit(p), col("__d") - 1) * col("__x") / col("__d"))
+    xd.groupBy(g.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__d"), col("__term"))))
+          .as("__terms"),
+        max(when(col("__d") === depth, col("__x"))).as("overlap_at_k"))
+      .withColumn("rbo",
+        aggregate(col("__terms"), lit(0.0),
+          (acc, t) => acc + t.getField("__term")) +
+          pow(lit(p), lit(depth)) * col("overlap_at_k") / depth)
+      .select((if (groupCols.isEmpty) Nil else groupCols.map(col)) ++
+        Seq(col("overlap_at_k"), col("rbo")): _*)
+  }
 }

@@ -795,6 +795,20 @@ object ScaleCheck {
           docs(dir).withColumn("g", floor(col("doc_id") / 32)),
           Seq("g"), col("n_chars") > 200).count()
       },
+      "apportion_budget" -> { dir =>
+        // groups ≈ rows/32: mass rollup + the Ranks.running remainder
+        // rank must both scale with group count — the million-cell
+        // mixture shape, no single-task sort of the group frame
+        graft.operators.Splits.apportionBudget(
+          docs(dir).withColumn("g", floor(col("doc_id") / 32)),
+          Seq("g"), col("n_chars"), budget = 1000000000L).count()
+      },
+      "domain_reweight" -> { dir =>
+        // per-domain aggregate with domain count scaling with rows
+        graft.operators.Quality.domainReweight(
+          docs(dir).withColumn("g", floor(col("doc_id") / 32)),
+          "g", col("n_chars") / 100.0, col("n_chars")).count()
+      },
       "pii_scan" -> { dir =>
         // regexp families + Luhn HOF, all scan-side
         graft.operators.Quality.piiScan(docs(dir), "doc_id", "text")

@@ -695,4 +695,33 @@ class QualitySpec extends AnyFunSuite {
     assert(got("exact_dup_excess") === 2.0) // dup "a b c" + ""≡null digest
     assert(math.abs(got("exact_dup_share") - 0.4) < 1e-12)
   }
+
+  test("domainReweight: equal losses reduce to reference shares; weights sum to 1") {
+    // same avg loss everywhere → exp terms cancel → w == mass share (ε = 0)
+    val rows = Seq(("a", 10L, 2.0), ("a", 20L, 2.0),
+      ("b", 70L, 2.0)).toDF("g", "toks", "loss")
+    val got = Quality.domainReweight(rows, "g", col("loss"), col("toks"),
+        eta = 1.0, epsilon = 0.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Double]("weight")).toMap
+    assert(math.abs(got("a") - 0.3) < 1e-12)
+    assert(math.abs(got("b") - 0.7) < 1e-12)
+  }
+
+  test("domainReweight: hard domains gain mass; ε floors every domain") {
+    // equal reference mass, b's loss one nat higher → w_b/w_a = e
+    val rows = Seq(("a", 50L, 1.0), ("b", 50L, 2.0)).toDF("g", "toks", "loss")
+    val raw = Quality.domainReweight(rows, "g", col("loss"), col("toks"),
+        eta = 1.0, epsilon = 0.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Double]("weight")).toMap
+    assert(math.abs(raw("b") / raw("a") - math.E) < 1e-9)
+    assert(math.abs(raw("a") + raw("b") - 1.0) < 1e-12)
+    // ε = 0.2 over 2 domains: every weight ≥ ε/G = 0.1
+    val smoothed = Quality.domainReweight(rows, "g", col("loss"),
+        col("toks"), eta = 5.0, epsilon = 0.2)
+      .collect().map(r => r.getAs[Double]("weight"))
+    assert(smoothed.forall(_ >= 0.1 - 1e-12))
+    assert(math.abs(smoothed.sum - 1.0) < 1e-12)
+  }
 }

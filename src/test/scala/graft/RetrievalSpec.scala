@@ -151,4 +151,41 @@ class RetrievalSpec extends AnyFunSuite {
       threshold = 0.01, maxDfRatio = 1.0)
     assert(all.count() === 0) // zero-weight dots never reach a threshold
   }
+
+  test("rankBiasedOverlap: identical rankings score 1, disjoint score 0") {
+    val a = (1 to 10).map(i => (i.toLong, i)).toDF("id", "rank")
+    val same = Retrieval.rankBiasedOverlap(a, a, "id", "rank", depth = 10)
+      .head()
+    // X_d = d everywhere → the series telescopes to exactly 1
+    assert(math.abs(same.getAs[Double]("rbo") - 1.0) < 1e-9)
+    assert(same.getAs[Long]("overlap_at_k") === 10L)
+    val b = (1 to 10).map(i => (i + 100L, i)).toDF("id", "rank")
+    val none = Retrieval.rankBiasedOverlap(a, b, "id", "rank", depth = 10)
+      .head()
+    assert(none.getAs[Double]("rbo") === 0.0)
+    assert(none.getAs[Long]("overlap_at_k") === 0L)
+  }
+
+  test("rankBiasedOverlap: hand-computed swap at depth 2, p = 0.5") {
+    // A = [x, y], B = [y, x]: both items enter at d = 2 → X_1 = 0, X_2 = 2
+    // RBO = (1−p)[p⁰·0/1 + p¹·2/2] + p²·2/2 = 0.5·0.5 + 0.25 = 0.5
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (1L, 2)).toDF("id", "rank")
+    val r = Retrieval.rankBiasedOverlap(a, b, "id", "rank",
+      depth = 2, p = 0.5).head()
+    assert(math.abs(r.getAs[Double]("rbo") - 0.5) < 1e-12)
+  }
+
+  test("rankBiasedOverlap: per-group scoping keeps zero-overlap groups") {
+    val a = Seq(("q1", 1L, 1), ("q1", 2L, 2), ("q2", 5L, 1))
+      .toDF("q", "id", "rank")
+    val b = Seq(("q1", 1L, 1), ("q1", 2L, 2), ("q2", 9L, 1))
+      .toDF("q", "id", "rank")
+    val got = Retrieval.rankBiasedOverlap(a, b, "id", "rank", depth = 2,
+        p = 0.9, groupCols = Seq("q"))
+      .collect().map(r => r.getAs[String]("q") -> r.getAs[Double]("rbo"))
+      .toMap
+    assert(math.abs(got("q1") - 1.0) < 1e-9)
+    assert(got("q2") === 0.0) // disjoint, but the group still reports
+  }
 }

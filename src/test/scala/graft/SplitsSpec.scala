@@ -458,4 +458,38 @@ class SplitsSpec extends AnyFunSuite {
     assert((4L to 10L).forall(i => got(i)._1 === i))
     assert((4L to 10L).map(got(_)._2).distinct.size === 2)
   }
+
+  test("apportionBudget: integral quotas allocate exactly, no remainder phase") {
+    val rows = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("g", "m")
+    val got = Splits.apportionBudget(rows, Seq("g"), col("m"), budget = 10L)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("quota"), r.getAs[Long]("allocation"))).toMap
+    assert(got("a") === ((3.0, 3L)))
+    assert(got("b") === ((3.0, 3L)))
+    assert(got("c") === ((4.0, 4L)))
+  }
+
+  test("apportionBudget: largest-remainder top-up, key-ordered ties, exact sum") {
+    // equal masses, budget 10 over 3 groups → quotas 3.33…, floors sum 9,
+    // one leftover unit → remainder tie broken by the SMALLER group key
+    val rows = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "m")
+    val got = Splits.apportionBudget(rows, Seq("g"), col("m"), budget = 10L)
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Long]("allocation")).toMap
+    assert(got === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("apportionBudget: sum == budget exactly; zero-mass groups sit out") {
+    val rows = (1 to 97).map(i => (s"g$i", (i * 7 % 13 + 1).toLong))
+      .union(Seq(("dead", 0L))).toDF("g", "m")
+    val got = Splits.apportionBudget(rows, Seq("g"), col("m"),
+      budget = 999983L)
+    assert(got.agg(sum("allocation")).head().getLong(0) === 999983L)
+    val dead = got.where(col("g") === "dead").head()
+    assert(dead.getAs[Long]("allocation") === 0L)
+    assert(dead.getAs[Double]("quota") === 0.0)
+    // |allocation − quota| < 1 for every competing group
+    assert(got.where(col("mass") > 0)
+      .where(abs(col("allocation") - col("quota")) >= 1.0).count() === 0)
+  }
 }

@@ -337,6 +337,27 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("tau_b") > 0.5) // still strongly concordant
   }
 
+  test("adjustedRand: textbook contingency fixture, identical partitions, guard") {
+    // A = [1,1,1,2,2,2], B = [1,1,2,2,2,2]: cells (1,1)=2 (1,2)=1 (2,2)=3
+    // index = 1+0+3 = 4; Σ C(a,2) = 6, Σ C(b,2) = 1+6 = 7; C(6,2) = 15
+    // expected = 6·7/15 = 2.8; max = 6.5 → ARI = 1.2/3.7
+    val rows = Seq((1, 1), (1, 1), (1, 2), (2, 2), (2, 2), (2, 2))
+      .toDF("a", "b")
+    val r = Stats.adjustedRand(rows, "a", "b").head()
+    assert(r.getAs[Long]("n") === 6L)
+    assert(d(r.getAs[Double]("ari"), 1.2 / 3.7))
+    // identical labelings agree perfectly
+    val same = Seq((1, 10), (1, 10), (2, 20), (3, 30)).toDF("a", "b")
+    assert(d(Stats.adjustedRand(same, "a", "b").head()
+      .getAs[Double]("ari"), 1.0))
+    // row-unique labels blow the cell cap → fail fast, coarsen hint
+    val unique = (1 to 50).map(i => (i, i)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Stats.adjustedRand(unique, "a", "b", maxCells = 10)
+    }
+    assert(ex.getMessage.contains("Coarsen"))
+  }
+
   test("liftGain: distinct-score deciles from first principles") {
     // 10 rows, scores 1.0 down to 0.1; the top 3 scores are the positives
     val rows = (1 to 10).map(i => (i / 10.0, if (i >= 8) 1 else 0))
