@@ -1575,6 +1575,168 @@ object Oracles {
         "round((1.0 - 0.1) * u / zz + 0.1 / ng, 6) AS weight " +
         "FROM r, z ORDER BY source"),
 
+    // Log-rank: q198's subjects split into even/odd cohorts; both risk
+    // sets replayed as running sums, χ² with the same (n−1) ≥ 1 guard.
+    "q286_log_rank" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) " +
+        "AS BIGINT) AS t FROM events), " +
+        "h AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS hmax " +
+        "FROM events), " +
+        "g AS (SELECT user_id, t, lead(t) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id) AS nxt FROM e), " +
+        "s AS (SELECT floor((COALESCE(nxt, hmax) - t) / 600) AS d, " +
+        "CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev, " +
+        "CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp " +
+        "FROM g, h), " +
+        "per AS (SELECT d, " +
+        "CAST(sum(CASE WHEN grp = 'even' THEN ev ELSE 0 END) AS BIGINT) AS d1, " +
+        "CAST(sum(CASE WHEN grp = 'even' THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN grp = 'odd' THEN ev ELSE 0 END) AS BIGINT) AS d2, " +
+        "CAST(sum(CASE WHEN grp = 'odd' THEN 1 - ev ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM s GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS n1tot, " +
+        "CAST(sum(d2 + c2) AS BIGINT) AS n2tot FROM per), " +
+        "rk AS (SELECT *, " +
+        "CAST(n1tot - sum(d1 + c1) OVER (ORDER BY d) + d1 + c1 AS DOUBLE) AS n1, " +
+        "CAST(n2tot - sum(d2 + c2) OVER (ORDER BY d) + d2 + c2 AS DOUBLE) AS n2 " +
+        "FROM per, tot), " +
+        "st AS (SELECT *, CAST(d1 + d2 AS DOUBLE) AS dd, n1 + n2 AS nn " +
+        "FROM rk), " +
+        "fin AS (SELECT max(n1tot) AS n_a, max(n2tot) AS n_b, " +
+        "CAST(sum(d1) AS BIGINT) AS observed_a, " +
+        "CAST(sum(d2) AS BIGINT) AS observed_b, " +
+        "sum(dd * n1 / nn) AS expected_a, sum(dd * n2 / nn) AS expected_b, " +
+        "sum(CASE WHEN nn > 1.0 THEN " +
+        "dd * (n1 / nn) * (n2 / nn) * (nn - dd) / (nn - 1.0) " +
+        "ELSE 0.0 END) AS var_sum FROM st WHERE d1 + d2 > 0) " +
+        "SELECT n_a, n_b, observed_a, observed_b, " +
+        "round(expected_a, 6) AS expected_a, " +
+        "round(expected_b, 6) AS expected_b, round(var_sum, 6) AS var_sum, " +
+        "round(power(observed_a - expected_a, 2) / var_sum, 6) AS chi2 " +
+        "FROM fin"),
+
+    // Adamic–Adar: q145's edge construction, brokered self-join with the
+    // same degree cap, existing-edge anti-join, identical cut order.
+    "q287_adamic_adar" ->
+      ("WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "e0 AS (SELECT doc_id AS s, (doc_id + 1) % mn.n AS t " +
+        "FROM documents, mn " +
+        "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n FROM documents, mn " +
+        "WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, (doc_id + 13) % mn.n FROM documents, mn " +
+        "WHERE doc_id % 3 = 0), " +
+        "und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b " +
+        "FROM e0 WHERE s <> t), " +
+        "adj AS (SELECT a AS w, b AS e FROM und " +
+        "UNION ALL SELECT b, a FROM und), " +
+        "deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1), " +
+        "br AS (SELECT adj.w, adj.e, deg.d FROM adj JOIN deg USING (w) " +
+        "WHERE d BETWEEN 2 AND 1000), " +
+        "pr AS (SELECT b1.e AS u, b2.e AS v, " +
+        "CAST(count(*) AS BIGINT) AS n_common, " +
+        "sum(1.0 / ln(CAST(b1.d AS DOUBLE))) AS score " +
+        "FROM br b1 JOIN br b2 ON b1.w = b2.w WHERE b1.e < b2.e " +
+        "GROUP BY 1, 2), " +
+        "na AS (SELECT pr.u, pr.v, pr.n_common, pr.score FROM pr " +
+        "LEFT JOIN und ON pr.u = und.a AND pr.v = und.b " +
+        "WHERE und.a IS NULL) " +
+        "SELECT u, v, n_common, round(score, 6) AS score FROM na " +
+        "ORDER BY na.score DESC, u, v LIMIT 50"),
+
+    // Vocabulary coverage: q106's tokenization, frequency-of-frequencies,
+    // Good–Turing + bias-corrected Chao1 closed forms in the same order.
+    "q288_vocab_coverage" ->
+      ("WITH t AS (SELECT source, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents), " +
+        "t2 AS (SELECT source, tok FROM t WHERE length(tok) > 0), " +
+        "c AS (SELECT source, tok, count(*) AS n FROM t2 GROUP BY 1, 2), " +
+        "a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "count(*) AS vocab, " +
+        "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis " +
+        "FROM c GROUP BY 1) " +
+        "SELECT source, n_tokens, vocab, n_hapax, n_dis, " +
+        "round(CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS unseen_mass, " +
+        "round(1.0 - CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS coverage, " +
+        "round(CAST(vocab AS DOUBLE) + CAST(n_hapax AS DOUBLE) * " +
+        "(CAST(n_hapax AS DOUBLE) - 1.0) / " +
+        "(2.0 * (CAST(n_dis AS DOUBLE) + 1.0)), 6) AS chao1 " +
+        "FROM a ORDER BY source"),
+
+    // Propensity matching: per-(stratum, score) control collapse (struct
+    // minimum = min outcome), global-nearest pick (|Δ| then lower score)
+    // THEN the µ-exact caliper filter — the operator's order.
+    "q289_propensity_match" ->
+      ("WITH pu AS (SELECT user_id, sum(value) AS y, " +
+        "CAST(user_id * 48271 % 999983 AS DOUBLE) / 999983.0 AS score, " +
+        "(user_id * 16807 % 97) < 30 AS is_treated, " +
+        "count(*) % 4 AS stratum FROM events GROUP BY user_id), " +
+        "tr AS (SELECT user_id AS uid, stratum, floor(score * 1e6) AS su, " +
+        "y FROM pu WHERE is_treated), " +
+        "ct AS (SELECT stratum, floor(score * 1e6) AS su, min(y) AS yc " +
+        "FROM pu WHERE NOT is_treated GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(sum(CASE WHEN is_treated THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_treated, " +
+        "CAST(sum(CASE WHEN NOT is_treated THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_control FROM pu), " +
+        "m AS (SELECT t.uid, t.y AS yt, c.yc, c.su AS csu, t.su AS tsu, " +
+        "row_number() OVER (PARTITION BY t.uid " +
+        "ORDER BY abs(c.su - t.su), c.su) AS rn " +
+        "FROM tr t JOIN ct c ON t.stratum = c.stratum), " +
+        "mm AS (SELECT yt, yc FROM m WHERE rn = 1 " +
+        "AND abs(csu - tsu) <= 50000), " +
+        "fin AS (SELECT CAST(count(*) AS BIGINT) AS n_matched, " +
+        "avg(yt) AS myt, avg(yc) AS myc, avg(yt - yc) AS att, " +
+        "stddev_samp(yt - yc) / sqrt(CAST(count(*) AS DOUBLE)) AS se " +
+        "FROM mm) " +
+        "SELECT n_treated, n_control, n_matched, " +
+        "round(CAST(n_matched AS DOUBLE) / n_treated, 6) AS match_rate, " +
+        "round(myt, 4) AS mean_y_treated, round(myc, 4) AS mean_y_control, " +
+        "round(att, 4) AS att, round(se, 4) AS se_att FROM fin, tot"),
+
+    // Diff-in-diff: q219's epoch midpoint, four conditional cells (avg /
+    // var_samp skip the CASE's implicit NULLs exactly like when() does),
+    // Welch-style SE.
+    "q290_diff_in_diff" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) " +
+        "AS ep, value FROM events), " +
+        "md AS (SELECT CAST(floor((min(ep) + max(ep)) / 2.0) AS BIGINT) " +
+        "AS mid FROM e), " +
+        "pp AS (SELECT user_id, ep > mid AS is_post, sum(value) AS y " +
+        "FROM e, md GROUP BY 1, 2), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT is_post THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_t_pre, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 AND is_post THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_t_post, " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 AND NOT is_post THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_c_pre, " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 AND is_post THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_c_post, " +
+        "avg(CASE WHEN user_id % 2 = 0 AND NOT is_post THEN y END) AS mtpr, " +
+        "avg(CASE WHEN user_id % 2 = 0 AND is_post THEN y END) AS mtpo, " +
+        "avg(CASE WHEN user_id % 2 <> 0 AND NOT is_post THEN y END) AS mcpr, " +
+        "avg(CASE WHEN user_id % 2 <> 0 AND is_post THEN y END) AS mcpo, " +
+        "var_samp(CASE WHEN user_id % 2 = 0 AND NOT is_post THEN y END) " +
+        "AS vtpr, " +
+        "var_samp(CASE WHEN user_id % 2 = 0 AND is_post THEN y END) " +
+        "AS vtpo, " +
+        "var_samp(CASE WHEN user_id % 2 <> 0 AND NOT is_post THEN y END) " +
+        "AS vcpr, " +
+        "var_samp(CASE WHEN user_id % 2 <> 0 AND is_post THEN y END) " +
+        "AS vcpo FROM pp) " +
+        "SELECT n_t_pre, n_t_post, n_c_pre, n_c_post, " +
+        "round(mtpr, 4) AS mean_t_pre, round(mtpo, 4) AS mean_t_post, " +
+        "round(mcpr, 4) AS mean_c_pre, round(mcpo, 4) AS mean_c_post, " +
+        "round(mtpo - mtpr, 4) AS trend_treated, " +
+        "round(mcpo - mcpr, 4) AS trend_control, " +
+        "round(mtpo - mtpr - (mcpo - mcpr), 4) AS did, " +
+        "round(sqrt(vtpr / n_t_pre + vtpo / n_t_post + vcpr / n_c_pre " +
+        "+ vcpo / n_c_post), 4) AS se_did FROM m"),
+
     "q91_asof_forward" ->
       ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
         "WHERE event_type = 'click'), " +

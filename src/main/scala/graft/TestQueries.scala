@@ -4263,6 +4263,129 @@ object TestQueries {
         round(col("weight"), 6).as("weight"))
       .orderBy("source")
 
+  /** Log-rank test ([[operators.Stats.logRank]]) comparing inter-event
+    * gap survival between even- and odd-id users — q198's Kaplan–Meier
+    * subjects (10-minute-grain gaps, horizon-censored last events) split
+    * into two cohorts. DuckDB replays the per-duration counts, both
+    * running risk sets and the χ² rollup with the same (n − 1) ≥ 1
+    * variance guard.
+    */
+  def q286LogRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    val horizon = ev.agg(max(col("ts").cast("long")).as("__hmax"))
+    val subjects = ev
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("__t"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("__next"), col("__hmax")) - col("__t")) / 600)
+          .as("d"),
+        col("__next").isNotNull.cast("int").as("ev"),
+        when(col("user_id") % 2 === 0, "even").otherwise("odd").as("grp"))
+    operators.Stats.logRank(subjects, "d", "ev", "grp", "even", "odd")
+      .select(col("n_a"), col("n_b"), col("observed_a"), col("observed_b"),
+        round(col("expected_a"), 6).as("expected_a"),
+        round(col("expected_b"), 6).as("expected_b"),
+        round(col("var_sum"), 6).as("var_sum"),
+        round(col("chi2"), 6).as("chi2"))
+  }
+
+  /** Adamic–Adar link prediction ([[operators.Graphs.adamicAdar]]) over
+    * the synthetic doc graph (q141/q145's edge construction): top-50
+    * non-adjacent pairs by Σ 1/ln(deg) over common neighbors. DuckDB
+    * replays the canonicalized edges, the broker self-join with the same
+    * degree cap, the existing-edge anti-join and the (score desc, u, v)
+    * cut.
+    */
+  def q287AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 13) % col("n")).as("dst")))
+    operators.Graphs.adamicAdar(edges, maxBrokerDegree = 1000, topK = 50)
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Vocabulary-coverage estimators ([[operators.Quality.vocabCoverage]])
+    * per source: Good–Turing unseen mass, coverage, and the Chao1
+    * richness floor from each source's frequency-of-frequencies. DuckDB
+    * replays tokenization, hapax/dis counts and the closed forms.
+    */
+  def q288VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("n_hapax"), col("n_dis"),
+        round(col("unseen_mass"), 6).as("unseen_mass"),
+        round(col("coverage"), 6).as("coverage"),
+        round(col("chao1"), 6).as("chao1"))
+      .orderBy("source")
+
+  /** Propensity caliper matching ([[operators.Stats.propensityMatch]]):
+    * per-user outcome = event-value mass, deterministic multiplicative-
+    * modulo propensity score and treatment bit (cross-engine replayable —
+    * no platform hash), strata = activity-count mod 4, caliper 0.05.
+    * DuckDB replays the per-(stratum, score) control collapse, the
+    * µ-exact nearest-within-caliper pick (|Δ|, then lower score) and the
+    * ATT rollup.
+    */
+  def q289PropensityMatch(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum("value").as("y"), count(lit(1)).as("n_ev"))
+      .select(col("y"),
+        (pmod(col("user_id") * 48271, lit(999983)).cast("double") /
+          999983.0).as("score"),
+        (pmod(col("user_id") * 16807, lit(97)) < 30).as("is_treated"),
+        pmod(col("n_ev"), lit(4)).as("stratum"))
+    operators.Stats.propensityMatch(perUser, col("is_treated"),
+        "score", "y", "stratum", caliper = 0.05)
+      .select(col("n_treated"), col("n_control"), col("n_matched"),
+        round(col("match_rate"), 6).as("match_rate"),
+        round(col("mean_y_treated"), 4).as("mean_y_treated"),
+        round(col("mean_y_control"), 4).as("mean_y_control"),
+        round(col("att"), 4).as("att"),
+        round(col("se_att"), 4).as("se_att"))
+  }
+
+  /** Difference-in-differences ([[operators.EventAnalytics.diffInDiff]]):
+    * per-(user, half) event-value mass, treated = even user id, post =
+    * second half of the observation window (q219's midpoint). DuckDB
+    * replays the four conditional cells and the Welch-style SE.
+    */
+  def q290DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"),
+      unix_timestamp(col("ts")).as("ep"), col("value"))
+    val mid = e.agg(
+      floor((min("ep") + max("ep")) / 2.0).cast("long").as("__mid"))
+    val perUserPeriod = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), (col("ep") > col("__mid")).as("is_post"))
+      .agg(sum("value").as("y"))
+    operators.EventAnalytics.diffInDiff(perUserPeriod,
+        col("user_id") % 2 === 0, col("is_post"), "y")
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"),
+        round(col("mean_t_pre"), 4).as("mean_t_pre"),
+        round(col("mean_t_post"), 4).as("mean_t_post"),
+        round(col("mean_c_pre"), 4).as("mean_c_pre"),
+        round(col("mean_c_post"), 4).as("mean_c_post"),
+        round(col("trend_treated"), 4).as("trend_treated"),
+        round(col("trend_control"), 4).as("trend_control"),
+        round(col("did"), 4).as("did"),
+        round(col("se_did"), 4).as("se_did"))
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4694,6 +4817,11 @@ object TestQueries {
     "q283_apportion_budget" -> (q283ApportionBudget _),
     "q284_rbo" -> (q284Rbo _),
     "q285_domain_reweight" -> (q285DomainReweight _),
+    "q286_log_rank" -> (q286LogRank _),
+    "q287_adamic_adar" -> (q287AdamicAdar _),
+    "q288_vocab_coverage" -> (q288VocabCoverage _),
+    "q289_propensity_match" -> (q289PropensityMatch _),
+    "q290_diff_in_diff" -> (q290DiffInDiff _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

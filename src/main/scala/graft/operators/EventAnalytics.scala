@@ -652,4 +652,45 @@ object EventAnalytics {
     }
     v(MkStart)
   }
+
+  /** Difference-in-differences — [[cuped]]'s observational sibling: when
+    * assignment was NOT randomized but both groups are observed before and
+    * after the intervention, the treatment effect is the treated group's
+    * pre→post change minus the control group's (parallel-trends
+    * assumption). Input: one row per unit-period with its metric; `treated`
+    * and `post` are boolean column expressions. Returns ONE row: the four
+    * cell counts and means, both trends, `did`, and `se_did` (Welch-style:
+    * √Σ s²ᵢ/nᵢ over the four cells — the two-way-fixed-effects OLS SE for
+    * the 2×2 design).
+    *
+    * ONE partial-aggregable aggregate computes all four cells' moments —
+    * conditional sums, same discipline as [[cuped]]; nothing shuffles
+    * twice and nothing is row-scale after the scan.
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    def cell(t: Boolean, p: Boolean, tag: String) = {
+      val in = (if (t) treated else !treated) && (if (p) post else !post)
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$tag"),
+        avg(when(in, y)).as(s"mean_$tag"),
+        var_samp(when(in, y)).as(s"var_$tag"))
+    }
+    val aggs = cell(t = true, p = false, "t_pre") ++
+      cell(t = true, p = true, "t_post") ++
+      cell(t = false, p = false, "c_pre") ++
+      cell(t = false, p = true, "c_post")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("trend_treated", col("mean_t_post") - col("mean_t_pre"))
+      .withColumn("trend_control", col("mean_c_post") - col("mean_c_pre"))
+      .withColumn("did", col("trend_treated") - col("trend_control"))
+      .withColumn("se_did", sqrt(
+        col("var_t_pre") / col("n_t_pre") + col("var_t_post") / col("n_t_post") +
+          col("var_c_pre") / col("n_c_pre") +
+          col("var_c_post") / col("n_c_post")))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"), col("mean_t_pre"), col("mean_t_post"),
+        col("mean_c_pre"), col("mean_c_post"), col("trend_treated"),
+        col("trend_control"), col("did"), col("se_did"))
+  }
 }

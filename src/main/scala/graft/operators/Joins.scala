@@ -83,6 +83,17 @@ object Joins {
       col("__pid").as("__bpid") +: col(key).as("__bkey") +: carryCols: _*)
     val wIn = Window.partitionBy(col("__pid"), col(key))
       .orderBy(col("__ts"), col("__side"))
+    // the forward carry runs on the REVERSED order with a GROWING frame,
+    // never `(currentRow, unboundedFollowing)`: Spark evaluates a
+    // shrinking frame by recomputing the aggregate from scratch at every
+    // row — O(n²) per (partition, key) slice, measured at 23 s for one
+    // 100 k-row/16-key nearestJoin vs ~1 s for the backward half. The
+    // reversal is exact: rows with a non-null `__r` are unique per
+    // (key, __ts, __side) (the right side is pre-collapsed per (key, ts)
+    // and left rows carry null), so physical tie order among the
+    // null-payload rows can never change which row last()/first() picks.
+    val wInDesc = Window.partitionBy(col("__pid"), col(key))
+      .orderBy(col("__ts").desc, col("__side").desc)
     var out = ranged.join(bSel,
       col("__pid") === col("__bpid") && col(key) <=> col("__bkey"))
     if (back) out = out.withColumn("__back",
@@ -90,8 +101,9 @@ object Joins {
         .over(wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         col("__carryB")))
     if (fwd) out = out.withColumn("__fwd",
-      coalesce(first(col("__r"), ignoreNulls = true)
-        .over(wIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+      coalesce(last(col("__r"), ignoreNulls = true)
+        .over(wInDesc
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         col("__carryF")))
     out.drop("__pid", "__mid", "__bpid", "__bkey", "__carryB", "__carryF")
   }

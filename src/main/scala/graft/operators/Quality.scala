@@ -1159,4 +1159,41 @@ object Quality {
         Text.luhnValid(regexp_replace(c, "[ -]", ""))))
         .cast("long").as("n_cards_valid"))
   }
+
+  /** Vocabulary-coverage estimators per group — "how much of this source's
+    * vocabulary have we actually seen?", the question behind corpus-size
+    * planning and crawl-stop decisions. From each group's token-frequency
+    * table: Good–Turing unseen mass N₁/N (the probability the NEXT token
+    * is novel — Gale & Sampson 1995), its complement `coverage`, and the
+    * Chao1 richness floor V + N₁(N₁−1)/(2(N₂+1)) (bias-corrected form,
+    * defined even with no doubletons) estimating TOTAL vocabulary
+    * including the unseen tail. Returns per group: (groupCols..., n_tokens,
+    * vocab, n_hapax, n_dis, unseen_mass, coverage, chao1).
+    *
+    * Two aggregates, both partial-aggregable: (group, token) counts, then
+    * a per-group rollup OVER the count table — frequency-of-frequencies
+    * never materializes row-scale data twice. The vocabulary frame is a
+    * heaps-law operand (billions of distinct tokens at 100 TB), so nothing
+    * here broadcasts or collects; groups are independent shuffle keys.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val toks = df.select(groupCols.map(col) :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"): _*)
+      .where(length(col("__tok")) > 0)
+    val counts = toks.groupBy(groupCols.map(col) :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val n1 = col("n_hapax").cast("double")
+    counts.groupBy(groupCols.map(col): _*)
+      .agg(sum("__n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__n") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("unseen_mass", n1 / col("n_tokens").cast("double"))
+      .withColumn("coverage", lit(1.0) - col("unseen_mass"))
+      .withColumn("chao1",
+        col("vocab").cast("double") + n1 * (n1 - 1.0) /
+          (lit(2.0) * (col("n_dis").cast("double") + 1.0)))
+  }
 }

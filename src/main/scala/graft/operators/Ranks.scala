@@ -58,7 +58,9 @@ object Ranks {
     * @param suffixMins (inputCol, outputCol): outputCol = min inputCol
     *                   over rows at-or-after this row — identical to
     *                   `min(in).over(...rowsBetween(currentRow,
-    *                   unboundedFollowing))`.
+    *                   unboundedFollowing))`, evaluated as a growing
+    *                   frame over the reverse of a pinned row_number (a
+    *                   shrinking frame is O(n²) per partition in Spark).
     * @param rankCol    if set, adds the exact global row_number under
     *                   `order` (requires unique order keys, as above).
     * @param leadOrder  if set, adds the NEXT row's value of the first
@@ -116,8 +118,21 @@ object Ranks {
     val offsets = per.select(offCols: _*)
     val wIn = Window.partitionBy(PID).orderBy(order: _*)
     val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wInSfx = wIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // suffix minima run as a GROWING frame over the REVERSE of the
+    // window's own physical order, never `(currentRow,
+    // unboundedFollowing)`: Spark recomputes a shrinking frame from
+    // scratch at every row — O(n²) per partition (the carriedMatches
+    // lesson, same round). The reversal pins a within-partition
+    // row_number under the caller's order first, then orders the second
+    // window by it DESCENDING — exact for any caller order, ties
+    // included, because the complement of every (currentRow, following)
+    // frame under an enumerated total order IS the (preceding,
+    // currentRow) frame of its reverse.
     var out = ranged.join(broadcast(offsets), PID)
+    if (suffixMins.nonEmpty)
+      out = out.withColumn("__rk_sfxrn", row_number().over(wIn))
+    val wInSfx = Window.partitionBy(PID).orderBy(col("__rk_sfxrn").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sums.zipWithIndex.foreach { case ((in, dst), k) =>
       out = out.withColumn(dst,
         col(s"__rk_off$k") + sum(col(in)).over(wInCum))
@@ -139,6 +154,7 @@ object Ranks {
     }
     out.drop(PID +: (sums.indices.map(k => s"__rk_off$k") ++
       suffixMins.indices.map(k => s"__rk_sfx$k") ++
+      (if (suffixMins.nonEmpty) Seq("__rk_sfxrn") else Nil) ++
       rankCol.map(_ => "__rk_roff").toSeq ++
       leadOrder.map(_ => "__rk_nxt").toSeq): _*)
   }

@@ -1469,4 +1469,108 @@ object Stats {
       .withColumn("ci_lo", (center - half) / denom)
       .withColumn("ci_hi", (center + half) / denom)
   }
+
+  /** Log-rank (Mantel–Cox) test — [[kaplanMeier]]'s hypothesis-test
+    * companion: are two groups' survival curves the same? At each distinct
+    * event time the observed group-A events are compared with the
+    * expectation under the null (events split proportionally to the
+    * at-risk sets); the standardized sum is χ²(1). Input: one row per
+    * subject with `durationCol` (bounded grain), `eventCol` 1 = event /
+    * 0 = censored, and its group label. Returns ONE row: (n_a, n_b,
+    * observed_a, observed_b, expected_a, expected_b, var_sum, chi2).
+    *
+    * Same distributed shape as [[kaplanMeier]]: subjects collapse to
+    * per-(duration) counts (one column pair per group), the two risk sets
+    * come from ONE [[Ranks.running]] pass over the duration domain, and
+    * the test statistic is a scalar rollup of that per-duration frame —
+    * no per-group window, no single-task sort. Durations with no events
+    * contribute nothing (d = 0 terms vanish); the final time with
+    * n = d = 1 contributes variance 0 via the explicit (n − 1) ≥ 1 guard.
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String, groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val ev = col(eventCol).cast("long")
+    val per = df.where(g.isin(groupA, groupB))
+      .groupBy(col(durationCol).cast("double").as("t"))
+      .agg(sum(when(g === groupA, ev).otherwise(0L)).as("__d1"),
+        sum(when(g === groupA, lit(1L) - ev).otherwise(0L)).as("__c1"),
+        sum(when(g === groupB, ev).otherwise(0L)).as("__d2"),
+        sum(when(g === groupB, lit(1L) - ev).otherwise(0L)).as("__c2"))
+      .withColumn("__tt1", col("__d1") + col("__c1"))
+      .withColumn("__tt2", col("__d2") + col("__c2"))
+    val tot = per.agg(sum("__tt1").as("__n1tot"), sum("__tt2").as("__n2tot"))
+    val n1 = (col("__n1tot") - col("__gone1") + col("__tt1")).cast("double")
+    val n2 = (col("__n2tot") - col("__gone2") + col("__tt2")).cast("double")
+    val d = (col("__d1") + col("__d2")).cast("double")
+    val n = n1 + n2
+    Ranks.running(per, Seq(col("t")),
+        sums = Seq("__tt1" -> "__gone1", "__tt2" -> "__gone2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e1", d * n1 / n)
+      .withColumn("__e2", d * n2 / n)
+      .withColumn("__v",
+        when(n > 1.0,
+          d * (n1 / n) * (n2 / n) * (n - d) / (n - lit(1.0)))
+          .otherwise(0.0))
+      .where(col("__d1") + col("__d2") > 0)
+      .agg(max("__n1tot").as("n_a"), max("__n2tot").as("n_b"),
+        sum("__d1").as("observed_a"), sum("__d2").as("observed_b"),
+        sum("__e1").as("expected_a"), sum("__e2").as("expected_b"),
+        sum("__v").as("var_sum"))
+      .withColumn("chi2",
+        pow(col("observed_a") - col("expected_a"), 2) / col("var_sum"))
+  }
+
+  /** Propensity-score matching with a caliper, stratified on an exact-match
+    * covariate — the observational-causal estimate a platform runs when it
+    * cannot randomize: each treated unit takes its NEAREST control by
+    * propensity score within the same stratum (with replacement), matches
+    * farther than `caliper` drop, and ATT is the mean matched outcome
+    * difference. Returns ONE row: (n_treated, n_control, n_matched,
+    * match_rate, mean_y_treated, mean_y_control, att, se_att).
+    *
+    * The match is [[Joins.nearestJoin]] on the score axis — union + one
+    * shuffle on the stratum + a single sorted carry pass, NO treated ×
+    * control pair join (the naive formulation is O(N²) in each stratum;
+    * at 100 TB a popular stratum holds 10⁸ units). Scores are compared at
+    * fixed-point micro-resolution — floor(score·10⁶) — so the integer
+    * caliper is exact and every engine replays the same distances (the
+    * numeric carry axis compares as long; an implicit cast would floor
+    * SILENTLY and could flip a nearest pick against a full-precision
+    * replay). Ties at equal |Δscore| resolve to the LOWER control score
+    * and equal-score controls reduce to their struct minimum first —
+    * fully deterministic and SQL-replayable. With-replacement semantics:
+    * a control can match many treated units (standard for ATT; no
+    * sequential greedy state).
+    */
+  def propensityMatch(df: DataFrame, treatedCol: Column, scoreCol: String,
+                      outcomeCol: String, strataCol: String,
+                      caliper: Double): DataFrame = {
+    require(caliper > 0 && caliper <= 1,
+      s"caliper must be in (0, 1]: $caliper")
+    val su = floor(col(scoreCol).cast("double") * 1e6).as("__su")
+    val treated = df.where(treatedCol)
+      .select(col(strataCol), su, col(outcomeCol).cast("double").as("__yt"))
+    val control = df.where(!treatedCol)
+      .select(col(strataCol), su, col(outcomeCol).cast("double").as("__yc"))
+    val totals = df.agg(
+      sum(when(treatedCol, 1L).otherwise(0L)).as("n_treated"),
+      sum(when(!treatedCol, 1L).otherwise(0L)).as("n_control"))
+    Joins.nearestJoin(treated, control, strataCol, "__su", "__su",
+        rightValCols = Seq("__yc"), prefix = "__m_",
+        toleranceSec = Some(math.round(caliper * 1e6)))
+      .agg(count(lit(1)).as("n_matched"),
+        avg("__yt").as("mean_y_treated"),
+        avg("__m___yc").as("mean_y_control"),
+        avg(col("__yt") - col("__m___yc")).as("att"),
+        (stddev_samp(col("__yt") - col("__m___yc")) /
+          sqrt(count(lit(1)).cast("double"))).as("se_att"))
+      .crossJoin(broadcast(totals))
+      .withColumn("match_rate",
+        col("n_matched").cast("double") / col("n_treated"))
+      .select(col("n_treated"), col("n_control"), col("n_matched"),
+        col("match_rate"), col("mean_y_treated"), col("mean_y_control"),
+        col("att"), col("se_att"))
+  }
 }

@@ -795,6 +795,60 @@ object ScaleCheck {
           docs(dir).withColumn("g", floor(col("doc_id") / 32)),
           Seq("g"), col("n_chars") > 200).count()
       },
+      "log_rank" -> { dir =>
+        // kaplanMeier's shape with per-group columns: per-duration
+        // aggregate + ONE Ranks.running pass + a scalar rollup; duration
+        // grain is row-derived so the distinct-duration table scales
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.logRank(
+          ev.select((col("event_id") % 100000).cast("double").as("d"),
+            (col("event_id") % 7 =!= 0).cast("int").as("ev"),
+            when(col("user_id") % 2 === 0, "even").otherwise("odd")
+              .as("grp")),
+          "d", "ev", "grp", "even", "odd").count()
+      },
+      "propensity_match" -> { dir =>
+        // nearestJoin on the score axis: union + one stratum shuffle +
+        // one sorted carry — NO treated×control pair join; strata ≈ 16
+        // so each holds a data-scale slice (the adversarial direction)
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val units = ev.select(col("value").as("y"),
+          (pmod(col("event_id") * 48271, lit(999983)).cast("double") /
+            999983.0).as("score"),
+          (pmod(col("event_id") * 16807, lit(97)) < 30).as("tr"),
+          pmod(col("event_id"), lit(16)).as("stratum"))
+        graft.operators.Stats.propensityMatch(units, col("tr"), "score",
+          "y", "stratum", caliper = 0.01).count()
+      },
+      "vocab_coverage" -> { dir =>
+        // two partial-aggregable passes over a heaps-law token table —
+        // the frequency-of-frequencies rollup runs over (group, token)
+        // counts, never re-reading rows
+        graft.operators.Quality.vocabCoverage(docs(dir), "text",
+          Seq("source")).count()
+      },
+      "adamic_adar" -> { dir =>
+        // broker self-join is deg(w)²-bounded by the cap; the synthetic
+        // ring graph has constant degree so candidate volume scales with
+        // edges — the anti-join and TakeOrdered stay linear
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val base = d.crossJoin(broadcast(nDf))
+        val edges = base.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(base.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst")))
+        graft.operators.Graphs.adamicAdar(edges, maxBrokerDegree = 1000,
+          topK = 100).count()
+      },
+      "diff_in_diff" -> { dir =>
+        // ONE conditional-moment aggregate — the cuped shape
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.EventAnalytics.diffInDiff(ev,
+          col("user_id") % 2 === 0, col("event_id") % 2 === 0, "value")
+          .count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

@@ -382,4 +382,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("share")))
     assert(got.isNullAt(got.fieldIndex("credited_conversions")))
   }
+
+  test("diffInDiff: hand-computed 2×2 cells, effect and SE") {
+    val rows = Seq(
+      (true, false, 1.0), (true, false, 2.0),   // treated pre: mean 1.5
+      (true, true, 4.0), (true, true, 5.0),     // treated post: mean 4.5
+      (false, false, 1.0), (false, false, 3.0), // control pre: mean 2
+      (false, true, 2.0), (false, true, 4.0))   // control post: mean 3
+      .toDF("tr", "post", "y")
+    val r = EventAnalytics.diffInDiff(rows, col("tr"), col("post"), "y")
+      .head()
+    assert(Seq("n_t_pre", "n_t_post", "n_c_pre", "n_c_post")
+      .forall(c => r.getAs[Long](c) === 2L))
+    assert(math.abs(r.getAs[Double]("trend_treated") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("trend_control") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("did") - 2.0) < 1e-12)
+    // cell variances: 0.5, 0.5, 2, 2 over n = 2 each
+    assert(math.abs(r.getAs[Double]("se_did") - math.sqrt(2.5)) < 1e-12)
+  }
+
+  test("diffInDiff: parallel trends means zero effect") {
+    val rows = Seq(
+      (true, false, 10.0), (true, true, 12.0),
+      (false, false, 5.0), (false, true, 7.0))
+      .toDF("tr", "post", "y")
+    val r = EventAnalytics.diffInDiff(rows, col("tr"), col("post"), "y")
+      .head()
+    assert(math.abs(r.getAs[Double]("did")) < 1e-12)
+  }
 }

@@ -58,6 +58,47 @@ class GraphsSpec extends AnyFunSuite {
     assert(e === 3L && w === 2L && t === 0L && c === 0.0)
   }
 
+  private def aa(edges: Seq[(Long, Long)], cap: Int = 1000,
+                 k: Int = 100): Seq[(Long, Long, Long, Double)] =
+    Graphs.adamicAdar(edges.toDF("src", "dst"), maxBrokerDegree = cap,
+        topK = k)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("adamicAdar: path 1-2-3 predicts exactly (1,3) at 1/ln 2") {
+    val got = aa(Seq((1L, 2L), (2L, 3L)))
+    assert(got === Seq((1L, 3L, 1L, 1.0 / math.log(2.0))))
+  }
+
+  test("adamicAdar: square predicts both diagonals via two brokers each") {
+    val got = aa(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).toSet
+    assert(got.map { case (u, v, n, _) => (u, v, n) } ===
+      Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    assert(got.forall { case (_, _, _, s) =>
+      math.abs(s - 2.0 / math.log(2.0)) < 1e-12 })
+  }
+
+  test("adamicAdar: existing edges are never predicted") {
+    // triangle: every 2-hop pair is already adjacent
+    assert(aa(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+  }
+
+  test("adamicAdar: over-cap hubs are excluded from brokering") {
+    val star = (2L to 6L).map(1L -> _) // center 1 has degree 5
+    assert(aa(star, cap = 4).isEmpty)
+    // with the cap lifted, the center brokers all C(5,2) leaf pairs
+    assert(aa(star, cap = 5).size === 10)
+  }
+
+  test("adamicAdar: topK cut is deterministic (score desc, then pair)") {
+    val star = (2L to 6L).map(1L -> _)
+    val got = aa(star, k = 3)
+    assert(got.size === 3)
+    // all scores tie at 1/ln 5: cut picks the (u, v)-smallest pairs
+    assert(got.map { case (u, v, _, _) => (u, v) } ===
+      Seq((2L, 3L), (2L, 4L), (2L, 5L)))
+  }
+
   test("triangleStats: duplicates, reversals and self-loops collapse") {
     // the same triangle asserted three redundant ways + a self-loop
     val (e, w, t, _) = tri(Seq((1L, 2L), (2L, 1L), (1L, 2L),

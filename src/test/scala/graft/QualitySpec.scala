@@ -724,4 +724,33 @@ class QualitySpec extends AnyFunSuite {
     assert(smoothed.forall(_ >= 0.1 - 1e-12))
     assert(math.abs(smoothed.sum - 1.0) < 1e-12)
   }
+
+  test("vocabCoverage: hand-counted Good–Turing and Chao1") {
+    // one source, tokens a:2 b:1 c:1 -> N=4 V=3 N1=2 N2=1
+    // unseen = 2/4; chao1 = 3 + 2·1/(2·(1+1)) = 3.5
+    val docs = Seq(("s1", "a a b"), ("s1", "c")).toDF("source", "text")
+    val r = Quality.vocabCoverage(docs, "text", Seq("source")).head()
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("n_hapax") === 2L)
+    assert(r.getAs[Long]("n_dis") === 1L)
+    assert(math.abs(r.getAs[Double]("unseen_mass") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("coverage") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chao1") - 3.5) < 1e-12)
+  }
+
+  test("vocabCoverage: no hapaxes means full coverage and chao1 = vocab") {
+    val docs = Seq(("s1", "a a b b")).toDF("source", "text")
+    val r = Quality.vocabCoverage(docs, "text", Seq("source")).head()
+    assert(r.getAs[Long]("n_hapax") === 0L)
+    assert(math.abs(r.getAs[Double]("coverage") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chao1") - 2.0) < 1e-12)
+  }
+
+  test("vocabCoverage: groups are independent") {
+    val docs = Seq(("s1", "a a"), ("s2", "a b")).toDF("source", "text")
+    val got = Quality.vocabCoverage(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_hapax")).toMap
+    assert(got("s1") === 0L && got("s2") === 2L)
+  }
 }

@@ -929,4 +929,76 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(pearson) < 0.05)
     assert(r.getAs[Double]("nmi") > 0.5)
   }
+
+  test("logRank: identical survival in both groups gives chi2 = 0") {
+    val subjects = Seq("a", "b").flatMap(g =>
+      Seq((1.0, 1, g), (2.0, 1, g), (3.0, 0, g))).toDF("d", "ev", "grp")
+    val r = Stats.logRank(subjects, "d", "ev", "grp", "a", "b").head()
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(d(r.getAs[Double]("expected_a"),
+      r.getAs[Long]("observed_a").toDouble))
+    assert(d(r.getAs[Double]("chi2"), 0.0))
+  }
+
+  test("logRank: two-subject hand case pins expectation and variance") {
+    // t=1: both at risk, A dies: e1 = 0.5, v = 0.25. t=2: only B at
+    // risk (n = 1): the (n − 1) guard pins that term's variance to 0.
+    val subjects = Seq((1.0, 1, "a"), (2.0, 1, "b")).toDF("d", "ev", "grp")
+    val r = Stats.logRank(subjects, "d", "ev", "grp", "a", "b").head()
+    assert(r.getAs[Long]("observed_a") === 1L)
+    assert(d(r.getAs[Double]("expected_a"), 0.5))
+    assert(d(r.getAs[Double]("var_sum"), 0.25))
+    assert(d(r.getAs[Double]("chi2"), 1.0))
+  }
+
+  test("logRank: censored subjects leave the risk set without events") {
+    // A: event at 2. B: censored at 1, so at t=2 only A is at risk and
+    // the t=2 term is degenerate (n = 1) → zero variance, e1 = d.
+    val subjects = Seq((2.0, 1, "a"), (1.0, 0, "b")).toDF("d", "ev", "grp")
+    val r = Stats.logRank(subjects, "d", "ev", "grp", "a", "b").head()
+    assert(r.getAs[Long]("observed_a") === 1L)
+    assert(d(r.getAs[Double]("expected_a"), 1.0))
+    assert(d(r.getAs[Double]("var_sum"), 0.0))
+  }
+
+  test("propensityMatch: nearest-within-caliper, ties to the lower score") {
+    val units = Seq(
+      // (treated, score, y, stratum)
+      (true, 0.14, 10.0, 0L),  // -> control 0.10 (|Δ| .04 < .06)
+      (true, 0.18, 20.0, 0L),  // -> control 0.20
+      (true, 0.15, 30.0, 0L),  // equidistant -> LOWER score 0.10
+      (true, 0.30, 40.0, 0L),  // nearest is 0.20 at .10 > caliper: drops
+      (false, 0.10, 1.0, 0L),
+      (false, 0.20, 2.0, 0L))
+      .toDF("is_treated", "score", "y", "stratum")
+    val r = Stats.propensityMatch(units, col("is_treated"), "score", "y",
+      "stratum", caliper = 0.05).head()
+    assert(r.getAs[Long]("n_treated") === 4L)
+    assert(r.getAs[Long]("n_control") === 2L)
+    assert(r.getAs[Long]("n_matched") === 3L)
+    assert(d(r.getAs[Double]("match_rate"), 0.75))
+    // matches: (10,1), (20,2), (30,1) -> ATT = mean(9, 18, 29)
+    assert(d(r.getAs[Double]("att"), (9.0 + 18.0 + 29.0) / 3))
+  }
+
+  test("propensityMatch: strata never cross-match") {
+    val units = Seq(
+      (true, 0.50, 10.0, 0L),
+      (false, 0.50, 1.0, 1L)) // perfect score match, WRONG stratum
+      .toDF("is_treated", "score", "y", "stratum")
+    val r = Stats.propensityMatch(units, col("is_treated"), "score", "y",
+      "stratum", caliper = 0.05).head()
+    assert(r.getAs[Long]("n_matched") === 0L)
+  }
+
+  test("propensityMatch: equal-score controls collapse to the struct min") {
+    val units = Seq(
+      (true, 0.50, 10.0, 0L),
+      (false, 0.50, 7.0, 0L),
+      (false, 0.50, 3.0, 0L)) // same score: min outcome wins
+      .toDF("is_treated", "score", "y", "stratum")
+    val r = Stats.propensityMatch(units, col("is_treated"), "score", "y",
+      "stratum", caliper = 0.05).head()
+    assert(d(r.getAs[Double]("att"), 7.0))
+  }
 }
