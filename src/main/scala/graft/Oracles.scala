@@ -392,6 +392,49 @@ object Oracles {
       s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled synchronous HITS over the q141 derived graph — one
+    * (raw-sum, coalesce-to-all-nodes, L1-normalize) CTE triple per score
+    * per round, mirroring `Graphs.hits` exactly: deduped directed edges,
+    * hub⁰ = 1, authority from hubs then hub from authorities.
+    */
+  private def hitsSql(iters: Int): String = {
+    val head =
+      "WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "e0 AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+      "FROM documents, mn " +
+      "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n FROM documents, mn " +
+      "WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, (doc_id + 101) % mn.n FROM documents, mn " +
+      "WHERE doc_id % 3 = 0), " +
+      // MATERIALIZED + window normalizers: every CTE is referenced once
+      // per consumer, so the 5-round unroll stays linear — a scalar
+      // `(SELECT sum(s) FROM af_k)` would reference each frame twice and
+      // the inliner expands 2^rounds copies (measured: "Too many open
+      // files" from re-opened parquet scans)
+      "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 " +
+      "WHERE src <> dst), " +
+      "nd AS MATERIALIZED (SELECT src AS node FROM e " +
+      "UNION SELECT dst FROM e), " +
+      "h0 AS (SELECT node, 1.0 AS hub FROM nd)"
+    val rounds = (1 to iters).map { k =>
+      s"ar$k AS (SELECT e.dst AS node, sum(h.hub) AS s " +
+        s"FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1), " +
+        s"af$k AS (SELECT nd.node, COALESCE(ar$k.s, 0.0) AS s " +
+        s"FROM nd LEFT JOIN ar$k USING (node)), " +
+        s"a$k AS (SELECT node, s / sum(s) OVER () AS authority " +
+        s"FROM af$k), " +
+        s"hr$k AS (SELECT e.src AS node, sum(a.authority) AS s " +
+        s"FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1), " +
+        s"hf$k AS (SELECT nd.node, COALESCE(hr$k.s, 0.0) AS s " +
+        s"FROM nd LEFT JOIN hr$k USING (node)), " +
+        s"h$k AS (SELECT node, s / sum(s) OVER () AS hub FROM hf$k)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT node, round(h$iters.hub, 9) AS hub, " +
+      s"round(a$iters.authority, 9) AS authority " +
+      s"FROM h$iters JOIN a$iters USING (node) ORDER BY node"
+  }
+
   /** Unrolled synchronous label propagation over the q141 derived graph —
     * one (count, arg-max) CTE pair per round mirroring
     * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
@@ -1736,6 +1779,88 @@ object Oracles {
         "round(mtpo - mtpr - (mcpo - mcpr), 4) AS did, " +
         "round(sqrt(vtpr / n_t_pre + vtpo / n_t_post + vcpr / n_c_pre " +
         "+ vcpo / n_c_post), 4) AS se_did FROM m"),
+
+    // HITS: 5 unrolled rounds over the q141 graph, 9dp like PageRank.
+    "q291_hits" -> hitsSql(5),
+
+    // Nelson–Aalen: q198's subjects and risk sets; hazard and variance
+    // running sums, same casts and op order as the operator.
+    "q292_nelson_aalen" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) " +
+        "AS BIGINT) AS t FROM events), " +
+        "h AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS hmax " +
+        "FROM events), " +
+        "g AS (SELECT t, lead(t) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id) AS nxt FROM e), " +
+        "s AS (SELECT floor((COALESCE(nxt, hmax) - t) / 600) AS d, " +
+        "CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev FROM g, h), " +
+        "per AS (SELECT d AS t, CAST(sum(ev) AS BIGINT) AS n_events, " +
+        "CAST(sum(1 - ev) AS BIGINT) AS n_censored FROM s GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) " +
+        "AS total FROM per), " +
+        "rk AS (SELECT t, n_events, n_censored, " +
+        "CAST(total - sum(n_events + n_censored) OVER (ORDER BY t) " +
+        "+ n_events + n_censored AS BIGINT) AS n_at_risk FROM per, tot), " +
+        "hz AS (SELECT *, " +
+        "sum(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) " +
+        "OVER (ORDER BY t) AS cumhaz, " +
+        "sum(CAST(n_events AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * " +
+        "CAST(n_at_risk AS DOUBLE))) OVER (ORDER BY t) AS cv FROM rk) " +
+        "SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_events, n_censored, " +
+        "round(cumhaz, 6) AS cumhaz, round(sqrt(cv), 6) AS se_cumhaz " +
+        "FROM hz WHERE n_events > 0 ORDER BY t"),
+
+    // Cohort LTV: first-event cohort weeks, (cohort, offset) cells, the
+    // per-cohort running value sum and per-user LTV.
+    "q293_cohort_ltv" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) " +
+        "AS ep, value FROM events), " +
+        "m0 AS (SELECT min(ep) AS m0 FROM e), " +
+        "f AS (SELECT user_id, min(ep) AS fep FROM e GROUP BY 1), " +
+        "sz AS (SELECT floor((fep - m0) / 604800) AS cohort_week, " +
+        "CAST(count(*) AS BIGINT) AS cohort_size FROM f, m0 GROUP BY 1), " +
+        "cells AS (SELECT floor((f.fep - m0) / 604800) AS cohort_week, " +
+        "floor((e.ep - f.fep) / 604800) AS week_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active, " +
+        "sum(e.value) AS value " +
+        "FROM e JOIN f USING (user_id) CROSS JOIN m0 GROUP BY 1, 2), " +
+        "w AS (SELECT c.*, sz.cohort_size, sum(value) OVER " +
+        "(PARTITION BY c.cohort_week ORDER BY week_offset) AS cum_value " +
+        "FROM cells c JOIN sz USING (cohort_week)) " +
+        "SELECT CAST(cohort_week AS BIGINT) AS cohort_week, " +
+        "CAST(week_offset AS BIGINT) AS week_offset, cohort_size, " +
+        "n_active, round(value, 4) AS value, " +
+        "round(cum_value, 4) AS cum_value, " +
+        "round(cum_value / CAST(cohort_size AS DOUBLE), 6) " +
+        "AS ltv_per_user FROM w ORDER BY 1, 2"),
+
+    // RFM: per-user rollup, three quantile_cont threshold lists, bucket
+    // = count of thresholds strictly below (the q113 convention), scores
+    // oriented higher-is-better, segment as the concatenated code.
+    "q294_rfm" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) " +
+        "AS ep, value FROM events), " +
+        "nw AS (SELECT max(ep) AS nowep FROM e), " +
+        "pu AS (SELECT user_id, max(ep) AS lastep, " +
+        "CAST(count(*) AS BIGINT) AS frequency, sum(value) AS monetary " +
+        "FROM e GROUP BY 1), " +
+        "per AS (SELECT user_id, floor((nowep - lastep) / 86400) " +
+        "AS recency_days, frequency, monetary FROM pu, nw), " +
+        "th AS (SELECT " +
+        "quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt, " +
+        "quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft, " +
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mt FROM per), " +
+        "s AS (SELECT user_id, recency_days, frequency, monetary, " +
+        "5 - CAST(len(list_filter(th.rt, x -> recency_days > x)) " +
+        "AS INTEGER) AS r_score, " +
+        "CAST(len(list_filter(th.ft, x -> frequency > x)) AS INTEGER) " +
+        "+ 1 AS f_score, " +
+        "CAST(len(list_filter(th.mt, x -> monetary > x)) AS INTEGER) " +
+        "+ 1 AS m_score FROM per, th) " +
+        "SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, " +
+        "frequency, round(monetary, 4) AS monetary, r_score, f_score, " +
+        "m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) " +
+        "|| CAST(m_score AS VARCHAR) AS segment FROM s ORDER BY user_id"),
 
     "q91_asof_forward" ->
       ("WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +

@@ -4386,6 +4386,84 @@ object TestQueries {
         round(col("se_did"), 4).as("se_did"))
   }
 
+  /** HITS hubs/authorities ([[operators.Graphs.hits]]): 5 synchronous
+    * L1-normalized rounds over q141's doc graph. DuckDB replays every
+    * round as unrolled CTEs (authority from hubs, hub from authorities,
+    * each with its normalizer), 9dp like PageRank.
+    */
+  def q291Hits(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 101) % col("n")).as("dst")))
+    operators.Graphs.hits(edges, iterations = 5)
+      .select(col("node"), round(col("hub"), 9).as("hub"),
+        round(col("authority"), 9).as("authority"))
+      .orderBy("node")
+  }
+
+  /** Nelson–Aalen cumulative hazard ([[operators.Stats.nelsonAalen]])
+    * over q198's inter-event subjects — the hazard-sum dual of the
+    * Kaplan–Meier gate. DuckDB replays both running sums and the
+    * variance closed form.
+    */
+  def q292NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    val horizon = ev.agg(max(col("ts").cast("long")).as("__hmax"))
+    val subjects = ev
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("__t"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("__next"), col("__hmax")) - col("__t")) / 600)
+          .as("d"),
+        col("__next").isNotNull.cast("int").as("ev"))
+    operators.Stats.nelsonAalen(subjects, "d", "ev")
+      .select(col("t").cast("long").as("t"), col("n_at_risk"),
+        col("n_events"), col("n_censored"),
+        round(col("cumhaz"), 6).as("cumhaz"),
+        round(col("se_cumhaz"), 6).as("se_cumhaz"))
+      .orderBy("t")
+  }
+
+  /** Weekly cohort LTV ([[operators.EventAnalytics.cohortLtv]]): value
+    * accumulation by (first-event cohort week, week offset) with
+    * per-user LTV. DuckDB replays the cohorting, the cells and the
+    * per-cohort running sum.
+    */
+  def q293CohortLtv(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.cohortLtv(t(s, dir, "events"), "user_id",
+        "ts", "value")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"), round(col("value"), 4).as("value"),
+        round(col("cum_value"), 4).as("cum_value"),
+        round(col("ltv_per_user"), 6).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+
+  /** RFM segmentation ([[operators.EventAnalytics.rfm]]): per-user
+    * recency/frequency/monetary quintile scores and the "545" segment
+    * code, tiering via the scale-safe percentile-broadcast bucketer.
+    * DuckDB replays the per-user rollup, all three quantile_cont
+    * threshold lists and the strictly-below bucket counts.
+    */
+  def q294Rfm(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.rfm(t(s, dir, "events"), "user_id", "ts",
+        "value", numBuckets = 5)
+      .select(col("user").as("user_id"), col("recency_days"),
+        col("frequency"), round(col("monetary"), 4).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy("user_id")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4822,6 +4900,10 @@ object TestQueries {
     "q288_vocab_coverage" -> (q288VocabCoverage _),
     "q289_propensity_match" -> (q289PropensityMatch _),
     "q290_diff_in_diff" -> (q290DiffInDiff _),
+    "q291_hits" -> (q291Hits _),
+    "q292_nelson_aalen" -> (q292NelsonAalen _),
+    "q293_cohort_ltv" -> (q293CohortLtv _),
+    "q294_rfm" -> (q294Rfm _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -653,6 +653,88 @@ object EventAnalytics {
     v(MkStart)
   }
 
+  /** Weekly cohort lifetime value: users cohorted by the week of their
+    * FIRST event (relative to the corpus's earliest event), value
+    * accumulated by week offset since that first event — the "how much is
+    * a week-N user worth by week K" curve retention charts only hint at.
+    * Returns one row per (cohort_week, week_offset): cohort_size,
+    * n_active (distinct users touching that offset), value, cum_value
+    * (running by offset within the cohort) and ltv_per_user
+    * (cum_value / cohort_size).
+    *
+    * Shape: one per-user first-event aggregate, one per-(cohort, offset)
+    * cell aggregate, and a running sum whose window partitions hold at
+    * most the TIMELINE's week count (offsets, never users or rows) — the
+    * one place a plain window is scale-safe by construction.
+    */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val e = df.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__ep"),
+      col(valueCol).cast("double").as("__v"))
+    val m0 = e.agg(min("__ep").as("__m0"))
+    val firsts = e.groupBy("__u").agg(min("__ep").as("__f"))
+    val sizes = firsts.crossJoin(broadcast(m0))
+      .groupBy(floor((col("__f") - col("__m0")) / 604800).as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = e.join(firsts, "__u").crossJoin(broadcast(m0))
+      .groupBy(
+        floor((col("__f") - col("__m0")) / 604800).as("cohort_week"),
+        floor((col("__ep") - col("__f")) / 604800).as("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_active"),
+        sum("__v").as("value"))
+    cells.join(sizes, "cohort_week")
+      .withColumn("cum_value", sum("value").over(
+        Window.partitionBy("cohort_week").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ltv_per_user",
+        col("cum_value") / col("cohort_size").cast("double"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"), col("value"), col("cum_value"),
+        col("ltv_per_user"))
+  }
+
+  /** RFM segmentation — the classic customer-value grid: per user,
+    * Recency (days since last event, against the corpus's latest event),
+    * Frequency (event count) and Monetary (value mass), each scored into
+    * `numBuckets` equal-population tiers so segments read as "545"-style
+    * codes. Scores orient so HIGHER is better on every axis (recent,
+    * frequent, valuable → numBuckets).
+    *
+    * Tiering rides [[Splits.quantileBuckets]] — one global percentile
+    * aggregate per axis broadcast back, bucketing scan-side — never an
+    * `ntile()` global-sort window. Returns one row per user: (user,
+    * recency_days, frequency, monetary, r_score, f_score, m_score,
+    * segment).
+    */
+  def rfm(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
+          numBuckets: Int = 5): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be ≥ 2: $numBuckets")
+    val e = df.select(col(userCol).as("user"),
+      col(tsCol).cast("long").as("__ep"),
+      col(valueCol).cast("double").as("__v"))
+    val now = e.agg(max("__ep").as("__now"))
+    val per = e.groupBy("user")
+      .agg(max("__ep").as("__last"), count(lit(1)).as("frequency"),
+        sum("__v").as("monetary"))
+      .crossJoin(broadcast(now))
+      .withColumn("recency_days",
+        floor((col("__now") - col("__last")) / 86400))
+      .drop("__now", "__last")
+    val scored = Seq("recency_days" -> "__rb", "frequency" -> "__fb",
+      "monetary" -> "__mb").foldLeft(per) { case (acc, (in, out)) =>
+      Splits.quantileBuckets(acc, in, numBuckets)
+        .withColumnRenamed("bucket", out)
+    }
+    scored.select(col("user"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(numBuckets) - col("__rb")).as("r_score"),
+        (col("__fb") + 1).as("f_score"),
+        (col("__mb") + 1).as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+  }
+
   /** Difference-in-differences — [[cuped]]'s observational sibling: when
     * assignment was NOT randomized but both groups are observed before and
     * after the intervention, the treatment effect is the treated group's

@@ -312,6 +312,61 @@ object Graphs {
       .where(col("core_degree") >= k)
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) over a directed edge
+    * list: a node is a good AUTHORITY when good hubs point at it, a good
+    * HUB when it points at good authorities — the mutual-reinforcement
+    * ranking that separates link aggregators from link targets where
+    * PageRank conflates them. Runs a FIXED number of synchronous rounds
+    * (deterministic, oracle-replayable), each score vector L1-normalized
+    * per round. Returns one row per node: (node, hub, authority).
+    *
+    * Same shape discipline as [[pageRank]]: edges dedupe once, each round
+    * is ONE edge⋈score join + a partial-aggregable sum per endpoint (fan
+    * bounded by degree), the normalizer is a one-row aggregate broadcast
+    * back, and each round pins via localCheckpoint (or reliable
+    * checkpoint) so plan depth stays constant. Nothing row-scale ever
+    * collects; per-round shuffles carry only (id, double) rows.
+    */
+  def hits(edges: DataFrame, iterations: Int = 5,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val e = pin(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__s"))
+      val tot = full.agg(sum("__s").as("__t"))
+      pin(full.crossJoin(broadcast(tot))
+        .select(col("node"), (col("__s") / col("__t")).as(out)))
+    }
+    var hub = pin(nodes.withColumn("hub", lit(1.0)))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val nextAuth = normalized(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum("hub").as("__s")),
+        "authority")
+      if (auth != null) Pinning.unpin(auth)
+      auth = nextAuth
+      val nextHub = normalized(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum("authority").as("__s")),
+        "hub")
+      Pinning.unpin(hub)
+      hub = nextHub
+      i += 1
+    }
+    Seq(e, nodes).foreach(Pinning.unpin) // scores are pinned; graph isn't needed
+    hub.join(auth, "node")
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
     * NON-adjacent node pair sharing at least one neighbor, score
     * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — the standard "who should be

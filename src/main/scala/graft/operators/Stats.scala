@@ -1522,6 +1522,41 @@ object Stats {
         pow(col("observed_a") - col("expected_a"), 2) / col("var_sum"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s estimator dual:
+    * instead of the survival product, the cumulative hazard sum
+    * H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² (Aalen 1978) — the
+    * quantity survival models regress on, and better-behaved than
+    * −ln(KM) in small risk sets. Same input contract as [[kaplanMeier]];
+    * returns one row per event time: (t, n_at_risk, n_events,
+    * n_censored, cumhaz, se_cumhaz).
+    *
+    * Same distributed shape too: per-duration counts, risk sets from one
+    * [[Ranks.running]] pass, the hazard sum from a second — never a
+    * per-key funnel or a global-sort window.
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val per = df.groupBy(col(durationCol).cast("double").as("t"))
+      .agg(sum(col(eventCol).cast("long")).as("n_events"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("n_censored"))
+      .withColumn("__tt", col("n_events") + col("n_censored"))
+    val atRisk = Ranks
+      .running(per, Seq(col("t")), sums = Seq("__tt" -> "__gone"))
+      .crossJoin(broadcast(per.agg(sum("__tt").as("__total"))))
+      .withColumn("n_at_risk", col("__total") - col("__gone") + col("__tt"))
+      .withColumn("__h",
+        col("n_events").cast("double") / col("n_at_risk").cast("double"))
+      .withColumn("__hv",
+        col("n_events").cast("double") /
+          (col("n_at_risk").cast("double") * col("n_at_risk").cast("double")))
+    Ranks.running(atRisk, Seq(col("t")),
+        sums = Seq("__h" -> "cumhaz", "__hv" -> "__cv"))
+      .withColumn("se_cumhaz", sqrt(col("__cv")))
+      .where(col("n_events") > 0)
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("cumhaz"), col("se_cumhaz"))
+  }
+
   /** Propensity-score matching with a caliper, stratified on an exact-match
     * covariate — the observational-causal estimate a platform runs when it
     * cannot randomize: each treated unit takes its NEAREST control by

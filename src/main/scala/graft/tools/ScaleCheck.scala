@@ -849,6 +849,45 @@ object ScaleCheck {
           col("user_id") % 2 === 0, col("event_id") % 2 === 0, "value")
           .count()
       },
+      "hits" -> { dir =>
+        // per round: one edge⋈score join + partial-agg sums + a one-row
+        // normalizer broadcast; constant-degree ring graph so edge count
+        // scales with docs
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val base = d.crossJoin(broadcast(nDf))
+        val edges = base.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(base.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst")))
+        graft.operators.Graphs.hits(edges, iterations = 5).count()
+      },
+      "nelson_aalen" -> { dir =>
+        // kaplanMeier's two Ranks.running passes with the hazard sums;
+        // row-derived durations so the distinct-duration table scales
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.nelsonAalen(
+          ev.select((col("event_id") % 100000).cast("double").as("d"),
+            (col("event_id") % 7 =!= 0).cast("int").as("ev")),
+          "d", "ev").count()
+      },
+      "cohort_ltv" -> { dir =>
+        // per-user first-event aggregate + per-(cohort, offset) cells;
+        // the running-sum window holds at most the timeline's week count
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.EventAnalytics.cohortLtv(
+          ev.withColumn("ep", unix_timestamp(col("ts"))),
+          "user_id", "ep", "value").count()
+      },
+      "rfm" -> { dir =>
+        // one per-user rollup + three percentile-broadcast bucketers —
+        // never an ntile global-sort window; users scale with rows
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.EventAnalytics.rfm(
+          ev.withColumn("ep", unix_timestamp(col("ts"))),
+          "event_id", "ep", "value").count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

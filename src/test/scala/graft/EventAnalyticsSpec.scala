@@ -383,6 +383,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("credited_conversions")))
   }
 
+  test("cohortLtv: cohorting, cells and the per-cohort running value") {
+    val wk = 604800L
+    val rows = Seq(
+      ("a", 0L, 10.0),        // cohort 0, offset 0
+      ("a", wk + 200L, 5.0),  // cohort 0, offset 1
+      ("b", wk, 2.0))         // cohort 1, offset 0
+      .toDF("u", "ep", "v")
+    val got = EventAnalytics.cohortLtv(rows, "u", "ep", "v")
+      .orderBy("cohort_week", "week_offset").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 0L), (0L, 1L), (1L, 0L)))
+    assert(got(1).getAs[Double]("cum_value") === 15.0)
+    assert(got(1).getAs[Double]("ltv_per_user") === 15.0)
+    assert(got.forall(_.getAs[Long]("cohort_size") === 1L))
+  }
+
+  test("rfm: hand-placed users land in the right halves (2 buckets)") {
+    val day = 86400L
+    val rows = Seq(
+      ("u1", 0L, 1.0),
+      ("u2", 5L * day, 4.0), ("u2", 10L * day, 6.0),
+      ("u3", 10L * day, 10.0), ("u3", 15L * day, 10.0),
+      ("u3", 20L * day, 10.0))
+      .toDF("u", "ep", "v")
+    val got = EventAnalytics.rfm(rows, "u", "ep", "v", numBuckets = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"), r.getAs[String]("segment")))).toMap
+    assert(got("u1") === ((20L, 1L, 1.0, "111")))
+    assert(got("u2") === ((10L, 2L, 10.0, "211")))
+    assert(got("u3") === ((0L, 3L, 30.0, "222")))
+  }
+
   test("diffInDiff: hand-computed 2×2 cells, effect and SE") {
     val rows = Seq(
       (true, false, 1.0), (true, false, 2.0),   // treated pre: mean 1.5

@@ -90,6 +90,33 @@ class GraphsSpec extends AnyFunSuite {
     assert(aa(star, cap = 5).size === 10)
   }
 
+  private def hitsMap(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Double, Double)] =
+    Graphs.hits(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+  test("hits: a single edge separates the pure hub from the pure authority") {
+    val r = hitsMap(Seq((1L, 2L)), iters = 3)
+    assert(r(1L) === ((1.0, 0.0)) && r(2L) === ((0.0, 1.0)))
+  }
+
+  test("hits: bipartite hubs and authorities split mass evenly") {
+    val r = hitsMap(Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)), iters = 4)
+    Seq(1L, 2L).foreach(n => assert(math.abs(r(n)._1 - 0.5) < 1e-12))
+    Seq(3L, 4L).foreach(n => assert(math.abs(r(n)._2 - 0.5) < 1e-12))
+  }
+
+  test("hits: two hand-iterated rounds on an asymmetric graph") {
+    // 1→3, 2→3, 2→4. round 1: a = (2/3, 1/3); h = (0.4, 0.6)
+    // round 2: a = (0.625, 0.375); h = (5/13, 8/13)
+    val r = hitsMap(Seq((1L, 3L), (2L, 3L), (2L, 4L)), iters = 2)
+    assert(math.abs(r(1L)._1 - 5.0 / 13) < 1e-12)
+    assert(math.abs(r(2L)._1 - 8.0 / 13) < 1e-12)
+    assert(math.abs(r(3L)._2 - 0.625) < 1e-12)
+    assert(math.abs(r(4L)._2 - 0.375) < 1e-12)
+  }
+
   test("adamicAdar: topK cut is deterministic (score desc, then pair)") {
     val star = (2L to 6L).map(1L -> _)
     val got = aa(star, k = 3)

@@ -203,4 +203,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "the census is per-row; any join is a regression")
   }
+
+  test("no data-scale window runs a shrinking frame (O(n²) per partition)") {
+    // Spark evaluates (currentRow, unboundedFollowing) by recomputing the
+    // aggregate from scratch at EVERY row; the forward as-of carry and
+    // Ranks suffix minima were measured at 10-50× their linear cost
+    // before the reversed-order rewrite (PLANS.md round 14). Full frames
+    // (unboundedPreceding → unboundedFollowing) are fine — evaluated once
+    // per partition — so only the shrinking form is banned.
+    // positive control: the banned spelling as catalyst actually prints
+    // it, so a format change can never silently blind this guard
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ctl = Seq(1, 2, 3).toDF("v")
+      .withColumn("m", fmin(col("v")).over(Window.orderBy("v")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(ctl.contains("currentrow$(), unboundedfollowing$()"),
+      "control lost the banned spelling — update the guard's pattern")
+    Seq("q270_nearest_join", "q91_asof_forward", "q281_asof_tolerance",
+      "q215_quantile_norm", "q248_bh_adjust", "q289_propensity_match")
+      .foreach { q =>
+        val p = planOf(q).toLowerCase
+        // catalyst prints frames as specifiedwindowframe(RowFrame,
+        // currentrow$(), unboundedfollowing$()); SQL text as BETWEEN
+        // CURRENT ROW AND UNBOUNDED FOLLOWING — ban both spellings
+        assert(!p.contains("currentrow$(), unboundedfollowing$()") &&
+          !p.contains("current row and unbounded following"),
+          s"$q plans a shrinking window frame")
+      }
+  }
 }

@@ -961,6 +961,19 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("var_sum"), 0.0))
   }
 
+  test("nelsonAalen: hand-summed hazard and variance with censoring") {
+    // t=1: n=3, d=1 → H = 1/3, V = 1/9. t=2: n=2, d=1 → H = 5/6,
+    // V = 1/9 + 1/4 = 13/36. censored t=3 row emits no output row.
+    val subjects = Seq((1.0, 1), (2.0, 1), (3.0, 0)).toDF("dur", "ev")
+    val got = Stats.nelsonAalen(subjects, "dur", "ev")
+      .orderBy("t").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_at_risk") === 3L)
+    assert(d(got(0).getAs[Double]("cumhaz"), 1.0 / 3))
+    assert(d(got(1).getAs[Double]("cumhaz"), 1.0 / 3 + 0.5))
+    assert(d(got(1).getAs[Double]("se_cumhaz"), math.sqrt(13.0 / 36)))
+  }
+
   test("propensityMatch: nearest-within-caliper, ties to the lower score") {
     val units = Seq(
       // (treated, score, y, stratum)
