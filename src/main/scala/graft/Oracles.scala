@@ -435,6 +435,46 @@ object Oracles {
       s"FROM h$iters JOIN a$iters USING (node) ORDER BY node"
   }
 
+  /** Unrolled Bradley–Terry MM over the q295 synthetic preference log.
+    * Every θ CTE is MATERIALIZED — each round references the previous θ
+    * twice (both join sides), so the plain inliner would expand 2^rounds
+    * copies (the hitsSql lesson); the normalizer is a window sum for the
+    * same reason.
+    */
+  private def bradleyTerrySql(iters: Int): String = {
+    val head =
+      "WITH src AS (SELECT user_id % 16 AS a, (user_id * 31) % 16 AS b, " +
+      "event_id FROM events), " +
+      "p AS MATERIALIZED (SELECT CASE WHEN event_id % 3 = 0 " +
+      "THEN least(a, b) ELSE greatest(a, b) END AS w, " +
+      "CASE WHEN event_id % 3 = 0 THEN greatest(a, b) " +
+      "ELSE least(a, b) END AS l FROM src WHERE a <> b), " +
+      "g AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT w AS i, l AS j FROM p " +
+      "UNION ALL SELECT l, w FROM p) GROUP BY 1, 2), " +
+      "it AS MATERIALIZED (SELECT DISTINCT i AS item FROM g), " +
+      "wn AS MATERIALIZED (SELECT it.item, " +
+      "CAST(COALESCE(x.n, 0) AS BIGINT) AS wins FROM it LEFT JOIN " +
+      "(SELECT w AS item, count(*) AS n FROM p GROUP BY 1) x " +
+      "USING (item)), " +
+      "t0 AS (SELECT item, 1.0 AS t FROM it)"
+    val rounds = (1 to iters).map { k =>
+      s"d$k AS (SELECT g.i AS item, sum(g.n / (ti.t + tj.t)) AS d " +
+        s"FROM g JOIN t${k - 1} ti ON g.i = ti.item " +
+        s"JOIN t${k - 1} tj ON g.j = tj.item GROUP BY 1), " +
+        s"r$k AS (SELECT wn.item, wn.wins / d$k.d AS t " +
+        s"FROM wn JOIN d$k USING (item)), " +
+        s"t$k AS MATERIALIZED (SELECT item, t / sum(t) OVER () AS t " +
+        s"FROM r$k)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      " SELECT wn.item, wn.wins, gt.games, " +
+      s"round(t$iters.t, 9) AS strength " +
+      "FROM wn JOIN (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games " +
+      s"FROM g GROUP BY 1) gt USING (item) JOIN t$iters USING (item) " +
+      "ORDER BY item"
+  }
+
   /** Unrolled synchronous label propagation over the q141 derived graph —
     * one (count, arg-max) CTE pair per round mirroring
     * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
@@ -1782,6 +1822,40 @@ object Oracles {
 
     // HITS: 5 unrolled rounds over the q141 graph, 9dp like PageRank.
     "q291_hits" -> hitsSql(5),
+
+    // Bradley–Terry: 5 unrolled MM rounds, 9dp.
+    "q295_bradley_terry" -> bradleyTerrySql(5),
+
+    // Krippendorff alpha: per-item disagreement + marginal closed forms,
+    // single-rating items dropped before BOTH rollups.
+    "q296_krippendorff" ->
+      ("WITH d AS (SELECT doc_id, lang FROM documents), " +
+        "rt AS (SELECT doc_id, lang AS label FROM d " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'zz' " +
+        "ELSE lang END FROM d " +
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'yy' " +
+        "ELSE lang END FROM d), " +
+        "rc AS (SELECT doc_id AS u, label AS c, count(*) AS r FROM rt " +
+        "GROUP BY 1, 2), " +
+        "pi AS (SELECT u, CAST(sum(r) AS BIGINT) AS m, " +
+        "CAST(sum(r * r) AS BIGINT) AS r2 FROM rc GROUP BY 1), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(m) AS BIGINT) AS n_ratings, " +
+        "sum((CAST(m AS DOUBLE) * m - r2) / (CAST(m AS DOUBLE) - 1.0)) " +
+        "AS dnum FROM pi WHERE m >= 2), " +
+        "marg AS (SELECT CAST(sum(nc) AS BIGINT) AS n, " +
+        "sum(CAST(nc AS DOUBLE) * nc) AS nc2 FROM " +
+        "(SELECT rc.c, CAST(sum(rc.r) AS BIGINT) AS nc FROM rc " +
+        "JOIN pi ON rc.u = pi.u WHERE pi.m >= 2 GROUP BY 1)), " +
+        "fin AS (SELECT n_items, n_ratings, " +
+        "dnum / CAST(n AS DOUBLE) AS d_o, " +
+        "(CAST(n AS DOUBLE) * n - nc2) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS d_e " +
+        "FROM agg, marg) " +
+        "SELECT n_items, n_ratings, round(d_o, 6) AS d_o, " +
+        "round(d_e, 6) AS d_e, " +
+        "round(CASE WHEN d_e > 0.0 THEN 1.0 - d_o / d_e ELSE 1.0 END, 6) " +
+        "AS alpha FROM fin"),
 
     // Nelson–Aalen: q198's subjects and risk sets; hazard and variance
     // running sums, same casts and op order as the operator.

@@ -4464,6 +4464,50 @@ object TestQueries {
         col("r_score"), col("f_score"), col("m_score"), col("segment"))
       .orderBy("user_id")
 
+  /** Bradley–Terry strengths ([[operators.Preferences.bradleyTerry]]):
+    * 16 synthetic "models" play preference matches derived from events
+    * (deterministic winner rule), 5 MM rounds. DuckDB replays the game/
+    * win tables and every round (MATERIALIZED CTEs — θ is referenced
+    * twice per round, the q291 inliner lesson), 9dp.
+    */
+  def q295BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val prefs = t(s, dir, "events")
+      .select((col("user_id") % 16).as("a"),
+        pmod(col("user_id") * 31, lit(16)).as("b"), col("event_id"))
+      .where(col("a") =!= col("b"))
+      .select(
+        when(col("event_id") % 3 === 0, least(col("a"), col("b")))
+          .otherwise(greatest(col("a"), col("b"))).as("winner"),
+        when(col("event_id") % 3 === 0, greatest(col("a"), col("b")))
+          .otherwise(least(col("a"), col("b"))).as("loser"))
+    operators.Preferences.bradleyTerry(prefs, "winner", "loser",
+        iterations = 5)
+      .select(col("item"), col("wins"), col("games"),
+        round(col("strength"), 9).as("strength"))
+      .orderBy("item")
+  }
+
+  /** Krippendorff's alpha ([[operators.Stats.krippendorffAlpha]]) over
+    * three synthetic labeling passes of the corpus (two with
+    * deterministic disagreement slices) — the many-rater reliability
+    * number. DuckDB replays the per-item disagreement and marginal
+    * closed forms.
+    */
+  def q296Krippendorff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang")
+    val ratings = d.select(col("doc_id"), col("lang").as("label"))
+      .union(d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("zz"))
+          .otherwise(col("lang")).as("label")))
+      .union(d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit("yy"))
+          .otherwise(col("lang")).as("label")))
+    operators.Stats.krippendorffAlpha(ratings, "doc_id", "label")
+      .select(col("n_items"), col("n_ratings"),
+        round(col("d_o"), 6).as("d_o"), round(col("d_e"), 6).as("d_e"),
+        round(col("alpha"), 6).as("alpha"))
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4904,6 +4948,8 @@ object TestQueries {
     "q292_nelson_aalen" -> (q292NelsonAalen _),
     "q293_cohort_ltv" -> (q293CohortLtv _),
     "q294_rfm" -> (q294Rfm _),
+    "q295_bradley_terry" -> (q295BradleyTerry _),
+    "q296_krippendorff" -> (q296Krippendorff _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

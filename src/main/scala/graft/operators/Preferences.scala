@@ -73,4 +73,63 @@ object Preferences {
         .as("frac_high_overlap"),
       avg("jaccard").as("mean_jaccard"))
   }
+
+  /** Bradley–Terry strength fitting over pairwise preferences (the batch
+    * analog of Elo, and the model RLHF reward data implicitly assumes):
+    * P(i beats j) = θᵢ/(θᵢ+θⱼ), fit by the classic MM iteration
+    * (Hunter 2004) θᵢ ← Wᵢ / Σⱼ nᵢⱼ/(θᵢ+θⱼ), normalized to Σθ = 1 per
+    * round. A FIXED number of synchronous rounds keeps it deterministic
+    * and oracle-replayable (the Graphs.pageRank discipline). Items with
+    * zero wins pin to strength 0 (MM's fixed point for them — they only
+    * ever lose). Returns one row per item: (item, wins, games, strength).
+    *
+    * Input: one row per comparison (winnerCol, loserCol). Shape: the
+    * comparison log collapses ONCE to a per-(i, j) game-count table
+    * (symmetrized) and a per-item win table; each round is one
+    * games⋈θ⋈θ join + a partial-aggregable per-item sum + a one-row
+    * normalizer broadcast, pinned per round — plan depth constant, and
+    * the row-scale log is never rescanned.
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+                   iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
+    def pin(d: DataFrame): DataFrame = d.localCheckpoint(eager = true)
+    val w = df.select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+      .where(col("__w") =!= col("__l"))
+    val winCounts = w.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val games = pin(w.select(col("__w").as("__i"), col("__l").as("__j"))
+      .union(w.select(col("__l").as("__i"), col("__w").as("__j")))
+      .groupBy("__i", "__j").agg(count(lit(1)).as("__g")))
+    val items = pin(games.select(col("__i").as("item")).distinct())
+    val wins = pin(items
+      .join(winCounts.withColumnRenamed("__w", "item"), Seq("item"), "left")
+      .select(col("item"), coalesce(col("__n"), lit(0L)).as("wins")))
+    var theta = pin(items.withColumn("__t", lit(1.0)))
+    var i = 0
+    while (i < iterations) {
+      val denom = games
+        .join(theta.select(col("item").as("__i"), col("__t").as("__ti")),
+          "__i")
+        .join(theta.select(col("item").as("__j"), col("__t").as("__tj")),
+          "__j")
+        .groupBy(col("__i").as("item"))
+        .agg(sum(col("__g") / (col("__ti") + col("__tj"))).as("__d"))
+      val raw = wins.join(denom, "item")
+        .select(col("item"), (col("wins") / col("__d")).as("__t"))
+      val tot = raw.agg(sum("__t").as("__s"))
+      val next = pin(raw.crossJoin(broadcast(tot))
+        .select(col("item"), (col("__t") / col("__s")).as("__t")))
+      Pinning.unpin(theta)
+      theta = next
+      i += 1
+    }
+    val totalGames = games.groupBy(col("__i").as("item"))
+      .agg(sum("__g").as("games"))
+    // games/wins stay pinned: the returned plan still reads them (a
+    // localCheckpoint has no lineage to recompute from); only the
+    // item spine is safe to release
+    Pinning.unpin(items)
+    wins.join(totalGames, "item")
+      .join(theta.withColumnRenamed("__t", "strength"), "item")
+  }
 }

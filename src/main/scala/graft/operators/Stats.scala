@@ -174,6 +174,54 @@ object Stats {
           .otherwise(0.0))
   }
 
+  /** Krippendorff's alpha (nominal) — [[cohenKappa]]'s generalization to
+    * ANY number of raters with missing ratings, the standard reliability
+    * number for crowdsourced labeling: α = 1 − D_o/D_e over the
+    * coincidence matrix. Rater identity never enters (only the multiset
+    * of labels per item), so input is simply one row per (item, label);
+    * items with a single rating drop (they carry no pairing). Closed
+    * forms used: per-item disagreement Σ_u (m_u² − Σ_c r_uc²)/(m_u − 1),
+    * chance disagreement from the label marginals (n² − Σ_c n_c²)/(n−1)·…
+    * — so D_o/D_e = (n − 1)·Σ_u[…] / (n² − Σ n_c²). Returns ONE row:
+    * (n_items, n_ratings, d_o, d_e, alpha). A degenerate corpus (every
+    * rating the same label → D_e = 0) reports α = 1.
+    *
+    * Two partial-aggregable passes — (item, label) counts, then per-item
+    * and marginal rollups over the COUNT table — nothing row-scale moves
+    * twice; no pair table ever materializes (the naive coincidence
+    * matrix is Σ m_u² rows).
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val rc = df.groupBy(col(itemCol).as("__u"),
+        col(labelCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__r"))
+    val perItem = rc.groupBy("__u")
+      .agg(sum("__r").as("__m"), sum(col("__r") * col("__r")).as("__r2"))
+      .where(col("__m") >= 2)
+      .agg(count(lit(1)).as("n_items"),
+        sum("__m").as("n_ratings"),
+        sum((col("__m").cast("double") * col("__m") - col("__r2")) /
+          (col("__m").cast("double") - 1.0)).as("__dnum"))
+    // marginals over qualifying items only — recount after the m ≥ 2 cut
+    val qual = rc.withColumn("__m",
+        sum("__r").over(Window.partitionBy("__u")))
+      .where(col("__m") >= 2)
+    val marg = qual.groupBy("__c").agg(sum("__r").as("__nc"))
+      .agg(sum("__nc").as("__n"),
+        sum(col("__nc").cast("double") * col("__nc")).as("__nc2"))
+    perItem.crossJoin(broadcast(marg))
+      .withColumn("d_o", col("__dnum") / col("__n").cast("double"))
+      .withColumn("d_e",
+        (col("__n").cast("double") * col("__n") - col("__nc2")) /
+          (col("__n").cast("double") * (col("__n").cast("double") - 1.0)))
+      .withColumn("alpha",
+        when(col("d_e") > 0.0, lit(1.0) - col("d_o") / col("d_e"))
+          .otherwise(1.0))
+      .select(col("n_items"), col("n_ratings"), col("d_o"), col("d_e"),
+        col("alpha"))
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns, plus Cramér's V effect size — the "is source correlated with
     * language / label / quality tier" screen run before stratifying on

@@ -888,6 +888,39 @@ object ScaleCheck {
           ev.withColumn("ep", unix_timestamp(col("ts"))),
           "event_id", "ep", "value").count()
       },
+      "bradley_terry" -> { dir =>
+        // items ≈ rows/10: the game table and every MM round's join must
+        // scale with the comparison log, never quadratically in items
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val prefs = ev.select((col("event_id") % 100000).as("a"),
+            pmod(col("event_id") * 31 + 7, lit(100000)).as("b"),
+            col("event_id"))
+          .where(col("a") =!= col("b"))
+          .select(when(col("event_id") % 3 === 0,
+              least(col("a"), col("b")))
+              .otherwise(greatest(col("a"), col("b"))).as("w"),
+            when(col("event_id") % 3 === 0, greatest(col("a"), col("b")))
+              .otherwise(least(col("a"), col("b"))).as("l"))
+        graft.operators.Preferences.bradleyTerry(prefs, "w", "l",
+          iterations = 5).count()
+      },
+      "krippendorff" -> { dir =>
+        // items ≈ rows, 3 ratings each: both rollups run over the
+        // (item, label) count table — the Σm² coincidence matrix never
+        // materializes
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val base = ev.select(col("event_id").as("item"),
+          col("event_type").as("label"))
+        val ratings = base
+          .union(base.select(col("item"),
+            when(col("item") % 7 === 0, lit("zz"))
+              .otherwise(col("label")).as("label")))
+          .union(base.select(col("item"),
+            when(col("item") % 13 === 0, lit("yy"))
+              .otherwise(col("label")).as("label")))
+        graft.operators.Stats.krippendorffAlpha(ratings, "item", "label")
+          .count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

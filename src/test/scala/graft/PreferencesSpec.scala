@@ -47,4 +47,33 @@ class PreferencesSpec extends AnyFunSuite {
     assert(math.abs(a.getAs[Double]("frac_high_overlap") - 0.25) < 1e-12)
     assert(math.abs(a.getAs[Double]("mean_jaccard") - 0.5) < 1e-12)
   }
+
+  private def bt(games: Seq[(String, String)],
+                 iters: Int): Map[String, (Long, Long, Double)] =
+    Preferences.bradleyTerry(games.toDF("w", "l"), "w", "l",
+        iterations = iters)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("wins"), r.getAs[Long]("games"),
+          r.getAs[Double]("strength")))).toMap
+
+  test("bradleyTerry: two players converge to the win share") {
+    // BT MLE for two players IS the win rate; MM reaches it in one round
+    val r = bt(Seq(("A", "B"), ("A", "B"), ("B", "A")), iters = 5)
+    assert(r("A") === ((2L, 3L, r("A")._3)))
+    assert(math.abs(r("A")._3 - 2.0 / 3) < 1e-12)
+    assert(math.abs(r("B")._3 - 1.0 / 3) < 1e-12)
+  }
+
+  test("bradleyTerry: a zero-win item pins to strength 0") {
+    val r = bt(Seq(("A", "B")), iters = 3)
+    assert(r("A")._3 === 1.0 && r("B")._3 === 0.0)
+    assert(r("B")._1 === 0L && r("B")._2 === 1L)
+  }
+
+  test("bradleyTerry: transitive wins order the strengths") {
+    val r = bt(Seq(("A", "B"), ("B", "C"), ("A", "C"),
+      ("B", "A"), ("C", "B"), ("A", "B")), iters = 20)
+    assert(r("A")._3 > r("B")._3 && r("B")._3 > r("C")._3)
+    assert(math.abs(r.values.map(_._3).sum - 1.0) < 1e-12)
+  }
 }

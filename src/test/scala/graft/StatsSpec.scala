@@ -961,6 +961,29 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("var_sum"), 0.0))
   }
 
+  test("krippendorffAlpha: perfect agreement is 1, known mixed case 4/9") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    assert(d(Stats.krippendorffAlpha(perfect, "item", "label")
+      .head().getAs[Double]("alpha"), 1.0))
+    // i1 (a,a), i2 (a,b), i3 (b,b): D_o = 1/3, D_e = 0.6 → α = 4/9
+    val mixed = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b")).toDF("item", "label")
+    val r = Stats.krippendorffAlpha(mixed, "item", "label").head()
+    assert(d(r.getAs[Double]("d_o"), 1.0 / 3))
+    assert(d(r.getAs[Double]("d_e"), 0.6))
+    assert(d(r.getAs[Double]("alpha"), 4.0 / 9))
+  }
+
+  test("krippendorffAlpha: single-rating items drop from BOTH rollups") {
+    val mixed = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (4L, "a")).toDF("item", "label")
+    val r = Stats.krippendorffAlpha(mixed, "item", "label").head()
+    assert(r.getAs[Long]("n_items") === 3L)
+    assert(r.getAs[Long]("n_ratings") === 6L)
+    assert(d(r.getAs[Double]("alpha"), 4.0 / 9)) // i4 must not move margins
+  }
+
   test("nelsonAalen: hand-summed hazard and variance with censoring") {
     // t=1: n=3, d=1 → H = 1/3, V = 1/9. t=2: n=2, d=1 → H = 5/6,
     // V = 1/9 + 1/4 = 13/36. censored t=3 row emits no output row.
