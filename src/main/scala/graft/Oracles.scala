@@ -475,6 +475,61 @@ object Oracles {
       "ORDER BY item"
   }
 
+  /** Unrolled Dawid–Skene EM over q296's three synthetic raters. The
+    * posterior CTEs are MATERIALIZED (each round reads the previous one
+    * from the prior, denominator AND numerator — 3^rounds inlining
+    * otherwise); the E-step normalization splits into two CTEs because a
+    * window cannot nest inside another window's argument.
+    */
+  private def dawidSkeneSql(iters: Int, eps: Double): String = {
+    val head =
+      "WITH d AS (SELECT doc_id, lang FROM documents), " +
+      "rt AS MATERIALIZED (SELECT doc_id AS item, 1 AS rater, " +
+      "lang AS label FROM d " +
+      "UNION ALL SELECT doc_id, 2, CASE WHEN doc_id % 7 = 0 THEN 'zz' " +
+      "ELSE lang END FROM d " +
+      "UNION ALL SELECT doc_id, 3, CASE WHEN doc_id % 13 = 0 THEN 'yy' " +
+      "ELSE lang END FROM d), " +
+      "cls AS MATERIALIZED (SELECT DISTINCT label AS c FROM rt), " +
+      "cc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt " +
+      "FROM cls), " +
+      "mi AS MATERIALIZED (SELECT item, CAST(count(*) AS BIGINT) AS m " +
+      "FROM rt GROUP BY 1), " +
+      "ni AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM mi), " +
+      "nir AS MATERIALIZED (SELECT item, rater, " +
+      "CAST(count(*) AS BIGINT) AS nir FROM rt GROUP BY 1, 2), " +
+      "t0 AS MATERIALIZED (SELECT v.item, v.c, " +
+      "v.v / CAST(mi.m AS DOUBLE) AS t FROM " +
+      "(SELECT item, label AS c, CAST(count(*) AS BIGINT) AS v FROM rt " +
+      "GROUP BY 1, 2) v JOIN mi USING (item))"
+    val rounds = (1 to iters).map { k =>
+      s"pr$k AS (SELECT c, s / ni.n AS p FROM " +
+        s"(SELECT c, sum(t) AS s FROM t${k - 1} GROUP BY 1), ni), " +
+        s"den$k AS (SELECT nir.rater, t.c, sum(nir.nir * t.t) AS den " +
+        s"FROM nir JOIN t${k - 1} t USING (item) GROUP BY 1, 2), " +
+        s"num$k AS (SELECT rt.rater, t.c, rt.label AS k, sum(t.t) AS num " +
+        s"FROM rt JOIN t${k - 1} t USING (item) GROUP BY 1, 2, 3), " +
+        s"e$k AS (SELECT rt.item, cls.c, " +
+        s"sum(ln((COALESCE(n.num, 0.0) + $eps) / " +
+        s"(COALESCE(dd.den, 0.0) + $eps * cc.cnt))) AS lsum " +
+        s"FROM rt CROSS JOIN cls CROSS JOIN cc " +
+        s"LEFT JOIN num$k n ON n.rater = rt.rater AND n.c = cls.c " +
+        s"AND n.k = rt.label " +
+        s"LEFT JOIN den$k dd ON dd.rater = rt.rater AND dd.c = cls.c " +
+        s"GROUP BY 1, 2), " +
+        s"s$k AS (SELECT e.item, e.c, ln(p.p) + e.lsum AS sc " +
+        s"FROM e$k e JOIN pr$k p USING (c)), " +
+        s"sx$k AS (SELECT item, c, " +
+        s"exp(sc - max(sc) OVER (PARTITION BY item)) AS ex FROM s$k), " +
+        s"t$k AS MATERIALIZED (SELECT item, c, " +
+        s"ex / sum(ex) OVER (PARTITION BY item) AS t FROM sx$k)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT item, c AS label, round(t, 6) AS posterior, " +
+      "(row_number() OVER (PARTITION BY item ORDER BY t DESC, c) = 1) " +
+      s"AS is_map FROM t$iters ORDER BY item, label"
+  }
+
   /** Unrolled synchronous label propagation over the q141 derived graph —
     * one (count, arg-max) CTE pair per round mirroring
     * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
@@ -1825,6 +1880,9 @@ object Oracles {
 
     // Bradley–Terry: 5 unrolled MM rounds, 9dp.
     "q295_bradley_terry" -> bradleyTerrySql(5),
+
+    // Dawid–Skene: 2 unrolled EM rounds, posteriors 6dp + MAP flags.
+    "q297_dawid_skene" -> dawidSkeneSql(2, 0.01),
 
     // Krippendorff alpha: per-item disagreement + marginal closed forms,
     // single-rating items dropped before BOTH rollups.

@@ -4508,6 +4508,30 @@ object TestQueries {
         round(col("alpha"), 6).as("alpha"))
   }
 
+  /** Dawid–Skene label aggregation ([[operators.Stats.dawidSkene]]):
+    * q296's three synthetic raters, 2 EM rounds — per-item posteriors
+    * and MAP labels with per-rater confusion estimation. DuckDB replays
+    * init shares, both M-step tables, the smoothed log-space E-step and
+    * the item-window normalization (MATERIALIZED posterior CTEs — each
+    * round reads the previous posterior three times).
+    */
+  def q297DawidSkene(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang")
+    val ratings = d.select(col("doc_id"), lit(1).as("rater"),
+        col("lang").as("label"))
+      .union(d.select(col("doc_id"), lit(2).as("rater"),
+        when(col("doc_id") % 7 === 0, lit("zz"))
+          .otherwise(col("lang")).as("label")))
+      .union(d.select(col("doc_id"), lit(3).as("rater"),
+        when(col("doc_id") % 13 === 0, lit("yy"))
+          .otherwise(col("lang")).as("label")))
+    operators.Stats.dawidSkene(ratings, "doc_id", "rater", "label",
+        iterations = 2)
+      .select(col("item"), col("label"),
+        round(col("posterior"), 6).as("posterior"), col("is_map"))
+      .orderBy("item", "label")
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4950,6 +4974,7 @@ object TestQueries {
     "q294_rfm" -> (q294Rfm _),
     "q295_bradley_terry" -> (q295BradleyTerry _),
     "q296_krippendorff" -> (q296Krippendorff _),
+    "q297_dawid_skene" -> (q297DawidSkene _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

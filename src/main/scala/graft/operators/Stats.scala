@@ -222,6 +222,84 @@ object Stats {
         col("alpha"))
   }
 
+  /** Dawid–Skene label aggregation (1979) — the step past majority vote
+    * for crowdsourced/model-ensemble labels: jointly estimate per-rater
+    * CONFUSION MATRICES and per-item posterior labels, so a rater who is
+    * reliably wrong in a known direction still contributes signal.
+    * Fixed EM rounds (deterministic, oracle-replayable): init = soft
+    * majority shares; M-step re-estimates class priors and
+    * Laplace-smoothed confusions π_rck from the current posteriors;
+    * E-step rebuilds posteriors in log space with max-subtraction
+    * (the domainReweight stabilization). Returns one row per
+    * (item, label): posterior plus `is_map` (argmax, label-asc
+    * tiebroken).
+    *
+    * Scale shape: every M-step table is keyed on (rater, class[, label])
+    * — rater-count × C² rows, never item-scale; the E-step expands
+    * ratings × C through ONE broadcast of the C-row class spine
+    * (`maxClasses` guards the bounded-domain contract), aggregates back
+    * to (item, class), and normalizes over C-row item windows. Posterior
+    * frames pin per round (the pageRank discipline), so plan depth stays
+    * constant. N and C are bounded driver scalars.
+    */
+  def dawidSkene(df: DataFrame, itemCol: String, raterCol: String,
+                 labelCol: String, iterations: Int = 2,
+                 epsilon: Double = 0.01,
+                 maxClasses: Int = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    def pin(d: DataFrame): DataFrame = d.localCheckpoint(eager = true)
+    val rt = pin(df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+      col(labelCol).cast("string").as("__k")))
+    val classes = pin(rt.select(col("__k").as("__c")).distinct())
+    val cCnt = classes.count()
+    require(cCnt <= maxClasses,
+      s"dawidSkene is a bounded-label-domain operator, but the input has " +
+        s"$cCnt distinct labels (> maxClasses=$maxClasses). Collapse the " +
+        s"label space or raise maxClasses explicitly.")
+    val mi = rt.groupBy("__i").agg(count(lit(1)).as("__m"))
+    val nItems = mi.count().toDouble
+    val nir = pin(rt.groupBy("__i", "__r").agg(count(lit(1)).as("__nir")))
+    var post = pin(rt.groupBy(col("__i"), col("__k").as("__c"))
+      .agg(count(lit(1)).as("__v"))
+      .join(mi, "__i")
+      .select(col("__i"), col("__c"),
+        (col("__v") / col("__m").cast("double")).as("__t")))
+    val wItem = Window.partitionBy("__i") // ≤ C rows per item
+    var i = 0
+    while (i < iterations) {
+      val prior = post.groupBy("__c")
+        .agg((sum("__t") / nItems).as("__p"))
+      val den = nir.join(post, "__i")
+        .groupBy("__r", "__c")
+        .agg(sum(col("__nir") * col("__t")).as("__den"))
+      val num = rt.join(post, "__i")
+        .groupBy("__r", "__c", "__k")
+        .agg(sum("__t").as("__num"))
+      val scored = rt.crossJoin(broadcast(classes))
+        .join(num, Seq("__r", "__c", "__k"), "left")
+        .join(den, Seq("__r", "__c"), "left")
+        .withColumn("__lp",
+          log((coalesce(col("__num"), lit(0.0)) + epsilon) /
+            (coalesce(col("__den"), lit(0.0)) + epsilon * cCnt)))
+        .groupBy("__i", "__c").agg(sum("__lp").as("__lsum"))
+        .join(prior, "__c")
+        .withColumn("__sc", log(col("__p")) + col("__lsum"))
+        .withColumn("__ex", exp(col("__sc") - max("__sc").over(wItem)))
+      val next = pin(scored
+        .withColumn("__t", col("__ex") / sum("__ex").over(wItem))
+        .select("__i", "__c", "__t"))
+      Pinning.unpin(post)
+      post = next
+      i += 1
+    }
+    post
+      .withColumn("is_map", row_number().over(
+        wItem.orderBy(col("__t").desc, col("__c"))) === 1)
+      .select(col("__i").as("item"), col("__c").as("label"),
+        col("__t").as("posterior"), col("is_map"))
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns, plus Cramér's V effect size — the "is source correlated with
     * language / label / quality tier" screen run before stratifying on

@@ -921,6 +921,23 @@ object ScaleCheck {
         graft.operators.Stats.krippendorffAlpha(ratings, "item", "label")
           .count()
       },
+      "dawid_skene" -> { dir =>
+        // items ≈ rows/3, C bounded: E-step expands ratings × C through
+        // one broadcast spine; M-step tables are rater × C² — never
+        // item-scale joins beyond (item)-keyed aggregates
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val base = ev.select(col("event_id").as("item"),
+          col("event_type").as("label"))
+        val ratings = base.withColumn("rater", lit(1))
+          .union(base.select(col("item"),
+            when(col("item") % 7 === 0, lit("zz"))
+              .otherwise(col("label")).as("label")).withColumn("rater", lit(2)))
+          .union(base.select(col("item"),
+            when(col("item") % 13 === 0, lit("yy"))
+              .otherwise(col("label")).as("label")).withColumn("rater", lit(3)))
+        graft.operators.Stats.dawidSkene(ratings, "item", "rater",
+          "label", iterations = 2).count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

@@ -984,6 +984,33 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("alpha"), 4.0 / 9)) // i4 must not move margins
   }
 
+  test("dawidSkene: recovers the majority truth past a broken rater") {
+    // raters 1 and 2 tell the truth; rater 3 always answers "x" — its
+    // confusion row is uninformative and the posteriors should
+    // concentrate on the two-vote majority
+    val truth = Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b")
+    val rows = truth.toSeq.flatMap { case (i, l) =>
+      Seq((i, 1, l), (i, 2, l), (i, 3, "x")) }
+    val got = Stats.dawidSkene(rows.toDF("item", "rater", "label"),
+      "item", "rater", "label", iterations = 2).collect()
+    val byItem = got.groupBy(_.getLong(0))
+    byItem.foreach { case (i, rs) =>
+      val mapRow = rs.find(_.getAs[Boolean]("is_map")).get
+      assert(mapRow.getString(1) === truth(i))
+      assert(mapRow.getAs[Double]("posterior") > 0.5)
+      assert(d(rs.map(_.getAs[Double]("posterior")).sum, 1.0))
+    }
+  }
+
+  test("dawidSkene: the label-domain guard fails fast") {
+    val wide = (1 to 101).map(k => (1L, k, s"label_$k"))
+    val ex = intercept[IllegalArgumentException] {
+      Stats.dawidSkene(wide.toDF("item", "rater", "label"),
+        "item", "rater", "label").collect()
+    }
+    assert(ex.getMessage.contains("maxClasses"))
+  }
+
   test("nelsonAalen: hand-summed hazard and variance with censoring") {
     // t=1: n=3, d=1 → H = 1/3, V = 1/9. t=2: n=2, d=1 → H = 5/6,
     // V = 1/9 + 1/4 = 13/36. censored t=3 row emits no output row.
