@@ -1884,6 +1884,61 @@ object Oracles {
     // Dawid–Skene: 2 unrolled EM rounds, posteriors 6dp + MAP flags.
     "q297_dawid_skene" -> dawidSkeneSql(2, 0.01),
 
+    // Always-valid monitor: daily cumulative arm counts (exact integers,
+    // so every derived double is bit-identical), pooled variance and the
+    // log mixture e-value in the operator's op order.
+    "q298_always_valid" ->
+      ("WITH per AS (SELECT floor(floor(epoch(ts)) / 86400) AS bin, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS nb, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM events GROUP BY 1), " +
+        "cum AS (SELECT bin, " +
+        "CAST(sum(na) OVER (ORDER BY bin) AS BIGINT) AS n_a, " +
+        "CAST(sum(nb) OVER (ORDER BY bin) AS BIGINT) AS n_b, " +
+        "CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS conv_a, " +
+        "CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS conv_b " +
+        "FROM per), " +
+        "f AS (SELECT *, conv_a / CAST(n_a AS DOUBLE) AS p_a, " +
+        "conv_b / CAST(n_b AS DOUBLE) AS p_b, " +
+        "conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE) " +
+        "AS diff, " +
+        "CAST(conv_a + conv_b AS DOUBLE) / " +
+        "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool FROM cum), " +
+        "v AS (SELECT *, pool * (1.0 - pool) * " +
+        "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS vv " +
+        "FROM f), " +
+        "ev AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND vv > 0 THEN " +
+        "0.5 * ln(vv / (vv + 0.0001)) + diff * diff * 0.0001 / " +
+        "(2.0 * vv * (vv + 0.0001)) END AS log_e FROM v) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b, conv_a, conv_b, " +
+        "round(p_a, 6) AS p_a, round(p_b, 6) AS p_b, " +
+        "round(diff, 6) AS diff, round(log_e, 6) AS log_e_value, " +
+        "log_e >= ln(1.0 / 0.05) AS can_stop FROM ev ORDER BY bin"),
+
+    // EB shrinkage: per-group moments, the G-row rollup and the
+    // precision-weighted blend, same op order.
+    "q299_eb_shrink" ->
+      ("WITH per AS (SELECT doc_id % 251 AS g, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "avg(CAST(n_chars AS DOUBLE)) AS mean, " +
+        "var_samp(CAST(n_chars AS DOUBLE)) / CAST(count(*) AS DOUBLE) " +
+        "AS se2 FROM documents GROUP BY 1), " +
+        "roll AS (SELECT avg(mean) AS center, var_samp(mean) AS vb, " +
+        "avg(se2) AS mse2 FROM per), " +
+        "f AS (SELECT per.*, center, " +
+        "greatest(0.0, vb - mse2) AS tau2 FROM per, roll), " +
+        "s AS (SELECT g, n, mean, se2, center, " +
+        "CASE WHEN se2 IS NULL THEN 0.0 ELSE tau2 / (tau2 + se2) END " +
+        "AS w FROM f) " +
+        "SELECT g, n, round(mean, 6) AS mean, round(se2, 6) AS se2, " +
+        "round(w * mean + (1.0 - w) * center, 6) AS shrunk_mean, " +
+        "round(w, 6) AS shrink_weight FROM s ORDER BY g"),
+
     // Krippendorff alpha: per-item disagreement + marginal closed forms,
     // single-rating items dropped before BOTH rollups.
     "q296_krippendorff" ->

@@ -4532,6 +4532,38 @@ object TestQueries {
       .orderBy("item", "label")
   }
 
+  /** Always-valid A/B monitor
+    * ([[operators.EventAnalytics.alwaysValidMonitor]]): daily cumulative
+    * arm counts and the log mixture-SPRT e-value over the even/odd-user
+    * purchase split — the peeking-safe companion to q71's fixed-horizon
+    * z. DuckDB replays the running sums and the closed form exactly.
+    */
+  def q298AlwaysValid(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.alwaysValidMonitor(t(s, dir, "events"),
+        col("user_id") % 2 === 0, "ts", col("event_type") === "purchase",
+        binSeconds = 86400L, tau = 1e-4, alpha = 0.05)
+      .select(col("bin"), col("n_a"), col("n_b"), col("conv_a"),
+        col("conv_b"), round(col("p_a"), 6).as("p_a"),
+        round(col("p_b"), 6).as("p_b"), round(col("diff"), 6).as("diff"),
+        round(col("log_e_value"), 6).as("log_e_value"), col("can_stop"))
+      .orderBy("bin")
+
+  /** Empirical-Bayes mean shrinkage ([[operators.Stats.ebShrinkMeans]]):
+    * per-(doc_id mod 251) mean n_chars pulled toward the cross-group
+    * center by noise — the leaderboard de-noiser. DuckDB replays the
+    * moment estimates and the precision-weighted blend.
+    */
+  def q299EbShrink(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.ebShrinkMeans(
+        t(s, dir, "documents").select(pmod(col("doc_id"), lit(251)).as("g"),
+          col("n_chars")),
+        Seq("g"), "n_chars")
+      .select(col("g"), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("se2"), 6).as("se2"),
+        round(col("shrunk_mean"), 6).as("shrunk_mean"),
+        round(col("shrink_weight"), 6).as("shrink_weight"))
+      .orderBy("g")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -4975,6 +5007,8 @@ object TestQueries {
     "q295_bradley_terry" -> (q295BradleyTerry _),
     "q296_krippendorff" -> (q296Krippendorff _),
     "q297_dawid_skene" -> (q297DawidSkene _),
+    "q298_always_valid" -> (q298AlwaysValid _),
+    "q299_eb_shrink" -> (q299EbShrink _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

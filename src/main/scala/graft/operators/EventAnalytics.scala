@@ -735,6 +735,64 @@ object EventAnalytics {
         col("f_score").cast("string"), col("m_score").cast("string")))
   }
 
+  /** Always-valid A/B monitoring (mixture SPRT, Robbins 1970 /
+    * Johari et al. 2017): the peeking-safe alternative to [[abLift]]'s
+    * fixed-horizon z — a per-period e-process that stays a valid test no
+    * matter how often the dashboard looks. Per `binSeconds` bucket:
+    * cumulative arm counts/conversions, the pooled-variance difference,
+    * and the LOG mixture e-value
+    * ln Λ_n = ½·ln(Vₙ/(Vₙ+τ)) + δₙ²·τ/(2·Vₙ·(Vₙ+τ)); `can_stop` fires
+    * when ln Λ_n ≥ ln(1/α). Reported in log space deliberately — the raw
+    * e-value overflows binary64 once the effect is decisive. Returns one
+    * row per bin: (bin, n_a, n_b, conv_a, conv_b, p_a, p_b, diff,
+    * log_e_value, can_stop); bins before both arms have data report a
+    * null e-value.
+    *
+    * Shape: one per-bin aggregate (arm pivoted to columns), cumulative
+    * counts from ONE [[operators.Ranks.running]] pass over the bin
+    * domain, closed-form projections after — never a per-arm window or a
+    * global sort.
+    */
+  def alwaysValidMonitor(df: DataFrame, armACol: Column, tsCol: String,
+                         convCol: Column, binSeconds: Long,
+                         tau: Double = 1e-4,
+                         alpha: Double = 0.05): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    require(tau > 0, s"tau must be positive: $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val conv = when(convCol, 1L).otherwise(0L)
+    val per = df
+      .groupBy(floor(col(tsCol).cast("long") / binSeconds).as("bin"))
+      .agg(sum(when(armACol, 1L).otherwise(0L)).as("__na"),
+        sum(when(!armACol, 1L).otherwise(0L)).as("__nb"),
+        sum(when(armACol, conv).otherwise(0L)).as("__ca"),
+        sum(when(!armACol, conv).otherwise(0L)).as("__cb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a") / na
+    val pb = col("conv_b") / nb
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (na + nb)
+    val v = pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb)
+    Ranks.running(per, Seq(col("bin")),
+        sums = Seq("__na" -> "n_a", "__nb" -> "n_b",
+          "__ca" -> "conv_a", "__cb" -> "conv_b"))
+      .withColumn("p_a", pa)
+      .withColumn("p_b", pb)
+      .withColumn("diff", pa - pb)
+      .withColumn("__v", v)
+      .withColumn("log_e_value",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__v") > 0,
+          lit(0.5) * log(col("__v") / (col("__v") + tau)) +
+            col("diff") * col("diff") * tau /
+              (lit(2.0) * col("__v") * (col("__v") + tau))))
+      .withColumn("can_stop",
+        col("log_e_value") >= math.log(1.0 / alpha))
+      .select(col("bin"), col("n_a"), col("n_b"), col("conv_a"),
+        col("conv_b"), col("p_a"), col("p_b"), col("diff"),
+        col("log_e_value"), col("can_stop"))
+  }
+
   /** Difference-in-differences — [[cuped]]'s observational sibling: when
     * assignment was NOT randomized but both groups are observed before and
     * after the intervention, the treatment effect is the treated group's

@@ -300,6 +300,45 @@ object Stats {
         col("__t").as("posterior"), col("is_map"))
   }
 
+  /** Empirical-Bayes shrinkage of per-group means (method-of-moments
+    * random-effects, the James–Stein idea): a group's observed mean is
+    * pulled toward the cross-group center in proportion to how NOISY it
+    * is — small segments stop winning leaderboards on luck. Between-group
+    * variance τ² = max(0, var(group means) − avg(SE²)); each group's
+    * posterior mean is the precision-weighted blend
+    * (τ²·mean_g + SE²_g·μ̄)/(τ² + SE²_g) with weight τ²/(τ²+SE²_g) on
+    * the observed mean. Single-observation groups (undefined SE²) shrink
+    * fully to the center, and a degenerate single-GROUP input reports
+    * weight 0 with shrunk = its own mean (Spark `greatest` skips the
+    * null between-variance). Returns per group: (groupCols..., n, mean,
+    * se2, shrunk_mean, shrink_weight).
+    *
+    * ONE per-group aggregate + one G-row scalar rollup broadcast back —
+    * nothing row-scale moves twice.
+    */
+  def ebShrinkMeans(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val per = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        avg(col(valueCol).cast("double")).as("mean"),
+        (var_samp(col(valueCol).cast("double")) /
+          count(lit(1)).cast("double")).as("se2"))
+    val roll = per.agg(avg("mean").as("__center"),
+      var_samp("mean").as("__vb"), avg("se2").as("__mse2"))
+    per.crossJoin(broadcast(roll))
+      .withColumn("__tau2",
+        greatest(lit(0.0), col("__vb") - col("__mse2")))
+      .withColumn("shrink_weight",
+        when(col("se2").isNull, lit(0.0))
+          .otherwise(col("__tau2") / (col("__tau2") + col("se2"))))
+      .withColumn("shrunk_mean",
+        col("shrink_weight") * col("mean") +
+          (lit(1.0) - col("shrink_weight")) * col("__center"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("mean"),
+        col("se2"), col("shrunk_mean"), col("shrink_weight")): _*)
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns, plus Cramér's V effect size — the "is source correlated with
     * language / label / quality tier" screen run before stratifying on

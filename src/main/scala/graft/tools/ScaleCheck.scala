@@ -938,6 +938,22 @@ object ScaleCheck {
         graft.operators.Stats.dawidSkene(ratings, "item", "rater",
           "label", iterations = 2).count()
       },
+      "always_valid" -> { dir =>
+        // bins ≈ rows/30 (minute grain): per-bin aggregate + one
+        // Ranks.running pass + closed-form projections
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.EventAnalytics.alwaysValidMonitor(ev,
+          col("user_id") % 2 === 0, "ts",
+          col("event_type") === "purchase", binSeconds = 60L).count()
+      },
+      "eb_shrink" -> { dir =>
+        // groups ≈ rows/10: one per-group aggregate + a G-row rollup
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.ebShrinkMeans(
+          ev.select(pmod(col("event_id"), lit(100000)).as("g"),
+            col("value")),
+          Seq("g"), "value").count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

@@ -416,6 +416,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got("u3") === ((0L, 3L, 30.0, "222")))
   }
 
+  test("alwaysValidMonitor: hand-computed bin, cumulation, null guard") {
+    // bin 0: arm A 2/2 converts, arm B 0/2 — pooled p = .5, V = .25;
+    // with τ = .25: ln Λ = .5·ln(.5) + 1·.25/(2·.25·.5) ≈ 0.6534
+    val rows = Seq(
+      (true, 10L, true), (true, 20L, true),
+      (false, 30L, false), (false, 40L, false),
+      // bin 1: only arm A reports — e-value must stay defined (cumulative
+      // counts still cover both arms) and conversions accumulate
+      (true, 100000L, false))
+      .toDF("a", "ep", "conv")
+    val got = operators.EventAnalytics.alwaysValidMonitor(rows, col("a"),
+        "ep", col("conv"), binSeconds = 86400L, tau = 0.25, alpha = 0.5)
+      .orderBy("bin").collect()
+    assert(got.length === 2)
+    val b0 = got(0)
+    assert(b0.getAs[Long]("n_a") === 2L && b0.getAs[Long]("conv_b") === 0L)
+    assert(math.abs(b0.getAs[Double]("diff") - 1.0) < 1e-12)
+    assert(math.abs(b0.getAs[Double]("log_e_value") -
+      (0.5 * math.log(0.5) + 1.0)) < 1e-12)
+    assert(!b0.getAs[Boolean]("can_stop")) // ln(1/.5) ≈ .693 > .653
+    val b1 = got(1)
+    assert(b1.getAs[Long]("n_a") === 3L && b1.getAs[Long]("n_b") === 2L)
+    assert(!b1.isNullAt(b1.fieldIndex("log_e_value")))
+  }
+
+  test("alwaysValidMonitor: one-arm prefix reports a null e-value") {
+    val rows = Seq((true, 10L, true), (true, 20L, false))
+      .toDF("a", "ep", "conv")
+    val r = operators.EventAnalytics.alwaysValidMonitor(rows, col("a"),
+      "ep", col("conv"), binSeconds = 86400L).head()
+    assert(r.isNullAt(r.fieldIndex("log_e_value")))
+  }
+
   test("diffInDiff: hand-computed 2×2 cells, effect and SE") {
     val rows = Seq(
       (true, false, 1.0), (true, false, 2.0),   // treated pre: mean 1.5

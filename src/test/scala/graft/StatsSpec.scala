@@ -1011,6 +1011,29 @@ class StatsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxClasses"))
   }
 
+  test("ebShrinkMeans: hand-computed moment estimates and blend") {
+    // g1: (0,2) mean 1, se2 1; g2: (10,12) mean 11, se2 1
+    // center 6, vb 50, mse2 1 → τ² 49, w .98, shrunk(g1) 1.1
+    val rows = Seq(("g1", 0.0), ("g1", 2.0), ("g2", 10.0), ("g2", 12.0))
+      .toDF("g", "v")
+    val got = Stats.ebShrinkMeans(rows, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("shrunk_mean"),
+          r.getAs[Double]("shrink_weight")))).toMap
+    assert(d(got("g1")._2, 0.98) && d(got("g2")._2, 0.98))
+    assert(d(got("g1")._1, 0.98 * 1 + 0.02 * 6))
+    assert(d(got("g2")._1, 0.98 * 11 + 0.02 * 6))
+  }
+
+  test("ebShrinkMeans: a singleton group shrinks fully to the center") {
+    val rows = Seq(("g1", 0.0), ("g1", 2.0), ("g2", 10.0), ("g2", 12.0),
+      ("g3", 5.0)).toDF("g", "v")
+    val r = Stats.ebShrinkMeans(rows, Seq("g"), "v")
+      .where(col("g") === "g3").head()
+    assert(r.getAs[Double]("shrink_weight") === 0.0)
+    assert(d(r.getAs[Double]("shrunk_mean"), (1.0 + 11.0 + 5.0) / 3))
+  }
+
   test("nelsonAalen: hand-summed hazard and variance with censoring") {
     // t=1: n=3, d=1 → H = 1/3, V = 1/9. t=2: n=2, d=1 → H = 5/6,
     // V = 1/9 + 1/4 = 13/36. censored t=3 row emits no output row.
