@@ -530,6 +530,47 @@ object Oracles {
       s"AS is_map FROM t$iters ORDER BY item, label"
   }
 
+  /** q302's hash-permutation test: one aggregate carrying the observed
+    * split plus 2k md5-parity conditional sums (generated, like the
+    * operator's expression list), then row arithmetic and the add-one
+    * p-value. Outcomes are integer counts, so every double is exact and
+    * the extreme count replays bit-for-bit.
+    */
+  private def permutationTestSql(k: Int): String = {
+    def par(s: Int): String = {
+      val a = s"ascii(substr(md5(CAST(user_id AS VARCHAR) || chr(1) || " +
+        s"'p${s}r0'), 1, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END) % 2 = 1"
+    }
+    val saltAggs = (0 until k).map { s =>
+      s"sum(CASE WHEN ${par(s)} THEN CAST(y AS DOUBLE) ELSE 0.0 END) " +
+        s"AS ss$s, " +
+        s"CAST(sum(CASE WHEN ${par(s)} THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS ns$s"
+    }.mkString(", ")
+    val extremes = (0 until k).map { s =>
+      s"(CASE WHEN ns$s > 0 AND ns$s < n AND " +
+        s"abs(ss$s / ns$s - (stot - ss$s) / (n - ns$s)) >= abs(obs) " +
+        s"THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y " +
+      "FROM events GROUP BY 1), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "sum(CAST(y AS DOUBLE)) AS stot, " +
+      "sum(CASE WHEN user_id % 2 = 0 THEN CAST(y AS DOUBLE) ELSE 0.0 " +
+      "END) AS st, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      s"AS nt, $saltAggs FROM pu), " +
+      "d AS (SELECT *, st / nt AS mean_t, " +
+      "(stot - st) / (n - nt) AS mean_c FROM a), " +
+      "d2 AS (SELECT *, mean_t - mean_c AS obs FROM d), " +
+      s"e AS (SELECT *, CAST($extremes AS BIGINT) AS n_extreme FROM d2) " +
+      "SELECT n, round(mean_t, 4) AS mean_t, round(mean_c, 4) AS mean_c, " +
+      "round(obs, 4) AS observed_diff, " +
+      s"CAST($k AS INTEGER) AS k, n_extreme, " +
+      s"round((1.0 + n_extreme) / ${k + 1}.0, 6) AS p_value FROM e"
+  }
+
   /** Unrolled synchronous label propagation over the q141 derived graph —
     * one (count, arg-max) CTE pair per round mirroring
     * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
@@ -1919,6 +1960,57 @@ object Oracles {
         "round(p_a, 6) AS p_a, round(p_b, 6) AS p_b, " +
         "round(diff, 6) AS diff, round(log_e, 6) AS log_e_value, " +
         "log_e >= ln(1.0 / 0.05) AS can_stop FROM ev ORDER BY bin"),
+
+    // McNemar: four paired cells in one aggregate, discordant χ².
+    "q300_mcnemar" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS both_correct, " +
+        "CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS a_only_correct, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS b_only_correct, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id % 5 = 0 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS neither_correct FROM documents) " +
+        "SELECT n, both_correct, a_only_correct, b_only_correct, " +
+        "neither_correct, " +
+        "round(CASE WHEN a_only_correct + b_only_correct > 0 THEN " +
+        "power(a_only_correct - b_only_correct, 2) / " +
+        "CAST(a_only_correct + b_only_correct AS DOUBLE) ELSE 0.0 END, 6) " +
+        "AS chi2 FROM m"),
+
+    // Uplift deciles: quantile_cont tiering (the q113 strictly-below
+    // convention), per-tier rates, cumulative Qini from the top tier.
+    "q301_uplift_deciles" ->
+      ("WITH pu AS (SELECT sum(value) AS y, " +
+        "CAST(user_id * 48271 % 999983 AS DOUBLE) / 999983.0 AS score, " +
+        "(user_id * 16807 % 97) < 30 AS tr FROM events GROUP BY user_id), " +
+        "th AS (SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, " +
+        "0.6, 0.7, 0.8, 0.9]) AS t FROM pu), " +
+        "b AS (SELECT pu.*, CAST(len(list_filter(th.t, x -> score > x)) " +
+        "AS INTEGER) AS bucket FROM pu, th), " +
+        "per AS (SELECT bucket, " +
+        "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
+        "sum(CASE WHEN tr THEN y ELSE 0.0 END) AS syt, " +
+        "sum(CASE WHEN NOT tr THEN y ELSE 0.0 END) AS syc " +
+        "FROM b GROUP BY 1), " +
+        "c AS (SELECT *, " +
+        "CAST(sum(n_t) OVER (ORDER BY bucket DESC) AS BIGINT) AS ct, " +
+        "CAST(sum(n_c) OVER (ORDER BY bucket DESC) AS BIGINT) AS cc, " +
+        "sum(syt) OVER (ORDER BY bucket DESC) AS cst, " +
+        "sum(syc) OVER (ORDER BY bucket DESC) AS csc FROM per), " +
+        "f AS (SELECT *, " +
+        "CASE WHEN n_t > 0 THEN syt / n_t END AS mean_y_t, " +
+        "CASE WHEN n_c > 0 THEN syc / n_c END AS mean_y_c FROM c) " +
+        "SELECT bucket, n_t, n_c, round(mean_y_t, 4) AS mean_y_t, " +
+        "round(mean_y_c, 4) AS mean_y_c, " +
+        "round(mean_y_t - mean_y_c, 4) AS uplift, " +
+        "round(CASE WHEN cc > 0 THEN cst - csc * CAST(ct AS DOUBLE) / cc " +
+        "END, 4) AS qini FROM f ORDER BY bucket DESC"),
+
+    // Permutation test: 64 md5-parity pseudo-arms, generated SQL.
+    "q302_permutation_test" -> permutationTestSql(64),
 
     // EB shrinkage: per-group moments, the G-row rollup and the
     // precision-weighted blend, same op order.

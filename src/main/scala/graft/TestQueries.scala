@@ -4564,6 +4564,58 @@ object TestQueries {
         round(col("shrink_weight"), 6).as("shrink_weight"))
       .orderBy("g")
 
+  /** McNemar's paired test ([[operators.Stats.mcnemar]]): two synthetic
+    * "model" correctness columns over the same documents — the
+    * discordant-cell χ². DuckDB replays the four cells and the closed
+    * form.
+    */
+  def q300Mcnemar(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.mcnemar(t(s, dir, "documents"),
+        pmod(col("doc_id"), lit(7)) =!= 0, pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("n"), col("both_correct"), col("a_only_correct"),
+        col("b_only_correct"), col("neither_correct"),
+        round(col("chi2"), 6).as("chi2"))
+
+  /** Uplift deciles + Qini ([[operators.Stats.upliftDeciles]]) over
+    * q289's per-user outcome/score/treatment construction — the
+    * targeting-model evaluation grid. DuckDB replays the quantile_cont
+    * tiering, per-tier rates and the cumulative Qini from the top tier
+    * down.
+    */
+  def q301UpliftDeciles(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum("value").as("y"))
+      .select(col("y"),
+        (pmod(col("user_id") * 48271, lit(999983)).cast("double") /
+          999983.0).as("score"),
+        (pmod(col("user_id") * 16807, lit(97)) < 30).as("is_treated"))
+    operators.Stats.upliftDeciles(perUser, col("is_treated"), "score",
+        "y", numBuckets = 10)
+      .select(col("bucket"), col("n_t"), col("n_c"),
+        round(col("mean_y_t"), 4).as("mean_y_t"),
+        round(col("mean_y_c"), 4).as("mean_y_c"),
+        round(col("uplift"), 4).as("uplift"),
+        round(col("qini"), 4).as("qini"))
+  }
+
+  /** Hash-permutation test ([[operators.Stats.permutationTest]]):
+    * per-user event counts (INTEGER outcomes — every double both engines
+    * derive is exact, so the extreme count replays bit-for-bit), even-
+    * vs odd-id split, 64 md5-parity pseudo-permutations. DuckDB replays
+    * every pseudo-arm's conditional sums and the add-one p-value.
+    */
+  def q302PermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("y"))
+    operators.Stats.permutationTest(perUser, "user_id", "y",
+        col("user_id") % 2 === 0, k = 64)
+      .select(col("n"), round(col("mean_t"), 4).as("mean_t"),
+        round(col("mean_c"), 4).as("mean_c"),
+        round(col("observed_diff"), 4).as("observed_diff"),
+        col("k"), col("n_extreme"), round(col("p_value"), 6).as("p_value"))
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5009,6 +5061,9 @@ object TestQueries {
     "q297_dawid_skene" -> (q297DawidSkene _),
     "q298_always_valid" -> (q298AlwaysValid _),
     "q299_eb_shrink" -> (q299EbShrink _),
+    "q300_mcnemar" -> (q300Mcnemar _),
+    "q301_uplift_deciles" -> (q301UpliftDeciles _),
+    "q302_permutation_test" -> (q302PermutationTest _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

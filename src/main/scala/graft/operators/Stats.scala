@@ -339,6 +339,139 @@ object Stats {
         col("se2"), col("shrunk_mean"), col("shrink_weight")): _*)
   }
 
+  /** McNemar's test for PAIRED binary outcomes — "is model B actually
+    * better than model A on the same eval items?", the question accuracy
+    * deltas alone cannot answer (shared items correlate the errors; an
+    * unpaired two-proportion z wastes the pairing). Only the discordant
+    * cells carry signal: χ²(1) = (b − c)²/(b + c) with b = A-only-correct,
+    * c = B-only-correct. Returns ONE row: (n, both_correct,
+    * a_only_correct, b_only_correct, neither_correct, chi2); a fully
+    * concordant input (b + c = 0) reports χ² 0.
+    *
+    * ONE partial-aggregable aggregate — the million-item eval sheet
+    * reduces in a single scan.
+    */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column)
+  : DataFrame = {
+    df.agg(count(lit(1)).as("n"),
+        sum(when(aCorrect && bCorrect, 1L).otherwise(0L))
+          .as("both_correct"),
+        sum(when(aCorrect && !bCorrect, 1L).otherwise(0L))
+          .as("a_only_correct"),
+        sum(when(!aCorrect && bCorrect, 1L).otherwise(0L))
+          .as("b_only_correct"),
+        sum(when(!aCorrect && !bCorrect, 1L).otherwise(0L))
+          .as("neither_correct"))
+      .withColumn("chi2",
+        when(col("a_only_correct") + col("b_only_correct") > 0,
+          pow(col("a_only_correct") - col("b_only_correct"), 2) /
+            (col("a_only_correct") + col("b_only_correct"))
+              .cast("double"))
+          .otherwise(0.0))
+  }
+
+  /** Treatment-uplift by score decile with the Qini statistic — the
+    * evaluation grid for an uplift/targeting model: bucket units into
+    * `numBuckets` equal-population score tiers, report per-tier treated
+    * and control outcome rates, their difference (uplift), and the
+    * cumulative Qini value from the highest tier down
+    * (Σy_t − Σy_c·N_t/N_c over the targeted prefix) — the curve whose
+    * area separates a real uplift model from a random targeting order.
+    * Returns one row per bucket, highest scores first: (bucket, n_t,
+    * n_c, mean_y_t, mean_y_c, uplift, qini); a prefix with no control
+    * units reports null qini.
+    *
+    * Tiering is [[Splits.quantileBuckets]] (percentile broadcast,
+    * scan-side assignment); the only window runs over the ≤ numBuckets
+    * aggregate rows — bounded by construction, never data-scale.
+    */
+  def upliftDeciles(df: DataFrame, treated: Column, scoreCol: String,
+                    outcomeCol: String, numBuckets: Int = 10): DataFrame = {
+    val y = col(outcomeCol).cast("double")
+    val per = Splits.quantileBuckets(df, scoreCol, numBuckets)
+      .groupBy("bucket")
+      .agg(sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
+        sum(when(treated, y).otherwise(0.0)).as("__sy_t"),
+        sum(when(!treated, y).otherwise(0.0)).as("__sy_c"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("mean_y_t",
+        when(col("n_t") > 0, col("__sy_t") / col("n_t")))
+      .withColumn("mean_y_c",
+        when(col("n_c") > 0, col("__sy_c") / col("n_c")))
+      .withColumn("uplift", col("mean_y_t") - col("mean_y_c"))
+      .withColumn("__ct", sum("n_t").over(w))
+      .withColumn("__cc", sum("n_c").over(w))
+      .withColumn("qini",
+        when(col("__cc") > 0,
+          sum("__sy_t").over(w) - sum("__sy_c").over(w) *
+            col("__ct").cast("double") / col("__cc")))
+      .select(col("bucket"), col("n_t"), col("n_c"), col("mean_y_t"),
+        col("mean_y_c"), col("uplift"), col("qini"))
+      .orderBy(col("bucket").desc)
+  }
+
+  /** Deterministic permutation test for a difference in means — the
+    * assumption-free significance check when normality is doubtful:
+    * re-assign every unit to a pseudo-random arm `k` times and ask how
+    * often the null re-assignment beats the observed split. Permutations
+    * are HASH-derived (md5 of id + salt, first-hex-digit parity — the
+    * [[dpNoisyCounts]] replayability scheme), so the test is a pure
+    * function of the data: partitioning/append-stable and replayable by
+    * any SQL engine. p = (1 + #{|d_s| ≥ |d_obs|})/(k + 1) (the add-one
+    * form — a permutation p-value of 0 is never reported). Returns ONE
+    * row: (n, mean_t, mean_c, observed_diff, k, n_extreme, p_value).
+    *
+    * ONE aggregate scan computes the observed split AND all k
+    * pseudo-arms as 2k conditional sums — no explode, no k-fold data
+    * blow-up; everything after is row arithmetic on a single row.
+    * Degenerate pseudo-arms (one side empty) yield a null diff and drop
+    * from `n_extreme` — conservative. k is bounded (≤ 512 guarded): the
+    * scan carries 2k codegen'd expressions.
+    */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+                      treated: Column, k: Int = 64,
+                      salt: String = "r0"): DataFrame = {
+    require(k >= 1 && k <= 512, s"k must be in [1, 512]: $k")
+    val v = col(valueCol).cast("double")
+    def parity(s: Int): Column = {
+      val h = md5(concat_ws("\u0001", // separator, the dpNoisyCounts scheme
+        col(idCol).cast("string"), lit(s"p$s$salt")))
+      val a = ascii(substring(h, 1, 1))
+      val digit = when(a >= 97, a - 87).otherwise(a - 48)
+      digit % 2 === 1
+    }
+    val saltAggs = (0 until k).flatMap { s =>
+      Seq(sum(when(parity(s), v).otherwise(0.0)).as(s"__ss$s"),
+        sum(when(parity(s), 1L).otherwise(0L)).as(s"__ns$s"))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(v).as("__stot"),
+      sum(when(treated, v).otherwise(0.0)).as("__st"),
+      sum(when(treated, 1L).otherwise(0L)).as("__nt")) ++ saltAggs
+    val base = df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_t", col("__st") / col("__nt"))
+      .withColumn("mean_c",
+        (col("__stot") - col("__st")) / (col("n") - col("__nt")))
+      .withColumn("observed_diff", col("mean_t") - col("mean_c"))
+    val diffs = (0 until k).map { s =>
+      when(col(s"__ns$s") > 0 && col(s"__ns$s") < col("n"),
+        col(s"__ss$s") / col(s"__ns$s") -
+          (col("__stot") - col(s"__ss$s")) / (col("n") - col(s"__ns$s")))
+    }
+    base
+      .withColumn("k", lit(k))
+      .withColumn("n_extreme",
+        size(filter(array(diffs: _*),
+          x => abs(x) >= abs(col("observed_diff")))).cast("long"))
+      .withColumn("p_value",
+        (lit(1.0) + col("n_extreme")) / (k + 1.0))
+      .select(col("n"), col("mean_t"), col("mean_c"),
+        col("observed_diff"), col("k"), col("n_extreme"), col("p_value"))
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns, plus Cramér's V effect size — the "is source correlated with
     * language / label / quality tier" screen run before stratifying on

@@ -954,6 +954,29 @@ object ScaleCheck {
             col("value")),
           Seq("g"), "value").count()
       },
+      "mcnemar" -> { dir =>
+        // one conditional-cell aggregate
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.mcnemar(ev,
+          col("event_id") % 7 =!= 0, col("event_id") % 5 =!= 0).count()
+      },
+      "uplift_deciles" -> { dir =>
+        // percentile broadcast + per-bucket aggregate + a ≤10-row window
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        val units = ev.select(col("value").as("y"),
+          (pmod(col("event_id") * 48271, lit(999983)).cast("double") /
+            999983.0).as("score"),
+          (pmod(col("event_id") * 16807, lit(97)) < 30).as("tr"))
+        graft.operators.Stats.upliftDeciles(units, col("tr"), "score",
+          "y").count()
+      },
+      "permutation_test" -> { dir =>
+        // one scan carrying 2k conditional sums — no explode; cost is
+        // k md5 calls per row, linear in rows by construction
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.permutationTest(ev, "event_id", "value",
+          col("user_id") % 2 === 0, k = 64).count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

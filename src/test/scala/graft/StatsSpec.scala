@@ -1034,6 +1034,65 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("shrunk_mean"), (1.0 + 11.0 + 5.0) / 3))
   }
 
+  test("mcnemar: discordant cells drive the statistic") {
+    val rows = Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)).toDF("a", "b")
+    val r = Stats.mcnemar(rows, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("both_correct") === 1L)
+    assert(r.getAs[Long]("a_only_correct") === 2L)
+    assert(r.getAs[Long]("b_only_correct") === 1L)
+    assert(r.getAs[Long]("neither_correct") === 1L)
+    assert(d(r.getAs[Double]("chi2"), 1.0 / 3))
+  }
+
+  test("mcnemar: fully concordant input reports chi2 = 0, not NaN") {
+    val rows = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.mcnemar(rows, col("a"), col("b"))
+      .head().getAs[Double]("chi2") === 0.0)
+  }
+
+  test("upliftDeciles: per-tier rates and the cumulative Qini") {
+    val rows = Seq(
+      (0.8, true, 10.0), (0.9, false, 4.0),  // high-score tier
+      (0.1, true, 3.0), (0.2, false, 3.0))   // low-score tier
+      .toDF("score", "tr", "y")
+    val got = Stats.upliftDeciles(rows, col("tr"), "score", "y",
+      numBuckets = 2).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 0)) // highest first
+    assert(d(got(0).getAs[Double]("uplift"), 6.0))
+    assert(d(got(1).getAs[Double]("uplift"), 0.0))
+    assert(d(got(0).getAs[Double]("qini"), 6.0))
+    assert(d(got(1).getAs[Double]("qini"), 6.0)) // 13 − 7·(2/2)
+  }
+
+  test("permutationTest: no effect saturates extremes; strong effect does not") {
+    val flat = (1L to 40L).map(i => (i, 5.0, i <= 20))
+      .toDF("id", "y", "tr")
+    val r0 = Stats.permutationTest(flat, "id", "y", col("tr"), k = 32)
+      .head()
+    assert(r0.getAs[Double]("observed_diff") === 0.0)
+    assert(r0.getAs[Long]("n_extreme") === 32L) // |0| ≥ |0| everywhere
+    assert(r0.getAs[Double]("p_value") === 1.0)
+    val strong = (1L to 40L).map(i =>
+      (i, if (i <= 20) 100.0 else 1.0, i <= 20)).toDF("id", "y", "tr")
+    val r1 = Stats.permutationTest(strong, "id", "y", col("tr"), k = 32)
+      .head()
+    assert(d(r1.getAs[Double]("observed_diff"), 99.0))
+    assert(r1.getAs[Double]("p_value") < 0.1)
+  }
+
+  test("permutationTest: deterministic — two runs agree exactly") {
+    val rows = (1L to 30L).map(i => (i, (i % 7).toDouble, i % 3 == 0))
+      .toDF("id", "y", "tr")
+    val a = Stats.permutationTest(rows, "id", "y", col("tr"), k = 16)
+      .head()
+    val b = Stats.permutationTest(rows, "id", "y", col("tr"), k = 16)
+      .head()
+    assert(a.getAs[Long]("n_extreme") === b.getAs[Long]("n_extreme"))
+    assert(a.getAs[Double]("p_value") === b.getAs[Double]("p_value"))
+  }
+
   test("nelsonAalen: hand-summed hazard and variance with censoring") {
     // t=1: n=3, d=1 → H = 1/3, V = 1/9. t=2: n=2, d=1 → H = 5/6,
     // V = 1/9 + 1/4 = 13/36. censored t=3 row emits no output row.
