@@ -571,6 +571,36 @@ object Oracles {
       s"round((1.0 + n_extreme) / ${k + 1}.0, 6) AS p_value FROM e"
   }
 
+  /** q304's temperature grid search: per-T conditional NLL sums (the
+    * permutationTestSql pattern) + a LEAST/CASE argmin that matches the
+    * operator's (nll, then smaller T) struct-min tie rule because the
+    * CASE scans the grid in ascending-T order.
+    */
+  private def temperatureScalingSql(grid: Seq[Double]): String = {
+    val nlls = grid.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN y = 1 THEN -ln(1.0 / (1.0 + exp(-z / $t))) " +
+        s"ELSE -ln(1.0 - 1.0 / (1.0 + exp(-z / $t))) END) AS s$i"
+    }.mkString(", ")
+    val least = grid.indices.map(i => s"s$i / n").mkString("least(", ", ", ")")
+    // CAST: a bare DuckDB decimal literal would type the column DECIMAL
+    val bestT = grid.zipWithIndex.map { case (t, i) =>
+      s"WHEN s$i / n = bn THEN CAST($t AS DOUBLE)"
+    }.mkString("CASE ", " ", " END")
+    val ref = grid.indexOf(1.0)
+    "WITH d AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 0.9 ELSE 0.1 END + " +
+      "(CAST(doc_id * 17 % 100 AS DOUBLE) - 50.0) / 1000.0 AS score " +
+      "FROM documents), " +
+      "z AS (SELECT y, ln(least(0.999999, greatest(0.000001, score)) / " +
+      "(1.0 - least(0.999999, greatest(0.000001, score)))) AS z FROM d), " +
+      s"a AS (SELECT CAST(count(*) AS BIGINT) AS n, $nlls FROM z), " +
+      s"b AS (SELECT *, $least AS bn FROM a) " +
+      s"SELECT n, $bestT AS best_t, " +
+      s"round(s$ref / n, 6) AS nll_uncalibrated, " +
+      "round(bn, 6) AS nll_calibrated, " +
+      s"round(s$ref / n - bn, 6) AS nll_reduction FROM b"
+  }
+
   /** Unrolled synchronous label propagation over the q141 derived graph —
     * one (count, arg-max) CTE pair per round mirroring
     * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
@@ -2011,6 +2041,43 @@ object Oracles {
 
     // Permutation test: 64 md5-parity pseudo-arms, generated SQL.
     "q302_permutation_test" -> permutationTestSql(64),
+
+    // Heaps law: prefix-quantile slicing, first-appearance vocabulary
+    // sums, ln-ln closed-form regression (the q167 regr_* pattern).
+    "q303_heaps_law" ->
+      ("WITH d AS (SELECT CAST(doc_id AS DOUBLE) AS o, text " +
+        "FROM documents), " +
+        "th AS (SELECT quantile_cont(o, [" +
+        (1 until 32).map(b => s"$b/32.0").mkString(", ") +
+        "]) AS ths FROM d), " +
+        "tk AS (SELECT CAST(len(list_filter(th.ths, x -> o > x)) " +
+        "AS INTEGER) AS b, " +
+        "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM d, th), " +
+        "t2 AS (SELECT b, tok FROM tk WHERE length(tok) > 0), " +
+        "pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM t2 " +
+        "GROUP BY 1), " +
+        "fs AS (SELECT b, CAST(count(*) AS BIGINT) AS nw FROM " +
+        "(SELECT tok, min(b) AS b FROM t2 GROUP BY 1) GROUP BY 1), " +
+        "c AS (SELECT pb.b, " +
+        "CAST(sum(pb.n) OVER (ORDER BY pb.b) AS BIGINT) AS nc, " +
+        "CAST(sum(COALESCE(fs.nw, 0)) OVER (ORDER BY pb.b) AS BIGINT) " +
+        "AS vc FROM pb LEFT JOIN fs USING (b)), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "max(nc) AS n_tokens, max(vc) AS vocab, " +
+        "regr_slope(ln(CAST(vc AS DOUBLE)), ln(CAST(nc AS DOUBLE))) " +
+        "AS beta, " +
+        "regr_intercept(ln(CAST(vc AS DOUBLE)), ln(CAST(nc AS DOUBLE))) " +
+        "AS ic, " +
+        "regr_r2(ln(CAST(vc AS DOUBLE)), ln(CAST(nc AS DOUBLE))) AS r2 " +
+        "FROM c) " +
+        "SELECT n_buckets, n_tokens, vocab, round(beta, 6) AS beta, " +
+        "round(exp(ic), 6) AS k_coef, round(r2, 6) AS r2 FROM a"),
+
+    // Temperature scaling: generated grid NLLs + ascending-T argmin.
+    "q304_temperature_scaling" ->
+      temperatureScalingSql(Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0,
+        2.5, 3.0, 4.0)),
 
     // EB shrinkage: per-group moments, the G-row rollup and the
     // precision-weighted blend, same op order.

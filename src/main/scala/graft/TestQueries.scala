@@ -4616,6 +4616,37 @@ object TestQueries {
         col("k"), col("n_extreme"), round(col("p_value"), 6).as("p_value"))
   }
 
+  /** Heaps-law fit ([[operators.Quality.heapsLawFit]]): exact cumulative
+    * (tokens, vocabulary) over 32 doc-id-ordered prefix slices, ln-ln
+    * regression → V = K·N^β — [[q167ZipfFit]]'s growth-curve companion.
+    * DuckDB replays the quantile slicing, first-appearance counts,
+    * prefix sums and the closed-form regression.
+    */
+  def q303HeapsLaw(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.heapsLawFit(t(s, dir, "documents"), "text",
+        "doc_id", numBuckets = 32)
+      .select(col("n_buckets"), col("n_tokens"), col("vocab"),
+        round(col("beta"), 6).as("beta"),
+        round(col("k_coef"), 6).as("k_coef"), round(col("r2"), 6).as("r2"))
+
+  /** Temperature scaling ([[operators.Stats.temperatureScaling]]): a
+    * deterministic miscalibrated scorer over documents, NLL grid search
+    * for the best temperature. DuckDB replays the clip/logit, every
+    * grid NLL and the (nll, then smaller T) argmin.
+    */
+  def q304TemperatureScaling(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      (pmod(col("doc_id"), lit(3)) === 0).cast("int").as("y"),
+      (when(pmod(col("doc_id"), lit(3)) === 0, 0.9).otherwise(0.1) +
+        (pmod(col("doc_id") * 17, lit(100)).cast("double") - 50.0) /
+          1000.0).as("score"))
+    operators.Stats.temperatureScaling(scored, "score", "y")
+      .select(col("n"), col("best_t"),
+        round(col("nll_uncalibrated"), 6).as("nll_uncalibrated"),
+        round(col("nll_calibrated"), 6).as("nll_calibrated"),
+        round(col("nll_reduction"), 6).as("nll_reduction"))
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5064,6 +5095,8 @@ object TestQueries {
     "q300_mcnemar" -> (q300Mcnemar _),
     "q301_uplift_deciles" -> (q301UpliftDeciles _),
     "q302_permutation_test" -> (q302PermutationTest _),
+    "q303_heaps_law" -> (q303HeapsLaw _),
+    "q304_temperature_scaling" -> (q304TemperatureScaling _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

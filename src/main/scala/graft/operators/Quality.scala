@@ -1160,6 +1160,56 @@ object Quality {
         .cast("long").as("n_cards_valid"))
   }
 
+  /** Heaps-law fit — vocabulary GROWTH, where [[vocabCoverage]] measures
+    * the current unseen mass: cut the corpus into `numBuckets` ordered
+    * prefix slices (quantiles of `orderCol` over documents), track exact
+    * cumulative token count N_k and vocabulary V_k per prefix, and fit
+    * ln V = ln K + β·ln N — Heaps' V = K·N^β, the planning curve for
+    * "how much vocabulary will 10× more crawl buy". Returns ONE row:
+    * (n_buckets, n_tokens, vocab, beta, k_coef, r2).
+    *
+    * The cumulative vocabulary is EXACT without any prefix re-scan:
+    * each token's FIRST bucket is one (token)-keyed min, so
+    * V_k = Σ_{b ≤ k} first-appearances(b) — the heaps-law token table
+    * shuffles once; the regression runs over ≤ numBuckets points
+    * (closed-form regr_* aggregates), and the only window spans those
+    * same ≤ numBuckets rows.
+    */
+  def heapsLawFit(df: DataFrame, textCol: String, orderCol: String,
+                  numBuckets: Int = 32): DataFrame = {
+    require(numBuckets >= 3, s"need ≥ 3 prefix points to fit: $numBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(orderCol).cast("double").as("__o"),
+      col(textCol).as("__txt"))
+    val ps = array((1 until numBuckets)
+      .map(b => lit(b.toDouble / numBuckets)): _*)
+    val ths = docs.agg(percentile(col("__o"), ps).as("__ths"))
+    val toks = docs.crossJoin(broadcast(ths))
+      .withColumn("__b", size(filter(col("__ths"), t => col("__o") > t)))
+      .select(col("__b"),
+        explode(split(lower(trim(col("__txt"))), "\\s+")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+    val perBucket = toks.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val firstSeen = toks.groupBy("__tok").agg(min("__b").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("__b"), "left")
+      .withColumn("__nc", sum("__n").over(w))
+      .withColumn("__vc", sum(coalesce(col("__new"), lit(0L))).over(w))
+      .agg(count(lit(1)).as("n_buckets"),
+        max("__nc").as("n_tokens"), max("__vc").as("vocab"),
+        regr_slope(log(col("__vc").cast("double")),
+          log(col("__nc").cast("double"))).as("beta"),
+        regr_intercept(log(col("__vc").cast("double")),
+          log(col("__nc").cast("double"))).as("__ic"),
+        regr_r2(log(col("__vc").cast("double")),
+          log(col("__nc").cast("double"))).as("r2"))
+      .withColumn("k_coef", exp(col("__ic")))
+      .select(col("n_buckets"), col("n_tokens"), col("vocab"),
+        col("beta"), col("k_coef"), col("r2"))
+  }
+
   /** Vocabulary-coverage estimators per group — "how much of this source's
     * vocabulary have we actually seen?", the question behind corpus-size
     * planning and crawl-stop decisions. From each group's token-frequency

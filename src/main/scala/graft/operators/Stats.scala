@@ -339,6 +339,59 @@ object Stats {
         col("se2"), col("shrunk_mean"), col("shrink_weight")): _*)
   }
 
+  /** Temperature-scaling calibration (Guo et al. 2017) for a binary
+    * scorer: find the single temperature T that minimizes NLL of
+    * σ(logit(p)/T) — the one-parameter fix for an over/under-confident
+    * model, evaluated over a FIXED grid so the search is deterministic
+    * and replayable (no iterative optimizer state). Scores clip to
+    * [1e-6, 1−1e-6] before the logit. Returns ONE row: (n, best_t,
+    * nll_uncalibrated, nll_calibrated, nll_reduction); best-T ties break
+    * to the SMALLER temperature.
+    *
+    * ONE aggregate scan carries |grid| conditional NLL sums (the
+    * permutationTest pattern — no explode); the argmin is row arithmetic
+    * over a struct array. Pair with [[calibrationBins]] /
+    * [[isotonicCalibration]]: temperature preserves ranking, isotonic
+    * does not.
+    */
+  def temperatureScaling(df: DataFrame, scoreCol: String,
+                         labelCol: String,
+                         grid: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0,
+                           1.25, 1.5, 2.0, 2.5, 3.0, 4.0)): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0),
+      s"grid must be positive temperatures: $grid")
+    require(grid.contains(1.0),
+      "grid must include T = 1 (the uncalibrated reference)")
+    // textual literals, not 1.0 − 1e-6: the SQL oracle parses the same
+    // decimal text, so both engines clip with the identical double
+    val p = least(lit(0.999999),
+      greatest(lit(0.000001), col(scoreCol).cast("double")))
+    val z = log(p / (lit(1.0) - p))
+    val y = col(labelCol).cast("double") > 0
+    def nllSum(t: Double): Column = {
+      val q = lit(1.0) / (lit(1.0) + exp(-z / t))
+      sum(when(y, -log(q)).otherwise(-log(lit(1.0) - q)))
+    }
+    val gridAggs = grid.zipWithIndex.map { case (t, i) =>
+      nllSum(t).as(s"__nll$i")
+    }
+    val aggs = Seq(count(lit(1)).as("n")) ++ gridAggs
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val candidates = grid.zipWithIndex.map { case (t, i) =>
+      struct((col(s"__nll$i") / col("n")).as("nll"), lit(t).as("t"))
+    }
+    base
+      .withColumn("__best", array_min(array(candidates: _*)))
+      .withColumn("best_t", col("__best.t"))
+      .withColumn("nll_uncalibrated",
+        col(s"__nll${grid.indexOf(1.0)}") / col("n"))
+      .withColumn("nll_calibrated", col("__best.nll"))
+      .withColumn("nll_reduction",
+        col("nll_uncalibrated") - col("nll_calibrated"))
+      .select(col("n"), col("best_t"), col("nll_uncalibrated"),
+        col("nll_calibrated"), col("nll_reduction"))
+  }
+
   /** McNemar's test for PAIRED binary outcomes — "is model B actually
     * better than model A on the same eval items?", the question accuracy
     * deltas alone cannot answer (shared items correlate the errors; an

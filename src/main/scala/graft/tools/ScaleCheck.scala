@@ -977,6 +977,21 @@ object ScaleCheck {
         graft.operators.Stats.permutationTest(ev, "event_id", "value",
           col("user_id") % 2 === 0, k = 64).count()
       },
+      "heaps_law" -> { dir =>
+        // heaps-law token table shuffles once (per-token min bucket);
+        // windows and the regression span ≤ numBuckets rows
+        graft.operators.Quality.heapsLawFit(docs(dir), "text", "doc_id")
+          .count()
+      },
+      "temperature_scaling" -> { dir =>
+        // one scan with |grid| conditional NLL sums
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.temperatureScaling(
+          ev.select((col("event_id") % 3 === 0).cast("int").as("y"),
+            (pmod(col("event_id") * 17, lit(1000)).cast("double") /
+              1000.0).as("p")),
+          "p", "y").count()
+      },
       "apportion_budget" -> { dir =>
         // groups ≈ rows/32: mass rollup + the Ranks.running remainder
         // rank must both scale with group count — the million-cell

@@ -725,6 +725,28 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(smoothed.sum - 1.0) < 1e-12)
   }
 
+  test("heapsLawFit: all-unique tokens fit beta = 1, K = 1 exactly") {
+    // every token globally unique → V_k = N_k at every prefix
+    val docs = (1 to 8).map(i => (i.toLong, s"u${i}a u${i}b u${i}c"))
+      .toDF("ord", "text")
+    val r = Quality.heapsLawFit(docs, "text", "ord", numBuckets = 4)
+      .head()
+    assert(r.getAs[Long]("n_tokens") === 24L)
+    assert(r.getAs[Long]("vocab") === 24L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("k_coef") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("heapsLawFit: a closed vocabulary fits beta = 0") {
+    val docs = (1 to 8).map(i => (i.toLong, "tok tok tok"))
+      .toDF("ord", "text")
+    val r = Quality.heapsLawFit(docs, "text", "ord", numBuckets = 4)
+      .head()
+    assert(r.getAs[Long]("vocab") === 1L)
+    assert(math.abs(r.getAs[Double]("beta")) < 1e-9)
+  }
+
   test("vocabCoverage: hand-counted Good–Turing and Chao1") {
     // one source, tokens a:2 b:1 c:1 -> N=4 V=3 N1=2 N2=1
     // unseen = 2/4; chao1 = 3 + 2·1/(2·(1+1)) = 3.5

@@ -1034,6 +1034,31 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("shrunk_mean"), (1.0 + 11.0 + 5.0) / 3))
   }
 
+  test("temperatureScaling: overconfident scores want T > 1") {
+    // 9 of 10 at p = .99 are right → optimal q* = .9 → T* = ln 99/ln 9
+    // ≈ 2.09 → grid best 2.0
+    val rows = (Seq.fill(9)((1, 0.99)) :+ ((0, 0.99))).toDF("y", "p")
+    val r = Stats.temperatureScaling(rows, "p", "y").head()
+    assert(r.getAs[Double]("best_t") === 2.0)
+    assert(r.getAs[Double]("nll_reduction") > 0.0)
+  }
+
+  test("temperatureScaling: a calibrated scorer keeps T = 1") {
+    // 9 of 10 at p = .9 are right: q* = .9 is already the prediction
+    val rows = (Seq.fill(9)((1, 0.9)) :+ ((0, 0.9))).toDF("y", "p")
+    val r = Stats.temperatureScaling(rows, "p", "y").head()
+    assert(r.getAs[Double]("best_t") === 1.0)
+    assert(d(r.getAs[Double]("nll_reduction"), 0.0))
+  }
+
+  test("temperatureScaling: an all-T tie resolves to the smallest T") {
+    // p = .5 → z = 0 → σ(0/T) = ½ for every T: all NLLs equal
+    val rows = Seq((1, 0.5), (0, 0.5)).toDF("y", "p")
+    val r = Stats.temperatureScaling(rows, "p", "y").head()
+    assert(r.getAs[Double]("best_t") === 0.25)
+    assert(d(r.getAs[Double]("nll_reduction"), 0.0))
+  }
+
   test("mcnemar: discordant cells drive the statistic") {
     val rows = Seq((true, true), (true, false), (true, false),
       (false, true), (false, false)).toDF("a", "b")
