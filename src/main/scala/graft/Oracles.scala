@@ -2079,6 +2079,21 @@ object Oracles {
       temperatureScalingSql(Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0,
         2.5, 3.0, 4.0)),
 
+    // Intra-doc paragraph dedup: first-occurrence index filter replayed
+    // with list_position (1-based, like the lambda's i).
+    "q305_dedupe_paragraphs" ->
+      ("WITH d AS (SELECT doc_id, COALESCE(text, '') || chr(10) || " +
+        "'-- footer --' || chr(10) || COALESCE(text, '') || chr(10) || " +
+        "'-- footer --' AS body FROM documents), " +
+        "p AS (SELECT doc_id, string_split(body, chr(10)) AS parts " +
+        "FROM d), " +
+        "k AS (SELECT doc_id, parts, list_filter(parts, " +
+        "(x, i) -> list_position(parts, x) = i) AS kept FROM p) " +
+        "SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_units, " +
+        "CAST(len(parts) - len(kept) AS BIGINT) AS n_dropped, " +
+        "md5(array_to_string(kept, chr(10))) AS fp FROM k " +
+        "ORDER BY doc_id"),
+
     // EB shrinkage: per-group moments, the G-row rollup and the
     // precision-weighted blend, same op order.
     "q299_eb_shrink" ->

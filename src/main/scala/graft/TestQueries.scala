@@ -4647,6 +4647,24 @@ object TestQueries {
         round(col("nll_reduction"), 6).as("nll_reduction"))
   }
 
+  /** Intra-doc paragraph dedup ([[operators.Quality.dedupeParagraphs]]):
+    * every document gets a planted duplicated body (text, footer, text,
+    * footer) and the transform must keep exactly the first occurrences —
+    * the rewrite itself is gated via an md5 fingerprint of the deduped
+    * text. DuckDB replays the split, the first-occurrence index filter
+    * and the re-join.
+    */
+  def q305DedupeParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", coalesce(col("text"), lit("")),
+        lit("-- footer --"), coalesce(col("text"), lit("")),
+        lit("-- footer --")).as("body"))
+    operators.Quality.dedupeParagraphs(docs, "body")
+      .select(col("doc_id"), col("n_units"), col("n_dropped"),
+        md5(col("deduped_text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5097,6 +5115,7 @@ object TestQueries {
     "q302_permutation_test" -> (q302PermutationTest _),
     "q303_heaps_law" -> (q303HeapsLaw _),
     "q304_temperature_scaling" -> (q304TemperatureScaling _),
+    "q305_dedupe_paragraphs" -> (q305DedupeParagraphs _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

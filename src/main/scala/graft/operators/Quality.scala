@@ -1160,6 +1160,30 @@ object Quality {
         .cast("long").as("n_cards_valid"))
   }
 
+  /** Intra-document paragraph dedup — a curation TRANSFORM, not a
+    * signal: drop every repeated unit (paragraph/line) after its first
+    * occurrence, preserving order — the boilerplate pattern WITHIN one
+    * document (repeated headers, duplicated list blocks, copy-paste
+    * stutter) that corpus-level dedup never sees. Returns the input
+    * plus (deduped_text, n_units, n_dropped).
+    *
+    * Pure scan-side HOF work — split, an index-aware filter keeping a
+    * unit iff its first occurrence IS this position, re-join; no
+    * shuffle, no UDF, codegen-hosted. Per-row cost is O(units²) string
+    * compares — bounded by document structure, never corpus size (the
+    * same contract as pairStats' token HOFs).
+    */
+  def dedupeParagraphs(df: DataFrame, textCol: String,
+                       sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val parts = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = filter(parts, (x, i) => array_position(parts, x) - 1 === i)
+    df.withColumn("deduped_text", array_join(kept, sep))
+      .withColumn("n_units", size(parts).cast("long"))
+      .withColumn("n_dropped", (size(parts) - size(kept)).cast("long"))
+  }
+
   /** Heaps-law fit — vocabulary GROWTH, where [[vocabCoverage]] measures
     * the current unseen mass: cut the corpus into `numBuckets` ordered
     * prefix slices (quantiles of `orderCol` over documents), track exact

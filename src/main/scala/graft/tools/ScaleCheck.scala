@@ -977,6 +977,13 @@ object ScaleCheck {
         graft.operators.Stats.permutationTest(ev, "event_id", "value",
           col("user_id") % 2 === 0, k = 64).count()
       },
+      "dedupe_paragraphs" -> { dir =>
+        // pure scan-side HOF transform — no shuffle at any scale
+        graft.operators.Quality.dedupeParagraphs(
+          docs(dir).withColumn("body",
+            concat_ws("\n", col("text"), lit("f"), col("text"))),
+          "body").agg(sum("n_dropped")).count()
+      },
       "heaps_law" -> { dir =>
         // heaps-law token table shuffles once (per-token min bucket);
         // windows and the regression span ≤ numBuckets rows

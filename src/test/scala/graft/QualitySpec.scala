@@ -725,6 +725,30 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(smoothed.sum - 1.0) < 1e-12)
   }
 
+  test("dedupeParagraphs: keeps first occurrences in order") {
+    val docs = Seq((1L, "a\nb\na\nc\nb"), (2L, "x")).toDF("id", "text")
+    val got = Quality.dedupeParagraphs(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("deduped_text"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(got(1L) === (("a\nb\nc", 5L, 2L)))
+    assert(got(2L) === (("x", 1L, 0L)))
+  }
+
+  test("dedupeParagraphs: idempotent, null-safe, custom separator") {
+    val docs = Seq((1L, Some("p. q. p. r")), (2L, None))
+      .toDF("id", "text")
+    val once = Quality.dedupeParagraphs(docs, "text", sep = ". ")
+    val r1 = once.where(col("id") === 1).head()
+    assert(r1.getAs[String]("deduped_text") === "p. q. r")
+    val twice = Quality.dedupeParagraphs(
+      once.select(col("id"), col("deduped_text").as("text")),
+      "text", sep = ". ").where(col("id") === 1).head()
+    assert(twice.getAs[Long]("n_dropped") === 0L)
+    val r2 = once.where(col("id") === 2).head()
+    assert(r2.getAs[String]("deduped_text") === "")
+  }
+
   test("heapsLawFit: all-unique tokens fit beta = 1, K = 1 exactly") {
     // every token globally unique → V_k = N_k at every prefix
     val docs = (1 to 8).map(i => (i.toLong, s"u${i}a u${i}b u${i}c"))
