@@ -601,6 +601,16 @@ object Oracles {
       s"round(s$ref / n - bn, 6) AS nll_reduction FROM b"
   }
 
+  /** q218's 6-hex-digit uniform as reusable SQL: digits of `h` parsed by
+    * ascii code into the scaled polynomial, identical in any engine.
+    */
+  private def hexPoly(h: String): String =
+    (1 to 6).map { i =>
+      val a = s"ascii(substr($h, $i, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END) * " +
+        s"${math.pow(16.0, 6 - i)}"
+    }.mkString(" + ")
+
   /** Unrolled synchronous label propagation over the q141 derived graph —
     * one (count, arg-max) CTE pair per round mirroring
     * `Graphs.labelPropagation` exactly: symmetrized deduped edges,
@@ -2078,6 +2088,54 @@ object Oracles {
     "q304_temperature_scaling" ->
       temperatureScalingSql(Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0,
         2.5, 3.0, 4.0)),
+
+    // Best threshold: prCurve machinery + exact-integer cost argmin,
+    // ties to the higher threshold.
+    "q306_best_threshold" ->
+      ("WITH d AS (SELECT (CAST(doc_id * 13 % 1000 AS DOUBLE) / 1000.0 " +
+        "+ CASE WHEN doc_id % 4 = 0 THEN 0.5 ELSE 0.0 END) / 1.5 " +
+        "AS score, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y " +
+        "FROM documents), " +
+        "per AS (SELECT score AS threshold, CAST(sum(y) AS BIGINT) " +
+        "AS pos, CAST(sum(1 - y) AS BIGINT) AS neg FROM d GROUP BY 1), " +
+        "c AS (SELECT threshold, " +
+        "CAST(sum(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp, " +
+        "CAST(sum(neg) OVER (ORDER BY threshold DESC) AS BIGINT) AS fp " +
+        "FROM per), " +
+        "t AS (SELECT CAST(sum(pos) AS BIGINT) AS p, " +
+        "CAST(sum(neg) AS BIGINT) AS nn FROM per), " +
+        "f AS (SELECT c.*, t.p - tp AS fn, t.nn - fp AS tn, " +
+        "1.0 * fp + 5.0 * (t.p - tp) AS cost, " +
+        "tp / (tp + fp) AS precision, tp / t.p AS recall FROM c, t), " +
+        "g AS (SELECT *, CASE WHEN precision + recall > 0 THEN " +
+        "2.0 * precision * recall / (precision + recall) ELSE 0.0 END " +
+        "AS f1 FROM f) " +
+        "SELECT round(threshold, 6) AS threshold, tp, fp, fn, tn, " +
+        "round(cost, 4) AS cost, round(precision, 6) AS precision, " +
+        "round(recall, 6) AS recall, round(f1, 6) AS f1 FROM g " +
+        "ORDER BY g.cost, g.threshold DESC LIMIT 1"),
+
+    // DP noisy means: the q218 md5-digit Laplace scheme twice (count
+    // b = 2, clipped sum b = 200), ratio after.
+    "q307_dp_noisy_mean" ->
+      ("WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true, " +
+        "sum(least(100.0, greatest(0.0, value))) AS s, " +
+        "md5(event_type || chr(1) || 'cr0') AS hc, " +
+        "md5(event_type || chr(1) || 'sr0') AS hs FROM events " +
+        "GROUP BY 1), " +
+        s"d AS (SELECT event_type, n_true, s, (${hexPoly("hc")}) AS pc, " +
+        s"(${hexPoly("hs")}) AS ps FROM g), " +
+        "u AS (SELECT event_type, n_true, s, " +
+        "(pc + 0.5) / 16777216.0 - 0.5 AS uc, " +
+        "(ps + 0.5) / 16777216.0 - 0.5 AS us FROM d), " +
+        "z AS (SELECT event_type, n_true, s / n_true AS mean_true, " +
+        "n_true + -2.0 * sign(uc) * ln(1 - 2 * abs(uc)) AS n_noisy, " +
+        "s + -200.0 * sign(us) * ln(1 - 2 * abs(us)) AS sum_noisy " +
+        "FROM u) " +
+        "SELECT event_type, n_true, round(mean_true, 6) AS mean_true, " +
+        "round(n_noisy, 4) AS n_noisy, round(sum_noisy, 4) AS sum_noisy, " +
+        "round(sum_noisy / n_noisy, 4) AS mean_noisy FROM z " +
+        "ORDER BY event_type"),
 
     // Intra-doc paragraph dedup: first-occurrence index filter replayed
     // with list_position (1-based, like the lambda's i).

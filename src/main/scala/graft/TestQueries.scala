@@ -4665,6 +4665,40 @@ object TestQueries {
       .orderBy("doc_id")
   }
 
+  /** Cost-sensitive threshold pick ([[operators.Stats.bestThreshold]]):
+    * a deterministic score/label construction with FN priced 5× FP —
+    * the curation-filter cut. Counts are exact longs, so the cost
+    * argmin replays bit-for-bit in DuckDB.
+    */
+  def q306BestThreshold(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      ((pmod(col("doc_id") * 13, lit(1000)).cast("double") / 1000.0 +
+        when(pmod(col("doc_id"), lit(4)) === 0, 0.5).otherwise(0.0)) /
+        1.5).as("score"),
+      (pmod(col("doc_id"), lit(4)) === 0).cast("int").as("y"))
+    operators.Stats.bestThreshold(scored, "score", "y",
+        costFp = 1.0, costFn = 5.0)
+      .select(round(col("threshold"), 6).as("threshold"), col("tp"),
+        col("fp"), col("fn"), col("tn"), round(col("cost"), 4).as("cost"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+  }
+
+  /** DP noisy means ([[operators.Stats.dpNoisyMean]]): per-event-type
+    * value means released with clip [0, 100] and ε = 1 split across the
+    * sum and count mechanisms — q218's md5-digit noise replayed by
+    * DuckDB digit-for-digit, twice.
+    */
+  def q307DpNoisyMean(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.dpNoisyMean(t(s, dir, "events"), Seq("event_type"),
+        "value", lo = 0.0, hi = 100.0, epsilon = 1.0)
+      .select(col("event_type"), col("n_true"),
+        round(col("mean_true"), 6).as("mean_true"),
+        round(col("n_noisy"), 4).as("n_noisy"),
+        round(col("sum_noisy"), 4).as("sum_noisy"),
+        round(col("mean_noisy"), 4).as("mean_noisy"))
+      .orderBy("event_type")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5116,6 +5150,8 @@ object TestQueries {
     "q303_heaps_law" -> (q303HeapsLaw _),
     "q304_temperature_scaling" -> (q304TemperatureScaling _),
     "q305_dedupe_paragraphs" -> (q305DedupeParagraphs _),
+    "q306_best_threshold" -> (q306BestThreshold _),
+    "q307_dp_noisy_mean" -> (q307DpNoisyMean _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -782,6 +782,93 @@ object Stats {
       .select("threshold", "tp", "fp", "precision", "recall", "f1")
   }
 
+  /** Cost-sensitive threshold selection — [[prCurve]]'s decision step:
+    * pick the score cut minimizing expected cost
+    * costFp·FP + costFn·FN (a curation filter rarely prices both error
+    * kinds equally: letting contamination through usually costs more
+    * than over-dropping). Returns ONE row: (threshold, tp, fp, fn, tn,
+    * cost, precision, recall, f1); cost ties resolve to the HIGHER
+    * threshold (the more conservative filter).
+    *
+    * Same distributed shape as [[prCurve]] (per-distinct-score collapse
+    * + one running pass), then TakeOrderedAndProject picks the argmin —
+    * never a global sort of the score domain.
+    */
+  def bestThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+                    costFp: Double = 1.0, costFn: Double = 1.0)
+  : DataFrame = {
+    require(costFp > 0 && costFn > 0,
+      s"costs must be positive: fp=$costFp fn=$costFn")
+    val lbl = col(labelCol).cast("double") > 0
+    val per = df.groupBy(col(scoreCol).cast("double").as("threshold"))
+      .agg(sum(when(lbl, 1L).otherwise(0L)).as("__pos"),
+        sum(when(lbl, 0L).otherwise(1L)).as("__neg"))
+    Ranks.running(per, Seq(col("threshold").desc),
+        sums = Seq("__pos" -> "tp", "__neg" -> "fp"))
+      .crossJoin(broadcast(per.agg(sum("__pos").as("__p"),
+        sum("__neg").as("__n"))))
+      .withColumn("fn", col("__p") - col("tp"))
+      .withColumn("tn", col("__n") - col("fp"))
+      .withColumn("cost", lit(costFp) * col("fp") + lit(costFn) * col("fn"))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp") / col("__p"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+      .orderBy(col("cost"), col("threshold").desc)
+      .limit(1)
+      .select("threshold", "tp", "fp", "fn", "tn", "cost",
+        "precision", "recall", "f1")
+  }
+
+  /** Differentially-private noisy group MEANS — [[dpNoisyCounts]]'s
+    * companion for value columns: per group, release a clipped noisy sum
+    * (sensitivity = hi − lo) and a noisy count (sensitivity 1), each
+    * with half the ε budget, and report their ratio — the standard
+    * clip-sum/count mechanism. The Laplace draws are DETERMINISTIC (the
+    * dpNoisyCounts md5-digit scheme with distinct salts per release
+    * part), trading the formal guarantee for replayability HERE; pass a
+    * fresh `salt` per real release. Returns (groupCols..., n_true,
+    * mean_true, n_noisy, sum_noisy, mean_noisy).
+    *
+    * One groupBy over the fact with clipping scan-side; noise is scalar
+    * arithmetic per GROUP row.
+    */
+  def dpNoisyMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lo: Double, hi: Double, epsilon: Double,
+                  salt: String = "r0"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    require(hi > lo, s"need a non-degenerate clip range: [$lo, $hi]")
+    val hexChars = 6
+    def lap(tag: String, b: Double): Column = {
+      val key = md5(concat_ws("\u0001", // groups must not collide on concat
+        groupCols.map(c => col(c).cast("string")) :+ lit(s"$tag$salt"): _*))
+      def digit(i: Int): Column = {
+        val a = ascii(substring(key, i, 1))
+        when(a >= 97, a - 87).otherwise(a - 48).cast("double")
+      }
+      val poly = (1 to hexChars)
+        .map(i => digit(i) * math.pow(16.0, hexChars - i))
+        .reduce(_ + _)
+      val u = (poly + 0.5) / math.pow(16.0, hexChars) - 0.5
+      -lit(b) * signum(u) * log(lit(1.0) - abs(u) * 2.0)
+    }
+    val clipped = least(lit(hi), greatest(lit(lo),
+      col(valueCol).cast("double")))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"), sum(clipped).as("__sum_true"))
+      .withColumn("mean_true", col("__sum_true") / col("n_true"))
+      .withColumn("n_noisy",
+        col("n_true") + lap("c", 1.0 / (epsilon / 2.0)))
+      .withColumn("sum_noisy",
+        col("__sum_true") + lap("s", (hi - lo) / (epsilon / 2.0)))
+      .withColumn("mean_noisy", col("sum_noisy") / col("n_noisy"))
+      .select(groupCols.map(col) ++ Seq(col("n_true"), col("mean_true"),
+        col("n_noisy"), col("sum_noisy"), col("mean_noisy")): _*)
+  }
+
   /** Spearman rank correlation: Pearson correlation of the two columns'
     * tied-average ranks — the monotone-association measure that survives
     * outliers and nonlinearity (does quality score rise with document

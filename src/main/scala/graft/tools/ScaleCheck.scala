@@ -984,6 +984,24 @@ object ScaleCheck {
             concat_ws("\n", col("text"), lit("f"), col("text"))),
           "body").agg(sum("n_dropped")).count()
       },
+      "best_threshold" -> { dir =>
+        // prCurve's collapse + running pass + TakeOrdered argmin
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.bestThreshold(
+          ev.select((pmod(col("event_id") * 13, lit(100000))
+              .cast("double") / 100000.0).as("s"),
+            (col("event_id") % 4 === 0).cast("int").as("y")),
+          "s", "y", costFp = 1.0, costFn = 5.0).count()
+      },
+      "dp_noisy_mean" -> { dir =>
+        // one clipped group aggregate + per-group scalar noise
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.dpNoisyMean(
+          ev.select(pmod(col("event_id"), lit(100000)).as("g"),
+            col("value")),
+          Seq("g"), "value", lo = 0.0, hi = 100.0, epsilon = 1.0)
+          .count()
+      },
       "heaps_law" -> { dir =>
         // heaps-law token table shuffles once (per-token min bucket);
         // windows and the regression span ≤ numBuckets rows

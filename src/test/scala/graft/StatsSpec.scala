@@ -1059,6 +1059,36 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("nll_reduction"), 0.0))
   }
 
+  test("bestThreshold: symmetric costs tie to the higher threshold") {
+    val rows = Seq((0.9, 1), (0.7, 0), (0.5, 1), (0.3, 0)).toDF("s", "y")
+    val r = Stats.bestThreshold(rows, "s", "y").head()
+    // cost 1 at both t=.9 (fn=1) and t=.5 (fp=1): conservative cut wins
+    assert(r.getAs[Double]("threshold") === 0.9)
+    assert(r.getAs[Double]("cost") === 1.0)
+  }
+
+  test("bestThreshold: pricing FN 5× moves the cut down") {
+    val rows = Seq((0.9, 1), (0.7, 0), (0.5, 1), (0.3, 0)).toDF("s", "y")
+    val r = Stats.bestThreshold(rows, "s", "y", costFp = 1.0,
+      costFn = 5.0).head()
+    assert(r.getAs[Double]("threshold") === 0.5)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 1L)
+    assert(d(r.getAs[Double]("recall"), 1.0))
+  }
+
+  test("dpNoisyMean: clipping, determinism, nonzero noise") {
+    val rows = Seq(("a", -50.0), ("a", 50.0), ("a", 150.0), ("b", 10.0))
+      .toDF("g", "v")
+    def run() = Stats.dpNoisyMean(rows, Seq("g"), "v", lo = 0.0,
+      hi = 100.0, epsilon = 1.0).orderBy("g").collect()
+    val (r1, r2) = (run(), run())
+    assert(d(r1(0).getAs[Double]("mean_true"), 50.0)) // (0+50+100)/3
+    assert(r1(0).getAs[Double]("n_noisy") !==
+      r1(0).getAs[Long]("n_true").toDouble)
+    assert(r1.map(_.getAs[Double]("mean_noisy")).toSeq ===
+      r2.map(_.getAs[Double]("mean_noisy")).toSeq)
+  }
+
   test("mcnemar: discordant cells drive the statistic") {
     val rows = Seq((true, true), (true, false), (true, false),
       (false, true), (false, false)).toDF("a", "b")
