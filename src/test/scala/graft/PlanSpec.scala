@@ -204,6 +204,24 @@ class PlanSpec extends AnyFunSuite {
       "the census is per-row; any join is a regression")
   }
 
+  test("round-14 operators: no cartesian products, top-K stays TakeOrdered") {
+    // propensity matching must ride the carry machinery, never a
+    // treated × control pair join; Dawid–Skene's class expansion must be
+    // a broadcast spine; Adamic–Adar's cut must not globally sort
+    Seq("q289_propensity_match", "q297_dawid_skene", "q295_bradley_terry")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q plans a cartesian product")
+      }
+    val aa = planOf("q287_adamic_adar")
+    assert(aa.contains("TakeOrderedAndProject"),
+      "adamicAdar's top-K cut must be TakeOrderedAndProject")
+    val bt = planOf("q306_best_threshold")
+    assert(bt.contains("TakeOrderedAndProject"),
+      "bestThreshold's argmin must be TakeOrderedAndProject")
+  }
+
   test("no data-scale window runs a shrinking frame (O(n²) per partition)") {
     // Spark evaluates (currentRow, unboundedFollowing) by recomputing the
     // aggregate from scratch at EVERY row; the forward as-of carry and
