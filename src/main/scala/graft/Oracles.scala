@@ -2137,6 +2137,26 @@ object Oracles {
         "round(sum_noisy / n_noisy, 4) AS mean_noisy FROM z " +
         "ORDER BY event_type"),
 
+    // Capture–recapture: one conditional-cell aggregate + Chapman closed
+    // forms in the operator's op order (all inputs exact integers).
+    "q308_capture_recapture" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_a, " +
+        "CAST(sum(CASE WHEN (doc_id * 7 + 1) % 5 < 2 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN doc_id % 3 = 0 AND (doc_id * 7 + 1) % 5 < 2 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_both FROM documents), " +
+        "e AS (SELECT *, " +
+        "(n_a + 1.0) * (n_b + 1.0) / (n_both + 1.0) - 1.0 AS n_est, " +
+        "sqrt((n_a + 1.0) * (n_b + 1.0) * (n_a - n_both) * " +
+        "(n_b - n_both) / ((n_both + 1.0) * (n_both + 1.0) * " +
+        "(n_both + 2.0))) AS se_est FROM m) " +
+        "SELECT n, n_a, n_b, n_both, round(n_est, 4) AS n_est, " +
+        "round(se_est, 4) AS se_est, " +
+        "round(n_a / n_est, 6) AS recall_a, " +
+        "round(n_b / n_est, 6) AS recall_b FROM e"),
+
     // Intra-doc paragraph dedup: first-occurrence index filter replayed
     // with list_position (1-based, like the lambda's i).
     "q305_dedupe_paragraphs" ->

@@ -4699,6 +4699,22 @@ object TestQueries {
         round(col("mean_noisy"), 4).as("mean_noisy"))
       .orderBy("event_type")
 
+  /** Capture–recapture dedup coverage
+    * ([[operators.Stats.captureRecapture]]): two synthetic detector
+    * passes over documents (independent mod rules) → Chapman estimate of
+    * the total flaggable population and each pass's implied recall.
+    * Counts are exact longs, so the closed forms replay bit-for-bit.
+    */
+  def q308CaptureRecapture(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.captureRecapture(t(s, dir, "documents"),
+        pmod(col("doc_id"), lit(3)) === 0,
+        pmod(col("doc_id") * 7 + 1, lit(5)) < 2)
+      .select(col("n"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_est"), 4).as("n_est"),
+        round(col("se_est"), 4).as("se_est"),
+        round(col("recall_a"), 6).as("recall_a"),
+        round(col("recall_b"), 6).as("recall_b"))
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5152,6 +5168,7 @@ object TestQueries {
     "q305_dedupe_paragraphs" -> (q305DedupeParagraphs _),
     "q306_best_threshold" -> (q306BestThreshold _),
     "q307_dp_noisy_mean" -> (q307DpNoisyMean _),
+    "q308_capture_recapture" -> (q308CaptureRecapture _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

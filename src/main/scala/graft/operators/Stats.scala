@@ -392,6 +392,39 @@ object Stats {
         col("nll_calibrated"), col("nll_reduction"))
   }
 
+  /** Capture–recapture population estimate (Chapman 1951) from two
+    * independent detector passes — the dedup-coverage question no single
+    * pass can answer: if LSH config A flags n₁ docs, config B flags n₂,
+    * and they agree on m, the TOTAL flaggable population is
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's bias-corrected form), with
+    * variance (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)) — so each pass's
+    * estimated RECALL is nᵢ/N̂. Returns ONE row: (n, n_a, n_b, n_both,
+    * n_est, se_est, recall_a, recall_b); zero overlap still estimates
+    * (the +1s), but the independence assumption is the caller's to
+    * defend.
+    *
+    * ONE conditional-cell aggregate — the same single-scan shape as
+    * [[mcnemar]]; everything after is scalar arithmetic.
+    */
+  def captureRecapture(df: DataFrame, flaggedA: Column,
+                       flaggedB: Column): DataFrame = {
+    val one = lit(1.0)
+    df.agg(count(lit(1)).as("n"),
+        sum(when(flaggedA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(flaggedB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(flaggedA && flaggedB, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("n_est",
+        (col("n_a") + one) * (col("n_b") + one) / (col("n_both") + one) -
+          one)
+      .withColumn("se_est", sqrt(
+        (col("n_a") + one) * (col("n_b") + one) *
+          (col("n_a") - col("n_both")) * (col("n_b") - col("n_both")) /
+          ((col("n_both") + one) * (col("n_both") + one) *
+            (col("n_both") + lit(2.0)))))
+      .withColumn("recall_a", col("n_a") / col("n_est"))
+      .withColumn("recall_b", col("n_b") / col("n_est"))
+  }
+
   /** McNemar's test for PAIRED binary outcomes — "is model B actually
     * better than model A on the same eval items?", the question accuracy
     * deltas alone cannot answer (shared items correlate the errors; an

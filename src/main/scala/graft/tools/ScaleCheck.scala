@@ -984,6 +984,13 @@ object ScaleCheck {
             concat_ws("\n", col("text"), lit("f"), col("text"))),
           "body").agg(sum("n_dropped")).count()
       },
+      "capture_recapture" -> { dir =>
+        // one conditional-cell aggregate, scalar closed forms after
+        val ev = graft.sources.Tables.loadEvents(spark, dir)
+        graft.operators.Stats.captureRecapture(ev,
+          col("event_id") % 3 === 0,
+          (col("event_id") * 7 + 1) % 5 < 2).count()
+      },
       "best_threshold" -> { dir =>
         // prCurve's collapse + running pass + TakeOrdered argmin
         val ev = graft.sources.Tables.loadEvents(spark, dir)

@@ -1089,6 +1089,27 @@ class StatsSpec extends AnyFunSuite {
       r2.map(_.getAs[Double]("mean_noisy")).toSeq)
   }
 
+  test("captureRecapture: textbook Chapman estimate") {
+    // 4 flagged by A, 2 by B, 1 by both → N̂ = 5·3/2 − 1 = 6.5
+    val rows = Seq((true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, false)).toDF("a", "b")
+    val r = Stats.captureRecapture(rows, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("n_b") === 2L)
+    assert(d(r.getAs[Double]("n_est"), 6.5))
+    assert(d(r.getAs[Double]("recall_a"), 4.0 / 6.5))
+    // var = 5·3·3·1/(4·3) = 3.75
+    assert(d(r.getAs[Double]("se_est"), math.sqrt(3.75)))
+  }
+
+  test("captureRecapture: full overlap estimates the union exactly") {
+    val rows = Seq((true, true), (true, true), (false, false))
+      .toDF("a", "b")
+    val r = Stats.captureRecapture(rows, col("a"), col("b")).head()
+    assert(d(r.getAs[Double]("n_est"), 2.0)) // 3·3/3 − 1
+    assert(d(r.getAs[Double]("se_est"), 0.0))
+    assert(d(r.getAs[Double]("recall_a"), 1.0))
+  }
+
   test("mcnemar: discordant cells drive the statistic") {
     val rows = Seq((true, true), (true, false), (true, false),
       (false, true), (false, false)).toDF("a", "b")
