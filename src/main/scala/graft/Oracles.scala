@@ -577,9 +577,14 @@ object Oracles {
     * CASE scans the grid in ascending-T order.
     */
   private def temperatureScalingSql(grid: Seq[Double]): String = {
+    // softplus form (mirrors the operator): max(x,0) + ln(1+exp(-|x|)) —
+    // finite for every z; the direct -ln(1-q) errors on ln(0) in DuckDB
+    // when sigma rounds to 1.0
     val nlls = grid.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN y = 1 THEN -ln(1.0 / (1.0 + exp(-z / $t))) " +
-        s"ELSE -ln(1.0 - 1.0 / (1.0 + exp(-z / $t))) END) AS s$i"
+      s"sum(CASE WHEN y = 1 THEN " +
+        s"greatest(-(z / $t), 0.0) + ln(1.0 + exp(-abs(-(z / $t)))) " +
+        s"ELSE greatest(z / $t, 0.0) + ln(1.0 + exp(-abs(z / $t))) " +
+        s"END) AS s$i"
     }.mkString(", ")
     val least = grid.indices.map(i => s"s$i / n").mkString("least(", ", ", ")")
     // CAST: a bare DuckDB decimal literal would type the column DECIMAL
@@ -2074,15 +2079,22 @@ object Oracles {
         "CAST(sum(COALESCE(fs.nw, 0)) OVER (ORDER BY pb.b) AS BIGINT) " +
         "AS vc FROM pb LEFT JOIN fs USING (b)), " +
         "a AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, " +
-        "max(nc) AS n_tokens, max(vc) AS vocab, " +
+        "max(nc) AS n_tokens, max(vc) AS vocab, min(vc) AS vmin, " +
         "regr_slope(ln(CAST(vc AS DOUBLE)), ln(CAST(nc AS DOUBLE))) " +
         "AS beta, " +
         "regr_intercept(ln(CAST(vc AS DOUBLE)), ln(CAST(nc AS DOUBLE))) " +
         "AS ic, " +
         "regr_r2(ln(CAST(vc AS DOUBLE)), ln(CAST(nc AS DOUBLE))) AS r2 " +
         "FROM c) " +
-        "SELECT n_buckets, n_tokens, vocab, round(beta, 6) AS beta, " +
-        "round(exp(ic), 6) AS k_coef, round(r2, 6) AS r2 FROM a"),
+        // flat-curve guard mirrors the operator: saturated vocab → the
+        // r2 ratio is 0/0 fp dust; the integer test replays exactly
+        "SELECT n_buckets, n_tokens, vocab, " +
+        "round(CASE WHEN vmin = vocab THEN 0.0 ELSE beta END, 6) " +
+        "AS beta, " +
+        "round(CASE WHEN vmin = vocab THEN CAST(vocab AS DOUBLE) " +
+        "ELSE exp(ic) END, 6) AS k_coef, " +
+        "round(CASE WHEN vmin = vocab THEN 1.0 ELSE r2 END, 6) AS r2 " +
+        "FROM a"),
 
     // Temperature scaling: generated grid NLLs + ascending-T argmin.
     "q304_temperature_scaling" ->
@@ -2185,7 +2197,8 @@ object Oracles {
         "f AS (SELECT per.*, center, " +
         "greatest(0.0, vb - mse2) AS tau2 FROM per, roll), " +
         "s AS (SELECT g, n, mean, se2, center, " +
-        "CASE WHEN se2 IS NULL THEN 0.0 ELSE tau2 / (tau2 + se2) END " +
+        "CASE WHEN se2 IS NULL OR tau2 + se2 = 0.0 THEN 0.0 " +
+        "ELSE tau2 / (tau2 + se2) END " +
         "AS w FROM f) " +
         "SELECT g, n, round(mean, 6) AS mean, round(se2, 6) AS se2, " +
         "round(w * mean + (1.0 - w) * center, 6) AS shrunk_mean, " +

@@ -23,6 +23,27 @@ object Joins {
     df.schema(colName).dataType
       .isInstanceOf[org.apache.spark.sql.types.TimestampType]
 
+  /** Right side reduced to ONE deterministic row per (key, ts) — the
+    * struct minimum, nearestJoin's rule applied to the as-of pair too —
+    * so duplicate (key, rightTs) right rows can't make the window carry
+    * return a caller-arbitrary duplicate. Unorderable payloads (MapType)
+    * can't take a struct min; they pass through raw and keep arbitrary
+    * tie order among duplicates (pre-collapse in the caller for
+    * determinism). The collapse is one map-side-combinable aggregate on
+    * rows that were about to shuffle on the key anyway, and it SHRINKS
+    * the carry input — strictly cheaper at scale when ties exist.
+    */
+  private def collapsedRight(right: DataFrame, key: String,
+                             rightTs: String, rStruct: Column): DataFrame = {
+    val raw = right.select(col(key), col(rightTs).as("__ts"),
+      rStruct.as("__r"))
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(raw.schema("__r").dataType)
+    if (orderable)
+      raw.groupBy(col(key), col("__ts")).agg(min(col("__r")).as("__r"))
+    else raw
+  }
+
   /** Distributed per-key carry over (__ts, __side) order: adds `__back`
     * (last non-null `__r` at-or-before each row) and/or `__fwd` (first
     * non-null at-or-after) WITHOUT a per-key window. A
@@ -88,10 +109,15 @@ object Joins {
     // shrinking frame by recomputing the aggregate from scratch at every
     // row — O(n²) per (partition, key) slice, measured at 23 s for one
     // 100 k-row/16-key nearestJoin vs ~1 s for the backward half. The
-    // reversal is exact: rows with a non-null `__r` are unique per
-    // (key, __ts, __side) (the right side is pre-collapsed per (key, ts)
-    // and left rows carry null), so physical tie order among the
-    // null-payload rows can never change which row last()/first() picks.
+    // reversal is exact whenever rows with a non-null `__r` are unique
+    // per (key, __ts, __side) — i.e. whenever the caller pre-collapsed
+    // the right side per (key, ts), which nearestJoin always does and
+    // asOfJoin/asOfJoinForward do for orderable payloads. Then physical
+    // tie order among the null-payload rows can never change which row
+    // last()/first() picks. With an UNORDERABLE payload (MapType) the
+    // right side arrives raw, and duplicate (key, ts) right rows keep
+    // caller-arbitrary tie order — in BOTH sort directions, same as the
+    // single-window formulation; the reversal adds no new nondeterminism.
     val wInDesc = Window.partitionBy(col("__pid"), col(key))
       .orderBy(col("__ts").desc, col("__side").desc)
     var out = ranged.join(bSel,
@@ -118,6 +144,10 @@ object Joins {
     * and no M:N intermediate blow-up — the inequality-join
     * formulation explodes to (left × right-per-key) before picking the max.
     * At equal timestamps the right row sorts first, so `ts ≥ ts` matches.
+    * Duplicate right rows at one (key, ts) reduce to their struct minimum
+    * first (nearestJoin's rule), so the matched row is deterministic —
+    * except for unorderable (MapType) payloads, which pass through raw
+    * with caller-arbitrary tie order among duplicates.
     *
     * `toleranceSec` drops matches whose right row is further in the past
     * than the bound (pandas merge_asof `tolerance` semantics, symmetric
@@ -144,11 +174,12 @@ object Joins {
           leftCols.filterNot(_ == key).map(col) :+
           lit(null).cast(rStructType).as("__r"): _*)
         .unionByName(
-          right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+          collapsedRight(right, key, rightTs, rStruct)
+            .withColumn("__side", lit(0))
             .select(Seq(col("__ts"), col("__side"), col(key)) ++
               leftCols.filterNot(_ == key)
                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-              rStruct.as("__r"): _*))
+              col("__r"): _*))
     val matched = carriedMatches(tagged, key, back = true, fwd = false)
       .where(col("__side") === 1 && col("__back").isNotNull)
     val isTs = isTsType(right, rightTs)
@@ -171,7 +202,10 @@ object Joins {
     * observation" direction — e.g. the first sensor reading after an
     * order). Same union + single-sorted-pass shape as [[asOfJoin]], with
     * the carry running over the FOLLOWING frame; at equal timestamps the
-    * left row sorts first so `ts ≤ ts` matches. `toleranceSec` drops
+    * left row sorts first so `ts ≤ ts` matches. Duplicate right rows at
+    * one (key, ts) reduce to their struct minimum first (raw
+    * pass-through with arbitrary tie order for unorderable payloads —
+    * see [[asOfJoin]]). `toleranceSec` drops
     * matches further than the bound (inner semantics, like kdb `wj`
     * windows); it compares the two timestamp columns at microsecond
     * precision.
@@ -191,11 +225,12 @@ object Joins {
           leftCols.filterNot(_ == key).map(col) :+
           lit(null).cast(rStructType).as("__r"): _*)
         .unionByName(
-          right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))
+          collapsedRight(right, key, rightTs, rStruct)
+            .withColumn("__side", lit(1))
             .select(Seq(col("__ts"), col("__side"), col(key)) ++
               leftCols.filterNot(_ == key)
                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-              rStruct.as("__r"): _*))
+              col("__r"): _*))
     val matched = carriedMatches(tagged, key, back = false, fwd = true)
       .withColumnRenamed("__fwd", "__match")
       .where(col("__side") === 0 && col("__match").isNotNull)

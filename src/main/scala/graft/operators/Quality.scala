@@ -1223,13 +1223,26 @@ object Quality {
       .withColumn("__vc", sum(coalesce(col("__new"), lit(0L))).over(w))
       .agg(count(lit(1)).as("n_buckets"),
         max("__nc").as("n_tokens"), max("__vc").as("vocab"),
+        min("__vc").as("__vmin"),
         regr_slope(log(col("__vc").cast("double")),
-          log(col("__nc").cast("double"))).as("beta"),
+          log(col("__nc").cast("double"))).as("__beta"),
         regr_intercept(log(col("__vc").cast("double")),
           log(col("__nc").cast("double"))).as("__ic"),
         regr_r2(log(col("__vc").cast("double")),
-          log(col("__nc").cast("double"))).as("r2"))
-      .withColumn("k_coef", exp(col("__ic")))
+          log(col("__nc").cast("double"))).as("__r2"))
+      // the exactly-FLAT curve (vocabulary saturated before the first
+      // cut — tiny or synthetic corpora): SST is 0 up to fp dust, so
+      // regr_r2 is a noise-dominated tiny/tiny ratio that differs run to
+      // run with summation order. The integer min==max test is exact in
+      // any engine; a constant fits itself perfectly: β=0, K=V, r²=1.
+      .withColumn("__flat", col("__vmin") === col("vocab"))
+      .withColumn("beta",
+        when(col("__flat"), lit(0.0)).otherwise(col("__beta")))
+      .withColumn("r2",
+        when(col("__flat"), lit(1.0)).otherwise(col("__r2")))
+      .withColumn("k_coef",
+        when(col("__flat"), col("vocab").cast("double"))
+          .otherwise(exp(col("__ic"))))
       .select(col("n_buckets"), col("n_tokens"), col("vocab"),
         col("beta"), col("k_coef"), col("r2"))
   }

@@ -293,6 +293,12 @@ object Stats {
       post = next
       i += 1
     }
+    // the MAP projection below reads ONLY the final pinned posterior —
+    // the EM spine frames are done; release them so long-lived sessions
+    // don't accumulate pinned blocks per call (hits/bradleyTerry parity)
+    Pinning.unpin(rt)
+    Pinning.unpin(classes)
+    Pinning.unpin(nir)
     post
       .withColumn("is_map", row_number().over(
         wItem.orderBy(col("__t").desc, col("__c"))) === 1)
@@ -330,7 +336,12 @@ object Stats {
       .withColumn("__tau2",
         greatest(lit(0.0), col("__vb") - col("__mse2")))
       .withColumn("shrink_weight",
-        when(col("se2").isNull, lit(0.0))
+        // the τ²+se2 = 0 guard: a zero-sample-variance group under zero
+        // between-variance would otherwise compute 0/0 = NaN (and DuckDB
+        // 0/0 differs — a latent oracle divergence); it shrinks fully to
+        // the center, matching the singleton convention
+        when(col("se2").isNull ||
+          col("__tau2") + col("se2") === 0.0, lit(0.0))
           .otherwise(col("__tau2") / (col("__tau2") + col("se2"))))
       .withColumn("shrunk_mean",
         col("shrink_weight") * col("mean") +
@@ -368,9 +379,19 @@ object Stats {
       greatest(lit(0.000001), col(scoreCol).cast("double")))
     val z = log(p / (lit(1.0) - p))
     val y = col(labelCol).cast("double") > 0
+    // Log-space NLL via softplus: −log σ(z/t) = sp(−z/t) and
+    // −log(1−σ(z/t)) = sp(z/t) with sp(x) = max(x,0) + ln(1+exp(−|x|)) —
+    // finite for EVERY z, unlike the direct form, where a label-0 row
+    // with p near the clip and small t rounds σ(z/t) to exactly 1.0 and
+    // −log(1−q) becomes log(0) → NULL, which sum() silently drops: an
+    // infinite penalty scored as zero, biasing small-t NLL low on
+    // exactly the overconfident-and-wrong inputs this operator targets.
+    // ln(1+exp(·)), not log1p: the oracle engine has no log1p, and the
+    // identical op sequence is what makes the two engines hash-match.
     def nllSum(t: Double): Column = {
-      val q = lit(1.0) / (lit(1.0) + exp(-z / t))
-      sum(when(y, -log(q)).otherwise(-log(lit(1.0) - q)))
+      def sp(x: Column): Column =
+        greatest(x, lit(0.0)) + log(lit(1.0) + exp(-abs(x)))
+      sum(when(y, sp(-(z / t))).otherwise(sp(z / t)))
     }
     val gridAggs = grid.zipWithIndex.map { case (t, i) =>
       nllSum(t).as(s"__nll$i")

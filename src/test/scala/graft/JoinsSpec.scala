@@ -99,6 +99,38 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(0).isNullAt(2)) // NOT stitched from the 09:00 quote
   }
 
+  test("asOfJoin/Forward: duplicate right rows at one (key, ts) pick the " +
+    "struct minimum deterministically") {
+    val trades = Seq((1L, 100L, ts("2021-01-01 10:00:05"))).toDF(
+      "trade_id", "acct", "t_ts")
+    // two quotes at the SAME (acct, ts): the struct min — ordered by
+    // (__rts, px, tag) — must win in both directions, every run
+    val quotes = Seq(
+      (100L, ts("2021-01-01 10:00:00"), 11.0, "zz"),
+      (100L, ts("2021-01-01 10:00:00"), 10.0, "aa"),
+      (100L, ts("2021-01-01 10:00:30"), 12.0, "bb"),
+      (100L, ts("2021-01-01 10:00:30"), 13.0, "cc")
+    ).toDF("acct", "q_ts", "px", "tag").repartition(4) // scatter the dups
+    val back = Joins.asOfJoin(trades, quotes, "acct", "t_ts", "q_ts",
+      Seq("px", "tag")).select("asof_px", "asof_tag").head()
+    assert(back.getDouble(0) === 10.0 && back.getString(1) === "aa")
+    val fwd = Joins.asOfJoinForward(trades, quotes, "acct", "t_ts", "q_ts",
+      Seq("px", "tag")).select("asof_px", "asof_tag").head()
+    assert(fwd.getDouble(0) === 12.0 && fwd.getString(1) === "bb")
+  }
+
+  test("asOfJoin: unorderable (map-typed) right payloads still join via " +
+    "the raw path") {
+    val trades = Seq((1L, 100L, ts("2021-01-01 10:00:05"))).toDF(
+      "trade_id", "acct", "t_ts")
+    val quotes = Seq((100L, ts("2021-01-01 10:00:00"), Map("px" -> 10.0)))
+      .toDF("acct", "q_ts", "attrs")
+    val got = Joins.asOfJoin(trades, quotes, "acct", "t_ts", "q_ts",
+      Seq("attrs")).select("trade_id", "asof_attrs").head()
+    assert(got.getLong(0) === 1L)
+    assert(got.getMap[String, Double](1)("px") === 10.0)
+  }
+
   test("asOfJoinForward picks the earliest right row at or after; tolerance bounds it") {
     val trades = Seq(
       (1L, 100L, ts("2021-01-01 10:00:05")),  // next quote 10:00:30

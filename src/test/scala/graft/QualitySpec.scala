@@ -769,6 +769,11 @@ class QualitySpec extends AnyFunSuite {
       .head()
     assert(r.getAs[Long]("vocab") === 1L)
     assert(math.abs(r.getAs[Double]("beta")) < 1e-9)
+    // the flat-curve guard: SST is fp dust here, so without the integer
+    // min==max guard r2 would be a noise-dominated 0/0 that differs by
+    // engine and run; the contract is the exact degenerate fit
+    assert(r.getAs[Double]("r2") === 1.0)
+    assert(r.getAs[Double]("k_coef") === 1.0)
   }
 
   test("vocabCoverage: hand-counted Good–Turing and Chao1") {

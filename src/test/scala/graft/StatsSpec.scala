@@ -1059,6 +1059,34 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("nll_reduction"), 0.0))
   }
 
+  test("temperatureScaling: overconfident-and-WRONG rows keep their " +
+    "penalty at small T (log-space NLL, no log(0) drop)") {
+    // label-0 at p=.99999: z ≈ 11.51, so σ(z/0.25) rounds to exactly 1.0
+    // in binary64 — the direct -log(1-q) form hits log(0) → NULL and
+    // sum() silently scores the infinite penalty as ZERO, handing the
+    // win to T=0.25; softplus keeps the ~46-nat penalty and the grid
+    // max (T=4) wins
+    val rows = (Seq.fill(5)((1, 0.8)) :+ ((0, 0.99999))).toDF("y", "p")
+    val r = Stats.temperatureScaling(rows, "p", "y").head()
+    assert(!r.isNullAt(r.fieldIndex("nll_calibrated")))
+    assert(!r.getAs[Double]("nll_calibrated").isNaN)
+    assert(r.getAs[Double]("best_t") === 4.0)
+  }
+
+  test("ebShrinkMeans: zero-variance groups under zero between-variance " +
+    "shrink to the center, never NaN") {
+    // every observation identical: se2 = 0 per group AND τ² = 0 → the
+    // unguarded blend is 0/0 = NaN; the contract is full shrink (w = 0)
+    val rows = Seq(("g1", 5.0), ("g1", 5.0), ("g2", 5.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val got = Stats.ebShrinkMeans(rows, Seq("g"), "v").collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("shrink_weight") === 0.0)
+      assert(r.getAs[Double]("shrunk_mean") === 5.0)
+      assert(!r.getAs[Double]("shrunk_mean").isNaN)
+    }
+  }
+
   test("bestThreshold: symmetric costs tie to the higher threshold") {
     val rows = Seq((0.9, 1), (0.7, 0), (0.5, 1), (0.3, 0)).toDF("s", "y")
     val r = Stats.bestThreshold(rows, "s", "y").head()
