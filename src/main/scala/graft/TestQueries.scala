@@ -797,12 +797,26 @@ object TestQueries {
     * plans the spec proves at 1.0. Smaller gate dirs scale down further
     * so Verify stays fast.
     */
-  def q129BikeshareScale(s: SparkSession, dir: String): DataFrame = {
-    val scale =
-      if (dir.contains("sf0.001")) 0.01
-      else if (dir.contains("sf0.01")) 0.1
-      else 0.2
-    pipeline.BikeshareGen.runAll(s, scale).orderBy("query")
+  def q129BikeshareScale(s: SparkSession, dir: String): DataFrame =
+    pipeline.BikeshareGen.runAll(s, bikeshareScale(dir)).orderBy("query")
+
+  /** The bikeshare corpus scale a given sf dir maps to (shared by q129
+    * and Bench's setup phase so both warm the SAME warehouse).
+    */
+  def bikeshareScale(dir: String): Double =
+    if (dir.contains("sf0.001")) 0.01
+    else if (dir.contains("sf0.01")) 0.1
+    else 0.2
+
+  /** Pre-build q129's warehouse (disk parquet + pinned enrich spine) so
+    * a timed q129 measures the 22 reference queries, not the one-time
+    * corpus build — Bench calls this in its setup phase and reports the
+    * build seconds separately (a cold `target/` otherwise reads as a
+    * ~3x q129 "regression" every fresh-checkout round).
+    */
+  def warmBikeshareWarehouse(s: SparkSession, dir: String): Unit = {
+    pipeline.BikeshareGen.warehouseCached(s, bikeshareScale(dir))
+    ()
   }
 
   /** Character entropy ([[operators.Quality.charEntropy]]): the
@@ -1563,23 +1577,46 @@ object TestQueries {
     * ([[operators.Multimodal.extractFeatures]] → real pixel luma
     * histograms) into cosine top-k — the media-dedup/retrieval shape.
     * Rows-only (a real codec has no SQL equivalent); the per-stage pieces
-    * are oracle/spec-checked (q42, MultimodalSpec, q39).
+    * are oracle/spec-checked (q42, MultimodalSpec, q39) — and the output
+    * CARRIES its own measured number (the q187 convention): each query
+    * doc gets a planted one-character-edited PNG twin at id+10000, every
+    * result row is flagged `is_planted`, and the constant
+    * `planted_recall` column reports how many of the 5 queries surfaced
+    * their twin in the top-k — ground truth by construction, so the gate
+    * artifact itself proves the decode→histogram→cosine path retrieves.
     */
   def q76MediaAnn(s: SparkSession, dir: String): DataFrame = {
     // Mixed real-codec corpus: PNG images for doc_id < 100, MJPEG-AVI
     // clips for 100-199 — every feature vector comes from an actual
     // decode (pixels or frames), none from the byte-hash fallback.
     val docs = t(s, dir, "documents")
+    val queries = docs.where(col("doc_id") < 5)
     val media = operators.Multimodal.textToPng(
         docs.where(col("doc_id") < 100), "doc_id", "text").toDF()
       .unionByName(operators.Multimodal.textToAvi(
         docs.where(col("doc_id") >= 100 && col("doc_id") < 200),
         "doc_id", "text").toDF())
+      .unionByName(operators.Multimodal.textToPng(
+        queries.select((col("doc_id") + 10000).as("doc_id"),
+          overlay(col("text"), lit("X"), lit(1)).as("text")),
+        "doc_id", "text").toDF())
     val feats = operators.Multimodal.extractFeatures(media, dim = 16).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
       .localCheckpoint() // corpus AND query side — avoid double extraction
-    operators.Similarity.bruteForceTopK(feats,
-      feats.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    val topk = operators.Similarity.bruteForceTopK(feats,
+        feats.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .withColumn("is_planted",
+        col("nbr_id") === col("query_id") + 10000L)
+      .localCheckpoint() // feeds both the recall aggregate and the rows
+    val nQueries = queries.agg(count(lit(1)).as("n_planted"))
+    val recall = topk.agg(
+        countDistinct(when(col("is_planted"), col("query_id")))
+          .as("n_planted_found"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("n_planted"), col("n_planted_found"),
+        round(col("n_planted_found") / col("n_planted"), 4)
+          .as("planted_recall"))
+    topk.crossJoin(broadcast(recall)).orderBy("query_id", "rank")
   }
 
   /** RANGE-frame window (time-based rolling aggregate — value-bounded

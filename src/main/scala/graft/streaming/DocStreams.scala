@@ -87,7 +87,13 @@ object DocStreams {
     *  4. the new docs append to the lake (with `fp` persisted), THEN the
     *     near-dup survivors' band keys append to the corpus-key artifact,
     *     so the NEXT batch screens against them — the artifact grows
-    *     incrementally, no corpus rescan ever.
+    *     incrementally, no corpus rescan ever;
+    *  5. every `compactEveryBatches` micro-batches (default 64; 0
+    *     disables) the key artifact compacts via [[compactCorpusKeys]] —
+    *     without this a long-lived stream accretes one small file per
+    *     batch and the screen pays one file open per historical batch.
+    *     Serial micro-batches make the in-stream swap safe; an
+    *     interrupted swap rolls FORWARD at the next batch.
     *
     * Replay safety, case by case (the two appends are separate
     * non-atomic writes, so every crash window must be idempotent):
@@ -110,15 +116,23 @@ object DocStreams {
                           corpusKeysPath: String, checkpoint: String,
                           shingleSize: Int = 3, numHashes: Int = 16,
                           bands: Int = 4, maxCorpusBucket: Int = 4096,
-                          expectedItems: Long = 1L << 20):
-      org.apache.spark.sql.streaming.StreamingQuery =
+                          expectedItems: Long = 1L << 20,
+                          compactEveryBatches: Int = 64):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEveryBatches >= 0,
+      s"compactEveryBatches must be ≥ 0 (0 disables): $compactEveryBatches")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
         val spark = batch.sparkSession
         val conf = spark.sessionState.newHadoopConf()
         val kp = new org.apache.hadoop.fs.Path(corpusKeysPath)
+        // roll forward an interrupted compaction swap before reading:
+        // without this, a crash between the swap's two renames would make
+        // the next batch see "no keys" and silently lose the screen
+        recoverKeySwap(kp.getFileSystem(conf), corpusKeysPath)
         val keysExist = kp.getFileSystem(conf).exists(kp)
         val screened =
           if (!keysExist) batch.toDF()
@@ -152,8 +166,21 @@ object DocStreams {
         graft.operators.Incremental.bandedKeys(survivors, "doc_id", "text",
             shingleSize, numHashes, bands)
           .write.mode("append").parquet(corpusKeysPath)
+        // every-N-batches maintenance: each micro-batch appends one small
+        // key file, so a long-lived stream's screen would pay one file
+        // open per historical batch. Compacting INSIDE foreachBatch is
+        // safe — micro-batches are serial, so nothing else appends — and
+        // a crash mid-swap rolls forward at the next batch (above). A
+        // replayed batch may compact twice; compaction is idempotent
+        // (distinct() of a bag is stable).
+        if (compactEveryBatches > 0 &&
+            batchId % compactEveryBatches == compactEveryBatches - 1) {
+          compactCorpusKeys(spark, corpusKeysPath)
+          ()
+        }
       }
       .start()
+  }
 
   /** Compact the corpus-key artifact a long-running
     * [[nearDupCurateToLake]] stream grows: each micro-batch appends one
@@ -171,9 +198,15 @@ object DocStreams {
     * `id` differs). So results are identical pre/post compaction;
     * StreamingSpec asserts it end to end.
     *
-    * Run it while the stream is STOPPED (between restarts): the swap is
-    * two directory renames, not a transaction against a concurrent
-    * micro-batch's append. Returns the compacted row count.
+    * Safe to call from INSIDE the owning stream's `foreachBatch` (the
+    * [[nearDupCurateToLake]] `compactEveryBatches` hook does): micro-
+    * batches of one stream run serially, so no concurrent append exists
+    * within the callback. Only compaction from OUTSIDE a running stream
+    * races its appends — run that variant while the stream is STOPPED.
+    * A crash mid-swap is recovered on the next call (and by the stream
+    * itself): the temp directory is a COMPLETE materialized write before
+    * any rename, so a missing live dir with a complete temp rolls
+    * FORWARD. Returns the compacted row count.
     */
   def compactCorpusKeys(spark: SparkSession, corpusKeysPath: String,
                         targetFiles: Int = 1): Long = {
@@ -181,6 +214,7 @@ object DocStreams {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(corpusKeysPath)
     val fs = p.getFileSystem(conf)
+    recoverKeySwap(fs, corpusKeysPath)
     require(fs.exists(p), s"no corpus-key artifact at $corpusKeysPath")
     val tmp = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_old")
@@ -194,5 +228,26 @@ object DocStreams {
     require(fs.rename(tmp, p), s"compaction swap failed moving $tmp in place")
     fs.delete(old, true)
     compacted.count()
+  }
+
+  /** Roll an interrupted [[compactCorpusKeys]] swap FORWARD: the only
+    * crash window that leaves the live directory missing is after the
+    * live→old rename and before the tmp→live rename — at which point the
+    * temp directory is a complete, committed parquet write (it is fully
+    * written BEFORE the first rename), so renaming it into place finishes
+    * the compaction the crash interrupted. Every other window leaves the
+    * live directory intact and at worst some leftover temp/old debris,
+    * which the next compaction clears. No-op when the live dir exists.
+    */
+  private def recoverKeySwap(fs: org.apache.hadoop.fs.FileSystem,
+                             corpusKeysPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusKeysPath)
+    val tmp = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_old")
+    if (!fs.exists(p) && fs.exists(tmp)) {
+      require(fs.rename(tmp, p),
+        s"compaction recovery failed moving $tmp into place")
+      fs.delete(old, true)
+    }
   }
 }

@@ -1038,6 +1038,29 @@ object ScaleCheck {
           docs(dir).withColumn("g", floor(col("doc_id") / 32)),
           "g", col("n_chars") / 100.0, col("n_chars")).count()
       },
+      "adjusted_rand" -> { dir =>
+        // the GUARD-relevant knob: contingency cells grow with rows
+        // (≈ rows/32 clusterings × 7 classes — ~130k cells at ×10,
+        // inside maxCells), so this times the guarded cell-table path,
+        // not a fixed-size grid
+        graft.operators.Stats.adjustedRand(
+          docs(dir).select(
+            floor(col("doc_id") / 32).cast("string").as("a"),
+            pmod(col("doc_id"), lit(7)).cast("string").as("b")),
+          "a", "b").count()
+      },
+      "rbo" -> { dir =>
+        // group count scales with rows; depth bounds each group's
+        // overlap frame (the operator's per-group scale contract)
+        val ranked = docs(dir)
+          .withColumn("g", floor(col("doc_id") / 256))
+          .withColumn("r", (pmod(col("doc_id"), lit(256)) + 1).cast("int"))
+        graft.operators.Retrieval.rankBiasedOverlap(
+          ranked.select(col("g"), col("doc_id").as("id"), col("r")),
+          ranked.select(col("g"), col("doc_id").as("id"),
+            (lit(257) - col("r")).cast("int").as("r")),
+          "id", "r", depth = 50, groupCols = Seq("g")).count()
+      },
       "pii_scan" -> { dir =>
         // regexp families + Luhn HOF, all scan-side
         graft.operators.Quality.piiScan(docs(dir), "doc_id", "text")

@@ -445,6 +445,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(screen() === before) // identical screen pre/post compaction
   }
 
+  test("nearDupCurateToLake: the every-N-batches hook keeps the key-file " +
+    "count bounded over a 20-micro-batch stream, no manual compaction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-autocomp").toString
+    val lake = graft.sources.Lake(s"$tmp/lake")
+    val keysPath = s"$tmp/corpus_keys"
+    val src = s"$tmp/drops"
+    new java.io.File(src).mkdirs()
+    // every token carries the doc index → shingle sets are fully
+    // DISJOINT across docs (Jaccard 0), so no legitimate doc can ever
+    // LSH-collide with another and the lake count is exact
+    def drop(i: Int): Unit =
+      Seq((100L + i,
+        s"doc$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i " +
+          s"eta$i theta$i iota$i kappa$i lambda$i"))
+        .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$src/d$i")
+    // ONE stream, ONE checkpoint: batchIds increment 0..19, so the
+    // compactEveryBatches=5 hook fires at batches 4, 9, 14, 19 — the
+    // 20-batch lifetime ends compacted with no manual intervention
+    drop(0)
+    val q = streaming.DocStreams.nearDupCurateToLake(
+      spark.readStream.schema(streaming.DocStreams.docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/*"),
+      lake, "bronze", "docs", keysPath, s"$tmp/chk",
+      compactEveryBatches = 5)
+    q.processAllAvailable()
+    (1 until 20).foreach { i => drop(i); q.processAllAvailable() }
+    q.stop()
+    def parquetFiles(): Int = new java.io.File(keysPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // batch 19 compacted to 1 file; without the hook this is ~20
+    assert(parquetFiles() === 1)
+    // the screen still works after repeated in-stream swaps: a near-dup
+    // of an EARLY doc (pre-several-compactions) must still drop
+    assert(lake.read(spark, "bronze", "docs").count() === 20)
+    val probe = Seq(
+      (900L, "doc0 alpha0 beta0 gamma0 delta0 epsilon0 zeta0 " +
+        "eta0 theta0 iota0 kappa0 lambda0"),
+      (901L, "entirely novel probe content nothing upstream mentioned"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = graft.operators.Incremental
+      .minhashNewDocsAgainstKeys(probe, spark.read.parquet(keysPath),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(901L))
+  }
+
   test("driftMonitorSink: per-batch drift report equals the batch operator") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
