@@ -392,6 +392,57 @@ object Oracles {
       s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled personalized weighted PageRank (random walk with restart)
+    * over the q141 ring graph, mirroring `Graphs.pageRankPersonalized`
+    * exactly: weights normalize once per source, ranks start AT the
+    * restart distribution, teleport and dangling mass both land on r.
+    * The q311 embodiment is dyadic-exact (out-weight sums of exactly 8,
+    * a 32-node seed set, damping 7/8), so both engines compute
+    * bit-identical doubles — RWR rationals land exactly on decimal
+    * half-boundaries, where no rounding precision can absorb ulp drift.
+    * Per-round state CTEs are MATERIALIZED (each round reads the
+    * previous rank frame twice — contribs and dangling; the hitsSql
+    * inliner lesson).
+    */
+  private def pprSql(iters: Int): String = {
+    val head =
+      "WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "e0 AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst, " +
+      "CAST(8 - 2 * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) " +
+      "- 3 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "AS w FROM documents, mn " +
+      "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n, 2.0 " +
+      "FROM documents, mn WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, (doc_id + 101) % mn.n, 3.0 " +
+      "FROM documents, mn WHERE doc_id % 3 = 0), " +
+      "e AS MATERIALIZED (SELECT src, dst, w FROM e0 WHERE w > 0), " +
+      "nd AS MATERIALIZED (SELECT src AS node FROM e " +
+      "UNION SELECT dst FROM e), " +
+      "rs AS MATERIALIZED (SELECT node, CASE WHEN node < 32 " +
+      "THEN 1 ELSE 0 END AS in_r FROM nd), " +
+      "nr AS (SELECT CAST(sum(in_r) AS DOUBLE) AS k FROM rs), " +
+      "rr AS MATERIALIZED (SELECT node, CASE WHEN in_r = 1 " +
+      "THEN 1.0 / nr.k ELSE 0.0 END AS r FROM rs, nr), " +
+      "ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1), " +
+      "ew AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS w " +
+      "FROM e JOIN ow USING (src)), " +
+      "dang AS MATERIALIZED (SELECT rr.node FROM rr LEFT JOIN ow " +
+      "ON rr.node = ow.src WHERE ow.src IS NULL), " +
+      "p0 AS MATERIALIZED (SELECT node, r AS pr FROM rr)"
+    val rounds = (1 to iters).map { k =>
+      s"c$k AS (SELECT ew.dst AS node, sum(p.pr * ew.w) AS m " +
+        s"FROM ew JOIN p${k - 1} p ON ew.src = p.node GROUP BY 1), " +
+        s"d$k AS (SELECT COALESCE(sum(p.pr), 0.0) AS dm " +
+        s"FROM dang JOIN p${k - 1} p USING (node)), " +
+        s"p$k AS MATERIALIZED (SELECT rr.node, " +
+        s"(1.0 - 0.875) * rr.r + 0.875 * (COALESCE(c$k.m, 0.0) + " +
+        s"d$k.dm * rr.r) AS pr " +
+        s"FROM rr LEFT JOIN c$k USING (node), d$k)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT node, round(pr, 9) AS pr FROM p$iters ORDER BY node"
+  }
+
   /** Unrolled synchronous HITS over the q141 derived graph — one
     * (raw-sum, coalesce-to-all-nodes, L1-normalize) CTE triple per score
     * per round, mirroring `Graphs.hits` exactly: deduped directed edges,
@@ -2168,6 +2219,74 @@ object Oracles {
         "round(se_est, 4) AS se_est, " +
         "round(n_a / n_est, 6) AS recall_a, " +
         "round(n_b / n_est, 6) AS recall_b FROM e"),
+
+    // CUPED: one-scan per-arm moments + the closed forms, same op order
+    // (theta = cov/vx, effect_adj = raw - theta*(xbar_t - xbar_c),
+    // var_y_adj = var_y - cov^2/vx).
+    "q309_cuped" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "sum(CASE WHEN event_id % 2 = 0 THEN value ELSE 0.0 END) AS x, " +
+        "sum(CASE WHEN event_id % 2 <> 0 THEN value ELSE 0.0 END) AS y, " +
+        "(user_id * 16807 % 97) < 30 AS tr FROM events GROUP BY user_id), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
+        "sum(CASE WHEN tr THEN y ELSE 0.0 END) AS syt, " +
+        "sum(CASE WHEN NOT tr THEN y ELSE 0.0 END) AS syc, " +
+        "sum(CASE WHEN tr THEN x ELSE 0.0 END) AS sxt, " +
+        "sum(CASE WHEN NOT tr THEN x ELSE 0.0 END) AS sxc, " +
+        "covar_samp(x, y) AS cov, var_samp(x) AS vx, " +
+        "var_samp(y) AS var_y FROM pu), " +
+        "b AS (SELECT *, " +
+        "CASE WHEN vx > 0.0 THEN cov / vx ELSE 0.0 END AS theta, " +
+        "syt / n_t - syc / n_c AS effect_raw FROM a), " +
+        "c AS (SELECT *, " +
+        "effect_raw - theta * (sxt / n_t - sxc / n_c) AS effect_adj, " +
+        "CASE WHEN vx > 0.0 THEN var_y - cov * cov / vx " +
+        "ELSE var_y END AS var_y_adj FROM b) " +
+        "SELECT n, n_t, n_c, round(theta, 6) AS theta, " +
+        "round(effect_raw, 6) AS effect_raw, " +
+        "round(effect_adj, 6) AS effect_adj, " +
+        "round(var_y, 4) AS var_y, round(var_y_adj, 4) AS var_y_adj, " +
+        "round(CASE WHEN var_y > 0.0 THEN (var_y - var_y_adj) / var_y " +
+        "ELSE 0.0 END, 6) AS var_reduction FROM c"),
+
+    // Stratified CMH McNemar: per-stratum discordant cells (exact longs)
+    // + the pooled CMH and the three-moment homogeneity rollup, same op
+    // order as the operator.
+    "q310_mcnemar_strat" ->
+      ("WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1), " +
+        "s AS (SELECT *, CASE WHEN b + c > 0 THEN " +
+        "power(b - c, 2) / CAST(b + c AS DOUBLE) ELSE 0.0 END AS chi2 " +
+        "FROM per), " +
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(CASE WHEN b + c > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_informative, " +
+        "CAST(sum(b) AS BIGINT) AS tb, CAST(sum(c) AS BIGINT) AS tc, " +
+        "sum(CASE WHEN b + c > 0 THEN b * b / CAST(b + c AS DOUBLE) " +
+        "ELSE 0.0 END) AS sb2n, " +
+        "CAST(sum(b + c) AS BIGINT) AS tn FROM s), " +
+        "r2 AS (SELECT *, CASE WHEN tb + tc > 0 THEN " +
+        "power(tb - tc, 2) / CAST(tb + tc AS DOUBLE) ELSE 0.0 END " +
+        "AS cmh_chi2, " +
+        "tb / CAST(tb + tc AS DOUBLE) AS p FROM r), " +
+        "r3 AS (SELECT *, CASE WHEN tn > 0 AND p > 0.0 AND p < 1.0 " +
+        "THEN (sb2n - 2.0 * p * tb + p * p * tn) / (p * (1.0 - p)) " +
+        "ELSE 0.0 END AS hom_chi2 FROM r2) " +
+        "SELECT s.lang, s.n, s.b AS a_only_correct, " +
+        "s.c AS b_only_correct, round(s.chi2, 6) AS chi2, " +
+        "r3.n_strata, r3.n_informative, " +
+        "round(r3.cmh_chi2, 6) AS cmh_chi2, " +
+        "round(r3.hom_chi2, 6) AS hom_chi2 FROM s, r3 ORDER BY lang"),
+
+    // Personalized weighted PageRank: 3 unrolled RWR rounds over the
+    // q141 ring graph with integer weights and a doc_id%17 seed set.
+    "q311_personalized_pagerank" -> pprSql(3),
 
     // Intra-doc paragraph dedup: first-occurrence index filter replayed
     // with list_position (1-based, like the lambda's i).

@@ -4752,6 +4752,88 @@ object TestQueries {
         round(col("recall_a"), 6).as("recall_a"),
         round(col("recall_b"), 6).as("recall_b"))
 
+  /** CUPED variance reduction ([[operators.Stats.cuped]]): per-user
+    * post-period metric adjusted by the pre-period covariate (even/odd
+    * event ids split the periods deterministically), q289's treatment
+    * hash. DuckDB replays the one-scan moments and the closed forms.
+    */
+  def q309Cuped(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_id") % 2 === 0, col("value"))
+          .otherwise(0.0)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, col("value"))
+          .otherwise(0.0)).as("y"))
+      .withColumn("is_treated",
+        pmod(col("user_id") * 16807, lit(97)) < 30)
+    operators.Stats.cuped(perUser, col("is_treated"), "y", "x")
+      .select(col("n"), col("n_t"), col("n_c"),
+        round(col("theta"), 6).as("theta"),
+        round(col("effect_raw"), 6).as("effect_raw"),
+        round(col("effect_adj"), 6).as("effect_adj"),
+        round(col("var_y"), 4).as("var_y"),
+        round(col("var_y_adj"), 4).as("var_y_adj"),
+        round(col("var_reduction"), 6).as("var_reduction"))
+  }
+
+  /** Stratified CMH McNemar ([[operators.Stats.mcnemarStratified]]):
+    * q300's two synthetic model-correctness columns, stratified by
+    * language — per-stratum discordant cells + the pooled CMH and
+    * homogeneity χ²s. All cells exact longs → bit-exact oracle replay.
+    */
+  def q310McnemarStrat(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.mcnemarStratified(t(s, dir, "documents"),
+        pmod(col("doc_id"), lit(7)) =!= 0, pmod(col("doc_id"), lit(5)) =!= 0,
+        Seq("lang"))
+      .select(col("lang"), col("n"), col("a_only_correct"),
+        col("b_only_correct"), round(col("chi2"), 6).as("chi2"),
+        col("n_strata"), col("n_informative"),
+        round(col("cmh_chi2"), 6).as("cmh_chi2"),
+        round(col("hom_chi2"), 6).as("hom_chi2"))
+      .orderBy("lang")
+
+  /** Personalized weighted PageRank
+    * ([[operators.Graphs.pageRankPersonalized]]): the q141 derived ring
+    * graph with weighted edges and a 32-doc restart seed set — random
+    * walk with restart, 3 unrolled oracle rounds (seed-relative mass,
+    * zeros off the reachable frontier). The embodiment is DYADIC-EXACT
+    * by design, because rounding cannot rescue this operator: RWR
+    * masses are rationals that land EXACTLY on decimal half-boundaries
+    * at any precision (measured: 4 boundary flips at 9 dp with general
+    * integer weights, boundary hits at 6 dp too), so the two engines
+    * must compute bit-identical doubles. Ring weights are
+    * 8 − 2·[even] − 3·[div3] so every source's out-weight sum is
+    * exactly 8 (normalized weights k/8), the seed set is exactly 32
+    * docs (r = 1/32), and damping is 0.875 = 7/8 — every product and
+    * sum stays a dyadic rational far below 2⁵³, so fp addition is EXACT
+    * and therefore order-independent in both engines.
+    */
+  def q311PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val ringW = (lit(8) -
+      when(col("doc_id") % 2 === 0, 2).otherwise(0) -
+      when(col("doc_id") % 3 === 0, 3).otherwise(0)).cast("double")
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"), ringW.as("w"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst"),
+          lit(2.0).as("w")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 101) % col("n")).as("dst"),
+          lit(3.0).as("w")))
+    val seeds = docs.where(col("doc_id") < 32)
+      .select(col("doc_id").as("node"))
+    operators.Graphs.pageRankPersonalized(edges, iterations = 3,
+        damping = 0.875, weightCol = Some("w"), restart = Some(seeds))
+      .select(col("node"), round(col("pr"), 9).as("pr"))
+      .orderBy("node")
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5206,6 +5288,9 @@ object TestQueries {
     "q306_best_threshold" -> (q306BestThreshold _),
     "q307_dp_noisy_mean" -> (q307DpNoisyMean _),
     "q308_capture_recapture" -> (q308CaptureRecapture _),
+    "q309_cuped" -> (q309Cuped _),
+    "q310_mcnemar_strat" -> (q310McnemarStrat _),
+    "q311_personalized_pagerank" -> (q311PersonalizedPagerank _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables. [[Dedup.connectedComponents]]
@@ -171,6 +171,89 @@ object Graphs {
         .select(col("node"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("__m"), lit(0.0)) + col("__dm") / n)).as("pr")))
+      Pinning.unpin(ranks) // superseded round — release its pinned blocks
+      ranks = next
+      i += 1
+    }
+    Seq(nodes, ew, dangling).foreach(Pinning.unpin)
+    ranks
+  }
+
+  /** Personalized / weighted PageRank — [[pageRank]] generalized along
+    * the two axes a retrieval or trust pipeline actually needs: EDGE
+    * WEIGHTS (transition probability ∝ weight within each source's
+    * out-edges — co-citation counts, similarity scores, interaction
+    * frequencies) and a RESTART SET (teleport mass lands uniformly on
+    * `restart`'s nodes instead of all nodes — random walk with restart,
+    * the topic-sensitive / TrustRank formulation). With unit weights and
+    * no restart set the fixpoint IS pageRank's. Ranks initialize AT the
+    * restart distribution (the RWR convention), nodes outside the
+    * restart set get teleport mass 0 — they score only through walk
+    * reachability, which is what makes the result a seed-RELATIVE
+    * relevance rather than a global centrality — and dangling mass
+    * redistributes to the restart distribution (the uniform variant's
+    * convention restated over r). Non-positive-weight edges are dropped
+    * up front (they would corrupt the per-source normalizer). Returns
+    * (node, pr).
+    *
+    * Scale shape = pageRank's: weights normalize ONCE (one out-weight
+    * aggregate + one join, pinned), each round is one join of the
+    * normalized edges against the rank frame — shuffled on the same key
+    * every round — plus a broadcast one-row dangling scalar; rank frames
+    * pin per round and unpin when superseded, so plan depth stays
+    * constant. |restart| is a bounded driver scalar (one count), never a
+    * collected set.
+    */
+  def pageRankPersonalized(edges: DataFrame, iterations: Int = 10,
+                           damping: Double = 0.85,
+                           weightCol: Option[String] = None,
+                           restart: Option[DataFrame] = None,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 0, s"iterations must be ≥ 0: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges.select(col("src"), col("dst"), w.as("__ew"))
+      .where(col("__ew") > 0.0)
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // the restart flag rides ON the pinned node frame — projections of a
+    // pinned parent are free, so no second pin for the r distribution
+    val nodes = pin(restart match {
+      case Some(r) =>
+        val rs = r.select(col(r.columns.head).as("node")).distinct()
+        nodes0.join(rs.select(col("node"), lit(1).as("__in_r")),
+          Seq("node"), "left")
+      case None => nodes0.withColumn("__in_r", lit(1))
+    })
+    val nR = nodes.where(col("__in_r") === 1).count().toDouble
+    require(nR > 0,
+      "pageRankPersonalized: the restart set shares no node with the graph")
+    def rExpr: Column =
+      when(col("__in_r") === 1, lit(1.0 / nR)).otherwise(lit(0.0))
+    val outw = e.groupBy(col("src")).agg(sum("__ew").as("__ow"))
+    val ew = pin(e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("__ew") / col("__ow")).as("__w")))
+    val dangling = pin(nodes.select("node").join(outw,
+      col("node") === col("src"), "left_anti").select("node"))
+    var ranks = pin(nodes.select(col("node"), rExpr.as("pr")))
+    var i = 0
+    while (i < iterations) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("pr") * col("__w")).as("__m"))
+      val dMass = dangling.join(ranks, "node")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
+      val next = pin(nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dMass))
+        .select(col("node"),
+          ((lit(1.0) - damping) * rExpr + lit(damping) *
+            (coalesce(col("__m"), lit(0.0)) + col("__dm") * rExpr))
+            .as("pr")))
       Pinning.unpin(ranks) // superseded round — release its pinned blocks
       ranks = next
       i += 1

@@ -477,6 +477,124 @@ object Stats {
           .otherwise(0.0))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013) for an A/B metric
+    * with a pre-experiment covariate: the adjusted metric
+    * y′ = y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps the treatment
+    * effect unbiased (x predates assignment, so E[x|T] = E[x|C]) while
+    * removing the variance x explains — the standard lever for cutting
+    * experiment runtimes without touching the metric definition. Both
+    * the adjusted effect and the adjusted variance REDUCE IN CLOSED FORM
+    * from per-arm moments: effect_adj = effect_raw − θ(x̄_T − x̄_C) and
+    * var(y′) = var(y) − cov²/var(x), so var_reduction = corr(x,y)².
+    * Returns ONE row: (n, n_t, n_c, theta, effect_raw, effect_adj,
+    * var_y, var_y_adj, var_reduction). A zero-variance covariate
+    * reports θ = 0 and no reduction; an empty arm reports null effects
+    * (the upliftDeciles convention).
+    *
+    * ONE conditional-sum aggregate scan (the mcnemar/permutationTest
+    * shape) — no second pass materializes y′ row-by-row, because the
+    * closed forms above only need the moments; everything after the scan
+    * is scalar arithmetic on one row.
+    */
+  def cuped(df: DataFrame, treated: Column, yCol: String,
+            xCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    df.agg(count(lit(1)).as("n"),
+        sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
+        sum(when(treated, y).otherwise(0.0)).as("__syt"),
+        sum(when(!treated, y).otherwise(0.0)).as("__syc"),
+        sum(when(treated, x).otherwise(0.0)).as("__sxt"),
+        sum(when(!treated, x).otherwise(0.0)).as("__sxc"),
+        covar_samp(x, y).as("__cov"),
+        var_samp(x).as("__vx"),
+        var_samp(y).as("var_y"))
+      .withColumn("theta",
+        when(col("__vx") > 0.0, col("__cov") / col("__vx"))
+          .otherwise(lit(0.0)))
+      .withColumn("effect_raw",
+        col("__syt") / col("n_t") - col("__syc") / col("n_c"))
+      .withColumn("effect_adj",
+        col("effect_raw") - col("theta") *
+          (col("__sxt") / col("n_t") - col("__sxc") / col("n_c")))
+      .withColumn("var_y_adj",
+        when(col("__vx") > 0.0,
+          col("var_y") - col("__cov") * col("__cov") / col("__vx"))
+          .otherwise(col("var_y")))
+      .withColumn("var_reduction",
+        when(col("var_y") > 0.0,
+          (col("var_y") - col("var_y_adj")) / col("var_y"))
+          .otherwise(lit(0.0)))
+      .select(col("n"), col("n_t"), col("n_c"), col("theta"),
+        col("effect_raw"), col("effect_adj"), col("var_y"),
+        col("var_y_adj"), col("var_reduction"))
+  }
+
+  /** Stratified (Cochran–Mantel–Haenszel) McNemar — [[mcnemar]] when the
+    * paired evals span heterogeneous strata (language, task family,
+    * difficulty tier): per-stratum discordant cells plus the pooled CMH
+    * statistic. For 1:1 matched pairs the CMH χ² COLLAPSES to McNemar on
+    * the summed discordant cells, (ΣB_s − ΣC_s)²/(ΣB_s + ΣC_s) — the
+    * value of stratifying is (a) the per-stratum χ²s showing WHERE the
+    * models differ and (b) the homogeneity χ² (Σ(B_s − n_s·p̂)²/(n_s·p̂q̂),
+    * p̂ = pooled B/(B+C), df = informative strata − 1) flagging when the
+    * pooled verdict hides opposite-direction strata — the paired-test
+    * Simpson's-paradox alarm, same contract as [[EventAnalytics]]' CMH
+    * odds-ratio pair. Returns one row per stratum (strataCols..., n,
+    * a_only_correct, b_only_correct, chi2) with constant rollup columns
+    * (n_strata, n_informative, cmh_chi2, hom_chi2). All cells are exact
+    * longs, so every ratio replays bit-for-bit in any engine.
+    *
+    * One per-stratum aggregate + a one-row rollup broadcast back —
+    * strata are bounded by the caller's grouping, rows never move twice.
+    */
+  def mcnemarStratified(df: DataFrame, aCorrect: Column, bCorrect: Column,
+                        strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val per = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(aCorrect && !bCorrect, 1L).otherwise(0L))
+          .as("a_only_correct"),
+        sum(when(!aCorrect && bCorrect, 1L).otherwise(0L))
+          .as("b_only_correct"))
+      .withColumn("chi2",
+        when(col("a_only_correct") + col("b_only_correct") > 0,
+          pow(col("a_only_correct") - col("b_only_correct"), 2) /
+            (col("a_only_correct") + col("b_only_correct")).cast("double"))
+          .otherwise(lit(0.0)))
+      .localCheckpoint() // feeds both the rollup and the output rows
+    val b = col("a_only_correct")
+    val c = col("b_only_correct")
+    val roll = per.agg(count(lit(1)).as("n_strata"),
+        sum(when(b + c > 0, 1L).otherwise(0L)).as("n_informative"),
+        sum(b).as("__tb"), sum(c).as("__tc"),
+        // homogeneity numerator needs p̂ before it can aggregate, so the
+        // stratum terms carry (B_s, n_s) moments: Σ(B_s − n_s p̂)²/(n_s p̂q̂)
+        // = (ΣB²/n − 2p̂ΣB + p̂²Σn)/(p̂q̂) — three exact-long sums suffice
+        sum(when(b + c > 0, b * b / (b + c).cast("double"))
+          .otherwise(lit(0.0))).as("__sb2n"),
+        sum(b + c).as("__tn"))
+      .withColumn("cmh_chi2",
+        when(col("__tb") + col("__tc") > 0,
+          pow(col("__tb") - col("__tc"), 2) /
+            (col("__tb") + col("__tc")).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("__p", col("__tb") / (col("__tb") + col("__tc"))
+        .cast("double"))
+      .withColumn("hom_chi2",
+        when(col("__tn") > 0 && col("__p") > 0.0 && col("__p") < 1.0,
+          (col("__sb2n") - lit(2.0) * col("__p") * col("__tb") +
+            col("__p") * col("__p") * col("__tn")) /
+            (col("__p") * (lit(1.0) - col("__p"))))
+          .otherwise(lit(0.0)))
+      .select("n_strata", "n_informative", "cmh_chi2", "hom_chi2")
+    per.crossJoin(broadcast(roll))
+      .select(strataCols.map(col) ++ Seq(col("n"), col("a_only_correct"),
+        col("b_only_correct"), col("chi2"), col("n_strata"),
+        col("n_informative"), col("cmh_chi2"), col("hom_chi2")): _*)
+  }
+
   /** Treatment-uplift by score decile with the Qini statistic — the
     * evaluation grid for an uplift/targeting model: bucket units into
     * `numBuckets` equal-population score tiers, report per-tier treated

@@ -863,6 +863,44 @@ object ScaleCheck {
               ((col("doc_id") + 7) % col("n")).as("dst")))
         graft.operators.Graphs.hits(edges, iterations = 5).count()
       },
+      "personalized_pagerank" -> { dir =>
+        // pageRank's per-round shape + a weight normalizer; restart set
+        // scales with docs (every 16th), so the seed frame is never a
+        // collected constant
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val base = d.crossJoin(broadcast(nDf))
+        val edges = base.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"),
+            (pmod(col("doc_id"), lit(5)) + 1).cast("double").as("w"))
+          .union(base.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst"),
+              lit(2.0).as("w")))
+        graft.operators.Graphs.pageRankPersonalized(edges,
+          iterations = 5, weightCol = Some("w"),
+          restart = Some(d.where(col("doc_id") % 16 === 0)
+            .select(col("doc_id").as("node")))).count()
+      },
+      "cuped" -> { dir =>
+        // one per-user aggregate + the one-row moment scan
+        val pu = graft.sources.Tables.loadEvents(spark, dir)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_id") % 2 === 0, col("value"))
+              .otherwise(0.0)).as("x"),
+            sum(when(col("event_id") % 2 =!= 0, col("value"))
+              .otherwise(0.0)).as("y"))
+        graft.operators.Stats.cuped(pu,
+          pmod(col("user_id") * 16807, lit(97)) < 30, "y", "x").count()
+      },
+      "mcnemar_strat" -> { dir =>
+        // stratum count scales with rows (≈ rows/32 strata): per-stratum
+        // cells + the one-row rollup broadcast
+        graft.operators.Stats.mcnemarStratified(
+          docs(dir).withColumn("g", floor(col("doc_id") / 32)),
+          col("doc_id") % 7 =!= 0, col("doc_id") % 5 =!= 0,
+          Seq("g")).count()
+      },
       "nelson_aalen" -> { dir =>
         // kaplanMeier's two Ranks.running passes with the hazard sums;
         // row-derived durations so the distinct-duration table scales

@@ -42,6 +42,68 @@ class GraphsSpec extends AnyFunSuite {
     assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
   }
 
+  test("pageRankPersonalized: unit weights + no restart equals pageRank") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 5L), (5L, 3L),
+      (3L, 0L), (4L, 2L))
+    val plain = ranks(edges, iters = 5)
+    val ppr = Graphs.pageRankPersonalized(edges.toDF("src", "dst"),
+        iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet === ppr.keySet)
+    plain.foreach { case (k, v) => assert(math.abs(v - ppr(k)) < 1e-12) }
+  }
+
+  test("pageRankPersonalized: restart mass stays seed-relative on a path") {
+    // A→B→C, restart {A}, d=0.5, 1 round: pr⁰ = (1,0,0);
+    // pr¹(A) = 0.5·1 (pure teleport), pr¹(B) = 0.5·pr⁰(A) = 0.5,
+    // pr¹(C) = 0 — off the 1-step frontier, no global floor
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graphs.pageRankPersonalized(edges, iterations = 1,
+        damping = 0.5, restart = Some(seeds))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-12)
+    assert(math.abs(r(2L) - 0.5) < 1e-12)
+    assert(r(3L) === 0.0)
+    // round 2: C gets pr¹(B)·0.5 = 0.25, B gets pr¹(A)·0.5 = 0.25,
+    // A keeps teleport 0.5 + dangling(C's 0)·r — mass stays 1
+    val r2 = Graphs.pageRankPersonalized(edges, iterations = 2,
+        damping = 0.5, restart = Some(seeds))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2(1L) - 0.5) < 1e-12)
+    assert(math.abs(r2(2L) - 0.25) < 1e-12)
+    assert(math.abs(r2(3L) - 0.25) < 1e-12)
+    assert(math.abs(r2.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRankPersonalized: edge weights steer the walk; mass conserved") {
+    // A splits 3:1 between B and C — B must end above C
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val r = Graphs.pageRankPersonalized(edges, iterations = 3,
+        weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) > r(3L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // non-positive-weight edges drop: w=0 edge contributes nothing
+    val rz = Graphs.pageRankPersonalized(
+        Seq((1L, 2L, 1.0), (1L, 3L, 0.0)).toDF("src", "dst", "w"),
+        iterations = 2, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // node 3 only appears via the zero edge → not in the graph at all
+    assert(!rz.contains(3L))
+  }
+
+  test("pageRankPersonalized: a restart set disjoint from the graph is " +
+    "refused") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("node")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.pageRankPersonalized(edges, iterations = 1,
+        restart = Some(seeds)).collect()
+    }
+    assert(e.getMessage.contains("restart set"))
+  }
+
   private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
     val r = Graphs.triangleStats(edges.toDF("src", "dst")).head()
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))

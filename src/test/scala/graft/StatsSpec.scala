@@ -1059,6 +1059,67 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("nll_reduction"), 0.0))
   }
 
+  test("cuped: hand-computed theta, adjusted effect, and corr² reduction") {
+    // treated (y,x): (3,1),(5,3); control: (1,2),(3,4)
+    // x̄=2.5 varx=5/3 vary=8/3 cov=2/3 → θ=0.4
+    // raw effect 4−2=2; x̄_t−x̄_c = −1 → adj = 2 − 0.4·(−1) = 2.4
+    // var_adj = 8/3 − (2/3)²/(5/3) = 2.4 → reduction = corr² = 0.1
+    val rows = Seq((true, 3.0, 1.0), (true, 5.0, 3.0),
+      (false, 1.0, 2.0), (false, 3.0, 4.0)).toDF("tr", "y", "x")
+    val r = Stats.cuped(rows, col("tr"), "y", "x").head()
+    assert(r.getAs[Long]("n_t") === 2L && r.getAs[Long]("n_c") === 2L)
+    assert(d(r.getAs[Double]("theta"), 0.4))
+    assert(d(r.getAs[Double]("effect_raw"), 2.0))
+    assert(d(r.getAs[Double]("effect_adj"), 2.4))
+    assert(d(r.getAs[Double]("var_y_adj"), 2.4))
+    assert(d(r.getAs[Double]("var_reduction"), 0.1))
+  }
+
+  test("cuped: a zero-variance covariate reduces nothing, never NaN") {
+    val rows = Seq((true, 3.0, 7.0), (true, 5.0, 7.0),
+      (false, 1.0, 7.0), (false, 3.0, 7.0)).toDF("tr", "y", "x")
+    val r = Stats.cuped(rows, col("tr"), "y", "x").head()
+    assert(r.getAs[Double]("theta") === 0.0)
+    assert(d(r.getAs[Double]("effect_adj"), r.getAs[Double]("effect_raw")))
+    assert(r.getAs[Double]("var_reduction") === 0.0)
+    assert(!r.getAs[Double]("var_y_adj").isNaN)
+  }
+
+  test("mcnemarStratified: opposite-direction strata — pooled CMH 0, " +
+    "homogeneity flags the reversal") {
+    // s1: b=3 c=1 (A wins); s2: b=1 c=3 (B wins) → per-stratum χ²=1 each,
+    // pooled B=C=4 → CMH 0; hom: p̂=.5, Σ(b_s−2)²/(4·.25) = 1+1 = 2
+    val rows =
+      Seq.fill(3)(("s1", true, false)) ++ Seq(("s1", false, true)) ++
+        Seq.fill(2)(("s1", true, true)) ++
+        Seq(("s2", true, false)) ++ Seq.fill(3)(("s2", false, true)) ++
+        Seq(("s2", false, false))
+    val df = rows.toDF("g", "a", "b")
+    val got = Stats.mcnemarStratified(df, col("a"), col("b"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getAs[Long]("a_only_correct") === 3L)
+    assert(got("s1").getAs[Long]("b_only_correct") === 1L)
+    assert(d(got("s1").getAs[Double]("chi2"), 1.0))
+    assert(d(got("s2").getAs[Double]("chi2"), 1.0))
+    assert(got("s1").getAs[Long]("n_strata") === 2L)
+    assert(got("s1").getAs[Long]("n_informative") === 2L)
+    assert(d(got("s1").getAs[Double]("cmh_chi2"), 0.0))
+    assert(d(got("s1").getAs[Double]("hom_chi2"), 2.0))
+  }
+
+  test("mcnemarStratified: fully concordant strata report all zeros") {
+    val df = Seq(("s1", true, true), ("s1", false, false),
+      ("s2", true, true)).toDF("g", "a", "b")
+    val got = Stats.mcnemarStratified(df, col("a"), col("b"), Seq("g"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("chi2") === 0.0)
+      assert(r.getAs[Double]("cmh_chi2") === 0.0)
+      assert(r.getAs[Double]("hom_chi2") === 0.0)
+      assert(r.getAs[Long]("n_informative") === 0L)
+    }
+  }
+
   test("temperatureScaling: overconfident-and-WRONG rows keep their " +
     "penalty at small T (log-space NLL, no log(0) drop)") {
     // label-0 at p=.99999: z ≈ 11.51, so σ(z/0.25) rounds to exactly 1.0
