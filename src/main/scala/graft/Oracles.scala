@@ -2220,36 +2220,65 @@ object Oracles {
         "round(n_a / n_est, 6) AS recall_a, " +
         "round(n_b / n_est, 6) AS recall_b FROM e"),
 
-    // CUPED: one-scan per-arm moments + the closed forms, same op order
-    // (theta = cov/vx, effect_adj = raw - theta*(xbar_t - xbar_c),
-    // var_y_adj = var_y - cov^2/vx).
-    "q309_cuped" ->
+    // Variance-reduced always-valid monitor: per-user integer counts →
+    // per-bin conditional moments → cumulative window sums → running
+    // theta, adjusted diff/variance, and the q298 mixture e-process on
+    // both statistics, all in the operator's exact op order.
+    "q309_alwaysvalid_cuped" ->
       ("WITH pu AS (SELECT user_id, " +
-        "sum(CASE WHEN event_id % 2 = 0 THEN value ELSE 0.0 END) AS x, " +
-        "sum(CASE WHEN event_id % 2 <> 0 THEN value ELSE 0.0 END) AS y, " +
-        "(user_id * 16807 % 97) < 30 AS tr FROM events GROUP BY user_id), " +
-        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
-        "CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
-        "sum(CASE WHEN tr THEN y ELSE 0.0 END) AS syt, " +
-        "sum(CASE WHEN NOT tr THEN y ELSE 0.0 END) AS syc, " +
-        "sum(CASE WHEN tr THEN x ELSE 0.0 END) AS sxt, " +
-        "sum(CASE WHEN NOT tr THEN x ELSE 0.0 END) AS sxc, " +
-        "covar_samp(x, y) AS cov, var_samp(x) AS vx, " +
-        "var_samp(y) AS var_y FROM pu), " +
-        "b AS (SELECT *, " +
-        "CASE WHEN vx > 0.0 THEN cov / vx ELSE 0.0 END AS theta, " +
-        "syt / n_t - syc / n_c AS effect_raw FROM a), " +
-        "c AS (SELECT *, " +
-        "effect_raw - theta * (sxt / n_t - sxc / n_c) AS effect_adj, " +
-        "CASE WHEN vx > 0.0 THEN var_y - cov * cov / vx " +
-        "ELSE var_y END AS var_y_adj FROM b) " +
-        "SELECT n, n_t, n_c, round(theta, 6) AS theta, " +
-        "round(effect_raw, 6) AS effect_raw, " +
-        "round(effect_adj, 6) AS effect_adj, " +
-        "round(var_y, 4) AS var_y, round(var_y_adj, 4) AS var_y_adj, " +
-        "round(CASE WHEN var_y > 0.0 THEN (var_y - var_y_adj) / var_y " +
-        "ELSE 0.0 END, 6) AS var_reduction FROM c"),
+        "CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) AS x, " +
+        "CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) AS y, " +
+        "floor(min(floor(epoch(ts))) / 3600) AS bin, " +
+        "(user_id * 16807 % 97) < 30 AS arma FROM events " +
+        "GROUP BY user_id), " +
+        "per AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN NOT arma THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS nb, " +
+        "sum(CASE WHEN arma THEN y ELSE 0.0 END) AS bya, " +
+        "sum(CASE WHEN NOT arma THEN y ELSE 0.0 END) AS byb, " +
+        "sum(CASE WHEN arma THEN x ELSE 0.0 END) AS bxa, " +
+        "sum(CASE WHEN NOT arma THEN x ELSE 0.0 END) AS bxb, " +
+        "sum(y * y) AS byy, sum(x * x) AS bxx, sum(x * y) AS bxy " +
+        "FROM pu GROUP BY 1), " +
+        "cum AS (SELECT bin, " +
+        "CAST(sum(na) OVER (ORDER BY bin) AS BIGINT) AS n_a, " +
+        "CAST(sum(nb) OVER (ORDER BY bin) AS BIGINT) AS n_b, " +
+        "sum(bya) OVER (ORDER BY bin) AS sya, " +
+        "sum(byb) OVER (ORDER BY bin) AS syb, " +
+        "sum(bxa) OVER (ORDER BY bin) AS sxa, " +
+        "sum(bxb) OVER (ORDER BY bin) AS sxb, " +
+        "sum(byy) OVER (ORDER BY bin) AS syy, " +
+        "sum(bxx) OVER (ORDER BY bin) AS sxx, " +
+        "sum(bxy) OVER (ORDER BY bin) AS sxy FROM per), " +
+        "a AS (SELECT *, CAST(n_a AS DOUBLE) AS dna, " +
+        "CAST(n_b AS DOUBLE) AS dnb, " +
+        "CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n, " +
+        "sxa + sxb AS sx, sya + syb AS sy FROM cum), " +
+        "b AS (SELECT *, sxx / n - (sx / n) * (sx / n) AS varx, " +
+        "syy / n - (sy / n) * (sy / n) AS var_y FROM a), " +
+        "c AS (SELECT *, CASE WHEN varx > 0 THEN " +
+        "(sxy / n - (sx / n) * (sy / n)) / varx ELSE 0.0 END AS theta, " +
+        "sya / dna - syb / dnb AS diff_raw FROM b), " +
+        "dd AS (SELECT *, " +
+        "diff_raw - theta * (sxa / dna - sxb / dnb) AS diff_adj, " +
+        "var_y - theta * theta * varx AS var_adj FROM c), " +
+        "ee AS (SELECT *, var_y * (1.0 / dna + 1.0 / dnb) AS vr, " +
+        "var_adj * (1.0 / dna + 1.0 / dnb) AS va FROM dd), " +
+        "ff AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND vr > 0 " +
+        "THEN 0.5 * ln(vr / (vr + 0.0001)) + diff_raw * diff_raw * " +
+        "0.0001 / (2.0 * vr * (vr + 0.0001)) END AS le_raw, " +
+        "CASE WHEN n_a > 0 AND n_b > 0 AND va > 0 " +
+        "THEN 0.5 * ln(va / (va + 0.0001)) + diff_adj * diff_adj * " +
+        "0.0001 / (2.0 * va * (va + 0.0001)) END AS le_adj FROM ee) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b, " +
+        "round(theta, 6) AS theta, round(diff_raw, 6) AS diff_raw, " +
+        "round(diff_adj, 6) AS diff_adj, round(var_y, 4) AS var_y, " +
+        "round(var_adj, 4) AS var_adj, round(le_raw, 6) AS log_e_raw, " +
+        "round(le_adj, 6) AS log_e_adj, " +
+        "le_adj >= ln(1.0 / 0.05) AS can_stop FROM ff ORDER BY bin"),
 
     // Stratified CMH McNemar: per-stratum discordant cells (exact longs)
     // + the pooled CMH and the three-moment homogeneity rollup, same op

@@ -4752,28 +4752,33 @@ object TestQueries {
         round(col("recall_a"), 6).as("recall_a"),
         round(col("recall_b"), 6).as("recall_b"))
 
-  /** CUPED variance reduction ([[operators.Stats.cuped]]): per-user
-    * post-period metric adjusted by the pre-period covariate (even/odd
-    * event ids split the periods deterministically), q289's treatment
-    * hash. DuckDB replays the one-scan moments and the closed forms.
+  /** Variance-reduced always-valid monitoring
+    * ([[operators.EventAnalytics.alwaysValidCuped]]): per-user odd-event
+    * count (metric) adjusted by the even-event count (covariate), binned
+    * by each user's entry hour, q289's treatment hash. Counts are exact
+    * longs, so every cumulative moment, θ_t, and the e-process replay
+    * bit-for-bit (the q302 integer-outcome discipline — can_stop is a
+    * comparison that must not drift).
     */
-  def q309Cuped(s: SparkSession, dir: String): DataFrame = {
+  def q309AlwaysvalidCuped(s: SparkSession, dir: String): DataFrame = {
     val perUser = t(s, dir, "events")
       .groupBy("user_id")
-      .agg(sum(when(col("event_id") % 2 === 0, col("value"))
-          .otherwise(0.0)).as("x"),
-        sum(when(col("event_id") % 2 =!= 0, col("value"))
-          .otherwise(0.0)).as("y"))
-      .withColumn("is_treated",
-        pmod(col("user_id") * 16807, lit(97)) < 30)
-    operators.Stats.cuped(perUser, col("is_treated"), "y", "x")
-      .select(col("n"), col("n_t"), col("n_c"),
+      .agg(sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"),
+        floor(min(col("ts").cast("long")) / 3600).as("bin"))
+      .withColumn("is_a", pmod(col("user_id") * 16807, lit(97)) < 30)
+    operators.EventAnalytics.alwaysValidCuped(perUser, col("is_a"),
+        col("bin"), "y", "x")
+      .select(col("bin").cast("long").as("bin"), col("n_a"), col("n_b"),
         round(col("theta"), 6).as("theta"),
-        round(col("effect_raw"), 6).as("effect_raw"),
-        round(col("effect_adj"), 6).as("effect_adj"),
+        round(col("diff_raw"), 6).as("diff_raw"),
+        round(col("diff_adj"), 6).as("diff_adj"),
         round(col("var_y"), 4).as("var_y"),
-        round(col("var_y_adj"), 4).as("var_y_adj"),
-        round(col("var_reduction"), 6).as("var_reduction"))
+        round(col("var_adj"), 4).as("var_adj"),
+        round(col("log_e_raw"), 6).as("log_e_raw"),
+        round(col("log_e_adj"), 6).as("log_e_adj"),
+        col("can_stop"))
+      .orderBy("bin")
   }
 
   /** Stratified CMH McNemar ([[operators.Stats.mcnemarStratified]]):
@@ -5288,7 +5293,7 @@ object TestQueries {
     "q306_best_threshold" -> (q306BestThreshold _),
     "q307_dp_noisy_mean" -> (q307DpNoisyMean _),
     "q308_capture_recapture" -> (q308CaptureRecapture _),
-    "q309_cuped" -> (q309Cuped _),
+    "q309_alwaysvalid_cuped" -> (q309AlwaysvalidCuped _),
     "q310_mcnemar_strat" -> (q310McnemarStrat _),
     "q311_personalized_pagerank" -> (q311PersonalizedPagerank _),
     "q40_events_hourly" -> (q40EventsHourly _),

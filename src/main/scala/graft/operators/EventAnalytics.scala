@@ -793,6 +793,82 @@ object EventAnalytics {
         col("log_e_value"), col("can_stop"))
   }
 
+  /** Variance-reduced always-valid monitoring — [[alwaysValidMonitor]]
+    * composed with [[cuped]], for a MEAN metric with a pre-experiment
+    * covariate: at every bin the cumulative moments yield θ_t =
+    * cov_t(x,y)/var_t(x), the adjusted difference
+    * diff_adj = diff_raw − θ_t(x̄_A − x̄_B), the adjusted variance
+    * var_adj = var(y) − θ_t²·var(x), and the same mixture e-process on
+    * BOTH the raw and adjusted statistics — the point of the pairing
+    * made visible: the adjusted e-value crosses ln(1/α) earlier by
+    * exactly the covariate's explanatory power. θ_t is recomputed from
+    * data UP TO each bin only (a running estimate, never a full-horizon
+    * leak), and x predates assignment, so the adjustment cannot inject
+    * treatment signal. Returns one row per bin: (bin, n_a, n_b, theta,
+    * diff_raw, diff_adj, var_y, var_adj, log_e_raw, log_e_adj,
+    * can_stop) — can_stop gates on the ADJUSTED e-value.
+    *
+    * Shape: one per-bin conditional-moment aggregate (nine sums), the
+    * [[Ranks.running]] cumulative pass (range-partitioned, no single-
+    * partition window), then per-row scalar algebra — bins are the only
+    * rows after the first aggregate, so nothing row-scale moves twice.
+    */
+  def alwaysValidCuped(df: DataFrame, armACol: Column, binCol: Column,
+                       yCol: String, xCol: String,
+                       tau: Double = 1e-4,
+                       alpha: Double = 0.05): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    val per = df.groupBy(binCol.as("bin"))
+      .agg(sum(when(armACol, 1L).otherwise(0L)).as("__na"),
+        sum(when(!armACol, 1L).otherwise(0L)).as("__nb"),
+        sum(when(armACol, y).otherwise(0.0)).as("__sya"),
+        sum(when(!armACol, y).otherwise(0.0)).as("__syb"),
+        sum(when(armACol, x).otherwise(0.0)).as("__sxa"),
+        sum(when(!armACol, x).otherwise(0.0)).as("__sxb"),
+        sum(y * y).as("__syy"), sum(x * x).as("__sxx"),
+        sum(x * y).as("__sxy"))
+    val run = Ranks.running(per, Seq(col("bin")),
+      sums = Seq("__na" -> "n_a", "__nb" -> "n_b",
+        "__sya" -> "__Sya", "__syb" -> "__Syb",
+        "__sxa" -> "__Sxa", "__sxb" -> "__Sxb",
+        "__syy" -> "__Syy", "__sxx" -> "__Sxx", "__sxy" -> "__Sxy"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val sx = col("__Sxa") + col("__Sxb")
+    val sy = col("__Sya") + col("__Syb")
+    def logE(diff: Column, v: Column): Column =
+      when(col("n_a") > 0 && col("n_b") > 0 && v > 0,
+        lit(0.5) * log(v / (v + tau)) +
+          diff * diff * tau / (lit(2.0) * v * (v + tau)))
+    run
+      .withColumn("__varx", col("__Sxx") / n - (sx / n) * (sx / n))
+      .withColumn("var_y", col("__Syy") / n - (sy / n) * (sy / n))
+      .withColumn("theta",
+        when(col("__varx") > 0,
+          (col("__Sxy") / n - (sx / n) * (sy / n)) / col("__varx"))
+          .otherwise(0.0))
+      .withColumn("diff_raw",
+        col("__Sya") / na - col("__Syb") / nb)
+      .withColumn("diff_adj",
+        col("diff_raw") - col("theta") *
+          (col("__Sxa") / na - col("__Sxb") / nb))
+      .withColumn("var_adj",
+        col("var_y") - col("theta") * col("theta") * col("__varx"))
+      .withColumn("__vr", col("var_y") * (lit(1.0) / na + lit(1.0) / nb))
+      .withColumn("__va", col("var_adj") * (lit(1.0) / na + lit(1.0) / nb))
+      .withColumn("log_e_raw", logE(col("diff_raw"), col("__vr")))
+      .withColumn("log_e_adj", logE(col("diff_adj"), col("__va")))
+      .withColumn("can_stop",
+        col("log_e_adj") >= math.log(1.0 / alpha))
+      .select(col("bin"), col("n_a"), col("n_b"), col("theta"),
+        col("diff_raw"), col("diff_adj"), col("var_y"), col("var_adj"),
+        col("log_e_raw"), col("log_e_adj"), col("can_stop"))
+  }
+
   /** Difference-in-differences — [[cuped]]'s observational sibling: when
     * assignment was NOT randomized but both groups are observed before and
     * after the intervention, the treatment effect is the treated group's

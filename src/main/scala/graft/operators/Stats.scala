@@ -477,60 +477,6 @@ object Stats {
           .otherwise(0.0))
   }
 
-  /** CUPED variance reduction (Deng et al., WSDM 2013) for an A/B metric
-    * with a pre-experiment covariate: the adjusted metric
-    * y′ = y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps the treatment
-    * effect unbiased (x predates assignment, so E[x|T] = E[x|C]) while
-    * removing the variance x explains — the standard lever for cutting
-    * experiment runtimes without touching the metric definition. Both
-    * the adjusted effect and the adjusted variance REDUCE IN CLOSED FORM
-    * from per-arm moments: effect_adj = effect_raw − θ(x̄_T − x̄_C) and
-    * var(y′) = var(y) − cov²/var(x), so var_reduction = corr(x,y)².
-    * Returns ONE row: (n, n_t, n_c, theta, effect_raw, effect_adj,
-    * var_y, var_y_adj, var_reduction). A zero-variance covariate
-    * reports θ = 0 and no reduction; an empty arm reports null effects
-    * (the upliftDeciles convention).
-    *
-    * ONE conditional-sum aggregate scan (the mcnemar/permutationTest
-    * shape) — no second pass materializes y′ row-by-row, because the
-    * closed forms above only need the moments; everything after the scan
-    * is scalar arithmetic on one row.
-    */
-  def cuped(df: DataFrame, treated: Column, yCol: String,
-            xCol: String): DataFrame = {
-    val y = col(yCol).cast("double")
-    val x = col(xCol).cast("double")
-    df.agg(count(lit(1)).as("n"),
-        sum(when(treated, 1L).otherwise(0L)).as("n_t"),
-        sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
-        sum(when(treated, y).otherwise(0.0)).as("__syt"),
-        sum(when(!treated, y).otherwise(0.0)).as("__syc"),
-        sum(when(treated, x).otherwise(0.0)).as("__sxt"),
-        sum(when(!treated, x).otherwise(0.0)).as("__sxc"),
-        covar_samp(x, y).as("__cov"),
-        var_samp(x).as("__vx"),
-        var_samp(y).as("var_y"))
-      .withColumn("theta",
-        when(col("__vx") > 0.0, col("__cov") / col("__vx"))
-          .otherwise(lit(0.0)))
-      .withColumn("effect_raw",
-        col("__syt") / col("n_t") - col("__syc") / col("n_c"))
-      .withColumn("effect_adj",
-        col("effect_raw") - col("theta") *
-          (col("__sxt") / col("n_t") - col("__sxc") / col("n_c")))
-      .withColumn("var_y_adj",
-        when(col("__vx") > 0.0,
-          col("var_y") - col("__cov") * col("__cov") / col("__vx"))
-          .otherwise(col("var_y")))
-      .withColumn("var_reduction",
-        when(col("var_y") > 0.0,
-          (col("var_y") - col("var_y_adj")) / col("var_y"))
-          .otherwise(lit(0.0)))
-      .select(col("n"), col("n_t"), col("n_c"), col("theta"),
-        col("effect_raw"), col("effect_adj"), col("var_y"),
-        col("var_y_adj"), col("var_reduction"))
-  }
-
   /** Stratified (Cochran–Mantel–Haenszel) McNemar — [[mcnemar]] when the
     * paired evals span heterogeneous strata (language, task family,
     * difficulty tier): per-stratum discordant cells plus the pooled CMH

@@ -882,16 +882,18 @@ object ScaleCheck {
           restart = Some(d.where(col("doc_id") % 16 === 0)
             .select(col("doc_id").as("node")))).count()
       },
-      "cuped" -> { dir =>
-        // one per-user aggregate + the one-row moment scan
+      "alwaysvalid_cuped" -> { dir =>
+        // one per-user aggregate → bin-count moments → running pass
         val pu = graft.sources.Tables.loadEvents(spark, dir)
           .groupBy("user_id")
-          .agg(sum(when(col("event_id") % 2 === 0, col("value"))
-              .otherwise(0.0)).as("x"),
-            sum(when(col("event_id") % 2 =!= 0, col("value"))
-              .otherwise(0.0)).as("y"))
-        graft.operators.Stats.cuped(pu,
-          pmod(col("user_id") * 16807, lit(97)) < 30, "y", "x").count()
+          .agg(sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L))
+              .as("y"),
+            floor(min(col("ts").cast("long")) / 86400).as("bin"))
+        graft.operators.EventAnalytics.alwaysValidCuped(pu,
+          pmod(col("user_id") * 16807, lit(97)) < 30, col("bin"),
+          "y", "x").count()
       },
       "mcnemar_strat" -> { dir =>
         // stratum count scales with rows (≈ rows/32 strata): per-stratum

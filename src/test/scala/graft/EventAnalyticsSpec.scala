@@ -441,6 +441,50 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!b1.isNullAt(b1.fieldIndex("log_e_value")))
   }
 
+  test("alwaysValidCuped: running theta, adjusted diff, variance " +
+    "reduction per bin") {
+    // bin 1 — A (y,x): (3,1),(5,3); B: (1,2),(3,4). Population moments:
+    // varx 1.25, vary 2, cov .5 → θ = .4; diff_raw 2,
+    // diff_adj = 2 − .4·(2−3) = 2.4, var_adj = 2 − .16·1.25 = 1.8.
+    // bin 2 adds A (7,5), B (1,0): cumulative cov 17/6, varx 17.5/6
+    // → θ = 17/17.5; diff_raw = 5 − 5/3
+    val rows = Seq(
+      (true, 3.0, 1.0, 1L), (true, 5.0, 3.0, 1L),
+      (false, 1.0, 2.0, 1L), (false, 3.0, 4.0, 1L),
+      (true, 7.0, 5.0, 2L), (false, 1.0, 0.0, 2L))
+      .toDF("arma", "y", "x", "bin")
+    val got = EventAnalytics.alwaysValidCuped(rows, col("arma"),
+        col("bin"), "y", "x")
+      .orderBy("bin").collect()
+    assert(got.length === 2)
+    val b1 = got(0)
+    assert(b1.getAs[Long]("n_a") === 2L && b1.getAs[Long]("n_b") === 2L)
+    assert(math.abs(b1.getAs[Double]("theta") - 0.4) < 1e-12)
+    assert(math.abs(b1.getAs[Double]("diff_raw") - 2.0) < 1e-12)
+    assert(math.abs(b1.getAs[Double]("diff_adj") - 2.4) < 1e-12)
+    assert(math.abs(b1.getAs[Double]("var_adj") - 1.8) < 1e-12)
+    // bigger adjusted effect on smaller variance → the adjusted
+    // e-process leads — the whole point of the pairing
+    assert(b1.getAs[Double]("log_e_adj") > b1.getAs[Double]("log_e_raw"))
+    val b2 = got(1)
+    assert(b2.getAs[Long]("n_a") === 3L && b2.getAs[Long]("n_b") === 3L)
+    assert(math.abs(b2.getAs[Double]("theta") - 17.0 / 17.5) < 1e-12)
+    assert(math.abs(b2.getAs[Double]("diff_raw") - (5.0 - 5.0 / 3)) < 1e-12)
+  }
+
+  test("alwaysValidCuped: a constant covariate is a guarded no-op") {
+    val rows = Seq((true, 3.0, 7.0, 1L), (true, 5.0, 7.0, 1L),
+      (false, 1.0, 7.0, 1L), (false, 3.0, 7.0, 1L))
+      .toDF("arma", "y", "x", "bin")
+    val r = EventAnalytics.alwaysValidCuped(rows, col("arma"),
+      col("bin"), "y", "x").head()
+    assert(r.getAs[Double]("theta") === 0.0)
+    assert(math.abs(r.getAs[Double]("diff_adj") -
+      r.getAs[Double]("diff_raw")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_adj") -
+      r.getAs[Double]("var_y")) < 1e-12)
+  }
+
   test("alwaysValidMonitor: one-arm prefix reports a null e-value") {
     val rows = Seq((true, 10L, true), (true, 20L, false))
       .toDF("a", "ep", "conv")

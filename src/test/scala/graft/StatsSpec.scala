@@ -1059,32 +1059,6 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("nll_reduction"), 0.0))
   }
 
-  test("cuped: hand-computed theta, adjusted effect, and corr² reduction") {
-    // treated (y,x): (3,1),(5,3); control: (1,2),(3,4)
-    // x̄=2.5 varx=5/3 vary=8/3 cov=2/3 → θ=0.4
-    // raw effect 4−2=2; x̄_t−x̄_c = −1 → adj = 2 − 0.4·(−1) = 2.4
-    // var_adj = 8/3 − (2/3)²/(5/3) = 2.4 → reduction = corr² = 0.1
-    val rows = Seq((true, 3.0, 1.0), (true, 5.0, 3.0),
-      (false, 1.0, 2.0), (false, 3.0, 4.0)).toDF("tr", "y", "x")
-    val r = Stats.cuped(rows, col("tr"), "y", "x").head()
-    assert(r.getAs[Long]("n_t") === 2L && r.getAs[Long]("n_c") === 2L)
-    assert(d(r.getAs[Double]("theta"), 0.4))
-    assert(d(r.getAs[Double]("effect_raw"), 2.0))
-    assert(d(r.getAs[Double]("effect_adj"), 2.4))
-    assert(d(r.getAs[Double]("var_y_adj"), 2.4))
-    assert(d(r.getAs[Double]("var_reduction"), 0.1))
-  }
-
-  test("cuped: a zero-variance covariate reduces nothing, never NaN") {
-    val rows = Seq((true, 3.0, 7.0), (true, 5.0, 7.0),
-      (false, 1.0, 7.0), (false, 3.0, 7.0)).toDF("tr", "y", "x")
-    val r = Stats.cuped(rows, col("tr"), "y", "x").head()
-    assert(r.getAs[Double]("theta") === 0.0)
-    assert(d(r.getAs[Double]("effect_adj"), r.getAs[Double]("effect_raw")))
-    assert(r.getAs[Double]("var_reduction") === 0.0)
-    assert(!r.getAs[Double]("var_y_adj").isNaN)
-  }
-
   test("mcnemarStratified: opposite-direction strata — pooled CMH 0, " +
     "homogeneity flags the reversal") {
     // s1: b=3 c=1 (A wins); s2: b=1 c=3 (B wins) → per-stratum χ²=1 each,
