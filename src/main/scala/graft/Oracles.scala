@@ -2317,6 +2317,76 @@ object Oracles {
     // q141 ring graph with integer weights and a doc_id%17 seed set.
     "q311_personalized_pagerank" -> pprSql(3),
 
+    // Delta-method ratio metric: per-arm unit moments + the delta
+    // variance, same op order (var = (vyy − 2R·vxy + R²·vxx)/(n·mx²)).
+    "q312_ratio_metric" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) AS y, " +
+        "CAST(count(*) AS DOUBLE) AS x, " +
+        "(user_id * 16807 % 97) < 30 AS arma FROM events " +
+        "GROUP BY user_id), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT arma THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_b, " +
+        "sum(CASE WHEN arma THEN y ELSE 0.0 END) AS sya, " +
+        "sum(CASE WHEN NOT arma THEN y ELSE 0.0 END) AS syb, " +
+        "sum(CASE WHEN arma THEN x ELSE 0.0 END) AS sxa, " +
+        "sum(CASE WHEN NOT arma THEN x ELSE 0.0 END) AS sxb, " +
+        "sum(CASE WHEN arma THEN y * y ELSE 0.0 END) AS syya, " +
+        "sum(CASE WHEN NOT arma THEN y * y ELSE 0.0 END) AS syyb, " +
+        "sum(CASE WHEN arma THEN x * x ELSE 0.0 END) AS sxxa, " +
+        "sum(CASE WHEN NOT arma THEN x * x ELSE 0.0 END) AS sxxb, " +
+        "sum(CASE WHEN arma THEN x * y ELSE 0.0 END) AS sxya, " +
+        "sum(CASE WHEN NOT arma THEN x * y ELSE 0.0 END) AS sxyb " +
+        "FROM pu), " +
+        "r AS (SELECT *, " +
+        "CASE WHEN sxa <> 0.0 THEN sya / sxa END AS ratio_a, " +
+        "CASE WHEN sxb <> 0.0 THEN syb / sxb END AS ratio_b, " +
+        "CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb " +
+        "FROM m), " +
+        "v AS (SELECT *, " +
+        "CASE WHEN n_a > 0 AND sxa <> 0.0 THEN " +
+        "(syya / dna - (sya / dna) * (sya / dna) - " +
+        "2.0 * ratio_a * (sxya / dna - (sxa / dna) * (sya / dna)) + " +
+        "ratio_a * ratio_a * (sxxa / dna - (sxa / dna) * (sxa / dna))) " +
+        "/ (dna * (sxa / dna) * (sxa / dna)) END AS va, " +
+        "CASE WHEN n_b > 0 AND sxb <> 0.0 THEN " +
+        "(syyb / dnb - (syb / dnb) * (syb / dnb) - " +
+        "2.0 * ratio_b * (sxyb / dnb - (sxb / dnb) * (syb / dnb)) + " +
+        "ratio_b * ratio_b * (sxxb / dnb - (sxb / dnb) * (sxb / dnb))) " +
+        "/ (dnb * (sxb / dnb) * (sxb / dnb)) END AS vb FROM r), " +
+        "f AS (SELECT *, ratio_a - ratio_b AS diff, " +
+        "sqrt(va + vb) AS se FROM v) " +
+        "SELECT n_a, n_b, round(ratio_a, 6) AS ratio_a, " +
+        "round(ratio_b, 6) AS ratio_b, round(diff, 6) AS diff, " +
+        "round(se, 6) AS se, " +
+        "round(CASE WHEN se > 0.0 THEN diff / se END, 4) AS z FROM f"),
+
+    // MDE sizing curve: one moment scan broadcast onto the horizons
+    // list, literal z quantiles (no normal-inverse in either engine).
+    "q313_mde_curve" ->
+      ("WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS y, " +
+        "floor(min(floor(epoch(ts))) / 86400) AS bin FROM events " +
+        "GROUP BY user_id), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy, " +
+        "sum(y * y) AS syy, " +
+        "CAST(count(DISTINCT bin) AS BIGINT) AS periods FROM pu), " +
+        "h AS (SELECT unnest([1, 2, 4, 8, 16]) AS horizon), " +
+        "a AS (SELECT h.horizon, m.*, sy / n AS mean, " +
+        "syy / n - (sy / n) * (sy / n) AS vr, " +
+        "CAST(n AS DOUBLE) / periods AS rate FROM h, m), " +
+        "b AS (SELECT *, rate * horizon / 2.0 AS n_per_arm FROM a), " +
+        "c AS (SELECT *, CASE WHEN n_per_arm > 0.0 THEN " +
+        "(1.959964 + 0.841621) * sqrt(2.0 * vr / n_per_arm) END " +
+        "AS mde_abs FROM b) " +
+        "SELECT CAST(horizon AS INTEGER) AS horizon, " +
+        "round(n_per_arm, 4) AS n_per_arm, round(mean, 6) AS mean, " +
+        "round(sqrt(vr), 6) AS sd, round(mde_abs, 6) AS mde_abs, " +
+        "round(CASE WHEN mean <> 0.0 THEN mde_abs / mean END, 6) " +
+        "AS mde_rel FROM c ORDER BY horizon"),
+
     // Intra-doc paragraph dedup: first-occurrence index filter replayed
     // with list_position (1-based, like the lambda's i).
     "q305_dedupe_paragraphs" ->

@@ -4839,6 +4839,46 @@ object TestQueries {
       .orderBy("node")
   }
 
+  /** Delta-method ratio metric ([[operators.Stats.ratioMetricDelta]]):
+    * purchases per event with user-level clustering — per-user integer
+    * counts make every moment exact, so ratios, SE and z replay
+    * bit-for-bit in DuckDB.
+    */
+  def q312RatioMetric(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"),
+        count(lit(1)).as("x"))
+      .withColumn("is_a", pmod(col("user_id") * 16807, lit(97)) < 30)
+    operators.Stats.ratioMetricDelta(perUser, col("is_a"), "y", "x")
+      .select(col("n_a"), col("n_b"),
+        round(col("ratio_a"), 6).as("ratio_a"),
+        round(col("ratio_b"), 6).as("ratio_b"),
+        round(col("diff"), 6).as("diff"),
+        round(col("se"), 6).as("se"),
+        round(col("z"), 4).as("z"))
+  }
+
+  /** MDE sizing curve ([[operators.Stats.mdeCurve]]): per-user event
+    * counts + entry-day accrual → the "how many days until we can
+    * detect X%" table over 5 horizons. Integer moments, literal z
+    * quantiles — deterministic in both engines.
+    */
+  def q313MdeCurve(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("y"),
+        floor(min(col("ts").cast("long")) / 86400).as("bin"))
+    operators.Stats.mdeCurve(perUser, col("bin"), "y",
+        horizons = Seq(1, 2, 4, 8, 16))
+      .select(col("horizon"), round(col("n_per_arm"), 4).as("n_per_arm"),
+        round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+        round(col("mde_abs"), 6).as("mde_abs"),
+        round(col("mde_rel"), 6).as("mde_rel"))
+      .orderBy("horizon")
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5296,6 +5336,8 @@ object TestQueries {
     "q309_alwaysvalid_cuped" -> (q309AlwaysvalidCuped _),
     "q310_mcnemar_strat" -> (q310McnemarStrat _),
     "q311_personalized_pagerank" -> (q311PersonalizedPagerank _),
+    "q312_ratio_metric" -> (q312RatioMetric _),
+    "q313_mde_curve" -> (q313MdeCurve _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1475,6 +1475,106 @@ object Stats {
       .select("n_a", "n_b", "mean_a", "mean_b", "t", "df_welch", "cohen_d")
   }
 
+  /** Delta-method inference for a RATIO metric (revenue per session,
+    * clicks per impression) when the randomization unit is the
+    * DENOMINATOR'S owner: per unit, y = numerator sum and x = denominator
+    * sum; the arm's metric is R = Σy/Σx = ȳ/x̄, and a naive
+    * per-observation z-test is wrong because observations within a unit
+    * correlate. The delta method gives
+    * var(R) ≈ (σ_y² − 2Rσ_xy + R²σ_x²)/(n·x̄²) from per-unit population
+    * moments (Deng et al., KDD 2018's applied form). Returns ONE row:
+    * (n_a, n_b, ratio_a, ratio_b, diff, se, z) — se = √(var_A + var_B);
+    * an arm with a zero denominator reports nulls rather than ±∞.
+    *
+    * ONE conditional-moment aggregate scan (the welchT/cuped shape);
+    * everything after is scalar arithmetic on one row.
+    */
+  def ratioMetricDelta(df: DataFrame, armACol: Column, yCol: String,
+                       xCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    def side(arm: Column, tag: String) = Seq(
+      sum(when(arm, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(arm, y).otherwise(0.0)).as(s"__sy_$tag"),
+      sum(when(arm, x).otherwise(0.0)).as(s"__sx_$tag"),
+      sum(when(arm, y * y).otherwise(0.0)).as(s"__syy_$tag"),
+      sum(when(arm, x * x).otherwise(0.0)).as(s"__sxx_$tag"),
+      sum(when(arm, x * y).otherwise(0.0)).as(s"__sxy_$tag"))
+    val aggs = side(armACol, "a") ++ side(!armACol, "b")
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    def derive(d: DataFrame, tag: String): DataFrame = {
+      val n = col(s"n_$tag").cast("double")
+      val mx = col(s"__sx_$tag") / n
+      val my = col(s"__sy_$tag") / n
+      val r = col(s"ratio_$tag")
+      d.withColumn(s"ratio_$tag",
+          when(col(s"__sx_$tag") =!= 0.0,
+            col(s"__sy_$tag") / col(s"__sx_$tag")))
+        .withColumn(s"__var_$tag",
+          when(col(s"n_$tag") > 0 && col(s"__sx_$tag") =!= 0.0,
+            ((col(s"__syy_$tag") / n - my * my) -
+              lit(2.0) * r * (col(s"__sxy_$tag") / n - mx * my) +
+              r * r * (col(s"__sxx_$tag") / n - mx * mx)) /
+              (n * mx * mx)))
+    }
+    derive(derive(base, "a"), "b")
+      .withColumn("diff", col("ratio_a") - col("ratio_b"))
+      .withColumn("se", sqrt(col("__var_a") + col("__var_b")))
+      .withColumn("z",
+        when(col("se") > 0.0, col("diff") / col("se")))
+      .select("n_a", "n_b", "ratio_a", "ratio_b", "diff", "se", "z")
+  }
+
+  /** MDE / runtime planning curve — "how long must this experiment run":
+    * from the observed per-unit metric variance and the unit accrual
+    * rate (distinct units per distinct `binCol` period in the input),
+    * the minimum detectable effect of a two-arm test after h periods of
+    * 50/50 traffic is MDE(h) = (z_{α/2} + z_β)·√(2σ²/(rate·h/2)).
+    * Returns one row per horizon: (horizon, n_per_arm, mean, sd,
+    * mde_abs, mde_rel) — the sizing table an experimenter reads before
+    * launching, from the SAME table the experiment will measure.
+    * z quantiles are caller-supplied literals (defaults: two-sided
+    * α = 0.05 → 1.959964, power 0.8 → 0.841621) so the curve is
+    * deterministic — no normal-inverse evaluation in either engine.
+    *
+    * ONE moment scan (count, mean, population variance, distinct
+    * periods) broadcast onto a horizons literal frame — the input is
+    * never scanned per horizon.
+    */
+  def mdeCurve(df: DataFrame, binCol: Column, yCol: String,
+               horizons: Seq[Int],
+               zAlpha: Double = 1.959964,
+               zPower: Double = 0.841621): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be positive periods: $horizons")
+    require(zAlpha > 0 && zPower >= 0, s"bad z quantiles: $zAlpha $zPower")
+    val y = col(yCol).cast("double")
+    val m = df.agg(count(lit(1)).as("__n"),
+      sum(y).as("__sy"), sum(y * y).as("__syy"),
+      countDistinct(binCol).as("__periods"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hs = horizons.toDF("horizon")
+    hs.crossJoin(broadcast(m))
+      .withColumn("__mean", col("__sy") / col("__n"))
+      .withColumn("__var",
+        col("__syy") / col("__n") - col("__mean") * col("__mean"))
+      .withColumn("__rate",
+        col("__n").cast("double") / col("__periods"))
+      .withColumn("n_per_arm", col("__rate") * col("horizon") / 2.0)
+      .withColumn("mean", col("__mean"))
+      .withColumn("sd", sqrt(col("__var")))
+      .withColumn("mde_abs",
+        when(col("n_per_arm") > 0.0,
+          lit(zAlpha + zPower) *
+            sqrt(lit(2.0) * col("__var") / col("n_per_arm"))))
+      .withColumn("mde_rel",
+        when(col("__mean") =!= 0.0, col("mde_abs") / col("__mean")))
+      .select(col("horizon"), col("n_per_arm"), col("mean"), col("sd"),
+        col("mde_abs"), col("mde_rel"))
+      .orderBy("horizon")
+  }
+
   /** Differentially-private noisy group counts: each group's count plus
     * Laplace(sensitivity/ε) noise — the release mechanism that pairs
     * with [[kAnonymity]]'s audit (publish noisy marginals instead of

@@ -882,6 +882,25 @@ object ScaleCheck {
           restart = Some(d.where(col("doc_id") % 16 === 0)
             .select(col("doc_id").as("node")))).count()
       },
+      "ratio_metric" -> { dir =>
+        // one per-user aggregate + the one-row conditional-moment scan
+        val pu = graft.sources.Tables.loadEvents(spark, dir)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"),
+            count(lit(1)).as("x"))
+        graft.operators.Stats.ratioMetricDelta(pu,
+          pmod(col("user_id") * 16807, lit(97)) < 30, "y", "x").count()
+      },
+      "mde_curve" -> { dir =>
+        // one moment scan joined onto a literal horizons frame
+        val pu = graft.sources.Tables.loadEvents(spark, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("y"),
+            floor(min(col("ts").cast("long")) / 86400).as("bin"))
+        graft.operators.Stats.mdeCurve(pu, col("bin"), "y",
+          Seq(1, 2, 4, 8, 16)).count()
+      },
       "alwaysvalid_cuped" -> { dir =>
         // one per-user aggregate → bin-count moments → running pass
         val pu = graft.sources.Tables.loadEvents(spark, dir)

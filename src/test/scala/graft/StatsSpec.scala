@@ -1059,6 +1059,50 @@ class StatsSpec extends AnyFunSuite {
     assert(d(r.getAs[Double]("nll_reduction"), 0.0))
   }
 
+  test("ratioMetricDelta: hand-computed ratios, delta variance, z") {
+    // A (y,x): (2,4),(4,6) → R=.6; moments vyy=1 vxx=1 vxy=1
+    //   var_A = (1 − 2·.6·1 + .36·1)/(2·25) = .0032
+    // B: (1,5),(3,5) → R=.4; vyy=1 vxx=0 vxy=0 → var_B = 1/50 = .02
+    val rows = Seq((true, 2.0, 4.0), (true, 4.0, 6.0),
+      (false, 1.0, 5.0), (false, 3.0, 5.0)).toDF("arma", "y", "x")
+    val r = Stats.ratioMetricDelta(rows, col("arma"), "y", "x").head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(d(r.getAs[Double]("ratio_a"), 0.6))
+    assert(d(r.getAs[Double]("ratio_b"), 0.4))
+    assert(d(r.getAs[Double]("diff"), 0.2))
+    assert(d(r.getAs[Double]("se"), math.sqrt(0.0032 + 0.02)))
+    assert(d(r.getAs[Double]("z"), 0.2 / math.sqrt(0.0232)))
+  }
+
+  test("ratioMetricDelta: a zero-denominator arm reports nulls, not ±∞") {
+    val rows = Seq((true, 2.0, 4.0), (false, 1.0, 0.0))
+      .toDF("arma", "y", "x")
+    val r = Stats.ratioMetricDelta(rows, col("arma"), "y", "x").head()
+    assert(r.isNullAt(r.fieldIndex("ratio_b")))
+    assert(r.isNullAt(r.fieldIndex("se")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("mdeCurve: hand-computed sizing row") {
+    // y: 1,3 (bin 1), 2,2 (bin 2) → mean 2, σ² = .5, rate = 2/period;
+    // horizon 4 → n/arm 4, MDE = 2.801585·√(2·.5/4) = 1.4007925
+    val rows = Seq((1L, 1.0), (1L, 3.0), (2L, 2.0), (2L, 2.0))
+      .toDF("bin", "y")
+    val got = Stats.mdeCurve(rows, col("bin"), "y", Seq(1, 4))
+      .orderBy("horizon").collect()
+    assert(got.length === 2)
+    val h4 = got(1)
+    assert(h4.getAs[Int]("horizon") === 4)
+    assert(d(h4.getAs[Double]("n_per_arm"), 4.0))
+    assert(d(h4.getAs[Double]("mean"), 2.0))
+    assert(d(h4.getAs[Double]("sd"), math.sqrt(0.5)))
+    assert(d(h4.getAs[Double]("mde_abs"), (1.959964 + 0.841621) * 0.5))
+    assert(d(h4.getAs[Double]("mde_rel"),
+      (1.959964 + 0.841621) * 0.25))
+    // more runtime → smaller detectable effect, monotone
+    assert(got(0).getAs[Double]("mde_abs") > h4.getAs[Double]("mde_abs"))
+  }
+
   test("mcnemarStratified: opposite-direction strata — pooled CMH 0, " +
     "homogeneity flags the reversal") {
     // s1: b=3 c=1 (A wins); s2: b=1 c=3 (B wins) → per-stratum χ²=1 each,
