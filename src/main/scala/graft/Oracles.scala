@@ -2387,6 +2387,91 @@ object Oracles {
         "round(CASE WHEN mean <> 0.0 THEN mde_abs / mean END, 6) " +
         "AS mde_rel FROM c ORDER BY horizon"),
 
+    // Modularity: symmetrized q141 graph vs the 64-block partition —
+    // degree/intra cells are exact longs, same term order as the
+    // operator (intra/2m − (dc/2m)²).
+    "q314_modularity" ->
+      ("WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents), " +
+        "e0 AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+        "FROM documents, mn " +
+        "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n FROM documents, " +
+        "mn WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, (doc_id + 101) % mn.n FROM documents, " +
+        "mn WHERE doc_id % 3 = 0), " +
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        "SELECT src, dst FROM e0 WHERE src <> dst " +
+        "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), " +
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d " +
+        "FROM und GROUP BY 1), " +
+        "wl AS MATERIALIZED (SELECT deg.node, deg.d, " +
+        "COALESCE(l.lbl, deg.node) AS lbl FROM deg LEFT JOIN " +
+        "(SELECT doc_id AS node, floor(doc_id / 64) AS lbl " +
+        "FROM documents) l USING (node)), " +
+        "dc AS (SELECT lbl, CAST(sum(d) AS BIGINT) AS dc FROM wl " +
+        "GROUP BY 1), " +
+        "m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM und), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wl), " +
+        "intra AS (SELECT w1.lbl, CAST(count(*) AS BIGINT) AS i " +
+        "FROM und JOIN wl w1 ON und.src = w1.node " +
+        "JOIN wl w2 ON und.dst = w2.node " +
+        "WHERE w1.lbl = w2.lbl GROUP BY 1), " +
+        "q AS (SELECT dc.lbl, COALESCE(intra.i, 0) / m2.m2 - " +
+        "(dc.dc / m2.m2) * (dc.dc / m2.m2) AS q " +
+        "FROM dc LEFT JOIN intra USING (lbl), m2) " +
+        "SELECT nn.n AS n_nodes, CAST(m2.m2 / 2 AS BIGINT) AS n_edges, " +
+        "CAST(count(*) AS BIGINT) AS n_communities, " +
+        "round(sum(q.q), 6) AS modularity FROM q, nn, m2 " +
+        "GROUP BY 1, 2"),
+
+    // Degree assortativity: endpoint-degree Pearson over both
+    // orientations, integer moments — same op order as the operator.
+    "q315_assortativity" ->
+      ("WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents), " +
+        "e0 AS (SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+        "FROM documents, mn " +
+        "UNION ALL SELECT doc_id, (doc_id + 7) % mn.n FROM documents, " +
+        "mn WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, (doc_id + 101) % mn.n FROM documents, " +
+        "mn WHERE doc_id % 3 = 0), " +
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        "SELECT src, dst FROM e0 WHERE src <> dst " +
+        "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), " +
+        "deg AS MATERIALIZED (SELECT src AS node, " +
+        "CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg), " +
+        "p AS (SELECT CAST(dx.d AS DOUBLE) AS x, " +
+        "CAST(dy.d AS DOUBLE) AS y FROM und " +
+        "JOIN deg dx ON und.src = dx.node " +
+        "JOIN deg dy ON und.dst = dy.node), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS cnt, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, " +
+        "sum(y * y) AS syy FROM p), " +
+        "v AS (SELECT *, sxx / cnt - (sx / cnt) * (sx / cnt) AS vx, " +
+        "syy / cnt - (sy / cnt) * (sy / cnt) AS vy, " +
+        "sxy / cnt - (sx / cnt) * (sy / cnt) AS cov FROM m) " +
+        "SELECT nn.n AS n_nodes, CAST(cnt / 2 AS BIGINT) AS n_edges, " +
+        "round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN " +
+        "cov / sqrt(vx * vy) END, 6) AS assortativity FROM v, nn"),
+
+    // Reciprocity: flip-join semi count over deduped directed edges;
+    // the planted construction makes the answer exactly 2/3.
+    "q316_reciprocity" ->
+      ("WITH mn AS (SELECT CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents), " +
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+        "SELECT doc_id AS src, (doc_id + 1) % mn.n AS dst " +
+        "FROM documents, mn " +
+        "UNION ALL SELECT (doc_id + 1) % mn.n, doc_id FROM documents, " +
+        "mn WHERE doc_id % 2 = 0) WHERE src <> dst), " +
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS rec FROM e " +
+        "WHERE EXISTS (SELECT 1 FROM e e2 " +
+        "WHERE e2.src = e.dst AND e2.dst = e.src)), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e) " +
+        "SELECT t.n AS n_edges, r.rec AS n_reciprocal, " +
+        "round(r.rec / CAST(t.n AS DOUBLE), 6) AS reciprocity FROM t, r"),
+
     // Intra-doc paragraph dedup: first-occurrence index filter replayed
     // with list_position (1-based, like the lambda's i).
     "q305_dedupe_paragraphs" ->

@@ -4879,6 +4879,71 @@ object TestQueries {
       .orderBy("horizon")
   }
 
+  /** Modularity ([[operators.Graphs.modularity]]): the q141 ring graph
+    * scored against a 64-doc block partition — ring edges are mostly
+    * intra-block, the +101 hops are inter, so Q is meaningfully
+    * positive. Exact-long cells → deterministic per-community terms.
+    */
+  def q314Modularity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 101) % col("n")).as("dst")))
+    val labels = docs.select(col("doc_id").as("node"),
+      floor(col("doc_id") / 64).as("community"))
+    operators.Graphs.modularity(edges, labels)
+      .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+        round(col("modularity"), 6).as("modularity"))
+  }
+
+  /** Degree assortativity ([[operators.Graphs.degreeAssortativity]])
+    * over the q141 graph — integer degree moments replay bit-for-bit.
+    */
+  def q315Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 7) % col("n")).as("dst")))
+      .union(base.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 101) % col("n")).as("dst")))
+    operators.Graphs.degreeAssortativity(edges)
+      .select(col("n_nodes"), col("n_edges"),
+        round(col("assortativity"), 6).as("assortativity"))
+  }
+
+  /** Reciprocity ([[operators.Graphs.reciprocity]]): directed ring with
+    * the reverse edge planted on even sources — reciprocity exactly 2/3
+    * by construction, the closed form the oracle replays.
+    */
+  def q316Reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nDf))
+    val edges = base
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("n")).as("dst"))
+      .union(base.where(col("doc_id") % 2 === 0)
+        .select(((col("doc_id") + 1) % col("n")).as("src"),
+          col("doc_id").as("dst")))
+    operators.Graphs.reciprocity(edges)
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(col("reciprocity"), 6).as("reciprocity"))
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5338,6 +5403,9 @@ object TestQueries {
     "q311_personalized_pagerank" -> (q311PersonalizedPagerank _),
     "q312_ratio_metric" -> (q312RatioMetric _),
     "q313_mde_curve" -> (q313MdeCurve _),
+    "q314_modularity" -> (q314Modularity _),
+    "q315_assortativity" -> (q315Assortativity _),
+    "q316_reciprocity" -> (q316Reciprocity _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -498,4 +498,126 @@ object Graphs {
       .orderBy(col("score").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Newman modularity of a given node→community assignment — the
+    * EVALUATION companion to [[labelPropagation]] (and to any external
+    * clustering): Q = Σ_c [e_c/m − (d_c/2m)²], where e_c counts
+    * intra-community edges, d_c sums member degrees, m is the undirected
+    * edge count. Q ≈ 0 means the partition is no better than random
+    * rewiring with the same degrees; community detectors optimize
+    * exactly this number, so reporting it closes the loop. Edges are
+    * symmetrized + self-pair-deduped (the labelPropagation convention);
+    * nodes missing from `labels` form an implicit singleton each (they
+    * contribute no intra-edges but their degree mass still counts via a
+    * fallback label of the node id). Returns ONE row:
+    * (n_nodes, n_edges, n_communities, modularity).
+    *
+    * Two joins of the edge list against the label table (shuffles on the
+    * node key) + community-sized aggregates; m and the Σ over
+    * communities are the only scalars. All inputs are exact longs, so
+    * every per-community term is a deterministic double.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // feeds degree, intra-edge AND m computations
+    val lbl = labels.select(col(labels.columns.head).as("node"),
+      col(labels.columns(1)).as("__lbl"))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__d"))
+    val withL = deg.join(lbl, Seq("node"), "left")
+      .withColumn("__lbl", coalesce(col("__lbl"), col("node")))
+    val dc = withL.groupBy("__lbl").agg(sum("__d").as("__dc"))
+    // intra-community directed pair count = 2·e_c (both orientations
+    // are in `und`), so e_c/m = __intra/(2m) with 2m = |und|
+    val intra = und
+      .join(withL.select(col("node").as("src"), col("__lbl")), "src")
+      .join(withL.select(col("node").as("dst"),
+        col("__lbl").as("__lbl2")), "dst")
+      .where(col("__lbl") === col("__lbl2"))
+      .groupBy("__lbl").agg(count(lit(1)).as("__intra"))
+    val m2 = und.count().toDouble // = 2m, a bounded driver scalar
+    val nNodes = withL.count()
+    dc.join(intra, Seq("__lbl"), "left")
+      .select(col("__lbl"),
+        (coalesce(col("__intra"), lit(0L)) / m2 -
+          (col("__dc") / m2) * (col("__dc") / m2)).as("__q"))
+      .agg(count(lit(1)).as("n_communities"), sum("__q").as("modularity"))
+      .select(lit(nNodes).as("n_nodes"),
+        lit((m2 / 2).toLong).as("n_edges"),
+        col("n_communities"), col("modularity"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every edge-end pair — positive when hubs link
+    * to hubs (social graphs), negative when hubs link to leaves
+    * (web/biology/star topologies). Computed over BOTH orientations of
+    * every undirected edge (the standard symmetric estimator). Returns
+    * ONE row: (n_nodes, n_edges, assortativity); a degree-regular graph
+    * (zero variance) reports null.
+    *
+    * One degree aggregate + two joins of the symmetrized edge list +
+    * one moment scan — integer moments below 2⁵³, so the coefficient is
+    * a deterministic double in any engine.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // feeds the degree table and the pair scan
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__d"))
+    val nNodes = deg.count()
+    val pairs = und
+      .join(deg.select(col("node").as("src"), col("__d").as("__dx")),
+        "src")
+      .join(deg.select(col("node").as("dst"), col("__d").as("__dy")),
+        "dst")
+    val x = col("__dx").cast("double")
+    val y = col("__dy").cast("double")
+    pairs.agg(count(lit(1)).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .withColumn("__vx",
+        col("__sxx") / col("__n") -
+          (col("__sx") / col("__n")) * (col("__sx") / col("__n")))
+      .withColumn("__vy",
+        col("__syy") / col("__n") -
+          (col("__sy") / col("__n")) * (col("__sy") / col("__n")))
+      .withColumn("__cov",
+        col("__sxy") / col("__n") -
+          (col("__sx") / col("__n")) * (col("__sy") / col("__n")))
+      .select(lit(nNodes).as("n_nodes"),
+        (col("__n") / 2).cast("long").as("n_edges"),
+        when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          col("__cov") / sqrt(col("__vx") * col("__vy")))
+          .as("assortativity"))
+  }
+
+  /** Directed reciprocity: the fraction of (deduped, non-self) directed
+    * edges whose reverse edge also exists — near 1 on mutual-follow
+    * social graphs, near 0 on citation/hyperlink graphs; the one-number
+    * direction-structure diagnostic. Returns ONE row:
+    * (n_edges, n_reciprocal, reciprocity).
+    *
+    * One dedup + one self-join on the flipped key (left-semi, so the
+    * probe side never widens) + one count — exact longs throughout.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // probe AND build side of the flip join
+    val n = e.count()
+    val rec = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .count()
+    val one = e.sparkSession.range(1)
+    one.select(lit(n).as("n_edges"), lit(rec).as("n_reciprocal"),
+      (lit(rec) / lit(n).cast("double")).as("reciprocity"))
+  }
 }

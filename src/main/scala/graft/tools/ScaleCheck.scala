@@ -882,6 +882,33 @@ object ScaleCheck {
           restart = Some(d.where(col("doc_id") % 16 === 0)
             .select(col("doc_id").as("node")))).count()
       },
+      "modularity" -> { dir =>
+        // two label joins + community aggregates over a constant-degree
+        // ring graph; communities scale with nodes (64-doc blocks)
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val base = d.crossJoin(broadcast(nDf))
+        val edges = base.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(base.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst")))
+        graft.operators.Graphs.modularity(edges,
+          d.select(col("doc_id").as("node"),
+            floor(col("doc_id") / 64).as("community"))).count()
+      },
+      "assortativity" -> { dir =>
+        // degree table + two edge joins + one moment scan
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val base = d.crossJoin(broadcast(nDf))
+        val edges = base.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(base.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") + 7) % col("n")).as("dst")))
+        graft.operators.Graphs.degreeAssortativity(edges).count()
+      },
       "ratio_metric" -> { dir =>
         // one per-user aggregate + the one-row conditional-moment scan
         val pu = graft.sources.Tables.loadEvents(spark, dir)

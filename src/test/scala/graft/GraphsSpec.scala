@@ -104,6 +104,57 @@ class GraphsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("restart set"))
   }
 
+  test("modularity: two triangles + bridge score 5/14 under the " +
+    "natural partition; the one-community partition scores 0") {
+    // degrees: 2,2,3 | 3,2,2 → d_c = 7 each, e_c = 3 each, m = 7
+    // Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2 = 5/14
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "community")
+    val r = Graphs.modularity(edges, labels).head()
+    assert(r.getAs[Long]("n_nodes") === 6L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_communities") === 2L)
+    assert(math.abs(r.getAs[Double]("modularity") - 5.0 / 14) < 1e-12)
+    val all = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L)).toDF("node", "community")
+    val r1 = Graphs.modularity(edges, all).head()
+    assert(math.abs(r1.getAs[Double]("modularity")) < 1e-12)
+  }
+
+  test("modularity: nodes missing from the labeling fall back to " +
+    "singletons") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 9L), (2L, 9L)).toDF("node", "community")
+    val r = Graphs.modularity(edges, labels).head()
+    // {1,2} intra edge + singleton {3}: Q = (1/2 − (3/4)²) + (0 − (1/4)²)
+    assert(r.getAs[Long]("n_communities") === 2L)
+    assert(math.abs(r.getAs[Double]("modularity") -
+      (0.5 - 0.5625 - 0.0625)) < 1e-12)
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative; a " +
+    "regular cycle reports null") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graphs.degreeAssortativity(star).head()
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graphs.degreeAssortativity(cycle).head()
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
+
+  test("reciprocity: counts mutual directed edges exactly") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst") // dup + self-loop must not count
+    val r = Graphs.reciprocity(edges).head()
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_reciprocal") === 2L)
+    assert(math.abs(r.getAs[Double]("reciprocity") - 2.0 / 3) < 1e-12)
+  }
+
   private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
     val r = Graphs.triangleStats(edges.toDF("src", "dst")).head()
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
