@@ -222,6 +222,42 @@ class PlanSpec extends AnyFunSuite {
       "bestThreshold's argmin must be TakeOrderedAndProject")
   }
 
+  test("round-15 operators: one-scan moments, no cartesians, no " +
+    "single-partition data-scale windows") {
+    // the one-row moment scans must not grow joins or extra exchanges
+    for (q <- Seq("q312_ratio_metric", "q300_mcnemar")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q must be ONE aggregate scan, " +
+        "no join — the conditional sums carry both arms")
+    }
+    // mdeCurve: the input is scanned ONCE; horizons come from a local
+    // literal relation, never a per-horizon re-aggregation
+    val mde = planOf("q313_mde_curve")
+    assert(mde.contains("BroadcastNestedLoopJoin") ||
+      mde.contains("BroadcastHashJoin"),
+      "mdeCurve's horizons frame must broadcast onto the one-row moments")
+    // aggregate count is 6 by construction (per-user pair + the
+    // countDistinct two-phase expansion + the moment pair); the real
+    // invariant is ONE scan of the input table, not one per horizon
+    assert("Scan parquet".r.findAllIn(mde).size <= 1,
+      "mdeCurve must scan the input once, not per horizon")
+    // iterative/graph additions: never a cartesian product
+    for (q <- Seq("q311_personalized_pagerank", "q314_modularity",
+      "q315_assortativity", "q316_reciprocity",
+      "q309_alwaysvalid_cuped", "q310_mcnemar_strat")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+    // (reciprocity's flip semi-join runs eagerly inside the operator —
+    // the returned frame is one literal row, so there is no plan to pin)
+    // alwaysValidCuped's cumulative pass rides Ranks.running (its
+    // __rk_pid range-partitioned carry) — a raw global-ORDER window
+    // would funnel every bin through one task
+    assert(planOf("q309_alwaysvalid_cuped").contains("__rk_pid"),
+      "alwaysValidCuped must ride Ranks.running's partitioned carry")
+  }
+
   test("no data-scale window runs a shrinking frame (O(n²) per partition)") {
     // Spark evaluates (currentRow, unboundedFollowing) by recomputing the
     // aggregate from scratch at EVERY row; the forward as-of carry and
