@@ -392,6 +392,59 @@ object Oracles {
       s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
   }
 
+  /** q317's scaling-law fit: per-candidate conditional log-moment sums
+    * (the temperatureScaling pattern) + closed-form OLS per c, argmin by
+    * least() with an ascending-c CASE scan (the operator's struct-min
+    * tie rule).
+    */
+  private def scalingLawSql(fracs: Seq[Double]): String = {
+    val sums = fracs.zipWithIndex.map { case (f, i) =>
+      val y = s"ln(loss - $f * lmin)"
+      s"sum($y) AS sy$i, sum(x * $y) AS sxy$i, sum($y * $y) AS syy$i"
+    }.mkString(", ")
+    val derived = fracs.indices.map { i =>
+      s"sxy$i / nd - mx * (sy$i / nd) AS cov$i, " +
+        s"syy$i / nd - (sy$i / nd) * (sy$i / nd) AS vy$i"
+    }.mkString(", ")
+    val sses = fracs.indices.map { i =>
+      s"nd * (vy$i - cov$i * cov$i / vx) AS sse$i"
+    }.mkString(", ")
+    val least = fracs.indices.map(i => s"sse$i")
+      .mkString("least(", ", ", ")")
+    def pick(expr: Int => String): String =
+      fracs.zipWithIndex.map { case (_, i) =>
+        s"WHEN sse$i = best THEN ${expr(i)}"
+      }.mkString("CASE ", " ", " END")
+    "WITH pu AS (SELECT user_id, " +
+      "floor(min(floor(epoch(ts))) / 3600) AS bin FROM events " +
+      "GROUP BY user_id), " +
+      "pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS nu FROM pu " +
+      "GROUP BY 1), " +
+      "pts AS (SELECT CAST(sum(nu) OVER (ORDER BY bin) AS BIGINT) " +
+      "AS n_scale FROM pb), " +
+      "p2 AS (SELECT n_scale, 2.0 + 10.0 * " +
+      "power(CAST(n_scale AS DOUBLE), -0.3) AS loss FROM pts), " +
+      "lm AS (SELECT min(loss) AS lmin FROM p2), " +
+      "d AS (SELECT p2.*, lm.lmin, " +
+      "ln(CAST(n_scale AS DOUBLE)) AS x FROM p2, lm), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n_points, " +
+      s"min(lmin) AS lmin, sum(x) AS sx, sum(x * x) AS sxx, $sums " +
+      "FROM d), " +
+      "b AS (SELECT *, CAST(n_points AS DOUBLE) AS nd, " +
+      "sx / CAST(n_points AS DOUBLE) AS mx FROM a), " +
+      "b2 AS (SELECT *, sxx / nd - mx * mx AS vx FROM b), " +
+      s"c AS (SELECT *, $derived FROM b2), " +
+      s"e AS (SELECT *, $sses FROM c), " +
+      s"f AS (SELECT *, $least AS best FROM e) " +
+      "SELECT n_points, " +
+      s"round(${pick(i => s"${fracs(i)} * lmin")}, 4) AS c, " +
+      s"round(${pick(i =>
+        s"exp(sy$i / nd - (cov$i / vx) * mx)")}, 4) AS a, " +
+      s"round(${pick(i => s"-(cov$i / vx)")}, 4) AS b, " +
+      s"round(${pick(i =>
+        s"cov$i * cov$i / (vx * vy$i)")}, 6) AS r2 FROM f"
+  }
+
   /** Unrolled personalized weighted PageRank (random walk with restart)
     * over the q141 ring graph, mirroring `Graphs.pageRankPersonalized`
     * exactly: weights normalize once per source, ranks start AT the
@@ -2386,6 +2439,23 @@ object Oracles {
         "round(sqrt(vr), 6) AS sd, round(mde_abs, 6) AS mde_abs, " +
         "round(CASE WHEN mean <> 0.0 THEN mde_abs / mean END, 6) " +
         "AS mde_rel FROM c ORDER BY horizon"),
+
+    // Scaling-law fit: planted loss curve, generated per-candidate OLS.
+    "q317_scaling_law" ->
+      scalingLawSql(Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)),
+
+    // LSH S-curve planner: pure closed-form grid, CAST keeps doubles.
+    "q318_lsh_plan" ->
+      ("WITH b AS (SELECT unnest([1, 2, 4, 8, 16]) AS bands), " +
+        "g AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, " +
+        "0.8, 0.9, 0.95]) AS DOUBLE) AS sim), " +
+        "c AS (SELECT bands, CAST(16 / bands AS INTEGER) " +
+        "AS rows_per_band, sim FROM b, g) " +
+        "SELECT bands, rows_per_band, " +
+        "round(power(1.0 - power(0.5, 1.0 / bands), " +
+        "1.0 / rows_per_band), 6) AS s50, sim, " +
+        "round(1.0 - power(1.0 - power(sim, rows_per_band), bands), 6) " +
+        "AS p_collision FROM c ORDER BY bands, sim"),
 
     // Modularity: symmetrized q141 graph vs the 64-block partition —
     // degree/intra cells are exact longs, same term order as the

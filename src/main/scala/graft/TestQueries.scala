@@ -4944,6 +4944,40 @@ object TestQueries {
         round(col("reciprocity"), 6).as("reciprocity"))
   }
 
+  /** Scaling-law fit ([[operators.Quality.scalingLawFit]]): a planted
+    * loss curve L = 2 + 10·N^(−0.3) over the cumulative per-hour user
+    * counts — the "what does 10× data buy" fit. The c-grid search and
+    * closed-form OLS replay in DuckDB; the cumulative window runs over
+    * ≤ |hour bins| aggregate rows.
+    */
+  def q317ScalingLaw(s: SparkSession, dir: String): DataFrame = {
+    val perBin = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(floor(min(col("ts").cast("long")) / 3600).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBin.withColumn("n_scale", sum("nu").over(w))
+      .select(col("n_scale"),
+        (lit(2.0) + lit(10.0) *
+          pow(col("n_scale").cast("double"), lit(-0.3))).as("loss"))
+    operators.Quality.scalingLawFit(pts, "n_scale", "loss")
+      .select(col("n_points"), round(col("c"), 4).as("c"),
+        round(col("a"), 4).as("a"), round(col("b"), 4).as("b"),
+        round(col("r2"), 6).as("r2"))
+  }
+
+  /** LSH planner ([[operators.Dedup.lshPlan]]): the 16-hash S-curve
+    * table — collision probability and s₅₀ per (bands, rows) split.
+    * Pure closed-form arithmetic; DuckDB replays the grid exactly.
+    */
+  def q318LshPlan(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.lshPlan(s, numHashes = 16)
+      .select(col("bands"), col("rows_per_band"),
+        round(col("s50"), 6).as("s50"), col("sim"),
+        round(col("p_collision"), 6).as("p_collision"))
+      .orderBy("bands", "sim")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5406,6 +5440,8 @@ object TestQueries {
     "q314_modularity" -> (q314Modularity _),
     "q315_assortativity" -> (q315Assortativity _),
     "q316_reciprocity" -> (q316Reciprocity _),
+    "q317_scaling_law" -> (q317ScalingLaw _),
+    "q318_lsh_plan" -> (q318LshPlan _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

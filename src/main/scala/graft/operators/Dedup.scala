@@ -1321,4 +1321,42 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** LSH configuration planner — the S-curve table behind every
+    * `bands`/`numHashes` choice in this module: for each (b, r) split of
+    * `numHashes` signature slots, the banded-MinHash collision
+    * probability at Jaccard s is P(s) = 1 − (1 − s^r)^b, and the curve's
+    * midpoint (the effective dedup threshold) is
+    * s₅₀ = (1 − 0.5^(1/b))^(1/r). A config whose s₅₀ sits far from the
+    * intended near-dup bar either floods the verify stage (too low) or
+    * silently under-recalls (too high) — this table is how that gets
+    * checked BEFORE a 100 TB pass, the [[graft.operators.Stats.mdeCurve]]
+    * discipline applied to dedup. Returns one row per (config, grid
+    * point): (bands, rows_per_band, s50, sim, p_collision).
+    *
+    * Pure closed-form arithmetic over a |divisors|×|grid| literal frame —
+    * reads nothing; the engine (not the driver) evaluates the curve so
+    * an external SQL replay is exact.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              numHashes: Int = 16,
+              simGrid: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+                0.7, 0.8, 0.9, 0.95)): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be positive: $numHashes")
+    require(simGrid.nonEmpty && simGrid.forall(s => s > 0 && s < 1),
+      s"simGrid must lie in (0, 1): $simGrid")
+    import spark.implicits._
+    val configs = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val grid = for ((b, r) <- configs; s <- simGrid) yield (b, r, s)
+    grid.toDF("bands", "rows_per_band", "sim")
+      .withColumn("s50",
+        pow(lit(1.0) - pow(lit(0.5), lit(1.0) / col("bands")),
+          lit(1.0) / col("rows_per_band")))
+      .withColumn("p_collision",
+        lit(1.0) - pow(lit(1.0) -
+          pow(col("sim"), col("rows_per_band")), col("bands")))
+      .select("bands", "rows_per_band", "s50", "sim", "p_collision")
+  }
 }

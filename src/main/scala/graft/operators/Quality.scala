@@ -1283,4 +1283,68 @@ object Quality {
         col("vocab").cast("double") + n1 * (n1 - 1.0) /
           (lit(2.0) * (col("n_dis").cast("double") + 1.0)))
   }
+
+  /** Scaling-law fit L(N) = c + a·N^(−b) over (scale, loss) observations
+    * — [[heapsLawFit]]'s sibling for LOSS curves (Hestness 2017 /
+    * Kaplan 2020 empirics): the planning number behind "what loss does
+    * 10× more data buy", with the irreducible term c that a plain
+    * log-log fit (b from ln L on ln N) silently gets wrong whenever the
+    * curve is bottoming out. c is searched over a FIXED fractional grid
+    * of the minimum observed loss (c = frac·L_min, every frac < 1, so
+    * every point stays positive after the shift); each candidate's OLS
+    * of ln(L − c) on ln N is closed-form, the winner minimizes
+    * transformed-space SSE (ties → smaller c). Returns ONE row:
+    * (n_points, c, a, b, r2). Caller contract: positive losses, ≥ 3
+    * distinct scales (degenerate inputs report null fit fields).
+    *
+    * ONE |grid|-conditional-moment scan over the points table (the
+    * temperatureScaling pattern) + a one-row L_min broadcast — the
+    * points are checkpoint-level rows, but the shape would hold at any
+    * cardinality.
+    */
+  def scalingLawFit(df: DataFrame, nCol: String, lossCol: String,
+                    cFracs: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75,
+                      0.9, 0.95, 0.99)): DataFrame = {
+    require(cFracs.nonEmpty && cFracs.forall(f => f >= 0 && f < 1),
+      s"cFracs must lie in [0, 1): $cFracs")
+    val nC = col(nCol).cast("double")
+    val lC = col(lossCol).cast("double")
+    val lmin = df.agg(min(lC).as("__lmin"))
+    val based = df.crossJoin(broadcast(lmin))
+      .withColumn("__x", log(nC))
+    val perC = cFracs.zipWithIndex.flatMap { case (f, i) =>
+      val y = log(lC - lit(f) * col("__lmin"))
+      Seq(sum(y).as(s"__sy$i"),
+        sum(col("__x") * y).as(s"__sxy$i"),
+        sum(y * y).as(s"__syy$i"))
+    }
+    val aggs = Seq(count(lit(1)).as("n_points"),
+      min(col("__lmin")).as("__lmin"), // constant — carried for c = f·Lmin
+      sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__x")).as("__sxx")) ++ perC
+    val base = based.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__n", col("n_points").cast("double"))
+      .withColumn("__mx", col("__sx") / col("__n"))
+      .withColumn("__vx",
+        col("__sxx") / col("__n") - col("__mx") * col("__mx"))
+    val candidates = cFracs.zipWithIndex.map { case (f, i) =>
+      val my = col(s"__sy$i") / col("__n")
+      val cov = col(s"__sxy$i") / col("__n") - col("__mx") * my
+      val vy = col(s"__syy$i") / col("__n") - my * my
+      val slope = cov / col("__vx")
+      val sse = col("__n") * (vy - cov * cov / col("__vx"))
+      val r2 = cov * cov / (col("__vx") * vy)
+      struct(
+        coalesce(when(col("__vx") > 0.0, sse), lit(Double.MaxValue))
+          .as("sse"),
+        (lit(f) * col("__lmin")).as("c"),
+        exp(my - slope * col("__mx")).as("a"),
+        (-slope).as("b"), r2.as("r2"))
+    }
+    base
+      .withColumn("__best", array_min(array(candidates: _*)))
+      .select(col("n_points"), col("__best.c").as("c"),
+        col("__best.a").as("a"), col("__best.b").as("b"),
+        col("__best.r2").as("r2"))
+  }
 }

@@ -882,6 +882,17 @@ object ScaleCheck {
           restart = Some(d.where(col("doc_id") % 16 === 0)
             .select(col("doc_id").as("node")))).count()
       },
+      "scaling_law" -> { dir =>
+        // point count scales with rows (one per 8-doc bucket); the
+        // |grid|-conditional moment scan is the cost
+        val pts = docs(dir)
+          .groupBy(floor(col("doc_id") / 8).as("g"))
+          .agg(count(lit(1)).as("k"))
+          .select((col("g") + 1).as("n"),
+            (lit(2.0) + lit(10.0) *
+              pow((col("g") + 1).cast("double"), lit(-0.3))).as("loss"))
+        graft.operators.Quality.scalingLawFit(pts, "n", "loss").count()
+      },
       "modularity" -> { dir =>
         // two label joins + community aggregates over a constant-degree
         // ring graph; communities scale with nodes (64-doc blocks)

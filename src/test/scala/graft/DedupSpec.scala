@@ -755,4 +755,21 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 6L, 28L, 22L), (3L, 0L, 22L, 22L)))
   }
+
+  test("lshPlan: closed-form S-curve and s50 per (bands, rows) split") {
+    val plan = Dedup.lshPlan(spark, numHashes = 4,
+        simGrid = Seq(0.5, 0.9)).collect()
+      .map(r => ((r.getInt(0), r.getDouble(3)),
+        (r.getDouble(2), r.getDouble(4)))).toMap
+    assert(plan.size === 6) // (1,4),(2,2),(4,1) × two grid points
+    // b=1,r=4: P(s)=s⁴, s50 = .5^(1/4); b=4,r=1: P=1−(1−s)⁴
+    val (s50a, p1) = plan((1, 0.5))
+    assert(math.abs(p1 - 0.0625) < 1e-12)
+    assert(math.abs(s50a - math.pow(0.5, 0.25)) < 1e-12)
+    val (s50b, p4) = plan((4, 0.5))
+    assert(math.abs(p4 - 0.9375) < 1e-12)
+    assert(math.abs(s50b - (1.0 - math.pow(0.5, 0.25))) < 1e-12)
+    // more bands at fixed hashes always lowers the effective threshold
+    assert(s50b < plan((2, 0.5))._1 && plan((2, 0.5))._1 < s50a)
+  }
 }

@@ -776,6 +776,31 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Double]("k_coef") === 1.0)
   }
 
+  test("scalingLawFit: a pure power law recovers (c=0, a, b) exactly") {
+    // L = 10·N^(−1/2): the frac-0 candidate is an exact log-log line
+    val pts = Seq(4L, 16L, 64L, 256L)
+      .map(n => (n, 10.0 * math.pow(n.toDouble, -0.5))).toDF("n", "loss")
+    val r = Quality.scalingLawFit(pts, "n", "loss").head()
+    assert(r.getAs[Long]("n_points") === 4L)
+    assert(r.getAs[Double]("c") === 0.0)
+    assert(math.abs(r.getAs[Double]("a") - 10.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("scalingLawFit: an irreducible-loss curve picks the matching " +
+    "c candidate") {
+    // L = 1/8 + 1/N over N = 1,2,4,8: L_min = 1/4, and the frac-0.5
+    // candidate c = 1/8 is EXACT — the shifted fit is a perfect line
+    val pts = Seq(1L, 2L, 4L, 8L)
+      .map(n => (n, 0.125 + 1.0 / n)).toDF("n", "loss")
+    val r = Quality.scalingLawFit(pts, "n", "loss").head()
+    assert(math.abs(r.getAs[Double]("c") - 0.125) < 1e-12)
+    assert(math.abs(r.getAs[Double]("a") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
   test("vocabCoverage: hand-counted Good–Turing and Chao1") {
     // one source, tokens a:2 b:1 c:1 -> N=4 V=3 N1=2 N2=1
     // unseen = 2/4; chao1 = 3 + 2·1/(2·(1+1)) = 3.5
