@@ -240,6 +240,32 @@ object TrainingDataDemo {
     println(f"embedding MMD² ${drift.getAs[Double]("mmd2")}%.6f over " +
       s"${drift.getAs[Long]("n_blocks")} blocks")
 
+    // 21. planning layer — the "before you burn compute" tables: the
+    // dedup config's S-curve (is s₅₀ where we want the near-dup bar?),
+    // the experiment sizing curve (days until an effect is detectable),
+    // and the scaling-law fit (what loss does 10× more data buy)
+    graft.operators.Dedup.lshPlan(spark, numHashes = 16)
+      .where(col("sim") === 0.8)
+      .orderBy("bands").show(truncate = false)
+    val perUser = Tables.loadEvents(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("y"),
+        floor(min(col("ts").cast("long")) / 3600).as("bin"))
+    graft.operators.Stats.mdeCurve(perUser, col("bin"), "y",
+      horizons = Seq(24, 72, 168)).show(truncate = false)
+    val lossPts = perUser.groupBy("bin").agg(count(lit(1)).as("nu"))
+      .withColumn("n_scale", sum("nu").over(
+        org.apache.spark.sql.expressions.Window.orderBy("bin")
+          .rowsBetween(Long.MinValue, 0)))
+      .select(col("n_scale"),
+        (lit(2.0) + lit(10.0) *
+          pow(col("n_scale").cast("double"), lit(-0.3))).as("loss"))
+    val law = graft.operators.Quality.scalingLawFit(lossPts, "n_scale",
+      "loss").head()
+    println(f"scaling law: loss ≈ ${law.getAs[Double]("c")}%.3f + " +
+      f"${law.getAs[Double]("a")}%.2f·N^(−${law.getAs[Double]("b")}%.3f) " +
+      f"(r² ${law.getAs[Double]("r2")}%.5f)")
+
     spark.stop()
   }
 }
