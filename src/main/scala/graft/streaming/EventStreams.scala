@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -201,6 +201,81 @@ object EventStreams {
         }
       }
       .start()
+
+  /** Streaming always-valid A/B monitor — the e-process readout whose
+    * ENTIRE point is streaming: an anytime-valid test may be peeked at
+    * every micro-batch without alpha inflation, so the experiment stops
+    * the moment the cumulative evidence crosses ln(1/α), not at a
+    * scheduled readout ([[graft.operators.EventAnalytics
+    * .alwaysValidMonitor]]'s arithmetic, cumulated across batches).
+    * Per micro-batch: the batch's four conversion cells append to
+    * `outDir/state` (one tiny row per batch), the cumulative cells
+    * recompute over the state table, and one monitor row (batch_id,
+    * counts, rates, diff, log_e_value, can_stop) appends to
+    * `outDir/monitor`.
+    *
+    * Replay safety: a replayed batch re-derives IDENTICAL cells from the
+    * same micro-batch data, and the state read collapses duplicates by
+    * batch_id (max == the value) — so cumulative counts never
+    * double-count; the monitor may carry a duplicate row per replayed
+    * batch id with identical content (dedup downstream by batch_id).
+    * State and monitor are batch-count-sized — nothing event-scale is
+    * ever re-read.
+    */
+  def abMonitorSink(events: DataFrame, armACol: Column, convCol: Column,
+                    outDir: String, checkpoint: String,
+                    tau: Double = 1e-4, alpha: Double = 0.05):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(tau > 0, s"tau must be positive: $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val conv = when(convCol, 1L).otherwise(0L)
+          batch.toDF().agg(
+              sum(when(armACol, 1L).otherwise(0L)).as("na"),
+              sum(when(!armACol, 1L).otherwise(0L)).as("nb"),
+              sum(when(armACol, conv).otherwise(0L)).as("ca"),
+              sum(when(!armACol, conv).otherwise(0L)).as("cb"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(s"$outDir/state")
+          val st = spark.read.parquet(s"$outDir/state")
+            .groupBy("batch_id")
+            .agg(max("na").as("na"), max("nb").as("nb"),
+              max("ca").as("ca"), max("cb").as("cb"))
+          val cum = st.agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+            sum("ca").as("conv_a"), sum("cb").as("conv_b"))
+          val na = col("n_a").cast("double")
+          val nb = col("n_b").cast("double")
+          val pa = col("conv_a") / na
+          val pb = col("conv_b") / nb
+          val pool = (col("conv_a") + col("conv_b")).cast("double") /
+            (na + nb)
+          val v = pool * (lit(1.0) - pool) *
+            (lit(1.0) / na + lit(1.0) / nb)
+          cum
+            .withColumn("batch_id", lit(id))
+            .withColumn("p_a", pa).withColumn("p_b", pb)
+            .withColumn("diff", pa - pb)
+            .withColumn("__v", v)
+            .withColumn("log_e_value",
+              when(col("n_a") > 0 && col("n_b") > 0 && col("__v") > 0,
+                lit(0.5) * log(col("__v") / (col("__v") + tau)) +
+                  col("diff") * col("diff") * tau /
+                    (lit(2.0) * col("__v") * (col("__v") + tau))))
+            .withColumn("can_stop",
+              col("log_e_value") >= math.log(1.0 / alpha))
+            .select("batch_id", "n_a", "n_b", "conv_a", "conv_b",
+              "p_a", "p_b", "diff", "log_e_value", "can_stop")
+            .write.mode("append").parquet(s"$outDir/monitor")
+        }
+      }
+      .start()
+  }
 
   /** Incremental ingest with SNAPSHOT ISOLATION: like [[upsertToLake]] but
     * each micro-batch MERGEs into a [[graft.sources.VersionedLake]] table —

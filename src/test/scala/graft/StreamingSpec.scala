@@ -495,6 +495,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Set(901L))
   }
 
+  test("abMonitorSink: cumulative e-process across micro-batches; " +
+    "replay never double-counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-abmon").toString
+    val src = s"$tmp/drops"; new java.io.File(src).mkdirs()
+    def drop(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (id, uid, typ) =>
+        (id, new java.sql.Timestamp(1609500000000L + id * 1000), uid,
+          typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+    // batch 0: arm A (even uid) converts 2/2, arm B 0/2
+    drop("d0", Seq((1L, 2L, "purchase"), (2L, 4L, "purchase"),
+      (3L, 3L, "view"), (4L, 5L, "view")))
+    def run(chk: String) = {
+      val q = EventStreams.abMonitorSink(
+        spark.readStream.schema(spark.read.parquet(s"$src/d0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$src/*"),
+        col("user_id") % 2 === 0, col("event_type") === "purchase",
+        s"$tmp/out", chk, tau = 0.25, alpha = 0.5)
+      q.processAllAvailable(); q
+    }
+    val q1 = run(s"$tmp/chk1")
+    // batch 1: one more A conversion → cumulative 3/3 vs 0/2
+    drop("d1", Seq((5L, 6L, "purchase")))
+    q1.processAllAvailable(); q1.stop()
+    val mon = spark.read.parquet(s"$tmp/out/monitor")
+      .orderBy("batch_id").collect()
+    assert(mon.length === 2)
+    val b0 = mon(0)
+    // pooled p .5, V .25, τ .25: ln Λ = .5·ln(.5) + 1 (the q298 fixture)
+    assert(math.abs(b0.getAs[Double]("log_e_value") -
+      (0.5 * math.log(0.5) + 1.0)) < 1e-12)
+    assert(!b0.getAs[Boolean]("can_stop")) // .653 < ln 2
+    val b1 = mon(1)
+    assert(b1.getAs[Long]("n_a") === 3L && b1.getAs[Long]("n_b") === 2L)
+    assert(b1.getAs[Long]("conv_a") === 3L)
+    assert(b1.getAs[Boolean]("can_stop")) // .983 ≥ ln 2 — stop reached
+    // REPLAY through a fresh checkpoint: state rows duplicate by
+    // batch_id with identical content; the cumulative cells must not
+    // double-count
+    val q2 = run(s"$tmp/chk2"); q2.stop()
+    val last = spark.read.parquet(s"$tmp/out/monitor")
+      .orderBy(org.apache.spark.sql.functions.col("batch_id").desc)
+      .head()
+    assert(last.getAs[Long]("n_a") === 3L && last.getAs[Long]("n_b") === 2L)
+    assert(last.getAs[Long]("conv_a") === 3L)
+  }
+
   test("driftMonitorSink: per-batch drift report equals the batch operator") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
