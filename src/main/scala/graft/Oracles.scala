@@ -2440,6 +2440,74 @@ object Oracles {
         "round(CASE WHEN mean <> 0.0 THEN mde_abs / mean END, 6) " +
         "AS mde_rel FROM c ORDER BY horizon"),
 
+    // IPW: clipped-weight conditional moments + Hájek normalization,
+    // same op order (1.0 - 0.01 computed in-engine on both sides).
+    "q319_ipw" ->
+      ("WITH pu AS (SELECT CAST(count(*) AS DOUBLE) AS y, " +
+        "CAST(user_id * 48271 % 999983 AS DOUBLE) / 999983.0 AS score, " +
+        "(user_id * 16807 % 97) < 30 AS tr FROM events " +
+        "GROUP BY user_id), " +
+        "w AS (SELECT y, tr, least(1.0 - 0.01, greatest(0.01, score)) " +
+        "AS e FROM pu), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_c, " +
+        "sum(CASE WHEN tr THEN 1.0 / e ELSE 0.0 END) AS swt, " +
+        "sum(CASE WHEN NOT tr THEN 1.0 / (1.0 - e) ELSE 0.0 END) " +
+        "AS swc, " +
+        "sum(CASE WHEN tr THEN (1.0 / e) * (1.0 / e) ELSE 0.0 END) " +
+        "AS swt2, " +
+        "sum(CASE WHEN NOT tr THEN (1.0 / (1.0 - e)) * " +
+        "(1.0 / (1.0 - e)) ELSE 0.0 END) AS swc2, " +
+        "sum(CASE WHEN tr THEN (1.0 / e) * y ELSE 0.0 END) AS swyt, " +
+        "sum(CASE WHEN NOT tr THEN (1.0 / (1.0 - e)) * y ELSE 0.0 END) " +
+        "AS swyc, " +
+        "sum(CASE WHEN tr THEN y ELSE 0.0 END) AS syt, " +
+        "sum(CASE WHEN NOT tr THEN y ELSE 0.0 END) AS syc FROM w) " +
+        "SELECT n_t, n_c, " +
+        "round(swt * swt / swt2, 4) AS ess_t, " +
+        "round(swc * swc / swc2, 4) AS ess_c, " +
+        "round(swyt / swt, 6) AS mean_t_ipw, " +
+        "round(swyc / swc, 6) AS mean_c_ipw, " +
+        "round(swyt / swt - swyc / swc, 6) AS ate_ipw, " +
+        "round(syt / n_t - syc / n_c, 6) AS ate_naive FROM m"),
+
+    // Pseudo-relevance expansion: the bm25TopSql machinery as the
+    // feedback pass, then the relevance-model term weighting.
+    "q320_prf" ->
+      ("WITH base AS (SELECT doc_id, CAST(len(list_filter(" +
+        "string_split(text, ' '), x -> len(x) > 0)) AS DOUBLE) AS dl " +
+        "FROM documents), " +
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl " +
+        "FROM base), " +
+        "terms AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
+        "AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms " +
+        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "c AS (SELECT tf.doc_id, round(" +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * b.dl / avgdl)), 6) AS c " +
+        "FROM tf JOIN df USING (term) JOIN base b " +
+        "ON tf.doc_id = b.doc_id CROSS JOIN stats), " +
+        "hits AS (SELECT doc_id, round(sum(c), 4) AS score FROM c " +
+        "GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 5), " +
+        "fb AS (SELECT d.doc_id, hits.score, base.dl, d.text " +
+        "FROM documents d JOIN hits USING (doc_id) " +
+        "JOIN base ON d.doc_id = base.doc_id), " +
+        "ft AS (SELECT doc_id, dl, score, " +
+        "unnest(string_split(text, ' ')) AS term FROM fb), " +
+        "ft2 AS (SELECT doc_id, dl, score, term, count(*) AS tf " +
+        "FROM ft WHERE len(term) > 0 AND term NOT IN " +
+        "('spark', 'join', 'window') GROUP BY 1, 2, 3, 4), " +
+        "wt AS (SELECT term, sum(tf / dl * score) AS w, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_fb_docs " +
+        "FROM ft2 GROUP BY 1), " +
+        "tot AS (SELECT sum(w) AS t FROM wt) " +
+        "SELECT term, n_fb_docs, round(wt.w / tot.t, 6) AS weight " +
+        "FROM wt, tot ORDER BY wt.w / tot.t DESC, term LIMIT 10"),
+
     // Scaling-law fit: planted loss curve, generated per-candidate OLS.
     "q317_scaling_law" ->
       scalingLawSql(Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)),

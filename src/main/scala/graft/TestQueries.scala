@@ -4978,6 +4978,43 @@ object TestQueries {
         round(col("p_collision"), 6).as("p_collision"))
       .orderBy("bands", "sim")
 
+  /** IPW treatment effect ([[operators.Stats.ipwEstimate]]): q289's
+    * score/treatment construction with integer-count outcomes — the
+    * weighting-not-matching estimator plus its ESS diagnostics; every
+    * weight is a deterministic rational, so sums replay to 4–6 dp.
+    */
+  def q319Ipw(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("y"))
+      .select(col("y"),
+        (pmod(col("user_id") * 48271, lit(999983)).cast("double") /
+          999983.0).as("score"),
+        (pmod(col("user_id") * 16807, lit(97)) < 30).as("is_treated"))
+    operators.Stats.ipwEstimate(perUser, col("is_treated"), "y", "score")
+      .select(col("n_t"), col("n_c"),
+        round(col("ess_t"), 4).as("ess_t"),
+        round(col("ess_c"), 4).as("ess_c"),
+        round(col("mean_t_ipw"), 6).as("mean_t_ipw"),
+        round(col("mean_c_ipw"), 6).as("mean_c_ipw"),
+        round(col("ate_ipw"), 6).as("ate_ipw"),
+        round(col("ate_naive"), 6).as("ate_naive"))
+  }
+
+  /** Pseudo-relevance expansion
+    * ([[operators.Retrieval.pseudoRelevanceExpansion]]): q139's query
+    * over documents, top-5 feedback docs → top-10 expansion terms.
+    * DuckDB replays the bm25 pass (q139's oracle machinery) and the
+    * relevance-model term weighting.
+    */
+  def q320Prf(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.pseudoRelevanceExpansion(
+        t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"),
+        fbDocs = 5, fbTerms = 10)
+      .select(col("term"), col("n_fb_docs"),
+        round(col("weight"), 6).as("weight"))
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5442,6 +5479,8 @@ object TestQueries {
     "q316_reciprocity" -> (q316Reciprocity _),
     "q317_scaling_law" -> (q317ScalingLaw _),
     "q318_lsh_plan" -> (q318LshPlan _),
+    "q319_ipw" -> (q319Ipw _),
+    "q320_prf" -> (q320Prf _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

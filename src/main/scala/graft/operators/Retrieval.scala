@@ -62,6 +62,56 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Pseudo-relevance feedback (the RM3 relevance-model idea, Lavrenko &
+    * Croft 2001): run [[bm25]], treat the top `fbDocs` hits as
+    * pseudo-relevant, and score every term in them by
+    * w(t) = Σ_d (tf_td / dl_d) · score_d — each feedback doc votes its
+    * length-normalized term distribution weighted by its retrieval
+    * score — then return the top `fbTerms` NON-query terms, weights
+    * normalized to sum 1. These are the expansion terms a second-pass
+    * query adds; surfacing them as data (rather than re-querying
+    * internally) keeps the operator composable with any downstream
+    * retrieval. Deterministic end to end: the feedback cut is bm25's
+    * (score desc, doc_id) total order, the term cut ties on
+    * (weight desc, term).
+    *
+    * Shape: the bm25 pass (compact (doc, term, tf) aggregates, one-row
+    * corpus stats broadcast), ONE semi-join of the corpus against the
+    * fbDocs-sized hit list (broadcast — it is ≤ fbDocs rows), one
+    * explode→aggregate over ONLY the feedback docs' text, and a
+    * TakeOrdered fbTerms cut. Raw corpus text never shuffles.
+    */
+  def pseudoRelevanceExpansion(docs: DataFrame, idCol: String,
+                               textCol: String, queryTerms: Seq[String],
+                               fbDocs: Int = 10, fbTerms: Int = 10,
+                               k1: Double = 1.2, b: Double = 0.75):
+      DataFrame = {
+    require(fbDocs > 0, s"fbDocs must be positive: $fbDocs")
+    require(fbTerms > 0, s"fbTerms must be positive: $fbTerms")
+    val hits = bm25(docs, idCol, textCol, queryTerms, k1, b, topK = fbDocs)
+      .select(col("doc_id"), col("score"))
+    val fb = docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
+      .join(broadcast(hits), "doc_id")
+      .withColumn("__toks",
+        filter(split(col("__txt"), " "), t => length(t) > 0))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+    val weighted = fb
+      .select(col("doc_id"), col("dl"), col("score"),
+        explode(col("__toks")).as("term"))
+      .where(!col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "score", "term")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(sum(col("tf") / col("dl") * col("score")).as("__w"),
+        countDistinct(col("doc_id")).as("n_fb_docs"))
+    val total = weighted.agg(sum("__w").as("__tot"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("term"), col("n_fb_docs"),
+        (col("__w") / col("__tot")).as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(fbTerms)
+  }
+
   /** Materialized inverted index: one row per (term, band) with an
     * id-sorted posting array of (id, tf) structs — the persist-once
     * search artifact. Banding (`floor(id / bandSize)`) caps every

@@ -1575,6 +1575,55 @@ object Stats {
       .orderBy("horizon")
   }
 
+  /** Inverse-propensity-weighted treatment effect (Hájek-normalized) —
+    * [[propensityMatch]]'s estimator sibling: where matching PAIRS
+    * comparable units and discards the unmatched, IPW keeps every unit
+    * and reweights by 1/e(x) (treated) and 1/(1−e(x)) (control), so the
+    * weighted arms both resemble the full population. Scores clip into
+    * [clip, 1−clip] first (textual-literal bounds) — the standard
+    * positivity guard, because a unit with e→0 otherwise dominates the
+    * whole estimate. Returns ONE row: (n_t, n_c, ess_t, ess_c,
+    * mean_t_ipw, mean_c_ipw, ate_ipw, ate_naive) — ESS = (Σw)²/Σw², the
+    * "how many units is this weighted sample really worth" diagnostic
+    * that tells you when the weights have collapsed onto a few units
+    * and the clip (or the score model) needs revisiting.
+    *
+    * ONE conditional-weighted-moment scan; scalar arithmetic after —
+    * the welchT/cuped shape.
+    */
+  def ipwEstimate(df: DataFrame, treated: Column, yCol: String,
+                  scoreCol: String, clip: Double = 0.01): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5): $clip")
+    val y = col(yCol).cast("double")
+    // the upper bound is 1.0 − clip computed IN the engine (not a Scala
+    // pre-fold): the SQL oracle writes the same subtraction, so both
+    // engines clip with the identical double
+    val e = least(lit(1.0) - lit(clip), greatest(lit(clip),
+      col(scoreCol).cast("double")))
+    val wT = lit(1.0) / e
+    val wC = lit(1.0) / (lit(1.0) - e)
+    df.agg(
+        sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
+        sum(when(treated, wT).otherwise(0.0)).as("__swt"),
+        sum(when(!treated, wC).otherwise(0.0)).as("__swc"),
+        sum(when(treated, wT * wT).otherwise(0.0)).as("__swt2"),
+        sum(when(!treated, wC * wC).otherwise(0.0)).as("__swc2"),
+        sum(when(treated, wT * y).otherwise(0.0)).as("__swyt"),
+        sum(when(!treated, wC * y).otherwise(0.0)).as("__swyc"),
+        sum(when(treated, y).otherwise(0.0)).as("__syt"),
+        sum(when(!treated, y).otherwise(0.0)).as("__syc"))
+      .withColumn("ess_t", col("__swt") * col("__swt") / col("__swt2"))
+      .withColumn("ess_c", col("__swc") * col("__swc") / col("__swc2"))
+      .withColumn("mean_t_ipw", col("__swyt") / col("__swt"))
+      .withColumn("mean_c_ipw", col("__swyc") / col("__swc"))
+      .withColumn("ate_ipw", col("mean_t_ipw") - col("mean_c_ipw"))
+      .withColumn("ate_naive",
+        col("__syt") / col("n_t") - col("__syc") / col("n_c"))
+      .select("n_t", "n_c", "ess_t", "ess_c", "mean_t_ipw", "mean_c_ipw",
+        "ate_ipw", "ate_naive")
+  }
+
   /** Differentially-private noisy group counts: each group's count plus
     * Laplace(sensitivity/ε) noise — the release mechanism that pairs
     * with [[kAnonymity]]'s audit (publish noisy marginals instead of

@@ -882,6 +882,23 @@ object ScaleCheck {
           restart = Some(d.where(col("doc_id") % 16 === 0)
             .select(col("doc_id").as("node")))).count()
       },
+      "ipw" -> { dir =>
+        // one conditional-weighted-moment scan over per-user rows
+        val pu = graft.sources.Tables.loadEvents(spark, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("y"))
+          .select(col("y"),
+            (pmod(col("user_id") * 48271, lit(999983)).cast("double") /
+              999983.0).as("score"),
+            (pmod(col("user_id") * 16807, lit(97)) < 30).as("tr"))
+        graft.operators.Stats.ipwEstimate(pu, col("tr"), "y", "score")
+          .count()
+      },
+      "prf" -> { dir =>
+        // bm25 pass + a feedback-doc-bounded explode/aggregate
+        graft.operators.Retrieval.pseudoRelevanceExpansion(docs(dir),
+          "doc_id", "text", Seq("spark", "join", "window"),
+          fbDocs = 5, fbTerms = 10).count()
+      },
       "scaling_law" -> { dir =>
         // point count scales with rows (one per 8-doc bucket); the
         // |grid|-conditional moment scan is the cost

@@ -188,4 +188,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(got("q1") - 1.0) < 1e-9)
     assert(got("q2") === 0.0) // disjoint, but the group still reports
   }
+
+  test("pseudoRelevanceExpansion: feedback docs vote their terms; " +
+    "query terms excluded; normalized weights") {
+    val docs = Seq(
+      (1L, "spark is fast"), (2L, "spark joins tables"),
+      (3L, "cats purr"), (4L, "dogs bark"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.pseudoRelevanceExpansion(docs, "doc_id", "text",
+        queryTerms = Seq("spark"), fbDocs = 2, fbTerms = 10)
+      .collect()
+    // feedback = d1, d2 (equal scores); their 4 non-query terms each
+    // carry (1/3)·score → normalized weights are exactly 1/4
+    assert(got.length === 4)
+    assert(got.map(_.getString(0)).toSet ===
+      Set("is", "fast", "joins", "tables"))
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") - 0.25) < 1e-9)
+      assert(r.getAs[Long]("n_fb_docs") === 1L)
+    }
+    // weight ties order by term — deterministic cut
+    assert(got.map(_.getString(0)).toSeq ===
+      Seq("fast", "is", "joins", "tables"))
+    // fbDocs = 1: only the tie-broken first hit (lower doc_id) votes
+    val one = Retrieval.pseudoRelevanceExpansion(docs, "doc_id", "text",
+        queryTerms = Seq("spark"), fbDocs = 1, fbTerms = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(one === Set("is", "fast"))
+  }
 }

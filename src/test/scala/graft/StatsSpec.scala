@@ -1103,6 +1103,33 @@ class StatsSpec extends AnyFunSuite {
     assert(got(0).getAs[Double]("mde_abs") > h4.getAs[Double]("mde_abs"))
   }
 
+  test("ipwEstimate: hand-computed Hájek means, ATE, and ESS") {
+    // T: (y=2,e=.5)w=2, (y=4,e=.8)w=1.25; C: (y=1,e=.5)w=2, (y=3,e=.2)w=1.25
+    // mean_t = 9/3.25, mean_c = 5.75/3.25 → ate exactly 1;
+    // ess = 3.25²/5.5625 both arms
+    val rows = Seq((true, 2.0, 0.5), (true, 4.0, 0.8),
+      (false, 1.0, 0.5), (false, 3.0, 0.2)).toDF("tr", "y", "e")
+    val r = Stats.ipwEstimate(rows, col("tr"), "y", "e").head()
+    assert(r.getAs[Long]("n_t") === 2L && r.getAs[Long]("n_c") === 2L)
+    assert(d(r.getAs[Double]("mean_t_ipw"), 9.0 / 3.25))
+    assert(d(r.getAs[Double]("mean_c_ipw"), 5.75 / 3.25))
+    assert(d(r.getAs[Double]("ate_ipw"), 1.0))
+    assert(d(r.getAs[Double]("ate_naive"), 1.0))
+    assert(d(r.getAs[Double]("ess_t"), 3.25 * 3.25 / 5.5625))
+    assert(d(r.getAs[Double]("ess_c"), 3.25 * 3.25 / 5.5625))
+  }
+
+  test("ipwEstimate: scores clip before weighting (positivity guard)") {
+    // e = .001 clips to .01 → weight 100, not 1000: observable in the
+    // Hájek mean — (100·0 + 2·1)/102, not (1000·0 + 2·1)/1002
+    val rows = Seq((true, 0.0, 0.001), (true, 1.0, 0.5),
+      (false, 1.0, 0.5)).toDF("tr", "y", "e")
+    val r = Stats.ipwEstimate(rows, col("tr"), "y", "e", clip = 0.01)
+      .head()
+    assert(d(r.getAs[Double]("mean_t_ipw"), 2.0 / 102.0))
+    assert(d(r.getAs[Double]("ess_t"), 102.0 * 102.0 / 10004.0))
+  }
+
   test("mcnemarStratified: opposite-direction strata — pooled CMH 0, " +
     "homogeneity flags the reversal") {
     // s1: b=3 c=1 (A wins); s2: b=1 c=3 (B wins) → per-stratum χ²=1 each,
