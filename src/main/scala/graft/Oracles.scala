@@ -392,6 +392,50 @@ object Oracles {
       s" SELECT node, round(pr, 9) AS pr FROM r$iters ORDER BY node"
   }
 
+  /** q321's MMR greedy, unrolled: per round an anti-join of the pool
+    * against the selections, a max-cosine aggregate (q39's list-lambda
+    * recipe), and a per-query (mmr desc, id) argmax — selected frames
+    * MATERIALIZED (each round reads the previous selections twice:
+    * anti-join and similarity sides).
+    */
+  private def mmrSql(k: Int, lambda: Double): String = {
+    def cos(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    val head =
+      "WITH cand AS MATERIALIZED (SELECT vec_id % 4 AS q, " +
+      "vec_id AS id, CAST(vec_id * 31 % 97 AS DOUBLE) / 97.0 AS s, " +
+      "embedding AS v FROM embeddings WHERE vec_id < 80), " +
+      s"sel1 AS MATERIALIZED (SELECT q, id, v, 1 AS rank, " +
+      s"$lambda * s - (1.0 - $lambda) * 0.0 AS mmr FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY q " +
+      s"ORDER BY ($lambda * s - (1.0 - $lambda) * 0.0) DESC, id) AS rn " +
+      "FROM cand) WHERE rn = 1)"
+    val rounds = (2 to k).map { r =>
+      s"u$r AS (SELECT c.* FROM cand c LEFT JOIN sel${r - 1} p " +
+        "ON c.q = p.q AND c.id = p.id WHERE p.id IS NULL), " +
+        s"m$r AS (SELECT u.q, u.id, u.s, " +
+        s"max(${cos("u.v", "p.v")}) AS ms " +
+        s"FROM u$r u JOIN sel${r - 1} p ON u.q = p.q " +
+        "GROUP BY 1, 2, 3), " +
+        s"pc$r AS (SELECT m$r.q, m$r.id, c.v, " +
+        s"$lambda * m$r.s - (1.0 - $lambda) * m$r.ms AS mmr " +
+        s"FROM m$r JOIN cand c ON m$r.q = c.q AND m$r.id = c.id), " +
+        s"p$r AS (SELECT q, id, v, $r AS rank, mmr FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY q " +
+        s"ORDER BY mmr DESC, id) AS rn FROM pc$r) WHERE rn = 1), " +
+        s"sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} " +
+        s"UNION ALL SELECT * FROM p$r)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT q, id, rank, round(mmr, 6) AS mmr FROM sel$k " +
+      "ORDER BY q, rank"
+  }
+
   /** q317's scaling-law fit: per-candidate conditional log-moment sums
     * (the temperatureScaling pattern) + closed-form OLS per c, argmin by
     * least() with an ascending-c CASE scan (the operator's struct-min
@@ -2439,6 +2483,9 @@ object Oracles {
         "round(sqrt(vr), 6) AS sd, round(mde_abs, 6) AS mde_abs, " +
         "round(CASE WHEN mean <> 0.0 THEN mde_abs / mean END, 6) " +
         "AS mde_rel FROM c ORDER BY horizon"),
+
+    // MMR diversification: 3 unrolled greedy rounds, q39's cosine.
+    "q321_mmr" -> mmrSql(3, 0.7),
 
     // IPW: clipped-weight conditional moments + Hájek normalization,
     // same op order (1.0 - 0.01 computed in-engine on both sides).

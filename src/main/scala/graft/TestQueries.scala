@@ -5015,6 +5015,26 @@ object TestQueries {
       .select(col("term"), col("n_fb_docs"),
         round(col("weight"), 6).as("weight"))
 
+  /** MMR diversification ([[operators.Similarity.mmrRerank]]): 4 query
+    * pools of 20 real embeddings each, deterministic relevance scores,
+    * k=3 at λ=0.7 — the retrieval→context-window rerank. DuckDB
+    * replays the 3 unrolled greedy rounds with the q39 cosine recipe.
+    */
+  def q321Mmr(s: SparkSession, dir: String): DataFrame = {
+    val cands = Tables.loadEmbeddings(s, dir)
+      .where(col("vec_id") < 80)
+      .select(pmod(col("vec_id"), lit(4)).as("q"),
+        col("vec_id").as("id"),
+        (pmod(col("vec_id") * 31, lit(97)).cast("double") / 97.0)
+          .as("score"),
+        col("embedding"))
+    operators.Similarity.mmrRerank(cands, "q", "id", "score",
+        "embedding", k = 3, lambda = 0.7)
+      .select(col("q"), col("id"), col("rank"),
+        round(col("mmr"), 6).as("mmr"))
+      .orderBy("q", "rank")
+  }
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5481,6 +5501,7 @@ object TestQueries {
     "q318_lsh_plan" -> (q318LshPlan _),
     "q319_ipw" -> (q319Ipw _),
     "q320_prf" -> (q320Prf _),
+    "q321_mmr" -> (q321Mmr _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

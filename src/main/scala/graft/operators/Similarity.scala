@@ -954,4 +954,66 @@ object Similarity {
       .where(col("__rb") === 1 && col("margin") >= threshold)
       .select("src_id", "tgt_id", "cos", "margin")
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversification pass between retrieval and a RAG context
+    * window: greedily pick k items maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected, so near-dup
+    * hits stop crowding out coverage. Input is a CANDIDATE POOL per
+    * query (an ANN/BM25 top-N — bounded by the caller, the rerank
+    * contract); every query reranks in PARALLEL, with the greedy rounds
+    * running in lockstep: round i joins each query's unselected
+    * candidates against its i−1 selections (broadcast — the selected
+    * frame is ≤ queries·k rows), takes the max similarity, and a
+    * per-query row_number picks the argmax with (mmr desc, id) ties —
+    * fully deterministic. Round 1 is pure relevance (max-sim term 0).
+    * Returns (queryCol, idCol, rank, mmr), rank 1..k per query.
+    *
+    * k bounded driver rounds, each ONE join + one pool-bounded window;
+    * selected frames pin per round and release when superseded (the
+    * pageRank discipline), so plan depth stays constant.
+    */
+  def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
+                scoreCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    val cands = candidates.select(col(queryCol).as("__q"),
+        col(idCol).as("__id"), col(scoreCol).cast("double").as("__s"),
+        col(vecCol).as("__v"))
+      .localCheckpoint() // joined every greedy round
+    val wPick = Window.partitionBy("__q")
+      .orderBy(col("__mmr").desc, col("__id"))
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      .select(col("__q"), col("__id"), col("__v"),
+        lit(rank).as("rank"), col("__mmr").as("mmr"))
+    var selected = pick(cands.withColumn("__mmr",
+      lit(lambda) * col("__s") - (lit(1.0) - lambda) * lit(0.0)), 1)
+      .localCheckpoint(eager = true)
+    var i = 2
+    while (i <= k) {
+      val unsel = cands.join(
+        selected.select(col("__q"), col("__id")), Seq("__q", "__id"),
+        "left_anti")
+      val scored = unsel
+        .join(broadcast(selected.select(col("__q"),
+          col("__v").as("__sv"))), Seq("__q"))
+        .groupBy(col("__q"), col("__id"), col("__s"))
+        .agg(max(Vectors.cosine(col("__v"), col("__sv"))).as("__ms"))
+        .join(cands.select(col("__q"), col("__id"), col("__v")),
+          Seq("__q", "__id"))
+        .withColumn("__mmr",
+          lit(lambda) * col("__s") - (lit(1.0) - lambda) * col("__ms"))
+      val next = selected
+        .unionByName(pick(scored, i))
+        .localCheckpoint(eager = true)
+      Pinning.unpin(selected) // superseded round
+      selected = next
+      i += 1
+    }
+    selected.select(col("__q").as(queryCol), col("__id").as(idCol),
+      col("rank"), col("mmr"))
+  }
 }

@@ -882,6 +882,18 @@ object ScaleCheck {
           restart = Some(d.where(col("doc_id") % 16 === 0)
             .select(col("doc_id").as("node")))).count()
       },
+      "mmr" -> { dir =>
+        // query count scales with vectors (pools of 20); k lockstep
+        // rounds of one join + pool-bounded windows
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cands = emb.select(
+          floor(col("vec_id") / 20).as("q"), col("vec_id").as("id"),
+          (pmod(col("vec_id") * 31, lit(97)).cast("double") / 97.0)
+            .as("score"),
+          col("embedding"))
+        graft.operators.Similarity.mmrRerank(cands, "q", "id", "score",
+          "embedding", k = 3).count()
+      },
       "ipw" -> { dir =>
         // one conditional-weighted-moment scan over per-user rows
         val pu = graft.sources.Tables.loadEvents(spark, dir)

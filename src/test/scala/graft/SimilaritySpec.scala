@@ -445,4 +445,28 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
     assert(got.toSeq === Seq((1L, 2L, 1, 2), (3L, 4L, 1, 1)))
   }
+
+  test("mmrRerank: diversification beats a redundant higher-relevance " +
+    "hit; lambda=1 reduces to pure relevance") {
+    import spark.implicits._
+    // A is the top hit; B is its near-duplicate; C is orthogonal.
+    // λ=.5: round 2 scores B at .5·.95 − .5·cos(B,A) ≈ −.025 and C at
+    // .5·.5 − 0 = .25 → C wins despite lower relevance
+    val cands = Seq(
+      (0L, 1L, 1.0, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.95, Array(1.0f, 0.01f)),
+      (0L, 3L, 0.5, Array(0.0f, 1.0f)),
+      (1L, 4L, 0.9, Array(1.0f, 1.0f)) // second query reranks in lockstep
+    ).toDF("q", "id", "score", "vec")
+    val div = operators.Similarity.mmrRerank(cands, "q", "id", "score",
+        "vec", k = 2, lambda = 0.5)
+      .orderBy("q", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(div.toSeq === Seq((0L, 1L, 1), (0L, 3L, 2), (1L, 4L, 1)))
+    val rel = operators.Similarity.mmrRerank(cands, "q", "id", "score",
+        "vec", k = 2, lambda = 1.0)
+      .orderBy("q", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rel.toSeq === Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 4L, 1)))
+  }
 }
