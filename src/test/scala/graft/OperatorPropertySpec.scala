@@ -25,15 +25,16 @@ class OperatorPropertySpec extends AnyFunSuite {
       (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))      // (id, key, ts)
     val right = (1L to 80L).map(i =>
       (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0)) // (key, ts, px)
-      // duplicate (key, ts) right rows are deduped from the INPUT: the
-      // operator's window orders only by (ts, side), so among tied rows it
-      // keeps an arbitrary one \u2014 dedup keeps the property deterministic
-      // without asserting an ordering guarantee the operator doesn't make
-      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    // duplicate (key, ts) right rows stay IN the input: since the
+    // struct-min pre-collapse, the operator guarantees the MINIMUM
+    // payload among exact ties — the reference asserts it
     val expected = left.flatMap { case (id, k, ts) =>
       val eligible = right.filter(r => r._1 == k && r._2 <= ts)
       if (eligible.isEmpty) None
-      else Some(id -> eligible.maxBy(_._2)._3)
+      else {
+        val tsMax = eligible.map(_._2).max
+        Some(id -> eligible.filter(_._2 == tsMax).map(_._3).min)
+      }
     }.toMap
     val got = Joins.asOfJoin(
         left.toDF("id", "k", "ts"), right.toDF("k", "rts", "px"),
@@ -49,12 +50,16 @@ class OperatorPropertySpec extends AnyFunSuite {
       (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
     val right = (1L to 80L).map(i =>
       (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0))
-      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
     def expected(tol: Option[Long]) = left.flatMap { case (id, k, ts) =>
       val eligible = right.filter(r => r._1 == k && r._2 >= ts &&
         tol.forall(t => r._2 - ts <= t))
-      // min by rts; the window picks the earliest eligible right row
-      if (eligible.isEmpty) None else Some(id -> eligible.minBy(_._2)._3)
+      // earliest eligible rts; exact-tie duplicates resolve to the
+      // struct-MINIMUM payload (the pre-collapse guarantee)
+      if (eligible.isEmpty) None
+      else {
+        val tsMin = eligible.map(_._2).min
+        Some(id -> eligible.filter(_._2 == tsMin).map(_._3).min)
+      }
     }.toMap
     for (tol <- Seq(None, Some(50L), Some(0L))) {
       val got = Joins.asOfJoinForward(
@@ -72,15 +77,17 @@ class OperatorPropertySpec extends AnyFunSuite {
       (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
     val right = (1L to 80L).map(i =>
       (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10.0))
-      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
     for (tol <- Seq(0L, 50L, 500L)) {
       val expected = left.flatMap { case (id, k, ts) =>
         val eligible = right.filter(r => r._1 == k && r._2 <= ts)
         if (eligible.isEmpty) None
         else {
-          val m = eligible.maxBy(_._2)
-          // the as-of pick itself is unbounded; the bound then gates it
-          if (ts - m._2 <= tol) Some(id -> m._3) else None
+          val tsMax = eligible.map(_._2).max
+          // the as-of pick itself is unbounded; the bound then gates it;
+          // exact-tie duplicates resolve to the struct-minimum payload
+          if (ts - tsMax <= tol)
+            Some(id -> eligible.filter(_._2 == tsMax).map(_._3).min)
+          else None
         }
       }.toMap
       val got = Joins.asOfJoin(
