@@ -81,8 +81,13 @@ object Bench {
     // name -> (wallSec, effectiveCores, gcDeltaSec, runsUsed)
     case class Run(wall: Double, cores: Double, gc: Double)
     val contention = scala.collection.mutable.LinkedHashMap[String, (Run, Double, Int)]()
-    def timeOnce(name: String,
-                 fn: (SparkSession, String) => DataFrame): Run = {
+    // `record=false` for every run AFTER a valid first time (second/third
+    // sweep runs, adjudication re-times): a transient failure there must
+    // not land in `errors` alongside a positive time — the artifact's
+    // invariant is "a broken query reads -1, never a fast time", and its
+    // dual: a timed query never carries an error entry.
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame,
+                 record: Boolean = true): Run = {
       val (c0, g0, t0) = (processCpuSec, gcSec, System.nanoTime())
       try {
         fn(spark, sfDir).count()
@@ -90,8 +95,9 @@ object Bench {
         val cores = if (c0 >= 0 && wall > 0) (processCpuSec - c0) / wall else -1.0
         Run(wall, cores, gcSec - g0)
       } catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\\\\\"\\n\\r]", " ").take(200)
+        if (record)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\\\\\"\\n\\r]", " ").take(200)
         Run(-1.0, -1.0, 0.0)
       }
     }
@@ -100,14 +106,14 @@ object Bench {
       val a = timeOnce(name, fn)
       if (a.wall < 0) results(name) = a.wall
       else {
-        val b = timeOnce(name, fn)
+        val b = timeOnce(name, fn, record = false)
         var best = if (b.wall >= 0 && b.wall < a.wall) b else a
         var runs = 2
         val prior = prevTimes.getOrElse(name, -1.0)
         // Third-run rule: both earlier runs may have landed under the same
         // sustained host contention; only a reproducible slowdown is real.
         if (prior > 0 && best.wall > 5 * prior && best.wall > 1.0) {
-          val c = timeOnce(name, fn)
+          val c = timeOnce(name, fn, record = false)
           if (c.wall >= 0 && c.wall < best.wall) best = c
           runs = 3
         }
@@ -133,7 +139,8 @@ object Bench {
     }.sortBy { case (_, p, v) => -(v / p) }.take(8)
       .foreach { case (k, p, v) =>
         val fn = SparkEntry.queries(k)
-        val re = (1 to 3).map(_ => timeOnce(k, fn).wall).filter(_ >= 0)
+        val re = (1 to 3).map(_ => timeOnce(k, fn, record = false).wall)
+          .filter(_ >= 0)
         val best = (re :+ v).min
         results(k) = best
         if (best - p >= 0.5) confirmed(k) = (p, best, re.size)

@@ -2341,6 +2341,8 @@ object Oracles {
         "sum(y * y) AS byy, sum(x * x) AS bxx, sum(x * y) AS bxy " +
         "FROM pu GROUP BY 1), " +
         "cum AS (SELECT bin, " +
+        "na AS bna, nb AS bnb, bya AS bbya, byb AS bbyb, " +
+        "bxa AS bbxa, bxb AS bbxb, bxx AS bbxx, bxy AS bbxy, " +
         "CAST(sum(na) OVER (ORDER BY bin) AS BIGINT) AS n_a, " +
         "CAST(sum(nb) OVER (ORDER BY bin) AS BIGINT) AS n_b, " +
         "sum(bya) OVER (ORDER BY bin) AS sya, " +
@@ -2353,15 +2355,28 @@ object Oracles {
         "a AS (SELECT *, CAST(n_a AS DOUBLE) AS dna, " +
         "CAST(n_b AS DOUBLE) AS dnb, " +
         "CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n, " +
-        "sxa + sxb AS sx, sya + syb AS sy FROM cum), " +
+        "sxa + sxb AS sx, sya + syb AS sy, " +
+        // lagged (exclusive-prefix) moments, cumulative minus the bin's
+        // own contribution in the operator's exact arithmetic order —
+        // bin t's theta must be fit on bins < t only (predictable plug-in)
+        "(CAST(n_a AS DOUBLE) - CAST(bna AS DOUBLE)) + " +
+        "(CAST(n_b AS DOUBLE) - CAST(bnb AS DOUBLE)) AS ln, " +
+        "(sxa + sxb) - bbxa - bbxb AS lsx, " +
+        "(sya + syb) - bbya - bbyb AS lsy, " +
+        "sxx - bbxx AS lsxx, sxy - bbxy AS lsxy FROM cum), " +
         "b AS (SELECT *, sxx / n - (sx / n) * (sx / n) AS varx, " +
-        "syy / n - (sy / n) * (sy / n) AS var_y FROM a), " +
-        "c AS (SELECT *, CASE WHEN varx > 0 THEN " +
-        "(sxy / n - (sx / n) * (sy / n)) / varx ELSE 0.0 END AS theta, " +
+        "syy / n - (sy / n) * (sy / n) AS var_y, " +
+        "sxy / n - (sx / n) * (sy / n) AS covxy, " +
+        "CASE WHEN ln > 0 THEN lsxx / ln - (lsx / ln) * (lsx / ln) " +
+        "ELSE 0.0 END AS varxl FROM a), " +
+        "c AS (SELECT *, CASE WHEN ln > 0 AND varxl > 0 THEN " +
+        "(lsxy / ln - (lsx / ln) * (lsy / ln)) / varxl ELSE 0.0 END " +
+        "AS theta, " +
         "sya / dna - syb / dnb AS diff_raw FROM b), " +
         "dd AS (SELECT *, " +
         "diff_raw - theta * (sxa / dna - sxb / dnb) AS diff_adj, " +
-        "var_y - theta * theta * varx AS var_adj FROM c), " +
+        "var_y - 2.0 * theta * covxy + theta * theta * varx " +
+        "AS var_adj FROM c), " +
         "ee AS (SELECT *, var_y * (1.0 / dna + 1.0 / dnb) AS vr, " +
         "var_adj * (1.0 / dna + 1.0 / dnb) AS va FROM dd), " +
         "ff AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND vr > 0 " +

@@ -801,10 +801,16 @@ object EventAnalytics {
     * var_adj = var(y) − θ_t²·var(x), and the same mixture e-process on
     * BOTH the raw and adjusted statistics — the point of the pairing
     * made visible: the adjusted e-value crosses ln(1/α) earlier by
-    * exactly the covariate's explanatory power. θ_t is recomputed from
-    * data UP TO each bin only (a running estimate, never a full-horizon
-    * leak), and x predates assignment, so the adjustment cannot inject
-    * treatment signal. Returns one row per bin: (bin, n_a, n_b, theta,
+    * exactly the covariate's explanatory power. θ_t is STRICTLY
+    * PREDICTABLE: bin t's adjustment uses θ_{t−1}, fit on the EXCLUSIVE
+    * prefix (bins < t; the first bin gets θ=0, i.e. no adjustment), so
+    * the adjusted statistic never sees its own bin's outcomes and the
+    * e-process's anytime validity holds exactly, not approximately.
+    * Because θ_{t−1} is generally not the current-prefix OLS optimum,
+    * var_adj uses the full quadratic var(y−θx) = var_y − 2θ·cov(x,y) +
+    * θ²·var_x (which collapses to var_y − θ²·var_x only at the OLS θ).
+    * x predates assignment, so the adjustment cannot inject treatment
+    * signal. Returns one row per bin: (bin, n_a, n_b, theta,
     * diff_raw, diff_adj, var_y, var_adj, log_e_raw, log_e_adj,
     * can_stop) — can_stop gates on the ADJUSTED e-value.
     *
@@ -821,25 +827,38 @@ object EventAnalytics {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     val y = col(yCol).cast("double")
     val x = col(xCol).cast("double")
+    // per-bin aliases must NOT differ from the cumulative output names
+    // by case alone ("__sxa" vs "__Sxa"): Spark's default
+    // case-insensitive resolution makes running's withColumn REPLACE
+    // the per-bin column, silently zeroing every lagged moment
     val per = df.groupBy(binCol.as("bin"))
       .agg(sum(when(armACol, 1L).otherwise(0L)).as("__na"),
         sum(when(!armACol, 1L).otherwise(0L)).as("__nb"),
-        sum(when(armACol, y).otherwise(0.0)).as("__sya"),
-        sum(when(!armACol, y).otherwise(0.0)).as("__syb"),
-        sum(when(armACol, x).otherwise(0.0)).as("__sxa"),
-        sum(when(!armACol, x).otherwise(0.0)).as("__sxb"),
-        sum(y * y).as("__syy"), sum(x * x).as("__sxx"),
-        sum(x * y).as("__sxy"))
+        sum(when(armACol, y).otherwise(0.0)).as("__bya"),
+        sum(when(!armACol, y).otherwise(0.0)).as("__byb"),
+        sum(when(armACol, x).otherwise(0.0)).as("__bxa"),
+        sum(when(!armACol, x).otherwise(0.0)).as("__bxb"),
+        sum(y * y).as("__byy"), sum(x * x).as("__bxx"),
+        sum(x * y).as("__bxy"))
     val run = Ranks.running(per, Seq(col("bin")),
       sums = Seq("__na" -> "n_a", "__nb" -> "n_b",
-        "__sya" -> "__Sya", "__syb" -> "__Syb",
-        "__sxa" -> "__Sxa", "__sxb" -> "__Sxb",
-        "__syy" -> "__Syy", "__sxx" -> "__Sxx", "__sxy" -> "__Sxy"))
+        "__bya" -> "__Sya", "__byb" -> "__Syb",
+        "__bxa" -> "__Sxa", "__bxb" -> "__Sxb",
+        "__byy" -> "__Syy", "__bxx" -> "__Sxx", "__bxy" -> "__Sxy"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val n = na + nb
     val sx = col("__Sxa") + col("__Sxb")
     val sy = col("__Sya") + col("__Syb")
+    // exclusive-prefix (lagged) moments: cumulative minus the current
+    // bin's own contribution — Ranks.running keeps the per-bin inputs,
+    // so θ_{t−1} costs no extra window, just per-row subtraction
+    val nL = (na - col("__na").cast("double")) +
+      (nb - col("__nb").cast("double"))
+    val sxL = sx - col("__bxa") - col("__bxb")
+    val syL = sy - col("__bya") - col("__byb")
+    val sxxL = col("__Sxx") - col("__bxx")
+    val sxyL = col("__Sxy") - col("__bxy")
     def logE(diff: Column, v: Column): Column =
       when(col("n_a") > 0 && col("n_b") > 0 && v > 0,
         lit(0.5) * log(v / (v + tau)) +
@@ -847,9 +866,12 @@ object EventAnalytics {
     run
       .withColumn("__varx", col("__Sxx") / n - (sx / n) * (sx / n))
       .withColumn("var_y", col("__Syy") / n - (sy / n) * (sy / n))
+      .withColumn("__cov", col("__Sxy") / n - (sx / n) * (sy / n))
+      .withColumn("__varxL",
+        when(nL > 0, sxxL / nL - (sxL / nL) * (sxL / nL)).otherwise(0.0))
       .withColumn("theta",
-        when(col("__varx") > 0,
-          (col("__Sxy") / n - (sx / n) * (sy / n)) / col("__varx"))
+        when(nL > 0 && col("__varxL") > 0,
+          (sxyL / nL - (sxL / nL) * (syL / nL)) / col("__varxL"))
           .otherwise(0.0))
       .withColumn("diff_raw",
         col("__Sya") / na - col("__Syb") / nb)
@@ -857,7 +879,8 @@ object EventAnalytics {
         col("diff_raw") - col("theta") *
           (col("__Sxa") / na - col("__Sxb") / nb))
       .withColumn("var_adj",
-        col("var_y") - col("theta") * col("theta") * col("__varx"))
+        col("var_y") - lit(2.0) * col("theta") * col("__cov") +
+          col("theta") * col("theta") * col("__varx"))
       .withColumn("__vr", col("var_y") * (lit(1.0) / na + lit(1.0) / nb))
       .withColumn("__va", col("var_adj") * (lit(1.0) / na + lit(1.0) / nb))
       .withColumn("log_e_raw", logE(col("diff_raw"), col("__vr")))

@@ -508,9 +508,12 @@ object Graphs {
     * exactly this number, so reporting it closes the loop. Edges are
     * symmetrized + self-pair-deduped (the labelPropagation convention);
     * nodes missing from `labels` form an implicit singleton each (they
-    * contribute no intra-edges but their degree mass still counts via a
-    * fallback label of the node id). Returns ONE row:
-    * (n_nodes, n_edges, n_communities, modularity).
+    * contribute no intra-edges but their degree mass still counts). The
+    * internal grouping key namespaces fallbacks ("n:" + node id) apart
+    * from caller labels ("l:" + label) — labelPropagation labels ARE
+    * node ids, so a raw node-id fallback could collide with a real
+    * community and silently merge the unlabeled node into it. Returns
+    * ONE row: (n_nodes, n_edges, n_communities, modularity).
     *
     * Two joins of the edge list against the label table (shuffles on the
     * node key) + community-sized aggregates; m and the Σ over
@@ -527,8 +530,14 @@ object Graphs {
       col(labels.columns(1)).as("__lbl"))
     val deg = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__d"))
+    // namespaced grouping key: caller labels and node-id fallbacks live
+    // in disjoint prefixes, so an unlabeled node can never be absorbed
+    // into a community whose label happens to equal its id
     val withL = deg.join(lbl, Seq("node"), "left")
-      .withColumn("__lbl", coalesce(col("__lbl"), col("node")))
+      .withColumn("__lbl",
+        when(col("__lbl").isNotNull,
+          concat(lit("l:"), col("__lbl").cast("string")))
+          .otherwise(concat(lit("n:"), col("node").cast("string"))))
     val dc = withL.groupBy("__lbl").agg(sum("__d").as("__dc"))
     // intra-community directed pair count = 2·e_c (both orientations
     // are in `und`), so e_c/m = __intra/(2m) with 2m = |und|

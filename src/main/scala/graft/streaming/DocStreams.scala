@@ -209,26 +209,8 @@ object DocStreams {
     * FORWARD. Returns the compacted row count.
     */
   def compactCorpusKeys(spark: SparkSession, corpusKeysPath: String,
-                        targetFiles: Int = 1): Long = {
-    require(targetFiles >= 1, s"targetFiles must be positive: $targetFiles")
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(corpusKeysPath)
-    val fs = p.getFileSystem(conf)
-    recoverKeySwap(fs, corpusKeysPath)
-    require(fs.exists(p), s"no corpus-key artifact at $corpusKeysPath")
-    val tmp = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_old")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
-    val compacted = spark.read.parquet(corpusKeysPath).distinct()
-      .coalesce(targetFiles)
-      .localCheckpoint() // count + write from one materialization
-    compacted.write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(p, old), s"compaction swap failed moving $p aside")
-    require(fs.rename(tmp, p), s"compaction swap failed moving $tmp in place")
-    fs.delete(old, true)
-    compacted.count()
-  }
+                        targetFiles: Int = 1): Long =
+    Maintenance.compactParquetDir(spark, corpusKeysPath, targetFiles)
 
   /** Roll an interrupted [[compactCorpusKeys]] swap FORWARD: the only
     * crash window that leaves the live directory missing is after the
@@ -240,14 +222,6 @@ object DocStreams {
     * which the next compaction clears. No-op when the live dir exists.
     */
   private def recoverKeySwap(fs: org.apache.hadoop.fs.FileSystem,
-                             corpusKeysPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(corpusKeysPath)
-    val tmp = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(corpusKeysPath + "__compact_old")
-    if (!fs.exists(p) && fs.exists(tmp)) {
-      require(fs.rename(tmp, p),
-        s"compaction recovery failed moving $tmp into place")
-      fs.delete(old, true)
-    }
-  }
+                             corpusKeysPath: String): Unit =
+    Maintenance.recoverSwap(fs, corpusKeysPath)
 }

@@ -214,20 +214,35 @@ object EventStreams {
     * counts, rates, diff, log_e_value, can_stop) appends to
     * `outDir/monitor`.
     *
-    * Replay safety: a replayed batch re-derives IDENTICAL cells from the
-    * same micro-batch data, and the state read collapses duplicates by
-    * batch_id (max == the value) — so cumulative counts never
-    * double-count; the monitor may carry a duplicate row per replayed
-    * batch id with identical content (dedup downstream by batch_id).
-    * State and monitor are batch-count-sized — nothing event-scale is
-    * ever re-read.
+    * Replay safety: a SAME-CHECKPOINT replay re-derives IDENTICAL cells
+    * from the same micro-batch data, and the state read collapses
+    * duplicates per batch_id as WHOLE ROWS (the struct minimum — one
+    * consistent (na,nb,ca,cb) tuple per batch id, cells never mixed
+    * across rows) — so cumulative counts never double-count. A restart
+    * with a DIFFERENT checkpoint may assign events to batch ids
+    * differently; the whole-row dedup still picks one coherent tuple
+    * per id (no cell mixing), but events straddling the old and new
+    * batch boundaries can be counted in two different ids' tuples —
+    * exact cumulative replay assumes same-checkpoint replay (point the
+    * restart at the same checkpoint dir, or a fresh outDir). The
+    * monitor may carry a duplicate row per replayed batch id with
+    * identical content (dedup downstream by batch_id). State and
+    * monitor are batch-count-sized — nothing event-scale is ever
+    * re-read — and every `compactEveryBatches` micro-batches (default
+    * 64; 0 disables) the state directory compacts to one file via
+    * [[Maintenance.compactParquetDir]]'s two-rename swap, so a
+    * months-long monitor never pays one file open per historical batch;
+    * an interrupted swap rolls FORWARD at the next batch.
     */
   def abMonitorSink(events: DataFrame, armACol: Column, convCol: Column,
                     outDir: String, checkpoint: String,
-                    tau: Double = 1e-4, alpha: Double = 0.05):
+                    tau: Double = 1e-4, alpha: Double = 0.05,
+                    compactEveryBatches: Int = 64):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(tau > 0, s"tau must be positive: $tau")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(compactEveryBatches >= 0,
+      s"compactEveryBatches must be ≥ 0 (0 disables): $compactEveryBatches")
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -235,6 +250,14 @@ object EventStreams {
                        id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val statePath = s"$outDir/state"
+          // roll forward an interrupted compaction swap BEFORE appending:
+          // an append that recreates a missing live dir would strand the
+          // completed temp and silently drop all prior state
+          Maintenance.recoverSwap(
+            new org.apache.hadoop.fs.Path(statePath)
+              .getFileSystem(spark.sessionState.newHadoopConf()),
+            statePath)
           val conv = when(convCol, 1L).otherwise(0L)
           batch.toDF().agg(
               sum(when(armACol, 1L).otherwise(0L)).as("na"),
@@ -242,11 +265,15 @@ object EventStreams {
               sum(when(armACol, conv).otherwise(0L)).as("ca"),
               sum(when(!armACol, conv).otherwise(0L)).as("cb"))
             .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(s"$outDir/state")
-          val st = spark.read.parquet(s"$outDir/state")
+            .write.mode("append").parquet(statePath)
+          // whole-row dedup per batch_id: one consistent tuple, never a
+          // per-cell max across rows from different batch groupings
+          val st = spark.read.parquet(statePath)
             .groupBy("batch_id")
-            .agg(max("na").as("na"), max("nb").as("nb"),
-              max("ca").as("ca"), max("cb").as("cb"))
+            .agg(min(struct(col("na"), col("nb"), col("ca"), col("cb")))
+              .as("__s"))
+            .select(col("__s.na").as("na"), col("__s.nb").as("nb"),
+              col("__s.ca").as("ca"), col("__s.cb").as("cb"))
           val cum = st.agg(sum("na").as("n_a"), sum("nb").as("n_b"),
             sum("ca").as("conv_a"), sum("cb").as("conv_b"))
           val na = col("n_a").cast("double")
@@ -272,6 +299,14 @@ object EventStreams {
             .select("batch_id", "n_a", "n_b", "conv_a", "conv_b",
               "p_a", "p_b", "diff", "log_e_value", "can_stop")
             .write.mode("append").parquet(s"$outDir/monitor")
+          // every-N-batches maintenance: each micro-batch appends one
+          // tiny state file; compacting INSIDE foreachBatch is safe
+          // (micro-batches are serial) and idempotent on replay
+          if (compactEveryBatches > 0 &&
+              id % compactEveryBatches == compactEveryBatches - 1) {
+            Maintenance.compactParquetDir(spark, statePath)
+            ()
+          }
         }
       }
       .start()

@@ -949,6 +949,18 @@ object ScaleCheck {
               ((col("doc_id") + 7) % col("n")).as("dst")))
         graft.operators.Graphs.degreeAssortativity(edges).count()
       },
+      "reciprocity" -> { dir =>
+        // one distinct + one semi-join on the flipped key over |E|
+        val d = docs(dir).select("doc_id")
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val base = d.crossJoin(broadcast(nDf))
+        val edges = base.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % col("n")).as("dst"))
+          .union(base.where(col("doc_id") % 2 === 0)
+            .select(((col("doc_id") + 1) % col("n")).as("src"),
+              col("doc_id").as("dst")))
+        graft.operators.Graphs.reciprocity(edges).count()
+      },
       "ratio_metric" -> { dir =>
         // one per-user aggregate + the one-row conditional-moment scan
         val pu = graft.sources.Tables.loadEvents(spark, dir)

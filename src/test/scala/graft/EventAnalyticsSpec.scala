@@ -441,13 +441,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!b1.isNullAt(b1.fieldIndex("log_e_value")))
   }
 
-  test("alwaysValidCuped: running theta, adjusted diff, variance " +
-    "reduction per bin") {
-    // bin 1 — A (y,x): (3,1),(5,3); B: (1,2),(3,4). Population moments:
-    // varx 1.25, vary 2, cov .5 → θ = .4; diff_raw 2,
-    // diff_adj = 2 − .4·(2−3) = 2.4, var_adj = 2 − .16·1.25 = 1.8.
-    // bin 2 adds A (7,5), B (1,0): cumulative cov 17/6, varx 17.5/6
-    // → θ = 17/17.5; diff_raw = 5 − 5/3
+  test("alwaysValidCuped: lagged (predictable) theta, adjusted diff, " +
+    "variance reduction per bin") {
+    // bin 1 — A (y,x): (3,1),(5,3); B: (1,2),(3,4). θ₁ is fit on the
+    // EMPTY exclusive prefix → 0: the first bin is unadjusted
+    // (diff_adj = diff_raw = 2, var_adj = var_y = 2).
+    // bin 2 adds A (7,5), B (1,0): θ₂ is the bin-1-only OLS —
+    // varx 1.25, cov .5 → θ = .4. Cumulative means: x̄_A 3, x̄_B 2,
+    // diff_raw = 5 − 5/3 = 10/3, diff_adj = 10/3 − .4·(3−2).
+    // Cumulative var_y 41/9, cov 17/6, varx 35/12 → full quadratic
+    // var_adj = 41/9 − 2·.4·17/6 + .16·35/12.
     val rows = Seq(
       (true, 3.0, 1.0, 1L), (true, 5.0, 3.0, 1L),
       (false, 1.0, 2.0, 1L), (false, 3.0, 4.0, 1L),
@@ -459,17 +462,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.length === 2)
     val b1 = got(0)
     assert(b1.getAs[Long]("n_a") === 2L && b1.getAs[Long]("n_b") === 2L)
-    assert(math.abs(b1.getAs[Double]("theta") - 0.4) < 1e-12)
+    assert(b1.getAs[Double]("theta") === 0.0)
     assert(math.abs(b1.getAs[Double]("diff_raw") - 2.0) < 1e-12)
-    assert(math.abs(b1.getAs[Double]("diff_adj") - 2.4) < 1e-12)
-    assert(math.abs(b1.getAs[Double]("var_adj") - 1.8) < 1e-12)
-    // bigger adjusted effect on smaller variance → the adjusted
-    // e-process leads — the whole point of the pairing
-    assert(b1.getAs[Double]("log_e_adj") > b1.getAs[Double]("log_e_raw"))
+    assert(math.abs(b1.getAs[Double]("diff_adj") - 2.0) < 1e-12)
+    assert(math.abs(b1.getAs[Double]("var_adj") -
+      b1.getAs[Double]("var_y")) < 1e-12)
     val b2 = got(1)
     assert(b2.getAs[Long]("n_a") === 3L && b2.getAs[Long]("n_b") === 3L)
-    assert(math.abs(b2.getAs[Double]("theta") - 17.0 / 17.5) < 1e-12)
+    assert(math.abs(b2.getAs[Double]("theta") - 0.4) < 1e-12)
     assert(math.abs(b2.getAs[Double]("diff_raw") - (5.0 - 5.0 / 3)) < 1e-12)
+    assert(math.abs(b2.getAs[Double]("diff_adj") -
+      (10.0 / 3 - 0.4)) < 1e-12)
+    assert(math.abs(b2.getAs[Double]("var_adj") -
+      (41.0 / 9 - 0.8 * 17.0 / 6 + 0.16 * 35.0 / 12)) < 1e-12)
+    // smaller adjusted variance → the adjusted e-process leads once a
+    // lagged θ exists — the whole point of the pairing
+    assert(b2.getAs[Double]("log_e_adj") > b2.getAs[Double]("log_e_raw"))
   }
 
   test("alwaysValidCuped: a constant covariate is a guarded no-op") {

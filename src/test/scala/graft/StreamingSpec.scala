@@ -544,6 +544,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Long]("conv_a") === 3L)
   }
 
+  test("abMonitorSink: state store self-compacts every N batches; " +
+    "monitor readout identical with compaction on and off") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-abmonc").toString
+    val src = s"$tmp/drops"; new java.io.File(src).mkdirs()
+    def drop(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (id, uid, typ) =>
+        (id, new java.sql.Timestamp(1609500000000L + id * 1000), uid,
+          typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+    // 5 single-file micro-batches (≥ 2N for N = 2): alternating outcomes
+    (0 until 5).foreach { i =>
+      drop(s"d$i", Seq(
+        (2L * i + 1, 2L * i + 2, if (i % 2 == 0) "purchase" else "view"),
+        (2L * i + 2, 2L * i + 3, "view")))
+    }
+    val schema = spark.read.parquet(s"$src/d0").schema
+    def run(out: String, chk: String, every: Int): Unit = {
+      val q = EventStreams.abMonitorSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$src/*"),
+        col("user_id") % 2 === 0, col("event_type") === "purchase",
+        out, chk, tau = 0.25, alpha = 0.5,
+        compactEveryBatches = every)
+      q.processAllAvailable(); q.stop()
+    }
+    run(s"$tmp/outA", s"$tmp/chkA", 2) // compacts after batches 1 and 3
+    run(s"$tmp/outB", s"$tmp/chkB", 0) // disabled — one file per batch
+    def stateFiles(out: String): Int =
+      new java.io.File(s"$out/state").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    // compacted: batch 3's swap left 1 file; batch 4 appended 1 more.
+    // Without the hook the store carries one file per historical batch.
+    assert(stateFiles(s"$tmp/outA") <= 2)
+    assert(stateFiles(s"$tmp/outB") === 5)
+    // readout identity: compaction must not change a single monitor cell
+    val a = spark.read.parquet(s"$tmp/outA/monitor")
+      .orderBy("batch_id").collect().map(_.toString)
+    val b = spark.read.parquet(s"$tmp/outB/monitor")
+      .orderBy("batch_id").collect().map(_.toString)
+    assert(a.length === 5)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("driftMonitorSink: per-batch drift report equals the batch operator") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
