@@ -783,8 +783,12 @@ object TestQueries {
   /** Reference-scale bikeshare E2E ([[pipeline.BikeshareGen.runAll]]):
     * the 5-stage pipeline + all 22 analytical queries over the generated
     * reference-shape corpus. Output is one row per query (cardinality +
-    * rounded control total); value semantics are pinned by the fixture
-    * goldens (BikesharePipelineSpec) and the conservation invariants by
+    * rounded control total) PLUS five `_inv_*` invariant-golden rows
+    * (conservation residuals that must read exactly 0.00, and the
+    * duration/payment totals + member share pinning BASELINE.md's golden
+    * anchors at this scale) — so the gate hash pins values, not just
+    * shape. Value semantics are pinned by the fixture goldens
+    * (BikesharePipelineSpec) and the conservation invariants by
     * BikeshareScaleSpec. Rows-only in the driver gate: the corpus is
     * generated, not a parquet table DuckDB can see.
     *

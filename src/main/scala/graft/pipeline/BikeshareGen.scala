@@ -233,7 +233,7 @@ object BikeshareGen {
       "q20_avg_member_age" -> BikesharePipeline.memberPaymentsByAge(w, "avg"),
       "q21_monthly_spend" -> BikesharePipeline.q21MonthlySpendPerMember(w),
       "q22_spend_per_minute" -> BikesharePipeline.q22SpendPerMinutePerMember(w))
-    qs.map { case (name, df) =>
+    val base = qs.map { case (name, df) =>
       // control total: sum of every numeric result column, rounded — a
       // cheap cross-run regression fingerprint on top of the cardinality
       val numerics = df.schema.fields.filter(f => f.dataType match {
@@ -247,5 +247,45 @@ object BikeshareGen {
         .select(lit(name).as("query"), col("n_rows"),
           col("control_total").cast("double").as("control_total"))
     }.reduce(_ unionByName _)
+    // Invariant-golden rows: derived from the query OUTPUTS above (≤12-row
+    // frames, no extra fact scan beyond the queries' own aggregates), they
+    // make the rows-only gate SELF-VALIDATING — the conservation residuals
+    // must read exactly 0.00 (group sums re-adding to the global totals:
+    // the property that breaks when a join type, key, or dim span is
+    // wrong) and the totals/member-share pin BASELINE.md's golden anchors
+    // at this scale (the generator is deterministic), so the driver's
+    // hash of q129 pins VALUES, not just shape. BikeshareScaleSpec
+    // asserts the same numbers against independent aggregates.
+    val dur = BikesharePipeline.q2TotalDurationByDayOfWeek(w)
+      .agg(sum(col("total_duration").cast("double")).as("a"),
+        count(lit(1)).as("cd"))
+    val durM = BikesharePipeline.q12TotalDurationByMembership(w)
+      .agg(sum(col("total_duration").cast("double")).as("b"),
+        sum(when(col("is_member"), col("total_duration").cast("double"))
+          .otherwise(0.0)).as("mem"),
+        count(lit(1)).as("cm"))
+    val pay = BikesharePipeline.paymentsByDatePart(w, "month", "sum")
+      .agg(sum(col("total_amount").cast("double")).as("p"),
+        count(lit(1)).as("cp"))
+    val payY = BikesharePipeline.paymentsByDatePart(w, "year", "sum")
+      .agg(sum(col("total_amount").cast("double")).as("py"),
+        count(lit(1)).as("cy"))
+    val one = dur.crossJoin(broadcast(durM)).crossJoin(broadcast(pay))
+      .crossJoin(broadcast(payY))
+      .localCheckpoint() // one row; pin so 5 selects evaluate it once
+    Seq[(String, Column, Column)](
+      ("_inv_total_duration", col("cd"), round(col("a"), 2)),
+      ("_inv_duration_dow_vs_member", col("cm"),
+        round(col("a") - col("b"), 2)),
+      ("_inv_member_duration_share", col("cm"),
+        round(col("mem") / col("b"), 6)),
+      ("_inv_total_payments", col("cp"), round(col("p"), 2)),
+      ("_inv_payments_month_vs_year", col("cy"),
+        round(col("p") - col("py"), 2)))
+      .map { case (n, c, v) =>
+        one.select(lit(n).as("query"), c.as("n_rows"),
+          v.cast("double").as("control_total"))
+      }
+      .foldLeft(base)(_ unionByName _)
   }
 }

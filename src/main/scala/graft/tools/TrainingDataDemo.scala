@@ -266,6 +266,33 @@ object TrainingDataDemo {
       f"${law.getAs[Double]("a")}%.2f·N^(−${law.getAs[Double]("b")}%.3f) " +
       f"(r² ${law.getAs[Double]("r2")}%.5f)")
 
+    // 22. RAG assembly, end to end: seed BM25 hits vote an RM3 expansion,
+    // the EXPANDED query re-retrieves the candidate pool, MMR diversifies
+    // it into the context set, and the pack machinery fits that set to
+    // the window budget — retrieval → expansion → rerank → pack composing
+    // as a pipeline, not just passing individually. The expansion-term
+    // collect is fbTerms-bounded (the sanctioned k-sized driver scalar).
+    val ragTerms = Seq("spark", "join", "window")
+    val expTerms = graft.operators.Retrieval.pseudoRelevanceExpansion(
+        canonical, "doc_id", "text", ragTerms, fbDocs = 5, fbTerms = 5)
+      .select("term").collect().map(_.getString(0)).toSeq
+    val pool = graft.operators.Retrieval.bm25(canonical, "doc_id", "text",
+      ragTerms ++ expTerms, topK = 24)
+    val ragCands = pool
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .withColumn("ragq", lit(0L))
+    val context = graft.operators.Similarity.mmrRerank(ragCands, "ragq",
+        "doc_id", "score", "embedding", k = 8, lambda = 0.7)
+      .join(canonical.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id")
+    val ragPacked = Splits.packByBudget(context, "rank", "n_tokens", 512)
+    println(s"rag: expansion (${expTerms.mkString(", ")}); pool 24 → " +
+      s"context 8 docs → " +
+      s"${ragPacked.select("pack_id").distinct().count()} packs of ≤512 " +
+      "tokens")
+
     spark.stop()
   }
 }

@@ -148,7 +148,7 @@ class BikeshareScaleSpec extends AnyFunSuite {
 
   test("runAll executes all 22 queries and is deterministic across runs") {
     val a = BikeshareGen.runAll(spark, 1.0).orderBy("query").collect()
-    assert(a.length === 22)
+    assert(a.length === 27) // 22 queries + 5 invariant-golden rows
     assert(a.forall(_.getAs[Long]("n_rows") > 0))
     // group-by-raw-timestamp queries (Q3/Q4) have near-fact cardinality;
     // the rest are small aggregates — both shapes present and plausible
@@ -159,5 +159,36 @@ class BikeshareScaleSpec extends AnyFunSuite {
     assert(byName("q11_avg_duration_member") === 2L)
     val b = BikeshareGen.runAll(spark, 1.0).orderBy("query").collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
+  test("runAll invariant rows: residuals exactly zero, totals and member " +
+    "share equal independent aggregates") {
+    val inv = BikeshareGen.runAll(spark, 1.0)
+      .where(col("query").startsWith("_inv_")).collect()
+      .map(r => r.getAs[String]("query") ->
+        r.getAs[Double]("control_total")).toMap
+    assert(inv.size === 5)
+    // conservation residuals: group sums re-add to the global totals
+    assert(inv("_inv_duration_dow_vs_member") === 0.0)
+    assert(inv("_inv_payments_month_vs_year") === 0.0)
+    // totals against independent aggregates over the conformed facts
+    val durTotal = wh.trips.agg(sum(col("duration").cast("double")))
+      .head().getDouble(0)
+    assert(inv("_inv_total_duration") ===
+      math.round(durTotal * 100.0) / 100.0)
+    val payTotal = conformed.payments
+      .agg(sum(col("amount").cast("double"))).head().getDouble(0)
+    assert(inv("_inv_total_payments") ===
+      math.round(payTotal * 100.0) / 100.0)
+    // member share of total duration — BASELINE.md's golden split is
+    // ≈ 4,818,499,899 / 5,993,800,969 ≈ 0.8039; the generator's design
+    // center must land in the same band
+    val share = inv("_inv_member_duration_share")
+    assert(share > 0.7 && share < 0.9, s"member share $share")
+    val memTotal = wh.trips
+      .join(wh.riders, wh.trips("rider_id") === wh.riders("rider_id"))
+      .where(col("is_member"))
+      .agg(sum(col("duration").cast("double"))).head().getDouble(0)
+    assert(math.abs(share - memTotal / durTotal) < 5e-7)
   }
 }

@@ -189,6 +189,62 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got("q2") === 0.0) // disjoint, but the group still reports
   }
 
+  test("RAG assembly: RM3-expanded retrieval differs from and beats the " +
+    "unexpanded query; MMR diversifies and the pack machinery composes") {
+    import org.apache.spark.sql.functions._
+    // Planted corpus: seeds 1–3 carry the query term AND the bridge term
+    // "satellite"; hidden-relevant 4–6 carry ONLY the bridge term (the
+    // unexpanded query cannot see them); 7–12 are distractors.
+    val docs = Seq(
+      (1L, "anchor satellite alpha"), (2L, "anchor satellite beta"),
+      (3L, "anchor satellite gamma"), (4L, "satellite payload delta"),
+      (5L, "satellite payload epsilon"), (6L, "satellite relay zeta"),
+      (7L, "cats purr softly"), (8L, "dogs bark loudly"),
+      (9L, "rain falls today"), (10L, "sun shines bright"),
+      (11L, "wind blows cold"), (12L, "snow melts fast"))
+      .toDF("doc_id", "text")
+    val relevant = (1L to 6L).toSet
+    val plain = Retrieval.bm25(docs, "doc_id", "text", Seq("anchor"),
+      topK = 6).select("doc_id").as[Long].collect().toSet
+    // all 3 seeds vote "satellite" (3 docs) over the 1-doc filler terms
+    val exp = Retrieval.pseudoRelevanceExpansion(docs, "doc_id", "text",
+        Seq("anchor"), fbDocs = 3, fbTerms = 1)
+      .select("term").as[String].collect().toSeq
+    assert(exp === Seq("satellite"))
+    val expandedHits = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("anchor") ++ exp, topK = 6)
+    val expanded = expandedHits.select("doc_id").as[Long].collect().toSet
+    // the expanded top-k DIFFERS from and BEATS the unexpanded one
+    assert(plain === Set(1L, 2L, 3L)) // the bridge docs are invisible
+    assert(expanded === relevant)     // expansion surfaces 4–6
+    assert((expanded & relevant).size > (plain & relevant).size)
+    // MMR over the expanded pool: 4 and 5 are embedding twins, the rest
+    // orthogonal — diversification must never select both twins in a
+    // k=4 context (their round-2 penalty (1−λ)·1.0 dominates the small
+    // BM25 score gaps at λ=0.3)
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(5)(j => if (j == i) 1.0f else 0.0f)
+    val vecs = Seq(1L -> basis(0), 2L -> basis(1), 3L -> basis(2),
+      4L -> basis(3), 5L -> basis(3), 6L -> basis(4))
+      .toDF("doc_id", "vec")
+    val cands = expandedHits.join(vecs, "doc_id").withColumn("q", lit(0L))
+    val picked = operators.Similarity.mmrRerank(cands, "q", "doc_id",
+      "score", "vec", k = 4, lambda = 0.3)
+    val sel = picked.select("doc_id").as[Long].collect().toSet
+    assert(picked.select("rank").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3, 4))
+    assert(!(sel.contains(4L) && sel.contains(5L)),
+      s"twins both selected: $sel")
+    // pack the context set in rank order: 300 tokens each at budget 512
+    // → packs of exactly 2 (floor((cum − tok)/512) = 0,0,1,1)
+    val packed = operators.Splits.packByBudget(
+      picked.withColumn("n_tokens", lit(300L)), "rank", "n_tokens", 512L)
+    val byPack = packed.groupBy("pack_id").count()
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(byPack.toSeq === Seq((0L, 2L), (1L, 2L)))
+  }
+
   test("pseudoRelevanceExpansion: feedback docs vote their terms; " +
     "query terms excluded; normalized weights") {
     val docs = Seq(
