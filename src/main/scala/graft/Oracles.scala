@@ -2570,6 +2570,74 @@ object Oracles {
         "SELECT term, n_fb_docs, round(wt.w / tot.t, 6) AS weight " +
         "FROM wt, tot ORDER BY wt.w / tot.t DESC, term LIMIT 10"),
 
+    // BM25F: title/body derived by the same slice recipe, per-field
+    // normalized tf combined BEFORE saturation, document-level idf —
+    // arithmetic order mirrors Retrieval.bm25f term for term.
+    "q322_bm25f" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0) AS t FROM documents), " +
+        "fld AS (SELECT doc_id, " +
+        "array_to_string(list_slice(t, 1, 4), ' ') AS title, " +
+        "array_to_string(list_slice(t, 5, len(t)), ' ') AS body " +
+        "FROM tk), " +
+        "tb AS (SELECT doc_id, " +
+        "string_split(title, ' ') AS tt, " +
+        "string_split(body, ' ') AS bt FROM fld), " +
+        "ln_ AS (SELECT doc_id, " +
+        "CAST(len(list_filter(tt, x -> len(x) > 0)) AS DOUBLE) AS lt, " +
+        "CAST(len(list_filter(bt, x -> len(x) > 0)) AS DOUBLE) AS lb " +
+        "FROM tb), " +
+        "av AS (SELECT avg(lt) AS avt, avg(lb) AS avb FROM ln_), " +
+        "tft AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(tt) AS term FROM tb) " +
+        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+        "tfb AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(bt) AS term FROM tb) " +
+        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+        "wf AS (SELECT f.doc_id, term, " +
+        "2.0 * tf / (0.25 + 0.75 * l.lt / av.avt) AS wtf " +
+        "FROM tft f JOIN ln_ l USING (doc_id) CROSS JOIN av " +
+        "UNION ALL SELECT f.doc_id, term, " +
+        "1.0 * tf / (0.25 + 0.75 * l.lb / av.avb) AS wtf " +
+        "FROM tfb f JOIN ln_ l USING (doc_id) CROSS JOIN av), " +
+        "comb AS (SELECT doc_id, term, sum(wtf) AS tfw FROM wf " +
+        "GROUP BY 1, 2), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "dfq AS (SELECT term, count(*) AS df FROM comb GROUP BY 1), " +
+        "c AS (SELECT comb.doc_id, round(" +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tfw * 2.2 / " +
+        "(tfw + 1.2), 6) AS c " +
+        "FROM comb JOIN dfq USING (term) CROSS JOIN nd) " +
+        "SELECT doc_id, round(sum(c), 4) AS score, " +
+        "count(*) AS n_terms_matched FROM c GROUP BY 1 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // Sequential SRM guard: per-hour arm counts (exact longs), one
+    // cumulative window, the closed-form mixture e-process on
+    // share_a − 30/97 with the H0 binomial variance.
+    "q323_alwaysvalid_srm" ->
+      ("WITH per AS (SELECT floor(floor(epoch(ts)) / 3600) AS bin, " +
+        "CAST(sum(CASE WHEN (user_id * 16807 % 97) < 30 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS ba, " +
+        "CAST(sum(CASE WHEN (user_id * 16807 % 97) < 30 THEN 0 ELSE 1 " +
+        "END) AS BIGINT) AS bb FROM events GROUP BY 1), " +
+        "cum AS (SELECT bin, " +
+        "CAST(sum(ba) OVER (ORDER BY bin) AS BIGINT) AS n_a, " +
+        "CAST(sum(bb) OVER (ORDER BY bin) AS BIGINT) AS n_b FROM per), " +
+        "a AS (SELECT *, CAST(n_a + n_b AS DOUBLE) AS n, " +
+        "30.0 / 97 AS p0 FROM cum), " +
+        "b AS (SELECT *, n_a / n AS share_a, " +
+        "p0 * (1.0 - p0) / n AS v FROM a), " +
+        "c AS (SELECT *, share_a - p0 AS diff FROM b), " +
+        "d AS (SELECT *, CASE WHEN n > 0 AND v > 0 THEN " +
+        "0.5 * ln(v / (v + 0.0001)) + diff * diff * 0.0001 / " +
+        "(2.0 * v * (v + 0.0001)) END AS le FROM c) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b, " +
+        "round(share_a, 6) AS share_a, " +
+        "round(p0, 6) AS expected_share_a, round(diff, 6) AS diff, " +
+        "round(le, 6) AS log_e_value, " +
+        "le >= ln(1.0 / 0.05) AS srm_detected FROM d ORDER BY bin"),
+
     // Scaling-law fit: planted loss curve, generated per-candidate OLS.
     "q317_scaling_law" ->
       scalingLawSql(Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)),

@@ -5039,6 +5039,44 @@ object TestQueries {
       .orderBy("q", "rank")
   }
 
+  /** BM25F field-weighted retrieval ([[operators.Retrieval.bm25f]]):
+    * title = the first 4 tokens (weight 2), body = the rest (weight 1),
+    * derived deterministically so DuckDB replays the same fields — a
+    * title hit must outrank the same hit buried in the body. Rounding
+    * follows the q139 BM25 convention (6dp per term, 4dp total).
+    */
+  def q322Bm25f(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      array_join(slice(toks, 1, 4), " ").as("title"),
+      array_join(slice(toks, lit(5),
+        greatest(size(toks) - 4, lit(0))), " ").as("body"))
+    operators.Retrieval.bm25f(docs, "doc_id",
+        Seq("title" -> 2.0, "body" -> 1.0),
+        Seq("spark", "join", "window"), topK = 10)
+      .select(col("doc_id"), col("score"), col("n_terms_matched"))
+  }
+
+  /** Sequential SRM guard ([[operators.EventAnalytics.alwaysValidSrm]]):
+    * q289's treatment hash (expected share exactly 30/97) monitored per
+    * entry-hour bin — the always-valid version of q245's fixed-horizon
+    * χ². Counts are exact longs and the e-process is closed-form, so
+    * every bin replays bit-for-bit.
+    */
+  def q323AlwaysvalidSrm(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.alwaysValidSrm(
+        t(s, dir, "events")
+          .withColumn("bin", floor(col("ts").cast("long") / 3600)),
+        pmod(col("user_id") * 16807, lit(97)) < 30, col("bin"),
+        expectedShareA = 30.0 / 97)
+      .select(col("bin").cast("long").as("bin"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("expected_share_a"), 6).as("expected_share_a"),
+        round(col("diff"), 6).as("diff"),
+        round(col("log_e_value"), 6).as("log_e_value"),
+        col("srm_detected"))
+      .orderBy("bin")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5506,6 +5544,8 @@ object TestQueries {
     "q319_ipw" -> (q319Ipw _),
     "q320_prf" -> (q320Prf _),
     "q321_mmr" -> (q321Mmr _),
+    "q322_bm25f" -> (q322Bm25f _),
+    "q323_alwaysvalid_srm" -> (q323AlwaysvalidSrm _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

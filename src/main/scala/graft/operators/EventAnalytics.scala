@@ -793,6 +793,54 @@ object EventAnalytics {
         col("log_e_value"), col("can_stop"))
   }
 
+  /** Sequential sample-ratio-mismatch guard —
+    * [[graft.operators.Stats.sampleRatioMismatch]]'s anytime-valid
+    * sibling, and the hygiene monitor that should run ALONGSIDE
+    * [[alwaysValidMonitor]]: a fixed-horizon SRM χ² is only valid at one
+    * pre-declared readout, but a broken splitter should page the moment
+    * the evidence accumulates, under continuous peeking. Per bin:
+    * cumulative arm counts, the realized share p̂_A = n_A/n, its
+    * deviation from the declared allocation p₀, and the same mixture
+    * e-process as [[alwaysValidMonitor]] on δ = p̂_A − p₀ with the
+    * H0-exact binomial variance V = p₀(1−p₀)/n. `srm_detected` fires
+    * when ln Λ ≥ ln(1/α) — at which point every downstream metric is
+    * suspect and the experiment stops for triage, not for a winner.
+    * Returns one row per bin: (bin, n_a, n_b, share_a, expected_share_a,
+    * diff, log_e_value, srm_detected).
+    *
+    * Shape: one per-bin aggregate, ONE [[operators.Ranks.running]]
+    * cumulative pass over the bin domain, closed-form projections after
+    * — bins are the only rows past the first aggregate.
+    */
+  def alwaysValidSrm(df: DataFrame, armACol: Column, binCol: Column,
+                     expectedShareA: Double, tau: Double = 1e-4,
+                     alpha: Double = 0.05): DataFrame = {
+    require(expectedShareA > 0 && expectedShareA < 1,
+      s"expectedShareA must be in (0,1): $expectedShareA")
+    require(tau > 0, s"tau must be positive: $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val per = df.groupBy(binCol.as("bin"))
+      .agg(sum(when(armACol, 1L).otherwise(0L)).as("__ba"),
+        sum(when(!armACol, 1L).otherwise(0L)).as("__bb"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val p0 = lit(expectedShareA)
+    Ranks.running(per, Seq(col("bin")),
+        sums = Seq("__ba" -> "n_a", "__bb" -> "n_b"))
+      .withColumn("share_a", col("n_a") / n)
+      .withColumn("diff", col("share_a") - p0)
+      .withColumn("__v", p0 * (lit(1.0) - p0) / n)
+      .withColumn("log_e_value",
+        when(n > 0 && col("__v") > 0,
+          lit(0.5) * log(col("__v") / (col("__v") + tau)) +
+            col("diff") * col("diff") * tau /
+              (lit(2.0) * col("__v") * (col("__v") + tau))))
+      .withColumn("srm_detected",
+        col("log_e_value") >= math.log(1.0 / alpha))
+      .select(col("bin"), col("n_a"), col("n_b"), col("share_a"),
+        p0.as("expected_share_a"), col("diff"), col("log_e_value"),
+        col("srm_detected"))
+  }
+
   /** Variance-reduced always-valid monitoring — [[alwaysValidMonitor]]
     * composed with [[cuped]], for a MEAN metric with a pre-experiment
     * covariate: at every bin the cumulative moments yield θ_t =

@@ -62,6 +62,69 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** BM25F (Robertson, Zaragoza & Taylor 2004, "Simple BM25 extension to
+    * multiple weighted fields") — the field-weighted scorer a structured
+    * corpus needs: a query-term hit in the title should count more than
+    * one buried in the body, but naive per-field BM25 score summing
+    * breaks tf saturation (a term matching twice across fields saturates
+    * as two independent terms). BM25F fixes it by combining at the TF
+    * level: per field f, the length-normalized
+    * {{{ tf̃_f = w_f · tf_f / (1 − b + b·len_f/avglen_f) }}}
+    * sums across fields into ONE pseudo-frequency tf̃, which then
+    * saturates once:
+    * {{{ score(d) = Σ_t idf(t) · tf̃·(k1+1) / (tf̃ + k1) }}}
+    * idf is document-level (`ln(1 + (N − df + 0.5)/(df + 0.5))`, df = docs
+    * where tf̃ > 0 in ANY field). Tokenization/rounding follow [[bm25]]
+    * (single-space split; 6dp per-term, 4dp total). Returns the topK by
+    * `(score desc, id)`.
+    *
+    * Shape for scale: one scan per FIELD (fields are a bounded literal
+    * list, 2–3 in practice), each exploded and filtered to query terms
+    * scan-side exactly like [[bm25]]; per-field average lengths are
+    * one-row broadcast aggregates; the cross-field combine is a
+    * `(doc, term)`-keyed sum over `|query| × matching docs` rows — never
+    * corpus-sized after the scan.
+    */
+  def bm25f(docs: DataFrame, idCol: String, fields: Seq[(String, Double)],
+            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+            topK: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(fields.forall(_._2 > 0), "field weights must be positive")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK > 0, s"topK must be positive: $topK")
+    val perField = fields.map { case (fc, wt) =>
+      val base = docs.select(col(idCol).as("doc_id"),
+          split(col(fc), " ").as("__toks"))
+        .withColumn("lf",
+          size(filter(col("__toks"), t => length(t) > 0)).cast("double"))
+      val avgLen = base.agg(avg("lf").as("avglf"))
+      base
+        .select(col("doc_id"), col("lf"), explode(col("__toks")).as("term"))
+        .where(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "lf", "term").agg(count(lit(1)).as("tf"))
+        .crossJoin(broadcast(avgLen))
+        .select(col("doc_id"), col("term"),
+          (lit(wt) * col("tf") /
+            (lit(1.0 - b) + lit(b) * col("lf") / col("avglf"))).as("wtf"))
+    }
+    val combined = perField.reduce(_ unionByName _)
+      .groupBy("doc_id", "term").agg(sum("wtf").as("tfw"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfT = combined.groupBy("term").agg(count(lit(1)).as("df"))
+    combined.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c", round(
+        col("idf") * col("tfw") * (lit(k1) + 1.0) /
+          (col("tfw") + lit(k1)), 6))
+      .groupBy("doc_id")
+      .agg(round(sum("c"), 4).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Pseudo-relevance feedback (the RM3 relevance-model idea, Lavrenko &
     * Croft 2001): run [[bm25]], treat the top `fbDocs` hits as
     * pseudo-relevant, and score every term in them by

@@ -911,6 +911,26 @@ object ScaleCheck {
           "doc_id", "text", Seq("spark", "join", "window"),
           fbDocs = 5, fbTerms = 10).count()
       },
+      "bm25f" -> { dir =>
+        // one scan per field, query-term filtered scan-side; (doc,term)
+        // combine rows are |query|·matches, never corpus-sized
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val flds = docs(dir).select(col("doc_id"),
+          array_join(slice(toks, 1, 4), " ").as("title"),
+          array_join(slice(toks, lit(5),
+            greatest(size(toks) - 4, lit(0))), " ").as("body"))
+        graft.operators.Retrieval.bm25f(flds, "doc_id",
+          Seq("title" -> 2.0, "body" -> 1.0),
+          Seq("spark", "join", "window"), topK = 10).count()
+      },
+      "alwaysvalid_srm" -> { dir =>
+        // one per-bin aggregate + the running pass over hour bins
+        graft.operators.EventAnalytics.alwaysValidSrm(
+          graft.sources.Tables.loadEvents(spark, dir)
+            .withColumn("bin", floor(col("ts").cast("long") / 3600)),
+          pmod(col("user_id") * 16807, lit(97)) < 30, col("bin"),
+          expectedShareA = 30.0 / 97).count()
+      },
       "scaling_law" -> { dir =>
         // point count scales with rows (one per 8-doc bucket); the
         // |grid|-conditional moment scan is the cost

@@ -480,6 +480,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(b2.getAs[Double]("log_e_adj") > b2.getAs[Double]("log_e_raw"))
   }
 
+  test("alwaysValidSrm: a balanced split stays quiet; a broken splitter " +
+    "pages once the cumulative evidence crosses ln(1/alpha)") {
+    // bin 1: 5/5 against p0=.5 — diff 0, e-value is the pure variance
+    // penalty .5·ln(v/(v+τ)), never a detection. bin 2 adds 40 A / 0 B:
+    // cumulative share .9 on n=50 → detection at τ=.01, α=.5
+    val rows = (1 to 5).map(i => (true, 1L)) ++
+      (1 to 5).map(i => (false, 1L)) ++
+      (1 to 40).map(i => (true, 2L))
+    val df = rows.toDF("isa", "bin")
+    val got = EventAnalytics.alwaysValidSrm(df, col("isa"), col("bin"),
+        expectedShareA = 0.5, tau = 0.01, alpha = 0.5)
+      .orderBy("bin").collect()
+    assert(got.length === 2)
+    val b1 = got(0)
+    assert(b1.getAs[Long]("n_a") === 5L && b1.getAs[Long]("n_b") === 5L)
+    assert(b1.getAs[Double]("diff") === 0.0)
+    assert(math.abs(b1.getAs[Double]("log_e_value") -
+      0.5 * math.log(0.025 / 0.035)) < 1e-12)
+    assert(!b1.getAs[Boolean]("srm_detected"))
+    val b2 = got(1)
+    assert(b2.getAs[Long]("n_a") === 45L && b2.getAs[Long]("n_b") === 5L)
+    assert(math.abs(b2.getAs[Double]("share_a") - 0.9) < 1e-12)
+    // v = .25/50 = .005: logΛ = .5·ln(.005/.015) + .16·.01/(2·.005·.015)
+    assert(math.abs(b2.getAs[Double]("log_e_value") -
+      (0.5 * math.log(0.005 / 0.015) +
+        0.4 * 0.4 * 0.01 / (2.0 * 0.005 * 0.015))) < 1e-9)
+    assert(b2.getAs[Boolean]("srm_detected")) // ≈10.1 ≥ ln 2
+  }
+
   test("alwaysValidCuped: a constant covariate is a guarded no-op") {
     val rows = Seq((true, 3.0, 7.0, 1L), (true, 5.0, 7.0, 1L),
       (false, 1.0, 7.0, 1L), (false, 3.0, 7.0, 1L))

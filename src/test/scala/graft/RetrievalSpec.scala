@@ -189,6 +189,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got("q2") === 0.0) // disjoint, but the group still reports
   }
 
+  test("bm25f: a title hit outranks the same hit in the body; " +
+    "cross-field tf combines BEFORE saturation") {
+    // all fields length 4 → every normalization denominator is exactly 1
+    val docs = Seq(
+      (1L, "spark x y z", "a b c d"),   // title hit (weight 2)
+      (2L, "p q r s", "spark b c d"),   // body hit (weight 1)
+      (3L, "p q r s", "a b c d"))       // no hit
+      .toDF("doc_id", "title", "body")
+    val got = Retrieval.bm25f(docs, "doc_id",
+        Seq("title" -> 2.0, "body" -> 1.0), Seq("spark"))
+      .orderBy(org.apache.spark.sql.functions.col("score").desc)
+      .collect()
+    assert(got.length === 2) // non-matching docs never surface
+    assert(got(0).getLong(0) === 1L && got(1).getLong(0) === 2L)
+    // closed forms: idf = ln(1.6) (N=3, df=2); title tfw=2 → idf·4.4/3.2,
+    // body tfw=1 → idf·2.2/2.2
+    val idf = math.log(1.6)
+    assert(got(0).getAs[Double]("score") ===
+      math.round(math.round(idf * 4.4 / 3.2 * 1e6) / 1e6 * 1e4) / 1e4)
+    assert(got(1).getAs[Double]("score") ===
+      math.round(math.round(idf * 1e6) / 1e6 * 1e4) / 1e4)
+    // saturation: a term hitting BOTH fields forms one pseudo-frequency
+    // (tfw=3 → idf·3·2.2/4.2), strictly less than the per-field score
+    // sum a naive field-BM25 union would give (idf·1.375 + idf·1.0)
+    val both = Seq((4L, "spark x y z", "spark b c d"),
+      (5L, "p q r s", "a b c d"), (6L, "p q r s", "a b c d"))
+      .toDF("doc_id", "title", "body")
+    val s4 = Retrieval.bm25f(both, "doc_id",
+        Seq("title" -> 2.0, "body" -> 1.0), Seq("spark"))
+      .head().getAs[Double]("score")
+    val idf1 = math.log(1.0 + (3.0 - 1 + 0.5) / 1.5) // df=1 here
+    assert(math.abs(s4 - idf1 * 3 * 2.2 / 4.2) < 1e-4)
+    assert(s4 < idf1 * (4.4 / 3.2) + idf1 * 1.0)
+  }
+
   test("RAG assembly: RM3-expanded retrieval differs from and beats the " +
     "unexpanded query; MMR diversifies and the pack machinery composes") {
     import org.apache.spark.sql.functions._
