@@ -817,6 +817,86 @@ object Oracles {
       "count(*) AS n_terms_matched FROM c GROUP BY 1 " +
       "ORDER BY score DESC, doc_id LIMIT 10"
 
+  /** Shingle-convention tokens of a string expression — trim → lower →
+    * whitespace split → drop empties, exactly `Text.shingles`' tokenizer
+    * (the q256 recipe plus the empty-string guard splitWs applies).
+    */
+  private def shingleToks(expr: String): String =
+    s"list_filter(string_split_regex(lower(trim($expr)), '\\s+'), " +
+      "x -> len(x) > 0)"
+
+  /** The q324/q325 pair derivation + per-n clipped-overlap CTEs: cand =
+    * raw text, ref = text minus its last two tokens (the same slice
+    * recipe as the Spark gate), then for each n a FULL-join of the two
+    * gram-count tables mirroring `Quality.clippedNgramOverlap`.
+    */
+  private def evalPairHead(ns: Seq[Int]): String = {
+    val head =
+      "WITH tkn AS (SELECT doc_id, text, list_filter(string_split(text, " +
+        "' '), x -> len(x) > 0) AS t FROM documents), " +
+        "pr AS (SELECT doc_id, text AS cand, " +
+        "array_to_string(list_slice(t, 1, greatest(len(t) - 2, 0)), ' ') " +
+        "AS ref FROM tkn), " +
+        s"base AS (SELECT doc_id, ${shingleToks("cand")} AS ct, " +
+        s"${shingleToks("ref")} AS rt FROM pr), " +
+        "lens AS (SELECT doc_id, CAST(len(ct) AS BIGINT) AS cand_len, " +
+        "CAST(len(rt) AS BIGINT) AS ref_len FROM base)"
+    val perN = ns.map { n =>
+      def grams(src: String) =
+        s"[array_to_string($src[i:i+${n - 1}], ' ') " +
+          s"for i in range(1, len($src) - ${n - 1} + 1)]"
+      s"cg$n AS (SELECT doc_id, unnest(${grams("ct")}) AS g FROM base), " +
+        s"cc$n AS (SELECT doc_id, g, count(*) AS cc FROM cg$n " +
+        "GROUP BY 1, 2), " +
+        s"rg$n AS (SELECT doc_id, unnest(${grams("rt")}) AS g FROM base), " +
+        s"rc$n AS (SELECT doc_id, g, count(*) AS rc FROM rg$n " +
+        "GROUP BY 1, 2), " +
+        s"a$n AS (SELECT doc_id, " +
+        "sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS clip, " +
+        "sum(coalesce(cc, 0)) AS ctot, sum(coalesce(rc, 0)) AS rtot " +
+        s"FROM cc$n FULL JOIN rc$n USING (doc_id, g) GROUP BY 1)"
+    }.mkString(", ", ", ", "")
+    head + perN
+  }
+
+  /** Segment BLEU: modified precisions p1..pmaxN from the clipped
+    * overlaps, BP on the shingle token lengths, geometric mean in log
+    * space — op order mirrors `Quality.bleu`.
+    */
+  private def bleuSql(maxN: Int): String = {
+    val ps = (1 to maxN).map { n =>
+      s"CASE WHEN coalesce(a$n.ctot, 0) > 0 THEN " +
+        s"CAST(coalesce(a$n.clip, 0) AS DOUBLE) / a$n.ctot END AS p$n"
+    }.mkString(", ")
+    val joins = (1 to maxN)
+      .map(n => s"LEFT JOIN a$n ON lens.doc_id = a$n.doc_id").mkString(" ")
+    val allPos = (1 to maxN).map(n => s"p$n > 0").mkString(" AND ")
+    val logSum = (1 to maxN).map(n => s"ln(p$n)").mkString(" + ")
+    evalPairHead(1 to maxN) +
+      s", ff AS (SELECT lens.doc_id, cand_len, ref_len, $ps " +
+      s"FROM lens $joins), " +
+      "gg AS (SELECT *, CASE WHEN cand_len >= ref_len THEN 1.0 " +
+      "WHEN cand_len > 0 THEN exp(1.0 - CAST(ref_len AS DOUBLE) / " +
+      "cand_len) ELSE 0.0 END AS bp FROM ff), " +
+      s"hh AS (SELECT *, CASE WHEN $allPos THEN " +
+      s"bp * exp(($logSum) / $maxN) ELSE 0.0 END AS bleu FROM gg) " +
+      "SELECT doc_id, cand_len, ref_len, " +
+      (1 to maxN).map(n => s"round(p$n, 6) AS p$n").mkString(", ") +
+      ", round(bp, 6) AS bp, round(bleu, 6) AS bleu FROM hh " +
+      "ORDER BY doc_id"
+  }
+
+  /** ROUGE-N recall: the same clipped overlap over the REFERENCE total. */
+  private def rougeSql(n: Int): String =
+    evalPairHead(Seq(n)) +
+      s" SELECT lens.doc_id, " +
+      s"CAST(coalesce(a$n.clip, 0) AS BIGINT) AS n_overlap, " +
+      s"CAST(coalesce(a$n.rtot, 0) AS BIGINT) AS n_ref, " +
+      s"round(CASE WHEN coalesce(a$n.rtot, 0) > 0 THEN " +
+      s"CAST(coalesce(a$n.clip, 0) AS DOUBLE) / a$n.rtot END, 6) " +
+      s"AS recall FROM lens LEFT JOIN a$n ON lens.doc_id = a$n.doc_id " +
+      "ORDER BY lens.doc_id"
+
   /** Unrolled synchronous k-core peeling over the q160 planted-core graph
     * (ring + ids < 40 chorded to +2/+3/+4 mod 40) — one (keep, filter)
     * CTE pair per round mirroring `Graphs.kCore`; rounds past
@@ -2637,6 +2717,30 @@ object Oracles {
         "round(p0, 6) AS expected_share_a, round(diff, 6) AS diff, " +
         "round(le, 6) AS log_e_value, " +
         "le >= ln(1.0 / 0.05) AS srm_detected FROM d ORDER BY bin"),
+
+    // Segment BLEU / ROUGE-2: generated pair derivation + per-n clipped
+    // overlap FULL-join machinery (evalPairHead), op order mirrored.
+    "q324_bleu" -> bleuSql(4),
+    "q325_rouge" -> rougeSql(2),
+
+    // Benjamini–Hochberg: ascending (p, test) rank, m·p/rank suffix min,
+    // cap at 1 — rejected computed on the UNROUNDED p_adj like the op.
+    "q326_bh_fdr" ->
+      ("WITH tests AS (SELECT floor(doc_id / 8) AS test, " +
+        "CAST(min(doc_id * 37 % 997) AS DOUBLE) / 996.0 AS p " +
+        "FROM documents GROUP BY 1), " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests), " +
+        "r AS (SELECT test, p, CAST(row_number() OVER " +
+        "(ORDER BY p, test) AS BIGINT) AS rank FROM tests), " +
+        "raw AS (SELECT *, CAST(m AS DOUBLE) * p / rank AS rw " +
+        "FROM r, mm), " +
+        "s AS (SELECT *, min(rw) OVER (ORDER BY p, test " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sfx " +
+        "FROM raw), " +
+        "f AS (SELECT *, least(sfx, 1.0) AS p_adj FROM s) " +
+        "SELECT CAST(test AS BIGINT) AS test, round(p, 6) AS p, rank, " +
+        "m, round(p_adj, 6) AS p_adj, p_adj <= 0.2 AS rejected " +
+        "FROM f ORDER BY test"),
 
     // Scaling-law fit: planted loss curve, generated per-candidate OLS.
     "q317_scaling_law" ->

@@ -5077,6 +5077,62 @@ object TestQueries {
         col("srm_detected"))
       .orderBy("bin")
 
+  /** Shared pairing for the generation-eval gates: candidate = the raw
+    * document text, reference = the same document minus its last two
+    * tokens — deterministic partial overlap (clipping and the length
+    * ratio both bind), derivable identically in DuckDB.
+    */
+  private def evalPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    t(s, dir, "documents").select(col("doc_id"),
+      col("text").as("cand"),
+      array_join(slice(toks, lit(1),
+        greatest(size(toks) - 2, lit(0))), " ").as("ref"))
+  }
+
+  /** Segment BLEU ([[operators.Quality.bleu]]): candidate vs its
+    * 2-token-truncated self — clipped modified precisions, BP = 1 (the
+    * candidate is the longer side), all closed-form rationals before the
+    * final exp/ln, so 6dp rounding hash-matches.
+    */
+  def q324Bleu(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.bleu(evalPairs(s, dir), "doc_id", "cand", "ref")
+      .select(col("doc_id"), col("cand_len"), col("ref_len"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(col("p3"), 6).as("p3"), round(col("p4"), 6).as("p4"),
+        round(col("bp"), 6).as("bp"), round(col("bleu"), 6).as("bleu"))
+      .orderBy("doc_id")
+
+  /** ROUGE-2 recall ([[operators.Quality.rougeN]]): the recall side of
+    * q324's pairing — every reference bigram is in the candidate by
+    * construction, so recall is exactly 1 wherever the reference has
+    * bigrams (and null where it does not) — the invariant the oracle
+    * replays cell for cell.
+    */
+  def q325Rouge(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.rougeN(evalPairs(s, dir), "doc_id", "cand", "ref",
+        n = 2)
+      .select(col("doc_id"), col("n_overlap"), col("n_ref"),
+        round(col("recall"), 6).as("recall"))
+      .orderBy("doc_id")
+
+  /** Benjamini–Hochberg FDR ([[operators.Stats.bhFdr]]): one synthetic
+    * p-value per 8-doc test bucket (min of a modular hash — skewed low,
+    * so the step-up cut is non-trivial at q=0.2). Exact-rational
+    * p-values replay bit-for-bit.
+    */
+  def q326BhFdr(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.bhFdr(
+        t(s, dir, "documents")
+          .groupBy(floor(col("doc_id") / 8).as("test"))
+          .agg((min(pmod(col("doc_id") * 37, lit(997))).cast("double") /
+            996.0).as("p")),
+        "test", "p", q = 0.2)
+      .select(col("test").cast("long").as("test"),
+        round(col("p"), 6).as("p"), col("rank"), col("m"),
+        round(col("p_adj"), 6).as("p_adj"), col("rejected"))
+      .orderBy("test")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5546,6 +5602,9 @@ object TestQueries {
     "q321_mmr" -> (q321Mmr _),
     "q322_bm25f" -> (q322Bm25f _),
     "q323_alwaysvalid_srm" -> (q323AlwaysvalidSrm _),
+    "q324_bleu" -> (q324Bleu _),
+    "q325_rouge" -> (q325Rouge _),
+    "q326_bh_fdr" -> (q326BhFdr _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

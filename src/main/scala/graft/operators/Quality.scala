@@ -1347,4 +1347,104 @@ object Quality {
         col("__best.a").as("a"), col("__best.b").as("b"),
         col("__best.r2").as("r2"))
   }
+
+  /** Clipped n-gram overlap per (candidate, reference) pair — the shared
+    * counting core of [[bleu]] and [[rougeN]]: per pair, Σ_g min(count in
+    * candidate, count in reference) plus both totals. Tokenization is
+    * [[graft.functions.Text.shingles]] (trim → lowercase → whitespace
+    * split), the corpus convention every n-gram operator here shares.
+    * One explode per side, a (pair, gram)-keyed count + join — rows are
+    * token-scale, never pair-crossed.
+    */
+  private def clippedNgramOverlap(pairs: DataFrame, n: Int): DataFrame = {
+    val cn = pairs
+      .select(col("__id"),
+        explode(graft.functions.Text.shingles(col("__cand"), n)).as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__cc"))
+    val rn = pairs
+      .select(col("__id"),
+        explode(graft.functions.Text.shingles(col("__ref"), n)).as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__rc"))
+    cn.join(rn, Seq("__id", "__g"), "full")
+      .groupBy("__id")
+      .agg(sum(least(coalesce(col("__cc"), lit(0L)),
+          coalesce(col("__rc"), lit(0L)))).as(s"__clip$n"),
+        sum(coalesce(col("__cc"), lit(0L))).as(s"__ctot$n"),
+        sum(coalesce(col("__rc"), lit(0L))).as(s"__rtot$n"))
+  }
+
+  /** Sentence/segment BLEU (Papineni et al. 2002) per (candidate,
+    * reference) pair — the generation-eval staple: modified n-gram
+    * precisions p_n = Σ_g min(tf_cand, tf_ref) / Σ_g tf_cand for
+    * n = 1..maxN (clipping stops a candidate from farming credit by
+    * repeating one matched gram), the brevity penalty
+    * BP = 1 if c ≥ r else e^(1−r/c), and
+    * BLEU = BP · exp(Σ ln p_n / maxN). A pair with any p_n = 0 (or a
+    * candidate shorter than maxN tokens) scores 0 — the standard smooth-
+    * nothing convention; smooth upstream if segments are that short.
+    * Returns one row per pair: (id, cand_len, ref_len, p1..p_maxN, bp,
+    * bleu).
+    *
+    * maxN bounded explode/count/join passes over the pair table (each
+    * token-scale, (id, gram)-keyed — nothing pair-crossed), folded onto
+    * the pair spine by id; lengths are scan-side expressions. The pair
+    * frame pins once so the maxN passes re-read one materialization.
+    */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]: $maxN")
+    val base = pairs.select(col(idCol).as("__id"),
+        col(candCol).as("__cand"), col(refCol).as("__ref"))
+      .localCheckpoint() // scanned once per n
+    val lens = base.select(col("__id"),
+      size(graft.functions.Text.shingles(col("__cand"), 1)).cast("long")
+        .as("cand_len"),
+      size(graft.functions.Text.shingles(col("__ref"), 1)).cast("long")
+        .as("ref_len"))
+    val joined = (1 to maxN)
+      .map(n => clippedNgramOverlap(base, n))
+      .foldLeft(lens)((acc, p) => acc.join(p, Seq("__id"), "left"))
+    val withP = (1 to maxN).foldLeft(joined) { (acc, n) =>
+      acc.withColumn(s"p$n",
+        when(coalesce(col(s"__ctot$n"), lit(0L)) > 0,
+          coalesce(col(s"__clip$n"), lit(0L)).cast("double") /
+            col(s"__ctot$n")))
+    }
+    val allPos = (1 to maxN).map(n => col(s"p$n") > 0).reduce(_ && _)
+    val logSum = (1 to maxN).map(n => log(col(s"p$n"))).reduce(_ + _)
+    withP
+      .withColumn("bp",
+        when(col("cand_len") >= col("ref_len"), 1.0)
+          .otherwise(when(col("cand_len") > 0,
+            exp(lit(1.0) - col("ref_len").cast("double") /
+              col("cand_len"))).otherwise(0.0)))
+      .withColumn("bleu",
+        when(allPos, col("bp") * exp(logSum / maxN)).otherwise(0.0))
+      .select(col("__id").as(idCol) +: col("cand_len") +: col("ref_len") +:
+        ((1 to maxN).map(n => col(s"p$n")) ++
+          Seq(col("bp"), col("bleu"))): _*)
+  }
+
+  /** ROUGE-N recall (Lin 2004) per (candidate, reference) pair — BLEU's
+    * recall-side complement, the summarization-eval convention: clipped
+    * n-gram overlap over the REFERENCE total,
+    * recall = Σ_g min(tf_cand, tf_ref) / Σ_g tf_ref. A reference shorter
+    * than n tokens reports a null recall (no grams to recall). Returns
+    * one row per pair: (id, n_overlap, n_ref, recall). Same counting
+    * core and shape as [[bleu]], one n.
+    */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8]: $n")
+    val base = pairs.select(col(idCol).as("__id"),
+      col(candCol).as("__cand"), col(refCol).as("__ref"))
+    base.select("__id")
+      .join(clippedNgramOverlap(base, n), Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col(s"__clip$n"), lit(0L)).as("n_overlap"),
+        coalesce(col(s"__rtot$n"), lit(0L)).as("n_ref"),
+        when(coalesce(col(s"__rtot$n"), lit(0L)) > 0,
+          coalesce(col(s"__clip$n"), lit(0L)).cast("double") /
+            col(s"__rtot$n")).as("recall"))
+  }
 }

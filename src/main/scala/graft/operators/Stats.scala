@@ -2313,4 +2313,40 @@ object Stats {
         col("match_rate"), col("mean_y_treated"), col("mean_y_control"),
         col("att"), col("se_att"))
   }
+
+  /** Benjamini–Hochberg FDR control (1995) over a table of per-test
+    * p-values — the multiple-testing gate an experiment platform needs
+    * the moment one readout carries many metrics ([[welchT]],
+    * [[mcnemar]], [[permutationTest]], [[logRank]] all emit p-values;
+    * testing 40 metrics at α=.05 expects 2 false pages without it).
+    * Step-up rule via the adjusted p-value identity:
+    * p_adj(i) = min(1, min_{j ≥ i} m·p_(j)/j) over the ascending p order
+    * (the monotone suffix min), and reject where p_adj ≤ q — equivalent
+    * to the classic "largest k with p_(k) ≤ k·q/m" cut, but each test
+    * carries its own reusable number. Ties order by (p, test id) —
+    * deterministic, and tied p-values share a p_adj by the suffix min.
+    * Returns one row per test: (test, p, rank, m, p_adj, rejected).
+    *
+    * Two [[Ranks.running]] passes over the test-count table (rank, then
+    * suffix min of m·p/rank — the second pass needs the first's rank) —
+    * distributed, no single-task sort of the test domain; m is a one-row
+    * broadcast.
+    */
+  def bhFdr(df: DataFrame, testCol: String, pCol: String,
+            q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1): $q")
+    val base = df.select(col(testCol).as("test"),
+      col(pCol).cast("double").as("p"))
+    val m = base.agg(count(lit(1)).as("m"))
+    val ranked = Ranks.running(base, Seq(col("p"), col("test")),
+        rankCol = Some("rank"))
+      .crossJoin(broadcast(m))
+      .withColumn("__raw",
+        col("m").cast("double") * col("p") / col("rank"))
+    Ranks.running(ranked, Seq(col("p"), col("test")),
+        suffixMins = Seq("__raw" -> "__sfx"))
+      .withColumn("p_adj", least(col("__sfx"), lit(1.0)))
+      .withColumn("rejected", col("p_adj") <= q)
+      .select("test", "p", "rank", "m", "p_adj", "rejected")
+  }
 }

@@ -911,6 +911,34 @@ object ScaleCheck {
           "doc_id", "text", Seq("spark", "join", "window"),
           fbDocs = 5, fbTerms = 10).count()
       },
+      "bleu" -> { dir =>
+        // maxN token-scale explode/count/join passes over the pair table
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val pairs = docs(dir).select(col("doc_id"),
+          col("text").as("cand"),
+          array_join(slice(toks, lit(1),
+            greatest(size(toks) - 2, lit(0))), " ").as("ref"))
+        graft.operators.Quality.bleu(pairs, "doc_id", "cand", "ref")
+          .count()
+      },
+      "rouge" -> { dir =>
+        // one clipped-overlap pass (explode both sides, one full join)
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val pairs = docs(dir).select(col("doc_id"),
+          col("text").as("cand"),
+          array_join(slice(toks, lit(1),
+            greatest(size(toks) - 2, lit(0))), " ").as("ref"))
+        graft.operators.Quality.rougeN(pairs, "doc_id", "cand", "ref")
+          .count()
+      },
+      "bh_fdr" -> { dir =>
+        // two Ranks.running passes over the test-count table
+        graft.operators.Stats.bhFdr(
+          docs(dir).groupBy(floor(col("doc_id") / 8).as("test"))
+            .agg((min(pmod(col("doc_id") * 37, lit(997))).cast("double") /
+              996.0).as("p")),
+          "test", "p").count()
+      },
       "bm25f" -> { dir =>
         // one scan per field, query-term filtered scan-side; (doc,term)
         // combine rows are |query|·matches, never corpus-sized

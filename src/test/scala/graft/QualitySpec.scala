@@ -829,4 +829,54 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_hapax")).toMap
     assert(got("s1") === 0L && got("s2") === 2L)
   }
+  test("bleu: clipped precisions, brevity penalty, identity pair = 1") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),        // identity: every pn=1, bleu=1
+      (2L, "the the the", "the cat"),    // clipping: p1 = min(3,1)/3
+      (3L, "a b", "a b c d e f"))        // short candidate: BP binds
+      .toDF("id", "cand", "ref")
+    val got = Quality.bleu(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Double]("p1") === 1.0 && r1.getAs[Double]("p4") === 1.0)
+    assert(r1.getAs[Double]("bp") === 1.0)
+    assert(math.abs(r1.getAs[Double]("bleu") - 1.0) < 1e-12)
+    val r2 = got(2L)
+    assert(math.abs(r2.getAs[Double]("p1") - 1.0 / 3) < 1e-12)
+    // bigrams "the the" x2 never match "the cat" -> p2 = 0 -> bleu 0
+    assert(r2.getAs[Double]("p2") === 0.0)
+    assert(r2.getAs[Double]("bleu") === 0.0)
+    val r3 = got(3L)
+    // cand 2 tokens < maxN=4: no 3/4-grams -> p3/p4 null -> bleu 0;
+    // BP = exp(1 - 6/2) still reported
+    assert(r3.isNullAt(r3.fieldIndex("p3")))
+    assert(math.abs(r3.getAs[Double]("bp") - math.exp(1.0 - 3.0)) < 1e-12)
+    assert(r3.getAs[Double]("bleu") === 0.0)
+  }
+
+  test("bleu: repeated matched grams credit only up to the reference " +
+    "count; geometric mean in log space") {
+    // cand "a a b": unigrams clip = min(2,1)+min(1,1) = 2 of 3; bigrams
+    // "a a","a b" vs ref "a b" -> clip 1 of 2
+    val pairs = Seq((1L, "a a b", "a b")).toDF("id", "cand", "ref")
+    val r = Quality.bleu(pairs, "id", "cand", "ref", maxN = 2).head()
+    assert(math.abs(r.getAs[Double]("p1") - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p2") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bleu") -
+      math.exp((math.log(2.0 / 3) + math.log(0.5)) / 2)) < 1e-12)
+  }
+
+  test("rougeN: recall over the reference total; short reference is null") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b x"),   // ref bigrams: "a b","b x" -> 1 of 2
+      (2L, "a b", "z"))           // 1-token ref has no bigrams
+      .toDF("id", "cand", "ref")
+    val got = Quality.rougeN(pairs, "id", "cand", "ref", n = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_overlap") === 1L)
+    assert(got(1L).getAs[Long]("n_ref") === 2L)
+    assert(math.abs(got(1L).getAs[Double]("recall") - 0.5) < 1e-12)
+    assert(got(2L).getAs[Long]("n_ref") === 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("recall")))
+  }
 }

@@ -1356,4 +1356,32 @@ class StatsSpec extends AnyFunSuite {
       "stratum", caliper = 0.05).head()
     assert(d(r.getAs[Double]("att"), 7.0))
   }
+  test("bhFdr: step-up adjusted p-values match the textbook example; " +
+    "rejection set is the suffix-min cut") {
+    // p = .01,.02,.03,.5 at m=4: raw m*p/i = .04,.04,.04,.5 -> suffix
+    // mins .04,.04,.04,.5; q=.1 rejects the first three
+    val tests = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.5))
+      .toDF("test", "p")
+    val got = Stats.bhFdr(tests, "test", "p", q = 0.1)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.forall(_.getAs[Long]("m") === 4L))
+    assert(got.take(3).forall(r =>
+      d(r.getAs[Double]("p_adj"), 0.04) && r.getAs[Boolean]("rejected")))
+    assert(d(got(3).getAs[Double]("p_adj"), 0.5))
+    assert(!got(3).getAs[Boolean]("rejected"))
+  }
+
+  test("bhFdr: adjusted p caps at 1; a p smaller than a later one can " +
+    "inherit the later raw value through the suffix min") {
+    // p=.6 at rank 1 of 2: raw 1.2 -> suffix min(1.2, .7) = .7 (the BH
+    // monotonicity fix); rank 2 raw .7; both cap under 1
+    val tests = Seq(("a", 0.6), ("b", 0.7)).toDF("test", "p")
+    val got = Stats.bhFdr(tests, "test", "p").orderBy("rank").collect()
+    assert(d(got(0).getAs[Double]("p_adj"), 0.7))
+    assert(d(got(1).getAs[Double]("p_adj"), 0.7))
+    val one = Stats.bhFdr(Seq(("x", 0.9)).toDF("test", "p"), "test", "p")
+      .head()
+    assert(d(one.getAs[Double]("p_adj"), 0.9)) // m*p/1 = .9, no cap needed
+  }
 }
