@@ -830,14 +830,19 @@ object Oracles {
     * recipe as the Spark gate), then for each n a FULL-join of the two
     * gram-count tables mirroring `Quality.clippedNgramOverlap`.
     */
+  /** The q324/q325/q327 pair derivation: cand = raw text, ref = text
+    * minus its last two tokens (the Spark gates' slice recipe).
+    */
+  private val pairCtes: String =
+    "WITH tkn AS (SELECT doc_id, text, list_filter(string_split(text, " +
+      "' '), x -> len(x) > 0) AS t FROM documents), " +
+      "pr AS (SELECT doc_id, text AS cand, " +
+      "array_to_string(list_slice(t, 1, greatest(len(t) - 2, 0)), ' ') " +
+      "AS ref FROM tkn)"
+
   private def evalPairHead(ns: Seq[Int]): String = {
-    val head =
-      "WITH tkn AS (SELECT doc_id, text, list_filter(string_split(text, " +
-        "' '), x -> len(x) > 0) AS t FROM documents), " +
-        "pr AS (SELECT doc_id, text AS cand, " +
-        "array_to_string(list_slice(t, 1, greatest(len(t) - 2, 0)), ' ') " +
-        "AS ref FROM tkn), " +
-        s"base AS (SELECT doc_id, ${shingleToks("cand")} AS ct, " +
+    val head = pairCtes +
+      s", base AS (SELECT doc_id, ${shingleToks("cand")} AS ct, " +
         s"${shingleToks("ref")} AS rt FROM pr), " +
         "lens AS (SELECT doc_id, CAST(len(ct) AS BIGINT) AS cand_len, " +
         "CAST(len(rt) AS BIGINT) AS ref_len FROM base)"
@@ -896,6 +901,53 @@ object Oracles {
       s"CAST(coalesce(a$n.clip, 0) AS DOUBLE) / a$n.rtot END, 6) " +
       s"AS recall FROM lens LEFT JOIN a$n ON lens.doc_id = a$n.doc_id " +
       "ORDER BY lens.doc_id"
+
+  /** chrF: char n-gram clipped overlaps over whitespace-stripped
+    * lowercased text, macro-averaged P/R over orders with grams, F_β —
+    * op order mirrors `Quality.chrF` (β = 2 literals 5.0/4.0).
+    */
+  private def chrfSql(maxN: Int): String = {
+    val head = pairCtes +
+      ", base AS (SELECT doc_id, " +
+      "regexp_replace(lower(trim(cand)), '\\s+', '', 'g') AS ct, " +
+      "regexp_replace(lower(trim(ref)), '\\s+', '', 'g') AS rt FROM pr)"
+    val perN = (1 to maxN).map { n =>
+      def grams(src: String) =
+        s"[substr($src, i, $n) for i in range(1, len($src) - $n + 2)]"
+      s"cg$n AS (SELECT doc_id, unnest(${grams("ct")}) AS g FROM base), " +
+        s"cc$n AS (SELECT doc_id, g, count(*) AS cc FROM cg$n " +
+        "GROUP BY 1, 2), " +
+        s"rg$n AS (SELECT doc_id, unnest(${grams("rt")}) AS g FROM base), " +
+        s"rc$n AS (SELECT doc_id, g, count(*) AS rc FROM rg$n " +
+        "GROUP BY 1, 2), " +
+        s"a$n AS (SELECT doc_id, " +
+        "sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS clip, " +
+        "sum(coalesce(cc, 0)) AS ctot, sum(coalesce(rc, 0)) AS rtot " +
+        s"FROM cc$n FULL JOIN rc$n USING (doc_id, g) GROUP BY 1)"
+    }.mkString(", ", ", ", "")
+    def avgOver(tot: String): String = {
+      val num = (1 to maxN).map { n =>
+        s"CASE WHEN coalesce(a$n.$tot, 0) > 0 THEN " +
+          s"CAST(coalesce(a$n.clip, 0) AS DOUBLE) / a$n.$tot " +
+          "ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = (1 to maxN).map { n =>
+        s"CASE WHEN coalesce(a$n.$tot, 0) > 0 THEN 1.0 ELSE 0.0 END"
+      }.mkString(" + ")
+      s"CASE WHEN ($den) > 0 THEN ($num) / ($den) ELSE 0.0 END"
+    }
+    val joins = (1 to maxN)
+      .map(n => s"LEFT JOIN a$n ON base.doc_id = a$n.doc_id").mkString(" ")
+    head + perN +
+      s", f AS (SELECT base.doc_id, ${avgOver("ctot")} AS chr_p, " +
+      s"${avgOver("rtot")} AS chr_r FROM base $joins), " +
+      "g AS (SELECT *, CASE WHEN chr_p + chr_r > 0 THEN " +
+      "5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) ELSE 0.0 END " +
+      "AS chrf FROM f) " +
+      "SELECT doc_id, round(chr_p, 6) AS chr_p, " +
+      "round(chr_r, 6) AS chr_r, round(chrf, 6) AS chrf FROM g " +
+      "ORDER BY doc_id"
+  }
 
   /** Unrolled synchronous k-core peeling over the q160 planted-core graph
     * (ring + ids < 40 chorded to +2/+3/+4 mod 40) — one (keep, filter)
@@ -2722,6 +2774,7 @@ object Oracles {
     // overlap FULL-join machinery (evalPairHead), op order mirrored.
     "q324_bleu" -> bleuSql(4),
     "q325_rouge" -> rougeSql(2),
+    "q327_chrf" -> chrfSql(6),
 
     // Benjamini–Hochberg: ascending (p, test) rank, m·p/rank suffix min,
     // cap at 1 — rejected computed on the UNROUNDED p_adj like the op.

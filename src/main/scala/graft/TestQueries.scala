@@ -5133,6 +5133,19 @@ object TestQueries {
         round(col("p_adj"), 6).as("p_adj"), col("rejected"))
       .orderBy("test")
 
+  /** chrF ([[operators.Quality.chrF]]): q324's pairing at the character
+    * level — whitespace-stripped char n-grams survive the tokenizer, so
+    * the 2-token truncation costs recall but keeps precision 1 wherever
+    * the candidate's grams all appear in the reference's suffix-free
+    * prefix; the F_2 curve the oracle replays per pair.
+    */
+  def q327Chrf(s: SparkSession, dir: String): DataFrame =
+    operators.Quality.chrF(evalPairs(s, dir), "doc_id", "cand", "ref")
+      .select(col("doc_id"), round(col("chr_p"), 6).as("chr_p"),
+        round(col("chr_r"), 6).as("chr_r"),
+        round(col("chrf"), 6).as("chrf"))
+      .orderBy("doc_id")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5605,6 +5618,7 @@ object TestQueries {
     "q324_bleu" -> (q324Bleu _),
     "q325_rouge" -> (q325Rouge _),
     "q326_bh_fdr" -> (q326BhFdr _),
+    "q327_chrf" -> (q327Chrf _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

@@ -1356,14 +1356,14 @@ object Quality {
     * One explode per side, a (pair, gram)-keyed count + join — rows are
     * token-scale, never pair-crossed.
     */
-  private def clippedNgramOverlap(pairs: DataFrame, n: Int): DataFrame = {
+  private def clippedNgramOverlap(pairs: DataFrame, n: Int,
+      grams: (Column, Int) => Column =
+        graft.functions.Text.shingles): DataFrame = {
     val cn = pairs
-      .select(col("__id"),
-        explode(graft.functions.Text.shingles(col("__cand"), n)).as("__g"))
+      .select(col("__id"), explode(grams(col("__cand"), n)).as("__g"))
       .groupBy("__id", "__g").agg(count(lit(1)).as("__cc"))
     val rn = pairs
-      .select(col("__id"),
-        explode(graft.functions.Text.shingles(col("__ref"), n)).as("__g"))
+      .select(col("__id"), explode(grams(col("__ref"), n)).as("__g"))
       .groupBy("__id", "__g").agg(count(lit(1)).as("__rc"))
     cn.join(rn, Seq("__id", "__g"), "full")
       .groupBy("__id")
@@ -1446,5 +1446,65 @@ object Quality {
         when(coalesce(col(s"__rtot$n"), lit(0L)) > 0,
           coalesce(col(s"__clip$n"), lit(0L)).cast("double") /
             col(s"__rtot$n")).as("recall"))
+  }
+
+  /** chrF (Popović 2015) per (candidate, reference) pair — the
+    * character-level eval metric that survives tokenizer and morphology
+    * differences where word BLEU breaks: clipped character n-gram
+    * matches for n = 1..maxN over whitespace-stripped lowercased text
+    * (the corpus lowercasing convention — standard chrF is
+    * case-sensitive; documented deviation), macro-averaged precision and
+    * recall over the orders that HAVE grams on the respective side, then
+    * F_β = (1+β²)·P·R / (β²·P + R) with the recall-weighted β = 2
+    * default. A pair with no grams at all (or P+R = 0) scores 0.
+    * Returns one row per pair: (id, chr_p, chr_r, chrf).
+    *
+    * Same counting core and shape as [[bleu]] (maxN token-scale
+    * explode/count/join passes); the cleaned strings project FIRST and
+    * the gram lambda only references the bound column — an inline
+    * regexp_replace inside the HOF would re-clean per character (the
+    * q50b per-element re-evaluation lesson).
+    */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]: $maxN")
+    require(beta > 0, s"beta must be positive: $beta")
+    def cleaned(c: Column): Column =
+      regexp_replace(lower(trim(c)), "\\s+", "")
+    val base = pairs.select(col(idCol).as("__id"),
+        cleaned(col(candCol)).as("__cand"),
+        cleaned(col(refCol)).as("__ref"))
+      .localCheckpoint() // scanned once per n
+    // sequence(1, 0) would run DESCENDING ([1,0]) — guard short strings
+    def grams(c: Column, n: Int): Column =
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - n + 1),
+          i => c.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val joined = (1 to maxN)
+      .map(n => clippedNgramOverlap(base, n, grams))
+      .foldLeft(base.select("__id"))((acc, p) =>
+        acc.join(p, Seq("__id"), "left"))
+    def avgOver(tot: Int => Column): Column = {
+      val num = (1 to maxN).map { n =>
+        when(coalesce(tot(n), lit(0L)) > 0,
+          coalesce(col(s"__clip$n"), lit(0L)).cast("double") / tot(n))
+          .otherwise(0.0)
+      }.reduce(_ + _)
+      val den = (1 to maxN)
+        .map(n => when(coalesce(tot(n), lit(0L)) > 0, 1.0).otherwise(0.0))
+        .reduce(_ + _)
+      when(den > 0, num / den).otherwise(0.0)
+    }
+    val b2 = beta * beta
+    joined
+      .withColumn("chr_p", avgOver(n => col(s"__ctot$n")))
+      .withColumn("chr_r", avgOver(n => col(s"__rtot$n")))
+      .withColumn("chrf",
+        when(col("chr_p") + col("chr_r") > 0,
+          lit(1 + b2) * col("chr_p") * col("chr_r") /
+            (lit(b2) * col("chr_p") + col("chr_r"))).otherwise(0.0))
+      .select(col("__id").as(idCol), col("chr_p"), col("chr_r"),
+        col("chrf"))
   }
 }

@@ -931,6 +931,17 @@ object ScaleCheck {
         graft.operators.Quality.rougeN(pairs, "doc_id", "cand", "ref")
           .count()
       },
+      "chrf" -> { dir =>
+        // maxN char-scale explode/count/join passes; cleaned strings
+        // project before the gram HOF
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val pairs = docs(dir).select(col("doc_id"),
+          col("text").as("cand"),
+          array_join(slice(toks, lit(1),
+            greatest(size(toks) - 2, lit(0))), " ").as("ref"))
+        graft.operators.Quality.chrF(pairs, "doc_id", "cand", "ref")
+          .count()
+      },
       "bh_fdr" -> { dir =>
         // two Ranks.running passes over the test-count table
         graft.operators.Stats.bhFdr(

@@ -879,4 +879,32 @@ class QualitySpec extends AnyFunSuite {
     assert(got(2L).getAs[Long]("n_ref") === 0L)
     assert(got(2L).isNullAt(got(2L).fieldIndex("recall")))
   }
+  test("chrF: whitespace/case-stripped identity = 1; orders without " +
+    "grams drop out of the respective macro average") {
+    val pairs = Seq(
+      (1L, "A B cd", "ab cd"),  // cleaned both "abcd": identity
+      (2L, "abcd", "ab"))       // asymmetric: precision pays, recall 1
+      .toDF("id", "cand", "ref")
+    val got = Quality.chrF(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(math.abs(got(1L).getAs[Double]("chrf") - 1.0) < 1e-12)
+    val r2 = got(2L)
+    // P over cand orders 1..4: (2/4 + 1/3 + 0 + 0)/4; R over ref orders
+    // 1..2: (1 + 1)/2 = 1; F2 = 5PR/(4P + R)
+    val p = (0.5 + 1.0 / 3) / 4
+    assert(math.abs(r2.getAs[Double]("chr_p") - p) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("chr_r") - 1.0) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("chrf") -
+      5.0 * p / (4.0 * p + 1.0)) < 1e-12)
+  }
+
+  test("chrF: disjoint pair scores 0; empty side is a guarded 0") {
+    val pairs = Seq((1L, "abc", "xyz"), (2L, "abc", " "))
+      .toDF("id", "cand", "ref")
+    val got = Quality.chrF(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(1L).getAs[Double]("chrf") === 0.0)
+    assert(got(2L).getAs[Double]("chr_r") === 0.0)
+    assert(got(2L).getAs[Double]("chrf") === 0.0)
+  }
 }
