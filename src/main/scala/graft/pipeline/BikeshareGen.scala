@@ -210,9 +210,17 @@ object BikeshareGen {
     */
   def runAll(spark: SparkSession, scale: Double): DataFrame = {
     val w = warehouseCached(spark, scale)
+    // the four outputs the invariant rows below ALSO consume — shared
+    // PLAN subtrees (no checkpoint: an eager pin is a serial extra job,
+    // while inside the one union job the duplicated aggregation
+    // exchanges dedupe via ReusedExchange)
+    val q2df = BikesharePipeline.q2TotalDurationByDayOfWeek(w)
+    val q12df = BikesharePipeline.q12TotalDurationByMembership(w)
+    val q13df = BikesharePipeline.paymentsByDatePart(w, "month", "sum")
+    val q17df = BikesharePipeline.paymentsByDatePart(w, "year", "sum")
     val qs: Seq[(String, DataFrame)] = Seq(
       "q1_avg_duration_dow" -> BikesharePipeline.q1AvgDurationByDayOfWeek(w),
-      "q2_total_duration_dow" -> BikesharePipeline.q2TotalDurationByDayOfWeek(w),
+      "q2_total_duration_dow" -> q2df,
       "q3_avg_duration_start" -> BikesharePipeline.q3AvgDurationByStartTime(w),
       "q4_total_duration_start" -> BikesharePipeline.q4TotalDurationByStartTime(w),
       "q5_avg_duration_sstation" -> BikesharePipeline.q5AvgDurationByStartStation(w),
@@ -222,12 +230,12 @@ object BikeshareGen {
       "q9_total_duration_age" -> BikesharePipeline.q9TotalDurationByAge(w),
       "q10_avg_duration_age" -> BikesharePipeline.q10AvgDurationByAge(w),
       "q11_avg_duration_member" -> BikesharePipeline.q11AvgDurationByMembership(w),
-      "q12_total_duration_member" -> BikesharePipeline.q12TotalDurationByMembership(w),
-      "q13_sum_month" -> BikesharePipeline.paymentsByDatePart(w, "month", "sum"),
+      "q12_total_duration_member" -> q12df,
+      "q13_sum_month" -> q13df,
       "q14_avg_month" -> BikesharePipeline.paymentsByDatePart(w, "month", "avg"),
       "q15_sum_quarter" -> BikesharePipeline.paymentsByDatePart(w, "quarter", "sum"),
       "q16_avg_quarter" -> BikesharePipeline.paymentsByDatePart(w, "quarter", "avg"),
-      "q17_sum_year" -> BikesharePipeline.paymentsByDatePart(w, "year", "sum"),
+      "q17_sum_year" -> q17df,
       "q18_avg_year" -> BikesharePipeline.paymentsByDatePart(w, "year", "avg"),
       "q19_sum_member_age" -> BikesharePipeline.memberPaymentsByAge(w, "sum"),
       "q20_avg_member_age" -> BikesharePipeline.memberPaymentsByAge(w, "avg"),
@@ -247,8 +255,9 @@ object BikeshareGen {
         .select(lit(name).as("query"), col("n_rows"),
           col("control_total").cast("double").as("control_total"))
     }.reduce(_ unionByName _)
-    // Invariant-golden rows: derived from the query OUTPUTS above (≤12-row
-    // frames, no extra fact scan beyond the queries' own aggregates), they
+    // Invariant-golden rows: derived from the query outputs above
+    // (≤12-row frames, no extra fact scan beyond the queries' own
+    // aggregates), they
     // make the rows-only gate SELF-VALIDATING — the conservation residuals
     // must read exactly 0.00 (group sums re-adding to the global totals:
     // the property that breaks when a join type, key, or dim span is
@@ -256,24 +265,27 @@ object BikeshareGen {
     // at this scale (the generator is deterministic), so the driver's
     // hash of q129 pins VALUES, not just shape. BikeshareScaleSpec
     // asserts the same numbers against independent aggregates.
-    val dur = BikesharePipeline.q2TotalDurationByDayOfWeek(w)
+    val dur = q2df
       .agg(sum(col("total_duration").cast("double")).as("a"),
         count(lit(1)).as("cd"))
-    val durM = BikesharePipeline.q12TotalDurationByMembership(w)
+    val durM = q12df
       .agg(sum(col("total_duration").cast("double")).as("b"),
         sum(when(col("is_member"), col("total_duration").cast("double"))
           .otherwise(0.0)).as("mem"),
         count(lit(1)).as("cm"))
-    val pay = BikesharePipeline.paymentsByDatePart(w, "month", "sum")
+    val pay = q13df
       .agg(sum(col("total_amount").cast("double")).as("p"),
         count(lit(1)).as("cp"))
-    val payY = BikesharePipeline.paymentsByDatePart(w, "year", "sum")
+    val payY = q17df
       .agg(sum(col("total_amount").cast("double")).as("py"),
         count(lit(1)).as("cy"))
+    // ONE invariant branch: the 5 rows explode out of a struct array
+    // over the single one-row crossJoin, so the four source aggregations
+    // appear once in the final plan (5 separate union branches would
+    // re-evaluate them up to 5x, and an eager pin is a serial extra job)
     val one = dur.crossJoin(broadcast(durM)).crossJoin(broadcast(pay))
       .crossJoin(broadcast(payY))
-      .localCheckpoint() // one row; pin so 5 selects evaluate it once
-    Seq[(String, Column, Column)](
+    val invRows = Seq[(String, Column, Column)](
       ("_inv_total_duration", col("cd"), round(col("a"), 2)),
       ("_inv_duration_dow_vs_member", col("cm"),
         round(col("a") - col("b"), 2)),
@@ -283,9 +295,13 @@ object BikeshareGen {
       ("_inv_payments_month_vs_year", col("cy"),
         round(col("p") - col("py"), 2)))
       .map { case (n, c, v) =>
-        one.select(lit(n).as("query"), c.as("n_rows"),
+        struct(lit(n).as("query"), c.as("n_rows"),
           v.cast("double").as("control_total"))
       }
-      .foldLeft(base)(_ unionByName _)
+    val inv = one
+      .select(explode(array(invRows: _*)).as("__r"))
+      .select(col("__r.query"), col("__r.n_rows"),
+        col("__r.control_total"))
+    base.unionByName(inv)
   }
 }

@@ -258,6 +258,32 @@ class PlanSpec extends AnyFunSuite {
       "alwaysValidCuped must ride Ranks.running's partitioned carry")
   }
 
+  test("round-16 operators: keyed joins only, partitioned carries, " +
+    "scan-side query-term filters") {
+    // the eval family's per-n combines are (pair, gram)-keyed joins —
+    // never a cartesian, and BLEU's lengths are scan-side expressions
+    for (q <- Seq("q324_bleu", "q325_rouge", "q327_chrf",
+      "q322_bm25f", "q326_bh_fdr", "q323_alwaysvalid_srm")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+    // bhFdr's rank and suffix min both ride Ranks.running — a raw
+    // ORDER BY p window would funnel the test domain through one task
+    assert(planOf("q326_bh_fdr").contains("__rk_pid"),
+      "bhFdr must ride Ranks.running's partitioned carry")
+    // the sequential SRM guard shares the alwaysValid cumulative shape
+    assert(planOf("q323_alwaysvalid_srm").contains("__rk_pid"),
+      "alwaysValidSrm must ride Ranks.running's partitioned carry")
+    // bm25f filters to query terms scan-side: the exploded-term rows
+    // that survive are |query|·matches, so no corpus-sized shuffle —
+    // visible as the isin filter below (or inside) the explode, never
+    // above the per-(doc,term) aggregate
+    val bf = planOf("q322_bm25f")
+    assert(bf.contains("spark") && bf.contains("Generate"),
+      "bm25f must explode with the query-term filter visible in-plan")
+  }
+
   test("no data-scale window runs a shrinking frame (O(n²) per partition)") {
     // Spark evaluates (currentRow, unboundedFollowing) by recomputing the
     // aggregate from scratch at EVERY row; the forward as-of carry and
