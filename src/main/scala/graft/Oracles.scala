@@ -2772,6 +2772,32 @@ object Oracles {
 
     // Segment BLEU / ROUGE-2: generated pair derivation + per-n clipped
     // overlap FULL-join machinery (evalPairHead), op order mirrored.
+    // Dirichlet query likelihood: scan-side per-term tf (list_filter
+    // counts), one-row cf totals, ln arithmetic mirrored term for term.
+    "q328_query_likelihood" -> {
+      val ts = Seq("spark", "join", "window")
+      def tfOf(t: String) = s"len(list_filter(t, x -> x = '$t'))"
+      val cfs = ts.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(${tfOf(t)}) AS BIGINT) AS cf$i"
+      }.mkString(", ")
+      val logs = ts.zipWithIndex.map { case (t, i) =>
+        s"ln((CAST(${tfOf(t)} AS DOUBLE) + 300.0 * " +
+          s"(CAST(cf$i AS DOUBLE) / ctot)) / (dl + 300.0))"
+      }.mkString(" + ")
+      val nm = ts.map(t => s"CASE WHEN ${tfOf(t)} > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      "WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0) AS t FROM documents), " +
+        "b2 AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl " +
+        "FROM base), " +
+        s"cf AS (SELECT $cfs, CAST(sum(len(t)) AS BIGINT) AS ctot " +
+        "FROM b2), " +
+        s"s AS (SELECT doc_id, $logs AS score, $nm AS nm FROM b2, cf) " +
+        "SELECT doc_id, round(score, 6) AS score, " +
+        "CAST(nm AS BIGINT) AS n_terms_matched FROM s " +
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    },
+
     "q324_bleu" -> bleuSql(4),
     "q325_rouge" -> rougeSql(2),
     "q327_chrf" -> chrfSql(6),

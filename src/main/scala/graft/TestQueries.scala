@@ -5146,6 +5146,18 @@ object TestQueries {
         round(col("chrf"), 6).as("chrf"))
       .orderBy("doc_id")
 
+  /** Dirichlet query likelihood ([[operators.Retrieval.queryLikelihood]]):
+    * the q139 query under the language-modeling scorer, μ=300 for the
+    * short synthetic docs — shuffle-free by construction (scan-side
+    * per-term tf + one-row cf broadcast), exact rationals into ln.
+    */
+  def q328QueryLikelihood(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.queryLikelihood(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "join", "window"),
+        mu = 300.0, topK = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"),
+        col("n_terms_matched"))
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5619,6 +5631,7 @@ object TestQueries {
     "q325_rouge" -> (q325Rouge _),
     "q326_bh_fdr" -> (q326BhFdr _),
     "q327_chrf" -> (q327Chrf _),
+    "q328_query_likelihood" -> (q328QueryLikelihood _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

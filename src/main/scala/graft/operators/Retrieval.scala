@@ -125,6 +125,54 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    * 2001) — the language-modeling alternative to [[bm25]]:
+    * {{{ score(d) = Σ_t ln( (tf(t,d) + μ·cf(t)/|C|) / (dl + μ) ) }}}
+    * where cf is the term's collection frequency and μ the Dirichlet
+    * pseudo-count. Smoothing means EVERY document scores on every term
+    * (a missing term contributes the collection prior, not −∞), so the
+    * ranking reflects both presence and document length without BM25's
+    * two tuning knobs. Ties cut by (score desc, id). Returns the topK:
+    * (doc_id, score, n_terms_matched).
+    *
+    * Shape for scale — deliberately SHUFFLE-FREE: per-term tf comes from
+    * counting the document's own token array scan-side (query terms are
+    * a bounded literal list — no explode, no (doc, term) shuffle);
+    * collection frequencies are |query| conditional sums in ONE
+    * aggregate, broadcast back as a one-row frame; the only movement is
+    * the TakeOrderedAndProject top-k. Everything between scan and top-k
+    * is codegen'd row-local arithmetic.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], mu: Double = 2000.0,
+                      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(mu > 0, s"mu must be positive: $mu")
+    require(topK > 0, s"topK must be positive: $topK")
+    val base = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("__toks"))
+      .withColumn("__toks", filter(col("__toks"), t => length(t) > 0))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+    val cfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(size(filter(col("__toks"), x => x === lit(t))).cast("long"))
+        .as(s"__cf$i")
+    } :+ sum(size(col("__toks")).cast("long")).as("__ctot")
+    val cf = base.agg(cfAggs.head, cfAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(cf))
+    val terms = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t)))
+        .cast("double")
+      val prior = lit(mu) * (col(s"__cf$i").cast("double") / col("__ctot"))
+      (log((tf + prior) / (col("dl") + mu)), (tf > 0).cast("long"))
+    }
+    scored
+      .withColumn("score", terms.map(_._1).reduce(_ + _))
+      .withColumn("n_terms_matched", terms.map(_._2).reduce(_ + _))
+      .select(col("doc_id"), col("score"), col("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Pseudo-relevance feedback (the RM3 relevance-model idea, Lavrenko &
     * Croft 2001): run [[bm25]], treat the top `fbDocs` hits as
     * pseudo-relevant, and score every term in them by

@@ -950,6 +950,13 @@ object ScaleCheck {
               996.0).as("p")),
           "test", "p").count()
       },
+      "query_likelihood" -> { dir =>
+        // one scan (per-term tf from the token array) + one-row cf
+        // broadcast + TakeOrdered — shuffle-free by construction
+        graft.operators.Retrieval.queryLikelihood(docs(dir), "doc_id",
+          "text", Seq("spark", "join", "window"), mu = 300.0,
+          topK = 10).count()
+      },
       "bm25f" -> { dir =>
         // one scan per field, query-term filtered scan-side; (doc,term)
         // combine rows are |query|·matches, never corpus-sized

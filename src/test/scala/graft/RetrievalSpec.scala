@@ -189,6 +189,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got("q2") === 0.0) // disjoint, but the group still reports
   }
 
+  test("queryLikelihood: Dirichlet smoothing scores every doc; exact " +
+    "closed forms; absent term contributes the collection prior") {
+    // corpus: 9 tokens, cf(a)=3 → p(a|C)=1/3; μ=1
+    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.queryLikelihood(docs, "doc_id", "text",
+        Seq("a"), mu = 1.0, topK = 10)
+      .orderBy(org.apache.spark.sql.functions.col("score").desc)
+      .collect()
+    assert(got.length === 3) // smoothing ranks non-matching docs too
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(math.abs(got(0).getAs[Double]("score") -
+      math.log((2 + 1.0 / 3) / 4)) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("score") -
+      math.log((1 + 1.0 / 3) / 4)) < 1e-12)
+    assert(math.abs(got(2).getAs[Double]("score") -
+      math.log((1.0 / 3) / 4)) < 1e-12)
+    assert(got(0).getAs[Long]("n_terms_matched") === 1L)
+    assert(got(2).getAs[Long]("n_terms_matched") === 0L)
+  }
+
   test("bm25f: a title hit outranks the same hit in the body; " +
     "cross-field tf combines BEFORE saturation") {
     // all fields length 4 → every normalization denominator is exactly 1
