@@ -125,18 +125,22 @@ object Bench {
     // Self-adjudicating regression tripwire: any query the diff against
     // the previous mirror would flag (>= 0.5 s slower) is re-timed in
     // ISOLATION — min-of-3 fresh runs after the sweep, nothing else in
-    // flight — and the flag ships only if the re-time confirms the
-    // slowdown. The re-timed minimum replaces the sweep time, so a
+    // flight — and the flag ships confirmed only if the re-time repeats
+    // the slowdown. The re-timed minimum replaces the sweep time, so a
     // contended sweep slot can't become next round's false prior. Capped
-    // at 8 re-times (24 runs) to bound the adjudication phase.
+    // at 8 re-times (24 runs) to bound the adjudication phase; a
+    // candidate BEYOND the cap (a very noisy sweep) still ships its
+    // flag, marked "confirmed": false / retime_runs 0 — dropping it
+    // silently would let a real slowdown hide behind host noise.
     val confirmed =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
-    results.toSeq.flatMap { case (k, v) =>
+    val cands = results.toSeq.flatMap { case (k, v) =>
       prevTimes.get(k) match {
         case Some(p) if v > 0 && p > 0 && v - p >= 0.5 => Some((k, p, v))
         case _ => None
       }
-    }.sortBy { case (_, p, v) => -(v / p) }.take(8)
+    }.sortBy { case (_, p, v) => -(v / p) }
+    cands.take(8)
       .foreach { case (k, p, v) =>
         val fn = SparkEntry.queries(k)
         val re = (1 to 3).map(_ => timeOnce(k, fn, record = false).wall)
@@ -145,13 +149,14 @@ object Bench {
         results(k) = best
         if (best - p >= 0.5) confirmed(k) = (p, best, re.size)
       }
+    cands.drop(8).foreach { case (k, p, v) => confirmed(k) = (p, v, 0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val regs = confirmed.map { case (k, (p, v, n)) =>
-      s"""\"$k\":{\"prev\":$p,\"now\":$v,\"retime_runs\":$n,\"confirmed\":true}"""
+      s"""\"$k\":{\"prev\":$p,\"now\":$v,\"retime_runs\":$n,\"confirmed\":${n > 0}}"""
     }.mkString("{", ",", "}")
     val cont = contention.map { case (k, (r, prior, runs)) =>
       f"""\"$k\":{\"prev\":$prior%s,\"now\":${r.wall}%s,\"runs\":$runs%d,\"effective_cores\":${r.cores}%.2f,\"gc_sec\":${r.gc}%.2f}"""
