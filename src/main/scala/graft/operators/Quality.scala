@@ -1356,9 +1356,16 @@ object Quality {
     * One explode per side, a (pair, gram)-keyed count + join — rows are
     * token-scale, never pair-crossed.
     */
+  /** Word grams for the eval family: [[graft.functions.Text.shingles]]
+    * minus empty grams — shingles mirrors SQL `split`, whose split of an
+    * EMPTY string is `[""]`, so an empty candidate/reference would
+    * otherwise carry one phantom empty unigram (and a length of 1).
+    */
+  private def wordGrams(c: Column, n: Int): Column =
+    filter(graft.functions.Text.shingles(c, n), g => length(g) > 0)
+
   private def clippedNgramOverlap(pairs: DataFrame, n: Int,
-      grams: (Column, Int) => Column =
-        graft.functions.Text.shingles): DataFrame = {
+      grams: (Column, Int) => Column = wordGrams): DataFrame = {
     val cn = pairs
       .select(col("__id"), explode(grams(col("__cand"), n)).as("__g"))
       .groupBy("__id", "__g").agg(count(lit(1)).as("__cc"))
@@ -1397,10 +1404,8 @@ object Quality {
         col(candCol).as("__cand"), col(refCol).as("__ref"))
       .localCheckpoint() // scanned once per n
     val lens = base.select(col("__id"),
-      size(graft.functions.Text.shingles(col("__cand"), 1)).cast("long")
-        .as("cand_len"),
-      size(graft.functions.Text.shingles(col("__ref"), 1)).cast("long")
-        .as("ref_len"))
+      size(wordGrams(col("__cand"), 1)).cast("long").as("cand_len"),
+      size(wordGrams(col("__ref"), 1)).cast("long").as("ref_len"))
     val joined = (1 to maxN)
       .map(n => clippedNgramOverlap(base, n))
       .foldLeft(lens)((acc, p) => acc.join(p, Seq("__id"), "left"))

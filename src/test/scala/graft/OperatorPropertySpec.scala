@@ -379,4 +379,143 @@ class OperatorPropertySpec extends AnyFunSuite {
     // and every doc is accounted for exactly once: survivors \u222a victims = all
     assert(strict.subsetOf((1L to 30L).toSet))
   }
+
+  test("bleu == quadratic clipped-count reference on random token pairs") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val pairs = (1L to 40L).map(i =>
+      (i, sentence(rnd.nextInt(9)), sentence(rnd.nextInt(9))))
+    def toks(s: String) =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: Seq[String], n: Int) =
+      if (t.length < n) Seq.empty[String]
+      else t.sliding(n).map(_.mkString(" ")).toSeq
+    def counts(g: Seq[String]) =
+      g.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = pairs.map { case (id, cand, ref) =>
+      val (ct, rt) = (toks(cand), toks(ref))
+      val pn = (1 to 4).map { n =>
+        val cc = counts(grams(ct, n)); val rc = counts(grams(rt, n))
+        val tot = cc.values.sum
+        if (tot == 0) None
+        else Some(cc.map { case (g, c) =>
+          math.min(c, rc.getOrElse(g, 0L)) }.sum.toDouble / tot)
+      }
+      val bp =
+        if (ct.length >= rt.length) 1.0
+        else if (ct.nonEmpty) math.exp(1.0 - rt.length.toDouble / ct.length)
+        else 0.0
+      val bleu =
+        if (pn.forall(p => p.exists(_ > 0)))
+          bp * math.exp(pn.map(p => math.log(p.get)).sum / 4)
+        else 0.0
+      id -> (pn, bp, bleu)
+    }.toMap
+    val got = operators.Quality.bleu(
+        pairs.toDF("id", "cand", "ref"), "id", "cand", "ref")
+      .collect()
+    assert(got.length === 40)
+    got.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val (pn, bp, bleu) = expected(id)
+      (1 to 4).foreach { n =>
+        val gp = if (r.isNullAt(r.fieldIndex(s"p$n"))) None
+          else Some(r.getAs[Double](s"p$n"))
+        (gp, pn(n - 1)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12,
+            s"id $id p$n: $a vs $b")
+          case (a, b) => assert(a === b, s"id $id p$n nullness")
+        }
+      }
+      assert(math.abs(r.getAs[Double]("bp") - bp) < 1e-12, s"id $id bp")
+      assert(math.abs(r.getAs[Double]("bleu") - bleu) < 1e-12, s"id $id")
+    }
+  }
+
+  test("bhFdr: p_adj matches the sequential suffix-min reference and the " +
+    "rejection set equals the classic step-up cut") {
+    val rnd = new scala.util.Random(29)
+    val q = 0.15
+    val tests = (1 to 60).map(i => (f"t$i%03d", rnd.nextInt(1000) / 999.0))
+    val m = tests.size
+    val sorted = tests.sortBy { case (t, p) => (p, t) }
+    val raw = sorted.zipWithIndex.map { case ((_, p), i) =>
+      m.toDouble * p / (i + 1) }
+    val sfx = raw.scanRight(Double.MaxValue)(math.min).init
+    val expAdj = sorted.zip(sfx).map { case ((t, _), s) =>
+      t -> math.min(s, 1.0) }.toMap
+    // classic step-up: reject ranks 1..k*, k* = max{k : p_(k) <= k q/m}
+    val kStar = (1 to m).filter(k =>
+      sorted(k - 1)._2 <= k.toDouble * q / m).lastOption.getOrElse(0)
+    val expReject = sorted.take(kStar).map(_._1).toSet
+    val got = operators.Stats.bhFdr(tests.toDF("test", "p"), "test", "p", q)
+      .collect()
+    assert(got.length === m)
+    got.foreach { r =>
+      val t = r.getAs[String]("test")
+      assert(math.abs(r.getAs[Double]("p_adj") - expAdj(t)) < 1e-12, t)
+      assert(r.getAs[Boolean]("rejected") === expReject.contains(t), t)
+    }
+  }
+
+  test("queryLikelihood == sequential Dirichlet reference, every doc " +
+    "ranked") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val query = Seq("a", "c")
+    val mu = 10.0
+    val all = docs.map(_._2.split(" ").toSeq)
+    val ctot = all.map(_.size).sum.toDouble
+    val cf = query.map(t => t -> all.map(_.count(_ == t)).sum.toDouble).toMap
+    val expected = docs.map { case (id, s) =>
+      val t = s.split(" ").toSeq
+      id -> query.map { term =>
+        math.log((t.count(_ == term) + mu * (cf(term) / ctot)) /
+          (t.size + mu))
+      }.sum
+    }.toMap
+    val got = operators.Retrieval.queryLikelihood(
+        docs.toDF("doc_id", "text"), "doc_id", "text", query,
+        mu = mu, topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(got.size === 30)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-12, s"doc $id") }
+  }
+
+  test("alwaysValidSrm == sequential cumulative reference on random " +
+    "bin data") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(100) < 37, rnd.nextInt(12)))
+    val p0 = 0.3
+    val byBin = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    var (na, nb) = (0L, 0L)
+    val tau = 1e-4
+    val expected = byBin.map { case (bin, rs) =>
+      na += rs.count(_._1); nb += rs.count(!_._1)
+      val n = (na + nb).toDouble
+      val share = na / n
+      val diff = share - p0
+      val v = p0 * (1.0 - p0) / n
+      val le = 0.5 * math.log(v / (v + tau)) +
+        diff * diff * tau / (2.0 * v * (v + tau))
+      bin -> (na, nb, share, diff, le)
+    }.toMap
+    val got = operators.EventAnalytics.alwaysValidSrm(
+        rows.toDF("isa", "bin"), col("isa"), col("bin"), p0)
+      .collect()
+    assert(got.length === byBin.size)
+    got.foreach { r =>
+      val (ena, enb, eshare, ediff, ele) = expected(r.getAs[Int]("bin"))
+      assert(r.getAs[Long]("n_a") === ena && r.getAs[Long]("n_b") === enb)
+      assert(math.abs(r.getAs[Double]("share_a") - eshare) < 1e-12)
+      assert(math.abs(r.getAs[Double]("diff") - ediff) < 1e-12)
+      assert(math.abs(r.getAs[Double]("log_e_value") - ele) < 1e-9)
+    }
+  }
 }
