@@ -436,6 +436,43 @@ object Oracles {
       "ORDER BY q, rank"
   }
 
+  /** q329's k-center greedy coreset: unrolled farthest-first rounds —
+    * seed = min id, per-round running-min distance carry (d_i =
+    * least(d_{i−1}, 1 − cos(·, c_i))), argmax by (d desc, id) — the
+    * operator's exact recipe with the q39/mmr cosine formulation.
+    */
+  private def kCenterSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    val head =
+      "WITH pool AS MATERIALIZED (SELECT vec_id AS id, embedding AS v " +
+        "FROM embeddings WHERE vec_id < 100), " +
+        "sel1 AS MATERIALIZED (SELECT id, v, 1 AS rank, " +
+        "CAST(NULL AS DOUBLE) AS radius FROM pool ORDER BY id LIMIT 1), " +
+        "d1 AS MATERIALIZED (SELECT p.id, p.v, " +
+        s"1.0 - ${cos("p.v", "s.v")} AS d FROM pool p, sel1 s)"
+    val rounds = (2 to k).map { r =>
+      s"p$r AS MATERIALIZED (SELECT id, v, $r AS rank, d AS radius " +
+        s"FROM d${r - 1} WHERE id NOT IN (SELECT id FROM sel${r - 1}) " +
+        "ORDER BY d DESC, id LIMIT 1), " +
+        s"sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} " +
+        s"UNION ALL SELECT * FROM p$r)" +
+        (if (r < k)
+          s", d$r AS MATERIALIZED (SELECT a.id, a.v, " +
+            s"least(a.d, 1.0 - ${cos("a.v", "p.v")}) AS d " +
+            s"FROM d${r - 1} a, p$r p)"
+        else "")
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT id AS vec_id, rank, round(radius, 6) AS radius " +
+      s"FROM sel$k ORDER BY rank"
+  }
+
   /** q317's scaling-law fit: per-candidate conditional log-moment sums
     * (the temperatureScaling pattern) + closed-form OLS per c, argmin by
     * least() with an ascending-c CASE scan (the operator's struct-min
@@ -2801,6 +2838,7 @@ object Oracles {
     "q324_bleu" -> bleuSql(4),
     "q325_rouge" -> rougeSql(2),
     "q327_chrf" -> chrfSql(6),
+    "q329_kcenter_coreset" -> kCenterSql(4),
 
     // Benjamini–Hochberg: ascending (p, test) rank, m·p/rank suffix min,
     // cap at 1 — rejected computed on the UNROUNDED p_adj like the op.

@@ -5158,6 +5158,20 @@ object TestQueries {
       .select(col("doc_id"), round(col("score"), 6).as("score"),
         col("n_terms_matched"))
 
+  /** k-center coreset ([[operators.Similarity.kCenterCoreset]]): 4
+    * farthest-first picks over a 100-vector pool — the labeling-budget
+    * selection pass; DuckDB replays the unrolled greedy rounds with the
+    * q39 cosine recipe and the running-min carry.
+    */
+  def q329KcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.kCenterCoreset(
+        Tables.loadEmbeddings(s, dir).where(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4)
+      .select(col("vec_id"), col("rank"),
+        round(col("radius"), 6).as("radius"))
+      .orderBy("rank")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5632,6 +5646,7 @@ object TestQueries {
     "q326_bh_fdr" -> (q326BhFdr _),
     "q327_chrf" -> (q327Chrf _),
     "q328_query_likelihood" -> (q328QueryLikelihood _),
+    "q329_kcenter_coreset" -> (q329KcenterCoreset _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

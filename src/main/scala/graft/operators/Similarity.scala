@@ -1016,4 +1016,71 @@ object Similarity {
     selected.select(col("__q").as(queryCol), col("__id").as(idCol),
       col("rank"), col("mmr"))
   }
+
+  /** k-center greedy coreset (Gonzalez 1985 farthest-first traversal;
+    * Sener & Savarese 2018 as the data-selection recipe): pick k pool
+    * points such that every point is near SOME pick — the
+    * coverage-maximizing subset for a fixed labeling / finetuning /
+    * human-review budget, where sampling ∝ density would burn the whole
+    * budget on the biggest cluster. Seed = smallest id (deterministic);
+    * round i picks the point FARTHEST (cosine distance 1 − cos) from
+    * its nearest already-picked center, ties by (dist desc, id). Each
+    * selected row reports `radius` — its distance to the nearest
+    * earlier center at pick time, i.e. the covering radius AFTER i−1
+    * centers (null for the seed). The radius column is monotonically
+    * non-increasing down the ranks: its decay curve is the budget
+    * planning table ("how many centers until coverage ε"). If k exceeds
+    * the pool, every point returns.
+    *
+    * Pool is caller-bounded (an ANN/filter pre-pass — the selection
+    * contract [[mmrRerank]] shares); k driver rounds, but each round
+    * broadcasts ONLY the single newest center and folds it into a
+    * per-row running min — O(n·k) total distance evaluations, never the
+    * O(n·k²) re-max over all selected. Argmax picks are
+    * TakeOrderedAndProject (never a global sort); per-round pins with
+    * unpin of superseded state (the pageRank discipline).
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .localCheckpoint() // the per-round carry re-reads one snapshot
+    var selected = base.orderBy("__id").limit(1)
+      .select(col("__id"), col("__v"), lit(1).as("rank"),
+        lit(null).cast("double").as("radius"))
+      .localCheckpoint(eager = true)
+    // per-row running min distance to the selected set so far
+    var state = base
+      .crossJoin(broadcast(selected.select(col("__v").as("__sv"))))
+      .select(col("__id"), col("__v"),
+        (lit(1.0) - Vectors.cosine(col("__v"), col("__sv"))).as("__d"))
+      .localCheckpoint(eager = true)
+    var i = 2
+    while (i <= k) {
+      val next = state
+        .join(broadcast(selected.select("__id")), Seq("__id"), "left_anti")
+        .orderBy(col("__d").desc, col("__id"))
+        .limit(1)
+        .select(col("__id"), col("__v"), lit(i).as("rank"),
+          col("__d").as("radius"))
+      val nsel = selected.unionByName(next).localCheckpoint(eager = true)
+      Pinning.unpin(selected)
+      selected = nsel
+      if (i < k) {
+        val newest = selected.where(col("rank") === i)
+          .select(col("__v").as("__nv"))
+        val nstate = state.crossJoin(broadcast(newest))
+          .select(col("__id"), col("__v"),
+            least(col("__d"),
+              lit(1.0) - Vectors.cosine(col("__v"), col("__nv")))
+              .as("__d"))
+          .localCheckpoint(eager = true)
+        Pinning.unpin(state)
+        state = nstate
+      }
+      i += 1
+    }
+    Pinning.unpin(state)
+    selected.select(col("__id").as(idCol), col("rank"), col("radius"))
+  }
 }

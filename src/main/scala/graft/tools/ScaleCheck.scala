@@ -950,6 +950,14 @@ object ScaleCheck {
               996.0).as("p")),
           "test", "p").count()
       },
+      "kcenter" -> { dir =>
+        // k rounds, each ONE newest-center broadcast folded into a
+        // per-row running min — O(n·k) distance evaluations
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.operators.Similarity.kCenterCoreset(
+          emb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 4).count()
+      },
       "query_likelihood" -> { dir =>
         // one scan (per-term tf from the token array) + one-row cf
         // broadcast + TakeOrdered — shuffle-free by construction

@@ -469,4 +469,37 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rel.toSeq === Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 4L, 1)))
   }
+
+  test("kCenterCoreset: farthest-first picks with running-min carry; " +
+    "radius decays monotonically; k beyond the pool returns all") {
+    import spark.implicits._
+    // unit vectors: seed 1=(1,0); 4=(-1,0) is farthest (d=2), then
+    // 3=(0,1) (d=1 to both), then 2=(.6,.8) whose nearest center after
+    // round 3 is 3 (d = 1-.8 = .2)
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val got = operators.Similarity.kCenterCoreset(pool, "id", "vec", k = 4)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 4L, 3L, 2L))
+    assert(got(0).isNullAt(got(0).fieldIndex("radius")))
+    assert(math.abs(got(1).getAs[Double]("radius") - 2.0) < 1e-6)
+    assert(math.abs(got(2).getAs[Double]("radius") - 1.0) < 1e-6)
+    assert(math.abs(got(3).getAs[Double]("radius") - 0.2) < 1e-6)
+    // covering radius is non-increasing down the ranks on random vectors
+    val rnd = new scala.util.Random(41)
+    val rpool = (1L to 25L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("id", "vec")
+    val radii = operators.Similarity.kCenterCoreset(rpool, "id", "vec",
+        k = 6)
+      .orderBy("rank").collect().drop(1).map(_.getAs[Double]("radius"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 },
+      radii.mkString(","))
+    // k > pool: every point returns exactly once
+    val all = operators.Similarity.kCenterCoreset(pool, "id", "vec", k = 9)
+      .collect()
+    assert(all.length === 4)
+    assert(all.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+  }
 }
