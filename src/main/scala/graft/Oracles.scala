@@ -4118,22 +4118,28 @@ object Oracles {
         "FROM documents) WHERE rn <= 3 ORDER BY source, rank"),
 
     "q156_column_deps" -> {
+      // Mirrors Quality.columnDependencies' log-identity embodiment:
+      // H(A) = ln n − (Σ na·ln na)/n, H(A|B) = (Σ nb·ln nb − Σ nab·ln nab)/n,
+      // with the same integer degenerate tests (ka/kb = 1, cjoint = kb).
       def pairSql(a: String, b: String): String =
         s"(WITH j AS (SELECT $a AS a, $b AS b, count(*) AS nab " +
           "FROM orders GROUP BY 1, 2), " +
-          "ma AS (SELECT a, sum(nab) AS na FROM j GROUP BY 1), " +
-          "mb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1), " +
-          "t AS (SELECT sum(nab) AS n FROM j), " +
-          "ha AS (SELECT sum(-(na / n) * ln(na / n)) AS h_a FROM ma, t), " +
-          "hb AS (SELECT sum(-(nb / n) * ln(nb / n)) AS h_b FROM mb, t), " +
-          "hab AS (SELECT sum(-(nab / n) * ln(nab / mb.nb)) " +
-          "AS h_a_given_b FROM j JOIN mb USING (b), t) " +
+          "ja AS (SELECT a, sum(nab) AS na, sum(nab * ln(nab)) AS sj, " +
+          "count(*) AS cj FROM j GROUP BY 1), " +
+          "fa AS (SELECT sum(na) AS n, sum(na * ln(na)) AS sa, " +
+          "sum(sj) AS sjoint, count(*) AS ka, sum(cj) AS cjoint FROM ja), " +
+          "jb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1), " +
+          "fb AS (SELECT sum(nb * ln(nb)) AS sb, count(*) AS kb FROM jb), " +
+          "h AS (SELECT CASE WHEN ka = 1 THEN 0.0 ELSE ln(n) - sa / n END " +
+          "AS h_a, CASE WHEN kb = 1 THEN 0.0 ELSE ln(n) - sb / n END " +
+          "AS h_b, CASE WHEN cjoint = kb THEN 0.0 ELSE " +
+          "(sb - sjoint) / n END AS h_a_given_b FROM fa, fb) " +
           s"SELECT '$a' AS col_a, '$b' AS col_b, " +
           "round(h_a, 6) AS h_a, round(h_b, 6) AS h_b, " +
           "round(h_a_given_b, 6) AS h_a_given_b, " +
           "round(CASE WHEN h_a = 0 THEN 1.0 ELSE " +
           "(h_a - h_a_given_b) / h_a END, 6) AS uncertainty_coef " +
-          "FROM ha, hb, hab)"
+          "FROM h)"
       Seq(("o_orderstatus", "o_orderpriority"),
         ("o_orderpriority", "o_orderstatus"),
         ("o_orderstatus", "o_custkey"))

@@ -638,9 +638,20 @@ object Quality {
     * choosing partition/clustering keys. Natural-log entropies.
     *
     * Shape for scale: per pair ONE joint-count aggregate over the fact
-    * (compact (a, b) cardinality), with marginals and entropies derived
-    * from the joint — the fact is never re-scanned per marginal and
-    * nothing but count rows shuffles. Output is one row per pair.
+    * (compact (a, b) cardinality), then TWO tiny re-aggregations of those
+    * count rows — group by a (carrying na = Σnab, the joint-entropy
+    * partial Σnab·ln(nab), and the joint-row count) and group by b
+    * (nb = Σnab) — each collapsing to a single scalar row. Entropies come
+    * from the log identity H(A) = ln n − (Σ na·ln na)/n and the chain rule
+    * H(A|B) = H(A,B) − H(B) = (Σ nb·ln nb − Σ nab·ln nab)/n, so the
+    * conditional term needs NO joint⋈marginal join, no broadcast of the
+    * scalar total, and no eager pin: the whole profile (all pairs,
+    * unioned) is ONE parallel job whose only data-scale shuffle is the
+    * per-pair joint count. Degenerate cases are pinned by INTEGER tests
+    * (exact longs, never fp dust): a constant column (one distinct value)
+    * pins its entropy to exactly 0.0, and B functionally determining A
+    * (joint cardinality == |domain(b)|) pins H(A|B) to exactly 0.0.
+    * Output is one row per pair.
     */
   def columnDependencies(df: DataFrame,
                          pairs: Seq[(String, String)]): DataFrame = {
@@ -648,24 +659,27 @@ object Quality {
     pairs.map { case (a, b) =>
       val joint = df.groupBy(col(a).as("__a"), col(b).as("__b"))
         .agg(count(lit(1)).as("nab"))
-        .localCheckpoint() // feeds both marginals and the conditional term
-      val margA = joint.groupBy("__a").agg(sum("nab").as("na"))
-      val margB = joint.groupBy("__b").agg(sum("nab").as("nb"))
-      val total = joint.agg(sum("nab").as("n"))
-      val hA = margA.crossJoin(broadcast(total))
-        .agg(sum(-(col("na") / col("n")) * log(col("na") / col("n")))
-          .as("h_a"))
-      val hB = margB.crossJoin(broadcast(total))
-        .agg(sum(-(col("nb") / col("n")) * log(col("nb") / col("n")))
-          .as("h_b"))
-      // margB is |domain(b)|-row — unbounded for a high-cardinality
-      // column, so no hint; AQE broadcasts when small
-      val hAgivenB = joint
-        .join(margB, "__b")
-        .crossJoin(broadcast(total))
-        .agg(sum(-(col("nab") / col("n")) * log(col("nab") / col("nb")))
-          .as("h_a_given_b"))
-      hA.crossJoin(hB).crossJoin(hAgivenB)
+      val byA = joint.groupBy("__a").agg(
+        sum("nab").as("na"),
+        sum(col("nab") * log(col("nab"))).as("sj"),
+        count(lit(1)).as("cj"))
+      val fa = byA.agg(
+        sum("na").as("n"), sum(col("na") * log(col("na"))).as("sa"),
+        sum("sj").as("sjoint"), count(lit(1)).as("ka"),
+        sum("cj").as("cjoint"))
+      val fb = joint.groupBy("__b").agg(sum("nab").as("nb"))
+        .agg(sum(col("nb") * log(col("nb"))).as("sb"),
+          count(lit(1)).as("kb"))
+      fa.crossJoin(fb)
+        .withColumn("h_a",
+          when(col("ka") === 1, lit(0.0))
+            .otherwise(log(col("n")) - col("sa") / col("n")))
+        .withColumn("h_b",
+          when(col("kb") === 1, lit(0.0))
+            .otherwise(log(col("n")) - col("sb") / col("n")))
+        .withColumn("h_a_given_b",
+          when(col("cjoint") === col("kb"), lit(0.0))
+            .otherwise((col("sb") - col("sjoint")) / col("n")))
         .select(lit(a).as("col_a"), lit(b).as("col_b"),
           col("h_a"), col("h_b"), col("h_a_given_b"),
           when(col("h_a") === 0.0, lit(1.0))
