@@ -70,8 +70,18 @@ object Bench {
         val prev = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH.local.json")), "UTF-8")
         val entry = "\"(q[^\"]+)\":([-0-9.eE]+)".r
-        entry.findAllMatchIn(prev.substring(prev.indexOf("\"queries\"")))
+        val base = entry.findAllMatchIn(prev.substring(prev.indexOf("\"queries\"")))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // An unadjudicated flag (retime_runs 0) must not promote its slow
+        // sweep value to prior status: carry the flag's original prev
+        // forward, so the candidate stays on the tripwire until a re-time
+        // actually adjudicates it (r16 shipped two such flags whose slow
+        // sweeps would otherwise have silently become the comparison base).
+        val unconf = ("\"(q[^\"]+)\":\\{\"prev\":([-0-9.eE]+)," +
+          "\"now\":[-0-9.eE]+,\"retime_runs\":0,").r
+        val carried = unconf.findAllMatchIn(prev)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        base ++ carried
       } catch { case _: Throwable => Map.empty }
 
     // A query that throws reports -1.0 (never a fast-looking timing) and its
@@ -128,10 +138,12 @@ object Bench {
     // flight — and the flag ships confirmed only if the re-time repeats
     // the slowdown. The re-timed minimum replaces the sweep time, so a
     // contended sweep slot can't become next round's false prior. Capped
-    // at 8 re-times (24 runs) to bound the adjudication phase; a
+    // at 12 re-times (36 runs) to bound the adjudication phase; a
     // candidate BEYOND the cap (a very noisy sweep) still ships its
     // flag, marked "confirmed": false / retime_runs 0 — dropping it
-    // silently would let a real slowdown hide behind host noise.
+    // silently would let a real slowdown hide behind host noise, and
+    // prevTimes above keeps such a candidate's original prior alive for
+    // the next run's tripwire.
     val confirmed =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
     val cands = results.toSeq.flatMap { case (k, v) =>
@@ -140,7 +152,7 @@ object Bench {
         case _ => None
       }
     }.sortBy { case (_, p, v) => -(v / p) }
-    cands.take(8)
+    cands.take(12)
       .foreach { case (k, p, v) =>
         val fn = SparkEntry.queries(k)
         val re = (1 to 3).map(_ => timeOnce(k, fn, record = false).wall)
@@ -149,7 +161,7 @@ object Bench {
         results(k) = best
         if (best - p >= 0.5) confirmed(k) = (p, best, re.size)
       }
-    cands.drop(8).foreach { case (k, p, v) => confirmed(k) = (p, v, 0) }
+    cands.drop(12).foreach { case (k, p, v) => confirmed(k) = (p, v, 0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

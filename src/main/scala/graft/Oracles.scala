@@ -862,11 +862,6 @@ object Oracles {
     s"list_filter(string_split_regex(lower(trim($expr)), '\\s+'), " +
       "x -> len(x) > 0)"
 
-  /** The q324/q325 pair derivation + per-n clipped-overlap CTEs: cand =
-    * raw text, ref = text minus its last two tokens (the same slice
-    * recipe as the Spark gate), then for each n a FULL-join of the two
-    * gram-count tables mirroring `Quality.clippedNgramOverlap`.
-    */
   /** The q324/q325/q327 pair derivation: cand = raw text, ref = text
     * minus its last two tokens (the Spark gates' slice recipe).
     */
@@ -2817,9 +2812,11 @@ object Oracles {
       val cfs = ts.zipWithIndex.map { case (t, i) =>
         s"CAST(sum(${tfOf(t)}) AS BIGINT) AS cf$i"
       }.mkString(", ")
+      // CASE mirrors the operator's OOV guard (cf = 0 → uniform 0.0).
       val logs = ts.zipWithIndex.map { case (t, i) =>
-        s"ln((CAST(${tfOf(t)} AS DOUBLE) + 300.0 * " +
-          s"(CAST(cf$i AS DOUBLE) / ctot)) / (dl + 300.0))"
+        s"CASE WHEN cf$i = 0 THEN 0.0 ELSE " +
+          s"ln((CAST(${tfOf(t)} AS DOUBLE) + 300.0 * " +
+          s"(CAST(cf$i AS DOUBLE) / ctot)) / (dl + 300.0)) END"
       }.mkString(" + ")
       val nm = ts.map(t => s"CASE WHEN ${tfOf(t)} > 0 THEN 1 ELSE 0 END")
         .mkString(" + ")

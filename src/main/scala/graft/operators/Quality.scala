@@ -1362,14 +1362,6 @@ object Quality {
         col("__best.r2").as("r2"))
   }
 
-  /** Clipped n-gram overlap per (candidate, reference) pair — the shared
-    * counting core of [[bleu]] and [[rougeN]]: per pair, Σ_g min(count in
-    * candidate, count in reference) plus both totals. Tokenization is
-    * [[graft.functions.Text.shingles]] (trim → lowercase → whitespace
-    * split), the corpus convention every n-gram operator here shares.
-    * One explode per side, a (pair, gram)-keyed count + join — rows are
-    * token-scale, never pair-crossed.
-    */
   /** Word grams for the eval family: [[graft.functions.Text.shingles]]
     * minus empty grams — shingles mirrors SQL `split`, whose split of an
     * EMPTY string is `[""]`, so an empty candidate/reference would
@@ -1378,6 +1370,14 @@ object Quality {
   private def wordGrams(c: Column, n: Int): Column =
     filter(graft.functions.Text.shingles(c, n), g => length(g) > 0)
 
+  /** Clipped n-gram overlap per (candidate, reference) pair — the shared
+    * counting core of [[bleu]] and [[rougeN]]: per pair, Σ_g min(count in
+    * candidate, count in reference) plus both totals. Tokenization is
+    * [[wordGrams]] (trim → lowercase → whitespace split, empty grams
+    * dropped), the corpus convention every n-gram operator here shares.
+    * One explode per side, a (pair, gram)-keyed count + join — rows are
+    * token-scale, never pair-crossed.
+    */
   private def clippedNgramOverlap(pairs: DataFrame, n: Int,
       grams: (Column, Int) => Column = wordGrams): DataFrame = {
     val cn = pairs

@@ -132,8 +132,13 @@ object Retrieval {
     * pseudo-count. Smoothing means EVERY document scores on every term
     * (a missing term contributes the collection prior, not −∞), so the
     * ranking reflects both presence and document length without BM25's
-    * two tuning knobs. Ties cut by (score desc, id). Returns the topK:
-    * (doc_id, score, n_terms_matched).
+    * two tuning knobs. A term absent from the whole collection (cf = 0)
+    * has no prior to smooth toward — its textbook contribution is the
+    * same −∞ for every document, i.e. zero ranking signal — so it
+    * degrades uniformly to a 0.0 contribution rather than letting
+    * Spark's ln(0) = NULL null out every score. Ties cut by
+    * (score desc, id). Returns the topK: (doc_id, score,
+    * n_terms_matched).
     *
     * Shape for scale — deliberately SHUFFLE-FREE: per-term tf comes from
     * counting the document's own token array scan-side (query terms are
@@ -163,7 +168,16 @@ object Retrieval {
       val tf = size(filter(col("__toks"), x => x === lit(t)))
         .cast("double")
       val prior = lit(mu) * (col(s"__cf$i").cast("double") / col("__ctot"))
-      (log((tf + prior) / (col("dl") + mu)), (tf > 0).cast("long"))
+      // Out-of-vocabulary guard: cf = Σ tf, so cf = 0 forces tf = 0 in
+      // EVERY document and the contribution would be ln(0) — which Spark
+      // evaluates to NULL, silently nulling the whole score for every
+      // document (not the −∞ the formula intends). Such a term carries no
+      // ranking signal (identical −∞ shift for all docs), so it degrades
+      // UNIFORMLY to a 0.0 contribution instead; n_terms_matched already
+      // reads 0 for it everywhere.
+      val contrib = when(col(s"__cf$i") === 0, lit(0.0))
+        .otherwise(log((tf + prior) / (col("dl") + mu)))
+      (contrib, (tf > 0).cast("long"))
     }
     scored
       .withColumn("score", terms.map(_._1).reduce(_ + _))

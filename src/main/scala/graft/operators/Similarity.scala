@@ -1045,6 +1045,11 @@ object Similarity {
     require(k >= 1, s"k must be positive: $k")
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .localCheckpoint() // the per-round carry re-reads one snapshot
+    // A pool smaller than k exhausts after |pool| picks: every later
+    // round would pick nothing yet still pay an eager checkpoint job
+    // (k=1000 over a 10-point pool = ~990 no-op Spark jobs). The pinned
+    // base makes the exact bound one cheap count.
+    val kEff = math.min(k.toLong, base.count()).toInt
     var selected = base.orderBy("__id").limit(1)
       .select(col("__id"), col("__v"), lit(1).as("rank"),
         lit(null).cast("double").as("radius"))
@@ -1056,7 +1061,7 @@ object Similarity {
         (lit(1.0) - Vectors.cosine(col("__v"), col("__sv"))).as("__d"))
       .localCheckpoint(eager = true)
     var i = 2
-    while (i <= k) {
+    while (i <= kEff) {
       val next = state
         .join(broadcast(selected.select("__id")), Seq("__id"), "left_anti")
         .orderBy(col("__d").desc, col("__id"))
@@ -1066,7 +1071,7 @@ object Similarity {
       val nsel = selected.unionByName(next).localCheckpoint(eager = true)
       Pinning.unpin(selected)
       selected = nsel
-      if (i < k) {
+      if (i < kEff) {
         val newest = selected.where(col("rank") === i)
           .select(col("__v").as("__nv"))
         val nstate = state.crossJoin(broadcast(newest))

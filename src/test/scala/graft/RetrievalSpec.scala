@@ -210,6 +210,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(2).getAs[Long]("n_terms_matched") === 0L)
   }
 
+  test("queryLikelihood: an out-of-vocabulary term degrades uniformly " +
+    "instead of nulling every score") {
+    val docs = Seq((1L, "a a b"), (2L, "a c c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val inVocab = Retrieval.queryLikelihood(docs, "doc_id", "text",
+      Seq("a"), mu = 1.0, topK = 10).collect()
+    val withOov = Retrieval.queryLikelihood(docs, "doc_id", "text",
+      Seq("a", "zzz_not_in_corpus"), mu = 1.0, topK = 10).collect()
+    assert(withOov.length === 3)
+    // cf(zzz) = 0 → its contribution is 0.0 for every document, so the
+    // scores (and ranking) equal the in-vocab-only query's — never NULL
+    withOov.foreach(r => assert(!r.isNullAt(1)))
+    val a = inVocab.map(r => (r.getLong(0), r.getDouble(1))).toMap
+    withOov.foreach { r =>
+      assert(math.abs(r.getDouble(1) - a(r.getLong(0))) < 1e-15)
+      assert(r.getAs[Long]("n_terms_matched") ===
+        inVocab.find(_.getLong(0) == r.getLong(0)).get
+          .getAs[Long]("n_terms_matched"))
+    }
+  }
+
   test("bm25f: a title hit outranks the same hit in the body; " +
     "cross-field tf combines BEFORE saturation") {
     // all fields length 4 → every normalization denominator is exactly 1
