@@ -3166,6 +3166,33 @@ object Oracles {
         "AS n_subwords, " +
         "md5(replace(replace(s, chr(30), ' '), chr(31), ' ')) AS seg_hash FROM seg"),
 
+    // Trained-BPE compression audit: the q103b segmentation replay (s0 →
+    // chained replace) grouped per source, with quantile_cont matching
+    // Spark's exact percentile and the same null-ratio/zero-token guards.
+    "q330_bpe_compression" ->
+      ("WITH s0 AS (SELECT source, CAST(strlen(text) AS BIGINT) AS b, " +
+        "array_to_string([" +
+        "array_to_string(string_split(w, ''), chr(31)) for w in " +
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')" +
+        "], chr(30)) AS s FROM documents), " +
+        "seg AS (SELECT source, b, " +
+        bpeApply(Seq("e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e",
+          "o" -> "n", "a" -> "n", "an" -> "d", "er" -> "s")) +
+        " AS s FROM s0), " +
+        "cnt AS (SELECT source, b, CAST(CASE WHEN s = '' THEN 0 ELSE " +
+        "len(string_split(replace(s, chr(30), chr(31)), chr(31))) END " +
+        "AS BIGINT) AS t FROM seg), " +
+        "r AS (SELECT source, b, t, CASE WHEN t > 0 THEN " +
+        "CAST(b AS DOUBLE) / t END AS r FROM cnt) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(b) AS BIGINT) AS n_bytes, " +
+        "CAST(sum(t) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN sum(t) > 0 THEN " +
+        "round(CAST(sum(b) AS DOUBLE) / sum(t), 6) END AS bytes_per_token, " +
+        "round(quantile_cont(r, 0.5), 6) AS p50_doc_bpt, " +
+        "round(quantile_cont(r, 0.95), 6) AS p95_doc_bpt " +
+        "FROM r GROUP BY 1 ORDER BY source"),
+
     "q94_token_chunks" ->
       ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), " +
         "x -> x <> '') AS toks FROM documents), " +

@@ -5172,6 +5172,21 @@ object TestQueries {
         round(col("radius"), 6).as("radius"))
       .orderBy("rank")
 
+  /** Trained-BPE compression audit
+    * ([[operators.Analytics.bpeCompressionAudit]]): bytes-per-token and
+    * per-doc p50/p95 per source under the q103b fixed merge table (chained
+    * multi-char merges exercised; a TRAINED table is spec-covered in
+    * AnalyticsSpec with [[functions.Text.bpeMerges]]). The oracle replays
+    * segmentation with the q103b chained-replace recipe and quantile_cont
+    * (≡ Spark's exact percentile).
+    */
+  def q330BpeCompression(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.bpeCompressionAudit(
+        t(s, dir, "documents"), "source", "text",
+        Seq("e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e",
+          "o" -> "n", "a" -> "n", "an" -> "d", "er" -> "s"))
+      .orderBy("source")
+
   def q276KeySkew(s: SparkSession, dir: String): DataFrame =
     operators.Quality.keySkew(
         Tables.loadEvents(s, dir)
@@ -5647,6 +5662,7 @@ object TestQueries {
     "q327_chrf" -> (q327Chrf _),
     "q328_query_likelihood" -> (q328QueryLikelihood _),
     "q329_kcenter_coreset" -> (q329KcenterCoreset _),
+    "q330_bpe_compression" -> (q330BpeCompression _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

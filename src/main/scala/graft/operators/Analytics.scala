@@ -113,6 +113,48 @@ object Analytics {
           .as("chars_per_token"))
   }
 
+  /** Trained-tokenizer compression audit per source: UTF-8 corpus bytes ÷
+    * BPE tokens — the pre-training health check that catches a source the
+    * tokenizer compresses badly (markup floods, unsegmented scripts,
+    * binary-ish noise) BEFORE it silently eats the token budget; per-doc
+    * p50/p95 bytes-per-token expose within-source outliers a corpus mean
+    * hides. Complements [[tokenizerFertility]], which profiles the
+    * tokenizer-INDEPENDENT pre-token split per language — this one scores
+    * the actual trained merge table ([[graft.functions.Text.bpeMerges]] →
+    * [[graft.functions.Text.bpeSegment]]) against each source.
+    *
+    * One scan: byte and subword counts leave each row as two longs (the
+    * merge table rides scan-side in the segmentation expression — no
+    * explode, no join), then one source-count-sized aggregate whose only
+    * non-algebraic term is the exact per-doc-ratio percentile pair — swap
+    * `percentile_approx` in at petabyte scale, the q51/q157 convention.
+    * A document segmenting to zero tokens contributes null ratios (both
+    * engines' percentiles skip nulls) and a tokenless source reports null
+    * bytes_per_token rather than a division error.
+    *
+    * Returns one row per group: (group, n_docs, n_bytes, n_tokens,
+    * bytes_per_token, p50_doc_bpt, p95_doc_bpt).
+    */
+  def bpeCompressionAudit(df: DataFrame, groupCol: String, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need a trained merge table")
+    val per = df.select(col(groupCol),
+        octet_length(col(textCol)).cast("long").as("__b"),
+        size(graft.functions.Text.bpeSegment(col(textCol), merges))
+          .cast("long").as("__t"))
+      .withColumn("__r",
+        when(col("__t") > 0, col("__b").cast("double") / col("__t")))
+    per.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__b").as("n_bytes"),
+        sum("__t").as("n_tokens"),
+        when(sum("__t") > 0,
+          round(sum("__b").cast("double") / sum("__t"), 6))
+          .as("bytes_per_token"),
+        round(percentile(col("__r"), lit(0.5)), 6).as("p50_doc_bpt"),
+        round(percentile(col("__r"), lit(0.95)), 6).as("p95_doc_bpt"))
+  }
+
   /** Data-constrained repeat allocation (the "Scaling Data-Constrained
     * Language Models" regime): split `budgetTokens` of training across
     * sources proportionally to their UNIQUE token mass, but cap each

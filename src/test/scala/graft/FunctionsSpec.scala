@@ -314,6 +314,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("zh") === ((1L, 1L, 1L, 1.0, 4.0)))
   }
 
+  test("bpeCompressionAudit: byte/token arithmetic, UTF-8 bytes, " +
+    "empty docs and per-doc quantiles") {
+    import graft.operators.Analytics
+    val docs = Seq(
+      ("web", "ab ab"),  // 5 bytes; both words merge to 1 token -> 2
+      ("web", "abc"),    // 3 bytes; [ab, c] -> 2 tokens
+      ("wiki", "xyz"),   // 3 bytes; no merges apply -> 3 tokens
+      ("wiki", ""),      // 0 bytes, 0 tokens -> null ratio, skipped
+      ("utf", "éé") // 4 UTF-8 bytes, 2 chars -> 2 tokens
+    ).toDF("source", "text")
+    val got = Analytics.bpeCompressionAudit(docs, "source", "text",
+        Seq("a" -> "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = got("web")
+    assert((web.getLong(1), web.getLong(2), web.getLong(3)) === ((2L, 8L, 4L)))
+    assert(web.getDouble(4) === 2.0) // 8 bytes / 4 tokens
+    assert(web.getDouble(5) === 2.0) // median of {2.5, 1.5}
+    assert(math.abs(web.getDouble(6) - 2.45) < 1e-9) // 1.5 + 0.95*(2.5-1.5)
+    val wiki = got("wiki")
+    // the empty doc counts, contributes no bytes/tokens, and its null
+    // ratio is skipped by both engines' percentiles
+    assert((wiki.getLong(1), wiki.getLong(2), wiki.getLong(3)) === ((2L, 3L, 3L)))
+    assert(wiki.getDouble(4) === 1.0)
+    assert(wiki.getDouble(5) === 1.0 && wiki.getDouble(6) === 1.0)
+    val utf = got("utf")
+    assert((utf.getLong(2), utf.getLong(3)) === ((4L, 2L))) // bytes, not chars
+    assert(utf.getDouble(4) === 2.0)
+    // a TRAINED merge table composes: the audit's token total equals the
+    // segmentation's, and bytes_per_token is their exact quotient
+    val corpus = Seq(("w", "low lower lowest low low"),
+      ("w", "new newer newest new")).toDF("source", "text")
+    val merges = Text.bpeMerges(corpus, "text", numMerges = 6)
+    val audit = Analytics.bpeCompressionAudit(corpus, "source", "text", merges)
+      .collect().head
+    val toks = corpus.select(
+        org.apache.spark.sql.functions.sum(
+          size(Text.bpeSegment(col("text"), merges)).cast("long")))
+      .collect().head.getLong(0)
+    assert(audit.getLong(3) === toks)
+    assert(audit.getDouble(4) ===
+      BigDecimal(audit.getLong(2).toDouble / toks)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("normalizeUnicode/foldAccents are null-safe and idempotent") {
     import spark.implicits._
     import graft.functions.Text
