@@ -965,6 +965,14 @@ object ScaleCheck {
           "text", Seq("spark", "join", "window"), mu = 300.0,
           topK = 10).count()
       },
+      "bpe_compression" -> { dir =>
+        // one scan (the merge table rides scan-side in BpeSegment) +
+        // one source-sized aggregate with an exact percentile pair
+        graft.operators.Analytics.bpeCompressionAudit(docs(dir),
+          "source", "text",
+          Seq("e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e",
+            "o" -> "n", "a" -> "n", "an" -> "d", "er" -> "s")).count()
+      },
       "bm25f" -> { dir =>
         // one scan per field, query-term filtered scan-side; (doc,term)
         // combine rows are |query|·matches, never corpus-sized
