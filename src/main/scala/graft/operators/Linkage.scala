@@ -164,6 +164,10 @@ object Linkage {
     * between engines cannot flip membership at the boundary (the repo's
     * standard cross-engine float discipline).
     *
+    * `idCol` must identify records uniquely (the standard linkage
+    * contract — every operator here treats one id as one record; under
+    * duplicate ids a pair's keys, and so its score, would be ambiguous).
+    *
     * Shape for scale: verification runs scan-side on the raw per-pass
     * join output and the id-pair dedup runs AFTER it, on survivors only —
     * JW is a deterministic function of the carried keys, so a pair caught

@@ -1045,11 +1045,13 @@ object Similarity {
     require(k >= 1, s"k must be positive: $k")
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .localCheckpoint() // the per-round carry re-reads one snapshot
-    // A pool smaller than k exhausts after |pool| picks: every later
-    // round would pick nothing yet still pay an eager checkpoint job
-    // (k=1000 over a 10-point pool = ~990 no-op Spark jobs). The pinned
-    // base makes the exact bound one cheap count.
-    val kEff = math.min(k.toLong, base.count()).toInt
+    // A pool smaller than k exhausts after |distinct ids| picks (the
+    // anti-join removes every row of a picked id): every later round
+    // would pick nothing yet still pay an eager checkpoint job (k=1000
+    // over a 10-point pool = ~990 no-op Spark jobs). The pinned base
+    // makes the exact bound one cheap distinct-count.
+    val kEff = math.min(k.toLong,
+      base.agg(count_distinct(col("__id"))).head.getLong(0)).toInt
     var selected = base.orderBy("__id").limit(1)
       .select(col("__id"), col("__v"), lit(1).as("rank"),
         lit(null).cast("double").as("radius"))
