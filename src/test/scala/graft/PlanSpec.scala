@@ -314,4 +314,41 @@ class PlanSpec extends AnyFunSuite {
           s"$q plans a shrinking window frame")
       }
   }
+
+  test("linkage blocking pin keeps explicit parallelism " +
+    "(AQE must not coalesce the checkpoint to one task)") {
+    // The pinned (id, key) base repartitions with an EXPLICIT count
+    // before its lazy checkpoint: the within-block self-joins — and the
+    // scan-side JW verification fused into them — inherit the pin's
+    // layout when the block side broadcasts, so a bare repartition(col)
+    // (AQE-coalescible) on a single-partition source would run the whole
+    // quadratic verify stage on ONE task (measured 2.7 s → 12.5 s at
+    // sf0.1, round 17). Pin the partition count of the checkpointed RDD
+    // on a worst-case single-partition input.
+    import spark.implicits._
+    val one = (1 to 50).map(i => (i.toLong, s"record key $i"))
+      .toDF("id", "key").coalesce(1)
+    val plan = graft.operators.Linkage.linkPairs(one, "id", "key", 0.9)
+      .queryExecution.sparkPlan // pre-AQE: RDD scans visible
+    val parts = plan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        r.rdd.getNumPartitions
+    }
+    assert(parts.nonEmpty, "expected the pinned base's RDD scan in-plan")
+    assert(parts.forall(_ > 1),
+      s"blocking pin collapsed to ${parts.min} partition(s) — the " +
+        "quadratic pair stage would serialize")
+  }
+
+  test("q156 column dependencies: one declarative plan, no eager pin") {
+    // The entropy profile derives every term from two tiny
+    // re-aggregations of the joint counts (chain rule H(A|B) =
+    // H(A,B) − H(B)) — no localCheckpoint, so all pairs run as ONE
+    // parallel job. A reintroduced pin shows up as an RDD scan.
+    val p = planOf("q156_column_deps")
+    assert(!p.contains("Scan ExistingRDD"),
+      "column-dependency profile must not eager-pin (serializes pairs)")
+    assert(!p.contains("SortMergeJoin"),
+      "marginal joins are gone — entropies come from re-aggregation")
+  }
 }
