@@ -473,6 +473,100 @@ object Oracles {
       s"FROM sel$k ORDER BY rank"
   }
 
+  /** q331's facility-location greedy, unrolled: pairwise cosines ONCE
+    * (the operator's pinned pair frame), then per round a marginal-gain
+    * sum Σ_p greatest(s − cm, 0) over the running best-coverage carry,
+    * argmax by (gain desc, id), and a greatest() coverage fold — the
+    * kCenter/mmr unroll pattern with a sum objective instead of max/min.
+    */
+  private def facilityLocationSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    val head =
+      "WITH pool AS MATERIALIZED (SELECT vec_id AS id, embedding AS v " +
+        "FROM embeddings WHERE vec_id < 100), " +
+        "pairs AS MATERIALIZED (SELECT c.id AS cid, p.id AS pid, " +
+        s"${cos("c.v", "p.v")} AS s FROM pool c, pool p), " +
+        "sel1 AS MATERIALIZED (SELECT cid AS id, 1 AS rank, gain FROM (" +
+        "SELECT cid, sum(greatest(s, 0.0)) AS gain FROM pairs " +
+        "GROUP BY 1) ORDER BY gain DESC, cid LIMIT 1), " +
+        "cov1 AS MATERIALIZED (SELECT p.pid, greatest(p.s, 0.0) AS cm " +
+        "FROM pairs p JOIN sel1 w ON p.cid = w.id)"
+    val rounds = (2 to k).map { r =>
+      s"p$r AS MATERIALIZED (SELECT cid AS id, $r AS rank, gain FROM (" +
+        "SELECT p.cid, sum(greatest(p.s - c.cm, 0.0)) AS gain " +
+        s"FROM pairs p JOIN cov${r - 1} c ON p.pid = c.pid " +
+        s"WHERE p.cid NOT IN (SELECT id FROM sel${r - 1}) GROUP BY 1) " +
+        "ORDER BY gain DESC, cid LIMIT 1), " +
+        s"sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} " +
+        s"UNION ALL SELECT * FROM p$r)" +
+        (if (r < k)
+          s", cov$r AS MATERIALIZED (SELECT c.pid, " +
+            "greatest(c.cm, p.s) AS cm " +
+            s"FROM cov${r - 1} c JOIN (SELECT pr.pid, pr.s FROM pairs pr " +
+            s"JOIN p$r w ON pr.cid = w.id) p ON p.pid = c.pid)"
+        else "")
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      s" SELECT id AS vec_id, rank, round(gain, 6) AS gain " +
+      s"FROM sel$k ORDER BY rank"
+  }
+
+  /** q332's TextRank, unrolled: q123's manufactured sentences, distinct
+    * lowercase alphanumeric tokens, the paper's overlap/(ln+ln) edge
+    * weights out-normalized once, then `iters` MATERIALIZED score rounds
+    * of WS = (1−d) + d·Σ wn·WS (q141's unroll pattern with the constant
+    * teleport and per-doc graphs). Damping is the gate's dyadic 7/8 and
+    * (1.0 - 0.875) stays textual so both engines subtract the identical
+    * doubles (see q332Textrank's scaladoc for the half-boundary story).
+    */
+  private def textRankSql(iters: Int): String = {
+    val head =
+      "WITH d AS (SELECT doc_id, replace(text, ' the ', '. The ') " +
+        "AS text FROM documents), " +
+        "sp AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "trim(text), '[.!?]+\\s+'), x -> length(x) > 0)[1:64] AS ss " +
+        "FROM d), " +
+        "ix AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS sid " +
+        "FROM sp WHERE len(ss) >= 1), " +
+        "st AS MATERIALIZED (SELECT doc_id, CAST(sid AS BIGINT) AS sid, " +
+        "toks, CAST(len(toks) AS BIGINT) AS ntok FROM (" +
+        "SELECT doc_id, sid, list_distinct(list_filter(" +
+        "string_split_regex(lower(ss[sid]), '[^a-z0-9]+'), " +
+        "x -> length(x) > 0)) AS toks FROM ix)), " +
+        "e AS (SELECT a.doc_id, a.sid AS i, b.sid AS j, " +
+        "CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) " +
+        "AS DOUBLE) AS ov, " +
+        "ln(CAST(a.ntok AS DOUBLE)) + ln(CAST(b.ntok AS DOUBLE)) AS den " +
+        "FROM st a JOIN st b ON a.doc_id = b.doc_id AND a.sid <> b.sid), " +
+        "ef AS (SELECT doc_id, i, j, ov / den AS w FROM e " +
+        "WHERE ov > 0 AND den > 0), " +
+        "ew AS MATERIALIZED (SELECT ef.doc_id, ef.i AS src, " +
+        "ef.j AS dst, ef.w / o.os AS wn FROM ef JOIN (" +
+        "SELECT doc_id, i, sum(w) AS os FROM ef GROUP BY 1, 2) o " +
+        "ON ef.doc_id = o.doc_id AND ef.i = o.i), " +
+        "s0 AS MATERIALIZED (SELECT doc_id, sid, " +
+        "CAST(1.0 AS DOUBLE) AS sc FROM st)"
+    val rounds = (1 to iters).map { r =>
+      s"s$r AS MATERIALIZED (SELECT st.doc_id, st.sid, " +
+        "(1.0 - 0.875) + 0.875 * COALESCE(m.mm, 0.0) AS sc " +
+        "FROM st LEFT JOIN (SELECT ew.doc_id, ew.dst AS sid, " +
+        s"sum(ew.wn * p.sc) AS mm FROM ew JOIN s${r - 1} p " +
+        "ON ew.doc_id = p.doc_id AND ew.src = p.sid GROUP BY 1, 2) m " +
+        "ON st.doc_id = m.doc_id AND st.sid = m.sid)"
+    }.mkString(", ", ", ", "")
+    head + rounds +
+      " SELECT st.doc_id, st.sid AS sent_idx, st.ntok AS n_tokens, " +
+      s"round(f.sc, 6) AS score FROM st JOIN s$iters f " +
+      "ON st.doc_id = f.doc_id AND st.sid = f.sid " +
+      "ORDER BY st.doc_id, st.sid"
+  }
+
   /** q317's scaling-law fit: per-candidate conditional log-moment sums
     * (the temperatureScaling pattern) + closed-form OLS per c, argmin by
     * least() with an ascending-c CASE scan (the operator's struct-min
@@ -2836,6 +2930,10 @@ object Oracles {
     "q325_rouge" -> rougeSql(2),
     "q327_chrf" -> chrfSql(6),
     "q329_kcenter_coreset" -> kCenterSql(4),
+
+    "q331_facility_location" -> facilityLocationSql(4),
+
+    "q332_textrank" -> textRankSql(5),
 
     // Benjamini–Hochberg: ascending (p, test) rank, m·p/rank suffix min,
     // cap at 1 — rejected computed on the UNROUNDED p_adj like the op.

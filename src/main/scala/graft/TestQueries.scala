@@ -5180,6 +5180,49 @@ object TestQueries {
     * segmentation with the q103b chained-replace recipe and quantile_cont
     * (≡ Spark's exact percentile).
     */
+  /** Facility-location greedy selection
+    * ([[operators.Similarity.facilityLocationSelect]]): 4 coverage-
+    * maximizing picks over q329's 100-vector pool — the representative
+    * counterpart to k-center's outlier-chasing max-min, same pool so the
+    * two selection objectives are directly comparable. DuckDB replays
+    * the unrolled greedy rounds: pairwise cosines once, per-round
+    * marginal-gain sums over the running best-coverage carry, argmax by
+    * (gain desc, id).
+    */
+  def q331FacilityLocation(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.facilityLocationSelect(
+        Tables.loadEmbeddings(s, dir).where(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4)
+      .select(col("vec_id"), col("rank"),
+        round(col("gain"), 6).as("gain"))
+      .orderBy("rank")
+
+  /** TextRank sentence salience ([[operators.Quality.textRank]]):
+    * sentences manufactured as in q123 (" the " → ". The "), 5 fixed
+    * weighted-PageRank rounds — the unsupervised extractive-
+    * summarization scorer. Damping is 7/8 (q311's dyadic-exact trick),
+    * NOT the 0.85 default: symmetric subgraphs cancel the ln weights to
+    * exact rationals (wn = 1/2, 1/3), so scores there are polynomials
+    * in {damping, 1−damping, 1/2} — with 0.85 those land EXACTLY on
+    * decimal rounding half-boundaries (measured: 1.6633240625 flipped
+    * 11 rows at 9dp between engines), while dyadic values can never
+    * decimal-tie. The gate emits ALL sentences ordered by
+    * (doc_id, sent_idx) — a top-k cut on float scores would let
+    * cross-engine ulps flip ties; the rank column's determinism is
+    * QualitySpec-covered.
+    */
+  def q332Textrank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", ". The ").as("text"))
+    operators.Quality.textRank(docs, "doc_id", "text",
+        iterations = 5, damping = 0.875)
+      .select(col("doc_id"), col("sent_idx"), col("n_tokens"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "sent_idx")
+  }
+
   def q330BpeCompression(s: SparkSession, dir: String): DataFrame =
     operators.Analytics.bpeCompressionAudit(
         t(s, dir, "documents"), "source", "text",
@@ -5663,6 +5706,8 @@ object TestQueries {
     "q328_query_likelihood" -> (q328QueryLikelihood _),
     "q329_kcenter_coreset" -> (q329KcenterCoreset _),
     "q330_bpe_compression" -> (q330BpeCompression _),
+    "q331_facility_location" -> (q331FacilityLocation _),
+    "q332_textrank" -> (q332Textrank _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

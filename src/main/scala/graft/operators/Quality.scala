@@ -1526,4 +1526,102 @@ object Quality {
       .select(col("__id").as(idCol), col("chr_p"), col("chr_r"),
         col("chrf"))
   }
+
+  /** TextRank extractive salience (Mihalcea & Tarau 2004) — the
+    * unsupervised summarization pass a curation pipeline runs to keep a
+    * document's load-bearing sentences (context distillation, snippet
+    * selection for RAG, highlight extraction): sentences become nodes of
+    * a PER-DOCUMENT graph, edge weight = the paper's normalized overlap
+    * |tokens_i ∩ tokens_j| / (ln|tokens_i| + ln|tokens_j|) over DISTINCT
+    * lowercased alphanumeric tokens (documented deviation: the paper
+    * leaves tokenization open), and the weighted PageRank recurrence
+    * WS(i) = (1−d) + d·Σ_j w_ji/Σ_k w_jk · WS(j) runs `iterations` fixed
+    * synchronous rounds from WS=1.0 (fixed rounds + fixed init = the
+    * deterministic, oracle-replayable convention of [[Graphs.pageRank]];
+    * note TextRank's teleport is the CONSTANT (1−d), not pageRank's
+    * (1−d)/N — per-doc scores are comparable across docs of different
+    * lengths). Zero-overlap and both-single-token pairs (ln denominator
+    * ≤ 0) carry no edge; a sentence with no edges scores (1−d).
+    * Sentence split = [[Splits.sentenceChunks]]'s RE2-safe
+    * `[.!?]+\s+` rule. Returns one row per sentence:
+    * (idCol, sent_idx 1-based, sentence, n_tokens, score,
+    * rank per doc by (score desc, sent_idx)).
+    *
+    * SCALE: every shuffle is doc-keyed — the sentence self-join is
+    * per-doc quadratic but bounded by `maxSentences` (docs truncate to
+    * their first `maxSentences` sentences, the standard long-doc guard),
+    * so a 100 TB corpus costs O(docs · maxSentences²) edge rows spread
+    * across doc-hash partitions, never a corpus-crossed join. Normalized
+    * edges pin once; each round is ONE join + a doc-keyed partial-agg
+    * sum, score frames pin per round and unpin when superseded (the
+    * pageRank discipline).
+    */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+               iterations: Int = 10, damping: Double = 0.85,
+               maxSentences: Int = 64): DataFrame = {
+    require(iterations >= 0, s"iterations must be ≥ 0: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    require(maxSentences >= 1, s"maxSentences must be ≥ 1: $maxSentences")
+    val sentArr = slice(filter(split(trim(col(textCol)), "[.!?]+\\s+"),
+      s => length(s) > 0), 1, maxSentences)
+    val sents = df
+      .select(col(idCol).as("__doc"), posexplode(sentArr))
+      .select(col("__doc"), (col("pos") + 1).cast("long").as("__sid"),
+        col("col").as("__sent"),
+        array_distinct(filter(split(lower(col("col")), "[^a-z0-9]+"),
+          t => length(t) > 0)).as("__toks"))
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+      .localCheckpoint() // both self-join sides + the spine + assembly
+    val overlap = size(array_intersect(col("__ti"), col("__tj")))
+      .cast("double")
+    val lnDen = log(col("__ni").cast("double")) +
+      log(col("__nj").cast("double"))
+    val edges = sents
+      .select(col("__doc"), col("__sid").as("__i"),
+        col("__toks").as("__ti"), col("__ntok").as("__ni"))
+      .join(sents.select(col("__doc"), col("__sid").as("__j"),
+        col("__toks").as("__tj"), col("__ntok").as("__nj")), Seq("__doc"))
+      .where(col("__i") =!= col("__j"))
+      .select(col("__doc"), col("__i"), col("__j"),
+        overlap.as("__ov"), lnDen.as("__den"))
+      .where(col("__ov") > 0 && col("__den") > 0)
+      .withColumn("__w", col("__ov") / col("__den"))
+    // out-normalize once: the per-round join carries (doc, src, dst, wn)
+    val ew = edges
+      .join(edges.groupBy("__doc", "__i").agg(sum("__w").as("__os")),
+        Seq("__doc", "__i"))
+      .select(col("__doc"), col("__i").as("__src"),
+        col("__j").as("__dst"), (col("__w") / col("__os")).as("__wn"))
+      .localCheckpoint()
+    var scores = sents.select(col("__doc"), col("__sid"),
+        lit(1.0).as("__score"))
+      .localCheckpoint(eager = true)
+    var r = 0
+    while (r < iterations) {
+      val contribs = ew
+        .join(scores.withColumnRenamed("__sid", "__src"),
+          Seq("__doc", "__src"))
+        .groupBy(col("__doc"), col("__dst"))
+        .agg(sum(col("__wn") * col("__score")).as("__m"))
+      val next = sents.select("__doc", "__sid")
+        .join(contribs.withColumnRenamed("__dst", "__sid"),
+          Seq("__doc", "__sid"), "left")
+        .select(col("__doc"), col("__sid"),
+          (lit(1.0 - damping) + lit(damping) *
+            coalesce(col("__m"), lit(0.0))).as("__score"))
+        .localCheckpoint(eager = true)
+      Pinning.unpin(scores) // superseded round
+      scores = next
+      r += 1
+    }
+    Pinning.unpin(ew)
+    val wRank = Window.partitionBy("__doc")
+      .orderBy(col("__score").desc, col("__sid"))
+    sents.select(col("__doc"), col("__sid"), col("__sent"), col("__ntok"))
+      .join(scores, Seq("__doc", "__sid"))
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("__doc").as(idCol), col("__sid").as("sent_idx"),
+        col("__sent").as("sentence"), col("__ntok").as("n_tokens"),
+        col("__score").as("score"), col("rank"))
+  }
 }

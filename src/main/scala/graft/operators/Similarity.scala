@@ -1090,4 +1090,96 @@ object Similarity {
     Pinning.unpin(state)
     selected.select(col("__id").as(idCol), col("rank"), col("radius"))
   }
+
+  /** Greedy facility-location selection (Nemhauser, Wolsey & Fisher 1978
+    * gives the (1−1/e) guarantee; Iyer et al. 2021 as the data-subset-
+    * selection recipe): pick k pool points maximizing the submodular
+    * coverage f(S) = Σ_v max(0, max_{c∈S} cos(v, c)) — the REPRESENTATIVE
+    * subset, where [[kCenterCoreset]]'s max-min objective chases outliers
+    * and density sampling over-picks the biggest cluster. The 0 floor
+    * makes f monotone under negative cosines (an anti-aligned center
+    * never *reduces* coverage). Ties by (gain desc, id); deterministic.
+    * Each selected row reports `gain` — its marginal coverage at pick
+    * time, a non-increasing curve (submodularity) that is the budget
+    * planning table ("how much coverage does center k+1 still buy").
+    * Picks stop early if the best remaining gain is ≤ 0 (every point
+    * already covered at least as well — more centers buy nothing).
+    *
+    * Pool is caller-bounded at `maxRows` (an ANN/filter pre-pass — the
+    * selection contract [[mmrRerank]] shares) because the gain of EVERY
+    * candidate changes with EVERY pick: unlike k-center's newest-center
+    * fold, facility location fundamentally re-scores candidates against
+    * the pool, so the pairwise cosines materialize ONCE (one broadcast
+    * cross join, n² bounded rows, pinned) and each of the k rounds is
+    * one coverage join + a partial-agg gain sum + a
+    * TakeOrderedAndProject argmax — never an n² recompute per round.
+    * Per-round pin/unpin of the coverage carry (the pageRank discipline).
+    * Ids must be unique ([[marginMining]]'s contract): a duplicated id
+    * would double-count its pair rows in every gain sum.
+    */
+  def facilityLocationSelect(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, maxRows: Int = 20000): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .localCheckpoint() // read by both cross-join sides + the count bound
+    require(base.limit(maxRows + 1).count() <= maxRows,
+      s"facilityLocationSelect is an exact greedy bounded at " +
+        s"maxRows=$maxRows — slice the pool or pre-select candidates " +
+        s"with ivfTopK/an upstream filter.")
+    // every (candidate, point) cosine, computed once for all k rounds
+    val pairs = base.select(col("__id").as("__c"), col("__v").as("__cv"))
+      .crossJoin(broadcast(base.select(col("__id").as("__p"),
+        col("__v").as("__pv"))))
+      .select(col("__c"), col("__p"),
+        Vectors.cosine(col("__cv"), col("__pv")).as("__s"))
+      .localCheckpoint()
+    val kEff = math.min(k.toLong,
+      base.agg(count_distinct(col("__id"))).head.getLong(0)).toInt
+    def argmax(gains: DataFrame, rank: Int): DataFrame = gains
+      .orderBy(col("__gain").desc, col("__c"))
+      .limit(1)
+      .select(col("__c").as("__id"), lit(rank).as("rank"),
+        col("__gain").as("gain"))
+    var selected = argmax(
+      pairs.groupBy("__c").agg(sum(greatest(col("__s"), lit(0.0)))
+        .as("__gain")), 1)
+      .localCheckpoint(eager = true)
+    // per-point best coverage by the selected set so far (the 0 floor)
+    var cover = pairs
+      .join(broadcast(selected.select(col("__id").as("__c"))), Seq("__c"))
+      .select(col("__p"), greatest(col("__s"), lit(0.0)).as("__cm"))
+      .localCheckpoint(eager = true)
+    var i = 2
+    var exhausted = selected.head(1).headOption.exists(_.getDouble(2) <= 0)
+    while (i <= kEff && !exhausted) {
+      val gains = pairs
+        .join(broadcast(selected.select(col("__id").as("__c"))),
+          Seq("__c"), "left_anti")
+        .join(cover, Seq("__p"))
+        .groupBy("__c")
+        .agg(sum(greatest(col("__s") - col("__cm"), lit(0.0)))
+          .as("__gain"))
+      val next = argmax(gains, i).localCheckpoint(eager = true)
+      if (next.head(1).headOption.exists(_.getDouble(2) > 0)) {
+        val nsel = selected.unionByName(next).localCheckpoint(eager = true)
+        Pinning.unpin(selected)
+        selected = nsel
+        if (i < kEff) {
+          val ncover = cover
+            .join(pairs.join(broadcast(next.select(col("__id")
+              .as("__c"))), Seq("__c")).select(col("__p"), col("__s")),
+              Seq("__p"))
+            .select(col("__p"), greatest(col("__cm"), col("__s"))
+              .as("__cm"))
+            .localCheckpoint(eager = true)
+          Pinning.unpin(cover)
+          cover = ncover
+        }
+      } else exhausted = true
+      Pinning.unpin(next)
+      i += 1
+    }
+    Seq(pairs, base, cover).foreach(Pinning.unpin)
+    selected.select(col("__id").as(idCol), col("rank"), col("gain"))
+  }
 }

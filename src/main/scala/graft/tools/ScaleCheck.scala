@@ -958,6 +958,28 @@ object ScaleCheck {
           emb.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", k = 4).count()
       },
+      "facility_location" -> { dir =>
+        // pool pinned to the BASE replica (margin_mining's discipline):
+        // the pool is caller-bounded by contract and the n² pair frame
+        // is its documented cost — growing the pool with the corpus
+        // would measure the intended quadratic, not operator health.
+        // What this anchors is the fixed-pool round loop staying flat
+        // while the surrounding tables (and executor pressure) grow.
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.operators.Similarity.facilityLocationSelect(
+          emb.where(col("vec_id") < 100000000L)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 4).count()
+      },
+      "textrank" -> { dir =>
+        // doc-keyed shuffles only; the sentence self-join is per-doc
+        // quadratic bounded by maxSentences, so corpus cost is linear
+        // in docs — the exponent guards exactly that
+        graft.operators.Quality.textRank(
+          docs(dir).select(col("doc_id"),
+            regexp_replace(col("text"), " the ", ". The ").as("text")),
+          "doc_id", "text", iterations = 5).count()
+      },
       "query_likelihood" -> { dir =>
         // one scan (per-term tf from the token array) + one-row cf
         // broadcast + TakeOrdered — shuffle-free by construction

@@ -907,4 +907,63 @@ class QualitySpec extends AnyFunSuite {
     assert(got(2L).getAs[Double]("chr_r") === 0.0)
     assert(got(2L).getAs[Double]("chrf") === 0.0)
   }
+
+  test("textRank: paraphrase pair holds the 1.0 fixpoint, the isolated " +
+    "sentence drops to (1-d), ranks tie-break by sent_idx") {
+    // s1 and s2 share 2 tokens (one edge each, wn = 1 both ways), s3 is
+    // disconnected: WS(s1) = .15 + .85*WS(s2) keeps 1.0 exactly from
+    // init 1.0; s3 gets no contribution -> (1-d) after any round >= 1.
+    val docs = Seq((7L, "spark joins data. spark data flows! fish swim"))
+      .toDF("doc_id", "text")
+    val got = Quality.textRank(docs, "doc_id", "text", iterations = 10)
+      .orderBy("sent_idx").collect()
+    assert(got.map(_.getAs[Long]("sent_idx")).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[String]("sentence")).toSeq ===
+      Seq("spark joins data", "spark data flows", "fish swim"))
+    assert(got.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L, 3L, 2L))
+    assert(math.abs(got(0).getAs[Double]("score") - 1.0) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("score") - 1.0) < 1e-12)
+    assert(math.abs(got(2).getAs[Double]("score") - 0.15) < 1e-12)
+    assert(got.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("textRank: one hand-iterated round on an asymmetric triangle") {
+    // s1{x,y} s2{x,z} s3{p,q,x}: w12 = 1/(2 ln 2), w13 = w23 =
+    // 1/(ln 2 + ln 3); every node out-normalizes its two edges.
+    val docs = Seq((1L, "x y. x z. p q x")).toDF("doc_id", "text")
+    val w12 = 1.0 / (2 * math.log(2))
+    val w13 = 1.0 / (math.log(2) + math.log(3))
+    val os1 = w12 + w13 // = os2; os3 = 2 * w13
+    def ws(in: Seq[Double]) = (1.0 - 0.85) + 0.85 * in.sum
+    val exp = Seq(
+      ws(Seq(w12 / os1, w13 / (2 * w13))), // into s1: from s2, s3
+      ws(Seq(w12 / os1, w13 / (2 * w13))),
+      ws(Seq(w13 / os1, w13 / os1)))
+    val got = Quality.textRank(docs, "doc_id", "text", iterations = 1)
+      .orderBy("sent_idx").collect().map(_.getAs[Double]("score"))
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("textRank: score mass is conserved when every sentence has an " +
+    "edge; iterations = 0 returns the 1.0 init; maxSentences truncates; " +
+    "single-token pairs carry no edge") {
+    val docs = Seq((1L, "red cat runs. red dog walks. cat dog sits"))
+      .toDF("doc_id", "text")
+    val sum = Quality.textRank(docs, "doc_id", "text", iterations = 10)
+      .agg(org.apache.spark.sql.functions.sum("score")).head.getDouble(0)
+    assert(math.abs(sum - 3.0) < 1e-9)
+    val init = Quality.textRank(docs, "doc_id", "text", iterations = 0)
+      .collect().map(_.getAs[Double]("score"))
+    assert(init.forall(_ === 1.0))
+    val cut = Quality.textRank(docs, "doc_id", "text", maxSentences = 2)
+      .collect()
+    assert(cut.map(_.getAs[Long]("sent_idx")).sorted.toSeq === Seq(1L, 2L))
+    // "a. a": both sentences have 1 distinct token -> ln denominator 0,
+    // no edge, both score (1-d); and an empty doc emits no rows
+    val degen = Seq((1L, "a. a"), (2L, "   ")).toDF("doc_id", "text")
+    val dg = Quality.textRank(degen, "doc_id", "text").collect()
+    assert(dg.length === 2)
+    assert(dg.forall(_.getAs[Long]("doc_id") === 1L))
+    assert(dg.forall(r => math.abs(r.getAs[Double]("score") - 0.15) < 1e-12))
+  }
 }

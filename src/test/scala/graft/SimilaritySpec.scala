@@ -502,4 +502,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(all.length === 4)
     assert(all.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
   }
+
+  test("facilityLocationSelect: greedy coverage picks with hand-computed " +
+    "marginal gains; zero-gain early exit; duplicate-direction tie by id") {
+    import spark.implicits._
+    // unit vectors: 1=(1,0), 2=(1,0) dup, 3=(0,1), 4=(.6,.8).
+    // Round 1 gains: c1=c2 = 1+1+0+.6 = 2.6, c3 = 1.8, c4 = 3.0 -> pick 4.
+    // Round 2: c1=c2 = (1-.6)*2 = .8 (tie -> id 1), c3 = .2 -> pick 1.
+    // Round 3: c2 fully covered by 1 (gain 0), c3 = .2 -> pick 3.
+    // Round 4: only c2 left at gain 0 -> greedy stops (3 rows for k=4).
+    val pool = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.6f, 0.8f)))
+      .toDF("id", "vec")
+    val got = operators.Similarity.facilityLocationSelect(
+        pool, "id", "vec", k = 4)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(4L, 1L, 3L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    val gains = got.map(_.getAs[Double]("gain"))
+    assert(math.abs(gains(0) - 3.0) < 1e-6)
+    assert(math.abs(gains(1) - 0.8) < 1e-6)
+    assert(math.abs(gains(2) - 0.2) < 1e-6)
+  }
+
+  test("facilityLocationSelect: gains non-increasing (submodularity), " +
+    "anti-aligned points still self-cover via the 0 floor, k bounded by " +
+    "the pool, maxRows contract enforced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rpool = (1L to 30L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() - 0.5f))).toDF("id", "vec")
+    val gains = operators.Similarity.facilityLocationSelect(
+        rpool, "id", "vec", k = 5)
+      .orderBy("rank").collect().map(_.getAs[Double]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a + 1e-9 },
+      gains.mkString(","))
+    // opposite unit vectors: each covers ONLY itself (cos -1 floors to
+    // 0), so both get picked with gain 1.0, ties by id
+    val anti = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val ag = operators.Similarity.facilityLocationSelect(
+        anti, "id", "vec", k = 5)
+      .orderBy("rank").collect()
+    assert(ag.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(ag.forall(r => math.abs(r.getAs[Double]("gain") - 1.0) < 1e-9))
+    intercept[IllegalArgumentException] {
+      operators.Similarity.facilityLocationSelect(
+        rpool, "id", "vec", k = 2, maxRows = 10)
+    }
+  }
 }
