@@ -518,4 +518,100 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("log_e_value") - ele) < 1e-9)
     }
   }
+
+  test("facilityLocationSelect == sequential greedy reference on random " +
+    "vectors, stable under repartition") {
+    val rnd = new scala.util.Random(17)
+    val pool = (1L to 40L).map(i =>
+      (i, Seq.fill(5)((rnd.nextDouble() * 2 - 1).toFloat)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val s = (for ((ci, cv) <- pool; (pi, pv) <- pool)
+      yield (ci, pi) -> cos(cv, pv)).toMap
+    val ids = pool.map(_._1)
+    // the operator's semantics: round 1 always keeps its argmax, later
+    // rounds stop BEFORE adding a gain <= 0 pick
+    var cover = ids.map(_ -> 0.0).toMap
+    var expected = Vector.empty[(Long, Int, Double)]
+    var stop = false
+    for (r <- 1 to 6 if !stop) {
+      val cands = ids.filterNot(c => expected.exists(_._1 == c))
+      val (bc, bg) = cands
+        .map(c => c -> ids.map(v => math.max(0.0, s((c, v)) - cover(v))).sum)
+        .minBy { case (c, g) => (-g, c) }
+      if (r > 1 && bg <= 0) stop = true
+      else {
+        expected :+= ((bc, r, bg))
+        cover = ids.map(v => v -> math.max(cover(v), s((bc, v)))).toMap
+      }
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.Similarity.facilityLocationSelect(df, "id", "vec", k = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getAs[Int]("rank"),
+          r.getAs[Double]("gain")))
+    val base = pool.toDF("id", "vec")
+    for (got <- Seq(run(base), run(base.repartition(7)))) {
+      assert(got.map(t => (t._1, t._2)).toSeq ===
+        expected.map(t => (t._1, t._2)))
+      got.zip(expected).foreach { case (g, e) =>
+        assert(math.abs(g._3 - e._3) < 1e-9, s"gain drift at rank ${e._2}")
+      }
+    }
+  }
+
+  test("textRank == sequential weighted-PageRank reference on random " +
+    "multi-sentence docs, stable under repartition") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("ash", "birch", "cedar", "dune", "elm", "fern",
+      "gale", "heron", "iris", "jade", "kelp", "loch")
+    def sentence() =
+      Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(8))(sentence()).mkString(". ")))
+    val d = 0.85
+    def ref(text: String): Seq[Double] = {
+      val sents = text.trim.split("[.!?]+\\s+").filter(_.nonEmpty).take(64)
+      val toks = sents.map(_.toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty).toSet)
+      val n = sents.length
+      val w = Array.tabulate(n, n) { (i, j) =>
+        if (i == j) 0.0 else {
+          val ov = toks(i).intersect(toks(j)).size.toDouble
+          val den = math.log(toks(i).size.toDouble) +
+            math.log(toks(j).size.toDouble)
+          if (ov > 0 && den > 0) ov / den else 0.0
+        }
+      }
+      val os = Array.tabulate(n)(i => w(i).sum)
+      var sc = Array.fill(n)(1.0)
+      for (_ <- 1 to 10) {
+        sc = Array.tabulate(n) { i =>
+          (1 - d) + d * (0 until n).map(j =>
+            if (w(j)(i) > 0) w(j)(i) / os(j) * sc(j) else 0.0).sum
+        }
+      }
+      sc.toSeq
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      ref(text).zipWithIndex.map { case (v, i) => (id, i + 1L) -> v }
+    }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Quality.textRank(df, "doc_id", "text",
+          iterations = 10, damping = d)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("sent_idx")) ->
+          r.getAs[Double]("score")).toMap
+    val base = docs.toDF("doc_id", "text")
+    for (got <- Seq(run(base), run(base.repartition(7)))) {
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expected(k)) < 1e-9, s"score drift at $k")
+      }
+    }
+  }
 }
