@@ -2935,6 +2935,43 @@ object Oracles {
 
     "q332_textrank" -> textRankSql(5),
 
+    // DBSCAN: degrees over the exact eps-pair table, core flag at
+    // minPts 3 (the point counts itself), recursive closure over
+    // core-core edges (q84's reach pattern, min-id labels), min-label
+    // border attachment, noise = the rest. All-integer output.
+    "q333_dbscan" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id < 150), " +
+        "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        s"WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30), " +
+        "und AS (SELECT ia AS id, ib AS nb FROM p " +
+        "UNION ALL SELECT ib, ia FROM p), " +
+        "deg AS (SELECT e.vec_id AS id, CAST(COALESCE(d.n, 0) AS BIGINT) " +
+        "AS n FROM e LEFT JOIN (SELECT id, count(*) AS n FROM und " +
+        "GROUP BY 1) d ON e.vec_id = d.id), " +
+        "core AS (SELECT id FROM deg WHERE n + 1 >= 3), " +
+        "ce AS (SELECT ia, ib FROM p WHERE ia IN (SELECT id FROM core) " +
+        "AND ib IN (SELECT id FROM core)), " +
+        "edges AS (SELECT ia AS a, ib AS b FROM ce " +
+        "UNION ALL SELECT ib, ia FROM ce), " +
+        "reach AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e2.b FROM reach r JOIN edges e2 " +
+        "ON r.dst = e2.a), " +
+        "lbl AS (SELECT c.id, LEAST(c.id, COALESCE(m.mn, c.id)) " +
+        "AS cluster FROM core c LEFT JOIN (SELECT src, min(dst) AS mn " +
+        "FROM reach GROUP BY 1) m ON c.id = m.src), " +
+        "bl AS (SELECT u.id, min(l.cluster) AS bcl FROM und u " +
+        "JOIN lbl l ON u.nb = l.id " +
+        "WHERE u.id NOT IN (SELECT id FROM core) GROUP BY 1) " +
+        "SELECT deg.id AS vec_id, deg.n AS n_neighbors, " +
+        "deg.n + 1 >= 3 AS is_core, " +
+        "COALESCE(l.cluster, bl.bcl) AS cluster, " +
+        "CASE WHEN deg.n + 1 >= 3 THEN 'core' " +
+        "WHEN bl.bcl IS NOT NULL THEN 'border' ELSE 'noise' END AS role " +
+        "FROM deg LEFT JOIN lbl l ON deg.id = l.id " +
+        "LEFT JOIN bl ON deg.id = bl.id ORDER BY vec_id"),
+
     // Benjamini–Hochberg: ascending (p, test) rank, m·p/rank suffix min,
     // cap at 1 — rejected computed on the UNROUNDED p_adj like the op.
     "q326_bh_fdr" ->

@@ -5223,6 +5223,24 @@ object TestQueries {
       .orderBy("doc_id", "sent_idx")
   }
 
+  /** DBSCAN density clustering ([[operators.Similarity.dbscan]]) over the
+    * q84 embedding slice: exact eps-neighbor pairs at cosine ≥ 0.30
+    * (q84's threshold family — at 0.30 the slice splits into ~10 dense
+    * clusters with singleton cores, borders AND noise at every sf),
+    * minPts 3. Output is all-integer/boolean/string, so the oracle —
+    * degrees, core flags, a recursive-CTE closure over core–core edges
+    * (q84's pattern), min-label border attachment — hash-matches with no
+    * float rounding at all.
+    */
+  def q333Dbscan(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.loadEmbeddings(s, dir).where(col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = operators.Dedup.embeddingNearDupExact(
+      pts, "vec_id", "embedding", threshold = 0.30)
+    operators.Similarity.dbscan(pts, "vec_id", pairs, minPts = 3)
+      .orderBy("vec_id")
+  }
+
   def q330BpeCompression(s: SparkSession, dir: String): DataFrame =
     operators.Analytics.bpeCompressionAudit(
         t(s, dir, "documents"), "source", "text",
@@ -5708,6 +5726,7 @@ object TestQueries {
     "q330_bpe_compression" -> (q330BpeCompression _),
     "q331_facility_location" -> (q331FacilityLocation _),
     "q332_textrank" -> (q332Textrank _),
+    "q333_dbscan" -> (q333Dbscan _),
     "q40_events_hourly" -> (q40EventsHourly _),
     "q41_sessionize" -> (q41Sessionize _),
     "q42_binary_meta" -> (q42BinaryMeta _),

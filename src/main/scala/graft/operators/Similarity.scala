@@ -1182,4 +1182,80 @@ object Similarity {
     Seq(pairs, base, cover).foreach(Pinning.unpin)
     selected.select(col("__id").as(idCol), col("rank"), col("gain"))
   }
+
+  /** DBSCAN density clustering (Ester et al. 1996) over a PRECOMPUTED
+    * eps-neighbor pair table — the curation pass that separates dense
+    * semantic regions from stragglers where k-means-style quantizers
+    * force every point into a cell. Decoupling neighborhood discovery
+    * from the clustering is the scale design: feed
+    * `Dedup.embeddingNearDupExact` (bounded all-pairs audit anchor) or
+    * `Dedup.embeddingNearDupPairs` (LSH-bucketed, corpus scale — its
+    * recall is separately gated) as `pairs` (id_a < id_b once per
+    * unordered pair, that contract), and the same clustering semantics
+    * ride either path.
+    *
+    * Semantics (deterministic throughout):
+    * - a point is CORE when its neighbor count + 1 ≥ minPts (the point
+    *   counts itself — the standard convention);
+    * - clusters = connected components over core–core eps-edges
+    *   ([[Dedup.connectedComponents]] — label = min core id; a core with
+    *   no core neighbor keeps its own id as a singleton cluster);
+    * - a non-core point with ≥ 1 core neighbor is BORDER and joins the
+    *   MINIMUM label among its core neighbors (textbook DBSCAN leaves
+    *   multi-cluster borders visit-order-dependent; min-label is the
+    *   canonical deterministic resolution);
+    * - everything else is NOISE (cluster null).
+    *
+    * Returns one row per point: (idCol, n_neighbors, is_core, cluster,
+    * role ∈ core|border|noise).
+    *
+    * SCALE: the pair table pins once; degrees/flags are one pair-keyed
+    * aggregate, core filtering two semi-joins, and the component loop is
+    * connectedComponents' O(log diameter) rounds on (id, label) rows —
+    * nothing here re-touches vectors, so the cost after neighborhood
+    * discovery is edge-bound, not dimension-bound.
+    */
+  def dbscan(points: DataFrame, idCol: String, pairs: DataFrame,
+             minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint() // degrees, core edges, border join all re-read it
+    val und = p0.select(col("id_a").as("__id"), col("id_b").as("__nb"))
+      .unionByName(p0.select(col("id_b").as("__id"),
+        col("id_a").as("__nb")))
+    val deg = und.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val flagged = points.select(col(idCol).as("__id"))
+      .join(deg, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("__n"), lit(0L)).as("n_neighbors"),
+        (coalesce(col("__n"), lit(0L)) + 1 >= minPts).as("is_core"))
+      .localCheckpoint() // core filter + final assembly
+    val cores = flagged.where(col("is_core")).select("__id")
+    val coreEdges = p0
+      .join(cores.withColumnRenamed("__id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(cores.withColumnRenamed("__id", "id_b"), Seq("id_b"),
+        "left_semi")
+    val cc = Dedup.connectedComponents(coreEdges)
+    val coreLabeled = cores
+      .join(cc.withColumnRenamed("id", "__id"), Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("cluster"), col("__id"))
+        .as("cluster"))
+      .localCheckpoint() // border join + final assembly
+    val borderLabels = und
+      .join(flagged.where(!col("is_core")).select("__id"), Seq("__id"),
+        "left_semi")
+      .join(coreLabeled.select(col("__id").as("__nb"), col("cluster")),
+        Seq("__nb"))
+      .groupBy("__id").agg(min("cluster").as("__bcl"))
+    flagged
+      .join(coreLabeled.withColumnRenamed("cluster", "__ccl"),
+        Seq("__id"), "left")
+      .join(borderLabels, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_neighbors"), col("is_core"),
+        coalesce(col("__ccl"), col("__bcl")).as("cluster"),
+        when(col("is_core"), "core")
+          .when(col("__bcl").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
 }

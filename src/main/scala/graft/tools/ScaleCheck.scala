@@ -971,6 +971,15 @@ object ScaleCheck {
             .select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", k = 4).count()
       },
+      "dbscan" -> { dir =>
+        // neighborhood discovery rides the LSH-bucketed pair path (the
+        // corpus-scale contract); the clustering after it is edge-bound
+        val pts = emb(dir).select(col("vec_id"), col("embedding"))
+        val pairs = graft.operators.Dedup.embeddingNearDupPairs(
+          pts, "vec_id", "embedding", dim = 64, threshold = 0.30)
+        graft.operators.Similarity.dbscan(pts, "vec_id", pairs,
+          minPts = 3).count()
+      },
       "textrank" -> { dir =>
         // doc-keyed shuffles only; the sentence self-join is per-doc
         // quadratic bounded by maxSentences, so corpus cost is linear

@@ -552,4 +552,44 @@ class SimilaritySpec extends AnyFunSuite {
         rpool, "id", "vec", k = 2, maxRows = 10)
     }
   }
+
+  test("dbscan: two dense clusters, a two-cluster border takes the min " +
+    "label, isolated point is noise; minPts=1 turns the border into a " +
+    "chaining core that merges the clusters") {
+    import spark.implicits._
+    // unit circle, cosine threshold 0.95 = edges at angle <= 18.19 deg:
+    // cluster A at 0/2/4/6 deg (ids 1-4), cluster D at 42/44/46/48 deg
+    // (ids 5-8), id 9 at 24 deg touches ONLY id4 (18 deg) and id5
+    // (18 deg) -> degree 2, id 10 at 180 deg touches nothing
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val pts = Seq(1L -> v(0), 2L -> v(2), 3L -> v(4), 4L -> v(6),
+      5L -> v(42), 6L -> v(44), 7L -> v(46), 8L -> v(48),
+      9L -> v(24), 10L -> v(180)).toDF("id", "vec")
+    val pairs = operators.Dedup.embeddingNearDupExact(
+      pts, "id", "vec", threshold = 0.95, maxRows = 100)
+    val got = operators.Similarity.dbscan(pts, "id", pairs, minPts = 4)
+      .orderBy("id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(got.map(_.getAs[Long]("n_neighbors")).toSeq ===
+      Seq(3L, 3L, 3L, 4L, 4L, 3L, 3L, 3L, 2L, 0L))
+    assert((1L to 8L).forall(byId(_).getAs[Boolean]("is_core")))
+    assert((1L to 4L).forall(byId(_).getAs[Long]("cluster") === 1L))
+    assert((5L to 8L).forall(byId(_).getAs[Long]("cluster") === 5L))
+    // border 9 neighbors cores of BOTH clusters -> min label wins
+    assert(!byId(9L).getAs[Boolean]("is_core"))
+    assert(byId(9L).getAs[String]("role") === "border")
+    assert(byId(9L).getAs[Long]("cluster") === 1L)
+    assert(byId(10L).getAs[String]("role") === "noise")
+    assert(byId(10L).isNullAt(byId(10L).fieldIndex("cluster")))
+    // minPts = 1: 9 becomes core and CHAINS the clusters into one; the
+    // isolated 10 becomes its own singleton-core cluster
+    val loose = operators.Similarity.dbscan(pts, "id", pairs, minPts = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("role"), r.getAs[Long]("cluster"))).toMap
+    assert((1L to 9L).forall(i => loose(i) === (("core", 1L))))
+    assert(loose(10L) === (("core", 10L)))
+  }
 }
