@@ -614,4 +614,61 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dbscan == sequential union-find reference on random vectors " +
+    "across minPts settings") {
+    val rnd = new scala.util.Random(29)
+    val pts = (1L to 80L).map(i =>
+      (i, Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val th = 0.5
+    val edges = for {
+      (ia, va) <- pts; (ib, vb) <- pts
+      if ia < ib && cos(va, vb) >= th
+    } yield (ia, ib)
+    val df = pts.toDF("id", "vec")
+    val pairsDf = operators.Dedup.embeddingNearDupExact(
+      df, "id", "vec", threshold = th, maxRows = 100)
+    for (minPts <- Seq(1, 2, 3, 5)) {
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val core = pts.map(_._1).filter(i =>
+        deg.getOrElse(i, 0L) + 1 >= minPts).toSet
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        if (core(a) && core(b)) {
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+      }
+      val label = core.map(c => c -> core.filter(find(_) == find(c)).min)
+        .toMap
+      val expected = pts.map(_._1).map { i =>
+        val nbrs = edges.collect {
+          case (a, b) if a == i => b
+          case (a, b) if b == i => a
+        }
+        val coreNbrLabels = nbrs.filter(core).map(label)
+        val (role, cl): (String, Option[Long]) =
+          if (core(i)) ("core", Some(label(i)))
+          else if (coreNbrLabels.nonEmpty) ("border", Some(coreNbrLabels.min))
+          else ("noise", None)
+        i -> ((deg.getOrElse(i, 0L), core(i), cl, role))
+      }.toMap
+      val got = operators.Similarity.dbscan(df, "id", pairsDf, minPts)
+        .collect().map { r =>
+          r.getLong(0) -> ((r.getAs[Long]("n_neighbors"),
+            r.getAs[Boolean]("is_core"),
+            Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong),
+            r.getAs[String]("role")))
+        }.toMap
+      assert(got === expected, s"minPts=$minPts")
+    }
+  }
 }
