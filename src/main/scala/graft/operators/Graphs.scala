@@ -140,43 +140,69 @@ object Graphs {
     require(iterations >= 0, s"iterations must be ≥ 0: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
+    // Round-frame layout (optimization guide §2.4, "remove shuffles
+    // outright"): every pinned frame records an explicit HashPartitioning
+    // on its loop join key ([[Pinning.pinBy]]), at a granularity derived
+    // from the measured edge count ([[Pinning.partsFor]]), so a round's
+    // plan is
+    //   ew(src) ⋈ ranks(node→src)        — co-partitioned, NO exchange
+    //   groupBy(dst)                      — the round's ONE exchange
+    //   ranks(node) ⋈ contribs(dst→node)  — co-partitioned, NO exchange
+    // The dangling flag rides ON the rank frame, so the dangling mass is
+    // a filtered one-row aggregate over already-pinned blocks instead of
+    // a per-round join, and ranks itself is the node spine (it always
+    // carries every node), so the separate per-round nodes join is gone.
+    // Previously each round re-exchanged edges, ranks (twice), nodes and
+    // the dangling join — 94 AQE stage-jobs for 10 rounds at sf0.1.
+    val e =
+      if (checkpointDir.isDefined)
+        edges.select(col("src"), col("dst")).checkpoint(eager = true)
+      else edges.select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(e.count(), e)
+    def pin(df: DataFrame, keys: String*): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+      else Pinning.pinBy(df, parts, keys: _*)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     // edge weight 1/outdeg precomputed — the per-round join then carries
-    // only (src, dst, w) against (node, pr)
-    val ew = pin(e.join(outdeg, "src")
+    // only (src, dst, w) against (node, pr); aligned on src throughout
+    val ew = pin(e.join(outdeg.hint("shuffle_hash"), "src")
       .select(col("src"), col("dst"),
-        (lit(1.0) / col("__outdeg")).as("__w")))
+        (lit(1.0) / col("__outdeg")).as("__w")), "src")
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg.select(col("src").as("node"), lit(true).as("__nd"))
+        .hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), col("__nd").isNull.as("__dang")), "node")
+    Pinning.unpin(e) // ew + node spine built; the raw edge pin is done
     // N is a bounded driver scalar (one long), like the CC convergence probe
     val n = nodes.count().toDouble
     val teleport = (1.0 - damping) / n
-    var ranks = pin(nodes.withColumn("pr", lit(1.0 / n)))
-    val dangling = pin(nodes.join(outdeg,
-      col("node") === col("src"), "left_anti").select("node"))
+    // projection of the pinned node spine — round 1's unpin releases it
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
     var i = 0
     while (i < iterations) {
       val contribs = ew
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .groupBy(col("dst")).agg(sum(col("pr") * col("__w")).as("__m"))
-      val dMass = dangling.join(ranks, "node")
+      val dMass = ranks.where(col("__dang"))
         .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
-      val next = pin(nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      val next = pin(ranks.select(col("node"), col("__dang"))
+        .join(contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+          Seq("node"), "left")
         .crossJoin(broadcast(dMass))
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           (lit(teleport) + lit(damping) *
-            (coalesce(col("__m"), lit(0.0)) + col("__dm") / n)).as("pr")))
+            (coalesce(col("__m"), lit(0.0)) + col("__dm") / n)).as("pr")),
+        "node")
       Pinning.unpin(ranks) // superseded round — release its pinned blocks
       ranks = next
       i += 1
     }
-    Seq(nodes, ew, dangling).foreach(Pinning.unpin)
-    ranks
+    val out = ranks.select(col("node"), col("pr"))
+    Pinning.unpin(ew)
+    out
   }
 
   /** Personalized / weighted PageRank — [[pageRank]] generalized along
@@ -212,54 +238,71 @@ object Graphs {
     require(iterations >= 0, s"iterations must be ≥ 0: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // Same aligned-pin round shape as [[pageRank]] (see the layout note
+    // there): rank frames carry (node, __in_r, __dang) so the restart
+    // expression and the dangling mass both read the already-pinned
+    // round frame, and the per-round plan is one co-partitioned join, one
+    // exchange (the dst aggregate), one co-partitioned spine join.
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val e = edges.select(col("src"), col("dst"), w.as("__ew"))
+    val e0 = edges.select(col("src"), col("dst"), w.as("__ew"))
       .where(col("__ew") > 0.0)
+    val e =
+      if (checkpointDir.isDefined) e0.checkpoint(eager = true)
+      else e0.localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(e.count(), e)
+    def pin(df: DataFrame, keys: String*): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else Pinning.pinBy(df, parts, keys: _*)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // the restart flag rides ON the pinned node frame — projections of a
-    // pinned parent are free, so no second pin for the r distribution
-    val nodes = pin(restart match {
+    val outw = e.groupBy(col("src")).agg(sum("__ew").as("__ow"))
+    // restart AND dangling flags ride ON the pinned node frame — the
+    // round loop then needs no side tables at all beyond ew
+    val nodes = pin((restart match {
       case Some(r) =>
         val rs = r.select(col(r.columns.head).as("node")).distinct()
         nodes0.join(rs.select(col("node"), lit(1).as("__in_r")),
           Seq("node"), "left")
       case None => nodes0.withColumn("__in_r", lit(1))
-    })
+    }).join(outw.select(col("src").as("node"), lit(true).as("__nd"))
+        .hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), col("__in_r"), col("__nd").isNull.as("__dang")),
+      "node")
     val nR = nodes.where(col("__in_r") === 1).count().toDouble
     require(nR > 0,
       "pageRankPersonalized: the restart set shares no node with the graph")
     def rExpr: Column =
       when(col("__in_r") === 1, lit(1.0 / nR)).otherwise(lit(0.0))
-    val outw = e.groupBy(col("src")).agg(sum("__ew").as("__ow"))
-    val ew = pin(e.join(outw, "src")
-      .select(col("src"), col("dst"), (col("__ew") / col("__ow")).as("__w")))
-    val dangling = pin(nodes.select("node").join(outw,
-      col("node") === col("src"), "left_anti").select("node"))
-    var ranks = pin(nodes.select(col("node"), rExpr.as("pr")))
+    val ew = pin(e.join(outw.hint("shuffle_hash"), "src")
+      .select(col("src"), col("dst"), (col("__ew") / col("__ow")).as("__w")),
+      "src")
+    Pinning.unpin(e) // ew + node spine built; the raw edge pin is done
+    // projection of the pinned node spine — round 1's unpin releases it
+    var ranks = nodes.withColumn("pr", rExpr)
     var i = 0
     while (i < iterations) {
       val contribs = ew
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .groupBy(col("dst")).agg(sum(col("pr") * col("__w")).as("__m"))
-      val dMass = dangling.join(ranks, "node")
+      val dMass = ranks.where(col("__dang"))
         .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
-      val next = pin(nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      val next = pin(ranks.select(col("node"), col("__in_r"), col("__dang"))
+        .join(contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+          Seq("node"), "left")
         .crossJoin(broadcast(dMass))
-        .select(col("node"),
+        .select(col("node"), col("__in_r"), col("__dang"),
           ((lit(1.0) - damping) * rExpr + lit(damping) *
             (coalesce(col("__m"), lit(0.0)) + col("__dm") * rExpr))
-            .as("pr")))
+            .as("pr")),
+        "node")
       Pinning.unpin(ranks) // superseded round — release its pinned blocks
       ranks = next
       i += 1
     }
-    Seq(nodes, ew, dangling).foreach(Pinning.unpin)
-    ranks
+    val out = ranks.select(col("node"), col("pr"))
+    Pinning.unpin(ew)
+    out
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -285,24 +328,38 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
     require(iterations >= 0, s"iterations must be ≥ 0: $iterations")
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    val und = pin(edges.select(col("src"), col("dst"))
+    // Aligned-pin round shape (see [[pageRank]]'s layout note). The one
+    // per-round exchange repartitions the joined (src, lbl) pairs by src
+    // BEFORE the vote count: HashPartitioning(src) satisfies both the
+    // (src, lbl) aggregate (subset rule) and the per-src tie-break
+    // window, so the previous agg-then-window double exchange collapses
+    // into one, and the round output is already node-partitioned for the
+    // pin and the next round's join.
+    val und0 = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    var labels = pin(und.select(col("src").as("node")).distinct())
-      .withColumn("lbl", col("node"))
+      .distinct().localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(und0.count(), und0)
+    def pin(df: DataFrame, keys: String*): DataFrame =
+      Pinning.pinBy(df, parts, keys: _*)
+    val und = pin(und0, "dst")
+    val nodes = pin(und.select(col("src").as("node")).distinct(), "node")
+    Pinning.unpin(und0)
+    var labels = nodes.withColumn("lbl", col("node"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
       .orderBy(col("__c").desc, col("lbl"))
     var i = 0
     while (i < iterations) {
       val next = und
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(labels.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          "dst")
+        .select(col("src"), col("lbl"))
+        .repartition(parts, col("src"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("src").as("node"), col("lbl"))
-      val pinned = pin(next)
+      val pinned = pin(next, "node")
       Pinning.unpin(labels) // superseded round — release its pinned blocks
       labels = pinned
       i += 1
@@ -328,21 +385,30 @@ object Graphs {
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be ≥ 0: $maxHops")
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    val und = pin(edges.select(col("src"), col("dst"))
+    // Aligned-pin round shape (see [[pageRank]]'s layout note): the edge
+    // list pins keyed on src (the frontier join key), distance frames on
+    // node, so each round is one co-partitioned join plus the min-dist
+    // aggregate's exchange — the round's only shuffle.
+    val und0 = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct().localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(und0.count(), und0)
+    def pin(df: DataFrame, keys: String*): DataFrame =
+      Pinning.pinBy(df, parts, keys: _*)
+    val und = pin(und0, "src")
+    Pinning.unpin(und0)
     var dist = pin(seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)))
+      .withColumn("dist", lit(0L)), "node")
     var i = 0
     while (i < maxHops) {
       val relaxed = und
-        .join(dist.withColumnRenamed("node", "src"), "src")
+        .join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
         .union(dist)
         .groupBy("node").agg(min("dist").as("dist"))
-      val pinned = pin(relaxed)
+      val pinned = pin(relaxed, "node")
       Pinning.unpin(dist) // superseded round — release its pinned blocks
       dist = pinned
       i += 1
@@ -414,39 +480,58 @@ object Graphs {
            checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
+    // Aligned-pin round shape (see [[pageRank]]'s layout note): the edge
+    // list pins TWICE — once per round join key (src for the authority
+    // update, dst for the hub update) — so both per-round joins read
+    // co-partitioned blocks with no exchange at all; storage pays 2× the
+    // narrow (src, dst) frame, traded against two edge re-shuffles per
+    // round. Score frames pin keyed on node; the normalizer reads the
+    // aggregated frame directly (the node-spine left join only adds
+    // zeros, so the sum is the same number).
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val eSrc =
+      if (checkpointDir.isDefined) e0.checkpoint(eager = true)
+      else e0.localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(eSrc.count(), eSrc)
+    def pin(df: DataFrame, keys: String*): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    val e = pin(edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct())
-    val nodes = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+      else Pinning.pinBy(df, parts, keys: _*)
+    val eS = pin(eSrc, "src")
+    val eD = pin(eSrc, "dst")
+    val nodes = pin(eS.select(col("src").as("node"))
+      .union(eS.select(col("dst").as("node"))).distinct(), "node")
+    Pinning.unpin(eSrc)
     def normalized(raw: DataFrame, out: String): DataFrame = {
-      val full = nodes.join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__s"), lit(0.0)).as("__s"))
-      val tot = full.agg(sum("__s").as("__t"))
-      pin(full.crossJoin(broadcast(tot))
-        .select(col("node"), (col("__s") / col("__t")).as(out)))
+      // Σ over the aggregated frame ≡ Σ over the node-complete frame
+      // (the spine join only contributes exact 0.0 terms)
+      val tot = raw.agg(sum("__s").as("__t"))
+      pin(nodes.join(raw.hint("shuffle_hash"), Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          (coalesce(col("__s"), lit(0.0)) / col("__t")).as(out)), "node")
     }
-    var hub = pin(nodes.withColumn("hub", lit(1.0)))
+    var hub = pin(nodes.withColumn("hub", lit(1.0)), "node")
     var auth: DataFrame = null
     var i = 0
     while (i < iterations) {
       val nextAuth = normalized(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
+        eS.join(hub.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
           .groupBy(col("dst").as("node")).agg(sum("hub").as("__s")),
         "authority")
       if (auth != null) Pinning.unpin(auth)
       auth = nextAuth
       val nextHub = normalized(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        eD.join(auth.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            "dst")
           .groupBy(col("src").as("node")).agg(sum("authority").as("__s")),
         "hub")
       Pinning.unpin(hub)
       hub = nextHub
       i += 1
     }
-    Seq(e, nodes).foreach(Pinning.unpin) // scores are pinned; graph isn't needed
+    Seq(eS, eD, nodes).foreach(Pinning.unpin) // scores are pinned; graph isn't needed
     hub.join(auth, "node")
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Lifecycle management for `localCheckpoint`-pinned frames inside
@@ -27,6 +28,84 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `Dedup.connectedComponents`).
   */
 object Pinning {
+  /** Partition-preserving pin for iterative loops: localCheckpoint the
+    * frame hash-partitioned by `keys` into `parts` partitions (derive
+    * `parts` from a measured row count via [[partsFor]]) so every later
+    * same-`keys` join or aggregate at the same granularity reads the
+    * pinned blocks WITHOUT an Exchange.
+    *
+    * Why the AQE toggle: `Dataset.localCheckpoint` records the executed
+    * plan's outputPartitioning into the resulting LogicalRDD — but under
+    * adaptive execution the adaptive root reports `UnknownPartitioning`,
+    * so every pinned round frame forgets its layout and each round of a
+    * loop re-exchanges everything it touches (and AQE turns each of
+    * those exchanges into its own query-stage job: measured 94 jobs for
+    * a 10-round PageRank at sf0.1, ~45 ms fixed cost each). Disabling
+    * AQE for JUST the pin's own execution makes the recorded
+    * partitioning a plain `HashPartitioning(keys, numShufflePartitions)`
+    * that downstream `EnsureRequirements` can match. The loss is AQE's
+    * coalescing/skew handling INSIDE one round's plan — round frames
+    * here are narrow fixed-key (id, value) rows whose partition count
+    * should scale with the cluster (the conf), exactly what explicit
+    * partitioning provides, so nothing of value is given up at 100 TB
+    * and the alignment removes whole shuffles per round at every scale.
+    *
+    * If the frame's plan already ENDS in the wanted partitioning (the
+    * steady state once a loop is aligned: an exchange-free join keyed on
+    * `keys` preserves its left child's layout), the repartition is
+    * skipped — detected from the planned outputPartitioning, so the pin
+    * costs one narrow map-side job and no shuffle at all.
+    *
+    * The conf flip is synchronized on the session and restored in a
+    * finally block; suites fork one JVM and run sequentially, and Bench/
+    * Verify run queries one at a time, so the window is benign.
+    */
+  def pinBy(df: DataFrame, parts: Int, keys: String*): DataFrame = {
+    require(parts >= 1, s"parts must be >= 1: $parts")
+    val spark = df.sparkSession
+    spark.synchronized {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // internal exchanges of the pinned plan (aggregates feeding the
+      // frame) run at the same loop granularity — without this they'd
+      // run at the session's full shuffle width, which for a small round
+      // frame is pure task-launch overhead and for a large one is
+      // exactly what `parts` was derived to be
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val cols = keys.map(df.col)
+        val keyExprs = cols.map(
+          org.apache.spark.sql.graftshim.ColumnShim.expression)
+        val aligned = df.queryExecution.executedPlan.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.numPartitions == parts && h.expressions.size == keys.size &&
+              h.expressions.zip(keyExprs).forall {
+                case (pe, ke) => pe.semanticEquals(ke)
+              }
+          case _ => false
+        }
+        val base = if (aligned) df else df.repartition(parts, cols: _*)
+        base.localCheckpoint(eager = true)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      }
+    }
+  }
+
+  /** Scale-adaptive partition count for iterative round frames: ~4M
+    * narrow rows (roughly 100 MB of (id, value) pairs) per partition, at
+    * least 1, never above the session's shuffle-partition ceiling — the
+    * cluster's own scale knob. Derived from a measured row count (the
+    * loops all hold one as a driver scalar already), not from the local
+    * core count (guide §2.2: partitions sized by data, 100 MB–1 GB).
+    */
+  def partsFor(rows: Long, df: DataFrame): Int = {
+    val ceilConf = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(ceilConf.toLong, rows / 4000000L + 1L)).toInt
+  }
+
   /** Release the storage blocks behind a checkpointed frame. Walks the
     * analyzed plan's leaves and unpersists every materialized-RDD leaf
     * (non-blocking — the loop shouldn't wait on block cleanup). No-op on

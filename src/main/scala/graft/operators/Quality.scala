@@ -1564,7 +1564,14 @@ object Quality {
     require(maxSentences >= 1, s"maxSentences must be ≥ 1: $maxSentences")
     val sentArr = slice(filter(split(trim(col(textCol)), "[.!?]+\\s+"),
       s => length(s) > 0), 1, maxSentences)
-    val sents = df
+    // Aligned-pin round shape (see [[Graphs.pageRank]]'s layout note),
+    // with the extra property that EVERYTHING here is doc-keyed: because
+    // a HashPartitioning on __doc satisfies every (__doc, x) clustering
+    // requirement (subset rule), the sentence self-join, the edge
+    // normalization, the per-round contribution join + aggregate and the
+    // spine join ALL run exchange-free over the doc-partitioned pinned
+    // frames — zero shuffles per round (previously ~4).
+    val sents0 = df
       .select(col(idCol).as("__doc"), posexplode(sentArr))
       .select(col("__doc"), (col("pos") + 1).cast("long").as("__sid"),
         col("col").as("__sent"),
@@ -1572,6 +1579,9 @@ object Quality {
           t => length(t) > 0)).as("__toks"))
       .withColumn("__ntok", size(col("__toks")).cast("long"))
       .localCheckpoint() // both self-join sides + the spine + assembly
+    val parts = Pinning.partsFor(sents0.count(), sents0)
+    val sents = Pinning.pinBy(sents0, parts, "__doc")
+    Pinning.unpin(sents0)
     val overlap = size(array_intersect(col("__ti"), col("__tj")))
       .cast("double")
     val lnDen = log(col("__ni").cast("double")) +
@@ -1580,36 +1590,35 @@ object Quality {
       .select(col("__doc"), col("__sid").as("__i"),
         col("__toks").as("__ti"), col("__ntok").as("__ni"))
       .join(sents.select(col("__doc"), col("__sid").as("__j"),
-        col("__toks").as("__tj"), col("__ntok").as("__nj")), Seq("__doc"))
+        col("__toks").as("__tj"), col("__ntok").as("__nj"))
+        .hint("shuffle_hash"), Seq("__doc"))
       .where(col("__i") =!= col("__j"))
       .select(col("__doc"), col("__i"), col("__j"),
         overlap.as("__ov"), lnDen.as("__den"))
       .where(col("__ov") > 0 && col("__den") > 0)
       .withColumn("__w", col("__ov") / col("__den"))
     // out-normalize once: the per-round join carries (doc, src, dst, wn)
-    val ew = edges
-      .join(edges.groupBy("__doc", "__i").agg(sum("__w").as("__os")),
-        Seq("__doc", "__i"))
+    val ew = Pinning.pinBy(edges
+      .join(edges.groupBy("__doc", "__i").agg(sum("__w").as("__os"))
+        .hint("shuffle_hash"), Seq("__doc", "__i"))
       .select(col("__doc"), col("__i").as("__src"),
-        col("__j").as("__dst"), (col("__w") / col("__os")).as("__wn"))
-      .localCheckpoint()
-    var scores = sents.select(col("__doc"), col("__sid"),
-        lit(1.0).as("__score"))
-      .localCheckpoint(eager = true)
+        col("__j").as("__dst"), (col("__w") / col("__os")).as("__wn")),
+      parts, "__doc")
+    var scores = Pinning.pinBy(sents.select(col("__doc"), col("__sid"),
+        lit(1.0).as("__score")), parts, "__doc")
     var r = 0
     while (r < iterations) {
       val contribs = ew
-        .join(scores.withColumnRenamed("__sid", "__src"),
-          Seq("__doc", "__src"))
+        .join(scores.withColumnRenamed("__sid", "__src")
+          .hint("shuffle_hash"), Seq("__doc", "__src"))
         .groupBy(col("__doc"), col("__dst"))
         .agg(sum(col("__wn") * col("__score")).as("__m"))
-      val next = sents.select("__doc", "__sid")
-        .join(contribs.withColumnRenamed("__dst", "__sid"),
-          Seq("__doc", "__sid"), "left")
+      val next = Pinning.pinBy(sents.select("__doc", "__sid")
+        .join(contribs.withColumnRenamed("__dst", "__sid")
+          .hint("shuffle_hash"), Seq("__doc", "__sid"), "left")
         .select(col("__doc"), col("__sid"),
           (lit(1.0 - damping) + lit(damping) *
-            coalesce(col("__m"), lit(0.0))).as("__score"))
-        .localCheckpoint(eager = true)
+            coalesce(col("__m"), lit(0.0))).as("__score")), parts, "__doc")
       Pinning.unpin(scores) // superseded round
       scores = next
       r += 1

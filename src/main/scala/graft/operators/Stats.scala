@@ -248,10 +248,22 @@ object Stats {
                  maxClasses: Int = 100): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    def pin(d: DataFrame): DataFrame = d.localCheckpoint(eager = true)
-    val rt = pin(df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
-      col(labelCol).cast("string").as("__k")))
-    val classes = pin(rt.select(col("__k").as("__c")).distinct())
+    // Aligned-pin round shape (see [[Graphs.pageRank]]'s layout note):
+    // ratings, per-(item, rater) counts and every posterior frame pin
+    // hash-partitioned on __i, so the den/num M-step joins, the E-step's
+    // (__i, __c) aggregate (subset rule) and both item windows all run
+    // without re-exchanging item-scale data — the only per-round
+    // exchanges left carry rater-scale partial aggregates and the
+    // rater-keyed M-table joins back onto the exploded scan.
+    val rt0 = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+      col(labelCol).cast("string").as("__k")).localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(rt0.count(), rt0)
+    def pin(d: DataFrame, keys: String*): DataFrame =
+      Pinning.pinBy(d, parts, keys: _*)
+    val rt = pin(rt0, "__i")
+    Pinning.unpin(rt0)
+    val classes = rt.select(col("__k").as("__c")).distinct()
+      .localCheckpoint(eager = true) // C rows; broadcast every round
     val cCnt = classes.count()
     require(cCnt <= maxClasses,
       s"dawidSkene is a bounded-label-domain operator, but the input has " +
@@ -259,36 +271,52 @@ object Stats {
         s"label space or raise maxClasses explicitly.")
     val mi = rt.groupBy("__i").agg(count(lit(1)).as("__m"))
     val nItems = mi.count().toDouble
-    val nir = pin(rt.groupBy("__i", "__r").agg(count(lit(1)).as("__nir")))
+    // M-step join strategy, decided ONCE from measured bounds (AQE is off
+    // inside the pins, so the planner can't size them itself): the num/
+    // den confusion tables are ≤ raters·C² rows — broadcast them onto the
+    // exploded scan when that bound is comfortably broadcastable,
+    // otherwise shuffle-hash-join (never a sort) at corpus scale.
+    val nRaters = rt.select("__r").distinct().count()
+    val mSmall = nRaters * cCnt * cCnt <= 4000000L
+    def mHint(d: DataFrame): DataFrame =
+      if (mSmall) broadcast(d) else d.hint("shuffle_hash")
+    val nir = pin(rt.groupBy("__i", "__r").agg(count(lit(1)).as("__nir")),
+      "__i")
     var post = pin(rt.groupBy(col("__i"), col("__k").as("__c"))
       .agg(count(lit(1)).as("__v"))
-      .join(mi, "__i")
+      .join(mi.hint("shuffle_hash"), "__i")
       .select(col("__i"), col("__c"),
-        (col("__v") / col("__m").cast("double")).as("__t")))
+        (col("__v") / col("__m").cast("double")).as("__t")), "__i")
     val wItem = Window.partitionBy("__i") // ≤ C rows per item
     var i = 0
     while (i < iterations) {
       val prior = post.groupBy("__c")
         .agg((sum("__t") / nItems).as("__p"))
-      val den = nir.join(post, "__i")
+      val den = nir.join(post.hint("shuffle_hash"), "__i")
         .groupBy("__r", "__c")
         .agg(sum(col("__nir") * col("__t")).as("__den"))
-      val num = rt.join(post, "__i")
+      val num = rt.join(post.hint("shuffle_hash"), "__i")
         .groupBy("__r", "__c", "__k")
         .agg(sum("__t").as("__num"))
-      val scored = rt.crossJoin(broadcast(classes))
-        .join(num, Seq("__r", "__c", "__k"), "left")
-        .join(den, Seq("__r", "__c"), "left")
+      val joined = rt.crossJoin(broadcast(classes))
+        .join(mHint(num), Seq("__r", "__c", "__k"), "left")
+        .join(mHint(den), Seq("__r", "__c"), "left")
         .withColumn("__lp",
           log((coalesce(col("__num"), lit(0.0)) + epsilon) /
             (coalesce(col("__den"), lit(0.0)) + epsilon * cCnt)))
+      // broadcast path: still item-partitioned, the aggregate and both
+      // windows below run exchange-free; shuffled path: one repartition
+      // back to items replaces what would otherwise be an (__i, __c)
+      // agg exchange plus an (__i) window exchange
+      val scored = (if (mSmall) joined
+        else joined.repartition(parts, col("__i")))
         .groupBy("__i", "__c").agg(sum("__lp").as("__lsum"))
-        .join(prior, "__c")
+        .join(broadcast(prior), "__c")
         .withColumn("__sc", log(col("__p")) + col("__lsum"))
         .withColumn("__ex", exp(col("__sc") - max("__sc").over(wItem)))
       val next = pin(scored
         .withColumn("__t", col("__ex") / sum("__ex").over(wItem))
-        .select("__i", "__c", "__t"))
+        .select("__i", "__c", "__t"), "__i")
       Pinning.unpin(post)
       post = next
       i += 1
