@@ -271,7 +271,11 @@ object Classify {
       val cap = (maxExactRows min (Int.MaxValue - 1).toLong).toInt
       val probe =
         if (maxExactRows >= Int.MaxValue.toLong) 0L // un-probe-able: exact
-        else df.select(col(valueCol)).limit(cap).count()
+        // lit(1) projection: the probe only needs a row COUNT, so the
+        // scan prunes every column (parquet answers from metadata) and
+        // the global-limit gather moves 1-byte rows; selecting the value
+        // column forced a full column read through the single limit task
+        else df.select(lit(1).as("__one")).limit(cap).count()
       if (probe >= cap && maxExactRows < Int.MaxValue.toLong) Some(10000)
       else None
     }

@@ -316,6 +316,28 @@ class SplitsSpec extends AnyFunSuite {
     assert(weird === exact)
   }
 
+  test("quantileBuckets: large-domain distributed thresholds equal the " +
+    "percentile aggregate's") {
+    import spark.implicits._
+    // > 65536 distinct values routes to the distributed order-statistic
+    // path; the buckets must be byte-identical to Spark's own exact
+    // percentile aggregate over the same column (the small-domain route)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 70000)
+      .map(i => (i.toLong, i * 1000L + rnd.nextInt(999)))
+    val df = rows.toDF("id", "v")
+    val got = Splits.quantileBuckets(df, "v", 7)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ths = df.agg(org.apache.spark.sql.functions.percentile(col("v"),
+        array((1 until 7).map(b => lit(b / 7.0)): _*)))
+      .head.getSeq[Double](0)
+    val want = rows.map { case (id, v) =>
+      id -> ths.count(t => v > t)
+    }.toMap
+    assert(got === want)
+  }
+
   test("sentenceChunks: window/stride semantics, terminators consumed") {
     val docs = Seq(
       (1L, "One. Two! Three? Four. Five."),
