@@ -1122,8 +1122,11 @@ object Dedup {
     cands
       .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .where(col("dist") <= maxDist)
+      // threshold form runs the banded DP — O(len·maxDist) per pair
+      // instead of O(len²) — and returns the exact distance for every
+      // pair within the bound (-1 beyond it, which the filter drops)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 

@@ -93,32 +93,43 @@ object Preferences {
   def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
                    iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
-    def pin(d: DataFrame): DataFrame = d.localCheckpoint(eager = true)
+    // Aligned-pin round shape (see [[Graphs.pageRank]]'s layout note):
+    // games pin keyed on __i, θ/wins on item, so the __i-side join, the
+    // per-item denominator aggregate's output and the wins join all line
+    // up exchange-free; a round's shuffles are the one __j-side
+    // re-exchange of the game table plus the per-item aggregate.
     val w = df.select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
       .where(col("__w") =!= col("__l"))
     val winCounts = w.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
-    val games = pin(w.select(col("__w").as("__i"), col("__l").as("__j"))
+    val games0 = w.select(col("__w").as("__i"), col("__l").as("__j"))
       .union(w.select(col("__l").as("__i"), col("__w").as("__j")))
-      .groupBy("__i", "__j").agg(count(lit(1)).as("__g")))
-    val items = pin(games.select(col("__i").as("item")).distinct())
+      .groupBy("__i", "__j").agg(count(lit(1)).as("__g"))
+      .localCheckpoint(eager = true)
+    val parts = Pinning.partsFor(games0.count(), games0)
+    def pin(d: DataFrame, keys: String*): DataFrame =
+      Pinning.pinBy(d, parts, keys: _*)
+    val games = pin(games0, "__i")
+    Pinning.unpin(games0)
+    val items = pin(games.select(col("__i").as("item")).distinct(), "item")
     val wins = pin(items
-      .join(winCounts.withColumnRenamed("__w", "item"), Seq("item"), "left")
-      .select(col("item"), coalesce(col("__n"), lit(0L)).as("wins")))
-    var theta = pin(items.withColumn("__t", lit(1.0)))
+      .join(winCounts.withColumnRenamed("__w", "item").hint("shuffle_hash"),
+        Seq("item"), "left")
+      .select(col("item"), coalesce(col("__n"), lit(0L)).as("wins")), "item")
+    var theta = pin(items.withColumn("__t", lit(1.0)), "item")
     var i = 0
     while (i < iterations) {
       val denom = games
-        .join(theta.select(col("item").as("__i"), col("__t").as("__ti")),
-          "__i")
-        .join(theta.select(col("item").as("__j"), col("__t").as("__tj")),
-          "__j")
+        .join(theta.select(col("item").as("__i"), col("__t").as("__ti"))
+          .hint("shuffle_hash"), "__i")
+        .join(theta.select(col("item").as("__j"), col("__t").as("__tj"))
+          .hint("shuffle_hash"), "__j")
         .groupBy(col("__i").as("item"))
         .agg(sum(col("__g") / (col("__ti") + col("__tj"))).as("__d"))
-      val raw = wins.join(denom, "item")
+      val raw = wins.join(denom.hint("shuffle_hash"), "item")
         .select(col("item"), (col("wins") / col("__d")).as("__t"))
       val tot = raw.agg(sum("__t").as("__s"))
       val next = pin(raw.crossJoin(broadcast(tot))
-        .select(col("item"), (col("__t") / col("__s")).as("__t")))
+        .select(col("item"), (col("__t") / col("__s")).as("__t")), "item")
       Pinning.unpin(theta)
       theta = next
       i += 1

@@ -1300,11 +1300,30 @@ object Stats {
     */
   private[operators] def groupedCumCounts(per: DataFrame,
                                           groupCol: String): DataFrame = {
+    // Size routing (measured, not guessed — the quantileBuckets rule):
+    // the distributed-rank machinery below exists so a CONTINUOUS value
+    // domain never funnels one group through one task, but it costs a
+    // range-partitioner sample pass, a pin, an offsets window and a pid
+    // join — ~6 jobs. When the whole quantized (group, value) domain is
+    // provably small, one plain group-keyed window computes the same
+    // exact running counts in a single exchange; both routes emit
+    // identical integers, so routing never changes results.
+    val pinned = per.localCheckpoint(eager = true)
+    if (pinned.count() <= 65536) {
+      val wg = Window.partitionBy(groupCol)
+      return pinned
+        .withColumn("__cum", sum("__c").over(wg.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__n", sum("__c").over(wg.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(groupCol), col("__v"), col("__c"), col("__cum"),
+          col("__n"))
+    }
     // pinned: both sides below must read ONE physical range partitioning
     // — exchange/stage reuse is not reliable for that under a busy AQE
     // session (independent exchanges sample boundaries with different
     // seeds; measured as silent row loss through the pid join)
-    val ranged = per.repartitionByRange(col(groupCol), col("__v"))
+    val ranged = pinned.repartitionByRange(col(groupCol), col("__v"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = false)
     val wOff = Window.partitionBy(groupCol).orderBy("__pid")
