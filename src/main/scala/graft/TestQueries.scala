@@ -3994,20 +3994,13 @@ object TestQueries {
   def q258AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadEmbeddings(s, dir)
     val queries = emb.where(col("vec_id") <= 20)
-    val embDir = new java.io.File(dir, "embeddings.parquet")
-    val parts = Option(embDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile)
-    val fp = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"${embDir.getCanonicalPath}|${parts.map(_.length()).sum}|" +
-          s"${if (parts.isEmpty) 0L else parts.map(_.lastModified()).max}")
-        .toLong & 0xffffffffL)
-    val truthPath = s"target/ann_truth/$fp"
-    if (!new java.io.File(s"$truthPath/_SUCCESS").exists())
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
-        .select(col("query_id"), col("nbr_id"))
-        .write.mode("overwrite").parquet(truthPath)
-    val truth = s.read.parquet(truthPath)
+    // brute-force truth computed IN this invocation and pinned for the
+    // three method joins — recall telemetry must always be measured
+    // against a truth derived from the same parquet inputs it reads,
+    // never a disk artifact carried across runs
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 3)
+      .select(col("query_id"), col("nbr_id"))
       .localCheckpoint() // joined by every method row
     val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
     def recallOf(name: String, approx: DataFrame): DataFrame =

@@ -193,9 +193,74 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = c)
 }
 
+/** Asymmetric-distance (ADC) score for PQ search: given a candidate's
+  * product codes and a query's densified lookup table,
+  * Σ_s lut[s·stride + codes[s]] with the sum accumulating in subspace
+  * order — bit-identical to the higher-order `aggregate(sequence(...))`
+  * formulation it replaces, which paid interpreted-lambda dispatch per
+  * subspace per candidate (the dominant job of the PQ top-k queries at
+  * sf0.1: ~1.2 s of a 2.0 s query). Null codes array, a null code slot,
+  * or a slot index beyond the lut (the HOF's out-of-bound `element_at`
+  * under non-ANSI) all yield null, matching the HOF's null-poisoning.
+  */
+case class AdcScore(left: Expression, right: Expression, stride: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(c: Any, l: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val lut = l.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    val ln = lut.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      if (codes.isNullAt(s)) return null
+      val idx = s * stride + codes.getInt(s)
+      if (idx < 0 || idx >= ln || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val n = ctx.freshName("n")
+      val ln = ctx.freshName("ln")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $c.numElements();
+         |final int $ln = $l.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  if ($c.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |  final int $idx = $s * $stride + $c.getInt($s);
+         |  if ($idx < 0 || $idx >= $ln || $l.isNullAt($idx)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $acc += $l.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def cosineF(a: Column, b: Column): Column =
     ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def adcScore(codes: Column, lut: Column, stride: Int): Column =
+    ColumnShim.column(AdcScore(ColumnShim.expression(codes),
+      ColumnShim.expression(lut), stride))
 
   def nearestCells(v: Column, centroids: Seq[Seq[Double]],
                    cellIds: Seq[Int]): Column =

@@ -522,11 +522,10 @@ object Similarity {
           .as("lut"))
     val approx = coded.crossJoin(broadcast(lut))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("ascore",
-        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
-          (acc, s) => acc +
-            element_at(col("lut"),
-              (s * stride + element_at(col("codes"), s + 1) + 1).cast("int"))))
+      // native codegen'd ADC loop (same subspace-order sum as the HOF
+      // aggregate it replaces — see [[VectorExpressions.adcScore]])
+      .withColumn("ascore", graft.functions.expressions.VectorExpressions
+        .adcScore(col("codes"), col("lut"), stride))
     val w = Window.partitionBy("query_id")
       .orderBy(col("ascore").desc, col("nbr_id"))
     val cand = approx.withColumn("arank", row_number().over(w))
@@ -666,11 +665,11 @@ object Similarity {
           .as("lut"))
     val approx = coded.join(broadcast(qlut), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
+      // native codegen'd ADC loop (same subspace-order sum as the HOF
+      // aggregate it replaces — see [[VectorExpressions.adcScore]])
       .withColumn("ascore", col("qc") +
-        aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0d),
-          (acc, s) => acc +
-            element_at(col("lut"),
-              (s * stride + element_at(col("codes"), s + 1) + 1).cast("int"))))
+        graft.functions.expressions.VectorExpressions
+          .adcScore(col("codes"), col("lut"), stride))
     val w = Window.partitionBy("query_id")
       .orderBy(col("ascore").desc, col("nbr_id"))
     val cand = approx.withColumn("arank", row_number().over(w))
