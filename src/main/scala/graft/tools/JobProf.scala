@@ -22,7 +22,8 @@ object JobProf {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         starts.put(js.jobId, (System.nanoTime(),
           Option(js.properties.getProperty("spark.job.description"))
-            .getOrElse("")))
+            .getOrElse(js.stageInfos.map(_.name.takeWhile(_ != '\n'))
+              .distinct.mkString("|").take(120))))
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages += 1; tasks += sc.stageInfo.numTasks
       }
