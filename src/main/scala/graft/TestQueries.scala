@@ -3072,9 +3072,14 @@ object TestQueries {
     * mid-token pass.
     */
   private def linkageRecords(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the key derivation splits EVERY document's full text; both
+    // the dirty branch below and the union consumer re-scan this frame, so
+    // without the pin the corpus-wide split runs twice per invocation. The
+    // pinned frame is (id, ≤6-word key) — corpus-key-sized, never the texts.
     val clean = t(s, dir, "documents").select(
       col("doc_id").as("id"),
       array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6), " ").as("key"))
+      .localCheckpoint(eager = false)
     val dirty = clean
       .withColumn("__p", (col("id") % length(col("key"))).cast("int"))
       .select(

@@ -93,6 +93,84 @@ private[graft] object JaroUtil {
       j + l * 0.1 * (1.0 - j)
     } else j
   }
+
+  /** Winkler boost of a jaro value at prefix length `l`, matching
+    * [[jaroWinkler]]'s exact operator order. Monotone in `j` (slope
+    * 1 − 0.1·l > 0), so boosting an upper bound of jaro upper-bounds jw.
+    */
+  @inline def boost(j: Double, l: Int): Double =
+    if (j > 0.7) j + l * 0.1 * (1.0 - j) else j
+
+  /** jw(a, b) when it can reach `minSim`, else any value < minSim (0.0).
+    *
+    * Sound gates (never drop a pair whose true jw ≥ minSim):
+    *  - matches m ≤ min(n, m'), so jaro ≤ (2 + min/max)/3; with the
+    *    maximum Winkler boost (l = 4) that bounds jw by the LENGTH RATIO
+    *    alone — checked before decoding any code point;
+    *  - same bound re-checked with the ACTUAL common prefix l ≤ 4;
+    *  - inside the match scan, after consuming i+1 of a's code points the
+    *    final m is ≤ matches-so-far + (n − i − 1): when even that ceiling
+    *    (boosted at the actual l) cannot reach minSim the scan bails.
+    * Survivor pairs take the identical arithmetic path as [[jaroWinkler]],
+    * so filtered results are bit-equal to the ungated operator.
+    */
+  def jaroWinklerGte(a: Array[Int], b: Array[Int], minSim: Double): Double = {
+    val n = a.length
+    val m = b.length
+    if (n == 0 || m == 0) return 0.0
+    val minL = math.min(n, m)
+    val maxL = math.max(n, m)
+    val ubJaro = (2.0 + minL.toDouble / maxL) / 3.0
+    if (boost(ubJaro, 4) < minSim) return 0.0
+    val cap = math.min(4, minL)
+    var l = 0
+    while (l < cap && a(l) == b(l)) l += 1
+    if (boost(ubJaro, l) < minSim) return 0.0
+    // jaro match scan (verbatim [[jaro]]) + periodic upper-bound bailout
+    val window = math.max(maxL / 2 - 1, 0)
+    val aM = new Array[Boolean](n)
+    val bM = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a(i) == b(j)) {
+          aM(i) = true
+          bM(j) = true
+          matches += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+      if ((i & 7) == 0 && i < n) {
+        val mUb = math.min(minL, matches + n - i)
+        if (mUb == 0) return 0.0
+        val jUb = (mUb.toDouble / n + mUb.toDouble / m + 1.0) / 3.0
+        if (boost(jUb, l) < minSim) return 0.0
+      }
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var trans = 0
+    i = 0
+    while (i < n) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a(i) != b(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = trans / 2
+    val j = (matches.toDouble / n + matches.toDouble / m +
+      (matches - t).toDouble / matches) / 3.0
+    boost(j, l)
+  }
 }
 
 /** Codegen glue for binary string expressions: call the instance's
@@ -145,6 +223,33 @@ case class JaroWinklerSim(left: Expression, right: Expression)
   override protected def castCall(call: String): String =
     s"((java.lang.Double) $call).doubleValue()"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
+    copy(left = l, right = r)
+}
+
+/** `jaro_winkler_gte(a, b, minSim)` — exact [[JaroWinklerSim]] value for
+  * any pair whose similarity can reach `minSim`, and an arbitrary value
+  * below `minSim` (0.0) otherwise. ONLY for `≥ minSim` filters: cheap
+  * sound length/prefix/ceiling gates skip the O(|a|·window) match scan for
+  * provably-below pairs (the [[JaroUtil.jaroWinklerGte]] contract), so a
+  * blocked-candidate verification pays the full scan only near the
+  * threshold. Callers that round to d decimals before comparing must pass
+  * `minSim = threshold − 1e-6` (d ≤ 6) so the gate clears the rounding
+  * margin.
+  */
+case class JaroWinklerGteSim(left: Expression, right: Expression,
+                             minSim: Double)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with BinaryComputeCallCodegen {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override def compute(a: UTF8String, b: UTF8String): Any =
+    java.lang.Double.valueOf(JaroUtil.jaroWinklerGte(
+      JaroUtil.codePoints(a), JaroUtil.codePoints(b), minSim))
+  override protected def castCall(call: String): String =
+    s"((java.lang.Double) $call).doubleValue()"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerGteSim =
     copy(left = l, right = r)
 }
 
@@ -258,6 +363,9 @@ object StringSimExpressions {
     ColumnShim.column(JaroSim(ColumnShim.expression(a), ColumnShim.expression(b)))
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnShim.column(JaroWinklerSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def jaroWinklerGte(a: Column, b: Column, minSim: Double): Column =
+    ColumnShim.column(JaroWinklerGteSim(
+      ColumnShim.expression(a), ColumnShim.expression(b), minSim))
   def multiContains(text: Column, terms: Seq[String]): Column =
     ColumnShim.column(MultiContainsMatches(ColumnShim.expression(text), terms))
 }

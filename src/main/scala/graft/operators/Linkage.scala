@@ -116,47 +116,55 @@ object Linkage {
         records.sparkSession.sessionState.conf.numShufflePartitions,
         col("__id")) // explicit count: AQE must not coalesce the pin to 1
       .localCheckpoint(eager = false)
-    val perPass = passes.zipWithIndex.map { case (p, i) =>
-      val keyed = base.select(col("__id"), col("__key"),
-          p(col("__key")).as("__block"))
-        .where(col("__block").isNotNull && col("__block") =!= "")
-      val hot = keyed.groupBy("__block")
-        .agg(ceil(count(lit(1)) / maxBlockSize.toDouble).cast("int").as("__m"))
-        .where(col("__m") > 1)
-      val sub = keyed.join(hot, Seq("__block"), "left")
-        .withColumn("__m", coalesce(col("__m"), lit(1)))
-        .withColumn("__sub",
-          pmod(xxhash64(col("__id")), col("__m").cast("long")).cast("int"))
-      val l = sub.select(col("__block"), col("__sub"),
-        col("__id").as("id_a"), col("__key").as("key_a"))
-      val r = sub.select(col("__block").as("__rblock"),
-        col("__sub").as("__rsub"),
-        col("__id").as("id_b"), col("__key").as("key_b"))
-      val within = l.join(r,
-          col("__block") === col("__rblock") && col("__sub") === col("__rsub")
-            && col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "key_a", "key_b")
-      // chain: min-id representative of sub k ↔ of sub k+1, split blocks
-      // only — linear in sub-bucket count, verified like any candidate
-      val reps = sub.where(col("__m") > 1)
-        .groupBy("__block", "__sub")
-        .agg(min_by(struct(col("__id").as("id"), col("__key").as("key")),
-          col("__id")).as("r"))
-      val chain = reps.alias("x")
-        .join(reps.alias("y"),
+    // All passes in ONE pass-tagged frame: (__pass, __block) replaces the
+    // per-pass plan fan-out, so the hot-block aggregate, the left join
+    // attaching split factors, the within-block self-join and the chain
+    // join each run ONCE over the union of passes instead of once per
+    // pass — same candidate multiset keyed identically (a pair blocks in
+    // pass i iff it shares (__pass=i, __block, __sub)), one third the
+    // jobs/exchanges of the per-pass shape (guide §2.4).
+    val keyed = base.select(col("__id"), col("__key"),
+        posexplode(array(passes.map(p => p(col("__key"))): _*))
+          .as(Seq("__pass", "__block")))
+      .where(col("__block").isNotNull && col("__block") =!= "")
+    val hot = keyed.groupBy("__pass", "__block")
+      .agg(ceil(count(lit(1)) / maxBlockSize.toDouble).cast("int").as("__m"))
+      .where(col("__m") > 1)
+    val sub = keyed.join(hot, Seq("__pass", "__block"), "left")
+      .withColumn("__m", coalesce(col("__m"), lit(1)))
+      .withColumn("__sub",
+        pmod(xxhash64(col("__id")), col("__m").cast("long")).cast("int"))
+    val l = sub.select(col("__pass"), col("__block"), col("__sub"),
+      col("__id").as("id_a"), col("__key").as("key_a"))
+    val r = sub.select(col("__pass").as("__rpass"),
+      col("__block").as("__rblock"), col("__sub").as("__rsub"),
+      col("__id").as("id_b"), col("__key").as("key_b"))
+    val within = l.join(r,
+        col("__pass") === col("__rpass")
+          && col("__block") === col("__rblock")
+          && col("__sub") === col("__rsub")
+          && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "key_a", "key_b")
+    // chain: min-id representative of sub k ↔ of sub k+1, split blocks
+    // only — linear in sub-bucket count, verified like any candidate
+    val reps = sub.where(col("__m") > 1)
+      .groupBy("__pass", "__block", "__sub")
+      .agg(min_by(struct(col("__id").as("id"), col("__key").as("key")),
+        col("__id")).as("r"))
+    val chain = reps.alias("x")
+      .join(reps.alias("y"),
+        col("x.__pass") === col("y.__pass") &&
           col("x.__block") === col("y.__block") &&
-            col("x.__sub") + 1 === col("y.__sub"))
-        .select(
-          least(col("x.r.id"), col("y.r.id")).as("id_a"),
-          greatest(col("x.r.id"), col("y.r.id")).as("id_b"),
-          when(col("x.r.id") <= col("y.r.id"), col("x.r.key"))
-            .otherwise(col("y.r.key")).as("key_a"),
-          when(col("x.r.id") <= col("y.r.id"), col("y.r.key"))
-            .otherwise(col("x.r.key")).as("key_b"))
-        .select("id_a", "id_b", "key_a", "key_b")
-      within.unionAll(chain)
-    }
-    perPass.reduce(_ unionAll _)
+          col("x.__sub") + 1 === col("y.__sub"))
+      .select(
+        least(col("x.r.id"), col("y.r.id")).as("id_a"),
+        greatest(col("x.r.id"), col("y.r.id")).as("id_b"),
+        when(col("x.r.id") <= col("y.r.id"), col("x.r.key"))
+          .otherwise(col("y.r.key")).as("key_a"),
+        when(col("x.r.id") <= col("y.r.id"), col("y.r.key"))
+          .otherwise(col("x.r.key")).as("key_b"))
+      .select("id_a", "id_b", "key_a", "key_b")
+    within.unionAll(chain)
   }
 
   /** Blocked candidates verified at `threshold`: (id_a, id_b, jw). The
@@ -182,7 +190,13 @@ object Linkage {
                 passes: Seq[Column => Column] = defaultPasses(),
                 maxBlockSize: Int = 4096): DataFrame =
     blockedPairsRaw(records, idCol, keyCol, passes, maxBlockSize)
-      .withColumn("jw", round(jaroWinkler(col("key_a"), col("key_b")), 6))
+      // threshold-gated JW (guide §4, the q149 banded-levenshtein shape):
+      // cheap sound length/prefix gates skip the match scan for pairs that
+      // provably cannot reach the threshold — survivors take the exact
+      // ungated arithmetic, and the 1e-6 slack clears the 6dp rounding, so
+      // the filtered pair set and its jw values are bit-identical
+      .withColumn("jw", round(StringSimExpressions.jaroWinklerGte(
+        col("key_a"), col("key_b"), threshold - 1e-6), 6))
       .where(col("jw") >= threshold)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "jw")

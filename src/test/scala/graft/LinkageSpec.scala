@@ -50,6 +50,32 @@ class LinkageSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("jaroWinklerGte: gate is sound and survivors are bit-equal (fuzz)") {
+    // the threshold-gated verification path must (a) never report >= minSim
+    // for a pair whose true jw is below it, and (b) return the EXACT
+    // ungated double for any pair at-or-above it — including minSim
+    // slightly below the true value (the rounding-margin call shape).
+    import graft.functions.expressions.JaroUtil
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh " // small alphabet: plenty of near-misses
+    def randStr(): String =
+      (0 until (1 + rnd.nextInt(40))).map(i => alpha(rnd.nextInt(alpha.length))).mkString
+    var checked = 0
+    (0 until 20000).foreach { _ =>
+      val a = randStr(); val b = if (rnd.nextBoolean()) randStr()
+        else a.patch(rnd.nextInt(a.length), "", 1) // near-duplicate
+      val ca = JaroUtil.codePoints(org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      val cb = JaroUtil.codePoints(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val exact = JaroUtil.jaroWinkler(ca, cb)
+      Seq(0.5, 0.7, 0.9 - 1e-6, 0.94 - 1e-6, exact - 1e-9).foreach { t =>
+        val gated = JaroUtil.jaroWinklerGte(ca, cb, t)
+        if (exact >= t) { assert(gated === exact, s"'$a' vs '$b' at $t"); checked += 1 }
+        else assert(gated < t, s"'$a' vs '$b' at $t: gated=$gated exact=$exact")
+      }
+    }
+    assert(checked > 1000) // the exact-path branch was actually exercised
+  }
+
   test("blocking: 100% recall on planted single-deletion links, >=99% overall") {
     // the q202 corpus at sf0.001: titles + one-char-deleted copies
     val docs = sources.Tables.loadDocuments(spark, "/root/testdata/sf0.001")
