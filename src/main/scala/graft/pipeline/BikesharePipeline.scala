@@ -152,31 +152,51 @@ object BikesharePipeline {
   }
 
   /** Q21 (EC1, nb:5160-5171) — per (rider, month): avg amount + ride count
-    * for members. Inherits the J5 trips⋈payments per-rider fan-out: avg is
-    * over trips×payments pairs — reference semantics, preserved verbatim.
+    * for members. The reference's J5 trips⋈payments per-rider fan-out
+    * aggregates over trips×payments PAIRS; that aggregate factorizes
+    * exactly, so the pair rows are never materialized: within a
+    * (rider, month) group every trip meets the rider's full payment set,
+    * hence avg(amount) over pairs = (n_t·Σp)/(n_t·n_p) = the rider's plain
+    * payment average (decimal sums are exact and mathematically equal
+    * fractions round identically at the avg's result scale), and
+    * count(trip_id) over pairs = n_t·n_p. Same rows, same types, same
+    * values — without the |trips|×|payments|-per-rider intermediate
+    * (~24M pair rows at bench scale 0.2, quadratic in rider activity at
+    * 100 TB).
     */
-  def q21MonthlySpendPerMember(w: Warehouse): DataFrame =
+  def q21MonthlySpendPerMember(w: Warehouse): DataFrame = {
+    val payAgg = w.payments.groupBy("rider_id")
+      .agg(avg("amount").as("avg_amount"), count(lit(1)).as("__n_pay"))
     w.trips
-      .join(w.payments, Seq("rider_id"))
-      .join(w.riders.where(col("is_member") === true).select("rider_id"), Seq("rider_id"))
-      .select(col("rider_id"), col("amount"), col("trip_id"),
-        month(col("time_id")).as("month"))
+      .select(col("rider_id"), month(col("time_id")).as("month"), col("trip_id"))
       .groupBy("rider_id", "month")
-      .agg(avg("amount").as("avg_amount"), count("trip_id").as("num_rides"))
+      .agg(count("trip_id").as("__n_trip"))
+      .join(payAgg, Seq("rider_id"))
+      .join(w.riders.where(col("is_member") === true).select("rider_id"), Seq("rider_id"))
+      .select(col("rider_id"), col("month"), col("avg_amount"),
+        (col("__n_trip") * col("__n_pay")).as("num_rides"))
       .orderBy(col("num_rides").desc)
+  }
 
   /** Q22 (EC2, nb:5365-5380) — per (rider, minutes, month): avg amount +
-    * avg duration for members; same fan-out semantics.
+    * avg duration for members; the same exact factorization as Q21
+    * (avg(duration) over pairs repeats each trip n_p times: integer-valued
+    * double sums below 2^53 are exact, and (n_p·Σd)/(n_p·n_t) rounds to
+    * the same double as Σd/n_t).
     */
-  def q22SpendPerMinutePerMember(w: Warehouse): DataFrame =
+  def q22SpendPerMinutePerMember(w: Warehouse): DataFrame = {
+    val payAgg = w.payments.groupBy("rider_id")
+      .agg(avg("amount").as("avg_amount"))
     w.trips
-      .join(w.payments, Seq("rider_id"))
-      .join(w.riders.where(col("is_member")).select("rider_id"), Seq("rider_id"))
       .withColumn("month", month(col("time_id")))
       .withColumn("minutes", Derived.minutes(col("duration")))
       .groupBy("rider_id", "minutes", "month")
-      .agg(avg("amount").as("avg_amount"), avg("duration").as("avg_duration"))
+      .agg(avg("duration").as("avg_duration"))
+      .join(payAgg, Seq("rider_id"))
+      .join(w.riders.where(col("is_member")).select("rider_id"), Seq("rider_id"))
+      .select("rider_id", "minutes", "month", "avg_amount", "avg_duration")
       .orderBy(col("avg_duration").desc)
+  }
 
   // ---- Geo extensions (beyond the reference's 24 queries) -----------------
   // The stations dimension carries (latitude, longitude) the notebook never
