@@ -212,7 +212,11 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val sig = df
+    // spread before the signature: 16 md5 calls per shingle make this the
+    // heaviest per-row stage in the repo, and the local corpus is one
+    // unsplittable file (guide §2.5) — measured 1.7 s → 1.4 s at sf0.1;
+    // no-op on real multi-split scans
+    val sig = Pinning.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .where(Text.tokenCount(col(textCol)) >= shingleSize)
       .select(col(idCol).as("id"),
         array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
@@ -645,7 +649,11 @@ object Dedup {
       val end = element_at(cuts, k.cast("int"))
       md5(concat_ws(" ", slice(toks, start, end - start + 1)))
     })
-    val staged = df.where(length(trim(col(textCol))) > 0)
+    // spread: one md5 per token position + one per chunk is the md5
+    // path's dominant cost and the local corpus is one unsplittable file
+    // (guide §2.5); no-op on real multi-split scans
+    val staged = Pinning.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .where(length(trim(col(textCol))) > 0)
       .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("__cuts", filter(sequence(lit(1), size(toks)),
         j => (nib(j).bitwiseAND(lit(mask)) === 0) || (j === size(toks))))
@@ -1110,7 +1118,11 @@ object Dedup {
                        maxDist: Int = 1): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2,
       s"maxDist must be in [0, 2]: $maxDist")
-    val strs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // spread: the deletion-variant explosion (O(L^maxDist) substring
+    // builds per row) dominates this operator and the local corpus is one
+    // unsplittable file (guide §2.5) — measured 2.3 s → 0.9 s at sf0.1;
+    // no-op on real multi-split scans
+    val strs = Pinning.spread(df.select(col(idCol).as("id"), col(strCol).as("s")), col("id"))
       .where(col("s").isNotNull)
     val keys = strs
       .select(col("id"), explode(array_distinct(concat(

@@ -106,6 +106,32 @@ object Pinning {
     math.max(1L, math.min(ceilConf.toLong, rows / 4000000L + 1L)).toInt
   }
 
+  /** Scale-adaptive scan widening for compute-heavy per-row stages (guide
+    * §2.5 "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): when the frame's planned parallelism is far below
+    * the session's default parallelism — a single-file/single-row-group
+    * corpus, one gzip shard — round-robin repartition to the default
+    * parallelism so the expensive downstream expressions (shingling,
+    * signatures, per-char DPs) use every core. On a real multi-split scan
+    * the condition is false and NO exchange is added — this is a floor on
+    * parallelism derived from the runtime session, not a constant tuned
+    * for any one deployment.
+    *
+    * Contract: call it only on scan-rooted frames (narrow projections /
+    * filters over a file scan). `df.rdd` plans the frame to inspect its
+    * partitioning; on a plan containing exchanges that inspection would
+    * execute AQE query stages. The exchange hashes on `keys` (normally the
+    * record id — unique, so it spreads evenly): hash assignment is
+    * deterministic per row with NO pre-exchange sort, unlike keyless
+    * round-robin which pays a per-partition binary sort of the payloads
+    * (`spark.sql.execution.sortBeforeRepartition`) to be retry-safe.
+    */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, keys: _*)
+    else df
+  }
+
   /** Release the storage blocks behind a checkpointed frame. Walks the
     * analyzed plan's leaves and unpersists every materialized-RDD leaf
     * (non-blocking — the loop shouldn't wait on block cleanup). No-op on
