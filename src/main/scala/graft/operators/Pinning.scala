@@ -60,7 +60,17 @@ object Pinning {
     * finally block; suites fork one JVM and run sequentially, and Bench/
     * Verify run queries one at a time, so the window is benign.
     */
-  def pinBy(df: DataFrame, parts: Int, keys: String*): DataFrame = {
+  def pinBy(df: DataFrame, parts: Int, keys: String*): DataFrame =
+    pinByWith(df, parts, eager = true, keys: _*)
+
+  /** [[pinBy]] with explicit eagerness: `eager = false` defers
+    * materialization to the first consumer job (no serial pin job —
+    * right for straight-line operators that pin once and fan out),
+    * `eager = true` materializes now (right for loops, where the pin
+    * must exist before the superseded round frame is unpinned).
+    */
+  def pinByWith(df: DataFrame, parts: Int, eager: Boolean,
+                keys: String*): DataFrame = {
     require(parts >= 1, s"parts must be >= 1: $parts")
     val spark = df.sparkSession
     spark.synchronized {
@@ -86,7 +96,7 @@ object Pinning {
           case _ => false
         }
         val base = if (aligned) df else df.repartition(parts, cols: _*)
-        base.localCheckpoint(eager = true)
+        base.localCheckpoint(eager)
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         spark.conf.set("spark.sql.shuffle.partitions", prevSp)

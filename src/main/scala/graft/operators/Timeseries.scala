@@ -48,11 +48,21 @@ object Timeseries {
     val binSec = (col(tsCol).cast("long") / step).cast("long") * step
     // pinned: the compact observed-bins table feeds the spine stats, the
     // spine join, and the chunk summaries — without the pin the events
-    // scan + aggregate executes three times
-    val binned = df
-      .groupBy(col(keyCol), timestamp_seconds(binSec).as("bin"))
-      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("v"))
-      .localCheckpoint(eager = false)
+    // scan + aggregate executes three times. Pinned BY KEY (pinBy, not a
+    // plain localCheckpoint): HashPartitioning(key) satisfies the
+    // ClusteredDistribution of every downstream consumer — the stats/obs
+    // aggregates, the (key, bin) spine join, the (key, chunk) carry join
+    // and both windows — so the whole fill runs exchange-free AND the
+    // exploded spine (thousands of bins per pre-explode row) inherits the
+    // key-spread layout instead of whatever AQE coalesced the tiny
+    // pre-explode shuffle to (measured: the entire 12.5M-row spine ran as
+    // ONE task per stage at sf0.1). Width = the session shuffle conf, the
+    // cluster's scale knob.
+    val binned = Pinning.pinByWith(
+      df.groupBy(col(keyCol), timestamp_seconds(binSec).as("bin"))
+        .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("v")),
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      eager = false, keyCol)
     val chunkBins = 4096L
     val chunkSec = stepSeconds * chunkBins
     val stats = binned
