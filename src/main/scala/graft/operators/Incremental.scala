@@ -104,7 +104,12 @@ object Incremental {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sig =
-      if (exact) df
+      // exact path only: 16 md5 calls per shingle dominate, and the local
+      // corpus is one unsplittable file (guide §2.5) — spread is a no-op
+      // on real multi-split scans; the xxhash path is scan-speed and the
+      // added exchange measurably costs more than it buys (q36/q37 A/B)
+      if (exact) Pinning
+        .spread(df.select(col(idCol), col(textCol)), col(idCol))
         .where(graft.functions.Text.tokenCount(col(textCol)) >= shingleSize)
         .select(col(idCol).as("id"),
           array_distinct(graft.functions.Text.shingles(col(textCol),
