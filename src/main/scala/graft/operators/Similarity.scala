@@ -1119,67 +1119,97 @@ object Similarity {
   def facilityLocationSelect(df: DataFrame, idCol: String, vecCol: String,
                              k: Int, maxRows: Int = 20000): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
+    val spark = df.sparkSession
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .localCheckpoint() // read by both cross-join sides + the count bound
-    require(base.limit(maxRows + 1).count() <= maxRows,
+    val n = base.limit(maxRows + 1).count()
+    require(n <= maxRows,
       s"facilityLocationSelect is an exact greedy bounded at " +
         s"maxRows=$maxRows — slice the pool or pre-select candidates " +
         s"with ivfTopK/an upstream filter.")
-    // every (candidate, point) cosine, computed once for all k rounds
-    val pairs = base.select(col("__id").as("__c"), col("__v").as("__cv"))
-      .crossJoin(broadcast(base.select(col("__id").as("__p"),
-        col("__v").as("__pv"))))
-      .select(col("__c"), col("__p"),
-        Vectors.cosine(col("__cv"), col("__pv")).as("__s"))
-      .localCheckpoint()
+    // every (candidate, point) cosine, computed once for all k rounds and
+    // pinned ALIGNED on the point id: every round's coverage join reads it
+    // on __p, so the n²-row table never re-exchanges inside the loop
+    // (the pinBy alignment the iterative graph family uses)
+    val parts = Pinning.partsFor(n * n, df)
+    val pairs = Pinning.pinByWith(
+      base.select(col("__id").as("__c"), col("__v").as("__cv"))
+        .crossJoin(broadcast(base.select(col("__id").as("__p"),
+          col("__v").as("__pv"))))
+        .select(col("__c"), col("__p"),
+          Vectors.cosine(col("__cv"), col("__pv")).as("__s")),
+      parts, eager = true, "__p")
     val kEff = math.min(k.toLong,
       base.agg(count_distinct(col("__id"))).head.getLong(0)).toInt
-    def argmax(gains: DataFrame, rank: Int): DataFrame = gains
+    // The selected set is ≤ k rows and every round's argmax already
+    // pulls ONE row to the driver to decide termination — so picks
+    // live as driver scalars (k-bounded, the q98 seed-exemplar budget) and
+    // each round is exactly two jobs: the gains argmax and the coverage-
+    // carry pin. The previous shape checkpointed `selected` and `next`
+    // per round — three more serial driver-blocking jobs per pick.
+    def argmaxHead(gains: DataFrame): Option[(Any, Double)] = gains
       .orderBy(col("__gain").desc, col("__c"))
-      .limit(1)
-      .select(col("__c").as("__id"), lit(rank).as("rank"),
-        col("__gain").as("gain"))
-    var selected = argmax(
+      .limit(1).head(1).headOption
+      .map(r => (r.get(0), r.getDouble(1)))
+    var picks = Vector.empty[(Any, Int, Double)]
+    var cover: DataFrame = null
+    var exhausted = kEff < 1
+    val first = if (exhausted) None else argmaxHead(
       pairs.groupBy("__c").agg(sum(greatest(col("__s"), lit(0.0)))
-        .as("__gain")), 1)
-      .localCheckpoint(eager = true)
-    // per-point best coverage by the selected set so far (the 0 floor)
-    var cover = pairs
-      .join(broadcast(selected.select(col("__id").as("__c"))), Seq("__c"))
-      .select(col("__p"), greatest(col("__s"), lit(0.0)).as("__cm"))
-      .localCheckpoint(eager = true)
+        .as("__gain")))
+    first match {
+      case None => exhausted = true
+      case Some((id, gain)) =>
+        picks :+= ((id, 1, gain)) // the rank-1 pick is kept even at gain 0
+        exhausted = gain <= 0
+        if (!exhausted && kEff > 1)
+          // per-point best coverage by the selected set so far (0 floor),
+          // pinned aligned on __p like pairs — the round join is
+          // exchange-free on both sides
+          cover = Pinning.pinByWith(
+            pairs.where(col("__c") === lit(id))
+              .select(col("__p"), greatest(col("__s"), lit(0.0)).as("__cm")),
+            parts, eager = true, "__p")
+    }
     var i = 2
-    var exhausted = selected.head(1).headOption.exists(_.getDouble(2) <= 0)
     while (i <= kEff && !exhausted) {
+      val pickedIds = picks.map(_._1)
       val gains = pairs
-        .join(broadcast(selected.select(col("__id").as("__c"))),
-          Seq("__c"), "left_anti")
+        .where(!col("__c").isin(pickedIds: _*))
         .join(cover, Seq("__p"))
         .groupBy("__c")
         .agg(sum(greatest(col("__s") - col("__cm"), lit(0.0)))
           .as("__gain"))
-      val next = argmax(gains, i).localCheckpoint(eager = true)
-      if (next.head(1).headOption.exists(_.getDouble(2) > 0)) {
-        val nsel = selected.unionByName(next).localCheckpoint(eager = true)
-        Pinning.unpin(selected)
-        selected = nsel
-        if (i < kEff) {
-          val ncover = cover
-            .join(pairs.join(broadcast(next.select(col("__id")
-              .as("__c"))), Seq("__c")).select(col("__p"), col("__s")),
-              Seq("__p"))
-            .select(col("__p"), greatest(col("__cm"), col("__s"))
-              .as("__cm"))
-            .localCheckpoint(eager = true)
-          Pinning.unpin(cover)
-          cover = ncover
-        }
-      } else exhausted = true
-      Pinning.unpin(next)
+      argmaxHead(gains) match {
+        case Some((id, gain)) if gain > 0 =>
+          picks :+= ((id, i, gain))
+          if (i < kEff) {
+            val ncover = Pinning.pinByWith(
+              cover.join(pairs.where(col("__c") === lit(id))
+                  .select(col("__p"), col("__s")), Seq("__p"))
+                .select(col("__p"), greatest(col("__cm"), col("__s"))
+                  .as("__cm")),
+              parts, eager = true, "__p")
+            Pinning.unpin(cover)
+            cover = ncover
+          }
+        case _ => exhausted = true
+      }
       i += 1
     }
-    Seq(pairs, base, cover).foreach(Pinning.unpin)
-    selected.select(col("__id").as(idCol), col("rank"), col("gain"))
+    if (cover != null) Pinning.unpin(cover)
+    Seq(pairs, base).foreach(Pinning.unpin)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        base.schema("__id").dataType, base.schema("__id").nullable),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("gain",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    picks.foreach { case (id, r, g) =>
+      rows.add(org.apache.spark.sql.Row(id, r, g)) }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** DBSCAN density clustering (Ester et al. 1996) over a PRECOMPUTED
