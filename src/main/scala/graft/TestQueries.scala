@@ -3987,14 +3987,13 @@ object TestQueries {
     * recall-solved LSH, q95b's refine-8 PQ, and IVF probing 2 of 8
     * cells. Rows-only by nature — the recall VALUE is the evidence.
     *
-    * The brute-force truth is DISK-cached under `target/` (the q129
-    * warehouse pattern): it is deterministic for a given dataset and was
-    * the bench's single biggest fixed cost (~4.5 s recomputed on every
-    * run); cached, repeat runs pay a parquet read. The cache key is a
-    * CONTENT fingerprint of the embeddings table — canonical path + total
-    * file bytes + newest mtime — so regenerating the dataset in place
-    * (new seed/size) or two sf dirs sharing a basename each get their own
-    * truth instead of silently reusing a stale one.
+    * The brute-force truth is recomputed IN EVERY invocation from the
+    * parquet inputs and only localCheckpoint'd for the three method joins
+    * (~4–5 s of honest per-run cost at sf0.1). It was briefly disk-cached
+    * under `target/` keyed on a content fingerprint of the embeddings —
+    * that is exactly the "persisted intermediates keyed on the test data"
+    * pattern the bench rules ban, and it was removed in round 17; do not
+    * reintroduce it.
     */
   def q258AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadEmbeddings(s, dir)

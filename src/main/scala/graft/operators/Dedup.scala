@@ -1227,8 +1227,12 @@ object Dedup {
                            windowTokens: Int): DataFrame = {
     val L = windowTokens
     val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    // spread: one slice+concat+xxhash64 per token position is O(|doc|·L)
+    // per row and the local corpus is one unsplittable file (guide §2.5);
+    // no-op on real multi-split scans
     // bind the array ONCE (HOF lambdas re-evaluate captured expressions)
-    df.select(col(idCol).as("__id"), toks.as("__toks"))
+    Pinning.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__id"), toks.as("__toks"))
       .where(size(col("__toks")) >= L)
       .select(col("__id"),
         posexplode(transform(

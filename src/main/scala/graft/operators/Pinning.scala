@@ -127,18 +127,28 @@ object Pinning {
     * parallelism derived from the runtime session, not a constant tuned
     * for any one deployment.
     *
-    * Contract: call it only on scan-rooted frames (narrow projections /
-    * filters over a file scan). `df.rdd` plans the frame to inspect its
-    * partitioning; on a plan containing exchanges that inspection would
-    * execute AQE query stages. The exchange hashes on `keys` (normally the
-    * record id — unique, so it spreads evenly): hash assignment is
-    * deterministic per row with NO pre-exchange sort, unlike keyless
-    * round-robin which pays a per-partition binary sort of the payloads
+    * Intended for scan-rooted frames (narrow projections / filters over a
+    * file scan): `df.rdd` plans the frame to inspect its partitioning, and
+    * on a plan containing exchanges that inspection would EXECUTE AQE
+    * query stages — so frames whose optimized plan carries a join,
+    * aggregate, window, sort or repartition are returned untouched (their
+    * parallelism already comes from the shuffle width). The exchange
+    * hashes on `keys` (normally the record id — unique, so it spreads
+    * evenly): hash assignment is deterministic per row with NO
+    * pre-exchange sort, unlike keyless round-robin which pays a
+    * per-partition binary sort of the payloads
     * (`spark.sql.execution.sortBeforeRepartition`) to be retry-safe.
     */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val shuffled = df.queryExecution.optimizedPlan.find {
+      case _: logical.Join | _: logical.Aggregate | _: logical.Window |
+           _: logical.Sort | _: logical.RepartitionOperation => true
+      case _ => false
+    }.isDefined
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, keys: _*)
+    if (!shuffled && df.rdd.getNumPartitions * 2 < target)
+      df.repartition(target, keys: _*)
     else df
   }
 

@@ -94,7 +94,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    // spread the streamed corpus side: the |corpus|·|queries| cosine scan
+    // happens here, and the local corpus is one unsplittable file (guide
+    // §2.5); no-op on real multi-split scans
+    val c = Pinning.spread(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv")),
+      col("nbr_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
@@ -926,7 +931,12 @@ object Similarity {
           s"input or mine candidates with ivfTopK and re-score.")
     }
     val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
-    val g = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+    // spread the streamed side: every |src|·|tgt| cosine is computed in
+    // this scan stage, and the local corpus is one unsplittable file
+    // (guide §2.5); no-op on real multi-split scans
+    val g = Pinning.spread(
+      tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv")),
+      col("tgt_id"))
     val scored = g.crossJoin(broadcast(s))
       .withColumn("cos", Vectors.cosine(col("__sv"), col("__tv")))
       .select("src_id", "tgt_id", "cos")
