@@ -522,11 +522,13 @@ object Splits {
         val counts = df.where(v.isNotNull)
           .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
           .localCheckpoint(eager = true)
-        if (counts.count() <= 65536)
+        val nDistinct = counts.count()
+        if (nDistinct <= 65536)
           counts.agg(percentile(col("__v"), ps, col("__c")).as("__ths"))
         else {
           val cum = Stats.groupedCumCounts(
-            counts.select(lit(1).as("__g"), col("__v"), col("__c")), "__g")
+            counts.select(lit(1).as("__g"), col("__v"), col("__c")), "__g",
+            pinnedCount = Some(nDistinct)) // counts is pinned 3 lines up
             .withColumn("__vd", col("__v").cast("double"))
           val thExprs = (1 until numBuckets).map { b =>
             val p = b.toDouble / numBuckets

@@ -1299,7 +1299,9 @@ object Stats {
     * Shared with [[Analytics.quantileNormalize]]'s per-group ECDF.
     */
   private[operators] def groupedCumCounts(per: DataFrame,
-                                          groupCol: String): DataFrame = {
+                                          groupCol: String,
+                                          pinnedCount: Option[Long] = None)
+      : DataFrame = {
     // Size routing (measured, not guessed — the quantileBuckets rule):
     // the distributed-rank machinery below exists so a CONTINUOUS value
     // domain never funnels one group through one task, but it costs a
@@ -1308,8 +1310,12 @@ object Stats {
     // provably small, one plain group-keyed window computes the same
     // exact running counts in a single exchange; both routes emit
     // identical integers, so routing never changes results.
-    val pinned = per.localCheckpoint(eager = true)
-    if (pinned.count() <= 65536) {
+    // `pinnedCount`: a caller that already pinned `per` (or a projection
+    // of its pin) and counted it passes the count through — otherwise
+    // this call would pin the same data a second time and re-run the
+    // probe job (the quantileBuckets double-pin).
+    val pinned = pinnedCount.fold(per.localCheckpoint(eager = true))(_ => per)
+    if (pinnedCount.getOrElse(pinned.count()) <= 65536) {
       val wg = Window.partitionBy(groupCol)
       return pinned
         .withColumn("__cum", sum("__c").over(wg.orderBy("__v")
