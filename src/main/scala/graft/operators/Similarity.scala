@@ -94,12 +94,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    // spread the streamed corpus side: the |corpus|·|queries| cosine scan
-    // happens here, and the local corpus is one unsplittable file (guide
-    // §2.5); no-op on real multi-split scans
-    val c = Pinning.spread(
-      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv")),
-      col("nbr_id"))
+    // NOT spread (measured): per corpus row the work is |queries| cosines
+    // (~20 at the gate scales) — too light to repay an exchange; the
+    // mid-round bench showed q273/q216 +0.2-0.4 s with a spread here
+    // while marginMining's |src|·|tgt| scan (spread) won 40%
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
@@ -1148,7 +1147,7 @@ object Similarity {
           col("__v").as("__pv"))))
         .select(col("__c"), col("__p"),
           Vectors.cosine(col("__cv"), col("__pv")).as("__s")),
-      parts, eager = true, "__p")
+      parts, eager = false, "__p") // lazy: materializes inside round 1
     val kEff = math.min(k.toLong,
       base.agg(count_distinct(col("__id"))).head.getLong(0)).toInt
     // The selected set is ≤ k rows and every round's argmax already
