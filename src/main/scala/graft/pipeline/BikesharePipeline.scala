@@ -67,7 +67,7 @@ object BikesharePipeline {
   // ---- The 24 analytical queries (SURVEY.md §2.11) -------------------------
   // Q1-Q8: aggregate trips by an intrinsic column (template nb:1828-1848).
 
-  private def tripsByDow(w: Warehouse): DataFrame =
+  private[pipeline] def tripsByDow(w: Warehouse): DataFrame =
     w.trips.withColumn("day_of_week", dayofweek(col("started_at")))
 
   def q1AvgDurationByDayOfWeek(w: Warehouse): DataFrame =
@@ -104,7 +104,7 @@ object BikesharePipeline {
 
   // Q9/Q10 — by rider age at account start; expression-form join that keeps
   // both rider_id columns (J2 quirk, nb:3330-3332).
-  private def tripsJoinRidersExpr(w: Warehouse): DataFrame =
+  private[pipeline] def tripsJoinRidersExpr(w: Warehouse): DataFrame =
     w.trips.join(w.riders, w.trips("rider_id") === w.riders("rider_id"))
 
   def q9TotalDurationByAge(w: Warehouse): DataFrame =

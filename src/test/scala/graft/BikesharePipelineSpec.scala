@@ -127,6 +127,41 @@ class BikesharePipelineSpec extends AnyFunSuite {
     assert(avgByMonth(3) === 9.0)
   }
 
+  test("gate fusion: every fused pair projection equals its public query") {
+    // the q129 gate derives each avg/sum query pair from ONE fused
+    // aggregation (BikeshareGen.gateFrames); the projections must carry
+    // the exact rows of the individual spec-pinned functions
+    val fused = graft.pipeline.BikeshareGen.gateFrames(wh).toMap
+    val pub: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q1_avg_duration_dow" -> BikesharePipeline.q1AvgDurationByDayOfWeek(wh),
+      "q2_total_duration_dow" -> BikesharePipeline.q2TotalDurationByDayOfWeek(wh),
+      "q3_avg_duration_start" -> BikesharePipeline.q3AvgDurationByStartTime(wh),
+      "q4_total_duration_start" -> BikesharePipeline.q4TotalDurationByStartTime(wh),
+      "q5_avg_duration_sstation" -> BikesharePipeline.q5AvgDurationByStartStation(wh),
+      "q6_total_duration_sstation" -> BikesharePipeline.q6TotalDurationByStartStation(wh),
+      "q7_avg_duration_estation" -> BikesharePipeline.q7AvgDurationByEndStation(wh),
+      "q8_total_duration_estation" -> BikesharePipeline.q8TotalDurationByEndStation(wh),
+      "q9_total_duration_age" -> BikesharePipeline.q9TotalDurationByAge(wh),
+      "q10_avg_duration_age" -> BikesharePipeline.q10AvgDurationByAge(wh),
+      "q11_avg_duration_member" -> BikesharePipeline.q11AvgDurationByMembership(wh),
+      "q12_total_duration_member" -> BikesharePipeline.q12TotalDurationByMembership(wh),
+      "q13_sum_month" -> BikesharePipeline.paymentsByDatePart(wh, "month", "sum"),
+      "q14_avg_month" -> BikesharePipeline.paymentsByDatePart(wh, "month", "avg"),
+      "q15_sum_quarter" -> BikesharePipeline.paymentsByDatePart(wh, "quarter", "sum"),
+      "q16_avg_quarter" -> BikesharePipeline.paymentsByDatePart(wh, "quarter", "avg"),
+      "q17_sum_year" -> BikesharePipeline.paymentsByDatePart(wh, "year", "sum"),
+      "q18_avg_year" -> BikesharePipeline.paymentsByDatePart(wh, "year", "avg"),
+      "q19_sum_member_age" -> BikesharePipeline.memberPaymentsByAge(wh, "sum"),
+      "q20_avg_member_age" -> BikesharePipeline.memberPaymentsByAge(wh, "avg"))
+    pub.foreach { case (name, df) =>
+      val f = fused(name)
+      assert(f.columns.toSeq === df.columns.toSeq, s"$name columns")
+      assert(f.schema.map(_.dataType) === df.schema.map(_.dataType),
+        s"$name types")
+      assert(f.collect().toSet === df.collect().toSet, s"$name rows")
+    }
+  }
+
   test("Q21: EC1 fan-out semantics preserved (trips×payments per rider)") {
     val got = BikesharePipeline.q21MonthlySpendPerMember(wh).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue(), r.getLong(3)))
