@@ -277,7 +277,20 @@ object Stats {
     // exploded scan when that bound is comfortably broadcastable,
     // otherwise shuffle-hash-join (never a sort) at corpus scale.
     val nRaters = rt.select("__r").distinct().count()
-    val mSmall = nRaters * cCnt * cCnt <= 4000000L
+    // bounded in BYTES as well as rows: near the row bound a
+    // string-labeled confusion table is hundreds of MB framed (the driver
+    // and every executor hold the built relation, twice per round as num
+    // and den) — estimate row width from the actual key types (strings at
+    // 48 bytes, scalars 16, plus struct/map overhead) and require the
+    // table under a 64 MB broadcast budget.
+    val mRows = nRaters * cCnt * cCnt
+    def fieldWidth(dt: org.apache.spark.sql.types.DataType): Long = dt match {
+      case org.apache.spark.sql.types.StringType => 48L
+      case _ => 16L
+    }
+    val mBytes = mRows * (24L + fieldWidth(rt.schema("__r").dataType) +
+      2L * fieldWidth(rt.schema("__k").dataType) + 16L)
+    val mSmall = mRows <= 4000000L && mBytes <= 64L * 1024 * 1024
     def mHint(d: DataFrame): DataFrame =
       if (mSmall) broadcast(d) else d.hint("shuffle_hash")
     val nir = pin(rt.groupBy("__i", "__r").agg(count(lit(1)).as("__nir")),
